@@ -1,0 +1,19 @@
+"""restaurant_etl_code_spark — a PySpark-native analytics/ETL engine.
+
+A brand-new, Spark-first re-expression of the query and data-processing
+capabilities of the reference ETL pipeline (``Vaishnavi639/Restaurant-ETL-code``,
+surveyed in ``SURVEY.md``): staging cleansing, dedup anti-joins,
+change-detect upserts, UPC equi-join + similarity match cascades, group-by +
+fixed-size chunking, enrichment UDF framework with deterministic fallbacks,
+bulk upsert sinks — plus the large-scale training-data operators (MinHash /
+SimHash / n-gram dedup, ANN similarity search, text quality analysis,
+multimodal binary columns) the reference's operators generalize to.
+
+Everything is declared through the DataFrame / SQL API so Catalyst + AQE pick
+the physical strategy; Python UDFs appear only in the Arrow-batched enrichment
+framework (``enrichment/``) where external model calls are inherently opaque.
+"""
+
+__version__ = "0.1.0"
+
+from restaurant_etl_code_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,1 @@
+from restaurant_etl_code_spark.functions import cleansing, text, vectors  # noqa: F401

@@ -1,0 +1,194 @@
+"""Scalar / string / cleansing column functions (SURVEY.md §2.3, §2.6).
+
+Every function here is a pure Column→Column expression — JVM-side, inside
+whole-stage codegen, no Python UDFs. Each cites the reference behavior it
+re-expresses (path:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "strip_markdown_fences",
+    "strip_backticks",
+    "clean_price",
+    "default_subcategory",
+    "default_description",
+    "tax_slab_encode",
+    "quantity_floor",
+    "tax_bool_from_percentage",
+    "price_changed",
+    "has_all_fields",
+    "iso8601_z",
+    "run_id_ts",
+    "header_text",
+    "body_text",
+    "normalize_upc",
+    "gtin_valid_expr",
+    "restaurant_brand",
+]
+
+# Tax-slab UUIDs (P8). The reference reads these from config.settings (file
+# absent — contract from call sites batch_processor.py:452,651,681). Fixed
+# deterministic values here.
+TAX_SLAB_TRUE = "11111111-1111-1111-1111-111111111111"
+TAX_SLAB_FALSE = "00000000-0000-0000-0000-000000000000"
+
+# F4: 13-entry category→slogan map (templatecreation.py:263-280).
+HEADER_TEXT_MAP: dict[str, str] = {
+    "Appetizers": "Start Your Meal Right!",
+    "Beverages": "Refresh Yourself!",
+    "Breakfast": "Rise and Shine!",
+    "Burgers": "Juicy and Delicious!",
+    "Desserts": "Sweet Treats Await!",
+    "Pizza": "Hot and Fresh Pizza!",
+    "Salads": "Fresh and Healthy!",
+    "Sandwiches": "Made to Order!",
+    "Seafood": "Fresh From the Sea!",
+    "Sides": "Perfect Additions!",
+    "Soups": "Warm and Comforting!",
+    "Specials": "Chef's Specials!",
+    "Wraps": "Wrapped to Perfection!",
+}
+
+
+def strip_markdown_fences(c: Column) -> Column:
+    """F1: remove ```json / ``` fences around LLM output
+    (reference: extract_menu_with_gemini_op.py:126-128)."""
+    out = F.regexp_replace(c, r"^\s*```json\s*", "")
+    out = F.regexp_replace(out, r"^\s*```\s*", "")
+    out = F.regexp_replace(out, r"\s*```\s*$", "")
+    return out
+
+
+def strip_backticks(c: Column) -> Column:
+    """F2: ``str(x).strip('`')`` (reference: data2batches.py:128)."""
+    return F.regexp_replace(c.cast("string"), r"^`+|`+$", "")
+
+
+def clean_price(c: Column) -> Column:
+    """P5: strip non-numeric junk then cast, null on failure
+    (reference: extract_menu_with_gemini_op.py:170-176)."""
+    cleaned = F.regexp_replace(c.cast("string"), r"[^0-9.]", "")
+    return F.when(cleaned == "", None).otherwise(cleaned).cast("double")
+
+
+def default_subcategory(c: Column) -> Column:
+    """P6: ``subcategory or 'General'`` — empty string counts as missing
+    (reference: extract_menu_with_gemini_op.py:158-167)."""
+    return F.when(c.isNull() | (F.trim(c) == ""), F.lit("General")).otherwise(c)
+
+
+def default_description(desc: Column, name: Column) -> Column:
+    """P6: ``description or f"Delicious {name}"``."""
+    return F.when(desc.isNull() | (F.trim(desc) == ""), F.concat(F.lit("Delicious "), name)).otherwise(desc)
+
+
+def tax_slab_encode(is_tax: Column) -> Column:
+    """P8: bool → configured tax-slab UUID (reference: batch_processor.py:452)."""
+    return F.when(F.coalesce(is_tax, F.lit(False)), F.lit(TAX_SLAB_TRUE)).otherwise(
+        F.lit(TAX_SLAB_FALSE)
+    )
+
+
+def quantity_floor(qty: Column, floor_value: int = 10) -> Column:
+    """P9: ``if quantity <= 0: quantity = 10`` (reference:
+    batchprocessor-fully-working…py:1337-1340). Null quantity is preserved —
+    the reference only rewrites when a comparison succeeds."""
+    return F.when(qty <= 0, F.lit(floor_value)).otherwise(qty)
+
+
+def tax_bool_from_percentage(tax_pct: Column) -> Column:
+    """F9: ``float(tax_percentage) > 0.0``, False on null/parse failure
+    (reference: batcprocessor-allworking…py:414-418)."""
+    return F.coalesce(tax_pct.cast("double") > 0.0, F.lit(False))
+
+
+def price_changed(existing: Column, new: Column) -> Column:
+    """F8: float-compare with "no change" on parse failure — a null on either
+    side means we cannot assert a change (reference:
+    batcprocessor-allworking…py:405-411)."""
+    e, n = existing.cast("double"), new.cast("double")
+    return F.when(e.isNull() | n.isNull(), F.lit(False)).otherwise(e != n)
+
+
+def has_all_fields(category: Column, subcategory: Column, description: Column,
+                   brand: Column | None = None) -> Column:
+    """P10: completeness predicate deciding whether LLM enrichment is needed
+    (reference: batch_processor.py:572-595). Grocery also requires brand."""
+    def present(c: Column) -> Column:
+        return c.isNotNull() & (F.trim(c.cast("string")) != "")
+
+    out = present(category) & present(subcategory) & present(description)
+    if brand is not None:
+        out = out & present(brand)
+    return out
+
+
+def iso8601_z(ts: Column) -> Column:
+    """F6: ``%Y-%m-%dT%H:%M:%SZ`` (reference: templatecreation.py:186-192)."""
+    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+
+def run_id_ts(ts: Column) -> Column:
+    """F7: ``%Y%m%d_%H%M%S`` run-id prefix (reference: repo.py:75-76)."""
+    return F.date_format(ts, "yyyyMMdd_HHmmss")
+
+
+def header_text(category: Column) -> Column:
+    """F4: 13-entry category→slogan lookup, default ``Explore Our {cat}!``
+    (reference: templatecreation.py:263-280)."""
+    pairs: list[Column] = []
+    for k, v in HEADER_TEXT_MAP.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    lookup = F.create_map(*pairs)
+    return F.coalesce(
+        F.element_at(lookup, category),
+        F.format_string("Explore Our %s!", category),
+    )
+
+
+def body_text(category: Column) -> Column:
+    """F5 (reference: templatecreation.py:283-285)."""
+    return F.format_string(
+        "Check out our amazing selection of %s. Order now for the best dining experience!",
+        F.lower(category),
+    )
+
+
+def normalize_upc(c: Column) -> Column:
+    """F10 normalize: strip everything but digits, drop empties
+    (contract from call sites batch_processor.py:418-420)."""
+    digits = F.regexp_replace(c.cast("string"), r"[^0-9]", "")
+    return F.when(digits == "", None).otherwise(digits)
+
+
+def gtin_valid_expr(colname: str) -> Column:
+    """F10 validate: GTIN-8/12/13/14 mod-10 check digit, as a pure SQL
+    expression (no UDF). Digit positions are numbered from the right starting
+    at 1 (the check digit); even positions weigh 3, odd weigh 1; the check
+    digit equals ``(10 - sum mod 10) mod 10``.
+
+    Returns a boolean Column over the string column ``colname``. Expression
+    form (rather than Column-composition) because positional ``substring``
+    with a Column index is only available via SQL.
+    """
+    c = f"cast({colname} as string)"
+    checksum = (
+        f"aggregate(transform(sequence(2, length({c})), i -> "
+        f"cast(substring(reverse({c}), i, 1) as int) * (case when i % 2 = 0 then 3 else 1 end)), "
+        f"0, (acc, x) -> acc + x)"
+    )
+    check_digit = f"cast(substring(reverse({c}), 1, 1) as int)"
+    return F.expr(
+        f"{c} rlike '^[0-9]+$' and length({c}) in (8, 12, 13, 14) "
+        f"and (10 - ({checksum} % 10)) % 10 = {check_digit}"
+    )
+
+
+def restaurant_brand(brand: Column, business_name: Column) -> Column:
+    """U6: brand := business name, fallback 'House Special'
+    (reference: batch_processor.py:769-780)."""
+    return F.coalesce(brand, business_name, F.lit("House Special"))

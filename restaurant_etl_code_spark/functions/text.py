@@ -1,0 +1,133 @@
+"""Text-analysis column functions for large-scale corpus processing.
+
+These generalize the reference's text surface (LLM content generation U2,
+slogan templating F4/F5) into the operators a 100 TB training-data pipeline
+needs: tokenization, quality scoring, language ID, fingerprinting, shingling.
+
+All pure Column expressions — JVM-side, codegen-friendly, no UDFs — and each
+has an exact ANSI-SQL twin used by the DuckDB oracle (see __spark_entry__),
+so every one is correctness-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "char_count",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "lang_scores",
+    "lang_id",
+    "normalize_text",
+    "fingerprint",
+    "word_shingles",
+    "LANG_PROFILES",
+    "STOPWORDS_EN",
+]
+
+# Tiny deterministic stopword profiles. Real deployments would ship larger
+# lists; the *operator shape* (token-membership scoring, argmax with a stable
+# tie-break) is what matters and is identical at any list size.
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": STOPWORDS_EN,
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "zu"),
+    "fr": ("le", "la", "de", "et", "est", "un", "une", "du"),
+}
+
+
+def normalize_text(c: Column) -> Column:
+    """Lowercase + collapse runs of whitespace + trim — the canonical form
+    used for fingerprinting and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization of normalized text → array<string>."""
+    return F.split(normalize_text(c), " ")
+
+
+def token_count(c: Column) -> Column:
+    return F.when(F.length(normalize_text(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def char_count(c: Column) -> Column:
+    return F.length(c)
+
+
+def punct_ratio(c: Column) -> Column:
+    """Fraction of characters outside [a-zA-Z0-9 ] — an explicit class so the
+    Java-regex and DuckDB-RE2 semantics agree exactly."""
+    n = F.length(c)
+    kept = F.length(F.regexp_replace(c, r"[^a-zA-Z0-9 ]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise((n - kept).cast("double") / n.cast("double"))
+
+
+def _member_count(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_ratio(c: Column) -> Column:
+    """Fraction of tokens that are English stopwords — a standard quality
+    signal (too low → keyword spam, too high → boilerplate)."""
+    toks = tokens(c)
+    n = token_count(c)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        _member_count(toks, STOPWORDS_EN).cast("double") / n.cast("double")
+    )
+
+
+def quality_score(c: Column) -> Column:
+    """Composite 0-1 quality heuristic: length band + stopword presence −
+    punctuation noise. Deterministic; rounded to 4dp for oracle stability."""
+    n_tok = token_count(c).cast("double")
+    length_component = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_component = F.least(stopword_ratio(c) * 4.0, F.lit(1.0))
+    punct_penalty = punct_ratio(c)
+    raw = 0.5 * length_component + 0.5 * stop_component - 0.25 * punct_penalty
+    # guard BEFORE least/greatest: Spark's least/greatest SKIP nulls, so a
+    # null text would otherwise score 1.0 instead of null
+    return F.when(c.isNull(), None).otherwise(
+        F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 4)
+    )
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts."""
+    toks = tokens(c)
+    return {lang: _member_count(toks, words) for lang, words in LANG_PROFILES.items()}
+
+
+def lang_id(c: Column) -> Column:
+    """N-gram-heuristic language ID: argmax of profile hit counts, ties broken
+    by language-code order; 'und' when no profile matches at all."""
+    scores = lang_scores(c)
+    langs = sorted(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    out = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(langs):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint = md5 of the normalized text. Used for exact
+    dedup at scale (hash-groupBy instead of comparing full bodies)."""
+    return F.md5(normalize_text(c))
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingles → array<string>; empty array when the document
+    has fewer than ``n`` tokens. Input to MinHash / Jaccard dedup."""
+    toks = tokens(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )

@@ -1,0 +1,69 @@
+"""Vector column functions over ``array<float>`` embedding columns.
+
+The reference carries embeddings as ``List[float]`` column values
+(reference: product_models.py:56,90) and compares them service-side. Here the
+linear algebra is done JVM-side with array lambdas (``zip_with`` +
+``aggregate``) — no Python in the hot path; a vectorized Pandas-UDF variant
+exists in operators/similarity.py for the wide-fanout top-k path.
+
+All folds run in index order in float64, so the DuckDB oracle
+(``list_dot_product``-based) reproduces results bit-for-bit up to the rounding
+applied by each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "hash_embedding_expr",
+    "sign_lsh_bucket",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product in float64, sequential index-order fold."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; null when either vector is null or zero-norm."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
+
+
+def hash_embedding_expr(colname: str, dim: int = 8) -> Column:
+    """Deterministic mock embedding (U3 test backend): dim float64 values in
+    [-1, 1) derived from md5(text || '_' || i). Exactly reproducible in
+    DuckDB (``('0x' || substring(md5(...), 1, 15))::bigint``), which makes
+    embedding-dependent operators oracle-checkable without a model.
+    """
+    return F.expr(
+        f"transform(sequence(0, {dim - 1}), i -> "
+        f" cast(cast(conv(substring(md5(concat({colname}, '_', i)), 1, 15), 16, 10) as bigint)"
+        f" % 2000 as double) / 1000.0 - 1.0)"
+    )
+
+
+def sign_lsh_bucket(vec: Column, nbits: int = 8) -> Column:
+    """Sign-LSH bucket id from the signs of the first ``nbits`` dimensions:
+    bit i set ⟺ vec[i] > 0. A trivially cheap random-hyperplane LSH for the
+    axis-aligned case — the bucketed ANN path groups by this to avoid the
+    all-pairs cross join at scale."""
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(nbits - 1)),
+        lambda i: F.when(
+            F.element_at(vec, (i + 1).cast("int")) > 0,
+            F.pow(F.lit(2.0), i.cast("double")).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, x: acc + x)

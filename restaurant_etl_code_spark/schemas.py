@@ -1,0 +1,196 @@
+"""Canonical entity schemas (explicit StructTypes).
+
+The reference is schema-on-read (pandas infers CSV/JSON/LLM output); the only
+fixed shapes are its dataclasses (reference: ``beforeaddingtemplatecreation/
+models/product_models.py:9-202``). Here every entity is an explicit
+``StructType`` so scans prune columns and readers never infer.
+
+Entity inventory follows SURVEY.md §1.3 / FIXTURES.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+__all__ = [
+    "ID_STRUCT",
+    "MENU_ITEMS_RAW",
+    "GROCERY_ARTICLES_RAW",
+    "STAGED_PRODUCTS",
+    "MASTER_PRODUCTS",
+    "RETAILER_PRODUCTS",
+    "BUSINESS_ACCOUNTS",
+    "TEMPLATES",
+    "EVENTS",
+    "DOCUMENTS",
+    "EMBEDDINGS",
+    "MULTIMODAL_ASSETS",
+]
+
+# Nested {id, name} struct used for brand / category / subcategory
+# (reference: api/api-client.py:302-305).
+ID_STRUCT = T.StructType(
+    [
+        T.StructField("id", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+    ]
+)
+
+# Restaurant staging, post-extraction shape
+# (reference: extract_menu_with_gemini_op.py:111-114).
+MENU_ITEMS_RAW = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("category", T.StringType(), True),
+        T.StructField("subcategory", T.StringType(), True),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("price", T.StringType(), True),  # dirty; cleansed by P5
+    ]
+)
+
+# Grocery staging, MDB/CSV/JSON source shape (reference: data2batches.py:53-60).
+GROCERY_ARTICLES_RAW = T.StructType(
+    [
+        T.StructField("Article", T.StringType(), True),
+        T.StructField("Description", T.StringType(), True),
+        T.StructField("QteMain", T.DoubleType(), True),
+        T.StructField("Taxe2", T.BooleanType(), True),
+        T.StructField("PrixVente", T.DoubleType(), True),
+    ]
+)
+
+# Canonical mapped staging form both industries converge to
+# (reference: data2batches.py:54-60, 110-135).
+STAGED_PRODUCTS = T.StructType(
+    [
+        T.StructField("row_index", T.LongType(), False),
+        T.StructField("article_id", T.StringType(), True),
+        T.StructField("product_name", T.StringType(), False),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("category", T.StringType(), True),
+        T.StructField("subcategory", T.StringType(), True),
+        T.StructField("quantity", T.IntegerType(), True),
+        T.StructField("is_tax", T.BooleanType(), True),
+        T.StructField("price", T.DoubleType(), True),
+        T.StructField("business_account_id", T.StringType(), True),
+    ]
+)
+
+# Shared dedup catalog (reference: product_models.py:42-56).
+MASTER_PRODUCTS = T.StructType(
+    [
+        T.StructField("afto_product_id", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("description", T.StringType(), False),
+        T.StructField("upc_code", T.StringType(), True),
+        T.StructField("brand", ID_STRUCT, True),
+        T.StructField("category", ID_STRUCT, True),
+        T.StructField("subcategory", ID_STRUCT, True),
+        T.StructField("image_url", T.StringType(), True),
+        T.StructField("typical_attributes", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("vector_embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("confidence_score", T.DoubleType(), True),
+    ]
+)
+
+# Per-business product table (reference: api/api-client.py:291-317).
+RETAILER_PRODUCTS = T.StructType(
+    [
+        T.StructField("retailer_id", T.StringType(), False),
+        T.StructField("business_account_id", T.StringType(), False),
+        T.StructField("article_id", T.StringType(), True),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("price", T.DoubleType(), False),
+        T.StructField("quantity", T.IntegerType(), True),
+        T.StructField("tax_slab", T.StringType(), True),
+        T.StructField("tax_percentage", T.DoubleType(), True),
+        T.StructField("brand", ID_STRUCT, True),
+        T.StructField("category", ID_STRUCT, True),
+        T.StructField("subcategory", ID_STRUCT, True),
+        T.StructField("master_product_id", T.StringType(), True),
+        T.StructField("image_url", T.StringType(), True),
+        T.StructField("is_active", T.BooleanType(), False),
+    ]
+)
+
+# Business dimension (reference: business_account_service.py:83-97).
+BUSINESS_ACCOUNTS = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("industry_type", T.StringType(), True),
+        T.StructField("email", T.StringType(), True),
+        T.StructField("mobile", T.StringType(), True),
+        T.StructField("country", T.StringType(), True),
+        T.StructField("address", T.StringType(), True),
+        T.StructField("logo", T.StringType(), True),
+        T.StructField("website_domain", T.StringType(), True),
+        T.StructField("is_indexed", T.BooleanType(), True),
+    ]
+)
+
+# Template rows (reference: templatecreation/templatecreation.py:194-207).
+TEMPLATES = T.StructType(
+    [
+        T.StructField("business_account_id", T.StringType(), True),
+        T.StructField("category", T.StringType(), False),
+        T.StructField("template_name", T.StringType(), False),
+        T.StructField("header_text", T.StringType(), False),
+        T.StructField("body_text", T.StringType(), False),
+        T.StructField("start_date", T.StringType(), False),
+        T.StructField("end_date", T.StringType(), False),
+        T.StructField(
+            "items",
+            T.ArrayType(
+                T.StructType([T.StructField("productRetailerId", T.StringType(), False)])
+            ),
+            False,
+        ),
+    ]
+)
+
+# Driver testdata stream table.
+EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+# Driver testdata text-corpus table (training-data operators).
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+# Driver testdata embedding table (similarity search operators).
+EMBEDDINGS = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        T.StructField("label", T.IntegerType(), True),
+    ]
+)
+
+# Multimodal asset table: opaque binary payload + typed metadata
+# (generalizes the reference's PDF-bytes flow, extract_menu_with_gemini_op.py:72-75).
+MULTIMODAL_ASSETS = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video|pdf
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime_type", T.StringType(), True),
+        T.StructField("source_uri", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)

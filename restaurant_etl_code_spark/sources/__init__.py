@@ -1,0 +1,8 @@
+from restaurant_etl_code_spark.sources.readers import (  # noqa: F401
+    load_table,
+    load_tables,
+    read_csv_catalog,
+    read_json_catalog,
+    read_binary_assets,
+    TESTDATA_TABLES,
+)

@@ -1,0 +1,110 @@
+"""Scans / sources (SURVEY.md §2.1, S1-S11).
+
+The reference's sources are row-at-a-time downloads (Azure blob → pandas,
+paginated REST, ``mdb-export`` subprocess). Spark-first, every source becomes
+a declarative scan so Catalyst gets pushdown + pruning:
+
+- S4 JSON blob     → ``spark.read.json`` with explicit schema
+- S5 CSV           → ``spark.read.csv`` with explicit schema (never infer)
+- S6 Access MDB    → pre-converted CSV staging dir (``mdb-export`` happens
+                     out-of-band; a JDBC/UCanAccess path would need a jar not
+                     in this image, so it is gated behind an import-try)
+- S7/S1 PDF blobs  → ``spark.read.format("binaryFile")`` (multimodal column)
+- S8 paginated API → plain table scan + filter — pagination disappears
+- S9/S10/S11       → broadcast joins against dimension tables (operators/)
+
+Source-level cleansing defaults (P3/P4) are applied here exactly as the
+reference applies them at ingest (reference: extraction.py:46-47,93-95,153-154
+fills QteMain NaN→0 in all three grocery sources).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark import schemas
+
+__all__ = [
+    "TESTDATA_TABLES",
+    "load_table",
+    "load_tables",
+    "read_csv_catalog",
+    "read_json_catalog",
+    "read_binary_assets",
+]
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-generated parquet table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or TESTDATA_TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def _fill_quantity(df: DataFrame) -> DataFrame:
+    """P4: quantity NaN/null → 0, matching the reference's ingest default."""
+    if "QteMain" in df.columns:
+        df = df.withColumn(
+            "QteMain",
+            F.when(F.isnan(F.col("QteMain")) | F.col("QteMain").isNull(), F.lit(0.0)).otherwise(
+                F.col("QteMain")
+            ),
+        )
+    return df
+
+
+def read_csv_catalog(spark: SparkSession, path: str) -> DataFrame:
+    """S5: grocery CSV scan with explicit schema + quantity fill."""
+    df = spark.read.csv(path, header=True, schema=schemas.GROCERY_ARTICLES_RAW)
+    return _fill_quantity(df)
+
+
+def read_json_catalog(spark: SparkSession, path: str) -> DataFrame:
+    """S4: grocery JSON scan; container name derived from the file path the
+    way the reference derives it from the blob URL (P14)."""
+    df = spark.read.schema(schemas.GROCERY_ARTICLES_RAW).json(path)
+    df = df.withColumn(
+        "container_name",
+        F.regexp_extract(F.input_file_name(), r"([^/]+)/[^/]+$", 1),
+    )
+    return _fill_quantity(df)
+
+
+def read_binary_assets(spark: SparkSession, path: str, modality: str = "pdf") -> DataFrame:
+    """S1/S7: binary-file scan → MULTIMODAL_ASSETS shape.
+
+    ``binaryFile`` reads each blob as one row with (path, modificationTime,
+    length, content) — rasterization/decoding then runs *in executors* via the
+    multimodal operators, never on the driver.
+    """
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.col("path").alias("asset_id"),
+        F.lit(modality).alias("modality"),
+        F.col("content"),
+        F.lit(None).cast("string").alias("mime_type"),
+        F.col("path").alias("source_uri"),
+        F.create_map(
+            F.lit("length"), F.col("length").cast("string"),
+            F.lit("modified"), F.col("modificationTime").cast("string"),
+        ).alias("meta"),
+    )
