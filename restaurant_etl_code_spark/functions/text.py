@@ -127,7 +127,9 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     """Word n-gram shingles → array<string>; empty array when the document
     has fewer than ``n`` tokens. Input to MinHash / Jaccard dedup."""
     toks = tokens(c)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+    # sequence(1, k) with k < 1 DESCENDS instead of producing empty — guard
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,8 @@
+from restaurant_etl_code_spark.operators import (  # noqa: F401
+    chunking,
+    dedup,
+    matching,
+    similarity,
+    stats,
+    temporal,
+)

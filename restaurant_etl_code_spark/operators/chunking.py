@@ -1,0 +1,113 @@
+"""Group-by-category + fixed-size chunking — the template query
+(SURVEY.md §2.5 A2/A3/A4, §3.3; reference templatecreation.py:76-260).
+
+Reference semantics re-expressed relationally:
+- filter: active rows with a category and a product id; skipped rows are a
+  *side output* with a reason, not silently dropped (A2's tracked skips);
+- group key: category name, default 'Uncategorized';
+- chunk: ceil(n/30) templates per category, products in input order;
+- template name: the category itself when it fits in one template, else
+  ``"{category} {i}"`` (1-based chunk index);
+- texts: 13-entry header lookup (F4), body template (F5);
+- dates: ISO8601-Z now / now + 1825 days (5×365, exactly as the reference
+  computes it — F6).
+
+Scale: one shuffle on the category key for the ranking window, then the
+chunk grouping reuses the same partitioning (Catalyst collapses both into a
+single exchange). Category skew (one giant category) is handled by AQE; the
+per-group state is one row_number counter, never a collected list until the
+final bounded ≤30-item array_agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.functions import cleansing
+
+__all__ = ["skipped_rows", "group_and_chunk_templates"]
+
+
+def skipped_rows(
+    products: DataFrame,
+    *,
+    id_col: str,
+    category_col: str,
+    active_col: str | None = None,
+) -> DataFrame:
+    """A2's tracked-skip side output: rows excluded from templating, with the
+    first applicable reason (inactive > no category > missing id, matching
+    the reference's check order at templatecreation.py:96-130)."""
+    inactive = (F.col(active_col) == False) if active_col else F.lit(False)  # noqa: E712
+    no_cat = F.col(category_col).isNull() | (F.trim(F.col(category_col)) == "")
+    no_id = F.col(id_col).isNull()
+    return (
+        products.withColumn(
+            "skip_reason",
+            F.when(inactive, "inactive").when(no_cat, "no_category").when(no_id, "no_product_id"),
+        )
+        .filter(F.col("skip_reason").isNotNull())
+        .select(id_col, category_col, "skip_reason")
+    )
+
+
+def group_and_chunk_templates(
+    products: DataFrame,
+    *,
+    id_col: str,
+    category_col: str,
+    order_col: str,
+    business_col: str | None = None,
+    active_col: str | None = None,
+    max_products: int = 30,
+    clock: str = "2026-01-01 00:00:00",
+    category_filter: list[str] | None = None,
+) -> DataFrame:
+    """A2+A3+A4+F4/F5/F6 as one declarative plan → TEMPLATES-shaped rows.
+
+    ``clock`` is the fixed test clock (FIXTURES.md §6): start_date formats it,
+    end_date adds 1825 days. ``order_col`` makes "input order" explicit —
+    distributed scans have no implicit order to preserve.
+    """
+    df = products
+    if active_col:
+        df = df.filter(F.col(active_col))
+    df = df.filter(F.col(category_col).isNotNull() & (F.trim(F.col(category_col)) != ""))
+    df = df.filter(F.col(id_col).isNotNull())
+    if category_filter:
+        df = df.filter(F.col(category_col).isin(*category_filter))
+
+    group_keys = ([business_col] if business_col else []) + [category_col]
+    w = Window.partitionBy(*group_keys).orderBy(order_col)
+    df = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__chunk", F.floor((F.col("__rn") - 1) / max_products)
+    )
+
+    grouped = df.groupBy(*group_keys, "__chunk").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("__rn"), F.col(id_col).alias("pid")))),
+            lambda s: F.struct(s["pid"].cast("string").alias("productRetailerId")),
+        ).alias("items"),
+    )
+    # chunks-per-category decides the naming scheme; a second window over the
+    # aggregated (tiny) frame — same partitioning key, no extra exchange of
+    # the wide data
+    wc = Window.partitionBy(*group_keys)
+    grouped = grouped.withColumn("__n_chunks", F.max("__chunk").over(wc) + 1)
+
+    cat = F.col(category_col)
+    clock_ts = F.to_timestamp(F.lit(clock))
+    out = grouped.select(
+        *( [F.col(business_col).alias("business_account_id")] if business_col else [] ),
+        cat.alias("category"),
+        F.when(F.col("__n_chunks") == 1, cat)
+        .otherwise(F.concat_ws(" ", cat, (F.col("__chunk") + 1).cast("string")))
+        .alias("template_name"),
+        cleansing.header_text(cat).alias("header_text"),
+        cleansing.body_text(cat).alias("body_text"),
+        cleansing.iso8601_z(clock_ts).alias("start_date"),
+        cleansing.iso8601_z(F.timestamp_add("DAY", F.lit(1825), clock_ts)).alias("end_date"),
+        F.col("items"),
+    )
+    return out

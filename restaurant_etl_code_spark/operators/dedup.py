@@ -1,0 +1,233 @@
+"""Deduplication operators — exact and near-duplicate, designed for 100 TB.
+
+Generalizes the reference's dedup surface (J1 ``drop_duplicates`` at
+extract_menu_with_gemini_op.py:115, J2 precheck anti-join at
+batch_processor.py:367-404) into the full dedup toolbox a training-data
+pipeline needs: hash-groupBy exact dedup, MinHash+LSH, SimHash, and n-gram
+Jaccard near-dup.
+
+Scale notes (the design constraint for every function here):
+
+- **Signatures are computed with array-lambda expressions, not explode** —
+  MinHash/SimHash per-row work is embarrassingly parallel, zero-shuffle,
+  inside whole-stage codegen. Only the *candidate generation* shuffles, and
+  it shuffles on band-hash / shingle keys whose cardinality grows with data,
+  so partitions stay bounded.
+- **All hash functions are md5-derived** (first 15 hex chars → 60-bit int).
+  md5 is identical across Spark, DuckDB, and any other engine, which makes
+  every operator here exactly oracle-checkable — and reproducible across
+  reruns of a 100 TB job, unlike JVM-seeded ``xxhash64`` defaults.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.functions import text as Ftext
+
+__all__ = [
+    "dedup_keep_first",
+    "exact_dedup",
+    "minhash_signature_expr",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash_expr",
+    "simhash",
+    "hamming_distance",
+    "ngram_jaccard_pairs",
+]
+
+
+def dedup_keep_first(df: DataFrame, subset: list[str], order_by: list[str]) -> DataFrame:
+    """J1 with deterministic "first": pandas ``drop_duplicates(keep='first')``
+    depends on physical row order, which a distributed scan does not have.
+    We make the order explicit: keep the row ranking first by ``order_by``
+    within each ``subset`` group (reference: extract_menu_with_gemini_op.py:115).
+    """
+    w = Window.partitionBy(*subset).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate grouping by content fingerprint (md5 of normalized
+    text). Returns one row per distinct content: canonical (min) id + dup
+    count. Hash-groupBy shuffles 32-byte digests, not document bodies — the
+    only scalable way to exact-dedup 100 TB of text."""
+    return (
+        df.select(Ftext.fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _hash60(c: Column) -> Column:
+    """60-bit integer hash from md5 hex — engine-portable and seedable by
+    prefixing the input."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signature_expr(text_col: str, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature as a pure expression: for hash function *i*, the min
+    over word-``shingle_n``-gram shingles of md5("i:" || shingle). Null when
+    the document is too short to shingle. array<bigint> length ``num_hashes``.
+    """
+    shingles = Ftext.word_shingles(F.col(text_col), shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: _hash60(F.concat(i.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+    return F.when(F.size(shingles) > 0, sig)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(id, signature) for every shingle-able document. Zero shuffle."""
+    return df.select(
+        F.col(id_col),
+        minhash_signature_expr(text_col, num_hashes, shingle_n).alias("signature"),
+    ).filter(F.col("signature").isNotNull())
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` hashes, hash each band, and emit candidate pairs that
+    collide in ≥1 band (id_a < id_b, distinct).
+
+    The self-join shuffles on (band_idx, band_hash) — high-cardinality keys,
+    so co-partitioning holds at any scale; hot buckets (boilerplate docs)
+    are exactly the near-dup clusters we want and AQE skew-join splits them.
+    """
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
+        F.col("signature"),
+    ).select(
+        F.col(id_col),
+        F.col("band_idx"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("signature"), F.col("band_idx") * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_expr(text_col: str, bits: int = 32) -> Column:
+    """SimHash: per token, a 60-bit md5 hash; bit *b* of the fingerprint is
+    set when the signed sum over tokens of (bit b set ? +1 : −1) is positive.
+    Token hashes are computed once, then folded per bit — ~bits×n_tokens
+    cheap integer ops per row, zero shuffle."""
+    token_hashes = F.transform(Ftext.tokens(F.col(text_col)), lambda t: _hash60(t))
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            token_hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda vote, b: F.when(vote > 0, F.pow(F.lit(2.0), b.cast("double")).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return fp
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    return df.select(F.col(id_col), simhash_expr(text_col, bits).alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR — pair filter for SimHash near-dup."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: explode *distinct* shingles,
+    self-join on shingle (the inverted-index join — shuffles on shingle
+    text, high cardinality), count intersections, compute
+    |A∩B| / (|A|+|B|−|A∩B|), keep pairs ≥ threshold.
+
+    This is the exact counterpart MinHash+LSH approximates; at 100 TB run
+    LSH first and this only on the candidate pairs.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(Ftext.word_shingles(F.col(text_col), shingle_n))).alias("shingle"),
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sa.set_size") + F.col("sb.set_size") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

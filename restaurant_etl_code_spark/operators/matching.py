@@ -1,0 +1,218 @@
+"""The match cascade — the heart of the reference pipeline (SURVEY.md §2.4).
+
+Reference flow (batch_processor.py:281-365): precheck anti-join (J2) →
+barcode validity split (J4) → UPC equi-join vs the master catalog (J5) →
+similarity top-1 (J6) → LLM-generate fallback; matched rows merge master
+fields with coalesce priority (J7); branches re-unite with ``unionByName``
+(J10). Cheapest-match-first: each stage only sees the rows every cheaper
+stage failed to claim.
+
+Scale design:
+- The master catalog side of the UPC/name joins is dimension-like →
+  ``broadcast()`` hint; with AQE on, an over-threshold build side demotes
+  to shuffle join automatically.
+- The cascade is expressed as successive left joins + ``isNull`` filters on
+  ONE staged scan — Catalyst pushes the staging filters into the scan and
+  reuses the exchange across branches.
+- Error-absorption semantics (a failed stage lets all its rows through as
+  unmatched, reference batch_processor.py:533-555) become a *status column*,
+  never an exception.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.functions import cleansing
+
+__all__ = [
+    "precheck_anti_join",
+    "barcode_split",
+    "upc_match",
+    "name_match",
+    "match_cascade",
+    "change_detect",
+]
+
+
+def precheck_anti_join(staged: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """J2: drop staged rows whose key already exists (batch exists-check →
+    ``existingArticleIds`` set-difference, reference batch_processor.py:367-404).
+    ``left_anti`` lets Catalyst pick broadcast-anti when ``existing``'s key
+    projection is small."""
+    return staged.join(existing.select(*keys).distinct(), on=keys, how="left_anti")
+
+
+def barcode_split(df: DataFrame, code_col: str) -> DataFrame:
+    """J4: normalize the article code to digits and flag GTIN validity; the
+    original value is preserved (reference variant
+    beforeaddingtemplatecreation/services/batch_processor.py:477-497 nulls the
+    invalid id but keeps ``original_article_id``)."""
+    out = df.withColumn("original_code", F.col(code_col))
+    out = out.withColumn("upc", cleansing.normalize_upc(F.col(code_col)))
+    out = out.withColumn(
+        "upc_valid",
+        F.when(F.col("upc").isNull(), F.lit(False)).otherwise(cleansing.gtin_valid_expr("upc")),
+    )
+    return out.withColumn("upc", F.when(F.col("upc_valid"), F.col("upc")))
+
+
+def upc_match(
+    staged: DataFrame,
+    master: DataFrame,
+    staged_upc: str = "upc",
+    master_upc: str = "upc_code",
+    master_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """J5: broadcast equi-join on the normalized UPC; adds ``match_type='upc'``
+    where the master hit, null where it missed (caller splits). ``master_cols``
+    maps output-name → master-column for the J7 coalesce-priority projection.
+    """
+    m = master.select(
+        F.col(master_upc).alias("__m_upc"),
+        *[F.col(src).alias(f"__m_{dst}") for dst, src in (master_cols or {}).items()],
+    )
+    joined = staged.join(F.broadcast(m), staged[staged_upc] == m["__m_upc"], "left")
+    joined = joined.withColumn(
+        "match_type", F.when(F.col("__m_upc").isNotNull(), F.lit("upc"))
+    )
+    return joined.drop("__m_upc")
+
+
+def name_match(
+    staged: DataFrame,
+    master: DataFrame,
+    staged_name: str,
+    master_name: str,
+    master_cols: dict[str, str] | None = None,
+    match_type: str = "similarity",
+    dedup_order: str | None = None,
+) -> DataFrame:
+    """Exact-name variant of the J6 similarity stage (the degenerate
+    threshold→1.0 case; the vector path lives in operators/similarity.py).
+    Trims both sides (F3) before comparing, as the reference does before its
+    API calls (batcprocessor-allworking…py:385,395). ``dedup_order`` makes
+    the master-side name dedup deterministic (lowest wins) — a plain
+    ``dropDuplicates`` would pick an arbitrary row per name."""
+    m = master.select(
+        F.trim(F.col(master_name)).alias("__m_name"),
+        *( [F.col(dedup_order).alias("__m_ord")] if dedup_order else [] ),
+        *[F.col(src).alias(f"__m_{dst}") for dst, src in (master_cols or {}).items()],
+    )
+    if dedup_order:
+        from pyspark.sql import Window
+
+        wd = Window.partitionBy("__m_name").orderBy("__m_ord")
+        m = (
+            m.withColumn("__m_rn", F.row_number().over(wd))
+            .filter(F.col("__m_rn") == 1)
+            .drop("__m_rn", "__m_ord")
+        )
+    else:
+        m = m.dropDuplicates(["__m_name"])
+    joined = staged.join(F.broadcast(m), F.trim(staged[staged_name]) == m["__m_name"], "left")
+    joined = joined.withColumn(
+        "match_type", F.when(F.col("__m_name").isNotNull(), F.lit(match_type))
+    )
+    return joined.drop("__m_name")
+
+
+def _coalesce_priority(df: DataFrame, cols: list[str]) -> DataFrame:
+    """J7: staged value wins over master value (``mdb.x or master.x``,
+    reference batch_processor.py:1271-1310); name always stays staged."""
+    for c in cols:
+        if f"__m_{c}" in df.columns:
+            df = df.withColumn(c, F.coalesce(F.col(c), F.col(f"__m_{c}"))).drop(f"__m_{c}")
+    return df
+
+
+def match_cascade(
+    staged: DataFrame,
+    existing: DataFrame,
+    master: DataFrame,
+    *,
+    precheck_keys: list[str],
+    upc_col: str,
+    name_col: str,
+    master_upc: str = "upc_code",
+    master_name: str = "name",
+    master_cols: dict[str, str] | None = None,
+    coalesce_cols: list[str] | None = None,
+    name_dedup_order: str | None = None,
+) -> DataFrame:
+    """The full cheapest-first cascade on one staged scan:
+
+    precheck anti-join → UPC broadcast join → exact-name join → 'generated'
+    fallback. Output = staged columns + ``match_type`` ∈
+    {upc, similarity, generated} with J7 coalesce-priority applied and the
+    J10 union ordering (match priority) preserved as a plan of filters —
+    no row is ever dropped, mirroring the reference's absorb-and-continue
+    error model.
+    """
+    mcols = master_cols or {}
+    ccols = coalesce_cols or list(mcols)
+
+    fresh = precheck_anti_join(staged, existing, precheck_keys)
+    fresh = barcode_split(fresh, upc_col)
+
+    upc_joined = upc_match(fresh, master, "upc", master_upc, mcols)
+    upc_hit = upc_joined.filter(F.col("match_type") == "upc")
+    upc_hit = _coalesce_priority(upc_hit, ccols)
+    upc_miss = upc_joined.filter(F.col("match_type").isNull()).drop(
+        "match_type", *[f"__m_{c}" for c in mcols]
+    )
+
+    name_joined = name_match(
+        upc_miss, master, name_col, master_name, mcols, dedup_order=name_dedup_order
+    )
+    name_hit = _coalesce_priority(name_joined.filter(F.col("match_type") == "similarity"), ccols)
+    name_miss = (
+        name_joined.filter(F.col("match_type").isNull())
+        .drop("match_type", *[f"__m_{c}" for c in mcols])
+        .withColumn("match_type", F.lit("generated"))
+    )
+
+    return upc_hit.unionByName(name_hit).unionByName(name_miss)
+
+
+def change_detect(
+    staged: DataFrame,
+    existing: DataFrame,
+    keys: list[str],
+    staged_price: str = "price",
+    existing_price: str = "price",
+    staged_is_tax: str | None = None,
+    existing_tax_pct: str | None = None,
+) -> DataFrame:
+    """J3: per-key upsert precheck — join staged↔existing on the business key
+    and keep rows where price changed (F8 float-compare, null→no-change) or
+    the tax flag flipped (F9: ``tax_percentage > 0`` vs ``is_tax``), projected
+    to the K9 incremental-update shape (reference:
+    batcprocessor-allworking…py:362-451; update contract api/api-client.py:270-368).
+    """
+    e = existing.select(
+        *keys,
+        F.col(existing_price).alias("__e_price"),
+        *( [F.col(existing_tax_pct).alias("__e_tax_pct")] if existing_tax_pct else [] ),
+    )
+    joined = staged.join(e, on=keys, how="inner")
+    price_chg = cleansing.price_changed(F.col("__e_price"), F.col(staged_price))
+    if staged_is_tax and existing_tax_pct:
+        tax_chg = cleansing.tax_bool_from_percentage(F.col("__e_tax_pct")) != F.coalesce(
+            F.col(staged_is_tax), F.lit(False)
+        )
+    else:
+        tax_chg = F.lit(False)
+    return (
+        joined.withColumn("price_changed", price_chg)
+        .withColumn("tax_changed", tax_chg)
+        .filter(F.col("price_changed") | F.col("tax_changed"))
+        .select(
+            *keys,
+            F.col(staged_price).alias("new_price"),
+            F.col("__e_price").alias("old_price"),
+            "price_changed",
+            "tax_changed",
+        )
+    )

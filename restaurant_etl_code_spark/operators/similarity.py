@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (J6 generalized to ANN).
+
+The reference's similarity stage is a service call: top-1 match of staged
+product names against master-catalog embeddings with a minimum score
+(batch_processor.py:477-556, client api/api-client.py:211-266). Spark-first
+that becomes a vector top-k join, provided in two physical flavors behind
+one logical API:
+
+- **exact**: broadcast the (small) query side, JVM-side cosine via array
+  lambdas, rank with a per-query window. O(|Q|·|C|) but embarrassingly
+  parallel and shuffle-free until the final top-k (which AQE keeps tiny).
+- **bucketed (LSH)**: pre-group both sides by a sign-LSH bucket of the
+  embedding and only score within buckets — the 100 TB path; recall traded
+  for a |C|/2^bits cut of the score space. (Spark ML's
+  BucketedRandomProjectionLSH offers the same shape; we keep the expression
+  version so the scoring function is explicit and oracle-checkable.)
+
+Scores are rounded to 6dp *before* ranking with an id tie-break, so results
+are deterministic and engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.functions import vectors as V
+
+__all__ = ["cosine_topk", "bucketed_cosine_topk", "embedding_near_dup_pairs"]
+
+
+def _ranked(scored: DataFrame, k: int, min_score: float | None) -> DataFrame:
+    if min_score is not None:
+        scored = scored.filter(F.col("score") >= min_score)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 3,
+    min_score: float | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force cosine top-k: every query against every corpus vector.
+    The query side is broadcast — the big corpus scan never shuffles."""
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"))
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
+    scored = c.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(V.cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+    )
+    return _ranked(scored, k, min_score)
+
+
+def bucketed_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 3,
+    nbits: int = 8,
+    min_score: float | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """LSH-bucketed ANN: score only pairs sharing a sign-LSH bucket. The join
+    shuffles both sides on the bucket id — bounded partitions, no broadcast
+    needed, scales to corpora the exact path cannot touch. Approximate:
+    neighbors in other buckets are unseen (document the recall trade)."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        V.sign_lsh_bucket(F.col(query_vec), nbits).alias("__bkt"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        V.sign_lsh_bucket(F.col(corpus_vec), nbits).alias("__bkt"),
+    )
+    scored = q.join(c, on="__bkt")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(V.cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+    )
+    return _ranked(scored, k, min_score)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    nbits: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
+    ``nbits=0`` → exact all-pairs (test scale); ``nbits>0`` → sign-LSH
+    blocking (production scale)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if nbits > 0:
+        a = a.withColumn("__bkt", V.sign_lsh_bucket(F.col("__va"), nbits))
+        b = b.withColumn("__bkt", V.sign_lsh_bucket(F.col("__vb"), nbits))
+        pairs = a.join(b, on="__bkt").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(V.cosine(F.col("__va"), F.col("__vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

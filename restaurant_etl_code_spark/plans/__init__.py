@@ -1,0 +1,1 @@
+from restaurant_etl_code_spark.plans.testdata_queries import QUERIES, QueryDef  # noqa: F401

@@ -1,0 +1,680 @@
+"""The engine's query catalog over the driver testdata — with DuckDB oracles.
+
+Every operator from SURVEY.md §2 marked ★ (plus the training-data additions)
+is declared here as a pair:
+
+- ``spark``: a ``(spark, sf_dir) -> DataFrame`` callable built from the
+  engine's operators (restaurant_etl_code_spark.operators/functions);
+- ``oracle``: the semantically identical ANSI SQL for DuckDB over the same
+  parquet tables (pre-registered views ``region nation customer supplier part
+  orders lineitem events documents embeddings``), or ``None`` for
+  non-SQL-expressible operators (rows-only check).
+
+Column names are aliased identically on both sides — the driver sorts columns
+by name before hashing. Doubles that pass through arithmetic are computed with
+the same IEEE operation order on both engines; aggregate outputs are rounded
+(exact-decimal accumulation where sums are large).
+
+The testdata mapping of the reference entities (SURVEY §1.3 → TESTDATA.md):
+``part`` plays the product catalog, ``orders`` the existing retailer products,
+``events`` the run/status stream, ``documents``/``embeddings`` the
+training-data corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.functions import cleansing, text as Ftext
+from restaurant_etl_code_spark.operators import (
+    chunking,
+    dedup,
+    matching,
+    similarity,
+    stats,
+    temporal,
+)
+from restaurant_etl_code_spark.sources import load_table
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+# --------------------------------------------------------------------------
+# Shared fixture expressions: a valid GTIN-12 derived from an integer key.
+# Spark and DuckDB dialect twins of the same arithmetic (mod-10 check digit).
+# --------------------------------------------------------------------------
+
+def _upc12_spark(key: str) -> str:
+    base = f"lpad(cast({key} as string), 11, '0')"
+    checksum = (
+        f"aggregate(transform(sequence(1, 11), i -> "
+        f"cast(substring({base}, i, 1) as int) * (case when i % 2 = 1 then 3 else 1 end)), "
+        f"0, (a, x) -> a + x)"
+    )
+    return f"concat({base}, cast((10 - ({checksum}) % 10) % 10 as string))"
+
+
+def _upc12_duck(key: str) -> str:
+    base = f"lpad({key}::varchar, 11, '0')"
+    checksum = (
+        f"list_sum(list_transform(range(1, 12), i -> "
+        f"substring({base}, i::int, 1)::int * (case when i % 2 = 1 then 3 else 1 end)))"
+    )
+    return f"{base} || ((10 - ({checksum}) % 10) % 10)::varchar"
+
+
+# DuckDB twin of functions.text normalization/tokenization (note the 'g' flag:
+# DuckDB regexp_replace is single-match by default, Spark's is global).
+_DUCK_NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+_DUCK_TOKENS = f"string_split({_DUCK_NORM}, ' ')"
+
+
+# --------------------------------------------------------------------------
+# P/F: staging cleanse (P1 P2 P5 P6 P7 P8 P9 as one projection over `part`)
+# --------------------------------------------------------------------------
+
+def _q_staging_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.select(
+        F.concat(F.lit("`"), F.col("p_partkey").cast("string"), F.lit("`")).alias("raw_id"),
+        F.col("p_name").alias("product_name"),
+        F.concat(F.lit("$"), F.col("p_retailprice").cast("string")).alias("raw_price"),
+        (F.col("p_size") - 10).alias("raw_qty"),
+        (F.col("p_retailprice") > 1000).alias("is_tax"),
+        F.when(F.col("p_size") % 3 == 0, None).otherwise(F.col("p_type")).alias("raw_subcat"),
+        F.when(F.col("p_size") % 2 == 0, None).otherwise(F.col("p_type")).alias("raw_desc"),
+    )
+    return (
+        dirty.filter(F.col("product_name").isNotNull() & (F.col("product_name") != ""))
+        .select(
+            cleansing.strip_backticks(F.col("raw_id")).alias("article_id"),
+            F.col("product_name"),
+            cleansing.clean_price(F.col("raw_price")).alias("price"),
+            cleansing.quantity_floor(F.col("raw_qty")).cast("int").alias("quantity"),
+            cleansing.tax_slab_encode(F.col("is_tax")).alias("tax_slab"),
+            cleansing.default_subcategory(F.col("raw_subcat")).alias("subcategory"),
+            cleansing.default_description(F.col("raw_desc"), F.col("product_name")).alias(
+                "description"
+            ),
+        )
+    )
+
+
+_ORACLE_STAGING_CLEANSE = f"""
+with dirty as (
+  select '`' || p_partkey::varchar || '`' as raw_id,
+         p_name as product_name,
+         '$' || p_retailprice::varchar as raw_price,
+         p_size - 10 as raw_qty,
+         p_retailprice > 1000 as is_tax,
+         case when p_size % 3 = 0 then null else p_type end as raw_subcat,
+         case when p_size % 2 = 0 then null else p_type end as raw_desc
+  from part)
+select regexp_replace(raw_id, '^`+|`+$', '', 'g') as article_id,
+       product_name,
+       nullif(regexp_replace(raw_price, '[^0-9.]', '', 'g'), '')::double as price,
+       (case when raw_qty <= 0 then 10 else raw_qty end)::int as quantity,
+       case when coalesce(is_tax, false) then '{cleansing.TAX_SLAB_TRUE}'
+            else '{cleansing.TAX_SLAB_FALSE}' end as tax_slab,
+       case when raw_subcat is null or trim(raw_subcat) = '' then 'General' else raw_subcat end as subcategory,
+       case when raw_desc is null or trim(raw_desc) = '' then 'Delicious ' || product_name else raw_desc end as description
+from dirty
+where product_name is not null and product_name != ''
+"""
+
+
+# --------------------------------------------------------------------------
+# J1: deterministic keep-first dedup
+# --------------------------------------------------------------------------
+
+def _q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return dedup.dedup_keep_first(
+        li.select("l_partkey", "l_quantity", "l_orderkey", "l_linenumber"),
+        subset=["l_partkey", "l_quantity"],
+        order_by=["l_orderkey", "l_linenumber"],
+    )
+
+
+_ORACLE_DEDUP_KEEP_FIRST = """
+select l_partkey, l_quantity, l_orderkey, l_linenumber
+from (select l_partkey, l_quantity, l_orderkey, l_linenumber,
+             row_number() over (partition by l_partkey, l_quantity
+                                order by l_orderkey, l_linenumber) as rn
+      from lineitem)
+where rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# J2: precheck anti-join
+# --------------------------------------------------------------------------
+
+def _q_precheck_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    staged = part.select(F.col("p_partkey").alias("article_id"), "p_name")
+    existing = li.select(F.col("l_partkey").alias("article_id"))
+    return matching.precheck_anti_join(staged, existing, ["article_id"])
+
+
+_ORACLE_PRECHECK = """
+select p_partkey as article_id, p_name
+from part
+where not exists (select 1 from lineitem where l_partkey = p_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# J2+J4+J5+J7+J10: the full match cascade (flagship)
+# --------------------------------------------------------------------------
+
+def _staged_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("row_id"),
+        F.col("p_name").alias("product_name"),
+        F.expr(
+            f"case when p_partkey % 3 = 0 then {_upc12_spark('p_partkey')} "
+            f"else concat('X', cast(p_partkey as string)) end"
+        ).alias("article_id"),
+        F.when(F.col("p_size") % 2 == 0, None).otherwise(F.col("p_brand")).alias("brand"),
+        F.col("p_type").alias("category"),
+        F.lit(None).cast("string").alias("description"),
+    )
+
+
+def _master_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("master_key"),
+        F.expr(_upc12_spark("p_partkey")).alias("upc_code"),
+        F.expr(
+            "case when p_partkey % 5 in (0, 1) then p_name else reverse(p_name) end"
+        ).alias("name"),
+        F.concat(F.lit("MB-"), F.col("p_brand")).alias("master_brand"),
+        F.concat(F.lit("MD-"), F.col("p_name")).alias("master_description"),
+    )
+
+
+def _q_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _staged_products(spark, sf_dir)
+    existing = staged.filter(F.col("row_id") % 7 == 0).select("article_id")
+    master = _master_products(spark, sf_dir)
+    out = matching.match_cascade(
+        staged,
+        existing,
+        master,
+        precheck_keys=["article_id"],
+        upc_col="article_id",
+        name_col="product_name",
+        master_upc="upc_code",
+        master_name="name",
+        master_cols={"brand": "master_brand", "description": "master_description"},
+        coalesce_cols=["brand", "description"],
+        name_dedup_order="master_key",
+    )
+    return out.select("row_id", "product_name", "brand", "description", "match_type")
+
+
+_ORACLE_MATCH_CASCADE = f"""
+with staged as (
+  select p_partkey as row_id, p_name as product_name,
+         case when p_partkey % 3 = 0 then {_upc12_duck('p_partkey')}
+              else 'X' || p_partkey::varchar end as article_id,
+         case when p_size % 2 = 0 then null else p_brand end as brand,
+         null::varchar as description
+  from part),
+existing as (select article_id from staged where row_id % 7 = 0),
+master as (
+  select p_partkey as master_key,
+         {_upc12_duck('p_partkey')} as upc_code,
+         case when p_partkey % 5 in (0, 1) then p_name else reverse(p_name) end as name,
+         'MB-' || p_brand as master_brand,
+         'MD-' || p_name as master_description
+  from part where p_partkey % 2 = 0),
+master_by_name as (
+  select * from (
+    select trim(name) as mname, master_brand, master_description,
+           row_number() over (partition by trim(name) order by master_key) as rn
+    from master) where rn = 1),
+fresh as (
+  select s.* from staged s
+  where not exists (select 1 from existing e where e.article_id = s.article_id)),
+with_upc as (
+  select f.*,
+         case when f.row_id % 3 = 0 then f.article_id else null end as upc
+  from fresh f),
+upc_joined as (
+  select w.row_id, w.product_name,
+         coalesce(w.brand, m.master_brand) as brand,
+         coalesce(w.description, m.master_description) as description,
+         'upc' as match_type
+  from with_upc w join master m on w.upc = m.upc_code),
+upc_missed as (
+  select w.* from with_upc w
+  where w.upc is null or not exists (select 1 from master m where m.upc_code = w.upc)),
+name_joined as (
+  select u.row_id, u.product_name,
+         coalesce(u.brand, m.master_brand) as brand,
+         coalesce(u.description, m.master_description) as description,
+         'similarity' as match_type
+  from upc_missed u join master_by_name m on trim(u.product_name) = m.mname),
+name_missed as (
+  select u.row_id, u.product_name, u.brand, u.description, 'generated' as match_type
+  from upc_missed u
+  where not exists (select 1 from master_by_name m where m.mname = trim(u.product_name)))
+select * from upc_joined
+union all select * from name_joined
+union all select * from name_missed
+"""
+
+
+# --------------------------------------------------------------------------
+# J4/F10: GTIN validity split on constructed + corrupted codes
+# --------------------------------------------------------------------------
+
+def _q_upc_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    upc = _upc12_spark("p_partkey")
+    codes = part.select(
+        F.col("p_partkey").alias("row_id"),
+        F.expr(
+            f"case when p_partkey % 4 = 0 then {upc} "
+            f"when p_partkey % 4 = 1 then concat(substring({upc}, 1, 11), "
+            f"  cast((cast(substring({upc}, 12, 1) as int) + 1) % 10 as string)) "
+            f"when p_partkey % 4 = 2 then lpad(cast(p_partkey as string), 13, '1') "
+            f"else concat('AB-', cast(p_partkey as string)) end"
+        ).alias("code"),
+    )
+    out = matching.barcode_split(codes, "code")
+    return out.select("row_id", "original_code", "upc", "upc_valid")
+
+
+_ORACLE_UPC_VALIDITY = f"""
+with codes as (
+  select p_partkey as row_id,
+         case when p_partkey % 4 = 0 then {_upc12_duck('p_partkey')}
+              when p_partkey % 4 = 1 then substring({_upc12_duck('p_partkey')}, 1, 11) ||
+                   ((substring({_upc12_duck('p_partkey')}, 12, 1)::int + 1) % 10)::varchar
+              when p_partkey % 4 = 2 then lpad(p_partkey::varchar, 13, '1')
+              else 'AB-' || p_partkey::varchar end as code
+  from part),
+norm as (
+  select row_id, code as original_code,
+         nullif(regexp_replace(code, '[^0-9]', '', 'g'), '') as digits
+  from codes),
+checked as (
+  select row_id, original_code, digits,
+         case when digits is null then false
+              else regexp_full_match(digits, '[0-9]+')
+                   and length(digits) in (8, 12, 13, 14)
+                   and (10 - (list_sum(list_transform(range(2, length(digits) + 1), i ->
+                        substring(reverse(digits), i::int, 1)::int *
+                        (case when i % 2 = 0 then 3 else 1 end))) % 10)) % 10
+                       = substring(reverse(digits), 1, 1)::int
+         end as upc_valid
+  from norm)
+select row_id, original_code,
+       case when upc_valid then digits else null end as upc,
+       upc_valid
+from checked
+"""
+
+
+# --------------------------------------------------------------------------
+# J3/F8/F9/K9: change-detect upsert projection
+# --------------------------------------------------------------------------
+
+def _q_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    staged = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        (F.col("o_orderkey") % 4 == 0).alias("is_tax"),
+    )
+    existing = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.when(F.col("o_orderkey") % 8 < 4, 5.0).otherwise(0.0).alias("tax_percentage"),
+    )
+    return matching.change_detect(
+        staged,
+        existing,
+        keys=["o_orderkey"],
+        staged_price="price",
+        existing_price="price",
+        staged_is_tax="is_tax",
+        existing_tax_pct="tax_percentage",
+    )
+
+
+_ORACLE_CHANGE_DETECT = """
+with staged as (
+  select o_orderkey,
+         case when o_orderkey % 10 = 0 then o_totalprice * 1.1 else o_totalprice end as price,
+         o_orderkey % 4 = 0 as is_tax
+  from orders),
+existing as (
+  select o_orderkey, o_totalprice as price,
+         case when o_orderkey % 8 < 4 then 5.0 else 0.0 end as tax_percentage
+  from orders),
+joined as (
+  select s.o_orderkey, s.price as new_price, e.price as old_price,
+         case when e.price is null or s.price is null then false
+              else e.price != s.price end as price_changed,
+         (coalesce(e.tax_percentage, 0) > 0.0) != coalesce(s.is_tax, false) as tax_changed
+  from staged s join existing e using (o_orderkey))
+select o_orderkey, new_price, old_price, price_changed, tax_changed
+from joined where price_changed or tax_changed
+"""
+
+
+# --------------------------------------------------------------------------
+# A2/A3/A4/F4/F5/F6: template group + chunk (the M1 slice, §3.3)
+# --------------------------------------------------------------------------
+
+def _q_template_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").withColumn("is_active", F.col("p_size") > 2)
+    return chunking.group_and_chunk_templates(
+        part,
+        id_col="p_partkey",
+        category_col="p_brand",
+        order_col="p_partkey",
+        active_col="is_active",
+        max_products=30,
+        clock="2026-01-01 00:00:00",
+    )
+
+
+_ORACLE_TEMPLATE_CHUNKS = """
+with base as (
+  select p_partkey, p_brand as category from part where p_size > 2
+),
+ranked as (
+  select p_partkey, category,
+         row_number() over (partition by category order by p_partkey) as rn
+  from base),
+chunked as (
+  select category, (rn - 1) // 30 as chunk,
+         list(struct_pack(productRetailerId := p_partkey::varchar) order by rn) as items
+  from ranked group by 1, 2),
+named as (
+  select *, max(chunk) over (partition by category) + 1 as n_chunks from chunked)
+select category,
+       case when n_chunks = 1 then category
+            else category || ' ' || (chunk + 1)::varchar end as template_name,
+       'Explore Our ' || category || '!' as header_text,
+       'Check out our amazing selection of ' || lower(category) ||
+         '. Order now for the best dining experience!' as body_text,
+       strftime(timestamp '2026-01-01 00:00:00', '%Y-%m-%dT%H:%M:%SZ') as start_date,
+       strftime(timestamp '2026-01-01 00:00:00' + interval 1825 day,
+                '%Y-%m-%dT%H:%M:%SZ') as end_date,
+       items
+from named
+"""
+
+
+# --------------------------------------------------------------------------
+# A1/A7: batch split + per-batch stats
+# --------------------------------------------------------------------------
+
+def _q_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    statused = events.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", "failure").otherwise("success").alias("status"),
+    )
+    batched = stats.with_batch_id(statused, order_col="event_id", batch_size=25)
+    return stats.batch_stats(batched)
+
+
+_ORACLE_BATCH_STATS = """
+with statused as (
+  select event_id,
+         case when event_type = 'error' then 'failure' else 'success' end as status
+  from events),
+batched as (
+  select *, (row_number() over (order by event_id) - 1) // 25 as batch_id from statused)
+select batch_id,
+       count(*) as total,
+       sum(case when status = 'success' then 1 else 0 end) as created,
+       sum(case when status != 'success' then 1 else 0 end) as failed,
+       round(sum(case when status = 'success' then 1 else 0 end) * 100.0 / count(*), 4)
+         as success_rate
+from batched group by batch_id
+"""
+
+
+# --------------------------------------------------------------------------
+# A6: match-type breakdown over the cascade output
+# --------------------------------------------------------------------------
+
+def _q_match_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.match_type_breakdown(_q_match_cascade(spark, sf_dir))
+
+
+_ORACLE_MATCH_BREAKDOWN = (
+    "with cascade as (" + _ORACLE_MATCH_CASCADE + ") "
+    "select match_type, count(*) as n from cascade group by match_type"
+)
+
+
+# --------------------------------------------------------------------------
+# A9: success / partialSuccess / failure partition
+# --------------------------------------------------------------------------
+
+def _q_status_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    statused = events.select(
+        F.when(F.col("event_type") == "error", "failure")
+        .when(F.col("event_type") == "purchase", "partialSuccess")
+        .otherwise("success")
+        .alias("status")
+    )
+    return stats.status_partition_counts(statused)
+
+
+_ORACLE_STATUS_PARTITION = """
+with statused as (
+  select case when event_type = 'error' then 'failure'
+              when event_type = 'purchase' then 'partialSuccess'
+              else 'success' end as status
+  from events)
+select status, count(*) as n,
+       max(case when status in ('success', 'partialSuccess') then 1 else 0 end) as persisted
+from statused group by status
+"""
+
+
+# --------------------------------------------------------------------------
+# Window ranking: top-3 orders per customer
+# --------------------------------------------------------------------------
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+_ORACLE_TOPK = """
+select o_custkey, o_orderkey, o_totalprice, rank from (
+  select o_custkey, o_orderkey, o_totalprice,
+         row_number() over (partition by o_custkey
+                            order by o_totalprice desc, o_orderkey) as rank
+  from orders)
+where rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Rollup aggregate (grouping sets family — exact-decimal accumulation)
+# --------------------------------------------------------------------------
+
+def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_ORACLE_ROLLUP = """
+select l_returnflag, l_linestatus,
+       sum(l_quantity) as sum_qty,
+       round(sum(l_extendedprice::decimal(18,2))::double, 2) as sum_price,
+       count(*) as n
+from lineitem
+group by rollup (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# Sessionization (gap-based, batch)
+# --------------------------------------------------------------------------
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return temporal.sessionize(events, user_col="user_id", ts_col="ts", gap_minutes=30)
+
+
+_ORACLE_SESSIONIZE = """
+with flagged as (
+  select user_id, ts, value,
+         case when lag(ts) over w is null
+                   or epoch_us(ts) // 1000000 - epoch_us(lag(ts) over w) // 1000000 > 1800
+              then 1 else 0 end as new_session
+  from events
+  window w as (partition by user_id order by ts)),
+sessioned as (
+  select user_id, ts, value,
+         sum(new_session) over (partition by user_id order by ts
+                                rows between unbounded preceding and current row) - 1
+           as session_id
+  from flagged)
+select user_id, session_id,
+       min(ts) as session_start, max(ts) as session_end,
+       count(*) as n_events, round(sum(value), 4) as value_sum
+from sessioned group by user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# As-of join: latest order at event time
+# --------------------------------------------------------------------------
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    left = events.withColumnRenamed("user_id", "o_custkey")
+    out = temporal.as_of_join(
+        left,
+        orders,
+        on="o_custkey",
+        left_id="event_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        F.col("o_custkey").alias("user_id"),
+        "ts",
+        "o_orderkey_asof",
+        "o_totalprice_asof",
+    )
+
+
+_ORACLE_ASOF = """
+select event_id, user_id, ts, o_orderkey_asof, o_totalprice_asof from (
+  select e.event_id, e.user_id, e.ts,
+         o.o_orderkey as o_orderkey_asof, o.o_totalprice as o_totalprice_asof,
+         row_number() over (partition by e.event_id
+                            order by o.o_orderdate desc nulls last,
+                                     o.o_orderkey desc nulls last) as rn
+  from events e
+  left join orders o on o.o_custkey = e.user_id and o.o_orderdate <= e.ts)
+where rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Tumbling event-time window (batch twin of the streaming agg)
+# --------------------------------------------------------------------------
+
+def _q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return temporal.tumbling_window_agg(
+        events, ts_col="ts", key_col="event_type", window_duration="1 hour"
+    )
+
+
+_ORACLE_TUMBLING = """
+select date_trunc('hour', ts) as window_start, event_type,
+       count(*) as n, round(sum(value), 4) as value_sum
+from events group by 1, 2
+"""
+
+
+# ==========================================================================
+# Registry
+# ==========================================================================
+
+QUERIES: dict[str, QueryDef] = {
+    "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
+                                "P1/P2/P5-P9: industry staging projection + cleanse"),
+    "dedup_keep_first": QueryDef(_q_dedup_keep_first, _ORACLE_DEDUP_KEEP_FIRST,
+                                 "J1: deterministic keep-first dedup"),
+    "precheck_antijoin": QueryDef(_q_precheck_antijoin, _ORACLE_PRECHECK,
+                                  "J2: batch exists-precheck as left_anti join"),
+    "match_cascade": QueryDef(_q_match_cascade, _ORACLE_MATCH_CASCADE,
+                              "J2+J4+J5+J7+J10: cheapest-first match cascade"),
+    "upc_validity": QueryDef(_q_upc_validity, _ORACLE_UPC_VALIDITY,
+                             "J4/F10: GTIN normalize + mod-10 validity split"),
+    "change_detect": QueryDef(_q_change_detect, _ORACLE_CHANGE_DETECT,
+                              "J3/F8/F9: change-detection upsert projection"),
+    "template_chunks": QueryDef(_q_template_chunks, _ORACLE_TEMPLATE_CHUNKS,
+                                "A2/A3/A4/F4-F6: group-by-category + chunk-30 templates"),
+    "batch_stats": QueryDef(_q_batch_stats, _ORACLE_BATCH_STATS,
+                            "A1/A7: explicit batch ids + per-batch success stats"),
+    "match_breakdown": QueryDef(_q_match_breakdown, _ORACLE_MATCH_BREAKDOWN,
+                                "A6: match-type counts over the cascade"),
+    "status_partition": QueryDef(_q_status_partition, _ORACLE_STATUS_PARTITION,
+                                 "A9: success/partialSuccess/failure split"),
+    "topk_per_group": QueryDef(_q_topk_per_group, _ORACLE_TOPK,
+                               "window ranking: top-3 per group"),
+    "rollup_pricing": QueryDef(_q_rollup_pricing, _ORACLE_ROLLUP,
+                               "rollup grouping sets with exact-decimal sums"),
+    "sessionize": QueryDef(_q_sessionize, _ORACLE_SESSIONIZE,
+                           "gap-based sessionization (lag + cumsum)"),
+    "asof_join": QueryDef(_q_asof_join, _ORACLE_ASOF,
+                          "as-of join: latest order at event time"),
+    "tumbling_window": QueryDef(_q_tumbling_window, _ORACLE_TUMBLING,
+                                "event-time tumbling window agg (batch twin)"),
+}

@@ -1,0 +1,94 @@
+"""Unit semantics of the expression function library (cleansing/text/vectors)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.functions import cleansing, text, vectors
+
+
+def _one(spark, expr_col, **cols):
+    schema = ", ".join(f"{k} string" for k in cols)
+    df = spark.createDataFrame([tuple(cols.values())], schema)
+    return df.select(expr_col.alias("v")).first()["v"]
+
+
+def test_clean_price(spark):
+    assert _one(spark, cleansing.clean_price(F.col("p")), p="$10.99") == 10.99
+    assert _one(spark, cleansing.clean_price(F.col("p")), p="34,000") == 34000.0
+    assert _one(spark, cleansing.clean_price(F.col("p")), p="n/a") is None
+    assert _one(spark, cleansing.clean_price(F.col("p")), p=None) is None
+
+
+def test_strip_backticks(spark):
+    assert _one(spark, cleansing.strip_backticks(F.col("p")), p="`ab`c`") == "ab`c"
+
+
+def test_strip_markdown_fences(spark):
+    fenced = '```json\n[{"name": "x"}]\n```'
+    assert _one(spark, cleansing.strip_markdown_fences(F.col("p")), p=fenced) == '[{"name": "x"}]'
+
+
+def test_defaults(spark):
+    assert _one(spark, cleansing.default_subcategory(F.col("p")), p="") == "General"
+    assert _one(spark, cleansing.default_subcategory(F.col("p")), p=None) == "General"
+    assert _one(spark, cleansing.default_subcategory(F.col("p")), p="Sides") == "Sides"
+    got = _one(
+        spark, cleansing.default_description(F.col("p"), F.col("n")), p=None, n="Dosa"
+    )
+    assert got == "Delicious Dosa"
+
+
+def test_gtin_check_digit(spark):
+    # 036000291452 is the canonical valid UPC-A example; flipping the check
+    # digit must invalidate it; GTIN-13 4006381333931 is valid
+    df = spark.createDataFrame(
+        [("036000291452",), ("036000291453",), ("4006381333931",), ("12ab",), (None,)],
+        "c string",
+    )
+    got = [r["v"] for r in df.select(cleansing.gtin_valid_expr("c").alias("v")).collect()]
+    assert got == [True, False, True, False, None]
+
+
+def test_tax_and_quantity(spark):
+    df = spark.createDataFrame([(0,), (-3,), (5,), (None,)], "q int")
+    got = [r["v"] for r in df.select(cleansing.quantity_floor(F.col("q")).alias("v")).collect()]
+    assert got == [10, 10, 5, None]
+
+
+def test_lang_id_prefers_profile_hits(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("el perro y la casa de madrid",), ("zzz qqq",), (None,)],
+        "t string",
+    )
+    got = [r["v"] for r in df.select(text.lang_id(F.col("t")).alias("v")).collect()]
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "und"
+    assert got[3] == "und"
+
+
+def test_quality_score_null_guard(spark):
+    df = spark.createDataFrame([(None,), ("",)], "t string")
+    got = [r["v"] for r in df.select(text.quality_score(F.col("t")).alias("v")).collect()]
+    assert got[0] is None
+    assert got[1] == 0.0
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    got = [r["v"] for r in df.select(text.word_shingles(F.col("t"), 3).alias("v")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []
+
+
+def test_cosine_identity(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(a=[1.0, 2.0], b=[1.0, 2.0], z=[0.0, 0.0])])
+    row = df.select(
+        vectors.cosine(F.col("a"), F.col("b")).alias("same"),
+        vectors.cosine(F.col("a"), F.col("z")).alias("zero"),
+    ).first()
+    assert abs(row["same"] - 1.0) < 1e-12
+    assert row["zero"] is None

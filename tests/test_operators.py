@@ -1,0 +1,162 @@
+"""Operator semantics on small in-memory frames (edge cases the oracle
+queries don't isolate: chunk boundaries, skip reasons, cascade priority)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.operators import chunking, dedup, matching, stats, temporal
+
+
+def test_dedup_keep_first_picks_lowest_order(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 30), ("a", 1.0, 10), ("a", 2.0, 20), ("b", 1.0, 5)],
+        "name string, price double, pos int",
+    )
+    got = {
+        (r["name"], r["price"]): r["pos"]
+        for r in dedup.dedup_keep_first(df, ["name", "price"], ["pos"]).collect()
+    }
+    assert got == {("a", 1.0): 10, ("a", 2.0): 20, ("b", 1.0): 5}
+
+
+def test_chunk_boundary_30_31(spark):
+    rows = [(i, "Pizza", True) for i in range(30)] + [(100 + i, "Soups", True) for i in range(31)]
+    df = spark.createDataFrame(rows, "pid int, cat string, active boolean")
+    out = chunking.group_and_chunk_templates(
+        df, id_col="pid", category_col="cat", order_col="pid", active_col="active"
+    ).collect()
+    by_name = {r["template_name"]: r for r in out}
+    # exactly 30 → single template named by the category alone
+    assert set(by_name) == {"Pizza", "Soups 1", "Soups 2"}
+    assert len(by_name["Pizza"]["items"]) == 30
+    assert len(by_name["Soups 1"]["items"]) == 30
+    assert len(by_name["Soups 2"]["items"]) == 1
+    # items preserve input order
+    assert [i["productRetailerId"] for i in by_name["Soups 1"]["items"]][:3] == ["100", "101", "102"]
+    # the 13-entry header map hits for known categories
+    assert by_name["Pizza"]["header_text"] == "Hot and Fresh Pizza!"
+    assert by_name["Soups 1"]["header_text"] == "Warm and Comforting!"
+    assert by_name["Soups 1"]["end_date"].endswith("Z")
+
+
+def test_skipped_rows_reasons(spark):
+    df = spark.createDataFrame(
+        [(1, "Pizza", False), (2, None, True), (None, "Soups", True), (4, "Ok", True)],
+        "pid int, cat string, active boolean",
+    )
+    got = {
+        r["skip_reason"]
+        for r in chunking.skipped_rows(df, id_col="pid", category_col="cat", active_col="active").collect()
+    }
+    assert got == {"inactive", "no_category", "no_product_id"}
+
+
+def test_cascade_priority_and_coalesce(spark):
+    staged = spark.createDataFrame(
+        [
+            ("036000291452", "matched-by-upc", None),
+            ("bad", "matched-by-name", "StagedBrand"),
+            ("bad2", "no-match-at-all", None),
+        ],
+        "article_id string, product_name string, brand string",
+    )
+    master = spark.createDataFrame(
+        [
+            (1, "036000291452", "matched-by-upc", "MBrand1", "MDesc1"),
+            (2, None, "matched-by-name", "MBrand2", "MDesc2"),
+        ],
+        "master_key int, upc_code string, name string, master_brand string, master_description string",
+    )
+    existing = spark.createDataFrame([("zzz",)], "article_id string")
+    out = matching.match_cascade(
+        staged.withColumn("description", F.lit(None).cast("string")),
+        existing,
+        master,
+        precheck_keys=["article_id"],
+        upc_col="article_id",
+        name_col="product_name",
+        master_cols={"brand": "master_brand", "description": "master_description"},
+        name_dedup_order="master_key",
+    )
+    got = {r["product_name"]: (r["match_type"], r["brand"], r["description"]) for r in out.collect()}
+    assert got["matched-by-upc"] == ("upc", "MBrand1", "MDesc1")
+    # staged brand wins the coalesce (J7); master fills description
+    assert got["matched-by-name"] == ("similarity", "StagedBrand", "MDesc2")
+    assert got["no-match-at-all"] == ("generated", None, None)
+
+
+def test_cascade_precheck_drops_existing(spark):
+    staged = spark.createDataFrame(
+        [("036000291452", "already-there", None)],
+        "article_id string, product_name string, brand string",
+    ).withColumn("description", F.lit(None).cast("string"))
+    existing = staged.select("article_id")
+    master = spark.createDataFrame(
+        [], "master_key int, upc_code string, name string, master_brand string, master_description string"
+    )
+    out = matching.match_cascade(
+        staged, existing, master,
+        precheck_keys=["article_id"], upc_col="article_id", name_col="product_name",
+        master_cols={"brand": "master_brand", "description": "master_description"},
+    )
+    assert out.count() == 0
+
+
+def test_change_detect_null_price_is_no_change(spark):
+    staged = spark.createDataFrame(
+        [(1, None, False), (2, 5.0, False), (3, 5.0, True)],
+        "k int, price double, is_tax boolean",
+    )
+    existing = spark.createDataFrame(
+        [(1, 4.0, 0.0), (2, 4.0, 0.0), (3, 5.0, 0.0)],
+        "k int, price double, tax_percentage double",
+    )
+    out = matching.change_detect(
+        staged, existing, keys=["k"],
+        staged_is_tax="is_tax", existing_tax_pct="tax_percentage",
+    )
+    got = {r["k"]: (r["price_changed"], r["tax_changed"]) for r in out.collect()}
+    # k=1: null staged price → parse-failure semantics → no price change
+    assert 1 not in got
+    assert got[2] == (True, False)
+    assert got[3] == (False, True)
+
+
+def test_as_of_join_picks_latest_leq(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-05"), (2, 10, "2024-01-01"), (3, 99, "2024-01-05")],
+        "eid int, k int, d string",
+    ).withColumn("d", F.to_timestamp("d"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-02", "early"), (10, "2024-01-04", "late"), (10, "2024-01-09", "future")],
+        "k int, rd string, tag string",
+    ).withColumn("rd", F.to_timestamp("rd"))
+    out = temporal.as_of_join(
+        left, right, on="k", left_id="eid", left_ts="d", right_ts="rd",
+        right_cols=["tag"], right_tiebreak="tag",
+    )
+    got = {r["eid"]: r["tag_asof"] for r in out.collect()}
+    assert got == {1: "late", 2: None, 3: None}
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 1.0),
+        (1, "2024-01-01 01:00:00", 1.0),  # 50-min gap → new session
+        (2, "2024-01-01 00:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = temporal.sessionize(df, gap_minutes=30).collect()
+    got = {(r["user_id"], r["session_id"]): r["n_events"] for r in out}
+    assert got == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
+
+
+def test_batch_id_is_order_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(25)], "event_id int")
+    out = stats.with_batch_id(df, "event_id", batch_size=10)
+    got = {r["event_id"]: r["batch_id"] for r in out.collect()}
+    assert got[0] == 0 and got[9] == 0 and got[10] == 1 and got[24] == 2

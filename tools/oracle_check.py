@@ -37,14 +37,14 @@ def _norm(v):
             return "nan"
         # collapse last-ulp noise; queries additionally round explicitly
         return round(v, 9)
+    if hasattr(v, "asDict"):  # pyspark Row (struct) — MUST precede tuple (Row is a tuple)
+        return tuple(sorted((k, _norm(x)) for k, x in v.asDict().items()))
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, _norm(x)) for k, x in v.items()))
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if hasattr(v, "asDict"):  # pyspark Row (struct)
-        return tuple(sorted((k, _norm(x)) for k, x in v.asDict().items()))
     return v
 
 
