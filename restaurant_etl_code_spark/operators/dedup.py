@@ -156,13 +156,17 @@ def simhash_expr(text_col: str, bits: int = 32) -> Column:
     Token hashes are computed once, then folded per bit — ~bits×n_tokens
     cheap integer ops per row, zero shuffle."""
     token_hashes = F.transform(Ftext.tokens(F.col(text_col)), lambda t: _hash60(t))
+    # shiftright() only takes a literal shift in the Python API; test bit b
+    # with a mask instead (2^b is exact in double for b < 53)
     bit_votes = F.transform(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda b: F.aggregate(
             token_hashes,
             F.lit(0),
             lambda acc, h: acc
-            + F.when(F.shiftright(h, b.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            + F.when(
+                h.bitwiseAND(F.pow(F.lit(2.0), b.cast("double")).cast("bigint")) != 0, 1
+            ).otherwise(-1),
         ),
     )
     fp = F.aggregate(

@@ -643,6 +643,440 @@ from events group by 1, 2
 
 
 # ==========================================================================
+# Training-data operators over documents/embeddings (SURVEY §2.9 north-star:
+# dedup, similarity search, multimodal columns, text analysis).
+#
+# The driver corpus has no natural near-duplicates (max pairwise cosine
+# ≈ 0.51, zero exact text dups), so the dedup queries operate on an
+# *augmented* corpus built identically on both sides: exact copies
+# (doc_id+100000, every 10th doc) and tail-appended near-copies
+# (doc_id+200000, every 7th doc); embeddings get scaled (cosine=1) and
+# shifted (cosine<1) variants.
+# ==========================================================================
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_DUCK_CORPUS = """
+corpus as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 100000, text from documents where doc_id % 10 = 0
+  union all
+  select doc_id + 200000, text || ' extra token tail' from documents where doc_id % 7 = 0)
+"""
+
+# DuckDB twins of tokens / 3-gram shingles over the corpus CTE
+_DUCK_TOKS = (
+    "toks as (select doc_id, "
+    f"string_split({_DUCK_NORM.format(c='text')}, ' ') as tk from corpus)"
+)
+_DUCK_SHINGLES = (
+    "sh as (select doc_id, case when len(tk) >= 3 then "
+    "list_transform(range(1, len(tk) - 1), i -> "
+    "array_to_string(list_slice(tk, i::int, i::int + 2), ' ')) "
+    "else [] end as shingles from toks)"
+)
+
+
+# --------------------------------------------------------------------------
+# Text analysis: token stats + quality + language ID + fingerprint
+# --------------------------------------------------------------------------
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        Ftext.token_count(t).alias("n_tokens"),
+        F.round(Ftext.punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(Ftext.stopword_ratio(t), 4).alias("stopword_ratio"),
+        Ftext.quality_score(t).alias("quality"),
+        Ftext.fingerprint(t).alias("fingerprint"),
+    )
+
+
+_DUCK_NTOK = (
+    "case when length({norm}) = 0 then 0 else len(string_split({norm}, ' ')) end"
+).format(norm=_DUCK_NORM.format(c="text"))
+_DUCK_SWR = (
+    "case when {ntok} = 0 then 0.0 else "
+    "len(list_filter(string_split({norm}, ' '), t -> t in {stop}))::double / {ntok} end"
+).format(
+    ntok=_DUCK_NTOK,
+    norm=_DUCK_NORM.format(c="text"),
+    stop="(" + ", ".join(f"'{w}'" for w in Ftext.STOPWORDS_EN) + ")",
+)
+_DUCK_PUNCT = (
+    "case when length(text) = 0 then 0.0 else "
+    "(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::double"
+    " / length(text) end"
+)
+
+_ORACLE_TEXT_QUALITY = f"""
+select doc_id,
+       {_DUCK_NTOK} as n_tokens,
+       round({_DUCK_PUNCT}, 4) as punct_ratio,
+       round({_DUCK_SWR}, 4) as stopword_ratio,
+       case when text is null then null else
+         round(greatest(least(
+           0.5 * least({_DUCK_NTOK} / 50.0, 1.0)
+           + 0.5 * least({_DUCK_SWR} * 4.0, 1.0)
+           - 0.25 * {_DUCK_PUNCT}, 1.0), 0.0), 4) end as quality,
+       md5({_DUCK_NORM.format(c='text')}) as fingerprint
+from documents
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        Ftext.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+def _duck_lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in Ftext.LANG_PROFILES[lang])
+    return (
+        f"len(list_filter(string_split({_DUCK_NORM.format(c='text')}, ' '), "
+        f"t -> t in ({words})))"
+    )
+
+
+_ORACLE_LANG_ID = f"""
+with scored as (
+  select doc_id, lang as lang_labeled,
+         {_duck_lang_hits('de')} as c_de, {_duck_lang_hits('en')} as c_en,
+         {_duck_lang_hits('es')} as c_es, {_duck_lang_hits('fr')} as c_fr
+  from documents)
+select doc_id, lang_labeled,
+       case when greatest(c_de, c_en, c_es, c_fr) = 0 then 'und'
+            when c_de = greatest(c_de, c_en, c_es, c_fr) then 'de'
+            when c_en = greatest(c_de, c_en, c_es, c_fr) then 'en'
+            when c_es = greatest(c_de, c_en, c_es, c_fr) then 'es'
+            else 'fr' end as lang_pred
+from scored
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup by fingerprint (hash-groupBy)
+# --------------------------------------------------------------------------
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_augmented_docs(spark, sf_dir), "text", "doc_id")
+
+
+_ORACLE_EXACT_DEDUP = f"""
+with {_DUCK_CORPUS.strip()}
+select md5({_DUCK_NORM.format(c='text')}) as fingerprint,
+       min(doc_id) as canonical_id,
+       count(*) as n_dups
+from corpus group by 1
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH candidate pairs
+# --------------------------------------------------------------------------
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(
+        _augmented_docs(spark, sf_dir), "doc_id", "text", num_hashes=16, shingle_n=3
+    )
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+
+
+_ORACLE_MINHASH = f"""
+with {_DUCK_CORPUS.strip()},
+{_DUCK_TOKS},
+{_DUCK_SHINGLES},
+sigs as (
+  select doc_id,
+         list_transform(range(0, 16), i -> list_min(list_transform(shingles, s ->
+             ('0x' || substring(md5(i::varchar || ':' || s), 1, 15))::bigint))) as sig
+  from sh where len(shingles) > 0),
+bands as (
+  select doc_id, t.b as band_idx,
+         md5(array_to_string(list_transform(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+             x -> x::varchar), ',')) as band_hash
+  from sigs cross join (select unnest(range(0, 4)) as b) t)
+select distinct x.doc_id as id_a, y.doc_id as id_b
+from bands x join bands y
+  on x.band_idx = y.band_idx and x.band_hash = y.band_hash and x.doc_id < y.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash + Hamming near-dup pairs
+# --------------------------------------------------------------------------
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = dedup.simhash(_augmented_docs(spark, sf_dir), "doc_id", "text", bits=32)
+    a, b = sims.alias("a"), sims.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dedup.hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+_ORACLE_SIMHASH = f"""
+with {_DUCK_CORPUS.strip()},
+{_DUCK_TOKS},
+tokh as (
+  select doc_id, list_transform(tk, t ->
+      ('0x' || substring(md5(t), 1, 15))::bigint) as hs
+  from toks),
+sim as (
+  select doc_id,
+         list_sum(list_transform(range(0, 32), b ->
+             case when list_sum(list_transform(hs, h ->
+                 case when (h >> b::int) & 1 = 1 then 1 else -1 end)) > 0
+                  then (1::bigint << b::int) else 0::bigint end))::bigint as simhash
+  from tokh)
+select x.doc_id as id_a, y.doc_id as id_b,
+       bit_count(xor(x.simhash, y.simhash)) as hamming
+from sim x join sim y on x.doc_id < y.doc_id
+where bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (the exact counterpart LSH approximates)
+# --------------------------------------------------------------------------
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _augmented_docs(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.5
+    )
+
+
+_ORACLE_JACCARD = f"""
+with {_DUCK_CORPUS.strip()},
+{_DUCK_TOKS},
+{_DUCK_SHINGLES},
+distinct_sh as (
+  select doc_id, unnest(list_distinct(shingles)) as shingle from sh),
+sizes as (select doc_id, count(*) as set_size from distinct_sh group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter
+  from distinct_sh a join distinct_sh b
+    on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2)
+select id_a, id_b,
+       round(n_inter::double / (sa.set_size + sb.set_size - n_inter), 6) as jaccard
+from inter
+join sizes sa on sa.doc_id = id_a
+join sizes sb on sb.doc_id = id_b
+where round(n_inter::double / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# ANN similarity search: brute-force + LSH-bucketed top-k
+# --------------------------------------------------------------------------
+
+_DUCK_COS = (
+    "round(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=3, exclude_self=True
+    )
+
+
+_ORACLE_ANN_TOPK = f"""
+with q as (select vec_id as query_id, embedding::double[] as qv
+           from embeddings where vec_id < 10),
+c as (select vec_id as neighbor_id, embedding::double[] as cv from embeddings),
+scored as (
+  select query_id, neighbor_id, {_DUCK_COS} as score
+  from q cross join c where query_id != neighbor_id)
+select query_id, neighbor_id, score, rank from (
+  select *, row_number() over (partition by query_id
+                               order by score desc, neighbor_id) as rank
+  from scored)
+where rank <= 3
+"""
+
+
+def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.bucketed_cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=3, nbits=6, exclude_self=True
+    )
+
+
+_DUCK_BUCKET = (
+    "list_sum(list_transform(range(0, 6), i -> "
+    "case when embedding[(i + 1)::int] > 0 then (1::bigint << i::int) "
+    "else 0::bigint end))::bigint"
+)
+
+_ORACLE_ANN_BUCKETED = f"""
+with q as (select vec_id as query_id, embedding::double[] as qv,
+                  {_DUCK_BUCKET} as bkt
+           from embeddings where vec_id < 10),
+c as (select vec_id as neighbor_id, embedding::double[] as cv,
+             {_DUCK_BUCKET} as bkt
+      from embeddings),
+scored as (
+  select query_id, neighbor_id, {_DUCK_COS} as score
+  from q join c using (bkt) where query_id != neighbor_id)
+select query_id, neighbor_id, score, rank from (
+  select *, row_number() over (partition by query_id
+                               order by score desc, neighbor_id) as rank
+  from scored)
+where rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (augmented with known dups)
+# --------------------------------------------------------------------------
+
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scaled = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(dbl, lambda x: x * 1.01).alias("embedding"),
+    )
+    shifted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform(dbl, lambda x: x + 0.05).alias("embedding"),
+    )
+    base = emb.select("vec_id", dbl.alias("embedding"))
+    return base.unionByName(scaled).unionByName(shifted)
+
+
+_DUCK_AUG_EMB = """
+aug as (
+  select vec_id, embedding::double[] as embedding from embeddings
+  union all
+  select vec_id + 100000, list_transform(embedding::double[], x -> x * 1.01)
+  from embeddings where vec_id % 10 = 0
+  union all
+  select vec_id + 200000, list_transform(embedding::double[], x -> x + 0.05)
+  from embeddings where vec_id % 7 = 0)
+"""
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        _augmented_embeddings(spark, sf_dir), threshold=0.8, nbits=0
+    )
+
+
+_ORACLE_EMB_NEAR_DUP = f"""
+with {_DUCK_AUG_EMB.strip()},
+pairs as (
+  select a.vec_id as id_a, b.vec_id as id_b,
+         a.embedding as qv, b.embedding as cv
+  from aug a join aug b on a.vec_id < b.vec_id)
+select id_a, id_b, {_DUCK_COS} as score
+from pairs where {_DUCK_COS} >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal: opaque binary column + metadata extraction (plumbing is real,
+# decode itself is engine-side trivial here — see multimodal/ for the
+# mapInPandas decode stubs)
+# --------------------------------------------------------------------------
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        "doc_id",
+        F.lit("text").alias("modality"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return assets.select(
+        "doc_id",
+        "modality",
+        F.length(F.col("content")).alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
+
+
+_ORACLE_MULTIMODAL = """
+select doc_id, 'text' as modality,
+       octet_length(encode(text)) as n_bytes,
+       md5(text) as digest
+from documents
+"""
+
+
+# --------------------------------------------------------------------------
+# U2/U3: deterministic content-generation fallback + mock embedding
+# (the reference's exact fallback row, batch_processor.py:624-635)
+# --------------------------------------------------------------------------
+
+def _q_contentgen_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from restaurant_etl_code_spark.functions import vectors as V
+
+    cascade = _q_match_cascade(spark, sf_dir)
+    generated = cascade.filter(F.col("match_type") == "generated")
+    enriched = generated.select(
+        "row_id",
+        F.col("product_name").alias("name"),
+        F.col("product_name").alias("description"),
+        F.lit("Generic").alias("brand_name"),
+        F.lit("Others").alias("category_name"),
+        F.lit("miscellaneous items").alias("subcategory_name"),
+    )
+    enriched = enriched.withColumn(
+        "__content",
+        F.concat_ws("|", "name", "description", "brand_name", "category_name", "subcategory_name"),
+    )
+    return enriched.select(
+        "row_id", "name", "description", "brand_name", "category_name", "subcategory_name",
+        V.hash_embedding_expr("__content", 8).alias("embedding"),
+    )
+
+
+_ORACLE_CONTENTGEN = (
+    "with cascade as (" + _ORACLE_MATCH_CASCADE + "), "
+    """
+gen as (select row_id, product_name from cascade where match_type = 'generated'),
+enriched as (
+  select row_id, product_name as name, product_name as description,
+         'Generic' as brand_name, 'Others' as category_name,
+         'miscellaneous items' as subcategory_name,
+         product_name || '|' || product_name || '|Generic|Others|miscellaneous items'
+           as content
+  from gen)
+select row_id, name, description, brand_name, category_name, subcategory_name,
+       list_transform(range(0, 8), i ->
+           (('0x' || substring(md5(content || '_' || i::varchar), 1, 15))::bigint
+            % 2000) / 1000.0 - 1.0) as embedding
+from enriched
+"""
+)
+
+
+# ==========================================================================
 # Registry
 # ==========================================================================
 
@@ -677,4 +1111,26 @@ QUERIES: dict[str, QueryDef] = {
                           "as-of join: latest order at event time"),
     "tumbling_window": QueryDef(_q_tumbling_window, _ORACLE_TUMBLING,
                                 "event-time tumbling window agg (batch twin)"),
+    "text_quality": QueryDef(_q_text_quality, _ORACLE_TEXT_QUALITY,
+                             "token stats + quality score + fingerprint"),
+    "lang_id": QueryDef(_q_lang_id, _ORACLE_LANG_ID,
+                        "n-gram-heuristic language ID"),
+    "exact_dedup": QueryDef(_q_exact_dedup, _ORACLE_EXACT_DEDUP,
+                            "exact dedup via md5-fingerprint hash-groupBy"),
+    "minhash_lsh_pairs": QueryDef(_q_minhash_lsh_pairs, _ORACLE_MINHASH,
+                                  "MinHash signatures + LSH banding candidates"),
+    "simhash_pairs": QueryDef(_q_simhash_pairs, _ORACLE_SIMHASH,
+                              "SimHash fingerprints + Hamming≤3 pairs"),
+    "ngram_jaccard": QueryDef(_q_ngram_jaccard, _ORACLE_JACCARD,
+                              "exact 3-gram Jaccard near-dup pairs"),
+    "ann_cosine_topk": QueryDef(_q_ann_topk, _ORACLE_ANN_TOPK,
+                                "brute-force cosine top-3 neighbors"),
+    "ann_bucketed_topk": QueryDef(_q_ann_bucketed, _ORACLE_ANN_BUCKETED,
+                                  "sign-LSH-bucketed approximate top-3"),
+    "embedding_near_dup": QueryDef(_q_embedding_near_dup, _ORACLE_EMB_NEAR_DUP,
+                                   "embedding-cosine near-dup pairs"),
+    "multimodal_features": QueryDef(_q_multimodal_features, _ORACLE_MULTIMODAL,
+                                    "binary-column metadata extraction"),
+    "contentgen_fallback": QueryDef(_q_contentgen_fallback, _ORACLE_CONTENTGEN,
+                                    "U2/U3: deterministic LLM-fallback + mock embedding"),
 }
