@@ -1,0 +1,2 @@
+from restaurant_etl_code_spark.enrichment.framework import enrich  # noqa: F401
+from restaurant_etl_code_spark.enrichment import backends  # noqa: F401

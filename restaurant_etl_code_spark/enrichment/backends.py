@@ -1,0 +1,108 @@
+"""Enrichment backends: deterministic mocks + stubs for real services.
+
+The reference's service contracts (SURVEY.md §2.7) with the credentials and
+HTTP mechanics stripped. Real model/API backends plug in by implementing
+``process_batch``; the deterministic mocks below make every enrichment stage
+testable and oracle-comparable (hash embeddings are the exact Python twin of
+``functions.vectors.hash_embedding_expr``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any
+
+__all__ = [
+    "ContentGenFallbackBackend",
+    "HashEmbeddingBackend",
+    "MockImageSearchBackend",
+    "FlakyBackend",
+    "content_fallback_row",
+    "hash_embedding",
+]
+
+# The reference's exact deterministic fallback row (batch_processor.py:624-635)
+FALLBACK_BRAND = "Generic"
+FALLBACK_CATEGORY = "Others"
+FALLBACK_SUBCATEGORY = "miscellaneous items"
+
+
+def content_fallback_row(row: dict[str, Any]) -> dict[str, Any]:
+    """U2 fallback: name/description := product_name, Generic/Others/misc."""
+    name = row.get("product_name") or row.get("name")
+    return {
+        "gen_name": name,
+        "gen_description": name,
+        "gen_brand": FALLBACK_BRAND,
+        "gen_category": FALLBACK_CATEGORY,
+        "gen_subcategory": FALLBACK_SUBCATEGORY,
+    }
+
+
+def hash_embedding(text: str, dim: int = 8) -> list[float]:
+    """Python twin of ``vectors.hash_embedding_expr`` — identical values."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{text}_{i}".encode()).hexdigest()
+        out.append((int(h[:15], 16) % 2000) / 1000.0 - 1.0)
+    return out
+
+
+class ContentGenFallbackBackend:
+    """U2 with the model absent: always produce the deterministic fallback
+    content. A real LLM backend implements the same interface and returns
+    richer rows; consumers cannot tell the difference."""
+
+    def process_batch(self, rows: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        return [content_fallback_row(r) for r in rows]
+
+
+class HashEmbeddingBackend:
+    """U3 mock: index-aligned deterministic embeddings from the content
+    columns (reference embeds name+description+brand+category+subcategory,
+    batch_processor.py:728-754)."""
+
+    def __init__(self, dim: int = 8, fields: tuple[str, ...] = ("product_name",)):
+        self.dim = dim
+        self.fields = fields
+
+    def process_batch(self, rows: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        out = []
+        for r in rows:
+            content = "|".join(str(r.get(f) or "") for f in self.fields)
+            out.append({"embedding": hash_embedding(content, self.dim)})
+        return out
+
+
+class MockImageSearchBackend:
+    """U4 mock: tiered strategy UPC → brand+product → product-only → generic
+    (reference batch_processor.py:811-869), with deterministic URLs."""
+
+    def process_batch(self, rows: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        out = []
+        for r in rows:
+            if r.get("upc"):
+                url, conf = f"img://upc/{r['upc']}", 100
+            elif r.get("brand") and r.get("product_name"):
+                url, conf = f"img://brand/{r['brand']}/{r['product_name']}", 80
+            elif r.get("product_name"):
+                url, conf = f"img://name/{r['product_name']}", 60
+            else:
+                url, conf = "img://generic/default", 0
+            out.append({"image_url": url, "image_confidence": conf})
+        return out
+
+
+class FlakyBackend:
+    """Test wrapper: fail the first ``fail_times`` calls, then delegate —
+    exercises the retry/backoff/fallback paths."""
+
+    def __init__(self, inner: Any, fail_times: int):
+        self.inner = inner
+        self.remaining_failures = fail_times
+
+    def process_batch(self, rows: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        if self.remaining_failures > 0:
+            self.remaining_failures -= 1
+            raise ConnectionError("simulated transient service failure")
+        return self.inner.process_batch(rows)

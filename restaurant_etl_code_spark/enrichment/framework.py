@@ -1,0 +1,118 @@
+"""Enrichment UDF framework (SURVEY.md §2.7, U1-U5).
+
+The reference's external-service stages — LLM content generation, embeddings,
+vision extraction, image search — are per-batch black boxes with retry,
+backoff, deterministic fallbacks, and absorb-don't-fail error handling
+(reference: batch_processor.py:597-754; retry loop
+extract_menu_with_gemini_op.py:70-103; fallback rows batch_processor.py:624-635).
+
+Spark-first this becomes ONE wrapper over ``mapInPandas``:
+
+- **Arrow-batched**: rows cross the JVM↔Python boundary as columnar batches,
+  never pickled rows.
+- **Micro-batched**: the backend is called with ≤``micro_batch_size`` rows
+  (the reference uses 30 for LLM calls) regardless of Spark partition size.
+- **Retry + exponential backoff** around each backend call (T5 semantics:
+  ``delay · 2^attempt``).
+- **Deterministic fallback** per row after final failure, plus a per-row
+  ``error`` column — a stage never throws, mirroring the reference's
+  error-absorption model (status columns, not exceptions).
+- **Scale**: parallelism = input partitions; rate limits live in the backend
+  (token bucket), not the engine. For a 1000-executor run the backend object
+  is constructed once per worker (lazy in the closure), never on the driver.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator, Protocol
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+class EnrichmentBackend(Protocol):
+    """A per-micro-batch enrichment service.
+
+    ``process_batch`` receives the micro-batch as a list of row dicts and
+    returns a list of output dicts **of the same length and order** (J8
+    alignment is positional *within* a micro-batch only; the framework joins
+    results back by position inside the batch, which is safe because the
+    batch never leaves the executor).
+    """
+
+    def process_batch(self, rows: list[dict[str, Any]]) -> list[dict[str, Any]]: ...
+
+
+@dataclass
+class EnrichConfig:
+    micro_batch_size: int = 30
+    max_retries: int = 3
+    retry_delay: float = 0.0  # seconds; doubles per attempt (T5)
+    error_col: str = "enrich_error"
+
+
+def enrich(
+    df: DataFrame,
+    backend_factory: Callable[[], EnrichmentBackend],
+    output_fields: list[T.StructField],
+    fallback_fn: Callable[[dict[str, Any]], dict[str, Any]],
+    config: EnrichConfig | None = None,
+) -> DataFrame:
+    """Append enrichment columns to ``df`` via an Arrow-batched stage.
+
+    ``backend_factory`` is called lazily once per executor task (the backend
+    object — API client, model handle — is never serialized from the driver).
+    ``fallback_fn`` maps an input row dict to the output dict used when the
+    backend exhausts retries (the reference's deterministic fallback row).
+    The ``error_col`` string column is null on success.
+    """
+    cfg = config or EnrichConfig()
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + list(output_fields)
+        + [T.StructField(cfg.error_col, T.StringType(), True)]
+    )
+    out_names = [f.name for f in output_fields]
+
+    def run_batch(backend: EnrichmentBackend, rows: list[dict[str, Any]]):
+        delay = cfg.retry_delay
+        last_err: Exception | None = None
+        for attempt in range(cfg.max_retries):
+            try:
+                results = backend.process_batch(rows)
+                if len(results) != len(rows):
+                    raise ValueError(
+                        f"backend returned {len(results)} results for {len(rows)} rows"
+                    )
+                return results, None
+            except Exception as exc:  # noqa: BLE001 — absorb, never fail the stage
+                last_err = exc
+                if delay > 0 and attempt < cfg.max_retries - 1:
+                    time.sleep(delay)
+                    delay *= 2
+        fallbacks = [fallback_fn(r) for r in rows]
+        return fallbacks, f"{type(last_err).__name__}: {last_err}"
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = backend_factory()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_rows: list[dict[str, Any]] = []
+            errors: list[str | None] = []
+            records = pdf.to_dict("records")
+            for i in range(0, len(records), cfg.micro_batch_size):
+                chunk = records[i : i + cfg.micro_batch_size]
+                results, err = run_batch(backend, chunk)
+                out_rows.extend(results)
+                errors.extend([err] * len(chunk))
+            res = pd.DataFrame(pdf)
+            for name in out_names:
+                res[name] = [r.get(name) for r in out_rows]
+            res[cfg.error_col] = errors
+            yield res
+
+    return df.mapInPandas(mapper, schema=out_schema)

@@ -1,0 +1,5 @@
+from restaurant_etl_code_spark.multimodal.binary import (  # noqa: F401
+    decode_assets,
+    extract_binary_meta,
+    FakeDecoder,
+)

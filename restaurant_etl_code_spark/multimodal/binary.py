@@ -1,0 +1,131 @@
+"""Multimodal binary columns: decode / feature-extract plumbing.
+
+Generalizes the reference's PDF-bytes flow (S1/S2: blob → per-page PIL
+images → vision model, extract_menu_with_gemini_op.py:31-120) to opaque
+``binary`` columns with typed metadata for image/audio/video/pdf at 100 TB:
+
+- Assets are rows of MULTIMODAL_ASSETS (schemas.py): ``content: binary`` +
+  modality + metadata map. They arrive via ``spark.read.format("binaryFile")``
+  (sources/readers.py) — decode happens **in executors** via ``mapInPandas``,
+  never on the driver (SURVEY §7 hard-part (e)).
+- The actual codecs (pdf2image/PIL/ffmpeg) are NOT in this container, so the
+  decode step is a pluggable ``Decoder``; ``RealDecoder`` raises
+  ``NotImplementedError`` with the dependency named, ``FakeDecoder`` produces
+  deterministic features so the Spark-side plumbing — schema, batching,
+  partition sizing — is fully real and tested.
+- Partitioning note: binary rows are large and skewed; repartition by a
+  size-bucket (``length(content)``) before the decode stage so one giant
+  asset cannot straggle a partition of small ones.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Iterator, Protocol
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["Decoder", "RealDecoder", "FakeDecoder", "decode_assets", "extract_binary_meta"]
+
+# One row per decoded unit (page / frame / clip window)
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("unit_index", T.IntegerType(), False),  # page / frame number
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+class Decoder(Protocol):
+    def decode(self, modality: str, content: bytes) -> list[dict[str, Any]]:
+        """content → list of decoded units (pages/frames) as dicts with
+        unit_index/width/height/n_bytes/feature keys."""
+        ...
+
+
+class RealDecoder:
+    """Placeholder for the production decoder. The image/audio libraries
+    (pdf2image, PIL, ffmpeg) are not installed in this environment."""
+
+    def decode(self, modality: str, content: bytes) -> list[dict[str, Any]]:
+        raise NotImplementedError(
+            "RealDecoder requires pdf2image/PIL/ffmpeg — not available in this "
+            "container. Plug in FakeDecoder for tests or install codecs in prod."
+        )
+
+
+class FakeDecoder:
+    """Deterministic fake: derives unit count and 4-dim features from the
+    bytes themselves (md5-seeded), so plumbing tests have stable goldens."""
+
+    def decode(self, modality: str, content: bytes) -> list[dict[str, Any]]:
+        if content is None:
+            raise ValueError("null content")
+        digest = hashlib.md5(content).hexdigest()
+        n_units = int(digest[:2], 16) % 3 + 1  # 1-3 pages/frames
+        units = []
+        for i in range(n_units):
+            h = hashlib.md5(f"{digest}:{i}".encode()).hexdigest()
+            units.append(
+                {
+                    "unit_index": i,
+                    "width": int(h[:4], 16) % 1920,
+                    "height": int(h[4:8], 16) % 1080,
+                    "n_bytes": len(content),
+                    "feature": [
+                        (int(h[j * 8 : j * 8 + 8], 16) % 2000) / 1000.0 - 1.0 for j in range(4)
+                    ],
+                }
+            )
+        return units
+
+
+def decode_assets(assets: DataFrame, decoder_factory=FakeDecoder) -> DataFrame:
+    """Explode assets into decoded units via an Arrow-batched stage. Errors
+    are absorbed into ``decode_error`` (one stub row per failed asset) —
+    never an exception, matching the engine's error model."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = decoder_factory()
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                base = {"asset_id": rec["asset_id"], "modality": rec["modality"]}
+                try:
+                    for unit in decoder.decode(rec["modality"], rec.get("content")):
+                        rows.append({**base, **unit, "decode_error": None})
+                except Exception as exc:  # noqa: BLE001
+                    rows.append(
+                        {
+                            **base,
+                            "unit_index": 0,
+                            "width": None,
+                            "height": None,
+                            "n_bytes": None,
+                            "feature": None,
+                            "decode_error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return assets.mapInPandas(mapper, schema=DECODED_SCHEMA)
+
+
+def extract_binary_meta(assets: DataFrame) -> DataFrame:
+    """Cheap JVM-side metadata (no Python): byte length + digest — the
+    filter/dedup columns you want *before* paying for any decode."""
+    return assets.select(
+        "asset_id",
+        "modality",
+        F.length(F.col("content")).alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )

@@ -1,0 +1,75 @@
+"""Sinks (SURVEY.md §2.2): MERGE-emulating upsert, error sink, status capture.
+
+The reference's sinks are REST/ES calls with upsert-by-id semantics (bulk
+index overwrites by ``_id``, K1; incremental update by key, K9; batch create
+with per-row ``continueOnError`` capture, K8). Without a Delta/Iceberg jar in
+this image, MERGE is emulated on plain parquet with an atomic
+write-temp-then-swap — the emulation keeps MERGE's *semantics* (matched rows
+updated, unmatched inserted) so swapping in Delta later is a one-line change.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["merge_upsert", "merge_into_parquet", "write_failed_rows", "classify_write_status"]
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Relational MERGE: rows from ``updates`` replace matching ``target``
+    rows (by ``keys``); unmatched update rows are inserted (K7/K8/K9
+    upsert-by-id semantics). Column sets must match.
+
+    Plan shape: one left_anti (target rows that survive) + union — a single
+    shuffle on the key; with Delta available this becomes ``MERGE INTO``.
+    """
+    surviving = target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+    return surviving.unionByName(updates.select(*target.columns))
+
+
+def merge_into_parquet(
+    spark: SparkSession, target_path: str, updates: DataFrame, keys: list[str]
+) -> None:
+    """MERGE into a parquet table with atomic swap. If the target does not
+    exist, this is a plain write (first load)."""
+    if os.path.exists(target_path):
+        target = spark.read.parquet(target_path)
+        merged = merge_upsert(target, updates, keys)
+    else:
+        merged = updates
+    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(target_path):
+        old = f"{target_path}.__old_{uuid.uuid4().hex[:8]}"
+        os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, target_path)
+
+
+def write_failed_rows(
+    failures: DataFrame, original: DataFrame, index_col: str, errors_dir: str, run_id: str
+) -> str:
+    """K5: persist failed rows joined back to their original inputs as JSON
+    under a run-stamped path (reference ``_save_failed_products``,
+    batch_processor.py:1349-1378)."""
+    out_path = os.path.join(errors_dir, f"batch_{run_id}_failed")
+    failures.join(original, on=index_col, how="inner").write.mode("overwrite").json(out_path)
+    return out_path
+
+
+def classify_write_status(
+    df: DataFrame, error_col: str = "enrich_error", partial_col: str | None = None
+) -> DataFrame:
+    """K8/A9: derive the per-row success/partialSuccess/failure status column
+    from error-capture columns (partialSuccess counts as persisted)."""
+    status = F.when(F.col(error_col).isNotNull(), "failure")
+    if partial_col:
+        status = status.when(F.col(partial_col), "partialSuccess")
+    return df.withColumn("status", status.otherwise("success"))

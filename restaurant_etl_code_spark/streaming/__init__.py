@@ -1,0 +1,7 @@
+from restaurant_etl_code_spark.streaming.jobs import (  # noqa: F401
+    file_arrival_stream,
+    windowed_event_counts,
+    session_window_agg,
+    run_available_now,
+    foreach_batch_upsert,
+)

@@ -1,0 +1,127 @@
+"""Structured Streaming surface (SURVEY.md §2.8).
+
+The reference's streaming-ish mechanics are job-level: blob-upload triggers
+(T1), cron schedules (T2), concurrency-capped fan-out with idempotent
+run keys (T3). Spark-first:
+
+- T1 → a file-arrival ``readStream`` on a landing directory +
+  ``Trigger.AvailableNow`` (process everything that has arrived, then stop —
+  the exact semantics of "run the job when a blob lands").
+- T2 → external cron invoking the same AvailableNow query.
+- T3 → checkpointing gives idempotency (run_key ≡ checkpoint offsets);
+  admission control is ``maxFilesPerTrigger``.
+- Event-time analytics the reference lacks (§2.9) are first-class here:
+  watermarked tumbling windows and session windows — the streaming twins of
+  the batch operators in operators/temporal.py (same logical queries).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def file_arrival_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """T1: landing-directory arrival source. Explicit schema (streams cannot
+    infer); ``maxFilesPerTrigger`` is the T3 admission cap."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(landing_dir)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming twin of
+    ``operators.temporal.tumbling_window_agg`` (same logical query; the
+    watermark bounds state for late data)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n", "value_sum")
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` — the stateful twin of
+    the batch lag+cumsum sessionizer."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            user_col,
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def run_available_now(
+    streamed: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "out",
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Run a streaming query to completion over everything currently in the
+    source (Trigger.AvailableNow), results in the in-memory table
+    ``query_name``. Checkpoint = T3 idempotency: re-running after new file
+    arrivals processes only the delta."""
+    q = (
+        streamed.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def foreach_batch_upsert(
+    streamed: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Exactly-once-ish streaming MERGE sink: each micro-batch upserts into a
+    parquet target via the K8/K9 merge emulation (sources/sinks.py). With a
+    transactional table format this is ``foreachBatch`` + ``MERGE INTO``."""
+    from restaurant_etl_code_spark.sources.sinks import merge_into_parquet
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_into_parquet(batch_df.sparkSession, target_path, batch_df, keys)
+
+    q = (
+        streamed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,123 @@
+"""Enrichment framework: retry, fallback, error capture, micro-batching."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from restaurant_etl_code_spark.enrichment import backends, enrich
+from restaurant_etl_code_spark.enrichment.framework import EnrichConfig
+from restaurant_etl_code_spark.functions import vectors
+
+GEN_FIELDS = [
+    T.StructField("gen_name", T.StringType(), True),
+    T.StructField("gen_description", T.StringType(), True),
+    T.StructField("gen_brand", T.StringType(), True),
+    T.StructField("gen_category", T.StringType(), True),
+    T.StructField("gen_subcategory", T.StringType(), True),
+]
+
+
+def _staged(spark, n=5):
+    return spark.createDataFrame(
+        [(i, f"product-{i}") for i in range(n)], "row_id int, product_name string"
+    ).coalesce(1)
+
+
+def test_contentgen_backend_success(spark):
+    out = enrich(
+        _staged(spark),
+        backends.ContentGenFallbackBackend,
+        GEN_FIELDS,
+        backends.content_fallback_row,
+    ).collect()
+    assert len(out) == 5
+    r = {x["row_id"]: x for x in out}[2]
+    assert r["gen_name"] == "product-2"
+    assert r["gen_brand"] == "Generic"
+    assert r["gen_subcategory"] == "miscellaneous items"
+    assert r["enrich_error"] is None
+
+
+def test_flaky_backend_retries_then_succeeds(spark):
+    out = enrich(
+        _staged(spark),
+        lambda: backends.FlakyBackend(backends.ContentGenFallbackBackend(), fail_times=2),
+        GEN_FIELDS,
+        lambda r: {"gen_name": "FALLBACK"},
+        EnrichConfig(max_retries=3),
+    ).collect()
+    assert all(r["enrich_error"] is None for r in out)
+    assert all(r["gen_name"].startswith("product-") for r in out)
+
+
+def test_exhausted_retries_fall_back_with_error(spark):
+    out = enrich(
+        _staged(spark),
+        lambda: backends.FlakyBackend(backends.ContentGenFallbackBackend(), fail_times=99),
+        GEN_FIELDS,
+        backends.content_fallback_row,
+        EnrichConfig(max_retries=2),
+    ).collect()
+    assert all("ConnectionError" in r["enrich_error"] for r in out)
+    # the deterministic fallback row still filled the content (absorb-don't-fail)
+    assert all(r["gen_brand"] == "Generic" for r in out)
+
+
+def test_micro_batching_calls_backend_per_chunk(spark):
+    # a backend that stamps batch size lets us observe the 30-row chunking
+    class SizeStamp:
+        def process_batch(self, rows):
+            return [{"gen_name": str(len(rows))} for _ in rows]
+
+    out = enrich(
+        _staged(spark, n=70),
+        SizeStamp,
+        [T.StructField("gen_name", T.StringType(), True)],
+        lambda r: {"gen_name": None},
+        EnrichConfig(micro_batch_size=30),
+    ).collect()
+    sizes = sorted({int(r["gen_name"]) for r in out})
+    assert sizes == [10, 30]  # 70 rows on one partition → 30+30+10
+
+
+def test_hash_embedding_python_matches_sql_expr(spark):
+    df = spark.createDataFrame([("abc",)], "t string")
+    sql_emb = df.select(vectors.hash_embedding_expr("t", 8).alias("e")).first()["e"]
+    py_emb = backends.hash_embedding("abc", 8)
+    assert sql_emb == py_emb
+
+
+def test_embedding_backend_index_aligned(spark):
+    out = enrich(
+        _staged(spark),
+        lambda: backends.HashEmbeddingBackend(dim=4),
+        [T.StructField("embedding", T.ArrayType(T.DoubleType()), True)],
+        lambda r: {"embedding": None},
+    ).collect()
+    by_id = {r["row_id"]: r["embedding"] for r in out}
+    assert by_id[3] == backends.hash_embedding("product-3", 4)
+
+
+def test_image_search_tiers(spark):
+    rows = [
+        (1, "p1", "BrandX", "036000291452"),
+        (2, "p2", "BrandX", None),
+        (3, "p3", None, None),
+        (4, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, "row_id int, product_name string, brand string, upc string")
+    out = enrich(
+        df.coalesce(1),
+        backends.MockImageSearchBackend,
+        [
+            T.StructField("image_url", T.StringType(), True),
+            T.StructField("image_confidence", T.IntegerType(), True),
+        ],
+        lambda r: {"image_url": None, "image_confidence": None},
+    ).collect()
+    got = {r["row_id"]: (r["image_url"], r["image_confidence"]) for r in out}
+    assert got[1] == ("img://upc/036000291452", 100)
+    assert got[2] == ("img://brand/BrandX/p2", 80)
+    assert got[3] == ("img://name/p3", 60)
+    assert got[4] == ("img://generic/default", 0)

@@ -1,0 +1,130 @@
+"""MERGE emulation, error sink, multimodal decode plumbing, streaming jobs."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark import schemas
+from restaurant_etl_code_spark.multimodal import FakeDecoder, decode_assets, extract_binary_meta
+from restaurant_etl_code_spark.operators import temporal
+from restaurant_etl_code_spark.sources import sinks
+from restaurant_etl_code_spark.streaming import (
+    file_arrival_stream,
+    run_available_now,
+    session_window_agg,
+    windowed_event_counts,
+)
+
+
+def test_merge_upsert_updates_and_inserts(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, name string, price double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", 30.0)], "k int, name string, price double"
+    )
+    got = {r["k"]: r["price"] for r in sinks.merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {1: 10.0, 2: 25.0, 3: 30.0}
+
+
+def test_merge_into_parquet_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    first = spark.createDataFrame([(1, 10.0)], "k int, price double")
+    sinks.merge_into_parquet(spark, path, first, ["k"])
+    second = spark.createDataFrame([(1, 11.0), (2, 20.0)], "k int, price double")
+    sinks.merge_into_parquet(spark, path, second, ["k"])
+    got = {r["k"]: r["price"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 11.0, 2: 20.0}
+
+
+def test_classify_write_status(spark):
+    df = spark.createDataFrame(
+        [(1, None, False), (2, "boom", False), (3, None, True)],
+        "k int, enrich_error string, partial boolean",
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in sinks.classify_write_status(df, partial_col="partial").collect()
+    }
+    assert got == {1: "success", 2: "failure", 3: "partialSuccess"}
+
+
+def test_failed_rows_sink(spark, tmp_path):
+    original = spark.createDataFrame([(0, "x"), (1, "y")], "idx int, payload string")
+    failures = spark.createDataFrame([(1, "err")], "idx int, error string")
+    out = sinks.write_failed_rows(failures, original, "idx", str(tmp_path), "run1")
+    back = spark.read.json(out).collect()
+    assert len(back) == 1 and back[0]["payload"] == "y"
+
+
+def test_fake_decoder_plumbing(spark):
+    assets = spark.createDataFrame(
+        [("a1", "image", bytearray(b"imagebytes")), ("a2", "pdf", None)],
+        "asset_id string, modality string, content binary",
+    )
+    out = decode_assets(assets, FakeDecoder).collect()
+    ok = [r for r in out if r["asset_id"] == "a1"]
+    bad = [r for r in out if r["asset_id"] == "a2"]
+    assert 1 <= len(ok) <= 3
+    assert all(r["decode_error"] is None and len(r["feature"]) == 4 for r in ok)
+    assert len(bad) == 1 and "ValueError" in bad[0]["decode_error"]
+    # determinism: same bytes → same features
+    again = decode_assets(assets, FakeDecoder).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_extract_binary_meta_jvm_side(spark):
+    assets = spark.createDataFrame(
+        [("a1", "image", bytearray(b"abc"))], "asset_id string, modality string, content binary"
+    )
+    r = extract_binary_meta(assets).first()
+    assert r["n_bytes"] == 3
+    assert r["digest"] == "900150983cd24fb0d6963f7d28e17f72"
+
+
+def test_streaming_window_matches_batch(spark, tmp_path):
+    """The streaming windowed agg over a file-arrival source must equal the
+    batch tumbling-window operator on the same data (same logical query)."""
+    from restaurant_etl_code_spark.sources import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    landing = str(tmp_path / "landing")
+    events.write.parquet(landing)
+
+    stream = file_arrival_stream(spark, landing, spark.read.parquet(landing).schema)
+    agg = windowed_event_counts(stream)
+    run_available_now(agg, str(tmp_path / "ckpt"), query_name="win_out", output_mode="complete")
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in spark.sql("select * from win_out").collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in temporal.tumbling_window_agg(spark.read.parquet(landing)).collect()
+    }
+    assert streamed == batch
+
+
+def test_streaming_session_window(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),
+        (1, "2024-01-01 01:00:00", 3.0),
+        (2, "2024-01-01 00:00:00", 4.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, "user_id int, ts string, value double")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    landing = str(tmp_path / "sess")
+    df.write.parquet(landing)
+    stream = file_arrival_stream(spark, landing, spark.read.parquet(landing).schema)
+    agg = session_window_agg(stream, gap="30 minutes")
+    run_available_now(agg, str(tmp_path / "ckpt2"), query_name="sess_out", output_mode="complete")
+    got = {
+        (r["user_id"], r["n_events"]): r["value_sum"]
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    assert got == {(1, 2): 3.0, (1, 1): 3.0, (2, 1): 4.0}
