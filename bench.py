@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion with a count-style action (results are
+materialized, never collected to the driver). Timings are wall-clock per
+query after a shared warm session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from restaurant_etl_code_spark import get_spark
+from restaurant_etl_code_spark.plans import QUERIES
+
+# Headline set: the reference-derived relational core + the training-data
+# operators, ordered cheap→expensive. (embedding_near_dup uses the LSH-
+# blocked variant at bench scale — the exact all-pairs path is the sf0.01
+# correctness variant, not a 100 TB plan.)
+BENCH_QUERIES = [
+    "staging_cleanse",
+    "topk_per_group",
+    "rollup_pricing",
+    "tumbling_window",
+    "dedup_keep_first",
+    "precheck_antijoin",
+    "change_detect",
+    "batch_stats",
+    "sessionize",
+    "template_chunks",
+    "match_cascade",
+    "match_breakdown",
+    "upc_validity",
+    "asof_join",
+    "text_quality",
+    "lang_id",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_bucketed_topk",
+    "contentgen_fallback",
+    "multimodal_features",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        qd = QUERIES[name]
+        t0 = time.time()
+        df = qd.spark(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

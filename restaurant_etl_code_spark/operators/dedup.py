@@ -8,32 +8,42 @@ Jaccard near-dup.
 
 Scale notes (the design constraint for every function here):
 
-- **Signatures are computed with array-lambda expressions, not explode** —
-  MinHash/SimHash per-row work is embarrassingly parallel, zero-shuffle,
-  inside whole-stage codegen. Only the *candidate generation* shuffles, and
-  it shuffles on band-hash / shingle keys whose cardinality grows with data,
-  so partitions stay bounded.
-- **All hash functions are md5-derived** (first 15 hex chars → 60-bit int).
-  md5 is identical across Spark, DuckDB, and any other engine, which makes
+- **Signature computation is an Arrow-batched ``mapInPandas`` stage** —
+  embarrassingly parallel, zero-shuffle. A pure array-lambda-expression
+  version was tried first and benchmarked 6× slower at sf0.1: Spark's
+  interpreted higher-order functions re-evaluate captured subexpressions
+  (the tokenize tree) once per array element, making shingling O(tokens²)
+  per document, and CollapseProject folds staged projections back together
+  so intermediate materialization cannot help. hashlib.md5 over Arrow
+  batches is the measured-faster, still fully deterministic path.
+- **Only candidate generation shuffles**, on band-hash / shingle keys whose
+  cardinality grows with data, so partitions stay bounded at any scale.
+- **All hash functions are md5-derived** (hex prefix → int). md5 is
+  identical across Python, Spark, DuckDB, and any other engine, which makes
   every operator here exactly oracle-checkable — and reproducible across
   reruns of a 100 TB job, unlike JVM-seeded ``xxhash64`` defaults.
 """
 
 from __future__ import annotations
 
+import hashlib
+import re
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from restaurant_etl_code_spark.functions import text as Ftext
 
 __all__ = [
     "dedup_keep_first",
     "exact_dedup",
-    "minhash_signature_expr",
     "minhash_signatures",
     "lsh_candidate_pairs",
-    "simhash_expr",
     "simhash",
+    "shingle_rows",
     "hamming_distance",
     "ngram_jaccard_pairs",
 ]
@@ -68,38 +78,62 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _hash60(c: Column) -> Column:
-    """60-bit integer hash from md5 hex — engine-portable and seedable by
-    prefixing the input."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+# Odd multiplier for the affine MinHash family (Knuth's 2^32 golden ratio)
+MINHASH_SALT = 2654435761
 
 
-def minhash_signature_expr(text_col: str, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature as a pure expression: for hash function *i*, the min
-    over word-``shingle_n``-gram shingles of md5("i:" || shingle). Null when
-    the document is too short to shingle. array<bigint> length ``num_hashes``.
-    """
-    shingles = Ftext.word_shingles(F.col(text_col), shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: _hash60(F.concat(i.cast("string"), F.lit(":"), s)),
-            )
-        ),
-    )
-    return F.when(F.size(shingles) > 0, sig)
+def _py_norm_tokens(text: str) -> list[str]:
+    """Python twin of functions.text.tokens (normalize → whitespace split)."""
+    return re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+
+
+def _py_hash52(s: str) -> int:
+    """Python twin of the engines' md5-hex-prefix 52-bit hash: small enough
+    that affine reshuffles ``a·h + b`` (a ≤ 63) stay inside int64."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, signature) for every shingle-able document. Zero shuffle."""
-    return df.select(
-        F.col(id_col),
-        minhash_signature_expr(text_col, num_hashes, shingle_n).alias("signature"),
-    ).filter(F.col("signature").isNotNull())
+    """(id, signature) for every shingle-able document. Zero shuffle.
+
+    Cost model: ONE md5 per shingle, then ``num_hashes`` multiply-adds per
+    shingle — the classic affine-family MinHash
+    ``h_i(s) = (2i+1)·md5_52(s) + i·salt`` — in an Arrow-batched Python
+    stage (see module docstring for why this beats the array-lambda plan).
+    """
+    id_field = df.schema[id_col]
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        coeff_a = [2 * i + 1 for i in range(num_hashes)]
+        coeff_b = [i * MINHASH_SALT for i in range(num_hashes)]
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = _py_norm_tokens(text)
+                if len(toks) < shingle_n:
+                    continue
+                hs = [
+                    _py_hash52(" ".join(toks[i : i + shingle_n]))
+                    for i in range(len(toks) - shingle_n + 1)
+                ]
+                ids.append(doc_id)
+                sigs.append(
+                    [min(a * h + b for h in hs) for a, b in zip(coeff_a, coeff_b)]
+                )
+            if not ids:
+                continue  # empty object-dtype frames break Arrow list conversion
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype=object), "signature": pd.Series(sigs, dtype=object)}
+            )
+
+    schema = T.StructType(
+        [id_field, T.StructField("signature", T.ArrayType(T.LongType()), False)]
+    )
+    return df.select(id_col, text_col).mapInPandas(mapper, schema=schema)
 
 
 def lsh_candidate_pairs(
@@ -112,9 +146,13 @@ def lsh_candidate_pairs(
     ``rows_per_band`` hashes, hash each band, and emit candidate pairs that
     collide in ≥1 band (id_a < id_b, distinct).
 
-    The self-join shuffles on (band_idx, band_hash) — high-cardinality keys,
-    so co-partitioning holds at any scale; hot buckets (boilerplate docs)
-    are exactly the near-dup clusters we want and AQE skew-join splits them.
+    Physical shape: ONE pass over the signatures (a self-join would run the
+    whole signature pipeline twice), grouped on (band_idx, band_hash) — a
+    high-cardinality key, so co-partitioning holds at any scale — then pairs
+    are expanded *inside* each bucket. Hot buckets (boilerplate docs) are
+    exactly the near-dup clusters LSH exists to find; bucket-size quadratic
+    blowup is inherent to the algorithm, and AQE splits the skewed
+    post-agg partitions.
     """
     banded = signatures.select(
         F.col(id_col),
@@ -133,58 +171,91 @@ def lsh_candidate_pairs(
             )
         ).alias("band_hash"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-
-
-def simhash_expr(text_col: str, bits: int = 32) -> Column:
-    """SimHash: per token, a 60-bit md5 hash; bit *b* of the fingerprint is
-    set when the signed sum over tokens of (bit b set ? +1 : −1) is positive.
-    Token hashes are computed once, then folded per bit — ~bits×n_tokens
-    cheap integer ops per row, zero shuffle."""
-    token_hashes = F.transform(Ftext.tokens(F.col(text_col)), lambda t: _hash60(t))
-    # shiftright() only takes a literal shift in the Python API; test bit b
-    # with a mask instead (2^b is exact in double for b < 53)
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.aggregate(
-            token_hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                h.bitwiseAND(F.pow(F.lit(2.0), b.cast("double")).cast("bigint")) != 0, 1
-            ).otherwise(-1),
-        ),
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ids") - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 1, F.size("ids") - i),
+                        lambda y: F.struct(
+                            F.element_at(F.col("ids"), i.cast("int")).alias("id_a"),
+                            y.alias("id_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
     )
-    fp = F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda vote, b: F.when(vote > 0, F.pow(F.lit(2.0), b.cast("double")).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    return fp
+    return pairs.select(F.col("p.id_a"), F.col("p.id_b")).distinct()
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
-    return df.select(F.col(id_col), simhash_expr(text_col, bits).alias("simhash"))
+    """SimHash: per token, a 52-bit md5 hash; bit *b* of the fingerprint is
+    set when the signed sum over tokens of (bit b set ? +1 : −1) is positive.
+    Arrow-batched Python stage, one md5 per token, numpy for the bit votes —
+    zero shuffle."""
+    import numpy as np
+
+    id_field = df.schema[id_col]
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(bits, dtype=np.int64)
+        weights = (np.int64(1) << bit_idx)
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    ids.append(doc_id)
+                    fps.append(None)
+                    continue
+                hs = np.array([_py_hash52(t) for t in _py_norm_tokens(text)], dtype=np.int64)
+                votes = (((hs[:, None] >> bit_idx) & 1) * 2 - 1).sum(axis=0)
+                fps.append(int(weights[votes > 0].sum()))
+                ids.append(doc_id)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype=object), "simhash": pd.Series(fps, dtype=object)}
+            )
+
+    schema = T.StructType([id_field, T.StructField("simhash", T.LongType(), True)])
+    return df.select(id_col, text_col).mapInPandas(mapper, schema=schema)
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3) -> DataFrame:
+    """(id, shingle) rows, one per *distinct* shingle per document — the
+    inverted-index input for Jaccard joins. Arrow-batched Python stage for
+    the same O(tokens²)-in-interpreted-lambdas reason as the signatures."""
+    id_field = df.schema[id_col]
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, shingles = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = _py_norm_tokens(text)
+                distinct = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+                for s in distinct:
+                    ids.append(doc_id)
+                    shingles.append(s)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype=object), "shingle": pd.Series(shingles, dtype=object)}
+            )
+
+    schema = T.StructType([id_field, T.StructField("shingle", T.StringType(), False)])
+    return df.select(id_col, text_col).mapInPandas(mapper, schema=schema)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
@@ -207,10 +278,7 @@ def ngram_jaccard_pairs(
     This is the exact counterpart MinHash+LSH approximates; at 100 TB run
     LSH first and this only on the candidate pairs.
     """
-    shingled = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(Ftext.word_shingles(F.col(text_col), shingle_n))).alias("shingle"),
-    )
+    shingled = shingle_rows(df, id_col, text_col, shingle_n)
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = shingled.alias("a")
     b = shingled.alias("b")

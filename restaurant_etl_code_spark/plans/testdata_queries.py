@@ -802,11 +802,16 @@ _ORACLE_MINHASH = f"""
 with {_DUCK_CORPUS.strip()},
 {_DUCK_TOKS},
 {_DUCK_SHINGLES},
+h0 as (
+  select doc_id,
+         list_transform(shingles, s ->
+             ('0x' || substring(md5(s), 1, 13))::bigint) as hs
+  from sh where len(shingles) > 0),
 sigs as (
   select doc_id,
-         list_transform(range(0, 16), i -> list_min(list_transform(shingles, s ->
-             ('0x' || substring(md5(i::varchar || ':' || s), 1, 15))::bigint))) as sig
-  from sh where len(shingles) > 0),
+         list_transform(range(0, 16), i -> list_min(list_transform(hs, h ->
+             (2 * i + 1) * h + i * 2654435761))) as sig
+  from h0),
 bands as (
   select doc_id, t.b as band_idx,
          md5(array_to_string(list_transform(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
@@ -841,7 +846,7 @@ with {_DUCK_CORPUS.strip()},
 {_DUCK_TOKS},
 tokh as (
   select doc_id, list_transform(tk, t ->
-      ('0x' || substring(md5(t), 1, 15))::bigint) as hs
+      ('0x' || substring(md5(t), 1, 13))::bigint) as hs
   from toks),
 sim as (
   select doc_id,

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Physical-plan audit: assert the plans we designed for are the plans we got.
+
+Checks, per headline query:
+- broadcast joins where a dimension side exists (no accidental sort-merge
+  of a small side);
+- parquet pushdown (PushedFilters / narrow ReadSchema when projecting);
+- no cartesian products except where the algorithm is all-pairs by design.
+
+Run: python tools/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from restaurant_etl_code_spark import get_spark
+from restaurant_etl_code_spark.plans import QUERIES
+
+EXPECTATIONS: dict[str, dict[str, list[str]]] = {
+    "match_cascade": {
+        "want": ["BroadcastHashJoin"],        # master dim joins broadcast
+        "avoid": ["CartesianProduct"],
+    },
+    "precheck_antijoin": {
+        "want": ["BroadcastHashJoin", "LeftAnti"],
+        "avoid": ["CartesianProduct"],
+    },
+    "template_chunks": {
+        # collect_list agg + window don't codegen; assert the single-shuffle
+        # shape instead (agg and window share the category partitioning)
+        "want": ["ObjectHashAggregate", "Window"],
+        "avoid": ["CartesianProduct"],
+    },
+    "staging_cleanse": {
+        "want": ["*(", "PushedFilters: [IsNotNull"],
+        "avoid": ["Exchange"],                # pure projection: no shuffle at all
+    },
+    "ann_cosine_topk": {
+        "want": ["BroadcastNestedLoopJoin"],  # broadcast query side by design
+        "avoid": [],
+    },
+    "asof_join": {
+        "want": ["BroadcastHashJoin"],
+        "avoid": ["CartesianProduct"],
+    },
+    "topk_per_group": {
+        "want": ["WindowGroupLimit"],         # Spark 3.5+ top-k pushdown
+        "avoid": [],
+    },
+}
+
+
+def main() -> int:
+    names = sys.argv[1:] or sorted(EXPECTATIONS)
+    spark = get_spark("explain-audit", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    sf_dir = "/root/testdata/sf0.01"
+    failures = 0
+    for name in names:
+        df = QUERIES[name].spark(spark, sf_dir)
+        df.count()  # materialize so AQE settles on the final physical plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        exp = EXPECTATIONS.get(name, {})
+        missing = [w for w in exp.get("want", []) if w not in plan]
+        present = [a for a in exp.get("avoid", []) if a in plan]
+        status = "OK " if not missing and not present else "BAD"
+        if status == "BAD":
+            failures += 1
+        print(f"[{status}] {name}: missing={missing} unwanted={present}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
