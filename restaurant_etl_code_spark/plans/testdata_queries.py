@@ -642,6 +642,196 @@ from events group by 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# The full 9-stage pipeline as one plan (SURVEY §3.1 → plans/pipeline.py)
+# --------------------------------------------------------------------------
+
+def _staged_products_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("row_id"),
+        F.col("p_name").alias("product_name"),
+        F.expr(
+            f"case when p_partkey % 3 = 0 then {_upc12_spark('p_partkey')} "
+            f"else concat('X', cast(p_partkey as string)) end"
+        ).alias("article_id"),
+        F.when(F.col("p_size") % 2 == 0, None).otherwise(F.col("p_brand")).alias("brand"),
+        F.when(F.col("p_size") % 3 == 0, None).otherwise(F.col("p_type")).alias("category"),
+        F.when(F.col("p_size") % 5 == 0, None)
+        .otherwise(F.concat(F.lit("S-"), F.col("p_type")))
+        .alias("subcategory"),
+        F.lit(None).cast("string").alias("description"),
+        F.col("p_retailprice").alias("price"),
+        (F.col("p_retailprice") > 1000).alias("is_tax"),
+        (F.col("p_size") - 10).cast("int").alias("quantity"),
+        (F.col("p_partkey") % 25).cast("int").alias("business_account_id"),
+    )
+
+
+def _existing_products_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    return part.select(
+        F.expr(
+            f"case when p_partkey % 3 = 0 then {_upc12_spark('p_partkey')} "
+            f"else concat('X', cast(p_partkey as string)) end"
+        ).alias("article_id"),
+        F.when(F.col("p_partkey") % 14 == 0, F.col("p_retailprice") * 1.1)
+        .otherwise(F.col("p_retailprice"))
+        .alias("price"),
+        F.when(F.col("p_partkey") % 21 == 0, 5.0).otherwise(0.0).alias("tax_percentage"),
+    )
+
+
+def _run_pipeline(spark: SparkSession, sf_dir: str):
+    from restaurant_etl_code_spark.plans.pipeline import catalog_pipeline
+
+    staged = _staged_products_full(spark, sf_dir)
+    existing = _existing_products_full(spark, sf_dir)
+    master = _master_products(spark, sf_dir)
+    business = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("id"), F.col("n_name").alias("name")
+    )
+    return catalog_pipeline(
+        staged,
+        existing,
+        master,
+        business,
+        precheck_keys=["article_id"],
+        upc_col="article_id",
+        name_col="product_name",
+        master_cols={"brand": "master_brand", "description": "master_description"},
+        coalesce_cols=["brand", "description"],
+        name_dedup_order="master_key",
+        business_key="id",
+    )
+
+
+def _q_pipeline_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    products = _run_pipeline(spark, sf_dir)["products"]
+    return products.select(
+        "row_id", "product_name", "match_type", "description",
+        "brand", "category", "subcategory",
+        "tax_slab", "quantity", "embedding", "status",
+    )
+
+
+def _q_pipeline_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_pipeline(spark, sf_dir)["updates"]
+
+
+_DUCK_PIPELINE_BASE = f"""
+staged as (
+  select p_partkey as row_id, p_name as product_name,
+         case when p_partkey % 3 = 0 then {_upc12_duck('p_partkey')}
+              else 'X' || p_partkey::varchar end as article_id,
+         case when p_size % 2 = 0 then null else p_brand end as brand,
+         case when p_size % 3 = 0 then null else p_type end as category,
+         case when p_size % 5 = 0 then null else 'S-' || p_type end as subcategory,
+         null::varchar as description,
+         p_retailprice as price,
+         p_retailprice > 1000 as is_tax,
+         (p_size - 10)::int as quantity,
+         (p_partkey % 25)::int as business_account_id
+  from part),
+existing as (
+  select case when p_partkey % 3 = 0 then {_upc12_duck('p_partkey')}
+              else 'X' || p_partkey::varchar end as article_id,
+         case when p_partkey % 14 = 0 then p_retailprice * 1.1
+              else p_retailprice end as price,
+         case when p_partkey % 21 = 0 then 5.0 else 0.0 end as tax_percentage
+  from part where p_partkey % 7 = 0),
+master as (
+  select p_partkey as master_key,
+         {_upc12_duck('p_partkey')} as upc_code,
+         case when p_partkey % 5 in (0, 1) then p_name else reverse(p_name) end as name,
+         'MB-' || p_brand as master_brand,
+         'MD-' || p_name as master_description
+  from part where p_partkey % 2 = 0),
+master_by_name as (
+  select * from (
+    select trim(name) as mname, master_brand, master_description,
+           row_number() over (partition by trim(name) order by master_key) as rn
+    from master) where rn = 1),
+fresh as (
+  select s.* from staged s
+  where not exists (select 1 from existing e where e.article_id = s.article_id)),
+with_upc as (
+  select f.*, case when f.row_id % 3 = 0 then f.article_id else null end as upc
+  from fresh f),
+upc_joined as (
+  select w.row_id, w.product_name,
+         coalesce(w.brand, m.master_brand) as brand,
+         w.category, w.subcategory,
+         coalesce(w.description, m.master_description) as description,
+         w.price, w.is_tax, w.quantity, w.business_account_id,
+         'upc' as match_type
+  from with_upc w join master m on w.upc = m.upc_code),
+upc_missed as (
+  select w.* from with_upc w
+  where w.upc is null or not exists (select 1 from master m where m.upc_code = w.upc)),
+name_joined as (
+  select u.row_id, u.product_name,
+         coalesce(u.brand, m.master_brand) as brand,
+         u.category, u.subcategory,
+         coalesce(u.description, m.master_description) as description,
+         u.price, u.is_tax, u.quantity, u.business_account_id,
+         'similarity' as match_type
+  from upc_missed u join master_by_name m on trim(u.product_name) = m.mname),
+name_missed as (
+  select u.row_id, u.product_name, u.brand, u.category, u.subcategory,
+         u.description, u.price, u.is_tax, u.quantity, u.business_account_id,
+         'generated' as match_type
+  from upc_missed u
+  where not exists (select 1 from master_by_name m where m.mname = trim(u.product_name))),
+cascade as (
+  select * from upc_joined
+  union all select * from name_joined
+  union all select * from name_missed)
+"""
+
+_ORACLE_PIPELINE_PRODUCTS = f"""
+with {_DUCK_PIPELINE_BASE.strip()},
+enriched as (
+  select c.row_id, c.product_name, c.match_type,
+         coalesce(c.description, c.product_name) as description,
+         coalesce(c.brand, b.name, 'House Special') as brand,
+         coalesce(c.category, 'Others') as category,
+         coalesce(c.subcategory, 'miscellaneous items') as subcategory,
+         c.is_tax, c.quantity
+  from cascade c
+  left join (select n_nationkey::int as id, n_name as name from nation) b
+    on c.business_account_id = b.id),
+embedded as (
+  select *,
+         product_name || '|' || description || '|' || coalesce(brand, '') as content
+  from enriched)
+select row_id, product_name, match_type, description,
+       case when brand is not null then struct_pack(name := brand) end as brand,
+       case when category is not null then struct_pack(name := category) end as category,
+       case when subcategory is not null then struct_pack(name := subcategory) end as subcategory,
+       case when coalesce(is_tax, false) then '{cleansing.TAX_SLAB_TRUE}'
+            else '{cleansing.TAX_SLAB_FALSE}' end as tax_slab,
+       (case when quantity <= 0 then 10 else quantity end)::int as quantity,
+       list_transform(range(0, 8), i ->
+           (('0x' || substring(md5(content || '_' || i::varchar), 1, 15))::bigint
+            % 2000) / 1000.0 - 1.0) as embedding,
+       'success' as status
+from embedded
+"""
+
+_ORACLE_PIPELINE_UPDATES = f"""
+with {_DUCK_PIPELINE_BASE.strip()},
+joined as (
+  select s.article_id, s.price as new_price, e.price as old_price,
+         case when e.price is null or s.price is null then false
+              else e.price != s.price end as price_changed,
+         (coalesce(e.tax_percentage, 0) > 0.0) != coalesce(s.is_tax, false) as tax_changed
+  from staged s join existing e using (article_id))
+select article_id, new_price, old_price, price_changed, tax_changed
+from joined where price_changed or tax_changed
+"""
+
+
 # ==========================================================================
 # Training-data operators over documents/embeddings (SURVEY §2.9 north-star:
 # dedup, similarity search, multimodal columns, text analysis).
@@ -1081,6 +1271,245 @@ from enriched
 )
 
 
+# --------------------------------------------------------------------------
+# Coverage batch: sinks-as-relations, set ops, pivot/cube, running windows,
+# positional zip (J8), URL parse (P14), industry resolve (S11), P11, A5
+# --------------------------------------------------------------------------
+
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7/K8/K9 upsert semantics as a relation (sources/sinks.merge_upsert)."""
+    from restaurant_etl_code_spark.sources.sinks import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    return merge_upsert(orders, updates, ["o_orderkey"])
+
+
+_ORACLE_MERGE_UPSERT = """
+with updates as (
+  select o_orderkey, o_totalprice * 1.1 as o_totalprice, 'U' as o_orderstatus
+  from orders where o_orderkey % 10 = 0)
+select o_orderkey, o_totalprice, o_orderstatus from orders
+where o_orderkey % 10 != 0
+union all
+select * from updates
+"""
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96).withColumn("cohort", F.lit("both"))
+    only95 = y95.exceptAll(y96).withColumn("cohort", F.lit("only_1995"))
+    return both.unionByName(only95)
+
+
+_ORACLE_SET_OPS = """
+with y95 as (select distinct o_custkey from orders where year(o_orderdate) = 1995),
+y96 as (select distinct o_custkey from orders where year(o_orderdate) = 1996)
+select o_custkey, 'both' as cohort from (select o_custkey from y95 intersect select o_custkey from y96)
+union all
+select o_custkey, 'only_1995' as cohort from (select o_custkey from y95 except select o_custkey from y96)
+"""
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+_ORACLE_PIVOT = """
+select user_id,
+       count(*) filter (event_type = 'click') as click,
+       count(*) filter (event_type = 'view') as view,
+       count(*) filter (event_type = 'purchase') as purchase,
+       count(*) filter (event_type = 'signup') as signup,
+       count(*) filter (event_type = 'error') as error
+from events group by user_id
+"""
+
+
+def _q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_ORACLE_CUBE = """
+select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty, count(*) as n
+from lineitem group by cube (l_returnflag, l_linestatus)
+"""
+
+
+def _q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("running_revenue"),
+    )
+
+
+_ORACLE_RUNNING_TOTAL = """
+select o_custkey, o_orderkey,
+       round(sum(o_totalprice::decimal(18,2)) over (
+           partition by o_custkey order by o_orderdate, o_orderkey
+           rows between unbounded preceding and current row)::double, 2)
+         as running_revenue
+from orders
+"""
+
+
+def _q_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: positional zips re-expressed as an explicit row-index equi-join —
+    the engine's replacement for the reference's ``zip(inputs, results)``
+    (batch_processor.py:665,745-749)."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(
+        F.row_number().over(Window.orderBy("p_partkey")).alias("row_index"),
+        "p_name",
+    )
+    prices = part.select(
+        F.row_number().over(Window.orderBy(F.col("p_retailprice"), F.col("p_partkey"))).alias(
+            "row_index"
+        ),
+        "p_retailprice",
+    )
+    return names.join(prices, on="row_index", how="inner")
+
+
+_ORACLE_POSITIONAL_ZIP = """
+with names as (
+  select row_number() over (order by p_partkey) as row_index, p_name from part),
+prices as (
+  select row_number() over (order by p_retailprice, p_partkey) as row_index,
+         p_retailprice from part)
+select row_index, p_name, p_retailprice from names join prices using (row_index)
+"""
+
+
+def _q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: blob-URL → (container, blob) split (reference extraction.py:26-32)."""
+    part = load_table(spark, sf_dir, "part")
+    urls = part.select(
+        F.col("p_partkey").alias("row_id"),
+        F.concat(
+            F.lit("https://acct.blob.core.windows.net/container-"),
+            (F.col("p_partkey") % 5).cast("string"),
+            F.lit("/menus/menu-"),
+            F.col("p_partkey").cast("string"),
+            F.lit(".pdf"),
+        ).alias("blob_url"),
+    )
+    return urls.select(
+        "row_id",
+        F.regexp_extract(F.col("blob_url"), r"^[a-z]+://[^/]+/([^/]+)/", 1).alias("container"),
+        F.regexp_replace(F.col("blob_url"), r"^[a-z]+://[^/]+/[^/]+/", "").alias("blob_name"),
+    )
+
+
+_ORACLE_URL_PARSE = """
+with urls as (
+  select p_partkey as row_id,
+         'https://acct.blob.core.windows.net/container-' || (p_partkey % 5)::varchar ||
+         '/menus/menu-' || p_partkey::varchar || '.pdf' as blob_url
+  from part)
+select row_id,
+       regexp_extract(blob_url, '^[a-z]+://[^/]+/([^/]+)/', 1) as container,
+       regexp_replace(blob_url, '^[a-z]+://[^/]+/[^/]+/', '') as blob_name
+from urls
+"""
+
+
+def _q_industry_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: tiny-dim lookup as a map literal + 'unknown' default
+    (reference business_account_service.py:119-137)."""
+    nation = load_table(spark, sf_dir, "nation")
+    industry_map = F.create_map(
+        F.lit(0), F.lit("grocery"), F.lit(1), F.lit("restaurant")
+    )
+    return nation.select(
+        "n_nationkey",
+        F.coalesce(
+            F.element_at(industry_map, (F.col("n_nationkey") % 3).cast("int")),
+            F.lit("unknown"),
+        ).alias("industry"),
+    )
+
+
+_ORACLE_INDUSTRY = """
+select n_nationkey,
+       case n_nationkey % 3 when 0 then 'grocery' when 1 then 'restaurant'
+            else 'unknown' end as industry
+from nation
+"""
+
+
+def _q_update_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: `{_id, price}` projection — `_id` from primary id else external id,
+    keep rows where both id and price resolve (reference extraction.py:161-206)."""
+    events = load_table(spark, sf_dir, "events")
+    shaped = events.select(
+        F.when(F.col("event_id") % 2 == 0, F.col("event_id").cast("string")).alias("_id"),
+        F.when(F.col("event_id") % 3 == 0, F.concat(F.lit("E"), F.col("event_id").cast("string")))
+        .alias("external_id"),
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("price"),
+    )
+    return shaped.select(
+        F.coalesce(F.col("_id"), F.col("external_id")).alias("_id"), "price"
+    ).filter(F.col("_id").isNotNull() & F.col("price").isNotNull())
+
+
+_ORACLE_UPDATE_FIELDS = """
+with shaped as (
+  select case when event_id % 2 = 0 then event_id::varchar end as _id,
+         case when event_id % 3 = 0 then 'E' || event_id::varchar end as external_id,
+         case when event_id % 5 != 0 then value end as price
+  from events)
+select coalesce(_id, external_id) as _id, price
+from shaped where coalesce(_id, external_id) is not null and price is not null
+"""
+
+
+def _q_distinct_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: distinct category list (reference extract_menu_with_gemini_op.py:118)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.agg(F.array_sort(F.collect_set("p_type")).alias("categories"))
+
+
+_ORACLE_DISTINCT_CATEGORIES = """
+select list(distinct p_type order by p_type) as categories from part
+"""
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -1138,4 +1567,28 @@ QUERIES: dict[str, QueryDef] = {
                                     "binary-column metadata extraction"),
     "contentgen_fallback": QueryDef(_q_contentgen_fallback, _ORACLE_CONTENTGEN,
                                     "U2/U3: deterministic LLM-fallback + mock embedding"),
+    "pipeline_products": QueryDef(_q_pipeline_products, _ORACLE_PIPELINE_PRODUCTS,
+                                  "full 9-stage pipeline: cascade→enrich→shape (§3.1)"),
+    "pipeline_updates": QueryDef(_q_pipeline_updates, _ORACLE_PIPELINE_UPDATES,
+                                 "pipeline side-output: K9 change-detect updates"),
+    "merge_upsert": QueryDef(_q_merge_upsert, _ORACLE_MERGE_UPSERT,
+                             "K7/K8/K9: MERGE upsert semantics as a relation"),
+    "set_ops": QueryDef(_q_set_ops, _ORACLE_SET_OPS,
+                        "intersect/except cohort analysis"),
+    "pivot_counts": QueryDef(_q_pivot_counts, _ORACLE_PIVOT,
+                             "pivot event counts per user"),
+    "cube_pricing": QueryDef(_q_cube_pricing, _ORACLE_CUBE,
+                             "cube grouping sets"),
+    "running_total": QueryDef(_q_running_total, _ORACLE_RUNNING_TOTAL,
+                              "running revenue window (exact-decimal)"),
+    "positional_zip": QueryDef(_q_positional_zip, _ORACLE_POSITIONAL_ZIP,
+                               "J8: positional zip as explicit row-index join"),
+    "url_parse": QueryDef(_q_url_parse, _ORACLE_URL_PARSE,
+                          "P14: blob URL -> container/blob split"),
+    "industry_resolve": QueryDef(_q_industry_resolve, _ORACLE_INDUSTRY,
+                                 "S11: tiny-dim map-literal lookup with default"),
+    "update_fields": QueryDef(_q_update_fields, _ORACLE_UPDATE_FIELDS,
+                              "P11: update-fields projection with id coalesce"),
+    "distinct_categories": QueryDef(_q_distinct_categories, _ORACLE_DISTINCT_CATEGORIES,
+                                    "A5: distinct category list"),
 }
