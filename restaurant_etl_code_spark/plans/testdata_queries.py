@@ -643,6 +643,85 @@ from events group by 1, 2
 
 
 # --------------------------------------------------------------------------
+# Streaming twins run for real (SURVEY §2.8): the SAME logical queries as
+# their batch counterparts, executed through Structured Streaming
+# (file-arrival source → watermarked agg / stateful dedup → AvailableNow)
+# and oracle-checked against the identical DuckDB SQL. State is keyed and
+# checkpointed — at 100 TB it shards across executors by shuffle partition.
+# --------------------------------------------------------------------------
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """Streaming scan of the events table with the same TIMESTAMP(NANOS)
+    normalization as the batch reader (sources/readers.py)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = _os.path.join(sf_dir, "events.parquet")
+    # The file streaming source requires a DIRECTORY (it tails new arrivals);
+    # the driver testdata is a single read-only file, so stage a landing dir
+    # with a symlink — zero copy, testdata untouched.
+    landing = _tempfile.mkdtemp(prefix="landing_events_")
+    _os.symlink(path, _os.path.join(landing, "events-000.parquet"))
+    raw = spark.read.parquet(path)
+    stream = spark.readStream.schema(raw.schema).parquet(landing)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_stream(spark: SparkSession, streamed: DataFrame, mode: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from restaurant_etl_code_spark.streaming import run_available_now
+
+    name = "stream_q_" + uuid.uuid4().hex[:8]
+    run_available_now(
+        streamed, tempfile.mkdtemp(prefix="ckpt_"), query_name=name, output_mode=mode
+    )
+    return spark.table(name)
+
+
+def _q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+§2.8: watermarked tumbling-window agg executed as a real stream;
+    oracle = the batch tumbling-window SQL (same logical query)."""
+    from restaurant_etl_code_spark.streaming import windowed_event_counts
+
+    return _run_stream(spark, windowed_event_counts(_events_stream(spark, sf_dir)),
+                       "complete")
+
+
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful first-seen dedup (applyInPandasWithState) as a real stream;
+    projected to the key so the result is deterministic: oracle = DISTINCT."""
+    from restaurant_etl_code_spark.streaming import streaming_dedup
+
+    deduped = streaming_dedup(_events_stream(spark, sf_dir), ["event_type"])
+    return _run_stream(spark, deduped.select("event_type"), "append")
+
+
+def _q_streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key lifetime totals via checkpointed state (A8 restated as
+    streaming); one source file → one micro-batch → final totals, so the
+    oracle is a plain GROUP BY."""
+    from restaurant_etl_code_spark.streaming import running_key_stats
+
+    stats = running_key_stats(_events_stream(spark, sf_dir), "user_id", "value")
+    return _run_stream(spark, stats, "update")
+
+
+_ORACLE_STREAMING_DEDUP = """
+select distinct event_type from events
+"""
+
+_ORACLE_STREAMING_STATS = """
+select user_id, count(*) as n_total, round(sum(value), 4) as value_total
+from events group by user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # The full 9-stage pipeline as one plan (SURVEY §3.1 → plans/pipeline.py)
 # --------------------------------------------------------------------------
 
@@ -1545,6 +1624,12 @@ QUERIES: dict[str, QueryDef] = {
                           "as-of join: latest order at event time"),
     "tumbling_window": QueryDef(_q_tumbling_window, _ORACLE_TUMBLING,
                                 "event-time tumbling window agg (batch twin)"),
+    "streaming_window": QueryDef(_q_streaming_window, _ORACLE_TUMBLING,
+                                 "watermarked tumbling window via readStream+AvailableNow"),
+    "streaming_dedup": QueryDef(_q_streaming_dedup, _ORACLE_STREAMING_DEDUP,
+                                "stateful first-seen dedup (applyInPandasWithState)"),
+    "streaming_running_stats": QueryDef(_q_streaming_running_stats, _ORACLE_STREAMING_STATS,
+                                        "checkpointed per-key lifetime totals (A8)"),
     "text_quality": QueryDef(_q_text_quality, _ORACLE_TEXT_QUALITY,
                              "token stats + quality score + fingerprint"),
     "lang_id": QueryDef(_q_lang_id, _ORACLE_LANG_ID,

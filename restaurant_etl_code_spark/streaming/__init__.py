@@ -5,3 +5,7 @@ from restaurant_etl_code_spark.streaming.jobs import (  # noqa: F401
     run_available_now,
     foreach_batch_upsert,
 )
+from restaurant_etl_code_spark.streaming.stateful import (  # noqa: F401
+    streaming_dedup,
+    running_key_stats,
+)

@@ -1,0 +1,105 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The reference accumulates cross-batch state imperatively: ``ETLStatistics.
+add_batch_result`` sums counters across batches in driver memory
+(``beforeaddingtemplatecreation/models/product_models.py:155-202``) and the
+stage-0 precheck suppresses rows already seen in the backend
+(``repository/ops/services/batch_processor.py:367-404``). Both are
+re-expressed here as *checkpointed streaming state* so they survive restarts
+and scale horizontally: state lives in the state store, partitioned by key
+across executors — not in one driver object.
+
+At 100 TB the state store is the bottleneck surface: state is keyed, so
+partition count (``spark.sql.shuffle.partitions``) bounds per-task state;
+first-seen dedup keeps ONE boolean per key (the smallest possible state —
+no row payload retained), and running stats keep two doubles per key.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dedup(stream: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Cross-batch first-seen deduplication: emit each key's first arriving
+    row ONCE across the entire lifetime of the stream (state checkpointed —
+    a restart does not re-emit). The streaming twin of batch
+    ``dropDuplicates`` (J1) and the stage-0 precheck anti-join (J2): the
+    "existing products" set is streaming state instead of a backend table.
+
+    State per key: a single marker row (no payload). Output: the input
+    schema, append mode.
+    """
+    out_schema = stream.schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def dedup_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        already_seen = state.exists
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if first is None and len(pdf) > 0:
+                first = pdf.iloc[[0]]
+        if not already_seen:
+            state.update((True,))
+            if first is not None:
+                yield first
+
+    return (
+        stream.groupBy(*key_cols)
+        .applyInPandasWithState(
+            dedup_fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def running_key_stats(
+    stream: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-key cumulative (count, sum) across all micro-batches — the
+    streaming restatement of ``ETLStatistics`` global accumulation (A8):
+    each batch emits the updated lifetime totals for the keys it touched.
+
+    State per key: two doubles. Output mode: update (late keys re-emit
+    their new totals).
+    """
+    out_schema = T.StructType(
+        [
+            stream.schema[key_col],
+            T.StructField("n_total", T.LongType()),
+            T.StructField("value_total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+    )
+
+    def stats_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            col = pd.to_numeric(pdf[value_col], errors="coerce").fillna(0.0)
+            n += int(col.notna().sum())
+            s += float(col.sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_total": [n], "value_total": [round(s, 4)]}
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            stats_fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

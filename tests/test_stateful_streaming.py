@@ -1,0 +1,93 @@
+"""applyInPandasWithState operators: cross-batch dedup + running stats.
+
+The load-bearing property is that state is CHECKPOINTED: a second
+AvailableNow run over newly-arrived files (same checkpoint dir) must see the
+first run's state — keys already emitted stay suppressed, totals keep
+accumulating. That is what distinguishes these from per-batch pandas ops.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.streaming import (
+    file_arrival_stream,
+    running_key_stats,
+    run_available_now,
+    streaming_dedup,
+)
+
+
+def _write_batch(spark, path, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run(spark, landing, ckpt, op, name, mode="append"):
+    # foreachBatch sink: the memory sink cannot recover from a checkpoint,
+    # and checkpoint recovery is exactly what these tests exercise.
+    schema = spark.read.parquet(landing).schema
+    stream = file_arrival_stream(spark, landing, schema)
+    rows = []
+
+    def collect_batch(batch_df, epoch_id):
+        rows.extend(batch_df.collect())
+
+    q = (
+        op(stream)
+        .writeStream.outputMode(mode)
+        .foreachBatch(collect_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
+def test_streaming_dedup_within_and_across_batches(spark, tmp_path):
+    landing, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    schema = "k string, v int"
+
+    _write_batch(spark, landing, [("a", 1), ("a", 2), ("b", 3)], schema)
+    first = _run(spark, landing, ckpt, lambda s: streaming_dedup(s, ["k"]), "dedup1")
+    assert sorted(r["k"] for r in first) == ["a", "b"]
+
+    # New arrivals: duplicate key "b" must stay suppressed after restart.
+    _write_batch(spark, landing, [("b", 4), ("c", 5)], schema)
+    second = _run(spark, landing, ckpt, lambda s: streaming_dedup(s, ["k"]), "dedup2")
+    assert [r["k"] for r in second] == ["c"]
+
+
+def test_running_key_stats_accumulates_across_restarts(spark, tmp_path):
+    landing, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    schema = "k string, v double"
+
+    _write_batch(spark, landing, [("a", 1.0), ("a", 2.0), ("b", 3.0)], schema)
+    op = lambda s: running_key_stats(s, "k", "v")  # noqa: E731
+    first = {r["k"]: (r["n_total"], r["value_total"]) for r in
+             _run(spark, landing, ckpt, op, "stats1", mode="update")}
+    assert first == {"a": (2, 3.0), "b": (1, 3.0)}
+
+    # Restart with more data: totals continue from checkpointed state, and
+    # untouched keys ("b") do not re-emit in update mode.
+    _write_batch(spark, landing, [("a", 4.0)], schema)
+    second = {r["k"]: (r["n_total"], r["value_total"]) for r in
+              _run(spark, landing, ckpt, op, "stats2", mode="update")}
+    assert second == {"a": (3, 7.0)}
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
+    """Oracle property: the deduped key set equals batch DISTINCT."""
+    from restaurant_etl_code_spark.sources import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(300)
+    landing, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    events.write.parquet(landing)
+    got = _run(
+        spark, landing, ckpt,
+        lambda s: streaming_dedup(s, ["event_type"]).select("event_type"),
+        "dedup_ev",
+    )
+    want = {r["event_type"] for r in events.select("event_type").distinct().collect()}
+    assert {r["event_type"] for r in got} == want
