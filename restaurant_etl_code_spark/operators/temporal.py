@@ -12,7 +12,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["as_of_join", "sessionize", "tumbling_window_agg"]
+__all__ = ["as_of_join", "range_join", "sessionize", "tumbling_window_agg"]
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bin_width: float,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Interval (range) join: each left row pairs with every right interval
+    containing its point — ``right_start <= left_point < right_end``
+    (half-open). Works for numeric domains; cast timestamps to epoch
+    seconds first.
+
+    Scale path: Spark's naive plan for a pure range predicate is a nested-
+    loop join (O(n·m) — unusable at 100 TB). Binning the domain converts it
+    to an equi-join: each right interval explodes to its covering bins
+    (``ceil(span/bin_width)+1`` rows), each left row hashes to exactly one
+    bin, and the exact predicate refines after the hash join. Left rows are
+    never duplicated (one bin each), so no dedup pass is needed. Shuffle
+    key is (bin, *on); pick ``bin_width`` near the typical interval span so
+    the explode factor stays ~2-3×.
+    """
+    on = on or []
+    lbin = F.floor(F.col(left_point) / F.lit(bin_width))
+    rbins = F.sequence(
+        F.floor(F.col(right_start) / F.lit(bin_width)),
+        F.floor(F.col(right_end) / F.lit(bin_width)),
+    )
+    r = right.withColumn("__bin", F.explode(rbins))
+    l = left.withColumn("__bin", lbin)
+    cond = (F.col(left_point) >= F.col(right_start)) & (
+        F.col(left_point) < F.col(right_end)
+    )
+    return l.join(r, ["__bin", *on]).filter(cond).drop("__bin")
 
 
 def as_of_join(

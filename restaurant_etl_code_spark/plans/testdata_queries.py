@@ -26,7 +26,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from restaurant_etl_code_spark.functions import cleansing, text as Ftext
@@ -1589,6 +1589,150 @@ select list(distinct p_type order by p_type) as categories from part
 """
 
 
+# --------------------------------------------------------------------------
+# §2.9 taxonomy coverage: range join, window analytics, grouping sets,
+# global top-n, exact quantiles, approximate aggregates
+# --------------------------------------------------------------------------
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via the binned equi-join scale path (operators/
+    temporal.range_join): events matched to overlapping value bands derived
+    from the nation dim (each value hits ≤2 of the 25 bands)."""
+    events = load_table(spark, sf_dir, "events")
+    bands = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 15.0).alias("lo"),
+        (F.col("n_nationkey") * 15.0 + 30.0).alias("hi"),
+    )
+    out = temporal.range_join(
+        events.select("event_id", "value"), bands,
+        left_point="value", right_start="lo", right_end="hi", bin_width=15.0,
+    )
+    return out.select("event_id", "band_id")
+
+
+_ORACLE_RANGE_JOIN = """
+select e.event_id, n.n_nationkey as band_id
+from events e
+join nation n on e.value >= n.n_nationkey * 15.0
+             and e.value <  n.n_nationkey * 15.0 + 30.0
+"""
+
+
+def _q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (lead/lag/ntile/percent_rank/cume_dist)
+    over a total order (price, orderkey) so every value is deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_ORACLE_WINDOW_ANALYTICS = """
+select o_orderkey, o_orderpriority,
+       round(lag(o_totalprice) over w, 2) as prev_price,
+       round(lead(o_totalprice) over w, 2) as next_price,
+       ntile(4) over w as quartile,
+       round(percent_rank() over w, 6) as pct_rank,
+       round(cume_dist() over w, 6) as cume
+from orders
+window w as (partition by o_orderpriority order by o_totalprice, o_orderkey)
+"""
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) with a dialect-portable
+    grouping id (grouping(a)*2 + grouping(b))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+select l_returnflag, l_linestatus,
+       grouping(l_returnflag) * 2 + grouping(l_linestatus) as gid,
+       round(sum(l_quantity), 4) as sum_qty,
+       round(sum(l_extendedprice::decimal(18,2))::double, 2) as sum_price,
+       count(*) as n
+from lineitem
+group by grouping sets ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def _q_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit. Physical plan is TakeOrderedAndProject: per-
+    partition top-100 then a single 100-row driver merge — no full sort,
+    no full shuffle, scale-safe at any row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+_ORACLE_GLOBAL_TOPN = """
+select o_orderkey, o_custkey, round(o_totalprice, 2) as price
+from orders order by o_totalprice desc, o_orderkey limit 100
+"""
+
+
+def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (percentile ≡ DuckDB
+    quantile_cont)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.9D)),"
+            " x -> round(x, 4))"
+        ).alias("qtiles"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias("median_price"),
+    )
+
+
+_ORACLE_QUANTILES = """
+select l_returnflag,
+       list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]),
+                      x -> round(x, 4)) as qtiles,
+       round(quantile_cont(l_extendedprice, 0.5), 4) as median_price
+from lineitem group by l_returnflag
+"""
+
+
+def _q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — HLL distinct + t-digest-style quantile.
+    Inherently engine-specific estimates, so no value oracle (driver
+    records the weaker rows-only check); the exact twins above are the
+    correctness anchor. At 100 TB these replace exact distinct/percentile
+    where a shuffle of all distinct values would dominate the job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("nd_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -1622,6 +1766,18 @@ QUERIES: dict[str, QueryDef] = {
                            "gap-based sessionization (lag + cumsum)"),
     "asof_join": QueryDef(_q_asof_join, _ORACLE_ASOF,
                           "as-of join: latest order at event time"),
+    "range_join": QueryDef(_q_range_join, _ORACLE_RANGE_JOIN,
+                           "interval join via binned equi-join (scale path)"),
+    "window_analytics": QueryDef(_q_window_analytics, _ORACLE_WINDOW_ANALYTICS,
+                                 "lead/lag/ntile/percent_rank/cume_dist"),
+    "grouping_sets": QueryDef(_q_grouping_sets, _ORACLE_GROUPING_SETS,
+                              "explicit GROUPING SETS with grouping id"),
+    "global_topn": QueryDef(_q_global_topn, _ORACLE_GLOBAL_TOPN,
+                            "global sort+limit (TakeOrderedAndProject)"),
+    "quantiles": QueryDef(_q_quantiles, _ORACLE_QUANTILES,
+                          "exact interpolated quantiles per group"),
+    "approx_aggs": QueryDef(_q_approx_aggs, None,
+                            "HLL distinct + approx quantile (rows-only check)"),
     "tumbling_window": QueryDef(_q_tumbling_window, _ORACLE_TUMBLING,
                                 "event-time tumbling window agg (batch twin)"),
     "streaming_window": QueryDef(_q_streaming_window, _ORACLE_TUMBLING,

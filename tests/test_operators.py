@@ -160,3 +160,28 @@ def test_batch_id_is_order_stable(spark):
     out = stats.with_batch_id(df, "event_id", batch_size=10)
     got = {r["event_id"]: r["batch_id"] for r in out.collect()}
     assert got[0] == 0 and got[9] == 0 and got[10] == 1 and got[24] == 2
+
+
+def test_range_join_half_open_and_multibin(spark):
+    # Interval [10, 40) spans bins 1..4 at width 10; points prove the
+    # half-open bounds and that multi-bin intervals don't duplicate pairs.
+    left = spark.createDataFrame(
+        [(1, 9.9), (2, 10.0), (3, 25.0), (4, 39.9), (5, 40.0)], "id int, x double"
+    )
+    right = spark.createDataFrame([(100, 10.0, 40.0), (200, 30.0, 50.0)],
+                                  "iv int, lo double, hi double")
+    out = temporal.range_join(
+        left, right, left_point="x", right_start="lo", right_end="hi", bin_width=10.0
+    )
+    got = sorted((r["id"], r["iv"]) for r in out.collect())
+    assert got == [(2, 100), (3, 100), (4, 100), (4, 200), (5, 200)]
+
+
+def test_range_join_with_equi_key(spark):
+    left = spark.createDataFrame([(1, "a", 5.0), (2, "b", 5.0)], "id int, k string, x double")
+    right = spark.createDataFrame([("a", 0.0, 10.0)], "k string, lo double, hi double")
+    out = temporal.range_join(
+        left, right, left_point="x", right_start="lo", right_end="hi",
+        bin_width=10.0, on=["k"],
+    )
+    assert [r["id"] for r in out.collect()] == [1]
