@@ -51,6 +51,14 @@ BENCH_QUERIES = [
     "ann_bucketed_topk",
     "contentgen_fallback",
     "multimodal_features",
+    "range_join",
+    "window_analytics",
+    "grouping_sets",
+    "global_topn",
+    "quantiles",
+    "pipeline_products",
+    "streaming_window",
+    "streaming_dedup",
 ]
 
 

@@ -93,6 +93,30 @@ class MockImageSearchBackend:
         return out
 
 
+class MockImageRehostBackend:
+    """U5 mock: re-host an external image URL onto blob storage
+    (reference batch_processor.py:883-915 — ``upload_image_from_url``
+    returns the new blob URL, which overwrites ``image_url``). The mock maps
+    deterministically to a blob path; rows without a source URL pass through
+    unchanged (the reference returns None and keeps the original)."""
+
+    def __init__(self, folder_name: str = "product-images"):
+        self.folder_name = folder_name
+
+    def process_batch(self, rows: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        out = []
+        for r in rows:
+            # input column is "source_url" (enrich() appends output columns,
+            # so the rehosted "image_url" must not collide with its input)
+            src = r.get("source_url") or r.get("image_url")
+            if src:
+                digest = hashlib.md5(src.encode()).hexdigest()[:12]
+                out.append({"image_url": f"blob://{self.folder_name}/{digest}"})
+            else:
+                out.append({"image_url": None})
+        return out
+
+
 class FlakyBackend:
     """Test wrapper: fail the first ``fail_times`` calls, then delegate —
     exercises the retry/backoff/fallback paths."""

@@ -121,3 +121,22 @@ def test_image_search_tiers(spark):
     assert got[2] == ("img://brand/BrandX/p2", 80)
     assert got[3] == ("img://name/p3", 60)
     assert got[4] == ("img://generic/default", 0)
+
+
+def test_image_rehost_overwrites_url(spark):
+    df = spark.createDataFrame(
+        [(1, "img://upc/036000291452"), (2, None)], "row_id int, source_url string"
+    )
+    out = enrich(
+        df.coalesce(1),
+        backends.MockImageRehostBackend,
+        [T.StructField("image_url", T.StringType(), True)],
+        lambda r: {"image_url": r.get("source_url")},
+    ).collect()
+    got = {r["row_id"]: r["image_url"] for r in out}
+    assert got[1].startswith("blob://product-images/") and got[2] is None
+    # deterministic across runs/executors (md5, not process-seeded hash())
+    again = backends.MockImageRehostBackend().process_batch(
+        [{"image_url": "img://upc/036000291452"}]
+    )[0]["image_url"]
+    assert got[1] == again

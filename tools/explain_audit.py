@@ -51,6 +51,20 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["WindowGroupLimit"],         # Spark 3.5+ top-k pushdown
         "avoid": [],
     },
+    "range_join": {
+        # binned interval join: hash join on the bin, NEVER a nested loop
+        "want": ["BroadcastHashJoin"],
+        "avoid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    },
+    "global_topn": {
+        # per-partition top-N + driver merge; no global sort-exchange
+        "want": ["TakeOrderedAndProject"],
+        "avoid": ["Sort ["],
+    },
+    "grouping_sets": {
+        "want": ["Expand", "HashAggregate"],
+        "avoid": ["CartesianProduct"],
+    },
 }
 
 
