@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "contentgen_fallback",
     "multimodal_features",
     "range_join",
+    "ann_ivf_topk",
+    "salted_join_agg",
     "window_analytics",
     "grouping_sets",
     "global_topn",

@@ -3,6 +3,7 @@ from restaurant_etl_code_spark.operators import (  # noqa: F401
     dedup,
     matching,
     similarity,
+    skew,
     stats,
     temporal,
 )

@@ -26,7 +26,14 @@ from pyspark.sql import functions as F
 
 from restaurant_etl_code_spark.functions import vectors as V
 
-__all__ = ["cosine_topk", "bucketed_cosine_topk", "embedding_near_dup_pairs"]
+__all__ = [
+    "cosine_topk",
+    "bucketed_cosine_topk",
+    "embedding_near_dup_pairs",
+    "centroids_by_id",
+    "fit_centroids_kmeans",
+    "ivf_topk",
+]
 
 
 def _ranked(scored: DataFrame, k: int, min_score: float | None) -> DataFrame:
@@ -132,3 +139,102 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the other classic scale path besides LSH
+# --------------------------------------------------------------------------
+
+def centroids_by_id(corpus: DataFrame, *, n: int, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse quantizer for oracle-checked runs: the first
+    ``n`` corpus vectors by id become the centroids. Quality is that of
+    random selection (fine for plumbing correctness; recall is exact anyway
+    whenever ``nprobe`` covers all lists)."""
+    w = Window.orderBy(F.col(id_col))
+    return (
+        corpus.select(id_col, vec_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .select((F.col("__rn") - 1).alias("centroid_id"), F.col(vec_col).alias("centroid"))
+    )
+
+
+def fit_centroids_kmeans(corpus: DataFrame, *, n: int, vec_col: str = "embedding",
+                         seed: int = 42, max_iter: int = 10) -> DataFrame:
+    """Production coarse quantizer: seeded k-means (Spark ML) over the
+    corpus. Returns the same (centroid_id, centroid) shape as
+    ``centroids_by_id`` so the two are interchangeable."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n, seed=seed, maxIter=max_iter).fit(feats)
+    spark = corpus.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
+
+
+def _assign_lists(df: DataFrame, centroids: DataFrame, *, id_alias: str,
+                  vec_alias: str, nprobe: int) -> DataFrame:
+    """Nearest-``nprobe`` centroid ids per vector. Centroids are tiny and
+    broadcast; ranking by (distance, centroid_id) keeps ties deterministic.
+    Distance is squared L2 (monotone with L2 — no sqrt needed)."""
+    d = F.aggregate(
+        F.zip_with(F.col(vec_alias), F.col("centroid"),
+                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_alias).orderBy(F.round(d, 9).asc(), F.col("centroid_id"))
+    return (
+        df.join(F.broadcast(centroids), F.lit(True))
+        .withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= nprobe)
+        .drop("centroid", "__crank")
+        .withColumnRenamed("centroid_id", "list_id")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 3,
+    nprobe: int = 2,
+    min_score: float | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF ANN: corpus vectors are assigned to their nearest centroid
+    (inverted lists); each query probes its ``nprobe`` nearest lists and
+    scores only those. The scoring join is an EQUI-join on ``list_id`` —
+    both sides shuffle on the list key, partitions are bounded by list
+    size, nothing is broadcast but the centroid table.
+
+    100 TB shape: corpus assignment is computed once and persisted
+    partitioned by ``list_id`` (a write-time index); queries then touch
+    ``nprobe/n_centroids`` of the data. With ``nprobe >= n_centroids`` the
+    result is EXACT brute-force top-k (the oracle-checked configuration)."""
+    c = _assign_lists(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                      F.col(corpus_vec).alias("__cv")),
+        centroids, id_alias="neighbor_id", vec_alias="__cv", nprobe=1,
+    )
+    q = _assign_lists(
+        queries.select(F.col(query_id).alias("query_id"),
+                       F.col(query_vec).alias("__qv")),
+        centroids, id_alias="query_id", vec_alias="__qv", nprobe=nprobe,
+    )
+    scored = q.join(c, on="list_id")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(V.cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+    )
+    return _ranked(scored, k, min_score)

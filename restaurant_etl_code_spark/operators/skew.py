@@ -1,0 +1,82 @@
+"""Skew mitigation: salted join and salted aggregation.
+
+AQE's skew-join handling (enabled in session.py) splits oversized
+sort-merge partitions at runtime, but only for joins it plans as sort-merge
+and only after a stage materializes. Salting is the *declared* cure when a
+key's row count is pathological by construction (the reference's analog: a
+single business_account owning most rows). These operators produce results
+IDENTICAL to their unsalted forms — the salt exists only in the physical
+shuffle — which is what makes them oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join", "salted_agg"]
+
+
+def _row_salt(df: DataFrame, buckets: int) -> F.Column:
+    """Deterministic per-row salt independent of the join key: hash of ALL
+    columns. Rows of one hot key spread across ``buckets`` shuffle
+    partitions; identical full rows co-locate (harmless)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big`` has skewed join keys: the big side gets a
+    per-row salt, the small side is replicated ``buckets`` times (explode),
+    and the join runs on (keys..., salt). A hot key's rows now hash to
+    ``buckets`` different reducers instead of one. Cost: small side ×
+    buckets — keep ``buckets`` ≲ 32 and the small side dimension-sized.
+
+    Result is exactly ``big.join(small, on, how)``.
+    """
+    b = big.withColumn("__salt", _row_salt(big, buckets))
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    return b.join(s, [*on, "__salt"], how).drop("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    *,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial agg on
+    (keys..., salt) — hot keys split across reducers — then final agg on
+    keys. Supports algebraic aggregates (sum/count/min/max); ``aggs`` maps
+    output column → "fn(input)". Spark's hash aggregate already does
+    map-side partials, so this matters when the *reduce* side of one key
+    exceeds an executor (e.g. giant collect-heavy groups) — for plain sums
+    it is semantically a no-op, which keeps it oracle-checkable.
+    """
+    fn_first = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
+    partial_exprs, final_exprs = [], []
+    for out, spec in aggs.items():
+        fn, _, col = spec.partition("(")
+        col = col.rstrip(")")
+        if fn not in fn_first:
+            raise ValueError(f"salted_agg supports {sorted(fn_first)}, got {fn!r}")
+        partial_exprs.append(F.expr(f"{fn}({col})").alias(f"__p_{out}"))
+        refn = "sum" if fn == "count" else fn
+        final_exprs.append(F.expr(f"{refn}(__p_{out})").alias(out))
+    salt = _row_salt(df, buckets)
+    return (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*partial_exprs)
+        .groupBy(*keys)
+        .agg(*final_exprs)
+    )

@@ -1194,6 +1194,19 @@ where rank <= 3
 """
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe = n_lists (full probe): the inverted-list
+    plumbing (centroid assignment → equi-join on list_id → rank) must
+    reproduce brute-force top-k EXACTLY, so the oracle is the same SQL as
+    ann_cosine_topk. The production path swaps in fit_centroids_kmeans and
+    nprobe < n_lists (tested in tests/test_dedup_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.centroids_by_id(emb, n=8)
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, cents, k=3, nprobe=8
+    )
+
+
 def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.bucketed_cosine_topk(
@@ -1719,6 +1732,36 @@ from lineitem group by l_returnflag
 """
 
 
+def _q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated plan: lineitem's 3-value l_returnflag is the
+    pathological join/group key; the salted join spreads each hot key over
+    8 reducers and the salted agg does the same for the group-by. The salt
+    lives only in the physical shuffle — results are identical to the
+    plain forms, which is exactly what the oracle asserts."""
+    from restaurant_etl_code_spark.operators import skew
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    dim = load_table(spark, sf_dir, "lineitem").select("l_returnflag").distinct().select(
+        "l_returnflag", F.upper(F.col("l_returnflag")).alias("flag_desc")
+    )
+    joined = skew.salted_join(li, dim, ["l_returnflag"])
+    return skew.salted_agg(
+        joined,
+        ["l_returnflag", "flag_desc"],
+        {"n": "count(l_quantity)", "sum_qty": "sum(l_quantity)"},
+    ).withColumn("sum_qty", F.round("sum_qty", 4))
+
+
+_ORACLE_SALTED = """
+select l.l_returnflag, upper(l.l_returnflag) as flag_desc,
+       count(l_quantity) as n, round(sum(l_quantity), 4) as sum_qty
+from lineitem l
+group by 1, 2
+"""
+
+
 def _q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — HLL distinct + t-digest-style quantile.
     Inherently engine-specific estimates, so no value oracle (driver
@@ -1778,6 +1821,8 @@ QUERIES: dict[str, QueryDef] = {
                           "exact interpolated quantiles per group"),
     "approx_aggs": QueryDef(_q_approx_aggs, None,
                             "HLL distinct + approx quantile (rows-only check)"),
+    "salted_join_agg": QueryDef(_q_salted_join_agg, _ORACLE_SALTED,
+                                "skew-salted join + two-phase agg (≡ plain)"),
     "tumbling_window": QueryDef(_q_tumbling_window, _ORACLE_TUMBLING,
                                 "event-time tumbling window agg (batch twin)"),
     "streaming_window": QueryDef(_q_streaming_window, _ORACLE_TUMBLING,
@@ -1802,6 +1847,8 @@ QUERIES: dict[str, QueryDef] = {
                                 "brute-force cosine top-3 neighbors"),
     "ann_bucketed_topk": QueryDef(_q_ann_bucketed, _ORACLE_ANN_BUCKETED,
                                   "sign-LSH-bucketed approximate top-3"),
+    "ann_ivf_topk": QueryDef(_q_ann_ivf, _ORACLE_ANN_TOPK,
+                             "IVF inverted-list ANN (full probe ≡ exact)"),
     "embedding_near_dup": QueryDef(_q_embedding_near_dup, _ORACLE_EMB_NEAR_DUP,
                                    "embedding-cosine near-dup pairs"),
     "multimodal_features": QueryDef(_q_multimodal_features, _ORACLE_MULTIMODAL,

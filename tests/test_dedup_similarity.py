@@ -85,3 +85,34 @@ def test_bucketed_ann_recall_tradeoff(spark):
     )
     got = {r["neighbor_id"] for r in out.collect()}
     assert got == {2}
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """nprobe covering every list ⇒ IVF must reproduce brute-force top-k."""
+    from restaurant_etl_code_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.centroids_by_id(emb, n=4)
+    ivf = similarity.ivf_topk(queries, emb, cents, k=3, nprobe=4)
+    exact = similarity.cosine_topk(queries, emb, k=3)
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["score"])  # noqa: E731
+    assert sorted(map(key, ivf.collect())) == sorted(map(key, exact.collect()))
+
+
+def test_ivf_kmeans_partial_probe(spark):
+    """Production shape: seeded k-means centroids, nprobe < n_lists.
+    Results are a per-query top-k over a restricted candidate set — ≤ k
+    rows per query, all drawn from the corpus, ranks contiguous from 1."""
+    from restaurant_etl_code_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.fit_centroids_kmeans(emb, n=4, seed=42)
+    out = similarity.ivf_topk(queries, emb, cents, k=3, nprobe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3

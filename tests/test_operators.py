@@ -185,3 +185,30 @@ def test_range_join_with_equi_key(spark):
         bin_width=10.0, on=["k"],
     )
     assert [r["id"] for r in out.collect()] == [1]
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(200)], "id int, k string"
+    )
+    small = spark.createDataFrame([("hot", 1.0), ("cold", 2.0)], "k string, w double")
+    from restaurant_etl_code_spark.operators import skew
+
+    salted = {(r["id"], r["w"]) for r in skew.salted_join(big, small, ["k"]).collect()}
+    plain = {(r["id"], r["w"]) for r in big.join(small, ["k"]).collect()}
+    assert salted == plain and len(salted) == 200
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    from restaurant_etl_code_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)] + [("b", 1.0)], "k string, v double"
+    )
+    out = {
+        r["k"]: (r["n"], r["total"], r["lo"])
+        for r in skew.salted_agg(
+            df, ["k"], {"n": "count(v)", "total": "sum(v)", "lo": "min(v)"}
+        ).collect()
+    }
+    assert out == {"a": (100, 4950.0, 0.0), "b": (1, 1.0, 1.0)}
