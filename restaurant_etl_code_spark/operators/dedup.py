@@ -277,26 +277,39 @@ def ngram_jaccard_pairs(
 
     This is the exact counterpart MinHash+LSH approximates; at 100 TB run
     LSH first and this only on the candidate pairs.
+
+    Physical notes: the shingling stage (Arrow mapInPandas) feeds three
+    consumers (sizes + both self-join sides) — persist so it runs once.
+    The inverted-index join shuffles ``xxhash64(shingle)`` (8 bytes)
+    instead of the shingle text; a false intersection needs a 64-bit
+    collision (~1e-10 at 1e5 distinct shingles — below any oracle's
+    noticing, and irrelevant next to LSH's by-design approximation).
     """
-    shingled = shingle_rows(df, id_col, text_col, shingle_n)
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    w = Window.partitionBy(id_col)
+    shingled = (
+        shingle_rows(df, id_col, text_col, shingle_n)
+        .withColumn("__sh", F.xxhash64("shingle"))
+        .drop("shingle")
+        .withColumn("set_size", F.count(F.lit(1)).over(w))
+        .persist()
+    )
     a = shingled.alias("a")
     b = shingled.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first(F.col("a.set_size")).alias("size_a"),
+            F.first(F.col("b.set_size")).alias("size_b"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter").cast("double")
-                / (F.col("sa.set_size") + F.col("sb.set_size") - F.col("n_inter")).cast("double"),
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
                 6,
             ),
         )

@@ -1,0 +1,58 @@
+"""Write-time bucketing: co-located joins and aggregations.
+
+At 100 TB the dominant cost of the reference's recurring joins (staged ⋈
+retailer_products on article_id, products ⋈ master_products on id) is the
+shuffle of the big fact side — every run, same key. Bucketing pays that
+shuffle ONCE at write time: both tables hash-partitioned into the same
+number of buckets on the join key, so Catalyst plans subsequent equi-joins
+and groupBys on that key with ZERO Exchange (verified in
+tests/test_bucketing.py by asserting the physical plan).
+
+Plain parquet files carry no bucket metadata, so bucketed tables go through
+``saveAsTable`` (the session's warehouse dir + in-memory catalog in local
+mode; a Hive/Unity metastore on a cluster — same API).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_bucketed", "bucket_count_for"]
+
+
+def bucket_count_for(est_rows: int, target_rows_per_bucket: int = 4_000_000) -> int:
+    """Pick a bucket count: enough that one bucket's rows fit an executor's
+    working memory, rounded up to a power of two so downstream
+    repartitionings divide evenly."""
+    need = max(1, (est_rows + target_rows_per_bucket - 1) // target_rows_per_bucket)
+    n = 1
+    while n < need:
+        n *= 2
+    return n
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    keys: list[str],
+    buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` bucketed (and optionally sorted) by ``keys``.
+    Sorting within buckets additionally removes the Sort from sort-merge
+    joins and enables efficient min/max skipping. ``path`` makes it an
+    external table (data at ``path``, bucket metadata in the catalog) —
+    the warehouse dir is a static conf, so tests use ``path``."""
+    writer = df.write.mode(mode).bucketBy(buckets, *keys)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

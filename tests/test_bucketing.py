@@ -1,0 +1,60 @@
+"""Bucketed tables: the join/agg on the bucket key must plan ZERO Exchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.sources import load_table
+from restaurant_etl_code_spark.sources.bucketing import bucket_count_for, write_bucketed
+
+
+def test_bucket_count_for_powers_of_two():
+    assert bucket_count_for(1) == 1
+    assert bucket_count_for(10_000_000) == 4
+    assert bucket_count_for(100_000_000_000) == 32768
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    lineitem = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    write_bucketed(orders, "b_orders", keys=["o_orderkey"], buckets=4,
+                   sort_by=["o_orderkey"], path=str(tmp_path / "b_orders"))
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", keys=["o_orderkey"], buckets=4, sort_by=["o_orderkey"],
+        path=str(tmp_path / "b_lineitem"),
+    )
+
+    # disable auto-broadcast: at test scale AQE would broadcast the tiny
+    # side, hiding the thing under test (bucket co-location removes the
+    # SHUFFLE a big-big sort-merge join would otherwise need)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_lineitem")
+            .join(spark.table("b_orders"), "o_orderkey")
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # same query on raw parquet shuffles — bucketing is what removed it
+        raw = (
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
+            .join(orders, "o_orderkey")
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        raw.count()
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in raw_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # and the answers agree
+    a = {r["o_orderkey"]: r["qty"] for r in joined.collect()}
+    b = {r["o_orderkey"]: r["qty"] for r in raw.collect()}
+    assert a == b
