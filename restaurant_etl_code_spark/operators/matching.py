@@ -156,24 +156,51 @@ def match_cascade(
     fresh = precheck_anti_join(staged, existing, precheck_keys)
     fresh = barcode_split(fresh, upc_col)
 
-    upc_joined = upc_match(fresh, master, "upc", master_upc, mcols)
-    upc_hit = upc_joined.filter(F.col("match_type") == "upc")
-    upc_hit = _coalesce_priority(upc_hit, ccols)
-    upc_miss = upc_joined.filter(F.col("match_type").isNull()).drop(
-        "match_type", *[f"__m_{c}" for c in mcols]
+    # Single-pass formulation: both master joins applied as left joins on
+    # ONE flow, the branch logic expressed as conditional expressions. The
+    # earlier filter-per-branch + unionByName version executed the staged
+    # scan and anti-join once per branch (3×); this plan scans once. Rows
+    # take exactly one branch (upc wins over name wins over generated), so
+    # the output set is identical.
+    mu = master.select(
+        F.col(master_upc).alias("__u_key"),
+        *[F.col(src).alias(f"__u_{dst}") for dst, src in mcols.items()],
     )
+    mn = master.select(
+        F.trim(F.col(master_name)).alias("__n_key"),
+        *( [F.col(name_dedup_order).alias("__n_ord")] if name_dedup_order else [] ),
+        *[F.col(src).alias(f"__n_{dst}") for dst, src in mcols.items()],
+    )
+    if name_dedup_order:
+        from pyspark.sql import Window
 
-    name_joined = name_match(
-        upc_miss, master, name_col, master_name, mcols, dedup_order=name_dedup_order
-    )
-    name_hit = _coalesce_priority(name_joined.filter(F.col("match_type") == "similarity"), ccols)
-    name_miss = (
-        name_joined.filter(F.col("match_type").isNull())
-        .drop("match_type", *[f"__m_{c}" for c in mcols])
-        .withColumn("match_type", F.lit("generated"))
-    )
+        wd = Window.partitionBy("__n_key").orderBy("__n_ord")
+        mn = (
+            mn.withColumn("__n_rn", F.row_number().over(wd))
+            .filter(F.col("__n_rn") == 1)
+            .drop("__n_rn", "__n_ord")
+        )
+    else:
+        mn = mn.dropDuplicates(["__n_key"])
 
-    return upc_hit.unionByName(name_hit).unionByName(name_miss)
+    j = fresh.join(F.broadcast(mu), fresh["upc"] == mu["__u_key"], "left")
+    j = j.join(F.broadcast(mn), F.trim(j[name_col]) == mn["__n_key"], "left")
+    j = j.withColumn(
+        "match_type",
+        F.when(F.col("__u_key").isNotNull(), F.lit("upc"))
+        .when(F.col("__n_key").isNotNull(), F.lit("similarity"))
+        .otherwise(F.lit("generated")),
+    )
+    for c in ccols:
+        j = j.withColumn(
+            c,
+            F.when(F.col("match_type") == "upc", F.coalesce(F.col(c), F.col(f"__u_{c}")))
+            .when(F.col("match_type") == "similarity", F.coalesce(F.col(c), F.col(f"__n_{c}")))
+            .otherwise(F.col(c)),
+        )
+    drop = ["__u_key", "__n_key"]
+    drop += [f"__u_{c}" for c in mcols] + [f"__n_{c}" for c in mcols]
+    return j.drop(*drop)
 
 
 def change_detect(
