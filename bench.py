@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "grouping_sets",
     "global_topn",
     "quantiles",
+    "training_prep",
     "pipeline_products",
     "streaming_window",
     "streaming_dedup",

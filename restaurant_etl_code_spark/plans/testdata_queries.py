@@ -1040,6 +1040,61 @@ from scored
 
 
 # --------------------------------------------------------------------------
+# Training-data prep: the composed corpus-cleaning flagship — quality
+# gate → language gate → exact dedup, one lazy plan. This is the shape a
+# 100 TB pretraining-corpus job takes: all three gates are zero-shuffle
+# codegen expressions over the scan; the ONLY shuffle is the final
+# dedup groupBy on 32-byte fingerprints.
+# --------------------------------------------------------------------------
+
+def _q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        Ftext.token_count(t).alias("n_tokens"),
+        Ftext.quality_score(t).alias("quality"),
+        Ftext.lang_id(t).alias("lang_pred"),
+        Ftext.fingerprint(t).alias("fingerprint"),
+    ).filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 10)
+        & (F.col("lang_pred") == "en")
+    )
+    return scored.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("quality").alias("quality"),
+    )
+
+
+_ORACLE_TRAINING_PREP = f"""
+with scored as (
+  select doc_id,
+         {_DUCK_NTOK} as n_tokens,
+         case when text is null then null else
+           round(greatest(least(
+             0.5 * least({_DUCK_NTOK} / 50.0, 1.0)
+             + 0.5 * least({_DUCK_SWR} * 4.0, 1.0)
+             - 0.25 * {_DUCK_PUNCT}, 1.0), 0.0), 4) end as quality,
+         {_duck_lang_hits('de')} as c_de, {_duck_lang_hits('en')} as c_en,
+         {_duck_lang_hits('es')} as c_es, {_duck_lang_hits('fr')} as c_fr,
+         md5({_DUCK_NORM.format(c='text')}) as fingerprint
+  from documents),
+gated as (
+  select * from scored
+  where quality >= 0.5 and n_tokens >= 10
+    and greatest(c_de, c_en, c_es, c_fr) > 0
+    and c_en = greatest(c_de, c_en, c_es, c_fr)
+    and c_de < greatest(c_de, c_en, c_es, c_fr))
+select fingerprint, min(doc_id) as doc_id, count(*) as n_dups,
+       first(n_tokens) as n_tokens, first(quality) as quality
+from gated group by fingerprint
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact dedup by fingerprint (hash-groupBy)
 # --------------------------------------------------------------------------
 
@@ -1837,6 +1892,8 @@ QUERIES: dict[str, QueryDef] = {
                         "n-gram-heuristic language ID"),
     "exact_dedup": QueryDef(_q_exact_dedup, _ORACLE_EXACT_DEDUP,
                             "exact dedup via md5-fingerprint hash-groupBy"),
+    "training_prep": QueryDef(_q_training_prep, _ORACLE_TRAINING_PREP,
+                              "composed corpus prep: quality+lang gates → dedup"),
     "minhash_lsh_pairs": QueryDef(_q_minhash_lsh_pairs, _ORACLE_MINHASH,
                                   "MinHash signatures + LSH banding candidates"),
     "simhash_pairs": QueryDef(_q_simhash_pairs, _ORACLE_SIMHASH,

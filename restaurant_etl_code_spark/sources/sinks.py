@@ -17,7 +17,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "merge_into_parquet", "write_failed_rows", "classify_write_status"]
+__all__ = [
+    "merge_upsert",
+    "merge_into_parquet",
+    "write_failed_rows",
+    "classify_write_status",
+    "write_partitioned",
+]
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
@@ -73,3 +79,16 @@ def classify_write_status(
     if partial_col:
         status = status.when(F.col(partial_col), "partialSuccess")
     return df.withColumn("status", status.otherwise("success"))
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """K4's per-business layout generalized: hive-style directory
+    partitioning on low-cardinality keys (business_account_id, date).
+    Readers filtering on a partition column scan only that directory
+    (PartitionFilters in the plan — asserted in tests); at 100 TB this is
+    the difference between reading one business and reading everything.
+    Keep partition-key cardinality ≲ 10^4 — a key-per-row layout would
+    drown the driver in file listings."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

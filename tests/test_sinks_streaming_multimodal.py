@@ -128,3 +128,21 @@ def test_streaming_session_window(spark, tmp_path):
         for r in spark.sql("select * from sess_out").collect()
     }
     assert got == {(1, 2): 3.0, (1, 1): 3.0, (2, 1): 4.0}
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """K4 layout: filtering on the partition key must prune at the source
+    (PartitionFilters), not post-scan."""
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(100)], "rid int, business_id int, v double"
+    )
+    path = str(tmp_path / "by_business")
+    sinks.write_partitioned(df, path, ["business_id"])
+
+    read = spark.read.parquet(path).filter(F.col("business_id") == 2)
+    assert read.count() == 25
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(business_id" in plan or \
+           "PartitionFilters: [(business_id" in plan, plan
+    # the data filter did NOT survive as a post-scan filter on file contents
+    assert "PushedFilters: []" in plan, plan
