@@ -1249,6 +1249,51 @@ where rank <= 3
 """
 
 
+def _q_similarity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 with its real semantics: top-1 vector match at a minimum score
+    (reference SIMILARITY_THRESHOLD + topMatchOnly, batch_processor.py:
+    477-556), sub-threshold/unmatched rows flowing on as 'generated' — the
+    bypass-never-fail error model. We define the score as raw cosine
+    (SURVEY §7 hard-part (d): the reference's threshold-200 scale is
+    opaque; ours is documented and oracle-checked)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    staged = emb.filter(F.col("vec_id") < 50)
+    master = emb.filter(F.col("vec_id") % 2 == 0)
+    top1 = similarity.cosine_topk(staged, master, k=1, min_score=0.3, exclude_self=True)
+    return (
+        staged.select(F.col("vec_id").alias("query_id"))
+        .join(top1.drop("rank"), "query_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            F.when(F.col("neighbor_id").isNotNull(), F.lit("similarity"))
+            .otherwise(F.lit("generated"))
+            .alias("match_type"),
+        )
+    )
+
+
+_ORACLE_SIMILARITY_MATCH = f"""
+with q as (select vec_id as query_id, embedding::double[] as qv
+           from embeddings where vec_id < 50),
+c as (select vec_id as neighbor_id, embedding::double[] as cv
+      from embeddings where vec_id % 2 = 0),
+scored as (
+  select query_id, neighbor_id, {_DUCK_COS} as score
+  from q cross join c where query_id != neighbor_id),
+ranked as (
+  select *, row_number() over (partition by query_id
+                               order by score desc, neighbor_id) as rank
+  from scored where score >= 0.3),
+top1 as (select query_id, neighbor_id, score from ranked where rank = 1)
+select q.query_id, t.neighbor_id, t.score,
+       case when t.neighbor_id is not null then 'similarity'
+            else 'generated' end as match_type
+from q left join top1 t using (query_id)
+"""
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with nprobe = n_lists (full probe): the inverted-list
     plumbing (centroid assignment → equi-join on list_id → rank) must
@@ -1906,6 +1951,8 @@ QUERIES: dict[str, QueryDef] = {
                                   "sign-LSH-bucketed approximate top-3"),
     "ann_ivf_topk": QueryDef(_q_ann_ivf, _ORACLE_ANN_TOPK,
                              "IVF inverted-list ANN (full probe ≡ exact)"),
+    "similarity_match": QueryDef(_q_similarity_match, _ORACLE_SIMILARITY_MATCH,
+                                 "J6: thresholded top-1 vector match w/ bypass"),
     "embedding_near_dup": QueryDef(_q_embedding_near_dup, _ORACLE_EMB_NEAR_DUP,
                                    "embedding-cosine near-dup pairs"),
     "multimodal_features": QueryDef(_q_multimodal_features, _ORACLE_MULTIMODAL,

@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the pure/algebraic kernels.
+
+Examples are kept few and batched (one DataFrame per example) — Spark
+round-trips dominate, so each property uses a handful of generated cases
+over wide value ranges rather than hypothesis' default hundreds.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.functions import cleansing
+
+FEW = settings(max_examples=5, deadline=None)
+
+
+def _gtin12_from_base(base11: int) -> str:
+    digits = [int(d) for d in f"{base11:011d}"]
+    odd = sum(digits[0::2])  # positions 1,3,.. (1-indexed) get weight 3
+    even = sum(digits[1::2])
+    check = (10 - (odd * 3 + even) % 10) % 10
+    return "".join(map(str, digits)) + str(check)
+
+
+@FEW
+@given(st.lists(st.integers(min_value=0, max_value=99_999_999_999), min_size=1, max_size=20))
+def test_gtin_check_digit_roundtrip(spark, bases):
+    """A correctly-computed mod-10 check digit always validates; bumping
+    the check digit by one always invalidates."""
+    rows = [(_gtin12_from_base(b),) for b in bases]
+    bad = [(c[:-1] + str((int(c[-1]) + 1) % 10),) for (c,) in rows]
+    df = spark.createDataFrame(rows + bad, "code string").withColumn(
+        "ok", cleansing.gtin_valid_expr("code")
+    )
+    got = [r["ok"] for r in df.collect()]
+    assert got[: len(rows)] == [True] * len(rows)
+    assert got[len(rows):] == [False] * len(bad)
+
+
+@FEW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.floats(-1e6, 1e6, allow_nan=False)),
+        min_size=1, max_size=30,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 9), st.floats(-1e6, 1e6, allow_nan=False)),
+        min_size=1, max_size=30,
+    ),
+)
+def test_merge_upsert_idempotent_and_last_write_wins(spark, target_rows, update_rows):
+    """merge(merge(t, u), u) == merge(t, u); every update key's value is the
+    update's value; non-updated target keys survive untouched."""
+    from restaurant_etl_code_spark.sources.sinks import merge_upsert
+
+    t = spark.createDataFrame(target_rows, "k int, v double").dropDuplicates(["k"])
+    u = spark.createDataFrame(update_rows, "k int, v double").dropDuplicates(["k"])
+    once = merge_upsert(t, u, ["k"])
+    twice = merge_upsert(once, u, ["k"])
+    m_once = {r["k"]: r["v"] for r in once.collect()}
+    m_twice = {r["k"]: r["v"] for r in twice.collect()}
+    assert m_once == m_twice
+    for r in u.collect():
+        assert m_once[r["k"]] == r["v"]
+    u_keys = {r["k"] for r in u.collect()}
+    for r in t.collect():
+        if r["k"] not in u_keys:
+            assert m_once[r["k"]] == r["v"]
+
+
+@FEW
+@given(st.lists(st.one_of(st.none(), st.text(max_size=200)), min_size=1, max_size=20))
+def test_quality_score_bounded_or_null(spark, texts):
+    from restaurant_etl_code_spark.functions import text as Ftext
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select(Ftext.quality_score(F.col("text")).alias("q")).collect()
+    for (t, r) in zip(texts, out):
+        if t is None:
+            assert r["q"] is None
+        else:
+            assert 0.0 <= r["q"] <= 1.0
+
+
+@FEW
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["hot", "warm", "cold"]), st.integers(-1000, 1000)),
+        min_size=1, max_size=50,
+    )
+)
+def test_salted_agg_matches_plain(spark, rows):
+    from restaurant_etl_code_spark.operators import skew
+
+    df = spark.createDataFrame([(k, float(v)) for k, v in rows], "k string, v double")
+    salted = {
+        r["k"]: (r["n"], r["total"])
+        for r in skew.salted_agg(df, ["k"], {"n": "count(v)", "total": "sum(v)"}).collect()
+    }
+    plain = {
+        r["k"]: (r["n"], r["total"])
+        for r in df.groupBy("k").agg(
+            F.count("v").alias("n"), F.sum("v").alias("total")
+        ).collect()
+    }
+    assert salted == plain
