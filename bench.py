@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "grouping_sets",
     "global_topn",
     "quantiles",
+    "multires_rollup",
+    "similarity_match",
     "training_prep",
     "pipeline_products",
     "streaming_window",

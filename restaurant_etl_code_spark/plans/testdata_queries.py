@@ -711,6 +711,74 @@ def _q_streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, stats, "update")
 
 
+def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows as a real stream. ``session_window(gap)``
+    merges events < gap apart (half-open [ts, ts+gap)); the lag+cumsum
+    batch oracle splits on diff > gap — the two disagree only on
+    boundary-exact gaps, which the testdata provably lacks (and real
+    microsecond timestamps effectively never hit). session_window's end is
+    last-event + gap, so subtract the gap to recover max(ts)."""
+    from restaurant_etl_code_spark.streaming import session_window_agg
+
+    sess = session_window_agg(_events_stream(spark, sf_dir), gap="30 minutes")
+    out = sess.select(
+        "user_id",
+        "session_start",
+        (F.col("session_end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+        "n_events",
+        "value_sum",
+    )
+    return _run_stream(spark, out, "complete")
+
+
+_ORACLE_STREAMING_SESSIONS = """
+with flagged as (
+  select user_id, ts, value,
+         case when lag(ts) over w is null
+                   or epoch_us(ts) // 1000000 - epoch_us(lag(ts) over w) // 1000000 > 1800
+              then 1 else 0 end as new_session
+  from events
+  window w as (partition by user_id order by ts)),
+sessioned as (
+  select user_id, ts, value,
+         sum(new_session) over (partition by user_id order by ts
+                                rows between unbounded preceding and current row)
+           as session_id
+  from flagged)
+select user_id, min(ts) as session_start, max(ts) as session_end,
+       count(*) as n_events, round(sum(value), 4) as value_sum
+from sessioned group by user_id, session_id
+"""
+
+
+def _q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the daily resolution is
+    re-aggregated FROM the hourly one (never from raw) — the compaction
+    algebra a 100 TB metrics store lives on (count→sum, sum→sum). The
+    oracle computes daily straight from raw rows, so it checks exactly
+    that re-aggregation identity."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour_start").alias("day_start"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("value_sum"), 4).alias("value_sum"),
+        )
+    )
+
+
+_ORACLE_MULTIRES = """
+select date_trunc('day', ts)::timestamp as day_start, event_type,
+       count(*) as n, round(sum(value), 4) as value_sum
+from events group by 1, 2
+"""
+
+
 _ORACLE_STREAMING_DEDUP = """
 select distinct event_type from events
 """
@@ -1931,6 +1999,10 @@ QUERIES: dict[str, QueryDef] = {
                                 "stateful first-seen dedup (applyInPandasWithState)"),
     "streaming_running_stats": QueryDef(_q_streaming_running_stats, _ORACLE_STREAMING_STATS,
                                         "checkpointed per-key lifetime totals (A8)"),
+    "streaming_sessions": QueryDef(_q_streaming_sessions, _ORACLE_STREAMING_SESSIONS,
+                                   "stateful session windows vs lag+cumsum oracle"),
+    "multires_rollup": QueryDef(_q_multires_rollup, _ORACLE_MULTIRES,
+                                "continuous-aggregate re-agg: daily FROM hourly"),
     "text_quality": QueryDef(_q_text_quality, _ORACLE_TEXT_QUALITY,
                              "token stats + quality score + fingerprint"),
     "lang_id": QueryDef(_q_lang_id, _ORACLE_LANG_ID,

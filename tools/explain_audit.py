@@ -65,6 +65,17 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["Expand", "HashAggregate"],
         "avoid": ["CartesianProduct"],
     },
+    "pipeline_products": {
+        # the whole 9-stage flow: dims broadcast, nothing cartesian
+        "want": ["BroadcastHashJoin"],
+        "avoid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "training_prep": {
+        # gates are expressions on the scan; the only shuffle is the
+        # fingerprint groupBy (its Exchange shows up by key name)
+        "want": ["HashAggregate", "Exchange hashpartitioning(fingerprint"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    },
 }
 
 
