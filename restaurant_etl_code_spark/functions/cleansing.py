@@ -192,3 +192,45 @@ def restaurant_brand(brand: Column, business_name: Column) -> Column:
     """U6: brand := business name, fallback 'House Special'
     (reference: batch_processor.py:769-780)."""
     return F.coalesce(brand, business_name, F.lit("House Special"))
+
+
+# P1 (reference repository/ops/data2batches.py:41-68): the industry-dependent
+# column selection + rename into the canonical staging schema. Grocery maps
+# MDB export columns; restaurant maps menu-extraction columns and injects
+# the literals the reference hardcodes (data2batches.py:113-123):
+# is_tax=True, article_id=NULL, quantity=NULL.
+GROCERY_COLUMN_MAP: dict[str, str] = {
+    "Article": "article_id",
+    "Description": "product_name",
+    "QteMain": "quantity",
+    "Taxe2": "is_tax",
+    "PrixVente": "price",
+}
+
+RESTAURANT_COLUMN_MAP: dict[str, str] = {
+    "name": "product_name",
+    "description": "description",
+    "category": "category",
+    "subcategory": "subcategory",
+    "price": "price",
+}
+
+
+def industry_projection(df, industry: str):
+    """P1+P2: select/rename by industry, then drop rows without a product
+    name (``dropna + query("product_name != ''")``, data2batches.py:63-68).
+    Pure projection + filter — zero-shuffle, fully codegen."""
+    if industry == "grocery":
+        cols = [F.col(src).alias(dst) for src, dst in GROCERY_COLUMN_MAP.items()]
+    elif industry == "restaurant":
+        cols = [F.col(src).alias(dst) for src, dst in RESTAURANT_COLUMN_MAP.items()]
+        cols += [
+            F.lit(True).alias("is_tax"),
+            F.lit(None).cast("string").alias("article_id"),
+            F.lit(None).cast("int").alias("quantity"),
+        ]
+    else:
+        raise ValueError(f"unknown industry: {industry!r}")
+    return df.select(*cols).filter(
+        F.col("product_name").isNotNull() & (F.col("product_name") != "")
+    )

@@ -109,6 +109,54 @@ def _q_staging_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_staging_restaurant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 restaurant branch (data2batches.py:41-68,113-123): menu-item
+    columns → canonical rename, literals is_tax/article_id/quantity
+    injected, empty-name rows dropped, then P5/P6 cleanse."""
+    part = load_table(spark, sf_dir, "part")
+    menu = part.select(
+        F.when(F.col("p_size") % 11 == 0, "").otherwise(F.col("p_name")).alias("name"),
+        F.when(F.col("p_size") % 2 == 0, None).otherwise(F.col("p_type")).alias("description"),
+        F.col("p_brand").alias("category"),
+        F.when(F.col("p_size") % 3 == 0, None).otherwise(F.col("p_type")).alias("subcategory"),
+        F.concat(F.lit("$"), F.col("p_retailprice").cast("string")).alias("price"),
+    )
+    staged = cleansing.industry_projection(menu, "restaurant")
+    return staged.select(
+        "product_name",
+        cleansing.default_description(F.col("description"), F.col("product_name")).alias(
+            "description"
+        ),
+        "category",
+        cleansing.default_subcategory(F.col("subcategory")).alias("subcategory"),
+        cleansing.clean_price(F.col("price")).alias("price"),
+        "is_tax",
+        "article_id",
+        "quantity",
+    )
+
+
+_ORACLE_STAGING_RESTAURANT = """
+with menu as (
+  select case when p_size % 11 = 0 then '' else p_name end as name,
+         case when p_size % 2 = 0 then null else p_type end as description,
+         p_brand as category,
+         case when p_size % 3 = 0 then null else p_type end as subcategory,
+         '$' || p_retailprice::varchar as price
+  from part)
+select name as product_name,
+       coalesce(description, 'Delicious ' || name) as description,
+       category,
+       coalesce(subcategory, 'General') as subcategory,
+       try_cast(regexp_replace(price, '[^0-9.]', '', 'g') as double) as price,
+       true as is_tax,
+       null::varchar as article_id,
+       null::int as quantity
+from menu
+where name is not null and name != ''
+"""
+
+
 _ORACLE_STAGING_CLEANSE = f"""
 with dirty as (
   select '`' || p_partkey::varchar || '`' as raw_id,
@@ -1951,6 +1999,8 @@ def _q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
+    "staging_restaurant": QueryDef(_q_staging_restaurant, _ORACLE_STAGING_RESTAURANT,
+                                   "P1 restaurant branch: rename + literal injection"),
     "dedup_keep_first": QueryDef(_q_dedup_keep_first, _ORACLE_DEDUP_KEEP_FIRST,
                                  "J1: deterministic keep-first dedup"),
     "precheck_antijoin": QueryDef(_q_precheck_antijoin, _ORACLE_PRECHECK,

@@ -116,3 +116,26 @@ def test_ivf_kmeans_partial_probe(spark):
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def test_lsh_recall_against_exact_jaccard(spark):
+    """Quantified approximation contract: every exact near-dup pair at
+    Jaccard >= 0.7 must surface as an LSH candidate with the default 4x4
+    banding (P[candidate] = 1-(1-s^4)^4 is ~0.97 at s=0.9 and the testdata
+    near-dups cluster above that; measured recall at sf0.001 is 1.0).
+    Guards against banding/signature regressions silently dropping dups."""
+    from restaurant_etl_code_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, "doc_id").collect()
+    }
+    assert truth, "fixture should contain near-dup pairs"
+    missed = truth - cand
+    assert not missed, f"LSH missed {len(missed)}/{len(truth)} true pairs: {sorted(missed)[:5]}"

@@ -92,3 +92,28 @@ def test_cosine_identity(spark):
     ).first()
     assert abs(row["same"] - 1.0) < 1e-12
     assert row["zero"] is None
+
+
+def test_industry_projection_branches(spark):
+    from restaurant_etl_code_spark.functions.cleansing import industry_projection
+
+    grocery = spark.createDataFrame(
+        [("A1", "Milk", 5, True, 2.5), ("A2", "", 1, False, 1.0), ("A3", None, 1, False, 1.0)],
+        "Article string, Description string, QteMain int, Taxe2 boolean, PrixVente double",
+    )
+    g = industry_projection(grocery, "grocery").collect()
+    assert [r["product_name"] for r in g] == ["Milk"]
+    assert g[0]["article_id"] == "A1" and g[0]["quantity"] == 5
+
+    menu = spark.createDataFrame(
+        [("Dosa", "crispy", "South", "Tiffin", 120.0)],
+        "name string, description string, category string, subcategory string, price double",
+    )
+    r = industry_projection(menu, "restaurant").collect()[0]
+    assert r["product_name"] == "Dosa"
+    assert r["is_tax"] is True and r["article_id"] is None and r["quantity"] is None
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        industry_projection(menu, "hardware")

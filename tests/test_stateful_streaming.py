@@ -91,3 +91,25 @@ def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
     )
     want = {r["event_type"] for r in events.select("event_type").distinct().collect()}
     assert {r["event_type"] for r in got} == want
+
+
+def test_max_files_per_trigger_admission(spark, tmp_path):
+    """T3: maxFilesPerTrigger caps how much each micro-batch admits — the
+    Spark restatement of the reference's 10-run concurrency guard."""
+    landing = str(tmp_path / "landing")
+    for i in range(3):
+        _write_batch(spark, landing, [(f"k{i}", i)], "k string, v int")
+
+    schema = spark.read.parquet(landing).schema
+    stream = file_arrival_stream(spark, landing, schema, max_files_per_trigger=1)
+    batch_sizes = []
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, eid: batch_sizes.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batch_sizes) >= 3 and sum(batch_sizes) == 3
