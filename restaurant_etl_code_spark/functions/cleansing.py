@@ -234,3 +234,26 @@ def industry_projection(df, industry: str):
     return df.select(*cols).filter(
         F.col("product_name").isNotNull() & (F.col("product_name") != "")
     )
+
+
+def parse_llm_items(
+    c: Column,
+    item_schema_ddl: str = "name string, category string, subcategory string, "
+    "description string, price string",
+) -> Column:
+    """S3 (reference extract_menu_with_gemini_op.py:123-151): parse an LLM
+    response into an array of item structs. Strip markdown fences (F1),
+    try a strict array parse; on malformed JSON fall back to extracting
+    flat ``{...}`` objects one by one, parsing each independently, and
+    keeping those with a ``name`` (the reference's per-object try/except).
+    The name gate also mirrors P6's "skip rows without name" so the
+    operator's output is directly explodable.
+
+    Pure expressions — at scale this runs inside codegen over millions of
+    LLM responses with zero Python."""
+    s = strip_markdown_fences(c)
+    primary = F.from_json(s, f"array<struct<{item_schema_ddl}>>")
+    objs = F.regexp_extract_all(s, F.lit(r"\{[^{}]*\}"), 0)
+    fallback = F.transform(objs, lambda x: F.from_json(x, f"struct<{item_schema_ddl}>"))
+    items = F.coalesce(primary, fallback)
+    return F.filter(items, lambda x: x["name"].isNotNull())

@@ -157,6 +157,50 @@ where name is not null and name != ''
 """
 
 
+def _q_llm_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: safe LLM-output parse — fenced valid arrays, malformed responses
+    with embedded objects (regex fallback), and pure garbage, exploded to
+    item rows."""
+    part = load_table(spark, sf_dir, "part")
+    resp = part.select(
+        F.col("p_partkey").alias("row_id"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(
+                F.lit('```json\n[{"name": "'), F.col("p_name"),
+                F.lit('", "price": "'), F.col("p_retailprice").cast("string"),
+                F.lit('"}, {"name": null, "price": "1"}]\n```'),
+            ),
+        )
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(
+                F.lit('oops {"name": "'), F.col("p_name"),
+                F.lit('", "price": "5"} trailing {"price": "9"} {"broken": '),
+            ),
+        )
+        .otherwise(F.lit("no json here")).alias("resp"),
+    )
+    items = resp.select(
+        "row_id", F.explode(cleansing.parse_llm_items(F.col("resp"))).alias("item")
+    )
+    return items.select("row_id", F.col("item.name").alias("name"),
+                        F.col("item.price").alias("price"))
+
+
+_ORACLE_LLM_PARSE = """
+with resp as (
+  select p_partkey as row_id, p_name, p_retailprice from part),
+items as (
+  select row_id, p_name as name, p_retailprice::varchar as price
+  from resp where row_id % 3 = 0
+  union all
+  select row_id, p_name as name, '5' as price
+  from resp where row_id % 3 = 1)
+select row_id, name, price from items
+"""
+
+
 _ORACLE_STAGING_CLEANSE = f"""
 with dirty as (
   select '`' || p_partkey::varchar || '`' as raw_id,
@@ -2001,6 +2045,8 @@ QUERIES: dict[str, QueryDef] = {
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
     "staging_restaurant": QueryDef(_q_staging_restaurant, _ORACLE_STAGING_RESTAURANT,
                                    "P1 restaurant branch: rename + literal injection"),
+    "llm_parse": QueryDef(_q_llm_parse, _ORACLE_LLM_PARSE,
+                          "S3: fence-strip + strict parse + regex fallback"),
     "dedup_keep_first": QueryDef(_q_dedup_keep_first, _ORACLE_DEDUP_KEEP_FIRST,
                                  "J1: deterministic keep-first dedup"),
     "precheck_antijoin": QueryDef(_q_precheck_antijoin, _ORACLE_PRECHECK,

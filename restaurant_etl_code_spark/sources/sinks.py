@@ -23,6 +23,8 @@ __all__ = [
     "write_failed_rows",
     "classify_write_status",
     "write_partitioned",
+    "retry_failed_minimal",
+    "write_audit",
 ]
 
 
@@ -92,3 +94,43 @@ def write_partitioned(
     Keep partition-key cardinality ≲ 10^4 — a key-per-row layout would
     drown the driver in file listings."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def retry_failed_minimal(
+    spark: SparkSession,
+    target_path: str,
+    failed: DataFrame,
+    keys: list[str],
+    keep_cols: list[str],
+) -> None:
+    """K3 (reference batchprocessor-fully-working…py:1218-1285): after a
+    partial bulk failure, retry the failed rows as MINIMAL documents — only
+    the key + ``keep_cols`` survive; every other target column is nulled
+    (the ES minimal-doc overwrite-by-_id semantics). Second-chance
+    durability beats losing the row."""
+    target = spark.read.parquet(target_path)
+    minimal = failed.select(*keys, *keep_cols)
+    for field in target.schema.fields:
+        if field.name not in minimal.columns:
+            minimal = minimal.withColumn(
+                field.name, F.lit(None).cast(field.dataType)
+            )
+    merge_into_parquet(spark, target_path, minimal.select(*target.columns), keys)
+
+
+def write_audit(
+    df: DataFrame, audit_dir: str, run_id: str, warn_mb: int = 10
+) -> tuple[str, bool]:
+    """K6 (reference batchprocessor-fully-working…py:1047-1118): dump the
+    full payload for human review, with the reference's 10 MB size warning
+    (estimated JVM-side as sum(length(to_json(row))) — no collect).
+    Returns (path, oversized)."""
+    est_bytes = (
+        df.select(F.length(F.to_json(F.struct(*df.columns))).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+        or 0
+    )
+    path = os.path.join(audit_dir, f"payload_{run_id}.json")
+    df.write.mode("overwrite").json(path)
+    return path, est_bytes > warn_mb * 1024 * 1024

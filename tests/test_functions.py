@@ -117,3 +117,22 @@ def test_industry_projection_branches(spark):
 
     with pytest.raises(ValueError):
         industry_projection(menu, "hardware")
+
+
+def test_parse_llm_items_fallback_paths(spark):
+    from restaurant_etl_code_spark.functions.cleansing import parse_llm_items
+
+    rows = [
+        (1, '```json\n[{"name": "Dosa", "price": "120"}, {"name": null, "price": "1"}]\n```'),
+        (2, 'garbage {"name": "Idli", "price": "60"} noise {"price": "99"} {"broken": '),
+        (3, "not json at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "row_id int, resp string")
+    out = {
+        r["row_id"]: [(i["name"], i["price"]) for i in (r["items"] or [])]
+        for r in df.select("row_id", parse_llm_items(F.col("resp")).alias("items")).collect()
+    }
+    assert out[1] == [("Dosa", "120")]   # strict parse, null-name dropped
+    assert out[2] == [("Idli", "60")]    # regex fallback, per-object parse
+    assert out[3] == [] and out[4] == []

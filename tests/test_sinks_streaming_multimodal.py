@@ -146,3 +146,25 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
            "PartitionFilters: [(business_id" in plan, plan
     # the data filter did NOT survive as a post-scan filter on file contents
     assert "PushedFilters: []" in plan, plan
+
+
+def test_retry_failed_minimal_nulls_non_kept_columns(spark, tmp_path):
+    path = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k int, name string, price double"
+    )
+    full.write.parquet(path)
+    failed = spark.createDataFrame([(2, "b2", 9.9), (3, "c", 3.0)],
+                                   "k int, name string, price double")
+    sinks.retry_failed_minimal(spark, path, failed, ["k"], ["name"])
+    got = {r["k"]: (r["name"], r["price"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 1.0), 2: ("b2", None), 3: ("c", None)}
+
+
+def test_write_audit_size_guard(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x" * 100)], "k int, payload string")
+    path, oversized = sinks.write_audit(df, str(tmp_path), "run1")
+    assert not oversized
+    assert spark.read.json(path).count() == 1
+    _, oversized_small = sinks.write_audit(df, str(tmp_path), "run2", warn_mb=0)
+    assert oversized_small
