@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "global_topn",
     "quantiles",
     "multires_rollup",
+    "sketch_rollup",
     "similarity_match",
     "training_prep",
     "pipeline_products",

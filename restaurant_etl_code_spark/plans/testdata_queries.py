@@ -2022,6 +2022,29 @@ group by 1, 2
 """
 
 
+def _q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: per-day HLL sketches of users,
+    unioned up to per-event_type totals — the only way distinct counts
+    compose across a 100 TB hypertable (exact distinct cannot re-aggregate:
+    day-level counts don't sum). At test cardinality (150 users) the HLL
+    sparse representation is EXACT, so the oracle is plain
+    count(distinct); at production cardinality the same plan degrades
+    gracefully to ~2% error instead of a full reshuffle of raw values."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day_start"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("nd_users")
+    )
+
+
+_ORACLE_SKETCH_ROLLUP = """
+select event_type, count(distinct user_id) as nd_users
+from events group by event_type
+"""
+
+
 def _q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — HLL distinct + t-digest-style quantile.
     Inherently engine-specific estimates, so no value oracle (driver
@@ -2099,6 +2122,8 @@ QUERIES: dict[str, QueryDef] = {
                                    "stateful session windows vs lag+cumsum oracle"),
     "multires_rollup": QueryDef(_q_multires_rollup, _ORACLE_MULTIRES,
                                 "continuous-aggregate re-agg: daily FROM hourly"),
+    "sketch_rollup": QueryDef(_q_sketch_rollup, _ORACLE_SKETCH_ROLLUP,
+                              "mergeable HLL sketches: day→type distinct users"),
     "text_quality": QueryDef(_q_text_quality, _ORACLE_TEXT_QUALITY,
                              "token stats + quality score + fingerprint"),
     "lang_id": QueryDef(_q_lang_id, _ORACLE_LANG_ID,
