@@ -33,6 +33,7 @@ __all__ = [
     "name_match",
     "match_cascade",
     "change_detect",
+    "reconcile",
 ]
 
 
@@ -243,3 +244,42 @@ def change_detect(
             "tax_changed",
         )
     )
+
+
+def reconcile(
+    staged: DataFrame,
+    existing: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Catalog reconciliation — the J3 change-detect generalized to a full
+    table diff: full-outer join on the business key, each row labeled
+    ``added`` (staged only), ``removed`` (existing only), ``changed``
+    (key matched, any compared column differs null-safely), or
+    ``unchanged``. One shuffle on the key; drives incremental MERGE plans
+    (apply added+changed, retire removed) without rewriting the table.
+    """
+    s = staged.select(
+        *keys, *[F.col(c).alias(f"__s_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_s"),
+    )
+    e = existing.select(
+        *keys, *[F.col(c).alias(f"__e_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_e"),
+    )
+    j = s.join(e, keys, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"__s_{c}").eqNullSafe(F.col(f"__e_{c}"))
+    status = (
+        F.when(F.col("__in_e").isNull(), F.lit("added"))
+        .when(F.col("__in_s").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.withColumn("status", status).drop("__in_s", "__in_e")
+    for c in compare_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__s_{c}"), F.col(f"__e_{c}"))).drop(
+            f"__s_{c}", f"__e_{c}"
+        )
+    return out

@@ -2022,6 +2022,90 @@ group by 1, 2
 """
 
 
+def _q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog reconciliation (J3 generalized): full-outer diff of two
+    catalog snapshots with added/removed/changed/unchanged labels."""
+    part = load_table(spark, sf_dir, "part")
+    staged = part.filter(F.col("p_partkey") % 5 != 0).select(
+        F.col("p_partkey").alias("key"),
+        F.when(F.col("p_partkey") % 3 == 0, F.col("p_retailprice") * 1.1)
+        .otherwise(F.col("p_retailprice")).alias("price"),
+        F.col("p_brand").alias("brand"),
+    )
+    existing = part.filter(F.col("p_partkey") % 7 != 0).select(
+        F.col("p_partkey").alias("key"),
+        F.col("p_retailprice").alias("price"),
+        F.when(F.col("p_partkey") % 11 == 0, None).otherwise(F.col("p_brand")).alias("brand"),
+    )
+    out = matching.reconcile(staged, existing, ["key"], ["price", "brand"])
+    return out.select("key", F.round("price", 4).alias("price"), "brand", "status")
+
+
+_ORACLE_RECONCILE = """
+with staged as (
+  select p_partkey as key,
+         case when p_partkey % 3 = 0 then p_retailprice * 1.1
+              else p_retailprice end as price,
+         p_brand as brand
+  from part where p_partkey % 5 != 0),
+existing as (
+  select p_partkey as key, p_retailprice as price,
+         case when p_partkey % 11 = 0 then null else p_brand end as brand
+  from part where p_partkey % 7 != 0)
+select coalesce(s.key, e.key) as key,
+       round(coalesce(s.price, e.price), 4) as price,
+       coalesce(s.brand, e.brand) as brand,
+       case when e.key is null then 'added'
+            when s.key is null then 'removed'
+            when s.price is distinct from e.price
+                 or s.brand is distinct from e.brand then 'changed'
+            else 'unchanged' end as status
+from staged s full outer join existing e on s.key = e.key
+"""
+
+
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-part measure columns → long (measure, value)
+    rows. The inverse of pivot_counts; pure Expand, zero shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    wide = part.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retail"),
+        (F.col("p_retailprice") * 0.8).alias("wholesale"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return wide.unpivot(
+        "p_partkey", ["retail", "wholesale", "size"], "measure", "value"
+    ).withColumn("value", F.round("value", 4))
+
+
+_ORACLE_UNPIVOT = """
+select p_partkey, measure, round(value, 4) as value from (
+  select p_partkey, 'retail' as measure, p_retailprice as value from part
+  union all
+  select p_partkey, 'wholesale', p_retailprice * 0.8 from part
+  union all
+  select p_partkey, 'size', p_size::double from part)
+"""
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (the J2 anti-join's complement): customers that have
+    at least one open order — existence check without row multiplication."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_ORACLE_SEMI_JOIN = """
+select c_custkey, c_name from customer
+where exists (select 1 from orders
+              where o_custkey = c_custkey and o_orderstatus = 'O')
+"""
+
+
 def _q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting: per-day HLL sketches of users,
     unioned up to per-event_type totals — the only way distinct counts
@@ -2124,6 +2208,12 @@ QUERIES: dict[str, QueryDef] = {
                                 "continuous-aggregate re-agg: daily FROM hourly"),
     "sketch_rollup": QueryDef(_q_sketch_rollup, _ORACLE_SKETCH_ROLLUP,
                               "mergeable HLL sketches: day→type distinct users"),
+    "reconcile": QueryDef(_q_reconcile, _ORACLE_RECONCILE,
+                          "full-outer catalog diff: added/removed/changed"),
+    "unpivot": QueryDef(_q_unpivot, _ORACLE_UNPIVOT,
+                        "melt wide measures to long rows (inverse of pivot)"),
+    "semi_join": QueryDef(_q_semi_join, _ORACLE_SEMI_JOIN,
+                          "left-semi existence join (no row multiplication)"),
     "text_quality": QueryDef(_q_text_quality, _ORACLE_TEXT_QUALITY,
                              "token stats + quality score + fingerprint"),
     "lang_id": QueryDef(_q_lang_id, _ORACLE_LANG_ID,

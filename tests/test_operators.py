@@ -212,3 +212,22 @@ def test_salted_agg_equals_plain_agg(spark):
         ).collect()
     }
     assert out == {"a": (100, 4950.0, 0.0), "b": (1, 1.0, 1.0)}
+
+
+def test_reconcile_status_labels(spark):
+    from restaurant_etl_code_spark.operators import matching
+
+    staged = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (4, 40.0), (5, None)],
+        "k int, price double",
+    )
+    existing = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (5, None)],
+        "k int, price double",
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in matching.reconcile(staged, existing, ["k"], ["price"]).collect()
+    }
+    # null-safe compare: (5, None) vs (5, None) is unchanged, not changed
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added", 5: "unchanged"}
