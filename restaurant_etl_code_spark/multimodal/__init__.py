@@ -2,4 +2,6 @@ from restaurant_etl_code_spark.multimodal.binary import (  # noqa: F401
     decode_assets,
     extract_binary_meta,
     FakeDecoder,
+    frame_sample,
+    resize_spec,
 )

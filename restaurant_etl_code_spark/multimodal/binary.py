@@ -28,7 +28,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["Decoder", "RealDecoder", "FakeDecoder", "decode_assets", "extract_binary_meta"]
+__all__ = [
+    "Decoder",
+    "RealDecoder",
+    "FakeDecoder",
+    "decode_assets",
+    "extract_binary_meta",
+    "frame_sample",
+    "resize_spec",
+]
 
 # One row per decoded unit (page / frame / clip window)
 DECODED_SCHEMA = T.StructType(
@@ -128,4 +136,41 @@ def extract_binary_meta(assets: DataFrame) -> DataFrame:
         "modality",
         F.length(F.col("content")).alias("n_bytes"),
         F.md5(F.col("content")).alias("digest"),
+    )
+
+
+def frame_sample(
+    decoded: DataFrame, *, stride: int | None = None, max_units: int | None = None
+) -> DataFrame:
+    """Deterministic frame/page sampling over decoded units — every
+    ``stride``-th unit and/or the first ``max_units`` per asset. Pure
+    JVM-side filters (unit_index is already materialized), so sampling
+    happens BEFORE any expensive per-frame work; at 100 TB this is the
+    difference between featurizing every video frame and 1-in-30."""
+    out = decoded
+    if stride is not None:
+        out = out.filter(F.col("unit_index") % stride == 0)
+    if max_units is not None:
+        out = out.filter(F.col("unit_index") < max_units)
+    return out
+
+
+def resize_spec(
+    decoded: DataFrame, *, max_width: int, max_height: int
+) -> DataFrame:
+    """Aspect-preserving resize planning: target dimensions + scale factor
+    as pure expressions (never upscale). The pixel transform itself is
+    codec work behind the ``Decoder`` protocol (absent in this container);
+    the planning columns are what the pipeline partitions, budgets, and
+    tests on — and at scale you want them computed BEFORE shipping bytes
+    to a GPU decode stage."""
+    scale = F.least(
+        F.lit(max_width) / F.col("width"),
+        F.lit(max_height) / F.col("height"),
+        F.lit(1.0),
+    )
+    return decoded.withColumn("scale", F.round(scale, 6)).withColumn(
+        "target_width", F.floor(F.col("width") * F.col("scale")).cast("int")
+    ).withColumn(
+        "target_height", F.floor(F.col("height") * F.col("scale")).cast("int")
     )

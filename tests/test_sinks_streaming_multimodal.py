@@ -168,3 +168,20 @@ def test_write_audit_size_guard(spark, tmp_path):
     assert spark.read.json(path).count() == 1
     _, oversized_small = sinks.write_audit(df, str(tmp_path), "run2", warn_mb=0)
     assert oversized_small
+
+
+def test_frame_sample_and_resize_spec(spark):
+    from restaurant_etl_code_spark.multimodal import frame_sample, resize_spec
+
+    decoded = spark.createDataFrame(
+        [("a", i, 3840, 2160) for i in range(10)] + [("b", 0, 640, 480)],
+        "asset_id string, unit_index int, width int, height int",
+    )
+    sampled = frame_sample(decoded, stride=3, max_units=7)
+    got = sorted((r["asset_id"], r["unit_index"]) for r in sampled.collect())
+    assert got == [("a", 0), ("a", 3), ("a", 6), ("b", 0)]
+
+    spec = {r["asset_id"]: (r["target_width"], r["target_height"], r["scale"])
+            for r in resize_spec(sampled, max_width=1920, max_height=1080).collect()}
+    assert spec["a"] == (1920, 1080, 0.5)
+    assert spec["b"] == (640, 480, 1.0)  # never upscale

@@ -113,3 +113,50 @@ def test_max_files_per_trigger_admission(spark, tmp_path):
     )
     q.awaitTermination()
     assert len(batch_sizes) >= 3 and sum(batch_sizes) == 3
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics: in append mode a watermarked window only emits
+    once the watermark passes it, and events arriving after that are
+    DROPPED from state — the bounded-state guarantee that makes windowed
+    streaming aggregation viable at scale."""
+    from pyspark.sql import functions as F
+    from restaurant_etl_code_spark.streaming import windowed_event_counts
+
+    landing, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    schema = "ts timestamp, event_type string, value double"
+
+    def rows(*ts):
+        return [(t, "click", 1.0) for t in ts]
+
+    def run(name):
+        raw = spark.read.parquet(landing)
+        stream = file_arrival_stream(spark, landing, raw.schema)
+        agg = windowed_event_counts(stream, watermark="1 hour")
+        out = []
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, eid: out.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    late = dt.datetime(2024, 1, 1, 0, 45)   # same window as t0
+    t1 = dt.datetime(2024, 1, 1, 5, 0)      # advances watermark to 04:00
+
+    _write_batch(spark, landing, rows(t0, t1), schema)
+    first = run("w1")
+    # watermark passed 01:00 → the 00:00 window finalized with ONE event
+    finalized = {(r["window_start"], r["n"]) for r in first}
+    assert (dt.datetime(2024, 1, 1, 0, 0), 1) in finalized
+
+    # a late event for the already-finalized window must be dropped
+    _write_batch(spark, landing, rows(late), schema)
+    second = run("w2")
+    assert all(r["window_start"] != dt.datetime(2024, 1, 1, 0, 0) for r in second)
