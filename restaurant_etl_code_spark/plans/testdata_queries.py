@@ -2022,6 +2022,90 @@ group by 1, 2
 """
 
 
+def _q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated subqueries via spark.sql: each nation's share of
+    global order revenue and its top customer balance. Catalyst rewrites
+    the correlated EXISTS/scalar into joins — declared SQL, planned
+    distributed."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql("""
+        select n.n_name,
+               round(sum(o.o_totalprice) /
+                     (select sum(o_totalprice) from v_orders), 6) as revenue_share,
+               -- first() wrapper: Spark requires correlated scalar subqueries
+               -- in an aggregate select to sit inside an agg function
+               round(first((select max(c2.c_acctbal) from v_customer c2
+                            where c2.c_nationkey = n.n_nationkey)), 2) as top_balance
+        from v_nation n
+        join v_customer c on c.c_nationkey = n.n_nationkey
+        join v_orders o on o.o_custkey = c.c_custkey
+        group by n.n_name, n.n_nationkey
+    """)
+
+
+_ORACLE_SCALAR_SUBQUERY = """
+select n.n_name,
+       round(sum(o.o_totalprice) /
+             (select sum(o_totalprice) from orders), 6) as revenue_share,
+       round((select max(c2.c_acctbal) from customer c2
+              where c2.c_nationkey = n.n_nationkey), 2) as top_balance
+from nation n
+join customer c on c.c_nationkey = n.n_nationkey
+join orders o on o.o_custkey = c.c_custkey
+group by n.n_name, n.n_nationkey
+"""
+
+
+def _q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine null-handling torture: null-safe equality, coalesce /
+    nullif, null-guarded least/greatest (Spark SKIPS nulls where ANSI SQL
+    propagates — guard explicitly), and count/count-distinct over nulls.
+    Exists to catch silent divergence in the null conventions everything
+    else builds on."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(F.col("o_totalprice")).alias("a"),
+        # b uses only EXACT float transforms (copy / negate) — deriving b
+        # with arithmetic like *0.5 creates decimal midpoints that Spark
+        # (shortest-repr HALF_UP) and DuckDB (true binary value) round
+        # differently
+        F.when(F.col("o_orderkey") % 4 == 0, None)
+        .when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice"))
+        .otherwise(-F.col("o_totalprice")).alias("b"),
+    )
+    guarded_least = F.when(
+        F.col("a").isNull() | F.col("b").isNull(), None
+    ).otherwise(F.least("a", "b"))
+    return o.select(
+        "o_orderkey",
+        F.col("a").eqNullSafe(F.col("b")).alias("ns_eq"),
+        F.round(F.coalesce("a", "b", F.lit(0.0)), 2).alias("first_price"),
+        F.round(F.nullif(F.round("a", 2), F.round("b", 2)), 2).alias("a_unless_same"),
+        F.round(guarded_least, 2).alias("least_strict"),
+    )
+
+
+_ORACLE_NULL_SEMANTICS = """
+with o as (
+  select o_orderkey,
+         case when o_orderkey % 3 = 0 then null else o_totalprice end as a,
+         case when o_orderkey % 4 = 0 then null
+              when o_orderkey % 5 = 0 then o_totalprice
+              else -o_totalprice end as b
+  from orders)
+select o_orderkey,
+       a is not distinct from b as ns_eq,
+       round(coalesce(a, b, 0.0), 2) as first_price,
+       round(nullif(round(a, 2), round(b, 2)), 2) as a_unless_same,
+       round(case when a is null or b is null then null
+                  else least(a, b) end, 2) as least_strict
+from o
+"""
+
+
 def _q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog reconciliation (J3 generalized): full-outer diff of two
     catalog snapshots with added/removed/changed/unchanged labels."""
@@ -2214,6 +2298,10 @@ QUERIES: dict[str, QueryDef] = {
                         "melt wide measures to long rows (inverse of pivot)"),
     "semi_join": QueryDef(_q_semi_join, _ORACLE_SEMI_JOIN,
                           "left-semi existence join (no row multiplication)"),
+    "scalar_subquery": QueryDef(_q_scalar_subquery, _ORACLE_SCALAR_SUBQUERY,
+                                "scalar + correlated subqueries (SQL surface)"),
+    "null_semantics": QueryDef(_q_null_semantics, _ORACLE_NULL_SEMANTICS,
+                               "null-safe eq / coalesce / nullif / guarded least"),
     "text_quality": QueryDef(_q_text_quality, _ORACLE_TEXT_QUALITY,
                              "token stats + quality score + fingerprint"),
     "lang_id": QueryDef(_q_lang_id, _ORACLE_LANG_ID,
