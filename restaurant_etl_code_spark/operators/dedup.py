@@ -106,8 +106,12 @@ def minhash_signatures(
     id_field = df.schema[id_col]
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        coeff_a = [2 * i + 1 for i in range(num_hashes)]
-        coeff_b = [i * MINHASH_SALT for i in range(num_hashes)]
+        import numpy as np
+
+        # affine family as int64 vectors: h < 2^52 and a ≤ 2·num_hashes−1
+        # keep a·h+b well inside int64 — numpy arithmetic is exact here
+        coeff_a = np.array([2 * i + 1 for i in range(num_hashes)], dtype=np.int64)
+        coeff_b = np.array([i * MINHASH_SALT for i in range(num_hashes)], dtype=np.int64)
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
@@ -116,14 +120,16 @@ def minhash_signatures(
                 toks = _py_norm_tokens(text)
                 if len(toks) < shingle_n:
                     continue
-                hs = [
-                    _py_hash52(" ".join(toks[i : i + shingle_n]))
-                    for i in range(len(toks) - shingle_n + 1)
-                ]
-                ids.append(doc_id)
-                sigs.append(
-                    [min(a * h + b for h in hs) for a, b in zip(coeff_a, coeff_b)]
+                hs = np.fromiter(
+                    (
+                        _py_hash52(" ".join(toks[i : i + shingle_n]))
+                        for i in range(len(toks) - shingle_n + 1)
+                    ),
+                    dtype=np.int64,
                 )
+                ids.append(doc_id)
+                # (|shingles| × num_hashes) multiply-add + column-min in C
+                sigs.append((hs[:, None] * coeff_a + coeff_b).min(axis=0).tolist())
             if not ids:
                 continue  # empty object-dtype frames break Arrow list conversion
             yield pd.DataFrame(
