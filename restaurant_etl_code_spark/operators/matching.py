@@ -34,6 +34,7 @@ __all__ = [
     "match_cascade",
     "change_detect",
     "reconcile",
+    "fuzzy_name_match",
 ]
 
 
@@ -283,3 +284,53 @@ def reconcile(
             f"__s_{c}", f"__e_{c}"
         )
     return out
+
+
+def fuzzy_name_match(
+    staged: DataFrame,
+    master: DataFrame,
+    staged_name: str,
+    master_name: str,
+    *,
+    max_distance: int = 2,
+    length_band: int = 2,
+    staged_keep: list[str] | None = None,
+) -> DataFrame:
+    """Fuzzy (edit-distance) name match with blocking — the typo-tolerant
+    middle ground between J5's exact join and J6's vector similarity.
+
+    A naive levenshtein join is a cross product; blocking makes it an
+    EQUI-join on the first character plus a length-band filter, cutting
+    candidates ~26× before any distance is computed (standard record-
+    linkage blocking). Recall contract: a typo in the blocking character
+    itself is missed — documented, and exactly why J6 exists for the
+    hard cases. Top-1 per staged row by (distance, master name).
+    """
+    keep = staged_keep or [staged_name]
+    s = staged.select(
+        *keep, F.substring(F.trim(F.col(staged_name)), 1, 1).alias("__blk"),
+        F.length(F.trim(F.col(staged_name))).alias("__slen"),
+    )
+    m = master.select(
+        F.col(master_name).alias("__m_name"),
+        F.substring(F.trim(F.col(master_name)), 1, 1).alias("__blk"),
+        F.length(F.trim(F.col(master_name))).alias("__mlen"),
+    ).dropDuplicates(["__m_name"])
+    cand = (
+        s.join(m, "__blk")
+        .filter(F.abs(F.col("__slen") - F.col("__mlen")) <= length_band)
+        .withColumn(
+            "distance", F.levenshtein(F.trim(F.col(staged_name)), F.col("__m_name"))
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+    from pyspark.sql import Window
+
+    # partition by the staged row identity (keep cols), not the name —
+    # distinct staged rows can share a name and each keeps its own top-1
+    w = Window.partitionBy(*keep).orderBy("distance", "__m_name")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*keep, F.col("__m_name").alias("matched_name"), "distance")
+    )

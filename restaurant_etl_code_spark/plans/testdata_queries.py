@@ -2022,6 +2022,46 @@ group by 1, 2
 """
 
 
+def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked levenshtein name match: staged names carry a deterministic
+    mid-word typo (4th char → 'x'); the blocked join must link them back
+    to the catalog originals."""
+    part = load_table(spark, sf_dir, "part")
+    staged = part.select(
+        F.col("p_partkey").alias("row_id"),
+        F.concat(
+            F.substring("p_name", 1, 3), F.lit("x"),
+            F.expr("substring(p_name, 5)"),
+        ).alias("typo_name"),
+    )
+    master = part.select("p_name")
+    return matching.fuzzy_name_match(
+        staged, master, "typo_name", "p_name",
+        max_distance=2, staged_keep=["row_id", "typo_name"],
+    )
+
+
+_ORACLE_FUZZY_MATCH = """
+with staged as (
+  select p_partkey as row_id,
+         substring(p_name, 1, 3) || 'x' || substring(p_name, 5) as typo_name
+  from part),
+m as (select distinct p_name from part),
+cand as (
+  select s.row_id, s.typo_name, m.p_name as matched_name,
+         levenshtein(trim(s.typo_name), m.p_name) as distance
+  from staged s
+  join m on substring(trim(s.typo_name), 1, 1) = substring(trim(m.p_name), 1, 1)
+        and abs(length(trim(s.typo_name)) - length(trim(m.p_name))) <= 2
+  where levenshtein(trim(s.typo_name), m.p_name) <= 2)
+select row_id, typo_name, matched_name, distance from (
+  select *, row_number() over (partition by row_id, typo_name
+                               order by distance, matched_name) as rn
+  from cand)
+where rn = 1
+"""
+
+
 def _q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar + correlated subqueries via spark.sql: each nation's share of
     global order revenue and its top customer balance. Catalyst rewrites
@@ -2302,6 +2342,8 @@ QUERIES: dict[str, QueryDef] = {
                                 "scalar + correlated subqueries (SQL surface)"),
     "null_semantics": QueryDef(_q_null_semantics, _ORACLE_NULL_SEMANTICS,
                                "null-safe eq / coalesce / nullif / guarded least"),
+    "fuzzy_match": QueryDef(_q_fuzzy_match, _ORACLE_FUZZY_MATCH,
+                            "blocked levenshtein name match (typo recovery)"),
     "text_quality": QueryDef(_q_text_quality, _ORACLE_TEXT_QUALITY,
                              "token stats + quality score + fingerprint"),
     "lang_id": QueryDef(_q_lang_id, _ORACLE_LANG_ID,
