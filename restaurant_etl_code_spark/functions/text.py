@@ -133,3 +133,18 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     )
     # sequence(1, k) with k < 1 DESCENDS instead of producing empty — guard
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs RE2 (DuckDB)
+# and java.util.regex (Spark) agree on: no lookahead, ordered alternation.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(c: Column) -> Column:
+    """BPE-ish subword-token estimate: counts GPT-2 pre-tokenizer pieces
+    (contraction suffixes, letter runs, digit runs, punct runs). A cheap
+    JVM-side proxy for LLM token budgets — the real tokenizer's merge
+    table refines counts but the pre-tokenizer split dominates them."""
+    return F.when(c.isNull(), None).otherwise(
+        F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0))
+    )

@@ -1127,6 +1127,7 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         Ftext.token_count(t).alias("n_tokens"),
+        Ftext.bpe_token_count(t).alias("n_bpe_tokens"),
         F.round(Ftext.punct_ratio(t), 4).alias("punct_ratio"),
         F.round(Ftext.stopword_ratio(t), 4).alias("stopword_ratio"),
         Ftext.quality_score(t).alias("quality"),
@@ -1154,6 +1155,10 @@ _DUCK_PUNCT = (
 _ORACLE_TEXT_QUALITY = f"""
 select doc_id,
        {_DUCK_NTOK} as n_tokens,
+       case when text is null then null else
+         len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?[\p{{L}}]+| ?[\p{{N}}]+| ?[^\s\p{{L}}\p{{N}}]+'))
+       end as n_bpe_tokens,
        round({_DUCK_PUNCT}, 4) as punct_ratio,
        round({_DUCK_SWR}, 4) as stopword_ratio,
        case when text is null then null else
