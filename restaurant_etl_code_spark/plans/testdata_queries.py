@@ -2027,6 +2027,34 @@ group by 1, 2
 """
 
 
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON-path extraction from the events.props
+    string column (schema-on-read) + an aggregate over the extracted key.
+    At scale this is the pattern for sparse/evolving event properties that
+    never make it into the parquet schema."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_id", k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.countDistinct("k").alias("nd_k"),
+        )
+    )
+
+
+_ORACLE_JSON_PROPS = """
+with x as (
+  select event_id, json_extract_string(props, '$.k')::int as k from events)
+select k % 10 as k_bucket, count(*) as n,
+       min(k) as k_min, max(k) as k_max, count(distinct k) as nd_k
+from x group by 1
+"""
+
+
 def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked levenshtein name match: staged names carry a deterministic
     mid-word typo (4th char → 'x'); the blocked join must link them back
@@ -2349,6 +2377,8 @@ QUERIES: dict[str, QueryDef] = {
                                "null-safe eq / coalesce / nullif / guarded least"),
     "fuzzy_match": QueryDef(_q_fuzzy_match, _ORACLE_FUZZY_MATCH,
                             "blocked levenshtein name match (typo recovery)"),
+    "json_props": QueryDef(_q_json_props, _ORACLE_JSON_PROPS,
+                           "JSON-path extraction over schema-on-read props"),
     "text_quality": QueryDef(_q_text_quality, _ORACLE_TEXT_QUALITY,
                              "token stats + quality score + fingerprint"),
     "lang_id": QueryDef(_q_lang_id, _ORACLE_LANG_ID,
