@@ -140,16 +140,33 @@ def bucketed_cosine_topk(
     nbits: int = 8,
     min_score: float | None = None,
     exclude_self: bool = True,
+    probes: int = 1,
 ) -> DataFrame:
     """LSH-bucketed ANN: score only pairs sharing a sign-LSH bucket. The join
     shuffles both sides on the bucket id — bounded partitions, no broadcast
     needed, scales to corpora the exact path cannot touch. Approximate:
-    neighbors in other buckets are unseen (document the recall trade)."""
+    neighbors in other buckets are unseen (document the recall trade).
+
+    ``probes > 1`` enables multi-probe: each query also checks the buckets
+    at Hamming distance 1 from its own (bit flips of the sign vector, up to
+    ``probes-1`` of them) — near-boundary neighbors land exactly there.
+    Recall rises at the cost of ``probes×`` the query-side join fan-out;
+    the corpus side (the big one) is untouched. Tested to dominate
+    single-probe recall in tests/test_dedup_similarity.py."""
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
         V.sign_lsh_bucket(F.col(query_vec), nbits).alias("__bkt"),
     )
+    if probes > 1:
+        flips = F.array(
+            F.col("__bkt"),
+            *[
+                F.col("__bkt").bitwiseXOR(F.lit(1 << b))
+                for b in range(min(probes - 1, nbits))
+            ],
+        )
+        q = q.withColumn("__bkt", F.explode(flips))
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv"),

@@ -139,3 +139,36 @@ def test_lsh_recall_against_exact_jaccard(spark):
     assert truth, "fixture should contain near-dup pairs"
     missed = truth - cand
     assert not missed, f"LSH missed {len(missed)}/{len(truth)} true pairs: {sorted(missed)[:5]}"
+
+
+def test_multiprobe_lsh_dominates_single_probe(spark):
+    """Multi-probe checks the query's bucket plus Hamming-1 neighbors, so
+    its candidate set is a superset of single-probe's. Recall is measured
+    on GENUINELY near pairs (cosine >= 0.9 true near-dups) — that is the
+    population LSH theory speaks about; arbitrary top-3 of random vectors
+    (cosine ~0.3) legitimately scatters across buckets."""
+    from restaurant_etl_code_spark.plans.testdata_queries import _augmented_embeddings
+
+    # raw embeddings are random (max pairwise cosine ~0.48); the augmented
+    # fixture injects scaled/shifted near-duplicates — the actual near-dup
+    # population
+    emb = _augmented_embeddings(spark, "/root/testdata/sf0.001")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert truth, "fixture should contain true near-dup pairs"
+
+    def found(probes):
+        got = similarity.bucketed_cosine_topk(
+            emb, emb, k=5, nbits=6, min_score=0.9, probes=probes
+        ).collect()
+        pairs = set()
+        for r in got:
+            a, b = sorted((r["query_id"], r["neighbor_id"]))
+            pairs.add((a, b))
+        return pairs
+
+    single, multi = found(1), found(4)
+    assert truth & multi >= truth & single          # domination
+    assert len(truth & multi) / len(truth) >= 0.5   # most true near-dups surface
