@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "ann_cosine_topk",
     "ann_bucketed_topk",
+    "ann_multiprobe_topk",
+    "sequence_pack",
     "contentgen_fallback",
     "multimodal_features",
     "range_join",

@@ -46,6 +46,7 @@ __all__ = [
     "shingle_rows",
     "hamming_distance",
     "ngram_jaccard_pairs",
+    "connected_components",
 ]
 
 
@@ -322,3 +323,87 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup candidate pairs into duplicate CLUSTERS — the step
+    between "LSH emitted pairs" and "keep one document per group" that every
+    dedup pipeline needs (pairs (a,b),(b,c) must collapse to ONE survivor,
+    which per-pair logic cannot see).
+
+    Returns ``(node, component_id)`` for every node appearing in an edge,
+    where ``component_id`` is the minimum node id in its connected
+    component — i.e. the canonical survivor under keep-smallest-id.
+
+    Physical shape (iterative, converges in O(log diameter) rounds):
+    each round does (1) *neighbor-min propagation* — a shuffle on node id
+    joining labels to the undirected edge list — and (2) *pointer jumping*
+    (``label ← label(label)``, path-halving) so labels race down long
+    chains geometrically instead of one hop per round. Lineage is truncated
+    every round with ``localCheckpoint`` (swap for reliable ``checkpoint``
+    on a cluster) — without it the plan doubles per iteration and Catalyst
+    analysis time, not the data, becomes the bottleneck. Near-dup clusters
+    are shallow (star-ish), so 2-4 rounds is typical; ``max_iter`` bounds
+    pathological chains. Fully deterministic (min-based), hence
+    oracle-checkable against a recursive-CTE transitive closure.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    # materialize once: every round joins against the edge list, and
+    # without this the (possibly expensive) upstream pair-generation plan
+    # re-executes per iteration
+    und = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            und.join(
+                labels.select(F.col("node").alias("v"), "label"), "v"
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("node").alias("label"), F.col("label").alias("jump")
+                ).alias("y"),
+                "label",
+                "left",
+            )
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce("jump", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component_id"))

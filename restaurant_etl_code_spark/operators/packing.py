@@ -1,0 +1,122 @@
+"""Sequence packing — assign documents to fixed-budget training windows.
+
+A training-data pipeline tokenizes documents and then packs them into
+fixed-size context windows (e.g. 4k/8k tokens) so GPU batches waste no
+padding. Two physical strategies, one logical contract
+``(doc, cost) -> (doc, pack_id)``:
+
+- :func:`contiguous_pack` — documents in a deterministic order are
+  concatenated and split at budget boundaries. Pure window arithmetic
+  (one cumulative sum per partition group), zero Python, fully
+  SQL-expressible — the oracle-checkable scale path. A document whose
+  cost crosses the boundary stays in the pack it started in (packs may
+  overflow by at most one document; at LLM budgets the overflowing tail
+  is truncated downstream, exactly like real concat-and-chunk loaders).
+- :func:`greedy_pack` — per-group first-fit-decreasing bin packing via
+  ``applyInPandas``: tighter fill (no overflow unless a single document
+  exceeds the budget), but per-group sequential logic, so Python-side.
+  Groups are independent → embarrassingly parallel across groups.
+
+Scale notes: both pack WITHIN partition groups (``partition_cols``) —
+a global pack order would serialize 100 TB through one window partition.
+Real pipelines shard by (source, date, ...) anyway; pack ids are only
+meaningful within a shard and are made globally unique by including the
+group columns in the output.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["contiguous_pack", "greedy_pack"]
+
+
+def contiguous_pack(
+    df: DataFrame,
+    cost_col: str,
+    budget: int,
+    partition_cols: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """Concat-and-chunk packing: within each ``partition_cols`` group,
+    documents ordered by ``order_by`` fill packs of ``budget`` cost units;
+    ``pack_id = floor(exclusive-running-cost / budget)``.
+
+    One shuffle (the window partition), whole-stage-codegen arithmetic,
+    deterministic — the plan a 1000-executor job wants.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(cost_col).over(w), F.lit(0))
+    return df.withColumn(
+        "pack_id", F.floor(cum_excl / F.lit(budget)).cast("long")
+    )
+
+
+def greedy_pack(
+    df: DataFrame,
+    id_col: str,
+    cost_col: str,
+    budget: int,
+    partition_cols: Sequence[str],
+) -> DataFrame:
+    """First-fit-decreasing bin packing per group: sort the group's
+    documents by cost descending (id ascending tie-break), place each in
+    the first open pack with room, open a new pack otherwise. A document
+    larger than ``budget`` gets a pack of its own (flagged ``oversize``).
+
+    Output: ``partition_cols + (id_col, cost_col, pack_id, oversize)``.
+    Deterministic given the sort; per-group Python is fine because groups
+    are the parallelism unit and FFD is O(n log n) per group.
+    """
+    part = list(partition_cols)
+    id_field = df.schema[id_col]
+    cost_field = df.schema[cost_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in part]
+        + [
+            id_field,
+            cost_field,
+            T.StructField("pack_id", T.LongType(), False),
+            T.StructField("oversize", T.BooleanType(), False),
+        ]
+    )
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [cost_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        remaining: list[int] = []  # room left per open pack
+        pack_ids, oversize = [], []
+        for cost in pdf[cost_col]:
+            c = int(cost)
+            placed = False
+            for i, room in enumerate(remaining):
+                if c <= room:
+                    remaining[i] = room - c
+                    pack_ids.append(i)
+                    oversize.append(False)
+                    placed = True
+                    break
+            if not placed:
+                remaining.append(max(budget - c, 0))
+                pack_ids.append(len(remaining) - 1)
+                oversize.append(c > budget)
+        pdf = pdf.copy()
+        pdf["pack_id"] = pd.Series(pack_ids, index=pdf.index, dtype="int64")
+        pdf["oversize"] = pd.Series(oversize, index=pdf.index, dtype=bool)
+        return pdf[part + [id_col, cost_col, "pack_id", "oversize"]]
+
+    return (
+        df.select(*part, id_col, cost_col)
+        .groupBy(*part)
+        .applyInPandas(pack_group, schema=out_schema)
+    )

@@ -34,6 +34,7 @@ from restaurant_etl_code_spark.operators import (
     chunking,
     dedup,
     matching,
+    packing,
     similarity,
     stats,
     temporal,
@@ -1551,6 +1552,96 @@ from pairs where {_DUCK_COS} >= 0.8
 """
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved into duplicate clusters: pair (a,b) and (b,c)
+    must yield ONE canonical survivor for {a,b,c}. The iterative
+    min-propagation converges to the same fixpoint a recursive-CTE
+    transitive closure computes — which is exactly the oracle."""
+    pairs = similarity.embedding_near_dup_pairs(
+        _augmented_embeddings(spark, sf_dir), threshold=0.8, nbits=0
+    )
+    return dedup.connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("vec_id"), "component_id"
+    )
+
+
+_ORACLE_DEDUP_CLUSTERS = f"""
+with recursive {_DUCK_AUG_EMB.strip()},
+cand as (
+  select a.vec_id as id_a, b.vec_id as id_b,
+         a.embedding as qv, b.embedding as cv
+  from aug a join aug b on a.vec_id < b.vec_id),
+prs as (select id_a, id_b from cand where {_DUCK_COS} >= 0.8),
+und as (select id_a as u, id_b as v from prs
+        union select id_b, id_a from prs),
+reach(a, b) as (
+  select u, v from und
+  union
+  select r.a, u2.v from reach r join und u2 on u2.u = r.b)
+select a as vec_id, least(a, min(b)) as component_id
+from reach group by a
+"""
+
+
+def _q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (probes=3): each query also checks the buckets at
+    Hamming distance 1 on bits 0 and 1 of its sign vector — recall recovered
+    without touching the corpus side of the join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.bucketed_cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=3, nbits=6,
+        exclude_self=True, probes=3,
+    )
+
+
+_ORACLE_ANN_MULTIPROBE = f"""
+with q as (select vec_id as query_id, embedding::double[] as qv,
+                  {_DUCK_BUCKET} as bkt
+           from embeddings where vec_id < 10),
+c as (select vec_id as neighbor_id, embedding::double[] as cv,
+             {_DUCK_BUCKET} as bkt
+      from embeddings),
+scored as (
+  select query_id, neighbor_id, {_DUCK_COS} as score
+  from q join c on c.bkt in (q.bkt, xor(q.bkt, 1), xor(q.bkt, 2))
+  where query_id != neighbor_id)
+select query_id, neighbor_id, score, rank from (
+  select *, row_number() over (partition by query_id
+                               order by score desc, neighbor_id) as rank
+  from scored)
+where rank <= 3
+"""
+
+
+def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window packing (concat-and-chunk): documents per language in
+    doc_id order fill 4096-char packs — pack_id is pure window arithmetic,
+    the plan that packs a 100 TB shard without any Python."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cost = F.greatest(F.col("n_chars"), F.lit(1)).alias("cost")
+    packed = packing.contiguous_pack(
+        docs.select("doc_id", "lang", cost),
+        cost_col="cost",
+        budget=4096,
+        partition_cols=["lang"],
+        order_by=["doc_id"],
+    )
+    return packed.select("doc_id", "lang", "cost", "pack_id")
+
+
+_ORACLE_SEQUENCE_PACK = """
+with docs as (
+  select doc_id, lang, greatest(n_chars, 1) as cost
+  from documents where text is not null)
+select doc_id, lang, cost,
+       cast(floor(coalesce(sum(cost) over (
+         partition by lang order by doc_id
+         rows between unbounded preceding and 1 preceding), 0) / 4096)
+         as bigint) as pack_id
+from docs
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal: opaque binary column + metadata extraction (plumbing is real,
 # decode itself is engine-side trivial here — see multimodal/ for the
@@ -2403,6 +2494,12 @@ QUERIES: dict[str, QueryDef] = {
                                  "J6: thresholded top-1 vector match w/ bypass"),
     "embedding_near_dup": QueryDef(_q_embedding_near_dup, _ORACLE_EMB_NEAR_DUP,
                                    "embedding-cosine near-dup pairs"),
+    "dedup_clusters": QueryDef(_q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS,
+                               "near-dup pairs → connected components (canonical survivor)"),
+    "ann_multiprobe_topk": QueryDef(_q_ann_multiprobe, _ORACLE_ANN_MULTIPROBE,
+                                    "multi-probe sign-LSH ANN (Hamming-1 buckets)"),
+    "sequence_pack": QueryDef(_q_sequence_pack, _ORACLE_SEQUENCE_PACK,
+                              "training-window packing: concat-and-chunk per lang"),
     "multimodal_features": QueryDef(_q_multimodal_features, _ORACLE_MULTIMODAL,
                                     "binary-column metadata extraction"),
     "contentgen_fallback": QueryDef(_q_contentgen_fallback, _ORACLE_CONTENTGEN,

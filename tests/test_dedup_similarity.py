@@ -172,3 +172,29 @@ def test_multiprobe_lsh_dominates_single_probe(spark):
     single, multi = found(1), found(4)
     assert truth & multi >= truth & single          # domination
     assert len(truth & multi) / len(truth) >= 0.5   # most true near-dups surface
+
+
+def test_connected_components_resolves_clusters(spark):
+    """(a,b)+(b,c) must collapse to one cluster; a 9-node chain exercises
+    pointer jumping (converges well under the naive 8-round bound); nodes
+    without edges stay out (operator contract: edge-list domain)."""
+    edges = spark.createDataFrame(
+        # triangle {1,2,3}, chain 10-11-...-18, pair {20,21}
+        [(1, 2), (2, 3), (1, 3)]
+        + [(i, i + 1) for i in range(10, 18)]
+        + [(20, 21)],
+        "id_a int, id_b int",
+    )
+    got = {r["node"]: r["component_id"] for r in dedup.connected_components(edges).collect()}
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in range(10, 19)} == {10}
+    assert {got[n] for n in (20, 21)} == {20}
+    assert set(got) == {1, 2, 3, *range(10, 19), 20, 21}
+
+
+def test_connected_components_direction_and_dup_invariant(spark):
+    """Reversed/duplicated edges and self-loops must not change the result."""
+    base = [(5, 4), (4, 5), (5, 4), (6, 5), (6, 6)]
+    got = {r["node"]: r["component_id"] for r in dedup.connected_components(
+        spark.createDataFrame(base, "id_a int, id_b int")).collect()}
+    assert got == {4: 4, 5: 4, 6: 4}

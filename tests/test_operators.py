@@ -231,3 +231,44 @@ def test_reconcile_status_labels(spark):
     }
     # null-safe compare: (5, None) vs (5, None) is unchanged, not changed
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added", 5: "unchanged"}
+
+
+def test_greedy_pack_respects_budget_and_flags_oversize(spark):
+    from restaurant_etl_code_spark.operators import packing
+
+    rows = [("en", i, c) for i, c in enumerate([900, 800, 700, 300, 200, 100, 2500])] + [
+        ("fr", 100, 1500),  # oversize for budget 1000 → own pack, flagged
+        ("fr", 101, 400),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id int, cost int")
+    out = packing.greedy_pack(df, "doc_id", "cost", budget=1000, partition_cols=["lang"]).collect()
+    by_pack: dict = {}
+    for r in out:
+        by_pack.setdefault((r["lang"], r["pack_id"]), []).append(r)
+    for (lang, _), members in by_pack.items():
+        total = sum(r["cost"] for r in members)
+        if any(r["oversize"] for r in members):
+            assert len(members) == 1  # oversize docs are alone
+        else:
+            assert total <= 1000
+    fr = {r["doc_id"]: r for r in out if r["lang"] == "fr"}
+    assert fr[100]["oversize"] and not fr[101]["oversize"]
+    assert fr[100]["pack_id"] != fr[101]["pack_id"]
+    # FFD packs the en docs (3500 total, no oversize among first six) tightly:
+    # 900+100, 800+200, 700+300 → 3 packs + 2500 alone
+    en_packs = {r["pack_id"] for r in out if r["lang"] == "en"}
+    assert len(en_packs) == 4
+
+
+def test_contiguous_pack_overflow_semantics(spark):
+    from restaurant_etl_code_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [("en", 1, 3000), ("en", 2, 3000), ("en", 3, 100)],
+        "lang string, doc_id int, cost int",
+    )
+    out = {r["doc_id"]: r["pack_id"] for r in packing.contiguous_pack(
+        df, "cost", 4096, ["lang"], ["doc_id"]).collect()}
+    # doc 1 starts pack 0; doc 2 starts at cum 3000 < 4096 → still pack 0
+    # (overflows it); doc 3 starts at cum 6000 → pack 1
+    assert out == {1: 0, 2: 0, 3: 1}
