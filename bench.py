@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "ann_bucketed_topk",
     "ann_multiprobe_topk",
     "sequence_pack",
+    "stratified_split",
+    "tfidf_top_terms",
     "contentgen_fallback",
     "multimodal_features",
     "range_join",

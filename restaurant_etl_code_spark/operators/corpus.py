@@ -1,0 +1,90 @@
+"""Corpus-level term statistics: TF-IDF scoring and top-term extraction.
+
+The missing piece between per-document text features (functions/text.py:
+quality, lang-id, fingerprints — all row-local) and pair-level dedup
+(operators/dedup.py): *corpus-relative* term weighting, the workhorse for
+keyword extraction, topic labelling, and lexical retrieval over a training
+corpus.
+
+Scale design (the plan at 100 TB, not just at test SF):
+
+- tokenize + explode is a flat map on the scan — no shuffle, and the
+  per-(doc, term) count aggregation that follows it gets a map-side
+  partial-aggregate, so the shuffle carries (doc_id, term, count) partials,
+  not raw token streams;
+- document frequency is a second aggregation keyed on term alone — its
+  input is the already-collapsed (doc, term) pairs, never the token stream;
+- the idf join is an equi-join on ``term``. Vocabulary is Zipf-distributed
+  (a few stop-terms appear in most documents) — exactly the skew profile
+  AQE's skew-join splitting handles, and why ``df_cap`` exists: terms in
+  more than ``df_cap`` of documents carry ~zero idf and can be dropped
+  *before* the join, removing the heaviest keys instead of salting them;
+- top-k per document is a ``row_number`` window with a k-limit predicate,
+  which Spark ≥3.5 executes as WindowGroupLimit (per-partition heap, no
+  full sort of the exploded space).
+
+Uses the reference's normalization chain (SURVEY F1-F3 →
+functions/text.normalize_text) so scores are stable under whitespace/case
+noise, and smooth idf ``ln((N+1)/(df+1)) + 1`` so unseen/every-doc terms
+stay finite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.functions import text as Ftext
+
+__all__ = ["tfidf_top_terms"]
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    df_cap: float | None = None,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    Returns (doc_id, term, tf, df, score, rank) with a deterministic
+    tie-break (score desc, term asc). ``df_cap`` (fraction of N) drops
+    ultra-common terms before the idf join — the scale lever for Zipf skew.
+    """
+    n_docs = docs.select(id_col).distinct().count()
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(Ftext.tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+
+    # (doc, term) counts and per-doc lengths in one pass over the exploded
+    # stream: count per (doc, term), then a window-free rejoin via a second
+    # grouped sum — both aggregations share the doc_id-keyed shuffle.
+    term_counts = toks.groupBy(id_col, "term").agg(F.count("*").alias("cnt"))
+    doc_lens = term_counts.groupBy(id_col).agg(F.sum("cnt").alias("doc_len"))
+
+    doc_freq = term_counts.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    if df_cap is not None:
+        doc_freq = doc_freq.where(F.col("df") <= int(df_cap * n_docs))
+
+    scored = (
+        term_counts.join(doc_lens, id_col)
+        .join(doc_freq, "term")
+        .withColumn("tf", F.col("cnt") / F.col("doc_len"))
+        .withColumn(
+            "idf",
+            F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0),
+        )
+        .withColumn("score", F.round(F.col("tf") * F.col("idf"), 6))
+    )
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "cnt", "df", "score", "rank")
+    )

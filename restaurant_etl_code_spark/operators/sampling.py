@@ -1,0 +1,96 @@
+"""Deterministic sampling / dataset-split operators for training pipelines.
+
+A 100 TB corpus is never split into train/val/test by ``df.randomSplit`` —
+RNG-based splits are not reproducible across reruns, engines, or partition
+layouts. The standard large-scale pattern (used by every public web-corpus
+pipeline) is a *hash split*: bucket = hash(stable_key) mod N, with fixed
+bucket ranges per split. Properties:
+
+- deterministic and engine-independent (re-running never moves a document);
+- embarrassingly parallel — a pure projection, zero shuffles;
+- stratification for free: the hash is uniform within any stratum, so each
+  (lang, source, ...) slice inherits the global split ratios;
+- stable under appends — new rows land in splits without re-shuffling old.
+
+Two hash families are exposed:
+
+- ``split_bucket`` (production): ``xxhash64`` — Spark's built-in 64-bit
+  avalanche hash, whole-stage-codegen'd JVM-side.
+- ``portable_split_bucket``: a multiplicative (Knuth) hash expressed in
+  plain integer arithmetic so an external SQL engine (the DuckDB oracle)
+  computes bit-identical buckets. Weaker avalanche than xxhash64 but exact
+  cross-engine parity, which is what a correctness gate needs.
+
+Generalizes the reference's batch-partitioning surface (SURVEY A1,
+``repository/ops/data2batches.py:74-77``) from "slice rows into batches"
+to "assign rows to reproducible datasets".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["split_bucket", "portable_split_bucket", "assign_split", "SplitSpec"]
+
+_BUCKETS = 10_000
+
+# Knuth's multiplicative constant (2^32 / golden ratio). The key is reduced
+# mod a 31-bit prime first so key*K stays far below the int64 overflow line
+# on engines (DuckDB) that raise on overflow instead of wrapping.
+_KNUTH = 2_654_435_761
+_PRIME = 2_147_483_647
+
+
+def split_bucket(key: Column, seed: int = 42) -> Column:
+    """Production bucket in [0, 10000): xxhash64 of the stable key."""
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
+
+
+def portable_split_bucket(key: Column, seed: int = 42) -> Column:
+    """Cross-engine bucket in [0, 10000) from pure int64 arithmetic.
+
+    DuckDB twin (same operation order):
+        ((key % 2147483647 + seed) * 2654435761) % 2147483647 % 10000
+    """
+    mixed = (key % _PRIME + F.lit(seed)) * F.lit(_KNUTH)
+    return F.pmod(F.pmod(mixed, F.lit(_PRIME)), F.lit(_BUCKETS))
+
+
+class SplitSpec:
+    """Named splits with proportional bucket ranges, e.g.
+    ``SplitSpec(train=0.9, val=0.05, test=0.05)``. Ranges are contiguous
+    [lo, hi) slices of the 10000-bucket space in declaration order, so a
+    spec is itself deterministic."""
+
+    def __init__(self, **weights: float):
+        if not weights:
+            raise ValueError("at least one split required")
+        total = sum(weights.values())
+        self.ranges: list[tuple[str, int, int]] = []
+        lo = 0
+        items = list(weights.items())
+        for i, (name, w) in enumerate(items):
+            hi = _BUCKETS if i == len(items) - 1 else lo + int(round(w / total * _BUCKETS))
+            self.ranges.append((name, lo, hi))
+            lo = hi
+
+    def label(self, bucket: Column) -> Column:
+        expr = F.lit(self.ranges[-1][0])
+        for name, lo, hi in reversed(self.ranges[:-1]):
+            expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
+        return expr
+
+
+def assign_split(
+    df: DataFrame,
+    key: str,
+    spec: SplitSpec,
+    seed: int = 42,
+    portable: bool = False,
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic split label column. Pure projection — no shuffle,
+    no RNG; the plan stays a single whole-stage-codegen map over the scan."""
+    bucket = (portable_split_bucket if portable else split_bucket)(F.col(key), seed)
+    return df.withColumn(out_col, spec.label(bucket))

@@ -32,9 +32,11 @@ from pyspark.sql import functions as F
 from restaurant_etl_code_spark.functions import cleansing, text as Ftext
 from restaurant_etl_code_spark.operators import (
     chunking,
+    corpus,
     dedup,
     matching,
     packing,
+    sampling,
     similarity,
     stats,
     temporal,
@@ -2391,6 +2393,72 @@ def _q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split of the corpus into train/val/test (90/5/5)
+    with per-(split, lang) counts proving stratification. Pure projection +
+    one aggregation — no RNG, no extra shuffle; re-running never moves a
+    document. Production path is xxhash64 (operators/sampling.py); this
+    query uses the portable arithmetic twin so DuckDB computes bit-identical
+    buckets. Generalizes SURVEY A1 (data2batches.py:74-77) batch slicing
+    into reproducible dataset assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    spec = sampling.SplitSpec(train=0.9, val=0.05, test=0.05)
+    labeled = sampling.assign_split(docs, "doc_id", spec, seed=7, portable=True)
+    return labeled.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("n_chars") / F.count("*"), 6).alias("avg_chars"),
+    )
+
+
+_ORACLE_STRATIFIED_SPLIT = """
+WITH b AS (
+  SELECT *,
+         ((doc_id % 2147483647 + 7) * 2654435761) % 2147483647 % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       round(sum(n_chars) / count(*), 6) AS avg_chars
+FROM b
+GROUP BY 1, 2
+"""
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative term weighting: top-3 TF-IDF terms per document
+    (operators/corpus.py). Explode → shared doc_id-keyed aggs → term-keyed
+    idf join → WindowGroupLimit top-k; see the module docstring for the
+    100 TB shuffle/skew analysis."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.tfidf_top_terms(docs, k=3)
+
+
+_ORACLE_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_DUCK_NORM.format(c='text')}, ' ')) AS term
+  FROM documents
+),
+tc AS (
+  SELECT doc_id, term, count(*) AS cnt FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, sum(cnt) AS doc_len FROM tc GROUP BY 1),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tc GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tc.doc_id, tc.term, tc.cnt, dfq.df,
+         round((tc.cnt / dl.doc_len) * (ln((n.n + 1) / (dfq.df + 1.0)) + 1.0), 6) AS score
+  FROM tc JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, cnt, df, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -2528,4 +2596,8 @@ QUERIES: dict[str, QueryDef] = {
                               "P11: update-fields projection with id coalesce"),
     "distinct_categories": QueryDef(_q_distinct_categories, _ORACLE_DISTINCT_CATEGORIES,
                                     "A5: distinct category list"),
+    "stratified_split": QueryDef(_q_stratified_split, _ORACLE_STRATIFIED_SPLIT,
+                                 "deterministic hash train/val/test split (no RNG)"),
+    "tfidf_top_terms": QueryDef(_q_tfidf_top_terms, _ORACLE_TFIDF,
+                                "corpus TF-IDF: top-3 terms per document"),
 }

@@ -70,6 +70,17 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["BroadcastHashJoin"],
         "avoid": ["CartesianProduct", "SortMergeJoin"],
     },
+    "stratified_split": {
+        # split label is pure arithmetic on the scan; the only Exchange is
+        # the (split, lang) aggregation's
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    },
+    "tfidf_top_terms": {
+        # explode → partial aggs; idf equi-join; top-k as WindowGroupLimit
+        "want": ["Generate explode", "WindowGroupLimit"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     "training_prep": {
         # gates are expressions on the scan; the only shuffle is the
         # fingerprint groupBy (its Exchange shows up by key name)
