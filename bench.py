@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "sequence_pack",
     "stratified_split",
     "tfidf_top_terms",
+    "decontaminate",
     "contentgen_fallback",
     "multimodal_features",
     "range_join",

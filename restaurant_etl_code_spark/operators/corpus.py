@@ -36,7 +36,63 @@ from pyspark.sql import functions as F
 
 from restaurant_etl_code_spark.functions import text as Ftext
 
-__all__ = ["tfidf_top_terms"]
+__all__ = ["tfidf_top_terms", "contaminated_ids", "decontaminate"]
+
+
+def contaminated_ids(
+    corpus_docs: DataFrame,
+    benchmark_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Corpus documents sharing any word ``n``-gram with a benchmark set.
+
+    The standard pre-training decontamination check (drop training documents
+    that overlap evaluation data). Shape at 100 TB: the benchmark side is
+    tiny relative to the corpus — its distinct shingle set is built once and
+    BROADCAST, so the corpus side is a map-side semi-join on its own scan:
+    no corpus shuffle at all. Shingles are deduped per document
+    (``array_distinct``) before exploding so the probe volume is bounded by
+    distinct n-grams, not token count, and both sides join on the 64-bit
+    ``xxhash64`` of the shingle rather than the string — an 8-byte fixed key
+    instead of ~(6·n)-byte grams, shrinking the broadcast table and probe.
+    A 64-bit collision falsely flags a clean document (never the reverse);
+    at 2^32 benchmark shingles the expected extra drop is ~1 document —
+    noise against the corpus, and conservative in the safe direction.
+    """
+    bench_shingles = (
+        benchmark_docs.select(
+            F.explode(
+                F.array_distinct(Ftext.word_shingles(F.col(text_col), n))
+            ).alias("shingle")
+        )
+        .select(F.xxhash64("shingle").alias("shingle_h"))
+        .distinct()
+    )
+    probe = corpus_docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(Ftext.word_shingles(F.col(text_col), n))).alias(
+            "shingle"
+        ),
+    ).select(id_col, F.xxhash64("shingle").alias("shingle_h"))
+    return (
+        probe.join(F.broadcast(bench_shingles), "shingle_h", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus_docs: DataFrame,
+    benchmark_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Corpus minus contaminated documents (left-anti on the hit set)."""
+    hits = contaminated_ids(corpus_docs, benchmark_docs, id_col, text_col, n)
+    return corpus_docs.join(hits, id_col, "left_anti")
 
 
 def tfidf_top_terms(

@@ -2459,6 +2459,54 @@ SELECT doc_id, term, cnt, df, score, rank FROM (
 """
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 19th document plays the held-out
+    evaluation set; corpus documents sharing any 5-gram with it are flagged.
+    The benchmark shingle set broadcasts (operators/corpus.contaminated_ids)
+    so the corpus side never shuffles — the scale-defining property of this
+    operator. Output: per-language kept/dropped counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corp = docs.where(F.col("doc_id") % 19 != 0)
+    hits = corpus.contaminated_ids(corp, bench, n=5).withColumn("hit", F.lit(1))
+    return (
+        corp.join(hits, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_clean"),
+        )
+    )
+
+
+_ORACLE_DECONTAMINATE = f"""
+WITH bench AS (SELECT * FROM documents WHERE doc_id % 19 = 0),
+corp AS (SELECT * FROM documents WHERE doc_id % 19 <> 0),
+btk AS (SELECT string_split({_DUCK_NORM.format(c='text')}, ' ') AS tk FROM bench),
+bsh AS (
+  SELECT DISTINCT unnest(CASE WHEN len(tk) >= 5 THEN
+    list_transform(range(1, len(tk) - 3), i ->
+      array_to_string(list_slice(tk, i::int, i::int + 4), ' '))
+    ELSE [] END) AS shingle
+  FROM btk
+),
+ctk AS (SELECT doc_id, string_split({_DUCK_NORM.format(c='text')}, ' ') AS tk FROM corp),
+csh AS (
+  SELECT doc_id, unnest(CASE WHEN len(tk) >= 5 THEN
+    list_transform(range(1, len(tk) - 3), i ->
+      array_to_string(list_slice(tk, i::int, i::int + 4), ' '))
+    ELSE [] END) AS shingle
+  FROM ctk
+),
+hit AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (shingle))
+SELECT c.lang,
+       sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dropped,
+       sum(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS n_clean
+FROM corp c LEFT JOIN hit h ON c.doc_id = h.doc_id
+GROUP BY 1
+"""
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -2600,4 +2648,6 @@ QUERIES: dict[str, QueryDef] = {
                                  "deterministic hash train/val/test split (no RNG)"),
     "tfidf_top_terms": QueryDef(_q_tfidf_top_terms, _ORACLE_TFIDF,
                                 "corpus TF-IDF: top-3 terms per document"),
+    "decontaminate": QueryDef(_q_decontaminate, _ORACLE_DECONTAMINATE,
+                              "benchmark 5-gram decontamination (broadcast semi-join)"),
 }

@@ -63,6 +63,32 @@ def test_split_is_pure_projection_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_decontaminate_removes_exactly_the_flagged_docs(spark):
+    docs = _docs(spark)
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corp = docs.where(F.col("doc_id") % 19 != 0)
+    hits = corpus.contaminated_ids(corp, bench, n=5)
+    clean = corpus.decontaminate(corp, bench, n=5)
+    assert clean.count() == corp.count() - hits.count()
+    assert clean.join(hits, "doc_id", "inner").count() == 0
+    # A benchmark document verbatim in the corpus must always be flagged.
+    planted = corp.limit(0).unionByName(bench.limit(1))
+    assert corpus.contaminated_ids(corp.unionByName(planted), bench, n=5).count() >= hits.count()
+
+
+def test_contamination_probe_is_broadcast_semi_join(spark):
+    docs = _docs(spark)
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corp = docs.where(F.col("doc_id") % 19 != 0)
+    plan = (
+        corpus.contaminated_ids(corp, bench, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the corpus-side probe must be a broadcast semi-join, never a shuffle
+    # of the corpus shingles
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
 def test_tfidf_df_cap_drops_ubiquitous_terms(spark):
     docs = _docs(spark)
     full = corpus.tfidf_top_terms(docs, k=3)

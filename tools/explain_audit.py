@@ -81,6 +81,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["Generate explode", "WindowGroupLimit"],
         "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "decontaminate": {
+        # benchmark shingles broadcast; the corpus probe is a map-side
+        # semi-join — the corpus never shuffles its shingles
+        "want": ["BroadcastHashJoin", "LeftSemi"],
+        "avoid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "training_prep": {
         # gates are expressions on the scan; the only shuffle is the
         # fingerprint groupBy (its Exchange shows up by key name)
