@@ -40,8 +40,11 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["Exchange"],                # pure projection: no shuffle at all
     },
     "ann_cosine_topk": {
-        "want": ["BroadcastNestedLoopJoin"],  # broadcast query side by design
-        "avoid": [],
+        # vectorized: query block broadcast INTO an Arrow-batched
+        # MapInPandas (BLAS matmul + map-side top-k pruning), then a final
+        # WindowGroupLimit merge — no per-pair join operator at all
+        "want": ["MapInPandas", "WindowGroupLimit"],
+        "avoid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
     },
     "asof_join": {
         "want": ["BroadcastHashJoin"],
