@@ -482,7 +482,7 @@ from joined where price_changed or tax_changed
 
 def _q_template_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").withColumn("is_active", F.col("p_size") > 2)
-    return chunking.group_and_chunk_templates(
+    templates = chunking.group_and_chunk_templates(
         part,
         id_col="p_partkey",
         category_col="p_brand",
@@ -490,6 +490,16 @@ def _q_template_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         active_col="is_active",
         max_products=30,
         clock="2026-01-01 00:00:00",
+    )
+    # The nested array<struct> template body is the production shape (K10);
+    # project it to scalars for the driver's value-hash (which canonicalizes
+    # via pandas and cannot sort list cells).
+    return templates.select(
+        "category", "template_name", "header_text", "body_text",
+        "start_date", "end_date",
+        F.concat_ws(",", F.transform("items", lambda x: x["productRetailerId"]))
+        .alias("item_ids"),
+        F.size("items").alias("n_items"),
     )
 
 
@@ -503,7 +513,8 @@ ranked as (
   from base),
 chunked as (
   select category, (rn - 1) // 30 as chunk,
-         list(struct_pack(productRetailerId := p_partkey::varchar) order by rn) as items
+         string_agg(p_partkey::varchar, ',' order by rn) as item_ids,
+         count(*)::int as n_items
   from ranked group by 1, 2),
 named as (
   select *, max(chunk) over (partition by category) + 1 as n_chunks from chunked)
@@ -516,7 +527,7 @@ select category,
        strftime(timestamp '2026-01-01 00:00:00', '%Y-%m-%dT%H:%M:%SZ') as start_date,
        strftime(timestamp '2026-01-01 00:00:00' + interval 1825 day,
                 '%Y-%m-%dT%H:%M:%SZ') as end_date,
-       items
+       item_ids, n_items
 from named
 """
 
@@ -544,8 +555,8 @@ batched as (
   select *, (row_number() over (order by event_id) - 1) // 25 as batch_id from statused)
 select batch_id,
        count(*) as total,
-       sum(case when status = 'success' then 1 else 0 end) as created,
-       sum(case when status != 'success' then 1 else 0 end) as failed,
+       sum(case when status = 'success' then 1 else 0 end)::bigint as created,
+       sum(case when status != 'success' then 1 else 0 end)::bigint as failed,
        round(sum(case when status = 'success' then 1 else 0 end) * 100.0 / count(*), 4)
          as success_rate
 from batched group by batch_id
@@ -666,9 +677,9 @@ with flagged as (
   window w as (partition by user_id order by ts)),
 sessioned as (
   select user_id, ts, value,
-         sum(new_session) over (partition by user_id order by ts
-                                rows between unbounded preceding and current row) - 1
-           as session_id
+         (sum(new_session) over (partition by user_id order by ts
+                                 rows between unbounded preceding and current row)
+          - 1)::bigint as session_id
   from flagged)
 select user_id, session_id,
        min(ts) as session_start, max(ts) as session_end,
@@ -950,10 +961,17 @@ def _run_pipeline(spark: SparkSession, sf_dir: str):
 
 def _q_pipeline_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     products = _run_pipeline(spark, sf_dir)["products"]
+    # Production shape keeps `brand`/`category`/`subcategory` as {name} structs
+    # (P12) and the embedding as array<double> (U3); the oracle projection
+    # flattens both so the driver's scalar value-hash can check it.
     return products.select(
         "row_id", "product_name", "match_type", "description",
-        "brand", "category", "subcategory",
-        "tax_slab", "quantity", "embedding", "status",
+        F.col("brand.name").alias("brand_name"),
+        F.col("category.name").alias("category_name"),
+        F.col("subcategory.name").alias("subcategory_name"),
+        "tax_slab", "quantity",
+        *[F.col("embedding")[i].alias(f"emb_{i}") for i in range(8)],
+        "status",
     )
 
 
@@ -1048,15 +1066,20 @@ embedded as (
          product_name || '|' || description || '|' || coalesce(brand, '') as content
   from enriched)
 select row_id, product_name, match_type, description,
-       case when brand is not null then struct_pack(name := brand) end as brand,
-       case when category is not null then struct_pack(name := category) end as category,
-       case when subcategory is not null then struct_pack(name := subcategory) end as subcategory,
+       brand as brand_name,
+       category as category_name,
+       subcategory as subcategory_name,
        case when coalesce(is_tax, false) then '{cleansing.TAX_SLAB_TRUE}'
             else '{cleansing.TAX_SLAB_FALSE}' end as tax_slab,
        (case when quantity <= 0 then 10 else quantity end)::int as quantity,
-       list_transform(range(0, 8), i ->
-           (('0x' || substring(md5(content || '_' || i::varchar), 1, 15))::bigint
-            % 2000) / 1000.0 - 1.0) as embedding,
+       (('0x' || substring(md5(content || '_0'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_0,
+       (('0x' || substring(md5(content || '_1'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_1,
+       (('0x' || substring(md5(content || '_2'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_2,
+       (('0x' || substring(md5(content || '_3'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_3,
+       (('0x' || substring(md5(content || '_4'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_4,
+       (('0x' || substring(md5(content || '_5'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_5,
+       (('0x' || substring(md5(content || '_6'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_6,
+       (('0x' || substring(md5(content || '_7'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_7,
        'success' as status
 from embedded
 """
@@ -1695,9 +1718,12 @@ def _q_contentgen_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__content",
         F.concat_ws("|", "name", "description", "brand_name", "category_name", "subcategory_name"),
     )
-    return enriched.select(
+    # The ArrayType(Double) embedding is the production column (U3); the
+    # oracle-checked projection splays it to scalar dims for the driver hash.
+    withemb = enriched.withColumn("embedding", V.hash_embedding_expr("__content", 8))
+    return withemb.select(
         "row_id", "name", "description", "brand_name", "category_name", "subcategory_name",
-        V.hash_embedding_expr("__content", 8).alias("embedding"),
+        *[F.col("embedding")[i].alias(f"emb_{i}") for i in range(8)],
     )
 
 
@@ -1713,9 +1739,14 @@ enriched as (
            as content
   from gen)
 select row_id, name, description, brand_name, category_name, subcategory_name,
-       list_transform(range(0, 8), i ->
-           (('0x' || substring(md5(content || '_' || i::varchar), 1, 15))::bigint
-            % 2000) / 1000.0 - 1.0) as embedding
+       (('0x' || substring(md5(content || '_0'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_0,
+       (('0x' || substring(md5(content || '_1'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_1,
+       (('0x' || substring(md5(content || '_2'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_2,
+       (('0x' || substring(md5(content || '_3'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_3,
+       (('0x' || substring(md5(content || '_4'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_4,
+       (('0x' || substring(md5(content || '_5'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_5,
+       (('0x' || substring(md5(content || '_6'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_6,
+       (('0x' || substring(md5(content || '_7'), 1, 15))::bigint % 2000) / 1000.0 - 1.0 as emb_7
 from enriched
 """
 )
@@ -1950,13 +1981,20 @@ from shaped where coalesce(_id, external_id) is not null and price is not null
 
 
 def _q_distinct_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: distinct category list (reference extract_menu_with_gemini_op.py:118)."""
+    """A5: distinct category list (reference extract_menu_with_gemini_op.py:118).
+    Collected as a sorted join-string + count so the driver's scalar value-hash
+    can check it (the in-engine form is `collect_set`)."""
     part = load_table(spark, sf_dir, "part")
-    return part.agg(F.array_sort(F.collect_set("p_type")).alias("categories"))
+    return part.agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("p_type"))).alias("categories"),
+        F.countDistinct("p_type").alias("n_categories"),
+    )
 
 
 _ORACLE_DISTINCT_CATEGORIES = """
-select list(distinct p_type order by p_type) as categories from part
+select string_agg(p_type, ',' order by p_type) as categories,
+       count(p_type)::bigint as n_categories
+from (select distinct p_type from part)
 """
 
 
@@ -2073,18 +2111,20 @@ def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.9D)),"
-            " x -> round(x, 4))"
-        ).alias("qtiles"),
+        F.round(F.expr("percentile(l_quantity, 0.25D)"), 4).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.5D)"), 4).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75D)"), 4).alias("q75"),
+        F.round(F.expr("percentile(l_quantity, 0.9D)"), 4).alias("q90"),
         F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias("median_price"),
     )
 
 
 _ORACLE_QUANTILES = """
 select l_returnflag,
-       list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]),
-                      x -> round(x, 4)) as qtiles,
+       round(quantile_cont(l_quantity, 0.25), 4) as q25,
+       round(quantile_cont(l_quantity, 0.5), 4) as q50,
+       round(quantile_cont(l_quantity, 0.75), 4) as q75,
+       round(quantile_cont(l_quantity, 0.9), 4) as q90,
        round(quantile_cont(l_extendedprice, 0.5), 4) as median_price
 from lineitem group by l_returnflag
 """
@@ -2406,7 +2446,7 @@ def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = sampling.assign_split(docs, "doc_id", spec, seed=7, portable=True)
     return labeled.groupBy("split", "lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.sum("n_chars") / F.count("*"), 6).alias("avg_chars"),
+        F.sum("n_chars").alias("sum_chars"),
     )
 
 
@@ -2421,7 +2461,7 @@ SELECT CASE WHEN bucket < 9000 THEN 'train'
             ELSE 'test' END AS split,
        lang,
        count(*) AS n_docs,
-       round(sum(n_chars) / count(*), 6) AS avg_chars
+       sum(n_chars)::bigint AS sum_chars
 FROM b
 GROUP BY 1, 2
 """
@@ -2500,8 +2540,8 @@ csh AS (
 ),
 hit AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (shingle))
 SELECT c.lang,
-       sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dropped,
-       sum(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS n_clean
+       sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)::bigint AS n_dropped,
+       sum(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END)::bigint AS n_clean
 FROM corp c LEFT JOIN hit h ON c.doc_id = h.doc_id
 GROUP BY 1
 """
