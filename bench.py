@@ -54,6 +54,12 @@ BENCH_QUERIES = [
     "stratified_split",
     "tfidf_top_terms",
     "decontaminate",
+    "pii_scrub",
+    "repetition_signals",
+    "group_sample",
+    "rolling_stats",
+    "csv_scan_agg",
+    "json_scan_agg",
     "contentgen_fallback",
     "multimodal_features",
     "range_join",

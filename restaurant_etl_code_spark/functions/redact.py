@@ -1,0 +1,61 @@
+"""PII pattern redaction for training-data pipelines.
+
+A 100 TB corpus prep pass scrubs contact-style PII (emails, phone numbers,
+national-id patterns) before anything downstream sees the text. This is the
+classic pre-training cleanup step alongside dedup and quality filtering —
+pure JVM-side ``regexp_replace`` chains, whole-stage-codegen friendly, no
+UDFs, no shuffle (a zero-shuffle map over the corpus scan).
+
+Generalizes the reference's cleansing surface (SURVEY §2.3 P5 price strip,
+``repository/ops/restaurant_menu_pdf_v1/extract_menu_with_gemini_op.py:170-176``
+is the same regexp-rewrite shape) to the corpus-scale redaction operator the
+reference never needed.
+
+Patterns are restricted to constructs RE2 (DuckDB oracle) and
+``java.util.regex`` (Spark) agree on: no lookaround, no backreferences,
+explicit character classes. Order matters: the SSN-shaped pattern must run
+before the phone pattern (a phone regex that allows dashes would otherwise
+consume ``123-45-6789`` first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "EMAIL_PATTERN",
+    "PHONE_PATTERN",
+    "SSN_PATTERN",
+    "scrub_pii",
+    "pii_counts",
+]
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# US-SSN-shaped ids: exactly 3-2-4 digit groups
+SSN_PATTERN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+# international-ish phone: optional +country, then 7+ digits with separators
+PHONE_PATTERN = r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}"
+
+
+def scrub_pii(c: Column) -> Column:
+    """Replace PII spans with typed placeholder tags. SSN before phone
+    (overlap), email independent of both."""
+    out = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    out = F.regexp_replace(out, SSN_PATTERN, "<SSN>")
+    out = F.regexp_replace(out, PHONE_PATTERN, "<PHONE>")
+    return out
+
+
+def pii_counts(c: Column) -> dict[str, Column]:
+    """Per-document PII hit counts (for audit/quality gating). Counted on
+    the ORIGINAL text, with the same precedence as :func:`scrub_pii`: spans
+    already claimed by an earlier pattern are not recounted by a later one
+    (an SSN is not also a phone number)."""
+    after_email = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    after_ssn = F.regexp_replace(after_email, SSN_PATTERN, "<SSN>")
+    return {
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0)),
+        "n_ssns": F.size(F.regexp_extract_all(after_email, F.lit(SSN_PATTERN), 0)),
+        "n_phones": F.size(F.regexp_extract_all(after_ssn, F.lit(PHONE_PATTERN), 0)),
+    }

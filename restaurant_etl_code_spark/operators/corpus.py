@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 
 from restaurant_etl_code_spark.functions import text as Ftext
 
-__all__ = ["tfidf_top_terms", "contaminated_ids", "decontaminate"]
+__all__ = [
+    "tfidf_top_terms",
+    "contaminated_ids",
+    "decontaminate",
+    "repetition_signals",
+]
 
 
 def contaminated_ids(
@@ -143,4 +148,40 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(id_col, "term", "cnt", "df", "score", "rank")
+    )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition/quality signals per document.
+
+    Returns one row per doc with:
+      - ``n_tokens``        total tokens
+      - ``n_distinct``      distinct tokens
+      - ``distinct_ratio``  n_distinct / n_tokens (low ⇒ repetitive boilerplate)
+      - ``top_token_cnt``   occurrences of the single most frequent token
+      - ``top_token_frac``  top_token_cnt / n_tokens (Gopher gates at ~0.2
+                            for unigram repetition)
+
+    Plan shape: explode → one groupBy(doc, term) shuffle, then a groupBy(doc)
+    re-aggregation that reuses the same doc-keyed partitioning (no second
+    wide shuffle — partial aggregation ships only per-(doc,term) counters).
+    The downstream quality gate is a plain filter on the returned columns,
+    composable with text.quality_score. Extends the reference's completeness
+    predicate (SURVEY P10, batch_processor.py:572-595) into the corpus-
+    statistics regime."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(Ftext.tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    term_counts = toks.groupBy(id_col, "term").agg(F.count("*").alias("cnt"))
+    return term_counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.count("*") / F.sum("cnt"), 6).alias("distinct_ratio"),
+        F.max("cnt").alias("top_token_cnt"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_token_frac"),
     )

@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["split_bucket", "portable_split_bucket", "assign_split", "SplitSpec"]
+__all__ = [
+    "split_bucket",
+    "portable_split_bucket",
+    "assign_split",
+    "SplitSpec",
+    "sample_k_per_group",
+]
 
 _BUCKETS = 10_000
 
@@ -94,3 +100,34 @@ def assign_split(
     no RNG; the plan stays a single whole-stage-codegen map over the scan."""
     bucket = (portable_split_bucket if portable else split_bucket)(F.col(key), seed)
     return df.withColumn(out_col, spec.label(bucket))
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    k: int,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic fixed-``k`` sample per group — the distributed,
+    reproducible replacement for reservoir sampling.
+
+    Rank rows inside each group by ``hash(key)`` and keep the ``k``
+    smallest: because the hash is uniform and fixed, this IS a uniform
+    random sample, yet re-running (or appending unrelated groups) never
+    changes a kept row. One shuffle on the group key; Catalyst pushes the
+    rank filter down as WindowGroupLimit, so each map task forwards only
+    its local top-k candidates instead of whole groups — at 100 TB the
+    shuffle carries ~k rows per group per mapper, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    bucket = (portable_split_bucket if portable else split_bucket)(F.col(key), seed)
+    w = Window.partitionBy(*group_cols).orderBy(
+        bucket.asc(), F.col(key).asc()  # key tiebreak: total order even on collisions
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["as_of_join", "range_join", "sessionize", "tumbling_window_agg"]
+__all__ = [
+    "as_of_join",
+    "range_join",
+    "sessionize",
+    "tumbling_window_agg",
+    "rolling_stats",
+]
 
 
 def range_join(
@@ -150,4 +156,44 @@ def tumbling_window_agg(
             "n",
             "value_sum",
         )
+    )
+
+
+def rolling_stats(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    preceding: int = 6,
+) -> DataFrame:
+    """Per-key rolling statistics over the last ``preceding``+1 events
+    (moving sum / average / max — the trailing-window feature of every
+    metrics pipeline). One shuffle on the key; the frame is ROWS-bounded,
+    so Spark's WindowExec streams each partition once with an O(frame)
+    buffer — no per-row rescan, scale-safe for any partition length.
+
+    The moving sum accumulates the value cast to decimal(18,6): sliding
+    double-sums are order-sensitive (incremental add/subtract), and exact
+    decimal accumulation is what makes the result reproducible across
+    engines and partition layouts.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    dec = F.col(value_col).cast("decimal(18,6)")
+    n = F.count(F.lit(1)).over(w)
+    msum = F.sum(dec).over(w)
+    return events.select(
+        key_col,
+        ts_col,
+        value_col,
+        n.alias("win_n"),
+        msum.cast("double").alias("moving_sum"),
+        # divide as double AFTER the exact decimal sum: decimal-division
+        # result scales differ across engines, double division does not
+        (msum.cast("double") / n).alias("moving_avg"),
+        F.max(F.col(value_col)).over(w).alias("moving_max"),
     )

@@ -23,6 +23,7 @@ training-data corpus.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -2421,16 +2422,41 @@ from events group by event_type
 
 def _q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — HLL distinct + t-digest-style quantile.
-    Inherently engine-specific estimates, so no value oracle (driver
-    records the weaker rows-only check); the exact twins above are the
-    correctness anchor. At 100 TB these replace exact distinct/percentile
-    where a shuffle of all distinct values would dominate the job."""
+    The estimates are engine-specific, so the oracle-checked output is the
+    exact aggregate plus booleans asserting the estimate landed inside its
+    published error envelope (HLL rsd default 5% → assert 15%;
+    percentile_approx default accuracy 1/10000 → assert the estimate lies
+    within the exact p45..p55 band). The oracle recomputes the exact values
+    and emits literal TRUE — any out-of-envelope estimate hash-mismatches.
+    At 100 TB these replace exact distinct/percentile where a shuffle of
+    all distinct values would dominate the job."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("nd_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.countDistinct("l_partkey").alias("nd_parts"),
         F.count(F.lit(1)).alias("n"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
+            )
+            <= F.countDistinct("l_partkey") * 0.15
+        ).alias("hll_in_bounds"),
+        F.percentile_approx("l_extendedprice", 0.5)
+        .between(
+            F.expr("percentile(l_extendedprice, 0.45D)"),
+            F.expr("percentile(l_extendedprice, 0.55D)"),
+        )
+        .alias("median_in_bounds"),
     )
+
+
+_ORACLE_APPROX_AGGS = """
+select l_returnflag,
+       count(distinct l_partkey) as nd_parts,
+       count(*) as n,
+       true as hll_in_bounds,
+       true as median_in_bounds
+from lineitem group by l_returnflag
+"""
 
 
 def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2547,6 +2573,195 @@ GROUP BY 1
 """
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus (functions/redact.py). The synthetic
+    corpus carries no PII, so the query plants deterministic email / phone /
+    SSN spans (derived from doc_id, built identically in the oracle) and
+    verifies both the per-type hit counts and the md5 of the scrubbed text.
+    Zero-shuffle codegen projection — the 100 TB shape of corpus scrubbing."""
+    from restaurant_etl_code_spark.functions import redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call +1-555-010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 987-65-4321"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = redact.pii_counts(F.col("text"))
+    return dirty.select(
+        "doc_id",
+        *[v.alias(k) for k, v in counts.items()],
+        F.md5(redact.scrub_pii(F.col("text"))).alias("scrubbed_md5"),
+        F.length(redact.scrub_pii(F.col("text"))).alias("scrubbed_len"),
+    )
+
+
+_DUCK_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_DUCK_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_DUCK_PII_PHONE = "\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}"
+
+_ORACLE_PII_SCRUB = f"""
+with dirty as (
+  select doc_id,
+         text || ' contact user' || doc_id::varchar || '@example.com' ||
+         case when doc_id % 3 = 0
+              then ' call +1-555-010-' || lpad((doc_id % 10000)::varchar, 4, '0')
+              else '' end ||
+         case when doc_id % 5 = 0 then ' ssn 987-65-4321' else '' end as text
+  from documents),
+staged as (
+  select doc_id, text,
+         regexp_replace(text, '{_DUCK_PII_EMAIL}', '<EMAIL>', 'g') as after_email
+  from dirty),
+staged2 as (
+  select *, regexp_replace(after_email, '{_DUCK_PII_SSN}', '<SSN>', 'g') as after_ssn
+  from staged)
+select doc_id,
+       len(regexp_extract_all(text, '{_DUCK_PII_EMAIL}'))::int as n_emails,
+       len(regexp_extract_all(after_email, '{_DUCK_PII_SSN}'))::int as n_ssns,
+       len(regexp_extract_all(after_ssn, '{_DUCK_PII_PHONE}'))::int as n_phones,
+       md5(regexp_replace(after_ssn, '{_DUCK_PII_PHONE}', '<PHONE>', 'g'))
+         as scrubbed_md5,
+       length(regexp_replace(after_ssn, '{_DUCK_PII_PHONE}', '<PHONE>', 'g'))::int
+         as scrubbed_len
+from staged2
+"""
+
+
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals (operators/corpus.py):
+    distinct-token ratio and top-token fraction per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.repetition_signals(docs)
+
+
+_ORACLE_REPETITION = f"""
+with toks as (
+  select doc_id, unnest(string_split({_DUCK_NORM.format(c='text')}, ' ')) as term
+  from documents),
+tc as (
+  select doc_id, term, count(*) as cnt from toks where term <> '' group by 1, 2)
+select doc_id,
+       sum(cnt)::bigint as n_tokens,
+       count(*)::bigint as n_distinct,
+       round(count(*) / sum(cnt), 6) as distinct_ratio,
+       max(cnt)::bigint as top_token_cnt,
+       round(max(cnt) / sum(cnt), 6) as top_token_frac
+from tc group by doc_id
+"""
+
+
+def _q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k per-group sample (operators/sampling.py
+    sample_k_per_group): reproducible reservoir-replacement via hash rank.
+    Uses the portable hash twin so DuckDB ranks bit-identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = sampling.sample_k_per_group(
+        docs, ["lang"], "doc_id", k=20, seed=11, portable=True
+    )
+    return sampled.select("lang", "doc_id", "sample_rank")
+
+
+_ORACLE_GROUP_SAMPLE = """
+with b as (
+  select lang, doc_id,
+         ((doc_id % 2147483647 + 11) * 2654435761) % 2147483647 % 10000 as bucket
+  from documents),
+ranked as (
+  select lang, doc_id,
+         row_number() over (partition by lang order by bucket, doc_id)
+           as sample_rank
+  from b)
+select lang, doc_id, sample_rank from ranked where sample_rank <= 20
+"""
+
+
+def _q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window moving stats per user (operators/temporal.py
+    rolling_stats): ROWS-bounded frame, one shuffle on the key, exact-
+    decimal moving sum for cross-engine reproducibility."""
+    events = load_table(spark, sf_dir, "events")
+    return temporal.rolling_stats(
+        events.select("user_id", "ts", "value"), preceding=6
+    )
+
+
+_ORACLE_ROLLING_STATS = """
+select user_id, ts, value,
+       count(*) over w as win_n,
+       (sum(value::decimal(18,6)) over w)::double as moving_sum,
+       (sum(value::decimal(18,6)) over w)::double / (count(*) over w) as moving_avg,
+       max(value) over w as moving_max
+from events
+window w as (partition by user_id order by ts
+             rows between 6 preceding and current row)
+"""
+
+
+# --------------------------------------------------------------------------
+# S4/S5 end-to-end: stage the customer table to CSV / JSON files, re-read
+# through the engine's format readers, and aggregate — proving the scan
+# path (schema-explicit read, header handling, null passthrough) is value-
+# faithful. The oracle aggregates the original parquet directly, so any
+# serialization loss in the roundtrip hash-mismatches.
+# --------------------------------------------------------------------------
+
+_SCRATCH_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+_CUSTOMER_SCHEMA = (
+    "c_custkey bigint, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+
+def _customer_format_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("c_custkey").alias("nd_cust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_bal"),
+    )
+
+
+_ORACLE_FORMAT_AGG = """
+select c_mktsegment, count(*) as n, count(distinct c_custkey) as nd_cust,
+       (sum(c_acctbal::decimal(18,2)))::double as sum_bal
+from customer group by c_mktsegment
+"""
+
+
+def _q_csv_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH_DIR, f"customer_csv_{tag}")
+    customer.write.mode("overwrite").option("header", True).csv(path)
+    staged = spark.read.csv(path, header=True, schema=_CUSTOMER_SCHEMA)
+    return _customer_format_agg(staged)
+
+
+def _q_json_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH_DIR, f"customer_json_{tag}")
+    customer.write.mode("overwrite").json(path)
+    staged = spark.read.schema(_CUSTOMER_SCHEMA).json(path)
+    return _customer_format_agg(staged)
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -2594,8 +2809,8 @@ QUERIES: dict[str, QueryDef] = {
                             "global sort+limit (TakeOrderedAndProject)"),
     "quantiles": QueryDef(_q_quantiles, _ORACLE_QUANTILES,
                           "exact interpolated quantiles per group"),
-    "approx_aggs": QueryDef(_q_approx_aggs, None,
-                            "HLL distinct + approx quantile (rows-only check)"),
+    "approx_aggs": QueryDef(_q_approx_aggs, _ORACLE_APPROX_AGGS,
+                            "HLL distinct + approx quantile (error-envelope oracle)"),
     "salted_join_agg": QueryDef(_q_salted_join_agg, _ORACLE_SALTED,
                                 "skew-salted join + two-phase agg (≡ plain)"),
     "tumbling_window": QueryDef(_q_tumbling_window, _ORACLE_TUMBLING,
@@ -2690,4 +2905,16 @@ QUERIES: dict[str, QueryDef] = {
                                 "corpus TF-IDF: top-3 terms per document"),
     "decontaminate": QueryDef(_q_decontaminate, _ORACLE_DECONTAMINATE,
                               "benchmark 5-gram decontamination (broadcast semi-join)"),
+    "pii_scrub": QueryDef(_q_pii_scrub, _ORACLE_PII_SCRUB,
+                          "PII redaction: email/SSN/phone scrub + audit counts"),
+    "repetition_signals": QueryDef(_q_repetition_signals, _ORACLE_REPETITION,
+                                   "Gopher-style repetition/quality signals per doc"),
+    "group_sample": QueryDef(_q_group_sample, _ORACLE_GROUP_SAMPLE,
+                             "deterministic fixed-k per-group hash sample"),
+    "rolling_stats": QueryDef(_q_rolling_stats, _ORACLE_ROLLING_STATS,
+                              "trailing-window moving sum/avg/max per key"),
+    "csv_scan_agg": QueryDef(_q_csv_scan_agg, _ORACLE_FORMAT_AGG,
+                             "S5: CSV stage+scan roundtrip, value-faithful agg"),
+    "json_scan_agg": QueryDef(_q_json_scan_agg, _ORACLE_FORMAT_AGG,
+                              "S4: JSON stage+scan roundtrip, value-faithful agg"),
 }
