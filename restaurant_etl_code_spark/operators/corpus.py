@@ -166,9 +166,11 @@ def repetition_signals(
       - ``top_token_frac``  top_token_cnt / n_tokens (Gopher gates at ~0.2
                             for unigram repetition)
 
-    Plan shape: explode → one groupBy(doc, term) shuffle, then a groupBy(doc)
-    re-aggregation that reuses the same doc-keyed partitioning (no second
-    wide shuffle — partial aggregation ships only per-(doc,term) counters).
+    Plan shape: explode → groupBy(doc, term) shuffle (map-side combine means
+    only per-(doc,term) counters travel, not raw tokens) → a second, far
+    narrower groupBy(doc) shuffle of per-doc partial aggregates. Shuffling
+    pre-aggregated counters twice beats one shuffle of the raw exploded
+    token stream by the corpus's tokens-per-doc factor.
     The downstream quality gate is a plain filter on the returned columns,
     composable with text.quality_score. Extends the reference's completeness
     predicate (SURVEY P10, batch_processor.py:572-595) into the corpus-

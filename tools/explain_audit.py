@@ -96,6 +96,28 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["HashAggregate", "Exchange hashpartitioning(fingerprint"],
         "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     },
+    "pii_scrub": {
+        # corpus scrubbing must stay a zero-shuffle map over the scan
+        "want": ["Project"],
+        "avoid": ["Exchange", "CartesianProduct", "BatchEvalPython"],
+    },
+    "group_sample": {
+        # hash-rank sample: the rank filter must push below the shuffle so
+        # mappers forward only local top-k candidates
+        "want": ["WindowGroupLimit"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "rolling_stats": {
+        # single key-shuffle, ROWS-bounded running frame, no self-join
+        "want": ["Window", "Exchange hashpartitioning(user_id"],
+        "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    },
+    "repetition_signals": {
+        # two shuffles of pre-aggregated counters (map-side combine), never
+        # the raw exploded token stream
+        "want": ["Generate explode", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    },
 }
 
 
