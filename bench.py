@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "pipeline_products",
     "streaming_window",
     "streaming_dedup",
+    "streaming_enrich",
+    "stats_moments",
 ]
 
 

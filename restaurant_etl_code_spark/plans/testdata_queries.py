@@ -838,6 +838,33 @@ def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, out, "complete")
 
 
+def _q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream broadcast-joined per
+    micro-batch against the static customer dim (S10 restated as streaming),
+    then a running per-segment aggregate. Oracle = the same join+group as
+    plain batch SQL."""
+    from restaurant_etl_code_spark.streaming import stream_static_enrich
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream_static_enrich(
+        _events_stream(spark, sf_dir),
+        dim,
+        join_key_stream="user_id",
+        join_key_dim="c_custkey",
+        group_col="c_mktsegment",
+    )
+    return _run_stream(spark, enriched, "complete")
+
+
+_ORACLE_STREAMING_ENRICH = """
+select coalesce(c.c_mktsegment, 'unknown') as c_mktsegment,
+       count(*) as n,
+       (sum(e.value::decimal(18,6)))::double as value_sum
+from events e left join customer c on e.user_id = c.c_custkey
+group by 1
+"""
+
+
 _ORACLE_STREAMING_SESSIONS = """
 with flagged as (
   select user_id, ts, value,
@@ -2573,6 +2600,48 @@ GROUP BY 1
 """
 
 
+def _q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates with cross-engine-exact results: mean and
+    sample stddev from exact-decimal power sums (Σx, Σx² accumulate as
+    decimals — order-independent — then one double-arithmetic formula),
+    plus a boolean asserting Spark's built-in ``stddev_samp`` (Welford,
+    order-sensitive in the last ulps) agrees to 1e-9 relative. Partial
+    aggregation ships three counters per group — the 100 TB moment-sketch
+    pattern."""
+    events = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(28,10)")
+    dec2 = (F.col("value") * F.col("value")).cast("decimal(28,10)")
+    n = F.count(F.lit(1))
+    sx = F.sum(dec).cast("double")
+    sxx = F.sum(dec2).cast("double")
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    manual_sd = F.sqrt(var)
+    return events.groupBy("event_type").agg(
+        n.alias("n"),
+        F.round(sx / n, 6).alias("mean_value"),
+        F.round(manual_sd, 6).alias("stddev_value"),
+        (
+            F.abs(F.stddev_samp("value") - manual_sd)
+            <= manual_sd * 1e-9
+        ).alias("builtin_agrees"),
+    )
+
+
+_ORACLE_STATS_MOMENTS = """
+with pow_sums as (
+  select event_type,
+         count(*) as n,
+         (sum(value::decimal(28,10)))::double as sx,
+         (sum((value * value)::decimal(28,10)))::double as sxx
+  from events group by event_type)
+select event_type, n,
+       round(sx / n, 6) as mean_value,
+       round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) as stddev_value,
+       true as builtin_agrees
+from pow_sums
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the corpus (functions/redact.py). The synthetic
     corpus carries no PII, so the query plants deterministic email / phone /
@@ -2823,6 +2892,8 @@ QUERIES: dict[str, QueryDef] = {
                                         "checkpointed per-key lifetime totals (A8)"),
     "streaming_sessions": QueryDef(_q_streaming_sessions, _ORACLE_STREAMING_SESSIONS,
                                    "stateful session windows vs lag+cumsum oracle"),
+    "streaming_enrich": QueryDef(_q_streaming_enrich, _ORACLE_STREAMING_ENRICH,
+                                 "stream-static broadcast enrich + running agg"),
     "multires_rollup": QueryDef(_q_multires_rollup, _ORACLE_MULTIRES,
                                 "continuous-aggregate re-agg: daily FROM hourly"),
     "sketch_rollup": QueryDef(_q_sketch_rollup, _ORACLE_SKETCH_ROLLUP,
@@ -2905,6 +2976,8 @@ QUERIES: dict[str, QueryDef] = {
                                 "corpus TF-IDF: top-3 terms per document"),
     "decontaminate": QueryDef(_q_decontaminate, _ORACLE_DECONTAMINATE,
                               "benchmark 5-gram decontamination (broadcast semi-join)"),
+    "stats_moments": QueryDef(_q_stats_moments, _ORACLE_STATS_MOMENTS,
+                              "exact-decimal mean/stddev + builtin agreement bound"),
     "pii_scrub": QueryDef(_q_pii_scrub, _ORACLE_PII_SCRUB,
                           "PII redaction: email/SSN/phone scrub + audit counts"),
     "repetition_signals": QueryDef(_q_repetition_signals, _ORACLE_REPETITION,

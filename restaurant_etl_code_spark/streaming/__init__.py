@@ -2,6 +2,7 @@ from restaurant_etl_code_spark.streaming.jobs import (  # noqa: F401
     file_arrival_stream,
     windowed_event_counts,
     session_window_agg,
+    stream_static_enrich,
     run_available_now,
     foreach_batch_upsert,
 )

@@ -81,6 +81,32 @@ def session_window_agg(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    join_key_stream: str,
+    join_key_dim: str,
+    group_col: str,
+) -> DataFrame:
+    """Stream-static enrichment join + running aggregate — the streaming
+    form of the reference's per-row business lookup (SURVEY S10): each
+    micro-batch joins against the (broadcastable) static dimension, then
+    feeds a stateful groupBy. The static side is re-resolved per batch, so
+    a slowly-changing dim picks up updates without restarting the query.
+    """
+    joined = events.join(
+        F.broadcast(dim),
+        events[join_key_stream] == dim[join_key_dim],
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col(group_col), F.lit("unknown")).alias(group_col)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+    )
+
+
 def run_available_now(
     streamed: DataFrame,
     checkpoint_dir: str,
