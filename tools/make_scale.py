@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Materialize a K× blow-up of the driver testdata for scaling probes.
+
+Copies the dimension tables unchanged and unions K key-shifted copies of the
+fact/corpus tables, preserving per-copy distributions while keeping the
+copies *unrelated* to each other:
+
+- ``orders`` / ``lineitem``: order keys shift by copy stride (customers and
+  parts stay fixed — K× facts per dim row, the realistic growth axis);
+- ``events``: event ids and user ids shift (K× users, same time range —
+  windows get K× denser, per-user session/state volume stays constant);
+- ``documents``: doc ids shift and each copy's token stream is permuted by
+  a copy-keyed hash sort, so copies share vocabulary but no shingles —
+  near-dup density stays constant instead of exploding quadratically;
+- ``embeddings``: vec ids shift and each copy's vector is circularly
+  shifted by ``copy`` positions — same norm distribution, new directions.
+
+Usage: python tools/make_scale.py [K] [out_dir]
+Defaults: K=10, out=<repo>/.scratch/sfX<K>  (from /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark import get_spark
+from restaurant_etl_code_spark.sources import load_table
+
+SRC = "/root/testdata/sf0.1"
+DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, ".scratch", f"sfX{k}")
+    os.makedirs(out, exist_ok=True)
+    spark = get_spark("make-scale", extra_conf={"spark.ui.showConsoleProgress": "false"})
+
+    for t in DIMS:
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+
+    copies = spark.range(k).withColumnRenamed("id", "copy")
+
+    orders = load_table(spark, SRC, "orders")
+    okey_stride = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    (
+        orders.crossJoin(copies)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("copy") * okey_stride)
+        .drop("copy")
+        .write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    )
+
+    li = load_table(spark, SRC, "lineitem")
+    (
+        li.crossJoin(copies)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("copy") * okey_stride)
+        .drop("copy")
+        .write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    )
+
+    ev = load_table(spark, SRC, "events")
+    eid_stride = ev.agg(F.max("event_id")).first()[0] + 1
+    uid_stride = ev.agg(F.max("user_id")).first()[0] + 1
+    (
+        ev.crossJoin(copies)
+        .withColumn("event_id", F.col("event_id") + F.col("copy") * eid_stride)
+        .withColumn("user_id", F.col("user_id") + F.col("copy") * uid_stride)
+        .drop("copy")
+        .write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    )
+
+    docs = load_table(spark, SRC, "documents")
+    permuted_text = F.array_join(
+        F.expr(
+            "transform(array_sort(transform(split(trim(regexp_replace(lower(text),"
+            " '\\\\s+', ' ')), ' '), t -> struct(xxhash64(t, copy) as h, t as t))),"
+            " s -> s.t)"
+        ),
+        " ",
+    )
+    (
+        docs.crossJoin(copies)
+        .withColumn("doc_id", F.col("doc_id") + F.col("copy") * F.lit(1_000_000))
+        .withColumn("text", permuted_text)
+        .withColumn("n_chars", F.length("text"))
+        .drop("copy")
+        .write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    )
+
+    emb = load_table(spark, SRC, "embeddings")
+    vid_stride = emb.agg(F.max("vec_id")).first()[0] + 1
+    dim = len(emb.first()["embedding"])
+    shifted = F.expr(
+        f"transform(sequence(0, {dim - 1}),"
+        f" i -> element_at(embedding, cast((i + copy) % {dim} as int) + 1))"
+    ).cast("array<float>")
+    (
+        emb.crossJoin(copies)
+        .withColumn("vec_id", F.col("vec_id") + F.col("copy") * vid_stride)
+        .withColumn("embedding", shifted)
+        .drop("copy")
+        .write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    )
+
+    for t in ("orders", "lineitem", "events", "documents", "embeddings"):
+        n = spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
+        print(f"{t}: {n} rows")
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

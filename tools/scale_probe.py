@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Scaling probe: run data-bound headline queries at sf0.1 and at the K×
+blow-up (tools/make_scale.py), print per-query wall-clock and the scaling
+ratio. A plan that holds at scale shows ratio ≲ K on data-bound queries
+(sub-K when fixed overhead dominates); a super-K ratio flags quadratic
+behavior worth a redesign.
+
+Usage: python tools/scale_probe.py [--big=DIR] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from restaurant_etl_code_spark import get_spark
+from restaurant_etl_code_spark.plans import QUERIES
+
+BASE = "/root/testdata/sf0.1"
+
+# Data-bound subset (streaming startup and the tiny-dim queries are fixed-
+# cost and uninformative here).
+PROBE = [
+    "staging_cleanse", "dedup_keep_first", "exact_dedup", "match_cascade",
+    "change_detect", "sessionize", "asof_join", "range_join",
+    "topk_per_group", "rollup_pricing", "grouping_sets", "quantiles",
+    "stats_moments", "rolling_stats", "batch_stats",
+    "pii_scrub", "repetition_signals", "group_sample", "stratified_split",
+    "tfidf_top_terms", "decontaminate", "training_prep",
+    "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard",
+    "ann_cosine_topk", "ann_bucketed_topk", "ann_ivf_topk",
+    "salted_join_agg", "window_analytics", "global_topn",
+]
+
+
+def run(spark, names, sf_dir):
+    out = {}
+    for name in names:
+        t0 = time.time()
+        n = QUERIES[name].spark(spark, sf_dir).count()
+        out[name] = (round(time.time() - t0, 2), n)
+    return out
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    big = os.path.join(repo, ".scratch", "sfX10")
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or PROBE
+    for a in sys.argv[1:]:
+        if a.startswith("--big="):
+            big = a.split("=", 1)[1]
+
+    spark = get_spark("scale-probe", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.read.parquet(os.path.join(BASE, "region.parquet")).count()  # warm
+
+    small = run(spark, names, BASE)
+    large = run(spark, names, big)
+
+    print(f"{'query':28s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}  rows(10x)")
+    flagged = []
+    for name in names:
+        s, (l, nrows) = small[name][0], large[name]
+        ratio = l / max(s, 0.01)
+        mark = ""
+        if ratio > 12:
+            mark = "  <-- super-linear"
+            flagged.append(name)
+        print(f"{name:28s} {s:8.2f} {l:8.2f} {ratio:6.1f}x  {nrows}{mark}")
+    tot_s = sum(v[0] for v in small.values())
+    tot_l = sum(v[0] for v in large.values())
+    print(f"{'TOTAL':28s} {tot_s:8.2f} {tot_l:8.2f} {tot_l/tot_s:6.1f}x")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
