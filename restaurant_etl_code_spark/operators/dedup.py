@@ -153,13 +153,17 @@ def lsh_candidate_pairs(
     ``rows_per_band`` hashes, hash each band, and emit candidate pairs that
     collide in ≥1 band (id_a < id_b, distinct).
 
-    Physical shape: ONE pass over the signatures (a self-join would run the
-    whole signature pipeline twice), grouped on (band_idx, band_hash) — a
-    high-cardinality key, so co-partitioning holds at any scale — then pairs
-    are expanded *inside* each bucket. Hot buckets (boilerplate docs) are
-    exactly the near-dup clusters LSH exists to find; bucket-size quadratic
-    blowup is inherent to the algorithm, and AQE splits the skewed
-    post-agg partitions.
+    Physical shape: a self-equi-join of the banded rows on
+    (band_idx, band_hash) — a high-cardinality key, so co-partitioning
+    holds at any scale. Both join branches are the identical subplan, so
+    the signature pipeline runs ONCE and the second branch is a
+    ReusedExchange of the first's shuffle (verified in the physical plan).
+    Quadratic pair *output* for a hot bucket (boilerplate docs) is inherent
+    to LSH, but it streams through the join's spillable buffer — an earlier
+    formulation that collected each bucket into an array and expanded pairs
+    with nested ``transform``/``slice`` materialized all O(B²) structs of a
+    bucket in ONE row and OOM'd the executor on a 10× blow-up probe; never
+    build per-row quadratic arrays.
     """
     banded = signatures.select(
         F.col(id_col),
@@ -178,28 +182,22 @@ def lsh_candidate_pairs(
             )
         ).alias("band_hash"),
     )
-    buckets = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") > 1)
+    # Explicit repartition on the bucket key pins one hash Exchange into BOTH
+    # join branches; they canonicalize identically, so the scan+minhash+band
+    # subtree executes once and the other branch is a ReusedExchange. Without
+    # it, a broadcast-eligible side at small scale re-runs the Python stage.
+    banded = banded.repartition("band_idx", "band_hash")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ids") - 1),
-                    lambda i: F.transform(
-                        F.slice(F.col("ids"), i + 1, F.size("ids") - i),
-                        lambda y: F.struct(
-                            F.element_at(F.col("ids"), i.cast("int")).alias("id_a"),
-                            y.alias("id_b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return pairs.select(F.col("p.id_a"), F.col("p.id_b")).distinct()
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

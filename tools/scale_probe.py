@@ -42,6 +42,7 @@ def run(spark, names, sf_dir):
         t0 = time.time()
         n = QUERIES[name].spark(spark, sf_dir).count()
         out[name] = (round(time.time() - t0, 2), n)
+        print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: {out[name][0]}s ({n} rows)", flush=True)
     return out
 
 
