@@ -274,6 +274,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: explode *distinct* shingles,
     self-join on shingle (the inverted-index join — shuffles on shingle
@@ -283,6 +284,15 @@ def ngram_jaccard_pairs(
     This is the exact counterpart MinHash+LSH approximates; at 100 TB run
     LSH first and this only on the candidate pairs.
 
+    ``max_df`` is the scale valve: a shingle appearing in d documents emits
+    d² intersection rows, so one boilerplate shingle shared by 1M docs is
+    1e12 rows — unrunnable no matter the plan (a 10× probe of the uncapped
+    join filled 80 GB of shuffle spill). Capping drops shingles with
+    document frequency > max_df from the index before the join; pairs whose
+    overlap is only boilerplate vanish (their true jaccard is what exact
+    dedup / LSH already handles). None = exact, for oracle comparison at
+    test scale.
+
     Physical notes: the shingling stage (Arrow mapInPandas) feeds three
     consumers (sizes + both self-join sides) — persist so it runs once.
     The inverted-index join shuffles ``xxhash64(shingle)`` (8 bytes)
@@ -290,16 +300,28 @@ def ngram_jaccard_pairs(
     collision (~1e-10 at 1e5 distinct shingles — below any oracle's
     noticing, and irrelevant next to LSH's by-design approximation).
     """
-    w = Window.partitionBy(id_col)
-    shingled = (
+    rows = (
         shingle_rows(df, id_col, text_col, shingle_n)
         .withColumn("__sh", F.xxhash64("shingle"))
         .drop("shingle")
-        .withColumn("set_size", F.count(F.lit(1)).over(w))
-        .persist()
     )
+    if max_df is not None:
+        # set_size is computed after the cap: jaccard is then exact over
+        # the capped shingle universe (boilerplate excluded from numerator
+        # AND denominator), not a biased estimate of the uncapped value
+        df_w = Window.partitionBy("__sh")
+        rows = (
+            rows.withColumn("__df", F.count(F.lit(1)).over(df_w))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    w = Window.partitionBy(id_col)
+    shingled = rows.withColumn("set_size", F.count(F.lit(1)).over(w)).persist()
     a = shingled.alias("a")
-    b = shingled.alias("b")
+    # merge hint: both sides of the inverted-index join are corpus-sized, so
+    # it must never broadcast — the static size estimate of a persisted
+    # relation undercounts and a broadcast build of the whole index OOMs
+    b = shingled.alias("b").hint("merge")
     inter = (
         a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))

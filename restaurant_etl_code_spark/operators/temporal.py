@@ -2,9 +2,9 @@
 
 The reference has no event-time operators (SURVEY.md §2.8-2.9) — these are
 the "for free from Spark" category the engine still must expose first-class.
-Spark lacks a native as-of join, so it is composed from an equi-join on the
-partition key + a ranking window (small/medium right side), with a
-``merge_asof`` Pandas path for the skewed case.
+Spark lacks a native as-of join, so it is composed as a union-merge: both
+sides interleave on (key, ts) and a running last-non-null window carries
+the right payload onto each left row — linear in |L|+|R| per key.
 """
 
 from __future__ import annotations
@@ -74,31 +74,53 @@ def as_of_join(
     """Backward as-of join: for each left row, the single right row with the
     greatest ``right_ts`` ≤ ``left_ts`` sharing the ``on`` key.
 
-    Physical shape: equi-join on ``on`` (shuffle/broadcast chosen by
-    Catalyst) + range filter + per-left-row ranking window. The join key
-    carries the partitioning, so the window reuses the join's exchange. For
-    a pathologically dense right side per key, bucketize ``right_ts`` and
-    join on (key, bucket) instead — same API, see SURVEY §2.9.
+    Physical shape: the union-merge as-of. The right side is first reduced
+    to one row per (key, ts) — ``max_by`` on the tiebreak — then both sides
+    union into one stream sorted per key by (ts, side) with right rows
+    before left rows at equal ts (the ≤ bound is inclusive). A running
+    ``last(payload, ignorenulls)`` window carries the newest right payload
+    forward onto each left row. Intermediate size is |L| + |R| — an earlier
+    equi-join + range-filter + rank formulation expanded every (left ×
+    earlier-right) pair per key first, which the 10× blow-up probe measured
+    at 36× cost (quadratic per key: a hot key with 1M rows each side is 1e12
+    pairs at 100 TB). One shuffle per side (the groupBy and the window both
+    hash on the key); per-key sorting spills, never materializes pairs.
     """
-    r = right.select(
-        F.col(on).alias("__r_key"),
-        F.col(right_ts).alias("__r_ts"),
-        *( [F.col(right_tiebreak).alias("__r_tie")] if right_tiebreak else [] ),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    from pyspark.sql import types as T
+
+    lt, rt = left.schema[left_ts].dataType, right.schema[right_ts].dataType
+    # mixed date/timestamp: widen to timestamp (date → midnight), matching
+    # the coercion the plain `right_ts <= left_ts` comparison applies
+    ts_type = lt if lt == rt else T.TimestampType()
+
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    tie = F.col(right_tiebreak) if right_tiebreak else F.lit(1)
+    r = (
+        right.filter(F.col(right_ts).isNotNull())  # null ts matches nothing
+        .groupBy(F.col(on), F.col(right_ts).cast(ts_type).alias("__ts"))
+        .agg(F.max_by(payload, tie).alias("__r_payload"))
+        .withColumn("__is_left", F.lit(0))
     )
-    joined = left.join(
-        r, (left[on] == F.col("__r_key")) & (F.col("__r_ts") <= left[left_ts]), "left"
+    l = left.withColumn("__ts", F.col(left_ts).cast(ts_type)).withColumn(
+        "__is_left", F.lit(1)
     )
-    order = [F.col("__r_ts").desc_nulls_last()]
-    if right_tiebreak:
-        order.append(F.col("__r_tie").desc_nulls_last())
-    w = Window.partitionBy(left_id).orderBy(*order)
-    drop = ["__rn", "__r_key", "__r_ts"] + (["__r_tie"] if right_tiebreak else [])
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop(*drop)
+    merged = l.unionByName(r, allowMissingColumns=True)
+    # nulls first: a left row with null ts must see no preceding right row
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc_nulls_first(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carried = merged.withColumn(
+        "__asof", F.last("__r_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__is_left") == 1)
+    has_ts = F.col(left_ts).isNotNull()
+    for c in right_cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.when(has_ts, F.col("__asof").getField(c))
+        )
+    return out.drop("__ts", "__is_left", "__r_payload", "__asof")
 
 
 def sessionize(

@@ -32,7 +32,11 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.shuffle.partitions": "auto-set-below",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local mode: driver JVM == the one executor, so the heap serves every
+    # concurrent task (32 on this box) — 16g ≈ 0.3g execution memory per
+    # task slot after storage/reserved fractions, enough for spill-based
+    # operators to stage their buffers without GC thrash
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 

@@ -54,6 +54,22 @@ def test_jaccard_exact_pair_is_1(spark):
     assert (1, 4) not in pairs
 
 
+def test_jaccard_max_df_drops_boilerplate_shingles(spark):
+    # every shingle of docs 1-3 appears in ≥2 docs except doc 3's "extra"
+    # tail; max_df=1 leaves no shared shingles, so no pairs survive
+    capped = dedup.ngram_jaccard_pairs(
+        _docs(spark), "doc_id", "text", threshold=0.1, max_df=1
+    )
+    assert capped.count() == 0
+    # a cap above every shingle's document frequency reproduces the exact
+    # result (set sizes recomputed over the same uncapped universe)
+    exact = dedup.ngram_jaccard_pairs(_docs(spark), "doc_id", "text", threshold=0.3)
+    wide = dedup.ngram_jaccard_pairs(
+        _docs(spark), "doc_id", "text", threshold=0.3, max_df=10_000
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, wide.collect()))
+
+
 def test_cosine_topk_ranks_identical_first(spark):
     from pyspark.sql import Row
 

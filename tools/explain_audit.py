@@ -47,8 +47,11 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
     },
     "asof_join": {
-        "want": ["BroadcastHashJoin"],
-        "avoid": ["CartesianProduct"],
+        # union-merge as-of: no join operator at all — a groupBy on the
+        # right side, a union, and one running window per key; intermediate
+        # is |L|+|R|, never the (left x earlier-right) pair expansion
+        "want": ["Window", "Union"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     },
     "topk_per_group": {
         "want": ["WindowGroupLimit"],         # Spark 3.5+ top-k pushdown

@@ -9,9 +9,13 @@ copies *unrelated* to each other:
   parts stay fixed — K× facts per dim row, the realistic growth axis);
 - ``events``: event ids and user ids shift (K× users, same time range —
   windows get K× denser, per-user session/state volume stays constant);
-- ``documents``: doc ids shift and each copy's token stream is permuted by
-  a copy-keyed hash sort, so copies share vocabulary but no shingles —
-  near-dup density stays constant instead of exploding quadratically;
+- ``documents``: doc ids shift and each doc's token stream is permuted by
+  a (copy, text)-keyed hash sort: identical texts keep identical streams
+  (exact-dup clusters replicate per copy — linear pair growth), while any
+  two distinct texts get unrelated orders and share no shingles. An earlier
+  copy-only key canonicalized token order across a whole copy, which welded
+  every vocabulary-sharing doc pair into one near-dup blob (118M LSH pairs
+  at 10×) and made pair queries quadratically explode;
 - ``embeddings``: vec ids shift and each copy's vector is circularly
   shifted by ``copy`` positions — same norm distribution, new directions.
 
@@ -81,7 +85,7 @@ def main() -> int:
     permuted_text = F.array_join(
         F.expr(
             "transform(array_sort(transform(split(trim(regexp_replace(lower(text),"
-            " '\\\\s+', ' ')), ' '), t -> struct(xxhash64(t, copy) as h, t as t))),"
+            " '\\\\s+', ' ')), ' '), t -> struct(xxhash64(t, copy, text) as h, t as t))),"
             " s -> s.t)"
         ),
         " ",
