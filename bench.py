@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "ngram_jaccard",
+    "ngram_jaccard_capped",
     "ann_cosine_topk",
     "ann_bucketed_topk",
     "ann_multiprobe_topk",

