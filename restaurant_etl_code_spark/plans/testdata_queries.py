@@ -1648,6 +1648,29 @@ from pairs where {_DUCK_COS} >= 0.8
 """
 
 
+def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for embedding near-dup: sign-LSH blocking turns the
+    all-pairs theta-join (a nested loop — O(n²) compute, unusable at 100 TB)
+    into an equi-join on the bucket id; only same-bucket candidates pay a
+    cosine. nbits is the recall/cost knob — pairs split across buckets are
+    missed, which the oracle mirrors exactly."""
+    return similarity.embedding_near_dup_pairs(
+        _augmented_embeddings(spark, sf_dir), threshold=0.8, nbits=6
+    )
+
+
+_ORACLE_EMB_NEAR_DUP_LSH = f"""
+with {_DUCK_AUG_EMB.strip()},
+b as (select vec_id, embedding, {_DUCK_BUCKET} as bkt from aug),
+pairs as (
+  select a.vec_id as id_a, b2.vec_id as id_b,
+         a.embedding as qv, b2.embedding as cv
+  from b a join b b2 on a.bkt = b2.bkt and a.vec_id < b2.vec_id)
+select id_a, id_b, {_DUCK_COS} as score
+from pairs where {_DUCK_COS} >= 0.8
+"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs resolved into duplicate clusters: pair (a,b) and (b,c)
     must yield ONE canonical survivor for {a,b,c}. The iterative
@@ -2982,6 +3005,9 @@ QUERIES: dict[str, QueryDef] = {
                                  "J6: thresholded top-1 vector match w/ bypass"),
     "embedding_near_dup": QueryDef(_q_embedding_near_dup, _ORACLE_EMB_NEAR_DUP,
                                    "embedding-cosine near-dup pairs"),
+    "embedding_near_dup_lsh": QueryDef(
+        _q_embedding_near_dup_lsh, _ORACLE_EMB_NEAR_DUP_LSH,
+        "near-dup pairs via sign-LSH blocking (equi-join scale path)"),
     "dedup_clusters": QueryDef(_q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS,
                                "near-dup pairs → connected components (canonical survivor)"),
     "ann_multiprobe_topk": QueryDef(_q_ann_multiprobe, _ORACLE_ANN_MULTIPROBE,
