@@ -69,10 +69,17 @@ def main() -> int:
     for name in names:
         s, (l, nrows) = small[name][0], large[name]
         ratio = l / max(s, 0.01)
+        rows_ratio = nrows / max(small[name][1], 1)
         mark = ""
         if ratio > 12:
-            mark = "  <-- super-linear"
-            flagged.append(name)
+            # a query whose OUTPUT grew at least as fast as its runtime is
+            # output-bound (e.g. pair queries on a corpus where dup density
+            # itself scales) — the plan is fine, the answer is just bigger
+            if rows_ratio >= ratio:
+                mark = "  (output-bound: rows %.0fx)" % rows_ratio
+            else:
+                mark = "  <-- super-linear"
+                flagged.append(name)
         print(f"{name:28s} {s:8.2f} {l:8.2f} {ratio:6.1f}x  {nrows}{mark}")
     tot_s = sum(v[0] for v in small.values())
     tot_l = sum(v[0] for v in large.values())
