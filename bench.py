@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_bucketed_topk",
     "ann_multiprobe_topk",
+    "doc_chunks",
     "sequence_pack",
     "stratified_split",
     "tfidf_top_terms",

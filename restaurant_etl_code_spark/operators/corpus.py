@@ -41,6 +41,7 @@ __all__ = [
     "contaminated_ids",
     "decontaminate",
     "repetition_signals",
+    "chunk_documents",
 ]
 
 
@@ -186,4 +187,55 @@ def repetition_signals(
         F.round(F.count("*") / F.sum("cnt"), 6).alias("distinct_ratio"),
         F.max("cnt").alias("top_token_cnt"),
         F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_token_frac"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-token-budget chunks with overlap — the
+    prep step between cleaning and sequence packing when documents exceed
+    the training context window (packing.contiguous_pack then packs the
+    chunks). Stride is ``chunk_tokens - overlap``; the final chunk keeps
+    the tail even when shorter, and a chunk is emitted only when it starts
+    inside the document, so no empty chunks.
+
+    Returns (id, chunk_idx, chunk_text, n_tokens) — chunk_idx is 0-based
+    in document order, n_tokens the actual (≤ chunk_tokens) length.
+
+    Plan shape: a per-row ``sequence``/``explode`` flat map on the scan —
+    zero shuffle, work linear in corpus tokens × (1 + overlap/stride).
+    Documents never compare with each other, so this scales embarrassingly;
+    the only knob is output inflation (overlap/stride), which is visible in
+    the returned n_tokens sum."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = Ftext.tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("__n"), F.lit(1)), F.lit(stride)
+    )
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n"))
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.size(F.col("__toks")) - F.col("__start") + 1,
+            ).alias("n_tokens"),
+        )
     )

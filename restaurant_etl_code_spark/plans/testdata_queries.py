@@ -1436,6 +1436,35 @@ where round(n_inter::double / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
 """
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget document chunking (64-token chunks, 8-token overlap):
+    per-row sequence/explode on the scan, zero shuffle — the prep step
+    between cleaning and sequence packing for documents longer than the
+    training context."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = corpus.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=8
+    )
+    return out.select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+
+
+_ORACLE_DOC_CHUNKS = f"""
+with toks as (
+  select doc_id, string_split({_DUCK_NORM.format(c='text')}, ' ') as tk
+  from documents where text is not null),
+starts as (
+  select doc_id, tk,
+         unnest(range(1, greatest(len(tk), 1) + 1, 56)) as start
+  from toks)
+select doc_id,
+       ((start - 1) / 56)::int as chunk_idx,
+       array_to_string(list_slice(tk, start::int, start::int + 63), ' ')
+         as chunk_text,
+       least(64, len(tk) - start::int + 1)::int as n_tokens
+from starts
+"""
+
+
 def _q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for exact Jaccard: drop shingles whose document
     frequency exceeds max_df before the inverted-index join. Intersection
@@ -3052,6 +3081,8 @@ QUERIES: dict[str, QueryDef] = {
                               "exact-decimal mean/stddev + builtin agreement bound"),
     "pii_scrub": QueryDef(_q_pii_scrub, _ORACLE_PII_SCRUB,
                           "PII redaction: email/SSN/phone scrub + audit counts"),
+    "doc_chunks": QueryDef(_q_doc_chunks, _ORACLE_DOC_CHUNKS,
+                           "token-budget chunking with overlap (zero-shuffle)"),
     "repetition_signals": QueryDef(_q_repetition_signals, _ORACLE_REPETITION,
                                    "Gopher-style repetition/quality signals per doc"),
     "group_sample": QueryDef(_q_group_sample, _ORACLE_GROUP_SAMPLE,

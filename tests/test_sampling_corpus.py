@@ -103,3 +103,30 @@ def test_tfidf_df_cap_drops_ubiquitous_terms(spark):
         .join(capped.select("doc_id", "term", "score"), ["doc_id", "term"])
     )
     assert joined.where(F.abs(F.col("s_full") - F.col("score")) > 1e-9).count() == 0
+
+
+def test_chunk_documents_reassembles_and_overlaps(spark):
+    text = " ".join(f"t{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, None)], "doc_id int, text string"
+    )
+    out = corpus.chunk_documents(docs, "doc_id", "text", chunk_tokens=10, overlap=2)
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r for r in out.collect()
+    }
+    # doc 1: 25 tokens, stride 8 -> starts 1,9,17,25 -> 4 chunks
+    d1 = sorted(k[1] for k in rows if k[0] == 1)
+    assert d1 == [0, 1, 2, 3]
+    # full budget except the tail chunks
+    assert rows[(1, 0)]["n_tokens"] == 10 and rows[(1, 3)]["n_tokens"] == 1
+    # consecutive chunks overlap by exactly `overlap` tokens
+    c0 = rows[(1, 0)]["chunk_text"].split(" ")
+    c1 = rows[(1, 1)]["chunk_text"].split(" ")
+    assert c0[-2:] == c1[:2]
+    # every token position is covered in order when overlap is stripped
+    rebuilt = c0 + [t for i in range(1, 4)
+                    for t in rows[(1, i)]["chunk_text"].split(" ")[2:]]
+    assert rebuilt == [f"t{i}" for i in range(25)]
+    # short doc -> single whole-doc chunk; null text -> no rows
+    assert rows[(2, 0)]["chunk_text"] == "a b c" and rows[(2, 0)]["n_tokens"] == 3
+    assert not any(k[0] == 3 for k in rows)
