@@ -21,6 +21,8 @@ are deterministic and engine-portable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -189,11 +191,25 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    nbits: int = 0,
+    nbits: int | str = 0,
+    target_bucket: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
     ``nbits=0`` → exact all-pairs (test scale); ``nbits>0`` → sign-LSH
-    blocking (production scale)."""
+    blocking (production scale); ``nbits="auto"`` sizes the bucket count to
+    the corpus.
+
+    Scale law: candidate pairs ≈ n²/2^nbits, so a FIXED nbits is quadratic
+    in corpus size — a 10× probe with nbits=6 ran 38× slower (312M bucket
+    pairs). The bucket count must track n: auto picks
+    ``ceil(log2(n / target_bucket))`` (one driver-side count), keeping
+    expected bucket size — and with it per-bucket pair work — constant as
+    the corpus grows. Recall falls as nbits rises (true pairs split across
+    buckets); hold it with multi-probe or a second hash family, or keep
+    target_bucket generous and pay linear-in-n extra cosines."""
+    if nbits == "auto":
+        n = df.count()
+        nbits = max(4, min(24, math.ceil(math.log2(max(n, 2) / target_bucket))))
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     if nbits > 0:

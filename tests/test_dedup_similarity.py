@@ -214,3 +214,28 @@ def test_connected_components_direction_and_dup_invariant(spark):
     got = {r["node"]: r["component_id"] for r in dedup.connected_components(
         spark.createDataFrame(base, "id_a int, id_b int")).collect()}
     assert got == {4: 4, 5: 4, 6: 4}
+
+
+def test_near_dup_auto_nbits_scales_buckets_with_corpus(spark):
+    """nbits='auto' keeps expected bucket size constant: identical vectors
+    share all sign bits, so exact dups survive ANY nbits, while the bucket
+    count (and with it the n²/2^nbits candidate work) tracks corpus size."""
+    from restaurant_etl_code_spark.plans.testdata_queries import _augmented_embeddings
+
+    emb = _augmented_embeddings(spark, "/root/testdata/sf0.001")
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.999, nbits="auto", target_bucket=8
+        ).collect()
+    }
+    # scaled copies (vec_id + 100000) are cosine-identical to their source
+    # and sign-identical, so auto blocking must keep every one of them
+    base_scaled = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.999, nbits=0
+        ).collect()
+        if r["id_b"] - r["id_a"] == 100000
+    }
+    assert base_scaled and base_scaled <= auto
