@@ -121,6 +121,23 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["Generate explode", "HashAggregate"],
         "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
     },
+    "doc_chunks": {
+        # per-row sequence/posexplode flat map on the scan: zero shuffle
+        "want": ["Generate posexplode"],
+        "avoid": ["Exchange", "CartesianProduct", "BatchEvalPython"],
+    },
+    "ngram_jaccard_capped": {
+        # corpus-sized inverted index must never broadcast-build; the df
+        # cap rides the same (__sh) window partitioning
+        "want": ["SortMergeJoin", "Window"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "embedding_near_dup_lsh": {
+        # sign-LSH blocking: equi-join on the bucket id, never the exact
+        # path's all-pairs nested loop
+        "want": ["Join"],
+        "avoid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    },
 }
 
 

@@ -29,7 +29,7 @@ PROBE = [
     "topk_per_group", "rollup_pricing", "grouping_sets", "quantiles",
     "stats_moments", "rolling_stats", "batch_stats",
     "pii_scrub", "repetition_signals", "group_sample", "stratified_split",
-    "tfidf_top_terms", "decontaminate", "training_prep",
+    "tfidf_top_terms", "decontaminate", "training_prep", "doc_chunks",
     # exact ngram_jaccard is intentionally absent: its intersection work is
     # Σ df² over shingles (measured 27× super-linear at 10× — coincidence
     # shingles' df grows with the corpus), which is what the capped variant
