@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "streaming_dedup",
     "streaming_enrich",
     "stats_moments",
+    "quantize_fidelity",
 ]
 
 

@@ -22,6 +22,9 @@ __all__ = [
     "cosine",
     "hash_embedding_expr",
     "sign_lsh_bucket",
+    "quantize_scale",
+    "quantize_symmetric",
+    "dequantize_symmetric",
 ]
 
 
@@ -52,6 +55,29 @@ def hash_embedding_expr(colname: str, dim: int = 8) -> Column:
         f" cast(cast(conv(substring(md5(concat({colname}, '_', i)), 1, 15), 16, 10) as bigint)"
         f" % 2000 as double) / 1000.0 - 1.0)"
     )
+
+
+def quantize_scale(vec: Column) -> Column:
+    """Per-vector symmetric int8 scale: max|x| / 127 (null for null/all-zero
+    vectors — nothing to quantize)."""
+    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    return F.when(maxabs > 0, maxabs / F.lit(127.0))
+
+
+def quantize_symmetric(vec: Column, scale: Column) -> Column:
+    """Symmetric int8 quantization: q_i = floor(x_i/scale + 0.5), in
+    [-127, 127]. 4× smaller than float32 at rest — the difference between
+    shipping 100 TB and 25 TB of embeddings — and exactly reproducible
+    cross-engine: the explicit floor(+0.5) sidesteps round-half mode
+    differences between JVM and C rounding."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
+    )
+
+
+def dequantize_symmetric(qvec: Column, scale: Column) -> Column:
+    """Inverse of quantize_symmetric: x̂_i = q_i · scale (float64)."""
+    return F.transform(qvec, lambda q: q.cast("double") * scale)
 
 
 def sign_lsh_bucket(vec: Column, nbits: int = 8) -> Column:

@@ -30,7 +30,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from restaurant_etl_code_spark.functions import cleansing, text as Ftext
+from restaurant_etl_code_spark.functions import cleansing, text as Ftext, vectors
 from restaurant_etl_code_spark.operators import (
     chunking,
     corpus,
@@ -1700,6 +1700,78 @@ from pairs where {_DUCK_COS} >= 0.8
 """
 
 
+def _q_quantize_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization round-trip audit. At 100 TB the embedding
+    store is the dominant byte cost; symmetric per-vector int8 (scale =
+    max|x|/127, q = floor(x/scale + 0.5)) cuts it 4× vs float32 at rest.
+    This query quantizes, dequantizes, and reports per-vector fidelity
+    (max reconstruction error, cosine vs the original) plus the exact
+    integer checksums of the codes — all narrow-dependency column math,
+    zero shuffles. The explicit floor(+0.5) makes rounding engine-portable
+    (no round-half-even drift), so the DuckDB oracle matches bit-for-bit.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = (
+        emb.select("vec_id", "label", v.alias("v"))
+        .withColumn("scale", vectors.quantize_scale(F.col("v")))
+        .where(F.col("scale").isNotNull())
+        .withColumn("q", vectors.quantize_symmetric(F.col("v"), F.col("scale")))
+    )
+    deq = vectors.dequantize_symmetric(F.col("q"), F.col("scale"))
+
+    def _micro(c):  # engine-portable fixed-point: no round-half-mode drift
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+
+    return base.select(
+        "vec_id",
+        "label",
+        F.floor(F.col("scale") * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+        .alias("scale_nano"),
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x)
+        .alias("q_sum"),
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x * x)
+        .alias("q_sq_sum"),
+        _micro(F.array_max(F.zip_with(F.col("v"), deq, lambda x, d: F.abs(x - d))))
+        .alias("max_abs_err_micro"),
+        _micro(vectors.cosine(F.col("v"), deq)).alias("cos_fidelity_micro"),
+    )
+
+
+_ORACLE_QUANTIZE_FIDELITY = """
+with base as (
+  select vec_id, label, embedding::double[] as v from embeddings
+),
+scaled as (
+  select vec_id, label, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 as scale
+  from base
+  where list_max(list_transform(v, x -> abs(x))) > 0
+),
+quant as (
+  select vec_id, label, v, scale,
+         list_transform(v, x -> floor(x / scale + 0.5)) as qd
+  from scaled
+),
+deq as (
+  select vec_id, label, v, scale, qd,
+         list_transform(qd, q -> q * scale) as dv
+  from quant
+)
+select vec_id, label,
+       floor(scale * 1e9 + 0.5)::bigint as scale_nano,
+       list_sum(qd)::bigint as q_sum,
+       list_sum(list_transform(qd, q -> q * q))::bigint as q_sq_sum,
+       floor(list_max(list_transform(range(1, len(v) + 1),
+                                     i -> abs(v[i] - dv[i]))) * 1e6 + 0.5)::bigint
+         as max_abs_err_micro,
+       floor(list_dot_product(v, dv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dv, dv)))
+             * 1e6 + 0.5)::bigint as cos_fidelity_micro
+from deq
+"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs resolved into duplicate clusters: pair (a,b) and (b,c)
     must yield ONE canonical survivor for {a,b,c}. The iterative
@@ -3037,6 +3109,8 @@ QUERIES: dict[str, QueryDef] = {
     "embedding_near_dup_lsh": QueryDef(
         _q_embedding_near_dup_lsh, _ORACLE_EMB_NEAR_DUP_LSH,
         "near-dup pairs via sign-LSH blocking (equi-join scale path)"),
+    "quantize_fidelity": QueryDef(_q_quantize_fidelity, _ORACLE_QUANTIZE_FIDELITY,
+                                  "int8 embedding quantization round-trip audit"),
     "dedup_clusters": QueryDef(_q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS,
                                "near-dup pairs → connected components (canonical survivor)"),
     "ann_multiprobe_topk": QueryDef(_q_ann_multiprobe, _ORACLE_ANN_MULTIPROBE,

@@ -94,6 +94,31 @@ def test_cosine_identity(spark):
     assert row["zero"] is None
 
 
+def test_quantize_roundtrip_bounds(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(id=1, v=[0.5, -1.0, 0.25, 0.0]), Row(id=2, v=[0.0, 0.0, 0.0, 0.0])]
+    )
+    out = (
+        df.withColumn("scale", vectors.quantize_scale(F.col("v")))
+        .withColumn("q", vectors.quantize_symmetric(F.col("v"), F.col("scale")))
+        .withColumn("deq", vectors.dequantize_symmetric(F.col("q"), F.col("scale")))
+        .collect()
+    )
+    by_id = {r["id"]: r for r in out}
+    r1 = by_id[1]
+    # codes within int8 range; the max-|x| element maps to ±127 exactly
+    assert all(-127 <= q <= 127 for q in r1["q"])
+    assert r1["q"][1] == -127
+    # reconstruction error bounded by half a quantization step
+    assert all(
+        abs(x - d) <= r1["scale"] / 2 + 1e-12 for x, d in zip(r1["v"], r1["deq"])
+    )
+    # all-zero vector: nothing to quantize — scale (and codes) null
+    assert by_id[2]["scale"] is None
+
+
 def test_industry_projection_branches(spark):
     from restaurant_etl_code_spark.functions.cleansing import industry_projection
 

@@ -138,6 +138,11 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["Join"],
         "avoid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
     },
+    "quantize_fidelity": {
+        # narrow-dependency column math on the scan: zero shuffle, no Python
+        "want": [],
+        "avoid": ["Exchange", "CartesianProduct", "BatchEvalPython"],
+    },
 }
 
 
