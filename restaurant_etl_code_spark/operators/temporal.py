@@ -21,6 +21,18 @@ __all__ = [
 ]
 
 
+def _epoch_seconds(col: F.Column) -> F.Column:
+    """Seconds-since-epoch that works for TIMESTAMP and TIMESTAMP_NTZ alike.
+
+    Parquet `timestamp[us]` without a zone reads as TIMESTAMP_NTZ in Spark 4,
+    which cannot cast straight to BIGINT — but NTZ → TIMESTAMP is a legal
+    cast (interpreted in the session zone; gap arithmetic subtracts the
+    offset back out, so diffs are zone-invariant). For TIMESTAMP input the
+    extra cast is a no-op Catalyst folds away.
+    """
+    return col.cast("timestamp").cast("long")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -140,14 +152,12 @@ def sessionize(
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_sec = gap_minutes * 60
+    secs = _epoch_seconds(F.col(ts_col))
     with_flag = events.withColumn(
         "__new_session",
         F.when(
             F.lag(ts_col).over(w).isNull()
-            | (
-                F.col(ts_col).cast("long") - F.lag(ts_col).over(w).cast("long")
-                > gap_sec
-            ),
+            | (secs - F.lag(secs).over(w) > gap_sec),
             1,
         ).otherwise(0),
     ).withColumn("session_id", F.sum("__new_session").over(w) - 1)

@@ -40,6 +40,17 @@ def file_arrival_stream(
     return reader.load(landing_dir)
 
 
+def _watermarkable(events: DataFrame, ts_col: str) -> tuple[DataFrame, bool]:
+    """Watermarks require TIMESTAMP event time, but zone-less parquet reads
+    as TIMESTAMP_NTZ in Spark 4. Cast NTZ → TIMESTAMP (legal, interpreted in
+    the session zone) and report whether we did, so callers can cast window
+    bounds back and keep the output schema identical to the batch twins."""
+    was_ntz = isinstance(events.schema[ts_col].dataType, T.TimestampNTZType)
+    if was_ntz:
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events, was_ntz
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",
@@ -50,11 +61,15 @@ def windowed_event_counts(
     """Watermarked tumbling-window counts — the streaming twin of
     ``operators.temporal.tumbling_window_agg`` (same logical query; the
     watermark bounds state for late data)."""
+    events, was_ntz = _watermarkable(events, ts_col)
+    start = F.col("w.start")
+    if was_ntz:
+        start = start.cast("timestamp_ntz")
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_duration).alias("w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
-        .select(F.col("w.start").alias("window_start"), key_col, "n", "value_sum")
+        .select(start.alias("window_start"), key_col, "n", "value_sum")
     )
 
 
@@ -67,13 +82,18 @@ def session_window_agg(
 ) -> DataFrame:
     """Streaming sessionization via ``session_window`` — the stateful twin of
     the batch lag+cumsum sessionizer."""
+    events, was_ntz = _watermarkable(events, ts_col)
+    start, end = F.col("w.start"), F.col("w.end")
+    if was_ntz:
+        start = start.cast("timestamp_ntz")
+        end = end.cast("timestamp_ntz")
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(user_col))
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum"))
         .select(
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            start.alias("session_start"),
+            end.alias("session_end"),
             user_col,
             "n_events",
             "value_sum",
