@@ -81,6 +81,13 @@ BENCH_QUERIES = [
     "streaming_enrich",
     "stats_moments",
     "quantize_fidelity",
+    "scd2_history",
+    "sliding_window",
+    "histogram",
+    "weighted_sample",
+    "heavy_hitters",
+    "bloom_prune_join",
+    "stream_stream_join",
 ]
 
 

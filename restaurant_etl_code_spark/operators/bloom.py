@@ -1,0 +1,104 @@
+"""Bloom-filter join pruning — a hand-rolled runtime filter.
+
+Spark's own InjectRuntimeFilter inserts Bloom filters under a narrow set of
+plan shapes (and ``bloom_filter_agg`` is not SQL-registered in PySpark 4.1),
+so the engine exposes the pattern explicitly: build a compact Bloom bitmap
+from the build side's join keys, probe it in the fact scan's filter, then
+run the exact join on the survivors.
+
+Why this matters at 100 TB: a shuffled semi-join moves EVERY fact row to
+its hash partition before any key can be rejected. With a Bloom probe
+pushed into the scan stage, rows that cannot match (1 - fpp of them) are
+dropped before the Exchange — shuffle volume scales with the match rate,
+not the corpus. The bitmap is a few KB of longs broadcast as a literal;
+probing is shift/mask arithmetic inside whole-stage codegen, no UDF.
+
+The filter is physical-only: false positives are removed by the exact join
+that follows, so results are bit-identical to the plain join.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["build_bloom", "bloom_might_contain", "bloom_prune_semi_join"]
+
+
+def _num_words(expected_keys: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n·ln(p)/ln(2)², k = m/n·ln(2)."""
+    m_bits = max(64, int(-expected_keys * math.log(fpp) / (math.log(2) ** 2)))
+    words = (m_bits + 63) // 64
+    k = max(1, round(m_bits / max(expected_keys, 1) * math.log(2)))
+    return words, min(k, 8)
+
+
+def build_bloom(
+    dim: DataFrame, key: str, *, expected_keys: int | None = None, fpp: float = 0.01
+) -> tuple[list[int], int]:
+    """Aggregate the build side into a Bloom bitmap (list of int64 words).
+
+    Each key sets ``k`` bits at ``xxhash64(key, seed) mod m``; per-word masks
+    combine with ``bit_or`` — a counter-only shuffle of ≤ ``words`` rows.
+    The resulting array (a few KB) is the only data that reaches the driver,
+    exactly like Spark's internal ``BloomFilterAggregate`` subquery result.
+    """
+    n = expected_keys or dim.select(key).distinct().count()
+    words, k = _num_words(n, fpp)
+    m_bits = words * 64
+    seeds = list(range(k))
+    pos = F.explode(
+        F.array(*[F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(m_bits)) for s in seeds])
+    ).alias("pos")
+    word_masks = (
+        dim.select(pos)
+        .selectExpr(
+            "cast(pos div 64 as int) as word",
+            "shiftleft(1L, cast(pos % 64 as int)) as mask",
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+        .collect()
+    )
+    bitmap = [0] * words
+    for row in word_masks:
+        bitmap[row["word"]] = row["mask"]
+    return bitmap, k
+
+
+def bloom_might_contain(bitmap: list[int], k: int, key: Column) -> Column:
+    """Probe expression: AND over the k bit tests — plain shift/mask
+    arithmetic on a broadcast array literal, whole-stage-codegen'd."""
+    arr = F.lit(bitmap)
+    m_bits = len(bitmap) * 64
+    cond = F.lit(True)
+    for s in range(k):
+        pos = F.pmod(F.xxhash64(key, F.lit(s)), F.lit(m_bits))
+        word = F.element_at(arr, (pos.cast("int") / 64).cast("int") + 1)
+        cond = cond & (F.getbit(word, (pos % 64).cast("int")) == 1)
+    return cond
+
+
+def bloom_prune_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    fact_key: str,
+    dim_key: str,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Existence join with a Bloom runtime filter on the fact scan.
+
+    Result ≡ ``fact.join(dim, fact_key == dim_key, "left_semi")`` — the
+    bitmap probe only prunes rows BEFORE the shuffle/broadcast; the exact
+    semi-join removes the ~fpp false positives.
+    """
+    bitmap, k = build_bloom(dim, dim_key, fpp=fpp)
+    pruned = fact.filter(bloom_might_contain(bitmap, k, F.col(fact_key)))
+    return pruned.join(
+        dim.select(F.col(dim_key).alias("__bk")).distinct(),
+        pruned[fact_key] == F.col("__bk"),
+        "left_semi",
+    )

@@ -37,6 +37,7 @@ __all__ = [
     "assign_split",
     "SplitSpec",
     "sample_k_per_group",
+    "weighted_sample",
 ]
 
 _BUCKETS = 10_000
@@ -130,4 +131,41 @@ def sample_k_per_group(
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    target_k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size (Poisson) sample:
+    each row is kept with probability ``target_k · w / Σw`` — the standard
+    way to draw a quality- or length-weighted training mixture with
+    expected size ``target_k`` in ONE distributed pass, no RNG.
+
+    The keep decision is a pure INT64 comparison::
+
+        bucket(key) · Σw  <  target_k · w · 10000
+
+    (bucket uniform in [0,10000)) — exact integer arithmetic on both sides,
+    so any engine reproduces the exact row set bit-for-bit; float rounding
+    can never flip a boundary row. Σw is a scalar one-row aggregate
+    broadcast into the filter; the scan itself never shuffles. Rows with
+    w ≥ Σw/target_k·(1/1) are always kept (their threshold exceeds every
+    bucket), which is the correct PPS degenerate case.
+    """
+    total_w = df.agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__total_w")
+    )
+    bucket = portable_split_bucket(F.col(key), seed)
+    return (
+        df.crossJoin(F.broadcast(total_w))
+        .filter(
+            bucket * F.col("__total_w")
+            < F.lit(target_k) * F.col(weight_col).cast("long") * F.lit(_BUCKETS)
+        )
+        .drop("__total_w")
     )

@@ -17,6 +17,8 @@ __all__ = [
     "match_type_breakdown",
     "batch_stats",
     "status_partition_counts",
+    "equi_width_histogram",
+    "heavy_hitters",
 ]
 
 
@@ -65,4 +67,109 @@ def status_partition_counts(df: DataFrame, status_col: str = "status") -> DataFr
         F.max(
             F.when(F.col(status_col).isin("success", "partialSuccess"), 1).otherwise(0)
         ).alias("persisted"),
+    )
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    buckets: int,
+) -> DataFrame:
+    """Equi-width histogram: bucket = floor((x-lo)/width) clamped to
+    [0, buckets-1], so underflow lands in the first bucket and overflow in
+    the last (closed outer edges — every non-null row is counted exactly
+    once). Pure projection + one counter-only shuffle with map-side combine:
+    at 100 TB each task forwards ≤ ``buckets`` counter rows. The bucket
+    arithmetic is plain float floor/clamp (not ``width_bucket``) so an
+    external SQL engine computes identical bucket ids.
+    """
+    width = (hi - lo) / buckets
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1)).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double"), 4)
+            .alias("value_sum"),
+        )
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 4).alias("bucket_lo"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 4).alias("bucket_hi"),
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    *,
+    min_count: int | None = None,
+    min_share: float | None = None,
+    summary_size: int | None = None,
+) -> DataFrame:
+    """Exact heavy hitters (keys with count > threshold, threshold =
+    ``min_count`` or ``min_share``·N) via a two-phase Misra–Gries sketch —
+    the scale path for "frequent items" when the key domain is too large
+    to hash-aggregate in one pass.
+
+    Phase 1 (mapInPandas, per partition): a Misra–Gries summary with
+    k ≈ 2N/threshold counters. MG guarantees any key with partition count
+    > n_p/(k+1) survives; if a key's global count > N/(k+1) then some
+    partition exceeds its proportional share, so the union of partition
+    summaries is a SUPERSET of every global heavy hitter (candidates only
+    — MG counts are underestimates and are discarded).
+
+    Phase 2: exact recount of candidates only — a broadcast semi-join
+    prunes the scan to candidate keys (bounded: ≤ k per partition), then a
+    plain groupBy + HAVING against the exact total. The sketch is physical
+    pruning; the result is exactly the keys with count > threshold, so
+    an external engine reproduces it with GROUP BY + HAVING alone.
+    """
+    import pandas as pd
+
+    total = df.count()
+    if min_count is not None:
+        threshold = float(min_count)
+    elif min_share is not None:
+        threshold = min_share * total
+    else:
+        raise ValueError("one of min_count / min_share is required")
+    k = summary_size or max(8, int(2.0 * total / max(threshold, 1.0)))
+    schema = df.select(F.col(key_col).alias("key")).schema
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf["key"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [q for q in counters if counters[q] == 1]
+                    for q in dead:
+                        del counters[q]
+                    for q in counters:
+                        counters[q] -= 1
+        yield pd.DataFrame({"key": list(counters.keys())})
+
+    candidates = (
+        df.select(F.col(key_col).alias("key"))
+        .mapInPandas(mg_partition, schema=schema)
+        .distinct()
+    )
+    return (
+        df.join(F.broadcast(candidates), df[key_col] == candidates["key"], "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > threshold)
+        .withColumn("share", F.round(F.col("n") / F.lit(total), 6))
     )

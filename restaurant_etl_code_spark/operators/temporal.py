@@ -18,6 +18,8 @@ __all__ = [
     "sessionize",
     "tumbling_window_agg",
     "rolling_stats",
+    "scd2_history",
+    "sliding_window_agg",
 ]
 
 
@@ -228,4 +230,58 @@ def rolling_stats(
         # result scales differ across engines, double division does not
         (msum.cast("double") / n).alias("moving_avg"),
         F.max(F.col(value_col)).over(w).alias("moving_max"),
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build from a change stream:
+    collapse consecutive identical attribute values per key, then derive
+    ``valid_from`` / ``valid_to`` (= next run's start, NULL while current).
+
+    Two window passes over the SAME (key, ts, tiebreak) partitioning and
+    order — Catalyst plans one Exchange and one sort; the run-collapse
+    filter and the lead() reuse them. The tiebreak column makes the order
+    total, so the history is deterministic even with same-timestamp events.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    runs = df.withColumn("__prev", F.lag(attr_col).over(w)).filter(
+        F.col("__prev").isNull() | ~F.col(attr_col).eqNullSafe(F.col("__prev"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    nxt = F.lead(ts_col).over(w2)
+    return runs.select(
+        F.col(key_col),
+        F.col(attr_col).alias("attr_value"),
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Hopping (sliding) event-time windows: each row lands in
+    duration/slide overlapping windows. ``F.window`` expands the row to its
+    covering windows JVM-side (no UDF), then a counter-only hash agg —
+    shuffle volume is (duration/slide)× the tumbling case, the unavoidable
+    cost of overlap, with map-side combine keeping it counter rows."""
+    return (
+        events.groupBy(
+            F.window(ts_col, window_duration, slide).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n", "value_sum")
     )

@@ -2998,6 +2998,193 @@ def _q_json_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _customer_format_agg(staged)
 
 
+# --------------------------------------------------------------------------
+# SCD2 history build: change stream → versioned dimension rows
+# --------------------------------------------------------------------------
+
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 from the event stream: per user,
+    collapse consecutive same-type runs, emit valid_from/valid_to/is_current.
+    One shuffle on the user key; both window passes share it."""
+    events = load_table(spark, sf_dir, "events")
+    return temporal.scd2_history(
+        events, key_col="user_id", ts_col="ts",
+        attr_col="event_type", tiebreak_col="event_id",
+    )
+
+
+_ORACLE_SCD2 = """
+with ordered as (
+  select user_id, event_type, ts, event_id,
+         lag(event_type) over (partition by user_id order by ts, event_id) as prev
+  from events
+), runs as (
+  select user_id, event_type, ts, event_id from ordered
+  where prev is null or event_type <> prev
+)
+select user_id, event_type as attr_value, ts as valid_from,
+       lead(ts) over (partition by user_id order by ts, event_id) as valid_to,
+       lead(ts) over (partition by user_id order by ts, event_id) is null as is_current
+from runs
+"""
+
+
+# --------------------------------------------------------------------------
+# Hopping (sliding) event-time windows — 1h windows every 30min
+# --------------------------------------------------------------------------
+
+def _q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event lands in duration/slide = 2 windows; F.window expands
+    JVM-side, counter-only shuffle. Oracle: each row assigned to its two
+    covering 30-min-aligned window starts (time_bucket aligns to :00/:30,
+    matching Spark's epoch alignment)."""
+    events = load_table(spark, sf_dir, "events")
+    return temporal.sliding_window_agg(
+        events, ts_col="ts", key_col="event_type",
+        window_duration="1 hour", slide="30 minutes",
+    )
+
+
+_ORACLE_SLIDING = """
+select window_start, event_type, count(*) as n, round(sum(value), 4) as value_sum
+from (
+  select time_bucket(interval '30 minutes', ts) as window_start, event_type, value
+  from events
+  union all
+  select time_bucket(interval '30 minutes', ts) - interval '30 minutes', event_type, value
+  from events
+) t
+group by 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join: purchases within 1h after a view, per user
+# --------------------------------------------------------------------------
+
+def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join executed as a real stream —
+    the time bound lets Spark expire join state (unbounded otherwise).
+    Two independent file sources over the same landing data."""
+    from restaurant_etl_code_spark.streaming import stream_stream_interval_join
+
+    views = _events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    purchases = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join(
+        views, purchases, key="user_id", within="1 hour"
+    )
+    out = joined.select(
+        "user_id",
+        F.col("l_event_id").alias("view_id"),
+        F.col("l_ts").alias("view_ts"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("r_ts").alias("purchase_ts"),
+        F.col("r_value").alias("purchase_value"),
+    )
+    return _run_stream(spark, out, "append")
+
+
+_ORACLE_STREAM_STREAM = """
+select v.user_id, v.event_id as view_id, v.ts as view_ts,
+       p.event_id as purchase_id, p.ts as purchase_ts, p.value as purchase_value
+from events v join events p
+  on v.user_id = p.user_id
+ and p.ts >= v.ts and p.ts < v.ts + interval '1 hour'
+where v.event_type = 'view' and p.event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram (portable floor/clamp bucketing)
+# --------------------------------------------------------------------------
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return stats.equi_width_histogram(
+        orders, "o_totalprice", lo=0.0, hi=500_000.0, buckets=50
+    )
+
+
+_ORACLE_HISTOGRAM = """
+with b as (
+  select cast(least(greatest(floor((o_totalprice - 0.0) / 10000.0), 0), 49) as int)
+           as bucket,
+         o_totalprice
+  from orders where o_totalprice is not null
+)
+select bucket,
+       round(0.0 + bucket * 10000.0, 4) as bucket_lo,
+       round(0.0 + (bucket + 1) * 10000.0, 4) as bucket_hi,
+       count(*) as n,
+       round(cast(sum(cast(o_totalprice as decimal(18,4))) as double), 4) as value_sum
+from b group by 1
+"""
+
+
+# --------------------------------------------------------------------------
+# PPS weighted sample: length-weighted training mixture, exact-int keep rule
+# --------------------------------------------------------------------------
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return sampling.weighted_sample(docs, "doc_id", "n_chars", target_k=100)
+
+
+_ORACLE_WEIGHTED_SAMPLE = """
+select doc_id, lang, source, n_chars
+from documents, (select sum(cast(n_chars as bigint)) as total_w from documents) tw
+where ((doc_id % 2147483647 + 42) * 2654435761) % 2147483647 % 10000 * total_w
+      < 100 * cast(n_chars as bigint) * 10000
+"""
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters: two-phase Misra-Gries sketch + exact recount
+# --------------------------------------------------------------------------
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with > 75 events. The MG sketch is physical pruning only —
+    the exact recount makes the result reproducible by GROUP BY + HAVING."""
+    events = load_table(spark, sf_dir, "events")
+    return stats.heavy_hitters(events, "user_id", min_count=75)
+
+
+_ORACLE_HEAVY_HITTERS = """
+select user_id, count(*) as n,
+       round(count(*) / (select count(*) from events), 6) as share
+from events group by user_id having count(*) > 75
+"""
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter runtime-pruned semi-join
+# --------------------------------------------------------------------------
+
+def _q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join with a hand-rolled Bloom runtime filter: the bitmap
+    probe drops ~95% of fact rows inside the scan stage, BEFORE any
+    exchange; the exact semi-join then removes Bloom false positives, so
+    the result is bit-identical to a plain semi-join (the oracle)."""
+    from restaurant_etl_code_spark.operators import bloom
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    dim = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 995)
+    return bloom.bloom_prune_semi_join(
+        lineitem, dim, fact_key="l_partkey", dim_key="p_partkey"
+    )
+
+
+_ORACLE_BLOOM_PRUNE = """
+select l_orderkey, l_partkey, l_quantity, l_extendedprice
+from lineitem
+where l_partkey in (select p_partkey from part where p_retailprice > 995)
+"""
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -3167,4 +3354,18 @@ QUERIES: dict[str, QueryDef] = {
                              "S5: CSV stage+scan roundtrip, value-faithful agg"),
     "json_scan_agg": QueryDef(_q_json_scan_agg, _ORACLE_FORMAT_AGG,
                               "S4: JSON stage+scan roundtrip, value-faithful agg"),
+    "scd2_history": QueryDef(_q_scd2_history, _ORACLE_SCD2,
+                             "SCD2 dimension history from a change stream"),
+    "sliding_window": QueryDef(_q_sliding_window, _ORACLE_SLIDING,
+                               "hopping 1h/30min event-time windows"),
+    "stream_stream_join": QueryDef(_q_stream_stream_join, _ORACLE_STREAM_STREAM,
+                                   "watermarked stream-stream interval join"),
+    "histogram": QueryDef(_q_histogram, _ORACLE_HISTOGRAM,
+                          "equi-width histogram (portable floor/clamp buckets)"),
+    "weighted_sample": QueryDef(_q_weighted_sample, _ORACLE_WEIGHTED_SAMPLE,
+                                "PPS weighted sample, exact-int64 keep rule"),
+    "heavy_hitters": QueryDef(_q_heavy_hitters, _ORACLE_HEAVY_HITTERS,
+                              "Misra-Gries heavy hitters + exact recount"),
+    "bloom_prune_join": QueryDef(_q_bloom_prune_join, _ORACLE_BLOOM_PRUNE,
+                                 "Bloom runtime filter + exact semi-join"),
 }

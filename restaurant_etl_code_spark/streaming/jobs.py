@@ -171,3 +171,46 @@ def foreach_batch_upsert(
     )
     q.awaitTermination()
     return q
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with every
+    right event of the same key whose timestamp falls in
+    ``[left_ts, left_ts + within)``.
+
+    Both sides carry watermarks and the join condition time-bounds right
+    against left, so Spark can expire buffered state once the watermark
+    passes ``left_ts + within`` — without the bound, stream-stream join
+    state grows forever. Columns are prefixed (the two sides share a
+    schema); the equi-key survives un-prefixed. State shards by the join
+    key across executors like any shuffle.
+    """
+    l = left.select(
+        F.col(key), *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns if c != key]
+    )
+    r = right.select(
+        F.col(key).alias("__rkey"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns if c != key],
+    )
+    lts, rts = f"{left_prefix}{left_ts}", f"{right_prefix}{right_ts}"
+    l, _ = _watermarkable(l, lts)
+    r, _ = _watermarkable(r, rts)
+    l = l.withWatermark(lts, watermark)
+    r = r.withWatermark(rts, watermark)
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (F.col(rts) >= F.col(lts))
+        & (F.col(rts) < F.col(lts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop("__rkey")

@@ -1,0 +1,131 @@
+"""Round-3 operators: SCD2, sliding windows, Bloom pruning, heavy hitters,
+weighted PPS sampling, histogram edges."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.operators import bloom, sampling, stats, temporal
+
+
+def _ts(h, m=0):
+    return datetime(2024, 1, 1, h, m)
+
+
+def test_scd2_collapses_runs_and_chains_validity(spark):
+    rows = [
+        (1, _ts(0), 10, "a"),
+        (1, _ts(1), 11, "a"),   # same run — collapsed
+        (1, _ts(2), 12, "b"),   # change
+        (1, _ts(3), 13, "a"),   # change back — new version, not merged
+        (2, _ts(0), 20, "x"),
+    ]
+    df = spark.createDataFrame(rows, "key int, ts timestamp, eid int, attr string")
+    out = temporal.scd2_history(
+        df, key_col="key", ts_col="ts", attr_col="attr", tiebreak_col="eid"
+    ).collect()
+    by_key = {}
+    for r in sorted(out, key=lambda r: (r["key"], r["valid_from"])):
+        by_key.setdefault(r["key"], []).append(r)
+    k1 = by_key[1]
+    assert [r["attr_value"] for r in k1] == ["a", "b", "a"]
+    # each version's valid_to is the next version's valid_from; last is open
+    assert k1[0]["valid_to"] == k1[1]["valid_from"]
+    assert k1[1]["valid_to"] == k1[2]["valid_from"]
+    assert k1[2]["valid_to"] is None and k1[2]["is_current"]
+    assert not k1[0]["is_current"] and not k1[1]["is_current"]
+    assert by_key[2][0]["is_current"]
+
+
+def test_scd2_same_ts_uses_tiebreak(spark):
+    rows = [(1, _ts(0), 2, "b"), (1, _ts(0), 1, "a")]
+    df = spark.createDataFrame(rows, "key int, ts timestamp, eid int, attr string")
+    out = sorted(
+        temporal.scd2_history(
+            df, key_col="key", ts_col="ts", attr_col="attr", tiebreak_col="eid"
+        ).collect(),
+        key=lambda r: r["eid"] if "eid" in r.__fields__ else 0,
+    )
+    # eid order decides: 'a' (eid 1) precedes 'b' (eid 2)
+    vals = [r["attr_value"] for r in sorted(out, key=lambda r: not r["is_current"])]
+    assert set(vals) == {"a", "b"}
+    current = [r for r in out if r["is_current"]]
+    assert len(current) == 1 and current[0]["attr_value"] == "b"
+
+
+def test_sliding_window_each_row_in_two_windows(spark):
+    rows = [(_ts(0, 10), "a", 1.0), (_ts(0, 40), "a", 2.0), (_ts(1, 5), "b", 3.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = temporal.sliding_window_agg(
+        df, ts_col="ts", key_col="event_type",
+        window_duration="1 hour", slide="30 minutes",
+    )
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == 2 * df.count()  # duration/slide = 2 windows per row
+
+
+def test_histogram_clamps_out_of_range_and_counts_all(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.9,), (10.0,), (25.0,), (99.0,), (250.0,), (None,)],
+        "v double",
+    )
+    out = {r["bucket"]: r for r in stats.equi_width_histogram(
+        df, "v", lo=0.0, hi=100.0, buckets=10
+    ).collect()}
+    assert out[0]["n"] == 3          # -5 clamped in, 0.0, 9.9
+    assert out[1]["n"] == 1          # 10.0 — half-open lower edges
+    assert out[9]["n"] == 2          # 99.0 plus 250 clamped into last bucket
+    assert sum(r["n"] for r in out.values()) == 7  # null dropped
+    assert out[0]["bucket_lo"] == 0.0 and out[0]["bucket_hi"] == 10.0
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    rows = [(i % 7,) for i in range(700)] + [(99,)] * 300 + [(98,)] * 150
+    df = spark.createDataFrame(rows, "k int").repartition(8)
+    out = stats.heavy_hitters(df, "k", min_count=120, summary_size=4)
+    expected = {
+        (r["k"], r["n"])
+        for r in df.groupBy("k").count().filter("count > 120")
+        .withColumnRenamed("count", "n").collect()
+    }
+    got = {(r["k"], r["n"]) for r in out.collect()}
+    assert got == expected and (99, 300) in got and (98, 150) in got
+
+
+def test_weighted_sample_deterministic_and_weight_monotone(spark):
+    df = spark.createDataFrame(
+        [(i, (i % 10 + 1) * 100) for i in range(1000)], "doc_id long, w long"
+    )
+    a = sorted(r["doc_id"] for r in sampling.weighted_sample(df, "doc_id", "w", 50).collect())
+    b = sorted(r["doc_id"] for r in sampling.weighted_sample(df, "doc_id", "w", 50).collect())
+    assert a == b and 20 <= len(a) <= 120  # expected 50, PPS variance
+    # a row whose weight exceeds sum_w / k is kept with probability 1
+    big = df.union(spark.createDataFrame([(10**6, 10**7)], "doc_id long, w long"))
+    kept = sampling.weighted_sample(big, "doc_id", "w", 50)
+    assert kept.filter("doc_id = 1000000").count() == 1
+
+
+def test_bloom_no_false_negatives_and_join_parity(spark):
+    dim = spark.range(0, 500, 7).withColumnRenamed("id", "k")
+    fact = spark.range(0, 5000).withColumnRenamed("id", "fk")
+    bitmap, k = bloom.build_bloom(dim, "k", fpp=0.01)
+    assert k >= 1 and any(bitmap)
+    # every true key passes the probe
+    misses = dim.filter(~bloom.bloom_might_contain(bitmap, k, F.col("k"))).count()
+    assert misses == 0
+    pruned = bloom.bloom_prune_semi_join(fact, dim, fact_key="fk", dim_key="k")
+    plain = fact.join(dim, fact["fk"] == dim["k"], "left_semi")
+    assert sorted(r["fk"] for r in pruned.collect()) == sorted(
+        r["fk"] for r in plain.collect()
+    )
+
+
+def test_bloom_probe_prunes_most_nonmembers(spark):
+    dim = spark.range(0, 100).withColumnRenamed("id", "k")
+    fact = spark.range(0, 10000).withColumnRenamed("id", "fk")
+    bitmap, k = bloom.build_bloom(dim, "k", fpp=0.01)
+    passed = fact.filter(bloom.bloom_might_contain(bitmap, k, F.col("fk"))).count()
+    # 100 members + ~1% fpp of 9900 non-members
+    assert passed < 100 + 0.05 * 9900
