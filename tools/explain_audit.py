@@ -143,6 +143,39 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": [],
         "avoid": ["Exchange", "CartesianProduct", "BatchEvalPython"],
     },
+    "scd2_history": {
+        # run-collapse lag + validity lead share ONE user-key Exchange/sort
+        "want": ["Window", "Exchange hashpartitioning(user_id"],
+        "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    },
+    "sliding_window": {
+        # hopping windows expand JVM-side (Expand), then two-phase agg
+        "want": ["Expand", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "Generate explode"],
+    },
+    "histogram": {
+        # bucket arithmetic on the scan; one counter-only Exchange
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "Window", "BatchEvalPython"],
+    },
+    "weighted_sample": {
+        # scalar Σw broadcast into the scan filter (the 1-row cross join IS
+        # the design); keep rule evaluates in the scan stage, no key shuffle
+        "want": ["BroadcastNestedLoopJoin", "Exchange SinglePartition"],
+        "avoid": ["Exchange hashpartitioning", "SortMergeJoin", "Window"],
+    },
+    "heavy_hitters": {
+        # MG sketch in MapInPandas; candidates broadcast back as LeftSemi;
+        # exact recount is the only key-wide aggregation
+        "want": ["MapInPandas", "LeftSemi", "BroadcastHashJoin"],
+        "avoid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "bloom_prune_join": {
+        # bitmap probe (getbit) must sit in the fact scan's Filter, BEFORE
+        # the exact LeftSemi join; dim side broadcasts
+        "want": ["getbit", "LeftSemi", "BroadcastHashJoin"],
+        "avoid": ["CartesianProduct", "SortMergeJoin"],
+    },
 }
 
 
