@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "bloom_prune_join",
     "stream_stream_join",
+    "zorder_scan",
+    "incremental_agg",
 ]
 
 

@@ -1,6 +1,9 @@
 from restaurant_etl_code_spark.operators import (  # noqa: F401
+    bloom,
     chunking,
     dedup,
+    incremental,
+    layout,
     matching,
     similarity,
     skew,

@@ -1,0 +1,76 @@
+"""Incremental aggregate maintenance — mergeable partial aggregates.
+
+The continuous-aggregate pattern at 100 TB: never re-scan history to
+refresh a rollup. Keep per-(key, grain) PARTIAL states whose merge is
+associative and commutative — counts and sums add, min/max fold, HLL
+sketches union — then combining yesterday's materialized state with
+today's delta is a small join-free union + re-aggregate over state rows,
+not a scan of the raw corpus.
+
+This module defines the state algebra explicitly so it is checkable:
+``partial_aggs(delta) ∪ state → merge_partial_aggs → state'`` must equal
+``partial_aggs(full)`` exactly (and ``finalize`` of either equals the
+direct aggregate). multires_rollup (plans/testdata_queries.py) is the
+query-level twin (daily re-aggregated FROM hourly); this is the operator
+that makes any grain re-aggregatable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["partial_aggs", "merge_partial_aggs", "finalize_aggs"]
+
+
+def partial_aggs(
+    df: DataFrame, keys: list[str], value_col: str, distinct_col: str
+) -> DataFrame:
+    """Reduce raw rows to mergeable per-key state: count, exact-decimal sum,
+    min/max, and an HLL sketch of ``distinct_col``. One counter-only
+    shuffle with map-side combine — the delta never leaves its grain."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sum_dec"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+        F.hll_sketch_agg(distinct_col).alias("distinct_sketch"),
+    )
+
+
+def merge_partial_aggs(*states: DataFrame) -> DataFrame:
+    """Combine state tables (previous materialization + new delta[s]).
+    Pure state-row algebra: counts/sums add, min/max fold, sketches union.
+    Input size is |keys|, not |raw rows| — the whole point."""
+    keys = [
+        c for c in states[0].columns
+        if c not in ("cnt", "sum_dec", "vmin", "vmax", "distinct_sketch")
+    ]
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_dec").alias("sum_dec"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
+    )
+
+
+def finalize_aggs(state: DataFrame) -> DataFrame:
+    """Render state for consumption: exact value columns + sketch estimate.
+    (The sketch stays in the state table; finalize never destroys
+    mergeability.)"""
+    keys = [
+        c for c in state.columns
+        if c not in ("cnt", "sum_dec", "vmin", "vmax", "distinct_sketch")
+    ]
+    return state.select(
+        *keys,
+        F.col("cnt"),
+        F.round(F.col("sum_dec").cast("double"), 4).alias("value_sum"),
+        F.col("vmin"),
+        F.col("vmax"),
+        F.hll_sketch_estimate("distinct_sketch").alias("approx_distinct"),
+    )

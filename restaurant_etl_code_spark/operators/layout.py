@@ -1,0 +1,106 @@
+"""Data-layout operators: Z-order clustering for multi-dimensional skipping.
+
+At 100 TB the cheapest query is the one that never reads the data. Parquet
+readers skip whole files and row groups using min/max statistics, but those
+statistics only help if values are CLUSTERED: a table range-partitioned on
+one column skips perfectly on that column and not at all on any other.
+Z-ordering (Morton-interleaving the bits of several bin-normalized columns)
+gives every listed column locality at once — each output file covers a
+narrow value range in ALL dimensions, so point/range predicates on any of
+them prune most files and row groups.
+
+Scale shape: per-column (min, max) comes from ONE tiny aggregate (a scalar
+row to the driver, like a Bloom bitmap); binning and bit-interleaving are
+plain codegen arithmetic on the scan (``shiftleft``/``getbit`` with
+expression operands via SQL lambdas — the PySpark wrappers insist on
+literal shifts); then a single ``repartitionByRange`` on the Z-value (its
+range sampler is the only extra pass) and a within-partition sort. No
+global sort, no UDFs, no driver-side data beyond two numbers per column.
+Equi-width bins trade skew-robustness for zero extra passes; a quantile
+variant would swap ``_bounds`` for ``approxQuantile`` breakpoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_value", "zorder_layout", "file_clustering_stats"]
+
+_BITS = 16  # bins per dimension = 2^16; 2 dims -> 32-bit Z-value
+
+
+def _bin_col(col: str, lo: float, hi: float) -> Column:
+    """Equi-width bin in [0, 2^_BITS): pure arithmetic, codegen-friendly."""
+    width = (hi - lo) or 1.0
+    raw = ((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)) * (1 << _BITS)
+    return F.least(
+        F.greatest(raw.cast("long"), F.lit(0)), F.lit((1 << _BITS) - 1)
+    )
+
+
+def zorder_value(*bin_cols: Column) -> Column:
+    """Morton code: interleave the low ``_BITS`` bits of each bin column
+    (named ``__zr{d}`` by the caller). SQL aggregate over bit positions —
+    expression-operand shifts are SQL-only."""
+    n = len(bin_cols)
+    total = None
+    for d in range(n):
+        part = F.expr(
+            f"aggregate(sequence(0, {_BITS - 1}), 0L, "
+            f"(acc, i) -> acc + shiftleft(cast(getbit(__zr{d}, i) as bigint), "
+            f"i * {n} + {d}))"
+        )
+        total = part if total is None else total + part
+    return total
+
+
+def zorder_layout(df: DataFrame, cols: list[str], num_files: int) -> DataFrame:
+    """Return ``df`` arranged for a Z-ordered write: range-partitioned and
+    sorted by the Morton code of ``cols``. Write with
+    ``.write.parquet(path)`` — each task produces one file whose min/max
+    footer statistics are tight in every listed dimension."""
+    bounds = df.agg(
+        *[f for c in cols for f in (
+            F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"hi_{c}"),
+        )]
+    ).collect()[0]
+    ranked = df
+    for d, c in enumerate(cols):
+        ranked = ranked.withColumn(
+            f"__zr{d}", _bin_col(c, bounds[f"lo_{c}"], bounds[f"hi_{c}"])
+        )
+    ranked = ranked.withColumn(
+        "__z", zorder_value(*[F.col(f"__zr{d}") for d in range(len(cols))])
+    ).drop(*[f"__zr{d}" for d in range(len(cols))])
+    return (
+        ranked.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def file_clustering_stats(spark, path: str, cols: list[str]) -> DataFrame:
+    """Clustering quality audit: per physical file, the fraction of each
+    column's global range it spans. A Z-ordered layout shows mean spans
+    ≪ 1 in every dimension (each file prunable by predicates on any of
+    them); an unclustered layout shows spans ≈ 1."""
+    df = spark.read.parquet(path).withColumn("__file", F.input_file_name())
+    aggs, spans = [], []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+        ]
+    per_file = df.groupBy("__file").agg(*aggs)
+    glob = df.agg(*aggs).collect()[0]
+    for c in cols:
+        lo, hi = glob[f"__min_{c}"], glob[f"__max_{c}"]
+        width = (hi - lo) or 1.0
+        spans.append(
+            ((F.col(f"__max_{c}") - F.col(f"__min_{c}")) / F.lit(width))
+            .cast("double")
+            .alias(f"span_{c}")
+        )
+    return per_file.select("__file", *spans)

@@ -3185,6 +3185,75 @@ where l_partkey in (select p_partkey from part where p_retailprice > 995)
 """
 
 
+# --------------------------------------------------------------------------
+# Z-order layout roundtrip: multi-dimensional clustering + pruned scan
+# --------------------------------------------------------------------------
+
+def _q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the events table Z-ordered on (user_id, value), then answer a
+    two-dimensional range predicate from the re-read. Values are oracle-
+    checked for write/read faithfulness; the clustering property itself
+    (every file spans a narrow range in BOTH dims → min/max skipping works
+    on either predicate) is asserted in tests/test_layout_incremental.py."""
+    from restaurant_etl_code_spark.operators import layout
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH_DIR, f"events_zorder_{tag}")
+    layout.zorder_layout(events, ["user_id", "value"], 16).write.mode(
+        "overwrite"
+    ).parquet(path)
+    scanned = spark.read.parquet(path).filter(
+        (F.col("user_id") <= 30) & (F.col("value") >= 100.0)
+    )
+    return scanned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4)
+        .alias("value_sum"),
+    )
+
+
+_ORACLE_ZORDER = """
+select event_type, count(*) as n,
+       round(cast(sum(cast(value as decimal(18,6))) as double), 4) as value_sum
+from events
+where user_id <= 30 and value >= 100.0
+group by 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance: mergeable partial states
+# --------------------------------------------------------------------------
+
+def _q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate algebra: reduce two disjoint halves of the
+    events table to mergeable per-key states (count/sum/min/max/HLL), merge
+    the STATE ROWS (never re-scanning raw data), finalize — must equal the
+    direct aggregate over everything (the oracle)."""
+    from restaurant_etl_code_spark.operators import incremental
+
+    events = load_table(spark, sf_dir, "events")
+    old = events.filter(F.col("event_id") % 2 == 0)
+    delta = events.filter(F.col("event_id") % 2 == 1)
+    s_old = incremental.partial_aggs(old, ["event_type"], "value", "user_id")
+    s_new = incremental.partial_aggs(delta, ["event_type"], "value", "user_id")
+    return incremental.finalize_aggs(
+        incremental.merge_partial_aggs(s_old, s_new)
+    )
+
+
+_ORACLE_INCREMENTAL = """
+select event_type, count(*) as cnt,
+       round(cast(sum(cast(value as decimal(18,6))) as double), 4) as value_sum,
+       min(value) as vmin, max(value) as vmax,
+       count(distinct user_id) as approx_distinct
+from events group by 1
+"""
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -3368,4 +3437,8 @@ QUERIES: dict[str, QueryDef] = {
                               "Misra-Gries heavy hitters + exact recount"),
     "bloom_prune_join": QueryDef(_q_bloom_prune_join, _ORACLE_BLOOM_PRUNE,
                                  "Bloom runtime filter + exact semi-join"),
+    "zorder_scan": QueryDef(_q_zorder_scan, _ORACLE_ZORDER,
+                            "Z-order layout write + 2-dim pruned scan roundtrip"),
+    "incremental_agg": QueryDef(_q_incremental_agg, _ORACLE_INCREMENTAL,
+                                "mergeable partial-aggregate state maintenance"),
 }

@@ -1,0 +1,89 @@
+"""Z-order layout clustering quality + incremental aggregate algebra."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.operators import incremental, layout
+
+
+def test_zorder_files_are_narrow_in_both_dims(spark):
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    out = tempfile.mkdtemp(prefix="zorder_")
+    try:
+        layout.zorder_layout(df, ["x", "y"], 16).write.mode("overwrite").parquet(out)
+        back = spark.read.parquet(out)
+        assert back.count() == n  # lossless
+        stats = layout.file_clustering_stats(spark, out, ["x", "y"]).collect()
+        assert len(stats) >= 8
+        mean_x = sum(r["span_x"] for r in stats) / len(stats)
+        mean_y = sum(r["span_y"] for r in stats) / len(stats)
+        # Z-order: every file narrow in BOTH dimensions (16 files ~ 4x4 grid
+        # -> ideal span 0.25 + boundary slop); a 1-d range layout would give
+        # ~1.0 span on the other dimension
+        assert mean_x < 0.6, f"x spans too wide: {mean_x}"
+        assert mean_y < 0.6, f"y spans too wide: {mean_y}"
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_zorder_beats_single_dim_layout_on_second_dim(spark):
+    df = spark.range(20_000).select(
+        (F.col("id") % 200).alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double").alias("y"),
+    )
+    zdir = tempfile.mkdtemp(prefix="zorder_")
+    rdir = tempfile.mkdtemp(prefix="range_")
+    try:
+        layout.zorder_layout(df, ["x", "y"], 16).write.mode("overwrite").parquet(zdir)
+        df.repartitionByRange(16, "x").sortWithinPartitions("x").write.mode(
+            "overwrite"
+        ).parquet(rdir)
+        z_y = [r["span_y"] for r in layout.file_clustering_stats(spark, zdir, ["y"]).collect()]
+        r_y = [r["span_y"] for r in layout.file_clustering_stats(spark, rdir, ["y"]).collect()]
+        assert sum(z_y) / len(z_y) < 0.7 * (sum(r_y) / len(r_y))
+    finally:
+        shutil.rmtree(zdir, ignore_errors=True)
+        shutil.rmtree(rdir, ignore_errors=True)
+
+
+def test_partial_merge_equals_direct_aggregate(spark):
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}", float(i % 50) / 7, i % 13) for i in range(2000)],
+        "id long, k string, v double, u long",
+    )
+    halves = [df.filter(F.col("id") % 2 == p) for p in (0, 1)]
+    merged = incremental.finalize_aggs(
+        incremental.merge_partial_aggs(
+            *[incremental.partial_aggs(h, ["k"], "v", "u") for h in halves]
+        )
+    )
+    direct = incremental.finalize_aggs(incremental.partial_aggs(df, ["k"], "v", "u"))
+    as_map = lambda rows: {
+        r["k"]: (r["cnt"], r["value_sum"], r["vmin"], r["vmax"], r["approx_distinct"])
+        for r in rows
+    }
+    assert as_map(merged.collect()) == as_map(direct.collect())
+
+
+def test_merge_is_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 5 else "b", float(i), i % 7) for i in range(300)],
+        "id long, k string, v double, u long",
+    )
+    parts = [
+        incremental.partial_aggs(df.filter(F.col("id") % 3 == p), ["k"], "v", "u")
+        for p in range(3)
+    ]
+    fwd = incremental.finalize_aggs(incremental.merge_partial_aggs(*parts))
+    rev = incremental.finalize_aggs(incremental.merge_partial_aggs(*reversed(parts)))
+    key = lambda rows: sorted(map(tuple, rows))
+    assert key(fwd.collect()) == key(rev.collect())

@@ -176,6 +176,17 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["getbit", "LeftSemi", "BroadcastHashJoin"],
         "avoid": ["CartesianProduct", "SortMergeJoin"],
     },
+    "incremental_agg": {
+        # state merge is a union of tiny state tables + one re-agg; the raw
+        # scan aggregates once per half, never joins
+        "want": ["HashAggregate", "Union"],
+        "avoid": ["CartesianProduct", "SortMergeJoin", "Window"],
+    },
+    "zorder_scan": {
+        # the re-read answers the 2-dim predicate with parquet pushdown
+        "want": ["PushedFilters: [IsNotNull"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
 }
 
 
