@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "stream_stream_join",
     "zorder_scan",
     "incremental_agg",
+    "streaming_dedup_watermark",
 ]
 
 

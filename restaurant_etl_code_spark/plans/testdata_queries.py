@@ -3175,6 +3175,18 @@ from events group by user_id having count(*) > 75
 """
 
 
+def _q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark) — the
+    built-in twin of the applyInPandasWithState first-seen dedup; state
+    expires with the watermark instead of growing with key history.
+    Single-source AvailableNow run → one micro-batch → deterministic
+    distinct keys."""
+    from restaurant_etl_code_spark.streaming import dedup_within_watermark
+
+    deduped = dedup_within_watermark(_events_stream(spark, sf_dir), ["event_type"])
+    return _run_stream(spark, deduped.select("event_type"), "append")
+
+
 # --------------------------------------------------------------------------
 # Bloom-filter runtime-pruned semi-join
 # --------------------------------------------------------------------------
@@ -3456,6 +3468,9 @@ QUERIES: dict[str, QueryDef] = {
                                  "Bloom runtime filter + exact semi-join"),
     "zorder_scan": QueryDef(_q_zorder_scan, _ORACLE_ZORDER,
                             "Z-order layout write + 2-dim pruned scan roundtrip"),
+    "streaming_dedup_watermark": QueryDef(
+        _q_streaming_dedup_watermark, _ORACLE_STREAMING_DEDUP,
+        "bounded-state dedup via dropDuplicatesWithinWatermark"),
     "incremental_agg": QueryDef(_q_incremental_agg, _ORACLE_INCREMENTAL,
                                 "mergeable partial-aggregate state maintenance"),
 }

@@ -25,6 +25,7 @@ __all__ = [
     "write_partitioned",
     "retry_failed_minimal",
     "write_audit",
+    "compact_parquet",
 ]
 
 
@@ -134,3 +135,38 @@ def write_audit(
     path = os.path.join(audit_dir, f"payload_{run_id}.json")
     df.write.mode("overwrite").json(path)
     return path, est_bytes > warn_mb * 1024 * 1024
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target)`` balanced files. Streaming sinks and
+    per-batch MERGE writes accrete thousands of KB-scale files; at 100 TB
+    the resulting task-per-file scheduling and footer-read overhead
+    dominates scans, and the fix is a periodic round-robin rewrite sized
+    by BYTES (file counts lie — sizes skew).
+
+    Sizes come from the Hadoop FileSystem API, so any scheme (s3a://,
+    hdfs://, file://) works. Returns the output file count. Round-robin
+    ``repartition`` balances output sizes regardless of input skew; use
+    ``zorder_layout`` (operators/layout.py) instead when the rewrite
+    should also cluster.
+    """
+    import math
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+    return n

@@ -6,6 +6,7 @@ from restaurant_etl_code_spark.streaming.jobs import (  # noqa: F401
     run_available_now,
     foreach_batch_upsert,
     stream_stream_interval_join,
+    dedup_within_watermark,
 )
 from restaurant_etl_code_spark.streaming.stateful import (  # noqa: F401
     streaming_dedup,

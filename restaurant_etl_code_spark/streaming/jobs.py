@@ -214,3 +214,21 @@ def stream_stream_interval_join(
         & (F.col(rts) < F.col(lts) + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, "inner").drop("__rkey")
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Built-in streaming dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only until
+    the watermark passes it, so state size tracks the watermark horizon
+    instead of the stream's full key history — the correct primitive for
+    "suppress redelivered events" at 100 TB/day (exactly-once-ish sinks).
+    The applyInPandasWithState twin in stateful.py keeps state forever
+    (first-seen semantics); this one trades that for boundedness.
+    """
+    events, _ = _watermarkable(events, ts_col)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

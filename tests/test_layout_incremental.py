@@ -87,3 +87,28 @@ def test_merge_is_order_insensitive(spark):
     rev = incremental.finalize_aggs(incremental.merge_partial_aggs(*reversed(parts)))
     key = lambda rows: sorted(map(tuple, rows))
     assert key(fwd.collect()) == key(rev.collect())
+
+
+def test_compact_parquet_targets_file_sizes(spark):
+    from restaurant_etl_code_spark.sources.sinks import compact_parquet
+
+    src = tempfile.mkdtemp(prefix="frag_")
+    dst = tempfile.mkdtemp(prefix="compact_")
+    try:
+        spark.range(100_000).select(
+            F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+        ).repartition(64).write.mode("overwrite").parquet(src)
+        import glob, os
+        frag_files = glob.glob(src + "/*.parquet")
+        assert len(frag_files) == 64
+        total = sum(os.path.getsize(f) for f in frag_files)
+        n = compact_parquet(spark, src, dst, target_file_bytes=total // 4)
+        out_files = glob.glob(dst + "/*.parquet")
+        assert len(out_files) == n <= 6  # ceil(total/(total/4)) = 4..5
+        # lossless and balanced
+        assert spark.read.parquet(dst).count() == 100_000
+        sizes = sorted(os.path.getsize(f) for f in out_files)
+        assert sizes[0] > 0.5 * sizes[-1]  # round-robin balance
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
