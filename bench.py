@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "zorder_scan",
     "incremental_agg",
     "streaming_dedup_watermark",
+    "sketch_overlap",
 ]
 
 

@@ -3188,6 +3188,74 @@ def _q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sketch set algebra: audience overlap from union-only HLL sketches
+# --------------------------------------------------------------------------
+
+def _q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation: |A ∩ B| per event-type pair via
+    inclusion-exclusion over HLL sketches (|A|+|B|−|A∪B|) — HLL only
+    unions, so intersection must be derived. One sketch per key (a few KB
+    each) replaces re-scanning the corpus per pair: at 100 TB with K
+    segments, pairwise overlap is K² sketch merges, not K² scans.
+
+    Envelope-oracle pattern (see approx_aggs): output the EXACT overlap
+    (computed independently both engines) plus a boolean asserting the
+    sketch estimate landed within 15% + 5 absolute of it; the oracle emits
+    literal TRUE, so an out-of-envelope estimate hash-mismatches.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("nd"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"), F.col("nd").alias("nd_a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"), F.col("nd").alias("nd_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))  # 5 keys → 10 pairs
+    exact = (
+        events.select("event_type", "user_id").distinct().alias("x")
+        .join(
+            events.select(
+                F.col("event_type").alias("type_b_"), "user_id"
+            ).distinct().alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("type_b_")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("type_b_").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    est_inter = F.col("nd_a") + F.col("nd_b") - est_union
+    return (
+        pairs.join(exact, ["type_a", "type_b"])  # inner: oracle omits
+        .select(                                 # zero-overlap pairs too
+            "type_a", "type_b", "exact_overlap",
+            (
+                F.abs(est_inter - F.col("exact_overlap"))
+                <= F.col("exact_overlap") * 0.15 + 5
+            ).alias("est_in_bounds"),
+        )
+    )
+
+
+_ORACLE_SKETCH_OVERLAP = """
+with d as (select distinct event_type, user_id from events)
+select a.event_type as type_a, b.event_type as type_b,
+       count(*) as exact_overlap, true as est_in_bounds
+from d a join d b on a.user_id = b.user_id and a.event_type < b.event_type
+group by 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Bloom-filter runtime-pruned semi-join
 # --------------------------------------------------------------------------
 
@@ -3471,6 +3539,8 @@ QUERIES: dict[str, QueryDef] = {
     "streaming_dedup_watermark": QueryDef(
         _q_streaming_dedup_watermark, _ORACLE_STREAMING_DEDUP,
         "bounded-state dedup via dropDuplicatesWithinWatermark"),
+    "sketch_overlap": QueryDef(_q_sketch_overlap, _ORACLE_SKETCH_OVERLAP,
+                               "HLL inclusion-exclusion audience overlap"),
     "incremental_agg": QueryDef(_q_incremental_agg, _ORACLE_INCREMENTAL,
                                 "mergeable partial-aggregate state maintenance"),
 }
