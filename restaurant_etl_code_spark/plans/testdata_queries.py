@@ -1223,7 +1223,7 @@ _DUCK_PUNCT = (
     " / length(text) end"
 )
 
-_ORACLE_TEXT_QUALITY = f"""
+_ORACLE_TEXT_QUALITY = rf"""
 select doc_id,
        {_DUCK_NTOK} as n_tokens,
        case when text is null then null else
@@ -3188,6 +3188,122 @@ def _q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Composed corpus curation: gates → exact dedup → near-dup CC → survivors
+# --------------------------------------------------------------------------
+
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation flow as ONE lazy plan: quality +
+    length + language gates (codegen expressions on the scan) → exact
+    fingerprint dedup (one hash shuffle of 32-byte digests) → df-capped
+    3-gram Jaccard near-dup pairs over the survivors (inverted-index join,
+    Σdf² bounded) → connected components (iterative min-propagation) →
+    canonical survivor per cluster. Each stage shrinks its input before
+    the next pays for it — the cheapest-first cascade the reference builds
+    imperatively (SURVEY §4), restated over a corpus.
+
+    Deterministic aggregation choices (min/min_by) keep every engine
+    bit-identical; the oracle replays the same flow with a recursive-CTE
+    transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    gated = docs.select(
+        "doc_id",
+        "text",
+        Ftext.token_count(t).alias("n_tokens"),
+        Ftext.quality_score(t).alias("quality"),
+        Ftext.lang_id(t).alias("lang_pred"),
+        Ftext.fingerprint(t).alias("fingerprint"),
+    ).filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 10)
+        & (F.col("lang_pred") == "en")
+    )
+    exact = gated.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("quality").alias("quality"),
+        F.count(F.lit(1)).alias("n_exact_dups"),
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        exact, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=4
+    )
+    comp = dedup.connected_components(pairs, src="id_a", dst="id_b")
+    losers = comp.filter(F.col("component_id") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        exact.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality", "n_exact_dups")
+    )
+
+
+_ORACLE_CORPUS_CURATION = f"""
+with recursive scored as (
+  select doc_id, text,
+         {_DUCK_NTOK} as n_tokens,
+         case when text is null then null else
+           round(greatest(least(
+             0.5 * least({_DUCK_NTOK} / 50.0, 1.0)
+             + 0.5 * least({_DUCK_SWR} * 4.0, 1.0)
+             - 0.25 * {_DUCK_PUNCT}, 1.0), 0.0), 4) end as quality,
+         {_duck_lang_hits('de')} as c_de, {_duck_lang_hits('en')} as c_en,
+         {_duck_lang_hits('es')} as c_es, {_duck_lang_hits('fr')} as c_fr,
+         md5({_DUCK_NORM.format(c='text')}) as fingerprint
+  from documents),
+gated as (
+  select * from scored
+  where quality >= 0.5 and n_tokens >= 10
+    and greatest(c_de, c_en, c_es, c_fr) > 0
+    and c_en = greatest(c_de, c_en, c_es, c_fr)
+    and c_de < greatest(c_de, c_en, c_es, c_fr)),
+exact as (
+  select fingerprint, min(doc_id) as doc_id, min(n_tokens) as n_tokens,
+         min(quality) as quality, count(*) as n_exact_dups
+  from gated group by fingerprint),
+cdocs as (
+  select e.doc_id, d.text, e.n_tokens, e.quality, e.n_exact_dups
+  from exact e join documents d on d.doc_id = e.doc_id),
+toks as (select doc_id,
+         string_split({_DUCK_NORM.format(c='text')}, ' ') as tk from cdocs),
+sh as (select doc_id, case when len(tk) >= 3 then
+       list_transform(range(1, len(tk) - 1), i ->
+       array_to_string(list_slice(tk, i::int, i::int + 2), ' '))
+       else [] end as shingles from toks),
+distinct_sh as (
+  select doc_id, unnest(list_distinct(shingles)) as shingle from sh),
+kept as (
+  select doc_id, shingle from (
+    select doc_id, shingle, count(*) over (partition by shingle) as df
+    from distinct_sh)
+  where df <= 4),
+sizes as (select doc_id, count(*) as set_size from kept group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter
+  from kept a join kept b
+    on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+prs as (
+  select id_a, id_b from inter
+  join sizes sa on sa.doc_id = id_a
+  join sizes sb on sb.doc_id = id_b
+  where round(n_inter::double / (sa.set_size + sb.set_size - n_inter), 6)
+        >= 0.5),
+und as (select id_a as u, id_b as v from prs
+        union select id_b, id_a from prs),
+reach(a, b) as (
+  select u, v from und
+  union
+  select r.a, u2.v from reach r join und u2 on u2.u = r.b),
+comp as (select a as node, least(a, min(b)) as component_id
+         from reach group by a)
+select doc_id, n_tokens, quality, n_exact_dups
+from cdocs
+where doc_id not in (select node from comp where component_id <> node)
+"""
+
+
+# --------------------------------------------------------------------------
 # Sketch set algebra: audience overlap from union-only HLL sketches
 # --------------------------------------------------------------------------
 
@@ -3541,6 +3657,9 @@ QUERIES: dict[str, QueryDef] = {
         "bounded-state dedup via dropDuplicatesWithinWatermark"),
     "sketch_overlap": QueryDef(_q_sketch_overlap, _ORACLE_SKETCH_OVERLAP,
                                "HLL inclusion-exclusion audience overlap"),
+    "corpus_curation": QueryDef(
+        _q_corpus_curation, _ORACLE_CORPUS_CURATION,
+        "composed curation: gates → exact dedup → near-dup CC → survivors"),
     "incremental_agg": QueryDef(_q_incremental_agg, _ORACLE_INCREMENTAL,
                                 "mergeable partial-aggregate state maintenance"),
 }
