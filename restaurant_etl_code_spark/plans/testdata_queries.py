@@ -3218,13 +3218,17 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_tokens") >= 10)
         & (F.col("lang_pred") == "en")
     )
+    # materialize once: the pair generator branches this plan several ways
+    # (shingle index, set sizes, both join sides) and the CC edge
+    # checkpoint replays it — without this the gates+dedup pipeline
+    # re-executes per branch (measured 3× the stage cost at sf0.1)
     exact = gated.groupBy("fingerprint").agg(
         F.min("doc_id").alias("doc_id"),
         F.min_by("text", "doc_id").alias("text"),
         F.min("n_tokens").alias("n_tokens"),
         F.min("quality").alias("quality"),
         F.count(F.lit(1)).alias("n_exact_dups"),
-    )
+    ).localCheckpoint()
     pairs = dedup.ngram_jaccard_pairs(
         exact, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=4
     )
