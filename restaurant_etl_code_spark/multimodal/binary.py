@@ -32,6 +32,7 @@ __all__ = [
     "Decoder",
     "RealDecoder",
     "FakeDecoder",
+    "HeaderDecoder",
     "decode_assets",
     "extract_binary_meta",
     "frame_sample",
@@ -69,6 +70,68 @@ class RealDecoder:
             "RealDecoder requires pdf2image/PIL/ffmpeg — not available in this "
             "container. Plug in FakeDecoder for tests or install codecs in prod."
         )
+
+
+class HeaderDecoder:
+    """REAL metadata decode, zero dependencies: parse container headers for
+    the formats whose dimensions/audio-params live in fixed byte layouts —
+    PNG (IHDR), GIF (logical screen), BMP (BITMAPINFOHEADER), JPEG (SOF
+    marker walk), WAV (RIFF fmt chunk). This is the production first stage:
+    at 100 TB you want width/height/sample-rate for partitioning, resize
+    planning, and corrupt-file triage BEFORE any pixel/sample decode (which
+    stays behind ``RealDecoder`` + codec libs).
+
+    Images → one unit with real width/height. WAV → one unit with
+    ``feature = [channels, sample_rate, bits_per_sample]`` (audio has no
+    spatial dims). Unknown magic bytes raise — absorbed into
+    ``decode_error`` by ``decode_assets``, never an exception.
+    """
+
+    def decode(self, modality: str, content: bytes) -> list[dict[str, Any]]:
+        import struct
+
+        if not content:
+            raise ValueError("empty content")
+
+        def unit(**kw):
+            base = {
+                "unit_index": 0, "width": None, "height": None,
+                "n_bytes": len(content), "feature": None,
+            }
+            base.update(kw)
+            return [base]
+
+        if content[:8] == b"\x89PNG\r\n\x1a\n" and len(content) >= 24:
+            w, h = struct.unpack(">II", content[16:24])
+            return unit(width=w, height=h)
+        if content[:3] in (b"GIF",) and len(content) >= 10:
+            w, h = struct.unpack("<HH", content[6:10])
+            return unit(width=w, height=h)
+        if content[:2] == b"BM" and len(content) >= 26:
+            w, h = struct.unpack("<ii", content[18:26])
+            return unit(width=w, height=abs(h))  # h<0 = top-down rows
+        if content[:2] == b"\xff\xd8":  # JPEG: walk markers to a SOF
+            i = 2
+            while i + 9 <= len(content) and content[i] == 0xFF:
+                marker = content[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                    return unit(width=w, height=h)
+                seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+                i += 2 + seg_len
+            raise ValueError("JPEG: no SOF marker found")
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            i = 12
+            while i + 8 <= len(content):
+                chunk_id = content[i : i + 4]
+                chunk_len = struct.unpack("<I", content[i + 4 : i + 8])[0]
+                if chunk_id == b"fmt " and i + 24 <= len(content):
+                    channels, rate = struct.unpack("<HI", content[i + 10 : i + 16])
+                    bits = struct.unpack("<H", content[i + 22 : i + 24])[0]
+                    return unit(feature=[float(channels), float(rate), float(bits)])
+                i += 8 + chunk_len + (chunk_len & 1)
+            raise ValueError("WAV: no fmt chunk found")
+        raise ValueError(f"unrecognized container (magic {content[:4]!r})")
 
 
 class FakeDecoder:

@@ -185,3 +185,57 @@ def test_frame_sample_and_resize_spec(spark):
             for r in resize_spec(sampled, max_width=1920, max_height=1080).collect()}
     assert spec["a"] == (1920, 1080, 0.5)
     assert spec["b"] == (640, 480, 1.0)  # never upscale
+
+
+def test_header_decoder_real_formats(spark):
+    """HeaderDecoder parses real container headers with zero codec deps:
+    crafted-by-hand PNG/GIF/BMP/JPEG/WAV byte layouts through the full
+    Spark decode stage."""
+    import struct
+
+    from restaurant_etl_code_spark.multimodal.binary import (
+        HeaderDecoder,
+        decode_assets,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0)
+        + b"\x00\x00\x00\x00"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 8
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 9
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    )
+    rows = [
+        ("png1", "image", bytearray(png)),
+        ("gif1", "image", bytearray(gif)),
+        ("bmp1", "image", bytearray(bmp)),
+        ("jpg1", "image", bytearray(jpeg)),
+        ("wav1", "audio", bytearray(wav)),
+        ("bad1", "image", bytearray(b"\x00\x01garbage")),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id string, modality string, content binary"
+    )
+    out = {
+        r["asset_id"]: r
+        for r in decode_assets(assets, decoder_factory=HeaderDecoder).collect()
+    }
+    assert (out["png1"]["width"], out["png1"]["height"]) == (640, 480)
+    assert (out["gif1"]["width"], out["gif1"]["height"]) == (320, 200)
+    assert (out["bmp1"]["width"], out["bmp1"]["height"]) == (800, 600)  # abs(-600)
+    assert (out["jpg1"]["width"], out["jpg1"]["height"]) == (1920, 1080)
+    assert out["wav1"]["feature"] == [2.0, 44100.0, 16.0]  # ch, rate, bits
+    assert out["bad1"]["decode_error"] and "unrecognized" in out["bad1"]["decode_error"]
+    assert all(r["decode_error"] is None for k, r in out.items() if k != "bad1")
