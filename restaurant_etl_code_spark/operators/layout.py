@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_value", "zorder_layout", "file_clustering_stats"]
+__all__ = [
+    "zorder_value",
+    "zorder_layout",
+    "quantile_bucket",
+    "file_clustering_stats",
+]
 
 _BITS = 16  # bins per dimension = 2^16; 2 dims -> 32-bit Z-value
 
@@ -55,22 +60,56 @@ def zorder_value(*bin_cols: Column) -> Column:
     return total
 
 
-def zorder_layout(df: DataFrame, cols: list[str], num_files: int) -> DataFrame:
+def quantile_bucket(df: DataFrame, col: str, bins: int = 1 << _BITS) -> Column:
+    """Skew-robust bin: rank against ``bins``-quantile breakpoints (one
+    ``approxQuantile`` pass per column; a small array to the driver). Each
+    bucket then holds ~1/bins of the ROWS regardless of the value
+    distribution — equi-width binning collapses a skewed column into a few
+    hot buckets and the Z-value loses that dimension's discrimination.
+    The rank is a SQL aggregate over the breakpoint array (codegen-free
+    HOF, paid once at layout-write time)."""
+    probs = [i / bins for i in range(1, bins)]
+    breaks = df.stat.approxQuantile(col, probs, 1.0 / (4 * bins))
+    arr = "array(" + ",".join(repr(float(b)) for b in breaks) + ")"
+    return F.expr(
+        f"aggregate({arr}, 0L, (acc, b) -> "
+        f"acc + if(cast({col} as double) > b, 1L, 0L))"
+    )
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], num_files: int, binning: str = "width"
+) -> DataFrame:
     """Return ``df`` arranged for a Z-ordered write: range-partitioned and
     sorted by the Morton code of ``cols``. Write with
     ``.write.parquet(path)`` — each task produces one file whose min/max
-    footer statistics are tight in every listed dimension."""
-    bounds = df.agg(
-        *[f for c in cols for f in (
-            F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"hi_{c}"),
-        )]
-    ).collect()[0]
+    footer statistics are tight in every listed dimension.
+
+    ``binning="width"`` (default): equi-width bins from one min/max agg —
+    zero extra passes, right for roughly uniform columns.
+    ``binning="quantile"``: 256-quantile bins per column (one
+    ``approxQuantile`` pass each) — right when a column is skewed enough
+    that equi-width bins would concentrate most rows in a few buckets.
+    """
     ranked = df
-    for d, c in enumerate(cols):
-        ranked = ranked.withColumn(
-            f"__zr{d}", _bin_col(c, bounds[f"lo_{c}"], bounds[f"hi_{c}"])
-        )
+    if binning == "quantile":
+        qbins = 256  # 8 bits of rank per dim — plenty for file-level locality
+        for d, c in enumerate(cols):
+            scale = (1 << _BITS) // qbins
+            ranked = ranked.withColumn(
+                f"__zr{d}", quantile_bucket(df, c, qbins) * scale
+            )
+    else:
+        bounds = df.agg(
+            *[f for c in cols for f in (
+                F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"hi_{c}"),
+            )]
+        ).collect()[0]
+        for d, c in enumerate(cols):
+            ranked = ranked.withColumn(
+                f"__zr{d}", _bin_col(c, bounds[f"lo_{c}"], bounds[f"hi_{c}"])
+            )
     ranked = ranked.withColumn(
         "__z", zorder_value(*[F.col(f"__zr{d}") for d in range(len(cols))])
     ).drop(*[f"__zr{d}" for d in range(len(cols))])

@@ -112,3 +112,41 @@ def test_compact_parquet_targets_file_sizes(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_quantile_binning_balances_skewed_column(spark):
+    from restaurant_etl_code_spark.operators.layout import quantile_bucket
+
+    # heavy right skew: 90% of mass in the bottom 1% of the value range
+    df = spark.range(20_000).select(
+        (F.when(F.col("id") % 10 == 0, F.col("id") * 1000.0)
+         .otherwise(F.col("id") % 100 / 10.0)).alias("v")
+    )
+    bucketed = df.select(quantile_bucket(df, "v", bins=64).alias("b"))
+    counts = [r["cnt"] for r in bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()]
+    # quantile bins: no bucket holds more than ~3x its fair share of rows
+    assert max(counts) < 3 * (20_000 / 64)
+    assert len(counts) > 32  # the skewed data still spreads across buckets
+
+
+def test_zorder_quantile_layout_roundtrip(spark):
+    df = spark.range(10_000).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") * F.col("id")).cast("double").alias("y"),  # skewed
+        F.col("id").alias("payload"),
+    )
+    out = tempfile.mkdtemp(prefix="zq_")
+    try:
+        from restaurant_etl_code_spark.operators import layout
+
+        layout.zorder_layout(df, ["x", "y"], 8, binning="quantile").write.mode(
+            "overwrite"
+        ).parquet(out)
+        assert spark.read.parquet(out).count() == 10_000
+        # x is uniform: quantile-binned z-layout keeps it narrow per file
+        stats = layout.file_clustering_stats(spark, out, ["x"]).collect()
+        mean_x = sum(r["span_x"] for r in stats) / len(stats)
+        assert mean_x < 0.75
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
