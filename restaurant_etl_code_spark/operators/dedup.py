@@ -389,57 +389,73 @@ def connected_components(
     # with corpus-sized partition counts the rounds drown in empty-task
     # overhead (measured 15.9 s → 5.3 s on a 3k-edge graph at 32 → few
     # partitions). Clamped to the session value so a genuinely large graph
-    # keeps full parallelism; restored after the loop.
+    # keeps full parallelism. Sizing is applied with per-plan
+    # ``repartition(iter_parts, key)`` on every join/agg input — NOT a
+    # session-conf flip, which is racy when another query plans concurrently
+    # on the same shared session. Each join sees one side already hash-
+    # partitioned on its key at iter_parts, so EnsureRequirements shuffles
+    # the other side to match instead of the session default.
     spark = edges.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    session_parts = int(prev_parts) if str(prev_parts).isdigit() else 200
+    session_parts_raw = spark.conf.get("spark.sql.shuffle.partitions")
+    session_parts = (
+        int(session_parts_raw) if str(session_parts_raw).isdigit() else 200
+    )
     n_edges = und.count()
     iter_parts = max(1, min(session_parts, -(-n_edges // 1_000_000)))
-    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
-    try:
-        labels = (
-            und.select(F.col("u").alias("node"))
-            .distinct()
-            .withColumn("label", F.col("node"))
-            .localCheckpoint()
+
+    def part(df: DataFrame, key: str) -> DataFrame:
+        return df.repartition(iter_parts, key)
+
+    und = part(und, "v").localCheckpoint()
+    labels = part(
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node")),
+        "node",
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            und.join(part(labels.select(F.col("node").alias("v"), "label"), "v"), "v")
+            .select(F.col("u").alias("node"), "label")
         )
-        for _ in range(max_iter):
-            nbr = (
-                und.join(
-                    labels.select(F.col("node").alias("v"), "label"), "v"
-                )
-                .groupBy(F.col("u").alias("node"))
-                .agg(F.min("label").alias("nbr_label"))
-            )
-            stepped = labels.join(nbr, "node", "left").select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            jumped = (
-                stepped.alias("x")
-                .join(
+        nbr = (
+            part(nbr, "node")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = part(labels, "node").join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        jumped = (
+            part(stepped, "label")
+            .join(
+                part(
                     stepped.select(
                         F.col("node").alias("label"), F.col("label").alias("jump")
-                    ).alias("y"),
+                    ),
                     "label",
-                    "left",
-                )
-                .select(
-                    F.col("node"),
-                    F.least(F.col("label"), F.coalesce("jump", "label")).alias("label"),
-                )
-                .localCheckpoint()
+                ),
+                "label",
+                "left",
             )
-            changed = (
-                jumped.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce("jump", "label")).alias("label"),
             )
-            labels = jumped
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            .localCheckpoint()
+        )
+        changed = (
+            part(jumped, "node")
+            .join(
+                part(labels.select("node", F.col("label").alias("__old")), "node"),
+                "node",
+            )
+            .filter(F.col("label") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
     return labels.select("node", F.col("label").alias("component_id"))

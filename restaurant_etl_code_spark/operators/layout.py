@@ -60,14 +60,24 @@ def zorder_value(*bin_cols: Column) -> Column:
     return total
 
 
-def quantile_bucket(df: DataFrame, col: str, bins: int = 1 << _BITS) -> Column:
+def quantile_bucket(df: DataFrame, col: str, bins: int = 256) -> Column:
     """Skew-robust bin: rank against ``bins``-quantile breakpoints (one
     ``approxQuantile`` pass per column; a small array to the driver). Each
     bucket then holds ~1/bins of the ROWS regardless of the value
     distribution — equi-width binning collapses a skewed column into a few
     hot buckets and the Z-value loses that dimension's discrimination.
     The rank is a SQL aggregate over the breakpoint array (codegen-free
-    HOF, paid once at layout-write time)."""
+    HOF, paid once at layout-write time).
+
+    ``bins`` is capped at 4096: the breakpoints are embedded as literals in
+    one ``array()`` expression, and a 65k-literal expression tree is
+    pathological for codegen while adding no file-level locality beyond
+    ~8 bits of rank per dimension."""
+    if bins > 4096:
+        raise ValueError(
+            f"bins={bins} embeds {bins - 1} literals into one expression; "
+            "cap is 4096 (256 is plenty for file-level locality)"
+        )
     probs = [i / bins for i in range(1, bins)]
     breaks = df.stat.approxQuantile(col, probs, 1.0 / (4 * bins))
     arr = "array(" + ",".join(repr(float(b)) for b in breaks) + ")"

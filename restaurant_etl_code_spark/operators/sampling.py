@@ -156,16 +156,25 @@ def weighted_sample(
     broadcast into the filter; the scan itself never shuffles. Rows with
     w ≥ Σw/target_k·(1/1) are always kept (their threshold exceeds every
     bucket), which is the correct PPS degenerate case.
+
+    Both comparison sides are computed in decimal(38,0): int64 would wrap
+    silently (non-ANSI mode) once bucket·Σw exceeds 2^63 ≈ 9.2e18 — i.e.
+    Σw ≳ 9.2e14, exactly the corpus scale this targets. decimal(38,0)
+    holds 1e4·9.2e18 < 1e38 with headroom, and the oracle SQL casts the
+    same way, so the row set stays bit-identical.
     """
     total_w = df.agg(
         F.sum(F.col(weight_col).cast("long")).alias("__total_w")
     )
     bucket = portable_split_bucket(F.col(key), seed)
+    dec = "decimal(38,0)"
     return (
         df.crossJoin(F.broadcast(total_w))
         .filter(
-            bucket * F.col("__total_w")
-            < F.lit(target_k) * F.col(weight_col).cast("long") * F.lit(_BUCKETS)
+            bucket.cast(dec) * F.col("__total_w").cast(dec)
+            < F.lit(target_k).cast(dec)
+            * F.col(weight_col).cast("long").cast(dec)
+            * F.lit(_BUCKETS).cast(dec)
         )
         .drop("__total_w")
     )

@@ -60,6 +60,7 @@ def cosine_topk(
     k: int = 3,
     min_score: float | None = None,
     exclude_self: bool = True,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Brute-force cosine top-k: every query against every corpus vector.
 
@@ -75,12 +76,25 @@ def cosine_topk(
 
     Scores are rounded to 6dp BEFORE pruning/ranking with a neighbor-id
     tie-break — bit-stable across numpy/Spark/DuckDB summation orders.
+
+    The query side MUST be dimension-sized: it is collected to the driver.
+    A ``limit(max_query_rows+1)`` probe fails fast (one cheap job, no full
+    count) before the collect if the caller passes a corpus-sized query
+    side — the scale paths for that shape are ``bucketed_cosine_topk`` /
+    ``ivf_topk``.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    q_rows = queries.select(query_id, query_vec).collect()
+    probe = queries.select(query_id, query_vec).limit(max_query_rows + 1)
+    q_rows = probe.collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"cosine_topk collects the query side to the driver; it has "
+            f"> {max_query_rows} rows. Use bucketed_cosine_topk or ivf_topk "
+            f"for corpus-sized query sides."
+        )
     qids = [r[0] for r in q_rows]
     Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(Q, axis=1)
@@ -237,12 +251,19 @@ def centroids_by_id(corpus: DataFrame, *, n: int, id_col: str = "vec_id",
     """Deterministic coarse quantizer for oracle-checked runs: the first
     ``n`` corpus vectors by id become the centroids. Quality is that of
     random selection (fine for plumbing correctness; recall is exact anyway
-    whenever ``nprobe`` covers all lists)."""
+    whenever ``nprobe`` covers all lists).
+
+    Physical shape: ``sort().limit(n)`` → Spark plans TakeOrderedAndProject
+    (per-partition top-n, merge n·parts rows on the driver) — never a
+    single-partition global Window sort, so this is safe on any corpus
+    size even though it is the test-path quantizer. The centroid_id is
+    ranked AFTER the take, over n rows only."""
     w = Window.orderBy(F.col(id_col))
     return (
         corpus.select(id_col, vec_col)
+        .sort(F.col(id_col))
+        .limit(n)
         .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n)
         .select((F.col("__rn") - 1).alias("centroid_id"), F.col(vec_col).alias("centroid"))
     )
 

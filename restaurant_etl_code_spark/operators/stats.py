@@ -132,7 +132,14 @@ def heavy_hitters(
     plain groupBy + HAVING against the exact total. The sketch is physical
     pruning; the result is exactly the keys with count > threshold, so
     an external engine reproduces it with GROUP BY + HAVING alone.
+
+    ``summary_size`` is a lower bound request, not a trust-me override: the
+    superset guarantee needs k ≥ N/threshold − 1, so a smaller value is
+    clamped up to ``ceil(N/threshold)`` (silently honoring it would drop
+    true heavy hitters depending on row arrival order).
     """
+    import math
+
     import pandas as pd
 
     total = df.count()
@@ -142,7 +149,10 @@ def heavy_hitters(
         threshold = min_share * total
     else:
         raise ValueError("one of min_count / min_share is required")
-    k = summary_size or max(8, int(2.0 * total / max(threshold, 1.0)))
+    k_floor = int(math.ceil(total / max(threshold, 1.0)))
+    k = max(summary_size or 0, k_floor) if summary_size else max(
+        8, int(2.0 * total / max(threshold, 1.0))
+    )
     schema = df.select(F.col(key_col).alias("key")).schema
 
     def mg_partition(batches):

@@ -778,33 +778,43 @@ def _events_stream(spark: SparkSession, sf_dir: str):
 
 
 def _run_stream(
-    spark: SparkSession, streamed: DataFrame, mode: str, state_partitions: int = 8
+    spark: SparkSession,
+    build,
+    mode: str,
+    state_partitions: int = 8,
 ) -> DataFrame:
-    """Execute to completion via AvailableNow into an in-memory table.
+    """Execute a streaming query to completion via AvailableNow into an
+    in-memory table. ``build`` is a callback ``SparkSession -> DataFrame``
+    constructing the streaming plan against the session it is given.
 
     Stateful streaming cost is dominated by state-store instances — one
     per shuffle partition per stateful operator, instantiated every
     micro-batch. Size them to the workload, not the session default: the
     driver-testdata streams need a handful (measured 10.3 s → 2.9 s on the
     stream-stream join at 32 → 8); a 1000-executor deployment sizes up to
-    its key cardinality the same way. Setting the conf here is safe — the
-    value is captured when the streaming query STARTS — and restored after.
+    its key cardinality the same way. The partition count is pinned on a
+    CLONED session (``newSession()``: own SQLConf, shared SparkContext and
+    cached data) so a concurrent query planning on the caller's session
+    never observes the flip — conf mutation stays session-private.
     """
     import tempfile
     import uuid
 
     from restaurant_etl_code_spark.streaming import run_available_now
 
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # event-time semantics must match the parent session exactly
+    for k in ("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong"):
+        v = spark.conf.get(k, None)
+        if v is not None:
+            child.conf.set(k, v)
     name = "stream_q_" + uuid.uuid4().hex[:8]
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        run_available_now(
-            streamed, tempfile.mkdtemp(prefix="ckpt_"), query_name=name, output_mode=mode
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    run_available_now(
+        build(child), tempfile.mkdtemp(prefix="ckpt_"), query_name=name,
+        output_mode=mode,
+    )
+    return child.table(name)
 
 
 def _q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -812,8 +822,11 @@ def _q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle = the batch tumbling-window SQL (same logical query)."""
     from restaurant_etl_code_spark.streaming import windowed_event_counts
 
-    return _run_stream(spark, windowed_event_counts(_events_stream(spark, sf_dir)),
-                       "complete")
+    return _run_stream(
+        spark,
+        lambda s: windowed_event_counts(_events_stream(s, sf_dir)),
+        "complete",
+    )
 
 
 def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,8 +834,13 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     projected to the key so the result is deterministic: oracle = DISTINCT."""
     from restaurant_etl_code_spark.streaming import streaming_dedup
 
-    deduped = streaming_dedup(_events_stream(spark, sf_dir), ["event_type"])
-    return _run_stream(spark, deduped.select("event_type"), "append")
+    return _run_stream(
+        spark,
+        lambda s: streaming_dedup(
+            _events_stream(s, sf_dir), ["event_type"]
+        ).select("event_type"),
+        "append",
+    )
 
 
 def _q_streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,8 +849,11 @@ def _q_streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is a plain GROUP BY."""
     from restaurant_etl_code_spark.streaming import running_key_stats
 
-    stats = running_key_stats(_events_stream(spark, sf_dir), "user_id", "value")
-    return _run_stream(spark, stats, "update")
+    return _run_stream(
+        spark,
+        lambda s: running_key_stats(_events_stream(s, sf_dir), "user_id", "value"),
+        "update",
+    )
 
 
 def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,15 +865,17 @@ def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-event + gap, so subtract the gap to recover max(ts)."""
     from restaurant_etl_code_spark.streaming import session_window_agg
 
-    sess = session_window_agg(_events_stream(spark, sf_dir), gap="30 minutes")
-    out = sess.select(
-        "user_id",
-        "session_start",
-        (F.col("session_end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
-        "n_events",
-        "value_sum",
-    )
-    return _run_stream(spark, out, "complete")
+    def build(s: SparkSession) -> DataFrame:
+        sess = session_window_agg(_events_stream(s, sf_dir), gap="30 minutes")
+        return sess.select(
+            "user_id",
+            "session_start",
+            (F.col("session_end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+
+    return _run_stream(spark, build, "complete")
 
 
 def _q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,15 +885,17 @@ def _q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain batch SQL."""
     from restaurant_etl_code_spark.streaming import stream_static_enrich
 
-    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    enriched = stream_static_enrich(
-        _events_stream(spark, sf_dir),
-        dim,
-        join_key_stream="user_id",
-        join_key_dim="c_custkey",
-        group_col="c_mktsegment",
-    )
-    return _run_stream(spark, enriched, "complete")
+    def build(s: SparkSession) -> DataFrame:
+        dim = load_table(s, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        return stream_static_enrich(
+            _events_stream(s, sf_dir),
+            dim,
+            join_key_stream="user_id",
+            join_key_dim="c_custkey",
+            group_col="c_mktsegment",
+        )
+
+    return _run_stream(spark, build, "complete")
 
 
 _ORACLE_STREAMING_ENRICH = """
@@ -3085,20 +3110,24 @@ def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two independent file sources over the same landing data."""
     from restaurant_etl_code_spark.streaming import stream_stream_interval_join
 
-    views = _events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
-    purchases = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    joined = stream_stream_interval_join(
-        views, purchases, key="user_id", within="1 hour"
-    )
-    out = joined.select(
-        "user_id",
-        F.col("l_event_id").alias("view_id"),
-        F.col("l_ts").alias("view_ts"),
-        F.col("r_event_id").alias("purchase_id"),
-        F.col("r_ts").alias("purchase_ts"),
-        F.col("r_value").alias("purchase_value"),
-    )
-    return _run_stream(spark, out, "append")
+    def build(s: SparkSession) -> DataFrame:
+        views = _events_stream(s, sf_dir).filter(F.col("event_type") == "view")
+        purchases = _events_stream(s, sf_dir).filter(
+            F.col("event_type") == "purchase"
+        )
+        joined = stream_stream_interval_join(
+            views, purchases, key="user_id", within="1 hour"
+        )
+        return joined.select(
+            "user_id",
+            F.col("l_event_id").alias("view_id"),
+            F.col("l_ts").alias("view_ts"),
+            F.col("r_event_id").alias("purchase_id"),
+            F.col("r_ts").alias("purchase_ts"),
+            F.col("r_value").alias("purchase_value"),
+        )
+
+    return _run_stream(spark, build, "append")
 
 
 _ORACLE_STREAM_STREAM = """
@@ -3183,8 +3212,13 @@ def _q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct keys."""
     from restaurant_etl_code_spark.streaming import dedup_within_watermark
 
-    deduped = dedup_within_watermark(_events_stream(spark, sf_dir), ["event_type"])
-    return _run_stream(spark, deduped.select("event_type"), "append")
+    return _run_stream(
+        spark,
+        lambda s: dedup_within_watermark(
+            _events_stream(s, sf_dir), ["event_type"]
+        ).select("event_type"),
+        "append",
+    )
 
 
 # --------------------------------------------------------------------------

@@ -204,8 +204,8 @@ def stream_stream_interval_join(
         *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns if c != key],
     )
     lts, rts = f"{left_prefix}{left_ts}", f"{right_prefix}{right_ts}"
-    l, _ = _watermarkable(l, lts)
-    r, _ = _watermarkable(r, rts)
+    l, l_ntz = _watermarkable(l, lts)
+    r, r_ntz = _watermarkable(r, rts)
     l = l.withWatermark(lts, watermark)
     r = r.withWatermark(rts, watermark)
     cond = (
@@ -213,7 +213,15 @@ def stream_stream_interval_join(
         & (F.col(rts) >= F.col(lts))
         & (F.col(rts) < F.col(lts) + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").drop("__rkey")
+    joined = l.join(r, cond, "inner").drop("__rkey")
+    # Mirror windowed_event_counts/session_window_agg: cast the event-time
+    # columns back to NTZ when the sources were zone-less, so the joined
+    # schema matches the batch twin regardless of session timezone.
+    if l_ntz:
+        joined = joined.withColumn(lts, F.col(lts).cast("timestamp_ntz"))
+    if r_ntz:
+        joined = joined.withColumn(rts, F.col(rts).cast("timestamp_ntz"))
+    return joined
 
 
 def dedup_within_watermark(
