@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "incremental_agg",
     "streaming_dedup_watermark",
     "sketch_overlap",
+    "mdb_scan_agg",
+    "simhash_pairs_banded",
+    "pdf_menu_extract",
 ]
 
 

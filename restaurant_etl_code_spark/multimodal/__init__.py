@@ -2,6 +2,11 @@ from restaurant_etl_code_spark.multimodal.binary import (  # noqa: F401
     decode_assets,
     extract_binary_meta,
     FakeDecoder,
+    HeaderDecoder,
+    PagedPdfDecoder,
+    encode_paged_pdf,
+    pack_paged_pdf,
+    paged_pdf_text,
     frame_sample,
     resize_spec,
 )

@@ -33,6 +33,11 @@ __all__ = [
     "RealDecoder",
     "FakeDecoder",
     "HeaderDecoder",
+    "PagedPdfDecoder",
+    "PAGED_PDF_MAGIC",
+    "encode_paged_pdf",
+    "pack_paged_pdf",
+    "paged_pdf_text",
     "decode_assets",
     "extract_binary_meta",
     "frame_sample",
@@ -132,6 +137,134 @@ class HeaderDecoder:
                 i += 8 + chunk_len + (chunk_len & 1)
             raise ValueError("WAV: no fmt chunk found")
         raise ValueError(f"unrecognized container (magic {content[:4]!r})")
+
+
+# --------------------------------------------------------------------------
+# Paged-PDF stand-in container: the U1/S1 end-to-end (PDF bytes → per-page
+# units → per-page text → parse, reference extract_menu_with_gemini_op.py:
+# 31-120) runs against a REAL byte format that executors genuinely decode —
+# no FakeDecoder shortcut. Layout: 8-byte magic, uint32 page count, then per
+# page uint32 payload length + UTF-8 payload ("the page's extracted text" —
+# standing in for rasterize+vision, whose codecs this container lacks).
+# --------------------------------------------------------------------------
+
+PAGED_PDF_MAGIC = b"FPDF0001"
+_PAGE_W, _PAGE_H = 612, 792  # US-letter points, what pdf2image reports at 72dpi
+
+
+def encode_paged_pdf(pages: list[str]) -> bytes:
+    """Pack page texts into the container (the fixture/ingest side)."""
+    import struct
+
+    out = [PAGED_PDF_MAGIC, struct.pack("<I", len(pages))]
+    for p in pages:
+        pb = p.encode("utf-8")
+        out.append(struct.pack("<I", len(pb)))
+        out.append(pb)
+    return b"".join(out)
+
+
+def _decode_paged_pdf(content: bytes) -> list[bytes]:
+    import struct
+
+    if content[:8] != PAGED_PDF_MAGIC:
+        raise ValueError(f"not a paged-PDF container (magic {content[:4]!r})")
+    (n_pages,) = struct.unpack("<I", content[8:12])
+    payloads, i = [], 12
+    for _ in range(n_pages):
+        (plen,) = struct.unpack("<I", content[i : i + 4])
+        payloads.append(content[i + 4 : i + 4 + plen])
+        i += 4 + plen
+    return payloads
+
+
+class PagedPdfDecoder:
+    """``Decoder`` over the paged container: one unit per page with the
+    page's byte length; dimensions are the format's fixed letter-size."""
+
+    def decode(self, modality: str, content: bytes) -> list[dict[str, Any]]:
+        return [
+            {
+                "unit_index": i,
+                "width": _PAGE_W,
+                "height": _PAGE_H,
+                "n_bytes": len(p),
+                "feature": None,
+            }
+            for i, p in enumerate(_decode_paged_pdf(content))
+        ]
+
+
+def pack_paged_pdf(df: DataFrame, *, id_col: str, pages_col: str) -> DataFrame:
+    """Encode an ``array<string>`` pages column into container bytes,
+    executor-side (Arrow batches) — the ingest twin of ``paged_pdf_text``.
+    Output: (asset_id, modality='pdf', content binary)."""
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", id_field.dataType),
+            T.StructField("modality", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def mapper(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "modality": "pdf",
+                    "content": [
+                        encode_paged_pdf(list(pages)) for pages in pdf[pages_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, pages_col).mapInPandas(mapper, schema=schema)
+
+
+def paged_pdf_text(assets: DataFrame, *, id_col: str = "asset_id",
+                   content_col: str = "content") -> DataFrame:
+    """S1/U1 decode stage: explode paged-PDF bytes into per-page TEXT rows
+    (asset_id, page_index, page_text) — decoded in executors from the byte
+    layout, one Arrow batch at a time. Undecodable assets yield one row with
+    null text and the error (the engine's absorb-don't-throw error model)."""
+    id_field = assets.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", id_field.dataType),
+            T.StructField("page_index", T.IntegerType(), True),
+            T.StructField("page_text", T.StringType(), True),
+            T.StructField("decode_error", T.StringType(), True),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                try:
+                    for i, payload in enumerate(_decode_paged_pdf(bytes(rec[content_col]))):
+                        rows.append(
+                            {
+                                "asset_id": rec[id_col],
+                                "page_index": i,
+                                "page_text": payload.decode("utf-8"),
+                                "decode_error": None,
+                            }
+                        )
+                except Exception as exc:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "asset_id": rec[id_col],
+                            "page_index": None,
+                            "page_text": None,
+                            "decode_error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return assets.select(id_col, content_col).mapInPandas(mapper, schema=schema)
 
 
 class FakeDecoder:

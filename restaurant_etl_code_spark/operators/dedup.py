@@ -43,6 +43,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash",
+    "simhash_banded_pairs",
     "shingle_rows",
     "hamming_distance",
     "ngram_jaccard_pairs",
@@ -266,6 +267,72 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3) 
 def hamming_distance(a: Column, b: Column) -> Column:
     """Popcount of XOR — pair filter for SimHash near-dup."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_banded_pairs(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    *,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs WITHOUT the all-pairs join — the scale path
+    the quadratic Hamming filter cannot provide at 100 TB.
+
+    Pigeonhole blocking, and it is EXACT, not approximate: split the
+    ``bits``-bit fingerprint into ``max_hamming + 1`` disjoint blocks; a
+    pair within Hamming distance ``max_hamming`` has at most that many
+    differing bits, so at least one block carries zero of them and matches
+    EXACTLY. Candidates therefore come from a self-equi-join on
+    ``(block_idx, block_bits)`` — same physical shape as MinHash LSH
+    banding (``lsh_candidate_pairs`` above) — followed by the exact
+    popcount verify. Identical result set to the all-pairs filter, but the
+    shuffle key is an 8-ish-bit block value + index, and pair work is
+    bounded by bucket sizes instead of n².
+
+    Skew note: near-constant fingerprints (e.g. boilerplate-heavy corpora)
+    can pile into one block bucket; the mitigation is wider blocks (raise
+    ``bits``) or pre-splitting hot buckets by a salt of the OTHER blocks —
+    the same valve as ngram_jaccard's ``max_df``.
+    """
+    n_blocks = max_hamming + 1
+    width = -(-bits // n_blocks)
+    mask = (1 << width) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_idx"),
+                F.shiftrightunsigned(F.col(sim_col), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("block_bits"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    banded = sims.select(
+        F.col(id_col), F.col(sim_col), F.explode(blocks).alias("b")
+    ).select(id_col, sim_col, "b.block_idx", "b.block_bits")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(sim_col).alias("__sim_a"),
+        "block_idx", "block_bits",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(sim_col).alias("__sim_b"),
+        "block_idx", "block_bits",
+    )
+    return (
+        a.join(b, ["block_idx", "block_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming_distance(F.col("__sim_a"), F.col("__sim_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # a pair can agree on several blocks — one row per pair
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

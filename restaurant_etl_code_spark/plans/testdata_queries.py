@@ -3505,11 +3505,133 @@ from events group by 1
 """
 
 
+# --------------------------------------------------------------------------
+# S6: Access-MDB ingestion roundtrip (reference extraction.py:108-158)
+# --------------------------------------------------------------------------
+
+def _q_mdb_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: a grocery-shaped projection of ``part`` is packed into a fake
+    .mdb byte container (length-prefixed table→CSV records), decoded through
+    the extractor contract (``mdb-export`` stdout ≡ CSV text), staged, and
+    scanned by the standard grocery CSV reader — including the QteMain
+    NaN→0 ingest default (reference extraction.py:146-155). The oracle
+    recomputes the aggregate from ``part`` directly, so any loss anywhere in
+    the MDB→CSV→scan roundtrip hash-mismatches."""
+    import glob as _glob
+
+    from restaurant_etl_code_spark.sources import mdb as mdb_src
+
+    part = load_table(spark, sf_dir, "part")
+    grocery = part.select(
+        F.col("p_partkey").cast("string").alias("Article"),
+        F.col("p_name").alias("Description"),
+        F.when(F.col("p_partkey") % 3 == 0, None)
+        .otherwise(F.col("p_size").cast("double"))
+        .alias("QteMain"),
+        (F.col("p_retailprice") > 1000).alias("Taxe2"),
+        F.col("p_retailprice").cast("double").alias("PrixVente"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(_SCRATCH_DIR, f"mdb_csv_{tag}")
+    grocery.coalesce(1).write.mode("overwrite").option("header", True).csv(stage)
+    csv_file = _glob.glob(os.path.join(stage, "part-*.csv"))[0]
+    with open(csv_file, encoding="utf-8") as f:
+        csv_text = f.read()
+    mdb_path = os.path.join(_SCRATCH_DIR, f"catalog_{tag}.mdb")
+    mdb_src.write_fake_mdb(
+        mdb_path,
+        {"Fournisseurs": "FournisseurID\n1\n", "Articles": csv_text},
+    )
+    articles = mdb_src.read_mdb_catalog(
+        spark, mdb_path, "Articles",
+        staging_dir=os.path.join(_SCRATCH_DIR, f"mdb_staging_{tag}"),
+    )
+    return articles.groupBy(F.col("Taxe2").alias("taxe2")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("QteMain").cast("decimal(18,2)")).cast("double"), 2)
+        .alias("qte_sum"),
+        F.round(F.sum(F.col("PrixVente").cast("decimal(18,2)")).cast("double"), 2)
+        .alias("price_sum"),
+    )
+
+
+_ORACLE_MDB_SCAN = """
+select (p_retailprice > 1000) as taxe2, count(*) as n,
+       round(cast(sum(case when p_partkey % 3 = 0 then cast(0 as decimal(18,2))
+                           else cast(p_size as decimal(18,2)) end) as double), 2)
+         as qte_sum,
+       round(cast(sum(cast(p_retailprice as decimal(18,2))) as double), 2)
+         as price_sum
+from part group by 1
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash banded pairing: exact pigeonhole blocking (the non-all-pairs path)
+# --------------------------------------------------------------------------
+
+def _q_simhash_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result set as ``simhash_pairs`` (the oracle is shared) but the
+    candidates come from a (block_idx, block_bits) self-equi-join — the
+    100-TB shape — instead of the quadratic id<id join."""
+    sims = dedup.simhash(_augmented_docs(spark, sf_dir), "doc_id", "text", bits=32)
+    return dedup.simhash_banded_pairs(
+        sims, "doc_id", "simhash", bits=32, max_hamming=3
+    )
+
+
+# --------------------------------------------------------------------------
+# U1/S1→S2→S3→J1 end-to-end: paged-PDF bytes decoded in executors → per-page
+# menu JSON → safe parse → keep-first dedup (reference
+# extract_menu_with_gemini_op.py:31-120)
+# --------------------------------------------------------------------------
+
+def _q_pdf_menu_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's menu-extraction chain over a REAL byte format:
+    each part row becomes a paged-PDF container (1 + partkey%3 pages, page i
+    carrying menu-item JSON with price bumped by i), packed executor-side,
+    decoded executor-side from the byte layout, JSON-parsed (S3), then J1
+    keep-first dedup collapses per-asset pages to page 0's item. n_pages
+    proves every page survived the container roundtrip."""
+    from restaurant_etl_code_spark import multimodal as mm
+
+    part = load_table(spark, sf_dir, "part")
+    paged = part.select(
+        F.col("p_partkey").alias("asset_id"),
+        F.expr(
+            "transform(sequence(0, cast(p_partkey % 3 as int)), i -> "
+            "to_json(named_struct('name', p_name, "
+            "'price', round(p_retailprice + i, 2), 'page', i)))"
+        ).alias("pages"),
+    )
+    assets = mm.pack_paged_pdf(paged, id_col="asset_id", pages_col="pages")
+    pages = mm.paged_pdf_text(assets)
+    parsed = pages.filter(F.col("decode_error").isNull()).select(
+        "asset_id",
+        "page_index",
+        F.get_json_object("page_text", "$.name").alias("item_name"),
+        F.get_json_object("page_text", "$.price").cast("double").alias("item_price"),
+    )
+    first = dedup.dedup_keep_first(parsed, ["asset_id"], ["page_index"])
+    counts = pages.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_pages"))
+    return first.join(counts, "asset_id").select(
+        "asset_id", "item_name", "item_price", "n_pages"
+    )
+
+
+_ORACLE_PDF_MENU = """
+select p_partkey as asset_id, p_name as item_name,
+       round(p_retailprice + 0, 2) as item_price,
+       cast(p_partkey % 3 + 1 as bigint) as n_pages
+from part
+"""
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
 
-QUERIES: dict[str, QueryDef] = {
+_REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
     "staging_restaurant": QueryDef(_q_staging_restaurant, _ORACLE_STAGING_RESTAURANT,
@@ -3700,4 +3822,49 @@ QUERIES: dict[str, QueryDef] = {
         "composed curation: gates → exact dedup → near-dup CC → survivors"),
     "incremental_agg": QueryDef(_q_incremental_agg, _ORACLE_INCREMENTAL,
                                 "mergeable partial-aggregate state maintenance"),
+    "mdb_scan_agg": QueryDef(_q_mdb_scan_agg, _ORACLE_MDB_SCAN,
+                             "S6: Access-MDB container decode + staged CSV scan"),
+    "simhash_pairs_banded": QueryDef(
+        _q_simhash_pairs_banded, _ORACLE_SIMHASH,
+        "SimHash pairs via exact pigeonhole banding (equi-join scale path)"),
+    "pdf_menu_extract": QueryDef(
+        _q_pdf_menu_extract, _ORACLE_PDF_MENU,
+        "U1/S1-S3+J1: paged-PDF byte decode → JSON parse → keep-first"),
 }
+
+# The driver's correctness gate executes only the FIRST 50 registry entries
+# in dict order. Through round 3 new queries were appended at the end, so 43
+# registered oracles were never driver-checked. Order the window explicitly:
+# never-checked queries (plus this round's additions) first, a few
+# long-green anchors kept in-window as regression canaries, and the
+# remaining long-green queries after position 50 (they keep their oracle
+# and stay covered by tools/oracle_check.py locally).
+_WINDOW_FIRST = [
+    # SURVEY §3.1 centerpiece + sink family — never driver-checked before r04
+    "pipeline_products", "pipeline_updates", "merge_upsert",
+    # round-3 additions, never driver-checked
+    "corpus_curation", "scd2_history", "stream_stream_join", "zorder_scan",
+    "incremental_agg", "sketch_overlap", "sliding_window", "histogram",
+    "weighted_sample", "heavy_hitters", "bloom_prune_join",
+    "streaming_dedup_watermark",
+    # round-2 additions pushed out of the r03 window
+    "embedding_near_dup", "embedding_near_dup_lsh", "quantize_fidelity",
+    "dedup_clusters", "ann_multiprobe_topk", "sequence_pack",
+    "multimodal_features", "contentgen_fallback", "set_ops", "pivot_counts",
+    "cube_pricing", "running_total", "positional_zip", "url_parse",
+    "industry_resolve", "update_fields", "distinct_categories",
+    "stratified_split", "tfidf_top_terms", "decontaminate", "stats_moments",
+    "pii_scrub", "doc_chunks", "repetition_signals", "group_sample",
+    "rolling_stats", "csv_scan_agg", "json_scan_agg",
+    # round-4 additions
+    "mdb_scan_agg", "simhash_pairs_banded", "pdf_menu_extract",
+    # anchors: longest-green queries kept in-window as canaries
+    "staging_cleanse", "match_cascade", "dedup_keep_first", "streaming_window",
+]
+
+QUERIES: dict[str, QueryDef] = {
+    **{k: _REGISTRY[k] for k in _WINDOW_FIRST},
+    **{k: v for k, v in _REGISTRY.items() if k not in set(_WINDOW_FIRST)},
+}
+assert len(QUERIES) == len(_REGISTRY)
+assert list(QUERIES)[: len(_WINDOW_FIRST)] == _WINDOW_FIRST

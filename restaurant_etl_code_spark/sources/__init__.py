@@ -6,3 +6,10 @@ from restaurant_etl_code_spark.sources.readers import (  # noqa: F401
     read_binary_assets,
     TESTDATA_TABLES,
 )
+from restaurant_etl_code_spark.sources.mdb import (  # noqa: F401
+    FakeMdbExtractor,
+    MdbExportTool,
+    read_mdb_catalog,
+    read_mdb_catalog_distributed,
+    write_fake_mdb,
+)

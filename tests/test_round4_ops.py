@@ -1,0 +1,221 @@
+"""Round-4 surfaces: MDB extractor contract (S6), paged-PDF byte decode
+(U1/S1), banded SimHash pairing, and the scale guards added this round
+(ANN driver-collect cap, Misra-Gries summary clamp, quantile-bucket cap)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.multimodal import binary as mm
+from restaurant_etl_code_spark.operators import dedup, similarity, stats
+from restaurant_etl_code_spark.sources import mdb
+
+
+# ---------------------------------------------------------------- S6: MDB
+
+CSV_ARTICLES = (
+    "Article,Description,QteMain,Taxe2,PrixVente\n"
+    "A1,apple,2.0,True,1.5\n"
+    "A2,bread,,False,2.25\n"     # QteMain empty -> NaN -> filled to 0
+    "A3,cheese,5.0,True,9.99\n"
+)
+
+
+def test_fake_mdb_container_roundtrip(tmp_path):
+    p = str(tmp_path / "cat.mdb")
+    mdb.write_fake_mdb(p, {"Articles": CSV_ARTICLES, "Empty": "X\n"})
+    with open(p, "rb") as f:
+        raw = f.read()
+    ex = mdb.FakeMdbExtractor()
+    assert ex(raw, "Articles") == CSV_ARTICLES
+    assert ex(raw, "Empty") == "X\n"
+    with pytest.raises(KeyError):
+        ex(raw, "Missing")
+    with pytest.raises(ValueError):
+        ex(b"not-a-container", "Articles")
+
+
+def test_mdb_export_tool_requires_binary():
+    # mdbtools is absent from this container: the real-tool extractor must
+    # fail fast at construction, not at first use on an executor
+    with pytest.raises(FileNotFoundError):
+        mdb.MdbExportTool(binary="mdb-export")
+    assert isinstance(mdb.default_extractor(), mdb.FakeMdbExtractor)
+
+
+def test_read_mdb_catalog_fills_quantity(spark, tmp_path):
+    p = str(tmp_path / "cat.mdb")
+    mdb.write_fake_mdb(p, {"Articles": CSV_ARTICLES})
+    df = mdb.read_mdb_catalog(
+        spark, p, "Articles", staging_dir=str(tmp_path / "staging")
+    )
+    rows = {r["Article"]: r for r in df.collect()}
+    assert set(rows) == {"A1", "A2", "A3"}
+    assert rows["A2"]["QteMain"] == 0.0        # ingest default applied
+    assert rows["A3"]["PrixVente"] == 9.99
+    assert rows["A1"]["Taxe2"] is True
+
+
+def test_read_mdb_catalog_distributed(spark, tmp_path):
+    # two containers in differently-named parent dirs -> container_name
+    for store in ("storeA", "storeB"):
+        d = tmp_path / store
+        d.mkdir()
+        mdb.write_fake_mdb(str(d / "cat.mdb"), {"Articles": CSV_ARTICLES})
+    df = mdb.read_mdb_catalog_distributed(
+        spark, os.path.join(str(tmp_path), "*", "*.mdb"), "Articles"
+    )
+    out = df.collect()
+    assert len(out) == 6
+    assert {r["container_name"] for r in out} == {"storeA", "storeB"}
+    assert all(r["QteMain"] is not None for r in out)
+
+
+# ------------------------------------------------------- U1: paged PDF
+
+def test_paged_pdf_container_roundtrip():
+    pages = ["first page", "második oldal", ""]
+    blob = mm.encode_paged_pdf(pages)
+    assert blob[:8] == mm.PAGED_PDF_MAGIC
+    decoded = mm.PagedPdfDecoder().decode("pdf", blob)
+    assert [u["unit_index"] for u in decoded] == [0, 1, 2]
+    assert decoded[1]["n_bytes"] == len(pages[1].encode("utf-8"))
+    assert decoded[0]["width"] == 612 and decoded[0]["height"] == 792
+
+
+def test_paged_pdf_text_executor_decode(spark):
+    df = spark.createDataFrame(
+        [(1, ["p0", "p1"]), (2, ["solo"])], "asset_id long, pages array<string>"
+    )
+    assets = mm.pack_paged_pdf(df, id_col="asset_id", pages_col="pages")
+    out = mm.paged_pdf_text(assets).collect()
+    got = {(r["asset_id"], r["page_index"]): r["page_text"] for r in out}
+    assert got == {(1, 0): "p0", (1, 1): "p1", (2, 0): "solo"}
+    assert all(r["decode_error"] is None for r in out)
+
+
+def test_paged_pdf_text_absorbs_garbage(spark):
+    assets = spark.createDataFrame(
+        [(1, bytearray(b"garbage-bytes"))], "asset_id long, content binary"
+    )
+    out = mm.paged_pdf_text(assets).collect()
+    assert len(out) == 1
+    assert out[0]["page_text"] is None
+    assert "paged-PDF" in out[0]["decode_error"]
+
+
+# ------------------------------------------- SimHash pigeonhole banding
+
+def test_simhash_banded_equals_all_pairs(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox leaps over the lazy dog"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    sims = dedup.simhash(df, "doc_id", "text", bits=32)
+    all_pairs = (
+        sims.alias("a")
+        .join(sims.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dedup.hamming_distance(
+                F.col("a.simhash"), F.col("b.simhash")
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    banded = dedup.simhash_banded_pairs(
+        sims, "doc_id", "simhash", bits=32, max_hamming=3
+    )
+    assert sorted(map(tuple, banded.collect())) == sorted(
+        map(tuple, all_pairs.collect())
+    )
+
+
+def test_simhash_banded_wide_hamming_still_exact(spark):
+    # larger budget -> more blocks; pigeonhole argument must still hold
+    df = spark.createDataFrame(
+        [(i, f"shared prefix words here variant {i % 4}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    sims = dedup.simhash(df, "doc_id", "text", bits=32)
+    all_pairs = (
+        sims.alias("a")
+        .join(sims.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dedup.hamming_distance(
+                F.col("a.simhash"), F.col("b.simhash")
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 7)
+    )
+    banded = dedup.simhash_banded_pairs(
+        sims, "doc_id", "simhash", bits=32, max_hamming=7
+    )
+    assert sorted(map(tuple, banded.collect())) == sorted(
+        map(tuple, all_pairs.collect())
+    )
+
+
+# ---------------------------------------------------------- scale guards
+
+def test_cosine_topk_guards_large_query_side(spark):
+    emb = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.col("id").cast("double")).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="bucketed_cosine_topk"):
+        similarity.cosine_topk(emb, emb, max_query_rows=10)
+    # under the cap the exact path still runs
+    out = similarity.cosine_topk(emb.limit(3), emb, k=2, max_query_rows=10)
+    assert out.count() == 6
+
+
+def test_heavy_hitters_clamps_undersized_summary(spark):
+    # 400 'hot' rows + 200 singletons; threshold 100 -> k floor = 6.
+    # summary_size=1 would break the Misra-Gries superset guarantee when the
+    # hot keys arrive first; the clamp must keep the result exact anyway.
+    rows = [("hot%d" % (i % 2),) for i in range(400)] + [
+        ("cold%d" % i,) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string").repartition(2)
+    out = stats.heavy_hitters(df, "k", min_count=100, summary_size=1)
+    assert {r["k"] for r in out.collect()} == {"hot0", "hot1"}
+
+
+def test_quantile_bucket_rejects_pathological_bins(spark):
+    from restaurant_etl_code_spark.operators.layout import quantile_bucket
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="4096"):
+        quantile_bucket(df, "v", bins=1 << 16)
+
+
+# ------------------------------------------------- plan-shape regression
+
+def test_plan_audit_round4_surfaces(spark):
+    """The physical plans this round touched must stay the designed plans:
+    TakeOrdered quantizer (no global window), banded equi-join (no all-pairs),
+    executor-side byte decode, staged-CSV scan shape."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import explain_audit
+
+    failures = explain_audit.audit(
+        ["ann_ivf_topk", "mdb_scan_agg", "simhash_pairs_banded",
+         "pdf_menu_extract", "bloom_prune_join", "zorder_scan",
+         "sliding_window", "heavy_hitters", "weighted_sample"],
+        spark,
+    )
+    assert not failures, failures

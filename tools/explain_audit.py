@@ -187,14 +187,38 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["PushedFilters: [IsNotNull"],
         "avoid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "ann_ivf_topk": {
+        # deterministic quantizer takes its n rows via TakeOrdered (r04:
+        # no single-partition global-window sort of the corpus); list
+        # assignment is a broadcast of the tiny centroid table
+        "want": ["TakeOrderedAndProject"],
+        "avoid": ["CartesianProduct"],
+    },
+    "mdb_scan_agg": {
+        # staged-CSV scan + two-phase agg; grouping key is a scan column
+        "want": ["HashAggregate", "Scan csv"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "Window"],
+    },
+    "simhash_pairs_banded": {
+        # pigeonhole banding: candidates from a (block_idx, block_bits)
+        # equi-join — NEVER the all-pairs nested loop of the quadratic twin.
+        # (Any equi-join form is fine: AQE may broadcast at test scale.)
+        "want": ["Join [block_idx", "Generate explode"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "pdf_menu_extract": {
+        # byte decode is Arrow-batched in executors; keep-first dedup rides
+        # the rank-limit pushdown; page counts join back broadcast
+        "want": ["MapInPandas", "WindowGroupLimit", "BroadcastHashJoin"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 
-def main() -> int:
-    names = sys.argv[1:] or sorted(EXPECTATIONS)
-    spark = get_spark("explain-audit", extra_conf={"spark.ui.showConsoleProgress": "false"})
-    sf_dir = "/root/testdata/sf0.01"
-    failures = 0
+def audit(names: list[str], spark, sf_dir: str = "/root/testdata/sf0.01") -> list[str]:
+    """Run the expectations for ``names``; return failure descriptions
+    (empty = all plans are the designed plans). Importable for pytest."""
+    failures = []
     for name in names:
         df = QUERIES[name].spark(spark, sf_dir)
         df.count()  # materialize so AQE settles on the final physical plan
@@ -202,10 +226,21 @@ def main() -> int:
         exp = EXPECTATIONS.get(name, {})
         missing = [w for w in exp.get("want", []) if w not in plan]
         present = [a for a in exp.get("avoid", []) if a in plan]
-        status = "OK " if not missing and not present else "BAD"
-        if status == "BAD":
-            failures += 1
-        print(f"[{status}] {name}: missing={missing} unwanted={present}")
+        if missing or present:
+            failures.append(f"{name}: missing={missing} unwanted={present}")
+    return failures
+
+
+def main() -> int:
+    names = sys.argv[1:] or sorted(EXPECTATIONS)
+    spark = get_spark("explain-audit", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    failures = audit(names, spark)
+    ok = set(names) - {f.split(":", 1)[0] for f in failures}
+    for name in names:
+        if name in ok:
+            print(f"[OK ] {name}")
+    for f in failures:
+        print(f"[BAD] {f}")
     return 1 if failures else 0
 
 

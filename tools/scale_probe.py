@@ -37,6 +37,10 @@ PROBE = [
     "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard_capped",
     "ann_cosine_topk", "ann_bucketed_topk", "ann_ivf_topk",
     "salted_join_agg", "window_analytics", "global_topn",
+    # round-4 additions: banded simhash must track the LSH twin, not the
+    # quadratic one; the byte-decode chains are linear flat maps
+    "simhash_pairs_banded", "pdf_menu_extract", "mdb_scan_agg",
+    "weighted_sample", "histogram", "heavy_hitters",
 ]
 
 
