@@ -321,17 +321,28 @@ def simhash_banded_pairs(
         F.col(id_col).alias("id_b"), F.col(sim_col).alias("__sim_b"),
         "block_idx", "block_bits",
     )
+    # A pair agreeing on several blocks would emit once per agreeing block;
+    # instead of a distinct() (a full extra shuffle of the pair set), keep a
+    # candidate only in its FIRST matching block: every block before
+    # block_idx must differ. Pure codegen comparisons on columns the rows
+    # already carry — zero extra exchanges.
+    def _block(col: str, j: int):
+        return F.shiftrightunsigned(F.col(col), j * width).bitwiseAND(F.lit(mask))
+
+    first_match = F.lit(True)
+    for j in range(n_blocks):
+        first_match = first_match & (
+            (F.col("block_idx") <= j) | (_block("__sim_a", j) != _block("__sim_b", j))
+        )
     return (
         a.join(b, ["block_idx", "block_bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & first_match)
         .select(
             "id_a",
             "id_b",
             hamming_distance(F.col("__sim_a"), F.col("__sim_b")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        # a pair can agree on several blocks — one row per pair
-        .distinct()
     )
 
 

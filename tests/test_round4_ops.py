@@ -219,3 +219,37 @@ def test_plan_audit_round4_surfaces(spark):
         spark,
     )
     assert not failures, failures
+
+
+# -------------------------------------------- shared-session conf safety
+
+def test_connected_components_leaves_session_conf_alone(spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["component_id"]
+           for r in dedup.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_run_stream_pins_state_partitions_on_clone_only(spark, tmp_path):
+    from restaurant_etl_code_spark.plans.testdata_queries import _run_stream
+
+    src = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, k long"
+    ).write.parquet(src)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def build(s):
+        # the builder must receive the CLONE: its conf pin is visible here
+        assert s is not spark
+        assert s.conf.get("spark.sql.shuffle.partitions") == "2"
+        stream = s.readStream.schema("id long, k long").parquet(src)
+        return stream.groupBy("k").count()
+
+    out = _run_stream(spark, build, "complete", state_partitions=2)
+    assert out.count() == 3
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
