@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "mdb_scan_agg",
     "simhash_pairs_banded",
     "pdf_menu_extract",
+    "mixture_sample",
+    "contamination_score",
 ]
 
 

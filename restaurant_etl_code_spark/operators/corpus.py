@@ -39,6 +39,7 @@ from restaurant_etl_code_spark.functions import text as Ftext
 __all__ = [
     "tfidf_top_terms",
     "contaminated_ids",
+    "contamination_score",
     "decontaminate",
     "repetition_signals",
     "chunk_documents",
@@ -237,5 +238,54 @@ def chunk_documents(
                 F.lit(chunk_tokens),
                 F.size(F.col("__toks")) - F.col("__start") + 1,
             ).alias("n_tokens"),
+        )
+    )
+
+
+def contamination_score(
+    corpus_docs: DataFrame,
+    benchmark_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document contamination FRACTION: the share of a document's
+    distinct word ``n``-grams that appear in the benchmark set — the graded
+    sibling of ``contaminated_ids`` (any-hit boolean). Real curation
+    pipelines threshold on this (e.g. drop >80% overlap, flag >20%) instead
+    of dropping on a single shared shingle.
+
+    Shape at 100 TB, same as decontaminate: the benchmark shingle-hash set
+    broadcasts; the corpus probe is a map-side broadcast LEFT join on its
+    own scan, and the per-document aggregation's partial combine collapses
+    each document's probe rows before the only (doc-keyed) shuffle. Returns
+    (id, n_shingles, n_hits, contamination) for every shingle-able doc.
+    """
+    bench_shingles = (
+        benchmark_docs.select(
+            F.explode(
+                F.array_distinct(Ftext.word_shingles(F.col(text_col), n))
+            ).alias("shingle")
+        )
+        .select(F.xxhash64("shingle").alias("shingle_h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    probe = corpus_docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(Ftext.word_shingles(F.col(text_col), n))).alias(
+            "shingle"
+        ),
+    ).select(id_col, F.xxhash64("shingle").alias("shingle_h"))
+    return (
+        probe.join(F.broadcast(bench_shingles), "shingle_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 6),
         )
     )

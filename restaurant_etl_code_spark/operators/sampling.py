@@ -38,6 +38,7 @@ __all__ = [
     "SplitSpec",
     "sample_k_per_group",
     "weighted_sample",
+    "mixture_sample",
 ]
 
 _BUCKETS = 10_000
@@ -177,4 +178,52 @@ def weighted_sample(
             * F.lit(_BUCKETS).cast(dec)
         )
         .drop("__total_w")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    target_k: int,
+    temperature: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-flattened training mixture over sources — the standard
+    way multilingual / multi-source pre-training corpora re-balance
+    (expected take from source s ∝ n_s^τ, τ<1 up-weights small sources,
+    τ=1 is proportional, τ=0 uniform-per-source), with an expected total of
+    ``target_k`` rows. Deterministic: no RNG, keep decisions are integer
+    bucket comparisons against a per-source rate, so reruns and engines
+    agree row-for-row.
+
+    Physical shape at 100 TB: one per-source count aggregation (sources are
+    few — the agg result is KBs), rates computed on that tiny table and
+    BROADCAST back; the keep rule then evaluates inside the corpus scan —
+    the corpus itself never shuffles. Stable under appends the way all the
+    hash-split operators are.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__n_s"), F.lit(float(temperature)))).alias("__w_tot")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        F.col(source_col),
+        F.least(
+            F.lit(_BUCKETS).cast("double"),
+            F.round(
+                F.lit(target_k)
+                * F.pow(F.col("__n_s"), F.lit(float(temperature)))
+                / F.col("__w_tot")
+                / F.col("__n_s")
+                * F.lit(_BUCKETS),
+                0,
+            ),
+        ).cast("long").alias("__rate"),
+    )
+    bucket = portable_split_bucket(F.col(key), seed)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(bucket < F.col("__rate"))
+        .drop("__rate")
     )

@@ -224,14 +224,13 @@ def embedding_near_dup_pairs(
     if nbits == "auto":
         n = df.count()
         nbits = max(4, min(24, math.ceil(math.log2(max(n, 2) / target_bucket))))
+    if nbits == 0:
+        return _all_pairs_near_dup_blas(df, id_col, vec_col, threshold)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    if nbits > 0:
-        a = a.withColumn("__bkt", V.sign_lsh_bucket(F.col("__va"), nbits))
-        b = b.withColumn("__bkt", V.sign_lsh_bucket(F.col("__vb"), nbits))
-        pairs = a.join(b, on="__bkt").filter(F.col("id_a") < F.col("id_b"))
-    else:
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    a = a.withColumn("__bkt", V.sign_lsh_bucket(F.col("__va"), nbits))
+    b = b.withColumn("__bkt", V.sign_lsh_bucket(F.col("__vb"), nbits))
+    pairs = a.join(b, on="__bkt").filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a",
@@ -240,6 +239,67 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def _all_pairs_near_dup_blas(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float,
+    max_rows: int = 200_000,
+) -> DataFrame:
+    """Exact all-pairs scorer for the ``nbits=0`` oracle/verification path.
+
+    Same physical shape as ``cosine_topk``: the corpus ships to every task
+    as one dense normalized float64 matrix (broadcast-variable scale: the
+    exact path is only legal on corpora that fit it — enforced by a
+    ``limit`` probe), batches stream through Arrow, and each batch scores
+    against the matrix with one BLAS matmul — measured ~10× faster than the
+    expression-tree cosine over an id<id join (interpreted higher-order
+    lambdas, per element, per pair). Emits (id_a < id_b, score ≥ threshold)
+    with the same 6dp pre-rounding as every other scorer."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"exact all-pairs near-dup is quadratic and ships the corpus to "
+            f"every task; it has > {max_rows} rows. Use nbits>0 (sign-LSH "
+            f"blocking) or nbits='auto' at scale."
+        )
+    ids = [r[0] for r in rows]
+    M = np.asarray([r[1] for r in rows], dtype=np.float64)
+    mn = np.linalg.norm(M, axis=1)
+    mn[mn == 0] = np.nan
+    Mhat = (M.T / mn).T
+    ids_arr = np.asarray(ids)
+    id_field = df.schema[id_col]
+
+    def mapper(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            C = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1)
+            cn[cn == 0] = np.nan
+            S = np.round((C.T / cn).T @ Mhat.T, 6)  # |batch| × |corpus|
+            with np.errstate(invalid="ignore"):
+                keep = (cids[:, None] < ids_arr[None, :]) & (S >= threshold)
+            bi, ci = np.nonzero(keep)
+            if not len(bi):
+                continue
+            yield pd.DataFrame(
+                {"id_a": cids[bi], "id_b": ids_arr[ci], "score": S[bi, ci]}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", id_field.dataType),
+            T.StructField("id_b", id_field.dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    return df.select(id_col, vec_col).mapInPandas(mapper, schema=schema)
 
 
 # --------------------------------------------------------------------------

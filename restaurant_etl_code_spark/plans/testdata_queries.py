@@ -3627,6 +3627,77 @@ from part
 """
 
 
+# --------------------------------------------------------------------------
+# Temperature-flattened source mixture (training-mix rebalancing)
+# --------------------------------------------------------------------------
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic τ=0.7 source mixture over the documents table: keep
+    rates derive from per-source counts (tiny agg, broadcast back), the keep
+    rule evaluates in the scan — the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return sampling.mixture_sample(
+        docs, "doc_id", "source", target_k=150, temperature=0.7
+    ).select("doc_id", "source", "lang")
+
+
+_ORACLE_MIXTURE_SAMPLE = """
+with c as (select source, count(*) as n_s from documents group by 1),
+t as (select sum(pow(n_s, 0.7)) as w_tot from c),
+r as (select source,
+             cast(least(10000.0,
+                        round(150 * pow(n_s, 0.7) / w_tot / n_s * 10000, 0))
+                  as bigint) as rate
+      from c, t)
+select d.doc_id, d.source, d.lang
+from documents d join r using (source)
+where ((d.doc_id % 2147483647 + 42) * 2654435761) % 2147483647 % 10000 < r.rate
+"""
+
+
+# --------------------------------------------------------------------------
+# Graded contamination: per-doc benchmark n-gram overlap fraction
+# --------------------------------------------------------------------------
+
+def _q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graded sibling of decontaminate: per-document share of distinct
+    5-grams present in the benchmark split — curation thresholds ride this
+    instead of the any-hit boolean. Benchmark set broadcasts; corpus probe
+    stays map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corp = docs.where(F.col("doc_id") % 19 != 0)
+    return corpus.contamination_score(corp, bench, n=5)
+
+
+_ORACLE_CONTAMINATION = f"""
+WITH bench AS (SELECT * FROM documents WHERE doc_id % 19 = 0),
+corp AS (SELECT * FROM documents WHERE doc_id % 19 <> 0),
+btk AS (SELECT string_split({_DUCK_NORM.format(c='text')}, ' ') AS tk FROM bench),
+bsh AS (
+  SELECT DISTINCT unnest(CASE WHEN len(tk) >= 5 THEN
+    list_transform(range(1, len(tk) - 3), i ->
+      array_to_string(list_slice(tk, i::int, i::int + 4), ' '))
+    ELSE [] END) AS shingle
+  FROM btk
+),
+ctk AS (SELECT doc_id, string_split({_DUCK_NORM.format(c='text')}, ' ') AS tk FROM corp),
+csh AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 5 THEN
+    list_transform(range(1, len(tk) - 3), i ->
+      array_to_string(list_slice(tk, i::int, i::int + 4), ' '))
+    ELSE [] END)) AS shingle
+  FROM ctk
+)
+SELECT c.doc_id, count(*) AS n_shingles,
+       sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::bigint AS n_hits,
+       round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::double
+             / count(*), 6) AS contamination
+FROM csh c LEFT JOIN bsh b ON c.shingle = b.shingle
+GROUP BY 1
+"""
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -3830,6 +3901,12 @@ _REGISTRY: dict[str, QueryDef] = {
     "pdf_menu_extract": QueryDef(
         _q_pdf_menu_extract, _ORACLE_PDF_MENU,
         "U1/S1-S3+J1: paged-PDF byte decode → JSON parse → keep-first"),
+    "mixture_sample": QueryDef(
+        _q_mixture_sample, _ORACLE_MIXTURE_SAMPLE,
+        "temperature-flattened source mixture (deterministic, scan-side)"),
+    "contamination_score": QueryDef(
+        _q_contamination_score, _ORACLE_CONTAMINATION,
+        "per-doc benchmark n-gram overlap fraction (broadcast probe)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

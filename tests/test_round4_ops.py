@@ -253,3 +253,48 @@ def test_run_stream_pins_state_partitions_on_clone_only(spark, tmp_path):
     out = _run_stream(spark, build, "complete", state_partitions=2)
     assert out.count() == 3
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# ------------------------------- mixture sampling + contamination scoring
+
+def test_mixture_sample_temperature_rebalances(spark):
+    from restaurant_etl_code_spark.operators import sampling
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # τ=1: proportional — expected take ~ (180, 20); τ=0: per-source equal
+    prop = sampling.mixture_sample(df, "doc_id", "source", 200, temperature=1.0)
+    flat = sampling.mixture_sample(df, "doc_id", "source", 200, temperature=0.0)
+    by_src = lambda d: {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    p, f = by_src(prop), by_src(flat)
+    assert p["big"] > 6 * p["small"]            # ~9:1 split survives τ=1
+    assert abs(f["big"] - f["small"]) < 40      # τ=0 pulls sources even
+    # deterministic: same call, same rows
+    again = sampling.mixture_sample(df, "doc_id", "source", 200, temperature=1.0)
+    assert sorted(r["doc_id"] for r in prop.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_contamination_score_fraction(spark):
+    from restaurant_etl_code_spark.operators import corpus as corpus_ops
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    corp = spark.createDataFrame(
+        [
+            # shares 'alpha..epsilon' (1 of its 2 distinct 5-grams)
+            (1, "alpha beta gamma delta epsilon other"),
+            # no overlap
+            (2, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus_ops.contamination_score(corp, bench).collect()}
+    assert out[1]["n_shingles"] == 2 and out[1]["n_hits"] == 1
+    assert out[1]["contamination"] == 0.5
+    assert out[2]["n_hits"] == 0 and out[2]["contamination"] == 0.0
