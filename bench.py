@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "pdf_menu_extract",
     "mixture_sample",
     "contamination_score",
+    "containment_pairs",
+    "unigram_logprob",
 ]
 
 

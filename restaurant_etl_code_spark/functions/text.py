@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "token_count",
+    "bpe_token_count",
     "char_count",
     "punct_ratio",
     "stopword_ratio",

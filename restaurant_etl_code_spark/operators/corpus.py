@@ -42,6 +42,7 @@ __all__ = [
     "contamination_score",
     "decontaminate",
     "repetition_signals",
+    "unigram_logprob",
     "chunk_documents",
 ]
 
@@ -287,5 +288,57 @@ def contamination_score(
         .withColumn(
             "contamination",
             F.round(F.col("n_hits") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int | None = None,
+    floor: float = 1e-9,
+) -> DataFrame:
+    """CCNet-style corpus-relative quality signal: per-document mean
+    negative log2 unigram probability (a unigram cross-entropy — low for
+    text made of common corpus tokens, high for noise/rare-token soup).
+    The classic cheap proxy for "LM perplexity" filtering when no external
+    LM is available, and the standard second gate after rule-based quality
+    scores in web-corpus curation.
+
+    Shape at 100 TB: token counts aggregate with map-side combine (the
+    shuffle carries (term, count) partials, never the token stream); the
+    vocabulary is capped to the ``vocab_size`` most frequent terms (a
+    TakeOrdered, driver-merge of per-partition heads) and BROADCAST, so
+    the per-document scoring join is map-side on the corpus scan; terms
+    outside the vocabulary score at the ``floor`` probability. Per-token
+    logprobs are rounded to 6dp before the per-doc mean (rounded 4dp) so
+    engines agree despite libm differences.
+
+    Returns (id, n_tokens, avg_neg_logp).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(Ftext.tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    vocab = counts
+    if vocab_size is not None:
+        vocab = counts.sort(F.col("cnt").desc(), F.col("term")).limit(vocab_size)
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(-F.log2(F.col("cnt") / F.col("__total")), 6).alias("__neg_logp"),
+    )
+    floor_neg_logp = F.round(-F.log2(F.lit(float(floor))), 6)
+    return (
+        toks.join(F.broadcast(probs), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.coalesce(F.col("__neg_logp"), floor_neg_logp)), 4
+            ).alias("avg_neg_logp"),
         )
     )

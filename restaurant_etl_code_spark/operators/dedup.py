@@ -47,6 +47,7 @@ __all__ = [
     "shingle_rows",
     "hamming_distance",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "connected_components",
 ]
 
@@ -378,15 +379,36 @@ def ngram_jaccard_pairs(
     collision (~1e-10 at 1e5 distinct shingles — below any oracle's
     noticing, and irrelevant next to LSH's by-design approximation).
     """
+    inter = _shingle_intersections(df, id_col, text_col, shingle_n, max_df)
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_intersections(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, max_df: int | None
+) -> DataFrame:
+    """Shared inverted-index intersection stage: (id_a < id_b, n_inter,
+    size_a, size_b) per document pair sharing ≥1 (capped) shingle."""
     rows = (
         shingle_rows(df, id_col, text_col, shingle_n)
         .withColumn("__sh", F.xxhash64("shingle"))
         .drop("shingle")
     )
     if max_df is not None:
-        # set_size is computed after the cap: jaccard is then exact over
-        # the capped shingle universe (boilerplate excluded from numerator
-        # AND denominator), not a biased estimate of the uncapped value
+        # set_size is computed after the cap: overlap scores are then exact
+        # over the capped shingle universe (boilerplate excluded from
+        # numerator AND denominator), not a biased estimate of the uncapped
+        # value
         df_w = Window.partitionBy("__sh")
         rows = (
             rows.withColumn("__df", F.count(F.lit(1)).over(df_w))
@@ -400,7 +422,7 @@ def ngram_jaccard_pairs(
     # it must never broadcast — the static size estimate of a persisted
     # relation undercounts and a broadcast build of the whole index OOMs
     b = shingled.alias("b").hint("merge")
-    inter = (
+    return (
         a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(
@@ -409,17 +431,42 @@ def ngram_jaccard_pairs(
             F.first(F.col("b.set_size")).alias("size_b"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment C(A→B) = |A∩B| / |A|. The measure
+    for quote/boilerplate/subset detection — a short document wholly copied
+    into a long one has containment ≈ 1 while Jaccard stays near zero (the
+    long side dilutes the union), so Jaccard-threshold dedup never sees it.
+
+    Emits one row per unordered pair with BOTH directions
+    (containment_a = |A∩B|/|A|, containment_b = |A∩B|/|B|), kept when
+    either direction clears ``threshold``. Same inverted-index join and
+    ``max_df`` scale valve as ``ngram_jaccard_pairs`` (one shared stage);
+    at 100 TB run it over LSH candidates, not the raw corpus.
+    """
+    inter = _shingle_intersections(df, id_col, text_col, shingle_n, max_df)
     return (
         inter.withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
-                6,
-            ),
+            "containment_a",
+            F.round(F.col("n_inter").cast("double") / F.col("size_a"), 6),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn(
+            "containment_b",
+            F.round(F.col("n_inter").cast("double") / F.col("size_b"), 6),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= threshold
+        )
+        .select("id_a", "id_b", "containment_a", "containment_b")
     )
 
 

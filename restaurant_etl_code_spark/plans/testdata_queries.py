@@ -3698,6 +3698,82 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Asymmetric containment pairs: quote/subset detection Jaccard can't see
+# --------------------------------------------------------------------------
+
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional overlap |A∩B|/|A| (and /|B|) per candidate pair, with
+    the same max_df valve as the Jaccard twin — a short doc quoted inside
+    a long one scores ≈1 here while its Jaccard stays near zero."""
+    return dedup.containment_pairs(
+        _augmented_docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        threshold=0.8,
+        max_df=4,
+    )
+
+
+_ORACLE_CONTAINMENT = f"""
+with {_DUCK_CORPUS.strip()},
+{_DUCK_TOKS},
+{_DUCK_SHINGLES},
+distinct_sh as (
+  select doc_id, unnest(list_distinct(shingles)) as shingle from sh),
+kept as (
+  select doc_id, shingle from (
+    select doc_id, shingle, count(*) over (partition by shingle) as df
+    from distinct_sh)
+  where df <= 4),
+sizes as (select doc_id, count(*) as set_size from kept group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter
+  from kept a join kept b
+    on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2)
+select id_a, id_b,
+       round(n_inter::double / sa.set_size, 6) as containment_a,
+       round(n_inter::double / sb.set_size, 6) as containment_b
+from inter
+join sizes sa on sa.doc_id = id_a
+join sizes sb on sb.doc_id = id_b
+where greatest(round(n_inter::double / sa.set_size, 6),
+               round(n_inter::double / sb.set_size, 6)) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# Unigram cross-entropy quality signal (CCNet-style LM-score proxy)
+# --------------------------------------------------------------------------
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean −log2 P(token) under the corpus's own top-2000
+    unigram model (OOV floored) — the cheap distributed stand-in for LM
+    perplexity filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.unigram_logprob(docs, vocab_size=2000, floor=1e-9)
+
+
+_ORACLE_UNIGRAM_LOGPROB = f"""
+with tk as (
+  select doc_id, unnest(string_split({_DUCK_NORM.format(c='text')}, ' ')) as term
+  from documents),
+toks as (select doc_id, term from tk where term <> ''),
+counts as (select term, count(*) as cnt from toks group by 1),
+tot as (select sum(cnt) as total from counts),
+vocab as (select term, cnt from counts order by cnt desc, term limit 2000),
+probs as (
+  select term, round(-log2(cnt / total), 6) as neg_logp from vocab, tot)
+select t.doc_id, count(*) as n_tokens,
+       round(avg(coalesce(p.neg_logp, round(-log2(1e-9), 6))), 4)
+         as avg_neg_logp
+from toks t left join probs p using (term)
+group by 1
+"""
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -3907,6 +3983,12 @@ _REGISTRY: dict[str, QueryDef] = {
     "contamination_score": QueryDef(
         _q_contamination_score, _ORACLE_CONTAMINATION,
         "per-doc benchmark n-gram overlap fraction (broadcast probe)"),
+    "containment_pairs": QueryDef(
+        _q_containment_pairs, _ORACLE_CONTAINMENT,
+        "asymmetric containment pairs (quote/subset detection, df-capped)"),
+    "unigram_logprob": QueryDef(
+        _q_unigram_logprob, _ORACLE_UNIGRAM_LOGPROB,
+        "unigram cross-entropy quality score (top-V vocab broadcast)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -298,3 +298,64 @@ def test_contamination_score_fraction(spark):
     assert out[1]["n_shingles"] == 2 and out[1]["n_hits"] == 1
     assert out[1]["contamination"] == 0.5
     assert out[2]["n_hits"] == 0 and out[2]["contamination"] == 0.0
+
+
+# --------------------------------- containment pairs + unigram logprob
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cont = dedup.containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert row["containment_a"] == 1.0          # short fully inside long
+    assert row["containment_b"] < 0.1
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8)
+    assert jac.count() == 0                     # jaccard is diluted away
+
+
+def test_unigram_logprob_orders_common_vs_rare(spark):
+    from restaurant_etl_code_spark.operators import corpus as corpus_ops
+
+    common = "the cat sat on the mat " * 10
+    rows = [(i, common) for i in range(9)] + [(9, "zyzzyva qwfp jkl xyzzy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus_ops.unigram_logprob(df).collect()}
+    # corpus-typical text scores far lower cross-entropy than rare-token soup
+    assert out[0]["avg_neg_logp"] < out[9]["avg_neg_logp"] - 2
+    # OOV floor engages under a capped vocabulary
+    capped = {
+        r["doc_id"]: r
+        for r in corpus_ops.unigram_logprob(df, vocab_size=3).collect()
+    }
+    assert capped[9]["avg_neg_logp"] == round(-__import__("math").log2(1e-9), 4)
+
+
+def test_bpe_token_count_vs_whitespace(spark):
+    from restaurant_etl_code_spark.functions import text as Ftext
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),                  # 2 ws, 2 bpe
+            (2, "don't stop-me now!!!"),         # 3 ws; do|n't|stop|-|me|now|!!! = 7 bpe
+            (3, "v1.2.3"),                       # 1 ws; v|1|.|2|.|3 = 6 bpe
+            (4, ""),                             # 0 / 0
+            (5, None),                           # 0 / 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            Ftext.token_count(F.col("text")).alias("ws"),
+            Ftext.bpe_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    assert (out[1]["ws"], out[1]["bpe"]) == (2, 2)
+    assert out[2]["bpe"] == 7 and out[2]["ws"] == 3
+    assert out[3]["bpe"] == 6 and out[3]["ws"] == 1
+    assert out[4]["bpe"] == 0 and out[5]["bpe"] is None

@@ -41,6 +41,10 @@ PROBE = [
     # quadratic one; the byte-decode chains are linear flat maps
     "simhash_pairs_banded", "pdf_menu_extract", "mdb_scan_agg",
     "weighted_sample", "histogram", "heavy_hitters",
+    "mixture_sample", "contamination_score", "unigram_logprob",
+    # containment_pairs is probed via its df-capped index like the
+    # jaccard twin (same shared intersection stage)
+    "containment_pairs",
 ]
 
 
