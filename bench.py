@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "contamination_score",
     "containment_pairs",
     "unigram_logprob",
+    "minhash_estimate",
 ]
 
 

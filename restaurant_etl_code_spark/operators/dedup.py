@@ -42,6 +42,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "minhash_estimate_pairs",
     "simhash",
     "simhash_banded_pairs",
     "shingle_rows",
@@ -199,6 +200,52 @@ def lsh_candidate_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
+    )
+
+
+def minhash_estimate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH candidates SCORED from the signatures already in hand: the
+    fraction of agreeing MinHash components is an unbiased estimator of
+    Jaccard similarity, so candidate pairs get a similarity score without a
+    second shingling pass and without the shingle-index intersection join —
+    at 100 TB that is the difference between re-reading the corpus and a
+    signature-table self-join. Exact Jaccard (``ngram_jaccard_pairs``) then
+    runs only on pairs the estimate clears, as post-verification.
+
+    Physical shape: banding candidates as in ``lsh_candidate_pairs``, then
+    two equi-joins back to the (id, signature) table — both shuffle on the
+    high-cardinality doc id; the agreement fold is a codegen ``zip_with`` +
+    ``aggregate`` over ``num_hashes`` elements per pair. The signature
+    table feeds FOUR consumers (two banding branches + two scoring joins),
+    so it is persisted — without it the Arrow signature stage re-shingles
+    the corpus once per consumer (observed 4× MapInPandas in the plan).
+    """
+    signatures = signatures.persist()
+    pairs = lsh_candidate_pairs(signatures, id_col, bands, rows_per_band)
+    sig_a = signatures.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("__sa")
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("__sb")
+    )
+    agree = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree.cast("double") / F.size("__sa"), 6).alias("est_jaccard"),
+        )
     )
 
 

@@ -3774,6 +3774,53 @@ group by 1
 """
 
 
+# --------------------------------------------------------------------------
+# MinHash-estimated Jaccard on LSH candidates (score without re-shingling)
+# --------------------------------------------------------------------------
+
+def _q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates from banding, scored by signature-agreement fraction —
+    the unbiased Jaccard estimator that avoids a second corpus pass."""
+    sigs = dedup.minhash_signatures(
+        _augmented_docs(spark, sf_dir), "doc_id", "text", num_hashes=16, shingle_n=3
+    )
+    return dedup.minhash_estimate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+
+
+_ORACLE_MINHASH_EST = f"""
+with {_DUCK_CORPUS.strip()},
+{_DUCK_TOKS},
+{_DUCK_SHINGLES},
+h0 as (
+  select doc_id,
+         list_transform(shingles, s ->
+             ('0x' || substring(md5(s), 1, 13))::bigint) as hs
+  from sh where len(shingles) > 0),
+sigs as (
+  select doc_id,
+         list_transform(range(0, 16), i -> list_min(list_transform(hs, h ->
+             (2 * i + 1) * h + i * 2654435761))) as sig
+  from h0),
+bands as (
+  select doc_id, t.b as band_idx,
+         md5(array_to_string(list_transform(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+             x -> x::varchar), ',')) as band_hash
+  from sigs cross join (select unnest(range(0, 4)) as b) t),
+cand as (
+  select distinct x.doc_id as id_a, y.doc_id as id_b
+  from bands x join bands y
+    on x.band_idx = y.band_idx and x.band_hash = y.band_hash
+   and x.doc_id < y.doc_id)
+select c.id_a, c.id_b,
+       round(list_sum(list_transform(range(1, 17), i ->
+           case when sa.sig[i::int] = sb.sig[i::int] then 1 else 0 end))::double
+           / 16, 6) as est_jaccard
+from cand c
+join sigs sa on sa.doc_id = c.id_a
+join sigs sb on sb.doc_id = c.id_b
+"""
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -3989,6 +4036,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "unigram_logprob": QueryDef(
         _q_unigram_logprob, _ORACLE_UNIGRAM_LOGPROB,
         "unigram cross-entropy quality score (top-V vocab broadcast)"),
+    "minhash_estimate": QueryDef(
+        _q_minhash_estimate, _ORACLE_MINHASH_EST,
+        "signature-estimated Jaccard on LSH candidates (no re-shingle)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

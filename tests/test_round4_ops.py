@@ -359,3 +359,25 @@ def test_bpe_token_count_vs_whitespace(spark):
     assert out[2]["bpe"] == 7 and out[2]["ws"] == 3
     assert out[3]["bpe"] == 6 and out[3]["ws"] == 1
     assert out[4]["bpe"] == 0 and out[5]["bpe"] is None
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " ok"),                      # near-dup of 1
+        (3, "completely different words entirely unrelated content here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, "doc_id", "text", num_hashes=16)
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_estimate_pairs(sigs, "doc_id").collect()
+    }
+    assert (1, 2) in est
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    }
+    # 16-hash estimator: within ~2/16 of the exact value on the near-dup pair
+    assert abs(est[(1, 2)] - exact[(1, 2)]) <= 0.15

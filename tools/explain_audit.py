@@ -212,6 +212,35 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["MapInPandas", "WindowGroupLimit", "BroadcastHashJoin"],
         "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "mixture_sample": {
+        # per-source rates broadcast back; keep rule evaluates in the scan —
+        # the corpus side must never hash-shuffle
+        "want": ["BroadcastHashJoin"],
+        "avoid": ["SortMergeJoin", "Window", "CartesianProduct"],
+    },
+    "contamination_score": {
+        # benchmark shingle hashes broadcast; corpus probe stays map-side,
+        # the only key-wide exchange is the per-doc aggregation
+        "want": ["BroadcastHashJoin", "Generate explode"],
+        "avoid": ["SortMergeJoin", "CartesianProduct"],
+    },
+    "unigram_logprob": {
+        # top-V vocab via TakeOrdered, broadcast into the scoring join
+        "want": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        "avoid": ["SortMergeJoin", "CartesianProduct"],
+    },
+    "containment_pairs": {
+        # shares the never-broadcast inverted-index join with the jaccard twin
+        "want": ["SortMergeJoin", "Window"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "minhash_estimate": {
+        # the persisted signature table feeds banding + both scoring joins
+        # (InMemoryTableScan reuse — the Arrow stage runs once); the
+        # zip_with agreement fold is pure codegen
+        "want": ["InMemoryTableScan", "zip_with"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 

@@ -44,7 +44,7 @@ PROBE = [
     "mixture_sample", "contamination_score", "unigram_logprob",
     # containment_pairs is probed via its df-capped index like the
     # jaccard twin (same shared intersection stage)
-    "containment_pairs",
+    "containment_pairs", "minhash_estimate",
 ]
 
 
