@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "containment_pairs",
     "unigram_logprob",
     "minhash_estimate",
+    "bm25_topk",
 ]
 
 

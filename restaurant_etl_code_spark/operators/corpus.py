@@ -43,6 +43,7 @@ __all__ = [
     "decontaminate",
     "repetition_signals",
     "unigram_logprob",
+    "bm25_topk",
     "chunk_documents",
 ]
 
@@ -341,4 +342,76 @@ def unigram_logprob(
                 F.avg(F.coalesce(F.col("__neg_logp"), floor_neg_logp)), 4
             ).alias("avg_neg_logp"),
         )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Sparse lexical retrieval: BM25 top-``k`` documents for a query — the
+    classic counterpart of the dense-ANN stack (operators/similarity.py);
+    production retrieval runs both and fuses. Standard Robertson/Sparck-
+    Jones BM25 with idf = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Shape at 100 TB: the query's term set is a LITERAL pushed into the
+    token-explode filter, so the only per-term state that ever shuffles is
+    postings for the handful of query terms (tf groupBy with map-side
+    combine); document lengths are a scan-side expression (no explode);
+    N and avgdl are two scalars (one 1-row aggregate to the driver); idf
+    is a |Q|-row broadcast; the final ranking is ``sort().limit(k)`` —
+    TakeOrdered, never a global sort. Scores round to 4dp with a doc-id
+    tie-break so rankings are bit-stable across engines.
+    """
+    q_terms = sorted(
+        {t for t in query.lower().split() if t}
+    )
+    if not q_terms:
+        raise ValueError("query has no terms")
+
+    lens = docs.select(
+        F.col(id_col), Ftext.token_count(F.col(text_col)).alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
+
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.explode(Ftext.tokens(F.col(text_col))).alias("term"),
+        )
+        .where(F.col("term").isin(q_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(
+        F.log(
+            (F.lit(n_docs) - F.count(F.lit(1)) + 0.5)
+            / (F.count(F.lit(1)) + 0.5)
+            + 1.0
+        ).alias("idf")
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(lens, id_col)
+        .withColumn(
+            "__s",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 4).alias("bm25"))
+    )
+    return (
+        scored.sort(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
     )

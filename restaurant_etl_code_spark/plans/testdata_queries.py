@@ -3821,6 +3821,47 @@ join sigs sb on sb.doc_id = c.id_b
 """
 
 
+# --------------------------------------------------------------------------
+# BM25 lexical retrieval top-k (the sparse counterpart of the ANN stack)
+# --------------------------------------------------------------------------
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed query: query-term postings are the only
+    per-term shuffle (literal IN-filter on the exploded scan); ranking is
+    TakeOrdered on the rounded score with a doc-id tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.bm25_topk(docs, "window merge join stream", k=20)
+
+
+_ORACLE_BM25 = f"""
+with tk as (
+  select doc_id, unnest(string_split({_DUCK_NORM.format(c='text')}, ' ')) as term
+  from documents),
+lens as (
+  select doc_id,
+         case when length({_DUCK_NORM.format(c='text')}) = 0 then 0
+              else len(string_split({_DUCK_NORM.format(c='text')}, ' ')) end as dl
+  from documents),
+stats as (select count(*) as n_docs, sum(dl) / count(*) as avgdl from lens),
+tf as (
+  select doc_id, term, count(*) as tf from tk
+  where term in ('join', 'merge', 'stream', 'window')
+  group by 1, 2),
+idf as (
+  select term, ln((s.n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1.0) as idf
+  from tf, stats s group by term, s.n_docs),
+scored as (
+  select t.doc_id,
+         round(sum(i.idf * (t.tf * (1.2 + 1))
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 4) as bm25
+  from tf t
+  join idf i using (term)
+  join lens l using (doc_id), stats s
+  group by t.doc_id)
+select doc_id, bm25 from scored order by bm25 desc, doc_id limit 20
+"""
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -4039,6 +4080,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "minhash_estimate": QueryDef(
         _q_minhash_estimate, _ORACLE_MINHASH_EST,
         "signature-estimated Jaccard on LSH candidates (no re-shingle)"),
+    "bm25_topk": QueryDef(
+        _q_bm25_topk, _ORACLE_BM25,
+        "BM25 lexical top-k retrieval (query-literal postings, TakeOrdered)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

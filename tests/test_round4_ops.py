@@ -381,3 +381,22 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     }
     # 16-hash estimator: within ~2/16 of the exact value on the near-dup pair
     assert abs(est[(1, 2)] - exact[(1, 2)]) <= 0.15
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    from restaurant_etl_code_spark.operators import corpus as corpus_ops
+
+    rows = [
+        (1, "spark spark spark engine"),        # dense in 'spark'
+        (2, "spark engine room filler words here and more filler"),
+        (3, "nothing relevant at all in this document"),
+        (4, "spark"),                           # short doc, high tf ratio
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus_ops.bm25_topk(df, "spark", k=3).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids                         # no query term, no score
+    assert ids[0] in (1, 4)                     # dense/short docs outrank
+    assert out[0]["bm25"] >= out[-1]["bm25"]
+    with pytest.raises(ValueError):
+        corpus_ops.bm25_topk(df, "   ")

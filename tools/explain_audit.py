@@ -241,6 +241,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["InMemoryTableScan", "zip_with"],
         "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "bm25_topk": {
+        # query-term postings only (literal IN pushed into the explode
+        # filter); |Q|-row idf broadcast; ranking is TakeOrdered
+        "want": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 

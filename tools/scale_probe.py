@@ -44,7 +44,7 @@ PROBE = [
     "mixture_sample", "contamination_score", "unigram_logprob",
     # containment_pairs is probed via its df-capped index like the
     # jaccard twin (same shared intersection stage)
-    "containment_pairs", "minhash_estimate",
+    "containment_pairs", "minhash_estimate", "bm25_topk",
 ]
 
 
