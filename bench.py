@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "minhash_estimate",
     "bm25_topk",
+    "boilerplate_ngrams",
+    "corpus_profile",
+    "char_entropy",
 ]
 
 

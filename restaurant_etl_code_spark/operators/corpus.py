@@ -44,6 +44,9 @@ __all__ = [
     "repetition_signals",
     "unigram_logprob",
     "bm25_topk",
+    "boilerplate_ngrams",
+    "corpus_profile",
+    "char_entropy",
     "chunk_documents",
 ]
 
@@ -414,4 +417,101 @@ def bm25_topk(
     return (
         scored.sort(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Boilerplate mining: the ``k`` word n-grams with the highest document
+    frequency — headers, footers, license blurbs, navigation chrome. This
+    is how the ``max_df`` caps on the pair generators get CHOSEN in
+    practice (inspect the df distribution's head before setting the valve),
+    and the candidate list for template-strip cleaning.
+
+    Shape: distinct shingles per doc explode from the scan; df is one
+    count aggregation keyed by the gram with map-side combine (the gram
+    text is the output, so it is the key — at petabyte vocab sizes run
+    the hashed heavy-hitters sketch first and recount only candidates).
+    Final ranking is TakeOrdered — never a global sort.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(Ftext.word_shingles(F.col(text_col), n))
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .sort(F.col("df").desc(), F.col("gram"))
+        .limit(k)
+    )
+
+
+def corpus_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice corpus profile: the one-screen report a curation run
+    starts from — document counts, token/char volume, mean quality
+    signals. One aggregation keyed by the (low-cardinality) slice column;
+    every signal is a scan-side expression, so the shuffle carries a few
+    counters per slice per mapper.
+    """
+    t = F.col(text_col)
+    return (
+        docs.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(Ftext.token_count(t)).alias("total_tokens"),
+            F.sum(F.length(t)).alias("total_chars"),
+            F.round(F.avg(Ftext.token_count(t)), 4).alias("avg_tokens"),
+            F.round(
+                F.avg(F.length(t) / F.greatest(Ftext.token_count(t), F.lit(1))), 4
+            ).alias("avg_token_len"),
+        )
+    )
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (bits):
+    the cheap detector for compressed/encrypted garbage (entropy ≈ 8 per
+    byte-char) and degenerate repetition (entropy near 0) that survives
+    token-level gates. Standard early filter in web-corpus pipelines.
+
+    Shape: characters explode from the scan (no shuffle), per-(doc, char)
+    counts combine map-side, and the per-doc fold over ≤ |alphabet| rows
+    happens in the doc-keyed aggregation. Entropy rounds to 4dp (sum
+    order across ~dozens of terms differs between engines only in last
+    ulps).
+    """
+    chars = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.groupBy(id_col).agg(F.sum("cnt").alias("n_chars"))
+    return (
+        counts.join(totals, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.first("n_chars").alias("n_chars"),
+            F.round(
+                -F.sum(
+                    (F.col("cnt") / F.col("n_chars"))
+                    * F.log2(F.col("cnt") / F.col("n_chars"))
+                ),
+                4,
+            ).alias("entropy_bits"),
+        )
     )

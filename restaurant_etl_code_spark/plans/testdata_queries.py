@@ -3862,6 +3862,75 @@ select doc_id, bm25 from scored order by bm25 desc, doc_id limit 20
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus profiling trio: boilerplate mining, per-source report, char entropy
+# --------------------------------------------------------------------------
+
+def _q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 highest-df 3-grams — the inspection that picks the max_df
+    valve and the strip-list for template cleaning."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.boilerplate_ngrams(docs, n=3, k=20)
+
+
+_ORACLE_BOILERPLATE = f"""
+with tk as (
+  select doc_id, string_split({_DUCK_NORM.format(c='text')}, ' ') as tk
+  from documents),
+sh as (
+  select doc_id, unnest(list_distinct(case when len(tk) >= 3 then
+    list_transform(range(1, len(tk) - 1), i ->
+      array_to_string(list_slice(tk, i::int, i::int + 2), ' '))
+    else [] end)) as gram
+  from tk)
+select gram, count(distinct doc_id) as df
+from sh group by 1 order by df desc, gram limit 20
+"""
+
+
+def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report: one aggregation, scan-side signals."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.corpus_profile(docs, group_col="source")
+
+
+_ORACLE_CORPUS_PROFILE = f"""
+with base as (
+  select source, text,
+         case when length({_DUCK_NORM.format(c='text')}) = 0 then 0
+              else len(string_split({_DUCK_NORM.format(c='text')}, ' ')) end
+           as tok
+  from documents)
+select source, count(*) as n_docs,
+       sum(tok) as total_tokens,
+       sum(length(text)) as total_chars,
+       round(avg(tok), 4) as avg_tokens,
+       round(avg(length(text) / greatest(tok, 1)), 4) as avg_token_len
+from base group by 1
+"""
+
+
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution entropy — compressed-garbage and
+    degenerate-repetition detector."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.char_entropy(docs)
+
+
+_ORACLE_CHAR_ENTROPY = """
+with ch as (
+  select doc_id, unnest(string_split(text, '')) as ch from documents),
+chars as (select doc_id, ch from ch where ch <> ''),
+counts as (select doc_id, ch, count(*) as cnt from chars group by 1, 2),
+totals as (select doc_id, sum(cnt) as n_chars from counts group by 1)
+select c.doc_id, t.n_chars,
+       round(-sum((c.cnt / t.n_chars) * log2(c.cnt / t.n_chars)), 4)
+         as entropy_bits
+from counts c join totals t using (doc_id)
+group by 1, 2
+"""
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -4083,6 +4152,15 @@ _REGISTRY: dict[str, QueryDef] = {
     "bm25_topk": QueryDef(
         _q_bm25_topk, _ORACLE_BM25,
         "BM25 lexical top-k retrieval (query-literal postings, TakeOrdered)"),
+    "boilerplate_ngrams": QueryDef(
+        _q_boilerplate_ngrams, _ORACLE_BOILERPLATE,
+        "highest-df n-grams (boilerplate mining; picks the max_df valve)"),
+    "corpus_profile": QueryDef(
+        _q_corpus_profile, _ORACLE_CORPUS_PROFILE,
+        "per-source curation report (one agg, scan-side signals)"),
+    "char_entropy": QueryDef(
+        _q_char_entropy, _ORACLE_CHAR_ENTROPY,
+        "char-distribution entropy (garbage/repetition detector)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -400,3 +400,30 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     assert out[0]["bm25"] >= out[-1]["bm25"]
     with pytest.raises(ValueError):
         corpus_ops.bm25_topk(df, "   ")
+
+
+def test_boilerplate_ngrams_finds_repeated_template(spark):
+    from restaurant_etl_code_spark.operators import corpus as corpus_ops
+
+    template = "click here to subscribe"
+    rows = [(i, f"{template} unique words {i} alpha beta") for i in range(10)]
+    rows += [(100, "entirely different text with no template at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = corpus_ops.boilerplate_ngrams(df, n=3, k=3).collect()
+    assert top[0]["gram"] in ("click here to", "here to subscribe")
+    assert top[0]["df"] == 10
+
+
+def test_char_entropy_separates_garbage_from_repetition(spark):
+    from restaurant_etl_code_spark.operators import corpus as corpus_ops
+
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaa"),            # degenerate: ~0 bits
+        (2, "abcdefghijklmnopqrst"),            # 20 distinct chars: log2(20)
+        (3, "the cat sat on the mat"),          # natural text: in between
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["entropy_bits"] for r in corpus_ops.char_entropy(df).collect()}
+    assert out[1] == 0.0
+    assert abs(out[2] - 4.3219) < 0.001         # log2(20)
+    assert 0.0 < out[3] < out[2]

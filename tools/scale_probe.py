@@ -45,6 +45,7 @@ PROBE = [
     # containment_pairs is probed via its df-capped index like the
     # jaccard twin (same shared intersection stage)
     "containment_pairs", "minhash_estimate", "bm25_topk",
+    "boilerplate_ngrams", "corpus_profile", "char_entropy",
 ]
 
 
