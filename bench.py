@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "boilerplate_ngrams",
     "corpus_profile",
     "char_entropy",
+    "cdc_snapshot",
 ]
 
 

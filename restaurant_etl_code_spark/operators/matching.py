@@ -33,6 +33,7 @@ __all__ = [
     "name_match",
     "match_cascade",
     "change_detect",
+    "cdc_apply",
     "reconcile",
     "fuzzy_name_match",
 ]
@@ -333,4 +334,34 @@ def fuzzy_name_match(
         cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(*keep, F.col("__m_name").alias("matched_name"), "distance")
+    )
+
+
+def cdc_apply(
+    ops: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    op_col: str = "op",
+    delete_value: str = "D",
+) -> DataFrame:
+    """CDC log compaction: reduce an insert/update/delete change stream to
+    the CURRENT snapshot — the delete-aware generalization of the K9
+    upsert path (a key whose LAST op is a delete must vanish, which no
+    join-based upsert expresses). This is what "apply the CDC feed to the
+    table" means in every lakehouse MERGE, stated as a pure relation.
+
+    Keep each key's latest op by ``order_by`` (descending, with the
+    caller-supplied columns providing a total order within the key — a
+    change stream always carries (ts, lsn/seq)), then drop keys whose
+    final op is ``delete_value``. One shuffle on the key; the rank-1
+    filter rides Spark's WindowGroupLimit pushdown, so mappers forward
+    one candidate row per key per partition, not the whole log.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        ops.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_value))
+        .drop("__rn")
     )

@@ -3931,6 +3931,43 @@ group by 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# CDC log compaction: I/U/D change stream → current snapshot
+# --------------------------------------------------------------------------
+
+def _q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware CDC apply over the events stream: each user's latest
+    op wins; users whose final op is a delete vanish from the snapshot."""
+    events = load_table(spark, sf_dir, "events")
+    ops = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", "I")
+        .when(F.col("event_type") == "view", "U")
+        .otherwise("D")
+        .alias("op"),
+        F.round("value", 4).alias("value"),
+    )
+    return matching.cdc_apply(
+        ops, keys=["user_id"], order_by=["ts", "event_id"]
+    ).select("user_id", "event_id", "op", "value")
+
+
+_ORACLE_CDC_SNAPSHOT = """
+with ranked as (
+  select user_id, event_id, ts,
+         case when event_type = 'purchase' then 'I'
+              when event_type = 'view' then 'U' else 'D' end as op,
+         round(value, 4) as value,
+         row_number() over (partition by user_id
+                            order by ts desc, event_id desc) as rn
+  from events)
+select user_id, event_id, op, value
+from ranked where rn = 1 and op <> 'D'
+"""
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -4161,6 +4198,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "char_entropy": QueryDef(
         _q_char_entropy, _ORACLE_CHAR_ENTROPY,
         "char-distribution entropy (garbage/repetition detector)"),
+    "cdc_snapshot": QueryDef(
+        _q_cdc_snapshot, _ORACLE_CDC_SNAPSHOT,
+        "delete-aware CDC log compaction (latest-op-wins snapshot)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

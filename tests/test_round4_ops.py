@@ -427,3 +427,25 @@ def test_char_entropy_separates_garbage_from_repetition(spark):
     assert out[1] == 0.0
     assert abs(out[2] - 4.3219) < 0.001         # log2(20)
     assert 0.0 < out[3] < out[2]
+
+
+def test_cdc_apply_latest_op_wins_and_deletes_vanish(spark):
+    from restaurant_etl_code_spark.operators import matching
+
+    ops = spark.createDataFrame(
+        [
+            (1, 1, "I", 10.0),
+            (1, 2, "U", 11.0),   # latest for key 1 -> survives with value 11
+            (2, 1, "I", 20.0),
+            (2, 2, "D", None),   # key 2 deleted -> vanishes
+            (3, 1, "D", None),
+            (3, 2, "I", 30.0),   # delete then re-insert -> survives
+        ],
+        "k long, seq long, op string, value double",
+    )
+    out = {r["k"]: r for r in matching.cdc_apply(
+        ops, keys=["k"], order_by=["seq"]
+    ).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["value"] == 11.0 and out[1]["op"] == "U"
+    assert out[3]["value"] == 30.0

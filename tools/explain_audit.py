@@ -247,6 +247,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["TakeOrderedAndProject", "BroadcastHashJoin"],
         "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "cdc_snapshot": {
+        # latest-op-wins rank must ride the WindowGroupLimit pushdown;
+        # one key shuffle, no join
+        "want": ["WindowGroupLimit", "Exchange hashpartitioning(user_id"],
+        "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    },
 }
 
 

@@ -46,6 +46,7 @@ PROBE = [
     # jaccard twin (same shared intersection stage)
     "containment_pairs", "minhash_estimate", "bm25_topk",
     "boilerplate_ngrams", "corpus_profile", "char_entropy",
+    "cdc_snapshot",
 ]
 
 
