@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "corpus_profile",
     "char_entropy",
     "cdc_snapshot",
+    "streaming_quality_gate",
 ]
 
 

@@ -3968,6 +3968,58 @@ from ranked where rn = 1 and op <> 'D'
 """
 
 
+# --------------------------------------------------------------------------
+# Streaming curation gate: quality filter applied as a file-arrival stream
+# --------------------------------------------------------------------------
+
+def _documents_stream(spark: SparkSession, sf_dir: str):
+    """Streaming scan of the documents table (symlink landing dir — the
+    file source needs a directory it can tail; testdata stays untouched)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    path = _os.path.join(sf_dir, "documents.parquet")
+    landing = _tempfile.mkdtemp(prefix="landing_docs_")
+    _os.symlink(path, _os.path.join(landing, "documents-000.parquet"))
+    raw = spark.read.parquet(path)
+    return spark.readStream.schema(raw.schema).parquet(landing)
+
+
+def _q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation as a stream: documents arriving in a landing directory are
+    quality-scored in-flight and per-language pass counts maintained — the
+    shape of continuous corpus intake (score at ingest, not in a nightly
+    batch). Counters are integers, so the streamed aggregate is bit-equal
+    to the batch twin the oracle computes."""
+
+    def build(s: SparkSession) -> DataFrame:
+        docs = _documents_stream(s, sf_dir)
+        gated = docs.withColumn("__q", Ftext.quality_score(F.col("text")))
+        return gated.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("__q") >= 0.5, 1).otherwise(0)
+            ).alias("n_pass"),
+        )
+
+    return _run_stream(spark, build, "complete")
+
+
+_ORACLE_STREAMING_GATE = f"""
+with scored as (
+  select lang,
+         case when text is null then null else
+           round(greatest(least(
+             0.5 * least({_DUCK_NTOK} / 50.0, 1.0)
+             + 0.5 * least({_DUCK_SWR} * 4.0, 1.0)
+             - 0.25 * {_DUCK_PUNCT}, 1.0), 0.0), 4) end as quality
+  from documents)
+select lang, count(*) as n_docs,
+       sum(case when quality >= 0.5 then 1 else 0 end) as n_pass
+from scored group by 1
+"""
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -4201,6 +4253,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "cdc_snapshot": QueryDef(
         _q_cdc_snapshot, _ORACLE_CDC_SNAPSHOT,
         "delete-aware CDC log compaction (latest-op-wins snapshot)"),
+    "streaming_quality_gate": QueryDef(
+        _q_streaming_quality_gate, _ORACLE_STREAMING_GATE,
+        "corpus quality gate as a file-arrival stream (score at ingest)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -105,3 +105,66 @@ def test_salted_agg_matches_plain(spark, rows):
         ).collect()
     }
     assert salted == plain
+
+
+@FEW
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 32) - 1),
+        min_size=2, max_size=24, unique=True,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_simhash_banding_pigeonhole_exact(spark, fps, max_h):
+    """For ANY fingerprint multiset and ANY Hamming budget, the pigeonhole
+    banding generator emits exactly the all-pairs Hamming-filter result —
+    the blocking is lossless by construction, not just on text corpora."""
+    from restaurant_etl_code_spark.operators import dedup
+
+    sims = spark.createDataFrame(
+        [(i, fp) for i, fp in enumerate(fps)], "doc_id long, simhash long"
+    )
+    all_pairs = sorted(
+        (a, b, bin(fa ^ fb).count("1"))
+        for (a, fa) in enumerate(fps)
+        for (b, fb) in enumerate(fps)
+        if a < b and bin(fa ^ fb).count("1") <= max_h
+    )
+    banded = sorted(
+        map(tuple, dedup.simhash_banded_pairs(
+            sims, "doc_id", "simhash", bits=32, max_hamming=max_h
+        ).collect())
+    )
+    assert banded == all_pairs
+
+
+@FEW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 1000)),
+        min_size=1, max_size=40,
+    ),
+    st.integers(min_value=1, max_value=30),
+)
+def test_cdc_apply_matches_sequential_replay(spark, events, k):
+    """cdc_apply over any op log equals replaying the log sequentially
+    into a dict (the semantics CDC consumers implement imperatively)."""
+    from restaurant_etl_code_spark.operators import matching
+
+    ops = ["I", "U", "D"]
+    log = [
+        (key, seq, ops[(key + seq) % 3], float(key * 1000 + seq))
+        for seq, (key, _) in enumerate(events)
+    ]
+    state: dict = {}
+    for key, seq, op, val in log:  # log is already seq-ordered
+        if op == "D":
+            state.pop(key, None)
+        else:
+            state[key] = (seq, op, val)
+    df = spark.createDataFrame(log, "k long, seq long, op string, value double")
+    got = {
+        r["k"]: (r["seq"], r["op"], r["value"])
+        for r in matching.cdc_apply(df, keys=["k"], order_by=["seq"]).collect()
+    }
+    assert got == state
