@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "merge_upsert",
     "merge_into_parquet",
+    "cdc_merge_into_parquet",
     "write_failed_rows",
     "classify_write_status",
     "write_partitioned",
@@ -51,6 +52,52 @@ def merge_into_parquet(
         merged = merge_upsert(target, updates, keys)
     else:
         merged = updates
+    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(target_path):
+        old = f"{target_path}.__old_{uuid.uuid4().hex[:8]}"
+        os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, target_path)
+
+
+def cdc_merge_into_parquet(
+    spark: SparkSession,
+    target_path: str,
+    ops: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    op_col: str = "op",
+    delete_value: str = "D",
+) -> None:
+    """Delete-aware MERGE: apply a CDC op batch (I/U/D) to a parquet
+    target — the sink-side twin of ``operators.matching.cdc_apply``.
+    The batch is first compacted to each key's LATEST op (a delete that
+    is followed in the same batch by a re-insert must not win), then
+    deletes anti-join out of the target and survivors upsert in; the
+    write lands with the same atomic tmp-swap as ``merge_into_parquet``.
+    With a transactional table format this is ``MERGE INTO ... WHEN
+    MATCHED AND op = 'D' THEN DELETE``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    latest = (
+        ops.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.filter(F.col(op_col) != delete_value)
+    deletes = latest.filter(F.col(op_col) == delete_value).select(*keys)
+    if os.path.exists(target_path):
+        target = spark.read.parquet(target_path).join(
+            F.broadcast(deletes), keys, "left_anti"
+        )
+        merged = merge_upsert(target, upserts, keys)
+    else:
+        merged = upserts
     tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.exists(target_path):

@@ -5,6 +5,7 @@ from restaurant_etl_code_spark.streaming.jobs import (  # noqa: F401
     stream_static_enrich,
     run_available_now,
     foreach_batch_upsert,
+    foreach_batch_cdc_apply,
     stream_stream_interval_join,
     dedup_within_watermark,
 )

@@ -173,6 +173,39 @@ def foreach_batch_upsert(
     return q
 
 
+def foreach_batch_cdc_apply(
+    streamed_ops: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_by: list[str],
+    checkpoint_dir: str,
+    op_col: str = "op",
+    delete_value: str = "D",
+) -> StreamingQuery:
+    """Streaming CDC apply: each micro-batch of I/U/D ops merges into the
+    parquet target delete-aware (``cdc_merge_into_parquet``). As long as a
+    key's ops arrive in order across micro-batches (the CDC-feed contract),
+    the target converges to exactly ``cdc_apply`` over the full log — the
+    invariant tests/test_round4_ops.py proves end-to-end. Checkpointing
+    makes replays idempotent at the batch level."""
+    from restaurant_etl_code_spark.sources.sinks import cdc_merge_into_parquet
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        cdc_merge_into_parquet(
+            batch_df.sparkSession, target_path, batch_df, keys, order_by,
+            op_col=op_col, delete_value=delete_value,
+        )
+
+    q = (
+        streamed_ops.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

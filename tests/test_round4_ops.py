@@ -449,3 +449,57 @@ def test_cdc_apply_latest_op_wins_and_deletes_vanish(spark):
     assert set(out) == {1, 3}
     assert out[1]["value"] == 11.0 and out[1]["op"] == "U"
     assert out[3]["value"] == 30.0
+
+
+def test_streaming_cdc_apply_converges_to_batch_snapshot(spark, tmp_path):
+    """A CDC op log split across micro-batches and applied via the
+    delete-aware foreachBatch merge must converge to exactly the batch
+    cdc_apply snapshot over the whole log."""
+    import os as _os
+
+    from restaurant_etl_code_spark.operators import matching
+    from restaurant_etl_code_spark.streaming import foreach_batch_cdc_apply
+
+    log = [
+        # (k, seq, op, value) — keys exercise update, delete, re-insert,
+        # and cross-batch delete-after-update
+        (1, 1, "I", 10.0), (2, 2, "I", 20.0), (3, 3, "I", 30.0),
+        (1, 4, "U", 11.0), (3, 5, "D", None),
+        # second file/micro-batch
+        (2, 6, "D", None), (3, 7, "I", 31.0), (4, 8, "I", 40.0),
+        (1, 9, "U", 12.0),
+    ]
+    schema = "k long, seq long, op string, value double"
+    landing = str(tmp_path / "landing")
+    _os.makedirs(landing)
+    spark.createDataFrame(log[:5], schema).coalesce(1).write.parquet(
+        _os.path.join(landing, "batch0.parquet")
+    )
+    spark.createDataFrame(log[5:], schema).coalesce(1).write.parquet(
+        _os.path.join(landing, "batch1.parquet")
+    )
+
+    streamed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)        # force multiple micro-batches
+        .parquet(landing + "/*")
+    )
+    target = str(tmp_path / "snapshot")
+    foreach_batch_cdc_apply(
+        streamed, target, keys=["k"], order_by=["seq"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    got = {
+        r["k"]: (r["op"], r["value"])
+        for r in spark.read.parquet(target).collect()
+    }
+    batch = {
+        r["k"]: (r["op"], r["value"])
+        for r in matching.cdc_apply(
+            spark.createDataFrame(log, schema), keys=["k"], order_by=["seq"]
+        ).collect()
+    }
+    assert got == batch == {
+        1: ("U", 12.0), 3: ("I", 31.0), 4: ("I", 40.0),
+    }
