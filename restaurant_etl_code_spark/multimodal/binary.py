@@ -169,12 +169,22 @@ def _decode_paged_pdf(content: bytes) -> list[bytes]:
 
     if content[:8] != PAGED_PDF_MAGIC:
         raise ValueError(f"not a paged-PDF container (magic {content[:4]!r})")
+    if len(content) < 12:
+        raise ValueError("paged-PDF container truncated in header")
     (n_pages,) = struct.unpack("<I", content[8:12])
     payloads, i = [], 12
-    for _ in range(n_pages):
+    for p in range(n_pages):
+        if i + 4 > len(content):
+            raise ValueError(f"paged-PDF container truncated at page {p} length")
         (plen,) = struct.unpack("<I", content[i : i + 4])
+        if i + 4 + plen > len(content):
+            # a silent short slice here would emit corrupted page text with
+            # decode_error=NULL — poisoning the corpus instead of flagging it
+            raise ValueError(f"paged-PDF container truncated in page {p} payload")
         payloads.append(content[i + 4 : i + 4 + plen])
         i += 4 + plen
+    if i != len(content):
+        raise ValueError(f"paged-PDF container has {len(content) - i} trailing bytes")
     return payloads
 
 

@@ -300,7 +300,7 @@ def unigram_logprob(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    vocab_size: int | None = None,
+    vocab_size: int | None = 100_000,
     floor: float = 1e-9,
 ) -> DataFrame:
     """CCNet-style corpus-relative quality signal: per-document mean
@@ -318,6 +318,11 @@ def unigram_logprob(
     outside the vocabulary score at the ``floor`` probability. Per-token
     logprobs are rounded to 6dp before the per-doc mean (rounded 4dp) so
     engines agree despite libm differences.
+
+    ``vocab_size`` defaults to 100k BECAUSE the vocabulary broadcasts: an
+    uncapped vocabulary (``vocab_size=None``) grows with the corpus and
+    would OOM the broadcast at exactly the scale the operator targets —
+    only pass None on corpora whose full vocabulary is known-small.
 
     Returns (id, n_tokens, avg_neg_logp).
     """
@@ -384,7 +389,14 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     ).collect()[0]
-    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
+    n_docs = stats["n_docs"]
+    if n_docs == 0:
+        # empty corpus: a legitimate intermediate state in curation flows —
+        # return an empty ranking, not a TypeError on the null avgdl
+        spark = docs.sparkSession
+        id_type = docs.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame([], f"{id_col} {id_type}, bm25 double")
+    avgdl = float(stats["avgdl"])
 
     tf = (
         docs.select(
@@ -447,7 +459,10 @@ def boilerplate_ngrams(
     )
     return (
         grams.groupBy("gram")
-        .agg(F.countDistinct(id_col).alias("df"))
+        # grams are already distinct per doc (array_distinct before the
+        # explode), so count(*) IS the document frequency — a countDistinct
+        # here would plan a second expand+shuffle for zero semantic gain
+        .agg(F.count(F.lit(1)).alias("df"))
         .sort(F.col("df").desc(), F.col("gram"))
         .limit(k)
     )

@@ -158,9 +158,12 @@ def lsh_candidate_pairs(
 
     Physical shape: a self-equi-join of the banded rows on
     (band_idx, band_hash) — a high-cardinality key, so co-partitioning
-    holds at any scale. Both join branches are the identical subplan, so
-    the signature pipeline runs ONCE and the second branch is a
-    ReusedExchange of the first's shuffle (verified in the physical plan).
+    holds at any scale. The banded stage is repartitioned on the bucket key
+    and PERSISTED before the self-join: the Arrow signature pipeline runs
+    once and both branches read the co-partitioned cache. (The earlier
+    pinned-Exchange/ReusedExchange formulation rotted — AQE's
+    broadcast-join conversion bypasses the exchange and re-ran the
+    signature stage per branch; the cache holds under any join strategy.)
     Quadratic pair *output* for a hot bucket (boilerplate docs) is inherent
     to LSH, but it streams through the join's spillable buffer — an earlier
     formulation that collected each bucket into an array and expanded pairs
@@ -185,11 +188,7 @@ def lsh_candidate_pairs(
             )
         ).alias("band_hash"),
     )
-    # Explicit repartition on the bucket key pins one hash Exchange into BOTH
-    # join branches; they canonicalize identically, so the scan+minhash+band
-    # subtree executes once and the other branch is a ReusedExchange. Without
-    # it, a broadcast-eligible side at small scale re-runs the Python stage.
-    banded = banded.repartition("band_idx", "band_hash")
+    banded = banded.repartition("band_idx", "band_hash").persist()
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -217,35 +216,64 @@ def minhash_estimate_pairs(
     signature-table self-join. Exact Jaccard (``ngram_jaccard_pairs``) then
     runs only on pairs the estimate clears, as post-verification.
 
-    Physical shape: banding candidates as in ``lsh_candidate_pairs``, then
-    two equi-joins back to the (id, signature) table — both shuffle on the
-    high-cardinality doc id; the agreement fold is a codegen ``zip_with`` +
-    ``aggregate`` over ``num_hashes`` elements per pair. The signature
-    table feeds FOUR consumers (two banding branches + two scoring joins),
-    so it is persisted — without it the Arrow signature stage re-shingles
-    the corpus once per consumer (observed 4× MapInPandas in the plan).
+    Physical shape: the SAME single banding self-join as
+    ``lsh_candidate_pairs`` — but the signature column rides the banded
+    rows through the join, so scoring needs no joins back to the signature
+    table (an earlier formulation re-joined twice and, with the banding
+    branches, re-ran the Arrow signature stage four times). The banded
+    stage is persisted like the candidate generator's (one Arrow pass,
+    both branches read co-partitioned cache), one distinct dedupes pairs
+    colliding in several bands, and the agreement fold is a codegen
+    ``zip_with`` + ``aggregate`` over ``num_hashes`` elements per pair.
     """
-    signatures = signatures.persist()
-    pairs = lsh_candidate_pairs(signatures, id_col, bands, rows_per_band)
-    sig_a = signatures.select(
-        F.col(id_col).alias("id_a"), F.col("signature").alias("__sa")
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
+        F.col("signature"),
+    ).select(
+        F.col(id_col),
+        F.col("band_idx"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.col("signature"),
+                        F.col("band_idx") * rows_per_band + 1,
+                        rows_per_band,
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("band_hash"),
+        F.col("signature"),
     )
-    sig_b = signatures.select(
-        F.col(id_col).alias("id_b"), F.col("signature").alias("__sb")
-    )
+    banded = banded.repartition("band_idx", "band_hash").persist()
+    left = banded.alias("a")
+    # merge hint: both sides are corpus-sized banded rows carrying full
+    # signatures; a broadcast build (AQE's pick at test scale) would OOM
+    # at corpus scale
+    right = banded.alias("b").hint("merge")
     agree = F.aggregate(
-        F.zip_with("__sa", "__sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.zip_with(
+            F.col("a.signature"),
+            F.col("b.signature"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
         F.lit(0),
         lambda acc, v: acc + v,
     )
     return (
-        pairs.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
-            "id_a",
-            "id_b",
-            F.round(agree.cast("double") / F.size("__sa"), 6).alias("est_jaccard"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                agree.cast("double") / F.size(F.col("a.signature")), 6
+            ).alias("est_jaccard"),
         )
+        .distinct()
     )
 
 

@@ -224,7 +224,7 @@ def embedding_near_dup_pairs(
     if nbits == "auto":
         n = df.count()
         nbits = max(4, min(24, math.ceil(math.log2(max(n, 2) / target_bucket))))
-    if nbits == 0:
+    if nbits <= 0:
         return _all_pairs_near_dup_blas(df, id_col, vec_col, threshold)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))

@@ -3181,8 +3181,10 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_WEIGHTED_SAMPLE = """
 select doc_id, lang, source, n_chars
 from documents, (select sum(cast(n_chars as bigint)) as total_w from documents) tw
-where ((doc_id % 2147483647 + 42) * 2654435761) % 2147483647 % 10000 * total_w
-      < 100 * cast(n_chars as bigint) * 10000
+where cast(((doc_id % 2147483647 + 42) * 2654435761) % 2147483647 % 10000
+           as decimal(38,0)) * cast(total_w as decimal(38,0))
+      < cast(100 as decimal(38,0)) * cast(n_chars as decimal(38,0))
+        * cast(10000 as decimal(38,0))
 """
 
 

@@ -80,18 +80,28 @@ def write_fake_mdb(path: str, tables: dict[str, str]) -> None:
 
 
 class FakeMdbExtractor:
-    """Extractor over the fake container format (no external tools)."""
+    """Extractor over the fake container format (no external tools).
+    Truncation anywhere raises — a short read that silently yielded a
+    partial CSV would parse cleanly downstream and lose rows without a
+    trace, the worst failure mode an ingest path can have."""
+
+    @staticmethod
+    def _read(buf: io.BytesIO, n: int, what: str) -> bytes:
+        b = buf.read(n)
+        if len(b) != n:
+            raise ValueError(f"MDB container truncated reading {what}")
+        return b
 
     def __call__(self, mdb_bytes: bytes, table: str) -> str:
         buf = io.BytesIO(mdb_bytes)
-        if buf.read(8) != FAKE_MDB_MAGIC:
+        if self._read(buf, 8, "magic") != FAKE_MDB_MAGIC:
             raise ValueError("not a fake-MDB container (bad magic)")
-        (n_tables,) = struct.unpack("<I", buf.read(4))
+        (n_tables,) = struct.unpack("<I", self._read(buf, 4, "table count"))
         for _ in range(n_tables):
-            (name_len,) = struct.unpack("<H", buf.read(2))
-            name = buf.read(name_len).decode("utf-8")
-            (payload_len,) = struct.unpack("<I", buf.read(4))
-            payload = buf.read(payload_len)
+            (name_len,) = struct.unpack("<H", self._read(buf, 2, "name length"))
+            name = self._read(buf, name_len, "table name").decode("utf-8")
+            (payload_len,) = struct.unpack("<I", self._read(buf, 4, "payload length"))
+            payload = self._read(buf, payload_len, f"table {name!r} payload")
             if name == table:
                 return payload.decode("utf-8")
         raise KeyError(f"table {table!r} not present in MDB container")

@@ -503,3 +503,51 @@ def test_streaming_cdc_apply_converges_to_batch_snapshot(spark, tmp_path):
     assert got == batch == {
         1: ("U", 12.0), 3: ("I", 31.0), 4: ("I", 40.0),
     }
+
+
+# ------------------------------------- code-review regression coverage
+
+def test_truncated_containers_raise_not_corrupt(spark):
+    """Truncated byte containers must surface as decode errors, never as
+    silently shortened payloads (corpus poisoning / silent row loss)."""
+    blob = mm.encode_paged_pdf(["hello world", "page two"])
+    out = mm.paged_pdf_text(
+        spark.createDataFrame(
+            [(1, bytearray(blob[:-4]))], "asset_id long, content binary"
+        )
+    ).collect()
+    assert out[0]["page_text"] is None
+    assert "truncated" in out[0]["decode_error"]
+
+    import pytest as _pytest
+
+    csv = "A,B\n1,2\n"
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".mdb", delete=False) as f:
+        mdb.write_fake_mdb(f.name, {"T": csv})
+        path = f.name
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    with _pytest.raises(ValueError, match="truncated"):
+        mdb.FakeMdbExtractor()(raw[:-3], "T")
+
+
+def test_bm25_empty_corpus_returns_empty(spark):
+    from restaurant_etl_code_spark.operators import corpus as corpus_ops
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = corpus_ops.bm25_topk(empty, "anything", k=5)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "bm25"]
+
+
+def test_negative_nbits_is_exact_path(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    neg = similarity.embedding_near_dup_pairs(emb, threshold=0.9, nbits=-1)
+    zero = similarity.embedding_near_dup_pairs(emb, threshold=0.9, nbits=0)
+    assert sorted(map(tuple, neg.collect())) == sorted(map(tuple, zero.collect()))
+    assert neg.count() == 1

@@ -235,8 +235,9 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
     "minhash_estimate": {
-        # the persisted signature table feeds banding + both scoring joins
-        # (InMemoryTableScan reuse — the Arrow stage runs once); the
+        # signatures ride the banded rows through ONE self-join over the
+        # persisted banded stage (InMemoryTableScan on both branches — the
+        # Arrow signature stage runs once under any join strategy); the
         # zip_with agreement fold is pure codegen
         "want": ["InMemoryTableScan", "zip_with"],
         "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
