@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "char_entropy",
     "cdc_snapshot",
     "streaming_quality_gate",
+    "ann_recall",
 ]
 
 

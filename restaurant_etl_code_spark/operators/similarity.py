@@ -35,6 +35,7 @@ __all__ = [
     "centroids_by_id",
     "fit_centroids_kmeans",
     "ivf_topk",
+    "topk_recall",
 ]
 
 
@@ -406,3 +407,31 @@ def ivf_topk(
         F.round(V.cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
     )
     return _ranked(scored, k, min_score)
+
+
+def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall@k audit: per query, the fraction of the EXACT top-k that the
+    approximate index recovered — the number that justifies (or indicts)
+    an ANN configuration. "Measure, don't guess": nbits / nprobe / band
+    choices should be driven by this, not intuition.
+
+    Physical shape: both inputs are ranking outputs (|queries| × k rows —
+    tiny next to the corpus that produced them), so this is one equi-join
+    on (query_id, neighbor_id) plus a per-query count. All-integer
+    arithmetic until the final ratio, so the audit is engine-exact.
+    """
+    marked = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        marked.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+            ).alias("n_hit"),
+        )
+        .withColumn("recall", F.round(F.col("n_hit") / F.col("n_exact"), 6))
+    )

@@ -4022,6 +4022,59 @@ from scored group by 1
 """
 
 
+# --------------------------------------------------------------------------
+# ANN recall audit: approximate vs exact top-k overlap, per query
+# --------------------------------------------------------------------------
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the sign-LSH bucketed index against the exact ranking —
+    the measurement that justifies an nbits choice. Both rankings are
+    queries×k relations; the audit is one equi-join + per-query counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(q, emb, k=3, exclude_self=True)
+    approx = similarity.bucketed_cosine_topk(
+        q, emb, k=3, nbits=6, exclude_self=True
+    )
+    return similarity.topk_recall(approx, exact)
+
+
+_ORACLE_ANN_RECALL = f"""
+with q1 as (select vec_id as query_id, embedding::double[] as qv
+            from embeddings where vec_id < 10),
+c1 as (select vec_id as neighbor_id, embedding::double[] as cv from embeddings),
+exact as (
+  select query_id, neighbor_id from (
+    select query_id, neighbor_id,
+           row_number() over (partition by query_id
+                              order by {_DUCK_COS} desc, neighbor_id) as rank
+    from q1 cross join c1 where query_id != neighbor_id)
+  where rank <= 3),
+q2 as (select vec_id as query_id, embedding::double[] as qv,
+              {_DUCK_BUCKET} as bkt
+       from embeddings where vec_id < 10),
+c2 as (select vec_id as neighbor_id, embedding::double[] as cv,
+              {_DUCK_BUCKET} as bkt
+       from embeddings),
+approx as (
+  select query_id, neighbor_id from (
+    select query_id, neighbor_id,
+           row_number() over (partition by query_id
+                              order by {_DUCK_COS} desc, neighbor_id) as rank
+    from q2 join c2 using (bkt) where query_id != neighbor_id)
+  where rank <= 3)
+select e.query_id, count(*) as n_exact,
+       sum(case when a.neighbor_id is not null then 1 else 0 end)::bigint
+         as n_hit,
+       round(sum(case when a.neighbor_id is not null then 1 else 0 end)::double
+             / count(*), 6) as recall
+from exact e
+left join approx a on a.query_id = e.query_id
+                  and a.neighbor_id = e.neighbor_id
+group by 1
+"""
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -4258,6 +4311,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "streaming_quality_gate": QueryDef(
         _q_streaming_quality_gate, _ORACLE_STREAMING_GATE,
         "corpus quality gate as a file-arrival stream (score at ingest)"),
+    "ann_recall": QueryDef(
+        _q_ann_recall, _ORACLE_ANN_RECALL,
+        "recall@k audit: LSH-bucketed vs exact top-k overlap per query"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
