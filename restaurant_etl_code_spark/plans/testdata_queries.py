@@ -3904,8 +3904,8 @@ with base as (
            as tok
   from documents)
 select source, count(*) as n_docs,
-       sum(tok) as total_tokens,
-       sum(length(text)) as total_chars,
+       sum(tok)::bigint as total_tokens,
+       sum(length(text))::bigint as total_chars,
        round(avg(tok), 4) as avg_tokens,
        round(avg(length(text) / greatest(tok, 1)), 4) as avg_token_len
 from base group by 1
@@ -3925,7 +3925,7 @@ with ch as (
 chars as (select doc_id, ch from ch where ch <> ''),
 counts as (select doc_id, ch, count(*) as cnt from chars group by 1, 2),
 totals as (select doc_id, sum(cnt) as n_chars from counts group by 1)
-select c.doc_id, t.n_chars,
+select c.doc_id, t.n_chars::bigint as n_chars,
        round(-sum((c.cnt / t.n_chars) * log2(c.cnt / t.n_chars)), 4)
          as entropy_bits
 from counts c join totals t using (doc_id)
@@ -4017,7 +4017,7 @@ with scored as (
              - 0.25 * {_DUCK_PUNCT}, 1.0), 0.0), 4) end as quality
   from documents)
 select lang, count(*) as n_docs,
-       sum(case when quality >= 0.5 then 1 else 0 end) as n_pass
+       sum(case when quality >= 0.5 then 1 else 0 end)::bigint as n_pass
 from scored group by 1
 """
 
