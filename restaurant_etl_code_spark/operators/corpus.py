@@ -530,3 +530,62 @@ def char_entropy(
             ).alias("entropy_bits"),
         )
     )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 20,
+    modulus: int = 1_000_003,
+) -> DataFrame:
+    """Fasttext-style hashed-feature linear quality scorer: each token maps
+    to one of ``n_buckets`` weight slots via the hashing trick (Weinberger
+    et al. 2009), and a document's score is the mean slot weight. The
+    reference gates rows with hand-written pandas predicates
+    (data2batches.py quality filters); this is the learned-classifier
+    generalization every corpus pipeline ends up needing.
+
+    The weight table here is hash-SYNTHESIZED (slot → deterministic
+    pseudo-weight), standing in for trained coefficients; production swaps
+    in a real vector via a broadcast join on the slot id without touching
+    the plan shape.
+
+    Engine-exactness: weights are INTEGERS in [-modulus//2, modulus//2], so
+    the per-document reduction is an int64 sum — associative, commutative,
+    and therefore independent of Spark's partition/merge order; the one
+    float op (the final divide) is an exact-int IEEE division both engines
+    agree on bit-for-bit. No float accumulation anywhere.
+
+    Physical shape: per-document ``aggregate`` over the token array — a
+    scan-side codegen projection with ZERO shuffle. The explode→groupBy
+    alternative shuffles one row per corpus token (~20× the document
+    count); this form ships nothing. Token hash is the first 8 hex chars
+    of md5 — portable across Spark (``conv(...,16,10)``) and any SQL
+    engine with md5.
+
+    Returns (id_col, n_tokens, w_sum, score, keep); documents with no
+    tokens (null/empty text) are dropped, mirroring a GROUP BY over an
+    exploded token stream.
+    """
+    toks = F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "")
+
+    def weight(t):
+        h = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+        return ((h % n_buckets) * F.lit(2654435761)) % modulus - (modulus // 2)
+
+    scored = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(toks, F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + weight(t)).alias("w_sum"),
+    ).filter(F.col("n_tokens") > 0)
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "w_sum",
+        F.round(F.col("w_sum") / (F.col("n_tokens") * F.lit(float(modulus))), 6)
+            .alias("score"),
+        (F.col("w_sum") >= 0).alias("keep"),
+    )

@@ -435,3 +435,67 @@ def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
         )
         .withColumn("recall", F.round(F.col("n_hit") / F.col("n_exact"), 6))
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup — cluster-blocked embedding dedup (SemDeDup-style)
+# --------------------------------------------------------------------------
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    centroids: DataFrame | None = None,
+    n_clusters: int = 8,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-blocked semantic deduplication: assign every embedding to its
+    nearest coarse centroid, score cosine ONLY within a cluster, and drop
+    any vector that has a smaller-id cluster-mate at ``>= threshold``.
+    Returns the survivors as ``(id_col, cluster_id)``.
+
+    This is the SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
+    the coarse quantizer turns the O(n²) semantic-similarity problem into
+    per-cluster work, exactly like IVF does for search. Generalizes the
+    reference's exact-key dedup (SURVEY J1, data2insert_rows.py drop-
+    duplicates) to meaning-level duplicates.
+
+    Physical shape / 100 TB:
+    - centroid table is tiny and broadcast (``_assign_lists``); the corpus
+      is never collected and shuffles once, on ``list_id``;
+    - the pair join is an EQUI-join on the cluster key, so candidate work
+      is Σ|cluster|² — bounded by quantizer quality, not corpus size. At
+      scale use ``fit_centroids_kmeans`` with n ∝ corpus size to hold
+      per-cluster cardinality constant (same law as IVF list sizing);
+    - the drop rule is a left-anti join against the distinct smaller-id
+      losers — no window over the corpus, no driver materialization.
+
+    Keep-min-id is greedy (a kept vector may itself be near a dropped
+    one's other neighbors); when transitive closure matters, feed the
+    within-cluster pairs to ``dedup.connected_components`` instead (see
+    the ``dedup_clusters`` query).
+    """
+    cents = centroids if centroids is not None else centroids_by_id(
+        corpus, n=n_clusters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = _assign_lists(
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+        cents, id_alias="__id", vec_alias="__v", nprobe=1,
+    )
+    a = assigned.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+                        "list_id")
+    b = assigned.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+                        "list_id")
+    dropped = (
+        a.join(b, on="list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(V.cosine(F.col("__va"), F.col("__vb")), 6)
+                >= F.lit(threshold))
+        .select("id_b")
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned["__id"] == dropped["id_b"], "left_anti")
+        .select(F.col("__id").alias(id_col), F.col("list_id").alias("cluster_id"))
+    )

@@ -4079,6 +4079,143 @@ group by 1
 # Registry
 # ==========================================================================
 
+# --------------------------------------------------------------------------
+# ORC roundtrip: third columnar format beside parquet (native) and CSV/JSON
+# --------------------------------------------------------------------------
+
+def _q_orc_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 sibling: stage customer to ORC, re-read through the format
+    reader, aggregate. Same value-faithfulness contract as the CSV/JSON
+    roundtrips — the oracle aggregates the original parquet, so any
+    serialization loss hash-mismatches."""
+    customer = load_table(spark, sf_dir, "customer")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH_DIR, f"customer_orc_{tag}")
+    customer.write.mode("overwrite").orc(path)
+    staged = spark.read.schema(_CUSTOMER_SCHEMA).orc(path)
+    return _customer_format_agg(staged)
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup: cluster-blocked embedding dedup (SemDeDup recipe)
+# --------------------------------------------------------------------------
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors of cluster-blocked semantic dedup over the augmented
+    corpus (known near-dups injected): nearest-of-8 coarse centroid
+    assignment, within-cluster cosine >= 0.8, drop the larger id of every
+    qualifying pair. operators/similarity.py:semantic_dedup; the greedy
+    keep-min-id rule (vs transitive closure) is the documented contrast
+    with dedup_clusters."""
+    return similarity.semantic_dedup(
+        _augmented_embeddings(spark, sf_dir), n_clusters=8, threshold=0.8
+    )
+
+
+_ORACLE_SEMANTIC_DEDUP = f"""
+with {_DUCK_AUG_EMB.strip()},
+cents as (
+  select row_number() over (order by vec_id) - 1 as centroid_id,
+         embedding as centroid
+  from (select * from aug order by vec_id limit 8)),
+scored as (
+  select a.vec_id, a.embedding as v, c.centroid_id,
+         round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> (a.embedding[i] - c.centroid[i])
+                    * (a.embedding[i] - c.centroid[i]))), 9) as d
+  from aug a cross join cents c),
+assigned as (
+  select vec_id, v, centroid_id from (
+    select *, row_number() over (partition by vec_id
+                                 order by d asc, centroid_id) as rn
+    from scored) t
+  where rn = 1),
+losers as (
+  select distinct b.vec_id as id_b
+  from assigned a join assigned b
+    on a.centroid_id = b.centroid_id and a.vec_id < b.vec_id
+  where round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        6) >= 0.8)
+select s.vec_id, s.centroid_id as cluster_id
+from assigned s left join losers p on s.vec_id = p.id_b
+where p.id_b is null
+"""
+
+
+# --------------------------------------------------------------------------
+# Hashed-feature linear quality classifier (fasttext-style scorer)
+# --------------------------------------------------------------------------
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hashed linear classifier score over the corpus —
+    operators/corpus.py:hashed_linear_score. Zero-shuffle scan-side
+    scoring; integer weight arithmetic keeps the distributed sum
+    engine-exact (see the operator docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.hashed_linear_score(docs)
+
+
+_ORACLE_QUALITY_CLASSIFIER = f"""
+with toks as (
+  select doc_id, unnest({_DUCK_TOKENS.format(c='text')}) as tok
+  from documents),
+feat as (
+  select doc_id,
+         ((((('0x' || substring(md5(tok), 1, 8))::bigint % 1048576)
+            * 2654435761) % 1000003) - 500001)::bigint as w
+  from toks where tok <> '')
+select doc_id,
+       count(*)::bigint as n_tokens,
+       sum(w)::bigint as w_sum,
+       round((sum(w)::bigint) / (count(*) * 1000003.0), 6) as score,
+       (sum(w) >= 0) as keep
+from feat group by 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Min/max file-stats data skipping (lakehouse-catalog mechanism)
+# --------------------------------------------------------------------------
+
+def _q_stats_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-layout the events table, build a per-file min/max stats
+    catalog, answer a range predicate reading ONLY the files the catalog
+    admits (operators/layout.py:stats_pruned_read). Values are oracle-
+    checked; the skipping itself (files_kept < files_total on a range-
+    clustered layout) is asserted in tests/test_round4_ops.py."""
+    from restaurant_etl_code_spark.operators import layout
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH_DIR, f"events_ranged_{tag}")
+    (
+        events.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    pruned, _audit = layout.stats_pruned_read(
+        spark, path, "user_id", lo=40, hi=60
+    )
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4)
+        .alias("value_sum"),
+    )
+
+
+_ORACLE_STATS_PRUNE = """
+select event_type, count(*) as n,
+       round(cast(sum(cast(value as decimal(18,6))) as double), 4) as value_sum
+from events
+where user_id between 40 and 60
+group by 1
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -4314,6 +4451,18 @@ _REGISTRY: dict[str, QueryDef] = {
     "ann_recall": QueryDef(
         _q_ann_recall, _ORACLE_ANN_RECALL,
         "recall@k audit: LSH-bucketed vs exact top-k overlap per query"),
+    "orc_scan_agg": QueryDef(
+        _q_orc_scan_agg, _ORACLE_FORMAT_AGG,
+        "S5 sibling: ORC stage+scan roundtrip, value-faithful agg"),
+    "semantic_dedup": QueryDef(
+        _q_semantic_dedup, _ORACLE_SEMANTIC_DEDUP,
+        "SemDeDup: cluster-blocked embedding dedup, keep-min-id survivors"),
+    "quality_classifier": QueryDef(
+        _q_quality_classifier, _ORACLE_QUALITY_CLASSIFIER,
+        "hashed-feature linear quality scorer (zero-shuffle, engine-exact)"),
+    "stats_prune_scan": QueryDef(
+        _q_stats_prune_scan, _ORACLE_STATS_PRUNE,
+        "min/max file-stats catalog + pruned range scan (data skipping)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

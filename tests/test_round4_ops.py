@@ -576,3 +576,89 @@ def test_topk_recall_multiprobe_dominates_single(spark):
           for r in similarity.topk_recall(multi, exact).collect()}
     assert all(r3[q_] >= r1[q_] for q_ in r1)
     assert all(0.0 <= v <= 1.0 for v in list(r1.values()) + list(r3.values()))
+
+
+# ------------------------------------------------- file-stats data skipping
+
+def test_stats_pruned_read_skips_files(spark, tmp_path):
+    path = str(tmp_path / "ranged")
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 100).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    (df.repartitionByRange(8, "id").sortWithinPartitions("id")
+       .write.mode("overwrite").parquet(path))
+    from restaurant_etl_code_spark.operators import layout
+
+    pruned, (kept, total) = layout.stats_pruned_read(
+        spark, path, "id", lo=1000, hi=1500
+    )
+    assert total == 8
+    assert kept < total            # the catalog actually skipped files
+    rows = pruned.count()
+    assert rows == 501             # residual filter is row-exact
+    # disjoint predicate -> zero files, empty result, same schema
+    empty, (k0, _) = layout.stats_pruned_read(spark, path, "id", lo=10**9)
+    assert k0 == 0 and empty.count() == 0
+    assert empty.schema == pruned.schema
+
+
+def test_file_stats_catalog_shape(spark, tmp_path):
+    path = str(tmp_path / "cat")
+    spark.range(0, 100).select(F.col("id"), (F.col("id") % 3).alias("g")) \
+        .repartition(4).write.mode("overwrite").parquet(path)
+    from restaurant_etl_code_spark.operators import layout
+
+    st = layout.file_stats_catalog(spark, path, ["id", "g"]).collect()
+    assert len(st) == 4
+    assert sum(r["n_rows"] for r in st) == 100
+    for r in st:
+        assert r["min_id"] <= r["max_id"] and 0 <= r["min_g"] <= r["max_g"] <= 2
+
+
+# ------------------------------------------------------------ semantic dedup
+
+def test_semantic_dedup_drops_injected_near_dups(spark):
+    # 8 mutually orthogonal originals (cos = 0 pairwise, all kept) plus a
+    # scaled copy of each (same direction -> cos = 1 with its base; the
+    # scaled copy assigns to the same centroid as its base, so every copy
+    # is in-cluster with a smaller-id near-dup and must be dropped)
+    base = [(i, [1.0 if d == i else 0.0 for d in range(8)]) for i in range(8)]
+    dups = [(1000 + i, [x * 1.001 for x in v]) for i, v in base]
+    df = spark.createDataFrame(base + dups, "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup(df, n_clusters=4, threshold=0.95)
+    kept = {r["vec_id"] for r in out.collect()}
+    assert kept == {i for i, _ in base}
+    assert set(out.columns) == {"vec_id", "cluster_id"}
+
+
+def test_semantic_dedup_keeps_all_below_threshold(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.semantic_dedup(df, n_clusters=2, threshold=0.99)
+    assert out.count() == 3
+
+
+# --------------------------------------------------- hashed linear classifier
+
+def test_hashed_linear_score_engine_exact_and_total(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "  Alpha   BETA  "), (3, ""),
+         (4, None), (5, "zzz")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus.hashed_linear_score(docs).collect()}
+    assert set(out) == {1, 2, 5}                 # empty/null docs dropped
+    assert out[2]["n_tokens"] == 2               # normalization collapses runs
+    # score is mean weight; w_sum is exact int
+    r = out[1]
+    assert r["score"] == round(r["w_sum"] / (r["n_tokens"] * 1_000_003.0), 6)
+    assert isinstance(r["w_sum"], int)
+    # same tokens, case-insensitive -> same per-token weights
+    a3 = out[1]["w_sum"]
+    docs2 = spark.createDataFrame([(9, "ALPHA beta GaMmA")], "doc_id long, text string")
+    assert corpus.hashed_linear_score(docs2).collect()[0]["w_sum"] == a3
