@@ -107,6 +107,10 @@ BENCH_QUERIES = [
     "cdc_snapshot",
     "streaming_quality_gate",
     "ann_recall",
+    "orc_scan_agg",
+    "semantic_dedup",
+    "quality_classifier",
+    "stats_prune_scan",
 ]
 
 

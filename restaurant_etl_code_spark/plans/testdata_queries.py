@@ -4102,22 +4102,27 @@ def _q_orc_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivors of cluster-blocked semantic dedup over the augmented
-    corpus (known near-dups injected): nearest-of-8 coarse centroid
-    assignment, within-cluster cosine >= 0.8, drop the larger id of every
-    qualifying pair. operators/similarity.py:semantic_dedup; the greedy
-    keep-min-id rule (vs transitive closure) is the documented contrast
-    with dedup_clusters."""
+    corpus (known near-dups injected): nearest-centroid assignment with
+    the AUTO-sized quantizer (k = ceil(n/256) — the scale-safe config, see
+    the operator docstring's measured quadratic trap), within-cluster
+    cosine >= 0.8, drop the larger id of every qualifying pair.
+    operators/similarity.py:semantic_dedup; the greedy keep-min-id rule
+    (vs transitive closure) is the documented contrast with
+    dedup_clusters. The oracle derives the same k from the same count."""
     return similarity.semantic_dedup(
-        _augmented_embeddings(spark, sf_dir), n_clusters=8, threshold=0.8
+        _augmented_embeddings(spark, sf_dir), threshold=0.8
     )
 
 
 _ORACLE_SEMANTIC_DEDUP = f"""
 with {_DUCK_AUG_EMB.strip()},
 cents as (
-  select row_number() over (order by vec_id) - 1 as centroid_id,
-         embedding as centroid
-  from (select * from aug order by vec_id limit 8)),
+  select rn - 1 as centroid_id, embedding as centroid
+  from (select embedding,
+               row_number() over (order by vec_id) as rn
+        from aug) s
+  where rn <= (select greatest(1, cast(ceil(count(*) / 256.0) as bigint))
+               from aug)),
 scored as (
   select a.vec_id, a.embedding as v, c.centroid_id,
          round(list_sum(list_transform(range(1, len(a.embedding) + 1),

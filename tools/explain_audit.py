@@ -21,6 +21,29 @@ from restaurant_etl_code_spark import get_spark
 from restaurant_etl_code_spark.plans import QUERIES
 
 EXPECTATIONS: dict[str, dict[str, list[str]]] = {
+    "semantic_dedup": {
+        # centroid table rides a guarded driver collect (its TakeOrdered
+        # plan runs separately); the corpus shuffles once on the cluster
+        # key into a per-group Arrow BLAS scorer; the drop rule is a
+        # left-anti join -- never an all-pairs product over the corpus
+        "want": ["FlatMapGroupsInPandas", "LeftAnti"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "quality_classifier": {
+        # zero-shuffle scan-side scoring: one codegen projection, no
+        # Exchange anywhere in the plan
+        "want": ["*("],
+        "avoid": ["Exchange", "BatchEvalPython", "CartesianProduct"],
+    },
+    "stats_prune_scan": {
+        # residual predicate reaches the (file-pruned) parquet scan
+        "want": ["PushedFilters: [IsNotNull"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "orc_scan_agg": {
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
     "match_cascade": {
         "want": ["BroadcastHashJoin"],        # master dim joins broadcast
         "avoid": ["CartesianProduct"],
