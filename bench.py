@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "quality_classifier",
     "stats_prune_scan",
+    "embedding_covariance",
+    "incremental_quantile",
 ]
 
 

@@ -1,0 +1,151 @@
+"""Embedding-matrix statistics: exact covariance and PCA projection.
+
+Embedding pipelines need second-moment statistics — covariance for
+whitening, PCA for dimensionality reduction before ANN indexing (smaller
+vectors, decorrelated dims make LSH/IVF partitions rounder). The reference
+has no analogue (its vectors go straight to a hosted index); this is part
+of the training-data taxonomy the engine adds as first-class.
+
+Scale shape: moments are ONE aggregate over the scan — d + d(d+1)/2 sum
+expressions (codegen, no UDF), zero shuffle to a single reduced row. No
+d²-explode of the corpus, no driver materialization beyond that row. The
+eigendecomposition runs driver-side on the d×d matrix (trivial for any
+embedding dim), and projection is a broadcast matmul over Arrow batches.
+
+Engine-exactness: components are quantized to integers (``floor(x·1e6 +
+0.5)``, the same symmetric-quantization trick as vectors.quantize_*), so
+every sum is exact integer algebra in decimal(38,0) — associative,
+order-independent, bit-equal across engines — and the final float formula
+is a deterministic function of those integers. The 1e-6 quantization is
+documented, not hidden: raw-float moments are one flag away but lose the
+cross-engine bit-exactness this repo's oracle gate requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["embedding_moments", "pca_fit", "pca_project"]
+
+_SCALE = 1_000_000
+
+
+def _quantized(vec_col: str):
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * _SCALE + F.lit(0.5)).cast("long"),
+    )
+
+
+def embedding_moments(df: DataFrame, *, vec_col: str = "embedding",
+                      dim: int) -> DataFrame:
+    """Mean vector + population covariance matrix of an embedding column,
+    exact (see module docstring). Returns the upper triangle as rows
+    (i ≤ j): (i, j, n, mean_i, mean_j, cov) — d(d+1)/2 rows total."""
+    q = df.select(_quantized(vec_col).alias("__q"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(dim):
+        aggs.append(
+            F.sum(F.element_at("__q", i + 1).cast("decimal(38,0)"))
+            .alias(f"s{i}")
+        )
+    for i in range(dim):
+        for j in range(i, dim):
+            aggs.append(
+                F.sum(
+                    (F.element_at("__q", i + 1) * F.element_at("__q", j + 1))
+                    .cast("decimal(38,0)")
+                ).alias(f"p{i}_{j}")
+            )
+    one = q.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+        for i in range(dim) for j in range(i, dim)
+    ])
+    exploded = one.select("*", F.explode(pairs).alias("ij"))
+    n = F.col("n")
+    s_i = F.element_at(
+        F.array(*[F.col(f"s{i}").cast("double") for i in range(dim)]),
+        F.col("ij.i") + 1,
+    )
+    s_j = F.element_at(
+        F.array(*[F.col(f"s{i}").cast("double") for i in range(dim)]),
+        F.col("ij.j") + 1,
+    )
+    p_ij = F.element_at(
+        F.array(*[
+            F.when((F.col("ij.i") == i) & (F.col("ij.j") == j),
+                   F.col(f"p{i}_{j}").cast("double"))
+            for i in range(dim) for j in range(i, dim)
+        ]),
+        # index of (i, j) in the row-major upper triangle, 1-based
+        (F.col("ij.i") * (2 * dim - F.col("ij.i") + 1) / 2
+         + (F.col("ij.j") - F.col("ij.i")) + 1).cast("int"),
+    )
+    return exploded.select(
+        F.col("ij.i").alias("i"),
+        F.col("ij.j").alias("j"),
+        n.alias("n"),
+        # + 0.0 normalizes IEEE negative zero (round can emit -0.0, and
+        # engines disagree on which; -0.0 + 0.0 == +0.0 by the standard)
+        (F.round(s_i / (n * F.lit(float(_SCALE))), 6) + 0.0).alias("mean_i"),
+        (F.round(s_j / (n * F.lit(float(_SCALE))), 6) + 0.0).alias("mean_j"),
+        (F.round(
+            (p_ij / n - (s_i / n) * (s_j / n)) / F.lit(float(_SCALE) ** 2), 6
+        ) + 0.0).alias("cov"),
+    )
+
+
+def pca_fit(df: DataFrame, *, vec_col: str = "embedding", dim: int,
+            k: int) -> "tuple":
+    """Driver-side PCA fit from the distributed exact moments: eigh of the
+    d×d covariance (trivial at any embedding dim), top-k components by
+    descending eigenvalue with a deterministic sign convention (largest-
+    magnitude entry positive — eigenvectors are sign-ambiguous otherwise).
+    Returns (mean: list[d], components: k×d list-of-lists,
+    explained_variance: list[k])."""
+    import numpy as np
+
+    rows = embedding_moments(df, vec_col=vec_col, dim=dim).collect()
+    C = np.zeros((dim, dim))
+    mean = np.zeros(dim)
+    for r in rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+        mean[r["i"]] = r["mean_i"]
+        mean[r["j"]] = r["mean_j"]
+    vals, vecs = np.linalg.eigh(C)           # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return [float(m) for m in mean], comps, [float(vals[i]) for i in order]
+
+
+def pca_project(df: DataFrame, mean, components, *,
+                vec_col: str = "embedding", out_col: str = "pca") -> DataFrame:
+    """Project embeddings onto fitted components: center then dot with each
+    component — a codegen expression per output dim (no UDF, no shuffle;
+    the k×d component matrix rides the plan as literals)."""
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x - m,
+    )
+    outs = []
+    for comp in components:
+        outs.append(
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(float(c)) for c in comp]),
+                    lambda x, c: x * c,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return df.withColumn(out_col, F.array(*outs))

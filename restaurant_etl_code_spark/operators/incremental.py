@@ -17,10 +17,13 @@ that makes any grain re-aggregatable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["partial_aggs", "merge_partial_aggs", "finalize_aggs"]
+__all__ = [
+    "partial_aggs", "merge_partial_aggs", "finalize_aggs",
+    "partial_quantile_state", "merge_quantile_states", "quantile_from_state",
+]
 
 
 def partial_aggs(
@@ -73,4 +76,77 @@ def finalize_aggs(state: DataFrame) -> DataFrame:
         F.col("vmin"),
         F.col("vmax"),
         F.hll_sketch_estimate("distinct_sketch").alias("approx_distinct"),
+    )
+
+
+def partial_quantile_state(
+    df: DataFrame, keys: list[str], value_col: str, breaks: list[float]
+) -> DataFrame:
+    """Mergeable quantile state: per-key counts over FIXED histogram bins
+    (``breaks`` ascending; bin i = values in [breaks[i], breaks[i+1]),
+    plus underflow bin 0 and overflow bin len(breaks)). Bin counts are
+    integers, so the merge (sum per bin) is associative, commutative, and
+    engine-exact — the quantile analogue of count/sum/HLL state, with
+    error bounded by bin width instead of a sketch's probabilistic bound.
+    (t-digest/KLL shrink the state further but merge in opaque float
+    space; fixed bins keep every round-trip bit-checkable.)
+
+    One counter-only shuffle: state size = |keys| × (len(breaks)+1) rows
+    regardless of input rows. Bin index is a codegen sum of boundary
+    comparisons — no UDF, no sort."""
+    bin_idx = None
+    for b in breaks:
+        term = F.when(F.col(value_col) >= F.lit(float(b)), 1).otherwise(0)
+        bin_idx = term if bin_idx is None else bin_idx + term
+    return (
+        df.groupBy(*keys, bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_quantile_states(*states: DataFrame) -> DataFrame:
+    """Sum bin counters across state tables — pure integer algebra over
+    |keys| × bins rows."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    keys = [c for c in merged.columns if c not in ("bin", "cnt")]
+    return merged.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_from_state(
+    state: DataFrame, qs: list[float], breaks: list[float]
+) -> DataFrame:
+    """Estimate quantiles from histogram state: per key, walk the
+    cumulative bin counts and linearly interpolate inside the bin that
+    crosses q·N. All-integer inputs to a deterministic float formula, so
+    two engines agree exactly. Underflow/overflow bins clamp to the
+    boundary value (their true spread is unknown by construction).
+
+    One window pass over state rows (|keys| × bins — tiny), never the
+    data."""
+    keys = [c for c in state.columns if c not in ("bin", "cnt")]
+    w = Window.partitionBy(*keys).orderBy("bin")
+    lo = F.element_at(F.lit(breaks), F.col("bin"))          # breaks[bin-1]
+    hi = F.element_at(F.lit(breaks), F.col("bin") + 1)
+    cum = state.withColumn("cum_hi", F.sum("cnt").over(w)).withColumn(
+        "cum_lo", F.col("cum_hi") - F.col("cnt")
+    ).withColumn("total", F.sum("cnt").over(Window.partitionBy(*keys)))
+    out = []
+    for q in qs:
+        target = F.lit(float(q)) * F.col("total")
+        frac = (target - F.col("cum_lo")) / F.col("cnt")
+        est = F.when(F.col("bin") <= 0, F.lit(float(breaks[0]))).when(
+            F.col("bin") >= len(breaks), F.lit(float(breaks[-1]))
+        ).otherwise(lo + (hi - lo) * frac)
+        out.append(
+            F.max(
+                F.when(
+                    (F.col("cum_lo") < target) & (target <= F.col("cum_hi")),
+                    F.round(est, 6),
+                )
+            ).alias(f"p{int(q * 100):02d}")
+        )
+    return cum.groupBy(*keys).agg(
+        F.max("total").alias("n"), *out
     )

@@ -4221,6 +4221,119 @@ group by 1
 """
 
 
+# --------------------------------------------------------------------------
+# Exact embedding covariance (whitening/PCA statistics)
+# --------------------------------------------------------------------------
+
+_COV_DIM = 16
+
+
+def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean + population covariance of the first 16 embedding dims —
+    operators/embeddings.py:embedding_moments. ONE aggregate over the scan
+    (d + d(d+1)/2 codegen sum expressions, zero shuffle, one reduced row);
+    integer-quantized components make every sum exact and engine-portable.
+    Feeds pca_fit/pca_project (driver-side d×d eigh + broadcast matmul —
+    unit-tested; eigendecomposition is not SQL-expressible)."""
+    from restaurant_etl_code_spark.operators import embeddings as E
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.slice("embedding", 1, _COV_DIM).alias("embedding")
+    )
+    return E.embedding_moments(emb, dim=_COV_DIM)
+
+
+_ORACLE_EMBEDDING_COV = f"""
+with q as (
+  select vec_id,
+         list_transform(embedding[1:{_COV_DIM}]::double[],
+                        x -> floor(x * 1000000 + 0.5)::bigint) as qa
+  from embeddings),
+idx as (select unnest(range(1, {_COV_DIM + 1})) as i),
+e as (select vec_id, i, qa[i::int] as v from q cross join idx),
+s as (select i, sum(v) as sv from e group by 1),
+nn as (select count(*) as n from q),
+p as (select a.i as i, b.i as j, sum(a.v * b.v) as pv
+      from e a join e b on a.vec_id = b.vec_id and a.i <= b.i
+      group by 1, 2)
+select (p.i - 1)::int as i, (p.j - 1)::int as j, nn.n as n,
+       round(si.sv::double / (nn.n * 1000000.0), 6) + 0.0 as mean_i,
+       round(sj.sv::double / (nn.n * 1000000.0), 6) + 0.0 as mean_j,
+       round((p.pv::double / nn.n
+              - (si.sv::double / nn.n) * (sj.sv::double / nn.n))
+             / 1000000000000.0, 6) + 0.0 as cov
+from p
+cross join nn
+join s si on si.i = p.i
+join s sj on sj.i = p.j
+"""
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile state (continuous-aggregate quantiles)
+# --------------------------------------------------------------------------
+
+_QBREAKS = [float(b) for b in range(0, 501, 50)]    # 0, 50, ..., 500
+
+
+def _q_incremental_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles under the continuous-aggregate algebra: two disjoint
+    halves reduce to fixed-bin histogram states (integer counters), the
+    STATE ROWS merge, and p50/p90 interpolate from the merged histogram —
+    operators/incremental.py:partial_quantile_state. The oracle computes
+    the same bins and interpolation from the full data directly, so the
+    merge path is proven equal to the direct path (same contract as
+    incremental_agg; bin-width error is a property of the shared formula,
+    not of the incremental maintenance)."""
+    from restaurant_etl_code_spark.operators import incremental
+
+    events = load_table(spark, sf_dir, "events")
+    old = events.filter(F.col("event_id") % 2 == 0)
+    delta = events.filter(F.col("event_id") % 2 == 1)
+    s_old = incremental.partial_quantile_state(
+        old, ["event_type"], "value", _QBREAKS)
+    s_new = incremental.partial_quantile_state(
+        delta, ["event_type"], "value", _QBREAKS)
+    merged = incremental.merge_quantile_states(s_old, s_new)
+    return incremental.quantile_from_state(merged, [0.5, 0.9], _QBREAKS)
+
+
+def _quantile_oracle() -> str:
+    bin_expr = " + ".join(
+        f"case when value >= {b} then 1 else 0 end" for b in _QBREAKS
+    )
+    breaks_arr = "[" + ", ".join(str(b) for b in _QBREAKS) + "]"
+    nb = len(_QBREAKS)
+
+    def est(q: float) -> str:
+        return f"""max(case when cum_lo < {q} * total and {q} * total <= cum_hi
+        then round(case when bin <= 0 then {_QBREAKS[0]}
+                        when bin >= {nb} then {_QBREAKS[-1]}
+                        else {breaks_arr}[bin]
+                             + ({breaks_arr}[bin + 1] - {breaks_arr}[bin])
+                               * (({q} * total - cum_lo) / cnt) end, 6) end)"""
+
+    return f"""
+with binned as (
+  select event_type, ({bin_expr}) as bin from events),
+state as (
+  select event_type, bin, count(*) as cnt from binned group by 1, 2),
+cum as (
+  select *,
+         sum(cnt) over (partition by event_type order by bin) as cum_hi,
+         sum(cnt) over (partition by event_type order by bin) - cnt as cum_lo,
+         sum(cnt) over (partition by event_type) as total
+  from state)
+select event_type, max(total)::bigint as n,
+       {est(0.5)} as p50,
+       {est(0.9)} as p90
+from cum group by 1
+"""
+
+
+_ORACLE_INCR_QUANTILE = _quantile_oracle()
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -4468,6 +4581,12 @@ _REGISTRY: dict[str, QueryDef] = {
     "stats_prune_scan": QueryDef(
         _q_stats_prune_scan, _ORACLE_STATS_PRUNE,
         "min/max file-stats catalog + pruned range scan (data skipping)"),
+    "embedding_covariance": QueryDef(
+        _q_embedding_covariance, _ORACLE_EMBEDDING_COV,
+        "exact quantized mean+covariance, one zero-shuffle aggregate"),
+    "incremental_quantile": QueryDef(
+        _q_incremental_quantile, _ORACLE_INCR_QUANTILE,
+        "mergeable histogram state -> interpolated p50/p90"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -662,3 +662,82 @@ def test_hashed_linear_score_engine_exact_and_total(spark):
     a3 = out[1]["w_sum"]
     docs2 = spark.createDataFrame([(9, "ALPHA beta GaMmA")], "doc_id long, text string")
     assert corpus.hashed_linear_score(docs2).collect()[0]["w_sum"] == a3
+
+
+# ------------------------------------------- mergeable quantile state
+
+def test_quantile_state_merge_equals_direct(spark):
+    from restaurant_etl_code_spark.operators import incremental
+
+    breaks = [0.0, 10.0, 20.0, 30.0, 40.0]
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 37).cast("double").alias("v"),
+    )
+    halves = [df.filter(F.col("id") % 2 == i) for i in (0, 1)]
+    merged = incremental.merge_quantile_states(
+        *[incremental.partial_quantile_state(h, ["g"], "v", breaks)
+          for h in halves]
+    )
+    direct = incremental.partial_quantile_state(df, ["g"], "v", breaks)
+    m = {(r["g"], r["bin"]): r["cnt"] for r in merged.collect()}
+    d = {(r["g"], r["bin"]): r["cnt"] for r in direct.collect()}
+    assert m == d                          # state algebra is exact
+    est = {r["g"]: r for r in
+           incremental.quantile_from_state(merged, [0.5], breaks).collect()}
+    for g, r in est.items():
+        assert r["n"] == sum(c for (gg, _), c in d.items() if gg == g)
+        # p50 lies inside the histogram's support
+        assert breaks[0] <= r["p50"] <= breaks[-1]
+
+
+def test_quantile_state_overflow_underflow_clamp(spark):
+    from restaurant_etl_code_spark.operators import incremental
+
+    breaks = [10.0, 20.0]
+    df = spark.createDataFrame(
+        [("a", -5.0)] * 10 + [("a", 99.0)] * 10, "g string, v double"
+    )
+    st = incremental.partial_quantile_state(df, ["g"], "v", breaks)
+    out = incremental.quantile_from_state(st, [0.25, 0.75], breaks).collect()[0]
+    assert out["p25"] == 10.0 and out["p75"] == 20.0   # clamped to support
+
+
+# ----------------------------------------------------- embedding moments/PCA
+
+def test_pca_projection_variance_matches_eigenvalues(spark):
+    import numpy as np
+    from restaurant_etl_code_spark.operators import embeddings as E
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: dim 0 has 5x the spread
+    M = rng.randn(300, 6) * np.array([5.0, 2.0, 1.0, 0.5, 0.25, 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    mean, comps, ev = E.pca_fit(df, dim=6, k=3)
+    assert ev[0] > ev[1] > ev[2] > 0
+    P = np.array([r["pca"] for r in
+                  E.pca_project(df, mean, comps).select("pca").collect()])
+    got = P.var(axis=0, ddof=0)
+    assert np.allclose(got, ev[:3], rtol=1e-3)
+    # components are unit-norm and orthogonal
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(3), atol=1e-9)
+
+
+def test_embedding_moments_exact_vs_numpy(spark):
+    import numpy as np
+    from restaurant_etl_code_spark.operators import embeddings as E
+
+    rng = np.random.RandomState(1)
+    M = rng.randn(100, 4).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    Q = np.floor(M.astype(np.float64) * 1e6 + 0.5)
+    Cnp = np.cov(Q.T, bias=True) / 1e12
+    for r in E.embedding_moments(df, dim=4).collect():
+        assert abs(r["cov"] - Cnp[r["i"], r["j"]]) < 2e-6

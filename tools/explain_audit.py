@@ -21,6 +21,18 @@ from restaurant_etl_code_spark import get_spark
 from restaurant_etl_code_spark.plans import QUERIES
 
 EXPECTATIONS: dict[str, dict[str, list[str]]] = {
+    "embedding_covariance": {
+        # one aggregate to a single row (the explode of the 136-pair array
+        # runs over that one reduced row, not the corpus); no python
+        "want": ["HashAggregate"],
+        "avoid": ["BatchEvalPython", "CartesianProduct"],
+    },
+    "incremental_quantile": {
+        # counter-only shuffle to |keys| x bins state rows, then windows
+        # over state rows only
+        "want": ["HashAggregate", "Window"],
+        "avoid": ["BatchEvalPython", "CartesianProduct"],
+    },
     "semantic_dedup": {
         # centroid table rides a guarded driver collect (its TakeOrdered
         # plan runs separately); the corpus shuffles once on the cluster
