@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "stats_prune_scan",
     "embedding_covariance",
     "incremental_quantile",
+    "kfold_split",
+    "retrieval_eval",
 ]
 
 

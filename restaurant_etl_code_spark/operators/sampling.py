@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "assign_fold",
     "split_bucket",
     "portable_split_bucket",
     "assign_split",
@@ -227,3 +228,24 @@ def mixture_sample(
         .filter(bucket < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def assign_fold(
+    df: DataFrame,
+    key: str,
+    n_folds: int,
+    seed: int = 42,
+    portable: bool = False,
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation: fold =
+    hash-bucket mod ``n_folds``. Same contract as ``assign_split`` — pure
+    scan-side projection, no RNG, no shuffle; a row's fold never moves
+    when the corpus grows, so fold-i train/eval sets are reproducible and
+    leakage-free by construction (a key is in exactly one fold).
+    Generalizes the reference's fixed batch slicing (SURVEY A1,
+    data2batches.py:74-77) to reproducible eval folds."""
+    if n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+    bucket = (portable_split_bucket if portable else split_bucket)(F.col(key), seed)
+    return df.withColumn(out_col, F.pmod(bucket, F.lit(n_folds)))

@@ -4334,6 +4334,96 @@ from cum group by 1
 _ORACLE_INCR_QUANTILE = _quantile_oracle()
 
 
+# --------------------------------------------------------------------------
+# K-fold assignment (reproducible cross-validation folds)
+# --------------------------------------------------------------------------
+
+def _q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold deterministic assignment with per-(fold, lang) counts proving
+    balance — operators/sampling.py:assign_fold. Pure scan-side
+    projection; the portable arithmetic twin lets the oracle compute
+    bit-identical folds."""
+    from restaurant_etl_code_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    folded = sampling.assign_fold(docs, "doc_id", 5, seed=7, portable=True)
+    return folded.groupBy("fold", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_ORACLE_KFOLD = """
+WITH b AS (
+  SELECT *,
+         ((doc_id % 2147483647 + 7) * 2654435761) % 2147483647 % 10000 % 5
+           AS fold
+  FROM documents
+)
+SELECT fold::int AS fold, lang,
+       count(*) AS n_docs,
+       sum(n_chars)::bigint AS sum_chars
+FROM b GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Retrieval quality eval: label-based precision@k on the exact index
+# --------------------------------------------------------------------------
+
+def _q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@3 by label agreement: for each query vector, the fraction
+    of its exact top-3 cosine neighbors sharing the query's class label —
+    the eval loop every embedding pipeline needs next to the recall@k
+    audit (ann_recall measures index fidelity; this measures whether the
+    EMBEDDING captures the label structure). Top-k rows are tiny
+    (|queries| × k), so both label joins broadcast them."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") < 30), emb, k=3, exclude_self=True
+    )
+    lbl = emb.select("vec_id", "label")
+    scored = (
+        topk.join(
+            lbl.withColumnRenamed("vec_id", "query_id")
+               .withColumnRenamed("label", "query_label"), "query_id")
+        .join(
+            lbl.withColumnRenamed("vec_id", "neighbor_id")
+               .withColumnRenamed("label", "neighbor_label"), "neighbor_id")
+    )
+    return scored.groupBy("query_id", "query_label").agg(
+        F.count("*").alias("k"),
+        F.sum(
+            F.when(F.col("neighbor_label") == F.col("query_label"), 1)
+            .otherwise(0)
+        ).alias("n_hits"),
+    ).withColumn("precision", F.round(F.col("n_hits") / F.col("k"), 6))
+
+
+_ORACLE_RETRIEVAL_EVAL = f"""
+with q as (select vec_id as query_id, embedding::double[] as qv, label as query_label
+           from embeddings where vec_id < 30),
+c as (select vec_id as neighbor_id, embedding::double[] as cv, label as neighbor_label
+      from embeddings),
+scored as (
+  select query_id, query_label, neighbor_id, neighbor_label, {_DUCK_COS} as score
+  from q cross join c where query_id != neighbor_id),
+topk as (
+  select * from (
+    select *, row_number() over (partition by query_id
+                                 order by score desc, neighbor_id) as rank
+    from scored)
+  where rank <= 3)
+select query_id, query_label,
+       count(*)::bigint as k,
+       sum(case when neighbor_label = query_label then 1 else 0 end)::bigint
+         as n_hits,
+       round(sum(case when neighbor_label = query_label then 1 else 0 end)
+             / count(*), 6) as precision
+from topk group by 1, 2
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -4587,6 +4677,12 @@ _REGISTRY: dict[str, QueryDef] = {
     "incremental_quantile": QueryDef(
         _q_incremental_quantile, _ORACLE_INCR_QUANTILE,
         "mergeable histogram state -> interpolated p50/p90"),
+    "kfold_split": QueryDef(
+        _q_kfold_split, _ORACLE_KFOLD,
+        "deterministic 5-fold CV assignment, zero-shuffle, leakage-free"),
+    "retrieval_eval": QueryDef(
+        _q_retrieval_eval, _ORACLE_RETRIEVAL_EVAL,
+        "precision@3 by label agreement over the exact cosine index"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "ingest_table",
     "merge_upsert",
     "merge_into_parquet",
     "cdc_merge_into_parquet",
@@ -217,3 +218,54 @@ def compact_parquet(
     n = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
     return n
+
+
+def ingest_table(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    files_per_partition: int = 16,
+    mode: str = "overwrite",
+):
+    """One-call lakehouse ingest: layout + write + stats catalog.
+
+    Composes the repo's layout machinery the way a production ingest job
+    would wire it by hand:
+
+    - ``partition_by``: hive-style directory partitioning (coarse pruning
+      via PartitionFilters; keep cardinality ≲ 10^4);
+    - ``cluster_by``: Z-order the rows WITHIN the written files
+      (operators/layout.py:zorder_layout) so min/max file and row-group
+      statistics are tight in every listed dimension;
+    - ``stats_cols``: build the per-file min/max catalog
+      (layout.file_stats_catalog) and write it next to the data under
+      ``<path>/_stats`` — the input to ``stats_pruned_read`` at query
+      time.
+
+    Returns the stats catalog DataFrame (re-read from ``_stats``; None if
+    ``stats_cols`` is empty). The data write is one pass; the stats pass
+    reads back only footer-level aggregates (counter-sized shuffle).
+    100 TB: both passes are per-ingest-batch; the catalog appends, the
+    query side never re-scans data to plan."""
+    from restaurant_etl_code_spark.operators import layout
+
+    out = df
+    if cluster_by:
+        out = layout.zorder_layout(out, cluster_by, files_per_partition)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+    if not stats_cols:
+        return None
+    spark = df.sparkSession
+    stats = layout.file_stats_catalog(spark, path, stats_cols)
+    # _-prefixed dirs are invisible to Spark's file listing, so the
+    # catalog lives INSIDE the table dir without polluting reads
+    stats_path = path.rstrip("/") + "/_stats"
+    stats.write.mode(mode).parquet(stats_path)
+    return spark.read.parquet(stats_path)

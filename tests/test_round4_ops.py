@@ -741,3 +741,45 @@ def test_embedding_moments_exact_vs_numpy(spark):
     Cnp = np.cov(Q.T, bias=True) / 1e12
     for r in E.embedding_moments(df, dim=4).collect():
         assert abs(r["cov"] - Cnp[r["i"], r["j"]]) < 2e-6
+
+
+# ----------------------------------------------------- one-call ingest sink
+
+def test_ingest_table_stats_and_pruning(spark, tmp_path):
+    from restaurant_etl_code_spark.operators import layout
+    from restaurant_etl_code_spark.sources import sinks
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 8000).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("part"),
+        (F.col("id") % 997).alias("x"),
+        ((F.col("id") * 7) % 1009).alias("y"),
+    )
+    stats = sinks.ingest_table(
+        df, path, partition_by=["part"], cluster_by=["x", "y"],
+        stats_cols=["x"], files_per_partition=8,
+    )
+    # the stats catalog is written under the hidden _stats dir and re-readable
+    assert stats is not None and "min_x" in stats.columns
+    assert sum(r["n_rows"] for r in stats.collect()) == 8000
+    # the table read is unpolluted by the catalog and partition-prunes
+    back = spark.read.parquet(path)
+    assert back.count() == 8000
+    plan = back.filter(F.col("part") == 2)._jdf.queryExecution().executedPlan().toString()
+    assert "part" in plan
+    assert back.filter(F.col("part") == 2).count() == 2000
+    # z-ordered layout -> the stats admit only a subset for a narrow x range
+    pruned, (kept, total) = layout.stats_pruned_read(
+        spark, path, "x", lo=10, hi=30, stats=stats
+    )
+    assert kept < total
+    assert pruned.count() == df.filter(F.col("x").between(10, 30)).count()
+
+
+def test_ingest_table_plain_write_no_stats(spark, tmp_path):
+    from restaurant_etl_code_spark.sources import sinks
+
+    path = str(tmp_path / "plain")
+    assert sinks.ingest_table(spark.range(5).toDF("id"), path) is None
+    assert spark.read.parquet(path).count() == 5

@@ -21,6 +21,17 @@ from restaurant_etl_code_spark import get_spark
 from restaurant_etl_code_spark.plans import QUERIES
 
 EXPECTATIONS: dict[str, dict[str, list[str]]] = {
+    "kfold_split": {
+        # fold label is scan-side arithmetic; the only Exchange is the
+        # (fold, lang) aggregation's
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    },
+    "retrieval_eval": {
+        # top-k rows are |queries| x k -- both label joins broadcast them
+        "want": ["BroadcastHashJoin", "WindowGroupLimit"],
+        "avoid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "embedding_covariance": {
         # one aggregate to a single row (the explode of the 136-pair array
         # runs over that one reduced row, not the corpus); no python
