@@ -6,6 +6,8 @@ from restaurant_etl_code_spark.streaming.jobs import (  # noqa: F401
     run_available_now,
     foreach_batch_upsert,
     foreach_batch_cdc_apply,
+    foreach_batch_state_maintenance,
+    read_latest_state,
     stream_stream_interval_join,
     dedup_within_watermark,
 )

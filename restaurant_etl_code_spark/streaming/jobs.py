@@ -273,3 +273,87 @@ def dedup_within_watermark(
     """
     events, _ = _watermarkable(events, ts_col)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def foreach_batch_state_maintenance(
+    streamed: DataFrame,
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+    distinct_col: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming continuous-aggregate maintenance: each micro-batch reduces
+    to mergeable partial states (operators/incremental.py) and merges with
+    the materialized state table — the stream never re-scans history, and
+    after any prefix of batches ``finalize_aggs(state)`` equals the direct
+    aggregate over every row seen so far (the state-algebra invariant,
+    proven end-to-end in tests/test_round4_ops.py).
+
+    Exactly-once despite a NON-idempotent merge: state is versioned by
+    epoch (``state_path/epoch=N``), and epoch N is always computed from
+    epoch N-1 — so a replayed batch (crash between state write and
+    checkpoint commit) REcomputes its epoch from the same predecessor
+    instead of double-merging its delta. Readers take the latest epoch
+    (``read_latest_state``); superseded epochs are pruned, keeping
+    ``keep_epochs`` for replay.
+
+    100 TB shape: per batch, one counter-sized shuffle over the DELTA plus
+    a state-sized merge (|keys| rows) — cost tracks the batch, not the
+    history."""
+    from restaurant_etl_code_spark.operators import incremental
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        states = [incremental.partial_aggs(batch_df, keys, value_col,
+                                           distinct_col)]
+        prev = _latest_epoch(state_path, below=epoch_id)
+        if prev is not None:
+            states.append(
+                spark.read.parquet(f"{state_path}/epoch={prev}"))
+        merged = incremental.merge_partial_aggs(*states)
+        merged.write.mode("overwrite").parquet(
+            f"{state_path}/epoch={epoch_id}")
+        _prune_epochs(state_path, keep=2)
+
+    q = (
+        streamed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def _epochs(state_path: str) -> list[int]:
+    import os as _os
+
+    if not _os.path.isdir(state_path):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1]) for d in _os.listdir(state_path)
+        if d.startswith("epoch=")
+    )
+
+
+def _latest_epoch(state_path: str, below: int | None = None) -> int | None:
+    eps = _epochs(state_path)
+    if below is not None:
+        eps = [e for e in eps if e < below]
+    return eps[-1] if eps else None
+
+
+def _prune_epochs(state_path: str, keep: int) -> None:
+    import shutil as _shutil
+
+    for e in _epochs(state_path)[:-keep]:
+        _shutil.rmtree(f"{state_path}/epoch={e}", ignore_errors=True)
+
+
+def read_latest_state(spark, state_path: str) -> DataFrame:
+    """Current materialized aggregate state (latest epoch)."""
+    latest = _latest_epoch(state_path)
+    if latest is None:
+        raise FileNotFoundError(f"no state epochs under {state_path}")
+    return spark.read.parquet(f"{state_path}/epoch={latest}")

@@ -783,3 +783,68 @@ def test_ingest_table_plain_write_no_stats(spark, tmp_path):
     path = str(tmp_path / "plain")
     assert sinks.ingest_table(spark.range(5).toDF("id"), path) is None
     assert spark.read.parquet(path).count() == 5
+
+
+# --------------------------------- streaming continuous-aggregate maintenance
+
+def test_streaming_state_maintenance_equals_direct(spark, tmp_path):
+    """State maintained across micro-batches must finalize to exactly the
+    direct aggregate over all rows — and a REPLAYED epoch must not
+    double-merge its delta (epoch-versioned idempotence)."""
+    import os as _os
+
+    from restaurant_etl_code_spark.operators import incremental
+    from restaurant_etl_code_spark.streaming.jobs import (
+        foreach_batch_state_maintenance, read_latest_state,
+    )
+
+    rows = [(f"t{i % 3}", float(i % 50), i % 17) for i in range(600)]
+    schema = "event_type string, value double, user_id long"
+    landing = str(tmp_path / "landing")
+    _os.makedirs(landing)
+    spark.createDataFrame(rows[:200], schema).coalesce(1).write.parquet(
+        _os.path.join(landing, "f0.parquet"))
+    spark.createDataFrame(rows[200:450], schema).coalesce(1).write.parquet(
+        _os.path.join(landing, "f1.parquet"))
+    spark.createDataFrame(rows[450:], schema).coalesce(1).write.parquet(
+        _os.path.join(landing, "f2.parquet"))
+
+    streamed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/*")
+    )
+    state = str(tmp_path / "state")
+    foreach_batch_state_maintenance(
+        streamed, state, ["event_type"], "value", "user_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    final = incremental.finalize_aggs(read_latest_state(spark, state))
+    direct = incremental.finalize_aggs(
+        incremental.partial_aggs(
+            spark.createDataFrame(rows, schema),
+            ["event_type"], "value", "user_id",
+        )
+    )
+    key = lambda r: r["event_type"]
+    got = sorted(final.collect(), key=key)
+    want = sorted(direct.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # replay the LAST epoch with the same inputs: state must be unchanged
+    # (epoch N recomputes from epoch N-1, never merges twice)
+    from restaurant_etl_code_spark.streaming.jobs import _latest_epoch
+
+    last = _latest_epoch(state)
+    replay_delta = spark.createDataFrame(rows[450:], schema)
+
+    # simulate the sink call for the same epoch id
+    states = [incremental.partial_aggs(replay_delta, ["event_type"],
+                                       "value", "user_id")]
+    prev = _latest_epoch(state, below=last)
+    states.append(spark.read.parquet(f"{state}/epoch={prev}"))
+    remerged = incremental.merge_partial_aggs(*states)
+    re_final = sorted(
+        incremental.finalize_aggs(remerged).collect(), key=key)
+    assert [tuple(r) for r in re_final] == [tuple(r) for r in want]
