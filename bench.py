@@ -115,6 +115,13 @@ BENCH_QUERIES = [
     "incremental_quantile",
     "kfold_split",
     "retrieval_eval",
+    "funnel",
+    "cohort_retention",
+    "event_transitions",
+    "concurrency_sweep",
+    "dq_audit",
+    "time_resample",
+    "winsorize",
 ]
 
 

@@ -1,4 +1,6 @@
 from restaurant_etl_code_spark.operators import (  # noqa: F401
+    audit,
+    behavior,
     bloom,
     chunking,
     dedup,

@@ -1,0 +1,151 @@
+"""Data-quality audit: one-pass column profiling + constraint checks.
+
+The reference validates payloads ad hoc before indexing (SURVEY §2 K5/K6:
+failed-rows sink, payload size guard; reference ``api/loading`` size
+checks). A 100 TB pipeline needs the audit as a first-class relational
+operator instead: profile every column and evaluate constraints in as few
+passes as one, emitting a long-format metrics table that a gate can act on.
+
+Scale notes:
+- ``profile_columns`` is ONE full-scan aggregation. Exact multi-column
+  distinct counts make Catalyst plan an Expand (one duplicated stream per
+  DISTINCT set); at 100 TB pass ``approx=True`` to compute every distinct
+  with HLL (±2 %) in a single non-expanded pass.
+- ``constraint_counts`` folds uniqueness + domain + nullability checks
+  into the same single-pass aggregation (conditional counters, map-side
+  combined).
+- ``referential_violations`` is a shuffle anti-join on the key; the dim
+  side broadcasts when small (Spark decides via AQE/threshold).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "profile_columns",
+    "constraint_counts",
+    "referential_violations",
+]
+
+
+def profile_columns(
+    df: DataFrame,
+    *,
+    numeric_cols: Sequence[str] = (),
+    string_cols: Sequence[str] = (),
+    approx: bool = False,
+) -> DataFrame:
+    """Long-format column profile from ONE aggregation pass.
+
+    Output rows: ('row_count', '*', n, null) plus per column
+    ('null_count' | 'distinct_count' | 'min' | 'max', col, value_num,
+    value_str). Numeric min/max land in ``value_num`` (double), string
+    min/max in ``value_str`` — never both, so cross-engine comparison
+    needs no type coercion tricks.
+
+    ``approx=True`` swaps exact COUNT(DISTINCT) for HLL
+    ``approx_count_distinct`` — at 100 TB the exact variant's Expand
+    multiplies the scanned stream by the number of profiled columns.
+    """
+    cols = list(numeric_cols) + list(string_cols)
+    distinct = (
+        (lambda c: F.approx_count_distinct(c)) if approx else (lambda c: F.countDistinct(c))
+    )
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null__{c}"))
+        aggs.append(distinct(F.col(c)).cast("bigint").alias(f"__dist__{c}"))
+    for c in numeric_cols:
+        aggs.append(F.min(c).cast("double").alias(f"__min__{c}"))
+        aggs.append(F.max(c).cast("double").alias(f"__max__{c}"))
+    for c in string_cols:
+        aggs.append(F.min(c).cast("string").alias(f"__min__{c}"))
+        aggs.append(F.max(c).cast("string").alias(f"__max__{c}"))
+    one = df.agg(*aggs)
+
+    # Explode the single stats row into long format with stack() — a
+    # codegen Expand over ONE row, no data movement.
+    entries: list[str] = ["'row_count', '*', cast(__n as double), cast(null as string)"]
+    for c in cols:
+        entries.append(f"'null_count', '{c}', cast(__null__{c} as double), cast(null as string)")
+        entries.append(f"'distinct_count', '{c}', cast(__dist__{c} as double), cast(null as string)")
+    for c in numeric_cols:
+        entries.append(f"'min', '{c}', __min__{c}, cast(null as string)")
+        entries.append(f"'max', '{c}', __max__{c}, cast(null as string)")
+    for c in string_cols:
+        entries.append(f"'min', '{c}', cast(null as double), __min__{c}")
+        entries.append(f"'max', '{c}', cast(null as double), __max__{c}")
+    stack = ", ".join(entries)
+    return one.selectExpr(
+        f"stack({len(entries)}, {stack}) as (metric, column_name, value_num, value_str)"
+    )
+
+
+def constraint_counts(
+    df: DataFrame,
+    *,
+    unique_cols: Sequence[str] = (),
+    not_null_cols: Sequence[str] = (),
+    domain: Mapping[str, Sequence[str]] | None = None,
+) -> DataFrame:
+    """Violation counts for uniqueness / not-null / value-domain
+    constraints, long format (metric, column_name, violations).
+
+    Not-null and domain checks fold into one conditional-counter scan.
+    Uniqueness needs a distinct per key — counted as
+    ``row_count − distinct_count`` in the same aggregation (Expand), so
+    the whole call is still a single pass over the data.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in not_null_cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn__{c}"))
+    for c, allowed in (domain or {}).items():
+        ok = F.col(c).isin(list(allowed))
+        aggs.append(F.count(F.when(~ok | F.col(c).isNull(), 1)).alias(f"__dom__{c}"))
+    for c in unique_cols:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__uq__{c}"))
+    one = df.agg(*aggs)
+
+    entries: list[str] = []
+    for c in not_null_cols:
+        entries.append(f"'not_null', '{c}', cast(__nn__{c} as bigint)")
+    for c in (domain or {}):
+        entries.append(f"'domain', '{c}', cast(__dom__{c} as bigint)")
+    for c in unique_cols:
+        entries.append(f"'unique', '{c}', cast(__n - __uq__{c} as bigint)")
+    stack = ", ".join(entries)
+    return one.selectExpr(
+        f"stack({len(entries)}, {stack}) as (metric, column_name, violations)"
+    )
+
+
+def referential_violations(
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    fk: str,
+    pk: str,
+    label: str,
+) -> DataFrame:
+    """Count of fact rows whose foreign key has no match in the dim —
+    a left-anti join (shuffle on the key; the dim side broadcasts when
+    under the threshold) reduced to one counter row
+    (metric='referential', column_name=label, violations).
+
+    NULL foreign keys count as violations (they reference nothing);
+    flip with an upstream filter if NULLs are legal.
+    """
+    missing = fact.select(F.col(fk).alias("__fk")).join(
+        dim.select(F.col(pk).alias("__fk")).distinct(),
+        "__fk",
+        "left_anti",
+    )
+    return missing.agg(F.count(F.lit(1)).cast("bigint").alias("violations")).select(
+        F.lit("referential").alias("metric"),
+        F.lit(label).alias("column_name"),
+        "violations",
+    )

@@ -1,0 +1,247 @@
+"""Behavioral event-sequence analytics: funnels, cohorts, transitions,
+interval concurrency.
+
+The reference pipeline tracks per-run product status through a
+success/partial/failure cascade (SURVEY §2 A6/A9, reference
+``repository/ops/loading.py`` status handling); these operators generalize
+that to the event-sequence analytics a production deployment runs on the
+same stream: ordered-funnel conversion, cohort retention, Markov
+transition matrices, and sweep-line concurrency. All are expressed as
+single-shuffle (or counter-only) DataFrame plans.
+
+Scale notes (100 TB):
+- ``funnel`` chains k window expressions over ONE (user, ts) sort — a
+  single shuffle regardless of stage count; per-user state is O(k).
+- ``cohort_retention`` shuffles the fact twice on the same user key (AQE
+  reuses the exchange for the self-join) and emits counter-sized output.
+- ``event_transitions`` is a lag window + counter aggregation.
+- ``max_concurrency`` is the textbook two-phase distributed prefix sum:
+  bucket-local running sums in parallel, bucket carry-ins from a
+  bucket-count-sized (NOT data-sized) cumulative window.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "funnel",
+    "cohort_retention",
+    "event_transitions",
+    "max_concurrency",
+]
+
+
+def funnel(
+    events: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Ordered funnel: a user reaches stage *i* iff events matching
+    ``stages[0..i]`` occur at strictly increasing positions in their
+    (ts, tiebreak) ordered stream.
+
+    One shuffle total: every chained expression shares the same window
+    partitioning (user) and ordering (ts, tiebreak), so Catalyst plans a
+    single sort + Window exec. Stage *i*'s per-row candidate timestamp is
+    gated on the running minimum of stage *i-1* over STRICTLY PRECEDING
+    rows (frame ``(-inf, -1]``), which encodes the sequential constraint
+    without a self-join per stage.
+
+    Returns one row per stage: (stage, stage_idx, users, conversion)
+    where conversion = users / users-at-stage-0, rounded to 6 dp.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    w_prev = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = events
+    cands = []
+    prev_min = None
+    for i, s in enumerate(stages):
+        cond = F.col(type_col) == s
+        if prev_min is not None:
+            cond = cond & prev_min.isNotNull()
+        cand = F.when(cond, F.col(ts_col))
+        df = df.withColumn(f"__cand{i}", cand)
+        cands.append(f"__cand{i}")
+        prev_min = F.min(F.col(f"__cand{i}")).over(w_prev)
+
+    per_user = df.groupBy(user_col).agg(
+        *[
+            F.max(F.col(c).isNotNull().cast("int")).alias(f"__r{i}")
+            for i, c in enumerate(cands)
+        ]
+    )
+    totals = per_user.agg(
+        *[F.sum(f"__r{i}").alias(f"__u{i}") for i in range(len(stages))]
+    )
+    # totals is ONE row; explode it into one row per stage (stack is a
+    # codegen Expand on a single row — no data movement).
+    stack_args = ", ".join(
+        f"'{s}', {i}, __u{i}" for i, s in enumerate(stages)
+    )
+    out = totals.selectExpr(
+        f"stack({len(stages)}, {stack_args}) as (stage, stage_idx, users)"
+    )
+    base = F.first(F.when(F.col("stage_idx") == 0, F.col("users"))).over(
+        Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return out.select(
+        "stage",
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        F.col("users").cast("bigint").alias("users"),
+        F.round(F.col("users") / base, 6).alias("conversion"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    max_offset_weeks: int | None = None,
+) -> DataFrame:
+    """Weekly cohort retention: cohort = Monday-truncated week of a user's
+    first event; for each (cohort_week, week_offset) count distinct users
+    active that week.
+
+    Both the first-event aggregation and the enrich join shuffle on the
+    same user key, so AQE reuses one exchange; output is counter-sized
+    (weeks × offsets). The distinct-user count is the exact semantic —
+    at 100 TB swap ``countDistinct`` for ``approx_count_distinct`` or a
+    mergeable HLL sketch (operators/stats.py sketch rollup) if ±2 % is
+    acceptable.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    first = events.groupBy(user_col).agg(F.min(week).alias("__cohort"))
+    act = (
+        events.join(first, user_col)
+        .select(
+            F.col(user_col),
+            F.to_date("__cohort").alias("cohort_week"),
+            (
+                F.floor(
+                    F.datediff(F.to_date(week), F.to_date("__cohort")) / 7
+                )
+            ).cast("int").alias("week_offset"),
+        )
+    )
+    if max_offset_weeks is not None:
+        act = act.filter(F.col("week_offset") <= max_offset_weeks)
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("active_users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    count and row-normalized probability of each (prev_type → next_type)
+    bigram.
+
+    One data-sized shuffle (the per-user lag window); the bigram counts
+    and the per-prev normalization are counter-sized (|types|²) — the
+    probability window runs on counters, not events.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    bigrams = (
+        events.withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("prev_type"), F.col(type_col).alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_prev_total = Window.partitionBy("prev_type")
+    return bigrams.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_prev_total), 6).alias("p"),
+    )
+
+
+def max_concurrency(
+    intervals: DataFrame,
+    *,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Per-bucket maximum interval concurrency via distributed sweep-line.
+
+    Semantics: an interval is active on [start, end] inclusive; at equal
+    timestamps starts are processed before ends, so touching intervals
+    count as concurrent. Output: one row per time bucket that contains at
+    least one boundary event — (bucket_start, max_concurrent, n_events).
+
+    Scale shape — the two-phase prefix sum: a global running sum over all
+    boundary events would be a single-partition sort (unusable at 100 TB).
+    Instead boundary events partition by time bucket; each bucket computes
+    its LOCAL running sum in parallel (one shuffle, parallel sort), and a
+    second, bucket-count-sized aggregation produces per-bucket carry-ins
+    via a cumulative window over bucket totals. The carry-in table is
+    ~(time-range / bucket) rows — thousands, not data-sized — and joins
+    back broadcast. bucket-local + carry-in ≡ global prefix sum exactly.
+    """
+    # integer microseconds (≡ DuckDB epoch_us) — no float comparisons in
+    # the sort key or the bucket assignment
+    s = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e = F.unix_micros(F.col(end_col).cast("timestamp"))
+    deltas = intervals.select(s.alias("__t"), F.lit(1).alias("__d")).unionAll(
+        intervals.select(e.alias("__t"), F.lit(-1).alias("__d"))
+    )
+    bucket_us = bucket_seconds * 1_000_000
+    deltas = deltas.withColumn(
+        "__bucket", F.floor(F.col("__t") / bucket_us).cast("bigint")
+    )
+    # starts before ends at equal t: order by (t, -d)
+    w_local = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col("__t"), (-F.col("__d")))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = deltas.withColumn("__run", F.sum("__d").over(w_local))
+
+    totals = deltas.groupBy("__bucket").agg(F.sum("__d").alias("__tot"))
+    w_carry = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = totals.select(
+        "__bucket", F.coalesce(F.sum("__tot").over(w_carry), F.lit(0)).alias("__carry")
+    )
+
+    swept = local.join(F.broadcast(carry), "__bucket")
+    return (
+        swept.groupBy("__bucket")
+        .agg(
+            F.max(F.col("__run") + F.col("__carry")).alias("max_concurrent"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            # epoch seconds, not a timestamp: DuckDB's to_timestamp() returns
+            # TIMESTAMPTZ while Spark's timestamp_seconds() returns TIMESTAMP —
+            # a bigint compares identically on both engines.
+            (F.col("__bucket") * bucket_seconds).cast("bigint").alias("bucket_start_sec"),
+            F.col("max_concurrent").cast("bigint").alias("max_concurrent"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )

@@ -19,6 +19,7 @@ __all__ = [
     "status_partition_counts",
     "equi_width_histogram",
     "heavy_hitters",
+    "winsorized_stats",
 ]
 
 
@@ -182,4 +183,51 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > threshold)
         .withColumn("share", F.round(F.col("n") / F.lit(total), 6))
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    approx: bool = False,
+) -> DataFrame:
+    """Robust per-group statistics: exact interpolated (lo, hi) quantile
+    caps, outlier counts beyond them, and the winsorized (clipped) mean.
+
+    Two passes over the fact, both shuffling on the same group key:
+    (1) per-group quantiles — ``percentile()`` (≡ DuckDB quantile_cont)
+    buffers each group's values, exact but memory-heavy; (2) clip + agg
+    with the caps joined back (group-count-sized table → broadcast).
+    At 100 TB pass ``approx=True``: ``approx_percentile`` is a mergeable
+    KLL-style sketch with bounded memory and map-side combine — the caps
+    shift by the sketch error but the plan shape is identical.
+    """
+    pct = "approx_percentile" if approx else "percentile"
+    caps = df.groupBy(group_col).agg(
+        F.expr(f"{pct}({value_col}, {lo!r}D)").alias("__plo"),
+        F.expr(f"{pct}({value_col}, {hi!r}D)").alias("__phi"),
+    )
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("__plo")), F.col("__phi"))
+    return (
+        df.join(F.broadcast(caps), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("__plo"), 4).alias("p_lo"),
+            F.round(F.first("__phi"), 4).alias("p_hi"),
+            F.sum((v < F.col("__plo")).cast("bigint")).alias("n_below"),
+            F.sum((v > F.col("__phi")).cast("bigint")).alias("n_above"),
+            # exact-decimal sum → double divide: order-independent, so the
+            # mean is bit-identical across engines/partitionings
+            F.round(
+                F.sum(clipped.cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_mean"),
+        )
     )

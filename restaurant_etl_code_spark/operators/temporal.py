@@ -20,6 +20,7 @@ __all__ = [
     "rolling_stats",
     "scd2_history",
     "sliding_window_agg",
+    "resample_counts",
 ]
 
 
@@ -284,4 +285,55 @@ def sliding_window_agg(
         )
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
         .select(F.col("w.start").alias("window_start"), key_col, "n", "value_sum")
+    )
+
+
+def resample_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Gap-filled time-series resample: per (period, key) counts and sums
+    with EVERY period in [min, max] present — missing slots emit 0 rows
+    (n=0, value_sum=0.0) so downstream windows/regressions see a dense,
+    regular series.
+
+    Scale shape: the fact side shuffles ONCE into (period, key) counters
+    (map-side combined). The dense dimension is built without collecting:
+    a single-row min/max aggregate feeds ``sequence()`` + ``explode`` —
+    (time-range / unit) × |keys| rows, dimension-sized, never data-sized —
+    and the counter table right-joins it (both sides are counter-scale, so
+    the join is trivially broadcastable; Spark picks the side).
+    """
+    period = F.date_trunc(unit, F.col(ts_col))
+    step = F.expr(f"interval 1 {unit}")
+    counts = (
+        events.groupBy(period.alias("period"), F.col(key_col).alias("series_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 4).alias("value_sum"),
+        )
+    )
+    bounds = events.agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
+        F.date_trunc(unit, F.max(ts_col)).alias("__hi"),
+    )
+    periods = bounds.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias("period")
+    )
+    keys = events.select(F.col(key_col).alias("series_key")).distinct()
+    dense = periods.crossJoin(keys)
+    return (
+        dense.join(counts, ["period", "series_key"], "left")
+        .select(
+            # keep the source timestamp type (NTZ parquet stays NTZ — the
+            # batch/streaming twins and the oracle all agree on zone-less)
+            F.col("period"),
+            "series_key",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.round(F.coalesce(F.col("value_sum"), F.lit(0.0)), 4).alias("value_sum"),
+        )
     )

@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 
 from restaurant_etl_code_spark.functions import cleansing, text as Ftext, vectors
 from restaurant_etl_code_spark.operators import (
+    audit,
+    behavior,
     chunking,
     corpus,
     dedup,
@@ -4424,6 +4426,287 @@ from topk group by 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Behavioral analytics: funnel / cohort retention / transitions / concurrency
+# (operators/behavior.py — single-shuffle window cascades and the two-phase
+# distributed prefix sum)
+# --------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return behavior.funnel(
+        events,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        stages=_FUNNEL_STAGES,
+        tiebreak_col="event_id",
+    )
+
+
+_ORACLE_FUNNEL = """
+with s0 as (
+  select user_id, ts, event_type, event_id,
+         min(case when event_type = 'view' then ts end) over
+           (partition by user_id order by ts, event_id
+            rows between unbounded preceding and 1 preceding) as p0
+  from events),
+s1 as (
+  select *, case when event_type = 'click' and p0 is not null then ts end as c1
+  from s0),
+s1m as (
+  select *, min(c1) over
+           (partition by user_id order by ts, event_id
+            rows between unbounded preceding and 1 preceding) as p1
+  from s1),
+s2 as (
+  select *, case when event_type = 'purchase' and p1 is not null then ts end as c2
+  from s1m),
+per_user as (
+  select user_id,
+         max(case when event_type = 'view' then 1 else 0 end) as r0,
+         max(case when c1 is not null then 1 else 0 end) as r1,
+         max(case when c2 is not null then 1 else 0 end) as r2
+  from s2 group by user_id),
+tot as (select sum(r0) as u0, sum(r1) as u1, sum(r2) as u2 from per_user)
+select 'view' as stage, 0 as stage_idx, u0::bigint as users,
+       round(u0 / u0, 6) as conversion from tot
+union all
+select 'click', 1, u1::bigint, round(u1 / u0, 6) from tot
+union all
+select 'purchase', 2, u2::bigint, round(u2 / u0, 6) from tot
+"""
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return behavior.cohort_retention(events, user_col="user_id", ts_col="ts")
+
+
+_ORACLE_COHORT = """
+with fw as (
+  select user_id, min(date_trunc('week', ts)) as cohort
+  from events group by user_id)
+select cast(f.cohort as date) as cohort_week,
+       cast(floor(date_diff('day', cast(f.cohort as date),
+                            cast(date_trunc('week', e.ts) as date)) / 7) as int)
+         as week_offset,
+       count(distinct e.user_id)::bigint as active_users
+from events e join fw f using (user_id)
+group by 1, 2
+"""
+
+
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return behavior.event_transitions(
+        events,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        tiebreak_col="event_id",
+    )
+
+
+_ORACLE_TRANSITIONS = """
+with lagged as (
+  select user_id, event_type,
+         lag(event_type) over (partition by user_id order by ts, event_id) as prev
+  from events),
+c as (
+  select prev as prev_type, event_type as next_type, count(*)::bigint as n
+  from lagged where prev is not null group by 1, 2)
+select prev_type, next_type, n,
+       round(n / sum(n) over (partition by prev_type), 6) as p
+from c
+"""
+
+
+def _q_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent 30-minute sessions per 6-hour bucket — sessionize
+    feeds the sweep-line two-phase prefix sum."""
+    events = load_table(spark, sf_dir, "events")
+    sessions = temporal.sessionize(
+        events, user_col="user_id", ts_col="ts", gap_minutes=30
+    )
+    return behavior.max_concurrency(
+        sessions,
+        start_col="session_start",
+        end_col="session_end",
+        bucket_seconds=21600,
+    )
+
+
+_ORACLE_CONCURRENCY = """
+with flagged as (
+  select user_id, ts,
+         case when lag(ts) over w is null
+                   or epoch_us(ts) // 1000000 - epoch_us(lag(ts) over w) // 1000000 > 1800
+              then 1 else 0 end as new_session
+  from events window w as (partition by user_id order by ts)),
+sessioned as (
+  select user_id, ts,
+         (sum(new_session) over (partition by user_id order by ts
+                                 rows between unbounded preceding and current row)
+          - 1) as session_id
+  from flagged),
+sess as (
+  select user_id, session_id, min(ts) as session_start, max(ts) as session_end
+  from sessioned group by 1, 2),
+deltas as (
+  select epoch_us(session_start) as t, 1 as d from sess
+  union all
+  select epoch_us(session_end) as t, -1 as d from sess),
+run as (
+  select t, d, t // 21600000000 as bucket,
+         sum(d) over (order by t, -d
+                      rows between unbounded preceding and current row) as run
+  from deltas)
+select (bucket * 21600)::bigint as bucket_start_sec,
+       max(run)::bigint as max_concurrent,
+       count(*)::bigint as n_events
+from run
+group by bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# Data-quality audit: one-pass profile + constraints + referential check
+# (operators/audit.py)
+# --------------------------------------------------------------------------
+
+def _q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    prof = audit.profile_columns(
+        orders,
+        numeric_cols=["o_totalprice"],
+        string_cols=["o_orderstatus", "o_orderpriority"],
+    )
+    cons = audit.constraint_counts(
+        orders,
+        unique_cols=["o_orderkey"],
+        not_null_cols=["o_custkey"],
+        domain={"o_orderstatus": ["O", "F", "P"]},
+    )
+    ri = audit.referential_violations(
+        orders, customer, fk="o_custkey", pk="c_custkey",
+        label="o_custkey->customer.c_custkey",
+    )
+    as4 = lambda d: d.select(  # noqa: E731
+        "metric", "column_name",
+        F.col("violations").cast("double").alias("value_num"),
+        F.lit(None).cast("string").alias("value_str"),
+    )
+    return prof.unionAll(as4(cons)).unionAll(as4(ri))
+
+
+_ORACLE_DQ_AUDIT = """
+with p as (
+  select count(*) as n,
+         count(case when o_totalprice is null then 1 end) as null_tp,
+         count(distinct o_totalprice) as dist_tp,
+         count(case when o_orderstatus is null then 1 end) as null_st,
+         count(distinct o_orderstatus) as dist_st,
+         count(case when o_orderpriority is null then 1 end) as null_pr,
+         count(distinct o_orderpriority) as dist_pr,
+         min(o_totalprice)::double as min_tp,
+         max(o_totalprice)::double as max_tp,
+         min(o_orderstatus) as min_st, max(o_orderstatus) as max_st,
+         min(o_orderpriority) as min_pr, max(o_orderpriority) as max_pr,
+         count(case when o_custkey is null then 1 end) as nn_ck,
+         count(case when o_orderstatus is null
+                         or o_orderstatus not in ('O', 'F', 'P')
+               then 1 end) as dom_st,
+         count(distinct o_orderkey) as uq_ok
+  from orders),
+ri as (
+  select count(*) as v from orders o
+  where not exists (select 1 from customer c where c.c_custkey = o.o_custkey))
+select 'row_count' as metric, '*' as column_name,
+       n::double as value_num, null::varchar as value_str from p
+union all select 'null_count', 'o_totalprice', null_tp::double, null from p
+union all select 'distinct_count', 'o_totalprice', dist_tp::double, null from p
+union all select 'null_count', 'o_orderstatus', null_st::double, null from p
+union all select 'distinct_count', 'o_orderstatus', dist_st::double, null from p
+union all select 'null_count', 'o_orderpriority', null_pr::double, null from p
+union all select 'distinct_count', 'o_orderpriority', dist_pr::double, null from p
+union all select 'min', 'o_totalprice', min_tp, null from p
+union all select 'max', 'o_totalprice', max_tp, null from p
+union all select 'min', 'o_orderstatus', null, min_st from p
+union all select 'max', 'o_orderstatus', null, max_st from p
+union all select 'min', 'o_orderpriority', null, min_pr from p
+union all select 'max', 'o_orderpriority', null, max_pr from p
+union all select 'not_null', 'o_custkey', nn_ck::double, null from p
+union all select 'domain', 'o_orderstatus', dom_st::double, null from p
+union all select 'unique', 'o_orderkey', (n - uq_ok)::double, null from p
+union all select 'referential', 'o_custkey->customer.c_custkey',
+                 v::double, null from ri
+"""
+
+
+# --------------------------------------------------------------------------
+# Gap-filled resample + winsorized robust stats
+# --------------------------------------------------------------------------
+
+def _q_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return temporal.resample_counts(
+        events, ts_col="ts", key_col="event_type", value_col="value", unit="hour"
+    )
+
+
+_ORACLE_RESAMPLE = """
+with b as (
+  select date_trunc('hour', min(ts)) as lo, date_trunc('hour', max(ts)) as hi
+  from events),
+periods as (
+  select unnest(generate_series(lo, hi, interval 1 hour)) as period from b),
+keys as (select distinct event_type as series_key from events),
+c as (
+  select date_trunc('hour', ts) as period, event_type as series_key,
+         count(*)::bigint as n, round(sum(value), 4) as value_sum
+  from events group by 1, 2)
+select p.period, k.series_key,
+       coalesce(c.n, 0)::bigint as n,
+       round(coalesce(c.value_sum, 0.0), 4) as value_sum
+from periods p
+cross join keys k
+left join c on c.period = p.period and c.series_key = k.series_key
+"""
+
+
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return stats.winsorized_stats(
+        lineitem, group_col="l_returnflag", value_col="l_extendedprice",
+        lo=0.01, hi=0.99,
+    )
+
+
+_ORACLE_WINSORIZE = """
+with caps as (
+  select l_returnflag,
+         quantile_cont(l_extendedprice, 0.01) as plo,
+         quantile_cont(l_extendedprice, 0.99) as phi
+  from lineitem group by 1)
+select l.l_returnflag,
+       count(*)::bigint as n,
+       round(min(c.plo), 4) as p_lo,
+       round(min(c.phi), 4) as p_hi,
+       count(case when l.l_extendedprice < c.plo then 1 end)::bigint as n_below,
+       count(case when l.l_extendedprice > c.phi then 1 end)::bigint as n_above,
+       round(sum(cast(least(greatest(l.l_extendedprice, c.plo), c.phi)
+                      as decimal(28,10)))::double / count(*), 6)
+         as winsorized_mean
+from lineitem l join caps c using (l_returnflag)
+group by 1
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -4683,6 +4966,27 @@ _REGISTRY: dict[str, QueryDef] = {
     "retrieval_eval": QueryDef(
         _q_retrieval_eval, _ORACLE_RETRIEVAL_EVAL,
         "precision@3 by label agreement over the exact cosine index"),
+    "funnel": QueryDef(
+        _q_funnel, _ORACLE_FUNNEL,
+        "ordered 3-stage funnel: one window-cascade shuffle, k-stage gating"),
+    "cohort_retention": QueryDef(
+        _q_cohort_retention, _ORACLE_COHORT,
+        "weekly cohort retention; exchange-reused self-join on user key"),
+    "event_transitions": QueryDef(
+        _q_event_transitions, _ORACLE_TRANSITIONS,
+        "Markov transition matrix: lag window + counter-only normalization"),
+    "concurrency_sweep": QueryDef(
+        _q_concurrency_sweep, _ORACLE_CONCURRENCY,
+        "sweep-line max session concurrency via two-phase distributed prefix sum"),
+    "dq_audit": QueryDef(
+        _q_dq_audit, _ORACLE_DQ_AUDIT,
+        "one-pass column profile + uniqueness/domain/not-null/referential checks"),
+    "time_resample": QueryDef(
+        _q_time_resample, _ORACLE_RESAMPLE,
+        "gap-filled hourly resample; dense dim built without collect"),
+    "winsorize": QueryDef(
+        _q_winsorize, _ORACLE_WINSORIZE,
+        "exact-quantile winsorized robust stats; approx sketch path for scale"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -4700,9 +5004,11 @@ _WINDOW_FIRST = [
     "incremental_agg", "sketch_overlap", "sliding_window", "histogram",
     "weighted_sample", "heavy_hitters", "bloom_prune_join",
     "streaming_dedup_watermark",
-    # round-2 additions pushed out of the r03 window
-    "embedding_near_dup", "embedding_near_dup_lsh", "quantize_fidelity",
-    "dedup_clusters", "ann_multiprobe_topk", "sequence_pack",
+    # round-2 additions pushed out of the r03 window (embedding_near_dup and
+    # dedup_clusters were green in r02, so they yield their slots to two
+    # late round-4 queries; both stay covered by tools/oracle_check.py)
+    "embedding_near_dup_lsh", "quantize_fidelity",
+    "ann_multiprobe_topk", "sequence_pack",
     "multimodal_features", "contentgen_fallback", "set_ops", "pivot_counts",
     "cube_pricing", "running_total", "positional_zip", "url_parse",
     "industry_resolve", "update_fields", "distinct_categories",
@@ -4711,6 +5017,7 @@ _WINDOW_FIRST = [
     "rolling_stats", "csv_scan_agg", "json_scan_agg",
     # round-4 additions
     "mdb_scan_agg", "simhash_pairs_banded", "pdf_menu_extract",
+    "semantic_dedup", "cdc_snapshot",
     # anchors: longest-green queries kept in-window as canaries
     "staging_cleanse", "match_cascade", "dedup_keep_first", "streaming_window",
 ]

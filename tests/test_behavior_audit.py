@@ -1,0 +1,234 @@
+"""Behavioral analytics (funnel/cohort/transitions/concurrency) and the
+data-quality audit: semantics on hand-built fixtures where the expected
+answer is checkable by eye."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.operators import audit, behavior, stats, temporal
+
+
+def _ts(day: int, hour: int = 0, minute: int = 0):
+    return datetime(2024, 1, day, hour, minute)
+
+
+# ---------------------------------------------------------------- funnel
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string, event_id bigint"
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # u1: view -> click -> purchase (reaches all 3)
+        (1, _ts(1, 0), "view", 1), (1, _ts(1, 1), "click", 2), (1, _ts(1, 2), "purchase", 3),
+        # u2: purchase BEFORE click -> purchase must not count
+        (2, _ts(1, 0), "view", 4), (2, _ts(1, 1), "purchase", 5), (2, _ts(1, 2), "click", 6),
+        # u3: click only, never viewed -> reaches nothing
+        (3, _ts(1, 0), "click", 7),
+    ]
+    out = behavior.funnel(
+        _events(spark, rows), user_col="user_id", ts_col="ts",
+        type_col="event_type", stages=("view", "click", "purchase"),
+        tiebreak_col="event_id",
+    ).collect()
+    by_stage = {r.stage: r for r in out}
+    assert by_stage["view"].users == 2
+    assert by_stage["click"].users == 2
+    assert by_stage["purchase"].users == 1
+    assert by_stage["purchase"].conversion == 0.5
+
+
+def test_funnel_same_timestamp_not_sequential(spark):
+    # view and click at the SAME instant: click is not strictly after
+    rows = [(1, _ts(1), "view", 1), (1, _ts(1), "click", 0)]
+    out = behavior.funnel(
+        _events(spark, rows), user_col="user_id", ts_col="ts",
+        type_col="event_type", stages=("view", "click"), tiebreak_col="event_id",
+    ).collect()
+    users = {r.stage: r.users for r in out}
+    # event_id tiebreak puts click (id 0) BEFORE view -> not reached
+    assert users == {"view": 1, "click": 0}
+
+
+# ---------------------------------------------------------------- cohort
+
+def test_cohort_retention_offsets(spark):
+    rows = [
+        (1, _ts(1), "view", 1),    # Mon Jan 1 cohort
+        (1, _ts(10), "view", 2),   # week offset 1
+        (2, _ts(10), "view", 3),   # cohort Jan 8 week
+    ]
+    out = behavior.cohort_retention(
+        _events(spark, rows), user_col="user_id", ts_col="ts"
+    ).collect()
+    got = {(str(r.cohort_week), r.week_offset): r.active_users for r in out}
+    assert got[("2024-01-01", 0)] == 1
+    assert got[("2024-01-01", 1)] == 1
+    assert got[("2024-01-08", 0)] == 1
+
+
+# ---------------------------------------------------------------- transitions
+
+def test_event_transitions_probabilities(spark):
+    rows = [
+        (1, _ts(1, 0), "a", 1), (1, _ts(1, 1), "b", 2), (1, _ts(1, 2), "a", 3),
+        (1, _ts(1, 3), "c", 4),
+        (2, _ts(1, 0), "a", 5), (2, _ts(1, 1), "b", 6),
+    ]
+    out = behavior.event_transitions(
+        _events(spark, rows), user_col="user_id", ts_col="ts",
+        type_col="event_type", tiebreak_col="event_id",
+    ).collect()
+    got = {(r.prev_type, r.next_type): (r.n, r.p) for r in out}
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")][0] == 1
+    assert got[("b", "a")] == (1, 1.0)
+
+
+# ---------------------------------------------------------------- sweep-line
+
+def _intervals(spark, rows):
+    return spark.createDataFrame(rows, "s timestamp, e timestamp")
+
+
+def test_max_concurrency_basic_overlap(spark):
+    rows = [
+        (_ts(1, 0), _ts(1, 2)),
+        (_ts(1, 1), _ts(1, 3)),   # overlaps first -> 2 concurrent
+        (_ts(1, 5), _ts(1, 6)),   # isolated
+    ]
+    out = behavior.max_concurrency(
+        _intervals(spark, rows), start_col="s", end_col="e",
+        bucket_seconds=86400,
+    ).collect()
+    assert len(out) == 1
+    assert out[0].max_concurrent == 2
+    assert out[0].n_events == 6
+
+
+def test_max_concurrency_carry_across_buckets(spark):
+    # interval spans two daily buckets; second bucket's local events alone
+    # would count 1 — the carry-in keeps the spanning interval active
+    rows = [
+        (_ts(1, 12), _ts(2, 12)),          # spans midnight
+        (_ts(2, 1), _ts(2, 2)),            # inside day 2
+    ]
+    out = behavior.max_concurrency(
+        _intervals(spark, rows), start_col="s", end_col="e",
+        bucket_seconds=86400,
+    ).collect()
+    by_bucket = {r.bucket_start_sec: r.max_concurrent for r in out}
+    day2 = int(datetime(2024, 1, 2).timestamp())
+    assert by_bucket[day2] == 2   # carry-in 1 + local start 1
+
+
+def test_max_concurrency_touching_intervals_concurrent(spark):
+    # end of A == start of B: inclusive semantics, +1 sorts before -1
+    rows = [(_ts(1, 0), _ts(1, 1)), (_ts(1, 1), _ts(1, 2))]
+    out = behavior.max_concurrency(
+        _intervals(spark, rows), start_col="s", end_col="e",
+        bucket_seconds=86400,
+    ).collect()
+    assert out[0].max_concurrent == 2
+
+
+# ---------------------------------------------------------------- audit
+
+def test_profile_columns_long_format(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, "x"), (2, None, "y"), (3, 4.0, None), (4, 4.0, "y")],
+        "id bigint, v double, s string",
+    )
+    out = audit.profile_columns(df, numeric_cols=["v"], string_cols=["s"])
+    got = {(r.metric, r.column_name): r for r in out.collect()}
+    assert got[("row_count", "*")].value_num == 4.0
+    assert got[("null_count", "v")].value_num == 1.0
+    assert got[("distinct_count", "v")].value_num == 2.0
+    assert got[("min", "v")].value_num == 2.0
+    assert got[("max", "s")].value_str == "y"
+    assert got[("min", "s")].value_num is None
+
+
+def test_constraint_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "O", 10), (1, "F", None), (2, "BAD", 30)],
+        "k bigint, st string, fk bigint",
+    )
+    out = audit.constraint_counts(
+        df, unique_cols=["k"], not_null_cols=["fk"],
+        domain={"st": ["O", "F"]},
+    )
+    got = {(r.metric, r.column_name): r.violations for r in out.collect()}
+    assert got[("unique", "k")] == 1      # 3 rows, 2 distinct
+    assert got[("not_null", "fk")] == 1
+    assert got[("domain", "st")] == 1
+
+
+def test_referential_violations_counts_nulls(spark):
+    fact = spark.createDataFrame([(1,), (2,), (None,)], "fk bigint")
+    dim = spark.createDataFrame([(1,)], "pk bigint")
+    out = audit.referential_violations(
+        fact, dim, fk="fk", pk="pk", label="fk->dim.pk"
+    ).collect()
+    assert out[0].violations == 2  # fk=2 missing + NULL fk
+    assert out[0].column_name == "fk->dim.pk"
+
+
+# ---------------------------------------------------------------- resample
+
+def test_resample_zero_fills_gaps(spark):
+    rows = [
+        (1, _ts(1, 0, 5), "a", 10.0, 1),
+        (2, _ts(1, 2, 5), "a", 20.0, 2),   # hour 1 has no events
+        (3, _ts(1, 0, 6), "b", 5.0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double, x bigint"
+    )
+    out = temporal.resample_counts(
+        df, ts_col="ts", key_col="event_type", value_col="value", unit="hour"
+    )
+    rows_out = out.collect()
+    assert len(rows_out) == 6  # 3 hours x 2 keys, dense
+    gap = [r for r in rows_out if r.series_key == "a" and r.period.hour == 1]
+    assert gap[0].n == 0 and gap[0].value_sum == 0.0
+
+
+# ---------------------------------------------------------------- winsorize
+
+def test_winsorized_stats_clips_outliers(spark):
+    vals = [float(i) for i in range(1, 100)] + [10_000.0]  # one huge outlier
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    out = stats.winsorized_stats(
+        df, group_col="g", value_col="v", lo=0.05, hi=0.95
+    ).collect()[0]
+    assert out.n == 100
+    assert out.n_above >= 1           # the outlier is clipped
+    assert out.p_hi < 10_000.0
+    assert out.winsorized_mean < 200  # clipped mean unaffected by the 10k
+
+
+# ------------------------------------------------- plan-shape regression
+
+def test_plan_audit_behavioral_suite(spark):
+    """The behavioral/audit suite keeps its designed physical plans:
+    single-window funnel, broadcast carry-join sweep, Expand-based one-pass
+    profile, broadcast winsorize caps — and never a python eval node."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import explain_audit
+
+    failures = explain_audit.audit(
+        ["funnel", "cohort_retention", "event_transitions",
+         "concurrency_sweep", "dq_audit", "time_resample", "winsorize"],
+        spark,
+    )
+    assert not failures, failures

@@ -21,6 +21,48 @@ from restaurant_etl_code_spark import get_spark
 from restaurant_etl_code_spark.plans import QUERIES
 
 EXPECTATIONS: dict[str, dict[str, list[str]]] = {
+    "funnel": {
+        # k chained stage gates share ONE (user, ts) sort: a single Window
+        # subtree, no self-joins, no python
+        "want": ["Window", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "SortMergeJoin"],
+    },
+    "cohort_retention": {
+        # first-event agg and enrich join shuffle on the same user key
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython"],
+    },
+    "event_transitions": {
+        # lag window on the user key, then counter-only normalization
+        "want": ["Window", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "concurrency_sweep": {
+        # bucket-local running sums in parallel; the bucket-count-sized
+        # carry table joins back broadcast — never a global sort-join
+        "want": ["Window", "BroadcastHashJoin"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+    },
+    "dq_audit": {
+        # exact multi-column distincts plan an Expand over one scan; all
+        # three audit legs stay JVM-side
+        "want": ["Expand", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "time_resample": {
+        # fact shuffles once into counters; the dense dim cross-join is
+        # dimension-sized by construction (hours x keys), so a nested-loop
+        # there is fine — just keep python out
+        "want": ["HashAggregate"],
+        "avoid": ["BatchEvalPython"],
+    },
+    "winsorize": {
+        # caps table is group-count-sized and joins back broadcast
+        "want": ["BroadcastHashJoin", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
     "kfold_split": {
         # fold label is scan-side arithmetic; the only Exchange is the
         # (fold, lang) aggregation's
