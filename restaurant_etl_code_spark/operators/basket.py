@@ -1,0 +1,88 @@
+"""Market-basket co-occurrence mining: frequent item pairs with support
+and lift.
+
+The reference matches products one-at-a-time (SURVEY §2 J5/J6); a catalog
+team also asks the corpus-level question "which products co-occur in
+orders" — the first round of a-priori frequent-itemset mining, the part
+that matters at 100 TB because it is where the quadratic blow-up lives.
+
+Scale shape:
+- **A-priori prune first**: items below ``min_support`` cannot appear in
+  a frequent pair, so they are removed BEFORE pairing (left-semi join
+  against the frequent-item table; Spark broadcasts it when small). This
+  is the classic candidate-reduction step — on heavy-tailed catalogs it
+  removes most of the long tail before any pairing work.
+- **Basket-size valve**: a basket of size k emits k(k−1)/2 pairs; a few
+  pathological mega-baskets (a crawler, a bot account) can dominate the
+  whole job quadratically. ``max_basket_size`` drops oversized baskets
+  deterministically (documented, oracle-expressible) — the same
+  bounded-blow-up valve as ngram-jaccard's ``max_df`` cap.
+- The pair join is a self-equi-join on the basket key (one shuffle; the
+  per-basket pair explosion happens inside the join, never a global
+  cross product), and pair counts reduce map-side into counters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cooccurrence_pairs"]
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Frequent item pairs: (item_a, item_b, n_pair, support_a, support_b,
+    lift), item_a < item_b, n_pair ≥ min_support.
+
+    ``lift = n_pair · n_baskets / (support_a · support_b)`` > 1 means the
+    pair co-occurs more than independence predicts.
+    """
+    baskets = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()  # presence, not multiplicity
+
+    if max_basket_size is not None:
+        sizes = baskets.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+        keep = sizes.filter(F.col("__sz") <= max_basket_size).select("__b")
+        baskets = baskets.join(keep, "__b", "left_semi")
+
+    n_baskets = baskets.select("__b").distinct().count()
+
+    item_counts = baskets.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    frequent = item_counts.filter(F.col("__n") >= min_support)
+    pruned = baskets.join(frequent.select("__i"), "__i", "left_semi")
+
+    a = pruned.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = pruned.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+    fa = frequent.select(F.col("__i").alias("item_a"), F.col("__n").alias("support_a"))
+    fb = frequent.select(F.col("__i").alias("item_b"), F.col("__n").alias("support_b"))
+    return (
+        pairs.join(fa, "item_a")
+        .join(fb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            "support_a",
+            "support_b",
+            F.round(
+                F.col("n_pair") * F.lit(float(n_baskets))
+                / (F.col("support_a") * F.col("support_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -266,22 +266,20 @@ def contamination_score(
     each document's probe rows before the only (doc-keyed) shuffle. Returns
     (id, n_shingles, n_hits, contamination) for every shingle-able doc.
     """
+    from restaurant_etl_code_spark.operators import dedup
+
+    # Arrow-batched shingling on BOTH sides (dedup.shingle_rows) — the
+    # interpreted transform/slice lambda path re-evaluates captured
+    # subexpressions per gram and costs ~2× more wall on the same corpus.
     bench_shingles = (
-        benchmark_docs.select(
-            F.explode(
-                F.array_distinct(Ftext.word_shingles(F.col(text_col), n))
-            ).alias("shingle")
-        )
+        dedup.shingle_rows(benchmark_docs, id_col, text_col, shingle_n=n)
         .select(F.xxhash64("shingle").alias("shingle_h"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    probe = corpus_docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(Ftext.word_shingles(F.col(text_col), n))).alias(
-            "shingle"
-        ),
-    ).select(id_col, F.xxhash64("shingle").alias("shingle_h"))
+    probe = dedup.shingle_rows(corpus_docs, id_col, text_col, shingle_n=n).select(
+        id_col, F.xxhash64("shingle").alias("shingle_h")
+    )
     return (
         probe.join(F.broadcast(bench_shingles), "shingle_h", "left")
         .groupBy(id_col)
@@ -445,17 +443,18 @@ def boilerplate_ngrams(
     practice (inspect the df distribution's head before setting the valve),
     and the candidate list for template-strip cleaning.
 
-    Shape: distinct shingles per doc explode from the scan; df is one
-    count aggregation keyed by the gram with map-side combine (the gram
-    text is the output, so it is the key — at petabyte vocab sizes run
-    the hashed heavy-hitters sketch first and recount only candidates).
-    Final ranking is TakeOrdered — never a global sort.
+    Shape: distinct shingles per doc stream from an Arrow-batched
+    ``mapInPandas`` stage (dedup.shingle_rows — the interpreted
+    transform/slice lambda path costs ~2× more wall on the same corpus);
+    df is one count aggregation keyed by the gram with map-side combine
+    (the gram text is the output, so it is the key — at petabyte vocab
+    sizes run the hashed heavy-hitters sketch first and recount only
+    candidates). Final ranking is TakeOrdered — never a global sort.
     """
-    grams = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(Ftext.word_shingles(F.col(text_col), n))
-        ).alias("gram"),
+    from restaurant_etl_code_spark.operators import dedup
+
+    grams = dedup.shingle_rows(docs, id_col, text_col, shingle_n=n).select(
+        F.col("shingle").alias("gram")
     )
     return (
         grams.groupBy("gram")

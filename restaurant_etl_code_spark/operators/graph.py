@@ -1,0 +1,109 @@
+"""Iterative graph analytics on edge DataFrames: PageRank.
+
+Complements ``dedup.connected_components`` (min-label propagation): where
+CC answers "which rows are the same entity", PageRank ranks entities by
+link structure — e.g. products/suppliers by co-purchase linkage, documents
+by citation — a standard corpus-curation signal (quality-weight seeds for
+sampling).
+
+Physical shape per iteration: one shuffle joining ranks to the edge list
+on the source key + one counter aggregation on the destination key.
+Lineage is truncated per round with ``localCheckpoint`` (swap for
+``checkpoint`` on a cluster) exactly as in connected_components — without
+it Catalyst re-analysis grows per iteration. Fixed iteration count keeps
+the result deterministic and oracle-checkable (unrolled SQL); pass
+``tol`` to stop early on convergence instead when determinism doesn't
+matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a directed edge list with NO dangling nodes (every
+    node must have out-degree ≥ 1 — true by construction for symmetrized
+    graphs; otherwise add self-loops or symmetrize first). Raises if a
+    dangling node is found: silently leaking its mass would skew every
+    rank.
+
+    Returns (node, pr) with the raw double rank (caller rounds).
+
+    Scale notes: ranks and degrees live on the node key; each round is
+    edges⋈ranks (shuffle on src) → groupBy dst (map-side combined to one
+    partial per (partition, dst)). The edge list is checkpointed once and
+    re-partitioned on the join key so every round reuses the same layout.
+    Like connected_components, shuffle width is sized from the GRAPH (one
+    partition per ~1M edges, clamped to the session setting) — per-plan
+    ``repartition``, never a session-conf flip.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    spark = edges.sparkSession
+    session_parts_raw = spark.conf.get("spark.sql.shuffle.partitions")
+    session_parts = (
+        int(session_parts_raw) if str(session_parts_raw).isdigit() else 200
+    )
+
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+
+    n_edges = e.count()
+    iter_parts = max(1, min(session_parts, -(-n_edges // 1_000_000)))
+
+    def part(df: DataFrame, key: str) -> DataFrame:
+        return df.repartition(iter_parts, key)
+
+    nodes = part(nodes, "node").localCheckpoint()
+    n_nodes = nodes.count()
+    dangling = nodes.join(
+        deg.select(F.col("u").alias("node")), "node", "left_anti"
+    ).count()
+    if dangling:
+        raise ValueError(
+            f"pagerank: {dangling} dangling node(s) (no out-edges); "
+            "symmetrize the graph or add self-loops first"
+        )
+
+    # (src, dst, deg) checkpointed once — every round joins ranks to this
+    out = part(
+        e.join(part(deg, "u"), "u").select("u", "v", "deg"), "u"
+    ).localCheckpoint()
+
+    base = (1.0 - damping) / n_nodes
+    ranks = part(
+        nodes.withColumn("pr", F.lit(1.0 / n_nodes)), "node"
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contribs = (
+            out.join(
+                part(ranks.select(F.col("node").alias("u"), "pr"), "u"), "u"
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("__in"))
+        )
+        ranks = part(
+            nodes.join(contribs, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("pr"),
+            ),
+            "node",
+        ).localCheckpoint()
+    return ranks
