@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "dq_audit",
     "time_resample",
     "winsorize",
+    "pagerank",
+    "basket_pairs",
 ]
 
 

@@ -33,10 +33,12 @@ from pyspark.sql import functions as F
 from restaurant_etl_code_spark.functions import cleansing, text as Ftext, vectors
 from restaurant_etl_code_spark.operators import (
     audit,
+    basket,
     behavior,
     chunking,
     corpus,
     dedup,
+    graph,
     matching,
     packing,
     sampling,
@@ -4707,6 +4709,106 @@ group by 1
 """
 
 
+# --------------------------------------------------------------------------
+# Graph + market-basket analytics (operators/graph.py, operators/basket.py)
+# --------------------------------------------------------------------------
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized part↔supplier co-purchase graph
+    (3 fixed iterations ⇒ deterministic, unrolled-SQL oracle). Node ids
+    disambiguate the bipartite sides by parity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = graph.pagerank(edges, iterations=3)
+    return pr.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("part"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.round("pr", 9).alias("pr"),
+    )
+
+
+_ORACLE_PAGERANK = """
+with fwd as (
+  select distinct l_partkey * 2 as src, l_suppkey * 2 + 1 as dst from lineitem),
+edges as (
+  select src, dst from fwd
+  union all
+  select dst as src, src as dst from fwd),
+nodes as (
+  select distinct src as node from edges),
+deg as (select src, count(*) as d from edges group by src),
+nn as (select count(*)::double as n from nodes),
+r0 as (select node, 1.0 / nn.n as pr from nodes cross join nn),
+c1 as (
+  select e.dst as node, sum(r0.pr / deg.d) as m
+  from edges e join r0 on r0.node = e.src join deg on deg.src = e.src
+  group by e.dst),
+r1 as (
+  select nd.node, (0.15 / nn.n) + 0.85 * coalesce(c1.m, 0.0) as pr
+  from nodes nd cross join nn left join c1 on c1.node = nd.node),
+c2 as (
+  select e.dst as node, sum(r1.pr / deg.d) as m
+  from edges e join r1 on r1.node = e.src join deg on deg.src = e.src
+  group by e.dst),
+r2 as (
+  select nd.node, (0.15 / nn.n) + 0.85 * coalesce(c2.m, 0.0) as pr
+  from nodes nd cross join nn left join c2 on c2.node = nd.node),
+c3 as (
+  select e.dst as node, sum(r2.pr / deg.d) as m
+  from edges e join r2 on r2.node = e.src join deg on deg.src = e.src
+  group by e.dst),
+r3 as (
+  select nd.node, (0.15 / nn.n) + 0.85 * coalesce(c3.m, 0.0) as pr
+  from nodes nd cross join nn left join c3 on c3.node = nd.node)
+select node,
+       case when node % 2 = 0 then 'part' else 'supplier' end as node_type,
+       round(pr, 9) as pr
+from r3
+"""
+
+
+def _q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs with lift — a-priori pruned, with
+    the quadratic-blow-up valve (max_basket_size) engaged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket.cooccurrence_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_support=2, max_basket_size=12,
+    )
+
+
+_ORACLE_BASKET = """
+with b0 as (select distinct l_orderkey as b, l_partkey as i from lineitem),
+sz as (select b, count(*) as s from b0 group by b),
+b as (select b0.b, b0.i from b0 join sz using (b) where sz.s <= 12),
+nb as (select count(distinct b)::double as n from b),
+ic as (select i, count(*) as cnt from b group by i),
+freq as (select i, cnt from ic where cnt >= 2),
+pruned as (select b.b, b.i from b join freq using (i)),
+p as (
+  select a.i as item_a, c.i as item_b, count(*) as n_pair
+  from pruned a join pruned c using (b)
+  where a.i < c.i
+  group by 1, 2
+  having count(*) >= 2)
+select p.item_a, p.item_b, p.n_pair::bigint as n_pair,
+       fa.cnt::bigint as support_a, fb.cnt::bigint as support_b,
+       round(p.n_pair * nb.n / (fa.cnt * fb.cnt), 6) as lift
+from p
+join freq fa on fa.i = p.item_a
+join freq fb on fb.i = p.item_b
+cross join nb
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -4987,6 +5089,12 @@ _REGISTRY: dict[str, QueryDef] = {
     "winsorize": QueryDef(
         _q_winsorize, _ORACLE_WINSORIZE,
         "exact-quantile winsorized robust stats; approx sketch path for scale"),
+    "pagerank": QueryDef(
+        _q_pagerank, _ORACLE_PAGERANK,
+        "3-iteration PageRank on the symmetrized co-purchase graph"),
+    "basket_pairs": QueryDef(
+        _q_basket_pairs, _ORACLE_BASKET,
+        "a-priori frequent item pairs with lift; basket-size blow-up valve"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -1,0 +1,99 @@
+"""PageRank and market-basket co-occurrence semantics on hand-built graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from restaurant_etl_code_spark.operators import basket, graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def _sym(pairs):
+    return pairs + [(b, a) for a, b in pairs]
+
+
+def test_pagerank_path_graph_center_ranks_highest(spark):
+    # path a-b-c (symmetrized): center node gets the most mass
+    ranks = {
+        r.node: r.pr
+        for r in graph.pagerank(
+            _edges(spark, _sym([(1, 2), (2, 3)])), iterations=3
+        ).collect()
+    }
+    assert ranks[2] > ranks[1]
+    assert ranks[1] == pytest.approx(ranks[3])      # symmetry
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)  # mass conserved
+
+
+def test_pagerank_rejects_dangling_nodes(spark):
+    with pytest.raises(ValueError, match="dangling"):
+        graph.pagerank(_edges(spark, [(1, 2)]), iterations=1)  # 2 has no out-edge
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    # 3-cycle both directions: every node identical by symmetry
+    ranks = [
+        r.pr
+        for r in graph.pagerank(
+            _edges(spark, _sym([(1, 2), (2, 3), (3, 1)])), iterations=4
+        ).collect()
+    ]
+    assert all(r == pytest.approx(1 / 3) for r in ranks)
+
+
+# ---------------------------------------------------------------- basket
+
+def _baskets(spark, rows):
+    return spark.createDataFrame(rows, "b bigint, i bigint")
+
+
+def test_cooccurrence_counts_and_lift(spark):
+    rows = [
+        (1, 10), (1, 20),
+        (2, 10), (2, 20),
+        (3, 10), (3, 30),
+    ]
+    out = basket.cooccurrence_pairs(
+        _baskets(spark, rows), basket_col="b", item_col="i", min_support=2
+    ).collect()
+    got = {(r.item_a, r.item_b): r for r in out}
+    assert set(got) == {(10, 20)}          # (10,30) pair has n=1 < 2
+    r = got[(10, 20)]
+    assert r.n_pair == 2 and r.support_a == 3 and r.support_b == 2
+    # lift = 2 * 3 / (3 * 2) = 1.0
+    assert r.lift == 1.0
+
+
+def test_cooccurrence_presence_not_multiplicity(spark):
+    rows = [(1, 10), (1, 10), (1, 20)]      # duplicate line-items collapse
+    out = basket.cooccurrence_pairs(
+        _baskets(spark, rows), basket_col="b", item_col="i", min_support=1
+    ).collect()
+    assert {(r.item_a, r.item_b, r.n_pair) for r in out} == {(10, 20, 1)}
+
+
+def test_cooccurrence_basket_size_valve(spark):
+    mega = [(1, i) for i in range(10)]       # size-10 basket
+    small = [(2, 1), (2, 2)]
+    out = basket.cooccurrence_pairs(
+        _baskets(spark, mega + small), basket_col="b", item_col="i",
+        min_support=1, max_basket_size=5,
+    ).collect()
+    # the mega-basket is dropped entirely; only the small pair survives
+    assert {(r.item_a, r.item_b) for r in out} == {(1, 2)}
+
+
+# ------------------------------------------------- plan-shape regression
+
+def test_plan_audit_graph_basket(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import explain_audit
+
+    failures = explain_audit.audit(["pagerank", "basket_pairs"], spark)
+    assert not failures, failures

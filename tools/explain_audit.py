@@ -21,6 +21,22 @@ from restaurant_etl_code_spark import get_spark
 from restaurant_etl_code_spark.plans import QUERIES
 
 EXPECTATIONS: dict[str, dict[str, list[str]]] = {
+    "pagerank": {
+        # the returned frame is the LAST round's localCheckpoint — the
+        # audited plan is a projection over the materialized RDD (each
+        # round's join+agg plan was already executed and truncated, the
+        # point of per-iteration checkpointing)
+        "want": ["Scan ExistingRDD"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython"],
+    },
+    "basket_pairs": {
+        # pair explosion happens INSIDE the basket-key equi-join; pair
+        # counts reduce map-side
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython"],
+    },
     "funnel": {
         # k chained stage gates share ONE (user, ts) sort: a single Window
         # subtree, no self-joins, no python
