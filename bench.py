@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "winsorize",
     "pagerank",
     "basket_pairs",
+    "anomaly_hours",
 ]
 
 

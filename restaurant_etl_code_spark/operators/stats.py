@@ -20,6 +20,7 @@ __all__ = [
     "equi_width_histogram",
     "heavy_hitters",
     "winsorized_stats",
+    "seasonal_anomalies",
 ]
 
 
@@ -230,4 +231,42 @@ def winsorized_stats(
                 6,
             ).alias("winsorized_mean"),
         )
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score anomaly flags: each row's value scored against its
+    seasonal group's mean/σ (population, from exact-decimal power sums —
+    order-independent, so engine- and partitioning-exact).
+
+    One shuffle: the group stats are unordered window aggregates over the
+    group partitioning — no second pass, no join back. Rows in σ=0 groups
+    score z=0 (a constant series has no anomalies). Adds ``z`` (rounded
+    6dp) and ``is_anomaly`` to the input columns.
+
+    The intended composition is ``temporal.resample_counts`` → this, with
+    ``group_cols=[key, hour-of-day]``: the gap-filled zeros matter (a
+    missing hour IS an anomaly only if the series normally has traffic).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_cols)
+    v = F.col(value_col).cast("double")
+    dec = v.cast("decimal(28,10)")
+    dec2 = (v * v).cast("decimal(28,10)")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(dec).over(w).cast("double")
+    sxx = F.sum(dec2).over(w).cast("double")
+    mean = sx / n
+    var = sxx / n - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))  # clamp -0.0-ish rounding
+    z = F.when(sd > 0, (v - mean) / sd).otherwise(F.lit(0.0))
+    return df.withColumn("z", F.round(z, 6)).withColumn(
+        "is_anomaly", F.abs(F.col("z")) > threshold
     )

@@ -4809,6 +4809,69 @@ cross join nb
 """
 
 
+# --------------------------------------------------------------------------
+# Seasonal time-series anomaly detection (resample → hour-of-day z-score)
+# --------------------------------------------------------------------------
+
+def _q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event volumes scored against their (event_type, hour-of-day)
+    seasonal baseline — gap-filled first so silent hours can be anomalous.
+    Output: per-series anomaly summary."""
+    events = load_table(spark, sf_dir, "events")
+    dense = temporal.resample_counts(
+        events, ts_col="ts", key_col="event_type", value_col="value", unit="hour"
+    )
+    scored = stats.seasonal_anomalies(
+        dense.withColumn("hod", F.hour("period")),
+        group_cols=["series_key", "hod"],
+        value_col="n",
+        threshold=3.0,
+    )
+    return scored.groupBy("series_key").agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.sum(F.col("is_anomaly").cast("bigint")).alias("n_anomalous"),
+        F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+    )
+
+
+_ORACLE_ANOMALY = """
+with b as (
+  select date_trunc('hour', min(ts)) as lo, date_trunc('hour', max(ts)) as hi
+  from events),
+periods as (
+  select unnest(generate_series(lo, hi, interval 1 hour)) as period from b),
+keys as (select distinct event_type as series_key from events),
+c as (
+  select date_trunc('hour', ts) as period, event_type as series_key,
+         count(*)::bigint as n
+  from events group by 1, 2),
+dense as (
+  select p.period, k.series_key, coalesce(c.n, 0)::bigint as n
+  from periods p cross join keys k
+  left join c on c.period = p.period and c.series_key = k.series_key),
+pw as (
+  select series_key, n::double as v,
+         count(*) over w as cnt,
+         sum(cast(n as decimal(28,10))) over w as sx,
+         sum(cast(n::double * n::double as decimal(28,10))) over w as sxx
+  from dense
+  window w as (partition by series_key, hour(period))),
+scored as (
+  select series_key,
+         case when sd > 0 then round((v - mean) / sd, 6) else 0.0 end as z
+  from (
+    select series_key, v,
+           sx::double / cnt as mean,
+           sqrt(greatest(sxx::double / cnt
+                         - (sx::double / cnt) * (sx::double / cnt), 0.0)) as sd
+    from pw) t)
+select series_key, count(*)::bigint as n_periods,
+       count(case when abs(z) > 3.0 then 1 end)::bigint as n_anomalous,
+       round(max(abs(z)), 6) as max_abs_z
+from scored group by series_key
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -5095,6 +5158,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "basket_pairs": QueryDef(
         _q_basket_pairs, _ORACLE_BASKET,
         "a-priori frequent item pairs with lift; basket-size blow-up valve"),
+    "anomaly_hours": QueryDef(
+        _q_anomaly_hours, _ORACLE_ANOMALY,
+        "seasonal hour-of-day z-score anomalies over the gap-filled series"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

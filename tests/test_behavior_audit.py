@@ -232,3 +232,17 @@ def test_plan_audit_behavioral_suite(spark):
         spark,
     )
     assert not failures, failures
+
+
+# ---------------------------------------------------------------- anomalies
+
+def test_seasonal_anomalies_zscore(spark):
+    rows = [("a", 0.0)] * 15 + [("a", 100.0)] + [("b", 5.0)] * 4
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = stats.seasonal_anomalies(
+        df, group_cols=["g"], value_col="v", threshold=3.0
+    ).collect()
+    flagged = [r for r in out if r.is_anomaly]
+    assert len(flagged) == 1 and flagged[0].v == 100.0 and flagged[0].z > 3
+    # constant series: sd = 0 -> z = 0 everywhere, never anomalous
+    assert all(r.z == 0.0 for r in out if r.g == "b")

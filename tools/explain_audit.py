@@ -37,6 +37,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
                   "BatchEvalPython"],
     },
+    "anomaly_hours": {
+        # dense series + unordered group windows: one window shuffle, no
+        # join-back pass, counters out
+        "want": ["Window", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
     "funnel": {
         # k chained stage gates share ONE (user, ts) sort: a single Window
         # subtree, no self-joins, no python

@@ -47,6 +47,12 @@ PROBE = [
     "containment_pairs", "minhash_estimate", "bm25_topk",
     "boilerplate_ngrams", "corpus_profile", "char_entropy",
     "cdc_snapshot",
+    # behavioral / audit / graph suite (round 4): window cascades,
+    # two-phase prefix sum, one-pass profile, iterative pagerank, and the
+    # valved pair miner — each must track ≲10x
+    "funnel", "cohort_retention", "event_transitions", "concurrency_sweep",
+    "dq_audit", "time_resample", "winsorize",
+    "pagerank", "basket_pairs", "anomaly_hours",
 ]
 
 
