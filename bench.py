@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "pagerank",
     "basket_pairs",
     "anomaly_hours",
+    "funnel_windowed",
+    "approx_distinct_audit",
 ]
 
 

@@ -43,17 +43,22 @@ def funnel(
     type_col: str,
     stages: Sequence[str],
     tiebreak_col: str,
+    max_lag_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered funnel: a user reaches stage *i* iff events matching
     ``stages[0..i]`` occur at strictly increasing positions in their
-    (ts, tiebreak) ordered stream.
+    (ts, tiebreak) ordered stream. With ``max_lag_seconds`` each stage
+    must additionally occur within that lag of SOME valid previous-stage
+    event (the windowed-conversion variant every growth team asks for).
 
     One shuffle total: every chained expression shares the same window
     partitioning (user) and ordering (ts, tiebreak), so Catalyst plans a
     single sort + Window exec. Stage *i*'s per-row candidate timestamp is
-    gated on the running minimum of stage *i-1* over STRICTLY PRECEDING
-    rows (frame ``(-inf, -1]``), which encodes the sequential constraint
-    without a self-join per stage.
+    gated on the running MAXIMUM of stage *i-1* candidates over STRICTLY
+    PRECEDING rows (frame ``(-inf, -1]``), which encodes the sequential
+    constraint without a self-join per stage. The running max (latest
+    valid predecessor) rather than min is load-bearing for the windowed
+    variant: if ANY predecessor is within the lag, the latest one is.
 
     Returns one row per stage: (stage, stage_idx, users, conversion)
     where conversion = users / users-at-stage-0, rounded to 6 dp.
@@ -67,15 +72,22 @@ def funnel(
     )
     df = events
     cands = []
-    prev_min = None
+    prev_max = None
     for i, s in enumerate(stages):
         cond = F.col(type_col) == s
-        if prev_min is not None:
-            cond = cond & prev_min.isNotNull()
+        if prev_max is not None:
+            gate = prev_max.isNotNull()
+            if max_lag_seconds is not None:
+                gate = gate & (
+                    F.col(ts_col).cast("timestamp").cast("long")
+                    - prev_max.cast("timestamp").cast("long")
+                    <= max_lag_seconds
+                )
+            cond = cond & gate
         cand = F.when(cond, F.col(ts_col))
         df = df.withColumn(f"__cand{i}", cand)
         cands.append(f"__cand{i}")
-        prev_min = F.min(F.col(f"__cand{i}")).over(w_prev)
+        prev_max = F.max(F.col(f"__cand{i}")).over(w_prev)
 
     per_user = df.groupBy(user_col).agg(
         *[

@@ -4483,6 +4483,93 @@ select 'purchase', 2, u2::bigint, round(u2 / u0, 6) from tot
 """
 
 
+def _q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-conversion funnel: each stage must land within 6 h of the
+    LATEST valid previous-stage event (running-max gating — if any
+    predecessor qualifies, the latest does)."""
+    events = load_table(spark, sf_dir, "events")
+    return behavior.funnel(
+        events,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        stages=_FUNNEL_STAGES,
+        tiebreak_col="event_id",
+        max_lag_seconds=21600,
+    )
+
+
+_ORACLE_FUNNEL_WINDOWED = """
+with s0 as (
+  select user_id, ts, event_type, event_id,
+         max(case when event_type = 'view' then ts end) over
+           (partition by user_id order by ts, event_id
+            rows between unbounded preceding and 1 preceding) as p0
+  from events),
+s1 as (
+  select *, case when event_type = 'click' and p0 is not null
+                      and epoch_us(ts) // 1000000 - epoch_us(p0) // 1000000 <= 21600
+                 then ts end as c1
+  from s0),
+s1m as (
+  select *, max(c1) over
+           (partition by user_id order by ts, event_id
+            rows between unbounded preceding and 1 preceding) as p1
+  from s1),
+s2 as (
+  select *, case when event_type = 'purchase' and p1 is not null
+                      and epoch_us(ts) // 1000000 - epoch_us(p1) // 1000000 <= 21600
+                 then ts end as c2
+  from s1m),
+per_user as (
+  select user_id,
+         max(case when event_type = 'view' then 1 else 0 end) as r0,
+         max(case when c1 is not null then 1 else 0 end) as r1,
+         max(case when c2 is not null then 1 else 0 end) as r2
+  from s2 group by user_id),
+tot as (select sum(r0) as u0, sum(r1) as u1, sum(r2) as u2 from per_user)
+select 'view' as stage, 0 as stage_idx, u0::bigint as users,
+       round(u0 / u0, 6) as conversion from tot
+union all
+select 'click', 1, u1::bigint, round(u1 / u0, 6) from tot
+union all
+select 'purchase', 2, u2::bigint, round(u2 / u0, 6) from tot
+"""
+
+
+def _q_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL accuracy audit (the distinct-count sibling of ann_recall and
+    stats_moments' builtin_agrees): exact distinct counts per column next
+    to a bound check that Spark's approx_count_distinct lands within its
+    configured rsd. The oracle emits the exact counts and literal TRUE —
+    if the sketch ever drifts out of bounds the value-hash catches it."""
+    orders = load_table(spark, sf_dir, "orders")
+    rsd = 0.02
+    checks = []
+    for c in ("o_custkey", "o_orderstatus", "o_orderpriority"):
+        exact = F.countDistinct(c)
+        approx = F.approx_count_distinct(c, rsd)
+        checks.append(exact.cast("bigint").alias(f"exact_{c}"))
+        checks.append(
+            (
+                F.abs(approx - exact)
+                <= F.greatest(exact.cast("double") * 4 * rsd, F.lit(4.0))
+            ).alias(f"within_{c}")
+        )
+    return orders.agg(*checks)
+
+
+_ORACLE_APPROX_DISTINCT = """
+select count(distinct o_custkey)::bigint as exact_o_custkey,
+       true as within_o_custkey,
+       count(distinct o_orderstatus)::bigint as exact_o_orderstatus,
+       true as within_o_orderstatus,
+       count(distinct o_orderpriority)::bigint as exact_o_orderpriority,
+       true as within_o_orderpriority
+from orders
+"""
+
+
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return behavior.cohort_retention(events, user_col="user_id", ts_col="ts")
@@ -5161,6 +5248,12 @@ _REGISTRY: dict[str, QueryDef] = {
     "anomaly_hours": QueryDef(
         _q_anomaly_hours, _ORACLE_ANOMALY,
         "seasonal hour-of-day z-score anomalies over the gap-filled series"),
+    "funnel_windowed": QueryDef(
+        _q_funnel_windowed, _ORACLE_FUNNEL_WINDOWED,
+        "6h windowed-conversion funnel (running-max predecessor gating)"),
+    "approx_distinct_audit": QueryDef(
+        _q_approx_distinct_audit, _ORACLE_APPROX_DISTINCT,
+        "HLL distinct-count accuracy audit: exact counts + in-bounds flags"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

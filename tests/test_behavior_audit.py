@@ -246,3 +246,22 @@ def test_seasonal_anomalies_zscore(spark):
     assert len(flagged) == 1 and flagged[0].v == 100.0 and flagged[0].z > 3
     # constant series: sd = 0 -> z = 0 everywhere, never anomalous
     assert all(r.z == 0.0 for r in out if r.g == "b")
+
+
+def test_funnel_windowed_lag_gate(spark):
+    rows = [
+        # u1: click 1h after view -> within 2h lag
+        (1, _ts(1, 0), "view", 1), (1, _ts(1, 1), "click", 2),
+        # u2: click 3h after view -> outside 2h lag
+        (2, _ts(1, 0), "view", 3), (2, _ts(1, 3), "click", 4),
+        # u3: stale view, then a FRESH view rescues the click (running max,
+        # not min, is the predecessor that matters)
+        (3, _ts(1, 0), "view", 5), (3, _ts(1, 4), "view", 6), (3, _ts(1, 5), "click", 7),
+    ]
+    out = behavior.funnel(
+        _events(spark, rows), user_col="user_id", ts_col="ts",
+        type_col="event_type", stages=("view", "click"),
+        tiebreak_col="event_id", max_lag_seconds=7200,
+    ).collect()
+    users = {r.stage: r.users for r in out}
+    assert users == {"view": 3, "click": 2}   # u2 misses the window

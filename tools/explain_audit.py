@@ -43,6 +43,18 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["Window", "HashAggregate"],
         "avoid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "funnel_windowed": {
+        # same single-sort cascade as funnel; the lag gate is expression-
+        # level, not a join
+        "want": ["Window", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "SortMergeJoin"],
+    },
+    "approx_distinct_audit": {
+        # exact + HLL distincts in ONE aggregation (Expand over one scan)
+        "want": ["Expand", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
     "funnel": {
         # k chained stage gates share ONE (user, ts) sort: a single Window
         # subtree, no self-joins, no python
