@@ -115,7 +115,9 @@ def funnel(
         "stage",
         F.col("stage_idx").cast("int").alias("stage_idx"),
         F.col("users").cast("bigint").alias("users"),
-        F.round(F.col("users") / base, 6).alias("conversion"),
+        # NULL (not an ANSI divide-by-zero crash) when nobody reaches
+        # stage 0 — found by the hypothesis monotonicity property
+        F.when(base > 0, F.round(F.col("users") / base, 6)).alias("conversion"),
     )
 
 

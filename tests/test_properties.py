@@ -168,3 +168,67 @@ def test_cdc_apply_matches_sequential_replay(spark, events, k):
         for r in matching.cdc_apply(df, keys=["k"], order_by=["seq"]).collect()
     }
     assert got == state
+
+
+@FEW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(1, 3000)),  # (start_min, dur_min)
+        min_size=1, max_size=40,
+    )
+)
+def test_sweepline_bucketing_invariant(spark, iv):
+    """The global max concurrency (max over buckets) is invariant to the
+    bucket width — bucket-local prefix + carry-in ≡ one global prefix sum."""
+    from datetime import datetime, timedelta
+
+    from restaurant_etl_code_spark.operators import behavior
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (base + timedelta(minutes=s), base + timedelta(minutes=s + d))
+        for s, d in iv
+    ]
+    df = spark.createDataFrame(rows, "s timestamp, e timestamp")
+    maxes = []
+    for bucket_seconds in (3600, 86400, 10**9):   # hourly / daily / single-bucket
+        out = behavior.max_concurrency(
+            df, start_col="s", end_col="e", bucket_seconds=bucket_seconds
+        ).collect()
+        maxes.append(max(r.max_concurrent for r in out))
+    assert maxes[0] == maxes[1] == maxes[2]
+
+
+@FEW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10000), st.integers(0, 2)),
+        min_size=1, max_size=60,
+    )
+)
+def test_funnel_monotone_and_window_dominated(spark, evs):
+    """Stage user-counts are non-increasing, and the windowed funnel never
+    exceeds the unwindowed one at any stage."""
+    from datetime import datetime, timedelta
+
+    from restaurant_etl_code_spark.operators import behavior
+
+    base = datetime(2024, 1, 1)
+    stages = ("s0", "s1", "s2")
+    rows = [
+        (u, base + timedelta(minutes=m), stages[t], i)
+        for i, (u, m, t) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string, event_id bigint"
+    )
+    kw = dict(user_col="user_id", ts_col="ts", type_col="event_type",
+              stages=stages, tiebreak_col="event_id")
+    plain = {r.stage_idx: r.users for r in behavior.funnel(df, **kw).collect()}
+    windowed = {
+        r.stage_idx: r.users
+        for r in behavior.funnel(df, max_lag_seconds=3600, **kw).collect()
+    }
+    assert plain[0] >= plain[1] >= plain[2]
+    assert windowed[0] >= windowed[1] >= windowed[2]
+    assert all(windowed[i] <= plain[i] for i in range(3))
