@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "anomaly_hours",
     "funnel_windowed",
     "approx_distinct_audit",
+    "asof_tolerance",
 ]
 
 

@@ -85,9 +85,14 @@ def as_of_join(
     right_cols: list[str],
     right_tiebreak: str | None = None,
     suffix: str = "_asof",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, the single right row with the
     greatest ``right_ts`` ≤ ``left_ts`` sharing the ``on`` key.
+    ``tolerance_seconds`` bounds staleness (pandas merge_asof semantics):
+    a match older than the bound yields NULLs. The latest right row ≤ ts
+    is by definition the freshest, so masking it is exactly "latest within
+    tolerance" — no second search needed.
 
     Physical shape: the union-merge as-of. The right side is first reduced
     to one row per (key, ts) — ``max_by`` on the tiebreak — then both sides
@@ -108,7 +113,9 @@ def as_of_join(
     # the coercion the plain `right_ts <= left_ts` comparison applies
     ts_type = lt if lt == rt else T.TimestampType()
 
-    payload = F.struct(*[F.col(c) for c in right_cols])
+    payload = F.struct(
+        F.col(right_ts).cast(ts_type).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
     tie = F.col(right_tiebreak) if right_tiebreak else F.lit(1)
     r = (
         right.filter(F.col(right_ts).isNotNull())  # null ts matches nothing
@@ -130,10 +137,16 @@ def as_of_join(
         "__asof", F.last("__r_payload", ignorenulls=True).over(w)
     )
     out = carried.filter(F.col("__is_left") == 1)
-    has_ts = F.col(left_ts).isNotNull()
+    valid = F.col(left_ts).isNotNull()
+    if tolerance_seconds is not None:
+        valid = valid & (
+            F.col(left_ts).cast("timestamp").cast("long")
+            - F.col("__asof").getField("__rts").cast("timestamp").cast("long")
+            <= tolerance_seconds
+        )
     for c in right_cols:
         out = out.withColumn(
-            f"{c}{suffix}", F.when(has_ts, F.col("__asof").getField(c))
+            f"{c}{suffix}", F.when(valid, F.col("__asof").getField(c))
         )
     return out.drop("__ts", "__is_left", "__r_payload", "__asof")
 

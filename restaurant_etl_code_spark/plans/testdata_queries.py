@@ -735,6 +735,53 @@ where rn = 1
 """
 
 
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 7-day staleness bound (pandas merge_asof
+    ``tolerance``): the latest order ≤ event time, NULLed when older than
+    the bound — the freshest match is the only one that can qualify."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    left = events.withColumnRenamed("user_id", "o_custkey")
+    out = temporal.as_of_join(
+        left,
+        orders,
+        on="o_custkey",
+        left_id="event_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+        tolerance_seconds=7 * 86400,
+    )
+    return out.select(
+        "event_id",
+        F.col("o_custkey").alias("user_id"),
+        "ts",
+        "o_orderkey_asof",
+        "o_totalprice_asof",
+    )
+
+
+_ORACLE_ASOF_TOLERANCE = """
+select event_id, user_id, ts,
+       case when fresh then o_orderkey_asof end as o_orderkey_asof,
+       case when fresh then o_totalprice_asof end as o_totalprice_asof
+from (
+  select e.event_id, e.user_id, e.ts,
+         o.o_orderkey as o_orderkey_asof, o.o_totalprice as o_totalprice_asof,
+         (epoch_us(e.ts) // 1000000 - epoch_us(o.o_orderdate) // 1000000
+          <= 604800) as fresh,
+         row_number() over (partition by e.event_id
+                            order by o.o_orderdate desc nulls last,
+                                     o.o_orderkey desc nulls last) as rn
+  from events e
+  left join orders o on o.o_custkey = e.user_id and o.o_orderdate <= e.ts)
+where rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Tumbling event-time window (batch twin of the streaming agg)
 # --------------------------------------------------------------------------
@@ -5254,6 +5301,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "approx_distinct_audit": QueryDef(
         _q_approx_distinct_audit, _ORACLE_APPROX_DISTINCT,
         "HLL distinct-count accuracy audit: exact counts + in-bounds flags"),
+    "asof_tolerance": QueryDef(
+        _q_asof_tolerance, _ORACLE_ASOF_TOLERANCE,
+        "as-of join with 7-day staleness bound (merge_asof tolerance)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -265,3 +265,23 @@ def test_funnel_windowed_lag_gate(spark):
     ).collect()
     users = {r.stage: r.users for r in out}
     assert users == {"view": 3, "click": 2}   # u2 misses the window
+
+
+# ---------------------------------------------------------------- asof tolerance
+
+def test_asof_join_tolerance_masks_stale_match(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10)), (2, 1, _ts(20))],
+        "event_id bigint, k bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(9), 100.0)], "k bigint, rts timestamp, v double"
+    )
+    out = temporal.as_of_join(
+        left, right, on="k", left_id="event_id", left_ts="ts",
+        right_ts="rts", right_cols=["v"],
+        tolerance_seconds=3 * 86400,
+    ).collect()
+    got = {r.event_id: r.v_asof for r in out}
+    assert got[1] == 100.0        # 1 day old: within the 3-day bound
+    assert got[2] is None         # 11 days old: masked
