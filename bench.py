@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "funnel_windowed",
     "approx_distinct_audit",
     "asof_tolerance",
+    "point_in_time",
 ]
 
 

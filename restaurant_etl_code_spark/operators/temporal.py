@@ -21,6 +21,7 @@ __all__ = [
     "scd2_history",
     "sliding_window_agg",
     "resample_counts",
+    "point_in_time_join",
 ]
 
 
@@ -349,4 +350,38 @@ def resample_counts(
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
             F.round(F.coalesce(F.col("value_sum"), F.lit(0.0)), 4).alias("value_sum"),
         )
+    )
+
+
+def point_in_time_join(
+    fact: DataFrame,
+    history: DataFrame,
+    *,
+    on: str,
+    left_id: str,
+    left_ts: str,
+    attr_cols: list[str],
+    suffix: str = "_pit",
+) -> DataFrame:
+    """Point-in-time (feature-store) join: each fact row sees the dimension
+    attributes that were valid AT its timestamp — never later ones, which
+    is the label-leakage bug temporal training pipelines must not have.
+
+    ``history`` is an SCD2 table (``scd2_history`` output: key,
+    attr columns, ``valid_from``/``valid_to``). SCD2 intervals are
+    non-overlapping and left-closed per key, so "the interval containing
+    ts" is exactly "the latest valid_from ≤ ts" — the union-merge as-of
+    join answers it in |F| + |H| per key with no interval explosion, no
+    range join, and no valid_to predicate at all. Pass a lag-shifted
+    ``left_ts`` (e.g. ts − feature delay) to enforce a freshness gap.
+    """
+    return as_of_join(
+        fact,
+        history,
+        on=on,
+        left_id=left_id,
+        left_ts=left_ts,
+        right_ts="valid_from",
+        right_cols=list(attr_cols),
+        suffix=suffix,
     )

@@ -782,6 +782,48 @@ where rn = 1
 """
 
 
+def _q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time lookup: each event reads the user's SCD2
+    state as of ONE HOUR BEFORE the event (a freshness gap — the state a
+    model would actually have had at inference time; strictly leakage-free)."""
+    events = load_table(spark, sf_dir, "events")
+    history = temporal.scd2_history(
+        events, key_col="user_id", ts_col="ts",
+        attr_col="event_type", tiebreak_col="event_id",
+    )
+    fact = events.select("event_id", "user_id", "ts").withColumn(
+        "__lookup_ts", F.col("ts") - F.expr("interval 1 hour")
+    )
+    out = temporal.point_in_time_join(
+        fact, history, on="user_id", left_id="event_id",
+        left_ts="__lookup_ts", attr_cols=["attr_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("attr_value_pit").alias("state_1h_ago"),
+    )
+
+
+_ORACLE_POINT_IN_TIME = """
+with ordered as (
+  select user_id, event_type, ts, event_id,
+         lag(event_type) over (partition by user_id order by ts, event_id) as prev
+  from events),
+runs as (
+  select user_id, event_type, ts from ordered
+  where prev is null or event_type <> prev),
+fact as (
+  select event_id, user_id, ts, ts - interval 1 hour as lookup_ts from events)
+select event_id, user_id, ts, state_1h_ago from (
+  select f.event_id, f.user_id, f.ts, r.event_type as state_1h_ago,
+         row_number() over (partition by f.event_id
+                            order by r.ts desc nulls last) as rn
+  from fact f
+  left join runs r on r.user_id = f.user_id and r.ts <= f.lookup_ts)
+where rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Tumbling event-time window (batch twin of the streaming agg)
 # --------------------------------------------------------------------------
@@ -5304,6 +5346,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "asof_tolerance": QueryDef(
         _q_asof_tolerance, _ORACLE_ASOF_TOLERANCE,
         "as-of join with 7-day staleness bound (merge_asof tolerance)"),
+    "point_in_time": QueryDef(
+        _q_point_in_time, _ORACLE_POINT_IN_TIME,
+        "leakage-free feature-store lookup: SCD2 state as of ts − 1h"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

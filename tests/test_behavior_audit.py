@@ -285,3 +285,25 @@ def test_asof_join_tolerance_masks_stale_match(spark):
     got = {r.event_id: r.v_asof for r in out}
     assert got[1] == 100.0        # 1 day old: within the 3-day bound
     assert got[2] is None         # 11 days old: masked
+
+
+def test_point_in_time_join_no_leakage(spark):
+    # state changes at t=10 and t=20; lookups must never see a FUTURE state
+    hist_src = spark.createDataFrame(
+        [(1, _ts(10), "A", 1), (1, _ts(20), "B", 2)],
+        "k bigint, ts timestamp, attr string, tb bigint",
+    )
+    hist = temporal.scd2_history(
+        hist_src, key_col="k", ts_col="ts", attr_col="attr", tiebreak_col="tb"
+    )
+    fact = spark.createDataFrame(
+        [(1, 1, _ts(5)), (2, 1, _ts(15)), (3, 1, _ts(20)), (4, 1, _ts(25))],
+        "event_id bigint, k bigint, ts timestamp",
+    )
+    out = temporal.point_in_time_join(
+        fact, hist, on="k", left_id="event_id", left_ts="ts",
+        attr_cols=["attr_value"],
+    ).collect()
+    got = {r.event_id: r.attr_value_pit for r in out}
+    # before any state -> NULL; at the boundary the new state applies
+    assert got == {1: None, 2: "A", 3: "B", 4: "B"}

@@ -43,6 +43,20 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["Window", "HashAggregate"],
         "avoid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "point_in_time": {
+        # SCD2 lookup rides the union-merge as-of: windows only, no join
+        # operator, no interval explosion
+        "want": ["Window", "Union"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "SortMergeJoin", "BatchEvalPython"],
+    },
+    "asof_tolerance": {
+        # same union-merge shape as asof_join; the staleness bound is a
+        # post-carry expression, not a second search
+        "want": ["Window", "Union"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "SortMergeJoin", "BatchEvalPython"],
+    },
     "funnel_windowed": {
         # same single-sort cascade as funnel; the lag gate is expression-
         # level, not a join
