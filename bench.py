@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "approx_distinct_audit",
     "asof_tolerance",
     "point_in_time",
+    "trend_fit",
 ]
 
 

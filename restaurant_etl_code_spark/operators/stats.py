@@ -9,7 +9,7 @@ whole trick at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -21,6 +21,7 @@ __all__ = [
     "heavy_hitters",
     "winsorized_stats",
     "seasonal_anomalies",
+    "grouped_ols",
 ]
 
 
@@ -269,4 +270,49 @@ def seasonal_anomalies(
     z = F.when(sd > 0, (v - mean) / sd).otherwise(F.lit(0.0))
     return df.withColumn("z", F.round(z, 6)).withColumn(
         "is_anomaly", F.abs(F.col("z")) > threshold
+    )
+
+
+def grouped_ols(
+    df: DataFrame,
+    *,
+    group_col: str,
+    x_col,
+    y_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression (y = a + b·x) from the five
+    classic power sums (n, Σx, Σy, Σx², Σxy) — the closed-form OLS that
+    needs ONE counter-only shuffle with map-side combine: each task ships
+    five numbers per group regardless of data size, the same moment-sketch
+    shape as ``stats_moments``.
+
+    Sums accumulate in decimal (order-independent ⇒ partitioning- and
+    engine-exact); the slope/intercept/r² formulas then run in double once
+    per group. Degenerate groups (zero x-variance) return NULL slope — a
+    vertical fit, not a crash. ``x_col``/``y_col`` accept Column
+    expressions, e.g. an epoch-day derivation.
+    """
+    x = x_col if isinstance(x_col, Column) else F.col(x_col)
+    y = y_col if isinstance(y_col, Column) else F.col(y_col)
+    x = x.cast("double")
+    y = y.cast("double")
+    dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(dec(x)).cast("double")
+    sy = F.sum(dec(y)).cast("double")
+    sxx = F.sum(dec(x * x)).cast("double")
+    sxy = F.sum(dec(x * y)).cast("double")
+    syy = F.sum(dec(y * y)).cast("double")
+    det = n * sxx - sx * sx
+    slope = F.when(det != 0, (n * sxy - sx * sy) / det)
+    intercept = (sy - slope * sx) / n
+    ss_tot = syy - sy * sy / n
+    ss_reg = slope * (sxy - sx * sy / n)
+    r2 = F.when(ss_tot != 0, ss_reg / ss_tot)
+    return df.groupBy(group_col).agg(
+        n.cast("bigint").alias("n"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(intercept, round_to).alias("intercept"),
+        F.round(r2, round_to).alias("r2"),
     )

@@ -824,6 +824,50 @@ where rn = 1
 """
 
 
+def _q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of value over time (x = days since
+    2024-01-01): closed-form OLS from five decimal power sums — one
+    counter-only shuffle, engine-exact. x is CENTERED near the data:
+    an epoch-0 origin extrapolates the intercept ~19,700 days back,
+    amplifying last-ulp slope noise ~2e4× past the 6dp round (measured:
+    one group's intercept differed 5e-6 across engines before centering)."""
+    events = load_table(spark, sf_dir, "events")
+    x = (F.col("ts").cast("timestamp").cast("long") - F.lit(1704067200)) / 86400.0
+    return stats.grouped_ols(
+        events, group_col="event_type", x_col=x, y_col=F.col("value")
+    )
+
+
+_ORACLE_TREND = """
+with pts as (
+  select event_type,
+         (epoch_us(ts) // 1000000 - 1704067200) / 86400.0 as x,
+         value as y
+  from events),
+s as (
+  select event_type,
+         count(*)::double as n,
+         sum(cast(x as decimal(28,10)))::double as sx,
+         sum(cast(y as decimal(28,10)))::double as sy,
+         sum(cast(x * x as decimal(28,10)))::double as sxx,
+         sum(cast(x * y as decimal(28,10)))::double as sxy,
+         sum(cast(y * y as decimal(28,10)))::double as syy
+  from pts group by event_type),
+fit as (
+  select event_type, n, sx, sy, sxy, syy,
+         case when (n * sxx - sx * sx) <> 0
+              then (n * sxy - sx * sy) / (n * sxx - sx * sx) end as slope
+  from s)
+select event_type, n::bigint as n,
+       round(slope, 6) as slope,
+       round((sy - slope * sx) / n, 6) as intercept,
+       round(case when (syy - sy * sy / n) <> 0
+                  then (slope * (sxy - sx * sy / n)) / (syy - sy * sy / n)
+             end, 6) as r2
+from fit
+"""
+
+
 # --------------------------------------------------------------------------
 # Tumbling event-time window (batch twin of the streaming agg)
 # --------------------------------------------------------------------------
@@ -5349,6 +5393,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "point_in_time": QueryDef(
         _q_point_in_time, _ORACLE_POINT_IN_TIME,
         "leakage-free feature-store lookup: SCD2 state as of ts − 1h"),
+    "trend_fit": QueryDef(
+        _q_trend_fit, _ORACLE_TREND,
+        "per-group closed-form OLS trend from decimal power sums"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -307,3 +307,18 @@ def test_point_in_time_join_no_leakage(spark):
     got = {r.event_id: r.attr_value_pit for r in out}
     # before any state -> NULL; at the boundary the new state applies
     assert got == {1: None, 2: "A", 3: "B", 4: "B"}
+
+
+# ---------------------------------------------------------------- OLS trend
+
+def test_grouped_ols_recovers_exact_line(spark):
+    # y = 3 + 2x exactly -> slope 2, intercept 3, r2 = 1
+    rows = [("g", float(x), 3.0 + 2.0 * x) for x in range(10)]
+    rows += [("flat", float(x), 7.0) for x in range(5)]       # zero slope
+    rows += [("degen", 1.0, 5.0), ("degen", 1.0, 9.0)]        # no x variance
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in stats.grouped_ols(
+        df, group_col="g", x_col="x", y_col="y").collect()}
+    assert out["g"].slope == 2.0 and out["g"].intercept == 3.0 and out["g"].r2 == 1.0
+    assert out["flat"].slope == 0.0 and out["flat"].intercept == 7.0
+    assert out["degen"].slope is None      # vertical fit -> NULL, not a crash

@@ -43,6 +43,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["Window", "HashAggregate"],
         "avoid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "trend_fit": {
+        # five counters per group, map-side combined; formulas run on the
+        # reduced rows
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "Window", "BatchEvalPython"],
+    },
     "point_in_time": {
         # SCD2 lookup rides the union-merge as-of: windows only, no join
         # operator, no interval explosion
