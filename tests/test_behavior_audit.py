@@ -322,3 +322,20 @@ def test_grouped_ols_recovers_exact_line(spark):
     assert out["g"].slope == 2.0 and out["g"].intercept == 3.0 and out["g"].r2 == 1.0
     assert out["flat"].slope == 0.0 and out["flat"].intercept == 7.0
     assert out["degen"].slope is None      # vertical fit -> NULL, not a crash
+
+
+def test_profile_columns_approx_path(spark):
+    # approx=True must keep the same long-format contract (HLL counts may
+    # differ from exact by rsd, but on 3 distinct values they are exact)
+    df = spark.createDataFrame(
+        [(1.0, "x"), (2.0, "y"), (3.0, None)], "v double, s string"
+    )
+    out = audit.profile_columns(
+        df, numeric_cols=["v"], string_cols=["s"], approx=True
+    )
+    got = {(r.metric, r.column_name): r for r in out.collect()}
+    assert got[("distinct_count", "v")].value_num == 3.0
+    assert got[("null_count", "s")].value_num == 1.0
+    # the approx plan must NOT carry the exact multi-distinct Expand
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan

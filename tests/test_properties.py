@@ -232,3 +232,55 @@ def test_funnel_monotone_and_window_dominated(spark, evs):
     assert plain[0] >= plain[1] >= plain[2]
     assert windowed[0] >= windowed[1] >= windowed[2]
     assert all(windowed[i] <= plain[i] for i in range(3))
+
+
+@FEW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=60,
+    ).filter(lambda ps: any(a != b for a, b in ps))
+)
+def test_pagerank_mass_conserved_on_symmetrized_graph(spark, pairs):
+    """With no dangling nodes each iteration maps Σpr = 1 to Σpr = 1
+    exactly: (1−d) + d·Σ(contribs) = 1. Holds for any symmetrized graph."""
+    from restaurant_etl_code_spark.operators import graph
+
+    edges = [(a, b) for a, b in pairs if a != b]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src bigint, dst bigint")
+    ranks = graph.pagerank(df, iterations=2).collect()
+    assert abs(sum(r.pr for r in ranks) - 1.0) < 1e-9
+    assert all(r.pr > 0 for r in ranks)
+
+
+@FEW
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-100, 100, allow_nan=False),
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=3, max_size=50,
+    )
+)
+def test_grouped_ols_matches_numpy(spark, pts):
+    """Closed-form OLS from decimal power sums agrees with numpy's
+    least-squares on the same points (when the fit is well-posed)."""
+    import numpy as np
+
+    from restaurant_etl_code_spark.operators import stats as ops_stats
+
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    if np.ptp(xs) < 1e-6:
+        return  # degenerate: operator returns NULL slope by design
+    df = spark.createDataFrame(
+        [("g", float(x), float(y)) for x, y in pts], "g string, x double, y double"
+    )
+    row = ops_stats.grouped_ols(
+        df, group_col="g", x_col="x", y_col="y", round_to=6
+    ).collect()[0]
+    slope_np, icpt_np = np.polyfit(xs, ys, 1)
+    assert abs(row.slope - slope_np) < 1e-4
+    assert abs(row.intercept - icpt_np) < 1e-4
