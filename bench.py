@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "asof_tolerance",
     "point_in_time",
     "trend_fit",
+    "knn_graph",
 ]
 
 

@@ -1808,6 +1808,36 @@ where rank <= 3
 """
 
 
+def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus kNN graph (top-3 neighbors for EVERY embedding) via the
+    sign-LSH bucket join — the corpus-sized-query-side case the guarded
+    exact path refuses: both sides shuffle on the bucket id, nothing
+    collects, nothing broadcasts. The kNN graph is the substrate for
+    graph dedup, label propagation, and manifold methods."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.bucketed_cosine_topk(
+        emb, emb, k=3, nbits=6, exclude_self=True
+    )
+
+
+_ORACLE_KNN_GRAPH = f"""
+with q as (select vec_id as query_id, embedding::double[] as qv,
+                  {_DUCK_BUCKET} as bkt
+           from embeddings),
+c as (select vec_id as neighbor_id, embedding::double[] as cv,
+             {_DUCK_BUCKET} as bkt
+      from embeddings),
+scored as (
+  select query_id, neighbor_id, {_DUCK_COS} as score
+  from q join c using (bkt) where query_id != neighbor_id)
+select query_id, neighbor_id, score, rank from (
+  select *, row_number() over (partition by query_id
+                               order by score desc, neighbor_id) as rank
+  from scored)
+where rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs (augmented with known dups)
 # --------------------------------------------------------------------------
@@ -5396,6 +5426,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "trend_fit": QueryDef(
         _q_trend_fit, _ORACLE_TREND,
         "per-group closed-form OLS trend from decimal power sums"),
+    "knn_graph": QueryDef(
+        _q_knn_graph, _ORACLE_KNN_GRAPH,
+        "whole-corpus kNN graph via LSH bucket join (no collect/broadcast)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -43,6 +43,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["Window", "HashAggregate"],
         "avoid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "knn_graph": {
+        # both sides shuffle on the LSH bucket; WindowGroupLimit prunes to
+        # top-k per query — no collect, no broadcast, no cross product
+        "want": ["WindowGroupLimit"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython"],
+    },
     "trend_fit": {
         # five counters per group, map-side combined; formulas run on the
         # reduced rows
