@@ -53,7 +53,12 @@ def cooccurrence_pairs(
         keep = sizes.filter(F.col("__sz") <= max_basket_size).select("__b")
         baskets = baskets.join(keep, "__b", "left_semi")
 
-    n_baskets = baskets.select("__b").distinct().count()
+    # basket total as a one-row frame cross-joined in at the end — a
+    # driver-side .count() here would EXECUTE the whole upstream plan a
+    # second time just to embed one literal (measured ~2× the job)
+    n_baskets = baskets.agg(
+        F.countDistinct("__b").cast("double").alias("__nb")
+    )
 
     item_counts = baskets.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
     frequent = item_counts.filter(F.col("__n") >= min_support)
@@ -73,6 +78,7 @@ def cooccurrence_pairs(
     return (
         pairs.join(fa, "item_a")
         .join(fb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
         .select(
             "item_a",
             "item_b",
@@ -80,7 +86,7 @@ def cooccurrence_pairs(
             "support_a",
             "support_b",
             F.round(
-                F.col("n_pair") * F.lit(float(n_baskets))
+                F.col("n_pair") * F.col("__nb")
                 / (F.col("support_a") * F.col("support_b")),
                 6,
             ).alias("lift"),
