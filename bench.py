@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "point_in_time",
     "trend_fit",
     "knn_graph",
+    "streaming_funnel",
 ]
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "funnel",
+    "stage_totals_to_funnel",
     "cohort_retention",
     "event_transitions",
     "max_concurrency",
@@ -98,6 +99,14 @@ def funnel(
     totals = per_user.agg(
         *[F.sum(f"__r{i}").alias(f"__u{i}") for i in range(len(stages))]
     )
+    return stage_totals_to_funnel(totals, stages)
+
+
+def stage_totals_to_funnel(totals: DataFrame, stages: Sequence[str]) -> DataFrame:
+    """Shared funnel tail: a ONE-row frame of per-stage user totals
+    (columns ``__u0..__u{k-1}``) → (stage, stage_idx, users, conversion)
+    rows. Used by both the batch window-cascade and the streaming
+    state-flags twin so their outputs are column-identical."""
     # totals is ONE row; explode it into one row per stage (stack is a
     # codegen Expand on a single row — no data movement).
     stack_args = ", ".join(

@@ -69,10 +69,18 @@ def pagerank(
         return df.repartition(iter_parts, key)
 
     nodes = part(nodes, "node").localCheckpoint()
-    n_nodes = nodes.count()
-    dangling = nodes.join(
-        deg.select(F.col("u").alias("node")), "node", "left_anti"
-    ).count()
+    # node count + dangling check in ONE job (left join + two counters)
+    row = (
+        nodes.join(
+            deg.select(F.col("u").alias("node"), "deg"), "node", "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("deg").isNull(), 1)).alias("dangling"),
+        )
+        .collect()[0]
+    )
+    n_nodes, dangling = row["n"], row["dangling"]
     if dangling:
         raise ValueError(
             f"pagerank: {dangling} dangling node(s) (no out-edges); "

@@ -4711,6 +4711,32 @@ select 'purchase', 2, u2::bigint, round(u2 / u0, 6) from tot
 """
 
 
+def _q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel as a REAL stream: per-user stage flags maintained in
+    checkpointed applyInPandasWithState state (constant per-user state),
+    aggregated to the same (stage, users, conversion) rows as the batch
+    window cascade. Single-batch replay ≡ batch funnel exactly, so the
+    oracle is the batch funnel SQL."""
+    from restaurant_etl_code_spark.streaming import streaming_funnel_flags
+
+    flags = _run_stream(
+        spark,
+        lambda s: streaming_funnel_flags(
+            _events_stream(s, sf_dir),
+            user_col="user_id",
+            ts_col="ts",
+            type_col="event_type",
+            stages=list(_FUNNEL_STAGES),
+            tiebreak_col="event_id",
+        ),
+        "update",
+    )
+    totals = flags.agg(
+        *[F.sum(f"r{i}").alias(f"__u{i}") for i in range(len(_FUNNEL_STAGES))]
+    )
+    return behavior.stage_totals_to_funnel(totals, _FUNNEL_STAGES)
+
+
 def _q_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL accuracy audit (the distinct-count sibling of ann_recall and
     stats_moments' builtin_agrees): exact distinct counts per column next
@@ -5440,6 +5466,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "knn_graph": QueryDef(
         _q_knn_graph, _ORACLE_KNN_GRAPH,
         "whole-corpus kNN graph via LSH bucket join (no collect/broadcast)"),
+    "streaming_funnel": QueryDef(
+        _q_streaming_funnel, _ORACLE_FUNNEL,
+        "funnel as checkpointed streaming state; replay ≡ batch cascade"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

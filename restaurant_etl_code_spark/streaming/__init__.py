@@ -14,4 +14,5 @@ from restaurant_etl_code_spark.streaming.jobs import (  # noqa: F401
 from restaurant_etl_code_spark.streaming.stateful import (  # noqa: F401
     streaming_dedup,
     running_key_stats,
+    streaming_funnel_flags,
 )

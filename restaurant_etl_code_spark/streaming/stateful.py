@@ -103,3 +103,74 @@ def running_key_stats(
             stats_fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def streaming_funnel_flags(
+    stream: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Cross-batch ordered-funnel state: per user, the earliest timestamp
+    (µs) at which each stage became VALIDLY reached (stage *i* gated on a
+    strictly-earlier valid stage *i−1* event). Emits one row per touched
+    user per batch with the current per-stage reach flags — aggregate the
+    final table for funnel counts (the streaming twin of
+    ``behavior.funnel``).
+
+    Each micro-batch is walked in (ts, tiebreak) order and a row's gate
+    sees only strictly-preceding rows (its own stage updates after the
+    gate), so a single-batch replay is EXACTLY the batch funnel —
+    including same-timestamp tiebreaks. Across batches the gate is
+    set-ness of checkpointed state, i.e. arrival order stands in for
+    event order: in-order arrivals stay exact; an out-of-order arrival
+    whose predecessor lands in a later batch is missed — the standard
+    streaming-funnel approximation (a watermark-buffered variant would
+    trade state size for exactness).
+
+    State per user: ``len(stages)`` int64 µs timestamps (−1 = unreached) —
+    constant-size state, the smallest that preserves strict ordering
+    across batches.
+    """
+    k = len(stages)
+    out_schema = T.StructType(
+        [stream.schema[user_col]]
+        + [T.StructField(f"r{i}", T.IntegerType()) for i in range(k)]
+    )
+    state_schema = T.StructType(
+        [T.StructField(f"t{i}", T.LongType()) for i in range(k)]
+    )
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        reach = list(state.get) if state.exists else [-1] * k
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values([ts_col, tiebreak_col], kind="mergesort")
+            for ts, tp in zip(batch[ts_col], batch[type_col]):
+                i = stage_of.get(tp)
+                if i is None:
+                    continue
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                if reach[i] >= 0:
+                    continue
+                if i == 0 or reach[i - 1] >= 0:
+                    reach[i] = t_us
+        state.update(tuple(reach))
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]],
+                **{f"r{i}": [1 if reach[i] >= 0 else 0] for i in range(k)},
+            }
+        )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

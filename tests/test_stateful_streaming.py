@@ -160,3 +160,36 @@ def test_watermark_drops_late_events(spark, tmp_path):
     _write_batch(spark, landing, rows(late), schema)
     second = run("w2")
     assert all(r["window_start"] != dt.datetime(2024, 1, 1, 0, 0) for r in second)
+
+
+def test_streaming_funnel_state_across_batches(spark, tmp_path):
+    from datetime import datetime
+
+    from restaurant_etl_code_spark.streaming import streaming_funnel_flags
+
+    landing, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    schema = "user_id bigint, ts timestamp, event_type string, event_id bigint"
+    op = lambda s: streaming_funnel_flags(  # noqa: E731
+        s, user_col="user_id", ts_col="ts", type_col="event_type",
+        stages=["view", "click"], tiebreak_col="event_id",
+    )
+
+    # batch 1: u1 views; u2 clicks (no view yet — not gated through)
+    _write_batch(spark, landing, [
+        (1, datetime(2024, 1, 1, 0), "view", 1),
+        (2, datetime(2024, 1, 1, 0), "click", 2),
+    ], schema)
+    first = {r["user_id"]: (r["r0"], r["r1"]) for r in
+             _run(spark, landing, ckpt, op, "fun1", mode="update")}
+    assert first == {1: (1, 0), 2: (0, 0)}
+
+    # batch 2: u1 clicks -> gated through CHECKPOINTED view state; u2 views
+    # (too late for the already-arrived click — arrival order stands in
+    # for event order across batches)
+    _write_batch(spark, landing, [
+        (1, datetime(2024, 1, 1, 1), "click", 3),
+        (2, datetime(2024, 1, 1, 1), "view", 4),
+    ], schema)
+    second = {r["user_id"]: (r["r0"], r["r1"]) for r in
+              _run(spark, landing, ckpt, op, "fun2", mode="update")}
+    assert second == {1: (1, 1), 2: (1, 0)}
