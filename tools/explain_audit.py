@@ -32,10 +32,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
     },
     "basket_pairs": {
         # pair explosion happens INSIDE the basket-key equi-join; pair
-        # counts reduce map-side
-        "want": ["HashAggregate"],
-        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
-                  "BatchEvalPython"],
+        # counts reduce map-side. A BroadcastNestedLoopJoin IS expected:
+        # it attaches the ONE-ROW n_baskets scalar (replacing a driver
+        # .count() that re-executed the upstream plan) — scalar-attach,
+        # not a data-sized product.
+        "want": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
     },
     "anomaly_hours": {
         # dense series + unordered group windows: one window shuffle, no
