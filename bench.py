@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "trend_fit",
     "knn_graph",
     "streaming_funnel",
+    "star_join",
 ]
 
 

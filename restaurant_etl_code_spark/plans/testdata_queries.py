@@ -4737,6 +4737,65 @@ def _q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.stage_totals_to_funnel(totals, _FUNNEL_STAGES)
 
 
+def _q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join (the multi-level dim chain no other query
+    exercises): lineitem ⋈ orders ⋈ customer ⋈ supplier(+same-nation
+    constraint) ⋈ nation ⋈ region('ASIA'), 1996 revenue by nation.
+
+    100 TB shape: the two fact-sized tables (lineitem, orders) sort-merge
+    on the order key; customer is mid-sized and joins on its key;
+    supplier/nation/region are TRUE dims and broadcast (asserted by the
+    plan audit), with the region filter pruning nations BEFORE any fact
+    touches them. The date filter pushes to the orders scan. Revenue is
+    an exact-decimal sum of per-row double products."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_ORACLE_STAR_JOIN = """
+select n_name,
+       round(sum(cast(l_extendedprice * (1 - l_discount)
+                      as decimal(28,10)))::double, 2) as revenue,
+       count(*)::bigint as n_rows
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey and r_name = 'ASIA'
+where o_orderdate >= timestamp '1996-01-01'
+  and o_orderdate < timestamp '1997-01-01'
+group by n_name
+"""
+
+
 def _q_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL accuracy audit (the distinct-count sibling of ann_recall and
     stats_moments' builtin_agrees): exact distinct counts per column next
@@ -5469,6 +5528,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "streaming_funnel": QueryDef(
         _q_streaming_funnel, _ORACLE_FUNNEL,
         "funnel as checkpointed streaming state; replay ≡ batch cascade"),
+    "star_join": QueryDef(
+        _q_star_join, _ORACLE_STAR_JOIN,
+        "TPC-H Q5-shaped star join: fact-fact SMJ + broadcast dim chain"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -52,6 +52,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
                   "BatchEvalPython"],
     },
+    "star_join": {
+        # dims broadcast; the region filter and the date range reach the
+        # scans; fact-fact joins stay hash/SMJ (Spark's pick)
+        "want": ["BroadcastHashJoin", "PushedFilters: [IsNotNull"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython"],
+    },
     "trend_fit": {
         # five counters per group, map-side combined; formulas run on the
         # reduced rows
