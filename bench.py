@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "knn_graph",
     "streaming_funnel",
     "star_join",
+    "schema_evolution_scan",
 ]
 
 

@@ -3218,6 +3218,49 @@ def _q_json_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _customer_format_agg(staged)
 
 
+def _q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution roundtrip (the lakehouse append path): v1 files
+    lack the ``loyalty`` column that v2 appends; ``mergeSchema`` unions
+    the file footers and the reader NULL-fills v1 rows. The aggregate
+    proves the fill semantics: every even-key (v1) row must come back
+    with a missing loyalty. At 100 TB this is the no-rewrite column-add —
+    only footers are read to merge, no data file is touched."""
+    customer = load_table(spark, sf_dir, "customer")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH_DIR, f"customer_evo_{tag}")
+    v1 = customer.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    v2 = customer.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        (F.col("c_custkey") % 3).cast("bigint").alias("loyalty"),
+    )
+    v1.write.mode("overwrite").parquet(path)
+    v2.write.mode("append").parquet(path)
+    staged = spark.read.option("mergeSchema", True).parquet(path)
+    return staged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("loyalty").isNull(), 1)).alias("n_nullfilled"),
+        F.sum("loyalty").cast("bigint").alias("loyalty_sum"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_bal"),
+    )
+
+
+_ORACLE_SCHEMA_EVOLUTION = """
+select c_mktsegment,
+       count(*)::bigint as n,
+       count(case when c_custkey % 2 = 0 then 1 end)::bigint as n_nullfilled,
+       sum(case when c_custkey % 2 = 1 then c_custkey % 3 end)::bigint
+         as loyalty_sum,
+       round((sum(c_acctbal::decimal(18,2)))::double, 2) as sum_bal
+from customer group by c_mktsegment
+"""
+
+
 # --------------------------------------------------------------------------
 # SCD2 history build: change stream → versioned dimension rows
 # --------------------------------------------------------------------------
@@ -5531,6 +5574,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "star_join": QueryDef(
         _q_star_join, _ORACLE_STAR_JOIN,
         "TPC-H Q5-shaped star join: fact-fact SMJ + broadcast dim chain"),
+    "schema_evolution_scan": QueryDef(
+        _q_schema_evolution_scan, _ORACLE_SCHEMA_EVOLUTION,
+        "mergeSchema append-evolution roundtrip with proven NULL-fill"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
