@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "streaming_funnel",
     "star_join",
     "schema_evolution_scan",
+    "stream_stream_left_join",
 ]
 
 

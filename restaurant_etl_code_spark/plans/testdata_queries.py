@@ -3361,6 +3361,60 @@ where v.event_type = 'view' and p.event_type = 'purchase'
 """
 
 
+def _q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: views that never saw a
+    purchase within the hour emit NULL-extended — but only once the
+    watermark proves no match can still arrive. Views younger than
+    (final watermark − within) at stream end stay buffered un-emitted;
+    the oracle models that eviction cutoff explicitly."""
+    from restaurant_etl_code_spark.streaming import stream_stream_interval_join
+
+    def build(s: SparkSession) -> DataFrame:
+        views = _events_stream(s, sf_dir).filter(F.col("event_type") == "view")
+        purchases = _events_stream(s, sf_dir).filter(
+            F.col("event_type") == "purchase"
+        )
+        joined = stream_stream_interval_join(
+            views, purchases, key="user_id", within="1 hour",
+            join_type="leftOuter",
+        )
+        return joined.select(
+            "user_id",
+            F.col("l_event_id").alias("view_id"),
+            F.col("l_ts").alias("view_ts"),
+            F.col("r_event_id").alias("purchase_id"),
+            F.col("r_ts").alias("purchase_ts"),
+        )
+
+    return _run_stream(spark, build, "append")
+
+
+_ORACLE_STREAM_STREAM_LEFT = """
+with v as (select user_id, ts, event_id from events where event_type = 'view'),
+p as (select user_id, ts, event_id from events where event_type = 'purchase'),
+wm as (select least((select max(ts) from v), (select max(ts) from p))
+              - interval 2 hours as w),
+matched as (
+  select v.user_id, v.event_id as view_id, v.ts as view_ts,
+         p.event_id as purchase_id, p.ts as purchase_ts
+  from v join p on v.user_id = p.user_id
+               and p.ts >= v.ts and p.ts < v.ts + interval 1 hour),
+unmatched_evicted as (
+  select v.user_id, v.event_id as view_id, v.ts as view_ts,
+         cast(null as bigint) as purchase_id,
+         cast(null as timestamp) as purchase_ts
+  from v cross join wm
+  where not exists (
+          select 1 from p
+          where p.user_id = v.user_id
+            and p.ts >= v.ts and p.ts < v.ts + interval 1 hour)
+    and v.ts + interval 1 hour < wm.w)
+select * from matched
+union all
+select * from unmatched_evicted
+"""
+
+
 # --------------------------------------------------------------------------
 # Equi-width histogram (portable floor/clamp bucketing)
 # --------------------------------------------------------------------------
@@ -5577,6 +5631,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "schema_evolution_scan": QueryDef(
         _q_schema_evolution_scan, _ORACLE_SCHEMA_EVOLUTION,
         "mergeSchema append-evolution roundtrip with proven NULL-fill"),
+    "stream_stream_left_join": QueryDef(
+        _q_stream_stream_left_join, _ORACLE_STREAM_STREAM_LEFT,
+        "watermarked stream-stream LEFT OUTER join with modeled eviction"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -217,10 +217,15 @@ def stream_stream_interval_join(
     watermark: str = "2 hours",
     left_prefix: str = "l_",
     right_prefix: str = "r_",
+    join_type: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: pair each left event with every
+    """Watermarked stream-stream join: pair each left event with every
     right event of the same key whose timestamp falls in
-    ``[left_ts, left_ts + within)``.
+    ``[left_ts, left_ts + within)``. ``join_type="leftOuter"`` emits
+    NULL-extended left rows once the watermark proves no match can still
+    arrive (left row evictable ⇔ watermark > left_ts + within) — rows
+    younger than that at stream end stay buffered and are NOT emitted,
+    which any batch reconciliation must model.
 
     Both sides carry watermarks and the join condition time-bounds right
     against left, so Spark can expire buffered state once the watermark
@@ -246,7 +251,7 @@ def stream_stream_interval_join(
         & (F.col(rts) >= F.col(lts))
         & (F.col(rts) < F.col(lts) + F.expr(f"INTERVAL {within}"))
     )
-    joined = l.join(r, cond, "inner").drop("__rkey")
+    joined = l.join(r, cond, join_type).drop("__rkey")
     # Mirror windowed_event_counts/session_window_agg: cast the event-time
     # columns back to NTZ when the sources were zone-less, so the joined
     # schema matches the batch twin regardless of session timezone.
