@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "star_join",
     "schema_evolution_scan",
     "stream_stream_left_join",
+    "incremental_join",
 ]
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "partial_aggs", "merge_partial_aggs", "finalize_aggs",
     "partial_quantile_state", "merge_quantile_states", "quantile_from_state",
+    "join_delta",
 ]
 
 
@@ -149,4 +150,32 @@ def quantile_from_state(
         )
     return cum.groupBy(*keys).agg(
         F.max("total").alias("n"), *out
+    )
+
+
+def join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental JOIN maintenance (insert-only deltas): the delta of
+    ``(A ∪ ΔA) ⋈ (B ∪ ΔB)`` over the already-materialized ``A ⋈ B`` is
+
+        ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    — the classic IVM join algebra. Appending this delta to the stored
+    join IS the refreshed view; the A ⋈ B bulk is never recomputed.
+
+    Scale shape: each leg joins a DELTA against one full side — the delta
+    is the small side, so at 100 TB each leg is a broadcast (or a shuffle
+    of the delta into the full side's existing bucketing), never a
+    fact × fact rejoin. The three legs are disjoint by construction
+    (old/new provenance), so the union needs no dedup pass.
+    """
+    return (
+        a_delta.join(b_old, on)
+        .unionByName(a_old.join(b_delta, on))
+        .unionByName(a_delta.join(b_delta, on))
     )

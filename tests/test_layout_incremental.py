@@ -150,3 +150,21 @@ def test_zorder_quantile_layout_roundtrip(spark):
         assert mean_x < 0.75
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_join_delta_algebra_completes_the_view(spark):
+    """old⋈old ∪ join_delta == full⋈full, row-for-row (insert-only IVM)."""
+    from restaurant_etl_code_spark.operators import incremental
+
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(8)], "k bigint, av string")
+    b = spark.createDataFrame(
+        [(i % 5, f"b{j}") for j, i in enumerate(range(10))], "k bigint, bv string"
+    )
+    a_old, a_new = a.filter("k % 2 = 0"), a.filter("k % 2 = 1")
+    b_old, b_new = b.filter("k % 3 = 0"), b.filter("k % 3 <> 0")
+    delta = incremental.join_delta(a_old, a_new, b_old, b_new, ["k"])
+    refreshed = a_old.join(b_old, "k").unionByName(delta)
+    full = a.join(b, "k")
+    got = sorted(map(tuple, refreshed.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and len(got) > 0
