@@ -63,6 +63,8 @@ def pagerank(
     )
 
     n_edges = e.count()
+    if n_edges == 0:
+        raise ValueError("pagerank: empty edge list (no graph to rank)")
     iter_parts = max(1, min(session_parts, -(-n_edges // 1_000_000)))
 
     def part(df: DataFrame, key: str) -> DataFrame:

@@ -151,7 +151,12 @@ def streaming_funnel_flags(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         reach = list(state.get) if state.exists else [-1] * k
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        # pd.concat raises on an empty list — a timeout-style invocation
+        # with no rows must still emit the current flags, not crash
+        batch = (
+            pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+        )
         if len(batch):
             batch = batch.sort_values([ts_col, tiebreak_col], kind="mergesort")
             for ts, tp in zip(batch[ts_col], batch[type_col]):

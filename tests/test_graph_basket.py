@@ -97,3 +97,9 @@ def test_plan_audit_graph_basket(spark):
 
     failures = explain_audit.audit(["pagerank", "basket_pairs"], spark)
     assert not failures, failures
+
+
+def test_pagerank_rejects_empty_graph(spark):
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="empty edge list"):
+        graph.pagerank(empty, iterations=1)
