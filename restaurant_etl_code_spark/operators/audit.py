@@ -32,6 +32,22 @@ __all__ = [
 ]
 
 
+def _check_identifiers(cols) -> None:
+    """The long-format builders interpolate column names into selectExpr
+    aliases and string literals; restrict to bare identifiers so a name
+    with spaces/quotes fails HERE with an actionable message instead of
+    deep in the SQL parser (or worse, silently referencing the wrong
+    column)."""
+    import re
+
+    for c in cols:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+            raise ValueError(
+                f"audit: column name {c!r} is not a bare identifier; "
+                "rename/alias it before profiling"
+            )
+
+
 def profile_columns(
     df: DataFrame,
     *,
@@ -52,6 +68,7 @@ def profile_columns(
     multiplies the scanned stream by the number of profiled columns.
     """
     cols = list(numeric_cols) + list(string_cols)
+    _check_identifiers(cols)
     distinct = (
         (lambda c: F.approx_count_distinct(c)) if approx else (lambda c: F.countDistinct(c))
     )
@@ -100,6 +117,13 @@ def constraint_counts(
     ``row_count − distinct_count`` in the same aggregation (Expand), so
     the whole call is still a single pass over the data.
     """
+    _check_identifiers(
+        list(unique_cols) + list(not_null_cols) + list(domain or {})
+    )
+    if not (unique_cols or not_null_cols or domain):
+        raise ValueError(
+            "constraint_counts: no constraints given (stack(0) is not valid SQL)"
+        )
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in not_null_cols:
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn__{c}"))

@@ -115,7 +115,9 @@ def stage_totals_to_funnel(totals: DataFrame, stages: Sequence[str]) -> DataFram
     out = totals.selectExpr(
         f"stack({len(stages)}, {stack_args}) as (stage, stage_idx, users)"
     )
-    base = F.first(F.when(F.col("stage_idx") == 0, F.col("users"))).over(
+    # max(when(...)) is row-order independent; first() without
+    # ignorenulls would yield NULL if a non-stage-0 row sorted first
+    base = F.max(F.when(F.col("stage_idx") == 0, F.col("users"))).over(
         Window.orderBy(F.lit(1)).rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )

@@ -208,6 +208,11 @@ def winsorized_stats(
     KLL-style sketch with bounded memory and map-side combine — the caps
     shift by the sketch error but the plan shape is identical.
     """
+    # NULL values: percentile skips them, but Spark's greatest/least ALSO
+    # skip NULLs — so an unfiltered NULL row would silently clip to the
+    # LOW cap and inflate n (found in review). Drop them up front: robust
+    # stats are over observed values.
+    df = df.filter(F.col(value_col).isNotNull())
     pct = "approx_percentile" if approx else "percentile"
     caps = df.groupBy(group_col).agg(
         F.expr(f"{pct}({value_col}, {lo!r}D)").alias("__plo"),

@@ -331,14 +331,18 @@ def resample_counts(
             F.round(F.sum(value_col), 4).alias("value_sum"),
         )
     )
-    bounds = events.agg(
-        F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
-        F.date_trunc(unit, F.max(ts_col)).alias("__hi"),
+    # bounds and the key dim derive from the COUNTS subtree, not the fact:
+    # every event lands in some counter, so min/max(period) and distinct
+    # series_key over counters are identical — and the identical subplan
+    # means ReusedExchange collapses this to ONE fact scan instead of
+    # three (found in review).
+    bounds = counts.agg(
+        F.min("period").alias("__lo"), F.max("period").alias("__hi")
     )
     periods = bounds.select(
         F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias("period")
     )
-    keys = events.select(F.col(key_col).alias("series_key")).distinct()
+    keys = counts.select("series_key").distinct()
     dense = periods.crossJoin(keys)
     return (
         dense.join(counts, ["period", "series_key"], "left")
@@ -368,16 +372,24 @@ def point_in_time_join(
     is the label-leakage bug temporal training pipelines must not have.
 
     ``history`` is an SCD2 table (``scd2_history`` output: key,
-    attr columns, ``valid_from``/``valid_to``). SCD2 intervals are
+    attr columns, ``valid_from``/``valid_to``). Zero-length intervals
+    (valid_from == valid_to — two state changes at the same instant) are
+    dropped first: they are active at NO instant under half-open
+    semantics, and keeping them would leave two runs per (key,
+    valid_from) for the as-of reduction to pick between arbitrarily. SCD2 intervals are
     non-overlapping and left-closed per key, so "the interval containing
     ts" is exactly "the latest valid_from ≤ ts" — the union-merge as-of
     join answers it in |F| + |H| per key with no interval explosion, no
     range join, and no valid_to predicate at all. Pass a lag-shifted
     ``left_ts`` (e.g. ts − feature delay) to enforce a freshness gap.
     """
+    live = history.filter(
+        F.col("valid_to").isNull()
+        | (F.col("valid_to") != F.col("valid_from"))
+    )
     return as_of_join(
         fact,
-        history,
+        live,
         on=on,
         left_id=left_id,
         left_ts=left_ts,

@@ -810,9 +810,17 @@ with ordered as (
   select user_id, event_type, ts, event_id,
          lag(event_type) over (partition by user_id order by ts, event_id) as prev
   from events),
-runs as (
-  select user_id, event_type, ts from ordered
+runs0 as (
+  select user_id, event_type, ts, event_id from ordered
   where prev is null or event_type <> prev),
+runs as (
+  -- drop zero-length intervals (two state changes at the same instant):
+  -- active at no instant, mirrored by point_in_time_join's live filter
+  select user_id, event_type, ts from (
+    select *, lead(ts) over (partition by user_id
+                             order by ts, event_id) as nxt
+    from runs0)
+  where nxt is null or nxt <> ts),
 fact as (
   select event_id, user_id, ts, ts - interval 1 hour as lookup_ts from events)
 select event_id, user_id, ts, state_1h_ago from (
@@ -4872,7 +4880,14 @@ def _q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "update",
     )
-    totals = flags.agg(
+    # per-user max FIRST: in update mode a user touched by several
+    # micro-batches emits one flag row per batch — summing raw rows would
+    # double-count. The max collapse makes the count batch-split-proof
+    # (found in review; today's single-file source emits one batch).
+    per_user = flags.groupBy("user_id").agg(
+        *[F.max(f"r{i}").alias(f"r{i}") for i in range(len(_FUNNEL_STAGES))]
+    )
+    totals = per_user.agg(
         *[F.sum(f"r{i}").alias(f"__u{i}") for i in range(len(_FUNNEL_STAGES))]
     )
     return behavior.stage_totals_to_funnel(totals, _FUNNEL_STAGES)

@@ -124,7 +124,11 @@ def test_max_concurrency_carry_across_buckets(spark):
         bucket_seconds=86400,
     ).collect()
     by_bucket = {r.bucket_start_sec: r.max_concurrent for r in out}
-    day2 = int(datetime(2024, 1, 2).timestamp())
+    # UTC-pinned session: derive the expected bucket key in UTC too (a
+    # naive .timestamp() would use the host zone and fail off-UTC)
+    from datetime import timezone
+
+    day2 = int(datetime(2024, 1, 2, tzinfo=timezone.utc).timestamp())
     assert by_bucket[day2] == 2   # carry-in 1 + local start 1
 
 
@@ -339,3 +343,45 @@ def test_profile_columns_approx_path(spark):
     # the approx plan must NOT carry the exact multi-distinct Expand
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_winsorized_stats_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", 20.0), ("g", None)], "g string, v double"
+    )
+    out = stats.winsorized_stats(
+        df, group_col="g", value_col="v", lo=0.01, hi=0.99
+    ).collect()[0]
+    # NULL row is excluded, not silently clipped to the low cap
+    assert out.n == 2
+    assert out.winsorized_mean > 14.0
+
+
+def test_constraint_counts_rejects_empty_and_bad_names(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with _pytest.raises(ValueError, match="no constraints"):
+        audit.constraint_counts(df)
+    with _pytest.raises(ValueError, match="bare identifier"):
+        audit.profile_columns(df, string_cols=["bad name"])
+
+
+def test_point_in_time_same_instant_change_uses_latest(spark):
+    # two state changes at the SAME instant: the superseded zero-length
+    # interval must never win the lookup
+    hist_src = spark.createDataFrame(
+        [(1, _ts(10), "A", 1), (1, _ts(10), "B", 2)],
+        "k bigint, ts timestamp, attr string, tb bigint",
+    )
+    hist = temporal.scd2_history(
+        hist_src, key_col="k", ts_col="ts", attr_col="attr", tiebreak_col="tb"
+    )
+    fact = spark.createDataFrame(
+        [(1, 1, _ts(11))], "event_id bigint, k bigint, ts timestamp"
+    )
+    out = temporal.point_in_time_join(
+        fact, hist, on="k", left_id="event_id", left_ts="ts",
+        attr_cols=["attr_value"],
+    ).collect()
+    assert out[0].attr_value_pit == "B"
