@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "schema_evolution_scan",
     "stream_stream_left_join",
     "incremental_join",
+    "dedup_recall",
 ]
 
 

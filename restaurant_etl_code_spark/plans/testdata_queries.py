@@ -1929,6 +1929,54 @@ from pairs where {_DUCK_COS} >= 0.8
 """
 
 
+def _q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the LSH dedup scale path (the dedup twin of
+    ann_recall): fraction of EXACT threshold-0.8 near-dup pairs that
+    6-bit sign-LSH blocking recovers. The number that justifies an nbits
+    choice before trusting blocked dedup at 100 TB. Both pair sets are
+    candidate-bounded; the audit itself is a left-semi count."""
+    aug = _augmented_embeddings(spark, sf_dir)
+    exact = similarity.embedding_near_dup_pairs(aug, threshold=0.8, nbits=0)
+    blocked = similarity.embedding_near_dup_pairs(aug, threshold=0.8, nbits=6)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_found = (
+        exact.join(blocked.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    return (
+        n_exact.crossJoin(n_found)
+        .select(
+            "n_exact",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
+_ORACLE_DEDUP_RECALL = f"""
+with {_DUCK_AUG_EMB.strip()},
+b as (select vec_id, embedding, {_DUCK_BUCKET} as bkt from aug),
+exact as (
+  select id_a, id_b from (
+    select a.vec_id as id_a, b2.vec_id as id_b,
+           a.embedding as qv, b2.embedding as cv
+    from aug a join aug b2 on a.vec_id < b2.vec_id)
+  where {_DUCK_COS} >= 0.8),
+blocked as (
+  select id_a, id_b from (
+    select a.vec_id as id_a, b2.vec_id as id_b,
+           a.embedding as qv, b2.embedding as cv
+    from b a join b b2 on a.bkt = b2.bkt and a.vec_id < b2.vec_id)
+  where {_DUCK_COS} >= 0.8),
+n as (select count(*)::bigint as n_exact from exact),
+f as (select count(*)::bigint as n_found
+      from exact where exists (select 1 from blocked bl
+                               where bl.id_a = exact.id_a and bl.id_b = exact.id_b))
+select n.n_exact, f.n_found, round(f.n_found / n.n_exact, 6) as recall
+from n cross join f
+"""
+
+
 def _q_quantize_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization round-trip audit. At 100 TB the embedding
     store is the dominant byte cost; symmetric per-vector int8 (scale =
@@ -5696,6 +5744,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "incremental_join": QueryDef(
         _q_incremental_join, _ORACLE_INCREMENTAL_JOIN,
         "IVM join delta: ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, bulk never recomputed"),
+    "dedup_recall": QueryDef(
+        _q_dedup_recall, _ORACLE_DEDUP_RECALL,
+        "LSH-blocked dedup recall vs the exact pair set (nbits audit)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
