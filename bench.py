@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "stream_stream_left_join",
     "incremental_join",
     "dedup_recall",
+    "corrupt_quarantine",
 ]
 
 

@@ -3318,6 +3318,49 @@ from customer group by c_mktsegment
 """
 
 
+def _q_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant ingestion (the scan-side analog of the K5 failed-rows
+    sink): a JSON landing file where every 13th record is deterministically
+    truncated mid-object. PERMISSIVE mode + columnNameOfCorruptRecord
+    quarantines bad lines as raw text instead of failing the job; the
+    aggregate reports good/bad counts per segment plus the quarantined
+    volume — the ops dashboard number. The oracle derives the same split
+    from the corruption rule (c_custkey % 13) over the source table."""
+    customer = load_table(spark, sf_dir, "customer")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH_DIR, f"customer_corrupt_{tag}")
+    line = F.to_json(
+        F.struct("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    )
+    corrupted = F.when(
+        F.col("c_custkey") % 13 == 0, F.substring(line, 1, 10)  # truncated JSON
+    ).otherwise(line)
+    customer.select(corrupted.alias("value")).write.mode("overwrite").text(path)
+    staged = spark.read.schema(
+        _CUSTOMER_SCHEMA + ", _corrupt string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).json(path)
+    return staged.groupBy(
+        F.coalesce("c_mktsegment", F.lit("__QUARANTINE__")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col("_corrupt")).alias("n_corrupt"),
+        F.sum(F.length("_corrupt")).cast("bigint").alias("quarantined_bytes"),
+    )
+
+
+_ORACLE_CORRUPT_QUARANTINE = """
+select case when c_custkey % 13 = 0 then '__QUARANTINE__'
+            else c_mktsegment end as segment,
+       count(*)::bigint as n,
+       count(case when c_custkey % 13 = 0 then 1 end)::bigint as n_corrupt,
+       sum(case when c_custkey % 13 = 0 then 10 end)::bigint as quarantined_bytes
+from customer
+group by 1
+"""
+
+
 # --------------------------------------------------------------------------
 # SCD2 history build: change stream → versioned dimension rows
 # --------------------------------------------------------------------------
@@ -5747,6 +5790,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "dedup_recall": QueryDef(
         _q_dedup_recall, _ORACLE_DEDUP_RECALL,
         "LSH-blocked dedup recall vs the exact pair set (nbits audit)"),
+    "corrupt_quarantine": QueryDef(
+        _q_corrupt_quarantine, _ORACLE_CORRUPT_QUARANTINE,
+        "PERMISSIVE scan: corrupt JSON rows quarantined, not job-fatal"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
