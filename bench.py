@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "incremental_join",
     "dedup_recall",
     "corrupt_quarantine",
+    "funnel_timing",
 ]
 
 

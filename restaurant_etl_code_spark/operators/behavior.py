@@ -29,11 +29,54 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "funnel",
+    "funnel_conversion_time",
     "stage_totals_to_funnel",
     "cohort_retention",
     "event_transitions",
     "max_concurrency",
 ]
+
+
+def _stage_candidates(
+    events: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    tiebreak_col: str,
+    max_lag_seconds: int | None,
+) -> tuple[DataFrame, list[str]]:
+    """The funnel window cascade: per row, a valid stage-*i* candidate
+    timestamp gated on the running max of stage *i−1* over strictly
+    preceding rows. Shared by the count, timing, and windowed variants —
+    one (user, ts, tiebreak) sort regardless of consumer."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    w_prev = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = events
+    cands: list[str] = []
+    prev_max = None
+    for i, s in enumerate(stages):
+        cond = F.col(type_col) == s
+        if prev_max is not None:
+            gate = prev_max.isNotNull()
+            if max_lag_seconds is not None:
+                gate = gate & (
+                    F.col(ts_col).cast("timestamp").cast("long")
+                    - prev_max.cast("timestamp").cast("long")
+                    <= max_lag_seconds
+                )
+            cond = cond & gate
+        cand = F.when(cond, F.col(ts_col))
+        df = df.withColumn(f"__cand{i}", cand)
+        cands.append(f"__cand{i}")
+        prev_max = F.max(F.col(f"__cand{i}")).over(w_prev)
+    return df, cands
 
 
 def funnel(
@@ -64,32 +107,15 @@ def funnel(
     Returns one row per stage: (stage, stage_idx, users, conversion)
     where conversion = users / users-at-stage-0, rounded to 6 dp.
     """
-    if not stages:
-        raise ValueError("stages must be non-empty")
-    w_prev = (
-        Window.partitionBy(user_col)
-        .orderBy(ts_col, tiebreak_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    df, cands = _stage_candidates(
+        events,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        stages=stages,
+        tiebreak_col=tiebreak_col,
+        max_lag_seconds=max_lag_seconds,
     )
-    df = events
-    cands = []
-    prev_max = None
-    for i, s in enumerate(stages):
-        cond = F.col(type_col) == s
-        if prev_max is not None:
-            gate = prev_max.isNotNull()
-            if max_lag_seconds is not None:
-                gate = gate & (
-                    F.col(ts_col).cast("timestamp").cast("long")
-                    - prev_max.cast("timestamp").cast("long")
-                    <= max_lag_seconds
-                )
-            cond = cond & gate
-        cand = F.when(cond, F.col(ts_col))
-        df = df.withColumn(f"__cand{i}", cand)
-        cands.append(f"__cand{i}")
-        prev_max = F.max(F.col(f"__cand{i}")).over(w_prev)
-
     per_user = df.groupBy(user_col).agg(
         *[
             F.max(F.col(c).isNotNull().cast("int")).alias(f"__r{i}")
@@ -129,6 +155,50 @@ def stage_totals_to_funnel(totals: DataFrame, stages: Sequence[str]) -> DataFram
         # NULL (not an ANSI divide-by-zero crash) when nobody reaches
         # stage 0 — found by the hypothesis monotonicity property
         F.when(base > 0, F.round(F.col("users") / base, 6)).alias("conversion"),
+    )
+
+
+def funnel_conversion_time(
+    events: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    tiebreak_col: str,
+    max_lag_seconds: int | None = None,
+) -> DataFrame:
+    """Time-to-convert statistics over the SAME single-sort cascade as
+    ``funnel``: for users who validly complete the LAST stage, seconds
+    from their earliest stage-0 event to their earliest valid last-stage
+    event. One row: (n_converted, avg_seconds, min_seconds, max_seconds);
+    the mean is an exact-decimal sum ÷ count (order-independent).
+    """
+    df, cands = _stage_candidates(
+        events,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        stages=stages,
+        tiebreak_col=tiebreak_col,
+        max_lag_seconds=max_lag_seconds,
+    )
+    per_user = df.groupBy(user_col).agg(
+        F.min(cands[0]).alias("__t0"), F.min(cands[-1]).alias("__tk")
+    )
+    conv = per_user.filter(F.col("__tk").isNotNull())
+    dur = (
+        F.col("__tk").cast("timestamp").cast("long")
+        - F.col("__t0").cast("timestamp").cast("long")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(
+            F.sum(dur.cast("decimal(28,10)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("avg_seconds"),
+        F.min(dur).cast("bigint").alias("min_seconds"),
+        F.max(dur).cast("bigint").alias("max_seconds"),
     )
 
 

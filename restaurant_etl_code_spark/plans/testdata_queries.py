@@ -4955,6 +4955,55 @@ select 'purchase', 2, u2::bigint, round(u2 / u0, 6) from tot
 """
 
 
+def _q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert over the funnel cascade: seconds from first view
+    to first valid purchase, for completing users."""
+    events = load_table(spark, sf_dir, "events")
+    return behavior.funnel_conversion_time(
+        events,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        stages=_FUNNEL_STAGES,
+        tiebreak_col="event_id",
+    )
+
+
+_ORACLE_FUNNEL_TIMING = """
+with s0 as (
+  select user_id, ts, event_type, event_id,
+         min(case when event_type = 'view' then ts end) over
+           (partition by user_id order by ts, event_id
+            rows between unbounded preceding and 1 preceding) as p0
+  from events),
+s1 as (
+  select *, case when event_type = 'click' and p0 is not null then ts end as c1
+  from s0),
+s1m as (
+  select *, min(c1) over
+           (partition by user_id order by ts, event_id
+            rows between unbounded preceding and 1 preceding) as p1
+  from s1),
+s2 as (
+  select *, case when event_type = 'purchase' and p1 is not null then ts end as c2
+  from s1m),
+per_user as (
+  select user_id,
+         min(case when event_type = 'view' then ts end) as t0,
+         min(c2) as tk
+  from s2 group by user_id),
+conv as (
+  select epoch_us(tk) // 1000000 - epoch_us(t0) // 1000000 as dur
+  from per_user where tk is not null)
+select count(*)::bigint as n_converted,
+       round(sum(cast(dur as decimal(28,10)))::double / count(*), 6)
+         as avg_seconds,
+       min(dur)::bigint as min_seconds,
+       max(dur)::bigint as max_seconds
+from conv
+"""
+
+
 def _q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The funnel as a REAL stream: per-user stage flags maintained in
     checkpointed applyInPandasWithState state (constant per-user state),
@@ -5798,6 +5847,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "corrupt_quarantine": QueryDef(
         _q_corrupt_quarantine, _ORACLE_CORRUPT_QUARANTINE,
         "PERMISSIVE scan: corrupt JSON rows quarantined, not job-fatal"),
+    "funnel_timing": QueryDef(
+        _q_funnel_timing, _ORACLE_FUNNEL_TIMING,
+        "time-to-convert stats over the same single-sort funnel cascade"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
