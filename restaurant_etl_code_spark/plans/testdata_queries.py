@@ -1933,8 +1933,11 @@ def _q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit for the LSH dedup scale path (the dedup twin of
     ann_recall): fraction of EXACT threshold-0.8 near-dup pairs that
     6-bit sign-LSH blocking recovers. The number that justifies an nbits
-    choice before trusting blocked dedup at 100 TB. Both pair sets are
-    candidate-bounded; the audit itself is a left-semi count."""
+    choice before trusting blocked dedup at 100 TB. The exact branch is
+    ground truth and inherently quadratic (BLAS-vectorized, 10.6× wall at
+    10× data) — at production scale run the audit on a SAMPLE of the
+    corpus (recall estimation on a few hundred k vectors is the standard
+    practice); the blocked branch alone is the full-corpus path."""
     aug = _augmented_embeddings(spark, sf_dir)
     exact = similarity.embedding_near_dup_pairs(aug, threshold=0.8, nbits=0)
     blocked = similarity.embedding_near_dup_pairs(aug, threshold=0.8, nbits=6)
