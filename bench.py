@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "dedup_recall",
     "corrupt_quarantine",
     "funnel_timing",
+    "numeric_corr",
+    "session_paths",
 ]
 
 

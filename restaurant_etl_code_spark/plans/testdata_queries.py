@@ -3368,6 +3368,141 @@ group by 1
 """
 
 
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _q_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over fact numerics — the
+    relational-column counterpart of embedding_covariance: ONE counter-only
+    aggregation ships n plus Σx/Σx²/Σxy per pair (decimal-exact, map-side
+    combined), then the r formula runs on the single reduced row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec(F.col(c))).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(dec(F.col(c) * F.col(c))).cast("double").alias(f"ss_{c}")
+        )
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            aggs.append(
+                F.sum(dec(F.col(a) * F.col(b))).cast("double").alias(f"sp_{a}__{b}")
+            )
+    one = li.agg(*aggs)
+    rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            num = F.col(f"sp_{a}__{b}") - F.col(f"s_{a}") * F.col(f"s_{b}") / F.col("n")
+            da = F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}") / F.col("n")
+            db = F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}") / F.col("n")
+            rows.append(
+                one.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(num / F.sqrt(da * db), 6).alias("pearson_r"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_ORACLE_NUMERIC_CORR = """
+with s as (
+  select count(*)::double as n,
+         sum(cast(l_quantity as decimal(28,10)))::double as s_q,
+         sum(cast(l_quantity * l_quantity as decimal(28,10)))::double as ss_q,
+         sum(cast(l_extendedprice as decimal(28,10)))::double as s_p,
+         sum(cast(l_extendedprice * l_extendedprice as decimal(28,10)))::double as ss_p,
+         sum(cast(l_discount as decimal(28,10)))::double as s_d,
+         sum(cast(l_discount * l_discount as decimal(28,10)))::double as ss_d,
+         sum(cast(l_quantity * l_extendedprice as decimal(28,10)))::double as sp_qp,
+         sum(cast(l_quantity * l_discount as decimal(28,10)))::double as sp_qd,
+         sum(cast(l_extendedprice * l_discount as decimal(28,10)))::double as sp_pd
+  from lineitem)
+select 'l_quantity' as col_a, 'l_extendedprice' as col_b,
+       round((sp_qp - s_q * s_p / n)
+             / sqrt((ss_q - s_q * s_q / n) * (ss_p - s_p * s_p / n)), 6)
+         as pearson_r
+from s
+union all
+select 'l_quantity', 'l_discount',
+       round((sp_qd - s_q * s_d / n)
+             / sqrt((ss_q - s_q * s_q / n) * (ss_d - s_d * s_d / n)), 6)
+from s
+union all
+select 'l_extendedprice', 'l_discount',
+       round((sp_pd - s_p * s_d / n)
+             / sqrt((ss_p - s_p * s_p / n) * (ss_d - s_d * s_d / n)), 6)
+from s
+"""
+
+
+def _q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths: per 30-minute session, the '>'-joined ordered
+    event-type sequence, ranked by frequency (ties by path). Path strings
+    are session-bounded; the count is a counter-only aggregation and the
+    ranking is TakeOrdered — no global sort."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.col("ts").cast("timestamp").cast("long")
+            - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+            > 1800
+        ),
+        1,
+    ).otherwise(0)
+    sess = events.withColumn("__new", gap).withColumn(
+        "session_id", F.sum("__new").over(w) - 1
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .sort(F.col("n_sessions").desc(), F.col("path"))
+        .limit(20)
+    )
+    return paths
+
+
+_ORACLE_SESSION_PATHS = """
+with flagged as (
+  select user_id, ts, event_id, event_type,
+         case when lag(ts) over w is null
+                   or epoch_us(ts) // 1000000 - epoch_us(lag(ts) over w) // 1000000 > 1800
+              then 1 else 0 end as new_session
+  from events window w as (partition by user_id order by ts)),
+sessioned as (
+  select *, (sum(new_session) over (partition by user_id order by ts
+                                    rows between unbounded preceding and current row)
+             - 1) as session_id
+  from flagged),
+paths as (
+  select user_id, session_id,
+         string_agg(event_type, '>' order by ts, event_id) as path
+  from sessioned group by 1, 2)
+select path, count(*)::bigint as n_sessions
+from paths group by path
+order by n_sessions desc, path
+limit 20
+"""
+
+
 # --------------------------------------------------------------------------
 # SCD2 history build: change stream → versioned dimension rows
 # --------------------------------------------------------------------------
@@ -5853,6 +5988,12 @@ _REGISTRY: dict[str, QueryDef] = {
     "funnel_timing": QueryDef(
         _q_funnel_timing, _ORACLE_FUNNEL_TIMING,
         "time-to-convert stats over the same single-sort funnel cascade"),
+    "numeric_corr": QueryDef(
+        _q_numeric_corr, _ORACLE_NUMERIC_CORR,
+        "pairwise Pearson matrix from one counter-only decimal-sum pass"),
+    "session_paths": QueryDef(
+        _q_session_paths, _ORACLE_SESSION_PATHS,
+        "top-20 ordered session event paths (counter agg + TakeOrdered)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

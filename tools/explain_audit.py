@@ -52,6 +52,17 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
                   "BatchEvalPython"],
     },
+    "numeric_corr": {
+        # one counter-only pass; r formulas run on the single reduced row
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "Window", "BatchEvalPython"],
+    },
+    "session_paths": {
+        # path build shares the session window shuffle; ranking is
+        # TakeOrdered, never a global sort-exchange
+        "want": ["TakeOrderedAndProject"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
     "star_join": {
         # dims broadcast; the region filter and the date range reach the
         # scans; fact-fact joins stay hash/SMJ (Spark's pick)
