@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "funnel_timing",
     "numeric_corr",
     "session_paths",
+    "basket_triples",
 ]
 
 

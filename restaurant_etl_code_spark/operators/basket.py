@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cooccurrence_pairs"]
+__all__ = ["cooccurrence_pairs", "cooccurrence_triples"]
 
 
 def cooccurrence_pairs(
@@ -91,4 +91,69 @@ def cooccurrence_pairs(
                 6,
             ).alias("lift"),
         )
+    )
+
+
+def cooccurrence_triples(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Frequent item TRIPLES — the level-3 a-priori step: (item_a <
+    item_b < item_c, n_triple ≥ min_support).
+
+    The Apriori property (every sub-pair of a frequent triple is itself
+    frequent at ≥ the triple's support) means pruning can never change
+    the RESULT — it exists to bound the enumeration. Shape: in-basket
+    pair instances left-semi-join the frequent-PAIR list before the
+    third-item extension, so the triple join's probe side holds only
+    frequent-pair instances; the (b,c) and (a,c) sub-pairs prune the
+    candidate stream the same way before the counting shuffle. All
+    pruning tables are aggregate outputs (counter-sized vs the corpus).
+
+    The plain SQL equivalent is the unpruned 3-way self-join with
+    HAVING — identical rows, quadratically more join work.
+    """
+    baskets = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket_size is not None:
+        sizes = baskets.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+        keep = sizes.filter(F.col("__sz") <= max_basket_size).select("__b")
+        baskets = baskets.join(keep, "__b", "left_semi")
+    item_counts = baskets.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    frequent_items = item_counts.filter(F.col("__n") >= min_support).select("__i")
+    pruned = baskets.join(frequent_items, "__i", "left_semi")
+
+    a = pruned.select("__b", F.col("__i").alias("item_a"))
+    b = pruned.select("__b", F.col("__i").alias("item_b"))
+    c = pruned.select("__b", F.col("__i").alias("item_c"))
+    pair_inst = a.join(b, "__b").filter(F.col("item_a") < F.col("item_b"))
+    pf = (
+        pair_inst.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("__np"))
+        .filter(F.col("__np") >= min_support)
+        .select("item_a", "item_b")
+    )
+    freq_pair_inst = pair_inst.join(pf, ["item_a", "item_b"], "left_semi")
+    tri = freq_pair_inst.join(c, "__b").filter(F.col("item_b") < F.col("item_c"))
+    # remaining sub-pair prunes: (b,c) and (a,c) must be frequent too
+    tri = tri.join(
+        pf.select(
+            F.col("item_a").alias("item_b"), F.col("item_b").alias("item_c")
+        ),
+        ["item_b", "item_c"],
+        "left_semi",
+    ).join(
+        pf.select("item_a", F.col("item_b").alias("item_c")),
+        ["item_a", "item_c"],
+        "left_semi",
+    )
+    return (
+        tri.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).alias("n_triple"))
+        .filter(F.col("n_triple") >= min_support)
     )

@@ -5598,6 +5598,38 @@ cross join nb
 # Seasonal time-series anomaly detection (resample → hour-of-day z-score)
 # --------------------------------------------------------------------------
 
+def _q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-3 a-priori: frequent co-purchased part TRIPLES. The Apriori
+    property makes the pruned plan return exactly what the unpruned
+    3-way self-join would — the oracle IS that plain join (materialized
+    CTEs: DuckDB's inlining re-plans the self-join chain quadratically
+    otherwise)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket.cooccurrence_triples(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_support=2, max_basket_size=12,
+    )
+
+
+_ORACLE_BASKET_TRIPLES = """
+with b0 as materialized (
+  select distinct l_orderkey as b, l_partkey as i from lineitem),
+sz as (select b, count(*) as s from b0 group by b),
+b as materialized (
+  select b0.b, b0.i from b0 join sz using (b) where sz.s <= 12),
+ic as (select i, count(*) as c from b group by i),
+bp as materialized (
+  select b.b, b.i from b join ic using (i) where ic.c >= 2)
+select x.i as item_a, y.i as item_b, z.i as item_c,
+       count(*)::bigint as n_triple
+from bp x
+join bp y on x.b = y.b and x.i < y.i
+join bp z on y.b = z.b and y.i < z.i
+group by 1, 2, 3
+having count(*) >= 2
+"""
+
+
 def _q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event volumes scored against their (event_type, hour-of-day)
     seasonal baseline — gap-filled first so silent hours can be anomalous.
@@ -5994,6 +6026,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "session_paths": QueryDef(
         _q_session_paths, _ORACLE_SESSION_PATHS,
         "top-20 ordered session event paths (counter agg + TakeOrdered)"),
+    "basket_triples": QueryDef(
+        _q_basket_triples, _ORACLE_BASKET_TRIPLES,
+        "level-3 a-priori frequent triples (sub-pair-pruned enumeration)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

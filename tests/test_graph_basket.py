@@ -103,3 +103,32 @@ def test_pagerank_rejects_empty_graph(spark):
     empty = spark.createDataFrame([], "src bigint, dst bigint")
     with pytest.raises(ValueError, match="empty edge list"):
         graph.pagerank(empty, iterations=1)
+
+
+def test_cooccurrence_triples_apriori_equivalence(spark):
+    # pruned plan must return EXACTLY the unpruned 3-way join result
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (b, i) for b in range(40)
+        for i in rng.sample(range(12), rng.randint(1, 6))
+    ]
+    df = _baskets(spark, rows)
+    got = {
+        (r.item_a, r.item_b, r.item_c, r.n_triple)
+        for r in basket.cooccurrence_triples(
+            df, basket_col="b", item_col="i", min_support=2
+        ).collect()
+    }
+    # brute-force reference
+    by_basket = {}
+    for b, i in rows:
+        by_basket.setdefault(b, set()).add(i)
+    counts = {}
+    for items in by_basket.values():
+        for t in itertools.combinations(sorted(items), 3):
+            counts[t] = counts.get(t, 0) + 1
+    want = {(a, b2, c, n) for (a, b2, c), n in counts.items() if n >= 2}
+    assert got == want and len(want) > 0

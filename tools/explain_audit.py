@@ -30,6 +30,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
                   "BatchEvalPython"],
     },
+    "basket_triples": {
+        # enumeration extends FREQUENT-pair instances only; prunes are
+        # semi-joins against counter-sized aggregates
+        "want": ["HashAggregate", "LeftSemi"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
     "basket_pairs": {
         # pair explosion happens INSIDE the basket-key equi-join; pair
         # counts reduce map-side. A BroadcastNestedLoopJoin IS expected:

@@ -53,7 +53,7 @@ PROBE = [
     "funnel", "cohort_retention", "event_transitions", "concurrency_sweep",
     "dq_audit", "time_resample", "winsorize",
     "pagerank", "basket_pairs", "anomaly_hours", "funnel_windowed", "asof_tolerance", "point_in_time", "trend_fit", "knn_graph", "star_join", "incremental_join", "funnel_timing",
-    "dedup_recall", "corrupt_quarantine", "numeric_corr", "session_paths",
+    "dedup_recall", "corrupt_quarantine", "numeric_corr", "session_paths", "basket_triples",
 ]
 
 
