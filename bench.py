@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "numeric_corr",
     "session_paths",
     "basket_triples",
+    "basket_rules",
+    "activity_streaks",
 ]
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cooccurrence_pairs", "cooccurrence_triples"]
+__all__ = ["cooccurrence_pairs", "cooccurrence_triples", "association_rules"]
 
 
 def cooccurrence_pairs(
@@ -157,3 +157,45 @@ def cooccurrence_triples(
         .agg(F.count(F.lit(1)).alias("n_triple"))
         .filter(F.col("n_triple") >= min_support)
     )
+
+
+def association_rules(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    min_confidence: float = 0.0,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Directed association rules from the frequent pairs: for each
+    ordered rule A→B, ``confidence = n_pair / support(A)`` and the shared
+    ``lift``. Pure post-processing of ``cooccurrence_pairs`` — each
+    undirected pair emits both directions from the counter-sized pair
+    table (no new pass over the baskets)."""
+    pairs = cooccurrence_pairs(
+        df,
+        basket_col=basket_col,
+        item_col=item_col,
+        min_support=min_support,
+        max_basket_size=max_basket_size,
+    )
+    fwd = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_pair",
+        F.col("support_a").alias("support_antecedent"),
+        "lift",
+    )
+    rev = pairs.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        "n_pair",
+        F.col("support_b").alias("support_antecedent"),
+        "lift",
+    )
+    rules = fwd.unionByName(rev).withColumn(
+        "confidence",
+        F.round(F.col("n_pair") / F.col("support_antecedent"), 6),
+    )
+    return rules.filter(F.col("confidence") >= min_confidence)

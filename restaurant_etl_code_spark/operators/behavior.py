@@ -34,6 +34,7 @@ __all__ = [
     "cohort_retention",
     "event_transitions",
     "max_concurrency",
+    "activity_streaks",
 ]
 
 
@@ -339,4 +340,36 @@ def max_concurrency(
             F.col("max_concurrent").cast("bigint").alias("max_concurrent"),
             F.col("n_events").cast("bigint").alias("n_events"),
         )
+    )
+
+
+def activity_streaks(
+    events: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands pattern: distinct active dates minus their per-user
+    row_number collapse each consecutive run to ONE island key (a date
+    constant within the run), so streak length is a plain count per
+    island. One shuffle on the user key shared by the window and both
+    aggregations; islands are date-bounded, never data-sized.
+
+    Returns (user, n_active_days, n_streaks, longest_streak).
+    """
+    days = events.select(
+        F.col(user_col), F.to_date(ts_col).alias("__d")
+    ).distinct()
+    w = Window.partitionBy(user_col).orderBy("__d")
+    islands = days.withColumn(
+        "__island", F.date_sub(F.col("__d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy(user_col, "__island").agg(
+        F.count(F.lit(1)).alias("__len")
+    )
+    return streaks.groupBy(user_col).agg(
+        F.sum("__len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("__len").cast("bigint").alias("longest_streak"),
     )

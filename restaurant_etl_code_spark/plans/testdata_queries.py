@@ -5630,6 +5630,80 @@ having count(*) >= 2
 """
 
 
+def _q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules (confidence + lift) from the frequent
+    pairs — counter-table post-processing, no extra basket pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket.association_rules(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_support=2, min_confidence=0.05, max_basket_size=12,
+    )
+
+
+_ORACLE_BASKET_RULES = """
+with b0 as materialized (
+  select distinct l_orderkey as b, l_partkey as i from lineitem),
+sz as (select b, count(*) as s from b0 group by b),
+b as materialized (
+  select b0.b, b0.i from b0 join sz using (b) where sz.s <= 12),
+nb as (select count(distinct b)::double as n from b),
+ic as (select i, count(*) as cnt from b group by i),
+freq as (select i, cnt from ic where cnt >= 2),
+pruned as (select b.b, b.i from b join freq using (i)),
+p as (
+  select a.i as item_a, c.i as item_b, count(*) as n_pair
+  from pruned a join pruned c using (b)
+  where a.i < c.i
+  group by 1, 2
+  having count(*) >= 2),
+pairs as (
+  select p.item_a, p.item_b, p.n_pair,
+         fa.cnt as support_a, fb.cnt as support_b,
+         round(p.n_pair * nb.n / (fa.cnt * fb.cnt), 6) as lift
+  from p
+  join freq fa on fa.i = p.item_a
+  join freq fb on fb.i = p.item_b
+  cross join nb),
+rules as (
+  select item_a as antecedent, item_b as consequent, n_pair::bigint as n_pair,
+         support_a::bigint as support_antecedent, lift,
+         round(n_pair / support_a, 6) as confidence
+  from pairs
+  union all
+  select item_b, item_a, n_pair::bigint,
+         support_b::bigint, lift,
+         round(n_pair / support_b, 6)
+  from pairs)
+select * from rules where confidence >= 0.05
+"""
+
+
+def _q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per user
+    (date − row_number island keys)."""
+    events = load_table(spark, sf_dir, "events")
+    return behavior.activity_streaks(events, user_col="user_id", ts_col="ts")
+
+
+_ORACLE_STREAKS = """
+with days as (
+  select distinct user_id, cast(ts as date) as d from events),
+islands as (
+  select user_id, d,
+         d - cast(row_number() over (partition by user_id order by d) as int)
+           as island
+  from days),
+streaks as (
+  select user_id, island, count(*) as len
+  from islands group by 1, 2)
+select user_id,
+       sum(len)::bigint as n_active_days,
+       count(*)::bigint as n_streaks,
+       max(len)::bigint as longest_streak
+from streaks group by user_id
+"""
+
+
 def _q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event volumes scored against their (event_type, hour-of-day)
     seasonal baseline — gap-filled first so silent hours can be anomalous.
@@ -6029,6 +6103,12 @@ _REGISTRY: dict[str, QueryDef] = {
     "basket_triples": QueryDef(
         _q_basket_triples, _ORACLE_BASKET_TRIPLES,
         "level-3 a-priori frequent triples (sub-pair-pruned enumeration)"),
+    "basket_rules": QueryDef(
+        _q_basket_rules, _ORACLE_BASKET_RULES,
+        "directed association rules: confidence + lift from pair counters"),
+    "activity_streaks": QueryDef(
+        _q_activity_streaks, _ORACLE_STREAKS,
+        "gaps-and-islands longest consecutive-day streaks per user"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

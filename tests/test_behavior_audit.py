@@ -385,3 +385,17 @@ def test_point_in_time_same_instant_change_uses_latest(spark):
         attr_cols=["attr_value"],
     ).collect()
     assert out[0].attr_value_pit == "B"
+
+
+def test_activity_streaks_islands(spark):
+    rows = [
+        (1, _ts(1)), (1, _ts(2)), (1, _ts(3)),   # 3-day streak
+        (1, _ts(3, 5)),                          # same day, ignored
+        (1, _ts(10)),                            # isolated day
+        (2, _ts(5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = {r.user_id: r for r in behavior.activity_streaks(
+        df, user_col="user_id", ts_col="ts").collect()}
+    assert (out[1].n_active_days, out[1].n_streaks, out[1].longest_streak) == (4, 2, 3)
+    assert (out[2].n_active_days, out[2].n_streaks, out[2].longest_streak) == (1, 1, 1)

@@ -132,3 +132,14 @@ def test_cooccurrence_triples_apriori_equivalence(spark):
             counts[t] = counts.get(t, 0) + 1
     want = {(a, b2, c, n) for (a, b2, c), n in counts.items() if n >= 2}
     assert got == want and len(want) > 0
+
+
+def test_association_rules_confidence(spark):
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10)]
+    out = basket.association_rules(
+        _baskets(spark, rows), basket_col="b", item_col="i", min_support=2
+    ).collect()
+    got = {(r.antecedent, r.consequent): r.confidence for r in out}
+    # 10→20: pair in 2 of 10's 3 baskets; 20→10: 2 of 2
+    assert got[(10, 20)] == round(2 / 3, 6)
+    assert got[(20, 10)] == 1.0

@@ -30,6 +30,17 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
                   "BatchEvalPython"],
     },
+    "basket_rules": {
+        # both rule directions come off the counter-sized pair table
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "activity_streaks": {
+        # island keys from one row_number window; both aggs share the
+        # user-key shuffle
+        "want": ["Window", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+    },
     "basket_triples": {
         # enumeration extends FREQUENT-pair instances only; prunes are
         # semi-joins against counter-sized aggregates

@@ -54,6 +54,7 @@ PROBE = [
     "dq_audit", "time_resample", "winsorize",
     "pagerank", "basket_pairs", "anomaly_hours", "funnel_windowed", "asof_tolerance", "point_in_time", "trend_fit", "knn_graph", "star_join", "incremental_join", "funnel_timing",
     "dedup_recall", "corrupt_quarantine", "numeric_corr", "session_paths", "basket_triples",
+    "basket_rules", "activity_streaks",
 ]
 
 
