@@ -297,6 +297,11 @@ def grouped_ols(
     per group. Degenerate groups (zero x-variance) return NULL slope — a
     vertical fit, not a crash. ``x_col``/``y_col`` accept Column
     expressions, e.g. an epoch-day derivation.
+
+    CONDITIONING CONTRACT: center ``x`` near its mean (as the trend_fit
+    query does with its epoch offset). The closed-form n·Σxy − ΣxΣy
+    cancels catastrophically when the x-spread is tiny relative to |x| —
+    property-tested against numpy only under centered inputs.
     """
     x = x_col if isinstance(x_col, Column) else F.col(x_col)
     y = y_col if isinstance(y_col, Column) else F.col(y_col)
