@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "basket_triples",
     "basket_rules",
     "activity_streaks",
+    "basket_triple_rules",
 ]
 
 

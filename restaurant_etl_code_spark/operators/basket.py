@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cooccurrence_pairs", "cooccurrence_triples", "association_rules"]
+__all__ = ["cooccurrence_pairs", "cooccurrence_triples", "association_rules", "triple_association_rules"]
 
 
 def _pruned_baskets(
@@ -218,3 +218,59 @@ def association_rules(
         F.round(F.col("n_pair") / F.col("support_antecedent"), 6),
     )
     return rules.filter(F.col("confidence") >= min_confidence)
+
+
+def triple_association_rules(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    min_confidence: float = 0.0,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Two-antecedent rules (A,B)→C from the frequent triples:
+    ``confidence = n_triple / n_pair(A,B)``. Each triple emits its three
+    rules by joining the triple counters against the pair counters —
+    counter-sized tables only, no new basket pass beyond the miners'.
+    """
+    pruned = _pruned_baskets(df, basket_col, item_col, min_support, max_basket_size)
+    a = pruned.select("__b", F.col("__i").alias("pa"))
+    b = pruned.select("__b", F.col("__i").alias("pb"))
+    pair_counts = (
+        a.join(b, "__b")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    triples = cooccurrence_triples(
+        df,
+        basket_col=basket_col,
+        item_col=item_col,
+        min_support=min_support,
+        max_basket_size=max_basket_size,
+    )
+    rules = None
+    for ant1, ant2, cons in (
+        ("item_a", "item_b", "item_c"),
+        ("item_a", "item_c", "item_b"),
+        ("item_b", "item_c", "item_a"),
+    ):
+        r = triples.select(
+            F.col(ant1).alias("antecedent_1"),
+            F.col(ant2).alias("antecedent_2"),
+            F.col(cons).alias("consequent"),
+            "n_triple",
+        )
+        rules = r if rules is None else rules.unionByName(r)
+    out = rules.join(
+        pair_counts.select(
+            F.col("pa").alias("antecedent_1"),
+            F.col("pb").alias("antecedent_2"),
+            "n_pair",
+        ),
+        ["antecedent_1", "antecedent_2"],
+    ).withColumn(
+        "confidence", F.round(F.col("n_triple") / F.col("n_pair"), 6)
+    )
+    return out.filter(F.col("confidence") >= min_confidence)

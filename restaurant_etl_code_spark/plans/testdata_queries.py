@@ -5682,6 +5682,50 @@ select * from rules where confidence >= 0.05
 """
 
 
+def _q_basket_triple_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-antecedent association rules (A,B)→C: triple counters joined
+    to pair counters, three rules per frequent triple."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket.triple_association_rules(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_support=2, min_confidence=0.0, max_basket_size=12,
+    )
+
+
+_ORACLE_BASKET_TRIPLE_RULES = """
+with b0 as materialized (
+  select distinct l_orderkey as b, l_partkey as i from lineitem),
+sz as (select b, count(*) as s from b0 group by b),
+b as materialized (
+  select b0.b, b0.i from b0 join sz using (b) where sz.s <= 12),
+ic as (select i, count(*) as c from b group by i),
+bp as materialized (
+  select b.b, b.i from b join ic using (i) where ic.c >= 2),
+pc as materialized (
+  select x.i as pa, y.i as pb, count(*) as n_pair
+  from bp x join bp y on x.b = y.b and x.i < y.i
+  group by 1, 2),
+t as materialized (
+  select x.i as ia, y.i as ib, z.i as ic2, count(*) as n_triple
+  from bp x join bp y on x.b = y.b and x.i < y.i
+  join bp z on y.b = z.b and y.i < z.i
+  group by 1, 2, 3
+  having count(*) >= 2),
+rules as (
+  select ia as antecedent_1, ib as antecedent_2, ic2 as consequent, n_triple
+  from t
+  union all
+  select ia, ic2, ib, n_triple from t
+  union all
+  select ib, ic2, ia, n_triple from t)
+select r.antecedent_1, r.antecedent_2, r.consequent,
+       r.n_triple::bigint as n_triple, pc.n_pair::bigint as n_pair,
+       round(r.n_triple / pc.n_pair, 6) as confidence
+from rules r
+join pc on pc.pa = r.antecedent_1 and pc.pb = r.antecedent_2
+"""
+
+
 def _q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: longest consecutive-active-day streak per user
     (date − row_number island keys)."""
@@ -6113,6 +6157,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "activity_streaks": QueryDef(
         _q_activity_streaks, _ORACLE_STREAKS,
         "gaps-and-islands longest consecutive-day streaks per user"),
+    "basket_triple_rules": QueryDef(
+        _q_basket_triple_rules, _ORACLE_BASKET_TRIPLE_RULES,
+        "(A,B)→C rules: triple counters ÷ pair counters, three per triple"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -143,3 +143,16 @@ def test_association_rules_confidence(spark):
     # 10→20: pair in 2 of 10's 3 baskets; 20→10: 2 of 2
     assert got[(10, 20)] == round(2 / 3, 6)
     assert got[(20, 10)] == 1.0
+
+
+def test_triple_rules_confidence(spark):
+    # baskets: {1,2,3} x2, {1,2} x1 -> triple (1,2,3) n=2;
+    # rule (1,2)->3 has confidence 2/3, the others 2/2
+    rows = [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2), (11, 3), (12, 1), (12, 2)]
+    out = basket.triple_association_rules(
+        _baskets(spark, rows), basket_col="b", item_col="i", min_support=2
+    ).collect()
+    got = {(r.antecedent_1, r.antecedent_2, r.consequent): r.confidence for r in out}
+    assert got[(1, 2, 3)] == round(2 / 3, 6)
+    assert got[(1, 3, 2)] == 1.0
+    assert got[(2, 3, 1)] == 1.0

@@ -30,6 +30,11 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
                   "BatchEvalPython"],
     },
+    "basket_triple_rules": {
+        # triple and pair counters join counter-to-counter
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
     "basket_rules": {
         # both rule directions come off the counter-sized pair table
         "want": ["HashAggregate"],
