@@ -10,6 +10,7 @@ updated, unmatched inserted) so swapping in Delta later is a one-line change.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -22,6 +23,10 @@ __all__ = [
     "merge_upsert",
     "merge_into_parquet",
     "cdc_merge_into_parquet",
+    "write_bucketed",
+    "read_bucketed",
+    "merge_into_bucketed_parquet",
+    "cdc_merge_into_bucketed_parquet",
     "write_failed_rows",
     "classify_write_status",
     "write_partitioned",
@@ -29,6 +34,50 @@ __all__ = [
     "write_audit",
     "compact_parquet",
 ]
+
+# ---------------------------------------------------------------------------
+# Bucketed target layout: the scale path for MERGE.
+#
+# A plain-parquet MERGE must rewrite the whole target (below); at 100 TB a
+# 1-row upsert would rewrite 100 TB. The fix mirrors what Delta/Iceberg do
+# with file-level pruning, built from hive partitioning: the target is laid
+# out as  <path>/__bucket=K/...  with K = pmod(xxhash64(keys), n_buckets),
+# and a merge (a) computes the DISTINCT bucket set of the delta (≤ n_buckets
+# scalars — counter-sized collect), (b) reads only those partitions
+# (PartitionFilters prune the rest at file-listing time), (c) rewrites and
+# atomically swaps only those bucket directories. Merge cost scales with
+# |delta| + |touched buckets|, not |target|. xxhash64 is seed-fixed, so the
+# key→bucket map is stable across sessions and writers.
+# ---------------------------------------------------------------------------
+
+_BUCKET_COL = "__bucket"
+_BUCKET_SPEC = "_bucket_spec.json"  # "_"-prefixed → invisible to Spark reads
+
+
+def _bucket_expr(keys: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
+def _load_bucket_spec(target_path: str) -> dict | None:
+    p = os.path.join(target_path, _BUCKET_SPEC)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return None
+
+
+def _bucket_dirs(target_path: str) -> list[str]:
+    if not os.path.isdir(target_path):
+        return []
+    return [
+        d for d in os.listdir(target_path) if d.startswith(f"{_BUCKET_COL}=")
+    ]
+
+
+def _empty_with_spec_schema(spark: SparkSession, spec: dict) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    return spark.createDataFrame([], StructType.fromJson(json.loads(spec["schema"])))
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
@@ -43,11 +92,170 @@ def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> Data
     return surviving.unionByName(updates.select(*target.columns))
 
 
+def write_bucketed(
+    df: DataFrame, path: str, keys: list[str], n_buckets: int = 64
+) -> None:
+    """Write ``df`` as a bucketed MERGE target: hive-partitioned by
+    ``__bucket = pmod(xxhash64(keys), n_buckets)`` with a ``_bucket_spec.json``
+    marker recording the layout. One shuffle on the bucket id → one file per
+    bucket directory. Size ``n_buckets`` so a single bucket fits an executor
+    comfortably (at 100 TB and n_buckets=65536 a bucket is ~1.5 GB)."""
+    (
+        df.withColumn(_BUCKET_COL, _bucket_expr(keys, n_buckets))
+        .repartition(n_buckets, F.col(_BUCKET_COL))
+        .write.mode("overwrite")
+        .partitionBy(_BUCKET_COL)
+        .parquet(path)
+    )
+    with open(os.path.join(path, _BUCKET_SPEC), "w") as fh:
+        json.dump(
+            {"keys": keys, "n_buckets": n_buckets, "schema": df.schema.json()},
+            fh,
+        )
+
+
+def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
+    """Read a bucketed target back as a user-facing relation (layout column
+    dropped). A fully-emptied target (every row CDC-deleted) reads as an
+    empty relation with the schema recorded in the bucket spec."""
+    if not _bucket_dirs(path):
+        spec = _load_bucket_spec(path)
+        if spec is not None:
+            return _empty_with_spec_schema(spark, spec)
+    return spark.read.parquet(path).drop(_BUCKET_COL)
+
+
+def _swap_buckets(target_path: str, tmp: str, touched: list[int]) -> None:
+    """Atomically (per directory) swap the touched bucket dirs from ``tmp``
+    into the target. A bucket whose merged output is empty (all rows deleted)
+    simply has its directory removed. Untouched bucket directories are never
+    listed, read, or rewritten — their files stay byte-identical."""
+    for b in touched:
+        src = os.path.join(tmp, f"{_BUCKET_COL}={b}")
+        dst = os.path.join(target_path, f"{_BUCKET_COL}={b}")
+        old = None
+        if os.path.exists(dst):
+            old = f"{dst}.__old_{uuid.uuid4().hex[:8]}"
+            os.rename(dst, old)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        if old is not None:
+            shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def merge_into_bucketed_parquet(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    n_buckets: int = 64,
+) -> None:
+    """Partition-pruned MERGE (K1/K7/K9 upsert-by-id semantics,
+    reference api/api-client.py:270-368, batch_processor.py:167-245): only
+    the bucket directories containing updated keys are read, merged, and
+    swapped. First call creates the bucketed layout. Cost: O(|updates| +
+    |touched buckets|) — a 1-row upsert rewrites one bucket, not the table."""
+    if not os.path.exists(target_path):
+        write_bucketed(updates, target_path, keys, n_buckets)
+        return
+    spec = _load_bucket_spec(target_path)
+    if spec is None:
+        raise ValueError(
+            f"{target_path} is not a bucketed target (no {_BUCKET_SPEC}); "
+            "use merge_into_parquet or rewrite it with write_bucketed first"
+        )
+    if spec["keys"] != keys:
+        raise ValueError(f"bucket spec keys {spec['keys']} != merge keys {keys}")
+    n = spec["n_buckets"]
+    upd = updates.withColumn(_BUCKET_COL, _bucket_expr(keys, n))
+    touched = sorted(
+        r[0] for r in upd.select(_BUCKET_COL).distinct().collect()
+    )  # ≤ n_buckets scalars
+    if not touched:
+        return
+    if _bucket_dirs(target_path):
+        target_sub = spark.read.parquet(target_path).filter(
+            F.col(_BUCKET_COL).isin(touched)  # PartitionFilters: untouched dirs unread
+        )
+        merged = merge_upsert(target_sub, upd.select(*target_sub.columns), keys)
+    else:  # target exists but is empty on disk (all rows previously deleted)
+        merged = upd
+    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    merged.repartition(len(touched), F.col(_BUCKET_COL)).write.mode(
+        "overwrite"
+    ).partitionBy(_BUCKET_COL).parquet(tmp)
+    _swap_buckets(target_path, tmp, touched)
+
+
+def cdc_merge_into_bucketed_parquet(
+    spark: SparkSession,
+    target_path: str,
+    ops: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    op_col: str = "op",
+    delete_value: str = "D",
+    n_buckets: int = 64,
+) -> None:
+    """Delete-aware partition-pruned MERGE: compact the op batch to each
+    key's latest op, then read/rewrite/swap only the buckets named by the
+    batch (upserts AND deletes both touch their key's bucket)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    latest = (
+        ops.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.filter(F.col(op_col) != delete_value)
+    if not os.path.exists(target_path):
+        write_bucketed(upserts, target_path, keys, n_buckets)
+        return
+    spec = _load_bucket_spec(target_path)
+    if spec is None:
+        raise ValueError(
+            f"{target_path} is not a bucketed target (no {_BUCKET_SPEC})"
+        )
+    if spec["keys"] != keys:
+        raise ValueError(f"bucket spec keys {spec['keys']} != merge keys {keys}")
+    n = spec["n_buckets"]
+    latest_b = latest.withColumn(_BUCKET_COL, _bucket_expr(keys, n))
+    touched = sorted(
+        r[0] for r in latest_b.select(_BUCKET_COL).distinct().collect()
+    )
+    if not touched:
+        return
+    deletes = latest_b.filter(F.col(op_col) == delete_value).select(*keys)
+    upserts_b = latest_b.filter(F.col(op_col) != delete_value)
+    if _bucket_dirs(target_path):
+        target_sub = (
+            spark.read.parquet(target_path)
+            .filter(F.col(_BUCKET_COL).isin(touched))
+            .join(F.broadcast(deletes), keys, "left_anti")
+        )
+        merged = merge_upsert(target_sub, upserts_b.select(*target_sub.columns), keys)
+    else:
+        merged = upserts_b
+    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    merged.repartition(len(touched), F.col(_BUCKET_COL)).write.mode(
+        "overwrite"
+    ).partitionBy(_BUCKET_COL).parquet(tmp)
+    _swap_buckets(target_path, tmp, touched)
+
+
 def merge_into_parquet(
     spark: SparkSession, target_path: str, updates: DataFrame, keys: list[str]
 ) -> None:
     """MERGE into a parquet table with atomic swap. If the target does not
-    exist, this is a plain write (first load)."""
+    exist, this is a plain write (first load). If the target was laid out by
+    ``write_bucketed`` the partition-pruned path is taken automatically, so
+    callers (including the streaming foreachBatch sinks) inherit
+    delta-proportional merge cost just by bucketing the target once."""
+    if _load_bucket_spec(target_path) is not None:
+        merge_into_bucketed_parquet(spark, target_path, updates, keys)
+        return
     if os.path.exists(target_path):
         target = spark.read.parquet(target_path)
         merged = merge_upsert(target, updates, keys)
@@ -80,9 +288,17 @@ def cdc_merge_into_parquet(
     deletes anti-join out of the target and survivors upsert in; the
     write lands with the same atomic tmp-swap as ``merge_into_parquet``.
     With a transactional table format this is ``MERGE INTO ... WHEN
-    MATCHED AND op = 'D' THEN DELETE``.
+    MATCHED AND op = 'D' THEN DELETE``. A ``write_bucketed`` target takes
+    the partition-pruned path automatically.
     """
     from pyspark.sql import Window
+
+    if _load_bucket_spec(target_path) is not None:
+        cdc_merge_into_bucketed_parquet(
+            spark, target_path, ops, keys, order_by,
+            op_col=op_col, delete_value=delete_value,
+        )
+        return
 
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
     latest = (

