@@ -67,6 +67,12 @@ def profile_columns(
     ``approx_count_distinct`` — at 100 TB the exact variant's Expand
     multiplies the scanned stream by the number of profiled columns.
     """
+    overlap = set(numeric_cols) & set(string_cols)
+    if overlap:
+        raise ValueError(
+            f"profile_columns: {sorted(overlap)} appear in both numeric_cols "
+            "and string_cols — the per-column stat aliases would collide"
+        )
     cols = list(numeric_cols) + list(string_cols)
     _check_identifiers(cols)
     distinct = (
@@ -131,6 +137,11 @@ def constraint_counts(
         ok = F.col(c).isin(list(allowed))
         aggs.append(F.count(F.when(~ok | F.col(c).isNull(), 1)).alias(f"__dom__{c}"))
     for c in unique_cols:
+        # SQL UNIQUE semantics: NULL keys never violate uniqueness, so the
+        # violation base is the NON-NULL row count (count(col)), not n —
+        # countDistinct also skips NULLs, and n − countDistinct would count
+        # every NULL row as a violation (round-4 advisory).
+        aggs.append(F.count(F.col(c)).alias(f"__nn_base__{c}"))
         aggs.append(F.countDistinct(F.col(c)).alias(f"__uq__{c}"))
     one = df.agg(*aggs)
 
@@ -140,7 +151,7 @@ def constraint_counts(
     for c in (domain or {}):
         entries.append(f"'domain', '{c}', cast(__dom__{c} as bigint)")
     for c in unique_cols:
-        entries.append(f"'unique', '{c}', cast(__n - __uq__{c} as bigint)")
+        entries.append(f"'unique', '{c}', cast(__nn_base__{c} - __uq__{c} as bigint)")
     stack = ", ".join(entries)
     return one.selectExpr(
         f"stack({len(entries)}, {stack}) as (metric, column_name, violations)"

@@ -143,6 +143,24 @@ def cooccurrence_triples(
     The plain SQL equivalent is the unpruned 3-way self-join with
     HAVING — identical rows, quadratically more join work.
     """
+    triples, _pairs = _triples_with_pair_counts(
+        df, basket_col, item_col, min_support, max_basket_size
+    )
+    return triples
+
+
+def _triples_with_pair_counts(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    max_basket_size: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """The level-3 miner, also exposing its INTERNAL frequent-pair counter
+    table (item_a < item_b, n_pair ≥ min_support) so rule derivation can
+    reuse it — re-deriving pair counts for (A,B)→C confidence was a second
+    data-sized basket self-join on top of the miner's own (round-4
+    advisory)."""
     pruned = _pruned_baskets(
         df, basket_col, item_col, min_support, max_basket_size
     )
@@ -151,12 +169,12 @@ def cooccurrence_triples(
     b = pruned.select("__b", F.col("__i").alias("item_b"))
     c = pruned.select("__b", F.col("__i").alias("item_c"))
     pair_inst = a.join(b, "__b").filter(F.col("item_a") < F.col("item_b"))
-    pf = (
+    pair_counts = (
         pair_inst.groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("__np"))
-        .filter(F.col("__np") >= min_support)
-        .select("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
     )
+    pf = pair_counts.select("item_a", "item_b")
     freq_pair_inst = pair_inst.join(pf, ["item_a", "item_b"], "left_semi")
     tri = freq_pair_inst.join(c, "__b").filter(F.col("item_b") < F.col("item_c"))
     # remaining sub-pair prunes: (b,c) and (a,c) must be frequent too
@@ -171,11 +189,12 @@ def cooccurrence_triples(
         ["item_a", "item_c"],
         "left_semi",
     )
-    return (
+    triples = (
         tri.groupBy("item_a", "item_b", "item_c")
         .agg(F.count(F.lit(1)).alias("n_triple"))
         .filter(F.col("n_triple") >= min_support)
     )
+    return triples, pair_counts
 
 
 def association_rules(
@@ -231,24 +250,18 @@ def triple_association_rules(
 ) -> DataFrame:
     """Two-antecedent rules (A,B)→C from the frequent triples:
     ``confidence = n_triple / n_pair(A,B)``. Each triple emits its three
-    rules by joining the triple counters against the pair counters —
-    counter-sized tables only, no new basket pass beyond the miners'.
+    rules by joining the triple counters against the pair counters the
+    triple miner ALREADY computed for its a-priori prune (shared via
+    ``_triples_with_pair_counts``) — counter-sized tables only, genuinely
+    no new basket pass beyond the miner's own. Sub-pairs of a frequent
+    triple are themselves frequent (Apriori property), so the
+    min_support-filtered pair table covers every rule's denominator.
     """
-    pruned = _pruned_baskets(df, basket_col, item_col, min_support, max_basket_size)
-    a = pruned.select("__b", F.col("__i").alias("pa"))
-    b = pruned.select("__b", F.col("__i").alias("pb"))
-    pair_counts = (
-        a.join(b, "__b")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
+    triples, pair_counts = _triples_with_pair_counts(
+        df, basket_col, item_col, min_support, max_basket_size
     )
-    triples = cooccurrence_triples(
-        df,
-        basket_col=basket_col,
-        item_col=item_col,
-        min_support=min_support,
-        max_basket_size=max_basket_size,
+    pair_counts = pair_counts.select(
+        F.col("item_a").alias("pa"), F.col("item_b").alias("pb"), "n_pair"
     )
     rules = None
     for ant1, ant2, cons in (

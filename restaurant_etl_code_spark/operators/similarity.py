@@ -219,6 +219,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     nbits: int | str = 0,
     target_bucket: int = 256,
+    exact_max_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
     ``nbits=0`` → exact all-pairs (test scale); ``nbits>0`` → sign-LSH
@@ -237,7 +238,9 @@ def embedding_near_dup_pairs(
         n = df.count()
         nbits = max(4, min(24, math.ceil(math.log2(max(n, 2) / target_bucket))))
     if nbits <= 0:
-        return _all_pairs_near_dup_blas(df, id_col, vec_col, threshold)
+        return _all_pairs_near_dup_blas(
+            df, id_col, vec_col, threshold, max_rows=exact_max_rows
+        )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     a = a.withColumn("__bkt", V.sign_lsh_bucket(F.col("__va"), nbits))
@@ -276,7 +279,9 @@ def _all_pairs_near_dup_blas(
         raise ValueError(
             f"exact all-pairs near-dup is quadratic and ships the corpus to "
             f"every task; it has > {max_rows} rows. Use nbits>0 (sign-LSH "
-            f"blocking) or nbits='auto' at scale."
+            f"blocking) or nbits='auto' at scale — and for recall AUDITS "
+            f"(dedup_recall), sample the corpus first: recall estimated on "
+            f"a few hundred k sampled vectors is the standard practice."
         )
     ids = [r[0] for r in rows]
     M = np.asarray([r[1] for r in rows], dtype=np.float64)

@@ -123,62 +123,102 @@ def heavy_hitters(
     the scale path for "frequent items" when the key domain is too large
     to hash-aggregate in one pass.
 
-    Phase 1 (mapInPandas, per partition): a Misra–Gries summary with
-    k ≈ 2N/threshold counters. MG guarantees any key with partition count
-    > n_p/(k+1) survives; if a key's global count > N/(k+1) then some
-    partition exceeds its proportional share, so the union of partition
-    summaries is a SUPERSET of every global heavy hitter (candidates only
-    — MG counts are underestimates and are discarded).
+    Phase 1 (mapInPandas, per partition, SINGLE scan of the input): a
+    Misra–Gries summary with k counters, which also emits one row carrying
+    the partition's row count — so N (needed for ``min_share``'s threshold
+    and the ``share`` column) is derived from the sketch output itself
+    instead of a separate ``df.count()`` scan (round-4 advisory). MG
+    guarantees any key with partition count > n_p/(k+1) survives; summing
+    over partitions, any key with global count > N/(k+1) survives in some
+    partition, so the union of partition summaries is a SUPERSET of every
+    global heavy hitter (candidates only — MG counts are underestimates
+    and are discarded).
+
+    k sizing without knowing N up front:
+
+    - ``min_share`` φ: k = ⌈2/φ⌉ is N-INDEPENDENT — the superset condition
+      k ≥ N/(φ·N) − 1 = 1/φ − 1 never references N. Always one scan; the
+      preferred mode at 100 TB.
+    - ``min_count`` T: the superset condition k ≥ N/T − 1 does reference
+      N, so k starts at a generous guess (≥ 4096) and is validated against
+      the N derived from the phase-1 counts; only if the guess was too
+      small (N > (k+1)·T) does phase 1 rerun with the now-known exact k.
+      One scan in the common case, two worst-case, sound always.
 
     Phase 2: exact recount of candidates only — a broadcast semi-join
     prunes the scan to candidate keys (bounded: ≤ k per partition), then a
-    plain groupBy + HAVING against the exact total. The sketch is physical
-    pruning; the result is exactly the keys with count > threshold, so
-    an external engine reproduces it with GROUP BY + HAVING alone.
+    plain groupBy + HAVING against the exact threshold. The sketch is
+    physical pruning; the result is exactly the keys with count >
+    threshold, so an external engine reproduces it with GROUP BY + HAVING
+    alone.
 
-    ``summary_size`` is a lower bound request, not a trust-me override: the
-    superset guarantee needs k ≥ N/threshold − 1, so a smaller value is
-    clamped up to ``ceil(N/threshold)`` (silently honoring it would drop
-    true heavy hitters depending on row arrival order).
+    ``summary_size`` is a lower bound request, not a trust-me override:
+    a value below the superset floor is clamped up (silently honoring it
+    would drop true heavy hitters depending on row arrival order).
     """
     import math
 
     import pandas as pd
+    from pyspark.sql.types import StructField, StructType, LongType
 
-    total = df.count()
+    if min_count is None and min_share is None:
+        raise ValueError("one of min_count / min_share is required")
+    if min_share is not None:
+        k = max(8, summary_size or 0, int(math.ceil(2.0 / min_share)))
+    else:
+        k = max(4096, summary_size or 0, 2 * int(min_count))
+
+    key_field = df.select(F.col(key_col).alias("key")).schema.fields[0]
+    schema = StructType(
+        [
+            StructField("key", key_field.dataType, True),  # count-marker row is NULL
+            StructField("pcount", LongType(), True),
+        ]
+    )
+
+    def phase1(k_cap):
+        def mg_partition(batches):
+            counters: dict = {}
+            n_p = 0
+            for pdf in batches:
+                for v in pdf["key"]:
+                    n_p += 1
+                    if v in counters:
+                        counters[v] += 1
+                    elif len(counters) < k_cap:
+                        counters[v] = 1
+                    else:
+                        dead = [q for q in counters if counters[q] == 1]
+                        for q in dead:
+                            del counters[q]
+                        for q in counters:
+                            counters[q] -= 1
+            yield pd.DataFrame(
+                {
+                    "key": list(counters.keys()) + [None],
+                    "pcount": [None] * len(counters) + [n_p],
+                }
+            )
+
+        return (
+            df.select(F.col(key_col).alias("key"))
+            .mapInPandas(mg_partition, schema=schema)
+            .persist()
+        )
+
+    sketch = phase1(k)
+    total = sketch.agg(F.sum("pcount")).first()[0] or 0
     if min_count is not None:
         threshold = float(min_count)
-    elif min_share is not None:
-        threshold = min_share * total
+        k_floor = int(math.ceil(total / max(threshold, 1.0)))
+        if k < k_floor:  # guess too small for the superset guarantee: rescan
+            sketch.unpersist()
+            sketch = phase1(max(k_floor, 2 * k))
+            total = sketch.agg(F.sum("pcount")).first()[0] or 0
     else:
-        raise ValueError("one of min_count / min_share is required")
-    k_floor = int(math.ceil(total / max(threshold, 1.0)))
-    k = max(summary_size or 0, k_floor) if summary_size else max(
-        8, int(2.0 * total / max(threshold, 1.0))
-    )
-    schema = df.select(F.col(key_col).alias("key")).schema
+        threshold = min_share * total
 
-    def mg_partition(batches):
-        counters: dict = {}
-        for pdf in batches:
-            for v in pdf["key"]:
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    dead = [q for q in counters if counters[q] == 1]
-                    for q in dead:
-                        del counters[q]
-                    for q in counters:
-                        counters[q] -= 1
-        yield pd.DataFrame({"key": list(counters.keys())})
-
-    candidates = (
-        df.select(F.col(key_col).alias("key"))
-        .mapInPandas(mg_partition, schema=schema)
-        .distinct()
-    )
+    candidates = sketch.filter(F.col("pcount").isNull()).select("key").distinct()
     return (
         df.join(F.broadcast(candidates), df[key_col] == candidates["key"], "left_semi")
         .groupBy(key_col)
@@ -212,6 +252,12 @@ def winsorized_stats(
     # skip NULLs — so an unfiltered NULL row would silently clip to the
     # LOW cap and inflate n (found in review). Drop them up front: robust
     # stats are over observed values.
+    # value_col is interpolated into F.expr below — restrict to a bare
+    # identifier so a hostile/odd name fails here, not deep in the parser
+    # (round-4 advisory; same guard as audit._check_identifiers)
+    from restaurant_etl_code_spark.operators.audit import _check_identifiers
+
+    _check_identifiers([value_col])
     df = df.filter(F.col(value_col).isNotNull())
     pct = "approx_percentile" if approx else "percentile"
     caps = df.groupBy(group_col).agg(

@@ -1831,15 +1831,29 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes buckets to the corpus — fixed nbits is Σ|bucket|² quadratic on
     corpus-vs-corpus joins (10× probe: 49× wall before, ~6× after)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Resolve auto-nbits HERE (same formula as bucketed_cosine_topk) so the
+    # query can fail fast if testdata drift desynchronizes it from the
+    # oracle's hardcoded 4-bit bucket expression (round-4 advisory).
+    import math as _math
+
+    n = emb.count()
+    nbits = max(4, min(24, _math.ceil(_math.log2(max(n, 2) / 32))))
+    if "sf0.01" in os.path.basename(sf_dir.rstrip("/")) and nbits != 4:
+        raise AssertionError(
+            f"knn_graph: _ORACLE_KNN_GRAPH hardcodes a 4-bit bucket but "
+            f"auto-nbits resolved to {nbits} for n={n} embeddings — "
+            "re-derive _DUCK_BUCKET4 to match"
+        )
     return similarity.bucketed_cosine_topk(
-        emb, emb, k=3, nbits="auto", exclude_self=True, target_bucket=32
+        emb, emb, k=3, nbits=nbits, exclude_self=True, target_bucket=32
     )
 
 
-# nbits="auto" resolves to max(4, ceil(log2(500/64))) = 4 at the sf0.01
+# nbits="auto" resolves to max(4, ceil(log2(500/32))) = 4 at the sf0.01
 # oracle scale (the driver's only oracle scale); the bucket expression
-# below mirrors those 4 bits. If the testdata embedding count changes,
-# re-derive.
+# below mirrors those 4 bits. The query builder above asserts this
+# resolution at oracle scale, so drift fails fast instead of silently
+# hash-mismatching.
 _ORACLE_KNN_GRAPH = f"""
 with q as (select vec_id as query_id, embedding::double[] as qv,
                   {_DUCK_BUCKET4} as bkt
@@ -5462,6 +5476,7 @@ with p as (
          count(case when o_orderstatus is null
                          or o_orderstatus not in ('O', 'F', 'P')
                then 1 end) as dom_st,
+         count(o_orderkey) as nn_ok,
          count(distinct o_orderkey) as uq_ok
   from orders),
 ri as (
@@ -5483,7 +5498,7 @@ union all select 'min', 'o_orderpriority', null, min_pr from p
 union all select 'max', 'o_orderpriority', null, max_pr from p
 union all select 'not_null', 'o_custkey', nn_ck::double, null from p
 union all select 'domain', 'o_orderstatus', dom_st::double, null from p
-union all select 'unique', 'o_orderkey', (n - uq_ok)::double, null from p
+union all select 'unique', 'o_orderkey', (nn_ok - uq_ok)::double, null from p
 union all select 'referential', 'o_custkey->customer.c_custkey',
                  v::double, null from ri
 """

@@ -127,6 +127,76 @@ def test_bucketed_merge_key_mismatch_fails_fast(spark, tmp_path):
         )
 
 
+def test_exact_near_dup_guard_names_sampling(spark):
+    """The quadratic exact all-pairs branch must fail fast past its row cap
+    with a message that names the scale alternatives (round-4 advisory)."""
+    from restaurant_etl_code_spark.operators import similarity
+
+    df = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="sample the corpus"):
+        similarity.embedding_near_dup_pairs(
+            df, threshold=0.9, nbits=0, exact_max_rows=10
+        ).collect()
+
+
+def test_profile_columns_rejects_overlap(spark):
+    from restaurant_etl_code_spark.operators import audit
+
+    df = spark.createDataFrame([(1, "a")], "x int, s string")
+    with pytest.raises(ValueError, match="both numeric_cols and string_cols"):
+        audit.profile_columns(df, numeric_cols=["x"], string_cols=["x"])
+
+
+def test_winsorized_stats_rejects_non_identifier(spark):
+    from restaurant_etl_code_spark.operators import stats
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, `v x` double")
+    with pytest.raises(ValueError):
+        stats.winsorized_stats(df, group_col="g", value_col="v x")
+
+
+def test_constraint_unique_skips_null_keys(spark):
+    """SQL UNIQUE semantics: NULL keys are not uniqueness violations."""
+    from restaurant_etl_code_spark.operators import audit
+
+    df = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (None,), (None,)], "k int"
+    )
+    out = {
+        (r["metric"], r["column_name"]): r["violations"]
+        for r in audit.constraint_counts(df, unique_cols=["k"]).collect()
+    }
+    # non-null rows: 3, distinct non-null: 2 → 1 violation; NULLs exempt
+    assert out[("unique", "k")] == 1
+
+
+def test_heavy_hitters_min_share_single_scan(spark):
+    """min_share mode: N-independent k, total derived from the sketch
+    output — result must still be exactly GROUP BY + HAVING."""
+    from restaurant_etl_code_spark.operators import stats
+
+    rows = [("hot",)] * 500 + [("warm",)] * 120 + [(f"cold{i}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "k string").repartition(7)
+    got = {r["k"]: r["n"] for r in stats.heavy_hitters(df, "k", min_share=0.1).collect()}
+    assert got == {"hot": 500, "warm": 120}
+
+
+def test_heavy_hitters_min_count_underguess_rescans(spark):
+    """min_count where N/T exceeds the initial k guess (N=6000, T=1 →
+    k_floor=6000 > 4096): the post-hoc clamp check must detect the
+    under-guess, rescan with a sound k, and return the exact answer."""
+    from restaurant_etl_code_spark.operators import stats
+
+    rows = [("a",)] * 3000 + [("b",)] * 2000 + [(f"t{i}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string").repartition(5)
+    got = {r["k"]: r["n"] for r in stats.heavy_hitters(df, "k", min_count=1).collect()}
+    # threshold T=1 → keys with count > 1: only a and b (singles filtered)
+    assert got == {"a": 3000, "b": 2000}
+
+
 def test_streaming_upsert_inherits_pruned_sink(spark, tmp_path):
     """foreach_batch_upsert against a bucketed target must take the pruned
     path (untouched buckets byte-identical) and still converge."""
