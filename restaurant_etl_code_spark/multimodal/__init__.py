@@ -10,3 +10,10 @@ from restaurant_etl_code_spark.multimodal.binary import (  # noqa: F401
     frame_sample,
     resize_spec,
 )
+from restaurant_etl_code_spark.multimodal.minipdf import (  # noqa: F401
+    MiniPdfDecoder,
+    encode_mini_pdf,
+    extract_pdf_pages,
+    mini_pdf_text,
+    pack_mini_pdf,
+)

@@ -72,8 +72,10 @@ class RealDecoder:
 
     def decode(self, modality: str, content: bytes) -> list[dict[str, Any]]:
         raise NotImplementedError(
-            "RealDecoder requires pdf2image/PIL/ffmpeg — not available in this "
-            "container. Plug in FakeDecoder for tests or install codecs in prod."
+            "RealDecoder requires pdf2image/PIL/ffmpeg (rasterization) — not "
+            "available in this container. PDF TEXT extraction works without "
+            "them: use minipdf.MiniPdfDecoder / mini_pdf_text (pure-Python "
+            "xref+FlateDecode). FakeDecoder covers plumbing tests."
         )
 
 

@@ -1,0 +1,587 @@
+"""Pure-Python PDF codec: genuine ``%PDF-`` byte streams in and out.
+
+Closes the round-4 "multimodal codec stubbed" gap as far as this container
+allows: ``pdf2image``/PIL (rasterization) stay behind ``RealDecoder``, but
+TEXT extraction from a real PDF needs only stdlib ``zlib`` — so the S1/U1
+chain (PDF bytes → per-page units → per-page text → parse, reference
+``extract_menu_with_gemini_op.py:31-120``) runs end-to-end on actual PDF
+files, not just the paged stand-in container (which remains the portable
+twin in ``binary.py``).
+
+Supported subset, chosen to cover what generated/simple documents use:
+
+- classic cross-reference TABLES (``xref`` sections + ``/Prev`` chain);
+  PDF 1.5 cross-reference STREAMS raise with the feature named, and a
+  brute-force object scan is the documented fallback for byte streams
+  with a broken/absent xref (what real-world extractors do);
+- content streams stored raw or ``/FlateDecode`` (single filter); other
+  filters raise with the filter named;
+- text from ``Tj``, ``'``, ``"`` and ``TJ`` show operators inside BT/ET,
+  with literal-string escapes (octal, line continuations) and hex strings;
+  ``Td``/``TD``/``T*``/``'``/``"`` break lines.
+
+The writer emits PDF 1.4 with one Flate content stream per page and a
+correct xref table — real enough that any conforming reader opens it. The
+reader→writer pair is lossless on arbitrary text (all bytes escape into
+literal strings), which is what lets a relational oracle check the chain.
+
+Scale shape: both directions are per-row byte work inside Arrow-batched
+``mapInPandas`` stages (see ``pack_mini_pdf`` / ``mini_pdf_text``) —
+executors decode, the driver never sees content bytes, and a corrupt file
+becomes a ``decode_error`` row, never a job failure.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401  (parity with sibling modules)
+from pyspark.sql import types as T
+
+__all__ = [
+    "encode_mini_pdf",
+    "extract_pdf_pages",
+    "MiniPdfDecoder",
+    "pack_mini_pdf",
+    "mini_pdf_text",
+]
+
+_PAGE_W, _PAGE_H = 612, 792  # default US-letter MediaBox, points
+
+
+# --------------------------------------------------------------------------
+# Writer
+# --------------------------------------------------------------------------
+
+def _escape_pdf_string(s: str) -> bytes:
+    """UTF-8 bytes with every PDF-significant byte escaped — including CR/LF,
+    which in-string EOLs would otherwise be normalized to \\n by spec."""
+    out = bytearray()
+    for b in s.encode("utf-8"):
+        if b in (0x28, 0x29, 0x5C):  # ( ) backslash
+            out += b"\\" + bytes([b])
+        elif b == 0x0A:
+            out += b"\\n"
+        elif b == 0x0D:
+            out += b"\\r"
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+def encode_mini_pdf(pages: list[str], *, compress: bool = True) -> bytes:
+    """Write page texts as a real PDF 1.4: catalog → page tree → one
+    Flate-compressed (or raw) content stream per page, classic xref table,
+    trailer, ``startxref``. One ``Tj`` show op per page keeps the
+    writer↔reader roundtrip lossless for arbitrary text."""
+    objects: list[bytes] = []  # body of object i+1
+
+    n = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
+    )
+    for i, text in enumerate(pages):
+        page_num = 3 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R "
+                f"/MediaBox [0 0 {_PAGE_W} {_PAGE_H}] "
+                f"/Contents {page_num + 1} 0 R "
+                f"/Resources << /Font << /F1 {3 + 2 * n} 0 R >> >> >>"
+            ).encode()
+        )
+        content = (
+            b"BT /F1 12 Tf 72 720 Td (" + _escape_pdf_string(text) + b") Tj ET"
+        )
+        if compress:
+            data = zlib.compress(content)
+            objects.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                % (len(data), data)
+            )
+        else:
+            objects.append(
+                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+            )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]  # object 0 is the free head
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n%s\nendobj\n" % (num, body)
+    xref_pos = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objects) + 1)
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_pos)
+    )
+    return bytes(buf)
+
+
+# --------------------------------------------------------------------------
+# Reader: tokenizer + object parser
+# --------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+
+def _skip_ws(data: bytes, i: int) -> int:
+    while i < len(data):
+        c = data[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment
+            while i < len(data) and data[i] not in (0x0A, 0x0D):
+                i += 1
+        else:
+            break
+    return i
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R(?![A-Za-z0-9])")
+_NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)")
+
+
+def _parse_string(data: bytes, i: int) -> tuple[bytes, int]:
+    assert data[i] == 0x28
+    i += 1
+    depth, out = 1, bytearray()
+    while i < len(data):
+        c = data[i]
+        if c == 0x5C:  # backslash escape
+            i += 1
+            e = data[i]
+            simple = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+            if e in simple:
+                out.append(simple[e])
+                i += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                oct_s, j = bytearray(), 0
+                while j < 3 and i < len(data) and 0x30 <= data[i] <= 0x37:
+                    oct_s.append(data[i])
+                    i += 1
+                    j += 1
+                out.append(int(oct_s, 8) & 0xFF)
+            elif e in (0x0A, 0x0D):  # line continuation: swallow the EOL
+                i += 1
+                if e == 0x0D and i < len(data) and data[i] == 0x0A:
+                    i += 1
+            else:  # \( \) \\ and unknown escapes → the byte itself
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise ValueError("unterminated literal string")
+
+
+def _parse_hex_string(data: bytes, i: int) -> tuple[bytes, int]:
+    end = data.index(b">", i)
+    hex_digits = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : end])
+    if len(hex_digits) % 2:
+        hex_digits += b"0"
+    return bytes.fromhex(hex_digits.decode("ascii")), end + 1
+
+
+def _parse_value(data: bytes, i: int):
+    """Parse one PDF object at ``i`` → (value, next_index)."""
+    i = _skip_ws(data, i)
+    if data.startswith(b"<<", i):
+        i += 2
+        d: dict[str, Any] = {}
+        while True:
+            i = _skip_ws(data, i)
+            if data.startswith(b">>", i):
+                return d, i + 2
+            m = _NAME_RE.match(data, i)
+            if not m:
+                raise ValueError(f"dict key expected at byte {i}")
+            key = m.group(1).decode("latin-1")
+            val, i = _parse_value(data, m.end())
+            d[key] = val
+    c = data[i : i + 1]
+    if c == b"[":
+        i += 1
+        arr = []
+        while True:
+            i = _skip_ws(data, i)
+            if data[i : i + 1] == b"]":
+                return arr, i + 1
+            v, i = _parse_value(data, i)
+            arr.append(v)
+    if c == b"/":
+        m = _NAME_RE.match(data, i)
+        return "/" + m.group(1).decode("latin-1"), m.end()
+    if c == b"(":
+        return _parse_string(data, i)
+    if c == b"<":
+        return _parse_hex_string(data, i)
+    m = _REF_RE.match(data, i)
+    if m:
+        return _Ref(int(m.group(1))), m.end()
+    m = _NUM_RE.match(data, i)
+    if m:
+        s = m.group(0)
+        return (float(s) if b"." in s else int(s)), m.end()
+    for lit, v in ((b"true", True), (b"false", False), (b"null", None)):
+        if data.startswith(lit, i):
+            return v, i + len(lit)
+    raise ValueError(f"unparseable token at byte {i}: {data[i:i+20]!r}")
+
+
+# --------------------------------------------------------------------------
+# Reader: xref / object store
+# --------------------------------------------------------------------------
+
+def _parse_xref_chain(data: bytes) -> tuple[dict[int, int], dict]:
+    """Follow startxref → xref table(s) (+ /Prev chain). Returns
+    (obj_num → byte offset, merged trailer). Raises on xref STREAMS."""
+    m = re.search(rb"startxref\s+(\d+)\s*%%EOF\s*$", data[-256:], re.S)
+    if not m:
+        raise ValueError("no startxref trailer")
+    pos = int(m.group(1))
+    offsets: dict[int, int] = {}
+    trailer: dict = {}
+    seen: set[int] = set()
+    while pos not in seen:
+        seen.add(pos)
+        i = _skip_ws(data, pos)
+        if not data.startswith(b"xref", i):
+            raise ValueError(
+                "cross-reference STREAM (PDF 1.5 compressed xref) — only "
+                "classic xref tables are supported; re-save as PDF 1.4 or "
+                "rely on the brute-force object scan fallback"
+            )
+        i += 4
+        while True:
+            i = _skip_ws(data, i)
+            if data.startswith(b"trailer", i):
+                t, i = _parse_value(data, i + 7)
+                for k, v in t.items():
+                    trailer.setdefault(k, v)
+                if "Prev" in t:
+                    pos = int(t["Prev"])
+                    break
+                return offsets, trailer
+            m2 = re.match(rb"(\d+)\s+(\d+)\s*", data[i:])
+            if not m2:
+                raise ValueError(f"malformed xref subsection at byte {i}")
+            start, count = int(m2.group(1)), int(m2.group(2))
+            i += m2.end()
+            for k in range(count):
+                entry = data[i : i + 20]
+                # newer sections shadow /Prev ones — keep the first seen
+                if entry[17:18] == b"n" and (start + k) not in offsets:
+                    offsets[start + k] = int(entry[0:10])
+                i += 20
+    return offsets, trailer
+
+
+def _scan_objects(data: bytes) -> dict[int, int]:
+    """Fallback for broken/absent xref: regex-scan every ``N 0 obj``."""
+    return {
+        int(m.group(1)): m.start()
+        for m in re.finditer(rb"(?m)^\s*(\d+)\s+\d+\s+obj\b", data)
+    }
+
+
+class _PdfDoc:
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF-"):
+            raise ValueError(f"not a PDF (magic {data[:5]!r})")
+        self.data = data
+        try:
+            self.offsets, self.trailer = _parse_xref_chain(data)
+        except ValueError:
+            self.offsets = _scan_objects(data)
+            if not self.offsets:
+                raise
+            self.trailer = {}
+        self._cache: dict[int, Any] = {}
+
+    def resolve(self, v):
+        while isinstance(v, _Ref):
+            v = self.obj(v.num)
+        return v
+
+    def obj(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        if num not in self.offsets:
+            raise ValueError(f"object {num} missing from xref/scan (truncated?)")
+        off = self.offsets[num]
+        m = re.match(rb"\s*(\d+)\s+\d+\s+obj", self.data[off : off + 64])
+        if not m or int(m.group(1)) != num:
+            raise ValueError(f"object {num} not at xref offset {off}")
+        val, i = _parse_value(self.data, off + m.end())
+        i = _skip_ws(self.data, i)
+        if self.data.startswith(b"stream", i):
+            i += 6
+            if self.data[i : i + 2] == b"\r\n":
+                i += 2
+            elif self.data[i : i + 1] == b"\n":
+                i += 1
+            length = self.resolve(val.get("Length"))
+            raw = self.data[i : i + int(length)]
+            val = ("stream", val, raw)
+        self._cache[num] = val
+        return val
+
+    def root(self) -> dict:
+        root = self.trailer.get("Root")
+        if root is None:  # scan fallback: find the catalog by type
+            for num in self.offsets:
+                v = self.obj(num)
+                if isinstance(v, dict) and v.get("Type") == "/Catalog":
+                    return v
+            raise ValueError("no /Root and no /Catalog object found")
+        return self.resolve(root)
+
+    def stream_bytes(self, v) -> bytes:
+        v = self.resolve(v)
+        if not (isinstance(v, tuple) and v[0] == "stream"):
+            raise ValueError("expected a stream object")
+        _, sdict, raw = v
+        filt = self.resolve(sdict.get("Filter"))
+        if filt is None:
+            return raw
+        if isinstance(filt, list):
+            if len(filt) != 1:
+                raise ValueError(f"filter chains unsupported: {filt}")
+            filt = self.resolve(filt[0])
+        if filt == "/FlateDecode":
+            return zlib.decompress(raw)
+        raise ValueError(f"unsupported stream filter {filt}")
+
+    def pages(self) -> list[dict]:
+        """Walk the page tree (nested /Pages nodes) in order."""
+        out: list[dict] = []
+
+        def walk(node, depth=0):
+            if depth > 64:
+                raise ValueError("page tree too deep (cycle?)")
+            node = self.resolve(node)
+            if node.get("Type") == "/Page":
+                out.append(node)
+                return
+            for kid in self.resolve(node.get("Kids", [])):
+                walk(kid, depth + 1)
+
+        walk(self.root().get("Pages", {}))
+        return out
+
+
+# --------------------------------------------------------------------------
+# Reader: content-stream text extraction
+# --------------------------------------------------------------------------
+
+_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+
+
+def _page_text(doc: _PdfDoc, page: dict) -> str:
+    contents = doc.resolve(page.get("Contents"))
+    if contents is None:
+        return ""
+    streams = contents if isinstance(contents, list) else [contents]
+    content = b"\n".join(doc.stream_bytes(s) for s in streams)
+
+    parts: list[str] = []
+    pending_newline = False
+
+    def show(b: bytes):
+        nonlocal pending_newline
+        if pending_newline and parts:
+            parts.append("\n")
+        pending_newline = False
+        parts.append(b.decode("utf-8", errors="replace"))
+
+    i, in_text, stack = 0, False, []
+    while i < len(content):
+        i = _skip_ws(content, i)
+        if i >= len(content):
+            break
+        c = content[i : i + 1]
+        if c == b"(":
+            s, i = _parse_string(content, i)
+            stack.append(s)
+        elif c == b"<" and not content.startswith(b"<<", i):
+            s, i = _parse_hex_string(content, i)
+            stack.append(s)
+        elif content.startswith(b"<<", i):
+            v, i = _parse_value(content, i)
+            stack.append(v)
+        elif c == b"[":
+            v, i = _parse_value(content, i)
+            stack.append(v)
+        elif c == b"/":
+            m = _NAME_RE.match(content, i)
+            stack.append("/" + m.group(1).decode("latin-1"))
+            i = m.end()
+        elif _NUM_RE.match(content, i):
+            m = _NUM_RE.match(content, i)
+            stack.append(float(m.group(0)))
+            i = m.end()
+        else:
+            m = _OP_RE.match(content, i)
+            if not m:
+                i += 1  # unknown byte: skip (robustness over strictness)
+                continue
+            op = m.group(0)
+            i = m.end()
+            if op == b"BT":
+                in_text = True
+            elif op == b"ET":
+                in_text = False
+            elif in_text:
+                if op == b"Tj" and stack and isinstance(stack[-1], bytes):
+                    show(stack[-1])
+                elif op in (b"'", b'"') and stack and isinstance(stack[-1], bytes):
+                    pending_newline = True
+                    show(stack[-1])
+                elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                    show(b"".join(x for x in stack[-1] if isinstance(x, bytes)))
+                elif op in (b"Td", b"TD", b"T*"):
+                    pending_newline = True
+            stack = []  # operators consume their operands
+    return "".join(parts)
+
+
+def extract_pdf_pages(content: bytes) -> list[dict[str, Any]]:
+    """Real-PDF decode: ``%PDF-`` bytes → one dict per page with
+    ``page_index``, ``text``, ``width``, ``height`` (MediaBox)."""
+    doc = _PdfDoc(bytes(content))
+    out = []
+    for idx, page in enumerate(doc.pages()):
+        box = doc.resolve(page.get("MediaBox")) or [0, 0, _PAGE_W, _PAGE_H]
+        out.append(
+            {
+                "page_index": idx,
+                "text": _page_text(doc, page),
+                "width": int(box[2] - box[0]),
+                "height": int(box[3] - box[1]),
+            }
+        )
+    return out
+
+
+class MiniPdfDecoder:
+    """``Decoder`` protocol over real PDF bytes (see ``binary.Decoder``):
+    one unit per page, dimensions from the MediaBox, ``n_bytes`` = UTF-8
+    text length. Slots into ``decode_assets`` beside Header/PagedPdf/Fake."""
+
+    def decode(self, modality: str, content: bytes) -> list[dict[str, Any]]:
+        return [
+            {
+                "unit_index": p["page_index"],
+                "width": p["width"],
+                "height": p["height"],
+                "n_bytes": len(p["text"].encode("utf-8")),
+                "feature": None,
+            }
+            for p in extract_pdf_pages(content)
+        ]
+
+
+# --------------------------------------------------------------------------
+# Spark plumbing: Arrow-batched encode / decode stages
+# --------------------------------------------------------------------------
+
+def pack_mini_pdf(df: DataFrame, *, id_col: str, pages_col: str) -> DataFrame:
+    """Encode an ``array<string>`` pages column into REAL PDF bytes,
+    executor-side. Output: (asset_id, modality='pdf', content binary)."""
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", id_field.dataType),
+            T.StructField("modality", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "modality": "pdf",
+                    "content": [
+                        encode_mini_pdf(list(pages)) for pages in pdf[pages_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, pages_col).mapInPandas(mapper, schema=schema)
+
+
+def mini_pdf_text(
+    assets: DataFrame, *, id_col: str = "asset_id", content_col: str = "content"
+) -> DataFrame:
+    """S1/U1 decode stage over REAL PDFs: explode ``%PDF-`` bytes into
+    per-page text rows (asset_id, page_index, page_text, decode_error) —
+    same output contract as ``binary.paged_pdf_text``, same
+    absorb-don't-throw error model, genuinely parsing xref + Flate."""
+    id_field = assets.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", id_field.dataType),
+            T.StructField("page_index", T.IntegerType(), True),
+            T.StructField("page_text", T.StringType(), True),
+            T.StructField("decode_error", T.StringType(), True),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                try:
+                    for p in extract_pdf_pages(bytes(rec[content_col])):
+                        rows.append(
+                            {
+                                "asset_id": rec[id_col],
+                                "page_index": p["page_index"],
+                                "page_text": p["text"],
+                                "decode_error": None,
+                            }
+                        )
+                except Exception as exc:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "asset_id": rec[id_col],
+                            "page_index": None,
+                            "page_text": None,
+                            "decode_error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return assets.select(id_col, content_col).mapInPandas(mapper, schema=schema)

@@ -4258,6 +4258,42 @@ from part
 """
 
 
+def _q_pdf_real_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S1→S3→J1 menu-extraction chain over GENUINE ``%PDF-`` bytes
+    (reference extract_menu_with_gemini_op.py:31-120): each part row is
+    written as a real PDF 1.4 (xref table + FlateDecode content streams,
+    multimodal/minipdf.encode_mini_pdf) executor-side, decoded back by the
+    pure-Python xref/Flate text extractor (mini_pdf_text), JSON-parsed
+    (S3), then J1 keep-first dedup collapses per-asset pages to page 0's
+    item. Identical relational contract to pdf_menu_extract — the paged
+    container stays as the portable twin; this one proves the codec on the
+    actual file format."""
+    from restaurant_etl_code_spark import multimodal as mm
+
+    part = load_table(spark, sf_dir, "part")
+    paged = part.select(
+        F.col("p_partkey").alias("asset_id"),
+        F.expr(
+            "transform(sequence(0, cast(p_partkey % 3 as int)), i -> "
+            "to_json(named_struct('name', p_name, "
+            "'price', round(p_retailprice + i, 2), 'page', i)))"
+        ).alias("pages"),
+    )
+    assets = mm.pack_mini_pdf(paged, id_col="asset_id", pages_col="pages")
+    pages = mm.mini_pdf_text(assets)
+    parsed = pages.filter(F.col("decode_error").isNull()).select(
+        "asset_id",
+        "page_index",
+        F.get_json_object("page_text", "$.name").alias("item_name"),
+        F.get_json_object("page_text", "$.price").cast("double").alias("item_price"),
+    )
+    first = dedup.dedup_keep_first(parsed, ["asset_id"], ["page_index"])
+    counts = pages.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_pages"))
+    return first.join(counts, "asset_id").select(
+        "asset_id", "item_name", "item_price", "n_pages"
+    )
+
+
 # --------------------------------------------------------------------------
 # Temperature-flattened source mixture (training-mix rebalancing)
 # --------------------------------------------------------------------------
@@ -6078,6 +6114,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "pdf_menu_extract": QueryDef(
         _q_pdf_menu_extract, _ORACLE_PDF_MENU,
         "U1/S1-S3+J1: paged-PDF byte decode → JSON parse → keep-first"),
+    "pdf_real_extract": QueryDef(
+        _q_pdf_real_extract, _ORACLE_PDF_MENU,
+        "U1/S1-S3+J1 on GENUINE %PDF- bytes: xref+Flate text codec chain"),
     "mixture_sample": QueryDef(
         _q_mixture_sample, _ORACLE_MIXTURE_SAMPLE,
         "temperature-flattened source mixture (deterministic, scan-side)"),

@@ -127,6 +127,98 @@ def test_bucketed_merge_key_mismatch_fails_fast(spark, tmp_path):
         )
 
 
+def test_mini_pdf_roundtrip_lossless():
+    """Writer → reader roundtrip on genuine %PDF- bytes must be lossless
+    for arbitrary text (escapes, unicode, embedded newlines, empty page)."""
+    from restaurant_etl_code_spark.multimodal import minipdf
+
+    pages = ["Hello (menu) \\ world\nline2", "café — ünïcødé 中文", "", "a)b(c"]
+    for compress in (True, False):
+        pdf = minipdf.encode_mini_pdf(pages, compress=compress)
+        assert pdf.startswith(b"%PDF-1.4")
+        got = minipdf.extract_pdf_pages(pdf)
+        assert [p["text"] for p in got] == pages
+        assert got[0]["width"] == 612 and got[0]["height"] == 792
+
+
+def test_mini_pdf_broken_xref_scan_fallback():
+    from restaurant_etl_code_spark.multimodal import minipdf
+
+    pdf = minipdf.encode_mini_pdf(["page one", "page two"])
+    broken = pdf.replace(b"startxref", b"startxrEf")
+    assert [p["text"] for p in minipdf.extract_pdf_pages(broken)] == [
+        "page one",
+        "page two",
+    ]
+
+
+def test_mini_pdf_truncated_raises_value_error():
+    from restaurant_etl_code_spark.multimodal import minipdf
+
+    pdf = minipdf.encode_mini_pdf(["page one", "page two"])
+    with pytest.raises(ValueError):
+        minipdf.extract_pdf_pages(pdf[: len(pdf) // 2])
+    with pytest.raises(ValueError):
+        minipdf.extract_pdf_pages(b"GIF89a not a pdf")
+
+
+def test_mini_pdf_foreign_writer_shape():
+    """Reader must cope with PDFs we did not write: multi-show content
+    (Td/Tj per line), nested page tree, array /Contents, hex strings."""
+    import zlib
+
+    from restaurant_etl_code_spark.multimodal import minipdf
+
+    content1 = b"BT /F1 12 Tf 72 720 Td (line A) Tj 0 -14 Td (line B) Tj ET"
+    content2 = b"BT /F1 10 Tf (arr ) Tj [(T) -120 (J text)] TJ T* <68657821> Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [7 0 R] /Count 2 >>",
+        7: b"<< /Type /Pages /Parent 2 0 R /Kids [3 0 R 4 0 R] /Count 2 >>",
+        3: b"<< /Type /Page /Parent 7 0 R /MediaBox [0 0 200 400] /Contents 5 0 R >>",
+        4: b"<< /Type /Page /Parent 7 0 R /Contents [6 0 R] >>",
+        5: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content1), content1),
+        6: b"<< /Length %d /Filter [/FlateDecode] >>\nstream\n%s\nendstream"
+        % (len(zlib.compress(content2)), zlib.compress(content2)),
+    }
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n%s\nendobj\n" % (num, objs[num])
+    xref_pos = len(buf)
+    buf += b"xref\n0 8\n0000000000 65535 f \n"
+    for num in range(1, 8):
+        buf += b"%010d 00000 n \n" % offsets[num]
+    buf += b"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+    pages = minipdf.extract_pdf_pages(bytes(buf))
+    assert pages[0]["text"] == "line A\nline B"
+    assert pages[0]["width"] == 200 and pages[0]["height"] == 400
+    assert pages[1]["text"] == "arr TJ text\nhex!"
+    assert pages[1]["width"] == 612  # MediaBox default when absent
+
+
+def test_mini_pdf_spark_chain(spark):
+    """pack → decode through Arrow stages, with one corrupt asset absorbed
+    into decode_error (never an exception)."""
+    from restaurant_etl_code_spark.multimodal import minipdf
+
+    df = spark.createDataFrame(
+        [(1, ["p0 of 1", "p1 of 1"]), (2, ["only page"])],
+        "asset_id int, pages array<string>",
+    )
+    assets = minipdf.pack_mini_pdf(df, id_col="asset_id", pages_col="pages")
+    corrupt = spark.createDataFrame(
+        [(99, "pdf", bytearray(b"%PDF-1.4 then garbage"))],
+        "asset_id int, modality string, content binary",
+    )
+    out = minipdf.mini_pdf_text(assets.unionByName(corrupt)).collect()
+    good = {(r["asset_id"], r["page_index"]): r["page_text"] for r in out if r["decode_error"] is None}
+    assert good == {(1, 0): "p0 of 1", (1, 1): "p1 of 1", (2, 0): "only page"}
+    errs = [r for r in out if r["decode_error"] is not None]
+    assert len(errs) == 1 and errs[0]["asset_id"] == 99
+
+
 def test_exact_near_dup_guard_names_sampling(spark):
     """The quadratic exact all-pairs branch must fail fast past its row cap
     with a message that names the scale alternatives (round-4 advisory)."""
