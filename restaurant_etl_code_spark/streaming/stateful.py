@@ -114,26 +114,40 @@ def streaming_funnel_flags(
     stages: list[str],
     tiebreak_col: str,
 ) -> DataFrame:
-    """Cross-batch ordered-funnel state: per user, the earliest timestamp
-    (µs) at which each stage became VALIDLY reached (stage *i* gated on a
-    strictly-earlier valid stage *i−1* event). Emits one row per touched
-    user per batch with the current per-stage reach flags — aggregate the
-    final table for funnel counts (the streaming twin of
-    ``behavior.funnel``).
+    """Cross-batch ordered-funnel state, gated on EVENT TIME (not arrival
+    order): per user, the earliest µs timestamp at which each stage became
+    validly reached (stage *i* needs a valid stage *i−1* at a strictly
+    earlier event time). Emits one row per touched user per batch with the
+    current per-stage reach flags — aggregate the final table for funnel
+    counts (the streaming twin of ``behavior.funnel``).
 
-    Each micro-batch is walked in (ts, tiebreak) order and a row's gate
-    sees only strictly-preceding rows (its own stage updates after the
-    gate), so a single-batch replay is EXACTLY the batch funnel —
-    including same-timestamp tiebreaks. Across batches the gate is
-    set-ness of checkpointed state, i.e. arrival order stands in for
-    event order: in-order arrivals stay exact; an out-of-order arrival
-    whose predecessor lands in a later batch is missed — the standard
-    streaming-funnel approximation (a watermark-buffered variant would
-    trade state size for exactness).
+    State per user, 2·``len(stages)`` int64 µs (−1 = unset), constant:
 
-    State per user: ``len(stages)`` int64 µs timestamps (−1 = unreached) —
-    constant-size state, the smallest that preserves strict ordering
-    across batches.
+    - ``seen[i]``: earliest stage-*i* event time EVER observed, gated or
+      not — what lets a predecessor arriving in a LATER micro-batch
+      retroactively validate a stage seen earlier (the round-4 gap:
+      arrival order stood in for event order, so out-of-order batches
+      both missed true conversions and admitted false ones);
+    - ``qual[i]``: earliest stage-*i* event time that qualified against
+      the valid chain when processed. Safe forever: the derived valid
+      chain ``v[]`` is MONOTONE NON-INCREASING as events accumulate (more
+      events can only move earliest-valid times earlier), so anything
+      once > ``v[i−1]`` stays > it.
+
+    Each batch: rows walk in (ts, tiebreak) order updating ``seen``/
+    ``qual`` against the running chain, then one ascending fix-up pass
+    re-derives ``v[i] = min(qual[i], seen[i] if seen[i] > v[i−1])`` so a
+    late stage-0 arrival cascades through stages recorded batches ago.
+
+    Exactness: single-batch replay ≡ the batch funnel (same sort, same
+    strict-precedence gates, tiebreaks included). Across batches it is
+    exact except two documented µs-granularity corners: (a) only the
+    EARLIEST unqualified event per stage is remembered, so a user needs
+    ≥2 same-stage events with only the later one qualifying — and split
+    across batches — to diverge; (b) equal-µs cross-batch ties fall back
+    to arrival order (in-batch ties keep exact tiebreak semantics). The
+    fully-exact alternative buffers events until a watermark — state
+    linear in events instead of constant.
     """
     k = len(stages)
     out_schema = T.StructType(
@@ -141,16 +155,33 @@ def streaming_funnel_flags(
         + [T.StructField(f"r{i}", T.IntegerType()) for i in range(k)]
     )
     state_schema = T.StructType(
-        [T.StructField(f"t{i}", T.LongType()) for i in range(k)]
+        [T.StructField(f"s{i}", T.LongType()) for i in range(k)]
+        + [T.StructField(f"q{i}", T.LongType()) for i in range(k)]
     )
     stage_of = {s: i for i, s in enumerate(stages)}
+
+    def derive_chain(seen: list[int], qual: list[int]) -> list[int]:
+        v = [-1] * k
+        for i in range(k):
+            cand = qual[i]
+            if i == 0:
+                cand = seen[0] if cand < 0 else min(cand, seen[0]) if seen[0] >= 0 else cand
+            elif v[i - 1] >= 0 and seen[i] > v[i - 1]:
+                cand = seen[i] if cand < 0 else min(cand, seen[i])
+            v[i] = cand
+        return v
 
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        reach = list(state.get) if state.exists else [-1] * k
+        if state.exists:
+            st = list(state.get)
+            seen, qual = st[:k], st[k:]
+        else:
+            seen, qual = [-1] * k, [-1] * k
+        v = derive_chain(seen, qual)
         parts = [pdf for pdf in pdfs if len(pdf)]
         # pd.concat raises on an empty list — a timeout-style invocation
         # with no rows must still emit the current flags, not crash
@@ -164,15 +195,24 @@ def streaming_funnel_flags(
                 if i is None:
                     continue
                 t_us = int(pd.Timestamp(ts).value // 1000)
-                if reach[i] >= 0:
-                    continue
-                if i == 0 or reach[i - 1] >= 0:
-                    reach[i] = t_us
-        state.update(tuple(reach))
+                if seen[i] < 0 or t_us < seen[i]:
+                    seen[i] = t_us
+                # event-time gate; >= is exact in-batch (rows arrive in
+                # (ts, tiebreak) order, so an equal-µs predecessor set by
+                # an earlier iteration strictly precedes this row)
+                if i == 0 or (v[i - 1] >= 0 and t_us >= v[i - 1]):
+                    if qual[i] < 0 or t_us < qual[i]:
+                        qual[i] = t_us
+                    if v[i] < 0 or t_us < v[i]:
+                        v[i] = t_us
+            # ascending fix-up: a late predecessor in THIS batch may
+            # validate stages whose events were seen in earlier batches
+            v = derive_chain(seen, qual)
+        state.update(tuple(seen) + tuple(qual))
         yield pd.DataFrame(
             {
                 user_col: [key[0]],
-                **{f"r{i}": [1 if reach[i] >= 0 else 0] for i in range(k)},
+                **{f"r{i}": [1 if v[i] >= 0 else 0] for i in range(k)},
             }
         )
 

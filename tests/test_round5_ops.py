@@ -127,6 +127,72 @@ def test_bucketed_merge_key_mismatch_fails_fast(spark, tmp_path):
         )
 
 
+def test_streaming_funnel_out_of_order_matches_batch(spark, tmp_path):
+    """Round-4 gap: cross-batch funnel gating relied on ARRIVAL order. The
+    event-time-gated state must now match the batch funnel on a 2-batch
+    out-of-order replay — both directions: a late-arriving predecessor
+    validates (u3), and an early-arriving successor with a LATER-arriving
+    but event-time-later predecessor stays invalid (u4)."""
+    from datetime import datetime
+
+    from restaurant_etl_code_spark.operators import behavior
+    from restaurant_etl_code_spark.streaming import streaming_funnel_flags
+    from restaurant_etl_code_spark.streaming.jobs import file_arrival_stream
+
+    landing, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    schema = "user_id bigint, ts timestamp, event_type string, event_id bigint"
+    batch1 = [
+        (3, datetime(2024, 1, 1, 2), "click", 1),   # successor arrives first
+        (4, datetime(2024, 1, 1, 2), "view", 2),
+        (5, datetime(2024, 1, 1, 1), "view", 3),    # in-order control user
+    ]
+    batch2 = [
+        (3, datetime(2024, 1, 1, 1), "view", 4),    # predecessor arrives late
+        (4, datetime(2024, 1, 1, 1), "click", 5),   # click BEFORE view in event time
+        (5, datetime(2024, 1, 1, 2), "click", 6),
+    ]
+
+    def run(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(landing)
+        stream = file_arrival_stream(
+            spark, landing, spark.read.parquet(landing).schema
+        )
+        flags = streaming_funnel_flags(
+            stream, user_col="user_id", ts_col="ts", type_col="event_type",
+            stages=["view", "click"], tiebreak_col="event_id",
+        )
+        out = []
+        q = (
+            flags.writeStream.outputMode("update")
+            .foreachBatch(lambda df, eid: out.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["user_id"]: (r["r0"], r["r1"]) for r in out}
+
+    run(batch1, "b1")
+    final = run(batch2, "b2")
+    assert final == {3: (1, 1), 4: (1, 0), 5: (1, 1)}
+
+    # the streaming flags must agree with the batch funnel over the union
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    batch_funnel = {
+        r["stage"]: r["users"]
+        for r in behavior.funnel(
+            all_events, user_col="user_id", ts_col="ts",
+            type_col="event_type", stages=["view", "click"],
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    stream_totals = {
+        "view": sum(v[0] for v in final.values()),
+        "click": sum(v[1] for v in final.values()),
+    }
+    assert stream_totals == batch_funnel
+
+
 def test_mini_pdf_roundtrip_lossless():
     """Writer → reader roundtrip on genuine %PDF- bytes must be lossless
     for arbitrary text (escapes, unicode, embedded newlines, empty page)."""
