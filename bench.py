@@ -145,6 +145,10 @@ BENCH_QUERIES = [
     "basket_rules",
     "activity_streaks",
     "basket_triple_rules",
+    # round-5 additions: the partition-pruned MERGE sink (cost must track
+    # the delta) and the real-PDF text codec chain
+    "merge_pruned",
+    "pdf_real_extract",
 ]
 
 

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Skewed-key probe: same row counts, Zipf keys vs uniform keys.
+
+The 10× scale probes (tools/scale_probe.py) blow data up UNIFORMLY, which
+never stresses the skew-sensitive paths — a plan can track 10× there and
+still die on one hot key. This probe rebuilds the sf0.1 fact tables twice
+with identical row counts and key cardinality, differing only in the key
+DISTRIBUTION:
+
+- uniform: key = 1 + xxhash64(row) mod N
+- zipf(a): key = min(N, ceil((1/u)^(1/a))), u = uniform(0,1) from the same
+  hash — P(key ≥ x) = x^(-a), so with a=1.2 the hottest key holds ~50% of
+  all rows (the "one business_account owns most rows" pathology from the
+  reference, cranked).
+
+Remapped: events.user_id (sessionize / cohort / paths / transitions /
+streaks — per-key window sorts), lineitem.l_orderkey (basket miners — the
+mega-basket valve). Dimension tables copy unchanged; other queries are not
+meaningful on remapped keys and are not probed.
+
+For each probed query: wall on uniform dir, wall on zipf dir, ratio. A
+ratio near 1 means the plan's shuffle/window work is bounded per PARTITION
+not per KEY (AQE skew split, salting, valves doing their job); a large
+ratio flags a straggler path. Also runs salted_join_agg's UNSALTED twin on
+a zipf-keyed join to measure what salting buys.
+
+Usage: python tools/skew_probe.py [--rebuild] [query ...]
+Writes fixture dirs under <repo>/.scratch/skew_{uniform,zipf}/.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark import get_spark
+from restaurant_etl_code_spark.plans import QUERIES
+from restaurant_etl_code_spark.sources import load_table
+
+SRC = "/root/testdata/sf0.1"
+COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+               "documents", "embeddings")
+ZIPF_A = 1.2
+
+# queries whose cost is keyed on events.user_id or lineitem.l_orderkey
+PROBE = [
+    "sessionize", "session_paths", "cohort_retention", "event_transitions",
+    "activity_streaks", "anomaly_hours",
+    "basket_pairs", "basket_rules",
+    "salted_join_agg",
+]
+
+
+def _key_exprs(cols: list[str], n_keys: int):
+    """(uniform, zipf) long key expressions from the same row hash."""
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    uniform = F.pmod(h, F.lit(n_keys)) + F.lit(1)
+    u = (F.pmod(h, F.lit(10**9)) + F.lit(0.5)) / F.lit(float(10**9))
+    zipf = F.least(
+        F.lit(n_keys).cast("long"),
+        F.ceil(F.pow(F.lit(1.0) / u, F.lit(1.0 / ZIPF_A))).cast("long"),
+    )
+    return uniform.cast("long"), zipf.cast("long")
+
+
+def build(spark, out_uniform: str, out_zipf: str) -> None:
+    for out in (out_uniform, out_zipf):
+        os.makedirs(out, exist_ok=True)
+        for t in COPY_TABLES:
+            load_table(spark, SRC, t).write.mode("overwrite").parquet(
+                os.path.join(out, f"{t}.parquet")
+            )
+
+    events = load_table(spark, SRC, "events")
+    n_users = events.select("user_id").distinct().count()
+    uni, zipf = _key_exprs(["event_id", "ts"], n_users)
+    events.withColumn("user_id", uni).write.mode("overwrite").parquet(
+        os.path.join(out_uniform, "events.parquet")
+    )
+    events.withColumn("user_id", zipf).write.mode("overwrite").parquet(
+        os.path.join(out_zipf, "events.parquet")
+    )
+
+    li = load_table(spark, SRC, "lineitem")
+    n_orders = li.select("l_orderkey").distinct().count()
+    uni, zipf = _key_exprs(["l_orderkey", "l_linenumber"], n_orders)
+    li.withColumn("l_orderkey", uni).write.mode("overwrite").parquet(
+        os.path.join(out_uniform, "lineitem.parquet")
+    )
+    li.withColumn("l_orderkey", zipf).write.mode("overwrite").parquet(
+        os.path.join(out_zipf, "lineitem.parquet")
+    )
+
+
+def unsalted_twin(spark, sf_dir: str):
+    """The plain (unsalted) form of salted_join_agg's plan, on a GENUINELY
+    zipf-keyed join column (l_orderkey remapped): what the salt is for."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    dim = li.select("l_orderkey").distinct().select(
+        "l_orderkey", (F.col("l_orderkey") % 7).alias("bucket7")
+    )
+    return (
+        li.join(dim.hint("merge"), ["l_orderkey"])  # forbid broadcast: probe the shuffle
+        .groupBy("bucket7")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_u = os.path.join(repo, ".scratch", "skew_uniform")
+    out_z = os.path.join(repo, ".scratch", "skew_zipf")
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or PROBE
+    rebuild = "--rebuild" in sys.argv or not (
+        os.path.isdir(out_u) and os.path.isdir(out_z)
+    )
+    spark = get_spark(
+        "skew-probe", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    if rebuild:
+        for d in (out_u, out_z):
+            shutil.rmtree(d, ignore_errors=True)
+        build(spark, out_u, out_z)
+        print("# fixtures built", flush=True)
+
+    rows = []
+    for name in names:
+        fn = QUERIES[name].spark
+        t0 = time.time()
+        n_u = fn(spark, out_u).count()
+        w_u = time.time() - t0
+        t0 = time.time()
+        n_z = fn(spark, out_z).count()
+        w_z = time.time() - t0
+        rows.append((name, w_u, n_u, w_z, n_z))
+        print(
+            f"# {name}: uniform {w_u:.2f}s ({n_u}) zipf {w_z:.2f}s ({n_z}) "
+            f"ratio {w_z / max(w_u, 1e-9):.2f}x",
+            flush=True,
+        )
+
+    # salting A/B on the zipf join key
+    t0 = time.time()
+    unsalted_twin(spark, out_z).count()
+    w_plain = time.time() - t0
+    from restaurant_etl_code_spark.operators import skew as skew_ops
+
+    li = load_table(spark, out_z, "lineitem").select("l_orderkey", "l_quantity")
+    dim = li.select("l_orderkey").distinct().select(
+        "l_orderkey", (F.col("l_orderkey") % 7).alias("bucket7")
+    )
+    t0 = time.time()
+    (
+        skew_ops.salted_join(li, dim, ["l_orderkey"])
+        .groupBy("bucket7")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+        .count()
+    )
+    w_salted = time.time() - t0
+    print(
+        f"# zipf join l_orderkey: unsalted(merge) {w_plain:.2f}s vs "
+        f"salted {w_salted:.2f}s",
+        flush=True,
+    )
+    for name, w_u, n_u, w_z, n_z in rows:
+        print(f"{name}\t{w_u:.2f}\t{w_z:.2f}\t{w_z / max(w_u, 1e-9):.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
