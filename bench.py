@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     # the delta) and the real-PDF text codec chain
     "merge_pruned",
     "pdf_real_extract",
+    "importance_resample",
 ]
 
 

@@ -48,6 +48,7 @@ __all__ = [
     "corpus_profile",
     "char_entropy",
     "chunk_documents",
+    "importance_resample",
 ]
 
 
@@ -588,3 +589,92 @@ def hashed_linear_score(
             .alias("score"),
         (F.col("w_sum") >= 0).alias("keep"),
     )
+
+
+def importance_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+    n_buckets: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, arXiv:2302.03169): score every corpus document by how much its
+    hashed unigram features look like a TARGET sample (e.g. wiki-quality
+    text) rather than the raw corpus, then draw ``k`` documents by Gumbel
+    top-k — sampling ∝ importance weight instead of hard top-k, which
+    preserves tail diversity. The standard pretraining-mix upgrade over
+    per-source temperature mixing (``sampling.mixture_sample``): it selects
+    by CONTENT, not provenance.
+
+    Math: token t hashes to bucket b(t) ∈ [0, n_buckets) (first 8 md5 hex
+    chars — portable across engines). With add-1-smoothed bucket unigram
+    models p̂_tgt and p̂_raw, a document's log importance weight is
+    Σ_t [ln p̂_tgt(b(t)) − ln p̂_raw(b(t))], and selection takes the k
+    largest round(log_w + Gumbel(u_doc), 6) where u_doc derives from the
+    portable integer hash (deterministic, reproducible across engines and
+    reruns — no RNG state).
+
+    Physical shape at 100 TB: two (bucket, count) aggregates (map-side
+    combine; ≤ n_buckets rows each — the shuffle carries counters, never
+    the token stream), the per-bucket log-ratio table BROADCASTS (it is
+    n_buckets rows by construction — the hashing trick's entire point),
+    the corpus scores in one explode → broadcast-join → per-doc sum, and
+    the top-k is a sort+limit (TakeOrderedAndProject — per-partition heads
+    merge on the driver, no global sort). Engine-exactness: log-ratios are
+    pre-rounded to 6dp and per-doc sums run in decimal(28,6), so partition
+    order cannot move a score.
+
+    Returns (id_col, n_tokens, log_w, score), the ``k`` selected rows.
+    """
+    B = float(n_buckets)
+
+    def buckets(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col), F.explode(Ftext.tokens(F.col(text_col))).alias("term")
+        ).where(F.col("term") != "")
+        return toks.select(
+            id_col,
+            (F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
+             % n_buckets).alias("__bkt"),
+        )
+
+    corpus_b = buckets(docs)
+    raw = corpus_b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__rc"))
+    tgt = buckets(target).groupBy("__bkt").agg(F.count(F.lit(1)).alias("__tc"))
+    totals = raw.agg(F.sum("__rc").alias("__R")).crossJoin(
+        tgt.agg(F.sum("__tc").alias("__T"))
+    )
+    lr = (
+        raw.join(tgt, "__bkt", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__bkt",
+            F.round(
+                F.log((F.coalesce(F.col("__tc"), F.lit(0)) + 1) / (F.col("__T") + B))
+                - F.log((F.col("__rc") + 1) / (F.col("__R") + B)),
+                6,
+            ).alias("__lr"),
+        )
+    )
+    weights = (
+        corpus_b.join(F.broadcast(lr), "__bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(F.col("__lr").cast("decimal(28,6)")), 6)
+            .cast("double")
+            .alias("log_w"),
+        )
+    )
+    # deterministic Gumbel key from the portable integer hash (same family
+    # as sampling.portable_split_bucket: mod-prime Knuth multiply)
+    u = (
+        (F.col(id_col) % F.lit(2147483647) + F.lit(seed)) * F.lit(2654435761)
+    ) % F.lit(2147483647) % F.lit(10000)
+    gumbel = F.round(-F.log((-F.log((u + 0.5) / 10000.0))), 6)
+    scored = weights.withColumn("score", F.round(F.col("log_w") + gumbel, 6))
+    return scored.sort(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -4441,6 +4441,49 @@ group by 1
 """
 
 
+def _q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (corpus.importance_resample): hashed-unigram
+    importance weights of every document against an English target sample,
+    Gumbel top-100 draw. The content-based upgrade over provenance-based
+    mixture_sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where((F.col("lang") == "en") & (F.col("doc_id") % 17 == 0))
+    return corpus.importance_resample(
+        docs, target, k=100, n_buckets=1024, seed=7
+    )
+
+
+_ORACLE_IMPORTANCE_RESAMPLE = f"""
+with tk as (
+  select doc_id, unnest(string_split({_DUCK_NORM.format(c='text')}, ' ')) as term
+  from documents),
+toks as (select doc_id, term from tk where term <> ''),
+b as (select doc_id,
+             ('0x' || substring(md5(term), 1, 8))::bigint % 1024 as bkt
+      from toks),
+tgt_ids as (select doc_id from documents where lang = 'en' and doc_id % 17 = 0),
+tgt as (select bkt, count(*) as tc from b
+        where doc_id in (select doc_id from tgt_ids) group by 1),
+raw as (select bkt, count(*) as rc from b group by 1),
+tot as (select (select sum(rc) from raw) as R, (select sum(tc) from tgt) as T),
+lr as (select raw.bkt,
+              round(ln((coalesce(tc, 0) + 1) / (T + 1024.0))
+                    - ln((rc + 1) / (R + 1024.0)), 6) as lr
+       from raw left join tgt using (bkt), tot),
+w as (select doc_id, count(*) as n_tokens,
+             round(sum(lr::decimal(28,6)), 6)::double as log_w
+      from b join lr using (bkt) group by 1),
+g as (select doc_id, n_tokens, log_w,
+             round(log_w + round(-ln(-ln(
+               (((doc_id % 2147483647 + 7) * 2654435761) % 2147483647 % 10000
+                + 0.5) / 10000.0)), 6), 6) as score
+      from w)
+select doc_id, n_tokens, log_w, score from (
+  select *, row_number() over (order by score desc, doc_id) as rnk from g)
+where rnk <= 100
+"""
+
+
 # --------------------------------------------------------------------------
 # MinHash-estimated Jaccard on LSH candidates (score without re-shingling)
 # --------------------------------------------------------------------------
@@ -6117,6 +6160,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "pdf_real_extract": QueryDef(
         _q_pdf_real_extract, _ORACLE_PDF_MENU,
         "U1/S1-S3+J1 on GENUINE %PDF- bytes: xref+Flate text codec chain"),
+    "importance_resample": QueryDef(
+        _q_importance_resample, _ORACLE_IMPORTANCE_RESAMPLE,
+        "DSIR: hashed-feature importance weights vs target, Gumbel top-k"),
     "mixture_sample": QueryDef(
         _q_mixture_sample, _ORACLE_MIXTURE_SAMPLE,
         "temperature-flattened source mixture (deterministic, scan-side)"),

@@ -127,6 +127,80 @@ def test_bucketed_merge_key_mismatch_fails_fast(spark, tmp_path):
         )
 
 
+def test_importance_resample_prefers_target_like_docs(spark):
+    """DSIR sanity: documents written in the target's vocabulary must win
+    the importance draw over documents from a disjoint vocabulary."""
+    from restaurant_etl_code_spark.operators import corpus
+
+    targetish = [(i, "alpha beta gamma delta " * 10) for i in range(0, 50)]
+    other = [(i, "zig zag zip zap " * 10) for i in range(50, 100)]
+    docs = spark.createDataFrame(targetish + other, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta epsilon " * 8) for i in range(10)],
+        "doc_id long, text string",
+    )
+    picked = corpus.importance_resample(docs, target, k=40, n_buckets=256)
+    ids = {r["doc_id"] for r in picked.collect()}
+    assert len(ids) == 40
+    assert len([i for i in ids if i < 50]) >= 38  # near-total preference
+    # deterministic: same inputs, same draw
+    again = {r["doc_id"] for r in corpus.importance_resample(
+        docs, target, k=40, n_buckets=256).collect()}
+    assert again == ids
+
+
+def test_streaming_cdc_converges_on_bucketed_target(spark, tmp_path):
+    """foreach_batch_cdc_apply against a write_bucketed target must take
+    the pruned path per micro-batch and still converge to the batch
+    cdc_apply snapshot — verdict item: streaming CDC inherits the pruned
+    MERGE."""
+    import os as _os
+
+    from restaurant_etl_code_spark.operators import matching
+    from restaurant_etl_code_spark.streaming import foreach_batch_cdc_apply
+
+    log = [
+        (1, 1, "I", 10.0), (2, 2, "I", 20.0), (3, 3, "I", 30.0),
+        (1, 4, "U", 11.0), (3, 5, "D", None),
+        (2, 6, "D", None), (3, 7, "I", 31.0), (4, 8, "I", 40.0),
+        (1, 9, "U", 12.0),
+    ]
+    schema = "k long, seq long, op string, value double"
+    landing = str(tmp_path / "landing")
+    _os.makedirs(landing)
+    spark.createDataFrame(log[:5], schema).coalesce(1).write.parquet(
+        _os.path.join(landing, "batch0.parquet")
+    )
+    spark.createDataFrame(log[5:], schema).coalesce(1).write.parquet(
+        _os.path.join(landing, "batch1.parquet")
+    )
+    # pre-create the target BUCKETED so the auto-detect kicks in
+    target = str(tmp_path / "snapshot")
+    sinks.write_bucketed(
+        spark.createDataFrame([], schema), target, ["k"], n_buckets=4
+    )
+    streamed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/*")
+    )
+    foreach_batch_cdc_apply(
+        streamed, target, keys=["k"], order_by=["seq"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        r["k"]: (r["op"], r["value"])
+        for r in sinks.read_bucketed(spark, target).collect()
+    }
+    batch = {
+        r["k"]: (r["op"], r["value"])
+        for r in matching.cdc_apply(
+            spark.createDataFrame(log, schema), keys=["k"], order_by=["seq"]
+        ).collect()
+    }
+    assert got == batch == {1: ("U", 12.0), 3: ("I", 31.0), 4: ("I", 40.0)}
+
+
 def test_streaming_funnel_out_of_order_matches_batch(spark, tmp_path):
     """Round-4 gap: cross-batch funnel gating relied on ARRIVAL order. The
     event-time-gated state must now match the batch funnel on a 2-batch
