@@ -448,6 +448,19 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["WindowGroupLimit", "Exchange hashpartitioning(user_id"],
         "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
     },
+    "importance_resample": {
+        # n_buckets-row log-ratio table broadcasts into the corpus scoring
+        # join; selection is TakeOrdered, never a global sort; all string
+        # work is codegen (no Python)
+        "want": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "avoid": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    },
+    "pdf_real_extract": {
+        # encode and decode both run as Arrow-batched executor stages; the
+        # keep-first dedup must ride WindowGroupLimit
+        "want": ["MapInPandas", "WindowGroupLimit"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
 }
 
 
