@@ -55,6 +55,8 @@ PROBE = [
     "pagerank", "basket_pairs", "anomaly_hours", "funnel_windowed", "asof_tolerance", "point_in_time", "trend_fit", "knn_graph", "star_join", "incremental_join", "funnel_timing",
     "corrupt_quarantine", "numeric_corr", "session_paths", "basket_triples",
     "basket_rules", "activity_streaks",
+    # round-5 additions: pruned MERGE sink, real-PDF codec chain, DSIR
+    "merge_pruned", "pdf_real_extract", "importance_resample",
     # dedup_recall is intentionally NOT probed here: its exact ground-truth
     # branch is quadratic by design (documented sample-scale audit) and
     # would be a guaranteed false super-linear flag at larger K
