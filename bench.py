@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "merge_pruned",
     "pdf_real_extract",
     "importance_resample",
+    "fuzzy_join",
 ]
 
 

@@ -43,6 +43,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_estimate_pairs",
+    "minhash_fuzzy_join",
     "simhash",
     "simhash_banded_pairs",
     "shingle_rows",
@@ -274,6 +275,98 @@ def minhash_estimate_pairs(
             ).alias("est_jaccard"),
         )
         .distinct()
+    )
+
+
+def minhash_fuzzy_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    k: int = 1,
+) -> DataFrame:
+    """Two-TABLE fuzzy text match: each query document's top-``k`` corpus
+    matches by signature-estimated Jaccard among LSH band collisions — the
+    reference's similarity top-1 join (SURVEY J6, embeddings over names)
+    re-expressed for raw TEXT at corpus-vs-corpus scale, and the batch
+    building block for entity resolution / record linkage pipelines.
+
+    Physical shape (all corpus-safe): both sides shingle+sign in one Arrow
+    pass each (zero shuffle), band rows equi-join on (band_idx, band_hash)
+    — high-cardinality key, co-partitioned shuffle, NO broadcast of either
+    corpus — signatures ride the banded rows so scoring is a codegen
+    zip_with fold with no join back, one distinct collapses multi-band
+    collisions, and top-k per query is a WindowGroupLimit (per-partition
+    heap). A query whose true match shares no band is missed — the
+    standard LSH recall trade; raise bands or lower rows_per_band to
+    trade candidate volume for recall.
+
+    Returns (query_id, match_id, est_jaccard, rank), rank ≤ k, ties
+    broken by match_id.
+    """
+    from pyspark.sql import Window
+
+    sig_q = minhash_signatures(queries, id_col, text_col, num_hashes, shingle_n)
+    sig_c = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
+
+    def banded(sig_df: DataFrame, side: str) -> DataFrame:
+        return sig_df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
+            F.col("signature").alias(f"{side}_sig"),
+        ).select(
+            f"{side}_id",
+            "band_idx",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(
+                            F.col(f"{side}_sig"),
+                            F.col("band_idx") * rows_per_band + 1,
+                            rows_per_band,
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("band_hash"),
+            f"{side}_sig",
+        )
+
+    q = banded(sig_q, "query")
+    # merge hint: both sides carry full corpus-scale signature payloads; a
+    # broadcast build (AQE's pick at test scale) would OOM at corpus scale
+    c = banded(sig_c, "match").hint("merge")
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("query_sig"),
+            F.col("match_sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        q.join(c, ["band_idx", "band_hash"])
+        .select(
+            "query_id",
+            "match_id",
+            F.round(agree.cast("double") / F.lit(float(num_hashes)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("est_jaccard").desc(), F.col("match_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 

@@ -4531,6 +4531,73 @@ join sigs sb on sb.doc_id = c.id_b
 """
 
 
+def _q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table MinHash fuzzy join (dedup.minhash_fuzzy_join): perturbed
+    query documents (suffix-noised copies) matched back to the corpus by
+    signature-estimated Jaccard among LSH band collisions, top-1 per
+    query — J6's similarity top-1 join re-expressed for raw text at
+    corpus-vs-corpus scale (record linkage / entity resolution)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+    )
+    return dedup.minhash_fuzzy_join(docs, queries, k=1)
+
+
+_ORACLE_FUZZY_JOIN = f"""
+with c0 as (select doc_id, text from documents),
+q0 as (select doc_id + 500000 as doc_id, text || ' extra token tail' as text
+       from documents where doc_id % 13 = 0),
+ct as (select doc_id, string_split({_DUCK_NORM.format(c='text')}, ' ') as tk from c0),
+qt as (select doc_id, string_split({_DUCK_NORM.format(c='text')}, ' ') as tk from q0),
+cs as (select doc_id, case when len(tk) >= 3 then
+         list_transform(range(1, len(tk) - 1), i ->
+           array_to_string(list_slice(tk, i::int, i::int + 2), ' '))
+       else [] end as shingles from ct),
+qs as (select doc_id, case when len(tk) >= 3 then
+         list_transform(range(1, len(tk) - 1), i ->
+           array_to_string(list_slice(tk, i::int, i::int + 2), ' '))
+       else [] end as shingles from qt),
+ch as (select doc_id, list_transform(shingles, s ->
+         ('0x' || substring(md5(s), 1, 13))::bigint) as hs
+       from cs where len(shingles) > 0),
+qh as (select doc_id, list_transform(shingles, s ->
+         ('0x' || substring(md5(s), 1, 13))::bigint) as hs
+       from qs where len(shingles) > 0),
+csig as (select doc_id, list_transform(range(0, 16), i ->
+           list_min(list_transform(hs, h -> (2 * i + 1) * h + i * 2654435761))) as sig
+         from ch),
+qsig as (select doc_id, list_transform(range(0, 16), i ->
+           list_min(list_transform(hs, h -> (2 * i + 1) * h + i * 2654435761))) as sig
+         from qh),
+cb as (select doc_id, t.b as band_idx,
+         md5(array_to_string(list_transform(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+             x -> x::varchar), ',')) as band_hash
+       from csig cross join (select unnest(range(0, 4)) as b) t),
+qb as (select doc_id, t.b as band_idx,
+         md5(array_to_string(list_transform(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+             x -> x::varchar), ',')) as band_hash
+       from qsig cross join (select unnest(range(0, 4)) as b) t),
+cand as (select distinct qb.doc_id as query_id, cb.doc_id as match_id
+         from qb join cb
+           on qb.band_idx = cb.band_idx and qb.band_hash = cb.band_hash),
+scored as (
+  select cand.query_id, cand.match_id,
+         round(list_sum(list_transform(range(1, 17), i ->
+             case when s1.sig[i::int] = s2.sig[i::int] then 1 else 0 end))::double
+             / 16, 6) as est_jaccard
+  from cand
+  join qsig s1 on s1.doc_id = cand.query_id
+  join csig s2 on s2.doc_id = cand.match_id)
+select query_id, match_id, est_jaccard, rank from (
+  select *, row_number() over (partition by query_id
+                               order by est_jaccard desc, match_id) as rank
+  from scored)
+where rank <= 1
+"""
+
+
 # --------------------------------------------------------------------------
 # BM25 lexical retrieval top-k (the sparse counterpart of the ANN stack)
 # --------------------------------------------------------------------------
@@ -6163,6 +6230,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "importance_resample": QueryDef(
         _q_importance_resample, _ORACLE_IMPORTANCE_RESAMPLE,
         "DSIR: hashed-feature importance weights vs target, Gumbel top-k"),
+    "fuzzy_join": QueryDef(
+        _q_fuzzy_join, _ORACLE_FUZZY_JOIN,
+        "two-table MinHash LSH fuzzy join, est-Jaccard top-1 per query"),
     "mixture_sample": QueryDef(
         _q_mixture_sample, _ORACLE_MIXTURE_SAMPLE,
         "temperature-flattened source mixture (deterministic, scan-side)"),

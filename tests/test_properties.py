@@ -289,3 +289,26 @@ def test_grouped_ols_matches_numpy(spark, pts):
     slope_np, icpt_np = np.polyfit(xs, ys, 1)
     assert abs(row.slope - slope_np) < 1e-4
     assert abs(row.intercept - icpt_np) < 1e-4
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            # full unicode incl. PDF-significant bytes and control chars
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.booleans(),
+)
+def test_mini_pdf_roundtrip_property(pages, compress):
+    """encode_mini_pdf → extract_pdf_pages is lossless for ARBITRARY page
+    text (pure-Python property — no Spark round-trip needed)."""
+    from restaurant_etl_code_spark.multimodal import minipdf
+
+    pdf = minipdf.encode_mini_pdf(pages, compress=compress)
+    got = minipdf.extract_pdf_pages(pdf)
+    assert [p["text"] for p in got] == pages

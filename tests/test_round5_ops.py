@@ -127,6 +127,26 @@ def test_bucketed_merge_key_mismatch_fails_fast(spark, tmp_path):
         )
 
 
+def test_minhash_fuzzy_join_finds_perturbed_source(spark):
+    """A lightly-perturbed query doc must match its source as top-1; an
+    unrelated query must not match it."""
+    from restaurant_etl_code_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark shuffles and joins here")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(101, base + " tail"), (102, "unrelated gibberish zig zag zip zap foo bar baz qux")],
+        "doc_id long, text string",
+    )
+    out = {r["query_id"]: (r["match_id"], r["est_jaccard"]) for r in
+           dedup.minhash_fuzzy_join(corpus, queries, k=1).collect()}
+    assert out[101][0] == 1 and out[101][1] >= 0.5
+    assert 102 not in out or out[102][0] != 1
+
+
 def test_importance_resample_prefers_target_like_docs(spark):
     """DSIR sanity: documents written in the target's vocabulary must win
     the importance draw over documents from a disjoint vocabulary."""
