@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "pdf_real_extract",
     "importance_resample",
     "fuzzy_join",
+    "span_dedup",
 ]
 
 

@@ -4531,6 +4531,39 @@ join sigs sb on sb.doc_id = c.id_b
 """
 
 
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup (corpus.span_dedup) over the augmented corpus —
+    the exact copies and suffix-noised copies make repeated 20-token spans
+    real, so the keep-first rule measurably strips them."""
+    return corpus.span_dedup(_augmented_docs(spark, sf_dir), span_tokens=20)
+
+
+_ORACLE_SPAN_DEDUP = f"""
+with {_DUCK_CORPUS.strip()},
+toks as (select doc_id, string_split({_DUCK_NORM.format(c='text')}, ' ') as tk
+         from corpus),
+nz as (select doc_id, tk, cast(ceil(len(tk) / 20.0) as bigint) as n
+       from toks where len(tk) > 0),
+spans0 as (select doc_id,
+                  list_transform(range(0, n), i -> struct_pack(
+                      idx := i,
+                      txt := array_to_string(
+                          list_slice(tk, (i * 20 + 1)::int, (i * 20 + 20)::int),
+                          ' '))) as sp
+           from nz),
+flat as (select doc_id, u.s.idx as span_idx, u.s.txt as span_text
+         from spans0, unnest(sp) as u(s)),
+ranked as (select *, row_number() over (partition by md5(span_text)
+                                        order by doc_id, span_idx) as rn
+           from flat)
+select doc_id, count(*) as n_spans,
+       sum(case when rn = 1 then 1 else 0 end) as n_kept,
+       coalesce(string_agg(span_text, ' ' order by span_idx)
+                  filter (where rn = 1), '') as text_dedup
+from ranked group by doc_id
+"""
+
+
 def _q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table MinHash fuzzy join (dedup.minhash_fuzzy_join): perturbed
     query documents (suffix-noised copies) matched back to the corpus by
@@ -6233,6 +6266,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "fuzzy_join": QueryDef(
         _q_fuzzy_join, _ORACLE_FUZZY_JOIN,
         "two-table MinHash LSH fuzzy join, est-Jaccard top-1 per query"),
+    "span_dedup": QueryDef(
+        _q_span_dedup, _ORACLE_SPAN_DEDUP,
+        "C4-style sub-document span dedup: keep-first over 20-token windows"),
     "mixture_sample": QueryDef(
         _q_mixture_sample, _ORACLE_MIXTURE_SAMPLE,
         "temperature-flattened source mixture (deterministic, scan-side)"),

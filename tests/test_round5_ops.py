@@ -127,6 +127,30 @@ def test_bucketed_merge_key_mismatch_fails_fast(spark, tmp_path):
         )
 
 
+def test_span_dedup_strips_repeated_spans(spark):
+    """A 4-token span repeated verbatim in a later document must be
+    removed from the later doc only (keep-first global order); unique
+    spans survive untouched."""
+    from restaurant_etl_code_spark.operators import corpus
+
+    boiler = "all rights reserved worldwide"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " epsilon zeta eta theta"),
+            (3, "totally unique words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           corpus.span_dedup(docs, span_tokens=4).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_dedup"] == "epsilon zeta eta theta"
+    assert out[3]["n_kept"] == out[3]["n_spans"] == 1
+    assert out[1]["text_dedup"] == boiler + " alpha beta gamma delta"
+
+
 def test_minhash_fuzzy_join_finds_perturbed_source(spark):
     """A lightly-perturbed query doc must match its source as top-1; an
     unrelated query must not match it."""
