@@ -6426,8 +6426,11 @@ _REGISTRY: dict[str, QueryDef] = {
 # with the FEWEST prior driver checks. For r05 that is the exact set of 48
 # registry queries that have never appeared in any CORRECTNESS_r01–r04.json
 # (computed from the committed artifacts), plus two long-green anchors as
-# regression canaries. After this round every one of the 146 registered
-# oracles will have been driver-verified at least once.
+# regression canaries. After this round every query registered through
+# round 4 will have been driver-verified at least once; the five round-5
+# additions (merge_pruned, pdf_real_extract, importance_resample,
+# fuzzy_join, span_dedup) land after position 50 and rotate into the r06
+# window (all green in tools/oracle_check.py this round).
 _WINDOW_FIRST = [
     # never driver-checked through r04 — text/corpus family
     "mixture_sample", "contamination_score", "containment_pairs",

@@ -461,6 +461,20 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["MapInPandas", "WindowGroupLimit"],
         "avoid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "fuzzy_join": {
+        # both banded sides are corpus-scale: the band join must stay a
+        # sort-merge on (band_idx, band_hash), never a broadcast build;
+        # top-1 per query rides WindowGroupLimit
+        "want": ["SortMergeJoin", "WindowGroupLimit", "MapInPandas"],
+        "avoid": ["CartesianProduct", "BroadcastHashJoin", "BatchEvalPython"],
+    },
+    "span_dedup": {
+        # keep-first is one row_number window keyed by span md5; no joins
+        # at all, no Python
+        "want": ["Window", "Exchange hashpartitioning(_w"],
+        "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                  "BatchEvalPython", "MapInPandas"],
+    },
 }
 
 

@@ -55,8 +55,10 @@ PROBE = [
     "pagerank", "basket_pairs", "anomaly_hours", "funnel_windowed", "asof_tolerance", "point_in_time", "trend_fit", "knn_graph", "star_join", "incremental_join", "funnel_timing",
     "corrupt_quarantine", "numeric_corr", "session_paths", "basket_triples",
     "basket_rules", "activity_streaks",
-    # round-5 additions: pruned MERGE sink, real-PDF codec chain, DSIR
+    # round-5 additions: pruned MERGE sink, real-PDF codec chain, DSIR,
+    # two-table LSH fuzzy join, span-level dedup
     "merge_pruned", "pdf_real_extract", "importance_resample",
+    "fuzzy_join", "span_dedup",
     # dedup_recall is intentionally NOT probed here: its exact ground-truth
     # branch is quadratic by design (documented sample-scale audit) and
     # would be a guaranteed false super-linear flag at larger K
