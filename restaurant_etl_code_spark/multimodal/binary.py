@@ -36,6 +36,8 @@ __all__ = [
     "PagedPdfDecoder",
     "PAGED_PDF_MAGIC",
     "encode_paged_pdf",
+    "pack_pages",
+    "explode_page_text",
     "pack_paged_pdf",
     "paged_pdf_text",
     "decode_assets",
@@ -207,10 +209,14 @@ class PagedPdfDecoder:
         ]
 
 
-def pack_paged_pdf(df: DataFrame, *, id_col: str, pages_col: str) -> DataFrame:
-    """Encode an ``array<string>`` pages column into container bytes,
-    executor-side (Arrow batches) — the ingest twin of ``paged_pdf_text``.
-    Output: (asset_id, modality='pdf', content binary)."""
+def pack_pages(
+    df: DataFrame, *, id_col: str, pages_col: str, encode_fn, modality: str = "pdf"
+) -> DataFrame:
+    """Generic ingest stage shared by every page-container codec: encode an
+    ``array<string>`` pages column into bytes executor-side (Arrow batches)
+    via ``encode_fn(list[str]) -> bytes``. Output: (asset_id, modality,
+    content binary). One definition so the paged-container and real-PDF
+    writers cannot drift (review: the plumbing had forked four ways)."""
     id_field = df.schema[id_col]
     schema = T.StructType(
         [
@@ -225,22 +231,22 @@ def pack_paged_pdf(df: DataFrame, *, id_col: str, pages_col: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "asset_id": pdf[id_col],
-                    "modality": "pdf",
-                    "content": [
-                        encode_paged_pdf(list(pages)) for pages in pdf[pages_col]
-                    ],
+                    "modality": modality,
+                    "content": [encode_fn(list(pages)) for pages in pdf[pages_col]],
                 }
             )
 
     return df.select(id_col, pages_col).mapInPandas(mapper, schema=schema)
 
 
-def paged_pdf_text(assets: DataFrame, *, id_col: str = "asset_id",
-                   content_col: str = "content") -> DataFrame:
-    """S1/U1 decode stage: explode paged-PDF bytes into per-page TEXT rows
-    (asset_id, page_index, page_text) — decoded in executors from the byte
-    layout, one Arrow batch at a time. Undecodable assets yield one row with
-    null text and the error (the engine's absorb-don't-throw error model)."""
+def explode_page_text(
+    assets: DataFrame, *, id_col: str, content_col: str, decode_fn
+) -> DataFrame:
+    """Generic S1/U1 decode stage shared by every page-container codec:
+    explode content bytes into per-page TEXT rows (asset_id, page_index,
+    page_text, decode_error) via ``decode_fn(bytes) -> list[str]``.
+    Undecodable assets yield one row with null text and the error — the
+    engine's absorb-don't-throw error model — never an exception."""
     id_field = assets.schema[id_col]
     schema = T.StructType(
         [
@@ -256,12 +262,12 @@ def paged_pdf_text(assets: DataFrame, *, id_col: str = "asset_id",
             rows = []
             for rec in pdf.to_dict("records"):
                 try:
-                    for i, payload in enumerate(_decode_paged_pdf(bytes(rec[content_col]))):
+                    for i, page_text in enumerate(decode_fn(bytes(rec[content_col]))):
                         rows.append(
                             {
                                 "asset_id": rec[id_col],
                                 "page_index": i,
-                                "page_text": payload.decode("utf-8"),
+                                "page_text": page_text,
                                 "decode_error": None,
                             }
                         )
@@ -277,6 +283,26 @@ def paged_pdf_text(assets: DataFrame, *, id_col: str = "asset_id",
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return assets.select(id_col, content_col).mapInPandas(mapper, schema=schema)
+
+
+def pack_paged_pdf(df: DataFrame, *, id_col: str, pages_col: str) -> DataFrame:
+    """Encode an ``array<string>`` pages column into container bytes —
+    ``pack_pages`` with the paged-container codec."""
+    return pack_pages(
+        df, id_col=id_col, pages_col=pages_col, encode_fn=encode_paged_pdf
+    )
+
+
+def paged_pdf_text(assets: DataFrame, *, id_col: str = "asset_id",
+                   content_col: str = "content") -> DataFrame:
+    """Explode paged-PDF container bytes into per-page TEXT rows —
+    ``explode_page_text`` with the paged-container codec."""
+    return explode_page_text(
+        assets,
+        id_col=id_col,
+        content_col=content_col,
+        decode_fn=lambda b: [p.decode("utf-8") for p in _decode_paged_pdf(b)],
+    )
 
 
 class FakeDecoder:

@@ -517,71 +517,26 @@ class MiniPdfDecoder:
 
 def pack_mini_pdf(df: DataFrame, *, id_col: str, pages_col: str) -> DataFrame:
     """Encode an ``array<string>`` pages column into REAL PDF bytes,
-    executor-side. Output: (asset_id, modality='pdf', content binary)."""
-    id_field = df.schema[id_col]
-    schema = T.StructType(
-        [
-            T.StructField("asset_id", id_field.dataType),
-            T.StructField("modality", T.StringType(), False),
-            T.StructField("content", T.BinaryType(), True),
-        ]
+    executor-side — ``binary.pack_pages`` with the PDF 1.4 writer."""
+    from restaurant_etl_code_spark.multimodal.binary import pack_pages
+
+    return pack_pages(
+        df, id_col=id_col, pages_col=pages_col, encode_fn=encode_mini_pdf
     )
-
-    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf[id_col],
-                    "modality": "pdf",
-                    "content": [
-                        encode_mini_pdf(list(pages)) for pages in pdf[pages_col]
-                    ],
-                }
-            )
-
-    return df.select(id_col, pages_col).mapInPandas(mapper, schema=schema)
 
 
 def mini_pdf_text(
     assets: DataFrame, *, id_col: str = "asset_id", content_col: str = "content"
 ) -> DataFrame:
     """S1/U1 decode stage over REAL PDFs: explode ``%PDF-`` bytes into
-    per-page text rows (asset_id, page_index, page_text, decode_error) —
-    same output contract as ``binary.paged_pdf_text``, same
-    absorb-don't-throw error model, genuinely parsing xref + Flate."""
-    id_field = assets.schema[id_col]
-    schema = T.StructType(
-        [
-            T.StructField("asset_id", id_field.dataType),
-            T.StructField("page_index", T.IntegerType(), True),
-            T.StructField("page_text", T.StringType(), True),
-            T.StructField("decode_error", T.StringType(), True),
-        ]
+    per-page text rows — ``binary.explode_page_text`` with the xref+Flate
+    reader; same output contract and absorb-don't-throw error model as
+    ``paged_pdf_text``."""
+    from restaurant_etl_code_spark.multimodal.binary import explode_page_text
+
+    return explode_page_text(
+        assets,
+        id_col=id_col,
+        content_col=content_col,
+        decode_fn=lambda b: [p["text"] for p in extract_pdf_pages(b)],
     )
-
-    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for rec in pdf.to_dict("records"):
-                try:
-                    for p in extract_pdf_pages(bytes(rec[content_col])):
-                        rows.append(
-                            {
-                                "asset_id": rec[id_col],
-                                "page_index": p["page_index"],
-                                "page_text": p["text"],
-                                "decode_error": None,
-                            }
-                        )
-                except Exception as exc:  # noqa: BLE001
-                    rows.append(
-                        {
-                            "asset_id": rec[id_col],
-                            "page_index": None,
-                            "page_text": None,
-                            "decode_error": f"{type(exc).__name__}: {exc}",
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
-
-    return assets.select(id_col, content_col).mapInPandas(mapper, schema=schema)

@@ -671,11 +671,22 @@ def importance_resample(
             .alias("log_w"),
         )
     )
-    # deterministic Gumbel key from the portable integer hash (same family
-    # as sampling.portable_split_bucket: mod-prime Knuth multiply)
+    # deterministic Gumbel key from the portable md5 hash of the STRING
+    # form of the id — integer arithmetic on id_col would null out for
+    # non-numeric ids and NaN for negative ones, silently degenerating the
+    # draw to "k smallest ids" (found in review); md5 works for any type
     u = (
-        (F.col(id_col) % F.lit(2147483647) + F.lit(seed)) * F.lit(2654435761)
-    ) % F.lit(2147483647) % F.lit(10000)
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"_{seed}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
     gumbel = F.round(-F.log((-F.log((u + 0.5) / 10000.0))), 6)
     scored = weights.withColumn("score", F.round(F.col("log_w") + gumbel, 6))
     return scored.sort(F.col("score").desc(), F.col(id_col)).limit(k)

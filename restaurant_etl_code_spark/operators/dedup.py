@@ -147,6 +147,60 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInPandas(mapper, schema=schema)
 
 
+def _check_band_geometry(num_hashes: int, bands: int, rows_per_band: int) -> None:
+    """bands·rows_per_band must fit the signature: an oversized geometry
+    slices past the signature's end, every such band hashes the EMPTY
+    array to one identical band_hash, and the band equi-join degenerates
+    into an all-pairs cross product with no error (found in review)."""
+    if bands * rows_per_band > num_hashes:
+        raise ValueError(
+            f"band geometry {bands}x{rows_per_band} exceeds the "
+            f"{num_hashes}-hash signature — bands*rows_per_band must be "
+            f"<= num_hashes (empty band slices would collide everything)"
+        )
+
+
+def _banded_rows(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    *,
+    id_alias: str | None = None,
+    keep_signature: bool = False,
+    sig_alias: str = "signature",
+) -> DataFrame:
+    """The ONE definition of LSH banding (explode band_idx → slice → md5 of
+    the comma-joined band) shared by the self-join candidate generator, the
+    signature-estimate scorer, and the two-table fuzzy join — the banding
+    recipe is load-bearing for oracle parity, so it must not fork."""
+    out_id = id_alias or id_col
+    cols = [
+        F.col(id_col).alias(out_id),
+        F.col("band_idx"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.col("signature"),
+                        F.col("band_idx") * rows_per_band + 1,
+                        rows_per_band,
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("band_hash"),
+    ]
+    if keep_signature:
+        cols.append(F.col("signature").alias(sig_alias))
+    return signatures.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
+        F.col("signature"),
+    ).select(*cols)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -172,23 +226,7 @@ def lsh_candidate_pairs(
     bucket in ONE row and OOM'd the executor on a 10× blow-up probe; never
     build per-row quadratic arrays.
     """
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
-        F.col("signature"),
-    ).select(
-        F.col(id_col),
-        F.col("band_idx"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("signature"), F.col("band_idx") * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-            )
-        ).alias("band_hash"),
-    )
+    banded = _banded_rows(signatures, id_col, bands, rows_per_band)
     banded = banded.repartition("band_idx", "band_hash").persist()
     left = banded.alias("a")
     right = banded.alias("b")
@@ -227,27 +265,8 @@ def minhash_estimate_pairs(
     colliding in several bands, and the agreement fold is a codegen
     ``zip_with`` + ``aggregate`` over ``num_hashes`` elements per pair.
     """
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
-        F.col("signature"),
-    ).select(
-        F.col(id_col),
-        F.col("band_idx"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(
-                        F.col("signature"),
-                        F.col("band_idx") * rows_per_band + 1,
-                        rows_per_band,
-                    ),
-                    lambda x: x.cast("string"),
-                ),
-            )
-        ).alias("band_hash"),
-        F.col("signature"),
+    banded = _banded_rows(
+        signatures, id_col, bands, rows_per_band, keep_signature=True
     )
     banded = banded.repartition("band_idx", "band_hash").persist()
     left = banded.alias("a")
@@ -311,31 +330,14 @@ def minhash_fuzzy_join(
     """
     from pyspark.sql import Window
 
+    _check_band_geometry(num_hashes, bands, rows_per_band)
     sig_q = minhash_signatures(queries, id_col, text_col, num_hashes, shingle_n)
     sig_c = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
 
     def banded(sig_df: DataFrame, side: str) -> DataFrame:
-        return sig_df.select(
-            F.col(id_col).alias(f"{side}_id"),
-            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
-            F.col("signature").alias(f"{side}_sig"),
-        ).select(
-            f"{side}_id",
-            "band_idx",
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(
-                            F.col(f"{side}_sig"),
-                            F.col("band_idx") * rows_per_band + 1,
-                            rows_per_band,
-                        ),
-                        lambda x: x.cast("string"),
-                    ),
-                )
-            ).alias("band_hash"),
-            f"{side}_sig",
+        return _banded_rows(
+            sig_df, id_col, bands, rows_per_band,
+            id_alias=f"{side}_id", keep_signature=True, sig_alias=f"{side}_sig",
         )
 
     q = banded(sig_q, "query")

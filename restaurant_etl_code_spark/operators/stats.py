@@ -166,7 +166,11 @@ def heavy_hitters(
     if min_share is not None:
         k = max(8, summary_size or 0, int(math.ceil(2.0 / min_share)))
     else:
-        k = max(4096, summary_size or 0, 2 * int(min_count))
+        # the requirement k ≥ N/T − 1 shrinks as T grows, so the guess must
+        # NOT scale with min_count (a 2·T term allocated multi-GB counter
+        # dicts for large thresholds — found in review); 4096 covers any
+        # N ≤ 4096·T and the post-hoc validate-and-rescan handles the rest
+        k = max(4096, summary_size or 0)
 
     key_field = df.select(F.col(key_col).alias("key")).schema.fields[0]
     schema = StructType(
@@ -193,12 +197,18 @@ def heavy_hitters(
                             del counters[q]
                         for q in counters:
                             counters[q] -= 1
-            yield pd.DataFrame(
-                {
-                    "key": list(counters.keys()) + [None],
-                    "pcount": [None] * len(counters) + [n_p],
-                }
-            )
+            # the count marker is emitted as a SEPARATE frame: a None mixed
+            # into an int64 key column coerces pandas to float64, which
+            # silently corrupts keys above 2^53 before Arrow casts back
+            # (dropped a bigint heavy hitter — found in review, live repro)
+            if counters:
+                yield pd.DataFrame(
+                    {
+                        "key": list(counters.keys()),
+                        "pcount": [None] * len(counters),
+                    }
+                )
+            yield pd.DataFrame({"key": [None], "pcount": [n_p]})
 
         return (
             df.select(F.col(key_col).alias("key"))

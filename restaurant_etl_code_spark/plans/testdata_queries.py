@@ -2278,7 +2278,7 @@ select * from updates
 
 def _q_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PHYSICAL partition-pruned MERGE sink, end-to-end
-    (sources/sinks.write_bucketed + merge_into_bucketed_parquet +
+    (sources/sinks.write_merge_target + merge_into_bucketed_parquet +
     read_bucketed): write orders as a bucketed target, merge a ~1% delta —
     only the delta's bucket directories are listed, read, and swapped — then
     read the target back and aggregate. This is the scale path for the
@@ -2288,7 +2288,7 @@ def _q_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from restaurant_etl_code_spark.sources.sinks import (
         merge_into_bucketed_parquet,
         read_bucketed,
-        write_bucketed,
+        write_merge_target,
     )
 
     tag = os.path.basename(sf_dir.rstrip("/"))
@@ -2299,7 +2299,7 @@ def _q_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    write_bucketed(orders, path, ["o_orderkey"], n_buckets=32)
+    write_merge_target(orders, path, ["o_orderkey"], n_buckets=32)
     updates = orders.filter(F.col("o_orderkey") % 97 == 0).select(
         "o_orderkey",
         (F.col("o_totalprice") * 2).alias("o_totalprice"),
@@ -4475,8 +4475,8 @@ w as (select doc_id, count(*) as n_tokens,
       from b join lr using (bkt) group by 1),
 g as (select doc_id, n_tokens, log_w,
              round(log_w + round(-ln(-ln(
-               (((doc_id % 2147483647 + 7) * 2654435761) % 2147483647 % 10000
-                + 0.5) / 10000.0)), 6), 6) as score
+               (('0x' || substring(md5(doc_id::varchar || '_7'), 1, 8))::bigint
+                 % 10000 + 0.5) / 10000.0)), 6), 6) as score
       from w)
 select doc_id, n_tokens, log_w, score from (
   select *, row_number() over (order by score desc, doc_id) as rnk from g)

@@ -23,7 +23,7 @@ __all__ = [
     "merge_upsert",
     "merge_into_parquet",
     "cdc_merge_into_parquet",
-    "write_bucketed",
+    "write_merge_target",
     "read_bucketed",
     "merge_into_bucketed_parquet",
     "cdc_merge_into_bucketed_parquet",
@@ -92,7 +92,7 @@ def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> Data
     return surviving.unionByName(updates.select(*target.columns))
 
 
-def write_bucketed(
+def write_merge_target(
     df: DataFrame, path: str, keys: list[str], n_buckets: int = 64
 ) -> None:
     """Write ``df`` as a bucketed MERGE target: hive-partitioned by
@@ -126,21 +126,30 @@ def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _swap_buckets(target_path: str, tmp: str, touched: list[int]) -> None:
-    """Atomically (per directory) swap the touched bucket dirs from ``tmp``
-    into the target. A bucket whose merged output is empty (all rows deleted)
-    simply has its directory removed. Untouched bucket directories are never
-    listed, read, or rewritten — their files stay byte-identical."""
+    """Swap the touched bucket dirs from ``tmp`` into the target. Each
+    bucket flips with one rename (atomic per directory), and replaced dirs
+    move to a trash dir OUTSIDE the table before deletion — a crash mid-
+    sequence can never leave a ``__bucket=K.__old`` dir INSIDE the table,
+    which Spark partition discovery would read as a phantom string-typed
+    partition value and corrupt every subsequent read (found in review).
+    Remaining crash window, documented: the sequence across buckets is not
+    transactional (each bucket is either fully old or fully new — valid
+    parquet both ways — but a kill between a bucket's move-out and move-in
+    leaves that one bucket absent, recoverable from the trash dir; a real
+    transaction log needs a table format, which is the Delta/Iceberg
+    swap-in point). A bucket whose merged output is empty (all rows
+    deleted) has its directory removed. Untouched bucket directories are
+    never listed, read, or rewritten — their files stay byte-identical."""
+    trash = f"{target_path}.__trash_{uuid.uuid4().hex[:8]}"
+    os.makedirs(trash, exist_ok=True)
     for b in touched:
         src = os.path.join(tmp, f"{_BUCKET_COL}={b}")
         dst = os.path.join(target_path, f"{_BUCKET_COL}={b}")
-        old = None
         if os.path.exists(dst):
-            old = f"{dst}.__old_{uuid.uuid4().hex[:8]}"
-            os.rename(dst, old)
+            os.rename(dst, os.path.join(trash, f"{_BUCKET_COL}={b}"))
         if os.path.exists(src):
             os.rename(src, dst)
-        if old is not None:
-            shutil.rmtree(old)
+    shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -157,35 +166,42 @@ def merge_into_bucketed_parquet(
     swapped. First call creates the bucketed layout. Cost: O(|updates| +
     |touched buckets|) — a 1-row upsert rewrites one bucket, not the table."""
     if not os.path.exists(target_path):
-        write_bucketed(updates, target_path, keys, n_buckets)
+        write_merge_target(updates, target_path, keys, n_buckets)
         return
     spec = _load_bucket_spec(target_path)
     if spec is None:
         raise ValueError(
             f"{target_path} is not a bucketed target (no {_BUCKET_SPEC}); "
-            "use merge_into_parquet or rewrite it with write_bucketed first"
+            "use merge_into_parquet or rewrite it with write_merge_target first"
         )
     if spec["keys"] != keys:
         raise ValueError(f"bucket spec keys {spec['keys']} != merge keys {keys}")
     n = spec["n_buckets"]
-    upd = updates.withColumn(_BUCKET_COL, _bucket_expr(keys, n))
-    touched = sorted(
-        r[0] for r in upd.select(_BUCKET_COL).distinct().collect()
-    )  # ≤ n_buckets scalars
-    if not touched:
-        return
-    if _bucket_dirs(target_path):
-        target_sub = spark.read.parquet(target_path).filter(
-            F.col(_BUCKET_COL).isin(touched)  # PartitionFilters: untouched dirs unread
-        )
-        merged = merge_upsert(target_sub, upd.select(*target_sub.columns), keys)
-    else:  # target exists but is empty on disk (all rows previously deleted)
-        merged = upd
-    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
-    merged.repartition(len(touched), F.col(_BUCKET_COL)).write.mode(
-        "overwrite"
-    ).partitionBy(_BUCKET_COL).parquet(tmp)
-    _swap_buckets(target_path, tmp, touched)
+    # persist: the delta is evaluated twice (touched-set collect + the
+    # merged write); a non-deterministic updates source re-evaluated could
+    # emit rows in buckets outside the collected touched set, which the
+    # swap would then silently drop (found in review)
+    upd = updates.withColumn(_BUCKET_COL, _bucket_expr(keys, n)).persist()
+    try:
+        touched = sorted(
+            r[0] for r in upd.select(_BUCKET_COL).distinct().collect()
+        )  # ≤ n_buckets scalars
+        if not touched:
+            return
+        if _bucket_dirs(target_path):
+            target_sub = spark.read.parquet(target_path).filter(
+                F.col(_BUCKET_COL).isin(touched)  # PartitionFilters prune the rest
+            )
+            merged = merge_upsert(target_sub, upd.select(*target_sub.columns), keys)
+        else:  # target exists but is empty on disk (all rows previously deleted)
+            merged = upd
+        tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
+        merged.repartition(len(touched), F.col(_BUCKET_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(_BUCKET_COL).parquet(tmp)
+        _swap_buckets(target_path, tmp, touched)
+    finally:
+        upd.unpersist()
 
 
 def cdc_merge_into_bucketed_parquet(
@@ -211,7 +227,7 @@ def cdc_merge_into_bucketed_parquet(
     )
     upserts = latest.filter(F.col(op_col) != delete_value)
     if not os.path.exists(target_path):
-        write_bucketed(upserts, target_path, keys, n_buckets)
+        write_merge_target(upserts, target_path, keys, n_buckets)
         return
     spec = _load_bucket_spec(target_path)
     if spec is None:
@@ -221,28 +237,34 @@ def cdc_merge_into_bucketed_parquet(
     if spec["keys"] != keys:
         raise ValueError(f"bucket spec keys {spec['keys']} != merge keys {keys}")
     n = spec["n_buckets"]
-    latest_b = latest.withColumn(_BUCKET_COL, _bucket_expr(keys, n))
-    touched = sorted(
-        r[0] for r in latest_b.select(_BUCKET_COL).distinct().collect()
-    )
-    if not touched:
-        return
-    deletes = latest_b.filter(F.col(op_col) == delete_value).select(*keys)
-    upserts_b = latest_b.filter(F.col(op_col) != delete_value)
-    if _bucket_dirs(target_path):
-        target_sub = (
-            spark.read.parquet(target_path)
-            .filter(F.col(_BUCKET_COL).isin(touched))
-            .join(F.broadcast(deletes), keys, "left_anti")
+    # persist for the same two-evaluation reason as merge_into_bucketed_parquet
+    latest_b = latest.withColumn(_BUCKET_COL, _bucket_expr(keys, n)).persist()
+    try:
+        touched = sorted(
+            r[0] for r in latest_b.select(_BUCKET_COL).distinct().collect()
         )
-        merged = merge_upsert(target_sub, upserts_b.select(*target_sub.columns), keys)
-    else:
-        merged = upserts_b
-    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
-    merged.repartition(len(touched), F.col(_BUCKET_COL)).write.mode(
-        "overwrite"
-    ).partitionBy(_BUCKET_COL).parquet(tmp)
-    _swap_buckets(target_path, tmp, touched)
+        if not touched:
+            return
+        deletes = latest_b.filter(F.col(op_col) == delete_value).select(*keys)
+        upserts_b = latest_b.filter(F.col(op_col) != delete_value)
+        if _bucket_dirs(target_path):
+            target_sub = (
+                spark.read.parquet(target_path)
+                .filter(F.col(_BUCKET_COL).isin(touched))
+                .join(F.broadcast(deletes), keys, "left_anti")
+            )
+            merged = merge_upsert(
+                target_sub, upserts_b.select(*target_sub.columns), keys
+            )
+        else:
+            merged = upserts_b
+        tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
+        merged.repartition(len(touched), F.col(_BUCKET_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(_BUCKET_COL).parquet(tmp)
+        _swap_buckets(target_path, tmp, touched)
+    finally:
+        latest_b.unpersist()
 
 
 def merge_into_parquet(
@@ -250,7 +272,7 @@ def merge_into_parquet(
 ) -> None:
     """MERGE into a parquet table with atomic swap. If the target does not
     exist, this is a plain write (first load). If the target was laid out by
-    ``write_bucketed`` the partition-pruned path is taken automatically, so
+    ``write_merge_target`` the partition-pruned path is taken automatically, so
     callers (including the streaming foreachBatch sinks) inherit
     delta-proportional merge cost just by bucketing the target once."""
     if _load_bucket_spec(target_path) is not None:
@@ -288,7 +310,7 @@ def cdc_merge_into_parquet(
     deletes anti-join out of the target and survivors upsert in; the
     write lands with the same atomic tmp-swap as ``merge_into_parquet``.
     With a transactional table format this is ``MERGE INTO ... WHEN
-    MATCHED AND op = 'D' THEN DELETE``. A ``write_bucketed`` target takes
+    MATCHED AND op = 'D' THEN DELETE``. A ``write_merge_target`` target takes
     the partition-pruned path automatically.
     """
     from pyspark.sql import Window

@@ -139,6 +139,13 @@ def streaming_funnel_flags(
     re-derives ``v[i] = min(qual[i], seen[i] if seen[i] > v[i−1])`` so a
     late stage-0 arrival cascades through stages recorded batches ago.
 
+    MIGRATION NOTE: this state layout (2k columns s0..q{k-1}) replaced the
+    round-4 k-column layout (t0..t{k-1}); a streaming query checkpointed
+    under the old layout cannot restart on this code — state-store schema
+    evolution is not supported by applyInPandasWithState. Restart such
+    queries with a FRESH checkpoint (replaying the source converges,
+    since flags are cumulative and the sink is update-mode by key).
+
     Exactness: single-batch replay ≡ the batch funnel (same sort, same
     strict-precedence gates, tiebreaks included). Across batches it is
     exact except two documented µs-granularity corners: (a) only the

@@ -2,7 +2,7 @@
 
 The round-4 verdict flagged the plain-parquet MERGE emulation as the one
 unguarded scale-killer left in the repo (a 1-row upsert rewrote the whole
-target). These tests pin the fix: a ``write_bucketed`` target merges by
+target). These tests pin the fix: a ``write_merge_target`` target merges by
 rewriting ONLY the bucket directories its delta touches — proven here by
 byte-comparing the untouched buckets' files before and after a 1-row merge.
 """
@@ -35,7 +35,7 @@ def test_bucketed_merge_semantics(spark, tmp_path):
         [(i, f"n{i}", float(i)) for i in range(100)],
         "k int, name string, price double",
     )
-    sinks.write_bucketed(base, path, ["k"], n_buckets=8)
+    sinks.write_merge_target(base, path, ["k"], n_buckets=8)
     updates = spark.createDataFrame(
         [(7, "n7", 700.0), (100, "new", 1.0)], "k int, name string, price double"
     )
@@ -50,7 +50,7 @@ def test_bucketed_merge_only_rewrites_touched_buckets(spark, tmp_path):
     base = spark.createDataFrame(
         [(i, float(i)) for i in range(1000)], "k int, price double"
     )
-    sinks.write_bucketed(base, path, ["k"], n_buckets=16)
+    sinks.write_merge_target(base, path, ["k"], n_buckets=16)
     before = _bucket_files(path)
     one = spark.createDataFrame([(42, 4200.0)], "k int, price double")
     sinks.merge_into_bucketed_parquet(spark, path, one, ["k"])
@@ -74,7 +74,7 @@ def test_bucketed_merge_only_rewrites_touched_buckets(spark, tmp_path):
 def test_merge_into_parquet_autodetects_bucketed_target(spark, tmp_path):
     path = str(tmp_path / "t")
     base = spark.createDataFrame([(i, float(i)) for i in range(50)], "k int, v double")
-    sinks.write_bucketed(base, path, ["k"], n_buckets=4)
+    sinks.write_merge_target(base, path, ["k"], n_buckets=4)
     before = _bucket_files(path)
     upd = spark.createDataFrame([(0, -1.0)], "k int, v double")
     sinks.merge_into_parquet(spark, path, upd, ["k"])  # generic entry point
@@ -91,7 +91,7 @@ def test_bucketed_cdc_merge_deletes_and_upserts(spark, tmp_path):
     base = spark.createDataFrame(
         [(i, float(i), 0) for i in range(40)], "k int, v double, ts int"
     )
-    sinks.write_bucketed(base, path, ["k"], n_buckets=4)
+    sinks.write_merge_target(base, path, ["k"], n_buckets=4)
     ops = spark.createDataFrame(
         [
             (5, 0.0, 1, "D"),          # delete k=5
@@ -111,7 +111,7 @@ def test_bucketed_cdc_merge_deletes_and_upserts(spark, tmp_path):
 def test_bucketed_cdc_delete_can_empty_a_bucket(spark, tmp_path):
     path = str(tmp_path / "t")
     base = spark.createDataFrame([(1, 1.0, 0)], "k int, v double, ts int")
-    sinks.write_bucketed(base, path, ["k"], n_buckets=4)
+    sinks.write_merge_target(base, path, ["k"], n_buckets=4)
     ops = spark.createDataFrame([(1, 0.0, 1, "D")], "k int, v double, ts int, op string")
     sinks.cdc_merge_into_parquet(spark, path, ops, ["k"], ["ts"])
     assert sinks.read_bucketed(spark, path).count() == 0
@@ -120,11 +120,55 @@ def test_bucketed_cdc_delete_can_empty_a_bucket(spark, tmp_path):
 def test_bucketed_merge_key_mismatch_fails_fast(spark, tmp_path):
     path = str(tmp_path / "t")
     base = spark.createDataFrame([(1, 1.0)], "k int, v double")
-    sinks.write_bucketed(base, path, ["k"], n_buckets=4)
+    sinks.write_merge_target(base, path, ["k"], n_buckets=4)
     with pytest.raises(ValueError, match="bucket spec keys"):
         sinks.merge_into_bucketed_parquet(
             spark, path, base.withColumnRenamed("k", "j"), ["j"]
         )
+
+
+def test_heavy_hitters_keeps_bigint_keys_above_2_53(spark):
+    """Regression (review, live repro): mixing the None count-marker into
+    the int64 key column coerced pandas to float64 and corrupted keys
+    above 2^53, silently dropping the heavy hitter."""
+    from restaurant_etl_code_spark.operators import stats
+
+    big = 2**60 + 123456789
+    rows = [(big,)] * 50 + [(i,) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long").repartition(4)
+    got = {r["k"]: r["n"] for r in stats.heavy_hitters(df, "k", min_count=10).collect()}
+    assert got == {big: 50}
+
+
+def test_fuzzy_join_rejects_oversized_band_geometry(spark):
+    """Review: bands*rows_per_band > num_hashes would hash empty slices to
+    one shared band_hash and cross-product the tables — must fail fast."""
+    from restaurant_etl_code_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="band geometry"):
+        dedup.minhash_fuzzy_join(df, df, num_hashes=16, bands=8, rows_per_band=4)
+
+
+def test_swap_leaves_no_foreign_dirs_in_target(spark, tmp_path):
+    """Review: crash-safety redesign — after a merge, the table dir must
+    contain ONLY __bucket=K dirs and the spec file (no __old/__trash/tmp
+    residue that partition discovery would read as phantom partitions)."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, float(i)) for i in range(100)], "k int, v double")
+    sinks.write_merge_target(base, path, ["k"], n_buckets=8)
+    upd = spark.createDataFrame([(1, -1.0), (2, -2.0)], "k int, v double")
+    sinks.merge_into_bucketed_parquet(spark, path, upd, ["k"])
+    entries = set(os.listdir(path))
+    # "_"/"."-prefixed files (_SUCCESS, crc, the spec) are invisible to
+    # Spark reads; what must NOT exist is any non-bucket DIRECTORY, which
+    # partition discovery would read as a phantom partition value
+    dirs = {e for e in entries if os.path.isdir(os.path.join(path, e))}
+    assert all(e.startswith("__bucket=") and ".__" not in e for e in dirs), dirs
+    # and nothing bucket-like leaked as a sibling of the table
+    parent = os.path.dirname(path)
+    leftovers = [e for e in os.listdir(parent) if e.startswith("t.__")]
+    assert leftovers == [], leftovers
 
 
 def test_span_dedup_strips_repeated_spans(spark):
@@ -194,7 +238,7 @@ def test_importance_resample_prefers_target_like_docs(spark):
 
 
 def test_streaming_cdc_converges_on_bucketed_target(spark, tmp_path):
-    """foreach_batch_cdc_apply against a write_bucketed target must take
+    """foreach_batch_cdc_apply against a write_merge_target target must take
     the pruned path per micro-batch and still converge to the batch
     cdc_apply snapshot — verdict item: streaming CDC inherits the pruned
     MERGE."""
@@ -220,7 +264,7 @@ def test_streaming_cdc_converges_on_bucketed_target(spark, tmp_path):
     )
     # pre-create the target BUCKETED so the auto-detect kicks in
     target = str(tmp_path / "snapshot")
-    sinks.write_bucketed(
+    sinks.write_merge_target(
         spark.createDataFrame([], schema), target, ["k"], n_buckets=4
     )
     streamed = (
@@ -480,7 +524,7 @@ def test_streaming_upsert_inherits_pruned_sink(spark, tmp_path):
 
     target = str(tmp_path / "t")
     base = spark.createDataFrame([(i, float(i)) for i in range(100)], "k int, v double")
-    sinks.write_bucketed(base, target, ["k"], n_buckets=8)
+    sinks.write_merge_target(base, target, ["k"], n_buckets=8)
     before = _bucket_files(target)
 
     src_dir = tmp_path / "src"
