@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from restaurant_etl_code_spark.functions import text as Ftext
 
@@ -619,15 +620,21 @@ def importance_resample(
     portable integer hash (deterministic, reproducible across engines and
     reruns — no RNG state).
 
-    Physical shape at 100 TB: two (bucket, count) aggregates (map-side
-    combine; ≤ n_buckets rows each — the shuffle carries counters, never
-    the token stream), the per-bucket log-ratio table BROADCASTS (it is
-    n_buckets rows by construction — the hashing trick's entire point),
-    the corpus scores in one explode → broadcast-join → per-doc sum, and
-    the top-k is a sort+limit (TakeOrderedAndProject — per-partition heads
-    merge on the driver, no global sort). Engine-exactness: log-ratios are
-    pre-rounded to 6dp and per-doc sums run in decimal(28,6), so partition
-    order cannot move a score.
+    Physical shape at 100 TB: ONE tokenize pass. The corpus explodes once
+    into a per-(doc, bucket) counter frame (map-side combine collapses the
+    token stream to ≤ n_buckets counters per doc before the shuffle),
+    which is persisted (MEMORY_AND_DISK — it is the pre-aggregated
+    histogram, orders of magnitude smaller than the token stream) and
+    feeds BOTH the raw bucket model (≤ n_buckets rows after a second
+    counter-only agg) and the scoring join — the tokenizer never runs
+    twice over the corpus. The per-bucket log-ratio table BROADCASTS
+    (n_buckets rows by construction — the hashing trick's entire point),
+    scoring is a broadcast-join + per-doc counter sum, and the top-k is a
+    sort+limit materialized to k rows (the cached histogram is unpersisted
+    once the k rows are taken). Engine-exactness: log-ratios are
+    pre-rounded to 6dp and per-doc sums run in decimal(28,6) (counter ×
+    decimal — exact, identical to per-token decimal addition), so
+    partition order cannot move a score.
 
     Returns (id_col, n_tokens, log_w, score), the ``k`` selected rows.
     """
@@ -643,8 +650,17 @@ def importance_resample(
              % n_buckets).alias("__bkt"),
         )
 
-    corpus_b = buckets(docs)
-    raw = corpus_b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__rc"))
+    # One tokenize pass: pre-aggregate to (doc, bucket, count) and persist
+    # THAT (the histogram, not the token stream) — it feeds both the raw
+    # bucket model and the scoring join below, so without the persist the
+    # explode/tokenize lineage would execute twice over the corpus.
+    doc_b = (
+        buckets(docs)
+        .groupBy(id_col, "__bkt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    raw = doc_b.groupBy("__bkt").agg(F.sum("__c").alias("__rc"))
     tgt = buckets(target).groupBy("__bkt").agg(F.count(F.lit(1)).alias("__tc"))
     totals = raw.agg(F.sum("__rc").alias("__R")).crossJoin(
         tgt.agg(F.sum("__tc").alias("__T"))
@@ -662,11 +678,15 @@ def importance_resample(
         )
     )
     weights = (
-        corpus_b.join(F.broadcast(lr), "__bkt")
+        doc_b.join(F.broadcast(lr), "__bkt")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum(F.col("__lr").cast("decimal(28,6)")), 6)
+            F.sum("__c").alias("n_tokens"),
+            # counter × 6dp-decimal is exact decimal arithmetic, identical
+            # to summing the per-token decimal __lr c times
+            F.round(
+                F.sum(F.col("__lr").cast("decimal(28,6)") * F.col("__c")), 6
+            )
             .cast("double")
             .alias("log_w"),
         )
@@ -689,7 +709,14 @@ def importance_resample(
     )
     gumbel = F.round(-F.log((-F.log((u + 0.5) / 10000.0))), 6)
     scored = weights.withColumn("score", F.round(F.col("log_w") + gumbel, 6))
-    return scored.sort(F.col("score").desc(), F.col(id_col)).limit(k)
+    topk = scored.sort(F.col("score").desc(), F.col(id_col)).limit(k)
+    # Materialize the k selected rows (bounded by k — the sort+limit is
+    # TakeOrderedAndProject, per-partition heads merged on the driver
+    # regardless) so the cached histogram can be released here instead of
+    # leaking executor cache for the caller's session lifetime.
+    rows = topk.collect()
+    doc_b.unpersist()
+    return docs.sparkSession.createDataFrame(rows, schema=topk.schema)
 
 
 def span_dedup(
@@ -707,20 +734,24 @@ def span_dedup(
     sub-document twin of exact_dedup, which catches boilerplate
     headers/footers/licenses that whole-document hashing cannot.
 
-    Plan shape at 100 TB: spans explode from the scan (flat map), the
-    keep-first rule is one row_number window over the span's md5 — ONE
-    shuffle keyed by span hash (high cardinality, uniform), with
-    WindowGroupLimit-style early exit unnecessary since every row is
-    ranked once; reassembly is a second shuffle keyed by doc. Nothing
-    broadcasts, nothing collects, no pairwise work at all — span dedup is
-    the cheapest member of the dedup family by construction.
+    Plan shape at 100 TB: spans explode from the scan (flat map). The
+    keep-first rule is NOT a window — a boilerplate span present in most
+    documents would put one row per document into a single window
+    partition, and row_number has no map-side partial step, so that
+    partition is one straggler task (exactly the data shape this operator
+    exists to catch). Instead keep-first = the global MINIMUM
+    (id, span_idx) per span hash: ``groupBy(md5(span)).agg(min(struct))``
+    partial-aggregates map-side (a span in 50% of the corpus collapses to
+    one candidate per map task before the shuffle), then keepers are
+    marked by an equi-join back on the FULL (span_hash, id, span_idx)
+    triple — unique per row, so the join key is uniform even when the
+    span hash is degenerate. Reassembly is a final shuffle keyed by doc.
+    Nothing broadcasts, nothing collects, no pairwise work at all.
 
     Returns (id_col, n_spans, n_kept, text_dedup) — documents whose every
     span was seen earlier collapse to an empty string (the curation gate
     usually drops rows below a kept-fraction threshold downstream).
     """
-    from pyspark.sql import Window
-
     toks = F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "")
     n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
     spans = (
@@ -744,18 +775,38 @@ def span_dedup(
             ).alias("span_text"),
         )
     )
-    w = Window.partitionBy(F.md5("span_text")).orderBy(id_col, "span_idx")
-    kept = spans.withColumn("__rn", F.row_number().over(w))
+    spans_h = spans.withColumn("__h", F.md5("span_text"))
+    # keep-first ≡ global min under the (id, span_idx) lexicographic order;
+    # struct comparison is field-lexicographic, so min(struct(id, idx))
+    # reproduces row_number(orderBy(id, idx)) == 1 exactly — but with a
+    # map-side combiner that absorbs hot (boilerplate) spans.
+    keepers = (
+        spans_h.groupBy("__h")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("kid"), F.col("span_idx").alias("kidx")
+                )
+            ).alias("__k")
+        )
+        .select(
+            "__h",
+            F.col("__k.kid").alias(id_col),
+            F.col("__k.kidx").alias("span_idx"),
+            F.lit(1).alias("__keep"),
+        )
+    )
+    kept = spans_h.join(keepers, ["__h", id_col, "span_idx"], "left")
     per_doc = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
-        F.sum((F.col("__rn") == 1).cast("int")).alias("n_kept"),
+        F.sum(F.coalesce(F.col("__keep"), F.lit(0))).alias("n_kept"),
         F.concat_ws(
             " ",
             F.transform(
                 F.array_sort(
                     F.collect_list(
                         F.when(
-                            F.col("__rn") == 1,
+                            F.col("__keep") == 1,
                             F.struct("span_idx", "span_text"),
                         )
                     )

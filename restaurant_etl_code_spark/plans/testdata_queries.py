@@ -6422,38 +6422,37 @@ _REGISTRY: dict[str, QueryDef] = {
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
-# in dict order. Rotation policy: each round the window holds the queries
-# with the FEWEST prior driver checks. For r05 that is the exact set of 48
-# registry queries that have never appeared in any CORRECTNESS_r01–r04.json
-# (computed from the committed artifacts), plus two long-green anchors as
-# regression canaries. After this round every query registered through
-# round 4 will have been driver-verified at least once; the five round-5
-# additions (merge_pruned, pdf_real_extract, importance_resample,
-# fuzzy_join, span_dedup) land after position 50 and rotate into the r06
-# window (all green in tools/oracle_check.py this round).
+# in dict order. Rotation policy (standing, re-applied every round): the
+# window holds (a) every query never driver-checked in any committed
+# CORRECTNESS_r*.json, then (b) the queries whose LATEST driver check is
+# oldest (ties broken by registry order), then (c) two long-green anchors
+# as regression canaries — so every query's driver entry stays at most ~3
+# rounds old. For r06 that is: the 5 round-5 additions (merge_pruned,
+# pdf_real_extract, importance_resample, fuzzy_join, span_dedup — never
+# driver-gated; judge-verified only), the 2 queries last checked in r01
+# (embedding_near_dup, dedup_clusters), 41 of the 46 queries last checked
+# in r03, and the canaries. Next rotation (r07): the remaining 5 r03-latest
+# names (ngram_jaccard, ann_cosine_topk, ann_bucketed_topk, ann_ivf_topk,
+# similarity_match / dedup_keep_first / streaming_window tail) plus the
+# oldest of the r04 cohort.
 _WINDOW_FIRST = [
-    # never driver-checked through r04 — text/corpus family
-    "mixture_sample", "contamination_score", "containment_pairs",
-    "unigram_logprob", "minhash_estimate", "bm25_topk", "boilerplate_ngrams",
-    "corpus_profile", "char_entropy", "quality_classifier",
-    # never driver-checked — scans / layout / schema
-    "orc_scan_agg", "stats_prune_scan", "schema_evolution_scan",
-    "corrupt_quarantine", "star_join", "approx_distinct_audit", "dq_audit",
-    # never driver-checked — embeddings / ANN / eval
-    "embedding_covariance", "ann_recall", "retrieval_eval", "dedup_recall",
-    "knn_graph",
-    # never driver-checked — sampling / splits / incremental
-    "kfold_split", "incremental_quantile", "incremental_join",
-    # never driver-checked — temporal / sessions / funnels
-    "funnel", "funnel_timing", "funnel_windowed", "cohort_retention",
-    "event_transitions", "time_resample", "anomaly_hours", "asof_tolerance",
-    "point_in_time", "trend_fit", "session_paths", "activity_streaks",
-    # never driver-checked — stats / mining / graph
-    "winsorize", "numeric_corr", "pagerank", "basket_pairs",
-    "basket_triples", "basket_rules", "basket_triple_rules",
-    "concurrency_sweep",
-    # never driver-checked — streaming
-    "streaming_quality_gate", "streaming_funnel", "stream_stream_left_join",
+    # never driver-checked (added round 5; judge-verified 5/5 locally)
+    "merge_pruned", "pdf_real_extract", "importance_resample",
+    "fuzzy_join", "span_dedup",
+    # latest driver check = r01
+    "embedding_near_dup", "dedup_clusters",
+    # latest driver check = r03 — oldest 41 in registry order
+    "staging_restaurant", "llm_parse", "precheck_antijoin", "upc_validity",
+    "change_detect", "template_chunks", "batch_stats", "match_breakdown",
+    "status_partition", "topk_per_group", "rollup_pricing", "sessionize",
+    "asof_join", "range_join", "window_analytics", "grouping_sets",
+    "global_topn", "quantiles", "approx_aggs", "salted_join_agg",
+    "tumbling_window", "streaming_dedup", "streaming_running_stats",
+    "streaming_sessions", "streaming_enrich", "multires_rollup",
+    "sketch_rollup", "reconcile", "unpivot", "semi_join", "scalar_subquery",
+    "null_semantics", "fuzzy_match", "json_props", "text_quality", "lang_id",
+    "exact_dedup", "training_prep", "minhash_lsh_pairs", "simhash_pairs",
+    "ngram_jaccard_capped",
     # anchors: longest-green queries kept in-window as canaries
     "staging_cleanse", "match_cascade",
 ]
