@@ -8,20 +8,26 @@ chain (PDF bytes → per-page units → per-page text → parse, reference
 files, not just the paged stand-in container (which remains the portable
 twin in ``binary.py``).
 
-Supported subset, chosen to cover what generated/simple documents use:
+Supported subset, covering both the classic and the format-majority
+modern layouts:
 
-- classic cross-reference TABLES (``xref`` sections + ``/Prev`` chain);
-  PDF 1.5 cross-reference STREAMS raise with the feature named, and a
-  brute-force object scan is the documented fallback for byte streams
-  with a broken/absent xref (what real-world extractors do);
-- content streams stored raw or ``/FlateDecode`` (single filter); other
-  filters raise with the filter named;
+- classic cross-reference TABLES (``xref`` sections + ``/Prev`` chain)
+  AND PDF 1.5 cross-reference STREAMS (``/Type /XRef``: /W binary rows,
+  /Index subsections, Flate + PNG predictors 10–14) including hybrid
+  ``/XRefStm`` files; objects compressed into OBJECT STREAMS
+  (``/Type /ObjStm``, type-2 xref entries) are loaded via the stream's
+  pair-header. A brute-force object scan remains the documented fallback
+  for byte streams with a broken/absent xref (what real extractors do);
+- content streams stored raw or ``/FlateDecode`` (single filter, optional
+  PNG predictor); other filters raise with the filter named;
 - text from ``Tj``, ``'``, ``"`` and ``TJ`` show operators inside BT/ET,
   with literal-string escapes (octal, line continuations) and hex strings;
   ``Td``/``TD``/``T*``/``'``/``"`` break lines.
 
-The writer emits PDF 1.4 with one Flate content stream per page and a
-correct xref table — real enough that any conforming reader opens it. The
+The writer emits PDF 1.4 (classic xref table) by default, or with
+``pdf15=True`` a genuine PDF 1.5 modern layout — non-stream objects in a
+compressed object stream, predictor-12 xref stream — real enough that any
+conforming reader opens either. The
 reader→writer pair is lossless on arbitrary text (all bytes escape into
 literal strings), which is what lets a relational oracle check the chain.
 
@@ -73,19 +79,14 @@ def _escape_pdf_string(s: str) -> bytes:
     return bytes(out)
 
 
-def encode_mini_pdf(pages: list[str], *, compress: bool = True) -> bytes:
-    """Write page texts as a real PDF 1.4: catalog → page tree → one
-    Flate-compressed (or raw) content stream per page, classic xref table,
-    trailer, ``startxref``. One ``Tj`` show op per page keeps the
-    writer↔reader roundtrip lossless for arbitrary text."""
-    objects: list[bytes] = []  # body of object i+1
-
+def _build_bodies(pages: list[str], compress: bool) -> list[bytes]:
+    """Object bodies 1..(3+2n): catalog, page tree, per-page (dict,
+    content stream), font — shared by both writer layouts."""
+    objects: list[bytes] = []
     n = len(pages)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objects.append(
-        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
-    )
+    objects.append(f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
     for i, text in enumerate(pages):
         page_num = 3 + 2 * i
         objects.append(
@@ -110,21 +111,108 @@ def encode_mini_pdf(pages: list[str], *, compress: bool = True) -> bytes:
                 b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
             )
     objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return objects
 
-    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]  # object 0 is the free head
-    for num, body in enumerate(objects, start=1):
-        offsets.append(len(buf))
-        buf += b"%d 0 obj\n%s\nendobj\n" % (num, body)
-    xref_pos = len(buf)
-    buf += b"xref\n0 %d\n" % (len(objects) + 1)
-    buf += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        buf += b"%010d 00000 n \n" % off
-    buf += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, xref_pos)
+
+def encode_mini_pdf(
+    pages: list[str], *, compress: bool = True, pdf15: bool = False
+) -> bytes:
+    """Write page texts as a real PDF.
+
+    ``pdf15=False`` (default): PDF 1.4 — catalog → page tree → one
+    Flate-compressed (or raw) content stream per page, classic xref table,
+    trailer, ``startxref``. One ``Tj`` show op per page keeps the
+    writer↔reader roundtrip lossless for arbitrary text.
+
+    ``pdf15=True``: PDF 1.5 modern layout, the format-majority shape the
+    reader must handle in the wild — every non-stream object (catalog,
+    page tree, page dicts, font) is packed into ONE compressed object
+    stream (``/Type /ObjStm``), content streams stay as regular objects,
+    and the cross-reference is a ``/Type /XRef`` STREAM with /W [1 4 2]
+    binary rows, Flate + PNG Up predictor (/Predictor 12 — what real
+    writers emit), type-2 entries pointing into the ObjStm.
+    """
+    objects = _build_bodies(pages, compress)
+    n = len(pages)
+    if not pdf15:
+        buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets = [0]  # object 0 is the free head
+        for num, body in enumerate(objects, start=1):
+            offsets.append(len(buf))
+            buf += b"%d 0 obj\n%s\nendobj\n" % (num, body)
+        xref_pos = len(buf)
+        buf += b"xref\n0 %d\n" % (len(objects) + 1)
+        buf += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            buf += b"%010d 00000 n \n" % off
+        buf += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objects) + 1, xref_pos)
+        )
+        return bytes(buf)
+
+    # ---- PDF 1.5: ObjStm for non-stream objects + XRef stream ----------
+    stream_ids = {4 + 2 * i for i in range(n)}  # content streams stay direct
+    packed_ids = [i for i in range(1, len(objects) + 1) if i not in stream_ids]
+    objstm_id = len(objects) + 1
+    xref_id = len(objects) + 2
+
+    # ObjStm body: "num off" header pairs, then the concatenated bodies
+    parts, offs, pos = [], [], 0
+    for oid in packed_ids:
+        body = objects[oid - 1]
+        offs.append((oid, pos))
+        parts.append(body + b"\n")
+        pos += len(body) + 1
+    header = " ".join(f"{oid} {off}" for oid, off in offs).encode() + b"\n"
+    stm_body = header + b"".join(parts)
+    stm_data = zlib.compress(stm_body)
+    objstm_obj = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n%s\nendstream" % (len(packed_ids), len(header), len(stm_data), stm_data)
     )
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    byte_off: dict[int, int] = {}
+    for oid in sorted(stream_ids):
+        byte_off[oid] = len(buf)
+        buf += b"%d 0 obj\n%s\nendobj\n" % (oid, objects[oid - 1])
+    byte_off[objstm_id] = len(buf)
+    buf += b"%d 0 obj\n%s\nendobj\n" % (objstm_id, objstm_obj)
+    xref_pos = len(buf)
+
+    # XRef rows, W=[1,4,2]: obj 0 free, type-2 into ObjStm, type-1 direct
+    size = xref_id + 1
+    rows = bytearray()
+    objstm_index = {oid: j for j, (oid, _) in enumerate(offs)}
+    for oid in range(size):
+        if oid == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif oid in objstm_index:
+            t, f2, f3 = 2, objstm_id, objstm_index[oid]
+        elif oid == xref_id:
+            t, f2, f3 = 1, xref_pos, 0
+        else:
+            t, f2, f3 = 1, byte_off[oid], 0
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    # PNG Up predictor (12) over 7-byte rows, then Flate — the wild shape
+    rowlen = 7
+    pred = bytearray()
+    prev = bytes(rowlen)
+    for r in range(0, len(rows), rowlen):
+        row = rows[r : r + rowlen]
+        pred.append(2)
+        pred += bytes((row[j] - prev[j]) & 0xFF for j in range(rowlen))
+        prev = row
+    xref_data = zlib.compress(bytes(pred))
+    buf += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /Root 1 0 R /W [1 4 2] "
+        b"/Index [0 %d] /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 7 >> /Length %d >>"
+        b"\nstream\n%s\nendstream\nendobj\n"
+        % (xref_id, size, size, len(xref_data), xref_data)
+    )
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(buf)
 
 
@@ -262,36 +350,204 @@ def _parse_value(data: bytes, i: int):
 # Reader: xref / object store
 # --------------------------------------------------------------------------
 
-def _parse_xref_chain(data: bytes) -> tuple[dict[int, int], dict]:
-    """Follow startxref → xref table(s) (+ /Prev chain). Returns
-    (obj_num → byte offset, merged trailer). Raises on xref STREAMS."""
+def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    """Undo PNG row predictors (PDF /Predictor ≥ 10): each row is prefixed
+    by a filter-type byte (0 none, 1 sub, 2 up, 3 average, 4 paeth). Xref
+    streams in the wild are almost always Flate+Up (predictor 12)."""
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    while i < len(data):
+        ft = data[i]
+        i += 1
+        row = bytearray(data[i : i + rowlen])
+        i += rowlen
+        if len(row) < rowlen:
+            raise ValueError("short predictor row in stream")
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + (left + prev[j]) // 2) & 0xFF
+        elif ft == 4:
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG predictor filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_stream(sdict: dict, raw: bytes, resolve=lambda v: v) -> bytes:
+    """Filter + predictor decode shared by content, xref and object
+    streams. Single /FlateDecode (or none) with optional PNG predictor —
+    other filters / chains raise with the feature named."""
+    filt = resolve(sdict.get("Filter"))
+    if isinstance(filt, list):
+        if len(filt) != 1:
+            raise ValueError(f"filter chains unsupported: {filt}")
+        filt = resolve(filt[0])
+    if filt is None:
+        out = raw
+    elif filt == "/FlateDecode":
+        out = zlib.decompress(raw)
+    else:
+        raise ValueError(f"unsupported stream filter {filt}")
+    parms = resolve(sdict.get("DecodeParms"))
+    if isinstance(parms, list):
+        parms = resolve(parms[0]) if parms else None
+    if isinstance(parms, dict):
+        pred = int(resolve(parms.get("Predictor", 1)) or 1)
+        if pred >= 10:
+            out = _png_unpredict(
+                out,
+                int(resolve(parms.get("Columns", 1)) or 1),
+                int(resolve(parms.get("Colors", 1)) or 1),
+                int(resolve(parms.get("BitsPerComponent", 8)) or 8),
+            )
+        elif pred != 1:
+            raise ValueError(f"unsupported predictor {pred} (TIFF)")
+    return out
+
+
+def _parse_obj_at(data: bytes, off: int) -> tuple[int, Any, bytes | None]:
+    """Parse ``N G obj`` at ``off`` → (num, value, raw stream bytes or
+    None). Indirect /Length is resolved by the caller's _PdfDoc path; the
+    xref-stream bootstrap requires a direct /Length (spec-recommended and
+    universal in practice — chicken-and-egg otherwise)."""
+    m = re.match(rb"\s*(\d+)\s+\d+\s+obj", data[off : off + 64])
+    if not m:
+        raise ValueError(f"no object header at byte {off}")
+    num = int(m.group(1))
+    val, i = _parse_value(data, off + m.end())
+    i = _skip_ws(data, i)
+    raw = None
+    if data.startswith(b"stream", i):
+        i += 6
+        if data[i : i + 2] == b"\r\n":
+            i += 2
+        elif data[i : i + 1] == b"\n":
+            i += 1
+        length = val.get("Length") if isinstance(val, dict) else None
+        if not isinstance(length, (int, float)):
+            raise ValueError("indirect /Length in bootstrap stream object")
+        raw = data[i : i + int(length)]
+    return num, val, raw
+
+
+def _read_beint(row: bytes, a: int, b: int) -> int:
+    v = 0
+    for byte in row[a:b]:
+        v = (v << 8) | byte
+    return v
+
+
+def _parse_xref_stream(
+    data: bytes, pos: int
+) -> tuple[dict[int, int], dict[int, tuple[int, int]], dict]:
+    """PDF 1.5 cross-reference STREAM at ``pos`` → (obj → offset,
+    obj → (objstm, idx) for type-2 compressed entries, trailer dict).
+    /W field widths, /Index subsections, Flate + PNG predictor handled."""
+    _, sdict, raw = _parse_obj_at(data, pos)
+    if not (isinstance(sdict, dict) and sdict.get("Type") == "/XRef" and raw is not None):
+        raise ValueError("startxref target is neither an xref table nor /XRef stream")
+    body = _decode_stream(sdict, raw)
+    w = [int(x) for x in sdict["W"]]
+    if len(w) != 3:
+        raise ValueError(f"xref stream /W must have 3 fields, got {w}")
+    size = int(sdict["Size"])
+    index = [int(x) for x in sdict.get("Index", [0, size])]
+    rowlen = sum(w)
+    offsets: dict[int, int] = {}
+    compressed: dict[int, tuple[int, int]] = {}
+    p = 0
+    for s in range(0, len(index), 2):
+        start, count = index[s], index[s + 1]
+        for k in range(count):
+            row = body[p : p + rowlen]
+            p += rowlen
+            if len(row) < rowlen:
+                raise ValueError("truncated xref stream data")
+            a = 0
+            fields = []
+            for width in w:
+                fields.append(_read_beint(row, a, a + width))
+                a += width
+            ftype = fields[0] if w[0] else 1  # W[0]==0 → default type 1
+            if ftype == 1:
+                offsets[start + k] = fields[1]
+            elif ftype == 2:
+                compressed[start + k] = (fields[1], fields[2])
+    trailer = {k: sdict[k] for k in ("Root", "Size", "Prev", "Info") if k in sdict}
+    return offsets, compressed, trailer
+
+
+def _parse_xref_chain(
+    data: bytes,
+) -> tuple[dict[int, int], dict[int, tuple[int, int]], dict]:
+    """Follow startxref → xref table(s) OR xref stream(s) (+ /Prev chain,
+    hybrid /XRefStm). Returns (obj_num → byte offset, obj_num →
+    (objstm, idx) for objects compressed into object streams, merged
+    trailer). Newer sections shadow older ones — first seen wins."""
     m = re.search(rb"startxref\s+(\d+)\s*%%EOF\s*$", data[-256:], re.S)
     if not m:
         raise ValueError("no startxref trailer")
-    pos = int(m.group(1))
     offsets: dict[int, int] = {}
+    compressed: dict[int, tuple[int, int]] = {}
     trailer: dict = {}
     seen: set[int] = set()
-    while pos not in seen:
+
+    def _merge(offs, comp, t):
+        for k, v in offs.items():
+            if k not in offsets and k not in compressed:
+                offsets[k] = v
+        for k, v in comp.items():
+            if k not in offsets and k not in compressed:
+                compressed[k] = v
+        for k, v in t.items():
+            trailer.setdefault(k, v)
+
+    queue = [int(m.group(1))]
+    while queue:
+        pos = queue.pop(0)
+        if pos in seen:
+            continue
         seen.add(pos)
         i = _skip_ws(data, pos)
         if not data.startswith(b"xref", i):
-            raise ValueError(
-                "cross-reference STREAM (PDF 1.5 compressed xref) — only "
-                "classic xref tables are supported; re-save as PDF 1.4 or "
-                "rely on the brute-force object scan fallback"
-            )
+            offs, comp, t = _parse_xref_stream(data, i)
+            _merge(offs, comp, t)
+            if "Prev" in t:
+                queue.append(int(t["Prev"]))
+            continue
         i += 4
+        sec_offsets: dict[int, int] = {}
         while True:
             i = _skip_ws(data, i)
             if data.startswith(b"trailer", i):
                 t, i = _parse_value(data, i + 7)
-                for k, v in t.items():
-                    trailer.setdefault(k, v)
+                _merge(sec_offsets, {}, t)
                 if "Prev" in t:
-                    pos = int(t["Prev"])
-                    break
-                return offsets, trailer
+                    queue.append(int(t["Prev"]))
+                if "XRefStm" in t:  # hybrid-reference file: 1.5 stream twin
+                    queue.append(int(t["XRefStm"]))
+                break
             m2 = re.match(rb"(\d+)\s+(\d+)\s*", data[i:])
             if not m2:
                 raise ValueError(f"malformed xref subsection at byte {i}")
@@ -299,11 +555,10 @@ def _parse_xref_chain(data: bytes) -> tuple[dict[int, int], dict]:
             i += m2.end()
             for k in range(count):
                 entry = data[i : i + 20]
-                # newer sections shadow /Prev ones — keep the first seen
-                if entry[17:18] == b"n" and (start + k) not in offsets:
-                    offsets[start + k] = int(entry[0:10])
+                if entry[17:18] == b"n" and (start + k) not in sec_offsets:
+                    sec_offsets[start + k] = int(entry[0:10])
                 i += 20
-    return offsets, trailer
+    return offsets, compressed, trailer
 
 
 def _scan_objects(data: bytes) -> dict[int, int]:
@@ -320,22 +575,54 @@ class _PdfDoc:
             raise ValueError(f"not a PDF (magic {data[:5]!r})")
         self.data = data
         try:
-            self.offsets, self.trailer = _parse_xref_chain(data)
+            self.offsets, self.compressed, self.trailer = _parse_xref_chain(data)
         except ValueError:
             self.offsets = _scan_objects(data)
+            self.compressed = {}
             if not self.offsets:
                 raise
             self.trailer = {}
         self._cache: dict[int, Any] = {}
+        self._objstm: dict[int, dict[int, int]] = {}  # stm → {obj → body off}
+        self._objstm_body: dict[int, bytes] = {}
 
     def resolve(self, v):
         while isinstance(v, _Ref):
             v = self.obj(v.num)
         return v
 
+    def _objstm_load(self, stm_num: int) -> tuple[dict[int, int], bytes]:
+        """Decode a /Type /ObjStm once: header is /N (objnum, offset)
+        integer pairs, bodies start at /First."""
+        if stm_num not in self._objstm:
+            stm = self.obj(stm_num)
+            if not (isinstance(stm, tuple) and stm[0] == "stream"):
+                raise ValueError(f"object stream {stm_num} is not a stream")
+            sdict = stm[1]
+            if self.resolve(sdict.get("Type")) != "/ObjStm":
+                raise ValueError(f"object {stm_num} is not /Type /ObjStm")
+            body = self.stream_bytes(stm)
+            n = int(self.resolve(sdict["N"]))
+            first = int(self.resolve(sdict["First"]))
+            nums = [int(x) for x in re.findall(rb"\d+", body[:first])]
+            if len(nums) < 2 * n:
+                raise ValueError(f"object stream {stm_num} header too short")
+            table = {nums[2 * j]: first + nums[2 * j + 1] for j in range(n)}
+            self._objstm[stm_num] = table
+            self._objstm_body[stm_num] = body
+        return self._objstm[stm_num], self._objstm_body[stm_num]
+
     def obj(self, num: int):
         if num in self._cache:
             return self._cache[num]
+        if num in self.compressed:
+            stm_num, _idx = self.compressed[num]
+            table, body = self._objstm_load(stm_num)
+            if num not in table:
+                raise ValueError(f"object {num} missing from object stream {stm_num}")
+            val, _ = _parse_value(body, table[num])
+            self._cache[num] = val  # objects inside ObjStm carry no streams
+            return val
         if num not in self.offsets:
             raise ValueError(f"object {num} missing from xref/scan (truncated?)")
         off = self.offsets[num]
@@ -371,16 +658,7 @@ class _PdfDoc:
         if not (isinstance(v, tuple) and v[0] == "stream"):
             raise ValueError("expected a stream object")
         _, sdict, raw = v
-        filt = self.resolve(sdict.get("Filter"))
-        if filt is None:
-            return raw
-        if isinstance(filt, list):
-            if len(filt) != 1:
-                raise ValueError(f"filter chains unsupported: {filt}")
-            filt = self.resolve(filt[0])
-        if filt == "/FlateDecode":
-            return zlib.decompress(raw)
-        raise ValueError(f"unsupported stream filter {filt}")
+        return _decode_stream(sdict, raw, resolve=self.resolve)
 
     def pages(self) -> list[dict]:
         """Walk the page tree (nested /Pages nodes) in order."""
@@ -477,20 +755,33 @@ def _page_text(doc: _PdfDoc, page: dict) -> str:
 
 def extract_pdf_pages(content: bytes) -> list[dict[str, Any]]:
     """Real-PDF decode: ``%PDF-`` bytes → one dict per page with
-    ``page_index``, ``text``, ``width``, ``height`` (MediaBox)."""
-    doc = _PdfDoc(bytes(content))
-    out = []
-    for idx, page in enumerate(doc.pages()):
-        box = doc.resolve(page.get("MediaBox")) or [0, 0, _PAGE_W, _PAGE_H]
-        out.append(
-            {
-                "page_index": idx,
-                "text": _page_text(doc, page),
-                "width": int(box[2] - box[0]),
-                "height": int(box[3] - box[1]),
-            }
-        )
-    return out
+    ``page_index``, ``text``, ``width``, ``height`` (MediaBox).
+
+    Error contract: malformed input raises ``ValueError`` — always. The
+    parser's internal slips on hostile bytes (short xref entry →
+    IndexError, non-dict where a dict is expected → AttributeError/
+    KeyError/TypeError, corrupt deflate → zlib.error) are normalized here
+    so pure-Python callers see one exception type (round-5 advisory); the
+    Spark path already absorbs any exception into ``decode_error`` rows.
+    """
+    try:
+        doc = _PdfDoc(bytes(content))
+        out = []
+        for idx, page in enumerate(doc.pages()):
+            box = doc.resolve(page.get("MediaBox")) or [0, 0, _PAGE_W, _PAGE_H]
+            out.append(
+                {
+                    "page_index": idx,
+                    "text": _page_text(doc, page),
+                    "width": int(box[2] - box[0]),
+                    "height": int(box[3] - box[1]),
+                }
+            )
+        return out
+    except ValueError:
+        raise
+    except (IndexError, AttributeError, KeyError, TypeError, zlib.error) as e:
+        raise ValueError(f"malformed PDF: {type(e).__name__}: {e}") from e
 
 
 class MiniPdfDecoder:

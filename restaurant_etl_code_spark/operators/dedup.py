@@ -206,6 +206,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
+    num_hashes: int = 16,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``rows_per_band`` hashes, hash each band, and emit candidate pairs that
@@ -225,7 +226,14 @@ def lsh_candidate_pairs(
     with nested ``transform``/``slice`` materialized all O(B²) structs of a
     bucket in ONE row and OOM'd the executor on a 10× blow-up probe; never
     build per-row quadratic arrays.
+
+    ``num_hashes`` must match the signature width the caller built
+    (``minhash_signatures``' default 16) — the geometry guard below keeps
+    an oversized bands×rows_per_band from slicing past the signature end,
+    where every empty band slice hashes to one shared band_hash and the
+    equi-join silently degenerates into an all-pairs cross product.
     """
+    _check_band_geometry(num_hashes, bands, rows_per_band)
     banded = _banded_rows(signatures, id_col, bands, rows_per_band)
     banded = banded.repartition("band_idx", "band_hash").persist()
     left = banded.alias("a")
@@ -246,6 +254,7 @@ def minhash_estimate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
+    num_hashes: int = 16,
 ) -> DataFrame:
     """LSH candidates SCORED from the signatures already in hand: the
     fraction of agreeing MinHash components is an unbiased estimator of
@@ -264,7 +273,10 @@ def minhash_estimate_pairs(
     both branches read co-partitioned cache), one distinct dedupes pairs
     colliding in several bands, and the agreement fold is a codegen
     ``zip_with`` + ``aggregate`` over ``num_hashes`` elements per pair.
+    ``num_hashes`` must match the signature width (same geometry hazard
+    as ``lsh_candidate_pairs`` — guarded identically).
     """
+    _check_band_geometry(num_hashes, bands, rows_per_band)
     banded = _banded_rows(
         signatures, id_col, bands, rows_per_band, keep_signature=True
     )

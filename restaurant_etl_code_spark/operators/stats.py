@@ -228,7 +228,18 @@ def heavy_hitters(
     else:
         threshold = min_share * total
 
-    candidates = sketch.filter(F.col("pcount").isNull()).select("key").distinct()
+    # Materialize the candidate keys (bounded by k per map partition — the
+    # same rows the broadcast below would ship through the driver anyway)
+    # so the phase-1 sketch can be unpersisted HERE: the returned plan no
+    # longer references it, and repeated calls in a long session don't
+    # leak executor cache (round-5 advisory).
+    cand_rows = (
+        sketch.filter(F.col("pcount").isNull()).select("key").distinct().collect()
+    )
+    sketch.unpersist()
+    candidates = df.sparkSession.createDataFrame(
+        cand_rows, schema=StructType([StructField("key", key_field.dataType, True)])
+    )
     return (
         df.join(F.broadcast(candidates), df[key_col] == candidates["key"], "left_semi")
         .groupBy(key_col)

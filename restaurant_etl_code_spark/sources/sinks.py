@@ -25,6 +25,8 @@ __all__ = [
     "cdc_merge_into_parquet",
     "write_merge_target",
     "read_bucketed",
+    "rebucket",
+    "recover_merge_target",
     "merge_into_bucketed_parquet",
     "cdc_merge_into_bucketed_parquet",
     "write_failed_rows",
@@ -52,10 +54,85 @@ __all__ = [
 
 _BUCKET_COL = "__bucket"
 _BUCKET_SPEC = "_bucket_spec.json"  # "_"-prefixed → invisible to Spark reads
+_COMMIT_MANIFEST = "_commit.json"  # swap-in-progress marker (also invisible)
+_MERGE_LOCK = "_merge.lock"
 
 
 def _bucket_expr(keys: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
+_AUTO_BUCKET_TARGET_BYTES = 1 << 30  # ~1 GB of input per bucket
+_AUTO_BUCKET_MIN, _AUTO_BUCKET_MAX = 8, 1 << 16
+
+
+def _auto_n_buckets(df: DataFrame, target_bytes: int = _AUTO_BUCKET_TARGET_BYTES) -> int:
+    """Size the bucket count from the initial input, ~1 GB per bucket —
+    the merge-target analog of similarity's ``nbits="auto"``: a FIXED
+    bucket count has the same failure mode as fixed nbits (64 buckets at
+    100 TB = 1.5 TB per touched bucket; 65536 buckets at 1 GB = one row
+    per bucket and a file-per-row table). Catalyst's optimized-plan size
+    estimate is used when available (exact for file scans and local
+    relations); the fallback charges a conservative 256 bytes/row from a
+    count. Result is rounded UP to a power of two (stable halving/doubling
+    for ``rebucket``) and clamped to [8, 65536]."""
+    size = None
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if size <= 0 or size >= (1 << 62):  # Catalyst's "unknown" sentinel
+            size = None
+    except Exception:
+        size = None
+    if size is None:
+        size = df.count() * 256
+    n = max(1, -(-size // target_bytes))
+    n = 1 << (int(n) - 1).bit_length()
+    return max(_AUTO_BUCKET_MIN, min(_AUTO_BUCKET_MAX, n))
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except PermissionError:
+        return True  # live process owned by someone else
+    except OSError:  # ProcessLookupError and friends: dead
+        return False
+
+
+def _acquire_merge_lock(target_path: str) -> str:
+    """O_EXCL lock file scoped to the whole read-merge-swap sequence: two
+    concurrent merges interleaving their swaps would corrupt the target
+    (round-5 advisory). A lock left by a DEAD local process is reclaimed
+    (pid liveness probe); a live holder raises. Multi-writer coordination
+    across hosts is the Delta/Iceberg swap-in point, same as the commit
+    log — this guards the local single-node case the emulation supports."""
+    lock = os.path.join(target_path, _MERGE_LOCK)
+    payload = json.dumps({"pid": os.getpid(), "id": uuid.uuid4().hex}).encode()
+    for _ in range(3):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, payload)
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                with open(lock) as fh:
+                    pid = int(json.load(fh).get("pid", -1))
+            except Exception:
+                pid = -1
+            # an own-pid lock is just as live: concurrent merges from two
+            # threads of one driver (foreachBatch sinks) must also block
+            if pid > 0 and _pid_alive(pid):
+                raise ValueError(
+                    f"concurrent merge in progress on {target_path} "
+                    f"(lock held by live pid {pid}); retry after it finishes"
+                )
+            try:  # stale lock from a dead process: reclaim and retry
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+    raise ValueError(f"could not acquire merge lock on {target_path}")
 
 
 def _load_bucket_spec(target_path: str) -> dict | None:
@@ -93,13 +170,17 @@ def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> Data
 
 
 def write_merge_target(
-    df: DataFrame, path: str, keys: list[str], n_buckets: int = 64
+    df: DataFrame, path: str, keys: list[str], n_buckets: int | str = "auto"
 ) -> None:
     """Write ``df`` as a bucketed MERGE target: hive-partitioned by
     ``__bucket = pmod(xxhash64(keys), n_buckets)`` with a ``_bucket_spec.json``
     marker recording the layout. One shuffle on the bucket id → one file per
-    bucket directory. Size ``n_buckets`` so a single bucket fits an executor
-    comfortably (at 100 TB and n_buckets=65536 a bucket is ~1.5 GB)."""
+    bucket directory. ``n_buckets="auto"`` (default) sizes from the input —
+    ~1 GB per bucket, power of two, clamped to [8, 65536] (see
+    ``_auto_n_buckets``); pass an int to pin it. A target that outgrows its
+    layout is resized with ``rebucket``."""
+    if n_buckets == "auto":
+        n_buckets = _auto_n_buckets(df)
     (
         df.withColumn(_BUCKET_COL, _bucket_expr(keys, n_buckets))
         .repartition(n_buckets, F.col(_BUCKET_COL))
@@ -125,6 +206,66 @@ def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop(_BUCKET_COL)
 
 
+def rebucket(
+    spark: SparkSession, path: str, n_buckets: int | str = "auto"
+) -> int:
+    """Resize a bucketed MERGE target in place — the growth path for a
+    table whose data outgrew its creation-time bucket count (merge cost is
+    per-bucket, so buckets must track table size to stay ~1 GB). Reads the
+    whole table ONCE, rewrites it under the new layout into a sibling tmp
+    dir, then swaps the entire table with two renames (old → trash,
+    tmp → live). Runs under the merge lock; returns the new bucket count.
+    O(|table|) by design — rebucketing IS a full rewrite, done rarely,
+    exactly like OPTIMIZE/rewrite in a real table format."""
+    spec = _load_bucket_spec(path)
+    if spec is None:
+        raise ValueError(f"{path} is not a bucketed target (no {_BUCKET_SPEC})")
+    lock = _acquire_merge_lock(path)
+    try:
+        recover_merge_target(path)
+        df = read_bucketed(spark, path)
+        if n_buckets == "auto":
+            n_buckets = _auto_n_buckets(df)
+        tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
+        write_merge_target(df, tmp, spec["keys"], n_buckets)
+        trash = f"{path}.__trash_{uuid.uuid4().hex[:8]}"
+        os.rename(path, trash)
+        os.rename(tmp, path)
+        shutil.rmtree(trash, ignore_errors=True)
+        return int(n_buckets)
+    finally:
+        # after a successful swap the lock rode the old dir into the trash;
+        # on failure it is still at <path>/_merge.lock — remove either way
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _replay_swap(target_path: str, tmp: str, trash: str, touched: list[int]) -> None:
+    """The idempotent per-bucket swap body: resumable from ANY crash point
+    because every step is an atomic rename and the bucket's state is fully
+    determined by which of (tmp/b, target/b, trash/b) exist —
+
+    - tmp/b present: not yet swapped in → trash target/b if present, move
+      tmp/b in;
+    - tmp/b absent, trash/b present: this bucket already swapped → no-op;
+    - tmp/b absent, trash/b absent, target/b present: the merged output
+      for this bucket is EMPTY (all rows deleted) → trash target/b.
+    """
+    os.makedirs(trash, exist_ok=True)
+    for b in touched:
+        src = os.path.join(tmp, f"{_BUCKET_COL}={b}")
+        dst = os.path.join(target_path, f"{_BUCKET_COL}={b}")
+        tb = os.path.join(trash, f"{_BUCKET_COL}={b}")
+        if os.path.exists(src):
+            if os.path.exists(dst):
+                os.rename(dst, tb)
+            os.rename(src, dst)
+        elif os.path.exists(dst) and not os.path.exists(tb):
+            os.rename(dst, tb)
+
+
 def _swap_buckets(target_path: str, tmp: str, touched: list[int]) -> None:
     """Swap the touched bucket dirs from ``tmp`` into the target. Each
     bucket flips with one rename (atomic per directory), and replaced dirs
@@ -132,25 +273,65 @@ def _swap_buckets(target_path: str, tmp: str, touched: list[int]) -> None:
     sequence can never leave a ``__bucket=K.__old`` dir INSIDE the table,
     which Spark partition discovery would read as a phantom string-typed
     partition value and corrupt every subsequent read (found in review).
-    Remaining crash window, documented: the sequence across buckets is not
-    transactional (each bucket is either fully old or fully new — valid
-    parquet both ways — but a kill between a bucket's move-out and move-in
-    leaves that one bucket absent, recoverable from the trash dir; a real
-    transaction log needs a table format, which is the Delta/Iceberg
-    swap-in point). A bucket whose merged output is empty (all rows
-    deleted) has its directory removed. Untouched bucket directories are
-    never listed, read, or rewritten — their files stay byte-identical."""
+
+    The multi-bucket sequence is CRASH-SAFE: a ``_commit.json`` manifest
+    (tmp dir, trash dir, touched buckets) is written before the first
+    rename and removed after the last — a kill anywhere in between leaves
+    the manifest behind, and ``recover_merge_target`` (run automatically
+    at the next merge, or manually) replays the idempotent swap to roll
+    the commit FORWARD (tmp is complete and valid by construction once the
+    manifest exists, so forward is always the correct direction). A bucket
+    whose merged output is empty (all rows deleted) has its directory
+    removed. Untouched bucket directories are never listed, read, or
+    rewritten — their files stay byte-identical. True multi-writer
+    transactionality remains the Delta/Iceberg swap-in point."""
     trash = f"{target_path}.__trash_{uuid.uuid4().hex[:8]}"
-    os.makedirs(trash, exist_ok=True)
-    for b in touched:
-        src = os.path.join(tmp, f"{_BUCKET_COL}={b}")
-        dst = os.path.join(target_path, f"{_BUCKET_COL}={b}")
-        if os.path.exists(dst):
-            os.rename(dst, os.path.join(trash, f"{_BUCKET_COL}={b}"))
-        if os.path.exists(src):
-            os.rename(src, dst)
+    manifest = os.path.join(target_path, _COMMIT_MANIFEST)
+    with open(manifest, "w") as fh:
+        json.dump({"tmp": tmp, "trash": trash, "touched": touched}, fh)
+    _replay_swap(target_path, tmp, trash, touched)
+    os.remove(manifest)
     shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _sweep_orphans(target_path: str, keep: set[str] = frozenset()) -> None:
+    """Remove stale ``.__tmp_*`` / ``.__trash_*`` sibling dirs left by
+    crashes BEFORE a manifest was written (post-manifest leftovers are
+    owned by the manifest and cleaned by recovery instead)."""
+    parent = os.path.dirname(os.path.abspath(target_path)) or "."
+    base = os.path.basename(os.path.abspath(target_path))
+    if not os.path.isdir(parent):
+        return
+    for d in os.listdir(parent):
+        full = os.path.join(parent, d)
+        if (
+            (d.startswith(f"{base}.__tmp_") or d.startswith(f"{base}.__trash_"))
+            and full not in keep
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def recover_merge_target(target_path: str) -> bool:
+    """Recover a bucketed MERGE target after a crash: if a ``_commit.json``
+    manifest is present, replay the interrupted swap forward (idempotent —
+    see ``_replay_swap``) and clean its tmp/trash dirs; then sweep any
+    orphaned pre-manifest scratch dirs. Returns True if an interrupted
+    commit was found and completed. Runs automatically at the start of
+    every ``merge_into_bucketed_parquet`` / ``cdc_merge_into_bucketed_parquet``,
+    so a crashed merge heals on the next merge (or on an explicit call)."""
+    manifest = os.path.join(target_path, _COMMIT_MANIFEST)
+    acted = False
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            m = json.load(fh)
+        _replay_swap(target_path, m["tmp"], m["trash"], m["touched"])
+        os.remove(manifest)
+        shutil.rmtree(m["trash"], ignore_errors=True)
+        shutil.rmtree(m["tmp"], ignore_errors=True)
+        acted = True
+    _sweep_orphans(target_path)
+    return acted
 
 
 def merge_into_bucketed_parquet(
@@ -158,13 +339,15 @@ def merge_into_bucketed_parquet(
     target_path: str,
     updates: DataFrame,
     keys: list[str],
-    n_buckets: int = 64,
+    n_buckets: int | str = "auto",
 ) -> None:
     """Partition-pruned MERGE (K1/K7/K9 upsert-by-id semantics,
     reference api/api-client.py:270-368, batch_processor.py:167-245): only
     the bucket directories containing updated keys are read, merged, and
     swapped. First call creates the bucketed layout. Cost: O(|updates| +
-    |touched buckets|) — a 1-row upsert rewrites one bucket, not the table."""
+    |touched buckets|) — a 1-row upsert rewrites one bucket, not the table.
+    The sequence runs under the target's merge lock, after healing any
+    interrupted previous commit (``recover_merge_target``)."""
     if not os.path.exists(target_path):
         write_merge_target(updates, target_path, keys, n_buckets)
         return
@@ -177,12 +360,14 @@ def merge_into_bucketed_parquet(
     if spec["keys"] != keys:
         raise ValueError(f"bucket spec keys {spec['keys']} != merge keys {keys}")
     n = spec["n_buckets"]
+    lock = _acquire_merge_lock(target_path)
     # persist: the delta is evaluated twice (touched-set collect + the
     # merged write); a non-deterministic updates source re-evaluated could
     # emit rows in buckets outside the collected touched set, which the
     # swap would then silently drop (found in review)
     upd = updates.withColumn(_BUCKET_COL, _bucket_expr(keys, n)).persist()
     try:
+        recover_merge_target(target_path)  # heal any interrupted commit
         touched = sorted(
             r[0] for r in upd.select(_BUCKET_COL).distinct().collect()
         )  # ≤ n_buckets scalars
@@ -202,6 +387,10 @@ def merge_into_bucketed_parquet(
         _swap_buckets(target_path, tmp, touched)
     finally:
         upd.unpersist()
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
 
 
 def cdc_merge_into_bucketed_parquet(
@@ -212,11 +401,12 @@ def cdc_merge_into_bucketed_parquet(
     order_by: list[str],
     op_col: str = "op",
     delete_value: str = "D",
-    n_buckets: int = 64,
+    n_buckets: int | str = "auto",
 ) -> None:
     """Delete-aware partition-pruned MERGE: compact the op batch to each
     key's latest op, then read/rewrite/swap only the buckets named by the
-    batch (upserts AND deletes both touch their key's bucket)."""
+    batch (upserts AND deletes both touch their key's bucket). Lock +
+    crash recovery as in ``merge_into_bucketed_parquet``."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
@@ -237,9 +427,11 @@ def cdc_merge_into_bucketed_parquet(
     if spec["keys"] != keys:
         raise ValueError(f"bucket spec keys {spec['keys']} != merge keys {keys}")
     n = spec["n_buckets"]
+    lock = _acquire_merge_lock(target_path)
     # persist for the same two-evaluation reason as merge_into_bucketed_parquet
     latest_b = latest.withColumn(_BUCKET_COL, _bucket_expr(keys, n)).persist()
     try:
+        recover_merge_target(target_path)
         touched = sorted(
             r[0] for r in latest_b.select(_BUCKET_COL).distinct().collect()
         )
@@ -265,6 +457,10 @@ def cdc_merge_into_bucketed_parquet(
         _swap_buckets(target_path, tmp, touched)
     finally:
         latest_b.unpersist()
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
 
 
 def merge_into_parquet(

@@ -1,0 +1,337 @@
+"""Round-6 additions: crash-safe bucketed MERGE (manifest + recovery,
+merge lock, auto bucket sizing, rebucket), PDF 1.5 xref/object streams in
+minipdf, the combiner-friendly span_dedup keep-first, band-geometry guards
+on every banding caller, and cache-leak fixes (heavy_hitters,
+importance_resample).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.sources import sinks
+
+
+# ---------------------------------------------------------------------------
+# Crash-safe swap: kill mid-swap, recover to a consistent table
+# ---------------------------------------------------------------------------
+
+def test_merge_crash_mid_swap_recovers(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(400)], "k int, price double"
+    )
+    sinks.write_merge_target(base, path, ["k"], n_buckets=8)
+    # updates spanning several buckets so the swap sequence is multi-step
+    updates = spark.createDataFrame(
+        [(i, i * 100.0) for i in range(0, 40)], "k int, price double"
+    )
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 3:  # die after two renames: some buckets swapped
+            raise OSError("simulated crash mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", dying_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        sinks.merge_into_bucketed_parquet(spark, path, updates, ["k"])
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # the interrupted commit left its manifest behind
+    assert os.path.exists(os.path.join(path, "_commit.json"))
+    # the crashed run also left its lock (process "died"); clear it as the
+    # dead-pid reclaim would
+    lock = os.path.join(path, sinks._MERGE_LOCK)
+    if os.path.exists(lock):
+        os.remove(lock)
+    assert sinks.recover_merge_target(path) is True
+    got = {r["k"]: r["price"] for r in sinks.read_bucketed(spark, path).collect()}
+    assert len(got) == 400
+    for i in range(40):
+        assert got[i] == i * 100.0  # every update applied (rolled FORWARD)
+    for i in range(40, 400):
+        assert got[i] == float(i)
+    # no manifest, no scratch dirs left anywhere
+    assert not os.path.exists(os.path.join(path, "_commit.json"))
+    siblings = [d for d in os.listdir(tmp_path) if ".__tmp_" in d or ".__trash_" in d]
+    assert siblings == []
+
+
+def test_merge_recovery_runs_automatically_on_next_merge(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "k int, price double"
+    )
+    sinks.write_merge_target(base, path, ["k"], n_buckets=8)
+    updates = spark.createDataFrame(
+        [(i, -1.0) for i in range(0, 30)], "k int, price double"
+    )
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("boom")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", dying_rename)
+    with pytest.raises(OSError):
+        sinks.merge_into_bucketed_parquet(spark, path, updates, ["k"])
+    monkeypatch.setattr(os, "rename", real_rename)
+    # the surviving process released its lock in the finally; the manifest
+    # from the interrupted swap is what persists
+    assert os.path.exists(os.path.join(path, "_commit.json"))
+
+    # next merge heals the interrupted one, then applies its own delta
+    more = spark.createDataFrame([(199, 999.0)], "k int, price double")
+    sinks.merge_into_bucketed_parquet(spark, path, more, ["k"])
+    got = {r["k"]: r["price"] for r in sinks.read_bucketed(spark, path).collect()}
+    assert got[199] == 999.0
+    for i in range(30):
+        assert got[i] == -1.0
+    assert not os.path.exists(os.path.join(path, "_commit.json"))
+
+
+def test_merge_lock_blocks_concurrent_and_reclaims_stale(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 1.0)], "k int, price double")
+    sinks.write_merge_target(base, path, ["k"], n_buckets=8)
+    lock = os.path.join(path, sinks._MERGE_LOCK)
+    # live holder (this pid) → merge refuses
+    with open(lock, "w") as fh:
+        json.dump({"pid": os.getpid(), "id": "x"}, fh)
+    upd = spark.createDataFrame([(1, 2.0)], "k int, price double")
+    with pytest.raises(ValueError, match="concurrent merge"):
+        sinks.merge_into_bucketed_parquet(spark, path, upd, ["k"])
+    # dead holder → reclaimed transparently
+    with open(lock, "w") as fh:
+        json.dump({"pid": 2**21 + 12345, "id": "x"}, fh)
+    sinks.merge_into_bucketed_parquet(spark, path, upd, ["k"])
+    assert not os.path.exists(lock)
+    got = {r["k"]: r["price"] for r in sinks.read_bucketed(spark, path).collect()}
+    assert got[1] == 2.0
+
+
+def test_stale_orphan_dirs_swept(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, float(i)) for i in range(50)], "k int, v double")
+    sinks.write_merge_target(base, path, ["k"], n_buckets=8)
+    stale_tmp = str(tmp_path / "t.__tmp_deadbeef")
+    stale_trash = str(tmp_path / "t.__trash_deadbeef")
+    os.makedirs(stale_tmp)
+    os.makedirs(stale_trash)
+    upd = spark.createDataFrame([(1, 9.0)], "k int, v double")
+    sinks.merge_into_bucketed_parquet(spark, path, upd, ["k"])
+    assert not os.path.exists(stale_tmp)
+    assert not os.path.exists(stale_trash)
+
+
+# ---------------------------------------------------------------------------
+# Auto bucket sizing + rebucket
+# ---------------------------------------------------------------------------
+
+def test_auto_n_buckets_scales_with_input(spark):
+    small = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    big = spark.range(0, 3_000_000).withColumn(
+        "pad", F.repeat(F.lit("x"), 400)
+    )  # Catalyst estimates ~54 MB
+    n_small = sinks._auto_n_buckets(small)
+    assert n_small == 8  # clamp floor
+    # same input, shrinking per-bucket budget → monotonically more buckets
+    n_mid = sinks._auto_n_buckets(big, target_bytes=1 << 22)
+    n_fine = sinks._auto_n_buckets(big, target_bytes=1 << 18)
+    assert n_small < n_mid < n_fine
+    assert n_mid & (n_mid - 1) == 0  # power of two
+    # a degenerate per-bucket budget hits the cap
+    assert sinks._auto_n_buckets(big, target_bytes=1) == 1 << 16
+
+
+def test_write_merge_target_auto_records_choice(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "k int, v double")
+    sinks.write_merge_target(df, path, ["k"])  # n_buckets defaults to auto
+    spec = sinks._load_bucket_spec(path)
+    assert spec["n_buckets"] == 8  # tiny input → floor
+    got = sinks.read_bucketed(spark, path).count()
+    assert got == 100
+
+
+def test_rebucket_resizes_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(500)], "k int, name string"
+    )
+    sinks.write_merge_target(df, path, ["k"], n_buckets=8)
+    n = sinks.rebucket(spark, path, n_buckets=32)
+    assert n == 32
+    spec = sinks._load_bucket_spec(path)
+    assert spec["n_buckets"] == 32 and spec["keys"] == ["k"]
+    assert len(sinks._bucket_dirs(path)) == 32
+    got = {r["k"]: r["name"] for r in sinks.read_bucketed(spark, path).collect()}
+    assert len(got) == 500 and got[499] == "v499"
+    # merges keep working against the resized layout
+    upd = spark.createDataFrame([(7, "seven")], "k int, name string")
+    sinks.merge_into_bucketed_parquet(spark, path, upd, ["k"])
+    assert sinks.read_bucketed(spark, path).filter("k = 7").first()["name"] == "seven"
+
+
+# ---------------------------------------------------------------------------
+# minipdf: PDF 1.5 xref streams + object streams
+# ---------------------------------------------------------------------------
+
+def test_pdf15_roundtrip():
+    from restaurant_etl_code_spark.multimodal import minipdf
+
+    pages = ["Menu: Dumplings (8) $9.50\nHouse Special", "page two \\ ( ) [] <>"]
+    for compress in (False, True):
+        pdf = minipdf.encode_mini_pdf(pages, compress=compress, pdf15=True)
+        assert pdf.startswith(b"%PDF-1.5")
+        assert b"/Type /XRef" in pdf and b"/Type /ObjStm" in pdf
+        got = minipdf.extract_pdf_pages(pdf)
+        assert [p["text"] for p in got] == pages
+        assert [p["width"] for p in got] == [612, 612]
+
+
+def test_pdf15_reader_on_classic_and_vice_versa():
+    from restaurant_etl_code_spark.multimodal import minipdf
+
+    pages = ["only page"]
+    classic = minipdf.encode_mini_pdf(pages)
+    modern = minipdf.encode_mini_pdf(pages, pdf15=True)
+    assert [p["text"] for p in minipdf.extract_pdf_pages(classic)] == pages
+    assert [p["text"] for p in minipdf.extract_pdf_pages(modern)] == pages
+
+
+def test_png_predictor_roundtrip():
+    from restaurant_etl_code_spark.multimodal.minipdf import _png_unpredict
+
+    # predict rows with Up (type 2) by hand, assert unpredict inverts
+    rows = [bytes([1, 2, 3, 4]), bytes([5, 5, 5, 5]), bytes([0, 255, 7, 9])]
+    enc = bytearray()
+    prev = bytes(4)
+    for row in rows:
+        enc.append(2)
+        enc += bytes((row[j] - prev[j]) & 0xFF for j in range(4))
+        prev = row
+    assert _png_unpredict(bytes(enc), columns=4) == b"".join(rows)
+    with pytest.raises(ValueError, match="filter type"):
+        _png_unpredict(b"\x09\x00\x00\x00\x00", columns=4)
+
+
+def test_pdf15_malformed_raises_valueerror_only():
+    from restaurant_etl_code_spark.multimodal import minipdf
+
+    pdf = minipdf.encode_mini_pdf(["alpha", "beta"], pdf15=True)
+    for cut in (16, len(pdf) // 3, len(pdf) // 2, len(pdf) - 4):
+        with pytest.raises(ValueError):
+            minipdf.extract_pdf_pages(pdf[:cut])
+    # byte corruption inside the xref stream area normalizes too
+    mangled = bytearray(pdf)
+    mangled[-40] ^= 0xFF
+    try:
+        minipdf.extract_pdf_pages(bytes(mangled))
+    except ValueError:
+        pass  # either parses via fallback or raises ValueError — never other
+
+
+# ---------------------------------------------------------------------------
+# span_dedup: combiner-friendly keep-first (hot boilerplate span safe)
+# ---------------------------------------------------------------------------
+
+def test_span_dedup_hot_span_keep_first_semantics(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    boiler = " ".join(f"b{i}" for i in range(20))  # exactly one span window
+    rows = [(i, boiler + " " + f"unique{i} text{i}") for i in range(1, 51)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in corpus.span_dedup(docs, span_tokens=20).collect()
+    }
+    assert len(out) == 50
+    # doc 1 (global min id) keeps the boilerplate span; everyone else loses
+    # exactly that one span and keeps their unique tail
+    assert out[1]["n_kept"] == out[1]["n_spans"]
+    for i in range(2, 51):
+        assert out[i]["n_kept"] == out[i]["n_spans"] - 1
+        assert "unique" in out[i]["text_dedup"]
+        assert "b0" not in out[i]["text_dedup"]
+
+
+def test_span_dedup_no_window_in_plan(spark):
+    """The keep-first rule must be a partial-aggregatable groupBy, not a
+    row_number window over the span hash (straggler at scale)."""
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    plan = corpus.span_dedup(docs)._jdf.queryExecution().toString()
+    assert "row_number" not in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# band geometry guard on every banding caller
+# ---------------------------------------------------------------------------
+
+def test_band_geometry_guard_all_callers(spark):
+    from restaurant_etl_code_spark.operators import dedup
+
+    sigs = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, [1, 2, 3, 5])],
+        "doc_id int, signature array<bigint>",
+    )
+    with pytest.raises(ValueError, match="band geometry"):
+        dedup.lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4, num_hashes=16)
+    with pytest.raises(ValueError, match="band geometry"):
+        dedup.minhash_estimate_pairs(sigs, "doc_id", bands=5, rows_per_band=4, num_hashes=16)
+
+
+# ---------------------------------------------------------------------------
+# cache hygiene: no persisted RDDs leak out of operators
+# ---------------------------------------------------------------------------
+
+def _persisted_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_heavy_hitters_unpersists_sketch(spark):
+    from restaurant_etl_code_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(1000)], "k int"
+    )
+    before = _persisted_count(spark)
+    out = stats.heavy_hitters(df, key_col="k", min_share=0.05)
+    rows = {r["k"]: r["n"] for r in out.collect()}
+    assert rows and all(v > 50 for v in rows.values())
+    assert _persisted_count(spark) == before
+
+
+def test_importance_resample_single_pass_and_unpersisted(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"common words plus doc{i} token{i % 5}") for i in range(60)],
+        "doc_id int, text string",
+    )
+    target = spark.createDataFrame(
+        [(1000 + i, f"common words plus special focus{i}") for i in range(10)],
+        "doc_id int, text string",
+    )
+    before = _persisted_count(spark)
+    out = corpus.importance_resample(docs, target, k=20)
+    assert out.count() == 20
+    assert _persisted_count(spark) == before
+    # deterministic: same call, same selection
+    again = corpus.importance_resample(docs, target, k=20)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )

@@ -114,6 +114,67 @@ def unsalted_twin(spark, sf_dir: str):
     )
 
 
+def text_skew_probe(spark, repo: str) -> None:
+    """Text-duplication analog of the Zipf key probe (--text).
+
+    Two fixtures rebuilt from sf0.1 documents (only documents.parquet —
+    span_dedup and fuzzy_join read nothing else):
+
+    - hotspan: one fixed 20-token boilerplate span PREFIXED to 50% of
+      documents. Span windows are non-overlapping from token 0, so the
+      prefix is exactly span_idx 0 of every injected doc — ONE span hash
+      held by half the corpus, the straggler shape a row_number-window
+      keep-first dies on and the min-struct combiner must absorb.
+    - dupcluster: 10% of documents replaced by near-identical copies of
+      one base text (tiny per-doc suffix) — a giant near-dup cluster whose
+      shingles (hence MinHash band keys) all collide, inflating one
+      fuzzy_join band-join partition by |cluster_c| x |cluster_q|.
+
+    Prints plain-vs-skewed wall ratios; near-1 means bounded-per-partition.
+    """
+    out_p = os.path.join(repo, ".scratch", "skew_text_plain")
+    out_h = os.path.join(repo, ".scratch", "skew_text_hot")
+    docs = load_table(spark, SRC, "documents")
+    boiler = " ".join(f"tok{i} legal boilerplate" for i in range(7))[:400]
+    # exactly 20 tokens of boilerplate prefix
+    boiler = " ".join((boiler + " pad").split()[:20])
+    base = docs.orderBy("doc_id").select("text").limit(1)
+    for d in (out_p, out_h):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    docs.write.mode("overwrite").parquet(os.path.join(out_p, "documents.parquet"))
+    base_txt = base.collect()[0][0]
+    hot = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,  # dup-cluster: near-identical copies
+            F.concat(F.lit(base_txt), F.lit(" variant "), (F.col("doc_id") % 7).cast("string")),
+        )
+        .when(  # hot span: boilerplate prefix on half the rest
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(boiler), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    hot.write.mode("overwrite").parquet(os.path.join(out_h, "documents.parquet"))
+    print("# text fixtures built", flush=True)
+    for name in ("span_dedup", "fuzzy_join"):
+        fn = QUERIES[name].spark
+        t0 = time.time()
+        n_p = fn(spark, out_p).count()
+        w_p = time.time() - t0
+        t0 = time.time()
+        n_h = fn(spark, out_h).count()
+        w_h = time.time() - t0
+        print(
+            f"# text-skew {name}: plain {w_p:.2f}s ({n_p}) hot {w_h:.2f}s "
+            f"({n_h}) ratio {w_h / max(w_p, 1e-9):.2f}x",
+            flush=True,
+        )
+
+
 def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_u = os.path.join(repo, ".scratch", "skew_uniform")
@@ -125,6 +186,9 @@ def main() -> int:
     spark = get_spark(
         "skew-probe", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
+    if "--text" in sys.argv:
+        text_skew_probe(spark, repo)
+        return 0
     if rebuild:
         for d in (out_u, out_z):
             shutil.rmtree(d, ignore_errors=True)
