@@ -593,6 +593,26 @@ def hashed_linear_score(
     )
 
 
+def _importance_resample_plan(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+    n_buckets: int = 1024,
+    seed: int = 7,
+) -> tuple[DataFrame, DataFrame]:
+    """The LAZY plan behind ``importance_resample``: returns (topk, the
+    persisted (doc, bucket) histogram). Split out so tests can audit the
+    physical plan (broadcast log-ratio join, TakeOrdered selection) — the
+    public function executes it eagerly to release the cache."""
+    return _importance_resample_build(
+        docs, target, id_col=id_col, text_col=text_col, k=k,
+        n_buckets=n_buckets, seed=seed,
+    )
+
+
 def importance_resample(
     docs: DataFrame,
     target: DataFrame,
@@ -638,6 +658,29 @@ def importance_resample(
 
     Returns (id_col, n_tokens, log_w, score), the ``k`` selected rows.
     """
+    topk, doc_b = _importance_resample_build(
+        docs, target, id_col=id_col, text_col=text_col, k=k,
+        n_buckets=n_buckets, seed=seed,
+    )
+    # Materialize the k selected rows (bounded by k — the sort+limit is
+    # TakeOrderedAndProject, per-partition heads merged on the driver
+    # regardless) so the cached histogram can be released here instead of
+    # leaking executor cache for the caller's session lifetime.
+    rows = topk.collect()
+    doc_b.unpersist()
+    return docs.sparkSession.createDataFrame(rows, schema=topk.schema)
+
+
+def _importance_resample_build(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n_buckets: int,
+    seed: int,
+) -> tuple[DataFrame, DataFrame]:
     B = float(n_buckets)
 
     def buckets(df: DataFrame) -> DataFrame:
@@ -710,13 +753,7 @@ def importance_resample(
     gumbel = F.round(-F.log((-F.log((u + 0.5) / 10000.0))), 6)
     scored = weights.withColumn("score", F.round(F.col("log_w") + gumbel, 6))
     topk = scored.sort(F.col("score").desc(), F.col(id_col)).limit(k)
-    # Materialize the k selected rows (bounded by k — the sort+limit is
-    # TakeOrderedAndProject, per-partition heads merged on the driver
-    # regardless) so the cached histogram can be released here instead of
-    # leaking executor cache for the caller's session lifetime.
-    rows = topk.collect()
-    doc_b.unpersist()
-    return docs.sparkSession.createDataFrame(rows, schema=topk.schema)
+    return topk, doc_b
 
 
 def span_dedup(

@@ -335,3 +335,27 @@ def test_importance_resample_single_pass_and_unpersisted(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_importance_resample_lazy_plan_shape(spark):
+    """Pin the heavy plan the eager public function executes: broadcast
+    log-ratio join + TakeOrdered selection, no Python, no sort-merge —
+    the audit twin of the explain_audit entry (which can only see the
+    post-execution k-row local result)."""
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(30)], "doc_id int, text string"
+    )
+    target = spark.createDataFrame(
+        [(99, "alpha beta gamma")], "doc_id int, text string"
+    )
+    topk, doc_b = corpus._importance_resample_plan(docs, target, k=5)
+    try:
+        plan = topk._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        doc_b.unpersist()

@@ -356,10 +356,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["Exchange hashpartitioning", "SortMergeJoin", "Window"],
     },
     "heavy_hitters": {
-        # MG sketch in MapInPandas; candidates broadcast back as LeftSemi;
-        # exact recount is the only key-wide aggregation
-        "want": ["MapInPandas", "LeftSemi", "BroadcastHashJoin"],
-        "avoid": ["CartesianProduct", "SortMergeJoin"],
+        # the MG sketch (MapInPandas) now runs EAGERLY — its candidate
+        # keys are collected (bounded by k per partition) so the sketch
+        # cache can be unpersisted before returning (round-5 advisory);
+        # the returned plan is the exact recount: candidates broadcast
+        # back as LeftSemi, one key-wide aggregation
+        "want": ["LeftSemi", "BroadcastHashJoin", "HashAggregate"],
+        "avoid": ["CartesianProduct", "SortMergeJoin", "MapInPandas"],
     },
     "bloom_prune_join": {
         # bitmap probe (getbit) must sit in the fact scan's Filter, BEFORE
@@ -449,10 +452,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
     },
     "importance_resample": {
-        # n_buckets-row log-ratio table broadcasts into the corpus scoring
-        # join; selection is TakeOrdered, never a global sort; all string
-        # work is codegen (no Python)
-        "want": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        # like pagerank, the returned frame is post-execution: the
+        # operator runs its heavy plan eagerly (collects the k selected
+        # rows) so the cached (doc, bucket) histogram can be unpersisted
+        # (round-5 advisory) — the audited plan is the k-row local result.
+        # The heavy plan's shape (broadcast log-ratio join + TakeOrdered,
+        # no Python) is pinned against the LAZY twin
+        # (_importance_resample_plan) in tests/test_round6_ops.py.
+        "want": ["Scan ExistingRDD"],
         "avoid": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
     },
     "pdf_real_extract": {
@@ -469,10 +476,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BroadcastHashJoin", "BatchEvalPython"],
     },
     "span_dedup": {
-        # keep-first is one row_number window keyed by span md5; no joins
-        # at all, no Python
-        "want": ["Window", "Exchange hashpartitioning(_w"],
-        "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+        # keep-first is a combiner-friendly min(struct) aggregate over the
+        # span hash (partial_min absorbs hot boilerplate spans map-side —
+        # round-5 straggler fix), marked back via an equi-join on the FULL
+        # (hash, id, idx) triple (unique per row → uniform join key). A
+        # row_number window here is the straggler anti-pattern.
+        "want": ["partial_min", "HashAggregate"],
+        "avoid": ["CartesianProduct", "Window", "BroadcastNestedLoopJoin",
                   "BatchEvalPython", "MapInPandas"],
     },
 }
