@@ -806,13 +806,20 @@ class MiniPdfDecoder:
 # Spark plumbing: Arrow-batched encode / decode stages
 # --------------------------------------------------------------------------
 
-def pack_mini_pdf(df: DataFrame, *, id_col: str, pages_col: str) -> DataFrame:
+def pack_mini_pdf(
+    df: DataFrame, *, id_col: str, pages_col: str, pdf15: bool = False
+) -> DataFrame:
     """Encode an ``array<string>`` pages column into REAL PDF bytes,
-    executor-side — ``binary.pack_pages`` with the PDF 1.4 writer."""
+    executor-side — ``binary.pack_pages`` with the PDF writer (classic 1.4
+    xref table by default; ``pdf15=True`` emits the modern ObjStm +
+    xref-stream layout)."""
     from restaurant_etl_code_spark.multimodal.binary import pack_pages
 
     return pack_pages(
-        df, id_col=id_col, pages_col=pages_col, encode_fn=encode_mini_pdf
+        df,
+        id_col=id_col,
+        pages_col=pages_col,
+        encode_fn=lambda pages: encode_mini_pdf(pages, pdf15=pdf15),
     )
 
 

@@ -51,6 +51,7 @@ __all__ = [
     "chunk_documents",
     "importance_resample",
     "span_dedup",
+    "bpe_pair_stats",
 ]
 
 
@@ -853,3 +854,44 @@ def span_dedup(
         ).alias("text_dedup"),
     )
     return per_doc
+
+
+def bpe_pair_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 30,
+) -> DataFrame:
+    """BPE merge-candidate mining (Sennrich et al. 2016): count adjacent
+    CHARACTER pairs within words across the whole corpus and return the
+    top-``k`` — exactly the statistic the first byte-pair-encoding merge
+    step maximizes. Training a full BPE vocabulary iterates this count
+    after each merge; the per-iteration workhorse is this one corpus-wide
+    pair count, so it is the piece that must scale.
+
+    Physical shape at 100 TB: tokenize + per-word pair expansion are flat
+    maps on the scan (``transform(sequence(...))`` — codegen, no Python);
+    the count is one partial-aggregatable groupBy keyed by the pair (≤
+    |charset|² distinct keys — the shuffle carries counters, never the
+    corpus); top-k is sort+limit = TakeOrderedAndProject. Nothing
+    broadcasts, nothing collects beyond k rows.
+
+    Returns (pair, n) — ties broken by pair text for determinism.
+    """
+    words = (
+        docs.select(F.explode(Ftext.tokens(F.col(text_col))).alias("w"))
+        # length-1 words have no adjacent pair; filtering them also keeps
+        # sequence(1, length-1) ascending (sequence(1, 0) would DESCEND)
+        .where(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .sort(F.col("n").desc(), F.col("pair"))
+        .limit(k)
+    )

@@ -33,7 +33,77 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["contiguous_pack", "greedy_pack"]
+__all__ = ["contiguous_pack", "greedy_pack", "global_offsets"]
+
+
+def global_offsets(
+    df: DataFrame,
+    cost_col: str,
+    order_col: str,
+    *,
+    n_parts: int = 32,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """GLOBAL exclusive prefix sum of ``cost_col`` in ``order_col`` order —
+    the cross-shard complement to ``contiguous_pack``: assigning every
+    document its byte/token offset in the final concatenated corpus (what
+    an index builder or a concat-and-chunk data loader needs globally).
+
+    The naive formulation — ``sum().over(Window.orderBy(order_col))`` with
+    no partition key — funnels the ENTIRE table through one window
+    partition: the canonical 100 TB straggler. This is the classic
+    two-phase distributed prefix sum instead:
+
+    1. split the order domain into ``n_parts`` contiguous ranges via
+       ``approxQuantile`` boundaries (one bounded pass; Greenwald-Khanna,
+       deterministic — no sampling RNG, so the range assignment expression
+       is SAFE to re-evaluate, unlike ``repartitionByRange`` whose sampled
+       boundaries can differ between evaluations of the same plan);
+    2. per-range exclusive running sums via a window PARTITIONED by range
+       id (bounded per partition);
+    3. per-range totals (one counter-sized agg, ≤ n_parts rows collected)
+       cumulated on the driver into per-range base offsets, attached as a
+       literal map (codegen lookup, no join).
+
+    ``order_col`` must be numeric and unique (e.g. a document id) — ties
+    would make "the order" ambiguous. Returns ``df`` + ``offset``.
+    """
+    if n_parts < 1:
+        raise ValueError(f"n_parts must be >= 1, got {n_parts}")
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds = df.stat.approxQuantile(order_col, probs, rel_err) if probs else []
+    if bounds:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.size(F.filter(arr, lambda b: b <= F.col(order_col)))
+    else:
+        pid = F.lit(0)
+    ranged = df.withColumn("__pid", pid)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "__local", F.coalesce(F.sum(cost_col).over(w), F.lit(0)).cast("long")
+    )
+    totals = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(cost_col).alias("__t"))
+        .collect()
+    )  # ≤ n_parts rows — counter-sized by construction
+    base: dict[int, int] = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        base[r["__pid"]] = acc
+        acc += int(r["__t"] or 0)
+    if base:
+        base_map = F.create_map(
+            *[F.lit(x) for p, b in sorted(base.items()) for x in (p, b)]
+        )
+        offset = (F.col("__local") + F.coalesce(base_map[F.col("__pid")], F.lit(0)))
+    else:
+        offset = F.col("__local")
+    return local.withColumn("offset", offset.cast("long")).drop("__pid", "__local")
 
 
 def contiguous_pack(

@@ -6056,6 +6056,102 @@ from scored group by series_key
 """
 
 
+# --------------------------------------------------------------------------
+# Round 6: PDF 1.5 codec chain, BPE merge mining, global prefix offsets
+# --------------------------------------------------------------------------
+
+def _q_pdf15_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pdf_real_extract chain with the writer emitting the PDF 1.5
+    MODERN layout (non-stream objects packed into a compressed /ObjStm,
+    cross-reference as a /XRef STREAM with Flate + PNG Up predictor) and
+    the reader walking xref streams + object streams — proving the codec
+    on the format-majority shape, not just generated-classic files.
+    Relational contract identical to pdf_real_extract (same oracle)."""
+    from restaurant_etl_code_spark import multimodal as mm
+
+    part = load_table(spark, sf_dir, "part")
+    paged = part.select(
+        F.col("p_partkey").alias("asset_id"),
+        F.expr(
+            "transform(sequence(0, cast(p_partkey % 3 as int)), i -> "
+            "to_json(named_struct('name', p_name, "
+            "'price', round(p_retailprice + i, 2), 'page', i)))"
+        ).alias("pages"),
+    )
+    assets = mm.pack_mini_pdf(paged, id_col="asset_id", pages_col="pages", pdf15=True)
+    pages = mm.mini_pdf_text(assets)
+    parsed = pages.filter(F.col("decode_error").isNull()).select(
+        "asset_id",
+        "page_index",
+        F.get_json_object("page_text", "$.name").alias("item_name"),
+        F.get_json_object("page_text", "$.price").cast("double").alias("item_price"),
+    )
+    first = dedup.dedup_keep_first(parsed, ["asset_id"], ["page_index"])
+    counts = pages.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_pages"))
+    return first.join(counts, "asset_id").select(
+        "asset_id", "item_name", "item_price", "n_pages"
+    )
+
+
+def _q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE merge-candidate mining (corpus.bpe_pair_stats):
+    top-30 adjacent character pairs within words — the statistic every
+    byte-pair-encoding merge iteration maximizes. Flat-map expansion +
+    one counter-keyed agg + TakeOrdered; the shuffle carries ≤ |charset|²
+    counters regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return corpus.bpe_pair_stats(docs, k=30)
+
+
+_ORACLE_BPE_PAIRS = f"""
+with toks as (select unnest({_DUCK_TOKENS.format(c='text')}) as w from documents),
+w2 as (select w from toks where length(w) >= 2),
+pr as (select substring(w, cast(g as int), 2) as pair
+       from (select w, unnest(range(1, length(w))) as g from w2))
+select pair, count(*) as n from pr group by 1 order by n desc, pair limit 30
+"""
+
+
+def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token offsets for the concatenated corpus
+    (packing.global_offsets): every document's exclusive prefix-sum
+    position in doc_id order, plus its 8192-token training-bin id — the
+    cross-shard complement of contiguous_pack, computed with the
+    two-phase prefix sum (quantile ranges + per-range window + driver-
+    cumulated base offsets) instead of the single-partition global
+    window that would straggle at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    costed = docs.select(
+        "doc_id",
+        F.size(F.filter(Ftext.tokens(F.col("text")), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    out = packing.global_offsets(costed, "n_tokens", "doc_id", n_parts=8)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "offset",
+        F.floor(F.col("offset") / F.lit(8192)).cast("long").alias("bin_id"),
+    )
+
+
+_ORACLE_GLOBAL_OFFSETS = f"""
+with t as (select doc_id,
+                  cast(len(list_filter({_DUCK_TOKENS.format(c='text')},
+                                       x -> x <> '')) as bigint) as n_tokens
+           from documents),
+o as (select doc_id, n_tokens,
+             cast(coalesce(sum(n_tokens) over (order by doc_id
+                    rows between unbounded preceding and 1 preceding), 0)
+                  as bigint) as "offset"
+      from t)
+select doc_id, n_tokens, "offset",
+       cast(floor("offset" / 8192.0) as bigint) as bin_id
+from o
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -6419,6 +6515,15 @@ _REGISTRY: dict[str, QueryDef] = {
     "basket_triple_rules": QueryDef(
         _q_basket_triple_rules, _ORACLE_BASKET_TRIPLE_RULES,
         "(A,B)→C rules: triple counters ÷ pair counters, three per triple"),
+    "pdf15_extract": QueryDef(
+        _q_pdf15_extract, _ORACLE_PDF_MENU,
+        "S1 chain on PDF 1.5 modern layout: ObjStm + predictor xref stream"),
+    "bpe_pair_stats": QueryDef(
+        _q_bpe_pair_stats, _ORACLE_BPE_PAIRS,
+        "BPE merge mining: top-k adjacent char pairs, counter-only shuffle"),
+    "global_offsets": QueryDef(
+        _q_global_offsets, _ORACLE_GLOBAL_OFFSETS,
+        "two-phase global prefix sum: token offsets + training-bin ids"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

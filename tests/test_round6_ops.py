@@ -359,3 +359,57 @@ def test_importance_resample_lazy_plan_shape(spark):
         assert "CartesianProduct" not in plan
     finally:
         doc_b.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# new round-6 operators: bpe_pair_stats, global_offsets
+# ---------------------------------------------------------------------------
+
+def test_bpe_pair_stats_counts(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab"), (2, "ab a b")], "doc_id int, text string"
+    )
+    got = {r["pair"]: r["n"] for r in corpus.bpe_pair_stats(docs, k=10).collect()}
+    # "abab" x2 contributes ab:2,ba:1 each; "ab" adds ab:1; single chars none
+    assert got["ab"] == 5
+    assert got["ba"] == 2
+    assert "a" not in got  # no 1-char pseudo pairs
+
+
+def test_global_offsets_matches_serial_prefix_sum(spark):
+    from restaurant_etl_code_spark.operators import packing
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "doc_id int, cost int")
+    out = {
+        r["doc_id"]: r["offset"]
+        for r in packing.global_offsets(df, "cost", "doc_id", n_parts=6).collect()
+    }
+    acc = 0
+    for i, c in rows:
+        assert out[i] == acc, f"doc {i}"
+        acc += c
+    # degenerate n_parts=1 still correct (single range, no boundaries)
+    out1 = {
+        r["doc_id"]: r["offset"]
+        for r in packing.global_offsets(df, "cost", "doc_id", n_parts=1).collect()
+    }
+    assert out1 == out
+
+
+def test_global_offsets_no_single_partition_exchange(spark):
+    from restaurant_etl_code_spark.operators import packing
+
+    df = spark.range(1, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17 + 1).alias("cost")
+    )
+    plan = (
+        packing.global_offsets(df, "cost", "doc_id", n_parts=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(__pid" in plan

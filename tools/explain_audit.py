@@ -475,6 +475,27 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["SortMergeJoin", "WindowGroupLimit", "MapInPandas"],
         "avoid": ["CartesianProduct", "BroadcastHashJoin", "BatchEvalPython"],
     },
+    "pdf15_extract": {
+        # same chain as pdf_real_extract, modern-layout writer/reader:
+        # Arrow codec stages, keep-first on WindowGroupLimit
+        "want": ["MapInPandas", "WindowGroupLimit"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "bpe_pair_stats": {
+        # pair expansion is codegen flat-map on the scan; ONE counter agg
+        # (map-side partial) then TakeOrdered — no joins, no Python
+        "want": ["TakeOrderedAndProject", "partial_count"],
+        "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                  "Window", "BatchEvalPython", "MapInPandas"],
+    },
+    "global_offsets": {
+        # the two-phase prefix sum: window PARTITIONED by the quantile
+        # range id (never a single global partition), base offsets as a
+        # literal map lookup (no join)
+        "want": ["Window", "Exchange hashpartitioning(__pid"],
+        "avoid": ["Exchange SinglePartition", "CartesianProduct",
+                  "SortMergeJoin", "BatchEvalPython", "MapInPandas"],
+    },
     "span_dedup": {
         # keep-first is a combiner-friendly min(struct) aggregate over the
         # span hash (partial_min absorbs hot boilerplate spans map-side —
