@@ -152,6 +152,11 @@ BENCH_QUERIES = [
     "importance_resample",
     "fuzzy_join",
     "span_dedup",
+    # round-6 additions: modern-layout PDF codec, BPE merge mining,
+    # two-phase global prefix offsets
+    "pdf15_extract",
+    "bpe_pair_stats",
+    "global_offsets",
 ]
 
 

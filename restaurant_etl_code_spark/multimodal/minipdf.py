@@ -18,8 +18,11 @@ modern layouts:
   (``/Type /ObjStm``, type-2 xref entries) are loaded via the stream's
   pair-header. A brute-force object scan remains the documented fallback
   for byte streams with a broken/absent xref (what real extractors do);
-- content streams stored raw or ``/FlateDecode`` (single filter, optional
-  PNG predictor); other filters raise with the filter named;
+- stream filters: ``/FlateDecode``, ``/ASCIIHexDecode``,
+  ``/ASCII85Decode``, ``/RunLengthDecode`` (+ their abbreviations), in
+  CHAINS applied in wire order, each with an optional PNG predictor;
+  image/compression filters outside the text budget (DCT, JBIG2, CCITT,
+  LZW) raise with the filter named;
 - text from ``Tj``, ``'``, ``"`` and ``TJ`` show operators inside BT/ET,
   with literal-string escapes (octal, line continuations) and hex strings;
   ``Td``/``TD``/``T*``/``'``/``"`` break lines.
@@ -394,35 +397,129 @@ def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> 
     return bytes(out)
 
 
+def _ascii_hex_decode(raw: bytes) -> bytes:
+    """/ASCIIHexDecode: hex digits, whitespace ignored, ``>`` terminates,
+    odd final digit pads with 0 (PDF 32000 §7.4.2)."""
+    end = raw.find(b">")
+    body = raw[:end] if end >= 0 else raw
+    digits = re.sub(rb"[^0-9A-Fa-f]", b"", body)
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii"))
+    except ValueError as e:
+        raise ValueError(f"bad ASCIIHex stream: {e}") from e
+
+
+def _ascii85_decode(raw: bytes) -> bytes:
+    """/ASCII85Decode: base-85 groups, ``z`` = four zero bytes, ``~>``
+    terminates, partial final group allowed (PDF 32000 §7.4.3)."""
+    end = raw.find(b"~>")
+    body = re.sub(rb"\s", b"", raw[:end] if end >= 0 else raw)
+    if body.startswith(b"<~"):
+        body = body[2:]
+    out = bytearray()
+    group: list[int] = []
+    for ch in body:
+        if ch == 0x7A:  # 'z'
+            if group:
+                raise ValueError("ASCII85 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (0x21 <= ch <= 0x75):
+            raise ValueError(f"bad ASCII85 byte {ch}")
+        group.append(ch - 0x21)
+        if len(group) == 5:
+            n = 0
+            for d in group:
+                n = n * 85 + d
+            if n > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group overflow")
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("ASCII85 dangling single digit")
+        k = len(group)
+        group += [84] * (5 - k)
+        n = 0
+        for d in group:
+            n = n * 85 + d
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _run_length_decode(raw: bytes) -> bytes:
+    """/RunLengthDecode: length byte L — L<128: copy L+1 literal bytes;
+    L>128: repeat next byte 257−L times; 128 = EOD (PDF 32000 §7.4.5)."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        L = raw[i]
+        i += 1
+        if L == 128:
+            break
+        if L < 128:
+            chunk = raw[i : i + L + 1]
+            if len(chunk) != L + 1:
+                raise ValueError("truncated RunLength literal run")
+            out += chunk
+            i += L + 1
+        else:
+            if i >= len(raw):
+                raise ValueError("truncated RunLength repeat run")
+            out += raw[i : i + 1] * (257 - L)
+            i += 1
+    return bytes(out)
+
+
+_FILTER_FNS = {
+    "/FlateDecode": zlib.decompress,
+    "/Fl": zlib.decompress,
+    "/ASCIIHexDecode": _ascii_hex_decode,
+    "/AHx": _ascii_hex_decode,
+    "/ASCII85Decode": _ascii85_decode,
+    "/A85": _ascii85_decode,
+    "/RunLengthDecode": _run_length_decode,
+    "/RL": _run_length_decode,
+}
+
+
 def _decode_stream(sdict: dict, raw: bytes, resolve=lambda v: v) -> bytes:
     """Filter + predictor decode shared by content, xref and object
-    streams. Single /FlateDecode (or none) with optional PNG predictor —
-    other filters / chains raise with the feature named."""
+    streams. Filter CHAINS apply left-to-right (the PDF wire order:
+    e.g. ``[/ASCII85Decode /FlateDecode]`` = base85-wrapped deflate);
+    Flate/ASCIIHex/ASCII85/RunLength (+ abbreviations) are supported with
+    an optional PNG predictor per stage; image/compression filters
+    outside the text budget (DCT, JBIG2, CCITT, LZW) raise with the
+    filter named. Per spec, /DecodeParms is a parallel array when Filter
+    is an array (null entries = no parms for that stage)."""
     filt = resolve(sdict.get("Filter"))
-    if isinstance(filt, list):
-        if len(filt) != 1:
-            raise ValueError(f"filter chains unsupported: {filt}")
-        filt = resolve(filt[0])
-    if filt is None:
-        out = raw
-    elif filt == "/FlateDecode":
-        out = zlib.decompress(raw)
-    else:
-        raise ValueError(f"unsupported stream filter {filt}")
+    filters = filt if isinstance(filt, list) else ([] if filt is None else [filt])
     parms = resolve(sdict.get("DecodeParms"))
-    if isinstance(parms, list):
-        parms = resolve(parms[0]) if parms else None
-    if isinstance(parms, dict):
-        pred = int(resolve(parms.get("Predictor", 1)) or 1)
-        if pred >= 10:
-            out = _png_unpredict(
-                out,
-                int(resolve(parms.get("Columns", 1)) or 1),
-                int(resolve(parms.get("Colors", 1)) or 1),
-                int(resolve(parms.get("BitsPerComponent", 8)) or 8),
-            )
-        elif pred != 1:
-            raise ValueError(f"unsupported predictor {pred} (TIFF)")
+    parms_list = parms if isinstance(parms, list) else [parms] * max(len(filters), 1)
+    out = raw
+    for i, f in enumerate(filters):
+        f = resolve(f)
+        fn = _FILTER_FNS.get(f)
+        if fn is None:
+            raise ValueError(f"unsupported stream filter {f}")
+        try:
+            out = fn(out)
+        except zlib.error as e:
+            raise ValueError(f"corrupt Flate stream: {e}") from e
+        p = resolve(parms_list[i]) if i < len(parms_list) else None
+        if isinstance(p, dict):
+            pred = int(resolve(p.get("Predictor", 1)) or 1)
+            if pred >= 10:
+                out = _png_unpredict(
+                    out,
+                    int(resolve(p.get("Columns", 1)) or 1),
+                    int(resolve(p.get("Colors", 1)) or 1),
+                    int(resolve(p.get("BitsPerComponent", 8)) or 8),
+                )
+            elif pred != 1:
+                raise ValueError(f"unsupported predictor {pred} (TIFF)")
     return out
 
 

@@ -413,3 +413,62 @@ def test_global_offsets_no_single_partition_exchange(spark):
     )
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(__pid" in plan
+
+
+# ---------------------------------------------------------------------------
+# minipdf filter family: ASCIIHex / ASCII85 / RunLength + chains
+# ---------------------------------------------------------------------------
+
+def test_minipdf_filter_decoders():
+    import base64
+
+    from restaurant_etl_code_spark.multimodal import minipdf as mp
+
+    assert mp._ascii_hex_decode(b"48 65 6C 6C 6F>") == b"Hello"
+    assert mp._ascii_hex_decode(b"48656c6cf>") == b"Hell\xf0"  # odd pads 0
+    data = b"some binary \x00\xff payload"
+    assert mp._ascii85_decode(base64.a85encode(data) + b"~>") == data
+    assert mp._ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert mp._run_length_decode(b"\x02abc\xfex\x80") == b"abc" + b"x" * 3
+    with pytest.raises(ValueError):
+        mp._run_length_decode(b"\x05ab")  # truncated literal run
+    with pytest.raises(ValueError):
+        mp._ascii85_decode(b"\x00~>")  # out-of-range byte
+
+
+def test_minipdf_chained_filter_stream():
+    import base64
+    import zlib
+
+    from restaurant_etl_code_spark.multimodal import minipdf as mp
+
+    content = b"BT /F1 12 Tf 72 720 Td (chained filters) Tj ET"
+    payload = base64.a85encode(zlib.compress(content)) + b"~>"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d /Filter [/ASCII85Decode /FlateDecode] >>"
+        b"\nstream\n%s\nendstream" % (len(payload), payload),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n%s\nendobj\n" % (num, body)
+    xp = len(buf)
+    buf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        xp,
+    )
+    pages = mp.extract_pdf_pages(bytes(buf))
+    assert [p["text"] for p in pages] == ["chained filters"]
+    # an image filter still raises with the name
+    bad = bytes(buf).replace(b"[/ASCII85Decode /FlateDecode]", b"/DCTDecode")
+    with pytest.raises(ValueError, match="DCTDecode"):
+        mp.extract_pdf_pages(bad)

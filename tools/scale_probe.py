@@ -59,6 +59,9 @@ PROBE = [
     # two-table LSH fuzzy join, span-level dedup
     "merge_pruned", "pdf_real_extract", "importance_resample",
     "fuzzy_join", "span_dedup",
+    # round-6 additions: modern-layout PDF codec chain, BPE pair mining,
+    # two-phase global prefix offsets
+    "pdf15_extract", "bpe_pair_stats", "global_offsets",
     # dedup_recall is intentionally NOT probed here: its exact ground-truth
     # branch is quadratic by design (documented sample-scale audit) and
     # would be a guaranteed false super-linear flag at larger K
