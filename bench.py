@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "pdf15_extract",
     "bpe_pair_stats",
     "global_offsets",
+    "pmi_collocations",
 ]
 
 

@@ -52,6 +52,7 @@ __all__ = [
     "importance_resample",
     "span_dedup",
     "bpe_pair_stats",
+    "pmi_collocations",
 ]
 
 
@@ -895,3 +896,83 @@ def bpe_pair_stats(
         .sort(F.col("n").desc(), F.col("pair"))
         .limit(k)
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+    k: int = 30,
+) -> DataFrame:
+    """Collocation mining via pointwise mutual information (Church &
+    Hanks 1990): count unordered token pairs co-occurring within a
+    ``window``-token forward window, score each pair
+    ``pmi = ln(n_ab · T / (n_a · n_b))`` against the unigram margins, and
+    return the top-``k`` by PMI among pairs seen ≥ ``min_count`` times —
+    the classic corpus statistic behind phrase detection (word2vec's
+    phrase pass), multi-word-expression extraction, and tokenizer
+    vocabulary seeding.
+
+    Physical shape at 100 TB: pair expansion is a codegen flat map on the
+    scan (per position, a slice of the next ``window`` tokens — ×window
+    amplification, linear); the pair count is one partial-aggregatable
+    groupBy keyed by the canonicalized (a, b) pair, so hot stop-word
+    pairs collapse map-side; unigram margins are a vocabulary-sized
+    counter agg that BROADCASTS into the scoring join (twice, once per
+    side); top-k is TakeOrderedAndProject. No self-joins, no windows, no
+    Python anywhere.
+
+    Returns (a, b, n_ab, pmi) with deterministic (pmi desc, a, b) order.
+    """
+    toks = docs.select(
+        F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "").alias("tk")
+    ).filter(F.size("tk") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, size(tk) - 1), i -> "
+                f"transform(slice(tk, i + 1, least({int(window)}, size(tk) - i)), "
+                f"t2 -> struct(least(element_at(tk, i), t2) as a, "
+                f"greatest(element_at(tk, i), t2) as b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pair_counts = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_count))
+    )
+    uni = (
+        docs.select(F.explode(Ftext.tokens(F.col(text_col))).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = uni.agg(F.sum("n").alias("T"))
+    scored = (
+        pair_counts.join(
+            F.broadcast(uni.select(F.col("t").alias("a"), F.col("n").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("b"), F.col("n").alias("n_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("T").cast("double")
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.sort(F.col("pmi").desc(), "a", "b").limit(k)

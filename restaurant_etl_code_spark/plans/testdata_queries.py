@@ -6136,6 +6136,39 @@ def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (corpus.pmi_collocations): top-30 token pairs by
+    PMI within a 3-token forward window, unigram margins broadcast into
+    the scoring join, pair counts partial-aggregated — phrase detection /
+    tokenizer vocabulary seeding over the documents corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return corpus.pmi_collocations(docs, window=3, min_count=5, k=30)
+
+
+_ORACLE_PMI = f"""
+with toks as (select list_filter({_DUCK_TOKENS.format(c='text')}, x -> x <> '') as tk
+              from documents),
+t2 as (select tk from toks where len(tk) >= 2),
+uni as (select unnest(tk) as t from toks),
+ucnt as (select t, count(*) as n from uni group by 1),
+tot as (select sum(n) as T from ucnt),
+pr as (select least(a, b) as a, greatest(a, b) as b
+       from (select tk[i] as a,
+                    unnest(list_slice(tk, (i + 1)::int,
+                                      least(i + 3, len(tk))::int)) as b
+             from (select tk, unnest(range(1, len(tk))) as i from t2))),
+pc as (select a, b, count(*) as n_ab from pr group by 1, 2 having count(*) >= 5),
+scored as (select pc.a, pc.b, pc.n_ab,
+                  round(ln(pc.n_ab::double * tot.T::double /
+                           (ua.n::double * ub.n::double)), 6) as pmi
+           from pc
+           join ucnt ua on ua.t = pc.a
+           join ucnt ub on ub.t = pc.b
+           cross join tot)
+select a, b, n_ab, pmi from scored order by pmi desc, a, b limit 30
+"""
+
+
 _ORACLE_GLOBAL_OFFSETS = f"""
 with t as (select doc_id,
                   cast(len(list_filter({_DUCK_TOKENS.format(c='text')},
@@ -6524,6 +6557,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "global_offsets": QueryDef(
         _q_global_offsets, _ORACLE_GLOBAL_OFFSETS,
         "two-phase global prefix sum: token offsets + training-bin ids"),
+    "pmi_collocations": QueryDef(
+        _q_pmi_collocations, _ORACLE_PMI,
+        "PMI collocations: windowed pair counts vs broadcast unigram margins"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -472,3 +472,25 @@ def test_minipdf_chained_filter_stream():
     bad = bytes(buf).replace(b"[/ASCII85Decode /FlateDecode]", b"/DCTDecode")
     with pytest.raises(ValueError, match="DCTDecode"):
         mp.extract_pdf_pages(bad)
+
+
+def test_pmi_collocations_scores(spark):
+    from restaurant_etl_code_spark.operators import corpus
+    import math
+
+    # "foo bar" always adjacent (strong collocation); "foo baz" never
+    docs = spark.createDataFrame(
+        [(i, "foo bar filler%d other words here" % i) for i in range(10)],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["a"], r["b"]): (r["n_ab"], r["pmi"])
+        for r in corpus.pmi_collocations(
+            docs, window=2, min_count=5, k=10
+        ).collect()
+    }
+    assert ("bar", "foo") in got
+    n_ab, pmi = got[("bar", "foo")]
+    assert n_ab == 10
+    # T=60 tokens, n_foo=n_bar=10 → pmi = ln(10*60/100)
+    assert abs(pmi - round(math.log(6.0), 6)) < 1e-9

@@ -488,6 +488,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                   "Window", "BatchEvalPython", "MapInPandas"],
     },
+    "pmi_collocations": {
+        # pair expansion is codegen flat-map; pair counts partial-agg;
+        # unigram margins broadcast into the scoring join; top-k is
+        # TakeOrdered — no SMJ, no windows, no Python
+        "want": ["TakeOrderedAndProject", "BroadcastHashJoin", "partial_count"],
+        "avoid": ["CartesianProduct", "SortMergeJoin", "Window",
+                  "BatchEvalPython", "MapInPandas"],
+    },
     "global_offsets": {
         # the two-phase prefix sum: window PARTITIONED by the quantile
         # range id (never a single global partition), base offsets as a
