@@ -210,35 +210,39 @@ def heavy_hitters(
                 )
             yield pd.DataFrame({"key": [None], "pcount": [n_p]})
 
+        # ONE job, NO persist: the sketch output is bounded by construction
+        # (≤ k candidate rows + 1 count marker per map partition — the
+        # same volume the candidate broadcast ships through the driver
+        # anyway), so collecting it directly replaces the earlier
+        # persist + two-action formulation. That version leaked the cached
+        # sketch into the returned plan (round-5 advisory); an intermediate
+        # fix collected candidates from the cache but paid a third job.
         return (
             df.select(F.col(key_col).alias("key"))
             .mapInPandas(mg_partition, schema=schema)
-            .persist()
+            .collect()
         )
 
-    sketch = phase1(k)
-    total = sketch.agg(F.sum("pcount")).first()[0] or 0
+    rows = phase1(k)
+    total = sum(r["pcount"] for r in rows if r["pcount"] is not None)
     if min_count is not None:
         threshold = float(min_count)
         k_floor = int(math.ceil(total / max(threshold, 1.0)))
         if k < k_floor:  # guess too small for the superset guarantee: rescan
-            sketch.unpersist()
-            sketch = phase1(max(k_floor, 2 * k))
-            total = sketch.agg(F.sum("pcount")).first()[0] or 0
+            rows = phase1(max(k_floor, 2 * k))
+            total = sum(r["pcount"] for r in rows if r["pcount"] is not None)
     else:
         threshold = min_share * total
 
-    # Materialize the candidate keys (bounded by k per map partition — the
-    # same rows the broadcast below would ship through the driver anyway)
-    # so the phase-1 sketch can be unpersisted HERE: the returned plan no
-    # longer references it, and repeated calls in a long session don't
-    # leak executor cache (round-5 advisory).
-    cand_rows = (
-        sketch.filter(F.col("pcount").isNull()).select("key").distinct().collect()
+    # NULL keys can ride the sketch but can never match the equi-join
+    # below (same as the previous plan's behavior) — drop them here so
+    # the sort doesn't trip on None
+    cand_keys = sorted(
+        {r["key"] for r in rows if r["pcount"] is None and r["key"] is not None}
     )
-    sketch.unpersist()
     candidates = df.sparkSession.createDataFrame(
-        cand_rows, schema=StructType([StructField("key", key_field.dataType, True)])
+        [(c,) for c in cand_keys],
+        schema=StructType([StructField("key", key_field.dataType, True)]),
     )
     return (
         df.join(F.broadcast(candidates), df[key_col] == candidates["key"], "left_semi")
