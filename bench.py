@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "bpe_pair_stats",
     "global_offsets",
     "pmi_collocations",
+    "label_propagation",
 ]
 
 

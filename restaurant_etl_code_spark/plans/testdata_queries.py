@@ -6136,6 +6136,82 @@ def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities
+    (graph.label_propagation) over the same symmetrized part↔supplier
+    co-purchase graph as pagerank: 3 synchronized iterations, most-
+    frequent neighbor label, ties to the smallest label — community
+    sizes summarized so the output is counter-sized. The graph is THINNED
+    to low-quantity lines (a sparse co-purchase slice) — the dense full
+    graph collapses to two giant communities in 3 rounds, which verifies
+    nothing about the argmax; sparsity keeps real community structure."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 3)
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = graph.label_propagation(edges, iterations=3)
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.sum((F.col("node") % 2 == 0).cast("int")).alias("n_parts"),
+            F.min("node").alias("min_node"),
+        )
+        .filter(F.col("size") >= 2)
+    )
+
+
+_ORACLE_LABEL_PROP = """
+with fwd as (
+  select distinct l_partkey * 2 as src, l_suppkey * 2 + 1 as dst
+  from lineitem where l_quantity <= 3),
+edges as (
+  select src, dst from fwd
+  union all
+  select dst as src, src as dst from fwd),
+nodes as (select distinct src as node from edges),
+l0 as (select node, node as label from nodes),
+c1 as (select e.dst as node, l.label, count(*) as cnt
+       from edges e join l0 l on l.node = e.src group by 1, 2),
+b1 as (select node, label from (
+         select node, label,
+                row_number() over (partition by node
+                                   order by cnt desc, label) as rn
+         from c1) where rn = 1),
+l1 as (select n.node, coalesce(b1.label, l.label) as label
+       from nodes n join l0 l on l.node = n.node
+       left join b1 on b1.node = n.node),
+c2 as (select e.dst as node, l.label, count(*) as cnt
+       from edges e join l1 l on l.node = e.src group by 1, 2),
+b2 as (select node, label from (
+         select node, label,
+                row_number() over (partition by node
+                                   order by cnt desc, label) as rn
+         from c2) where rn = 1),
+l2 as (select n.node, coalesce(b2.label, l.label) as label
+       from nodes n join l1 l on l.node = n.node
+       left join b2 on b2.node = n.node),
+c3 as (select e.dst as node, l.label, count(*) as cnt
+       from edges e join l2 l on l.node = e.src group by 1, 2),
+b3 as (select node, label from (
+         select node, label,
+                row_number() over (partition by node
+                                   order by cnt desc, label) as rn
+         from c3) where rn = 1),
+l3 as (select n.node, coalesce(b3.label, l.label) as label
+       from nodes n join l2 l on l.node = n.node
+       left join b3 on b3.node = n.node)
+select label, count(*) as size,
+       sum(case when node % 2 = 0 then 1 else 0 end) as n_parts,
+       min(node) as min_node
+from l3 group by label having count(*) >= 2
+"""
+
+
 def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining (corpus.pmi_collocations): top-30 token pairs by
     PMI within a 3-token forward window, unigram margins broadcast into
@@ -6560,6 +6636,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "pmi_collocations": QueryDef(
         _q_pmi_collocations, _ORACLE_PMI,
         "PMI collocations: windowed pair counts vs broadcast unigram margins"),
+    "label_propagation": QueryDef(
+        _q_label_propagation, _ORACLE_LABEL_PROP,
+        "deterministic LPA communities: argmax-by-aggregate, unrolled oracle"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

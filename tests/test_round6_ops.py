@@ -494,3 +494,43 @@ def test_pmi_collocations_scores(spark):
     assert n_ab == 10
     # T=60 tokens, n_foo=n_bar=10 → pmi = ln(10*60/100)
     assert abs(pmi - round(math.log(6.0), 6)) < 1e-9
+
+
+def test_label_propagation_two_cliques(spark):
+    from restaurant_etl_code_spark.operators import graph
+
+    # two disjoint triangles + symmetrization: each collapses to its min id
+    tri = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+    edges = spark.createDataFrame(
+        tri + [(b, a) for a, b in tri], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(edges, iterations=3).collect()
+    }
+    assert {got[1], got[2], got[3]} == {1}
+    assert {got[10], got[11], got[12]} == {10}
+
+
+def test_label_propagation_argmax_is_aggregate_not_window(spark):
+    """One un-truncated LPA round must do the argmax via min(struct) — a
+    partial-aggregatable groupBy — never a row_number window over the
+    neighbor-label stream (celebrity-node straggler)."""
+    from pyspark.sql import functions as F2
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 50)], "src long, dst long"
+    )
+    labels = edges.select(F2.col("src").alias("node")).distinct().withColumn(
+        "label", F2.col("node")
+    )
+    nbr = edges.join(
+        labels.select(F2.col("node").alias("src"), "label"), "src"
+    ).select(F2.col("dst").alias("node"), "label")
+    counts = nbr.groupBy("node", "label").agg(F2.count(F2.lit(1)).alias("cnt"))
+    best = counts.groupBy("node").agg(
+        F2.min(F2.struct((-F2.col("cnt")).alias("neg"), F2.col("label"))).alias("b")
+    )
+    plan = best._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
+    assert "row_number" not in plan.lower()

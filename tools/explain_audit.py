@@ -488,6 +488,15 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                   "Window", "BatchEvalPython", "MapInPandas"],
     },
+    "label_propagation": {
+        # like pagerank: per-round plans already ran and truncated; the
+        # audited frame is the final summary over the checkpointed labels.
+        # The load-bearing shape (argmax via min(struct) AGGREGATE, never
+        # a row_number window over neighbor labels) is pinned in
+        # tests/test_round6_ops.py against one un-truncated round.
+        "want": ["Scan ExistingRDD", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "Window"],
+    },
     "pmi_collocations": {
         # pair expansion is codegen flat-map; pair counts partial-agg;
         # unigram margins broadcast into the scoring join; top-k is
