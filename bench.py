@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "global_offsets",
     "pmi_collocations",
     "label_propagation",
+    "kmeans_clusters",
 ]
 
 

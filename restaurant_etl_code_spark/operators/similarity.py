@@ -34,6 +34,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "centroids_by_id",
     "fit_centroids_kmeans",
+    "kmeans_lloyd",
     "ivf_topk",
     "topk_recall",
 ]
@@ -604,4 +605,90 @@ def semantic_dedup(
             "left_anti",
         )
         .select(id_col, F.col("list_id").alias("cluster_id"))
+    )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    *,
+    n: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column — the
+    oracle-checkable clustering twin of ``fit_centroids_kmeans`` (Spark
+    ML, seeded but not engine-portable). Seeding is ``centroids_by_id``
+    (first ``n`` vectors by id — reproducible anywhere); each of the
+    fixed ``iterations`` rounds assigns every vector to its nearest
+    centroid (squared L2 rounded to 9dp, ties to the smallest
+    centroid_id) and recomputes centroids as the element-wise mean
+    rounded to 6dp (the pre-rounding that keeps a different engine's
+    summation order from moving the next assignment). An emptied
+    centroid keeps its previous position. Fixed iterations + fixed
+    tie-breaks = unrolled-SQL oracle, the same contract as ``pagerank``.
+
+    Physical shape at 100 TB: per round, assignment is a BROADCAST of
+    the n-row centroid table into the corpus scan (argmin via
+    min(struct(dist, id)) aggregate — no window); the update is a
+    posexplode to (centroid, dim, value) and ONE partial-aggregatable
+    avg keyed by (centroid, dim) — the shuffle carries n·dim counters,
+    never vectors; re-listification sorts n·dim rows. The corpus is
+    scanned once per round, nothing quadratic anywhere.
+
+    Returns (centroid_id, size, mean_d2): final cluster sizes and mean
+    squared distance (6dp) — the inertia summary that verifies both the
+    assignment and the update arithmetic.
+    """
+    def d2(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x.cast("double") - y)
+                           * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+
+    vecs = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    cents = centroids_by_id(corpus, n=n, id_col=id_col, vec_col=vec_col).select(
+        "centroid_id", F.col("centroid").alias("__c")
+    )
+
+    def assign(cdf: DataFrame) -> DataFrame:
+        scored = vecs.join(F.broadcast(cdf), F.lit(True)).select(
+            "__id", "__v", "centroid_id", d2(F.col("__v"), F.col("__c")).alias("__d2")
+        )
+        return scored.groupBy("__id").agg(
+            F.min(F.struct(F.col("__d2"), F.col("centroid_id"))).alias("__b"),
+            F.first("__v").alias("__v"),
+        ).select(
+            "__id", "__v",
+            F.col("__b.centroid_id").alias("centroid_id"),
+            F.col("__b.__d2").alias("__d2"),
+        )
+
+    for _ in range(iterations):
+        a = assign(cents)
+        upd = (
+            a.select("centroid_id", F.posexplode("__v").alias("__p", "__x"))
+            .groupBy("centroid_id", "__p")
+            .agg(F.round(F.avg(F.col("__x").cast("double")), 6).alias("__m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__p", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__newc")
+            )
+        )
+        cents = cents.join(upd, "centroid_id", "left").select(
+            "centroid_id", F.coalesce(F.col("__newc"), F.col("__c")).alias("__c")
+        )
+
+    final = assign(cents)
+    return final.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.round(F.avg("__d2"), 6).alias("mean_d2"),
     )

@@ -6136,6 +6136,67 @@ def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (similarity.kmeans_lloyd) over the
+    embeddings table: first-8-by-id seeding, two assign→update rounds
+    with 9dp-rounded squared-L2 argmin and 6dp-rounded mean centroids,
+    final (centroid_id, size, mean_d2) inertia summary — the clustering
+    step under IVF/SemDeDup, verified end-to-end by unrolled SQL."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.kmeans_lloyd(emb, n=8, iterations=2)
+
+
+_ORACLE_KMEANS = """
+with v as (select vec_id, embedding from embeddings),
+c0 as (select row_number() over (order by vec_id) - 1 as centroid_id,
+              list_transform(embedding, z -> z::double) as c
+       from (select vec_id, embedding from v order by vec_id limit 8)),
+vv as (select vec_id, generate_subscripts(embedding, 1) as p,
+              unnest(embedding)::double as x from v),
+cc0 as (select centroid_id, generate_subscripts(c, 1) as p,
+               unnest(c) as y from c0),
+d0 as (select vec_id, centroid_id, round(sum((x - y) * (x - y)), 9) as d2
+       from vv join cc0 using (p) group by 1, 2),
+a0 as (select vec_id, centroid_id from (
+         select vec_id, centroid_id,
+                row_number() over (partition by vec_id
+                                   order by d2, centroid_id) as rn
+         from d0) where rn = 1),
+u1 as (select centroid_id, p, round(avg(x), 6) as m
+       from a0 join vv using (vec_id) group by 1, 2),
+c1 as (select c0.centroid_id,
+              coalesce((select list(u1.m order by u1.p) from u1
+                        where u1.centroid_id = c0.centroid_id), c0.c) as c
+       from c0),
+cc1 as (select centroid_id, generate_subscripts(c, 1) as p,
+               unnest(c) as y from c1),
+d1 as (select vec_id, centroid_id, round(sum((x - y) * (x - y)), 9) as d2
+       from vv join cc1 using (p) group by 1, 2),
+a1 as (select vec_id, centroid_id from (
+         select vec_id, centroid_id,
+                row_number() over (partition by vec_id
+                                   order by d2, centroid_id) as rn
+         from d1) where rn = 1),
+u2 as (select centroid_id, p, round(avg(x), 6) as m
+       from a1 join vv using (vec_id) group by 1, 2),
+c2 as (select c1.centroid_id,
+              coalesce((select list(u2.m order by u2.p) from u2
+                        where u2.centroid_id = c1.centroid_id), c1.c) as c
+       from c1),
+cc2 as (select centroid_id, generate_subscripts(c, 1) as p,
+               unnest(c) as y from c2),
+d2t as (select vec_id, centroid_id, round(sum((x - y) * (x - y)), 9) as d2
+        from vv join cc2 using (p) group by 1, 2),
+a2 as (select vec_id, centroid_id, d2 from (
+         select vec_id, centroid_id, d2,
+                row_number() over (partition by vec_id
+                                   order by d2, centroid_id) as rn
+         from d2t) where rn = 1)
+select centroid_id, count(*) as size, round(avg(d2), 6) as mean_d2
+from a2 group by 1
+"""
+
+
 def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic label-propagation communities
     (graph.label_propagation) over the same symmetrized part↔supplier
@@ -6639,6 +6700,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "label_propagation": QueryDef(
         _q_label_propagation, _ORACLE_LABEL_PROP,
         "deterministic LPA communities: argmax-by-aggregate, unrolled oracle"),
+    "kmeans_clusters": QueryDef(
+        _q_kmeans_clusters, _ORACLE_KMEANS,
+        "deterministic Lloyd's k-means: broadcast assign + counter update"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -534,3 +534,36 @@ def test_label_propagation_argmax_is_aggregate_not_window(spark):
     plan = best._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan
     assert "row_number" not in plan.lower()
+
+
+def test_kmeans_lloyd_converges_on_separated_blobs(spark):
+    from restaurant_etl_code_spark.operators import similarity
+
+    # two tight blobs far apart; first-2-by-id seeding lands one seed in
+    # each (ids interleave the blobs)
+    rows = []
+    for i in range(20):
+        blob = i % 2
+        base = [0.0] * 4 if blob == 0 else [100.0] * 4
+        rows.append((i, [base[j] + (i % 5) * 0.1 for j in range(4)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["centroid_id"]: (r["size"], r["mean_d2"])
+        for r in similarity.kmeans_lloyd(emb, n=2, iterations=2).collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[0][0] == 10 and out[1][0] == 10  # clean split
+    assert all(md < 1.0 for _, md in out.values())  # tight clusters
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
+    from restaurant_etl_code_spark.operators import similarity
+
+    # all points identical → every vector assigns to centroid 0; centroid 1
+    # is empty each round and must survive (no NULL centroid crash)
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    out = {r["centroid_id"]: r["size"] for r in
+           similarity.kmeans_lloyd(emb, n=2, iterations=2).collect()}
+    assert out == {0: 6}

@@ -488,6 +488,15 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                   "Window", "BatchEvalPython", "MapInPandas"],
     },
+    "kmeans_clusters": {
+        # per round: n-row centroid table broadcast into the corpus scan
+        # (the BNLJ is the n-row attach, not a data-sized product); argmin
+        # is a partial_min aggregate (no per-vector window); the centroid
+        # update is a partial_avg counter agg keyed by (centroid, dim)
+        "want": ["BroadcastNestedLoopJoin", "partial_min", "partial_avg"],
+        "avoid": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                  "MapInPandas"],
+    },
     "label_propagation": {
         # like pagerank: per-round plans already ran and truncated; the
         # audited frame is the final summary over the checkpointed labels.

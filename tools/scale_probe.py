@@ -62,7 +62,7 @@ PROBE = [
     # round-6 additions: modern-layout PDF codec chain, BPE pair mining,
     # two-phase global prefix offsets
     "pdf15_extract", "bpe_pair_stats", "global_offsets",
-    "pmi_collocations", "label_propagation",
+    "pmi_collocations", "label_propagation", "kmeans_clusters",
     # dedup_recall is intentionally NOT probed here: its exact ground-truth
     # branch is quadratic by design (documented sample-scale audit) and
     # would be a guaranteed false super-linear flag at larger K
