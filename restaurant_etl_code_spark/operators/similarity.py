@@ -615,6 +615,7 @@ def kmeans_lloyd(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over an embedding column — the
     oracle-checkable clustering twin of ``fit_centroids_kmeans`` (Spark
@@ -634,7 +635,11 @@ def kmeans_lloyd(
     posexplode to (centroid, dim, value) and ONE partial-aggregatable
     avg keyed by (centroid, dim) — the shuffle carries n·dim counters,
     never vectors; re-listification sorts n·dim rows. The corpus is
-    scanned once per round, nothing quadratic anywhere.
+    scanned once per round, nothing quadratic anywhere. The default
+    leaves the whole unroll LAZY (oracle-auditable single plan — fine
+    for the small fixed iteration counts the determinism contract is
+    for); pass ``checkpoint=True`` for deep iteration counts so each
+    round's n-row centroid table truncates lineage like ``pagerank``.
 
     Returns (centroid_id, size, mean_d2): final cluster sizes and mean
     squared distance (6dp) — the inertia summary that verifies both the
@@ -683,9 +688,13 @@ def kmeans_lloyd(
                 ).alias("__newc")
             )
         )
-        cents = cents.join(upd, "centroid_id", "left").select(
+        # upd is n rows by construction — broadcast it so AQE never plans
+        # a sort-merge for the coalesce join mid-unroll
+        cents = cents.join(F.broadcast(upd), "centroid_id", "left").select(
             "centroid_id", F.coalesce(F.col("__newc"), F.col("__c")).alias("__c")
         )
+        if checkpoint:
+            cents = cents.localCheckpoint()
 
     final = assign(cents)
     return final.groupBy("centroid_id").agg(
