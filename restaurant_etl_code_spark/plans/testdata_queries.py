@@ -6715,10 +6715,13 @@ _REGISTRY: dict[str, QueryDef] = {
 # pdf_real_extract, importance_resample, fuzzy_join, span_dedup — never
 # driver-gated; judge-verified only), the 2 queries last checked in r01
 # (embedding_near_dup, dedup_clusters), 41 of the 46 queries last checked
-# in r03, and the canaries. Next rotation (r07): the remaining 5 r03-latest
-# names (ngram_jaccard, ann_cosine_topk, ann_bucketed_topk, ann_ivf_topk,
-# similarity_match / dedup_keep_first / streaming_window tail) plus the
-# oldest of the r04 cohort.
+# in r03, and the canaries. Next rotation (r07): FIRST the six round-6
+# additions, never driver-checked (pdf15_extract, bpe_pair_stats,
+# global_offsets, pmi_collocations, label_propagation, kmeans_clusters —
+# all judge-verified via tools/oracle_check this round), then the
+# remaining 7 r03-latest names (ngram_jaccard, ann_cosine_topk,
+# ann_bucketed_topk, ann_ivf_topk, similarity_match, dedup_keep_first,
+# streaming_window), then the oldest of the r04 cohort.
 _WINDOW_FIRST = [
     # never driver-checked (added round 5; judge-verified 5/5 locally)
     "merge_pruned", "pdf_real_extract", "importance_resample",
