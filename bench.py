@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "label_propagation",
     "kmeans_clusters",
+    "phrase_merge",
 ]
 
 

@@ -53,6 +53,8 @@ __all__ = [
     "span_dedup",
     "bpe_pair_stats",
     "pmi_collocations",
+    "merge_adjacent_pair",
+    "phrase_merge_step",
 ]
 
 
@@ -976,3 +978,103 @@ def pmi_collocations(
         )
     )
     return scored.sort(F.col("pmi").desc(), "a", "b").limit(k)
+
+
+def merge_adjacent_pair(
+    docs: DataFrame,
+    a: str,
+    b: str,
+    *,
+    text_col: str = "text",
+    joiner: str = "_",
+) -> DataFrame:
+    """Merge every adjacent occurrence of token pair (``a``, ``b``) into
+    one ``a_b`` token, corpus-wide, left-to-right non-overlapping — the
+    apply half of a phrase-detection / BPE-style merge step. The fold is
+    a codegen ``aggregate`` over each document's token array into a
+    \\x01-delimited string (the delimiter makes the suffix test exact:
+    ``acc`` ends with ``\\x01a`` only when the LAST TOKEN is exactly
+    ``a``, never a token merely ending in ``a``), then one split back.
+    Left-to-right semantics: in ``a a b`` only the second-third tokens
+    merge; in ``a b a b`` both pairs merge.
+
+    Row-local (flat map on the scan, no shuffle at all) — returns
+    (tokens) with the merged ``array<string>`` per document plus the
+    original columns.
+    """
+    if not a or not b or "\x01" in a + b:
+        raise ValueError(f"invalid merge pair ({a!r}, {b!r})")
+    d = "\x01"
+    la, lb = F.lit(d + a), F.lit(d + b)
+    merged = F.aggregate(
+        F.transform(
+            F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != ""),
+            lambda t: F.concat(F.lit(d), t),
+        ),
+        F.lit(""),
+        lambda acc, x: F.when(
+            F.endswith(acc, la) & (x == lb),
+            F.concat(
+                F.substring(acc, 1, F.length(acc) - F.length(la)),
+                F.lit(d + a + joiner + b),
+            ),
+        ).otherwise(F.concat(acc, x)),
+    )
+    return docs.withColumn(
+        "tokens", F.filter(F.split(merged, d), lambda t: t != "")
+    )
+
+
+def phrase_merge_step(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """One phrase-detection training step (the word-level analog of a BPE
+    merge iteration; word2vec's phrase pass applies this greedily): find
+    the most frequent ADJACENT token bigram in the corpus (ties → lexical
+    smallest), merge every left-to-right occurrence into one ``a_b``
+    token via ``merge_adjacent_pair``, and return the top-``k`` token
+    counts of the re-tokenized corpus — the merged phrase surfaces as a
+    first-class token with its own count.
+
+    Physical shape at 100 TB: the bigram count is a flat-map + one
+    partial-aggregatable counter groupBy; the winning pair is a 1-row
+    TakeOrdered collect (counter-sized, the same driver touch every BPE
+    trainer makes per merge); the apply is row-local codegen; the final
+    count is another counter-only agg + TakeOrdered. Two corpus scans
+    total, no joins, no Python.
+    """
+    tk = F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "")
+    bigrams = (
+        docs.select(tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), i -> "
+                    "struct(element_at(tk, i) as a, element_at(tk, i + 1) as b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    top = (
+        bigrams.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .sort(F.col("n").desc(), "a", "b")
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        raise ValueError("phrase_merge_step: corpus has no adjacent bigrams")
+    a, b = top[0]["a"], top[0]["b"]
+    retok = merge_adjacent_pair(docs, a, b, text_col=text_col)
+    return (
+        retok.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .sort(F.col("n").desc(), "token")
+        .limit(k)
+    )

@@ -6136,6 +6136,37 @@ def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One phrase-detection merge step (corpus.phrase_merge_step): the
+    corpus's most frequent adjacent bigram merges into one a_b token
+    everywhere (left-to-right fold, \\x01-delimited suffix test), then
+    top-20 token counts of the re-tokenized corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return corpus.phrase_merge_step(docs, k=20)
+
+
+_ORACLE_PHRASE_MERGE = f"""
+with toks as (select list_filter({_DUCK_TOKENS.format(c='text')}, x -> x <> '') as tk
+              from documents),
+bg as (select tk[i] as a, tk[i + 1] as b
+       from (select tk, unnest(range(1, len(tk))) as i
+             from toks where len(tk) >= 2)),
+top1 as (select a, b from (
+           select a, b, count(*) as n from bg group by 1, 2
+           order by n desc, a, b limit 1)),
+merged as (select list_reduce(list_transform(tk, s -> chr(1) || s),
+                 (acc, x) -> case
+                   when ends_with(acc, chr(1) || a) and x = chr(1) || b
+                   then left(acc, len(acc) - len(a) - 1)
+                        || chr(1) || a || '_' || b
+                   else acc || x end) as m
+           from toks, top1 where len(tk) >= 1),
+newt as (select unnest(string_split(m, chr(1))) as token from merged),
+cnt as (select token, count(*) as n from newt where token <> '' group by 1)
+select token, n from cnt order by n desc, token limit 20
+"""
+
+
 def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd's k-means (similarity.kmeans_lloyd) over the
     embeddings table: first-8-by-id seeding, two assign→update rounds
@@ -6703,6 +6734,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "kmeans_clusters": QueryDef(
         _q_kmeans_clusters, _ORACLE_KMEANS,
         "deterministic Lloyd's k-means: broadcast assign + counter update"),
+    "phrase_merge": QueryDef(
+        _q_phrase_merge, _ORACLE_PHRASE_MERGE,
+        "phrase-detection merge step: top bigram folded into a_b tokens"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -306,9 +306,12 @@ def test_grouped_ols_matches_numpy(spark, pts):
 )
 def test_mini_pdf_roundtrip_property(pages, compress):
     """encode_mini_pdf → extract_pdf_pages is lossless for ARBITRARY page
-    text (pure-Python property — no Spark round-trip needed)."""
+    text (pure-Python property — no Spark round-trip needed), in BOTH
+    writer layouts: classic 1.4 xref table and 1.5 ObjStm + predictor-12
+    xref stream."""
     from restaurant_etl_code_spark.multimodal import minipdf
 
-    pdf = minipdf.encode_mini_pdf(pages, compress=compress)
-    got = minipdf.extract_pdf_pages(pdf)
-    assert [p["text"] for p in got] == pages
+    for pdf15 in (False, True):
+        pdf = minipdf.encode_mini_pdf(pages, compress=compress, pdf15=pdf15)
+        got = minipdf.extract_pdf_pages(pdf)
+        assert [p["text"] for p in got] == pages

@@ -567,3 +567,42 @@ def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
     out = {r["centroid_id"]: r["size"] for r in
            similarity.kmeans_lloyd(emb, n=2, iterations=2).collect()}
     assert out == {0: 6}
+
+
+def test_merge_adjacent_pair_fold_semantics(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b c"),      # only the SECOND a merges (left-to-right)
+            (2, "a b a b"),      # both occurrences merge
+            (3, "xa b"),         # 'xa' must NOT suffix-match 'a'
+            (4, "a"),            # single token untouched
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in corpus.merge_adjacent_pair(docs, "a", "b").collect()
+    }
+    assert got[1] == ["a", "a_b", "c"]
+    assert got[2] == ["a_b", "a_b"]
+    assert got[3] == ["xa", "b"]
+    assert got[4] == ["a"]
+    with pytest.raises(ValueError, match="invalid merge pair"):
+        corpus.merge_adjacent_pair(docs, "", "b")
+
+
+def test_phrase_merge_step_top_bigram(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, "new york is big and new york is old") for i in range(3)],
+        "doc_id int, text string",
+    )
+    got = {r["token"]: r["n"] for r in corpus.phrase_merge_step(docs, k=10).collect()}
+    # top bigram is (is, york)? counts: "new york" x6, "york is" x6, "is big" x3...
+    # ties between ("new","york") and ("york","is") at 6 → lexical smallest
+    # ("new","york") wins; merged token appears 6 times
+    assert got["new_york"] == 6
+    assert "new" not in got  # every 'new' was consumed by the merge

@@ -488,6 +488,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                   "Window", "BatchEvalPython", "MapInPandas"],
     },
+    "phrase_merge": {
+        # bigram mining + re-tokenized count are counter aggs; the merge
+        # fold is row-local codegen — no joins, no windows, no Python
+        "want": ["TakeOrderedAndProject", "partial_count"],
+        "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                  "Window", "BatchEvalPython", "MapInPandas"],
+    },
     "kmeans_clusters": {
         # per round: n-row centroid table broadcast into the corpus scan
         # (the BNLJ is the n-row attach, not a data-sized product); argmin
