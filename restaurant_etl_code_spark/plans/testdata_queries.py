@@ -6751,7 +6751,8 @@ _REGISTRY: dict[str, QueryDef] = {
 # (embedding_near_dup, dedup_clusters), 41 of the 46 queries last checked
 # in r03, and the canaries. Next rotation (r07): FIRST the six round-6
 # additions, never driver-checked (pdf15_extract, bpe_pair_stats,
-# global_offsets, pmi_collocations, label_propagation, kmeans_clusters —
+# global_offsets, pmi_collocations, label_propagation, kmeans_clusters,
+# phrase_merge —
 # all judge-verified via tools/oracle_check this round), then the
 # remaining 7 r03-latest names (ngram_jaccard, ann_cosine_topk,
 # ann_bucketed_topk, ann_ivf_topk, similarity_match, dedup_keep_first,
