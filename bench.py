@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "label_propagation",
     "kmeans_clusters",
     "phrase_merge",
+    "distribution_drift",
 ]
 
 

@@ -6136,6 +6136,47 @@ def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI/KL drift audit (audit.population_stability) between the first
+    and second halves of the orders table by date: o_totalprice binned at
+    width 20000, Laplace-smoothed shares, per-bin PSI and KL terms — the
+    monitoring signal a production pipeline alerts on when an upstream
+    data shift lands."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderdate") < F.lit("1995-01-01"))
+    cur = orders.filter(F.col("o_orderdate") >= F.lit("1995-01-01"))
+    return audit.population_stability(
+        ref, cur, "o_totalprice", bin_width=20000.0
+    )
+
+
+_ORACLE_DRIFT = """
+with r as (select cast(floor(o_totalprice / 20000.0) as bigint) as bin,
+                  count(*) as n_ref
+           from orders where o_orderdate < date '1995-01-01'
+             and o_totalprice is not null group by 1),
+c as (select cast(floor(o_totalprice / 20000.0) as bigint) as bin,
+             count(*) as n_cur
+      from orders where o_orderdate >= date '1995-01-01'
+        and o_totalprice is not null group by 1),
+j as (select coalesce(r.bin, c.bin) as bin,
+             coalesce(n_ref, 0) as n_ref, coalesce(n_cur, 0) as n_cur
+      from r full outer join c on r.bin = c.bin),
+t as (select sum(n_ref)::double as R, sum(n_cur)::double as C,
+             count(*)::double as B from j)
+select bin, n_ref, n_cur,
+       round((n_ref + 1.0) / (R + B), 6) as p_ref,
+       round((n_cur + 1.0) / (C + B), 6) as p_cur,
+       round(((n_cur + 1.0) / (C + B) - (n_ref + 1.0) / (R + B))
+             * ln(((n_cur + 1.0) / (C + B)) / ((n_ref + 1.0) / (R + B))), 6)
+           as psi_term,
+       round((n_cur + 1.0) / (C + B)
+             * ln(((n_cur + 1.0) / (C + B)) / ((n_ref + 1.0) / (R + B))), 6)
+           as kl_term
+from j cross join t
+"""
+
+
 def _q_phrase_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One phrase-detection merge step (corpus.phrase_merge_step): the
     corpus's most frequent adjacent bigram merges into one a_b token
@@ -6737,6 +6778,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "phrase_merge": QueryDef(
         _q_phrase_merge, _ORACLE_PHRASE_MERGE,
         "phrase-detection merge step: top bigram folded into a_b tokens"),
+    "distribution_drift": QueryDef(
+        _q_distribution_drift, _ORACLE_DRIFT,
+        "PSI/KL drift audit: counter-only bin shares, full-outer compare"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -6752,7 +6796,7 @@ _REGISTRY: dict[str, QueryDef] = {
 # in r03, and the canaries. Next rotation (r07): FIRST the six round-6
 # additions, never driver-checked (pdf15_extract, bpe_pair_stats,
 # global_offsets, pmi_collocations, label_propagation, kmeans_clusters,
-# phrase_merge —
+# phrase_merge, distribution_drift —
 # all judge-verified via tools/oracle_check this round), then the
 # remaining 7 r03-latest names (ngram_jaccard, ann_cosine_topk,
 # ann_bucketed_topk, ann_ivf_topk, similarity_match, dedup_keep_first,

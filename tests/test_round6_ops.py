@@ -606,3 +606,24 @@ def test_phrase_merge_step_top_bigram(spark):
     # ("new","york") wins; merged token appears 6 times
     assert got["new_york"] == 6
     assert "new" not in got  # every 'new' was consumed by the merge
+
+
+def test_population_stability_identical_and_shifted(spark):
+    from restaurant_etl_code_spark.operators import audit as audit_ops
+    import math
+
+    ref = spark.createDataFrame([(float(i % 10),) for i in range(1000)], "v double")
+    # identical distribution → every psi/kl term ≈ 0
+    out = audit_ops.population_stability(ref, ref, "v", bin_width=2.0).collect()
+    assert len(out) == 5
+    assert all(abs(r["psi_term"]) < 1e-9 and abs(r["kl_term"]) < 1e-9 for r in out)
+    # shifted distribution → positive total PSI, one-sided bins stay finite
+    cur = spark.createDataFrame([(float(i % 10) + 6,) for i in range(1000)], "v double")
+    rows = audit_ops.population_stability(ref, cur, "v", bin_width=2.0).collect()
+    psi = sum(r["psi_term"] for r in rows)
+    assert psi > 0.25  # a 6-unit shift on a 10-wide support is "shifted"
+    assert all(math.isfinite(r["psi_term"]) for r in rows)
+    bins = {r["bin"] for r in rows}
+    assert bins == {0, 1, 2, 3, 4, 5, 6, 7}  # union of both supports
+    with pytest.raises(ValueError, match="bin_width"):
+        audit_ops.population_stability(ref, ref, "v", bin_width=0)

@@ -488,6 +488,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                   "Window", "BatchEvalPython", "MapInPandas"],
     },
+    "distribution_drift": {
+        # two counter aggs (partial count on the bin id), counter-sized
+        # full-outer compare, scalar totals broadcast — snapshots never
+        # join row-to-row
+        "want": ["partial_count", "BroadcastNestedLoopJoin"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "Window",
+                  "MapInPandas"],
+    },
     "phrase_merge": {
         # bigram mining + re-tokenized count are counter aggs; the merge
         # fold is row-local codegen — no joins, no windows, no Python
