@@ -60,6 +60,7 @@ def enrich(
     output_fields: list[T.StructField],
     fallback_fn: Callable[[dict[str, Any]], dict[str, Any]],
     config: EnrichConfig | None = None,
+    widen: bool = True,
 ) -> DataFrame:
     """Append enrichment columns to ``df`` via an Arrow-batched stage.
 
@@ -68,6 +69,13 @@ def enrich(
     ``fallback_fn`` maps an input row dict to the output dict used when the
     backend exhausts retries (the reference's deterministic fallback row).
     The ``error_col`` string column is null on success.
+
+    ``widen=True`` (default) repartitions a narrow input to the session's
+    parallelism first — enrichment is the most latency-bound stage in the
+    pipeline, and a small parquet input otherwise arrives as ONE partition,
+    serializing every backend call behind a single task. Pass ``widen=False``
+    to keep the caller's partitioning (e.g. to control micro-batch grouping
+    exactly).
     """
     cfg = config or EnrichConfig()
     out_schema = T.StructType(
@@ -115,4 +123,7 @@ def enrich(
             res[cfg.error_col] = errors
             yield res
 
-    return df.mapInPandas(mapper, schema=out_schema)
+    from restaurant_etl_code_spark.operators._arrow import widen_for_codec
+
+    target = widen_for_codec(df, df.columns[0]) if widen else df
+    return target.mapInPandas(mapper, schema=out_schema)

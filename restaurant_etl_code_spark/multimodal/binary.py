@@ -210,17 +210,12 @@ class PagedPdfDecoder:
 
 
 def _widen_for_codec(df: DataFrame, key_col: str) -> DataFrame:
-    """Arrow codec stages are CPU-bound Python: a small parquet input
-    arrives as ONE scan partition (maxPartitionBytes), which would
-    serialize the entire encode/decode on a single core — the full
-    pdf_real_extract chain measured 8.5 s → 2.7 s just from widening. Repartition on
-    the asset id up to the session's parallelism when the input is
-    narrower; at real scale the scan is already wide and this is a no-op
-    (the check, not the shuffle, runs)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, F.col(key_col))
-    return df
+    """See operators._arrow.widen_for_codec — shared by every row-local
+    Arrow stage (codecs here, signatures in dedup, scorers in
+    similarity)."""
+    from restaurant_etl_code_spark.operators._arrow import widen_for_codec
+
+    return widen_for_codec(df, key_col)
 
 
 def pack_pages(

@@ -1,0 +1,29 @@
+"""Shared plumbing for Arrow-batched (mapInPandas) operator stages."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["widen_for_codec"]
+
+
+def widen_for_codec(df: DataFrame, key_col: str) -> DataFrame:
+    """Arrow codec/signature/scoring stages are CPU-bound Python: a small
+    parquet input arrives as ONE scan partition (maxPartitionBytes), which
+    would serialize the whole Python stage on a single core of the
+    cluster — the full pdf_real_extract chain measured 8.5 s → 2.7 s on
+    local[32] just from widening. Repartition on the row key up to the
+    session's parallelism when the input is narrower; at real scale the
+    scan is already wide and only the check runs, never the shuffle.
+
+    Only correct for ROW-LOCAL stages (each input row's output is
+    independent of partition placement) — every signature/codec/scoring
+    mapper here qualifies; per-partition SKETCHES (heavy_hitters' MG
+    summary) intentionally do NOT widen, because their value is staying
+    on the scan with zero shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key_col))
+    return df

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from restaurant_etl_code_spark.operators._arrow import widen_for_codec as _widen
 from restaurant_etl_code_spark.functions import text as Ftext
 
 __all__ = [
@@ -144,7 +145,9 @@ def minhash_signatures(
     schema = T.StructType(
         [id_field, T.StructField("signature", T.ArrayType(T.LongType()), False)]
     )
-    return df.select(id_col, text_col).mapInPandas(mapper, schema=schema)
+    return _widen(df.select(id_col, text_col), id_col).mapInPandas(
+        mapper, schema=schema
+    )
 
 
 def _check_band_geometry(num_hashes: int, bands: int, rows_per_band: int) -> None:
@@ -414,7 +417,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
             )
 
     schema = T.StructType([id_field, T.StructField("simhash", T.LongType(), True)])
-    return df.select(id_col, text_col).mapInPandas(mapper, schema=schema)
+    return _widen(df.select(id_col, text_col), id_col).mapInPandas(
+        mapper, schema=schema
+    )
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3) -> DataFrame:
@@ -444,7 +449,9 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3) 
             )
 
     schema = T.StructType([id_field, T.StructField("shingle", T.StringType(), False)])
-    return df.select(id_col, text_col).mapInPandas(mapper, schema=schema)
+    return _widen(df.select(id_col, text_col), id_col).mapInPandas(
+        mapper, schema=schema
+    )
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

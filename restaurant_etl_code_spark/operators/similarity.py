@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from restaurant_etl_code_spark.functions import vectors as V
+from restaurant_etl_code_spark.operators._arrow import widen_for_codec as _widen
 
 __all__ = [
     "cosine_topk",
@@ -142,7 +143,9 @@ def cosine_topk(
             T.StructField("score", T.DoubleType()),
         ]
     )
-    scored = corpus.select(corpus_id, corpus_vec).mapInPandas(mapper, schema=schema)
+    scored = _widen(corpus.select(corpus_id, corpus_vec), corpus_id).mapInPandas(
+        mapper, schema=schema
+    )
     return _ranked(scored, k, min_score)
 
 
@@ -317,7 +320,9 @@ def _all_pairs_near_dup_blas(
             T.StructField("score", T.DoubleType()),
         ]
     )
-    return df.select(id_col, vec_col).mapInPandas(mapper, schema=schema)
+    return _widen(df.select(id_col, vec_col), id_col).mapInPandas(
+        mapper, schema=schema
+    )
 
 
 # --------------------------------------------------------------------------
@@ -516,10 +521,10 @@ def assign_centroids(
         T.StructField(vec_col, T.ArrayType(T.DoubleType())),
         T.StructField("list_id", T.IntegerType()),
     ])
-    return (
-        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
-        .mapInPandas(mapper, schema=schema)
-    )
+    return _widen(
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)),
+        id_col,
+    ).mapInPandas(mapper, schema=schema)
 
 
 def semantic_dedup(

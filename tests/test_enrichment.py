@@ -71,11 +71,12 @@ def test_micro_batching_calls_backend_per_chunk(spark):
             return [{"gen_name": str(len(rows))} for _ in rows]
 
     out = enrich(
-        _staged(spark, n=70),
+        _staged(spark, n=70).coalesce(1),
         SizeStamp,
         [T.StructField("gen_name", T.StringType(), True)],
         lambda r: {"gen_name": None},
         EnrichConfig(micro_batch_size=30),
+        widen=False,  # pin one partition so the 30-row chunking is observable
     ).collect()
     sizes = sorted({int(r["gen_name"]) for r in out})
     assert sizes == [10, 30]  # 70 rows on one partition → 30+30+10
