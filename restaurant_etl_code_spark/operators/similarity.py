@@ -634,27 +634,34 @@ def kmeans_lloyd(
     centroid keeps its previous position. Fixed iterations + fixed
     tie-breaks = unrolled-SQL oracle, the same contract as ``pagerank``.
 
-    Physical shape at 100 TB: per round, assignment is a BROADCAST of
-    the n-row centroid table into the corpus scan (argmin via
-    min(struct(dist, id)) aggregate — no window); the update is a
-    posexplode to (centroid, dim, value) and ONE partial-aggregatable
-    avg keyed by (centroid, dim) — the shuffle carries n·dim counters,
-    never vectors; re-listification sorts n·dim rows. The corpus is
-    scanned once per round, nothing quadratic anywhere. The default
-    leaves the whole unroll LAZY (oracle-auditable single plan — fine
-    for the small fixed iteration counts the determinism contract is
-    for); pass ``checkpoint=True`` for deep iteration counts so each
-    round's n-row centroid table truncates lineage like ``pagerank``.
+    Physical shape at 100 TB: exactly the textbook Spark k-means. Per
+    round the n-row centroid table is COLLECTED to the driver (what
+    Spark ML's KMeans does — the centers are counter-sized by
+    construction) and the assignment becomes a LITERAL array expression
+    in the corpus scan: argmin = ``array_min`` over n (dist, id) structs,
+    codegen, ZERO shuffle — an earlier cut computed argmin as a
+    cross-join + groupBy(doc) aggregate, which re-shuffled every corpus
+    VECTOR each round (found in self-review); the update is a posexplode
+    to (centroid, dim, value) and one partial-aggregatable avg — the
+    only shuffle per round carries n·dim counters, never vectors. The
+    corpus is scanned twice per round (update agg + next assignment),
+    nothing quadratic anywhere. Rounds are eager (each collects n·dim
+    doubles), so lineage never deepens; ``checkpoint`` is accepted for
+    API stability but unnecessary.
 
     Returns (centroid_id, size, mean_d2): final cluster sizes and mean
     squared distance (6dp) — the inertia summary that verifies both the
     assignment and the update arithmetic.
     """
-    def d2(a, b):
+    def d2_lit(vec_col_expr, center):
+        arr = F.array(*[F.lit(float(x)) for x in center])
         return F.round(
             F.aggregate(
-                F.zip_with(a, b, lambda x, y: (x.cast("double") - y)
-                           * (x.cast("double") - y)),
+                F.zip_with(
+                    vec_col_expr,
+                    arr,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ),
@@ -662,46 +669,57 @@ def kmeans_lloyd(
         )
 
     vecs = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    cents = centroids_by_id(corpus, n=n, id_col=id_col, vec_col=vec_col).select(
-        "centroid_id", F.col("centroid").alias("__c")
-    )
+    # seed centers: counter-sized collect (n rows), like Spark ML's init
+    centers = {
+        int(r["centroid_id"]): [float(x) for x in r["centroid"]]
+        for r in centroids_by_id(
+            corpus, n=n, id_col=id_col, vec_col=vec_col
+        ).collect()
+    }
 
-    def assign(cdf: DataFrame) -> DataFrame:
-        scored = vecs.join(F.broadcast(cdf), F.lit(True)).select(
-            "__id", "__v", "centroid_id", d2(F.col("__v"), F.col("__c")).alias("__d2")
+    def assign(cs):
+        # argmin over literal (dist, id) structs — struct ordering is
+        # field-lexicographic, so array_min = (min dist, then min id)
+        cand = F.array(
+            *[
+                F.struct(
+                    d2_lit(F.col("__v"), c).alias("__d2"),
+                    F.lit(cid).alias("centroid_id"),
+                )
+                for cid, c in sorted(cs.items())
+            ]
         )
-        return scored.groupBy("__id").agg(
-            F.min(F.struct(F.col("__d2"), F.col("centroid_id"))).alias("__b"),
-            F.first("__v").alias("__v"),
-        ).select(
-            "__id", "__v",
-            F.col("__b.centroid_id").alias("centroid_id"),
-            F.col("__b.__d2").alias("__d2"),
+        best = F.array_min(cand)
+        return vecs.select(
+            "__id",
+            "__v",
+            best["centroid_id"].alias("centroid_id"),
+            best["__d2"].alias("__d2"),
         )
 
     for _ in range(iterations):
-        a = assign(cents)
-        upd = (
+        a = assign(centers)
+        upd_rows = (
             a.select("centroid_id", F.posexplode("__v").alias("__p", "__x"))
             .groupBy("centroid_id", "__p")
             .agg(F.round(F.avg(F.col("__x").cast("double")), 6).alias("__m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__p", "__m"))),
-                    lambda s: s["__m"],
-                ).alias("__newc")
+            .collect()
+        )  # n*dim counter rows — the volume Spark ML collects per round
+        new_centers = {}
+        for r in upd_rows:
+            new_centers.setdefault(int(r["centroid_id"]), {})[int(r["__p"])] = r[
+                "__m"
+            ]
+        centers = {
+            cid: (
+                [new_centers[cid][p] for p in sorted(new_centers[cid])]
+                if cid in new_centers
+                else old  # emptied centroid keeps its position
             )
-        )
-        # upd is n rows by construction — broadcast it so AQE never plans
-        # a sort-merge for the coalesce join mid-unroll
-        cents = cents.join(F.broadcast(upd), "centroid_id", "left").select(
-            "centroid_id", F.coalesce(F.col("__newc"), F.col("__c")).alias("__c")
-        )
-        if checkpoint:
-            cents = cents.localCheckpoint()
+            for cid, old in centers.items()
+        }
 
-    final = assign(cents)
+    final = assign(centers)
     return final.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("size"),
         F.round(F.avg("__d2"), 6).alias("mean_d2"),

@@ -504,13 +504,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                   "Window", "BatchEvalPython", "MapInPandas"],
     },
     "kmeans_clusters": {
-        # per round: n-row centroid table broadcast into the corpus scan
-        # (the BNLJ is the n-row attach, not a data-sized product); argmin
-        # is a partial_min aggregate (no per-vector window); the centroid
-        # update is a partial_avg counter agg keyed by (centroid, dim)
-        "want": ["BroadcastNestedLoopJoin", "partial_min", "partial_avg"],
-        "avoid": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
-                  "MapInPandas"],
+        # textbook Spark k-means: centers collected per round (n rows),
+        # assignment is a LITERAL array_min argmin in the scan — codegen,
+        # zero shuffle, NO join of any kind; the only shuffle is the
+        # (centroid, dim) partial_avg counter agg
+        "want": ["array_min", "partial_avg", "HashAggregate"],
+        "avoid": ["CartesianProduct", "SortMergeJoin",
+                  "BroadcastNestedLoopJoin", "BatchEvalPython",
+                  "MapInPandas", "Window"],
     },
     "label_propagation": {
         # like pagerank: per-round plans already ran and truncated; the
