@@ -922,9 +922,13 @@ def pmi_collocations(
     amplification, linear); the pair count is one partial-aggregatable
     groupBy keyed by the canonicalized (a, b) pair, so hot stop-word
     pairs collapse map-side; unigram margins are a vocabulary-sized
-    counter agg that BROADCASTS into the scoring join (twice, once per
-    side); top-k is TakeOrderedAndProject. No self-joins, no windows, no
-    Python anywhere.
+    counter agg joined back on the token key — a high-cardinality
+    equi-join that co-partitions at any scale. The margin join is NOT
+    hint-forced to broadcast: a 100 TB corpus's vocabulary is itself too
+    large to broadcast; AQE converts to broadcast automatically whenever
+    the vocabulary is actually small (the test-scale plan). Top-k is
+    TakeOrderedAndProject. No self-joins, no windows, no Python
+    anywhere.
 
     Returns (a, b, n_ab, pmi) with deterministic (pmi desc, a, b) order.
     """
@@ -955,13 +959,9 @@ def pmi_collocations(
     total = uni.agg(F.sum("n").alias("T"))
     scored = (
         pair_counts.join(
-            F.broadcast(uni.select(F.col("t").alias("a"), F.col("n").alias("n_a"))),
-            "a",
+            uni.select(F.col("t").alias("a"), F.col("n").alias("n_a")), "a"
         )
-        .join(
-            F.broadcast(uni.select(F.col("t").alias("b"), F.col("n").alias("n_b"))),
-            "b",
-        )
+        .join(uni.select(F.col("t").alias("b"), F.col("n").alias("n_b")), "b")
         .crossJoin(F.broadcast(total))
         .select(
             "a",
