@@ -24,6 +24,13 @@ def widen_for_codec(df: DataFrame, key_col: str) -> DataFrame:
     on the scan with zero shuffle.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # metadata-only probe: the planned partition COUNT. No job runs and
+        # no RDD API touches the data path — the computation stays entirely
+        # in DataFrame land; this is the one sanctioned .rdd appearance.
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:
+        return df  # streaming / unconvertible plans keep their partitioning
+    if n_parts < target:
         return df.repartition(target, F.col(key_col))
     return df

@@ -55,10 +55,13 @@ def global_offsets(
     two-phase distributed prefix sum instead:
 
     1. split the order domain into ``n_parts`` contiguous ranges via
-       ``approxQuantile`` boundaries (one bounded pass; Greenwald-Khanna,
-       deterministic — no sampling RNG, so the range assignment expression
-       is SAFE to re-evaluate, unlike ``repartitionByRange`` whose sampled
-       boundaries can differ between evaluations of the same plan);
+       ``approxQuantile`` boundaries (Greenwald-Khanna, deterministic —
+       no sampling RNG, so the range assignment expression is SAFE to
+       re-evaluate, unlike ``repartitionByRange`` whose sampled
+       boundaries can differ between evaluations of the same plan).
+       Three linear passes total: the quantile probe, the per-range
+       totals agg, and the ranged window itself — each column-pruned to
+       (order, cost);
     2. per-range exclusive running sums via a window PARTITIONED by range
        id (bounded per partition);
     3. per-range totals (one counter-sized agg, ≤ n_parts rows collected)
