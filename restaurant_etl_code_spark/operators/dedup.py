@@ -695,7 +695,7 @@ def connected_components(
     und = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Size the iteration's shuffles from the GRAPH, not the session: the
     # label/edge tables are usually orders of magnitude smaller than the
@@ -720,13 +720,13 @@ def connected_components(
     def part(df: DataFrame, key: str) -> DataFrame:
         return df.repartition(iter_parts, key)
 
-    und = part(und, "v").localCheckpoint()
+    und = part(und, "v").localCheckpoint(eager=False)
     labels = part(
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node")),
         "node",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(max_iter):
         nbr = (
             und.join(part(labels.select(F.col("node").alias("v"), "label"), "v"), "v")
@@ -757,7 +757,7 @@ def connected_components(
                 F.col("node"),
                 F.least(F.col("label"), F.coalesce("jump", "label")).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             part(jumped, "node")
