@@ -219,7 +219,8 @@ def _widen_for_codec(df: DataFrame, key_col: str) -> DataFrame:
 
 
 def pack_pages(
-    df: DataFrame, *, id_col: str, pages_col: str, encode_fn, modality: str = "pdf"
+    df: DataFrame, *, id_col: str, pages_col: str, encode_fn,
+    modality: str = "pdf", widen: bool = True
 ) -> DataFrame:
     """Generic ingest stage shared by every page-container codec: encode an
     ``array<string>`` pages column into bytes executor-side (Arrow batches)
@@ -245,13 +246,15 @@ def pack_pages(
                 }
             )
 
-    return _widen_for_codec(df.select(id_col, pages_col), id_col).mapInPandas(
-        mapper, schema=schema
-    )
+    staged = df.select(id_col, pages_col)
+    if widen:
+        staged = _widen_for_codec(staged, id_col)
+    return staged.mapInPandas(mapper, schema=schema)
 
 
 def explode_page_text(
-    assets: DataFrame, *, id_col: str, content_col: str, decode_fn
+    assets: DataFrame, *, id_col: str, content_col: str, decode_fn,
+    widen: bool = True
 ) -> DataFrame:
     """Generic S1/U1 decode stage shared by every page-container codec:
     explode content bytes into per-page TEXT rows (asset_id, page_index,
@@ -293,16 +296,21 @@ def explode_page_text(
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return _widen_for_codec(assets.select(id_col, content_col), id_col).mapInPandas(
-        mapper, schema=schema
-    )
+    staged = assets.select(id_col, content_col)
+    if widen:
+        staged = _widen_for_codec(staged, id_col)
+    return staged.mapInPandas(mapper, schema=schema)
 
 
 def pack_paged_pdf(df: DataFrame, *, id_col: str, pages_col: str) -> DataFrame:
     """Encode an ``array<string>`` pages column into container bytes —
     ``pack_pages`` with the paged-container codec."""
+    # the stand-in container is a header-cheap codec (struct pack of the
+    # page texts): per-row Python cost is tiny, so the widening shuffle
+    # costs more than the parallelism buys — widen only the REAL codecs
     return pack_pages(
-        df, id_col=id_col, pages_col=pages_col, encode_fn=encode_paged_pdf
+        df, id_col=id_col, pages_col=pages_col, encode_fn=encode_paged_pdf,
+        widen=False,
     )
 
 
@@ -315,6 +323,7 @@ def paged_pdf_text(assets: DataFrame, *, id_col: str = "asset_id",
         id_col=id_col,
         content_col=content_col,
         decode_fn=lambda b: [p.decode("utf-8") for p in _decode_paged_pdf(b)],
+        widen=False,  # header-cheap codec — see pack_paged_pdf
     )
 
 
