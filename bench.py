@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "phrase_merge",
     "distribution_drift",
+    "streaming_curation",
 ]
 
 

@@ -362,3 +362,63 @@ def read_latest_state(spark, state_path: str) -> DataFrame:
     if latest is None:
         raise FileNotFoundError(f"no state epochs under {state_path}")
     return spark.read.parquet(f"{state_path}/epoch={latest}")
+
+
+def curate_stream_to_merge_target(
+    streamed_docs: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 30,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """The production corpus-ingest loop, end to end: a document STREAM is
+    quality-gated (token-count floor — the cheap always-on gate; richer
+    scores compose the same way), content-fingerprinted (md5 of the
+    normalized text, the ``exact_dedup`` key), deduplicated, and upserted
+    by fingerprint into a partition-pruned BUCKETED merge target — so
+    ingest cost per micro-batch tracks the batch, not the corpus, and a
+    mid-swap crash heals on the next batch (``recover_merge_target`` runs
+    inside every bucketed merge).
+
+    Dedup semantics: within each micro-batch, one row per fingerprint
+    (min id + dup count); across batches the upsert is last-writer-per-
+    key — a re-ingested duplicate REPLACES its fingerprint row, exactly
+    the reference's upsert-by-id contract (K1/K9). With an
+    ``availableNow`` single-batch source this equals the global batch
+    dedup (the oracle-checked configuration).
+
+    Scale shape per batch: gate + fingerprint are row-local on the
+    stream; the dedup is one counter agg keyed by fingerprint; the merge
+    reads only the buckets the batch touches.
+    """
+    from restaurant_etl_code_spark.functions import text as Ftext
+    from restaurant_etl_code_spark.sources.sinks import (
+        merge_into_bucketed_parquet,
+    )
+
+    toks = F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "")
+    gated = streamed_docs.filter(F.size(toks) >= int(min_tokens)).select(
+        F.col(id_col), Ftext.fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        upserts = batch_df.groupBy("fingerprint").agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        merge_into_bucketed_parquet(
+            batch_df.sparkSession, target_path, upserts, ["fingerprint"],
+            n_buckets=n_buckets,
+        )
+
+    q = (
+        gated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

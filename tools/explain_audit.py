@@ -488,6 +488,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                   "Window", "BatchEvalPython", "MapInPandas"],
     },
+    "streaming_curation": {
+        # the ingest loop already RAN (foreachBatch merges during query
+        # construction, like pagerank's rounds); the audited frame is the
+        # bucketed-target read — partition-discovered parquet, layout col
+        # dropped
+        "want": ["FileScan parquet"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
+    },
     "distribution_drift": {
         # two counter aggs (partial count on the bin id), counter-sized
         # full-outer compare, scalar totals broadcast — snapshots never
