@@ -627,3 +627,51 @@ def test_population_stability_identical_and_shifted(spark):
     assert bins == {0, 1, 2, 3, 4, 5, 6, 7}  # union of both supports
     with pytest.raises(ValueError, match="bin_width"):
         audit_ops.population_stability(ref, ref, "v", bin_width=0)
+
+
+def test_curate_stream_to_merge_target_cross_batch(spark, tmp_path):
+    from restaurant_etl_code_spark.sources.sinks import read_bucketed
+    from restaurant_etl_code_spark.streaming import curate_stream_to_merge_target
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    long = " ".join(f"w{i}" for i in range(40))
+    short = "too short"
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # flat parquet FILES (not Spark output dirs) so the file stream tails
+    # them directly; batch 1: doc 1 + a short doc (gated out)
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": [long + " alpha", short]}),
+        str(landing / "f1.parquet"),
+    )
+    # batch 2: doc 3 duplicates doc 1's content, doc 4 is new
+    pq.write_table(
+        pa.table({"doc_id": [3, 4], "text": [long + " alpha", long + " beta"]}),
+        str(landing / "f2.parquet"),
+    )
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "4")
+    schema = "doc_id long, text string"
+    stream = (
+        child.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # force per-file micro-batches
+        .parquet(str(landing))
+    )
+    target = str(tmp_path / "curated")
+    curate_stream_to_merge_target(
+        stream, target, str(tmp_path / "ckpt"), min_tokens=30, n_buckets=8
+    )
+    got = {
+        r["fingerprint"]: (r["canonical_id"], r["n_dups"])
+        for r in read_bucketed(spark, target).collect()
+    }
+    # two distinct gated contents survive; the short doc never lands
+    assert len(got) == 2
+    ids = sorted(v[0] for v in got.values())
+    # "alpha" content: batch 2's row (doc 3) REPLACED batch 1's (doc 1) —
+    # last-writer-per-key upsert; "beta" is doc 4
+    assert ids == [3, 4] or ids == [1, 4]  # order of file pickup decides
+    assert all(v[1] == 1 for v in got.values())
