@@ -17,11 +17,12 @@ def widen_for_codec(df: DataFrame, key_col: str) -> DataFrame:
     session's parallelism when the input is narrower; at real scale the
     scan is already wide and only the check runs, never the shuffle.
 
-    Only correct for ROW-LOCAL stages (each input row's output is
-    independent of partition placement) — every signature/codec/scoring
-    mapper here qualifies; per-partition SKETCHES (heavy_hitters' MG
-    summary) intentionally do NOT widen, because their value is staying
-    on the scan with zero shuffle.
+    Only correct for stages whose RESULT is partitioning-independent —
+    every row-local signature/codec/scoring mapper trivially qualifies,
+    and so does heavy_hitters' per-partition MG sketch (its superset
+    guarantee holds under ANY partitioning; widening just parallelizes
+    the counting loop). A stage whose semantics depend on partition
+    boundaries must not use this.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:

@@ -217,8 +217,16 @@ def heavy_hitters(
         # persist + two-action formulation. That version leaked the cached
         # sketch into the returned plan (round-5 advisory); an intermediate
         # fix collected candidates from the cache but paid a third job.
+        # The input WIDENS first: the MG superset guarantee is
+        # partitioning-independent (any key with global count > N/(k+1)
+        # survives in whichever partition holds its mass), so spreading a
+        # single-partition scan across the session's cores only
+        # parallelizes the Python counting loop — and at real scale the
+        # scan is already wide, making the widen a no-op.
+        from restaurant_etl_code_spark.operators._arrow import widen_for_codec
+
         return (
-            df.select(F.col(key_col).alias("key"))
+            widen_for_codec(df.select(F.col(key_col).alias("key")), "key")
             .mapInPandas(mg_partition, schema=schema)
             .collect()
         )
@@ -240,13 +248,25 @@ def heavy_hitters(
     cand_keys = sorted(
         {r["key"] for r in rows if r["pcount"] is None and r["key"] is not None}
     )
-    candidates = df.sparkSession.createDataFrame(
-        [(c,) for c in cand_keys],
-        schema=StructType([StructField("key", key_field.dataType, True)]),
-    )
+    if len(cand_keys) <= 10_000:
+        # the candidate set compiles into an InSet scan predicate — the
+        # recount becomes scan+filter+agg with NO join operator at all
+        # (measured faster cold than broadcasting a parallelized local
+        # relation); candidates evaluate in the scan stage
+        pruned = df.filter(F.col(key_col).isin(cand_keys))
+    else:
+        # a huge candidate set (min_count path worst case: k·partitions)
+        # would bloat the plan as literals — ship it as a broadcast
+        # relation instead
+        candidates = df.sparkSession.createDataFrame(
+            [(c,) for c in cand_keys],
+            schema=StructType([StructField("key", key_field.dataType, True)]),
+        )
+        pruned = df.join(
+            F.broadcast(candidates), df[key_col] == candidates["key"], "left_semi"
+        )
     return (
-        df.join(F.broadcast(candidates), df[key_col] == candidates["key"], "left_semi")
-        .groupBy(key_col)
+        pruned.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > threshold)
         .withColumn("share", F.round(F.col("n") / F.lit(total), 6))

@@ -356,13 +356,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["Exchange hashpartitioning", "SortMergeJoin", "Window"],
     },
     "heavy_hitters": {
-        # the MG sketch (MapInPandas) now runs EAGERLY — its candidate
-        # keys are collected (bounded by k per partition) so the sketch
-        # cache can be unpersisted before returning (round-5 advisory);
-        # the returned plan is the exact recount: candidates broadcast
-        # back as LeftSemi, one key-wide aggregation
-        "want": ["LeftSemi", "BroadcastHashJoin", "HashAggregate"],
-        "avoid": ["CartesianProduct", "SortMergeJoin", "MapInPandas"],
+        # the MG sketch (MapInPandas) runs EAGERLY (single collected job,
+        # no persist — round-5 advisory); the returned plan is the exact
+        # recount with the candidate set compiled into the scan filter
+        # (isin/InSet — no join operator at all; a >10k candidate set
+        # falls back to a broadcast LeftSemi)
+        "want": ["HashAggregate", "Filter"],
+        "avoid": ["CartesianProduct", "SortMergeJoin", "MapInPandas",
+                  "BroadcastHashJoin"],
     },
     "bloom_prune_join": {
         # bitmap probe (getbit) must sit in the fact scan's Filter, BEFORE
