@@ -675,3 +675,37 @@ def test_curate_stream_to_merge_target_cross_batch(spark, tmp_path):
     # last-writer-per-key upsert; "beta" is doc 4
     assert ids == [3, 4] or ids == [1, 4]  # order of file pickup decides
     assert all(v[1] == 1 for v in got.values())
+
+
+def test_merge_adjacent_pair_matches_python_reference(spark):
+    """Randomized cross-check (fixed seed): the Spark string-fold merge
+    must equal a straightforward Python left-to-right merge for arbitrary
+    token streams over a tiny alphabet (maximizing adjacency collisions)."""
+    import random
+
+    from restaurant_etl_code_spark.operators import corpus
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "ab", "xa", "b_c"]
+    docs = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12))))
+        for i in range(60)
+    ]
+
+    def py_merge(tokens, a, b):
+        out = []
+        for t in tokens:
+            if out and out[-1] == a and t == b:
+                out[-1] = a + "_" + b
+            else:
+                out.append(t)
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in corpus.merge_adjacent_pair(df, "a", "b").collect()
+    }
+    for i, text in docs:
+        expected = py_merge([t for t in text.lower().split() if t], "a", "b")
+        assert got[i] == expected, (i, text, got[i], expected)
