@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "phrase_merge",
     "distribution_drift",
     "streaming_curation",
+    "pq_codes",
 ]
 
 

@@ -36,6 +36,8 @@ __all__ = [
     "centroids_by_id",
     "fit_centroids_kmeans",
     "kmeans_lloyd",
+    "kmeans_centers",
+    "pq_encode",
     "ivf_topk",
     "topk_recall",
 ]
@@ -653,52 +655,80 @@ def kmeans_lloyd(
     squared distance (6dp) — the inertia summary that verifies both the
     assignment and the update arithmetic.
     """
-    def d2_lit(vec_col_expr, center):
-        arr = F.array(*[F.lit(float(x)) for x in center])
-        return F.round(
-            F.aggregate(
-                F.zip_with(
-                    vec_col_expr,
-                    arr,
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            9,
-        )
-
+    centers = kmeans_centers(
+        corpus, n=n, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
     vecs = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    # seed centers: counter-sized collect (n rows), like Spark ML's init
+    final = _kmeans_assign(vecs, "__v", centers)
+    return final.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.round(F.avg("__d2"), 6).alias("mean_d2"),
+    )
+
+
+def _d2_lit(vec_col_expr, center):
+    """9dp-rounded squared L2 against a LITERAL center — codegen."""
+    arr = F.array(*[F.lit(float(x)) for x in center])
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                vec_col_expr,
+                arr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+
+
+def _kmeans_best(vec_expr, centers: dict):
+    """argmin struct over literal (dist, id) candidates — struct ordering
+    is field-lexicographic, so array_min = (min dist, then min id)."""
+    cand = F.array(
+        *[
+            F.struct(
+                _d2_lit(vec_expr, c).alias("__d2"),
+                F.lit(cid).alias("centroid_id"),
+            )
+            for cid, c in sorted(centers.items())
+        ]
+    )
+    return F.array_min(cand)
+
+
+def _kmeans_assign(vecs: DataFrame, vec_field: str, centers: dict) -> DataFrame:
+    best = _kmeans_best(F.col(vec_field), centers)
+    return vecs.select(
+        *vecs.columns,
+        best["centroid_id"].alias("centroid_id"),
+        best["__d2"].alias("__d2"),
+    )
+
+
+def kmeans_centers(
+    corpus: DataFrame,
+    *,
+    n: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The Lloyd loop behind ``kmeans_lloyd`` / ``pq_encode``, returning
+    the final centers as a plain ``{centroid_id: [floats]}`` dict (n·dim
+    doubles — counter-sized, the same thing Spark ML holds on the
+    driver). Same determinism contract: first-n-by-id seeding, 9dp
+    argmin, 6dp mean pre-rounding, empty clusters keep position."""
+    vecs = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     centers = {
         int(r["centroid_id"]): [float(x) for x in r["centroid"]]
         for r in centroids_by_id(
             corpus, n=n, id_col=id_col, vec_col=vec_col
         ).collect()
     }
-
-    def assign(cs):
-        # argmin over literal (dist, id) structs — struct ordering is
-        # field-lexicographic, so array_min = (min dist, then min id)
-        cand = F.array(
-            *[
-                F.struct(
-                    d2_lit(F.col("__v"), c).alias("__d2"),
-                    F.lit(cid).alias("centroid_id"),
-                )
-                for cid, c in sorted(cs.items())
-            ]
-        )
-        best = F.array_min(cand)
-        return vecs.select(
-            "__id",
-            "__v",
-            best["centroid_id"].alias("centroid_id"),
-            best["__d2"].alias("__d2"),
-        )
-
     for _ in range(iterations):
-        a = assign(centers)
+        a = _kmeans_assign(vecs, "__v", centers)
         upd_rows = (
             a.select("centroid_id", F.posexplode("__v").alias("__p", "__x"))
             .groupBy("centroid_id", "__p")
@@ -718,9 +748,59 @@ def kmeans_lloyd(
             )
             for cid, old in centers.items()
         }
+    return centers
 
-    final = assign(centers)
-    return final.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).alias("size"),
-        F.round(F.avg("__d2"), 6).alias("mean_d2"),
+
+def pq_encode(
+    corpus: DataFrame,
+    *,
+    m: int = 2,
+    k: int = 4,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) — the compression half of
+    IVF-PQ, the production ANN memory format: the ``dim`` dimensions
+    split into ``m`` equal subspaces, each subspace trains its own
+    ``k``-center codebook (the deterministic Lloyd loop above), and every
+    vector is encoded as its per-subspace nearest-center code — ``m``
+    small integers instead of ``dim`` floats (here 2×2 bits replacing
+    64×4 bytes; production uses m=8..64, k=256 for ~100× compression).
+    Per-subspace squared quantization error is reported per row — the
+    number that picks m/k.
+
+    Physical shape at 100 TB: codebook training is ``m`` short Lloyd
+    loops over SLICED vectors (each round: literal-argmin scan + an
+    (center, dim) counter agg — no corpus shuffle, see
+    ``kmeans_centers``); encoding is ONE pass with all ``m`` argmins as
+    literal expressions in the same codegen projection — zero shuffle,
+    zero joins. Deterministic end to end ⇒ unrolled-SQL oracle.
+
+    Returns (id_col, code_0..code_{m-1}, err_0..err_{m-1}) with codes in
+    [0, k) and 9dp-rounded per-subspace squared errors.
+    """
+    dim = len(
+        corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
     )
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sv"),
+        )
+        books.append(
+            kmeans_centers(
+                sliced, n=k, iterations=iterations, id_col=id_col,
+                vec_col="__sv",
+            )
+        )
+    cols = [F.col(id_col)]
+    for j, book in enumerate(books):
+        best = _kmeans_best(F.slice(F.col(vec_col), j * sub + 1, sub), book)
+        cols.append(best["centroid_id"].alias(f"code_{j}"))
+        cols.append(best["__d2"].alias(f"err_{j}"))
+    return corpus.select(*cols)

@@ -6136,6 +6136,66 @@ def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (similarity.pq_encode): the 64-dim embeddings
+    split into 2 subspaces, each with a 4-center codebook trained by one
+    deterministic Lloyd round; every vector encodes to 2 codes + its
+    per-subspace 9dp squared quantization error — IVF-PQ's compression
+    half, fully oracle-checked."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.pq_encode(emb, m=2, k=4, iterations=1)
+
+
+def _pq_oracle_subspace(lo: int, hi: int, tag: str) -> str:
+    """One unrolled subspace: seed → 1 Lloyd round → final code + error."""
+    return f"""
+s{tag} as (select vec_id,
+                  list_transform(list_slice(embedding, {lo}, {hi}),
+                                 z -> z::double) as sv
+           from v),
+c0{tag} as (select row_number() over (order by vec_id) - 1 as cid, sv as c
+            from (select vec_id, sv from s{tag} order by vec_id limit 4)),
+vv{tag} as (select vec_id, generate_subscripts(sv, 1) as p,
+                   unnest(sv) as x from s{tag}),
+cc0{tag} as (select cid, generate_subscripts(c, 1) as p, unnest(c) as y
+             from c0{tag}),
+d0{tag} as (select vec_id, cid, round(sum((x - y) * (x - y)), 9) as d2
+            from vv{tag} join cc0{tag} using (p) group by 1, 2),
+a0{tag} as (select vec_id, cid from (
+              select vec_id, cid,
+                     row_number() over (partition by vec_id
+                                        order by d2, cid) as rn
+              from d0{tag}) where rn = 1),
+u1{tag} as (select cid, p, round(avg(x), 6) as mval
+            from a0{tag} join vv{tag} using (vec_id) group by 1, 2),
+c1{tag} as (select c0{tag}.cid,
+                   coalesce((select list(u1{tag}.mval order by u1{tag}.p)
+                             from u1{tag}
+                             where u1{tag}.cid = c0{tag}.cid), c0{tag}.c) as c
+            from c0{tag}),
+cc1{tag} as (select cid, generate_subscripts(c, 1) as p, unnest(c) as y
+             from c1{tag}),
+d1{tag} as (select vec_id, cid, round(sum((x - y) * (x - y)), 9) as d2
+            from vv{tag} join cc1{tag} using (p) group by 1, 2),
+b{tag} as (select vec_id, cid, d2 from (
+             select vec_id, cid, d2,
+                    row_number() over (partition by vec_id
+                                       order by d2, cid) as rn
+             from d1{tag}) where rn = 1)"""
+
+
+_ORACLE_PQ = f"""
+with v as (select vec_id, embedding from embeddings),
+{_pq_oracle_subspace(1, 32, 'a').strip()},
+{_pq_oracle_subspace(33, 64, 'b').strip()}
+select v.vec_id,
+       ba.cid as code_0, ba.d2 as err_0,
+       bb.cid as code_1, bb.d2 as err_1
+from v join ba on ba.vec_id = v.vec_id
+       join bb on bb.vec_id = v.vec_id
+"""
+
+
 def _q_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming corpus ingest
     (streaming.curate_stream_to_merge_target): documents arrive as a file
@@ -6832,6 +6892,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "streaming_curation": QueryDef(
         _q_streaming_curation, _ORACLE_STREAMING_CURATION,
         "streaming ingest loop: gate → fingerprint dedup → bucketed MERGE"),
+    "pq_codes": QueryDef(
+        _q_pq_codes, _ORACLE_PQ,
+        "product quantization: per-subspace Lloyd codebooks + literal argmin"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -6847,7 +6910,7 @@ _REGISTRY: dict[str, QueryDef] = {
 # in r03, and the canaries. Next rotation (r07): FIRST the six round-6
 # additions, never driver-checked (pdf15_extract, bpe_pair_stats,
 # global_offsets, pmi_collocations, label_propagation, kmeans_clusters,
-# phrase_merge, distribution_drift, streaming_curation —
+# phrase_merge, distribution_drift, streaming_curation, pq_codes —
 # all judge-verified via tools/oracle_check this round), then the
 # remaining 7 r03-latest names (ngram_jaccard, ann_cosine_topk,
 # ann_bucketed_topk, ann_ivf_topk, similarity_match, dedup_keep_first,

@@ -709,3 +709,26 @@ def test_merge_adjacent_pair_matches_python_reference(spark):
     for i, text in docs:
         expected = py_merge([t for t in text.lower().split() if t], "a", "b")
         assert got[i] == expected, (i, text, got[i], expected)
+
+
+def test_pq_encode_reconstruction(spark):
+    from restaurant_etl_code_spark.operators import similarity
+
+    # 4-dim vectors in two tight 2-dim clusters per subspace
+    rows = []
+    for i in range(24):
+        lo = [0.0, 0.0] if i % 2 == 0 else [10.0, 10.0]
+        hi = [5.0, 5.0] if i % 3 == 0 else [-5.0, -5.0]
+        rows.append((i, [lo[0] + 0.01 * i, lo[1], hi[0], hi[1] + 0.01 * i]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           similarity.pq_encode(emb, m=2, k=2, iterations=2).collect()}
+    assert len(out) == 24
+    # subspace 0 codes split exactly by parity; quantization error small
+    codes0 = {i: out[i]["code_0"] for i in out}
+    assert len({codes0[i] for i in out if i % 2 == 0}) == 1
+    assert len({codes0[i] for i in out if i % 2 == 1}) == 1
+    assert codes0[0] != codes0[1]
+    assert all(out[i]["err_0"] < 1.0 and out[i]["err_1"] < 1.0 for i in out)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_encode(emb, m=3, k=2)

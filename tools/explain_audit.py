@@ -512,6 +512,15 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                   "Window", "BatchEvalPython", "MapInPandas"],
     },
+    "pq_codes": {
+        # all m argmins are literal array_min expressions in ONE codegen
+        # projection — encoding is join-free and shuffle-free (training
+        # rounds already ran eagerly, counter-sized collects)
+        "want": ["array_min"],
+        "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                  "BroadcastNestedLoopJoin", "Exchange hashpartitioning",
+                  "BatchEvalPython", "MapInPandas", "Window"],
+    },
     "kmeans_clusters": {
         # textbook Spark k-means: centers collected per round (n rows),
         # assignment is a LITERAL array_min argmin in the scan — codegen,
