@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "distribution_drift",
     "streaming_curation",
     "pq_codes",
+    "pq_adc_topk",
 ]
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "kmeans_lloyd",
     "kmeans_centers",
     "pq_encode",
+    "pq_adc_topk",
     "ivf_topk",
     "topk_recall",
 ]
@@ -804,3 +805,117 @@ def pq_encode(
         cols.append(best["centroid_id"].alias(f"code_{j}"))
         cols.append(best["__d2"].alias(f"err_{j}"))
     return corpus.select(*cols)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    m: int = 2,
+    k_centers: int = 4,
+    iterations: int = 1,
+    k: int = 3,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) over PQ codes — the search
+    half of IVF-PQ (Jégou et al. 2011 §IV): per query, a (m × k_centers)
+    table of exact query-slice→center distances is precomputed, and every
+    corpus vector's approximate distance is just the SUM of m table
+    lookups indexed by its codes — k·m adds per pair instead of ``dim``
+    multiply-adds, the arithmetic that makes billion-vector search fit a
+    memory budget.
+
+    Physical shape at 100 TB: codebooks train as in ``pq_encode`` (no
+    corpus shuffle); the query side is dimension-sized and COLLECTS (the
+    ``cosine_topk`` contract, fail-fast capped); corpus codes and all
+    per-query ADC sums evaluate as literal expressions in ONE codegen
+    projection over the corpus scan; the only shuffle is the final
+    per-query top-k window on |corpus|·|Q| scored rows — the same output
+    shape as brute force, reached without touching the vectors a second
+    time. Deterministic (9dp distances, id tie-breaks) ⇒ SQL oracle.
+
+    Returns (query_id, neighbor_id, adc, rank) — rank ≤ k by ascending
+    approximate squared distance.
+    """
+    dim = len(
+        corpus.select(corpus_vec).filter(F.col(corpus_vec).isNotNull()).first()[0]
+    )
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = corpus.select(
+            F.col(corpus_id),
+            F.slice(F.col(corpus_vec), j * sub + 1, sub).alias("__sv"),
+        )
+        books.append(
+            kmeans_centers(
+                sliced, n=k_centers, iterations=iterations,
+                id_col=corpus_id, vec_col="__sv",
+            )
+        )
+    probe = queries.select(query_id, query_vec).limit(max_query_rows + 1)
+    q_rows = probe.collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"pq_adc_topk collects the query side; it has > {max_query_rows} "
+            f"rows — shard the query side or use ivf_topk for corpus-sized "
+            f"query sides"
+        )
+    # per-query ADC tables: round exactly like the SQL twin (9dp)
+    tables = []
+    for qid, qvec in q_rows:
+        per_sub = []
+        for j, book in enumerate(books):
+            qs = [float(x) for x in qvec[j * sub : (j + 1) * sub]]
+            per_sub.append(
+                {
+                    cid: round(sum((a - b) * (a - b) for a, b in zip(qs, c)), 9)
+                    for cid, c in book.items()
+                }
+            )
+        tables.append((qid, per_sub))
+
+    code_cols = [
+        _kmeans_best(F.slice(F.col(corpus_vec), j * sub + 1, sub), book)[
+            "centroid_id"
+        ].alias(f"__code_{j}")
+        for j, book in enumerate(books)
+    ]
+    coded = corpus.select(F.col(corpus_id).alias("neighbor_id"), *code_cols)
+
+    def adc_expr(per_sub):
+        total = F.lit(0.0)
+        for j, table in enumerate(per_sub):
+            lut = F.array(*[F.lit(table[c]) for c in sorted(table)])
+            total = total + F.element_at(lut, F.col(f"__code_{j}") + 1)
+        return F.round(total, 9)
+
+    scored = coded.select(
+        "neighbor_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).alias("query_id"),
+                        adc_expr(per_sub).alias("adc"),
+                    )
+                    for qid, per_sub in tables
+                ]
+            )
+        ).alias("__q"),
+    ).select(F.col("__q.query_id"), "neighbor_id", F.col("__q.adc"))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

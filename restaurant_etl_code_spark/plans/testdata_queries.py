@@ -6196,6 +6196,43 @@ from v join ba on ba.vec_id = v.vec_id
 """
 
 
+def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes (similarity.pq_adc_topk): every 50th
+    vector queries the corpus; distances are m table lookups per pair
+    (the IVF-PQ search arithmetic), top-3 per query by ascending
+    approximate squared distance."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.pq_adc_topk(q, emb, m=2, k_centers=4, iterations=1, k=3)
+
+
+_ORACLE_PQ_ADC = f"""
+with v as (select vec_id, embedding from embeddings),
+{_pq_oracle_subspace(1, 32, 'a').strip()},
+{_pq_oracle_subspace(33, 64, 'b').strip()},
+q as (select vec_id as qid, embedding from v where vec_id % 50 = 0),
+qsa as (select qid, list_transform(list_slice(embedding, 1, 32),
+                                   z -> z::double) as sv from q),
+qsb as (select qid, list_transform(list_slice(embedding, 33, 64),
+                                   z -> z::double) as sv from q),
+qva as (select qid, generate_subscripts(sv, 1) as p, unnest(sv) as x from qsa),
+qvb as (select qid, generate_subscripts(sv, 1) as p, unnest(sv) as x from qsb),
+ta as (select qid, cid, round(sum((x - y) * (x - y)), 9) as d
+       from qva join cc1a using (p) group by 1, 2),
+tb as (select qid, cid, round(sum((x - y) * (x - y)), 9) as d
+       from qvb join cc1b using (p) group by 1, 2),
+adc as (select ta.qid, ba.vec_id as nid, round(ta.d + tb.d, 9) as adc
+        from ba join bb using (vec_id)
+        join ta on ta.cid = ba.cid
+        join tb on tb.cid = bb.cid and tb.qid = ta.qid
+        where ba.vec_id <> ta.qid)
+select qid as query_id, nid as neighbor_id, adc, rank from (
+  select qid, nid, adc,
+         row_number() over (partition by qid order by adc, nid) as rank
+  from adc) where rank <= 3
+"""
+
+
 def _q_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming corpus ingest
     (streaming.curate_stream_to_merge_target): documents arrive as a file
@@ -6895,6 +6932,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "pq_codes": QueryDef(
         _q_pq_codes, _ORACLE_PQ,
         "product quantization: per-subspace Lloyd codebooks + literal argmin"),
+    "pq_adc_topk": QueryDef(
+        _q_pq_adc_topk, _ORACLE_PQ_ADC,
+        "IVF-PQ search half: ADC table-lookup top-k over PQ codes"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -6910,7 +6950,7 @@ _REGISTRY: dict[str, QueryDef] = {
 # in r03, and the canaries. Next rotation (r07): FIRST the six round-6
 # additions, never driver-checked (pdf15_extract, bpe_pair_stats,
 # global_offsets, pmi_collocations, label_propagation, kmeans_clusters,
-# phrase_merge, distribution_drift, streaming_curation, pq_codes —
+# phrase_merge, distribution_drift, streaming_curation, pq_codes, pq_adc_topk —
 # all judge-verified via tools/oracle_check this round), then the
 # remaining 7 r03-latest names (ngram_jaccard, ann_cosine_topk,
 # ann_bucketed_topk, ann_ivf_topk, similarity_match, dedup_keep_first,

@@ -732,3 +732,22 @@ def test_pq_encode_reconstruction(spark):
     assert all(out[i]["err_0"] < 1.0 and out[i]["err_1"] < 1.0 for i in out)
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_encode(emb, m=3, k=2)
+
+
+def test_pq_adc_topk_recovers_near_neighbors(spark):
+    from restaurant_etl_code_spark.operators import similarity
+
+    # two far-apart clusters; ADC must rank same-cluster vectors first
+    rows = []
+    for i in range(20):
+        base = [0.0] * 4 if i % 2 == 0 else [50.0] * 4
+        rows.append((i, [base[j] + 0.1 * (i % 5) for j in range(4)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id in (0, 1)")
+    out = similarity.pq_adc_topk(
+        q, emb, m=2, k_centers=2, iterations=2, k=4
+    ).collect()
+    for r in out:
+        assert r["query_id"] % 2 == r["neighbor_id"] % 2  # same cluster
+        assert r["adc"] < 10.0
+    assert {r["query_id"] for r in out} == {0, 1}

@@ -521,6 +521,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                   "BroadcastNestedLoopJoin", "Exchange hashpartitioning",
                   "BatchEvalPython", "MapInPandas", "Window"],
     },
+    "pq_adc_topk": {
+        # corpus codes + all per-query ADC sums are literal expressions
+        # in one projection (array_min codes, element_at lookups); the
+        # only shuffle is the per-query top-k window (WindowGroupLimit)
+        "want": ["array_min", "element_at", "WindowGroupLimit"],
+        "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                  "BatchEvalPython", "MapInPandas"],
+    },
     "kmeans_clusters": {
         # textbook Spark k-means: centers collected per round (n rows),
         # assignment is a LITERAL array_min argmin in the scan — codegen,

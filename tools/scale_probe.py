@@ -63,7 +63,7 @@ PROBE = [
     # two-phase global prefix offsets
     "pdf15_extract", "bpe_pair_stats", "global_offsets",
     "pmi_collocations", "label_propagation", "kmeans_clusters",
-    "phrase_merge", "distribution_drift", "pq_codes",
+    "phrase_merge", "distribution_drift", "pq_codes", "pq_adc_topk",
     # dedup_recall is intentionally NOT probed here: its exact ground-truth
     # branch is quadratic by design (documented sample-scale audit) and
     # would be a guaranteed false super-linear flag at larger K
