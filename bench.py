@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "streaming_curation",
     "pq_codes",
     "pq_adc_topk",
+    "ivfpq_topk",
 ]
 
 

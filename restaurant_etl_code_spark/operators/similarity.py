@@ -39,6 +39,7 @@ __all__ = [
     "kmeans_centers",
     "pq_encode",
     "pq_adc_topk",
+    "ivfpq_topk",
     "ivf_topk",
     "topk_recall",
 ]
@@ -918,4 +919,141 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    m: int = 2,
+    k_centers: int = 4,
+    pq_iterations: int = 1,
+    coarse_iterations: int = 0,
+    k: int = 3,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """IVF-PQ — the combined production ANN index (Jégou et al. 2011):
+    a coarse quantizer routes every corpus vector into one of ``n_lists``
+    inverted lists; each query probes only its ``nprobe`` nearest lists
+    and ranks candidates by ADC table lookups over their PQ codes. This
+    is the scale answer to plain ADC's |corpus|·|queries| pair growth:
+    the probed fraction cuts the candidate set by ``nprobe / n_lists``
+    BEFORE any per-pair arithmetic, and the per-pair arithmetic is m
+    lookups. (Simplification, documented: codes quantize the RAW vectors,
+    not the coarse residuals — residual PQ sharpens recall but the plan
+    shape is identical.)
+
+    ``coarse_iterations=0`` keeps the coarse quantizer at its
+    deterministic first-n-by-id seeds (the ``centroids_by_id`` oracle
+    contract); production passes >0 for trained lists — same machinery.
+
+    Physical shape at 100 TB: list routing + codes + every per-query
+    (probe-gate, ADC) pair are literal expressions in ONE codegen
+    projection over the corpus scan; non-probed pairs are filtered IN
+    the scan stage before the only shuffle (the per-query top-k window,
+    now over the probed fraction instead of everything).
+
+    Returns (query_id, neighbor_id, list_id, adc, rank).
+    """
+    dim = len(
+        corpus.select(corpus_vec).filter(F.col(corpus_vec).isNotNull()).first()[0]
+    )
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    coarse = kmeans_centers(
+        corpus, n=n_lists, iterations=coarse_iterations,
+        id_col=corpus_id, vec_col=corpus_vec,
+    )
+    books = []
+    for j in range(m):
+        sliced = corpus.select(
+            F.col(corpus_id),
+            F.slice(F.col(corpus_vec), j * sub + 1, sub).alias("__sv"),
+        )
+        books.append(
+            kmeans_centers(
+                sliced, n=k_centers, iterations=pq_iterations,
+                id_col=corpus_id, vec_col="__sv",
+            )
+        )
+    probe = queries.select(query_id, query_vec).limit(max_query_rows + 1)
+    q_rows = probe.collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ivfpq_topk collects the query side; it has > {max_query_rows} "
+            f"rows — shard the query batch"
+        )
+    plans = []  # (qid, probed list ids, per-subspace ADC tables)
+    for qid, qvec in q_rows:
+        qd = [float(x) for x in qvec]
+        dists = sorted(
+            (
+                (round(sum((a - b) * (a - b) for a, b in zip(qd, c)), 9), cid)
+                for cid, c in coarse.items()
+            )
+        )
+        probed = sorted(cid for _, cid in dists[:nprobe])
+        per_sub = []
+        for j, book in enumerate(books):
+            qs = qd[j * sub : (j + 1) * sub]
+            per_sub.append(
+                {
+                    cid: round(sum((a - b) * (a - b) for a, b in zip(qs, c)), 9)
+                    for cid, c in book.items()
+                }
+            )
+        plans.append((qid, probed, per_sub))
+
+    list_col = _kmeans_best(F.col(corpus_vec), coarse)["centroid_id"]
+    code_cols = [
+        _kmeans_best(F.slice(F.col(corpus_vec), j * sub + 1, sub), book)[
+            "centroid_id"
+        ].alias(f"__code_{j}")
+        for j, book in enumerate(books)
+    ]
+    coded = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), list_col.alias("list_id"), *code_cols
+    )
+
+    def adc_expr(per_sub):
+        total = F.lit(0.0)
+        for j, table in enumerate(per_sub):
+            lut = F.array(*[F.lit(table[c]) for c in sorted(table)])
+            total = total + F.element_at(lut, F.col(f"__code_{j}") + 1)
+        return F.round(total, 9)
+
+    scored = coded.select(
+        "neighbor_id",
+        "list_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).alias("query_id"),
+                        F.col("list_id").isin(probed).alias("__probed"),
+                        adc_expr(per_sub).alias("adc"),
+                    )
+                    for qid, probed, per_sub in plans
+                ]
+            )
+        ).alias("__q"),
+    ).filter(F.col("__q.__probed")).select(
+        F.col("__q.query_id"), "neighbor_id", "list_id", F.col("__q.adc")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "list_id", "adc", "rank")
     )

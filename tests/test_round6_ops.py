@@ -751,3 +751,23 @@ def test_pq_adc_topk_recovers_near_neighbors(spark):
         assert r["query_id"] % 2 == r["neighbor_id"] % 2  # same cluster
         assert r["adc"] < 10.0
     assert {r["query_id"] for r in out} == {0, 1}
+
+
+def test_ivfpq_topk_prunes_and_matches_clusters(spark):
+    from restaurant_etl_code_spark.operators import similarity
+
+    rows = []
+    for i in range(24):
+        base = [0.0] * 4 if i % 2 == 0 else [50.0] * 4
+        rows.append((i, [base[j] + 0.1 * (i % 6) for j in range(4)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id in (0, 1)")
+    out = similarity.ivfpq_topk(
+        q, emb, n_lists=2, nprobe=1, m=2, k_centers=2,
+        pq_iterations=2, coarse_iterations=2, k=4
+    ).collect()
+    assert {r["query_id"] for r in out} == {0, 1}
+    for r in out:
+        # single-probe on a 2-cluster corpus: neighbors come from the
+        # query's own cluster only
+        assert r["query_id"] % 2 == r["neighbor_id"] % 2

@@ -529,6 +529,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                   "BatchEvalPython", "MapInPandas"],
     },
+    "ivfpq_topk": {
+        # list routing, codes, probe gates and ADC sums all evaluate as
+        # literal expressions in the corpus scan; non-probed pairs filter
+        # BEFORE the only shuffle (the per-query top-k window)
+        "want": ["array_min", "element_at", "WindowGroupLimit"],
+        "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                  "BatchEvalPython", "MapInPandas"],
+    },
     "kmeans_clusters": {
         # textbook Spark k-means: centers collected per round (n rows),
         # assignment is a LITERAL array_min argmin in the scan — codegen,
