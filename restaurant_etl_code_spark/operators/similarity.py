@@ -926,7 +926,7 @@ def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
     *,
-    n_lists: int = 8,
+    n_lists: int | str = 8,
     nprobe: int = 2,
     m: int = 2,
     k_centers: int = 4,
@@ -969,6 +969,15 @@ def ivfpq_topk(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
+    if n_lists == "auto":
+        # the fixed-list-count trap is the nbits/n_buckets trap again:
+        # probed candidate work is n·nprobe/n_lists, so a constant
+        # n_lists loses its cut as the corpus grows. The standard
+        # heuristic n_lists ≈ √n keeps probed work ∝ √n per query.
+        import math as _math
+
+        n = corpus.count()
+        n_lists = max(8, min(1 << 16, int(_math.isqrt(max(n, 1)))))
     coarse = kmeans_centers(
         corpus, n=n_lists, iterations=coarse_iterations,
         id_col=corpus_id, vec_col=corpus_vec,
