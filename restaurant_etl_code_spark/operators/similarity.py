@@ -729,6 +729,8 @@ def kmeans_centers(
             corpus, n=n, id_col=id_col, vec_col=vec_col
         ).collect()
     }
+    if not centers:
+        raise ValueError("kmeans_centers: empty corpus (no seed vectors)")
     for _ in range(iterations):
         a = _kmeans_assign(vecs, "__v", centers)
         upd_rows = (
@@ -782,9 +784,10 @@ def pq_encode(
     Returns (id_col, code_0..code_{m-1}, err_0..err_{m-1}) with codes in
     [0, k) and 9dp-rounded per-subspace squared errors.
     """
-    dim = len(
-        corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
-    )
+    head = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if head is None:
+        raise ValueError("empty corpus (no non-null vectors)")
+    dim = len(head[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
@@ -843,9 +846,10 @@ def pq_adc_topk(
     Returns (query_id, neighbor_id, adc, rank) — rank ≤ k by ascending
     approximate squared distance.
     """
-    dim = len(
-        corpus.select(corpus_vec).filter(F.col(corpus_vec).isNotNull()).first()[0]
-    )
+    head = corpus.select(corpus_vec).filter(F.col(corpus_vec).isNotNull()).first()
+    if head is None:
+        raise ValueError("empty corpus (no non-null vectors)")
+    dim = len(head[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
@@ -963,9 +967,10 @@ def ivfpq_topk(
 
     Returns (query_id, neighbor_id, list_id, adc, rank).
     """
-    dim = len(
-        corpus.select(corpus_vec).filter(F.col(corpus_vec).isNotNull()).first()[0]
-    )
+    head = corpus.select(corpus_vec).filter(F.col(corpus_vec).isNotNull()).first()
+    if head is None:
+        raise ValueError("empty corpus (no non-null vectors)")
+    dim = len(head[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m

@@ -321,6 +321,21 @@ def recover_merge_target(target_path: str) -> bool:
     every ``merge_into_bucketed_parquet`` / ``cdc_merge_into_bucketed_parquet``,
     so a crashed merge heals on the next merge (or on an explicit call)."""
     manifest = os.path.join(target_path, _COMMIT_MANIFEST)
+    # refuse to recover (or sweep) under a LIVE merge — its tmp dir is in
+    # active use; dead-process locks were already reclaimable, so only a
+    # genuinely concurrent writer trips this
+    lock = os.path.join(target_path, _MERGE_LOCK)
+    if os.path.exists(lock):
+        try:
+            with open(lock) as fh:
+                pid = int(json.load(fh).get("pid", -1))
+        except Exception:
+            pid = -1
+        if pid > 0 and pid != os.getpid() and _pid_alive(pid):
+            raise ValueError(
+                f"merge in progress on {target_path} (live pid {pid}); "
+                "recovery would race its scratch dirs — retry after it"
+            )
     acted = False
     if os.path.exists(manifest):
         with open(manifest) as fh:
