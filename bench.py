@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "pq_codes",
     "pq_adc_topk",
     "ivfpq_topk",
+    "ivfpq_recall",
 ]
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "ivfpq_topk",
+    "l2_topk",
     "ivf_topk",
     "topk_recall",
 ]
@@ -1070,4 +1071,54 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "list_id", "adc", "rank")
+    )
+
+
+def l2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 3,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Exact brute-force squared-L2 top-k — the ground truth the PQ/ADC
+    family approximates (cosine_topk's metric twin; same collected-query
+    contract and fail-fast cap). Distances round to 9dp with neighbor-id
+    tie-breaks, so the ranking is engine-exact.
+
+    Returns (query_id, neighbor_id, d2, rank)."""
+    probe = queries.select(query_id, query_vec).limit(max_query_rows + 1)
+    q_rows = probe.collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"l2_topk collects the query side; it has > {max_query_rows} rows"
+        )
+    scored = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).alias("query_id"),
+                        _d2_lit(
+                            F.col(corpus_vec), [float(x) for x in qvec]
+                        ).alias("d2"),
+                    )
+                    for qid, qvec in q_rows
+                ]
+            )
+        ).alias("__q"),
+    ).select(F.col("__q.query_id"), "neighbor_id", F.col("__q.d2"))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d2", "rank")
     )

@@ -6246,8 +6246,8 @@ def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_IVFPQ = f"""
-with v as (select vec_id, embedding from embeddings),
+_IVFPQ_CHAIN = f"""
+v as (select vec_id, embedding from embeddings),
 cf as (select row_number() over (order by vec_id) - 1 as lid,
               list_transform(embedding, z -> z::double) as c
        from (select vec_id, embedding from v order by vec_id limit 8)),
@@ -6291,10 +6291,59 @@ adc as (select ta.qid, ba.vec_id as nid, lists.lid,
         join tb on tb.cid = bb.cid and tb.qid = ta.qid
         join probed on probed.qid = ta.qid and probed.lid = lists.lid
         where ba.vec_id <> ta.qid)
+"""
+
+
+_ORACLE_IVFPQ = f"""
+with {_IVFPQ_CHAIN.strip()}
 select qid as query_id, nid as neighbor_id, lid as list_id, adc, rank from (
   select qid, nid, lid, adc,
          row_number() over (partition by qid order by adc, nid) as rank
   from adc) where rank <= 3
+"""
+
+
+def _q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the combined IVF-PQ index against exact squared-L2
+    ground truth (similarity.l2_topk) — the measurement that justifies
+    (or indicts) the n_lists/nprobe/m/k_centers configuration, the PQ
+    twin of ann_recall. Both rankings are queries×k relations; the audit
+    is one equi-join + per-query counts."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = similarity.ivfpq_topk(
+        q, emb, n_lists=8, nprobe=2, m=2, k_centers=4, pq_iterations=1, k=3
+    )
+    exact = similarity.l2_topk(q, emb, k=3)
+    return similarity.topk_recall(approx, exact)
+
+
+_ORACLE_IVFPQ_RECALL = f"""
+with {_IVFPQ_CHAIN.strip()},
+approx as (select qid, nid from (
+             select qid, nid,
+                    row_number() over (partition by qid
+                                       order by adc, nid) as rank
+             from adc) where rank <= 3),
+de as (select q.qid, vvf.vec_id as nid,
+              round(sum((qvf.x - vvf.x) * (qvf.x - vvf.x)), 9) as d2
+       from qvf join vvf using (p)
+       join q on q.qid = qvf.qid
+       where vvf.vec_id <> qvf.qid and qvf.qid = q.qid
+       group by 1, 2),
+exact as (select qid, nid from (
+            select qid, nid,
+                   row_number() over (partition by qid
+                                      order by d2, nid) as rank
+            from de) where rank <= 3)
+select e.qid as query_id,
+       count(*) as n_exact,
+       sum(case when a.nid is not null then 1 else 0 end) as n_hit,
+       round(sum(case when a.nid is not null then 1 else 0 end)
+             / count(*), 6) as recall
+from exact e
+left join approx a on a.qid = e.qid and a.nid = e.nid
+group by 1
 """
 
 
@@ -7011,6 +7060,9 @@ _REGISTRY: dict[str, QueryDef] = {
     "ivfpq_topk": QueryDef(
         _q_ivfpq_topk, _ORACLE_IVFPQ,
         "combined IVF-PQ: probed-list pruning in the scan, then ADC rank"),
+    "ivfpq_recall": QueryDef(
+        _q_ivfpq_recall, _ORACLE_IVFPQ_RECALL,
+        "recall@3 of IVF-PQ vs exact L2 — the m/k/nprobe justification"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -7026,7 +7078,7 @@ _REGISTRY: dict[str, QueryDef] = {
 # in r03, and the canaries. Next rotation (r07): FIRST the six round-6
 # additions, never driver-checked (pdf15_extract, bpe_pair_stats,
 # global_offsets, pmi_collocations, label_propagation, kmeans_clusters,
-# phrase_merge, distribution_drift, streaming_curation, pq_codes, pq_adc_topk, ivfpq_topk —
+# phrase_merge, distribution_drift, streaming_curation, pq_codes, pq_adc_topk, ivfpq_topk, ivfpq_recall —
 # all judge-verified via tools/oracle_check this round), then the
 # remaining 7 r03-latest names (ngram_jaccard, ann_cosine_topk,
 # ann_bucketed_topk, ann_ivf_topk, similarity_match, dedup_keep_first,

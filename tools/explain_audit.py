@@ -537,6 +537,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                   "BatchEvalPython", "MapInPandas"],
     },
+    "ivfpq_recall": {
+        # both rankings are queries×k relations (AQE broadcasts the
+        # smaller); the audit is integer counts off one equi-join
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
+    },
     "kmeans_clusters": {
         # textbook Spark k-means: centers collected per round (n rows),
         # assignment is a LITERAL array_min argmin in the scan — codegen,
