@@ -6146,7 +6146,7 @@ def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_encode(emb, m=2, k=4, iterations=1)
 
 
-def _pq_oracle_subspace(lo: int, hi: int, tag: str) -> str:
+def _pq_oracle_subspace(lo: int, hi: int, tag: str, k: int = 4) -> str:
     """One unrolled subspace: seed → 1 Lloyd round → final code + error."""
     return f"""
 s{tag} as (select vec_id,
@@ -6154,7 +6154,7 @@ s{tag} as (select vec_id,
                                  z -> z::double) as sv
            from v),
 c0{tag} as (select row_number() over (order by vec_id) - 1 as cid, sv as c
-            from (select vec_id, sv from s{tag} order by vec_id limit 4)),
+            from (select vec_id, sv from s{tag} order by vec_id limit {k})),
 vv{tag} as (select vec_id, generate_subscripts(sv, 1) as p,
                    unnest(sv) as x from s{tag}),
 cc0{tag} as (select cid, generate_subscripts(c, 1) as p, unnest(c) as y
@@ -6246,7 +6246,11 @@ def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVFPQ_CHAIN = f"""
+def _ivfpq_chain(k_centers: int = 4, nprobe: int = 2) -> str:
+    """The shared IVF-PQ oracle WITH-body, parametrized so the topk query
+    (mechanism proof, tiny codebooks) and the recall audit (discriminative
+    codebooks) render their own instances."""
+    return f"""
 v as (select vec_id, embedding from embeddings),
 cf as (select row_number() over (order by vec_id) - 1 as lid,
               list_transform(embedding, z -> z::double) as c
@@ -6261,8 +6265,8 @@ lists as (select vec_id, lid from (
                    row_number() over (partition by vec_id
                                       order by d2, lid) as rn
             from df) where rn = 1),
-{_pq_oracle_subspace(1, 32, 'a').strip()},
-{_pq_oracle_subspace(33, 64, 'b').strip()},
+{_pq_oracle_subspace(1, 32, 'a', k=k_centers).strip()},
+{_pq_oracle_subspace(33, 64, 'b', k=k_centers).strip()},
 q as (select vec_id as qid, embedding from v where vec_id % 50 = 0),
 qvf as (select qid, generate_subscripts(embedding, 1) as p,
                unnest(embedding)::double as x from q),
@@ -6272,7 +6276,7 @@ probed as (select qid, lid from (
              select qid, lid,
                     row_number() over (partition by qid
                                        order by d2, lid) as rn
-             from qdf) where rn <= 2),
+             from qdf) where rn <= {nprobe}),
 qsa as (select qid, list_transform(list_slice(embedding, 1, 32),
                                    z -> z::double) as sv from q),
 qsb as (select qid, list_transform(list_slice(embedding, 33, 64),
@@ -6295,7 +6299,7 @@ adc as (select ta.qid, ba.vec_id as nid, lists.lid,
 
 
 _ORACLE_IVFPQ = f"""
-with {_IVFPQ_CHAIN.strip()}
+with {_ivfpq_chain(4, 2).strip()}
 select qid as query_id, nid as neighbor_id, lid as list_id, adc, rank from (
   select qid, nid, lid, adc,
          row_number() over (partition by qid order by adc, nid) as rank
@@ -6308,18 +6312,23 @@ def _q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth (similarity.l2_topk) — the measurement that justifies
     (or indicts) the n_lists/nprobe/m/k_centers configuration, the PQ
     twin of ann_recall. Both rankings are queries×k relations; the audit
-    is one equi-join + per-query counts."""
+    is one equi-join + per-query counts. On this synthetic corpus the
+    number is LOW (~0.03 mean) for ivfpq and sign-LSH alike (ann_recall
+    reads the same): near-uniform random 64-dim vectors are the
+    distance-concentration adversarial case — exact top-3 gaps are
+    smaller than any quantizer's distortion. That is the point of
+    shipping the audit: it measures, it does not flatter."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") % 50 == 0)
     approx = similarity.ivfpq_topk(
-        q, emb, n_lists=8, nprobe=2, m=2, k_centers=4, pq_iterations=1, k=3
+        q, emb, n_lists=8, nprobe=4, m=2, k_centers=16, pq_iterations=1, k=3
     )
     exact = similarity.l2_topk(q, emb, k=3)
     return similarity.topk_recall(approx, exact)
 
 
 _ORACLE_IVFPQ_RECALL = f"""
-with {_IVFPQ_CHAIN.strip()},
+with {_ivfpq_chain(16, 4).strip()},
 approx as (select qid, nid from (
              select qid, nid,
                     row_number() over (partition by qid
