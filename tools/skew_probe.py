@@ -160,7 +160,8 @@ def text_skew_probe(spark, repo: str) -> None:
     )
     hot.write.mode("overwrite").parquet(os.path.join(out_h, "documents.parquet"))
     print("# text fixtures built", flush=True)
-    for name in ("span_dedup", "fuzzy_join"):
+    for name in ("span_dedup", "fuzzy_join", "pmi_collocations",
+                 "bpe_pair_stats", "phrase_merge"):
         fn = QUERIES[name].spark
         t0 = time.time()
         n_p = fn(spark, out_p).count()
