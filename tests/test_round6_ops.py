@@ -771,3 +771,26 @@ def test_ivfpq_topk_prunes_and_matches_clusters(spark):
         # single-probe on a 2-cluster corpus: neighbors come from the
         # query's own cluster only
         assert r["query_id"] % 2 == r["neighbor_id"] % 2
+
+
+def test_l2_topk_matches_python_brute_force(spark):
+    import random
+
+    from restaurant_etl_code_spark.operators import similarity
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 3")
+    got = {}
+    for r in similarity.l2_topk(q, emb, k=2).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    vecs = dict(rows)
+    for qid in (0, 1, 2):
+        dists = sorted(
+            (round(sum((a - b) ** 2 for a, b in zip(vecs[qid], v)), 9), nid)
+            for nid, v in rows
+            if nid != qid
+        )
+        expect = [(i + 1, nid) for i, (_, nid) in enumerate(dists[:2])]
+        assert sorted(got[qid]) == expect
