@@ -323,6 +323,7 @@ def minhash_fuzzy_join(
     bands: int = 4,
     rows_per_band: int = 4,
     k: int = 1,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Two-TABLE fuzzy text match: each query document's top-``k`` corpus
     matches by signature-estimated Jaccard among LSH band collisions — the
@@ -339,6 +340,16 @@ def minhash_fuzzy_join(
     heap). A query whose true match shares no band is missed — the
     standard LSH recall trade; raise bands or lower rows_per_band to
     trade candidate volume for recall.
+
+    ``max_band_freq`` is the hot-cluster valve (the df-cap pattern from
+    the Jaccard index): a band key shared by a giant near-dup CLUSTER
+    inflates its join partition by |cluster_c|·|cluster_q| — quadratic in
+    cluster size. With the valve set, corpus band keys held by more than
+    ``max_band_freq`` corpus rows are dropped from BOTH sides before the
+    join (one counter agg + a key-frequency semi-filter). The trade is
+    explicit: queries matching only into a mega-cluster lose those
+    candidates — exactly the boilerplate cluster a curation pipeline
+    dedups separately. Default None (off) preserves exact semantics.
 
     Returns (query_id, match_id, est_jaccard, rank), rank ≤ k, ties
     broken by match_id.
@@ -359,6 +370,17 @@ def minhash_fuzzy_join(
     # merge hint: both sides carry full corpus-scale signature payloads; a
     # broadcast build (AQE's pick at test scale) would OOM at corpus scale
     c = banded(sig_c, "match").hint("merge")
+    if max_band_freq is not None:
+        hot = (
+            c.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_band_freq))
+            .select("band_idx", "band_hash")
+        )
+        # hot-key table is tiny by construction (keys ABOVE the cap);
+        # anti-join both sides so the mega-cluster never reaches the join
+        c = c.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
+        q = q.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
     agree = F.aggregate(
         F.zip_with(
             F.col("query_sig"),

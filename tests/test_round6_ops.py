@@ -794,3 +794,33 @@ def test_l2_topk_matches_python_brute_force(spark):
         )
         expect = [(i + 1, nid) for i, (_, nid) in enumerate(dists[:2])]
         assert sorted(got[qid]) == expect
+
+
+def test_fuzzy_join_band_freq_valve(spark):
+    from restaurant_etl_code_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    # corpus: a 40-doc near-dup mega-cluster + 5 distinct docs
+    corpus = spark.createDataFrame(
+        [(i, base + f" v{i % 3}") for i in range(40)]
+        + [(100 + i, f"unique doc {i} " + " ".join(f"u{i}{j}" for j in range(20)))
+           for i in range(5)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1000, base + " v0"), (1001, "unique doc 2 "
+          + " ".join(f"u2{j}" for j in range(20)))],
+        "doc_id long, text string",
+    )
+    # valve off: the cluster query matches into the cluster
+    full = dedup.minhash_fuzzy_join(corpus, queries, k=1).collect()
+    assert {r["query_id"] for r in full} == {1000, 1001}
+    # valve on (cap 8 << 40-cluster band frequency): the cluster's band
+    # keys are dropped, so query 1000 loses its mega-cluster candidates;
+    # the distinct query still matches
+    valved = dedup.minhash_fuzzy_join(
+        corpus, queries, k=1, max_band_freq=8
+    ).collect()
+    by_q = {r["query_id"]: r["match_id"] for r in valved}
+    assert 1000 not in by_q
+    assert by_q[1001] == 102
