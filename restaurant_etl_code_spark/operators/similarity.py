@@ -938,6 +938,7 @@ def ivfpq_topk(
     pq_iterations: int = 1,
     coarse_iterations: int = 0,
     k: int = 3,
+    residual: bool = False,
     query_id: str = "vec_id",
     query_vec: str = "embedding",
     corpus_id: str = "vec_id",
@@ -952,9 +953,13 @@ def ivfpq_topk(
     is the scale answer to plain ADC's |corpus|·|queries| pair growth:
     the probed fraction cuts the candidate set by ``nprobe / n_lists``
     BEFORE any per-pair arithmetic, and the per-pair arithmetic is m
-    lookups. (Simplification, documented: codes quantize the RAW vectors,
-    not the coarse residuals — residual PQ sharpens recall but the plan
-    shape is identical.)
+    lookups. By default codes quantize the RAW vectors; pass
+    ``residual=True`` for genuine residual encoding — codebooks train on
+    ``vec − coarse_center[list]`` and each query's ADC tables are built
+    per probed list from its OWN residual, which recovers recall when
+    the lists capture most of the variance. The oracle-checked
+    configuration stays ``residual=False``; the residual path is
+    unit-tested to dominate it on clustered data.
 
     ``coarse_iterations=0`` keeps the coarse quantizer at its
     deterministic first-n-by-id seeds (the ``centroids_by_id`` oracle
@@ -988,11 +993,40 @@ def ivfpq_topk(
         corpus, n=n_lists, iterations=coarse_iterations,
         id_col=corpus_id, vec_col=corpus_vec,
     )
+    lids = sorted(coarse)
+    centers_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in coarse[cid]]) for cid in lids]
+    )
+    lid_index = {cid: i for i, cid in enumerate(lids)}
+
+    def _list_pos(lid_col):
+        """centroid_id → position in centers_arr (ids are dense from
+        centroids_by_id; the when-chain covers any gaps)."""
+        pos = lid_col
+        for cid, i in lid_index.items():
+            if cid != i:
+                pos = F.when(lid_col == cid, F.lit(i)).otherwise(pos)
+        return pos.cast("int")
+
+    if residual:
+        lid_c = _kmeans_best(F.col(corpus_vec), coarse)["centroid_id"]
+        ctr = F.element_at(centers_arr, _list_pos(lid_c) + 1)
+        enc_src = corpus.select(
+            F.col(corpus_id),
+            F.zip_with(
+                F.col(corpus_vec), ctr, lambda x, y: x.cast("double") - y
+            ).alias("__rv"),
+        )
+    else:
+        enc_src = corpus.select(
+            F.col(corpus_id),
+            F.col(corpus_vec).cast("array<double>").alias("__rv"),
+        )
     books = []
     for j in range(m):
-        sliced = corpus.select(
+        sliced = enc_src.select(
             F.col(corpus_id),
-            F.slice(F.col(corpus_vec), j * sub + 1, sub).alias("__sv"),
+            F.slice(F.col("__rv"), j * sub + 1, sub).alias("__sv"),
         )
         books.append(
             kmeans_centers(
@@ -1017,27 +1051,51 @@ def ivfpq_topk(
             )
         )
         probed = sorted(cid for _, cid in dists[:nprobe])
-        per_sub = []
-        for j, book in enumerate(books):
-            qs = qd[j * sub : (j + 1) * sub]
-            per_sub.append(
+
+        def tables_for(vec):
+            return [
                 {
-                    cid: round(sum((a - b) * (a - b) for a, b in zip(qs, c)), 9)
+                    cid: round(
+                        sum(
+                            (a - b) * (a - b)
+                            for a, b in zip(vec[j * sub : (j + 1) * sub], c)
+                        ),
+                        9,
+                    )
                     for cid, c in book.items()
                 }
-            )
-        plans.append((qid, probed, per_sub))
+                for j, book in enumerate(books)
+            ]
+
+        if residual:
+            # one ADC table-set per PROBED LIST: the query's residual vs
+            # that list's coarse center feeds the lookups
+            per_list = {
+                lid: tables_for([a - b for a, b in zip(qd, coarse[lid])])
+                for lid in probed
+            }
+            plans.append((qid, probed, per_list))
+        else:
+            plans.append((qid, probed, tables_for(qd)))
 
     list_col = _kmeans_best(F.col(corpus_vec), coarse)["centroid_id"]
+    staged = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        list_col.alias("list_id"),
+        F.col(corpus_vec).cast("array<double>").alias("__vv"),
+    )
+    if residual:
+        ctr2 = F.element_at(centers_arr, _list_pos(F.col("list_id")) + 1)
+        staged = staged.withColumn(
+            "__vv", F.zip_with(F.col("__vv"), ctr2, lambda x, y: x - y)
+        )
     code_cols = [
-        _kmeans_best(F.slice(F.col(corpus_vec), j * sub + 1, sub), book)[
+        _kmeans_best(F.slice(F.col("__vv"), j * sub + 1, sub), book)[
             "centroid_id"
         ].alias(f"__code_{j}")
         for j, book in enumerate(books)
     ]
-    coded = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), list_col.alias("list_id"), *code_cols
-    )
+    coded = staged.select("neighbor_id", "list_id", *code_cols)
 
     def adc_expr(per_sub):
         total = F.lit(0.0)
@@ -1046,20 +1104,26 @@ def ivfpq_topk(
             total = total + F.element_at(lut, F.col(f"__code_{j}") + 1)
         return F.round(total, 9)
 
+    def query_struct(qid, probed, tables):
+        if residual:
+            adc = F.lit(None).cast("double")
+            for lid in probed:  # pick the table-set matching this row's list
+                adc = F.when(
+                    F.col("list_id") == lid, adc_expr(tables[lid])
+                ).otherwise(adc)
+        else:
+            adc = adc_expr(tables)
+        return F.struct(
+            F.lit(qid).alias("query_id"),
+            F.col("list_id").isin(probed).alias("__probed"),
+            adc.alias("adc"),
+        )
+
     scored = coded.select(
         "neighbor_id",
         "list_id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(qid).alias("query_id"),
-                        F.col("list_id").isin(probed).alias("__probed"),
-                        adc_expr(per_sub).alias("adc"),
-                    )
-                    for qid, probed, per_sub in plans
-                ]
-            )
+            F.array(*[query_struct(*plan) for plan in plans])
         ).alias("__q"),
     ).filter(F.col("__q.__probed")).select(
         F.col("__q.query_id"), "neighbor_id", "list_id", F.col("__q.adc")
