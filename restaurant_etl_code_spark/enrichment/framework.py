@@ -125,5 +125,9 @@ def enrich(
 
     from restaurant_etl_code_spark.operators._arrow import widen_for_codec
 
-    target = widen_for_codec(df, df.columns[0]) if widen else df
+    # round-robin (no key): the first column is arbitrary and may be
+    # low-cardinality — hashing on it could CONCENTRATE rows instead of
+    # spreading them (found in review); backend calls are row-local, so
+    # even round-robin spread is exactly what we want
+    target = widen_for_codec(df, None) if widen else df
     return target.mapInPandas(mapper, schema=out_schema)

@@ -7,8 +7,29 @@ from pyspark.sql import functions as F
 
 __all__ = ["widen_for_codec"]
 
+# A light Python stage (hashing, counting loops, BLAS over small frames —
+# microseconds per row) only repays a full repartition exchange when there
+# is real work to spread: below this planned-size threshold the exchange
+# costs more than the serialized loop it parallelizes (round-6 driver bench:
+# heavy_hitters 2.17x, importance_resample 2.01x, ann_recall 1.92x slower
+# from unconditional widening at sf0.1).  2x the default
+# spark.sql.files.maxPartitionBytes (128 MiB).
+_LIGHT_WIDEN_MIN_BYTES = 256 * 1024 * 1024
 
-def widen_for_codec(df: DataFrame, key_col: str) -> DataFrame:
+
+def _planned_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the plan (file-size-based at the scan,
+    scaled through filters/projections). Metadata only — no job runs."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes()))
+    except Exception:
+        return None
+
+
+def widen_for_codec(
+    df: DataFrame, key_col: str | None, *, per_row: str = "heavy"
+) -> DataFrame:
     """Arrow codec/signature/scoring stages are CPU-bound Python: a small
     parquet input arrives as ONE scan partition (maxPartitionBytes), which
     would serialize the whole Python stage on a single core of the
@@ -16,6 +37,27 @@ def widen_for_codec(df: DataFrame, key_col: str) -> DataFrame:
     local[32] just from widening. Repartition on the row key up to the
     session's parallelism when the input is narrower; at real scale the
     scan is already wide and only the check runs, never the shuffle.
+
+    ``per_row`` is the stage's cost tier and decides whether a NARROW input
+    is worth the exchange:
+
+    - ``"heavy"`` (default): milliseconds per row — PDF/image decode,
+      enrichment backend calls. Widen whenever narrow; the Python work
+      dwarfs the shuffle at any input size.
+    - ``"light"``: microseconds per row — numpy hashing, counting sketches,
+      BLAS scoring. Widen only when the planned input exceeds
+      ``_LIGHT_WIDEN_MIN_BYTES``; below that the exchange costs more than
+      the serialized loop (measured: the round-6 unconditional widen
+      regressed the embedding/sketch bench family 1.3-2.2x at sf0.1 while
+      being a no-op win). At 100 TB the scan is wide and light stages never
+      shuffle here either way — this tier only changes small-input plans.
+
+    ``key_col=None`` widens round-robin (``repartition(n)`` with no key):
+    the right choice when no natural row key is in scope — hashing on an
+    arbitrary column risks a low-cardinality key (a status/constant
+    column) concentrating the rows it was meant to spread (found in
+    review). Pass a key only when downstream genuinely benefits from
+    co-location.
 
     Only correct for stages whose RESULT is partitioning-independent —
     every row-local signature/codec/scoring mapper trivially qualifies,
@@ -32,6 +74,15 @@ def widen_for_codec(df: DataFrame, key_col: str) -> DataFrame:
         n_parts = df.rdd.getNumPartitions()
     except Exception:
         return df  # streaming / unconvertible plans keep their partitioning
-    if n_parts < target:
-        return df.repartition(target, F.col(key_col))
-    return df
+    if n_parts >= target:
+        return df
+    if per_row == "light":
+        size = _planned_bytes(df)
+        # unknown size → skip: a mis-skipped big-single-partition input is
+        # rare (big scans arrive wide), a mis-widened small one is the
+        # measured regression
+        if size is None or size < _LIGHT_WIDEN_MIN_BYTES:
+            return df
+    if key_col is None:
+        return df.repartition(target)  # round-robin: even by construction
+    return df.repartition(target, F.col(key_col))

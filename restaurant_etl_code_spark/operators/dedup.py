@@ -145,7 +145,7 @@ def minhash_signatures(
     schema = T.StructType(
         [id_field, T.StructField("signature", T.ArrayType(T.LongType()), False)]
     )
-    return _widen(df.select(id_col, text_col), id_col).mapInPandas(
+    return _widen(df.select(id_col, text_col), id_col, per_row="light").mapInPandas(
         mapper, schema=schema
     )
 
@@ -176,11 +176,20 @@ def _banded_rows(
     """The ONE definition of LSH banding (explode band_idx → slice → md5 of
     the comma-joined band) shared by the self-join candidate generator, the
     signature-estimate scorer, and the two-table fuzzy join — the banding
-    recipe is load-bearing for oracle parity, so it must not fork."""
+    recipe is load-bearing for oracle parity, so it must not fork.
+
+    Geometry is verified against the DATA, per row: a signature narrower
+    than bands×rows_per_band would slice past its end, every such band
+    would hash the empty array to ONE shared band_hash, and the band
+    equi-join would silently degenerate into an all-pairs cross product —
+    a caller-supplied width parameter can't be trusted to match prebuilt
+    signatures (found in review), so the check rides the band_hash
+    expression itself (it can't be pruned away) and raises at execution.
+    """
+    need = bands * rows_per_band
     out_id = id_alias or id_col
-    cols = [
-        F.col(id_col).alias(out_id),
-        F.col("band_idx"),
+    band_hash = F.when(
+        F.size(F.col("signature")) >= F.lit(need),
         F.md5(
             F.concat_ws(
                 ",",
@@ -193,7 +202,26 @@ def _banded_rows(
                     lambda x: x.cast("string"),
                 ),
             )
-        ).alias("band_hash"),
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"band geometry {bands}x{rows_per_band} exceeds this "
+                    "signature's width "
+                ),
+                F.size(F.col("signature")).cast("string"),
+                F.lit(
+                    " — empty band slices would collide everything; "
+                    "lower bands*rows_per_band or rebuild signatures wider"
+                ),
+            )
+        )
+    )
+    cols = [
+        F.col(id_col).alias(out_id),
+        F.col("band_idx"),
+        band_hash.alias("band_hash"),
     ]
     if keep_signature:
         cols.append(F.col("signature").alias(sig_alias))
@@ -209,7 +237,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
-    num_hashes: int = 16,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``rows_per_band`` hashes, hash each band, and emit candidate pairs that
@@ -230,13 +258,15 @@ def lsh_candidate_pairs(
     bucket in ONE row and OOM'd the executor on a 10× blow-up probe; never
     build per-row quadratic arrays.
 
-    ``num_hashes`` must match the signature width the caller built
-    (``minhash_signatures``' default 16) — the geometry guard below keeps
-    an oversized bands×rows_per_band from slicing past the signature end,
-    where every empty band slice hashes to one shared band_hash and the
-    equi-join silently degenerates into an all-pairs cross product.
+    Geometry is verified against the signatures' ACTUAL width per row
+    inside the banding stage (see ``_banded_rows``) — an oversized
+    bands×rows_per_band slicing past the signature end would hash every
+    empty band slice to one shared band_hash and degenerate the equi-join
+    into an all-pairs cross product. ``num_hashes`` is an optional
+    plan-time hint: pass it to ALSO fail fast before any job runs.
     """
-    _check_band_geometry(num_hashes, bands, rows_per_band)
+    if num_hashes is not None:
+        _check_band_geometry(num_hashes, bands, rows_per_band)
     banded = _banded_rows(signatures, id_col, bands, rows_per_band)
     banded = banded.repartition("band_idx", "band_hash").persist()
     left = banded.alias("a")
@@ -257,7 +287,7 @@ def minhash_estimate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
-    num_hashes: int = 16,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH candidates SCORED from the signatures already in hand: the
     fraction of agreeing MinHash components is an unbiased estimator of
@@ -275,11 +305,13 @@ def minhash_estimate_pairs(
     stage is persisted like the candidate generator's (one Arrow pass,
     both branches read co-partitioned cache), one distinct dedupes pairs
     colliding in several bands, and the agreement fold is a codegen
-    ``zip_with`` + ``aggregate`` over ``num_hashes`` elements per pair.
-    ``num_hashes`` must match the signature width (same geometry hazard
-    as ``lsh_candidate_pairs`` — guarded identically).
+    ``zip_with`` + ``aggregate`` over the signature's elements per pair
+    (the denominator is ``size(signature)``, the data's actual width).
+    Geometry is verified per row against the actual signature width in
+    ``_banded_rows``; ``num_hashes`` is an optional plan-time hint.
     """
-    _check_band_geometry(num_hashes, bands, rows_per_band)
+    if num_hashes is not None:
+        _check_band_geometry(num_hashes, bands, rows_per_band)
     banded = _banded_rows(
         signatures, id_col, bands, rows_per_band, keep_signature=True
     )
@@ -439,7 +471,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
             )
 
     schema = T.StructType([id_field, T.StructField("simhash", T.LongType(), True)])
-    return _widen(df.select(id_col, text_col), id_col).mapInPandas(
+    return _widen(df.select(id_col, text_col), id_col, per_row="light").mapInPandas(
         mapper, schema=schema
     )
 
@@ -471,7 +503,7 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3) 
             )
 
     schema = T.StructType([id_field, T.StructField("shingle", T.StringType(), False)])
-    return _widen(df.select(id_col, text_col), id_col).mapInPandas(
+    return _widen(df.select(id_col, text_col), id_col, per_row="light").mapInPandas(
         mapper, schema=schema
     )
 

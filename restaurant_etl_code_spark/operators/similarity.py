@@ -148,7 +148,7 @@ def cosine_topk(
             T.StructField("score", T.DoubleType()),
         ]
     )
-    scored = _widen(corpus.select(corpus_id, corpus_vec), corpus_id).mapInPandas(
+    scored = _widen(corpus.select(corpus_id, corpus_vec), corpus_id, per_row="light").mapInPandas(
         mapper, schema=schema
     )
     return _ranked(scored, k, min_score)
@@ -325,7 +325,7 @@ def _all_pairs_near_dup_blas(
             T.StructField("score", T.DoubleType()),
         ]
     )
-    return _widen(df.select(id_col, vec_col), id_col).mapInPandas(
+    return _widen(df.select(id_col, vec_col), id_col, per_row="light").mapInPandas(
         mapper, schema=schema
     )
 
@@ -528,7 +528,7 @@ def assign_centroids(
     ])
     return _widen(
         corpus.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)),
-        id_col,
+        id_col, per_row="light",
     ).mapInPandas(mapper, schema=schema)
 
 
@@ -701,7 +701,126 @@ def _kmeans_best(vec_expr, centers: dict):
     return F.array_min(cand)
 
 
+# Above this center count the literal-argmin formulation stops being a
+# plan: centers_arr + _kmeans_best compile ~n_lists·dim literals evaluated
+# per row, which blows past codegen/analysis limits long before the √n
+# auto-sizing heuristic's 65536 ceiling (found in review). Larger center
+# sets route through the numpy/Arrow assigner below instead.
+_LITERAL_ASSIGN_MAX_CENTERS = 256
+
+
+def _kmeans_assign_arrow(
+    vecs: DataFrame, vec_field: str, centers: dict
+) -> DataFrame:
+    """numpy argmin assignment for LARGE center sets: centers ride the
+    closure as one (L, dim) matrix, each Arrow batch scores via the BLAS
+    expansion |v|² − 2v·Cᵀ + |c|² in row chunks (bounded memory), and ties
+    break to the smallest centroid_id exactly like ``_kmeans_best`` (ids
+    sorted ascending → argmin's first-occurrence rule). Pre-rounding float
+    order differs from the codegen fold in the last ulp — oracle-pinned
+    configurations stay on the literal path below the threshold."""
+    from pyspark.sql import types as T
+
+    lids = sorted(centers)
+    cmat = [centers[cid] for cid in lids]
+    in_schema = vecs.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [
+            T.StructField("centroid_id", T.LongType(), False),
+            T.StructField("__d2", T.DoubleType(), False),
+        ]
+    )
+
+    def mapper(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64)  # (L, dim)
+        cn = (C * C).sum(axis=1)  # |c|²
+        ids = np.asarray(lids, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_field].tolist(), dtype=np.float64)
+            out_pos = np.empty(len(V), dtype=np.int64)
+            out_d2 = np.empty(len(V), dtype=np.float64)
+            # chunk rows so the (chunk, L) score matrix stays ~64 MB even
+            # at L = 65536
+            chunk = max(1, (8 << 20) // max(len(lids), 1))
+            for s in range(0, len(V), chunk):
+                W = V[s : s + chunk]
+                d2 = ((W * W).sum(axis=1)[:, None] - 2.0 * (W @ C.T)) + cn[None, :]
+                d2 = d2.round(9)
+                pos = d2.argmin(axis=1)
+                out_pos[s : s + len(W)] = pos
+                out_d2[s : s + len(W)] = d2[np.arange(len(W)), pos]
+            res = pd.DataFrame(pdf)
+            res["centroid_id"] = ids[out_pos]
+            res["__d2"] = np.maximum(out_d2, 0.0)  # expansion can dip −ε
+            yield res
+
+    return vecs.mapInPandas(mapper, schema=out_schema)
+
+
+def _route_lists_arrow(
+    corpus: DataFrame,
+    centers: dict,
+    *,
+    id_col: str,
+    vec_col: str,
+    residual: bool,
+) -> DataFrame:
+    """IVF routing for LARGE list counts: (id, list_id, __vv) where __vv
+    is the raw vector (``residual=False``) or ``vec − center[list]``
+    (``residual=True``), both computed in the same numpy pass as the
+    argmin — the residual subtraction must not round-trip through a
+    literal centers array (same blow-up as the assignment itself)."""
+    from pyspark.sql import types as T
+
+    lids = sorted(centers)
+    cmat = [centers[cid] for cid in lids]
+    id_field = corpus.select(id_col).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("list_id", T.LongType(), False),
+            T.StructField("__vv", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def mapper(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64)
+        cn = (C * C).sum(axis=1)
+        ids = np.asarray(lids, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            out_pos = np.empty(len(V), dtype=np.int64)
+            chunk = max(1, (8 << 20) // max(len(lids), 1))
+            for s in range(0, len(V), chunk):
+                W = V[s : s + chunk]
+                d2 = ((W * W).sum(axis=1)[:, None] - 2.0 * (W @ C.T)) + cn[None, :]
+                out_pos[s : s + len(W)] = d2.round(9).argmin(axis=1)
+            vv = (V - C[out_pos]) if residual else V
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "list_id": ids[out_pos],
+                    "__vv": pd.Series(vv.tolist(), dtype=object),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(mapper, schema=out_schema)
+
+
 def _kmeans_assign(vecs: DataFrame, vec_field: str, centers: dict) -> DataFrame:
+    if len(centers) > _LITERAL_ASSIGN_MAX_CENTERS:
+        return _kmeans_assign_arrow(vecs, vec_field, centers)
     best = _kmeans_best(F.col(vec_field), centers)
     return vecs.select(
         *vecs.columns,
@@ -993,11 +1112,25 @@ def ivfpq_topk(
         corpus, n=n_lists, iterations=coarse_iterations,
         id_col=corpus_id, vec_col=corpus_vec,
     )
+    # Above the literal threshold, routing (and the residual subtraction)
+    # runs in the numpy/Arrow assigner — the literal centers_arr +
+    # _kmeans_best formulation compiles ~n_lists·dim literals per row and
+    # stops being a compilable plan at the √n scale 'auto' targets
+    # (found in review). Both modes produce (id, list_id, __vv).
+    use_arrow_routing = len(coarse) > _LITERAL_ASSIGN_MAX_CENTERS
+    routed = None
+    if use_arrow_routing:
+        routed = _route_lists_arrow(
+            corpus, coarse, id_col=corpus_id, vec_col=corpus_vec,
+            residual=residual,
+        )
     lids = sorted(coarse)
-    centers_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in coarse[cid]]) for cid in lids]
-    )
+    centers_arr = None
     lid_index = {cid: i for i, cid in enumerate(lids)}
+    if not use_arrow_routing:
+        centers_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in coarse[cid]]) for cid in lids]
+        )
 
     def _list_pos(lid_col):
         """centroid_id → position in centers_arr (ids are dense from
@@ -1008,7 +1141,11 @@ def ivfpq_topk(
                 pos = F.when(lid_col == cid, F.lit(i)).otherwise(pos)
         return pos.cast("int")
 
-    if residual:
+    if use_arrow_routing:
+        enc_src = routed.select(
+            F.col(corpus_id), F.col("__vv").alias("__rv")
+        )
+    elif residual:
         lid_c = _kmeans_best(F.col(corpus_vec), coarse)["centroid_id"]
         ctr = F.element_at(centers_arr, _list_pos(lid_c) + 1)
         enc_src = corpus.select(
@@ -1078,17 +1215,22 @@ def ivfpq_topk(
         else:
             plans.append((qid, probed, tables_for(qd)))
 
-    list_col = _kmeans_best(F.col(corpus_vec), coarse)["centroid_id"]
-    staged = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        list_col.alias("list_id"),
-        F.col(corpus_vec).cast("array<double>").alias("__vv"),
-    )
-    if residual:
-        ctr2 = F.element_at(centers_arr, _list_pos(F.col("list_id")) + 1)
-        staged = staged.withColumn(
-            "__vv", F.zip_with(F.col("__vv"), ctr2, lambda x, y: x - y)
+    if use_arrow_routing:
+        staged = routed.select(
+            F.col(corpus_id).alias("neighbor_id"), "list_id", "__vv"
         )
+    else:
+        list_col = _kmeans_best(F.col(corpus_vec), coarse)["centroid_id"]
+        staged = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            list_col.alias("list_id"),
+            F.col(corpus_vec).cast("array<double>").alias("__vv"),
+        )
+        if residual:
+            ctr2 = F.element_at(centers_arr, _list_pos(F.col("list_id")) + 1)
+            staged = staged.withColumn(
+                "__vv", F.zip_with(F.col("__vv"), ctr2, lambda x, y: x - y)
+            )
     code_cols = [
         _kmeans_best(F.slice(F.col("__vv"), j * sub + 1, sub), book)[
             "centroid_id"
@@ -1151,35 +1293,53 @@ def l2_topk(
     max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact brute-force squared-L2 top-k — the ground truth the PQ/ADC
-    family approximates (cosine_topk's metric twin; same collected-query
-    contract and fail-fast cap). Distances round to 9dp with neighbor-id
-    tie-breaks, so the ranking is engine-exact.
+    family approximates (cosine_topk's metric twin; same fail-fast query
+    cap). Distances round to 9dp with neighbor-id tie-breaks, so the
+    ranking is engine-exact.
+
+    Physical shape: the query side BROADCASTS into a nested-loop join and
+    d2 is a codegen ``zip_with``+``aggregate`` fold over the two array
+    COLUMNS — the plan is O(1) in the number of queries. (The original
+    formulation exploded a literal struct per collected query; at ~40
+    queries × 64 dims the plan's analysis/codegen alone cost more than
+    the 80k-pair scan it produced — measured 4.8 s warm vs 0.4 s for
+    this join, identical results.) The |Q|·|C| pair stream is the point
+    of exact ground truth; cap the query side or sample it for audits.
 
     Returns (query_id, neighbor_id, d2, rank)."""
-    probe = queries.select(query_id, query_vec).limit(max_query_rows + 1)
-    q_rows = probe.collect()
-    if len(q_rows) > max_query_rows:
+    probe = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    n_q = probe.limit(max_query_rows + 1).count()
+    if n_q > max_query_rows:
         raise ValueError(
-            f"l2_topk collects the query side; it has > {max_query_rows} rows"
+            f"l2_topk broadcasts the query side; it has > {max_query_rows} rows"
         )
-    scored = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(qid).alias("query_id"),
-                        _d2_lit(
-                            F.col(corpus_vec), [float(x) for x in qvec]
-                        ).alias("d2"),
-                    )
-                    for qid, qvec in q_rows
-                ]
-            )
-        ).alias("__q"),
-    ).select(F.col("__q.query_id"), "neighbor_id", F.col("__q.d2"))
-    if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(corpus_vec),
+                F.col("__qv"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    scored = (
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias(corpus_vec),
+        )
+        .join(
+            F.broadcast(probe),
+            F.lit(True) if not exclude_self
+            else F.col("query_id") != F.col("neighbor_id"),
+        )
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

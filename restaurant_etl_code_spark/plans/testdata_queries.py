@@ -4557,7 +4557,7 @@ ranked as (select *, row_number() over (partition by md5(span_text)
                                         order by doc_id, span_idx) as rn
            from flat)
 select doc_id, count(*) as n_spans,
-       sum(case when rn = 1 then 1 else 0 end) as n_kept,
+       sum(case when rn = 1 then 1 else 0 end)::bigint as n_kept,
        coalesce(string_agg(span_text, ' ' order by span_idx)
                   filter (where rn = 1), '') as text_dedup
 from ranked group by doc_id
@@ -6347,7 +6347,7 @@ exact as (select qid, nid from (
             from de) where rank <= 3)
 select e.qid as query_id,
        count(*) as n_exact,
-       sum(case when a.nid is not null then 1 else 0 end) as n_hit,
+       sum(case when a.nid is not null then 1 else 0 end)::bigint as n_hit,
        round(sum(case when a.nid is not null then 1 else 0 end)
              / count(*), 6) as recall
 from exact e
@@ -6615,7 +6615,7 @@ l3 as (select n.node, coalesce(b3.label, l.label) as label
        from nodes n join l2 l on l.node = n.node
        left join b3 on b3.node = n.node)
 select label, count(*) as size,
-       sum(case when node % 2 = 0 then 1 else 0 end) as n_parts,
+       sum(case when node % 2 = 0 then 1 else 0 end)::bigint as n_parts,
        min(node) as min_node
 from l3 group by label having count(*) >= 2
 """

@@ -242,16 +242,28 @@ def rebucket(
             pass
 
 
-def _replay_swap(target_path: str, tmp: str, trash: str, touched: list[int]) -> None:
+def _replay_swap(
+    target_path: str, tmp: str, trash: str, touched: list[int],
+    empty: set[int] | frozenset[int] = frozenset(),
+) -> None:
     """The idempotent per-bucket swap body: resumable from ANY crash point
     because every step is an atomic rename and the bucket's state is fully
-    determined by which of (tmp/b, target/b, trash/b) exist —
+    determined by which of (tmp/b, target/b, trash/b) exist plus the
+    manifest's explicitly-empty set —
 
     - tmp/b present: not yet swapped in → trash target/b if present, move
       tmp/b in;
-    - tmp/b absent, trash/b present: this bucket already swapped → no-op;
-    - tmp/b absent, trash/b absent, target/b present: the merged output
-      for this bucket is EMPTY (all rows deleted) → trash target/b.
+    - tmp/b absent, b in ``empty``: the merged output for this bucket is
+      EMPTY (all rows deleted) → trash target/b if still present;
+    - tmp/b absent, b not in ``empty``: this bucket already swapped in a
+      previous pass → no-op.
+
+    ``empty`` MUST come from the manifest (recorded before the first
+    rename): inferring emptiness from tmp/b's absence is wrong, because a
+    bucket that did not previously exist in the target reaches the exact
+    same on-disk state (tmp/b gone, target/b present, trash/b absent) after
+    a COMPLETED swap — a replay would then trash freshly committed data
+    (found in review).
     """
     os.makedirs(trash, exist_ok=True)
     for b in touched:
@@ -262,7 +274,7 @@ def _replay_swap(target_path: str, tmp: str, trash: str, touched: list[int]) -> 
             if os.path.exists(dst):
                 os.rename(dst, tb)
             os.rename(src, dst)
-        elif os.path.exists(dst) and not os.path.exists(tb):
+        elif b in empty and os.path.exists(dst) and not os.path.exists(tb):
             os.rename(dst, tb)
 
 
@@ -287,9 +299,18 @@ def _swap_buckets(target_path: str, tmp: str, touched: list[int]) -> None:
     transactionality remains the Delta/Iceberg swap-in point."""
     trash = f"{target_path}.__trash_{uuid.uuid4().hex[:8]}"
     manifest = os.path.join(target_path, _COMMIT_MANIFEST)
+    # record which touched buckets have NO output in tmp (all rows deleted)
+    # BEFORE the first rename — replay must not infer emptiness from tmp/b's
+    # absence (see _replay_swap)
+    empty = [
+        b for b in touched
+        if not os.path.exists(os.path.join(tmp, f"{_BUCKET_COL}={b}"))
+    ]
     with open(manifest, "w") as fh:
-        json.dump({"tmp": tmp, "trash": trash, "touched": touched}, fh)
-    _replay_swap(target_path, tmp, trash, touched)
+        json.dump(
+            {"tmp": tmp, "trash": trash, "touched": touched, "empty": empty}, fh
+        )
+    _replay_swap(target_path, tmp, trash, touched, frozenset(empty))
     os.remove(manifest)
     shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
@@ -340,7 +361,10 @@ def recover_merge_target(target_path: str) -> bool:
     if os.path.exists(manifest):
         with open(manifest) as fh:
             m = json.load(fh)
-        _replay_swap(target_path, m["tmp"], m["trash"], m["touched"])
+        # manifests predating the "empty" field default to NEVER deleting a
+        # present target bucket — stale-data-kept beats data-lost
+        _replay_swap(target_path, m["tmp"], m["trash"], m["touched"],
+                     frozenset(m.get("empty", ())))
         os.remove(manifest)
         shutil.rmtree(m["trash"], ignore_errors=True)
         shutil.rmtree(m["tmp"], ignore_errors=True)
@@ -375,12 +399,13 @@ def merge_into_bucketed_parquet(
     if spec["keys"] != keys:
         raise ValueError(f"bucket spec keys {spec['keys']} != merge keys {keys}")
     n = spec["n_buckets"]
-    lock = _acquire_merge_lock(target_path)
     # persist: the delta is evaluated twice (touched-set collect + the
     # merged write); a non-deterministic updates source re-evaluated could
     # emit rows in buckets outside the collected touched set, which the
-    # swap would then silently drop (found in review)
+    # swap would then silently drop (found in review). Built BEFORE the
+    # lock so a failure here can't leave the lock held (found in review).
     upd = updates.withColumn(_BUCKET_COL, _bucket_expr(keys, n)).persist()
+    lock = _acquire_merge_lock(target_path)
     try:
         recover_merge_target(target_path)  # heal any interrupted commit
         touched = sorted(
@@ -442,9 +467,10 @@ def cdc_merge_into_bucketed_parquet(
     if spec["keys"] != keys:
         raise ValueError(f"bucket spec keys {spec['keys']} != merge keys {keys}")
     n = spec["n_buckets"]
-    lock = _acquire_merge_lock(target_path)
-    # persist for the same two-evaluation reason as merge_into_bucketed_parquet
+    # persist for the same two-evaluation reason as merge_into_bucketed_parquet;
+    # before the lock so a failure here can't leave the lock held
     latest_b = latest.withColumn(_BUCKET_COL, _bucket_expr(keys, n)).persist()
+    lock = _acquire_merge_lock(target_path)
     try:
         recover_merge_target(target_path)
         touched = sorted(

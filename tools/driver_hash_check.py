@@ -51,6 +51,15 @@ def _cell(v):
     if isinstance(v, bool):
         return repr(v)
     if hasattr(v, "isoformat"):
+        # DuckDB DATE arrives as pandas datetime64 (midnight Timestamp)
+        # while Spark DATE collects as datetime.date — the driver hashes
+        # these equal (cohort_retention green r5), so a tz-naive midnight
+        # timestamp canonicalizes to its date
+        t = getattr(v, "time", None)
+        if t is not None and getattr(v, "tzinfo", None) is None:
+            tv = t() if callable(t) else t
+            if (tv.hour, tv.minute, tv.second, tv.microsecond) == (0, 0, 0, 0):
+                return v.date().isoformat() if hasattr(v, "date") else v.isoformat()
         return v.isoformat()
     return repr(v)
 
