@@ -7080,37 +7080,37 @@ _REGISTRY: dict[str, QueryDef] = {
 # CORRECTNESS_r*.json, then (b) the queries whose LATEST driver check is
 # oldest (ties broken by registry order), then (c) two long-green anchors
 # as regression canaries — so every query's driver entry stays at most ~3
-# rounds old. For r06 that is: the 5 round-5 additions (merge_pruned,
-# pdf_real_extract, importance_resample, fuzzy_join, span_dedup — never
-# driver-gated; judge-verified only), the 2 queries last checked in r01
-# (embedding_near_dup, dedup_clusters), 41 of the 46 queries last checked
-# in r03, and the canaries. Next rotation (r07): FIRST the THIRTEEN
-# round-6 additions, never driver-checked (pdf15_extract, bpe_pair_stats,
-# global_offsets, pmi_collocations, label_propagation, kmeans_clusters,
-# phrase_merge, distribution_drift, streaming_curation, pq_codes,
-# pq_adc_topk, ivfpq_topk, ivfpq_recall — every one verified repeatedly
-# via the full tools/oracle_check sweep this round), then the
-# remaining 7 r03-latest names (ngram_jaccard, ann_cosine_topk,
-# ann_bucketed_topk, ann_ivf_topk, similarity_match, dedup_keep_first,
-# streaming_window), then the oldest of the r04 cohort.
+# rounds old. The r08 window (below) holds: the 13 round-6 additions
+# (never driver-checked — the r07 rotation note promised them and was not
+# applied, so they lead now), the 5 queries whose latest check is r03
+# (ngram_jaccard, ann_cosine_topk, ann_bucketed_topk, ann_ivf_topk,
+# similarity_match), the oldest 30 of the 48-query r04 cohort in registry
+# order, and the two canaries. Any query ADDED this round goes to the
+# FRONT of the window (never-checked beats oldest-checked), displacing
+# the tail of the r04 block. Next rotation (r09): the remaining 18
+# r04-cohort names (json_scan_agg onward), then the oldest r05 names.
 _WINDOW_FIRST = [
-    # never driver-checked (added round 5; judge-verified 5/5 locally)
-    "merge_pruned", "pdf_real_extract", "importance_resample",
-    "fuzzy_join", "span_dedup",
-    # latest driver check = r01
-    "embedding_near_dup", "dedup_clusters",
-    # latest driver check = r03 — oldest 41 in registry order
-    "staging_restaurant", "llm_parse", "precheck_antijoin", "upc_validity",
-    "change_detect", "template_chunks", "batch_stats", "match_breakdown",
-    "status_partition", "topk_per_group", "rollup_pricing", "sessionize",
-    "asof_join", "range_join", "window_analytics", "grouping_sets",
-    "global_topn", "quantiles", "approx_aggs", "salted_join_agg",
-    "tumbling_window", "streaming_dedup", "streaming_running_stats",
-    "streaming_sessions", "streaming_enrich", "multires_rollup",
-    "sketch_rollup", "reconcile", "unpivot", "semi_join", "scalar_subquery",
-    "null_semantics", "fuzzy_match", "json_props", "text_quality", "lang_id",
-    "exact_dedup", "training_prep", "minhash_lsh_pairs", "simhash_pairs",
-    "ngram_jaccard_capped",
+    # r08 rotation (executed this time — the r07 note was written but the
+    # list below was not updated; this round the rotation IS the opening
+    # commit). (a) The THIRTEEN round-6 additions, never driver-checked
+    # in any CORRECTNESS_r*.json (judge strict-hash-verified r7 only):
+    "pdf15_extract", "bpe_pair_stats", "global_offsets",
+    "pmi_collocations", "label_propagation", "kmeans_clusters",
+    "phrase_merge", "distribution_drift", "streaming_curation",
+    "pq_codes", "pq_adc_topk", "ivfpq_topk", "ivfpq_recall",
+    # (b) latest driver check = r03 — the 5 oldest rows in the registry
+    "ngram_jaccard", "ann_cosine_topk", "ann_bucketed_topk",
+    "ann_ivf_topk", "similarity_match",
+    # (c) latest driver check = r04 — oldest 30 in registry order
+    "dedup_keep_first", "streaming_window", "embedding_near_dup_lsh",
+    "quantize_fidelity", "ann_multiprobe_topk", "sequence_pack",
+    "multimodal_features", "contentgen_fallback", "pipeline_products",
+    "pipeline_updates", "merge_upsert", "set_ops", "pivot_counts",
+    "cube_pricing", "running_total", "positional_zip", "url_parse",
+    "industry_resolve", "update_fields", "distinct_categories",
+    "stratified_split", "tfidf_top_terms", "decontaminate",
+    "stats_moments", "pii_scrub", "doc_chunks", "repetition_signals",
+    "group_sample", "rolling_stats", "csv_scan_agg",
     # anchors: longest-green queries kept in-window as canaries
     "staging_cleanse", "match_cascade",
 ]
