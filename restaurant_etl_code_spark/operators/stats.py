@@ -152,6 +152,20 @@ def heavy_hitters(
     threshold, so an external engine reproduces it with GROUP BY + HAVING
     alone.
 
+    Exact-sketch shortcut (NO second phase): each partition reports
+    whether its counter set ever overflowed k. Decrements happen only on
+    overflow, so if NO partition overflowed, every counter is the exact
+    count of that key in that partition and no key was ever dropped —
+    summing the collected sketch rows on the driver IS the exact global
+    histogram, and phase 2 would rescan the input to recompute numbers we
+    already hold. The driver aggregates the (≤ k+1 rows per partition it
+    collects in either mode — no new volume) and returns a local result
+    frame. At 100 TB with a huge key domain partitions overflow and the
+    recount path engages unchanged; the shortcut fires exactly in the
+    regime where the key domain is small enough that pruning buys nothing
+    (warm A/B sf0.1 events, 1500 keys: 0.4 s vs 1.1 s with the
+    recount join).
+
     ``summary_size`` is a lower bound request, not a trust-me override:
     a value below the superset floor is clamped up (silently honoring it
     would drop true heavy hitters depending on row arrival order).
@@ -159,7 +173,12 @@ def heavy_hitters(
     import math
 
     import pandas as pd
-    from pyspark.sql.types import StructField, StructType, LongType
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     if min_count is None and min_share is None:
         raise ValueError("one of min_count / min_share is required")
@@ -177,6 +196,9 @@ def heavy_hitters(
         [
             StructField("key", key_field.dataType, True),  # count-marker row is NULL
             StructField("pcount", LongType(), True),
+            # marker rows only: did this partition's counter set ever
+            # overflow k (i.e. are the counts underestimates)?
+            StructField("overflowed", BooleanType(), True),
         ]
     )
 
@@ -196,6 +218,7 @@ def heavy_hitters(
             # per core; value_counts is ~30× that.
             counters: dict = {}
             n_p = 0
+            overflowed = False
             for pdf in batches:
                 col = pdf["key"]
                 n_p += len(col)
@@ -205,6 +228,7 @@ def heavy_hitters(
                     counters[v] = counters.get(v, 0) + int(c)
                 excess = len(counters) - k_cap
                 if excess > 0:
+                    overflowed = True
                     # m = the (L-k_cap)-th smallest value (0-based index
                     # excess-1): the k_cap+1 counters ≥ m each absorb m
                     m = sorted(counters.values())[excess - 1]
@@ -219,10 +243,16 @@ def heavy_hitters(
                 yield pd.DataFrame(
                     {
                         "key": list(counters.keys()),
-                        "pcount": [None] * len(counters),
+                        # MG counter value: exact per-partition count when
+                        # the partition never overflowed, else a lower
+                        # bound used only as candidate evidence
+                        "pcount": list(counters.values()),
+                        "overflowed": [None] * len(counters),
                     }
                 )
-            yield pd.DataFrame({"key": [None], "pcount": [n_p]})
+            yield pd.DataFrame(
+                {"key": [None], "pcount": [n_p], "overflowed": [overflowed]}
+            )
 
         # ONE job, NO persist: the sketch output is bounded by construction
         # (≤ k candidate rows + 1 count marker per map partition — the
@@ -246,21 +276,49 @@ def heavy_hitters(
         )
 
     rows = phase1(k)
-    total = sum(r["pcount"] for r in rows if r["pcount"] is not None)
+    total = sum(r["pcount"] for r in rows if r["key"] is None)
     if min_count is not None:
         threshold = float(min_count)
         k_floor = int(math.ceil(total / max(threshold, 1.0)))
         if k < k_floor:  # guess too small for the superset guarantee: rescan
             rows = phase1(max(k_floor, 2 * k))
-            total = sum(r["pcount"] for r in rows if r["pcount"] is not None)
+            total = sum(r["pcount"] for r in rows if r["key"] is None)
     else:
         threshold = min_share * total
+
+    if not any(r["overflowed"] for r in rows if r["key"] is None):
+        # exact-sketch shortcut (see docstring): no partition overflowed,
+        # so the collected counters are exact per-partition counts of
+        # every key — sum and threshold on the driver, skip the rescan.
+        # Volume is the same sketch we just collected; the result is
+        # ≤ the candidate set, which the recount path would broadcast
+        # through the driver anyway.
+        exact: dict = {}
+        for r in rows:
+            if r["key"] is not None:
+                exact[r["key"]] = exact.get(r["key"], 0) + r["pcount"]
+        hits = [(key, n) for key, n in exact.items() if n > threshold]
+        out = df.sparkSession.createDataFrame(
+            # a pandas frame rides the Arrow conversion path (~0.15 s vs
+            # ~0.5 s for the row-list path, warm A/B); keys are all
+            # non-null here so no float64 coercion hazard
+            pd.DataFrame(hits, columns=[key_col, "n"]),
+            schema=StructType(
+                [
+                    StructField(key_col, key_field.dataType, True),
+                    StructField("n", LongType(), False),
+                ]
+            ),
+        )
+        return out.withColumn(
+            "share", F.round(F.col("n") / F.lit(total), 6)
+        )
 
     # NULL keys can ride the sketch but can never match the equi-join
     # below (same as the previous plan's behavior) — drop them here so
     # the sort doesn't trip on None
     cand_keys = sorted(
-        {r["key"] for r in rows if r["pcount"] is None and r["key"] is not None}
+        {r["key"] for r in rows if r["key"] is not None}
     )
     if len(cand_keys) <= 256:
         # a SMALL candidate set compiles into an InSet scan predicate — the

@@ -189,19 +189,24 @@ def test_heavy_hitters_weighted_mg_matches_exact(spark):
     # adversarial-ish mix: a few heavy keys drowned in a long unique tail,
     # spread over several partitions so the batch-decrement actually fires
     rows = [(k,) for k in range(10)] * 300
+    # key 666 lands EXACTLY on min_count: the contract is strictly
+    # count > threshold, so it must be excluded (round-7 advisory: the
+    # old >= baseline only passed because no key hit the boundary)
+    rows += [(666,)] * 200
     rows += [(1000 + rng.randrange(50000),) for _ in range(20000)]
     rng.shuffle(rows)
     df = spark.createDataFrame(rows, "k bigint").repartition(8)
     exact = {
         r["k"]: r["n"]
         for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 200).collect()
+        .filter(F.col("n") > 200).collect()
     }
     got = {
         r["k"]: r["n"]
         for r in stats.heavy_hitters(df, "k", min_count=200, summary_size=64).collect()
     }
     assert got == exact
+    assert 666 not in got and exact  # boundary excluded, result non-trivial
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,81 @@
+# Round-8 regression tests: heavy_hitters exact-sketch shortcut, boundary
+# semantics, and the overflow fallback staying engaged.
+import pyspark.sql.functions as F
+import pytest
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_heavy_hitters_exact_shortcut_skips_recount(spark):
+    # 40 distinct keys << k=4096: no partition can overflow, so the result
+    # must come straight from the collected sketch (a local relation), not
+    # a second scan of the input.
+    rows = [(k % 40,) for k in range(4000)]
+    df = spark.createDataFrame(rows, "k bigint").repartition(4)
+    out = stats_mod().heavy_hitters(df, "k", min_count=99)
+    exact = {
+        (r["k"], r["n"])
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 99).collect()
+    }
+    assert {(r["k"], r["n"]) for r in out.collect()} == exact
+    assert len(exact) == 40  # every key has count 100 > 99
+    plan = _plan(out)
+    # shortcut plan: local/arrow-backed scan only — no parquet/exchange of
+    # the input, no join
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_heavy_hitters_boundary_count_excluded_on_shortcut_path(spark):
+    rows = [("hot",)] * 150 + [("edge",)] * 100 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string").repartition(3)
+    got = {r["k"] for r in stats_mod().heavy_hitters(df, "k", min_count=100).collect()}
+    assert got == {"hot"}  # strictly greater: count==100 excluded
+
+
+def test_heavy_hitters_min_share_shortcut_share_column(spark):
+    rows = [("a",)] * 600 + [("b",)] * 300 + [("c",)] * 100
+    df = spark.createDataFrame(rows, "k string").repartition(2)
+    out = {r["k"]: (r["n"], r["share"]) for r in
+           stats_mod().heavy_hitters(df, "k", min_share=0.25).collect()}
+    assert out == {"a": (600, 0.6), "b": (300, 0.3)}
+
+
+def test_heavy_hitters_overflow_falls_back_to_recount(spark):
+    # one dominant key drowned in a wide unique tail with a tiny sketch:
+    # every partition overflows, so the recount path must engage and still
+    # return the exact answer.
+    import random
+
+    rng = random.Random(3)
+    rows = [("dom",)] * 3000 + [(f"u{rng.randrange(10**9)}",) for _ in range(8000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    out = stats_mod().heavy_hitters(df, "k", min_share=0.2, summary_size=8)
+    rows_out = out.collect()
+    assert {r["k"] for r in rows_out} == {"dom"}
+    assert rows_out[0]["n"] == 3000
+    # fallback plan really rescans the input: the aggregate sits over a
+    # join/filter of the source relation, not a LocalTableScan of driver
+    # rows
+    plan = _plan(out)
+    assert "HashAggregate" in plan and "Exchange" in plan
+    assert "LocalTableScan" not in plan
+
+
+def test_heavy_hitters_null_keys_count_toward_total_never_match(spark):
+    rows = [("a",)] * 50 + [(None,)] * 50
+    df = spark.createDataFrame(rows, "k string").repartition(2)
+    out = {r["k"]: (r["n"], r["share"]) for r in
+           stats_mod().heavy_hitters(df, "k", min_share=0.4).collect()}
+    # N = 100 (nulls counted), a has share 0.5; null key never returned
+    assert out == {"a": (50, 0.5)}
+
+
+def stats_mod():
+    from restaurant_etl_code_spark.operators import stats
+
+    return stats
