@@ -669,10 +669,14 @@ def importance_resample(
     # Materialize the k selected rows (bounded by k — the sort+limit is
     # TakeOrderedAndProject, per-partition heads merged on the driver
     # regardless) so the cached histogram can be released here instead of
-    # leaking executor cache for the caller's session lifetime.
-    rows = topk.collect()
+    # leaking executor cache for the caller's session lifetime. Both hops
+    # ride Arrow (toPandas / pandas createDataFrame): the Row-list
+    # round-trip this replaces cost ~0.6-1.3 s of the 3.6 s r6/r7 driver
+    # row — the eager wrapper, not the scoring plan, was the r5→r6
+    # regression (lazy plan warm A/B: 1.6 s, unchanged across rounds).
+    pdf = topk.toPandas()
     doc_b.unpersist()
-    return docs.sparkSession.createDataFrame(rows, schema=topk.schema)
+    return docs.sparkSession.createDataFrame(pdf, schema=topk.schema)
 
 
 def _importance_resample_build(
