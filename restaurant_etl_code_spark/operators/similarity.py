@@ -657,6 +657,15 @@ def kmeans_lloyd(
     Returns (centroid_id, size, mean_d2): final cluster sizes and mean
     squared distance (6dp) — the inertia summary that verifies both the
     assignment and the update arithmetic.
+
+    Numeric contract above 256 centers: assignment switches to the
+    numpy/Arrow scorer (the literal plan stops compiling at that size),
+    which computes d2 via the BLAS expansion |v|²−2v·Cᵀ+|c|² with
+    numpy's round-half-even — for large-magnitude vectors the 9dp
+    pre-round may not absorb the expansion's relative error, so argmin
+    TIES can break differently than the ≤256-center literal fold.
+    Oracle-pinned configurations stay below the threshold; parity on
+    well-scaled data is regression-tested (test_round7_ops).
     """
     centers = kmeans_centers(
         corpus, n=n, iterations=iterations, id_col=id_col, vec_col=vec_col
@@ -669,36 +678,34 @@ def kmeans_lloyd(
     )
 
 
-def _d2_lit(vec_col_expr, center):
-    """9dp-rounded squared L2 against a LITERAL center — codegen."""
-    arr = F.array(*[F.lit(float(x)) for x in center])
-    return F.round(
-        F.aggregate(
-            F.zip_with(
-                vec_col_expr,
-                arr,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        9,
+def _d2_sql(vec_sql: str, center) -> str:
+    """9dp-rounded squared L2 of a vector SQL snippet against a LITERAL
+    center, as ONE SQL string. Semantically identical to the Column-tree
+    build it replaces (same zip_with/aggregate fold, same double casts,
+    same 9dp round — `repr` round-trips every float64 exactly), but the
+    string parses JVM-side in one py4j call: the tree version spent ~2 s
+    of DRIVER time per 16-center×32-dim argmin just constructing py4j
+    objects (measured; the dominant cost of the whole IVF-PQ stack at
+    small SF)."""
+    arr = "array(" + ",".join(repr(float(x)) + "D" for x in center) + ")"
+    return (
+        f"round(aggregate(zip_with({vec_sql}, {arr}, "
+        "(x, y) -> (double(x) - y) * (double(x) - y)), 0.0D, "
+        "(acc, x) -> acc + x), 9)"
     )
 
 
-def _kmeans_best(vec_expr, centers: dict):
+def _kmeans_best(vec_sql: str, centers: dict):
     """argmin struct over literal (dist, id) candidates — struct ordering
-    is field-lexicographic, so array_min = (min dist, then min id)."""
-    cand = F.array(
-        *[
-            F.struct(
-                _d2_lit(vec_expr, c).alias("__d2"),
-                F.lit(cid).alias("centroid_id"),
-            )
-            for cid, c in sorted(centers.items())
-        ]
+    is field-lexicographic, so array_min = (min dist, then min id).
+    Takes the vector as a SQL snippet (e.g. ``"`embedding`"`` or
+    ``"slice(`__rv`, 1, 32)"``) so the entire candidate array is a single
+    ``F.expr`` — see ``_d2_sql`` for why."""
+    cands = ",".join(
+        f"named_struct('__d2', {_d2_sql(vec_sql, c)}, 'centroid_id', {cid})"
+        for cid, c in sorted(centers.items())
     )
-    return F.array_min(cand)
+    return F.expr(f"array_min(array({cands}))")
 
 
 # Above this center count the literal-argmin formulation stops being a
@@ -707,6 +714,30 @@ def _kmeans_best(vec_expr, centers: dict):
 # auto-sizing heuristic's 65536 ceiling (found in review). Larger center
 # sets route through the numpy/Arrow assigner below instead.
 _LITERAL_ASSIGN_MAX_CENTERS = 256
+
+
+def _vectors_matrix(pdf, vec_field: str, dim: int, id_field: str | None = None):
+    """Dense (rows, dim) float64 matrix from an Arrow batch column, with
+    FAIL-LOUD null/ragged handling: the raw ``np.asarray(tolist())``
+    this replaces raised an opaque TypeError deep in numpy when a single
+    vector was null or width-drifted (the literal path tolerated nulls
+    by sorting them through array_min) — name the offending id instead,
+    matching the band-geometry guard's style (round-7 advisory)."""
+    import numpy as np
+
+    vals = pdf[vec_field].tolist()
+    for i, v in enumerate(vals):
+        if v is None or (hasattr(v, "__len__") and len(v) != dim):
+            bad = pdf[id_field].iloc[i] if id_field else f"<row {i}>"
+            got = "NULL" if v is None else f"width {len(v)}"
+            raise ValueError(
+                f"kmeans/IVF arrow assigner: vector for id={bad!r} is "
+                f"{got}, expected width {dim} — filter null/ragged "
+                f"embeddings before clustering (the >"
+                f"{_LITERAL_ASSIGN_MAX_CENTERS}-center path scores in "
+                f"dense numpy batches and cannot skip rows silently)"
+            )
+    return np.asarray(vals, dtype=np.float64)
 
 
 def _kmeans_assign_arrow(
@@ -742,7 +773,10 @@ def _kmeans_assign_arrow(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.asarray(pdf[vec_field].tolist(), dtype=np.float64)
+            V = _vectors_matrix(
+                pdf, vec_field, C.shape[1],
+                next((c for c in pdf.columns if c != vec_field), None),
+            )
             out_pos = np.empty(len(V), dtype=np.int64)
             out_d2 = np.empty(len(V), dtype=np.float64)
             # chunk rows so the (chunk, L) score matrix stays ~64 MB even
@@ -799,7 +833,7 @@ def _route_lists_arrow(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            V = _vectors_matrix(pdf, vec_col, C.shape[1], id_col)
             out_pos = np.empty(len(V), dtype=np.int64)
             chunk = max(1, (8 << 20) // max(len(lids), 1))
             for s in range(0, len(V), chunk):
@@ -821,7 +855,7 @@ def _route_lists_arrow(
 def _kmeans_assign(vecs: DataFrame, vec_field: str, centers: dict) -> DataFrame:
     if len(centers) > _LITERAL_ASSIGN_MAX_CENTERS:
         return _kmeans_assign_arrow(vecs, vec_field, centers)
-    best = _kmeans_best(F.col(vec_field), centers)
+    best = _kmeans_best(f"`{vec_field}`", centers)
     return vecs.select(
         *vecs.columns,
         best["centroid_id"].alias("centroid_id"),
@@ -875,6 +909,131 @@ def kmeans_centers(
     return centers
 
 
+def _pq_train_books(
+    enc_src: DataFrame,
+    id_col: str,
+    *,
+    m: int,
+    sub: int,
+    k_centers: int,
+    iterations: int,
+    vec_col: str = "__rv",
+) -> list:
+    """Train all ``m`` PQ codebooks in ONE pass per Lloyd round instead
+    of ``m`` independent loops. Numerically identical to calling
+    ``kmeans_centers`` per sliced subspace (same first-k-by-id seeds,
+    same 9dp argmin, same 6dp mean pre-rounding, empty clusters keep
+    position) — the seeds of every subspace are slices of the SAME first
+    k rows, so one TakeOrdered collect seeds all books, and each Lloyd
+    round runs all m argmins in one projection feeding one
+    (subspace, code, dim) mean agg. Job count per round: 1 instead of m;
+    corpus scans per round: 1 instead of m — at 100 TB this is the
+    difference between one pass and eight per PQ iteration
+    (production m is 8-64).
+
+    Falls back to per-book ``kmeans_centers`` above the literal-argmin
+    center ceiling (PQ codebooks are ≤ 256 centers in every standard
+    configuration, so the fallback is theoretical).
+    """
+    if k_centers > _LITERAL_ASSIGN_MAX_CENTERS:
+        books = []
+        for j in range(m):
+            sliced = enc_src.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sv"),
+            )
+            books.append(
+                kmeans_centers(
+                    sliced, n=k_centers, iterations=iterations,
+                    id_col=id_col, vec_col="__sv",
+                )
+            )
+        return books
+
+    seed_rows = enc_src.select(id_col, vec_col).sort(F.col(id_col)).limit(
+        k_centers
+    ).collect()
+    if not seed_rows:
+        raise ValueError("pq codebooks: empty corpus (no seed vectors)")
+    books = [
+        {
+            i: [float(x) for x in r[vec_col][j * sub : (j + 1) * sub]]
+            for i, r in enumerate(seed_rows)
+        }
+        for j in range(m)
+    ]
+    for _ in range(iterations):
+        structs = []
+        for j, book in enumerate(books):
+            sv = F.slice(F.col(vec_col), j * sub + 1, sub)
+            sv_sql = f"slice(`{vec_col}`, {j * sub + 1}, {sub})"
+            best = _kmeans_best(sv_sql, book)
+            structs.append(
+                F.struct(
+                    F.lit(j).alias("__j"),
+                    best["centroid_id"].alias("__cid"),
+                    sv.alias("__sv"),
+                )
+            )
+        upd = (
+            enc_src.select(F.explode(F.array(*structs)).alias("__e"))
+            .select(
+                F.col("__e.__j").alias("__j"),
+                F.col("__e.__cid").alias("__cid"),
+                F.posexplode("__e.__sv").alias("__p", "__x"),
+            )
+            .groupBy("__j", "__cid", "__p")
+            .agg(F.round(F.avg(F.col("__x").cast("double")), 6).alias("__m"))
+            .collect()
+        )  # m·k·sub counter rows — the same volume m separate loops ship
+        new: dict = {}
+        for r in upd:
+            new.setdefault(int(r["__j"]), {}).setdefault(
+                int(r["__cid"]), {}
+            )[int(r["__p"])] = r["__m"]
+        books = [
+            {
+                cid: (
+                    [new[j][cid][p] for p in sorted(new[j][cid])]
+                    if j in new and cid in new[j]
+                    else old  # emptied centroid keeps its position
+                )
+                for cid, old in book.items()
+            }
+            for j, book in enumerate(books)
+        ]
+    return books
+
+
+def _query_lut_frame(
+    queries: DataFrame, query_id: str, rows: list, m: int, *, with_list_id: bool
+) -> DataFrame:
+    """The per-query ADC tables as an Arrow-backed local relation
+    ``(query_id[, list_id], __lut_0..__lut_{m-1})`` for broadcast — the
+    join-based replacement for compiling every query's tables into the
+    plan as literals. Row count is |Q| (plain ADC) or |Q|·nprobe (IVF-PQ:
+    one row per probed list, which is also exactly the residual-mode
+    table granularity)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qid_field = queries.select(query_id).schema.fields[0]
+    fields = [T.StructField("query_id", qid_field.dataType, True)]
+    cols = ["query_id"]
+    if with_list_id:
+        fields.append(T.StructField("list_id", T.LongType(), False))
+        cols.append("list_id")
+    for j in range(m):
+        fields.append(
+            T.StructField(f"__lut_{j}", T.ArrayType(T.DoubleType()), False)
+        )
+        cols.append(f"__lut_{j}")
+    pdf = pd.DataFrame(rows, columns=cols)
+    return queries.sparkSession.createDataFrame(
+        pdf, schema=T.StructType(fields)
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     *,
@@ -911,21 +1070,13 @@ def pq_encode(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
-    books = []
-    for j in range(m):
-        sliced = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sv"),
-        )
-        books.append(
-            kmeans_centers(
-                sliced, n=k, iterations=iterations, id_col=id_col,
-                vec_col="__sv",
-            )
-        )
+    books = _pq_train_books(
+        corpus, id_col, m=m, sub=sub, k_centers=k, iterations=iterations,
+        vec_col=vec_col,
+    )
     cols = [F.col(id_col)]
     for j, book in enumerate(books):
-        best = _kmeans_best(F.slice(F.col(vec_col), j * sub + 1, sub), book)
+        best = _kmeans_best(f"slice(`{vec_col}`, {j * sub + 1}, {sub})", book)
         cols.append(best["centroid_id"].alias(f"code_{j}"))
         cols.append(best["__d2"].alias(f"err_{j}"))
     return corpus.select(*cols)
@@ -973,18 +1124,10 @@ def pq_adc_topk(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
-    books = []
-    for j in range(m):
-        sliced = corpus.select(
-            F.col(corpus_id),
-            F.slice(F.col(corpus_vec), j * sub + 1, sub).alias("__sv"),
-        )
-        books.append(
-            kmeans_centers(
-                sliced, n=k_centers, iterations=iterations,
-                id_col=corpus_id, vec_col="__sv",
-            )
-        )
+    books = _pq_train_books(
+        corpus, corpus_id, m=m, sub=sub, k_centers=k_centers,
+        iterations=iterations, vec_col=corpus_vec,
+    )
     probe = queries.select(query_id, query_vec).limit(max_query_rows + 1)
     q_rows = probe.collect()
     if len(q_rows) > max_query_rows:
@@ -993,49 +1136,44 @@ def pq_adc_topk(
             f"rows — shard the query side or use ivf_topk for corpus-sized "
             f"query sides"
         )
-    # per-query ADC tables: round exactly like the SQL twin (9dp)
+    # per-query ADC tables: round exactly like the SQL twin (9dp), shipped
+    # as a BROADCAST relation of (query_id, lut_0..lut_{m-1}) rows rather
+    # than per-query literal expressions — the scoring expression is m
+    # element_at lookups regardless of |Q|, where the literal formulation
+    # compiled |Q|·m·k_centers constants into the plan (codegen time grew
+    # with the query batch; found while profiling ivfpq_recall)
     tables = []
     for qid, qvec in q_rows:
-        per_sub = []
+        luts = []
         for j, book in enumerate(books):
             qs = [float(x) for x in qvec[j * sub : (j + 1) * sub]]
-            per_sub.append(
-                {
-                    cid: round(sum((a - b) * (a - b) for a, b in zip(qs, c)), 9)
-                    for cid, c in book.items()
-                }
-            )
-        tables.append((qid, per_sub))
+            t = {
+                cid: round(sum((a - b) * (a - b) for a, b in zip(qs, c)), 9)
+                for cid, c in book.items()
+            }
+            luts.append([t[c] for c in sorted(t)])
+        tables.append((qid, *luts))
 
     code_cols = [
-        _kmeans_best(F.slice(F.col(corpus_vec), j * sub + 1, sub), book)[
+        _kmeans_best(f"slice(`{corpus_vec}`, {j * sub + 1}, {sub})", book)[
             "centroid_id"
         ].alias(f"__code_{j}")
         for j, book in enumerate(books)
     ]
     coded = corpus.select(F.col(corpus_id).alias("neighbor_id"), *code_cols)
+    qplan = _query_lut_frame(
+        queries, query_id, tables, m, with_list_id=False
+    )
 
-    def adc_expr(per_sub):
-        total = F.lit(0.0)
-        for j, table in enumerate(per_sub):
-            lut = F.array(*[F.lit(table[c]) for c in sorted(table)])
-            total = total + F.element_at(lut, F.col(f"__code_{j}") + 1)
-        return F.round(total, 9)
-
-    scored = coded.select(
-        "neighbor_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(qid).alias("query_id"),
-                        adc_expr(per_sub).alias("adc"),
-                    )
-                    for qid, per_sub in tables
-                ]
-            )
-        ).alias("__q"),
-    ).select(F.col("__q.query_id"), "neighbor_id", F.col("__q.adc"))
+    total = F.lit(0.0)
+    for j in range(m):
+        total = total + F.element_at(
+            F.col(f"__lut_{j}"), F.col(f"__code_{j}") + 1
+        )
+    scored = (
+        coded.crossJoin(F.broadcast(qplan))
+        .select("query_id", "neighbor_id", F.round(total, 9).alias("adc"))
+    )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id"))
@@ -1083,6 +1221,10 @@ def ivfpq_topk(
     ``coarse_iterations=0`` keeps the coarse quantizer at its
     deterministic first-n-by-id seeds (the ``centroids_by_id`` oracle
     contract); production passes >0 for trained lists — same machinery.
+    Above 256 lists, routing switches to the numpy/Arrow assigner; see
+    ``kmeans_lloyd`` for the numeric contract of that switch (BLAS
+    expansion + round-half-even may break argmin ties differently than
+    the literal fold on large-magnitude vectors).
 
     Physical shape at 100 TB: list routing + codes + every per-query
     (probe-gate, ADC) pair are literal expressions in ONE codegen
@@ -1120,10 +1262,16 @@ def ivfpq_topk(
     use_arrow_routing = len(coarse) > _LITERAL_ASSIGN_MAX_CENTERS
     routed = None
     if use_arrow_routing:
+        # persisted: the full-corpus numpy routing pass feeds codebook
+        # seeding, every Lloyd round, AND the final encode — without the
+        # persist it would re-execute per consumer, and a
+        # non-deterministic source could route training and encoding
+        # differently (round-7 advisory). Same persist-and-let-LRU-evict
+        # pattern as lsh_candidate_pairs' banded stage.
         routed = _route_lists_arrow(
             corpus, coarse, id_col=corpus_id, vec_col=corpus_vec,
             residual=residual,
-        )
+        ).persist()
     lids = sorted(coarse)
     centers_arr = None
     lid_index = {cid: i for i, cid in enumerate(lids)}
@@ -1146,7 +1294,7 @@ def ivfpq_topk(
             F.col(corpus_id), F.col("__vv").alias("__rv")
         )
     elif residual:
-        lid_c = _kmeans_best(F.col(corpus_vec), coarse)["centroid_id"]
+        lid_c = _kmeans_best(f"`{corpus_vec}`", coarse)["centroid_id"]
         ctr = F.element_at(centers_arr, _list_pos(lid_c) + 1)
         enc_src = corpus.select(
             F.col(corpus_id),
@@ -1159,18 +1307,10 @@ def ivfpq_topk(
             F.col(corpus_id),
             F.col(corpus_vec).cast("array<double>").alias("__rv"),
         )
-    books = []
-    for j in range(m):
-        sliced = enc_src.select(
-            F.col(corpus_id),
-            F.slice(F.col("__rv"), j * sub + 1, sub).alias("__sv"),
-        )
-        books.append(
-            kmeans_centers(
-                sliced, n=k_centers, iterations=pq_iterations,
-                id_col=corpus_id, vec_col="__sv",
-            )
-        )
+    books = _pq_train_books(
+        enc_src, corpus_id, m=m, sub=sub, k_centers=k_centers,
+        iterations=pq_iterations, vec_col="__rv",
+    )
     probe = queries.select(query_id, query_vec).limit(max_query_rows + 1)
     q_rows = probe.collect()
     if len(q_rows) > max_query_rows:
@@ -1178,7 +1318,28 @@ def ivfpq_topk(
             f"ivfpq_topk collects the query side; it has > {max_query_rows} "
             f"rows — shard the query batch"
         )
-    plans = []  # (qid, probed list ids, per-subspace ADC tables)
+
+    def luts_for(vec):
+        out = []
+        for j, book in enumerate(books):
+            t = {
+                cid: round(
+                    sum(
+                        (a - b) * (a - b)
+                        for a, b in zip(vec[j * sub : (j + 1) * sub], c)
+                    ),
+                    9,
+                )
+                for cid, c in book.items()
+            }
+            out.append([t[c] for c in sorted(t)])
+        return out
+
+    # one (query_id, list_id, luts) row per PROBED list — the probe gate
+    # becomes the broadcast equi-join below, and residual mode (where the
+    # tables genuinely differ per probed list: the query's residual vs
+    # that list's center feeds the lookups) is the SAME row shape
+    lut_rows = []
     for qid, qvec in q_rows:
         qd = [float(x) for x in qvec]
         dists = sorted(
@@ -1188,39 +1349,23 @@ def ivfpq_topk(
             )
         )
         probed = sorted(cid for _, cid in dists[:nprobe])
-
-        def tables_for(vec):
-            return [
-                {
-                    cid: round(
-                        sum(
-                            (a - b) * (a - b)
-                            for a, b in zip(vec[j * sub : (j + 1) * sub], c)
-                        ),
-                        9,
-                    )
-                    for cid, c in book.items()
-                }
-                for j, book in enumerate(books)
-            ]
-
         if residual:
-            # one ADC table-set per PROBED LIST: the query's residual vs
-            # that list's coarse center feeds the lookups
-            per_list = {
-                lid: tables_for([a - b for a, b in zip(qd, coarse[lid])])
-                for lid in probed
-            }
-            plans.append((qid, probed, per_list))
+            for lid in probed:
+                lut_rows.append(
+                    (qid, lid,
+                     *luts_for([a - b for a, b in zip(qd, coarse[lid])]))
+                )
         else:
-            plans.append((qid, probed, tables_for(qd)))
+            luts = luts_for(qd)
+            for lid in probed:
+                lut_rows.append((qid, lid, *luts))
 
     if use_arrow_routing:
         staged = routed.select(
             F.col(corpus_id).alias("neighbor_id"), "list_id", "__vv"
         )
     else:
-        list_col = _kmeans_best(F.col(corpus_vec), coarse)["centroid_id"]
+        list_col = _kmeans_best(f"`{corpus_vec}`", coarse)["centroid_id"]
         staged = corpus.select(
             F.col(corpus_id).alias("neighbor_id"),
             list_col.alias("list_id"),
@@ -1232,43 +1377,26 @@ def ivfpq_topk(
                 "__vv", F.zip_with(F.col("__vv"), ctr2, lambda x, y: x - y)
             )
     code_cols = [
-        _kmeans_best(F.slice(F.col("__vv"), j * sub + 1, sub), book)[
+        _kmeans_best(f"slice(`__vv`, {j * sub + 1}, {sub})", book)[
             "centroid_id"
         ].alias(f"__code_{j}")
         for j, book in enumerate(books)
     ]
     coded = staged.select("neighbor_id", "list_id", *code_cols)
+    qplan = _query_lut_frame(queries, query_id, lut_rows, m, with_list_id=True)
 
-    def adc_expr(per_sub):
-        total = F.lit(0.0)
-        for j, table in enumerate(per_sub):
-            lut = F.array(*[F.lit(table[c]) for c in sorted(table)])
-            total = total + F.element_at(lut, F.col(f"__code_{j}") + 1)
-        return F.round(total, 9)
-
-    def query_struct(qid, probed, tables):
-        if residual:
-            adc = F.lit(None).cast("double")
-            for lid in probed:  # pick the table-set matching this row's list
-                adc = F.when(
-                    F.col("list_id") == lid, adc_expr(tables[lid])
-                ).otherwise(adc)
-        else:
-            adc = adc_expr(tables)
-        return F.struct(
-            F.lit(qid).alias("query_id"),
-            F.col("list_id").isin(probed).alias("__probed"),
-            adc.alias("adc"),
+    total = F.lit(0.0)
+    for j in range(m):
+        total = total + F.element_at(
+            F.col(f"__lut_{j}"), F.col(f"__code_{j}") + 1
         )
-
-    scored = coded.select(
-        "neighbor_id",
-        "list_id",
-        F.explode(
-            F.array(*[query_struct(*plan) for plan in plans])
-        ).alias("__q"),
-    ).filter(F.col("__q.__probed")).select(
-        F.col("__q.query_id"), "neighbor_id", "list_id", F.col("__q.adc")
+    # the broadcast equi-join on list_id IS the probe gate: a corpus row
+    # pairs with exactly the queries that probed its list, and the ADC
+    # expression stays m lookups regardless of |Q| (the literal-per-query
+    # formulation compiled |Q|·m·k_centers constants — codegen time grew
+    # with the query batch)
+    scored = coded.join(F.broadcast(qplan), "list_id").select(
+        "query_id", "neighbor_id", "list_id", F.round(total, 9).alias("adc")
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))

@@ -79,3 +79,65 @@ def stats_mod():
     from restaurant_etl_code_spark.operators import stats
 
     return stats
+
+
+# ---------------------------------------------------------------------------
+# round-8 IVF-PQ refactor: one-pass multi-book training must equal the m
+# independent Lloyd loops it replaces, and the arrow assigner must fail
+# loud (naming the id) on null/ragged vectors instead of a numpy stack
+# trace (round-7 advisory)
+# ---------------------------------------------------------------------------
+
+def test_pq_train_books_matches_per_book_kmeans(spark):
+    import random
+
+    from restaurant_etl_code_spark.operators import similarity as S
+
+    rng = random.Random(5)
+    emb = spark.createDataFrame(
+        [(i, [round(rng.uniform(-1, 1), 6) for _ in range(8)]) for i in range(300)],
+        "vec_id bigint, embedding array<double>",
+    )
+    enc = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("__rv"))
+    combined = S._pq_train_books(
+        enc, "vec_id", m=2, sub=4, k_centers=6, iterations=2, vec_col="__rv"
+    )
+    separate = []
+    for j in range(2):
+        sliced = enc.select(
+            "vec_id", F.slice(F.col("__rv"), j * 4 + 1, 4).alias("__sv")
+        )
+        separate.append(
+            S.kmeans_centers(
+                sliced, n=6, iterations=2, id_col="vec_id", vec_col="__sv"
+            )
+        )
+    assert combined == separate
+
+
+def test_arrow_assigner_names_offending_null_vector(spark):
+    import pytest as _pytest
+
+    from restaurant_etl_code_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    centers = {i: [float(i), float(i)] for i in range(2)}
+    with _pytest.raises(Exception, match="id=2.*NULL|NULL.*id=2"):
+        S._kmeans_assign_arrow(emb, "embedding", centers).collect()
+
+
+def test_arrow_assigner_names_ragged_vector(spark):
+    import pytest as _pytest
+
+    from restaurant_etl_code_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (7, [1.0, 2.0, 3.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    centers = {i: [float(i), float(i)] for i in range(2)}
+    with _pytest.raises(Exception, match="id=7.*width 3"):
+        S._kmeans_assign_arrow(emb, "embedding", centers).collect()

@@ -356,14 +356,16 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["Exchange hashpartitioning", "SortMergeJoin", "Window"],
     },
     "heavy_hitters": {
-        # the MG sketch (MapInPandas) runs EAGERLY (single collected job,
-        # no persist — round-5 advisory); the returned plan is the exact
-        # recount with the candidate set compiled into the scan filter
-        # (isin/InSet — no join operator at all; a >10k candidate set
-        # falls back to a broadcast LeftSemi)
-        "want": ["HashAggregate", "Filter"],
+        # the MG sketch (MapInPandas) runs EAGERLY (single collected job);
+        # at audit SF no partition overflows, so the round-8 exact-sketch
+        # shortcut returns the driver-summed counts as a LOCAL relation —
+        # no recount scan, no join, no Python stage in the returned plan.
+        # The overflow fallback's recount shape (HashAggregate over an
+        # InSet/broadcast-pruned scan) is pinned in
+        # tests/test_round8_ops.py.
+        "want": ["LocalTableScan"],
         "avoid": ["CartesianProduct", "SortMergeJoin", "MapInPandas",
-                  "BroadcastHashJoin"],
+                  "BroadcastHashJoin", "HashAggregate"],
     },
     "bloom_prune_join": {
         # bitmap probe (getbit) must sit in the fact scan's Filter, BEFORE
@@ -460,7 +462,9 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         # The heavy plan's shape (broadcast log-ratio join + TakeOrdered,
         # no Python) is pinned against the LAZY twin
         # (_importance_resample_plan) in tests/test_round6_ops.py.
-        "want": ["Scan ExistingRDD"],
+        # (round 8: the k-row materialization rides Arrow both ways, so
+        # the local relation plans as LocalTableScan, not ExistingRDD)
+        "want": ["LocalTableScan"],
         "avoid": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
     },
     "pdf_real_extract": {
@@ -530,11 +534,15 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                   "BatchEvalPython", "MapInPandas"],
     },
     "ivfpq_topk": {
-        # list routing, codes, probe gates and ADC sums all evaluate as
-        # literal expressions in the corpus scan; non-probed pairs filter
-        # BEFORE the only shuffle (the per-query top-k window)
-        "want": ["array_min", "element_at", "WindowGroupLimit"],
-        "avoid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+        # list routing and codes evaluate as literal argmin expressions in
+        # the corpus scan; the probe gate IS the broadcast equi-join with
+        # the (query, probed list, ADC luts) relation (round 8 — replaces
+        # the per-query literal explode, whose codegen grew with |Q|),
+        # non-probed pairs die in the join before the only shuffle (the
+        # per-query top-k window)
+        "want": ["array_min", "element_at", "BroadcastHashJoin",
+                 "WindowGroupLimit"],
+        "avoid": ["CartesianProduct", "SortMergeJoin",
                   "BatchEvalPython", "MapInPandas"],
     },
     "ivfpq_recall": {
