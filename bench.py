@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "pq_adc_topk",
     "ivfpq_topk",
     "ivfpq_recall",
+    "ivfpq_residual_topk",
 ]
 
 

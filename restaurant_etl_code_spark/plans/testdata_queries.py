@@ -6307,6 +6307,114 @@ select qid as query_id, nid as neighbor_id, lid as list_id, adc, rank from (
 """
 
 
+def _q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (similarity.ivfpq_topk
+    residual=True): codebooks train on vec − coarse_center[list], codes
+    quantize the residuals, and each query builds one ADC table-set per
+    probed list from its OWN residual against that list's center — the
+    marquee production mode (Jégou et al. 2011 §III.C), previously only
+    unit-proven to dominate raw encoding on clustered data; this query
+    pins it to a full unrolled-SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivfpq_topk(
+        q, emb, n_lists=8, nprobe=2, m=2, k_centers=4, pq_iterations=1,
+        k=3, residual=True,
+    )
+
+
+def _pq_res_subspace(lo: int, hi: int, tag: str, k: int = 4) -> str:
+    """One unrolled RESIDUAL subspace: same seed → 1 Lloyd round → final
+    code shape as ``_pq_oracle_subspace``, but over the residual vectors
+    in ``rsv`` (vec_id, rv) instead of the raw embeddings."""
+    return f"""
+s{tag} as (select vec_id, list_slice(rv, {lo}, {hi}) as sv from rsv),
+c0{tag} as (select row_number() over (order by vec_id) - 1 as cid, sv as c
+            from (select vec_id, sv from s{tag} order by vec_id limit {k})),
+vv{tag} as (select vec_id, generate_subscripts(sv, 1) as p,
+                   unnest(sv) as x from s{tag}),
+cc0{tag} as (select cid, generate_subscripts(c, 1) as p, unnest(c) as y
+             from c0{tag}),
+d0{tag} as (select vec_id, cid, round(sum((x - y) * (x - y)), 9) as d2
+            from vv{tag} join cc0{tag} using (p) group by 1, 2),
+a0{tag} as (select vec_id, cid from (
+              select vec_id, cid,
+                     row_number() over (partition by vec_id
+                                        order by d2, cid) as rn
+              from d0{tag}) where rn = 1),
+u1{tag} as (select cid, p, round(avg(x), 6) as mval
+            from a0{tag} join vv{tag} using (vec_id) group by 1, 2),
+c1{tag} as (select c0{tag}.cid,
+                   coalesce((select list(u1{tag}.mval order by u1{tag}.p)
+                             from u1{tag}
+                             where u1{tag}.cid = c0{tag}.cid), c0{tag}.c) as c
+            from c0{tag}),
+cc1{tag} as (select cid, generate_subscripts(c, 1) as p, unnest(c) as y
+             from c1{tag}),
+d1{tag} as (select vec_id, cid, round(sum((x - y) * (x - y)), 9) as d2
+            from vv{tag} join cc1{tag} using (p) group by 1, 2),
+b{tag} as (select vec_id, cid, d2 from (
+             select vec_id, cid, d2,
+                    row_number() over (partition by vec_id
+                                       order by d2, cid) as rn
+             from d1{tag}) where rn = 1)"""
+
+
+_ORACLE_IVFPQ_RESIDUAL = f"""
+with v as (select vec_id, embedding from embeddings),
+cf as (select row_number() over (order by vec_id) - 1 as lid,
+              list_transform(embedding, z -> z::double) as c
+       from (select vec_id, embedding from v order by vec_id limit 8)),
+vvf as (select vec_id, generate_subscripts(embedding, 1) as p,
+               unnest(embedding)::double as x from v),
+ccf as (select lid, generate_subscripts(c, 1) as p, unnest(c) as y from cf),
+df as (select vec_id, lid, round(sum((x - y) * (x - y)), 9) as d2
+       from vvf join ccf using (p) group by 1, 2),
+lists as (select vec_id, lid from (
+            select vec_id, lid,
+                   row_number() over (partition by vec_id
+                                      order by d2, lid) as rn
+            from df) where rn = 1),
+rvf as (select vvf.vec_id, lists.lid, vvf.p, vvf.x - ccf.y as x
+        from vvf join lists using (vec_id)
+        join ccf on ccf.lid = lists.lid and ccf.p = vvf.p),
+rsv as (select vec_id, list(x order by p) as rv from rvf group by vec_id),
+{_pq_res_subspace(1, 32, 'a').strip()},
+{_pq_res_subspace(33, 64, 'b').strip()},
+q as (select vec_id as qid, embedding from v where vec_id % 50 = 0),
+qvf as (select qid, generate_subscripts(embedding, 1) as p,
+               unnest(embedding)::double as x from q),
+qdf as (select qid, lid, round(sum((x - y) * (x - y)), 9) as d2
+        from qvf join ccf using (p) group by 1, 2),
+probed as (select qid, lid from (
+             select qid, lid,
+                    row_number() over (partition by qid
+                                       order by d2, lid) as rn
+             from qdf) where rn <= 2),
+qrvf as (select qvf.qid, probed.lid, qvf.p, qvf.x - ccf.y as x
+         from qvf join probed using (qid)
+         join ccf on ccf.lid = probed.lid and ccf.p = qvf.p),
+qra as (select qid, lid, p, x from qrvf where p <= 32),
+qrb as (select qid, lid, p - 32 as p, x from qrvf where p > 32),
+ta as (select qid, lid, cid, round(sum((x - y) * (x - y)), 9) as d
+       from qra join cc1a using (p) group by 1, 2, 3),
+tb as (select qid, lid, cid, round(sum((x - y) * (x - y)), 9) as d
+       from qrb join cc1b using (p) group by 1, 2, 3),
+adc as (select ta.qid, ba.vec_id as nid, lists.lid,
+               round(ta.d + tb.d, 9) as adc
+        from ba join bb using (vec_id)
+        join lists on lists.vec_id = ba.vec_id
+        join ta on ta.lid = lists.lid and ta.cid = ba.cid
+        join tb on tb.lid = lists.lid and tb.cid = bb.cid
+                and tb.qid = ta.qid
+        where ba.vec_id <> ta.qid)
+select qid as query_id, nid as neighbor_id, lid as list_id, adc, rank from (
+  select qid, nid, lid, adc,
+         row_number() over (partition by qid order by adc, nid) as rank
+  from adc) where rank <= 3
+"""
+
+
 def _q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of the combined IVF-PQ index against exact squared-L2
     ground truth (similarity.l2_topk) — the measurement that justifies
@@ -7072,6 +7180,11 @@ _REGISTRY: dict[str, QueryDef] = {
     "ivfpq_recall": QueryDef(
         _q_ivfpq_recall, _ORACLE_IVFPQ_RECALL,
         "recall@3 of IVF-PQ vs exact L2 — the m/k/nprobe justification"),
+    "ivfpq_residual_topk": QueryDef(
+        _q_ivfpq_residual_topk, _ORACLE_IVFPQ_RESIDUAL,
+        "IVF-PQ residual encoding: per-probed-list ADC tables, "
+        "full unrolled-SQL oracle (round 8 — closes the residual=True "
+        "oracle gap)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -7092,7 +7205,9 @@ _REGISTRY: dict[str, QueryDef] = {
 _WINDOW_FIRST = [
     # r08 rotation (executed this time — the r07 note was written but the
     # list below was not updated; this round the rotation IS the opening
-    # commit). (a) The THIRTEEN round-6 additions, never driver-checked
+    # commit). (0) queries ADDED this round (never checked anywhere):
+    "ivfpq_residual_topk",
+    # (a) The THIRTEEN round-6 additions, never driver-checked
     # in any CORRECTNESS_r*.json (judge strict-hash-verified r7 only):
     "pdf15_extract", "bpe_pair_stats", "global_offsets",
     "pmi_collocations", "label_propagation", "kmeans_clusters",
@@ -7110,7 +7225,7 @@ _WINDOW_FIRST = [
     "industry_resolve", "update_fields", "distinct_categories",
     "stratified_split", "tfidf_top_terms", "decontaminate",
     "stats_moments", "pii_scrub", "doc_chunks", "repetition_signals",
-    "group_sample", "rolling_stats", "csv_scan_agg",
+    "group_sample", "rolling_stats",
     # anchors: longest-green queries kept in-window as canaries
     "staging_cleanse", "match_cascade",
 ]
