@@ -129,6 +129,41 @@ def test_arrow_assigner_names_offending_null_vector(spark):
         S._kmeans_assign_arrow(emb, "embedding", centers).collect()
 
 
+# ---------------------------------------------------------------------------
+# driver_hash_check._cell maps every tz-naive midnight timestamp to its
+# date — deliberate (DuckDB DATE arrives as midnight datetime64 while
+# Spark DATE collects as datetime.date; the driver hashed them equal,
+# cohort_retention r5). Pin that claim so a driver-side tightening is
+# caught locally instead of as a surprise gate failure (round-7 advisory).
+# ---------------------------------------------------------------------------
+
+def test_hash_check_date_equals_midnight_timestamp():
+    import datetime
+    import importlib.util
+    import os
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "driver_hash_check",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "driver_hash_check.py"),
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    as_date = pd.DataFrame({"d": [datetime.date(2024, 2, 29)]})
+    as_midnight = pd.DataFrame({"d": [pd.Timestamp("2024-02-29 00:00:00")]})
+    assert m.canon(as_date) == m.canon(as_midnight)
+    # a NON-midnight timestamp must NOT collapse to the date
+    as_noon = pd.DataFrame({"d": [pd.Timestamp("2024-02-29 12:00:00")]})
+    assert m.canon(as_date) != m.canon(as_noon)
+    # tz-AWARE midnight keeps its timestamp form (only naive collapses)
+    as_tz = pd.DataFrame(
+        {"d": [pd.Timestamp("2024-02-29 00:00:00", tz="UTC")]}
+    )
+    assert m.canon(as_date) != m.canon(as_tz)
+
+
 def test_arrow_assigner_names_ragged_vector(spark):
     import pytest as _pytest
 
