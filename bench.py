@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "ivfpq_topk",
     "ivfpq_recall",
     "ivfpq_residual_topk",
+    "bpe_trainer",
 ]
 
 

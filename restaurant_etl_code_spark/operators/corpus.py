@@ -55,6 +55,7 @@ __all__ = [
     "pmi_collocations",
     "merge_adjacent_pair",
     "phrase_merge_step",
+    "bpe_train",
 ]
 
 
@@ -1006,15 +1007,26 @@ def merge_adjacent_pair(
     (tokens) with the merged ``array<string>`` per document plus the
     original columns.
     """
+    return docs.withColumn(
+        "tokens",
+        _merge_fold(
+            F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != ""),
+            a, b, joiner,
+        ),
+    )
+
+
+def _merge_fold(tokens_expr, a: str, b: str, joiner: str = "_"):
+    """The left-to-right non-overlapping (a, b) → a_b merge as a codegen
+    fold over a TOKEN-ARRAY expression — the shared core of
+    ``merge_adjacent_pair`` (which tokenizes text first) and
+    ``bpe_train`` (which re-merges its own token arrays each round)."""
     if not a or not b or "\x01" in a + b:
         raise ValueError(f"invalid merge pair ({a!r}, {b!r})")
     d = "\x01"
     la, lb = F.lit(d + a), F.lit(d + b)
     merged = F.aggregate(
-        F.transform(
-            F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != ""),
-            lambda t: F.concat(F.lit(d), t),
-        ),
+        F.transform(tokens_expr, lambda t: F.concat(F.lit(d), t)),
         F.lit(""),
         lambda acc, x: F.when(
             F.endswith(acc, la) & (x == lb),
@@ -1024,9 +1036,7 @@ def merge_adjacent_pair(
             ),
         ).otherwise(F.concat(acc, x)),
     )
-    return docs.withColumn(
-        "tokens", F.filter(F.split(merged, d), lambda t: t != "")
-    )
+    return F.filter(F.split(merged, d), lambda t: t != "")
 
 
 def phrase_merge_step(
@@ -1081,4 +1091,84 @@ def phrase_merge_step(
         .agg(F.count(F.lit(1)).alias("n"))
         .sort(F.col("n").desc(), "token")
         .limit(k)
+    )
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 4,
+    joiner: str = "_",
+) -> DataFrame:
+    """Greedy merge TRAINER: ``n_merges`` rounds of find-the-most-frequent
+    adjacent token pair → merge every left-to-right occurrence — the loop
+    that ``bpe_pair_stats`` (the per-round statistic) and
+    ``phrase_merge_step`` (one round) are pieces of (Sennrich et al. 2016
+    at the word level; word2vec's phrase pass run to a fixed depth).
+    Returns the learned MERGE TABLE (merge_round, a, b, n) — the ranked
+    merge list IS the trained vocabulary, and later rounds merge tokens
+    produced by earlier ones (``a_b`` can win round 3).
+
+    Physical shape at 100 TB, per round: one partial-aggregatable bigram
+    counter groupBy (the shuffle carries (a, b, count) counters, never
+    the corpus) + a 1-row TakeOrdered collect (the driver touch every
+    BPE trainer makes per merge) + a row-local codegen re-merge fold on
+    the token arrays. The token frame is lazily ``localCheckpoint``ed
+    each round (the pagerank/label_propagation pattern) so round r's
+    count doesn't re-execute rounds 1..r-1's folds and lineage stays
+    flat. Deterministic (count desc, then lexical pair) ⇒ the oracle
+    unrolls the same N rounds in SQL with ``replace`` on a
+    \\x01-delimited token string — equivalent to the fold because both
+    scan left-to-right non-overlapping and the delimiter makes token
+    boundaries exact.
+    """
+    toks = docs.select(
+        F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "").alias("tk")
+    ).filter(F.size("tk") >= 1)
+    history: list = []
+    for r in range(n_merges):
+        top = (
+            toks.filter(F.size("tk") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(tk) - 1), i -> "
+                        "struct(element_at(tk, i) as a, "
+                        "element_at(tk, i + 1) as b))"
+                    )
+                ).alias("p")
+            )
+            .select("p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .sort(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # corpus ran out of adjacent pairs
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        history.append((r + 1, a, b, n))
+        toks = toks.withColumn(
+            "tk", _merge_fold(F.col("tk"), a, b, joiner)
+        ).localCheckpoint(eager=False)
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return docs.sparkSession.createDataFrame(
+        pd.DataFrame(history, columns=["merge_round", "a", "b", "n"]),
+        schema=StructType(
+            [
+                StructField("merge_round", IntegerType(), False),
+                StructField("a", StringType(), False),
+                StructField("b", StringType(), False),
+                StructField("n", LongType(), False),
+            ]
+        ),
     )

@@ -6112,6 +6112,56 @@ select pair, count(*) as n from pr group by 1 order by n desc, pair limit 30
 """
 
 
+def _q_bpe_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy merge trainer (corpus.bpe_train): THREE rounds of
+    most-frequent-adjacent-pair → corpus-wide left-to-right merge, each
+    round's token arrays lazily checkpointed (the pagerank pattern).
+    Returns the learned merge table — the trainer loop the round-6
+    verdict asked for, composing bpe_pair_stats' statistic with
+    phrase_merge's apply step."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return corpus.bpe_train(docs, n_merges=3)
+
+
+def _bpe_oracle(n_rounds: int) -> str:
+    """Unrolled N-round trainer in DuckDB. The merge uses ``replace`` on
+    a \\x01-delimited token string — equivalent to the Spark fold: both
+    scan left-to-right non-overlapping, and the delimiter makes the
+    token-boundary test exact (a token merely ending in ``a`` cannot
+    match ``\\x01a\\x01b``)."""
+    parts = [
+        f"t0 as (select list_filter({_DUCK_TOKENS.format(c='text')}, "
+        "x -> x <> '') as tk from documents)",
+        "t0f as (select tk from t0 where len(tk) >= 1)",
+    ]
+    prev = "t0f"
+    sels = []
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"p{r} as (select tk[i] as a, tk[i + 1] as b from "
+            f"(select tk, unnest(range(1, len(tk))) as i from {prev}))"
+        )
+        parts.append(
+            f"top{r} as (select a, b, count(*) as n from p{r} "
+            "group by 1, 2 order by n desc, a, b limit 1)"
+        )
+        if r < n_rounds:
+            parts.append(
+                f"t{r} as (select string_split(substr(replace("
+                "chr(1) || array_to_string(tk, chr(1)), "
+                f"chr(1) || (select a from top{r}) || chr(1) || "
+                f"(select b from top{r}), "
+                f"chr(1) || (select a from top{r}) || '_' || "
+                f"(select b from top{r})), 2), chr(1)) as tk from {prev})"
+            )
+            prev = f"t{r}"
+        sels.append(f"select {r} as merge_round, a, b, n from top{r}")
+    return "with " + ",\n".join(parts) + "\n" + "\nunion all ".join(sels)
+
+
+_ORACLE_BPE_TRAINER = _bpe_oracle(3)
+
+
 def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token offsets for the concatenated corpus
     (packing.global_offsets): every document's exclusive prefix-sum
@@ -7180,6 +7230,10 @@ _REGISTRY: dict[str, QueryDef] = {
     "ivfpq_recall": QueryDef(
         _q_ivfpq_recall, _ORACLE_IVFPQ_RECALL,
         "recall@3 of IVF-PQ vs exact L2 — the m/k/nprobe justification"),
+    "bpe_trainer": QueryDef(
+        _q_bpe_trainer, _ORACLE_BPE_TRAINER,
+        "3-round greedy merge trainer: per-round bigram count + "
+        "corpus-wide merge fold, lazily checkpointed"),
     "ivfpq_residual_topk": QueryDef(
         _q_ivfpq_residual_topk, _ORACLE_IVFPQ_RESIDUAL,
         "IVF-PQ residual encoding: per-probed-list ADC tables, "
@@ -7206,7 +7260,7 @@ _WINDOW_FIRST = [
     # r08 rotation (executed this time — the r07 note was written but the
     # list below was not updated; this round the rotation IS the opening
     # commit). (0) queries ADDED this round (never checked anywhere):
-    "ivfpq_residual_topk",
+    "ivfpq_residual_topk", "bpe_trainer",
     # (a) The THIRTEEN round-6 additions, never driver-checked
     # in any CORRECTNESS_r*.json (judge strict-hash-verified r7 only):
     "pdf15_extract", "bpe_pair_stats", "global_offsets",
@@ -7225,7 +7279,7 @@ _WINDOW_FIRST = [
     "industry_resolve", "update_fields", "distinct_categories",
     "stratified_split", "tfidf_top_terms", "decontaminate",
     "stats_moments", "pii_scrub", "doc_chunks", "repetition_signals",
-    "group_sample", "rolling_stats",
+    "group_sample",
     # anchors: longest-green queries kept in-window as canaries
     "staging_cleanse", "match_cascade",
 ]

@@ -82,6 +82,48 @@ def stats_mod():
 
 
 # ---------------------------------------------------------------------------
+# bpe_train: greedy N-round merge trainer — later rounds must see (and be
+# able to merge) tokens produced by earlier rounds, with left-to-right
+# non-overlapping apply semantics
+# ---------------------------------------------------------------------------
+
+def test_bpe_train_merges_compose_across_rounds(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    # "x y z" dominates: round 1 merges (x, y) -> x_y, round 2 must then
+    # merge (x_y, z) — the composed token — not a raw-text pair
+    docs = spark.createDataFrame(
+        [("x y z q",)] * 10 + [("p q",)] * 4, "text string"
+    )
+    out = [tuple(r) for r in corpus.bpe_train(docs, n_merges=2).collect()]
+    assert out[0] == (1, "x", "y", 10)
+    assert out[1] == (2, "x_y", "z", 10)
+
+
+def test_bpe_train_left_to_right_non_overlapping(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    # "a a a" in one doc: (a, a) merges left-to-right -> "a_a a", so the
+    # winning pair count is 1 per doc, not 2
+    docs = spark.createDataFrame([("a a a",)] * 5, "text string")
+    out = [tuple(r) for r in corpus.bpe_train(docs, n_merges=1).collect()]
+    assert out == [(1, "a", "a", 10)]  # 2 adjacent pairs counted per doc
+    # after the merge, each doc is [a_a, a]: round 2 pairs (a_a, a)
+    out2 = [tuple(r) for r in corpus.bpe_train(docs, n_merges=2).collect()]
+    assert out2[1] == (2, "a_a", "a", 5)
+
+
+def test_bpe_train_stops_when_corpus_runs_dry(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.createDataFrame([("a b",)], "text string")
+    out = [tuple(r) for r in corpus.bpe_train(docs, n_merges=5).collect()]
+    # round 1 merges the only pair; round 2 finds no adjacent bigrams and
+    # the loop stops early instead of raising
+    assert out == [(1, "a", "b", 1)]
+
+
+# ---------------------------------------------------------------------------
 # round-8 IVF-PQ refactor: one-pass multi-book training must equal the m
 # independent Lloyd loops it replaces, and the arrow assigner must fail
 # loud (naming the id) on null/ragged vectors instead of a numpy stack
