@@ -43,57 +43,58 @@ def embedding_moments(df: DataFrame, *, vec_col: str = "embedding",
     """Mean vector + population covariance matrix of an embedding column,
     exact (see module docstring). Returns the upper triangle as rows
     (i ≤ j): (i, j, n, mean_i, mean_j, cov) — d(d+1)/2 rows total."""
+    # Every expression below is generated as a SQL STRING and handed to
+    # selectExpr/F.expr in a handful of py4j calls: the Column-tree
+    # formulation this replaces issued ~1000 py4j round-trips for the
+    # 153 aggregates + three literal arrays at dim=16 and spent ~7 s of
+    # DRIVER time building a plan that executes in 0.4 s (same disease,
+    # same cure as similarity._d2_sql). The SQL is semantically identical
+    # term by term.
     q = df.select(_quantized(vec_col).alias("__q"))
-    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs = ["count(1) as n"]
     for i in range(dim):
         aggs.append(
-            F.sum(F.element_at("__q", i + 1).cast("decimal(38,0)"))
-            .alias(f"s{i}")
+            f"sum(cast(element_at(__q, {i + 1}) as decimal(38,0))) as s{i}"
         )
     for i in range(dim):
         for j in range(i, dim):
             aggs.append(
-                F.sum(
-                    (F.element_at("__q", i + 1) * F.element_at("__q", j + 1))
-                    .cast("decimal(38,0)")
-                ).alias(f"p{i}_{j}")
+                f"sum(cast(element_at(__q, {i + 1}) * "
+                f"element_at(__q, {j + 1}) as decimal(38,0))) as p{i}_{j}"
             )
-    one = q.agg(*aggs)
-    pairs = F.array(*[
-        F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+    one = q.selectExpr(*aggs)
+    pairs = "array(" + ",".join(
+        f"named_struct('i', {i}, 'j', {j})"
         for i in range(dim) for j in range(i, dim)
-    ])
-    exploded = one.select("*", F.explode(pairs).alias("ij"))
-    n = F.col("n")
-    s_i = F.element_at(
-        F.array(*[F.col(f"s{i}").cast("double") for i in range(dim)]),
-        F.col("ij.i") + 1,
+    ) + ")"
+    exploded = one.select("*", F.explode(F.expr(pairs)).alias("ij"))
+    s_arr = "array(" + ",".join(
+        f"cast(s{i} as double)" for i in range(dim)
+    ) + ")"
+    s_i = f"element_at({s_arr}, ij.i + 1)"
+    s_j = f"element_at({s_arr}, ij.j + 1)"
+    p_arr = "array(" + ",".join(
+        f"case when ij.i = {i} and ij.j = {j} "
+        f"then cast(p{i}_{j} as double) end"
+        for i in range(dim) for j in range(i, dim)
+    ) + ")"
+    # index of (i, j) in the row-major upper triangle, 1-based
+    p_ij = (
+        f"element_at({p_arr}, cast(ij.i * (2 * {dim} - ij.i + 1) / 2"
+        " + (ij.j - ij.i) + 1 as int))"
     )
-    s_j = F.element_at(
-        F.array(*[F.col(f"s{i}").cast("double") for i in range(dim)]),
-        F.col("ij.j") + 1,
-    )
-    p_ij = F.element_at(
-        F.array(*[
-            F.when((F.col("ij.i") == i) & (F.col("ij.j") == j),
-                   F.col(f"p{i}_{j}").cast("double"))
-            for i in range(dim) for j in range(i, dim)
-        ]),
-        # index of (i, j) in the row-major upper triangle, 1-based
-        (F.col("ij.i") * (2 * dim - F.col("ij.i") + 1) / 2
-         + (F.col("ij.j") - F.col("ij.i")) + 1).cast("int"),
-    )
-    return exploded.select(
-        F.col("ij.i").alias("i"),
-        F.col("ij.j").alias("j"),
-        n.alias("n"),
-        # + 0.0 normalizes IEEE negative zero (round can emit -0.0, and
-        # engines disagree on which; -0.0 + 0.0 == +0.0 by the standard)
-        (F.round(s_i / (n * F.lit(float(_SCALE))), 6) + 0.0).alias("mean_i"),
-        (F.round(s_j / (n * F.lit(float(_SCALE))), 6) + 0.0).alias("mean_j"),
-        (F.round(
-            (p_ij / n - (s_i / n) * (s_j / n)) / F.lit(float(_SCALE) ** 2), 6
-        ) + 0.0).alias("cov"),
+    scale = repr(float(_SCALE))
+    scale2 = repr(float(_SCALE) ** 2)
+    # + 0.0 normalizes IEEE negative zero (round can emit -0.0, and
+    # engines disagree on which; -0.0 + 0.0 == +0.0 by the standard)
+    return exploded.selectExpr(
+        "ij.i as i",
+        "ij.j as j",
+        "n",
+        f"round({s_i} / (n * {scale}D), 6) + 0.0D as mean_i",
+        f"round({s_j} / (n * {scale}D), 6) + 0.0D as mean_j",
+        f"round(({p_ij} / n - ({s_i} / n) * ({s_j} / n)) / {scale2}D, 6)"
+        " + 0.0D as cov",
     )
 
 
