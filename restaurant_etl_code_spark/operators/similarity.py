@@ -1276,8 +1276,15 @@ def ivfpq_topk(
     centers_arr = None
     lid_index = {cid: i for i, cid in enumerate(lids)}
     if not use_arrow_routing:
-        centers_arr = F.array(
-            *[F.array(*[F.lit(float(x)) for x in coarse[cid]]) for cid in lids]
+        # SQL-string build (one py4j call) — n_lists·dim F.lit calls cost
+        # ~1 s of driver time at 8×64; see _d2_sql
+        centers_arr = F.expr(
+            "array(" + ",".join(
+                "array(" + ",".join(
+                    repr(float(x)) + "D" for x in coarse[cid]
+                ) + ")"
+                for cid in lids
+            ) + ")"
         )
 
     def _list_pos(lid_col):
