@@ -169,6 +169,9 @@ BENCH_QUERIES = [
     "ivfpq_recall",
     "ivfpq_residual_topk",
     "bpe_trainer",
+    # round-8 additions: tokenizer deploy half + bigram-LM quality gate
+    "bpe_encode",
+    "bigram_logprob",
 ]
 
 

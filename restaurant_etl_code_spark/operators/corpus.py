@@ -1172,3 +1172,159 @@ def bpe_train(
             ]
         ),
     )
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    joiner: str = "_",
+    inline_batch: int = 8,
+) -> DataFrame:
+    """ENCODE with a learned merge table: apply ``merges`` in training
+    order to every document — the deploy half of ``bpe_train`` (Sennrich
+    et al. 2016 §3: encoding replays the merge list in learned priority
+    order). Together they complete the tokenizer-training loop the
+    reference's pandas pipelines never reach (its data2batches.py stops
+    at whitespace tokens): train the table once on the corpus, then
+    encode any corpus with it.
+
+    Physical shape at 100 TB: each merge is the same left-to-right
+    non-overlapping codegen fold the trainer uses (``_merge_fold``) — a
+    row-local projection, ZERO shuffle, no joins; the merge table lives
+    in the PLAN (it is driver-resident by definition: a merge table is
+    vocab-sized, not corpus-sized). Merges are applied in batches of
+    ``inline_batch`` chained folds with a lazy ``localCheckpoint``
+    between batches so a production-sized table (30k merges) neither
+    builds one 30k-deep expression tree nor re-executes earlier batches
+    per action — the same per-round lineage-flattening the trainer,
+    pagerank and label_propagation use.
+
+    Returns (id_col, tk) with tk the encoded token array.
+    """
+    out = docs.select(
+        F.col(id_col),
+        F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "").alias("tk"),
+    ).filter(F.size("tk") >= 1)
+    for i in range(0, len(merges), inline_batch):
+        expr = F.col("tk")
+        for a, b in merges[i : i + inline_batch]:
+            expr = _merge_fold(expr, a, b, joiner)
+        out = out.withColumn("tk", expr)
+        if i + inline_batch < len(merges):
+            out = out.localCheckpoint(eager=False)
+    return out
+
+def bigram_logprob(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 0.1,
+    unk: str = "\x02unk\x02",
+) -> DataFrame:
+    """Per-document mean negative log2 ADD-ALPHA BIGRAM probability — the
+    conditional-LM upgrade of ``unigram_logprob`` and the standard
+    "perplexity filter" gate of web-corpus curation (CCNet trains a
+    KenLM; an in-corpus smoothed bigram model is the engine-native,
+    dependency-free equivalent): fluent text made of common
+    CONTINUATIONS scores low, shuffled-word soup scores high even when
+    every unigram is frequent — exactly the failure mode a unigram gate
+    cannot see.
+
+    Model: tokens outside the ``vocab_size`` most-frequent terms map to
+    ``unk`` (a control-char sentinel no whitespace tokenizer emits — the
+    normalizer only collapses whitespace, so a printable sentinel could
+    collide with corpus text); P(b|a) = (c(a,b) + alpha) /
+    (c(a) + alpha·V) with c(a) the LEFT-context count and V the distinct
+    unk-mapped vocabulary — so probabilities sum to 1 per context and
+    unseen continuations are finite. Documents need >= 2 tokens (>= 1
+    bigram); shorter ones drop, mirroring a GROUP BY over the pair
+    stream.
+
+    Physical shape at 100 TB: pairs are built ROW-LOCALLY from each
+    token array (transform over sequence — no window over the token
+    stream, no self-join) and explode into one stream that is persisted
+    (MEMORY_AND_DISK; it feeds the two counter aggs and the scoring
+    join). Both count tables aggregate with map-side combine and are
+    vocab²-BOUNDED, not corpus-bound; the vocabulary itself broadcasts
+    (that is WHY ``vocab_size`` exists — an uncapped vocab would grow
+    with the corpus). The scoring join keys on the bigram; hot bigrams
+    ("of the") are exactly the AQE skew-join case, and the count tables
+    are far smaller than the stream so AQE broadcasts them when they
+    fit. Per-token logprobs round to 6dp, the per-doc mean to 4dp (the
+    unigram_logprob engine-parity contract).
+
+    Returns (id_col, n_bigrams, avg_neg_logp).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "").alias("tk"),
+    )
+    uni = toks.select(F.explode("tk").alias("t"))
+    vocab = (
+        uni.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+        .sort(F.col("n").desc(), "t").limit(vocab_size)
+        .select(F.col("t").alias("term"), F.lit(1).alias("__in"))
+    )
+    pairs0 = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), i -> "
+                    "struct(element_at(tk, i) as a0, "
+                    "element_at(tk, i + 1) as b0))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.a0", "p.b0")
+    )
+    # persist-and-let-LRU-evict: the pair stream feeds three consumers
+    # (bigram counts, context counts, scoring); re-execution would
+    # triple the corpus scan.
+    pairs = (
+        pairs0
+        .join(F.broadcast(vocab.withColumnRenamed("term", "a0")
+                          .withColumnRenamed("__in", "__ina")), "a0", "left")
+        .join(F.broadcast(vocab.withColumnRenamed("term", "b0")
+                          .withColumnRenamed("__in", "__inb")), "b0", "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__ina").isNotNull(), F.col("a0"))
+            .otherwise(F.lit(unk)).alias("a"),
+            F.when(F.col("__inb").isNotNull(), F.col("b0"))
+            .otherwise(F.lit(unk)).alias("b"),
+        )
+        .persist()
+    )
+    vsz = (
+        uni.join(F.broadcast(vocab.withColumnRenamed("term", "t")), "t", "left")
+        .select(
+            F.when(F.col("__in").isNotNull(), F.col("t"))
+            .otherwise(F.lit(unk)).alias("t_m")
+        )
+        .agg(F.countDistinct("t_m").alias("__v"))
+    )
+    bc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    cc = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("n_a"))
+    nlp = F.round(
+        -F.log2(
+            (F.col("n_ab") + F.lit(float(alpha)))
+            / (F.col("n_a") + F.lit(float(alpha)) * F.col("__v"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(bc, ["a", "b"]).join(cc, ["a"])
+        .crossJoin(F.broadcast(vsz))
+        .select(F.col(id_col), nlp.alias("__nlp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__nlp"), 4).alias("avg_neg_logp"),
+        )
+    )

@@ -6162,6 +6162,109 @@ def _bpe_oracle(n_rounds: int) -> str:
 _ORACLE_BPE_TRAINER = _bpe_oracle(3)
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer DEPLOY half (corpus.bpe_apply): train a 3-merge table
+    with bpe_train, then ENCODE the whole corpus with it — merges
+    replayed in learned priority order as chained row-local codegen
+    folds (zero shuffle; the merge table lives in the plan, batched
+    folds + lazy checkpoints bound expression depth for 30k-merge
+    production tables). Both engines learn AND apply the same table:
+    training determinism is the bpe_trainer oracle's proven contract."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r["a"], r["b"])
+        for r in corpus.bpe_train(docs, n_merges=3).sort("merge_round").collect()
+    ]
+    enc = corpus.bpe_apply(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "tk").alias("encoded"),
+    )
+
+
+def _bpe_encode_oracle(n_rounds: int) -> str:
+    """Unrolled train-then-encode in DuckDB: the trainer CTE chain from
+    ``_bpe_oracle`` with doc_id carried through, plus the FINAL round's
+    merge applied (the trainer stops after counting round N; the encoder
+    also applies merge N). Same \\x01-delimited ``replace`` equivalence
+    argument as the trainer oracle."""
+    parts = [
+        f"t0 as (select doc_id, list_filter({_DUCK_TOKENS.format(c='text')}, "
+        "x -> x <> '') as tk from documents)",
+        "t0f as (select doc_id, tk from t0 where len(tk) >= 1)",
+    ]
+    prev = "t0f"
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"p{r} as (select tk[i] as a, tk[i + 1] as b from "
+            f"(select tk, unnest(range(1, len(tk))) as i from {prev}))"
+        )
+        parts.append(
+            f"top{r} as (select a, b, count(*) as n from p{r} "
+            "group by 1, 2 order by n desc, a, b limit 1)"
+        )
+        parts.append(
+            f"t{r} as (select doc_id, string_split(substr(replace("
+            "chr(1) || array_to_string(tk, chr(1)), "
+            f"chr(1) || (select a from top{r}) || chr(1) || "
+            f"(select b from top{r}), "
+            f"chr(1) || (select a from top{r}) || '_' || "
+            f"(select b from top{r})), 2), chr(1)) as tk from {prev})"
+        )
+        prev = f"t{r}"
+    return (
+        "with " + ",\n".join(parts)
+        + f"\nselect doc_id, len(tk)::bigint as n_tokens, "
+        f"array_to_string(tk, ' ') as encoded from {prev}"
+    )
+
+
+_ORACLE_BPE_ENCODE = _bpe_encode_oracle(3)
+
+
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity gate (corpus.bigram_logprob): mean neg-log2
+    add-alpha bigram probability per document, vocab capped at 200 so the
+    <unk> path is exercised. The conditional-LM upgrade of the unigram
+    quality gate — fluent-vs-shuffled text separates HERE, not at the
+    unigram level. Row-local pair build, persisted pair stream, two
+    counter aggs, skew-aware scoring join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus.bigram_logprob(docs, vocab_size=200, alpha=0.1)
+
+
+_ORACLE_BIGRAM_LOGPROB = f"""
+with tk as (select doc_id,
+                   list_filter({_DUCK_TOKENS.format(c='text')}, x -> x <> '') as tk
+            from documents),
+uni as (select unnest(tk) as t from tk),
+vocab as (select t as term from uni group by 1
+          order by count(*) desc, t limit 200),
+pr0 as (select doc_id, tk[i] as a0, tk[i + 1] as b0
+        from (select doc_id, tk, unnest(range(1, len(tk))) as i
+              from tk where len(tk) >= 2)),
+pr as (select doc_id,
+              case when va.term is not null then a0
+                   else chr(2) || 'unk' || chr(2) end as a,
+              case when vb.term is not null then b0
+                   else chr(2) || 'unk' || chr(2) end as b
+       from pr0 left join vocab va on va.term = a0
+                left join vocab vb on vb.term = b0),
+vsz as (select count(distinct case when v.term is not null then u.t
+                                   else chr(2) || 'unk' || chr(2) end) as v
+        from uni u left join vocab v on v.term = u.t),
+bc as (select a, b, count(*) as n_ab from pr group by 1, 2),
+cc as (select a, count(*) as n_a from pr group by 1),
+sc as (select doc_id,
+              round(-log2((n_ab + 0.1) / (n_a + 0.1 * v)), 6) as nlp
+       from pr join bc using (a, b) join cc using (a) cross join vsz)
+select doc_id, count(*)::bigint as n_bigrams,
+       round(avg(nlp), 4) as avg_neg_logp
+from sc group by 1
+"""
+
+
 def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token offsets for the concatenated corpus
     (packing.global_offsets): every document's exclusive prefix-sum
@@ -7239,6 +7342,14 @@ _REGISTRY: dict[str, QueryDef] = {
         "IVF-PQ residual encoding: per-probed-list ADC tables, "
         "full unrolled-SQL oracle (round 8 — closes the residual=True "
         "oracle gap)"),
+    "bpe_encode": QueryDef(
+        _q_bpe_encode, _ORACLE_BPE_ENCODE,
+        "train-then-encode: 3-merge table replayed corpus-wide as "
+        "row-local folds — the tokenizer deploy half"),
+    "bigram_logprob": QueryDef(
+        _q_bigram_logprob, _ORACLE_BIGRAM_LOGPROB,
+        "add-alpha bigram-LM perplexity gate: the conditional upgrade "
+        "of the unigram quality score, vocab-capped with <unk>"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -218,3 +218,58 @@ def test_arrow_assigner_names_ragged_vector(spark):
     centers = {i: [float(i), float(i)] for i in range(2)}
     with _pytest.raises(Exception, match="id=7.*width 3"):
         S._kmeans_assign_arrow(emb, "embedding", centers).collect()
+
+
+def test_bpe_apply_replays_merges_in_order(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b c c"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    # merge 1: (a, b) -> a_b ; merge 2 uses merge-1 output: (a_b, c) -> a_b_c
+    out = {
+        r["doc_id"]: list(r["tk"])
+        for r in corpus.bpe_apply(docs, [("a", "b"), ("a_b", "c")]).collect()
+    }
+    assert out == {1: ["a_b", "a_b_c"], 2: ["a_b_c", "c"]}  # doc 3 dropped
+
+
+def test_bpe_apply_checkpoint_batches_match_inline(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, "x y z w x y") for i in range(20)], "doc_id bigint, text string"
+    )
+    merges = [("x", "y"), ("z", "w"), ("x_y", "z_w")]
+    a = corpus.bpe_apply(docs, merges, inline_batch=8).collect()
+    b = corpus.bpe_apply(docs, merges, inline_batch=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bigram_logprob_separates_fluent_from_shuffled(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    fluent = "the cat sat on the mat and the cat sat on the mat"
+    shuffled = "mat the on sat cat the and mat on the sat cat the"
+    filler = [(10 + i, fluent) for i in range(8)]
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, shuffled), (3, "solo")] + filler,
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in corpus.bigram_logprob(docs, vocab_size=50).collect()}
+    assert 3 not in rows  # < 2 tokens -> dropped
+    assert rows[1]["avg_neg_logp"] < rows[2]["avg_neg_logp"]
+    assert rows[1]["n_bigrams"] == len(fluent.split()) - 1
+
+
+def test_bigram_logprob_unk_path_bounds_vocab(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a rare1"), (2, "a a a a rare2")],
+        "doc_id bigint, text string",
+    )
+    # vocab_size=1 keeps only "a"; rare1/rare2 collapse to the same <unk>
+    rows = {r["doc_id"]: r for r in corpus.bigram_logprob(docs, vocab_size=1).collect()}
+    assert rows[1]["avg_neg_logp"] == rows[2]["avg_neg_logp"]
