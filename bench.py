@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     # round-8 additions: tokenizer deploy half + bigram-LM quality gate
     "bpe_encode",
     "bigram_logprob",
+    "token_budget_select",
 ]
 
 

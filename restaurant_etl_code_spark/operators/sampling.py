@@ -28,7 +28,7 @@ to "assign rows to reproducible datasets".
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -40,6 +40,7 @@ __all__ = [
     "sample_k_per_group",
     "weighted_sample",
     "mixture_sample",
+    "token_budget_select",
 ]
 
 _BUCKETS = 10_000
@@ -249,3 +250,79 @@ def assign_fold(
         raise ValueError("n_folds must be >= 2")
     bucket = (portable_split_bucket if portable else split_bucket)(F.col(key), seed)
     return df.withColumn(out_col, F.pmod(bucket, F.lit(n_folds)))
+
+
+def token_budget_select(
+    docs: DataFrame,
+    *,
+    score_col: str,
+    cost_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_parts: int = 32,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """Data selection under a TOKEN BUDGET: keep the highest-``score_col``
+    documents whose cumulative ``cost_col`` fits in ``budget`` — the
+    greedy knapsack every curation pipeline runs last ("we can afford
+    300 B tokens; take the best-scoring documents until they're spent").
+    Order is (score desc, id asc); a document is kept iff its EXCLUSIVE
+    prefix-sum of cost plus its own cost is <= budget, so the boundary
+    straddler drops (packs never overflow the budget).
+
+    Physical shape at 100 TB — the naive ``sum().over(orderBy(score))``
+    global window serializes the corpus through ONE partition; this is
+    the two-phase distributed prefix sum (the ``global_offsets``
+    pattern, re-keyed for a composite descending order):
+
+    1. score-range ids from deterministic ``approxQuantile`` boundaries
+       (Greenwald-Khanna — no sampling RNG, safe to re-evaluate);
+       equal scores always land in the SAME range, so per-range windows
+       ordered by (score desc, id) see every tie group whole;
+    2. per-range exclusive running sums (window PARTITIONED by range);
+    3. per-range totals (≤ ``n_parts`` rows) cumulated on the driver in
+       DESCENDING range order into literal base offsets — no join.
+
+    Returns the selected rows + ``cum_before`` (exclusive prefix cost).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if n_parts < 1:
+        raise ValueError(f"n_parts must be >= 1, got {n_parts}")
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds = docs.stat.approxQuantile(score_col, probs, rel_err) if probs else []
+    if bounds:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        # number of boundaries STRICTLY ABOVE the score: 0 for the top
+        # range, so range id ascends as score descends (equal scores ->
+        # equal id: ties never split across ranges)
+        pid = F.size(F.filter(arr, lambda b: b > F.col(score_col).cast("double")))
+    else:
+        pid = F.lit(0)
+    ranged = docs.withColumn("__pid", pid)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "__local", F.coalesce(F.sum(cost_col).over(w), F.lit(0)).cast("long")
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum(cost_col).alias("__t")).collect()
+    base: dict[int, int] = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["__pid"]):  # descending score order
+        base[r["__pid"]] = acc
+        acc += int(r["__t"] or 0)
+    if base:
+        base_map = F.create_map(
+            *[F.lit(x) for p, b in sorted(base.items()) for x in (p, b)]
+        )
+        cum = F.col("__local") + F.coalesce(base_map[F.col("__pid")], F.lit(0))
+    else:
+        cum = F.col("__local")
+    return (
+        local.withColumn("cum_before", cum.cast("long"))
+        .filter(F.col("cum_before") + F.col(cost_col) <= F.lit(budget))
+        .drop("__pid", "__local")
+    )

@@ -6265,6 +6265,42 @@ from sc group by 1
 """
 
 
+def _q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy knapsack data selection (sampling.token_budget_select):
+    keep the highest-stopword-ratio documents whose cumulative token
+    cost fits a 20k budget — the "we can afford N tokens, take the best"
+    pass every curation pipeline runs last. Two-phase distributed prefix
+    sum over (score desc, id) order, no global single-partition window;
+    the Spark result is exact regardless of the quantile range
+    boundaries, which is exactly what the running-sum oracle checks."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.select(
+        "doc_id",
+        Ftext.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(Ftext.stopword_ratio(F.col("text")), 6).alias("score"),
+    ).filter(F.col("n_tokens") > 0)
+    picked = sampling.token_budget_select(
+        scored, score_col="score", cost_col="n_tokens", budget=20_000
+    )
+    return picked.select("doc_id", "n_tokens", "score", "cum_before")
+
+
+_ORACLE_TOKEN_BUDGET = f"""
+with scored as (
+  select doc_id, ({_DUCK_NTOK})::bigint as n_tokens,
+         round({_DUCK_SWR}, 6) as score
+  from documents),
+s as (select * from scored where n_tokens > 0),
+c as (select doc_id, n_tokens, score,
+             coalesce(sum(n_tokens) over (order by score desc, doc_id
+                      rows between unbounded preceding and 1 preceding),
+                      0)::bigint as cum_before
+      from s)
+select doc_id, n_tokens, score, cum_before
+from c where cum_before + n_tokens <= 20000
+"""
+
+
 def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token offsets for the concatenated corpus
     (packing.global_offsets): every document's exclusive prefix-sum
@@ -7350,6 +7386,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_bigram_logprob, _ORACLE_BIGRAM_LOGPROB,
         "add-alpha bigram-LM perplexity gate: the conditional upgrade "
         "of the unigram quality score, vocab-capped with <unk>"),
+    "token_budget_select": QueryDef(
+        _q_token_budget_select, _ORACLE_TOKEN_BUDGET,
+        "greedy knapsack under a token budget via two-phase distributed "
+        "prefix sum over (score desc, id) order"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

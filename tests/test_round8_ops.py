@@ -273,3 +273,46 @@ def test_bigram_logprob_unk_path_bounds_vocab(spark):
     # vocab_size=1 keeps only "a"; rare1/rare2 collapse to the same <unk>
     rows = {r["doc_id"]: r for r in corpus.bigram_logprob(docs, vocab_size=1).collect()}
     assert rows[1]["avg_neg_logp"] == rows[2]["avg_neg_logp"]
+
+
+def test_token_budget_select_boundary_and_part_parity(spark):
+    from restaurant_etl_code_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, float(100 - i), 10) for i in range(1, 11)],
+        "doc_id bigint, score double, n_tokens bigint",
+    )
+    # budget 35: docs 1,2,3 fit (cum 0,10,20); doc 4 straddles (30+10>35)
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.token_budget_select(
+            docs, score_col="score", cost_col="n_tokens", budget=35
+        ).collect()
+    )
+    assert got == [1, 2, 3]
+    # exactness is independent of the range split
+    a = sampling.token_budget_select(
+        docs, score_col="score", cost_col="n_tokens", budget=55, n_parts=1
+    ).collect()
+    b = sampling.token_budget_select(
+        docs, score_col="score", cost_col="n_tokens", budget=55, n_parts=7
+    ).collect()
+    assert sorted((r["doc_id"], r["cum_before"]) for r in a) == sorted(
+        (r["doc_id"], r["cum_before"]) for r in b
+    )
+
+
+def test_token_budget_select_tie_break_by_id(spark):
+    from restaurant_etl_code_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, 1.0, 10) for i in (5, 3, 9, 1)],
+        "doc_id bigint, score double, n_tokens bigint",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.token_budget_select(
+            docs, score_col="score", cost_col="n_tokens", budget=20
+        ).collect()
+    )
+    assert got == [1, 3]  # all scores tie -> lowest ids win
