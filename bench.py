@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "bigram_logprob",
     "token_budget_select",
+    "incremental_dedup",
 ]
 
 

@@ -43,6 +43,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "incremental_lsh_pairs",
     "minhash_estimate_pairs",
     "minhash_fuzzy_join",
     "simhash",
@@ -827,3 +828,63 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component_id"))
+
+def incremental_lsh_pairs(
+    index_signatures: DataFrame,
+    delta_signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup candidate generation: band the new batch
+    (``delta_signatures``) and pair it against the standing corpus index
+    (``index_signatures``) and against itself — WITHOUT ever re-pairing
+    index x index. This is the delta algebra of ``incremental_join``
+    (ΔA⋈B ∪ ΔA⋈ΔA) applied to LSH dedup: a daily-ingest pipeline pays
+    |delta| + matching-bucket cost per day, not a corpus² re-pair.
+
+    Ids must be DISJOINT across the two tables (re-ingests of an
+    existing id should be upserted first — the precheck_antijoin flow);
+    a shared id would mislabel its pairs' kind rather than fail.
+
+    Physical shape at 100 TB: the delta's banded rows are computed once
+    and persisted (they feed both joins — the ``lsh_candidate_pairs``
+    persist rationale); both joins key on the high-cardinality
+    (band_idx, band_hash), and the index side is far larger than the
+    delta, so AQE broadcast-converts the delta probe. Store the index's
+    banded rows as a table bucketed by band_hash (the crash-safe merge
+    sink's layout) and the index scan prunes to the delta's buckets —
+    the banding recipe here is byte-identical to ``lsh_candidate_pairs``
+    (shared ``_banded_rows``), so a pre-materialized index stays valid.
+    Band geometry is data-verified per row on BOTH sides (the
+    ``_banded_rows`` raise_error guard).
+
+    Returns (id_a, id_b, pair_kind) with id_a < id_b, distinct;
+    pair_kind in {'delta_index', 'delta_delta'}.
+    """
+    if num_hashes is not None:
+        _check_band_geometry(num_hashes, bands, rows_per_band)
+    banded_d = _banded_rows(delta_signatures, id_col, bands, rows_per_band)
+    banded_d = banded_d.repartition("band_idx", "band_hash").persist()
+    banded_i = _banded_rows(index_signatures, id_col, bands, rows_per_band)
+    d, i = banded_d.alias("d"), banded_i.alias("i")
+    cross = (
+        d.join(i, ["band_idx", "band_hash"])
+        .select(
+            F.least(F.col(f"d.{id_col}"), F.col(f"i.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"d.{id_col}"), F.col(f"i.{id_col}")).alias("id_b"),
+            F.lit("delta_index").alias("pair_kind"),
+        )
+    )
+    a, b = banded_d.alias("a"), banded_d.alias("b")
+    within = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.lit("delta_delta").alias("pair_kind"),
+        )
+    )
+    return cross.unionByName(within).distinct()

@@ -6301,6 +6301,52 @@ from c where cum_before + n_tokens <= 20000
 """
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup (dedup.incremental_lsh_pairs): the augmented
+    duplicate rows (doc_id >= 100000 — "today's re-ingest batch") band
+    against the standing original-documents index and against
+    themselves; index x index is never re-paired. The delta algebra of
+    incremental_join applied to MinHash/LSH — the shape a daily-ingest
+    pipeline actually runs."""
+    docs = _augmented_docs(spark, sf_dir)
+    delta = docs.filter(F.col("doc_id") >= 100000)
+    index = docs.filter(F.col("doc_id") < 100000)
+    sig = lambda d: dedup.minhash_signatures(  # noqa: E731
+        d, "doc_id", "text", num_hashes=16, shingle_n=3
+    )
+    return dedup.incremental_lsh_pairs(
+        sig(index), sig(delta), "doc_id", bands=4, rows_per_band=4, num_hashes=16
+    )
+
+
+_ORACLE_INCREMENTAL_DEDUP = f"""
+with {_DUCK_CORPUS.strip()},
+{_DUCK_TOKS},
+{_DUCK_SHINGLES},
+h0 as (
+  select doc_id,
+         list_transform(shingles, s ->
+             ('0x' || substring(md5(s), 1, 13))::bigint) as hs
+  from sh where len(shingles) > 0),
+sigs as (
+  select doc_id,
+         list_transform(range(0, 16), i -> list_min(list_transform(hs, h ->
+             (2 * i + 1) * h + i * 2654435761))) as sig
+  from h0),
+bands as (
+  select doc_id, t.b as band_idx,
+         md5(array_to_string(list_transform(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+             x -> x::varchar), ',')) as band_hash
+  from sigs cross join (select unnest(range(0, 4)) as b) t)
+select distinct x.doc_id as id_a, y.doc_id as id_b,
+       case when x.doc_id >= 100000 and y.doc_id >= 100000
+            then 'delta_delta' else 'delta_index' end as pair_kind
+from bands x join bands y
+  on x.band_idx = y.band_idx and x.band_hash = y.band_hash and x.doc_id < y.doc_id
+where x.doc_id >= 100000 or y.doc_id >= 100000
+"""
+
+
 def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token offsets for the concatenated corpus
     (packing.global_offsets): every document's exclusive prefix-sum
@@ -7390,6 +7436,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_token_budget_select, _ORACLE_TOKEN_BUDGET,
         "greedy knapsack under a token budget via two-phase distributed "
         "prefix sum over (score desc, id) order"),
+    "incremental_dedup": QueryDef(
+        _q_incremental_dedup, _ORACLE_INCREMENTAL_DEDUP,
+        "delta-vs-index LSH candidate pairs: daily-ingest dedup that "
+        "never re-pairs index x index"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

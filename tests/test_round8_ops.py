@@ -316,3 +316,31 @@ def test_token_budget_select_tie_break_by_id(spark):
         ).collect()
     )
     assert got == [1, 3]  # all scores tie -> lowest ids win
+
+
+def test_incremental_lsh_pairs_delta_algebra(spark):
+    from restaurant_etl_code_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(1, base), (2, "completely different text with nothing shared here at all ok"),
+            (101, base + " tail"), (102, base + " tail two")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    sig = lambda d: dedup.minhash_signatures(d, "doc_id", "text", num_hashes=16)
+    index = sig(df.filter("doc_id < 100"))
+    delta = sig(df.filter("doc_id >= 100"))
+    got = {
+        (r["id_a"], r["id_b"]): r["pair_kind"]
+        for r in dedup.incremental_lsh_pairs(
+            index, delta, bands=4, rows_per_band=4, num_hashes=16
+        ).collect()
+    }
+    # full self-join pairs restricted to delta-touching ones
+    full = dedup.lsh_candidate_pairs(sig(df), bands=4, rows_per_band=4)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] >= 100 or r["id_b"] >= 100
+    }
+    assert set(got) == want and want  # same candidates, none from index x index
+    for (a, b), kind in got.items():
+        assert kind == ("delta_delta" if a >= 100 and b >= 100 else "delta_index")
