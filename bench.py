@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "bigram_logprob",
     "token_budget_select",
     "incremental_dedup",
+    "classifier_train",
 ]
 
 

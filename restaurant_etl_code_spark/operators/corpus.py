@@ -31,7 +31,7 @@ stay finite.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -1328,3 +1328,113 @@ def bigram_logprob(
             F.round(F.avg("__nlp"), 4).alias("avg_neg_logp"),
         )
     )
+
+def logreg_train_hashed(
+    docs: DataFrame,
+    label: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+    lr: float = 0.5,
+    n_rounds: int = 2,
+) -> DataFrame:
+    """TRAIN the hashed-feature quality classifier — full-batch logistic
+    regression by gradient descent, the learning half of
+    ``hashed_linear_score`` (which scores with a fixed weight table;
+    fasttext-style curation classifiers are exactly this pair). ``label``
+    is any deterministic 0/1 Column over ``docs`` (e.g. a rule-based
+    quality gate whose judgment the classifier generalizes).
+
+    Fully RELATIONAL training — no driver-side numerics: each round is
+      margin_d = Σ_slot cnt·w       (per-doc agg)
+      resid_d  = y_d − σ(margin_d)  (projection)
+      grad_s   = Σ_docs resid·cnt   (per-slot agg)
+      w'       = w + lr·grad/n      (counter-sized map-side update)
+    so the whole N-round trainer is one lazy plan and the oracle unrolls
+    the SAME algebra in SQL (the kmeans/LPA fixed-iteration pattern).
+
+    Engine parity: the two order-dependent float sums ride exact
+    DECIMAL(38,12) accumulators (cnt is integer, w/resid are 12dp-rounded
+    decimals — products and sums are exact, so partition order cannot
+    change a bit); σ/margins/grads round to 6dp, weights to 9dp. Feature
+    counts, not ratios, are the features — no decimal division anywhere
+    (engines disagree on quotient scale rules).
+
+    Physical shape at 100 TB: the feature table (id, slot, cnt) — at most
+    one row per (doc, distinct-slot), bounded by the token stream — is
+    built ONCE, repartitioned by doc id and persisted: the per-round
+    margin agg reuses that partitioning shuffle-free, the resid join is
+    co-partitioned, and only the counter-sized (n_buckets) gradient agg
+    shuffles per round. The weight table never exceeds ``n_buckets``
+    rows; it broadcasts into the margin join. Per-round lazy
+    localCheckpoint flattens the weight lineage.
+
+    Returns (slot, w) — the trained table, pluggable into a broadcast
+    join wherever ``hashed_linear_score``'s synthetic weights stand in.
+    """
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col),
+        label.cast("double").alias("__y"),
+        F.explode(Ftext.tokens(F.col(text_col))).alias("t"),
+    ).where(F.col("t") != "")
+    slot = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % n_buckets
+    feats = (
+        toks.groupBy(F.col(id_col), slot.alias("slot"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .repartition(F.col(id_col))
+        .persist()
+    )
+    labels = (
+        toks.groupBy(id_col).agg(F.first("__y").alias("y"))
+        .repartition(F.col(id_col))
+        .persist()
+    )
+    n_docs = labels.count()
+    w = spark.range(n_buckets).select(
+        F.col("id").alias("slot"), F.lit(0.0).alias("w")
+    )
+    for _ in range(n_rounds):
+        margins = (
+            feats.join(F.broadcast(w), "slot")
+            .groupBy(id_col)
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("cnt") * F.col("w").cast("decimal(20,12)")
+                    ).cast("double"),
+                    6,
+                ).alias("margin")
+            )
+        )
+        resid = labels.join(margins, id_col).select(
+            F.col(id_col),
+            F.round(
+                F.col("y") - F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6),
+                6,
+            )
+            .cast("decimal(20,12)")
+            .alias("resid"),
+        )
+        grad = (
+            feats.join(resid, id_col)
+            .groupBy("slot")
+            .agg(F.round(F.sum(F.col("cnt") * F.col("resid")).cast("double"), 6).alias("g"))
+        )
+        w = (
+            w.join(grad, "slot", "left")
+            .select(
+                "slot",
+                F.round(
+                    F.col("w")
+                    + (F.lit(float(lr)) * F.coalesce(F.col("g"), F.lit(0.0)))
+                    / F.lit(n_docs),
+                    9,
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return w

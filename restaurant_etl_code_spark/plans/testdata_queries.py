@@ -6347,6 +6347,71 @@ where x.doc_id >= 100000 or y.doc_id >= 100000
 """
 
 
+def _q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING on hashed token features
+    (corpus.logreg_train_hashed): 2 full-batch GD rounds learning a
+    rule-based fluency gate (stopword_ratio >= 0.2), 16 weight slots.
+    The learning half of the quality_classifier scorer — one lazy
+    relational plan (margin agg -> sigmoid residual -> gradient agg ->
+    counter-sized update per round), exact-decimal accumulators, and the
+    oracle unrolls the same algebra in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus.logreg_train_hashed(
+        docs,
+        (Ftext.stopword_ratio(F.col("text")) >= 0.2),
+        n_buckets=16,
+        lr=0.5,
+        n_rounds=2,
+    )
+
+
+def _logreg_oracle(n_buckets: int, lr: float, n_rounds: int) -> str:
+    """Unrolled N-round GD in DuckDB — same algebra, same rounding
+    ladder (margins/sigma/grads 6dp on exact-decimal sums, weights
+    9dp) as logreg_train_hashed."""
+    parts = [
+        f"toks as (select doc_id, t from (select doc_id, "
+        f"unnest({_DUCK_TOKENS.format(c='text')}) as t from documents) "
+        "where t <> '')",
+        f"feats as (select doc_id, "
+        f"('0x' || substring(md5(t), 1, 8))::bigint % {n_buckets} as slot, "
+        "count(*)::bigint as cnt from toks group by 1, 2)",
+        f"lab as (select doc_id, case when {_DUCK_SWR} >= 0.2 "
+        "then 1.0 else 0.0 end as y from documents "
+        "where doc_id in (select doc_id from feats))",
+        "nd as (select count(*) as n from lab)",
+        f"w0 as (select unnest(range(0, {n_buckets}))::bigint as slot, "
+        "0.0 as w)",
+    ]
+    prev = "w0"
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"m{r} as (select doc_id, round((sum(cnt * "
+            f"(w::decimal(20,12))))::double, 6) as margin "
+            f"from feats join {prev} using (slot) group by 1)"
+        )
+        parts.append(
+            f"r{r} as (select l.doc_id, round(l.y - "
+            f"round(1.0 / (1.0 + exp(-margin)), 6), 6)::decimal(20,12) "
+            f"as resid from lab l join m{r} using (doc_id))"
+        )
+        parts.append(
+            f"g{r} as (select slot, round((sum(cnt * resid))::double, 6) "
+            f"as g from feats join r{r} using (doc_id) group by 1)"
+        )
+        parts.append(
+            f"w{r} as (select p.slot, round(p.w + ({lr} * "
+            f"coalesce(g.g, 0.0)) / n, 9) as w "
+            f"from {prev} p left join g{r} g on g.slot = p.slot "
+            "cross join nd)"
+        )
+        prev = f"w{r}"
+    return "with " + ",\n".join(parts) + f"\nselect slot, w from {prev}"
+
+
+_ORACLE_CLASSIFIER_TRAIN = _logreg_oracle(16, 0.5, 2)
+
+
 def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token offsets for the concatenated corpus
     (packing.global_offsets): every document's exclusive prefix-sum
@@ -7440,6 +7505,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_incremental_dedup, _ORACLE_INCREMENTAL_DEDUP,
         "delta-vs-index LSH candidate pairs: daily-ingest dedup that "
         "never re-pairs index x index"),
+    "classifier_train": QueryDef(
+        _q_classifier_train, _ORACLE_CLASSIFIER_TRAIN,
+        "2-round relational logistic-regression GD on hashed features "
+        "with exact-decimal accumulators; unrolled-SQL oracle"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

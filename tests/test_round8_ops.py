@@ -344,3 +344,39 @@ def test_incremental_lsh_pairs_delta_algebra(spark):
     assert set(got) == want and want  # same candidates, none from index x index
     for (a, b), kind in got.items():
         assert kind == ("delta_delta" if a >= 100 and b >= 100 else "delta_index")
+
+
+def test_logreg_train_learns_separable_labels(spark):
+    from pyspark.sql import functions as F
+
+    from restaurant_etl_code_spark.operators import corpus
+
+    pos = [(i, "good fine nice") for i in range(10)]
+    neg = [(100 + i, "bad awful junk") for i in range(10)]
+    docs = spark.createDataFrame(pos + neg, "doc_id bigint, text string")
+    w = corpus.logreg_train_hashed(
+        docs, F.col("doc_id") < 100, n_buckets=8, lr=2.0, n_rounds=10
+    )
+    # score every doc with the learned table: margin sign must separate
+    slot = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("bigint") % 8
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    scored = (
+        toks.select("doc_id", slot.alias("slot"))
+        .join(w, "slot")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("margin"))
+    )
+    rows = scored.collect()
+    assert all(
+        (r["margin"] > 0) == (r["doc_id"] < 100) for r in rows
+    ), rows
+
+
+def test_logreg_train_zero_rounds_returns_zeros(spark):
+    from pyspark.sql import functions as F
+
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    w = corpus.logreg_train_hashed(docs, F.lit(True), n_buckets=4, n_rounds=0)
+    assert [r["w"] for r in w.collect()] == [0.0] * 4
