@@ -7524,13 +7524,17 @@ _REGISTRY: dict[str, QueryDef] = {
 # similarity_match), the oldest 30 of the 48-query r04 cohort in registry
 # order, and the two canaries. Any query ADDED this round goes to the
 # FRONT of the window (never-checked beats oldest-checked), displacing
-# the tail of the r04 block. Next rotation (r09): the remaining 18
-# r04-cohort names (json_scan_agg onward), then the oldest r05 names.
+# the tail of the r04 block. Next rotation (r09): the 5 r04-cohort names
+# displaced this round (stats_moments, pii_scrub, doc_chunks,
+# repetition_signals, group_sample), then the remaining 18 r04-cohort
+# names (json_scan_agg onward), then the oldest r05 names.
 _WINDOW_FIRST = [
     # r08 rotation (executed this time — the r07 note was written but the
     # list below was not updated; this round the rotation IS the opening
     # commit). (0) queries ADDED this round (never checked anywhere):
     "ivfpq_residual_topk", "bpe_trainer",
+    "bpe_encode", "bigram_logprob", "token_budget_select",
+    "incremental_dedup", "classifier_train",
     # (a) The THIRTEEN round-6 additions, never driver-checked
     # in any CORRECTNESS_r*.json (judge strict-hash-verified r7 only):
     "pdf15_extract", "bpe_pair_stats", "global_offsets",
@@ -7548,8 +7552,9 @@ _WINDOW_FIRST = [
     "cube_pricing", "running_total", "positional_zip", "url_parse",
     "industry_resolve", "update_fields", "distinct_categories",
     "stratified_split", "tfidf_top_terms", "decontaminate",
-    "stats_moments", "pii_scrub", "doc_chunks", "repetition_signals",
-    "group_sample",
+    # (r04-cohort tail stats_moments/pii_scrub/doc_chunks/
+    # repetition_signals/group_sample displaced to r09 by the five
+    # round-8 additions above — never-checked queries lead per policy)
     # anchors: longest-green queries kept in-window as canaries
     "staging_cleanse", "match_cascade",
 ]
