@@ -596,6 +596,41 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "Window", "BroadcastNestedLoopJoin",
                   "BatchEvalPython", "MapInPandas"],
     },
+    "bpe_encode": {
+        # encoding is chained row-local folds in one projection over the
+        # scan — a shuffle ANYWHERE in the encode plan is wrong (the
+        # trainer's collects run before this plan exists)
+        "want": ["Project"],
+        "avoid": ["Exchange", "CartesianProduct", "BatchEvalPython",
+                  "MapInPandas", "Window"],
+    },
+    "bigram_logprob": {
+        # pair stream persisted (three consumers), counts reduce
+        # map-side; the one BroadcastNestedLoopJoin is the 1-row
+        # vocabulary-size scalar attach
+        "want": ["InMemoryTableScan", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
+    },
+    "token_budget_select": {
+        # the running sum must be the RANGE-PARTITIONED window (__pid),
+        # never a global orderBy window
+        "want": ["Window", "__pid"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
+    },
+    "incremental_dedup": {
+        # delta bands persisted (feed both joins); pairing is equi-join
+        # on (band_idx, band_hash) — a cartesian/NLJ means the banding
+        # degenerated
+        "want": ["InMemoryTableScan"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython"],
+    },
+    "classifier_train": {
+        # the returned weights are the last round's lazy localCheckpoint
+        # (lineage flattened per round, the pagerank pattern)
+        "want": ["Scan ExistingRDD"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
+    },
 }
 
 
