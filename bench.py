@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "token_budget_select",
     "incremental_dedup",
     "classifier_train",
+    "streaming_neardup",
 ]
 
 

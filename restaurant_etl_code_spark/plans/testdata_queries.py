@@ -6412,6 +6412,106 @@ def _logreg_oracle(n_buckets: int, lr: float, n_rounds: int) -> str:
 _ORACLE_CLASSIFIER_TRAIN = _logreg_oracle(16, 0.5, 2)
 
 
+def _q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-DUP curation (streaming.curate_stream_near_dup):
+    the augmented corpus arrives as TWO ordered micro-batches (originals
+    first, then the duplicate re-ingest batch); each batch is gated,
+    MinHash-signed, LSH-gated against the accumulated merge-target index
+    AND itself (incremental_lsh_pairs — index x index never re-paired),
+    and survivors upsert into the crash-safe bucketed target. Two
+    ordered availableNow batches = two unrolled layers of relational
+    algebra, so the oracle is exact."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from restaurant_etl_code_spark.sources.sinks import read_bucketed
+    from restaurant_etl_code_spark.streaming import curate_stream_near_dup
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    docs = _augmented_docs(child, sf_dir).select("doc_id", "text")
+    landing = _tempfile.mkdtemp(prefix="landing_neardup_")
+    for i, batch in enumerate(
+        [docs.filter(F.col("doc_id") < 100000),
+         docs.filter(F.col("doc_id") >= 100000)]
+    ):
+        stage = _tempfile.mkdtemp(prefix=f"stage_nd{i}_")
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in sorted(_os.listdir(stage))
+                    if f.endswith(".parquet"))
+        dst = _os.path.join(landing, f"batch-{i:03d}.parquet")
+        _os.rename(_os.path.join(stage, part), dst)
+        _os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    stream = (
+        child.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    target = _tempfile.mkdtemp(prefix="neardup_") + "/t"
+    curate_stream_near_dup(
+        stream, target, _tempfile.mkdtemp(prefix="ckpt_nd_"),
+        min_tokens=30, num_hashes=16, shingle_n=3, bands=4, rows_per_band=4,
+        n_buckets=16,
+    )
+    out = read_bucketed(spark, target)
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform(F.col("signature"), lambda x: x.cast("string"))
+        ).alias("sig_str"),
+    )
+
+
+_ORACLE_STREAMING_NEARDUP = f"""
+with {_DUCK_CORPUS.strip()},
+tg as (select doc_id, text,
+              list_filter({_DUCK_TOKENS.format(c='text')}, x -> x <> '') as tk
+       from corpus),
+gated as (select doc_id, text from tg where len(tk) >= 30),
+toks as (select doc_id,
+                string_split({_DUCK_NORM.format(c='text')}, ' ') as tk
+         from gated),
+sh as (select doc_id, case when len(tk) >= 3 then
+           list_transform(range(1, len(tk) - 1), i ->
+               array_to_string(list_slice(tk, i::int, i::int + 2), ' '))
+           else [] end as shingles from toks),
+h0 as (select doc_id,
+              list_transform(shingles, s ->
+                  ('0x' || substring(md5(s), 1, 13))::bigint) as hs
+       from sh where len(shingles) > 0),
+sigs as (select doc_id,
+                list_transform(range(0, 16), i -> list_min(
+                    list_transform(hs, h -> (2 * i + 1) * h
+                                   + i * 2654435761))) as sig
+         from h0),
+bands as (select doc_id, t.b as band_idx,
+                 md5(array_to_string(list_transform(
+                     list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+                     x -> x::varchar), ',')) as band_hash
+          from sigs cross join (select unnest(range(0, 4)) as b) t),
+b1 as (select * from bands where doc_id < 100000),
+b2 as (select * from bands where doc_id >= 100000),
+drop1 as (select distinct y.doc_id from b1 x join b1 y
+          on x.band_idx = y.band_idx and x.band_hash = y.band_hash
+             and x.doc_id < y.doc_id),
+surv1 as (select doc_id from sigs where doc_id < 100000
+          and doc_id not in (select doc_id from drop1)),
+ib as (select b.* from bands b join surv1 s on b.doc_id = s.doc_id),
+drop2 as (
+  select distinct y.doc_id from ib x join b2 y
+    on x.band_idx = y.band_idx and x.band_hash = y.band_hash
+  union
+  select distinct y.doc_id from b2 x join b2 y
+    on x.band_idx = y.band_idx and x.band_hash = y.band_hash
+       and x.doc_id < y.doc_id),
+surv2 as (select doc_id from sigs where doc_id >= 100000
+          and doc_id not in (select doc_id from drop2)),
+surv as (select doc_id from surv1 union all select doc_id from surv2)
+select s.doc_id, array_to_string(g.sig, ',') as sig_str
+from surv s join sigs g using (doc_id)
+"""
+
+
 def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token offsets for the concatenated corpus
     (packing.global_offsets): every document's exclusive prefix-sum
@@ -7509,6 +7609,11 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_classifier_train, _ORACLE_CLASSIFIER_TRAIN,
         "2-round relational logistic-regression GD on hashed features "
         "with exact-decimal accumulators; unrolled-SQL oracle"),
+    "streaming_neardup": QueryDef(
+        _q_streaming_neardup, _ORACLE_STREAMING_NEARDUP,
+        "near-dup-gated streaming ingest: per-batch LSH vs the "
+        "accumulated merge-target index; two ordered batches = two "
+        "unrolled oracle layers"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -7525,8 +7630,8 @@ _REGISTRY: dict[str, QueryDef] = {
 # order, and the two canaries. Any query ADDED this round goes to the
 # FRONT of the window (never-checked beats oldest-checked), displacing
 # the tail of the r04 block. Next rotation (r09): the 5 r04-cohort names
-# displaced this round (stats_moments, pii_scrub, doc_chunks,
-# repetition_signals, group_sample), then the remaining 18 r04-cohort
+# displaced this round (decontaminate, stats_moments, pii_scrub,
+# doc_chunks, repetition_signals, group_sample), then the remaining 18 r04-cohort
 # names (json_scan_agg onward), then the oldest r05 names.
 _WINDOW_FIRST = [
     # r08 rotation (executed this time — the r07 note was written but the
@@ -7534,7 +7639,7 @@ _WINDOW_FIRST = [
     # commit). (0) queries ADDED this round (never checked anywhere):
     "ivfpq_residual_topk", "bpe_trainer",
     "bpe_encode", "bigram_logprob", "token_budget_select",
-    "incremental_dedup", "classifier_train",
+    "incremental_dedup", "classifier_train", "streaming_neardup",
     # (a) The THIRTEEN round-6 additions, never driver-checked
     # in any CORRECTNESS_r*.json (judge strict-hash-verified r7 only):
     "pdf15_extract", "bpe_pair_stats", "global_offsets",
@@ -7551,9 +7656,9 @@ _WINDOW_FIRST = [
     "pipeline_updates", "merge_upsert", "set_ops", "pivot_counts",
     "cube_pricing", "running_total", "positional_zip", "url_parse",
     "industry_resolve", "update_fields", "distinct_categories",
-    "stratified_split", "tfidf_top_terms", "decontaminate",
-    # (r04-cohort tail stats_moments/pii_scrub/doc_chunks/
-    # repetition_signals/group_sample displaced to r09 by the five
+    "stratified_split", "tfidf_top_terms",
+    # (r04-cohort tail decontaminate/stats_moments/pii_scrub/doc_chunks/
+    # repetition_signals/group_sample displaced to r09 by the six
     # round-8 additions above — never-checked queries lead per policy)
     # anchors: longest-green queries kept in-window as canaries
     "staging_cleanse", "match_cascade",

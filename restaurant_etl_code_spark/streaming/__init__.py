@@ -6,6 +6,7 @@ from restaurant_etl_code_spark.streaming.jobs import (  # noqa: F401
     run_available_now,
     foreach_batch_upsert,
     curate_stream_to_merge_target,
+    curate_stream_near_dup,
     foreach_batch_cdc_apply,
     foreach_batch_state_maintenance,
     read_latest_state,

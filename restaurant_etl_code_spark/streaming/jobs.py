@@ -17,6 +17,7 @@ run keys (T3). Spark-first:
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -413,6 +414,104 @@ def curate_stream_to_merge_target(
             batch_df.sparkSession, target_path, upserts, ["fingerprint"],
             n_buckets=n_buckets,
         )
+
+    q = (
+        gated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+def curate_stream_near_dup(
+    streamed_docs: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 30,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """The NEAR-DUP upgrade of ``curate_stream_to_merge_target``: each
+    micro-batch is token-count gated, MinHash-signed, and LSH-gated
+    against BOTH the accumulated corpus index and itself
+    (``dedup.incremental_lsh_pairs`` — index x index is never re-paired,
+    so per-batch cost tracks the batch), then the survivors and their
+    signatures are upserted into the crash-safe bucketed MERGE target.
+    The target IS the LSH index: each batch reads back only what
+    previous batches admitted, which is exactly the standing-corpus
+    semantics a streaming dedup needs (a document near-duplicating a
+    REJECTED document is admitted — its collision partner never entered
+    the corpus).
+
+    Drop rule (deterministic, relational): a batch document leaves if it
+    band-collides with ANY indexed document, or with a SMALLER-id
+    document of its own batch — the greedy keep-min-id rule of the batch
+    LSH dedup, so an ``availableNow`` run over k ordered files equals k
+    unrolled layers of relational algebra (the oracle's shape).
+
+    Ids must be globally unique across the stream (the upsert key);
+    ``min_tokens`` must be >= ``shingle_n`` (an unshinglable document
+    cannot be signed — the gate already guarantees this).
+
+    Scale shape per batch: signing is the Arrow-batched zero-shuffle
+    pipeline; banding/pairing shuffles on the high-cardinality band key
+    with the batch side persisted; the index read and the merge both
+    touch only bucket files (pruned merge), so steady-state ingest cost
+    is |batch| + matching buckets, never |corpus|.
+    """
+    if min_tokens < shingle_n:
+        raise ValueError(
+            f"min_tokens={min_tokens} < shingle_n={shingle_n}: gated "
+            "documents must be wide enough to sign"
+        )
+    from restaurant_etl_code_spark.functions import text as Ftext
+    from restaurant_etl_code_spark.operators import dedup as D
+    from restaurant_etl_code_spark.sources.sinks import (
+        merge_into_bucketed_parquet,
+        read_bucketed,
+    )
+
+    toks = F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "")
+    gated = streamed_docs.filter(F.size(toks) >= int(min_tokens)).select(
+        F.col(id_col), F.col(text_col)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs_d = D.minhash_signatures(
+            batch_df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        ).persist()
+        if os.path.isdir(target_path):
+            index = read_bucketed(spark, target_path).select(id_col, "signature")
+        else:
+            index = spark.createDataFrame([], sigs_d.schema)
+        pairs = D.incremental_lsh_pairs(
+            index, sigs_d, id_col, bands=bands, rows_per_band=rows_per_band,
+            num_hashes=num_hashes,
+        )
+        delta_ids = sigs_d.select(id_col)
+        dropped = (
+            pairs.filter(F.col("pair_kind") == "delta_delta")
+            .select(F.col("id_b").alias(id_col))
+            .unionByName(
+                pairs.filter(F.col("pair_kind") == "delta_index")
+                .select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+                .join(delta_ids, id_col, "left_semi")
+            )
+            .distinct()
+        )
+        survivors = sigs_d.join(dropped, id_col, "left_anti")
+        merge_into_bucketed_parquet(
+            spark, target_path, survivors, [id_col], n_buckets=n_buckets
+        )
+        sigs_d.unpersist()
 
     q = (
         gated.writeStream.foreachBatch(sink)

@@ -380,3 +380,42 @@ def test_logreg_train_zero_rounds_returns_zeros(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     w = corpus.logreg_train_hashed(docs, F.lit(True), n_buckets=4, n_rounds=0)
     assert [r["w"] for r in w.collect()] == [0.0] * 4
+
+
+def test_curate_stream_near_dup_two_batches(spark, tmp_path):
+    import os
+
+    from restaurant_etl_code_spark.sources.sinks import read_bucketed
+    from restaurant_etl_code_spark.streaming import curate_stream_near_dup
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"zzz{i}" for i in range(40))
+    b1 = [(1, base), (2, base + " tail"), (3, other)]       # 2 near-dups 1
+    b2 = [(11, base + " tail2"),                             # near-dup of 1
+          (12, " ".join(f"new{i}" for i in range(40))),      # novel
+          (13, "short doc")]                                 # gated out
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i, rows in enumerate([b1, b2]):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(landing, f"b-{i:03d}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    schema = "doc_id bigint, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    target = str(tmp_path / "t")
+    curate_stream_near_dup(
+        stream, target, str(tmp_path / "ckpt"), min_tokens=30,
+        num_hashes=16, shingle_n=3, bands=4, rows_per_band=4, n_buckets=4,
+    )
+    got = sorted(r["doc_id"] for r in read_bucketed(spark, target).collect())
+    # batch1: 1 survives, 2 dropped (near-dup of 1), 3 survives
+    # batch2: 11 dropped (collides with indexed 1), 12 novel, 13 gated out
+    assert got == [1, 3, 12]
