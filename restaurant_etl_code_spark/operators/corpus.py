@@ -1376,7 +1376,6 @@ def logreg_train_hashed(
     spark = docs.sparkSession
     toks = docs.select(
         F.col(id_col),
-        label.cast("double").alias("__y"),
         F.explode(Ftext.tokens(F.col(text_col))).alias("t"),
     ).where(F.col("t") != "")
     slot = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast(
@@ -1388,8 +1387,17 @@ def logreg_train_hashed(
         .repartition(F.col(id_col))
         .persist()
     )
+    # labels come from the DOC row, never the exploded token stream: a
+    # projection after explode evaluates the (typically re-tokenizing)
+    # label expression once PER TOKEN — measured 18.5 s vs 0.3 s on
+    # sf0.1 for a stopword-ratio label. The filter mirrors feats'
+    # membership (>= 1 non-empty token).
     labels = (
-        toks.groupBy(id_col).agg(F.first("__y").alias("y"))
+        docs.select(F.col(id_col), label.cast("double").alias("y"))
+        .filter(
+            F.size(F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != ""))
+            > 0
+        )
         .repartition(F.col(id_col))
         .persist()
     )
