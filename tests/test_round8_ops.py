@@ -419,3 +419,22 @@ def test_curate_stream_near_dup_two_batches(spark, tmp_path):
     # batch1: 1 survives, 2 dropped (near-dup of 1), 3 survives
     # batch2: 11 dropped (collides with indexed 1), 12 novel, 13 gated out
     assert got == [1, 3, 12]
+
+
+def test_bpe_apply_arrow_matches_fold(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    rows = [
+        (1, "a b a b c d e"),
+        (2, "a b c c a b a"),
+        (3, "x y x y x y"),
+        (4, "lone"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    merges = [("a", "b"), ("a_b", "c"), ("x", "y"), ("x_y", "x_y")]
+    fold = {r["doc_id"]: list(r["tk"])
+            for r in corpus.bpe_apply(docs, merges, engine="fold").collect()}
+    arrow = {r["doc_id"]: list(r["tk"])
+             for r in corpus.bpe_apply(docs, merges, engine="arrow").collect()}
+    assert fold == arrow
+    assert fold[3] == ["x_y_x_y", "x_y"]  # chained + self-merge replay
