@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "classifier_train",
     "streaming_neardup",
+    "packing_efficiency",
 ]
 
 

@@ -6512,6 +6512,50 @@ from surv s join sigs g using (doc_id)
 """
 
 
+def _q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing fill-rate audit (packing.packing_efficiency) over the
+    sequence_pack assignment: per-(lang, pack) docs/used/fill_rate plus
+    the corpus summary row — the measure-don't-guess number behind a
+    budget choice. Counter-sized aggregation of an already
+    counter-sized pack table."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    cost = F.greatest(F.col("n_chars"), F.lit(1)).alias("cost")
+    packed = packing.contiguous_pack(
+        docs.select("doc_id", "lang", cost),
+        cost_col="cost",
+        budget=4096,
+        partition_cols=["lang"],
+        order_by=["doc_id"],
+    )
+    return packing.packing_efficiency(
+        packed, "cost", 4096, pack_cols=("lang", "pack_id")
+    )
+
+
+_ORACLE_PACKING_EFFICIENCY = """
+with docs as (
+  select doc_id, lang, greatest(n_chars, 1) as cost
+  from documents where text is not null),
+packed as (
+  select doc_id, lang, cost,
+         cast(floor(coalesce(sum(cost) over (partition by lang
+                    order by doc_id rows between unbounded preceding
+                    and 1 preceding), 0) / 4096) as bigint) as pack_id
+  from docs),
+pp as (
+  select lang, pack_id, count(*)::bigint as n_docs,
+         sum(cost)::bigint as used,
+         round(sum(cost) / 4096.0, 6) as fill_rate
+  from packed group by 1, 2)
+select lang, pack_id, n_docs, used, fill_rate, false as is_summary from pp
+union all
+select null, null, count(*)::bigint, sum(used)::bigint,
+       round(avg(fill_rate), 6), true from pp
+"""
+
+
 def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token offsets for the concatenated corpus
     (packing.global_offsets): every document's exclusive prefix-sum
@@ -7614,6 +7658,10 @@ _REGISTRY: dict[str, QueryDef] = {
         "near-dup-gated streaming ingest: per-batch LSH vs the "
         "accumulated merge-target index; two ordered batches = two "
         "unrolled oracle layers"),
+    "packing_efficiency": QueryDef(
+        _q_packing_efficiency, _ORACLE_PACKING_EFFICIENCY,
+        "per-pack fill-rate audit + corpus summary over the "
+        "concat-and-chunk assignment"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -7630,8 +7678,8 @@ _REGISTRY: dict[str, QueryDef] = {
 # order, and the two canaries. Any query ADDED this round goes to the
 # FRONT of the window (never-checked beats oldest-checked), displacing
 # the tail of the r04 block. Next rotation (r09): the 5 r04-cohort names
-# displaced this round (decontaminate, stats_moments, pii_scrub,
-# doc_chunks, repetition_signals, group_sample), then the remaining 18 r04-cohort
+# displaced this round (tfidf_top_terms, decontaminate, stats_moments,
+# pii_scrub, doc_chunks, repetition_signals, group_sample), then the remaining 18 r04-cohort
 # names (json_scan_agg onward), then the oldest r05 names.
 _WINDOW_FIRST = [
     # r08 rotation (executed this time — the r07 note was written but the
@@ -7640,6 +7688,7 @@ _WINDOW_FIRST = [
     "ivfpq_residual_topk", "bpe_trainer",
     "bpe_encode", "bigram_logprob", "token_budget_select",
     "incremental_dedup", "classifier_train", "streaming_neardup",
+    "packing_efficiency",
     # (a) The THIRTEEN round-6 additions, never driver-checked
     # in any CORRECTNESS_r*.json (judge strict-hash-verified r7 only):
     "pdf15_extract", "bpe_pair_stats", "global_offsets",
@@ -7656,10 +7705,11 @@ _WINDOW_FIRST = [
     "pipeline_updates", "merge_upsert", "set_ops", "pivot_counts",
     "cube_pricing", "running_total", "positional_zip", "url_parse",
     "industry_resolve", "update_fields", "distinct_categories",
-    "stratified_split", "tfidf_top_terms",
-    # (r04-cohort tail decontaminate/stats_moments/pii_scrub/doc_chunks/
-    # repetition_signals/group_sample displaced to r09 by the six
-    # round-8 additions above — never-checked queries lead per policy)
+    "stratified_split",
+    # (r04-cohort tail tfidf_top_terms/decontaminate/stats_moments/
+    # pii_scrub/doc_chunks/repetition_signals/group_sample displaced to
+    # r09 by the seven round-8 additions above — never-checked queries
+    # lead per policy)
     # anchors: longest-green queries kept in-window as canaries
     "staging_cleanse", "match_cascade",
 ]
