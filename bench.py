@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "classifier_train",
     "streaming_neardup",
     "packing_efficiency",
+    "curation_best_quality",
 ]
 
 

@@ -53,6 +53,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "containment_pairs",
     "connected_components",
+    "canonical_by_quality",
 ]
 
 
@@ -888,3 +889,58 @@ def incremental_lsh_pairs(
         )
     )
     return cross.unionByName(within).distinct()
+
+def canonical_by_quality(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware canonical selection: resolve near-dup candidate
+    ``pairs`` into clusters (``connected_components``) and keep the
+    HIGHEST-``quality_col`` member of each cluster (ties → smallest id);
+    documents in no pair keep themselves. The production upgrade of
+    keep-min-id curation — near-dup groups usually contain one clean
+    copy and N mangled ones, and min-id keeps whichever crawled first.
+
+    Physical shape at 100 TB: the winner per cluster is ONE
+    ``min(struct(-quality, id))`` aggregate — partial-aggregatable
+    map-side, so a celebrity cluster (boilerplate duplicated millions of
+    times) reduces to per-partition argmax counters, never a per-cluster
+    sort (the LPA argmax idiom). Singletons are a left-anti join that
+    never touches the cluster machinery. ``quality_col`` must be
+    numeric (it is negated for the struct ordering).
+
+    Returns ``docs``' rows for every survivor + (component_id,
+    n_members); singletons carry component_id NULL, n_members 1.
+    """
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    members = comp.join(
+        docs, comp["node"] == docs[id_col], "inner"
+    ).select(docs["*"], comp["component_id"])
+    winners = (
+        members.groupBy("component_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(quality_col)).alias("__nq"),
+                    F.col(id_col).alias("__i"),
+                )
+            ).alias("__w"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .select(
+            F.col("__w.__i").alias(id_col), "component_id", "n_members"
+        )
+    )
+    id_type = docs.schema[id_col].dataType
+    singles = (
+        docs.join(comp.select(F.col("node").alias(id_col)), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit(None).cast(id_type).alias("component_id"),
+            F.lit(1).cast("long").alias("n_members"),
+        )
+    )
+    keep = winners.unionByName(singles)
+    return docs.join(keep, id_col)

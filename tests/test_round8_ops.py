@@ -438,3 +438,22 @@ def test_bpe_apply_arrow_matches_fold(spark):
              for r in corpus.bpe_apply(docs, merges, engine="arrow").collect()}
     assert fold == arrow
     assert fold[3] == ["x_y_x_y", "x_y"]  # chained + self-merge replay
+
+
+def test_canonical_by_quality_argmax_and_singletons(spark):
+    from restaurant_etl_code_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (9, 0.1)],
+        "doc_id bigint, quality double",
+    )
+    # cluster {1,2,3} via pairs (1,2),(2,3); {4} paired with nothing in docs? use (4,?) none -> singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    got = {r["doc_id"]: r for r in dedup.canonical_by_quality(
+        pairs, docs, "doc_id", "quality").collect()}
+    # winner of {1,2,3}: quality 0.9 tie between 2 and 3 -> min id 2
+    assert set(got) == {2, 4, 9}
+    assert got[2]["n_members"] == 3 and got[2]["component_id"] == 1
+    assert got[4]["component_id"] is None and got[4]["n_members"] == 1
