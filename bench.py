@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "streaming_neardup",
     "packing_efficiency",
     "curation_best_quality",
+    "hard_negatives",
 ]
 
 

@@ -46,9 +46,16 @@ __all__ = [
 ]
 
 
-def _ranked(scored: DataFrame, k: int, min_score: float | None) -> DataFrame:
+def _ranked(
+    scored: DataFrame,
+    k: int,
+    min_score: float | None,
+    max_score_exclusive: float | None = None,
+) -> DataFrame:
     if min_score is not None:
         scored = scored.filter(F.col("score") >= min_score)
+    if max_score_exclusive is not None:
+        scored = scored.filter(F.col("score") < max_score_exclusive)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -67,10 +74,17 @@ def cosine_topk(
     corpus_vec: str = "embedding",
     k: int = 3,
     min_score: float | None = None,
+    max_score_exclusive: float | None = None,
     exclude_self: bool = True,
     max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Brute-force cosine top-k: every query against every corpus vector.
+
+    ``max_score_exclusive`` drops pairs scoring AT or ABOVE the bound
+    BEFORE the per-batch prune (hard-negative mining: "most similar
+    below the dup threshold") — the prune's containment argument holds
+    because the filter is applied identically per batch and in the final
+    ranking.
 
     Physical shape: the query side is dimension-sized and ships to every
     task as a dense float64 matrix inside the mapInPandas closure (a
@@ -127,6 +141,8 @@ def cosine_topk(
                     mask &= cids != qid
                 if min_score is not None:
                     mask &= s >= min_score
+                if max_score_exclusive is not None:
+                    mask &= s < max_score_exclusive
                 idx = np.flatnonzero(mask)
                 if not len(idx):
                     continue
@@ -151,7 +167,40 @@ def cosine_topk(
     scored = _widen(corpus.select(corpus_id, corpus_vec), corpus_id, per_row="light").mapInPandas(
         mapper, schema=schema
     )
-    return _ranked(scored, k, min_score)
+    return _ranked(scored, k, min_score, max_score_exclusive)
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k_neg: int = 3,
+    dup_threshold: float = 0.95,
+    min_score: float | None = None,
+    **kwargs,
+) -> DataFrame:
+    """HARD-NEGATIVE mining for embedding-model training data: per
+    anchor, the most-similar corpus vectors BELOW the near-duplicate
+    threshold — similar enough to teach the margin, not so similar
+    they're actually positives (the standard contrastive-training recipe;
+    dedup-then-mine is why the threshold filter must run BEFORE ranking:
+    an anchor with 20 duplicates would otherwise fill its whole top-k
+    with positives). ``min_score`` optionally floors the negatives
+    ("semi-hard": similar but not degenerate).
+
+    Same physical shape as ``cosine_topk`` (driver-collected
+    dimension-sized anchor side, BLAS batch scoring, lossless per-batch
+    prune under the same filters). Returns (query_id, neighbor_id,
+    score, rank).
+    """
+    return cosine_topk(
+        queries,
+        corpus,
+        k=k_neg,
+        min_score=min_score,
+        max_score_exclusive=dup_threshold,
+        **kwargs,
+    )
 
 
 def bucketed_cosine_topk(

@@ -457,3 +457,21 @@ def test_canonical_by_quality_argmax_and_singletons(spark):
     assert set(got) == {2, 4, 9}
     assert got[2]["n_members"] == 3 and got[2]["component_id"] == 1
     assert got[4]["component_id"] is None and got[4]["n_members"] == 1
+
+
+def test_hard_negatives_excludes_positives_before_ranking(spark):
+    from restaurant_etl_code_spark.operators import similarity
+
+    # anchor 1; 2,3 near-dups (cos ~1); 4,5 hard negatives; 6 orthogonal
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.999, 0.01]),
+        (4, [0.7, 0.7]), (5, [0.6, 0.75]), (6, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = similarity.hard_negatives(
+        emb.filter("vec_id = 1"), emb, k_neg=2, dup_threshold=0.95,
+        min_score=0.05,
+    ).collect()
+    ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    # dups 2,3 excluded even though they out-score everything; 6 floored out
+    assert ids == [4, 5]
