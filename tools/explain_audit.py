@@ -631,6 +631,31 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["Scan ExistingRDD"],
         "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
     },
+    "packing_efficiency": {
+        # two counter-sized aggs over the (already counter-sized) pack
+        # table; the pack ids come from the partitioned window
+        "want": ["HashAggregate", "Window"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
+    },
+    "curation_best_quality": {
+        # winner per cluster is a map-side-combinable min(struct) argmax
+        # (ObjectHashAggregate — struct keys don't ride HashAggregate),
+        # never a per-cluster sort window
+        "want": ["partial_min"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "Window"],
+    },
+    "hard_negatives": {
+        # the BLAS scorer with in-batch threshold filters + lossless
+        # prune; ranking is the one WindowGroupLimit
+        "want": ["MapInPandas", "Window"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "streaming_neardup": {
+        # the returned relation is a plain read of the merged target —
+        # all streaming work happened in foreachBatch
+        "want": ["Scan parquet"],
+        "avoid": ["BatchEvalPython", "CartesianProduct"],
+    },
 }
 
 
