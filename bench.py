@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "packing_efficiency",
     "curation_best_quality",
     "hard_negatives",
+    "jl_distortion",
 ]
 
 

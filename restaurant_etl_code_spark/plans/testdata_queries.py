@@ -38,6 +38,7 @@ from restaurant_etl_code_spark.operators import (
     chunking,
     corpus,
     dedup,
+    embeddings,
     graph,
     incremental,
     matching,
@@ -6669,6 +6670,88 @@ where rank <= 3
 """
 
 
+def _q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign-projection + distortion AUDIT
+    (embeddings.random_projection): project 64→16 dims with the
+    md5-seeded ±1 matrix, then MEASURE pairwise-distance preservation on
+    (v, v+1) pairs — ratio d_proj/d_orig per pair, the number that
+    justifies using the projection for ANN pre-reduction instead of
+    trusting the lemma. One codegen projection (SQL-string built), one
+    self-join on the shifted id."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = embeddings.random_projection(
+        emb, vec_col="embedding", in_dim=64, out_dim=16, seed=42
+    )
+    a = proj.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id"),
+        F.col("embedding").alias("va"),
+        F.col("proj").alias("pa"),
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("vb"),
+        F.col("proj").alias("pb"),
+    )
+    d = lambda x, y: F.round(  # noqa: E731
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col(x).cast("array<double>"),
+                    F.col(y).cast("array<double>"),
+                    lambda p, q: (p - q) * (p - q),
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        ),
+        6,
+    )
+    return (
+        a.join(b, "vec_id")
+        .select(
+            "vec_id",
+            d("va", "vb").alias("d_orig"),
+            d("pa", "pb").alias("d_proj"),
+        )
+        .filter(F.col("d_orig") > 0)
+        .withColumn("ratio", F.round(F.col("d_proj") / F.col("d_orig"), 6))
+    )
+
+
+def _jl_oracle() -> str:
+    from restaurant_etl_code_spark.operators.embeddings import _jl_signs
+
+    signs = _jl_signs(42, 64, 16)
+    inv = repr(1.0 / (16 ** 0.5))
+    cols = ", ".join(
+        f"round(list_dot_product(v, [{', '.join(str(s) for s in signs[j])}])"
+        f" * {inv}, 6)"
+        for j in range(16)
+    )
+    return f"""
+with e as (select vec_id, embedding::double[] as v from embeddings),
+proj as (select vec_id, v, [{cols}] as p from e),
+pairs as (
+  select a.vec_id, a.v as va, b.v as vb, a.p as pa, b.p as pb
+  from proj a join proj b on b.vec_id = a.vec_id + 1
+  where a.vec_id % 10 = 0),
+dists as (
+  select vec_id,
+         round(sqrt(list_sum(list_transform(range(1, 65),
+               i -> (va[i::int] - vb[i::int]) * (va[i::int] - vb[i::int])))), 6)
+           as d_orig,
+         round(sqrt(list_sum(list_transform(range(1, 17),
+               i -> (pa[i::int] - pb[i::int]) * (pa[i::int] - pb[i::int])))), 6)
+           as d_proj
+  from pairs)
+select vec_id, d_orig, d_proj, round(d_proj / d_orig, 6) as ratio
+from dists where d_orig > 0
+"""
+
+
+_ORACLE_JL_DISTORTION = _jl_oracle()
+
+
 def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token offsets for the concatenated corpus
     (packing.global_offsets): every document's exclusive prefix-sum
@@ -7783,6 +7866,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_hard_negatives, _ORACLE_HARD_NEGATIVES,
         "contrastive hard-negative mining: most-similar below the "
         "dup threshold, filtered before ranking"),
+    "jl_distortion": QueryDef(
+        _q_jl_distortion, _ORACLE_JL_DISTORTION,
+        "JL sign projection 64->16 + measured pairwise-distance "
+        "distortion per sampled pair"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -7799,9 +7886,10 @@ _REGISTRY: dict[str, QueryDef] = {
 # order, and the two canaries. Any query ADDED this round goes to the
 # FRONT of the window (never-checked beats oldest-checked), displacing
 # the tail of the r04 block. Next rotation (r09): the 5 r04-cohort names
-# displaced this round (distinct_categories, stratified_split,
-# tfidf_top_terms, decontaminate, stats_moments, pii_scrub, doc_chunks,
-# repetition_signals, group_sample), then the remaining 18 r04-cohort
+# displaced this round (update_fields, distinct_categories,
+# stratified_split, tfidf_top_terms, decontaminate, stats_moments,
+# pii_scrub, doc_chunks, repetition_signals, group_sample), then the
+# remaining 18 r04-cohort
 # names (json_scan_agg onward), then the oldest r05 names.
 _WINDOW_FIRST = [
     # r08 rotation (executed this time — the r07 note was written but the
@@ -7811,6 +7899,7 @@ _WINDOW_FIRST = [
     "bpe_encode", "bigram_logprob", "token_budget_select",
     "incremental_dedup", "classifier_train", "streaming_neardup",
     "packing_efficiency", "curation_best_quality", "hard_negatives",
+    "jl_distortion",
     # (a) The THIRTEEN round-6 additions, never driver-checked
     # in any CORRECTNESS_r*.json (judge strict-hash-verified r7 only):
     "pdf15_extract", "bpe_pair_stats", "global_offsets",
@@ -7826,11 +7915,12 @@ _WINDOW_FIRST = [
     "multimodal_features", "contentgen_fallback", "pipeline_products",
     "pipeline_updates", "merge_upsert", "set_ops", "pivot_counts",
     "cube_pricing", "running_total", "positional_zip", "url_parse",
-    "industry_resolve", "update_fields",
-    # (r04-cohort tail distinct_categories/stratified_split/
-    # tfidf_top_terms/decontaminate/stats_moments/pii_scrub/doc_chunks/
-    # repetition_signals/group_sample displaced to r09 by the nine
-    # round-8 additions above — never-checked queries lead per policy)
+    "industry_resolve",
+    # (r04-cohort tail update_fields/distinct_categories/
+    # stratified_split/tfidf_top_terms/decontaminate/stats_moments/
+    # pii_scrub/doc_chunks/repetition_signals/group_sample displaced to
+    # r09 by the ten round-8 additions above — never-checked queries
+    # lead per policy)
     # anchors: longest-green queries kept in-window as canaries
     "staging_cleanse", "match_cascade",
 ]

@@ -475,3 +475,27 @@ def test_hard_negatives_excludes_positives_before_ranking(spark):
     ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
     # dups 2,3 excluded even though they out-score everything; 6 floored out
     assert ids == [4, 5]
+
+
+def test_random_projection_preserves_relative_distances(spark):
+    from restaurant_etl_code_spark.operators import embeddings as E
+
+    import numpy as np
+
+    rng = [[float(((i * 31 + j * 17) % 19) - 9) for j in range(32)]
+           for i in range(6)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id bigint, embedding array<double>"
+    )
+    out = {r["vec_id"]: list(r["proj"])
+           for r in E.random_projection(df, in_dim=32, out_dim=8).collect()}
+    assert all(len(v) == 8 for v in out.values())
+    # deterministic: same seed, same values on re-run
+    out2 = {r["vec_id"]: list(r["proj"])
+            for r in E.random_projection(df, in_dim=32, out_dim=8).collect()}
+    assert out == out2
+    # distances contract/expand within a loose JL band on average
+    a, b = np.array(rng[0]), np.array(rng[1])
+    pa, pb = np.array(out[0]), np.array(out[1])
+    r = np.linalg.norm(pa - pb) / np.linalg.norm(a - b)
+    assert 0.2 < r < 2.5, r
