@@ -656,6 +656,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["Scan parquet"],
         "avoid": ["BatchEvalPython", "CartesianProduct"],
     },
+    "jl_distortion": {
+        # projection + distances are pure codegen expressions; the only
+        # join is the shifted-id equi-join
+        "want": ["Project"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas",
+                  "Window"],
+    },
 }
 
 
