@@ -424,6 +424,7 @@ def curate_stream_to_merge_target(
     q.awaitTermination()
     return q
 
+
 def curate_stream_near_dup(
     streamed_docs: DataFrame,
     target_path: str,
@@ -440,31 +441,38 @@ def curate_stream_near_dup(
 ) -> StreamingQuery:
     """The NEAR-DUP upgrade of ``curate_stream_to_merge_target``: each
     micro-batch is token-count gated, MinHash-signed, and LSH-gated
-    against BOTH the accumulated corpus index and itself
-    (``dedup.incremental_lsh_pairs`` — index x index is never re-paired,
-    so per-batch cost tracks the batch), then the survivors and their
-    signatures are upserted into the crash-safe bucketed MERGE target.
-    The target IS the LSH index: each batch reads back only what
-    previous batches admitted, which is exactly the standing-corpus
-    semantics a streaming dedup needs (a document near-duplicating a
-    REJECTED document is admitted — its collision partner never entered
-    the corpus).
+    against the accumulated corpus index AND itself, then the survivors
+    and their signatures upsert into the crash-safe bucketed MERGE
+    target. The index the gate probes is an append-only BANDED
+    side-table (``<target>_bands``: one (band_idx, band_hash, id) row
+    per survivor band, hash-partitioned by band_hash into ``n_buckets``
+    directories), so the probe reads ONLY the band-hash buckets the
+    batch actually collides with — per-batch cost is
+    |batch| + matched-bucket bytes, never a full index re-read/re-band
+    (at production bucket counts a small batch touches a bounded
+    fraction of the index; the banding recipe is byte-identical to
+    ``dedup.lsh_candidate_pairs``'s ``_banded_rows``).
 
     Drop rule (deterministic, relational): a batch document leaves if it
     band-collides with ANY indexed document, or with a SMALLER-id
-    document of its own batch — the greedy keep-min-id rule of the batch
-    LSH dedup, so an ``availableNow`` run over k ordered files equals k
-    unrolled layers of relational algebra (the oracle's shape).
+    document of its own batch — greedy keep-min-id, so an
+    ``availableNow`` run over k ordered files equals k unrolled layers
+    of relational algebra (the oracle's shape). A document
+    near-duplicating a REJECTED document is admitted: rejected docs
+    never enter the index.
 
-    Ids must be globally unique across the stream (the upsert key);
-    ``min_tokens`` must be >= ``shingle_n`` (an unshinglable document
-    cannot be signed — the gate already guarantees this).
+    Crash semantics: the band append runs BEFORE the main merge, and on
+    replay the probe ANTI-JOINS this batch's ids out of the index — a
+    crashed attempt's half-appended band rows are therefore invisible to
+    the deterministic recomputation (they would otherwise make batch
+    documents collide with their own ghosts and, worse, drop BOTH
+    members of an in-batch near-dup pair). A double-append after replay
+    only duplicates band rows, which costs pair-dedup work, never
+    correctness (candidates are DISTINCT; the main merge upsert is
+    idempotent by key).
 
-    Scale shape per batch: signing is the Arrow-batched zero-shuffle
-    pipeline; banding/pairing shuffles on the high-cardinality band key
-    with the batch side persisted; the index read and the merge both
-    touch only bucket files (pruned merge), so steady-state ingest cost
-    is |batch| + matching buckets, never |corpus|.
+    Ids must be globally unique across the stream; ``min_tokens`` must
+    be >= ``shingle_n`` (an unshinglable document cannot be signed).
     """
     if min_tokens < shingle_n:
         raise ValueError(
@@ -475,9 +483,9 @@ def curate_stream_near_dup(
     from restaurant_etl_code_spark.operators import dedup as D
     from restaurant_etl_code_spark.sources.sinks import (
         merge_into_bucketed_parquet,
-        read_bucketed,
     )
 
+    bands_path = target_path + "_bands"
     toks = F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "")
     gated = streamed_docs.filter(F.size(toks) >= int(min_tokens)).select(
         F.col(id_col), F.col(text_col)
@@ -488,29 +496,69 @@ def curate_stream_near_dup(
         sigs_d = D.minhash_signatures(
             batch_df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
         ).persist()
-        if os.path.isdir(target_path):
-            index = read_bucketed(spark, target_path).select(id_col, "signature")
-        else:
-            index = spark.createDataFrame([], sigs_d.schema)
-        pairs = D.incremental_lsh_pairs(
-            index, sigs_d, id_col, bands=bands, rows_per_band=rows_per_band,
-            num_hashes=num_hashes,
+        banded_d = (
+            D._banded_rows(sigs_d, id_col, bands, rows_per_band)
+            .repartition("band_idx", "band_hash")
+            .persist()
         )
         delta_ids = sigs_d.select(id_col)
-        dropped = (
-            pairs.filter(F.col("pair_kind") == "delta_delta")
-            .select(F.col("id_b").alias(id_col))
-            .unionByName(
-                pairs.filter(F.col("pair_kind") == "delta_index")
-                .select(F.explode(F.array("id_a", "id_b")).alias(id_col))
-                .join(delta_ids, id_col, "left_semi")
+        if os.path.isdir(bands_path):
+            hit = {
+                r["__b"]
+                for r in banded_d.select(
+                    F.pmod(F.xxhash64("band_hash"), F.lit(n_buckets))
+                    .cast("int")
+                    .alias("__b")
+                )
+                .distinct()
+                .collect()
+            }
+            dirs = [
+                os.path.join(bands_path, f"__bucket={b}")
+                for b in sorted(hit)
+                if os.path.isdir(os.path.join(bands_path, f"__bucket={b}"))
+            ]
+        else:
+            dirs = []
+        if dirs:
+            index_bands = spark.read.parquet(*dirs).join(
+                delta_ids, id_col, "left_anti"  # crash-replay ghost guard
             )
-            .distinct()
+        else:
+            index_bands = spark.createDataFrame(
+                [], banded_d.select(id_col, "band_idx", "band_hash").schema
+            )
+        cross_drop = (
+            banded_d.alias("d")
+            .join(
+                index_bands.alias("i"),
+                ["band_idx", "band_hash"],
+            )
+            .select(F.col(f"d.{id_col}").alias(id_col))
         )
-        survivors = sigs_d.join(dropped, id_col, "left_anti")
+        within_drop = (
+            banded_d.alias("a")
+            .join(banded_d.alias("b"), ["band_idx", "band_hash"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"b.{id_col}").alias(id_col))
+        )
+        dropped = cross_drop.unionByName(within_drop).distinct()
+        survivors = sigs_d.join(dropped, id_col, "left_anti").persist()
+        surv_bands = banded_d.join(
+            survivors.select(id_col), id_col, "left_semi"
+        ).withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64("band_hash"), F.lit(n_buckets)).cast("int"),
+        )
+        # append bands BEFORE the merge (see crash semantics above)
+        surv_bands.select(
+            id_col, "band_idx", "band_hash", "__bucket"
+        ).write.mode("append").partitionBy("__bucket").parquet(bands_path)
         merge_into_bucketed_parquet(
             spark, target_path, survivors, [id_col], n_buckets=n_buckets
         )
+        survivors.unpersist()
+        banded_d.unpersist()
         sigs_d.unpersist()
 
     q = (

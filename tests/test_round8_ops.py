@@ -499,3 +499,39 @@ def test_random_projection_preserves_relative_distances(spark):
     pa, pb = np.array(out[0]), np.array(out[1])
     r = np.linalg.norm(pa - pb) / np.linalg.norm(a - b)
     assert 0.2 < r < 2.5, r
+
+
+def test_curate_stream_near_dup_replay_ignores_ghost_bands(spark, tmp_path):
+    import os
+    import shutil
+
+    from restaurant_etl_code_spark.sources.sinks import read_bucketed
+    from restaurant_etl_code_spark.streaming import curate_stream_near_dup
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [(1, base), (2, base + " tail"), (3, " ".join(f"q{i}" for i in range(40)))]
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    stage = str(tmp_path / "stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), os.path.join(landing, "b-000.parquet"))
+
+    def run(ck):
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(landing)
+        curate_stream_near_dup(
+            stream, str(tmp_path / "t"), str(tmp_path / ck), min_tokens=30,
+            num_hashes=16, shingle_n=3, bands=4, rows_per_band=4, n_buckets=4,
+        )
+        return sorted(r["doc_id"] for r in read_bucketed(spark, str(tmp_path / "t")).collect())
+
+    first = run("ck1")
+    assert first == [1, 3]  # 2 dropped as near-dup of 1
+    # simulate a crash AFTER the band append but BEFORE the merge commit:
+    # bands of the batch exist, the merged target does not
+    shutil.rmtree(str(tmp_path / "t"))
+    replay = run("ck2")  # fresh checkpoint -> batch reprocessed
+    # without the ghost guard, 1 and 3 would collide with their own stale
+    # band rows (and 1/2 would BOTH drop); with it the outcome is identical
+    assert replay == first
