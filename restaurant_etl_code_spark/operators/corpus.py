@@ -1469,6 +1469,11 @@ def logreg_train_hashed(
         .persist()
     )
     n_docs = labels.count()
+    if n_docs == 0:
+        raise ValueError(
+            "logreg_train_hashed: no trainable documents (every row has "
+            "null/empty text) — the gradient denominator would be zero"
+        )
     w = spark.range(n_buckets).select(
         F.col("id").alias("slot"), F.lit(0.0).alias("w")
     )

@@ -872,6 +872,9 @@ def incremental_lsh_pairs(
     d, i = banded_d.alias("d"), banded_i.alias("i")
     cross = (
         d.join(i, ["band_idx", "band_hash"])
+        # defensive: a shared id (contract violation) must not emit a
+        # self-pair that downstream drop rules would act on
+        .filter(F.col(f"d.{id_col}") != F.col(f"i.{id_col}"))
         .select(
             F.least(F.col(f"d.{id_col}"), F.col(f"i.{id_col}")).alias("id_a"),
             F.greatest(F.col(f"d.{id_col}"), F.col(f"i.{id_col}")).alias("id_b"),
