@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "curation_best_quality",
     "hard_negatives",
     "jl_distortion",
+    "cdc_chunk_dedup",
 ]
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from restaurant_etl_code_spark.functions import cleansing
 
-__all__ = ["skipped_rows", "group_and_chunk_templates"]
+__all__ = ["skipped_rows", "group_and_chunk_templates", "cdc_chunks"]
 
 
 def skipped_rows(
@@ -111,3 +111,72 @@ def group_and_chunk_templates(
         F.col("items"),
     )
     return out
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """CONTENT-DEFINED chunking (the rsync/LBFS trick at token level): a
+    chunk boundary falls AFTER token i whenever the 52-bit md5 hash of
+    the trailing ``window``-token context divides ``divisor`` — so
+    boundaries are decided by CONTENT, not position. Insert a paragraph
+    and every fixed-span chunk shifts, but all other CDC chunks' hashes
+    survive: this is what makes sub-document dedup robust to shifted
+    copies (span_dedup's fixed windows miss a near-dup that gained one
+    leading sentence; CDC chunks re-align at the next boundary).
+    Expected chunk length ≈ ``divisor`` tokens.
+
+    Fully row-local codegen — no UDF, no shuffle, one projection per
+    step: the boundary-position LIST is a filter over token positions
+    (md5 of a ``window``-token slice each), and chunks are slices
+    between consecutive boundaries — no per-token prefix sums, no
+    quadratic accumulator. The md5-prefix 52-bit hash is the engines'
+    shared parity idiom (the minhash oracle's).
+
+    Returns (id_col, chunk_idx, n_tokens_chunk, chunk_hash); documents
+    with zero tokens emit no rows.
+    """
+    from restaurant_etl_code_spark.functions import text as Ftext
+
+    w, d = int(window), int(divisor)
+    if w < 1 or d < 1:
+        raise ValueError(f"window and divisor must be >= 1 (got {w}, {d})")
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "").alias("tk"),
+    ).filter(F.size("tk") >= 1)
+    hash52 = (
+        f"cast(conv(substring(md5(array_join(slice(tk, i - {w} + 1, {w}), "
+        "' ')), 1, 13), 16, 10) as bigint)"
+    )
+    # boundaries after positions w..n-1 whose context hash divides d,
+    # plus n itself (the tail chunk); sequence(a, b) runs DESCENDING when
+    # a > b, so the short-doc case must be guarded, not relied on
+    bnd = (
+        f"concat(if(size(tk) > {w}, "
+        f"filter(sequence({w}, size(tk) - 1), i -> {hash52} % {d} = 0), "
+        "array()), array(size(tk)))"
+    )
+    chunks = toks.withColumn("bnd", F.expr(bnd)).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(bnd)), j -> named_struct("
+                "'chunk_idx', j - 1, "
+                "'toks', slice(tk, "
+                "if(j = 1, 0, element_at(bnd, j - 1)) + 1, "
+                "element_at(bnd, j) - if(j = 1, 0, element_at(bnd, j - 1)))))"
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.toks").cast("long").alias("n_tokens_chunk"),
+        F.md5(F.concat_ws(" ", "c.toks")).alias("chunk_hash"),
+    )

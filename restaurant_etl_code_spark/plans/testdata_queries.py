@@ -6752,6 +6752,56 @@ from dists where d_orig > 0
 _ORACLE_JL_DISTORTION = _jl_oracle()
 
 
+def _q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (chunking.cdc_chunks): rolling-hash
+    boundaries (window 4, divisor 8) make chunk hashes survive shifted
+    copies — the augmented corpus's tail-appended near-dups share every
+    chunk except the last, which fixed spans cannot see. Output:
+    duplicated chunk groups (hash, copies, docs, first doc)."""
+    from restaurant_etl_code_spark.operators import chunking as C
+
+    docs = _augmented_docs(spark, sf_dir)
+    ch = C.cdc_chunks(docs, window=4, divisor=8)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+_ORACLE_CDC_CHUNKS = f"""
+with {_DUCK_CORPUS.strip()},
+t1 as (select doc_id,
+              list_filter({_DUCK_TOKENS.format(c='text')}, t -> t <> '') as tk
+       from corpus),
+t2 as (select doc_id, tk from t1 where len(tk) >= 1),
+bn as (select doc_id, tk,
+              list_append(
+                case when len(tk) > 4 then
+                  list_filter(range(4, len(tk)), i ->
+                    ('0x' || substring(md5(array_to_string(
+                        list_slice(tk, (i - 3)::int, i::int), ' ')), 1, 13)
+                    )::bigint % 8 = 0)
+                else [] end,
+                len(tk)) as bnd
+       from t2),
+ch as (select doc_id,
+              md5(array_to_string(list_slice(tk,
+                  (case when j = 1 then 0 else bnd[(j - 1)::int] end + 1)::int,
+                  bnd[j::int]::int), ' ')) as chunk_hash
+       from (select doc_id, tk, bnd, unnest(range(1, len(bnd) + 1)) as j
+             from bn))
+select chunk_hash, count(*)::bigint as n_copies,
+       count(distinct doc_id)::bigint as n_docs,
+       min(doc_id) as first_doc
+from ch group by 1 having count(*) > 1
+"""
+
+
 def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token offsets for the concatenated corpus
     (packing.global_offsets): every document's exclusive prefix-sum
@@ -7870,6 +7920,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_jl_distortion, _ORACLE_JL_DISTORTION,
         "JL sign projection 64->16 + measured pairwise-distance "
         "distortion per sampled pair"),
+    "cdc_chunk_dedup": QueryDef(
+        _q_cdc_chunk_dedup, _ORACLE_CDC_CHUNKS,
+        "content-defined chunking: rolling-hash boundaries survive "
+        "shifted copies; duplicated chunk groups"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -7886,10 +7940,10 @@ _REGISTRY: dict[str, QueryDef] = {
 # order, and the two canaries. Any query ADDED this round goes to the
 # FRONT of the window (never-checked beats oldest-checked), displacing
 # the tail of the r04 block. Next rotation (r09): the 5 r04-cohort names
-# displaced this round (update_fields, distinct_categories,
-# stratified_split, tfidf_top_terms, decontaminate, stats_moments,
-# pii_scrub, doc_chunks, repetition_signals, group_sample), then the
-# remaining 18 r04-cohort
+# displaced this round (industry_resolve, update_fields,
+# distinct_categories, stratified_split, tfidf_top_terms, decontaminate,
+# stats_moments, pii_scrub, doc_chunks, repetition_signals,
+# group_sample), then the remaining 18 r04-cohort
 # names (json_scan_agg onward), then the oldest r05 names.
 _WINDOW_FIRST = [
     # r08 rotation (executed this time — the r07 note was written but the
@@ -7899,7 +7953,7 @@ _WINDOW_FIRST = [
     "bpe_encode", "bigram_logprob", "token_budget_select",
     "incremental_dedup", "classifier_train", "streaming_neardup",
     "packing_efficiency", "curation_best_quality", "hard_negatives",
-    "jl_distortion",
+    "jl_distortion", "cdc_chunk_dedup",
     # (a) The THIRTEEN round-6 additions, never driver-checked
     # in any CORRECTNESS_r*.json (judge strict-hash-verified r7 only):
     "pdf15_extract", "bpe_pair_stats", "global_offsets",
@@ -7915,12 +7969,11 @@ _WINDOW_FIRST = [
     "multimodal_features", "contentgen_fallback", "pipeline_products",
     "pipeline_updates", "merge_upsert", "set_ops", "pivot_counts",
     "cube_pricing", "running_total", "positional_zip", "url_parse",
-    "industry_resolve",
-    # (r04-cohort tail update_fields/distinct_categories/
-    # stratified_split/tfidf_top_terms/decontaminate/stats_moments/
-    # pii_scrub/doc_chunks/repetition_signals/group_sample displaced to
-    # r09 by the ten round-8 additions above — never-checked queries
-    # lead per policy)
+    # (r04-cohort tail industry_resolve/update_fields/
+    # distinct_categories/stratified_split/tfidf_top_terms/decontaminate/
+    # stats_moments/pii_scrub/doc_chunks/repetition_signals/group_sample
+    # displaced to r09 by the eleven round-8 additions above —
+    # never-checked queries lead per policy)
     # anchors: longest-green queries kept in-window as canaries
     "staging_cleanse", "match_cascade",
 ]

@@ -535,3 +535,27 @@ def test_curate_stream_near_dup_replay_ignores_ghost_bands(spark, tmp_path):
     # without the ghost guard, 1 and 3 would collide with their own stale
     # band rows (and 1/2 would BOTH drop); with it the outcome is identical
     assert replay == first
+
+
+def test_cdc_chunks_survive_prefix_shift(spark):
+    from restaurant_etl_code_spark.operators.chunking import cdc_chunks
+
+    base = " ".join(f"t{i % 7}x{i % 13}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "zzz aaa bbb " + base), (3, "a b")],
+        "doc_id bigint, text string",
+    )
+    rows = cdc_chunks(docs, window=4, divisor=8).collect()
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+    # a 3-token prefix insertion must leave most chunk hashes intact
+    assert len(h1 & h2) >= len(h1) - 2 and len(h1) >= 4
+    # chunk token counts partition the document exactly
+    import collections
+    sums = collections.Counter()
+    for r in rows:
+        sums[r["doc_id"]] += r["n_tokens_chunk"]
+    assert sums == {1: 60, 2: 63, 3: 2}
+    # chunk_idx is dense per doc starting at 0
+    idx1 = sorted(r["chunk_idx"] for r in rows if r["doc_id"] == 1)
+    assert idx1 == list(range(len(idx1)))
