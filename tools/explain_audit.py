@@ -663,6 +663,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas",
                   "Window"],
     },
+    "cdc_chunk_dedup": {
+        # boundary list + chunk slices are one codegen projection; the
+        # only shuffle is the chunk-hash counter agg
+        "want": ["Generate", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas",
+                  "Window"],
+    },
 }
 
 
