@@ -6565,11 +6565,14 @@ def _q_curation_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax — the production upgrade of keep-min-id (min-id keeps
     whichever copy crawled first; this keeps the clean one)."""
     docs = _augmented_docs(spark, sf_dir)
+    # materialize once: the pair generator branches this plan several
+    # ways (shingle index, set sizes, both join sides) and the CC rounds
+    # replay it — the corpus_curation lesson (3x the stage cost without)
     scored = docs.select(
         "doc_id",
         "text",
         Ftext.quality_score(F.col("text")).alias("quality"),
-    ).filter(F.col("quality").isNotNull())
+    ).filter(F.col("quality").isNotNull()).localCheckpoint()
     pairs = dedup.ngram_jaccard_pairs(
         scored, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=4
     )
