@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "hard_negatives",
     "jl_distortion",
     "cdc_chunk_dedup",
+    "cdc_containment",
 ]
 
 

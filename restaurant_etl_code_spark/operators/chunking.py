@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from restaurant_etl_code_spark.functions import cleansing
 
-__all__ = ["skipped_rows", "group_and_chunk_templates", "cdc_chunks"]
+__all__ = ["skipped_rows", "group_and_chunk_templates", "cdc_chunks", "cdc_containment_pairs"]
 
 
 def skipped_rows(
@@ -179,4 +179,67 @@ def cdc_chunks(
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.size("c.toks").cast("long").alias("n_tokens_chunk"),
         F.md5(F.concat_ws(" ", "c.toks")).alias("chunk_hash"),
+    )
+
+def cdc_containment_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    divisor: int = 16,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Shift-robust near-dup pairs from CONTENT-DEFINED chunks: two
+    documents pair when the fraction of shared chunk hashes (relative to
+    the smaller document) clears ``threshold``. Closing the CDC loop —
+    ``cdc_chunks`` makes chunk hashes survive insertions, so this finds
+    the shifted copies fixed-span and whole-doc fingerprints miss, at
+    ~1/``divisor`` the probe volume of shingle-level containment (one
+    chunk per ~``divisor`` tokens instead of one shingle per token).
+
+    Same inverted-index shape as ``ngram_jaccard_pairs``: distinct
+    (doc, chunk_hash) rows self-join on the hash, pair counters reduce
+    map-side, and ``max_df`` drops boilerplate chunks shared by more
+    than ``max_df`` documents BEFORE the quadratic join (the Σdf² scale
+    valve). Returns (id_a, id_b, n_shared, containment) with id_a <
+    id_b; containment = shared / min(chunk counts).
+    """
+    ch = cdc_chunks(
+        docs, id_col=id_col, text_col=text_col, window=window, divisor=divisor
+    ).select(id_col, "chunk_hash").distinct()
+    sizes = ch.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    kept = ch
+    if max_df is not None:
+        hot = (
+            ch.groupBy("chunk_hash")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > int(max_df))
+            .select("chunk_hash")
+        )
+        kept = ch.join(hot, "chunk_hash", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(b, "chunk_hash")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_chunks").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_chunks").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("n_a", "n_b"), 6
+            ),
+        )
+        .filter(F.col("containment") >= float(threshold))
+        .select("id_a", "id_b", "n_shared", "containment")
     )

@@ -6805,6 +6805,63 @@ from ch group by 1 having count(*) > 1
 """
 
 
+def _q_cdc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-robust near-dup pairs (chunking.cdc_containment_pairs):
+    documents pair when >= 40% of the smaller side's CDC chunks are
+    shared — catches the augmented corpus's tail-appended copies at
+    ~1/divisor the probe volume of shingle containment. Inverted-index
+    join with the max_df boilerplate valve."""
+    from restaurant_etl_code_spark.operators import chunking as C
+
+    docs = _augmented_docs(spark, sf_dir)
+    return C.cdc_containment_pairs(
+        docs, window=4, divisor=8, threshold=0.4, max_df=8
+    )
+
+
+_ORACLE_CDC_CONTAINMENT = f"""
+with {_DUCK_CORPUS.strip()},
+t1 as (select doc_id,
+              list_filter({_DUCK_TOKENS.format(c='text')}, t -> t <> '') as tk
+       from corpus),
+t2 as (select doc_id, tk from t1 where len(tk) >= 1),
+bn as (select doc_id, tk,
+              list_append(
+                case when len(tk) > 4 then
+                  list_filter(range(4, len(tk)), i ->
+                    ('0x' || substring(md5(array_to_string(
+                        list_slice(tk, (i - 3)::int, i::int), ' ')), 1, 13)
+                    )::bigint % 8 = 0)
+                else [] end,
+                len(tk)) as bnd
+       from t2),
+ch0 as (select doc_id,
+               md5(array_to_string(list_slice(tk,
+                   (case when j = 1 then 0 else bnd[(j - 1)::int] end + 1)::int,
+                   bnd[j::int]::int), ' ')) as chunk_hash
+        from (select doc_id, tk, bnd, unnest(range(1, len(bnd) + 1)) as j
+              from bn)),
+ch as (select distinct doc_id, chunk_hash from ch0),
+sizes as (select doc_id, count(*) as n_chunks from ch group by 1),
+kept as (select doc_id, chunk_hash from (
+           select doc_id, chunk_hash,
+                  count(*) over (partition by chunk_hash) as df
+           from ch) where df <= 8),
+inter as (select a.doc_id as id_a, b.doc_id as id_b,
+                 count(*)::bigint as n_shared
+          from kept a join kept b
+            on a.chunk_hash = b.chunk_hash and a.doc_id < b.doc_id
+          group by 1, 2)
+select id_a, id_b, n_shared,
+       round(n_shared::double / least(sa.n_chunks, sb.n_chunks), 6)
+         as containment
+from inter
+join sizes sa on sa.doc_id = id_a
+join sizes sb on sb.doc_id = id_b
+where round(n_shared::double / least(sa.n_chunks, sb.n_chunks), 6) >= 0.4
+"""
+
+
 def _q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token offsets for the concatenated corpus
     (packing.global_offsets): every document's exclusive prefix-sum
@@ -7927,6 +7984,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_cdc_chunk_dedup, _ORACLE_CDC_CHUNKS,
         "content-defined chunking: rolling-hash boundaries survive "
         "shifted copies; duplicated chunk groups"),
+    "cdc_containment": QueryDef(
+        _q_cdc_containment, _ORACLE_CDC_CONTAINMENT,
+        "shift-robust near-dup pairs from shared CDC chunks with the "
+        "max_df boilerplate valve"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -7943,7 +8004,7 @@ _REGISTRY: dict[str, QueryDef] = {
 # order, and the two canaries. Any query ADDED this round goes to the
 # FRONT of the window (never-checked beats oldest-checked), displacing
 # the tail of the r04 block. Next rotation (r09): the 5 r04-cohort names
-# displaced this round (industry_resolve, update_fields,
+# displaced this round (url_parse, industry_resolve, update_fields,
 # distinct_categories, stratified_split, tfidf_top_terms, decontaminate,
 # stats_moments, pii_scrub, doc_chunks, repetition_signals,
 # group_sample), then the remaining 18 r04-cohort
@@ -7956,7 +8017,7 @@ _WINDOW_FIRST = [
     "bpe_encode", "bigram_logprob", "token_budget_select",
     "incremental_dedup", "classifier_train", "streaming_neardup",
     "packing_efficiency", "curation_best_quality", "hard_negatives",
-    "jl_distortion", "cdc_chunk_dedup",
+    "jl_distortion", "cdc_chunk_dedup", "cdc_containment",
     # (a) The THIRTEEN round-6 additions, never driver-checked
     # in any CORRECTNESS_r*.json (judge strict-hash-verified r7 only):
     "pdf15_extract", "bpe_pair_stats", "global_offsets",
@@ -7971,11 +8032,11 @@ _WINDOW_FIRST = [
     "quantize_fidelity", "ann_multiprobe_topk", "sequence_pack",
     "multimodal_features", "contentgen_fallback", "pipeline_products",
     "pipeline_updates", "merge_upsert", "set_ops", "pivot_counts",
-    "cube_pricing", "running_total", "positional_zip", "url_parse",
-    # (r04-cohort tail industry_resolve/update_fields/
+    "cube_pricing", "running_total", "positional_zip",
+    # (r04-cohort tail url_parse/industry_resolve/update_fields/
     # distinct_categories/stratified_split/tfidf_top_terms/decontaminate/
     # stats_moments/pii_scrub/doc_chunks/repetition_signals/group_sample
-    # displaced to r09 by the eleven round-8 additions above —
+    # displaced to r09 by the twelve round-8 additions above —
     # never-checked queries lead per policy)
     # anchors: longest-green queries kept in-window as canaries
     "staging_cleanse", "match_cascade",

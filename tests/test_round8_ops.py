@@ -559,3 +559,21 @@ def test_cdc_chunks_survive_prefix_shift(spark):
     # chunk_idx is dense per doc starting at 0
     idx1 = sorted(r["chunk_idx"] for r in rows if r["doc_id"] == 1)
     assert idx1 == list(range(len(idx1)))
+
+
+def test_cdc_containment_finds_shifted_copy(spark):
+    from restaurant_etl_code_spark.operators.chunking import (
+        cdc_containment_pairs,
+    )
+
+    base = " ".join(f"w{i % 11}y{i % 5}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "intro words here " + base),
+         (3, " ".join(f"z{i}" for i in range(80)))],
+        "doc_id bigint, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in cdc_containment_pairs(
+               docs, window=4, divisor=8, threshold=0.5).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 0.5   # shifted copy found
+    assert all(3 not in p for p in got)           # unrelated doc clean
