@@ -670,6 +670,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas",
                   "Window"],
     },
+    "cdc_containment": {
+        # inverted-index equi-join on the chunk hash; pair counters
+        # reduce map-side; the df valve is an anti-join
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
+    },
 }
 
 
