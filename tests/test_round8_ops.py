@@ -577,3 +577,23 @@ def test_cdc_containment_finds_shifted_copy(spark):
                docs, window=4, divisor=8, threshold=0.5).collect()}
     assert (1, 2) in got and got[(1, 2)] >= 0.5   # shifted copy found
     assert all(3 not in p for p in got)           # unrelated doc clean
+
+
+def test_cdc_chunks_xxhash_fast_path(spark):
+    from restaurant_etl_code_spark.operators.chunking import cdc_chunks
+
+    base = " ".join(f"w{i % 9}q{i % 4}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "pre fix " + base)], "doc_id bigint, text string"
+    )
+    fast = cdc_chunks(docs, window=4, divisor=8, boundary_hash="xxhash64")
+    rows = fast.collect()
+    rows2 = cdc_chunks(docs, window=4, divisor=8, boundary_hash="xxhash64").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))  # deterministic
+    # shift robustness holds under the fast hash too
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+    assert len(h1 & h2) >= len(h1) - 2 and len(h1) >= 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="boundary_hash"):
+        cdc_chunks(docs, boundary_hash="sha1")
