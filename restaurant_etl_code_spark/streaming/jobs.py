@@ -486,6 +486,30 @@ def curate_stream_near_dup(
     )
 
     bands_path = target_path + "_bands"
+    # the band index's bucket layout is load-bearing for PRUNING
+    # correctness: probing an existing table with a different bucket
+    # count would silently read the wrong directories and admit
+    # duplicates. Pin the geometry in a spec file on first write and
+    # fail loud on mismatch ever after (the merge sink's bucket-spec
+    # discipline).
+    spec_path = os.path.join(bands_path, "_bands_spec.json")
+    if os.path.isfile(spec_path):
+        import json as _json
+
+        with open(spec_path) as fh:
+            spec = _json.load(fh)
+        want = {
+            "n_buckets": n_buckets, "bands": bands,
+            "rows_per_band": rows_per_band, "num_hashes": num_hashes,
+            "shingle_n": shingle_n,
+        }
+        if spec != want:
+            raise ValueError(
+                f"band-index geometry mismatch at {bands_path}: stored "
+                f"{spec}, requested {want} — pruning/banding would be "
+                "silently wrong; rebuild the index or match the stored "
+                "parameters"
+            )
     toks = F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "")
     gated = streamed_docs.filter(F.size(toks) >= int(min_tokens)).select(
         F.col(id_col), F.col(text_col)
@@ -550,7 +574,21 @@ def curate_stream_near_dup(
             "__bucket",
             F.pmod(F.xxhash64("band_hash"), F.lit(n_buckets)).cast("int"),
         )
-        # append bands BEFORE the merge (see crash semantics above)
+        # append bands BEFORE the merge (see crash semantics above);
+        # the geometry spec lands first so every later run is checked
+        if not os.path.isfile(spec_path):
+            import json as _json
+
+            os.makedirs(bands_path, exist_ok=True)
+            with open(spec_path, "w") as fh:
+                _json.dump(
+                    {
+                        "n_buckets": n_buckets, "bands": bands,
+                        "rows_per_band": rows_per_band,
+                        "num_hashes": num_hashes, "shingle_n": shingle_n,
+                    },
+                    fh,
+                )
         surv_bands.select(
             id_col, "band_idx", "band_hash", "__bucket"
         ).write.mode("append").partitionBy("__bucket").parquet(bands_path)

@@ -597,3 +597,31 @@ def test_cdc_chunks_xxhash_fast_path(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="boundary_hash"):
         cdc_chunks(docs, boundary_hash="sha1")
+
+
+def test_curate_stream_near_dup_geometry_guard(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from restaurant_etl_code_spark.streaming import curate_stream_near_dup
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    df = spark.createDataFrame([(1, base)], "doc_id bigint, text string")
+    stage = str(tmp_path / "stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), os.path.join(landing, "b-000.parquet"))
+
+    def run(ck, nb):
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(landing)
+        curate_stream_near_dup(
+            stream, str(tmp_path / "t"), str(tmp_path / ck),
+            min_tokens=30, n_buckets=nb,
+        )
+
+    run("ck1", 4)
+    with _pytest.raises(Exception, match="geometry mismatch"):
+        run("ck2", 8)  # different bucket count against the same index
