@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "jl_distortion",
     "cdc_chunk_dedup",
     "cdc_containment",
+    "bpe_compression",
 ]
 
 

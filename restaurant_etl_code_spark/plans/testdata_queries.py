@@ -6224,6 +6224,50 @@ def _bpe_encode_oracle(n_rounds: int) -> str:
 _ORACLE_BPE_ENCODE = _bpe_encode_oracle(3)
 
 
+def _q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training payoff audit: per-document token counts before
+    and after encoding with the 3-merge trained table — the number that
+    justifies (or indicts) a merge budget, the measure-don't-guess twin
+    of bpe_train. One extra codegen projection + an id equi-join over
+    the bpe_encode chain."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r["a"], r["b"])
+        for r in corpus.bpe_train(docs, n_merges=3).sort("merge_round").collect()
+    ]
+    enc = corpus.bpe_apply(docs, merges).select(
+        "doc_id", F.size("tk").cast("long").alias("n_after")
+    )
+    before = docs.select(
+        "doc_id",
+        F.size(F.filter(Ftext.tokens(F.col("text")), lambda t: t != ""))
+        .cast("long")
+        .alias("n_before"),
+    ).filter(F.col("n_before") >= 1)
+    return (
+        before.join(enc, "doc_id")
+        .withColumn(
+            "ratio", F.round(F.col("n_after") / F.col("n_before"), 6)
+        )
+    )
+
+
+def _bpe_compression_oracle(n_rounds: int) -> str:
+    enc = _bpe_encode_oracle(n_rounds)
+    head, _, _ = enc.rpartition("\nselect ")
+    last = f"t{n_rounds}"
+    return (
+        head
+        + f"\nselect e.doc_id, len(t0f.tk)::bigint as n_before, "
+        f"len(e.tk)::bigint as n_after, "
+        f"round(len(e.tk) / (len(t0f.tk) * 1.0), 6) as ratio "
+        f"from {last} e join t0f on t0f.doc_id = e.doc_id"
+    )
+
+
+_ORACLE_BPE_COMPRESSION = _bpe_compression_oracle(3)
+
+
 def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity gate (corpus.bigram_logprob): mean neg-log2
     add-alpha bigram probability per document, vocab capped at 200 so the
@@ -7988,6 +8032,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_cdc_containment, _ORACLE_CDC_CONTAINMENT,
         "shift-robust near-dup pairs from shared CDC chunks with the "
         "max_df boilerplate valve"),
+    "bpe_compression": QueryDef(
+        _q_bpe_compression, _ORACLE_BPE_COMPRESSION,
+        "per-doc token counts before/after the trained 3-merge table — "
+        "the merge-budget payoff audit"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -8004,7 +8052,7 @@ _REGISTRY: dict[str, QueryDef] = {
 # order, and the two canaries. Any query ADDED this round goes to the
 # FRONT of the window (never-checked beats oldest-checked), displacing
 # the tail of the r04 block. Next rotation (r09): the 5 r04-cohort names
-# displaced this round (url_parse, industry_resolve, update_fields,
+# displaced this round (positional_zip, url_parse, industry_resolve, update_fields,
 # distinct_categories, stratified_split, tfidf_top_terms, decontaminate,
 # stats_moments, pii_scrub, doc_chunks, repetition_signals,
 # group_sample), then the remaining 18 r04-cohort
@@ -8018,6 +8066,7 @@ _WINDOW_FIRST = [
     "incremental_dedup", "classifier_train", "streaming_neardup",
     "packing_efficiency", "curation_best_quality", "hard_negatives",
     "jl_distortion", "cdc_chunk_dedup", "cdc_containment",
+    "bpe_compression",
     # (a) The THIRTEEN round-6 additions, never driver-checked
     # in any CORRECTNESS_r*.json (judge strict-hash-verified r7 only):
     "pdf15_extract", "bpe_pair_stats", "global_offsets",
@@ -8032,8 +8081,8 @@ _WINDOW_FIRST = [
     "quantize_fidelity", "ann_multiprobe_topk", "sequence_pack",
     "multimodal_features", "contentgen_fallback", "pipeline_products",
     "pipeline_updates", "merge_upsert", "set_ops", "pivot_counts",
-    "cube_pricing", "running_total", "positional_zip",
-    # (r04-cohort tail url_parse/industry_resolve/update_fields/
+    "cube_pricing", "running_total",
+    # (r04-cohort tail positional_zip/url_parse/industry_resolve/update_fields/
     # distinct_categories/stratified_split/tfidf_top_terms/decontaminate/
     # stats_moments/pii_scrub/doc_chunks/repetition_signals/group_sample
     # displaced to r09 by the twelve round-8 additions above —
