@@ -8040,55 +8040,72 @@ _REGISTRY: dict[str, QueryDef] = {
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
 # in dict order. Rotation policy (standing, re-applied every round): the
-# window holds (a) every query never driver-checked in any committed
-# CORRECTNESS_r*.json, then (b) the queries whose LATEST driver check is
-# oldest (ties broken by registry order), then (c) two long-green anchors
-# as regression canaries — so every query's driver entry stays at most ~3
-# rounds old. The r08 window (below) holds: the 13 round-6 additions
-# (never driver-checked — the r07 rotation note promised them and was not
-# applied, so they lead now), the 5 queries whose latest check is r03
-# (ngram_jaccard, ann_cosine_topk, ann_bucketed_topk, ann_ivf_topk,
-# similarity_match), the oldest 30 of the 48-query r04 cohort in registry
-# order, and the two canaries. Any query ADDED this round goes to the
-# FRONT of the window (never-checked beats oldest-checked), displacing
-# the tail of the r04 block. Next rotation (r09): the 5 r04-cohort names
-# displaced this round (positional_zip, url_parse, industry_resolve, update_fields,
-# distinct_categories, stratified_split, tfidf_top_terms, decontaminate,
-# stats_moments, pii_scrub, doc_chunks, repetition_signals,
-# group_sample), then the remaining 18 r04-cohort
-# names (json_scan_agg onward), then the oldest r05 names.
+# window holds (0) every query never driver-checked in any committed
+# CORRECTNESS_r*.json (new queries go to the FRONT, in registry order),
+# then (a) the queries whose LATEST driver check is oldest (ties broken
+# by registry order), then (c) two long-green anchors as regression
+# canaries — so every query's driver entry stays at most ~3 rounds old.
+#
+# The window below is MACHINE-GENERATED — do not hand-edit the list.
+# Regenerate with:  python tools/freshness.py --window 50
+# (tools/freshness.py reads every committed CORRECTNESS_r*.json and
+# applies the policy above; hand-maintained rotation notes failed in
+# r6/r7 and miscounted in r8, so the tool's output is authoritative.)
+#
+# r09 window provenance (freshness ledger at generation time): all 33
+# queries whose latest check is r04, then the oldest r05-cohort names in
+# registry order, new r09 additions at the front, and the two anchors.
 _WINDOW_FIRST = [
-    # r08 rotation (executed this time — the r07 note was written but the
-    # list below was not updated; this round the rotation IS the opening
-    # commit). (0) queries ADDED this round (never checked anywhere):
-    "ivfpq_residual_topk", "bpe_trainer",
-    "bpe_encode", "bigram_logprob", "token_budget_select",
-    "incremental_dedup", "classifier_train", "streaming_neardup",
-    "packing_efficiency", "curation_best_quality", "hard_negatives",
-    "jl_distortion", "cdc_chunk_dedup", "cdc_containment",
-    "bpe_compression",
-    # (a) The THIRTEEN round-6 additions, never driver-checked
-    # in any CORRECTNESS_r*.json (judge strict-hash-verified r7 only):
-    "pdf15_extract", "bpe_pair_stats", "global_offsets",
-    "pmi_collocations", "label_propagation", "kmeans_clusters",
-    "phrase_merge", "distribution_drift", "streaming_curation",
-    "pq_codes", "pq_adc_topk", "ivfpq_topk", "ivfpq_recall",
-    # (b) latest driver check = r03 — the 5 oldest rows in the registry
-    "ngram_jaccard", "ann_cosine_topk", "ann_bucketed_topk",
-    "ann_ivf_topk", "similarity_match",
-    # (c) latest driver check = r04 — oldest 30 in registry order
-    "dedup_keep_first", "streaming_window", "embedding_near_dup_lsh",
-    "quantize_fidelity", "ann_multiprobe_topk", "sequence_pack",
-    "multimodal_features", "contentgen_fallback", "pipeline_products",
-    "pipeline_updates", "merge_upsert", "set_ops", "pivot_counts",
-    "cube_pricing", "running_total",
-    # (r04-cohort tail positional_zip/url_parse/industry_resolve/update_fields/
-    # distinct_categories/stratified_split/tfidf_top_terms/decontaminate/
-    # stats_moments/pii_scrub/doc_chunks/repetition_signals/group_sample
-    # displaced to r09 by the twelve round-8 additions above —
-    # never-checked queries lead per policy)
-    # anchors: longest-green queries kept in-window as canaries
-    "staging_cleanse", "match_cascade",
+    "positional_zip",  # latest=r04
+    "url_parse",  # latest=r04
+    "industry_resolve",  # latest=r04
+    "update_fields",  # latest=r04
+    "distinct_categories",  # latest=r04
+    "stratified_split",  # latest=r04
+    "tfidf_top_terms",  # latest=r04
+    "decontaminate",  # latest=r04
+    "stats_moments",  # latest=r04
+    "pii_scrub",  # latest=r04
+    "doc_chunks",  # latest=r04
+    "repetition_signals",  # latest=r04
+    "group_sample",  # latest=r04
+    "rolling_stats",  # latest=r04
+    "csv_scan_agg",  # latest=r04
+    "json_scan_agg",  # latest=r04
+    "scd2_history",  # latest=r04
+    "sliding_window",  # latest=r04
+    "stream_stream_join",  # latest=r04
+    "histogram",  # latest=r04
+    "weighted_sample",  # latest=r04
+    "heavy_hitters",  # latest=r04
+    "bloom_prune_join",  # latest=r04
+    "zorder_scan",  # latest=r04
+    "streaming_dedup_watermark",  # latest=r04
+    "sketch_overlap",  # latest=r04
+    "corpus_curation",  # latest=r04
+    "incremental_agg",  # latest=r04
+    "mdb_scan_agg",  # latest=r04
+    "simhash_pairs_banded",  # latest=r04
+    "pdf_menu_extract",  # latest=r04
+    "cdc_snapshot",  # latest=r04
+    "semantic_dedup",  # latest=r04
+    "mixture_sample",  # latest=r05
+    "contamination_score",  # latest=r05
+    "containment_pairs",  # latest=r05
+    "unigram_logprob",  # latest=r05
+    "minhash_estimate",  # latest=r05
+    "bm25_topk",  # latest=r05
+    "boilerplate_ngrams",  # latest=r05
+    "corpus_profile",  # latest=r05
+    "char_entropy",  # latest=r05
+    "streaming_quality_gate",  # latest=r05
+    "ann_recall",  # latest=r05
+    "orc_scan_agg",  # latest=r05
+    "quality_classifier",  # latest=r05
+    "stats_prune_scan",  # latest=r05
+    "embedding_covariance",  # latest=r05
+    "staging_cleanse",  # anchor
+    "match_cascade",  # anchor
 ]
 
 QUERIES: dict[str, QueryDef] = {

@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Driver-check freshness ledger + rotation-window generator.
+
+The driver's correctness gate executes only the FIRST 50 registry entries
+in dict order, so ``testdata_queries._WINDOW_FIRST`` must rotate every
+round.  That rotation was hand-maintained in comments through r08 and the
+hand-maintenance failed twice (r6/r7 notes written but not applied) and
+miscounted once (r08's "5 names" note listing 13).  This tool makes the
+ledger machine-derived:
+
+  python tools/freshness.py            # per-query latest driver round
+  python tools/freshness.py --window N # emit a ready-to-paste window of
+                                       # size N (default 50) following the
+                                       # standing policy:
+                                       #   (0) never driver-checked, in
+                                       #       registry order (new queries)
+                                       #   (a) oldest latest-check first,
+                                       #       ties broken by registry order
+                                       #   (c) ANCHORS pinned at the tail
+
+Reads every committed CORRECTNESS_r*.json at the repo root; the registry
+order comes from restaurant_etl_code_spark.plans.testdata_queries._REGISTRY
+(import is cheap — the registry is built lazily, no SparkSession needed).
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Long-green regression canaries, always kept in-window (policy item c).
+ANCHORS = ["staging_cleanse", "match_cascade"]
+
+
+def latest_rounds(repo: str = REPO) -> dict[str, int]:
+    """Map query name -> latest committed driver round that checked it."""
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.load(open(path))
+        except Exception as exc:  # corrupt artifact: surface, don't skip silently
+            print(f"WARN: unreadable {path}: {exc}", file=sys.stderr)
+            continue
+        for name in data:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def registry_order(repo: str = REPO) -> list[str]:
+    sys.path.insert(0, repo)
+    from restaurant_etl_code_spark.plans.testdata_queries import _REGISTRY
+
+    return list(_REGISTRY)
+
+
+def build_window(order: list[str], latest: dict[str, int], size: int) -> list[str]:
+    never = [q for q in order if q not in latest and q not in ANCHORS]
+    checked = [q for q in order if q in latest and q not in ANCHORS]
+    # stable sort: oldest latest-round first, registry order within a round
+    checked.sort(key=lambda q: latest[q])
+    body = (never + checked)[: size - len(ANCHORS)]
+    return body + ANCHORS
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--window", nargs="?", const=50, type=int, default=None,
+                    help="emit a rotation window of this size (default 50)")
+    args = ap.parse_args()
+
+    latest = latest_rounds()
+    order = registry_order()
+
+    if args.window is None:
+        missing = [q for q in order if q not in latest]
+        for q in order:
+            print(f"r{latest[q]:02d}  {q}" if q in latest else f"----  {q}")
+        by_round: dict[int, int] = {}
+        for q in order:
+            if q in latest:
+                by_round[latest[q]] = by_round.get(latest[q], 0) + 1
+        print(f"\n{len(order)} registry queries; never-checked: {len(missing)}",
+              file=sys.stderr)
+        for rnd in sorted(by_round):
+            print(f"  latest=r{rnd:02d}: {by_round[rnd]}", file=sys.stderr)
+        return 0
+
+    window = build_window(order, latest, args.window)
+    print("_WINDOW_FIRST = [")
+    for q in window:
+        tag = "never-checked" if q not in latest else f"latest=r{latest[q]:02d}"
+        tag = "anchor" if q in ANCHORS else tag
+        print(f'    "{q}",  # {tag}')
+    print("]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
