@@ -912,7 +912,10 @@ def canonical_by_quality(
     times) reduces to per-partition argmax counters, never a per-cluster
     sort (the LPA argmax idiom). Singletons are a left-anti join that
     never touches the cluster machinery. ``quality_col`` must be
-    numeric (it is negated for the struct ordering).
+    numeric (it is negated for the struct ordering). NULL quality sorts
+    LAST (a null-quality member can never beat a scored one — the r8
+    advisory's null-wins hole; an all-null cluster falls back to
+    smallest id).
 
     Returns ``docs``' rows for every survivor + (component_id,
     n_members); singletons carry component_id NULL, n_members 1.
@@ -926,6 +929,7 @@ def canonical_by_quality(
         .agg(
             F.min(
                 F.struct(
+                    F.col(quality_col).isNull().alias("__qnull"),
                     (-F.col(quality_col)).alias("__nq"),
                     F.col(id_col).alias("__i"),
                 )

@@ -727,6 +727,24 @@ def kmeans_lloyd(
     )
 
 
+def _lit_d(x) -> str:
+    """One float64 as a SQL double literal. Fails LOUD on non-finite
+    values: ``repr`` of nan/inf ('nan'/'inf') is unparseable as a SQL
+    literal, so a degenerate center (NaN from an all-zero residual
+    update, inf from overflow) would surface as a cryptic parse
+    exception deep in the plan build — where the F.lit path this
+    replaced handled them silently via argmin. Name the problem at the
+    boundary instead (r8 advisory; the band-geometry guard style)."""
+    f = float(x)
+    if not math.isfinite(f):
+        raise ValueError(
+            f"non-finite center component {f!r}: a centroid contains "
+            "NaN/inf (degenerate input vectors?) — refusing to emit "
+            "unparseable SQL"
+        )
+    return repr(f) + "D"
+
+
 def _d2_sql(vec_sql: str, center) -> str:
     """9dp-rounded squared L2 of a vector SQL snippet against a LITERAL
     center, as ONE SQL string. Semantically identical to the Column-tree
@@ -736,7 +754,7 @@ def _d2_sql(vec_sql: str, center) -> str:
     of DRIVER time per 16-center×32-dim argmin just constructing py4j
     objects (measured; the dominant cost of the whole IVF-PQ stack at
     small SF)."""
-    arr = "array(" + ",".join(repr(float(x)) + "D" for x in center) + ")"
+    arr = "array(" + ",".join(_lit_d(x) for x in center) + ")"
     return (
         f"round(aggregate(zip_with({vec_sql}, {arr}, "
         "(x, y) -> (double(x) - y) * (double(x) - y)), 0.0D, "
@@ -1330,7 +1348,7 @@ def ivfpq_topk(
         centers_arr = F.expr(
             "array(" + ",".join(
                 "array(" + ",".join(
-                    repr(float(x)) + "D" for x in coarse[cid]
+                    _lit_d(x) for x in coarse[cid]
                 ) + ")"
                 for cid in lids
             ) + ")"

@@ -6126,10 +6126,14 @@ def _q_bpe_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_oracle(n_rounds: int) -> str:
     """Unrolled N-round trainer in DuckDB. The merge uses ``replace`` on
-    a \\x01-delimited token string — equivalent to the Spark fold: both
-    scan left-to-right non-overlapping, and the delimiter makes the
-    token-boundary test exact (a token merely ending in ``a`` cannot
-    match ``\\x01a\\x01b``)."""
+    a token string where EVERY token is wrapped in its own \\x01 pair
+    (``\\x01t\\x01``, adjacent tokens joined by ``\\x01\\x01``) —
+    equivalent to the Spark fold: both scan left-to-right
+    non-overlapping, and the per-token delimiter pair makes BOTH
+    boundaries exact: a token merely ending in ``a`` cannot match
+    ``\\x01a\\x01``, and a token merely starting with ``b`` (e.g.
+    ``bc``) cannot match ``\\x01b\\x01`` — the right-boundary hole the
+    r8 advisory flagged in the previous left-delimiter-only encoding."""
     parts = [
         f"t0 as (select list_filter({_DUCK_TOKENS.format(c='text')}, "
         "x -> x <> '') as tk from documents)",
@@ -6148,12 +6152,13 @@ def _bpe_oracle(n_rounds: int) -> str:
         )
         if r < n_rounds:
             parts.append(
-                f"t{r} as (select string_split(substr(replace("
-                "chr(1) || array_to_string(tk, chr(1)), "
-                f"chr(1) || (select a from top{r}) || chr(1) || "
-                f"(select b from top{r}), "
+                f"t{r} as (select string_split(trim(replace("
+                "chr(1) || array_to_string(tk, chr(1) || chr(1)) || chr(1), "
+                f"chr(1) || (select a from top{r}) || chr(1) || chr(1) || "
+                f"(select b from top{r}) || chr(1), "
                 f"chr(1) || (select a from top{r}) || '_' || "
-                f"(select b from top{r})), 2), chr(1)) as tk from {prev})"
+                f"(select b from top{r}) || chr(1)), chr(1)), "
+                f"chr(1) || chr(1)) as tk from {prev})"
             )
             prev = f"t{r}"
         sels.append(f"select {r} as merge_round, a, b, n from top{r}")
@@ -6188,8 +6193,8 @@ def _bpe_encode_oracle(n_rounds: int) -> str:
     """Unrolled train-then-encode in DuckDB: the trainer CTE chain from
     ``_bpe_oracle`` with doc_id carried through, plus the FINAL round's
     merge applied (the trainer stops after counting round N; the encoder
-    also applies merge N). Same \\x01-delimited ``replace`` equivalence
-    argument as the trainer oracle."""
+    also applies merge N). Same per-token-\\x01-pair ``replace``
+    equivalence argument as the trainer oracle (both boundaries exact)."""
     parts = [
         f"t0 as (select doc_id, list_filter({_DUCK_TOKENS.format(c='text')}, "
         "x -> x <> '') as tk from documents)",
@@ -6206,12 +6211,13 @@ def _bpe_encode_oracle(n_rounds: int) -> str:
             "group by 1, 2 order by n desc, a, b limit 1)"
         )
         parts.append(
-            f"t{r} as (select doc_id, string_split(substr(replace("
-            "chr(1) || array_to_string(tk, chr(1)), "
-            f"chr(1) || (select a from top{r}) || chr(1) || "
-            f"(select b from top{r}), "
+            f"t{r} as (select doc_id, string_split(trim(replace("
+            "chr(1) || array_to_string(tk, chr(1) || chr(1)) || chr(1), "
+            f"chr(1) || (select a from top{r}) || chr(1) || chr(1) || "
+            f"(select b from top{r}) || chr(1), "
             f"chr(1) || (select a from top{r}) || '_' || "
-            f"(select b from top{r})), 2), chr(1)) as tk from {prev})"
+            f"(select b from top{r}) || chr(1)), chr(1)), "
+            f"chr(1) || chr(1)) as tk from {prev})"
         )
         prev = f"t{r}"
     return (

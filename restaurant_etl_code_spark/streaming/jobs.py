@@ -453,13 +453,21 @@ def curate_stream_near_dup(
     fraction of the index; the banding recipe is byte-identical to
     ``dedup.lsh_candidate_pairs``'s ``_banded_rows``).
 
-    Drop rule (deterministic, relational): a batch document leaves if it
-    band-collides with ANY indexed document, or with a SMALLER-id
-    document of its own batch — greedy keep-min-id, so an
-    ``availableNow`` run over k ordered files equals k unrolled layers
-    of relational algebra (the oracle's shape). A document
-    near-duplicating a REJECTED document is admitted: rejected docs
-    never enter the index.
+    Drop rule (deterministic, relational, ONE-SHOT): a batch document
+    leaves if it band-collides with ANY indexed document, or with a
+    SMALLER-id document of its own batch — whether or not that
+    batch-mate itself survives. This is deliberately NOT greedy
+    keep-min-id WITHIN a batch (greedy would re-admit a doc whose only
+    smaller collider was itself rejected; expressing that relationally
+    needs a fixed-point iteration and a recursive oracle): the one-shot
+    rule is a single self-join, and its error is one-sided — it can
+    only OVER-drop, never admit a near-duplicate. Consequence, stated
+    plainly (r8 advisory): admission is batch-boundary dependent — a
+    doc colliding only with a rejected mate IS admitted when the mate
+    arrived in an earlier batch (rejected docs never enter the index)
+    but dropped when they share a batch. An ``availableNow`` run over k
+    ordered files therefore equals exactly k unrolled layers of
+    relational algebra (the oracle's shape).
 
     Crash semantics: the band append runs BEFORE the main merge, and on
     replay the probe ANTI-JOINS this batch's ids out of the index — a

@@ -1,0 +1,154 @@
+# Round-9 regression tests: the r8 advisory fixes (BPE-oracle right
+# token boundary, canonical_by_quality null-quality ordering, non-finite
+# center guard) and the freshness-ledger rotation tool.
+import duckdb
+import pytest
+import pyspark.sql.functions as F
+
+
+# ---------------------------------------------------------------- BPE oracle
+
+def _oracle_encode_on(texts: list[str], n_rounds: int):
+    """Run the committed DuckDB BPE encode oracle against an in-memory
+    documents table (same view name the driver registers)."""
+    from restaurant_etl_code_spark.plans.testdata_queries import (
+        _bpe_encode_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute("create table documents(doc_id bigint, text varchar)")
+    con.executemany(
+        "insert into documents values (?, ?)", list(enumerate(texts))
+    )
+    return con.execute(_bpe_encode_oracle(n_rounds)).fetchall()
+
+
+def test_bpe_oracle_right_boundary_no_false_prefix_merge():
+    # r8 advisory (medium): with the old left-delimiter-only encoding,
+    # merge (a, b) falsely matched token sequence [a, bc] because 'b' is
+    # a prefix of 'bc'. Corpus chosen so (a, b) is round-1's top pair
+    # while [a, bc] also occurs — the oracle must leave [a, bc] intact.
+    texts = ["a b xx a b yy a bc zz"]
+    rows = _oracle_encode_on(texts, 1)
+    assert rows == [(0, 7, "a_b xx a_b yy a bc zz")]
+
+
+def test_bpe_oracle_parity_with_spark_fold_on_prefix_corpus(spark):
+    # Same adversarial corpus end-to-end: train 2 merges in Spark, apply
+    # with bpe_apply, and demand byte-identical output from the oracle.
+    from restaurant_etl_code_spark.operators import corpus
+    from restaurant_etl_code_spark.plans.testdata_queries import (
+        _bpe_encode_oracle,
+    )
+
+    texts = [
+        "a b xx a b yy a bc zz",
+        "a bc a bc a b qq",
+        "b a b a bc",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    merges = [
+        (r["a"], r["b"])
+        for r in corpus.bpe_train(docs.select("text"), n_merges=2)
+        .sort("merge_round").collect()
+    ]
+    enc = corpus.bpe_apply(docs, merges).select(
+        "doc_id", F.concat_ws(" ", "tk").alias("encoded")
+    )
+    got = {r["doc_id"]: r["encoded"] for r in enc.collect()}
+
+    con = duckdb.connect()
+    con.execute("create table documents(doc_id bigint, text varchar)")
+    con.executemany(
+        "insert into documents values (?, ?)", list(enumerate(texts))
+    )
+    want = {
+        d: e for d, _, e in con.execute(_bpe_encode_oracle(2)).fetchall()
+    }
+    assert got == want
+
+
+def test_bpe_oracle_consecutive_merges_still_fire():
+    # The per-token delimiter-pair rewrite must NOT break adjacent
+    # non-overlapping merges: [a, b, a, b] with merge (a, b) -> two hits.
+    texts = ["a b a b"]
+    rows = _oracle_encode_on(texts, 1)
+    assert rows == [(0, 2, "a_b a_b")]
+
+
+# ------------------------------------------------- canonical_by_quality
+
+def test_canonical_null_quality_never_wins(spark):
+    from restaurant_etl_code_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, None), (3, 0.9), (10, 0.1)],
+        "doc_id bigint, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    out = dedup.canonical_by_quality(pairs, docs).collect()
+    kept = {r["doc_id"] for r in out}
+    # cluster {1,2,3}: null-quality doc 2 must lose to 0.9-quality doc 3
+    assert kept == {3, 10}
+    (winner,) = [r for r in out if r["doc_id"] == 3]
+    assert winner["n_members"] == 3
+
+
+def test_canonical_all_null_cluster_falls_back_to_min_id(spark):
+    from restaurant_etl_code_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(7, None), (8, None)], "doc_id bigint, quality double"
+    )
+    pairs = spark.createDataFrame([(7, 8)], "id_a bigint, id_b bigint")
+    kept = {r["doc_id"] for r in dedup.canonical_by_quality(pairs, docs).collect()}
+    assert kept == {7}
+
+
+# ------------------------------------------------------ non-finite guard
+
+def test_lit_d_rejects_non_finite():
+    from restaurant_etl_code_spark.operators.similarity import _lit_d
+
+    assert _lit_d(1.5) == "1.5D"
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="non-finite center"):
+            _lit_d(bad)
+
+
+# --------------------------------------------------------- freshness tool
+
+def test_freshness_window_policy():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import freshness
+
+    order = ["q_new", "q_old", "q_mid", "q_anchor1"]
+    latest = {"q_old": 3, "q_mid": 5, "q_anchor1": 2}
+    win = freshness.build_window(order, latest, size=3)
+    # never-checked first, then oldest latest-check; anchors pinned last
+    anchors = [a for a in freshness.ANCHORS if a in win]
+    assert win[: 3 - len(anchors)] == ["q_new", "q_old", "q_mid"][: 3 - len(anchors)]
+
+
+def test_freshness_window_matches_committed_rotation():
+    # the committed _WINDOW_FIRST must BE the tool's output (the r6/r7
+    # failure was exactly a note that never became the list)
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo / "tools"))
+    import freshness
+
+    from restaurant_etl_code_spark.plans import testdata_queries as tq
+
+    latest = freshness.latest_rounds(str(repo))
+    want = freshness.build_window(list(tq._REGISTRY), latest, 50)
+    assert tq._WINDOW_FIRST == want
