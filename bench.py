@@ -8,6 +8,20 @@ Prints ONE JSON line:
 Each query is executed to completion with a count-style action (results are
 materialized, never collected to the driver). Timings are wall-clock per
 query after a shared warm session.
+
+Contamination self-documentation (r8 lesson — that round's driver bench
+landed in a documented external load spike and the committed record was
+unusable for future diffs): before every query the harness samples
+/proc/loadavg AND times a fixed CPU-bound canary loop. The canary runs
+while the session is otherwise idle, so its wall time scales with
+EXTERNAL load (our own executors are quiescent between queries, unlike
+the 1-min loadavg, which decays too slowly to separate our work from a
+neighbor's). A query whose pre-canary exceeds 2.5x the session's best
+canary is flagged in `contaminated_queries`; the one-line JSON carries
+`quiet: false` so a polluted record is machine-detectable. The FULL
+per-query record (sec, rows, load1, canary_ms) is also written to
+$SPARK_GRAFT_BENCH_OUT (default BENCH_full_latest.json at the repo
+root) because the driver captures only the stdout tail.
 """
 
 from __future__ import annotations
@@ -186,31 +200,90 @@ BENCH_QUERIES = [
 ]
 
 
+def _load1() -> float:
+    """1-minute loadavg (informative context, not the decision signal)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except OSError:
+        return -1.0
+
+
+def _canary_sec() -> float:
+    """Fixed CPU-bound loop (~0.1 s unloaded). Runs while the Spark
+    session is idle, so its wall time is an external-load probe."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    assert x > 0
+    return time.perf_counter() - t0
+
+
+# pre-query canary > this multiple of the session's best canary ⇒ the
+# query's window was externally loaded (2.5x leaves headroom for GC
+# jitter; the r8 spike inflated rows 4-33x, far past it)
+CANARY_CONTAMINATION_RATIO = 2.5
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_full_latest.json"),
+    )
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
 
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in BENCH_QUERIES:
         qd = QUERIES[name]
+        load1 = _load1()
+        canary = _canary_sec()
         t0 = time.time()
         df = qd.spark(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        detail[name] = {
+            "sec": timings[name],
+            "rows": n,
+            "load1": load1,
+            "canary_ms": round(canary * 1000, 1),
+        }
+        print(
+            f"# {name}: {timings[name]:.2f}s ({n} rows, load1={load1:.2f}, "
+            f"canary={canary * 1000:.0f}ms)",
+            file=sys.stderr,
+        )
 
+    best_canary = min(d["canary_ms"] for d in detail.values())
+    contaminated = sorted(
+        name for name, d in detail.items()
+        if d["canary_ms"] > CANARY_CONTAMINATION_RATIO * best_canary
+    )
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    record = {
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+        "quiet": not contaminated,
+        "contaminated_queries": contaminated,
+        "best_canary_ms": best_canary,
+    }
+    try:
+        with open(out_path, "w") as fh:
+            json.dump({**record, "detail": detail}, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# WARN: could not write {out_path}: {exc}", file=sys.stderr)
+    print(json.dumps(record))
     spark.stop()
     return 0
 
