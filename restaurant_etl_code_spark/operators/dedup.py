@@ -720,6 +720,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Resolve near-dup candidate pairs into duplicate CLUSTERS — the step
     between "LSH emitted pairs" and "keep one document per group" that every
@@ -741,6 +742,23 @@ def connected_components(
     are shallow (star-ish), so 2-4 rounds is typical; ``max_iter`` bounds
     pathological chains. Fully deterministic (min-based), hence
     oracle-checkable against a recursive-CTE transitive closure.
+
+    Small-graph shortcut (the heavy_hitters exact-sketch pattern, r9):
+    when the undirected edge list is at most ``driver_max_edges`` rows —
+    a count the function already takes for shuffle sizing — the
+    iteration is replaced by ONE collect + driver-side union-find with
+    path halving. Rationale: candidate-pair graphs are orders of
+    magnitude smaller than the corpora that produce them (2,286 edges
+    at sf0.1), yet each distributed round costs several scheduler
+    round-trips; on the measured sf0.1 graph the iteration spent ~8 s
+    across ~25 driver-scheduled jobs computing what union-find does in
+    milliseconds. 2M edges collect ≈ 32 MB — driver-safe — while a
+    genuinely large graph (the 100 TB case) takes the iterative path
+    unchanged, with convergence now CHECKED EVERY OTHER ROUND (the
+    check is a full join + count action; near-dup graphs converge in
+    2-4 rounds, so per-round checking doubled the action count to save
+    at most one cheap extra round). Identical output either way:
+    component_id = min node id, both paths deterministic.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
@@ -771,6 +789,41 @@ def connected_components(
         int(session_parts_raw) if str(session_parts_raw).isdigit() else 200
     )
     n_edges = und.count()
+
+    if n_edges <= driver_max_edges:
+        # driver union-find, union-by-min-root with path halving: each
+        # tree's root is by induction its minimum member, so find(n) IS
+        # the keep-smallest-id component label — no relabel pass.
+        node_type = und.schema["u"].dataType
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in und.collect():
+            u, v = r[0], r[1]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = _find(u), _find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        schema = T.StructType([
+            T.StructField("node", node_type, False),
+            T.StructField("component_id", node_type, False),
+        ])
+        return spark.createDataFrame(
+            [(n, _find(n)) for n in parent], schema
+        )
+
     iter_parts = max(1, min(session_parts, -(-n_edges // 1_000_000)))
 
     def part(df: DataFrame, key: str) -> DataFrame:
@@ -783,7 +836,7 @@ def connected_components(
         .withColumn("label", F.col("node")),
         "node",
     ).localCheckpoint(eager=False)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             und.join(part(labels.select(F.col("node").alias("v"), "label"), "v"), "v")
             .select(F.col("u").alias("node"), "label")
@@ -815,19 +868,24 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            part(jumped, "node")
-            .join(
-                part(labels.select("node", F.col("label").alias("__old")), "node"),
-                "node",
-            )
-            .filter(F.col("label") != F.col("__old"))
-            .limit(1)
-            .count()
-        )
+        prev = labels
         labels = jumped
-        if changed == 0:
-            break
+        # converged ⇔ the LAST round changed nothing; checking every
+        # other round halves the action count (the check is a full
+        # join + count) at the cost of at most one extra cheap round
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                part(jumped, "node")
+                .join(
+                    part(prev.select("node", F.col("label").alias("__old")), "node"),
+                    "node",
+                )
+                .filter(F.col("label") != F.col("__old"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
     return labels.select("node", F.col("label").alias("component_id"))
 
 def incremental_lsh_pairs(

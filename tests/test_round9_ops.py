@@ -152,3 +152,40 @@ def test_freshness_window_matches_committed_rotation():
     latest = freshness.latest_rounds(str(repo))
     want = freshness.build_window(list(tq._REGISTRY), latest, 50)
     assert tq._WINDOW_FIRST == want
+
+
+# ------------------------------------------------ connected components
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    from restaurant_etl_code_spark.operators import dedup
+
+    # chain + star + singleton-pair: exercises pointer jumping and the
+    # every-other-round convergence check on the distributed path
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13),
+         (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    want = {r["node"]: r["component_id"]
+            for r in dedup.connected_components(edges).collect()}
+    got = {r["node"]: r["component_id"]
+           for r in dedup.connected_components(
+               edges, driver_max_edges=0).collect()}
+    assert want == got
+    assert want == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                    10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_cc_small_graph_is_single_collect(spark):
+    from restaurant_etl_code_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [(7, 3), (3, 9)], "id_a bigint, id_b bigint"
+    )
+    out = dedup.connected_components(edges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union-find result is a local relation — no joins, no iteration
+    assert "Join" not in plan
+    assert {(r["node"], r["component_id"]) for r in out.collect()} == {
+        (3, 3), (7, 3), (9, 3)
+    }
