@@ -1204,12 +1204,21 @@ def bpe_apply(
       40 → 7.3 s, 100 → 20 s — fine for phrase tables, wrong for
       tokenizer vocabularies.
     - ``arrow``: one ``mapInPandas`` pass applying the whole table
-      in-process per document (with an O(1) adjacent-pair screen per
-      merge) — still row-local and shuffle-free, one corpus scan total;
-      measured sf0.1: 100 merges 1.1 s, 400 merges 1.2 s — flat,
-      because the per-merge marginal cost is a set probe, not a corpus
-      pass. This is the 30k-merge
-      production path.
+      in-process per document — still row-local and shuffle-free, one
+      corpus scan total. Per-document cost is independent of TABLE
+      size, not just flat per merge: merges are indexed by half-token
+      once per partition, each document seeds a min-priority heap with
+      only the merges whose halves its own vocabulary contains, and a
+      fired merge's new token enables exactly the LATER merges keyed on
+      it (``j > idx`` — an earlier merge's turn has passed, preserving
+      the sequential replay contract bit-for-bit; parity pinned by the
+      arrow-vs-fold test). The r9 probe that forced this shape: a
+      30,000-merge table over sf0.1 cost 18.3 s with the previous
+      per-doc linear screen (+8 s of pure miss probes vs the 931
+      applicable merges) and ~10 s with the heap — miss merges now cost
+      ZERO per document instead of two set probes each. measured sf0.1:
+      100 merges 1.1 s, 400 merges 1.2 s, 30k merges ≈ the applicable
+      subset's cost. This is the 30k-merge production path.
 
     ``auto`` picks fold at <= 16 merges (whole-stage codegen, no Python
     worker) and arrow above. The merge table is driver-resident by
@@ -1243,21 +1252,44 @@ def bpe_apply(
     table = [(a, b, a + joiner + b) for a, b in merges]
 
     def mapper(batches):
+        import heapq
+
+        # half-token -> merge indices, built once per partition: a doc
+        # only ever touches the merges its own (growing) vocabulary can
+        # feed, so table size stops mattering per document.
+        by_half: dict = {}
+        for idx, (a, b, _ab) in enumerate(table):
+            by_half.setdefault(a, []).append(idx)
+            if b != a:
+                by_half.setdefault(b, []).append(idx)
+
         for pdf in batches:
             if not len(pdf):
                 continue
             enc = []
             for tk in pdf["tk"]:
                 toks = list(tk)
-                # conservative membership screen, built ONCE per doc:
-                # a merge can only fire if both halves are present. The
-                # set only grows (removing spent halves would cost a
-                # rescan; a stale member just means one wasted scan), so
-                # the common miss case is two O(1) probes per merge.
+                # conservative membership set (grows only; every token
+                # in toks is original-or-created, hence always in s, so
+                # a merge with a half outside s can never fire)
                 s = set(toks)
-                for a, b, ab in table:
-                    if a not in s or b not in s:
-                        continue
+                pushed = set()
+                heap: list = []
+                for t in s:
+                    for idx in by_half.get(t, ()):
+                        if idx not in pushed:
+                            a, b, _ab = table[idx]
+                            if a in s and b in s:
+                                pushed.add(idx)
+                                heapq.heappush(heap, idx)
+                while heap:
+                    # ascending-idx pops replay the merge list in
+                    # training order; a token created by merge idx may
+                    # only enable merges with j > idx (merge j's turn
+                    # at j < idx already passed with the half absent —
+                    # the sequential engine skipped it, so must we)
+                    idx = heapq.heappop(heap)
+                    a, b, ab = table[idx]
                     res = []
                     i = 0
                     n = len(toks)
@@ -1271,8 +1303,14 @@ def bpe_apply(
                             res.append(toks[i])
                             i += 1
                     toks = res
-                    if fired:
+                    if fired and ab not in s:
                         s.add(ab)
+                        for j in by_half.get(ab, ()):
+                            if j > idx and j not in pushed:
+                                a2, b2, _ab2 = table[j]
+                                if a2 in s and b2 in s:
+                                    pushed.add(j)
+                                    heapq.heappush(heap, j)
                 enc.append(toks)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "tk": pd.Series(enc, dtype=object)}

@@ -189,3 +189,74 @@ def test_cc_small_graph_is_single_collect(spark):
     assert {(r["node"], r["component_id"]) for r in out.collect()} == {
         (3, 3), (7, 3), (9, 3)
     }
+
+
+# ------------------------------------------------ bpe_apply heap engine
+
+def test_bpe_apply_heap_chained_enable_matches_fold(spark):
+    # merge 0 creates a_b; merge 1 consumes it (later merge enabled by
+    # an earlier fire) — both engines must chain it.
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "c a b")], "doc_id bigint, text string"
+    )
+    merges = [("a", "b"), ("a_b", "c")]
+    for eng in ("fold", "arrow"):
+        got = {
+            r["doc_id"]: list(r["tk"])
+            for r in corpus.bpe_apply(docs, merges, engine=eng).collect()
+        }
+        assert got == {0: ["a_b_c", "a_b"], 1: ["c", "a_b"]}, eng
+
+
+def test_bpe_apply_heap_never_revives_passed_merge(spark):
+    # merge 0 needs token x_y, which only merge 1 creates: its turn has
+    # PASSED by the time x_y exists, so it must never fire — the
+    # sequential replay contract the ascending-heap pops preserve.
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(0, "x y q")], "doc_id bigint, text string"
+    )
+    merges = [("x_y", "q"), ("x", "y")]
+    for eng in ("fold", "arrow"):
+        got = [
+            list(r["tk"])
+            for r in corpus.bpe_apply(docs, merges, engine=eng).collect()
+        ]
+        assert got == [["x_y", "q"]], eng
+
+
+def test_bpe_apply_heap_matches_fold_on_random_tables(spark):
+    # broad parity sweep: random corpora + random merge tables (some
+    # entries referencing joined tokens, some missing entirely)
+    import random
+
+    from restaurant_etl_code_spark.operators import corpus
+
+    rng = random.Random(909)
+    vocab = ["a", "b", "c", "d", "e"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    pool = vocab + ["a_b", "b_c", "c_d", "a_b_c", "zz"]
+    merges, seen = [], set()
+    while len(merges) < 12:
+        m = (rng.choice(pool), rng.choice(pool))
+        if m not in seen:
+            seen.add(m)
+            merges.append(m)
+    fold = {
+        r["doc_id"]: list(r["tk"])
+        for r in corpus.bpe_apply(docs, merges, engine="fold").collect()
+    }
+    arrow = {
+        r["doc_id"]: list(r["tk"])
+        for r in corpus.bpe_apply(docs, merges, engine="arrow").collect()
+    }
+    assert fold == arrow
