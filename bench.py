@@ -197,6 +197,12 @@ BENCH_QUERIES = [
     "cdc_chunk_dedup",
     "cdc_containment",
     "bpe_compression",
+    # round-9 additions: winnowing fingerprints, leakage-safe split,
+    # cluster-size audit, tokenizer fertility
+    "winnow_dedup_pairs",
+    "split_leakage_guard",
+    "dup_cluster_sizes",
+    "tokenizer_fertility",
 ]
 
 

@@ -54,6 +54,9 @@ __all__ = [
     "containment_pairs",
     "connected_components",
     "canonical_by_quality",
+    "winnow_fingerprints",
+    "winnow_pairs",
+    "cluster_size_histogram",
 ]
 
 
@@ -1009,3 +1012,183 @@ def canonical_by_quality(
     )
     keep = winners.unionByName(singles)
     return docs.join(keep, id_col)
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    token k-gram, slide a window of ``window`` consecutive hashes, and
+    select each window's MINIMUM; the document's fingerprint set is the
+    DISTINCT selected values. The winnowing guarantee: any shared token
+    run of length >= k + window - 1 between two documents selects at
+    least one COMMON fingerprint, while only ~2/(window+1) of the
+    k-gram hashes are kept — position-robust partial-overlap detection
+    (quotes, mirrored sections) at a fraction of full-shingle storage,
+    the gap between MinHash (whole-document similarity) and CDC
+    chunking (byte-aligned blocks).
+
+    Note the classic algorithm records (hash, position) with a
+    rightmost-min tie rule; the tie rule only changes which POSITION is
+    credited, never the selected value, so the distinct-value set needs
+    no tie handling — which is also what makes the operator exactly
+    SQL-mirrorable for the oracle.
+
+    Documents with >= 1 but < ``window`` k-grams contribute one
+    fingerprint (the global min); documents with < k tokens are
+    dropped (unshinglable). Zero shuffle: one Arrow-batched pass, one
+    md5 per k-gram plus a C-speed sliding-window min (the
+    ``minhash_signatures`` cost model).
+
+    Returns (id_col, fingerprints array<long>, n_grams).
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k={k} and window={window} must be >= 1")
+    id_field = df.schema[id_col]
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fps, ngrams = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = _py_norm_tokens(text)
+                n = len(toks) - k + 1
+                if n < 1:
+                    continue
+                hs = np.fromiter(
+                    (
+                        _py_hash52(" ".join(toks[i : i + k]))
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                )
+                if n >= window:
+                    sel = np.lib.stride_tricks.sliding_window_view(
+                        hs, window
+                    ).min(axis=1)
+                else:
+                    sel = hs.min(keepdims=True)
+                ids.append(doc_id)
+                fps.append(np.unique(sel).tolist())
+                ngrams.append(n)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=object),
+                    "fingerprints": pd.Series(fps, dtype=object),
+                    "n_grams": pd.Series(ngrams, dtype=object),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            id_field,
+            T.StructField("fingerprints", T.ArrayType(T.LongType()), False),
+            T.StructField("n_grams", T.LongType(), False),
+        ]
+    )
+    return _widen(df.select(id_col, text_col), id_col, per_row="light").mapInPandas(
+        mapper, schema=schema
+    )
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS: the
+    inverted-index join of ``winnow_fingerprints`` — explode each
+    document's fingerprint set, drop fingerprints appearing in more
+    than ``max_df`` documents (the boilerplate valve every inverted
+    index here carries: a header fingerprint shared by everything
+    would otherwise emit a quadratic bucket), join on fingerprint, and
+    keep pairs sharing >= ``min_shared`` values.
+
+    Physical shape at 100 TB: the join keys on a 52-bit hash with
+    ~2/(window+1) of the corpus' k-grams as rows — orders of magnitude
+    fewer than a full shingle join — and the pair agg carries counters,
+    not text. Exactly the ``ngram_jaccard_pairs`` shape on a winnowed,
+    df-valved key space.
+
+    Returns (id_a, id_b, n_shared, overlap) with id_a < id_b; overlap
+    is the Jaccard of the two fingerprint SETS, 6dp.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    inv = fps.select(
+        F.col(id_col).alias("__id"),
+        F.size("fingerprints").alias("__n"),
+        F.explode("fingerprints").alias("fp"),
+    )
+    if max_df is not None:
+        ok = (
+            inv.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        inv = inv.join(ok, "fp", "left_semi")
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("__na") + F.col("__nb") - F.col("n_shared")),
+                6,
+            ).alias("overlap"),
+        )
+    )
+
+def cluster_size_histogram(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Duplicate-cluster size distribution: resolve candidate ``pairs``
+    into components and histogram the component sizes — the audit that
+    tells a curation run whether its duplication is a long tail of
+    pairs or a handful of celebrity clusters (the two need different
+    remediation: pair-dedup vs boilerplate valves). Counter-sized
+    end-to-end: components -> (component, size) -> (size, n_clusters).
+
+    Returns (cluster_size, n_clusters, n_docs) with n_docs =
+    cluster_size * n_clusters, sorted by cluster_size.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -36,6 +36,7 @@ __all__ = [
     "split_bucket",
     "portable_split_bucket",
     "assign_split",
+    "leakage_safe_split",
     "SplitSpec",
     "sample_k_per_group",
     "weighted_sample",
@@ -332,3 +333,48 @@ def token_budget_select(
         .filter(F.col("cum_before") + F.col(cost_col) <= F.lit(budget))
         .drop("__pid", "__local")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    spec: SplitSpec,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    portable: bool = False,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    out_col: str = "split",
+) -> DataFrame:
+    """Hash split that CANNOT leak near-duplicates across splits: a plain
+    per-document hash split puts two near-identical documents in train
+    and test with probability ~2·p·(1−p), silently inflating every
+    held-out metric. Resolve the near-dup candidate ``pairs`` into
+    components first and key every member's bucket on the component
+    CANONICAL id (min member, via ``connected_components``); documents
+    in no pair keep their own id. The whole CLUSTER then lands in one
+    split by construction — the train/test decontamination rule every
+    published web-corpus pipeline applies after dedup.
+
+    Physical shape at 100 TB: the component table is pair-sized (tiny
+    next to the corpus — and the small-graph union-find shortcut makes
+    it one collect); the corpus itself sees one broadcast-or-shuffle
+    LEFT join plus the same pure-projection bucket arithmetic as
+    ``assign_split``. Deterministic and append-stable like every split
+    here: re-running never moves a document unless its cluster changed.
+
+    Returns ``docs`` plus ``split_key`` (the id the bucket was keyed
+    on) and ``out_col``.
+    """
+    from restaurant_etl_code_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, src=src_col, dst=dst_col).select(
+        F.col("node").alias(id_col), "component_id"
+    )
+    keyed = docs.join(comp, id_col, "left").withColumn(
+        "split_key", F.coalesce(F.col("component_id"), F.col(id_col))
+    ).drop("component_id")
+    bucket = (portable_split_bucket if portable else split_bucket)(
+        F.col("split_key"), seed
+    )
+    return keyed.withColumn(out_col, spec.label(bucket))

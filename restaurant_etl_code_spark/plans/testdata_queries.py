@@ -7578,6 +7578,229 @@ from o
 """
 
 
+# --------------------------------------------------------------------------
+# Round 9: winnowing fingerprints, leakage-safe split, cluster-size audit,
+# tokenizer fertility
+# --------------------------------------------------------------------------
+
+def _q_winnow_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (dedup.winnow_pairs — Schleimer et al.
+    SIGMOD 2003, the MOSS fingerprinter): token 4-gram hashes, window-5
+    minima, distinct selected values as the document fingerprint set,
+    then the inverted-index join with the max_df boilerplate valve.
+    Position-robust partial-overlap detection at ~1/3 of full-shingle
+    storage — the gap between MinHash (whole-doc similarity) and CDC
+    chunking (byte blocks). Any shared token run >= k+w-1 = 8 tokens
+    guarantees a shared fingerprint."""
+    docs = _augmented_docs(spark, sf_dir).select("doc_id", "text")
+    return dedup.winnow_pairs(
+        docs, "doc_id", "text", k=4, window=5, min_shared=2, max_df=64
+    )
+
+
+_ORACLE_WINNOW_PAIRS = f"""
+with {_DUCK_CORPUS.strip()},
+{_DUCK_TOKS},
+gr as (select doc_id, case when len(tk) >= 4 then
+           list_transform(range(1, len(tk) - 2), i ->
+               array_to_string(list_slice(tk, i::int, i::int + 3), ' '))
+           else [] end as grams from toks),
+h as (select doc_id,
+             list_transform(grams, g ->
+                 ('0x' || substring(md5(g), 1, 13))::bigint) as hs
+      from gr where len(grams) > 0),
+fp as (select doc_id, case when len(hs) >= 5 then
+           list_distinct(list_transform(range(1, len(hs) - 3), i ->
+               list_min(list_slice(hs, i::int, i::int + 4))))
+           else [list_min(hs)] end as fps from h),
+inv0 as (select doc_id, len(fps) as n, unnest(fps) as f from fp),
+valve as (select f from inv0 group by f having count(*) <= 64),
+inv as (select i.doc_id, i.n, i.f from inv0 i join valve using (f)),
+pr as (select a.doc_id as id_a, b.doc_id as id_b,
+              a.n as na, b.n as nb, count(*)::bigint as n_shared
+       from inv a join inv b on a.f = b.f and a.doc_id < b.doc_id
+       group by 1, 2, 3, 4)
+select id_a, id_b, n_shared,
+       round(n_shared / ((na + nb - n_shared) * 1.0), 6) as overlap
+from pr where n_shared >= 2
+"""
+
+
+def _q_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (sampling.leakage_safe_split):
+    MinHash-LSH near-dup pairs over the augmented corpus resolve into
+    clusters and every member buckets on its cluster CANONICAL id, so a
+    near-dup group can never straddle train and test — the
+    decontamination rule a plain per-doc hash split silently violates.
+    Returns per-split doc/group counts plus the global count of
+    clusters spanning >1 split (0 by construction, COMPUTED not
+    asserted)."""
+    docs = _augmented_docs(spark, sf_dir).select("doc_id", "text")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=16, shingle_n=3
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", bands=4, rows_per_band=4, num_hashes=16
+    )
+    labeled = sampling.leakage_safe_split(
+        docs, pairs, sampling.SplitSpec(train=0.8, val=0.1, test=0.1),
+        seed=7, portable=True,
+    )
+    per = labeled.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("split_key").alias("n_groups"),
+    )
+    leaked = (
+        labeled.groupBy("split_key")
+        .agg(F.countDistinct("split").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_groups"))
+    )
+    return per.crossJoin(F.broadcast(leaked))
+
+
+_ORACLE_SPLIT_LEAKAGE = f"""
+with recursive {_DUCK_CORPUS.strip()},
+tg as (select doc_id, text,
+              string_split({_DUCK_NORM.format(c='text')}, ' ') as tk
+       from corpus),
+sh as (select doc_id, case when len(tk) >= 3 then
+           list_transform(range(1, len(tk) - 1), i ->
+               array_to_string(list_slice(tk, i::int, i::int + 2), ' '))
+           else [] end as shingles from tg),
+h0 as (select doc_id,
+              list_transform(shingles, s ->
+                  ('0x' || substring(md5(s), 1, 13))::bigint) as hs
+       from sh where len(shingles) > 0),
+sigs as (select doc_id,
+                list_transform(range(0, 16), i -> list_min(
+                    list_transform(hs, h -> (2 * i + 1) * h
+                                   + i * 2654435761))) as sig
+         from h0),
+bands as (select doc_id, t.b as band_idx,
+                 md5(array_to_string(list_transform(
+                     list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+                     x -> x::varchar), ',')) as band_hash
+          from sigs cross join (select unnest(range(0, 4)) as b) t),
+prs as (select distinct x.doc_id as u, y.doc_id as v from bands x
+        join bands y on x.band_idx = y.band_idx
+                    and x.band_hash = y.band_hash and x.doc_id < y.doc_id),
+und as (select u, v from prs union select v, u from prs),
+reach(a, b) as (
+  select u, v from und
+  union
+  select r.a, u2.v from reach r join und u2 on u2.u = r.b),
+canon as (select a as doc_id, least(a, min(b)) as comp
+          from reach group by a),
+keyed as (select d.doc_id, coalesce(c.comp, d.doc_id) as split_key
+          from corpus d left join canon c using (doc_id)),
+lab as (select split_key,
+               case when bkt < 8000 then 'train'
+                    when bkt < 9000 then 'val' else 'test' end as split
+        from (select split_key,
+                     ((split_key % 2147483647 + 7) * 2654435761)
+                     % 2147483647 % 10000 as bkt from keyed)),
+leak as (select count(*)::bigint as n from (
+           select split_key from lab group by split_key
+           having count(distinct split) > 1)),
+per as (select split, count(*)::bigint as n_docs,
+               count(distinct split_key)::bigint as n_groups
+        from lab group by 1)
+select split, n_docs, n_groups,
+       (select n from leak) as n_leaked_groups from per
+"""
+
+
+def _q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution (dedup.cluster_size_histogram)
+    over the embedding near-dup graph: the audit separating a long tail
+    of pairs from celebrity clusters — the two need different
+    remediation (pair dedup vs boilerplate valves). Counter-sized
+    end-to-end: components -> sizes -> histogram."""
+    pairs = similarity.embedding_near_dup_pairs(
+        _augmented_embeddings(spark, sf_dir), threshold=0.8, nbits=0
+    )
+    return dedup.cluster_size_histogram(pairs)
+
+
+_ORACLE_DUP_CLUSTER_SIZES = f"""
+with recursive {_DUCK_AUG_EMB.strip()},
+cand as (
+  select a.vec_id as id_a, b.vec_id as id_b,
+         a.embedding as qv, b.embedding as cv
+  from aug a join aug b on a.vec_id < b.vec_id),
+prs as (select id_a, id_b from cand where {_DUCK_COS} >= 0.8),
+und as (select id_a as u, id_b as v from prs
+        union select id_b, id_a from prs),
+reach(a, b) as (
+  select u, v from und
+  union
+  select r.a, u2.v from reach r join und u2 on u2.u = r.b),
+comp as (select a as node, least(a, min(b)) as component_id
+         from reach group by a),
+sizes as (select component_id, count(*)::bigint as cluster_size
+          from comp group by 1)
+select cluster_size, count(*)::bigint as n_clusters,
+       (cluster_size * count(*))::bigint as n_docs
+from sizes group by 1
+"""
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer FERTILITY audit of the trained 3-merge BPE
+    table: tokens-per-word after encoding, macro (mean of per-doc
+    ratios) and micro (corpus token total / word total) — the standard
+    multilingual tokenizer-equity metric (a vocabulary trained on one
+    language's statistics inflates every other language's sequence
+    lengths, and the macro/micro gap exposes length skew). Composes
+    bpe_train + the bpe_apply codegen fold + one counter-sized agg."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    merges = [
+        (r["a"], r["b"])
+        for r in corpus.bpe_train(docs.select("text"), n_merges=3)
+        .sort("merge_round").collect()
+    ]
+    enc = corpus.bpe_apply(docs, merges).select(
+        "doc_id", F.size("tk").cast("long").alias("n_tokens")
+    )
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(Ftext.tokens(F.col("text")), lambda t: t != ""))
+        .cast("long")
+        .alias("n_words"),
+    ).filter(F.col("n_words") >= 1)
+    per = words.join(enc, "doc_id").withColumn(
+        "fert", F.col("n_tokens") / F.col("n_words")
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("fert"), 6).alias("macro_fertility"),
+        F.round(F.sum("n_tokens") / F.sum("n_words"), 6).alias(
+            "micro_fertility"
+        ),
+    )
+
+
+def _tokenizer_fertility_oracle(n_rounds: int) -> str:
+    enc = _bpe_encode_oracle(n_rounds)
+    head, _, _ = enc.rpartition("\nselect ")
+    last = f"t{n_rounds}"
+    return (
+        head
+        + f"\nselect d.lang, count(*)::bigint as n_docs, "
+        f"round(avg(len(e.tk) / (len(t0f.tk) * 1.0)), 6) as macro_fertility, "
+        f"round(sum(len(e.tk)) / (sum(len(t0f.tk)) * 1.0), 6) as micro_fertility "
+        f"from {last} e join t0f using (doc_id) "
+        f"join documents d using (doc_id) group by 1"
+    )
+
+
+_ORACLE_TOKENIZER_FERTILITY = _tokenizer_fertility_oracle(3)
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -8042,6 +8265,22 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_bpe_compression, _ORACLE_BPE_COMPRESSION,
         "per-doc token counts before/after the trained 3-merge table — "
         "the merge-budget payoff audit"),
+    "winnow_dedup_pairs": QueryDef(
+        _q_winnow_dedup_pairs, _ORACLE_WINNOW_PAIRS,
+        "MOSS winnowing fingerprints (window-min of k-gram hashes): "
+        "position-robust partial-overlap pairs at ~2/(w+1) storage"),
+    "split_leakage_guard": QueryDef(
+        _q_split_leakage_guard, _ORACLE_SPLIT_LEAKAGE,
+        "near-dup-cluster-aware train/val/test split: buckets keyed on "
+        "the cluster canonical so no group straddles splits"),
+    "dup_cluster_sizes": QueryDef(
+        _q_dup_cluster_sizes, _ORACLE_DUP_CLUSTER_SIZES,
+        "duplicate-cluster size histogram: long-tail pairs vs celebrity "
+        "clusters audit"),
+    "tokenizer_fertility": QueryDef(
+        _q_tokenizer_fertility, _ORACLE_TOKENIZER_FERTILITY,
+        "per-lang tokens-per-word (macro+micro) of the trained BPE "
+        "table — the multilingual tokenizer-equity audit"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -8062,6 +8301,10 @@ _REGISTRY: dict[str, QueryDef] = {
 # queries whose latest check is r04, then the oldest r05-cohort names in
 # registry order, new r09 additions at the front, and the two anchors.
 _WINDOW_FIRST = [
+    "winnow_dedup_pairs",  # never-checked
+    "split_leakage_guard",  # never-checked
+    "dup_cluster_sizes",  # never-checked
+    "tokenizer_fertility",  # never-checked
     "positional_zip",  # latest=r04
     "url_parse",  # latest=r04
     "industry_resolve",  # latest=r04
@@ -8106,10 +8349,6 @@ _WINDOW_FIRST = [
     "char_entropy",  # latest=r05
     "streaming_quality_gate",  # latest=r05
     "ann_recall",  # latest=r05
-    "orc_scan_agg",  # latest=r05
-    "quality_classifier",  # latest=r05
-    "stats_prune_scan",  # latest=r05
-    "embedding_covariance",  # latest=r05
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -260,3 +260,97 @@ def test_bpe_apply_heap_matches_fold_on_random_tables(spark):
         for r in corpus.bpe_apply(docs, merges, engine="arrow").collect()
     }
     assert fold == arrow
+
+
+# --------------------------------------------------------- winnowing
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    # winnowing guarantee: a shared token run of length >= k + w - 1
+    # (= 8 here) forces at least one common selected fingerprint
+    from restaurant_etl_code_spark.operators import dedup
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [(1, "xx yy " + shared + " zz"),
+         (2, shared + " qq rr ss tt uu vv")],
+        "doc_id bigint, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in dedup.winnow_fingerprints(docs, k=4, window=5).collect()
+    }
+    assert fps[1] & fps[2]
+    pairs = dedup.winnow_pairs(
+        docs, k=4, window=5, min_shared=1
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_winnow_short_docs(spark):
+    from restaurant_etl_code_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"),          # 3 tokens < k=4: unshinglable, dropped
+         (2, "a b c d e")],     # 2 k-grams < window=5: one global-min fp
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (list(r["fingerprints"]), r["n_grams"])
+           for r in dedup.winnow_fingerprints(docs, k=4, window=5).collect()}
+    assert set(got) == {2}
+    assert got[2][1] == 2 and len(got[2][0]) == 1
+
+
+def test_winnow_pairs_max_df_valve(spark):
+    from restaurant_etl_code_spark.operators import dedup
+
+    text = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(4)], "doc_id bigint, text string"
+    )
+    # identical docs: every fingerprint has df=4 > max_df=3 -> no pairs
+    assert dedup.winnow_pairs(docs, max_df=3).count() == 0
+    assert dedup.winnow_pairs(docs, max_df=4).count() == 6  # C(4,2)
+
+
+# ------------------------------------------------- leakage-safe split
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from restaurant_etl_code_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 401)], "doc_id bigint"
+    )
+    # chains of 4: {1..4}, {11..14}, ... — clusters whose members a
+    # per-doc hash split would scatter
+    pairs = spark.createDataFrame(
+        [(b + j, b + j + 1) for b in range(1, 401, 10) for j in range(3)],
+        "id_a bigint, id_b bigint",
+    )
+    out = sampling.leakage_safe_split(
+        docs, pairs, sampling.SplitSpec(train=0.8, val=0.1, test=0.1),
+        seed=7, portable=True,
+    )
+    rows = out.collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["split_key"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_key.values())
+    # cluster members key on the canonical (min) member
+    k1 = {r["split_key"] for r in rows if r["doc_id"] in (1, 2, 3, 4)}
+    assert k1 == {1}
+    # un-paired docs key on themselves
+    solo = [r for r in rows if r["doc_id"] == 5][0]
+    assert solo["split_key"] == 5
+    # and all three splits are populated at this size
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+
+
+def test_cluster_size_histogram(spark):
+    from restaurant_etl_code_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (4, 5), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    got = {(r["cluster_size"], r["n_clusters"], r["n_docs"])
+           for r in dedup.cluster_size_histogram(pairs).collect()}
+    assert got == {(2, 2, 4), (3, 1, 3)}

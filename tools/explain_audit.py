@@ -676,6 +676,33 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["HashAggregate"],
         "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
     },
+    "winnow_dedup_pairs": {
+        # fingerprints are one Arrow pass; pairing is the inverted-index
+        # equi-join on the 52-bit fingerprint + a counter-sized pair agg
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "split_leakage_guard": {
+        # the minhash Arrow pass is consumed inside the CC union-find
+        # collect, so the RETURNED plan is: docs joined to the
+        # driver-local component relation + counter aggs + the 1-row
+        # leak scalar broadcast-attach (BNLJ is that intended attach,
+        # so only a true cartesian is banned)
+        "want": ["Scan ExistingRDD", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "dup_cluster_sizes": {
+        # components are a driver-local relation (union-find shortcut);
+        # the histogram is two counter-sized aggs
+        "want": ["Scan ExistingRDD", "HashAggregate"],
+        "avoid": ["BatchEvalPython"],
+    },
+    "tokenizer_fertility": {
+        # 3-merge table -> the codegen fold path: no Python anywhere;
+        # one equi-join + one counter-sized agg
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
+    },
 }
 
 
