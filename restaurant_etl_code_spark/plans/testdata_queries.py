@@ -7713,25 +7713,50 @@ select split, n_docs, n_groups,
 
 def _q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size distribution (dedup.cluster_size_histogram)
-    over the embedding near-dup graph: the audit separating a long tail
-    of pairs from celebrity clusters — the two need different
+    over the MinHash-LSH candidate graph: the audit separating a long
+    tail of pairs from celebrity clusters — the two need different
     remediation (pair dedup vs boilerplate valves). Counter-sized
-    end-to-end: components -> sizes -> histogram."""
-    pairs = similarity.embedding_near_dup_pairs(
-        _augmented_embeddings(spark, sf_dir), threshold=0.8, nbits=0
+    end-to-end: banded pairs -> components -> sizes -> histogram; the
+    banding is deterministic, so the histogram is exactly
+    oracle-checkable on the 100 TB path (not the all-pairs
+    verification variant)."""
+    docs = _augmented_docs(spark, sf_dir).select("doc_id", "text")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=16, shingle_n=3
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", bands=4, rows_per_band=4, num_hashes=16
     )
     return dedup.cluster_size_histogram(pairs)
 
 
 _ORACLE_DUP_CLUSTER_SIZES = f"""
-with recursive {_DUCK_AUG_EMB.strip()},
-cand as (
-  select a.vec_id as id_a, b.vec_id as id_b,
-         a.embedding as qv, b.embedding as cv
-  from aug a join aug b on a.vec_id < b.vec_id),
-prs as (select id_a, id_b from cand where {_DUCK_COS} >= 0.8),
-und as (select id_a as u, id_b as v from prs
-        union select id_b, id_a from prs),
+with recursive {_DUCK_CORPUS.strip()},
+tg as (select doc_id, text,
+              string_split({_DUCK_NORM.format(c='text')}, ' ') as tk
+       from corpus),
+sh as (select doc_id, case when len(tk) >= 3 then
+           list_transform(range(1, len(tk) - 1), i ->
+               array_to_string(list_slice(tk, i::int, i::int + 2), ' '))
+           else [] end as shingles from tg),
+h0 as (select doc_id,
+              list_transform(shingles, s ->
+                  ('0x' || substring(md5(s), 1, 13))::bigint) as hs
+       from sh where len(shingles) > 0),
+sigs as (select doc_id,
+                list_transform(range(0, 16), i -> list_min(
+                    list_transform(hs, h -> (2 * i + 1) * h
+                                   + i * 2654435761))) as sig
+         from h0),
+bands as (select doc_id, t.b as band_idx,
+                 md5(array_to_string(list_transform(
+                     list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+                     x -> x::varchar), ',')) as band_hash
+          from sigs cross join (select unnest(range(0, 4)) as b) t),
+prs as (select distinct x.doc_id as u, y.doc_id as v from bands x
+        join bands y on x.band_idx = y.band_idx
+                    and x.band_hash = y.band_hash and x.doc_id < y.doc_id),
+und as (select u, v from prs union select v, u from prs),
 reach(a, b) as (
   select u, v from und
   union
