@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "split_leakage_guard",
     "dup_cluster_sizes",
     "tokenizer_fertility",
+    "hybrid_rrf_topk",
 ]
 
 

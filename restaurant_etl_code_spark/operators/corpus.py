@@ -441,6 +441,53 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    fused(d) = Σ over rankings of 1 / (k + rank_d) — the standard way to
+    combine lexical (BM25) and dense (cosine) retrieval without score
+    calibration, since only RANKS cross the boundary and the two score
+    scales are incomparable by construction. k=60 is the paper's
+    constant.
+
+    Shape at 100 TB: each input ranking is already a top-k relation
+    (TakeOrdered output — k rows per query, never corpus-sized), so the
+    fusion is a union of counter-sized frames + one tiny agg; nothing
+    here ever touches the corpus. Deterministic: rank ties were already
+    broken by id upstream, the fused score is a ≤|rankings|-term float
+    sum rounded to 6dp (2-term sums are exactly commutative), and the
+    final ranking tie-breaks on id.
+
+    Returns (id_col, rrf, n_lists) — n_lists says how many rankings the
+    document appeared in (agreement is itself a useful signal).
+    """
+    if not rankings:
+        raise ValueError("at least one ranking required")
+    from functools import reduce
+
+    tagged = [
+        r.select(F.col(id_col), F.col(rank_col).cast("long").alias("__rank"))
+        for r in rankings
+    ]
+    allr = reduce(lambda a, b: a.unionByName(b), tagged)
+    return (
+        allr.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(k_rrf) + F.col("__rank"))), 6
+            ).alias("rrf"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+        .sort(F.col("rrf").desc(), F.col(id_col))
+        .limit(topk)
+    )
+
+
 def boilerplate_ngrams(
     docs: DataFrame,
     id_col: str = "doc_id",

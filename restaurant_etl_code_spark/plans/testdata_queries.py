@@ -7826,6 +7826,76 @@ def _tokenizer_fertility_oracle(n_rounds: int) -> str:
 _ORACLE_TOKENIZER_FERTILITY = _tokenizer_fertility_oracle(3)
 
 
+def _q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (corpus.rrf_fuse):
+    BM25 lexical top-50 for a fixed query fused with the exact-cosine
+    dense top-50 for a query vector (vec_id 0) — production retrieval
+    runs both and fuses, and RRF needs no score calibration because
+    only ranks cross the boundary. Both input rankings are k-row
+    relations (TakeOrdered), so the fusion never touches the corpus;
+    the 50-row rank window is driver-bounded by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = corpus.bm25_topk(docs, "window merge join stream", k=50)
+    lex_ranked = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.col("doc_id")))
+        .alias("rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=50, exclude_self=True
+    )
+    sem_ranked = sem.select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return corpus.rrf_fuse([lex_ranked, sem_ranked], topk=20)
+
+
+_ORACLE_HYBRID_RRF = f"""
+with tk as (
+  select doc_id, unnest(string_split({_DUCK_NORM.format(c='text')}, ' ')) as term
+  from documents),
+lens as (
+  select doc_id,
+         case when length({_DUCK_NORM.format(c='text')}) = 0 then 0
+              else len(string_split({_DUCK_NORM.format(c='text')}, ' ')) end as dl
+  from documents),
+stats as (select count(*) as n_docs, sum(dl) / count(*) as avgdl from lens),
+tf as (
+  select doc_id, term, count(*) as tf from tk
+  where term in ('join', 'merge', 'stream', 'window')
+  group by 1, 2),
+idf as (
+  select term, ln((s.n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1.0) as idf
+  from tf, stats s group by term, s.n_docs),
+scored as (
+  select t.doc_id,
+         round(sum(i.idf * (t.tf * (1.2 + 1))
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 4) as bm25
+  from tf t
+  join idf i using (term)
+  join lens l using (doc_id), stats s
+  group by t.doc_id),
+lex as (select doc_id, row_number() over (order by bm25 desc, doc_id) as rank
+        from (select doc_id, bm25 from scored
+              order by bm25 desc, doc_id limit 50)),
+q as (select embedding::double[] as qv from embeddings where vec_id = 0),
+c as (select vec_id as doc_id, embedding::double[] as cv
+      from embeddings where vec_id != 0),
+semscored as (select doc_id, {_DUCK_COS} as score from c, q),
+sem as (select doc_id, rank from (
+          select doc_id,
+                 row_number() over (order by score desc, doc_id) as rank
+          from semscored)
+        where rank <= 50),
+allr as (select doc_id, rank from lex
+         union all select doc_id, rank from sem),
+fused as (select doc_id, round(sum(1.0 / (60 + rank)), 6) as rrf,
+                 count(*)::bigint as n_lists
+          from allr group by 1)
+select doc_id, rrf, n_lists from fused order by rrf desc, doc_id limit 20
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -8306,6 +8376,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_tokenizer_fertility, _ORACLE_TOKENIZER_FERTILITY,
         "per-lang tokens-per-word (macro+micro) of the trained BPE "
         "table — the multilingual tokenizer-equity audit"),
+    "hybrid_rrf_topk": QueryDef(
+        _q_hybrid_rrf_topk, _ORACLE_HYBRID_RRF,
+        "reciprocal-rank fusion of BM25 lexical and exact-cosine dense "
+        "top-50 rankings — calibration-free hybrid retrieval"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -8330,6 +8404,7 @@ _WINDOW_FIRST = [
     "split_leakage_guard",  # never-checked
     "dup_cluster_sizes",  # never-checked
     "tokenizer_fertility",  # never-checked
+    "hybrid_rrf_topk",  # never-checked
     "positional_zip",  # latest=r04
     "url_parse",  # latest=r04
     "industry_resolve",  # latest=r04
@@ -8373,7 +8448,6 @@ _WINDOW_FIRST = [
     "corpus_profile",  # latest=r05
     "char_entropy",  # latest=r05
     "streaming_quality_gate",  # latest=r05
-    "ann_recall",  # latest=r05
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -354,3 +354,33 @@ def test_cluster_size_histogram(spark):
     got = {(r["cluster_size"], r["n_clusters"], r["n_docs"])
            for r in dedup.cluster_size_histogram(pairs).collect()}
     assert got == {(2, 2, 4), (3, 1, 3)}
+
+
+# ----------------------------------------------------------- RRF fusion
+
+def test_rrf_fuse_math_and_agreement(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id bigint, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id bigint, rank int"
+    )
+    out = {r["doc_id"]: (r["rrf"], r["n_lists"])
+           for r in corpus.rrf_fuse([lex, sem], topk=10).collect()}
+    assert out[20] == (round(1 / 61 + 1 / 62, 6), 2)  # in both lists
+    assert out[10] == (round(1 / 61, 6), 1)
+    assert out[40] == (round(1 / 62, 6), 1)
+    # doc in both lists outranks every single-list doc here
+    top = max(out, key=lambda d: out[d][0])
+    assert top == 20
+
+
+def test_rrf_fuse_topk_and_tiebreak(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    a = spark.createDataFrame([(1, 1), (2, 1)], "doc_id bigint, rank int")
+    rows = corpus.rrf_fuse([a], topk=1).collect()
+    # equal scores: smallest id wins the cut
+    assert [(r["doc_id"],) for r in rows] == [(1,)]

@@ -697,6 +697,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["Scan ExistingRDD", "HashAggregate"],
         "avoid": ["BatchEvalPython"],
     },
+    "hybrid_rrf_topk": {
+        # both input rankings are k-row TakeOrdered relations; fusion is
+        # one tiny agg + TakeOrdered — the corpus is only touched by the
+        # two upstream retrievals (postings filter + one cosine scan)
+        "want": ["TakeOrderedAndProject", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
     "tokenizer_fertility": {
         # 3-merge table -> the codegen fold path: no Python anywhere;
         # one equi-join + one counter-sized agg
