@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "dup_cluster_sizes",
     "tokenizer_fertility",
     "hybrid_rrf_topk",
+    "matryoshka_recall",
 ]
 
 

@@ -7896,6 +7896,85 @@ select doc_id, rrf, n_lists from fused order by rrf desc, doc_id limit 20
 """
 
 
+def _q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: recall@3 of the FIRST-d-DIMENSIONS
+    cosine ranking (d = 8, 16, 32) against the full-64-dim exact
+    ranking — the measurement behind MRL-style dimension truncation
+    (use a cheap prefix for candidate generation, the full vector for
+    rerank; this row says what each prefix width actually buys).
+    Composes cosine_topk over sliced vectors + topk_recall, so every
+    ranking is a queries×k relation and the audit is equi-joins on
+    counter-sized frames."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(q, emb, k=3, exclude_self=True)
+    outs = []
+    for d in (8, 16, 32):
+        qt = q.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        ct = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        trunc = similarity.cosine_topk(qt, ct, k=3, exclude_self=True)
+        outs.append(
+            similarity.topk_recall(trunc, exact).withColumn(
+                "dim", F.lit(d).cast("long")
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _matryoshka_oracle() -> str:
+    parts = [
+        "q1 as (select vec_id as query_id, embedding::double[] as qv "
+        "from embeddings where vec_id < 10)",
+        "c1 as (select vec_id as neighbor_id, embedding::double[] as cv "
+        "from embeddings)",
+        "exact as (select query_id, neighbor_id from ("
+        "select query_id, neighbor_id, row_number() over ("
+        f"partition by query_id order by {_DUCK_COS} desc, neighbor_id) "
+        "as rank from q1 cross join c1 where query_id != neighbor_id) "
+        "where rank <= 3)",
+    ]
+    sels = []
+    for d in (8, 16, 32):
+        parts.append(
+            f"q{d} as (select vec_id as query_id, "
+            f"list_slice(embedding::double[], 1, {d}) as qv "
+            "from embeddings where vec_id < 10)"
+        )
+        parts.append(
+            f"c{d} as (select vec_id as neighbor_id, "
+            f"list_slice(embedding::double[], 1, {d}) as cv "
+            "from embeddings)"
+        )
+        parts.append(
+            f"t{d} as (select query_id, neighbor_id from ("
+            "select query_id, neighbor_id, row_number() over ("
+            f"partition by query_id order by {_DUCK_COS} desc, neighbor_id) "
+            f"as rank from q{d} cross join c{d} "
+            "where query_id != neighbor_id) where rank <= 3)"
+        )
+        sels.append(
+            "select e.query_id, count(*)::bigint as n_exact, "
+            "sum(case when t.neighbor_id is not null then 1 else 0 end)"
+            "::bigint as n_hit, "
+            "round(sum(case when t.neighbor_id is not null then 1 else 0 "
+            "end) / (count(*) * 1.0), 6) as recall, "
+            f"{d}::bigint as dim "
+            f"from exact e left join t{d} t using (query_id, neighbor_id) "
+            "group by 1"
+        )
+    return "with " + ",\n".join(parts) + "\n" + "\nunion all ".join(sels)
+
+
+_ORACLE_MATRYOSHKA = _matryoshka_oracle()
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -8380,6 +8459,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_hybrid_rrf_topk, _ORACLE_HYBRID_RRF,
         "reciprocal-rank fusion of BM25 lexical and exact-cosine dense "
         "top-50 rankings — calibration-free hybrid retrieval"),
+    "matryoshka_recall": QueryDef(
+        _q_matryoshka_recall, _ORACLE_MATRYOSHKA,
+        "recall@3 of first-d-dimension cosine rankings (d=8/16/32) vs "
+        "the full vector — the MRL truncation payoff audit"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -8405,6 +8488,7 @@ _WINDOW_FIRST = [
     "dup_cluster_sizes",  # never-checked
     "tokenizer_fertility",  # never-checked
     "hybrid_rrf_topk",  # never-checked
+    "matryoshka_recall",  # never-checked
     "positional_zip",  # latest=r04
     "url_parse",  # latest=r04
     "industry_resolve",  # latest=r04
@@ -8447,7 +8531,6 @@ _WINDOW_FIRST = [
     "boilerplate_ngrams",  # latest=r05
     "corpus_profile",  # latest=r05
     "char_entropy",  # latest=r05
-    "streaming_quality_gate",  # latest=r05
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

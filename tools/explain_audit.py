@@ -704,6 +704,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["TakeOrderedAndProject", "HashAggregate"],
         "avoid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "matryoshka_recall": {
+        # three sliced rankings + exact, all queries-x-k relations; the
+        # recall join is counter-sized; slicing is a codegen projection
+        "want": ["HashAggregate"],
+        "avoid": ["BatchEvalPython"],
+    },
     "tokenizer_fertility": {
         # 3-merge table -> the codegen fold path: no Python anywhere;
         # one equi-join + one counter-sized agg
