@@ -228,10 +228,20 @@ def _canary_sec() -> float:
     return time.perf_counter() - t0
 
 
-# pre-query canary > this multiple of the session's best canary ⇒ the
-# query's window was externally loaded (2.5x leaves headroom for GC
-# jitter; the r8 spike inflated rows 4-33x, far past it)
+# a query's bracketing canary > this multiple of the session's best
+# canary ⇒ the query's window was externally loaded (2.5x leaves
+# headroom for GC jitter; the r8 spike inflated rows 4-33x, far past it)
 CANARY_CONTAMINATION_RATIO = 2.5
+
+# ABSOLUTE floor (review finding): a purely relative check misses load
+# that is uniform across the WHOLE run — every canary inflates together
+# and none exceeds 2.5x "best". The loop below measured 102-108 ms on
+# this box verifiably unloaded (loadavg 0.06, committed in
+# BENCH_full_r09.json); a best-canary beyond 1.6x that nominal means
+# the entire session ran loaded and the record must say quiet:false
+# even with an empty per-query list.
+CANARY_NOMINAL_MS = 105.0
+CANARY_UNIFORM_LOAD_RATIO = 1.6
 
 
 def main() -> int:
@@ -249,10 +259,17 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
+    # canaries BRACKET each query (review finding: a pre-only sample
+    # misses load arriving mid-query and leaves the last query's window
+    # entirely unguarded): canaries[i] runs before query i, and one
+    # final sample closes the last bracket — query i is flagged if
+    # EITHER end of its bracket saw load.
+    canaries_ms: list[float] = []
     for name in BENCH_QUERIES:
         qd = QUERIES[name]
         load1 = _load1()
         canary = _canary_sec()
+        canaries_ms.append(round(canary * 1000, 1))
         t0 = time.time()
         df = qd.spark(spark, sf_dir)
         n = df.count()
@@ -261,19 +278,26 @@ def main() -> int:
             "sec": timings[name],
             "rows": n,
             "load1": load1,
-            "canary_ms": round(canary * 1000, 1),
+            "canary_ms": canaries_ms[-1],
         }
         print(
             f"# {name}: {timings[name]:.2f}s ({n} rows, load1={load1:.2f}, "
             f"canary={canary * 1000:.0f}ms)",
             file=sys.stderr,
         )
+    canaries_ms.append(round(_canary_sec() * 1000, 1))  # close last bracket
 
-    best_canary = min(d["canary_ms"] for d in detail.values())
+    best_canary = min(canaries_ms)
+    cutoff = CANARY_CONTAMINATION_RATIO * best_canary
     contaminated = sorted(
-        name for name, d in detail.items()
-        if d["canary_ms"] > CANARY_CONTAMINATION_RATIO * best_canary
+        name for i, name in enumerate(BENCH_QUERIES)
+        if canaries_ms[i] > cutoff or canaries_ms[i + 1] > cutoff
     )
+    for i, name in enumerate(BENCH_QUERIES):
+        detail[name]["canary_after_ms"] = canaries_ms[i + 1]
+    # uniform-load floor: if even the BEST canary is far above the
+    # box's verified-unloaded nominal, the whole session ran loaded
+    uniform_load = best_canary > CANARY_NOMINAL_MS * CANARY_UNIFORM_LOAD_RATIO
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "total_bench_sec",
@@ -281,9 +305,11 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "quiet": not contaminated,
+        "quiet": not contaminated and not uniform_load,
         "contaminated_queries": contaminated,
+        "uniform_load": uniform_load,
         "best_canary_ms": best_canary,
+        "canary_nominal_ms": CANARY_NOMINAL_MS,
     }
     try:
         with open(out_path, "w") as fh:

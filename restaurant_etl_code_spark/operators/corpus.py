@@ -447,6 +447,7 @@ def rrf_fuse(
     rank_col: str = "rank",
     k_rrf: int = 60,
     topk: int = 20,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
     fused(d) = Σ over rankings of 1 / (k + rank_d) — the standard way to
@@ -463,29 +464,47 @@ def rrf_fuse(
     sum rounded to 6dp (2-term sums are exactly commutative), and the
     final ranking tie-breaks on id.
 
-    Returns (id_col, rrf, n_lists) — n_lists says how many rankings the
-    document appeared in (agreement is itself a useful signal).
+    Pass ``group_cols`` (e.g. ``["query_id"]``) when the rankings hold
+    MANY queries — fusion then runs per group and ``topk`` applies per
+    group via a WindowGroupLimit, never a global sort. Without it the
+    rankings are treated as ONE list each (a multi-query frame would
+    silently fuse across queries — review finding; the parameter exists
+    so the per-query case is expressible at all).
+
+    Returns (group_cols…, id_col, rrf, n_lists) — n_lists says how many
+    rankings the document appeared in (agreement is itself a useful
+    signal).
     """
     if not rankings:
         raise ValueError("at least one ranking required")
     from functools import reduce
 
+    gcols = list(group_cols or [])
     tagged = [
-        r.select(F.col(id_col), F.col(rank_col).cast("long").alias("__rank"))
+        r.select(
+            *[F.col(g) for g in gcols],
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias("__rank"),
+        )
         for r in rankings
     ]
     allr = reduce(lambda a, b: a.unionByName(b), tagged)
-    return (
-        allr.groupBy(id_col)
-        .agg(
-            F.round(
-                F.sum(F.lit(1.0) / (F.lit(k_rrf) + F.col("__rank"))), 6
-            ).alias("rrf"),
-            F.count(F.lit(1)).cast("long").alias("n_lists"),
-        )
-        .sort(F.col("rrf").desc(), F.col(id_col))
-        .limit(topk)
+    fused = allr.groupBy(*gcols, id_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(k_rrf) + F.col("__rank"))), 6
+        ).alias("rrf"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
     )
+    if gcols:
+        w = Window.partitionBy(*gcols).orderBy(
+            F.col("rrf").desc(), F.col(id_col)
+        )
+        return (
+            fused.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= topk)
+            .drop("__rn")
+        )
+    return fused.sort(F.col("rrf").desc(), F.col(id_col)).limit(topk)
 
 
 def boilerplate_ngrams(

@@ -723,7 +723,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
-    driver_max_edges: int = 2_000_000,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Resolve near-dup candidate pairs into duplicate CLUSTERS — the step
     between "LSH emitted pairs" and "keep one document per group" that every
@@ -749,14 +749,19 @@ def connected_components(
     Small-graph shortcut (the heavy_hitters exact-sketch pattern, r9):
     when the undirected edge list is at most ``driver_max_edges`` rows —
     a count the function already takes for shuffle sizing — the
-    iteration is replaced by ONE collect + driver-side union-find with
-    path halving. Rationale: candidate-pair graphs are orders of
+    iteration is replaced by ONE Arrow fetch + driver-side union-find
+    with path halving. Rationale: candidate-pair graphs are orders of
     magnitude smaller than the corpora that produce them (2,286 edges
     at sf0.1), yet each distributed round costs several scheduler
     round-trips; on the measured sf0.1 graph the iteration spent ~8 s
     across ~25 driver-scheduled jobs computing what union-find does in
-    milliseconds. 2M edges collect ≈ 32 MB — driver-safe — while a
-    genuinely large graph (the 100 TB case) takes the iterative path
+    milliseconds. The fetch rides ``toPandas`` (Arrow: two int64
+    columns ≈ 16 B/row, so 1M rows ≈ 16 MB — a ``collect()`` of Row
+    objects would cost 10-30x that, the review finding that also set
+    the conservative default; the union-find ``parent`` dict adds
+    ~100-200 MB at the limit, still driver-safe, and the parameter is
+    there for constrained drivers). A genuinely large graph (the
+    100 TB case) takes the iterative path
     unchanged, with convergence now CHECKED EVERY OTHER ROUND (the
     check is a full join + count action; near-dup graphs converge in
     2-4 rounds, so per-round checking doubled the action count to save
@@ -808,8 +813,8 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in und.collect():
-            u, v = r[0], r[1]
+        pdf = und.toPandas()
+        for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
             if u not in parent:
                 parent[u] = u
             if v not in parent:
@@ -1123,12 +1128,16 @@ def winnow_pairs(
     df-valved key space.
 
     Returns (id_a, id_b, n_shared, overlap) with id_a < id_b; overlap
-    is the Jaccard of the two fingerprint SETS, 6dp.
+    is the Jaccard of the two documents' VALVED fingerprint sets, 6dp
+    — set sizes are counted AFTER the ``max_df`` valve so numerator
+    and denominator describe the same universe (pre-valve sizes would
+    systematically deflate boilerplate-heavy near-dups: the n_shared
+    the valve removed would still sit in the denominator — review
+    finding).
     """
     fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
     inv = fps.select(
         F.col(id_col).alias("__id"),
-        F.size("fingerprints").alias("__n"),
         F.explode("fingerprints").alias("fp"),
     )
     if max_df is not None:
@@ -1139,6 +1148,8 @@ def winnow_pairs(
             .select("fp")
         )
         inv = inv.join(ok, "fp", "left_semi")
+    sizes = inv.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    inv = inv.join(sizes, "__id")
     a, b = inv.alias("a"), inv.alias("b")
     return (
         a.join(b, "fp")

@@ -7613,9 +7613,11 @@ fp as (select doc_id, case when len(hs) >= 5 then
            list_distinct(list_transform(range(1, len(hs) - 3), i ->
                list_min(list_slice(hs, i::int, i::int + 4))))
            else [list_min(hs)] end as fps from h),
-inv0 as (select doc_id, len(fps) as n, unnest(fps) as f from fp),
+inv0 as (select doc_id, unnest(fps) as f from fp),
 valve as (select f from inv0 group by f having count(*) <= 64),
-inv as (select i.doc_id, i.n, i.f from inv0 i join valve using (f)),
+inv1 as (select i.doc_id, i.f from inv0 i join valve using (f)),
+nn as (select doc_id, count(*) as n from inv1 group by 1),
+inv as (select i.doc_id, i.f, nn.n from inv1 i join nn using (doc_id)),
 pr as (select a.doc_id as id_a, b.doc_id as id_b,
               a.n as na, b.n as nb, count(*)::bigint as n_shared
        from inv a join inv b on a.f = b.f and a.doc_id < b.doc_id
@@ -7624,6 +7626,46 @@ select id_a, id_b, n_shared,
        round(n_shared / ((na + nb - n_shared) * 1.0), 6) as overlap
 from pr where n_shared >= 2
 """
+
+
+# Shared recursive-CTE fragment for the two cluster-resolving oracles:
+# ungated MinHash(16)/4x4-band chain over the augmented corpus -> distinct
+# candidate pairs -> undirected closure. The banding recipe is
+# load-bearing for oracle parity (byte-identical to _banded_rows), so it
+# must not fork across oracles (review finding) — the gated
+# streaming_neardup oracle keeps its own copy because it bands only
+# min_tokens-gated documents.
+_DUCK_MINHASH_CC = """tg as (select doc_id, text,
+              string_split(NORMEXPR, ' ') as tk
+       from corpus),
+sh as (select doc_id, case when len(tk) >= 3 then
+           list_transform(range(1, len(tk) - 1), i ->
+               array_to_string(list_slice(tk, i::int, i::int + 2), ' '))
+           else [] end as shingles from tg),
+h0 as (select doc_id,
+              list_transform(shingles, s ->
+                  ('0x' || substring(md5(s), 1, 13))::bigint) as hs
+       from sh where len(shingles) > 0),
+sigs as (select doc_id,
+                list_transform(range(0, 16), i -> list_min(
+                    list_transform(hs, h -> (2 * i + 1) * h
+                                   + i * 2654435761))) as sig
+         from h0),
+bands as (select doc_id, t.b as band_idx,
+                 md5(array_to_string(list_transform(
+                     list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+                     x -> x::varchar), ',')) as band_hash
+          from sigs cross join (select unnest(range(0, 4)) as b) t),
+prs as (select distinct x.doc_id as u, y.doc_id as v from bands x
+        join bands y on x.band_idx = y.band_idx
+                    and x.band_hash = y.band_hash and x.doc_id < y.doc_id),
+und as (select u, v from prs union select v, u from prs),
+reach(a, b) as (
+  select u, v from und
+  union
+  select r.a, u2.v from reach r join und u2 on u2.u = r.b),""".replace(
+    "NORMEXPR", _DUCK_NORM.format(c="text")
+)
 
 
 def _q_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7661,35 +7703,7 @@ def _q_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_SPLIT_LEAKAGE = f"""
 with recursive {_DUCK_CORPUS.strip()},
-tg as (select doc_id, text,
-              string_split({_DUCK_NORM.format(c='text')}, ' ') as tk
-       from corpus),
-sh as (select doc_id, case when len(tk) >= 3 then
-           list_transform(range(1, len(tk) - 1), i ->
-               array_to_string(list_slice(tk, i::int, i::int + 2), ' '))
-           else [] end as shingles from tg),
-h0 as (select doc_id,
-              list_transform(shingles, s ->
-                  ('0x' || substring(md5(s), 1, 13))::bigint) as hs
-       from sh where len(shingles) > 0),
-sigs as (select doc_id,
-                list_transform(range(0, 16), i -> list_min(
-                    list_transform(hs, h -> (2 * i + 1) * h
-                                   + i * 2654435761))) as sig
-         from h0),
-bands as (select doc_id, t.b as band_idx,
-                 md5(array_to_string(list_transform(
-                     list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
-                     x -> x::varchar), ',')) as band_hash
-          from sigs cross join (select unnest(range(0, 4)) as b) t),
-prs as (select distinct x.doc_id as u, y.doc_id as v from bands x
-        join bands y on x.band_idx = y.band_idx
-                    and x.band_hash = y.band_hash and x.doc_id < y.doc_id),
-und as (select u, v from prs union select v, u from prs),
-reach(a, b) as (
-  select u, v from und
-  union
-  select r.a, u2.v from reach r join und u2 on u2.u = r.b),
+{_DUCK_MINHASH_CC}
 canon as (select a as doc_id, least(a, min(b)) as comp
           from reach group by a),
 keyed as (select d.doc_id, coalesce(c.comp, d.doc_id) as split_key
@@ -7732,35 +7746,7 @@ def _q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_DUP_CLUSTER_SIZES = f"""
 with recursive {_DUCK_CORPUS.strip()},
-tg as (select doc_id, text,
-              string_split({_DUCK_NORM.format(c='text')}, ' ') as tk
-       from corpus),
-sh as (select doc_id, case when len(tk) >= 3 then
-           list_transform(range(1, len(tk) - 1), i ->
-               array_to_string(list_slice(tk, i::int, i::int + 2), ' '))
-           else [] end as shingles from tg),
-h0 as (select doc_id,
-              list_transform(shingles, s ->
-                  ('0x' || substring(md5(s), 1, 13))::bigint) as hs
-       from sh where len(shingles) > 0),
-sigs as (select doc_id,
-                list_transform(range(0, 16), i -> list_min(
-                    list_transform(hs, h -> (2 * i + 1) * h
-                                   + i * 2654435761))) as sig
-         from h0),
-bands as (select doc_id, t.b as band_idx,
-                 md5(array_to_string(list_transform(
-                     list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
-                     x -> x::varchar), ',')) as band_hash
-          from sigs cross join (select unnest(range(0, 4)) as b) t),
-prs as (select distinct x.doc_id as u, y.doc_id as v from bands x
-        join bands y on x.band_idx = y.band_idx
-                    and x.band_hash = y.band_hash and x.doc_id < y.doc_id),
-und as (select u, v from prs union select v, u from prs),
-reach(a, b) as (
-  select u, v from und
-  union
-  select r.a, u2.v from reach r join und u2 on u2.u = r.b),
+{_DUCK_MINHASH_CC}
 comp as (select a as node, least(a, min(b)) as component_id
          from reach group by a),
 sizes as (select component_id, count(*)::bigint as cluster_size

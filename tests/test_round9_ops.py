@@ -384,3 +384,44 @@ def test_rrf_fuse_topk_and_tiebreak(spark):
     rows = corpus.rrf_fuse([a], topk=1).collect()
     # equal scores: smallest id wins the cut
     assert [(r["doc_id"],) for r in rows] == [(1,)]
+
+
+def test_winnow_overlap_counts_valved_sets(spark):
+    # review finding: numerator and denominator must describe the same
+    # (post-valve) universe. Two identical docs + boilerplate shared by
+    # all four docs: valved overlap of the identical pair must be 1.0.
+    from restaurant_etl_code_spark.operators import dedup
+
+    boiler = "common header tokens repeated across every document here"
+    docs = spark.createDataFrame(
+        [(1, boiler + " unique alpha beta gamma delta payload one"),
+         (2, boiler + " unique alpha beta gamma delta payload one"),
+         (3, boiler + " totally different body text payload two"),
+         (4, boiler + " yet another separate body text three")],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["overlap"]
+             for r in dedup.winnow_pairs(
+                 docs, min_shared=1, max_df=2).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical docs, boilerplate valved away
+
+
+def test_rrf_fuse_per_query_grouping(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    lex = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 20, 2), ("q2", 30, 1)],
+        "query_id string, doc_id bigint, rank int",
+    )
+    sem = spark.createDataFrame(
+        [("q1", 20, 1), ("q2", 30, 2), ("q2", 40, 1)],
+        "query_id string, doc_id bigint, rank int",
+    )
+    out = {(r["query_id"], r["doc_id"]): (r["rrf"], r["n_lists"])
+           for r in corpus.rrf_fuse(
+               [lex, sem], group_cols=["query_id"], topk=2).collect()}
+    # fusion never crosses queries: doc 30's two entries are both q2
+    assert out[("q2", 30)] == (round(1 / 61 + 1 / 62, 6), 2)
+    assert out[("q1", 20)] == (round(1 / 62 + 1 / 61, 6), 2)
+    assert out[("q1", 10)] == (round(1 / 61, 6), 1)
+    assert ("q2", 10) not in out
