@@ -161,7 +161,13 @@ def text_skew_probe(spark, repo: str) -> None:
     hot.write.mode("overwrite").parquet(os.path.join(out_h, "documents.parquet"))
     print("# text fixtures built", flush=True)
     for name in ("span_dedup", "fuzzy_join", "pmi_collocations",
-                 "bpe_pair_stats", "phrase_merge"):
+                 "bpe_pair_stats", "phrase_merge",
+                 # r9: the winnow valve must absorb the dup-cluster's
+                 # shared fingerprints; the cluster-resolving queries
+                 # must absorb a 500-member component (banded pairs ->
+                 # union-find)
+                 "winnow_dedup_pairs", "dup_cluster_sizes",
+                 "split_leakage_guard"):
         fn = QUERIES[name].spark
         t0 = time.time()
         n_p = fn(spark, out_p).count()
