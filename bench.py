@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "hybrid_rrf_topk",
     "matryoshka_recall",
+    "dedup_rate_by_source",
 ]
 
 

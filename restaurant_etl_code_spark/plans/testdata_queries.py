@@ -7961,6 +7961,75 @@ def _matryoshka_oracle() -> str:
 _ORACLE_MATRYOSHKA = _matryoshka_oracle()
 
 
+def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: for every ingest source, the doc
+    count, the EXACT-duplicate overhang (docs minus distinct normalized
+    fingerprints), the count of docs participating in >= 1 MinHash-LSH
+    near-dup candidate pair, and both as 6dp rates — the per-feed audit
+    that decides which upstream source needs dedup pressure (a feed
+    with 40% duplication wants fixing at the source, not in the
+    pipeline). Counter-sized end-to-end: fingerprint groups and band
+    pairs both reduce to per-source counters before the one join."""
+    docs = _augmented_docs(spark, sf_dir)
+    docs = docs.withColumn(
+        "source", (F.col("doc_id") % 4).cast("long")
+    ).select("doc_id", "source", "text")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=16, shingle_n=3
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", bands=4, rows_per_band=4, num_hashes=16
+    )
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    near = docs.join(members, "doc_id", "left_semi").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neardup_docs")
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(Ftext.fingerprint(F.col("text")))
+        ).cast("long").alias("n_exact_dup"),
+    )
+    return (
+        base.join(near, "source", "left")
+        .withColumn(
+            "n_neardup_docs", F.coalesce("n_neardup_docs", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "exact_rate", F.round(F.col("n_exact_dup") / F.col("n_docs"), 6)
+        )
+        .withColumn(
+            "neardup_rate",
+            F.round(F.col("n_neardup_docs") / F.col("n_docs"), 6),
+        )
+    )
+
+
+_ORACLE_DEDUP_RATE = f"""
+with recursive {_DUCK_CORPUS.strip()},
+corpus2 as (select doc_id, doc_id % 4 as source, text from corpus),
+{_DUCK_MINHASH_CC}
+members as (select distinct u as doc_id from und),
+near as (select source, count(*)::bigint as n_neardup_docs
+         from corpus2 join members using (doc_id) group by 1),
+base as (select source, count(*)::bigint as n_docs,
+                (count(*) - count(distinct
+                    md5({_DUCK_NORM.format(c='text')})))::bigint as n_exact_dup
+         from corpus2 group by 1)
+select b.source, b.n_docs, b.n_exact_dup,
+       coalesce(n.n_neardup_docs, 0)::bigint as n_neardup_docs,
+       round(b.n_exact_dup / (b.n_docs * 1.0), 6) as exact_rate,
+       round(coalesce(n.n_neardup_docs, 0) / (b.n_docs * 1.0), 6)
+           as neardup_rate
+from base b left join near n using (source)
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -8449,6 +8518,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_matryoshka_recall, _ORACLE_MATRYOSHKA,
         "recall@3 of first-d-dimension cosine rankings (d=8/16/32) vs "
         "the full vector — the MRL truncation payoff audit"),
+    "dedup_rate_by_source": QueryDef(
+        _q_dedup_rate_by_source, _ORACLE_DEDUP_RATE,
+        "per-source exact-dup overhang + near-dup participation rates — "
+        "the per-feed audit that routes dedup pressure upstream"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -8475,6 +8548,7 @@ _WINDOW_FIRST = [
     "tokenizer_fertility",  # never-checked
     "hybrid_rrf_topk",  # never-checked
     "matryoshka_recall",  # never-checked
+    "dedup_rate_by_source",  # never-checked
     "positional_zip",  # latest=r04
     "url_parse",  # latest=r04
     "industry_resolve",  # latest=r04
@@ -8516,7 +8590,6 @@ _WINDOW_FIRST = [
     "bm25_topk",  # latest=r05
     "boilerplate_ngrams",  # latest=r05
     "corpus_profile",  # latest=r05
-    "char_entropy",  # latest=r05
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -704,6 +704,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["TakeOrderedAndProject", "HashAggregate"],
         "avoid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "dedup_rate_by_source": {
+        # fingerprint groups and band pairs both reduce to per-source
+        # counters; the only joins are the left-semi participation and
+        # the counter-to-counter source join
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
     "matryoshka_recall": {
         # three sliced rankings + exact, all queries-x-k relations; the
         # recall join is counter-sized; slicing is a codegen projection
