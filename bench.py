@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "hybrid_rrf_topk",
     "matryoshka_recall",
     "dedup_rate_by_source",
+    "decayed_engagement",
 ]
 
 

@@ -8030,6 +8030,37 @@ from base b left join near n using (source)
 """
 
 
+def _q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement counters
+    (behavior.time_decayed_agg, half-life 7 days, as-of the corpus max
+    timestamp): per (user, event_type) freshness-weighted count and
+    value sum — the trending/popularity primitive whose closed form
+    turns 100 TB of history into a one-multiply daily counter update.
+    Weight is a pure codegen expression off exact microsecond ages;
+    the only shuffle is the per-group counter agg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    return behavior.time_decayed_agg(
+        ev, "ts", ["user_id", "event_type"], value_col="value",
+        half_life_days=7.0,
+    )
+
+
+_ORACLE_DECAYED = """
+with m as (select max(ts) as as_of from events),
+w as (select user_id, event_type, value,
+             pow(0.5, date_diff('microsecond', ts, m.as_of)
+                      / (7.0 * 86400.0 * 1e6)) as w
+      from events, m)
+select user_id, event_type,
+       round(sum(w), 6) as decayed_count,
+       round(sum(w * value), 6) as decayed_value,
+       count(*)::bigint as n_events
+from w group by 1, 2
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -8522,6 +8553,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_dedup_rate_by_source, _ORACLE_DEDUP_RATE,
         "per-source exact-dup overhang + near-dup participation rates — "
         "the per-feed audit that routes dedup pressure upstream"),
+    "decayed_engagement": QueryDef(
+        _q_decayed_engagement, _ORACLE_DECAYED,
+        "exponentially time-decayed per-user engagement counters "
+        "(half-life 7d) — the closed-form trending primitive"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -8549,6 +8584,7 @@ _WINDOW_FIRST = [
     "hybrid_rrf_topk",  # never-checked
     "matryoshka_recall",  # never-checked
     "dedup_rate_by_source",  # never-checked
+    "decayed_engagement",  # never-checked
     "positional_zip",  # latest=r04
     "url_parse",  # latest=r04
     "industry_resolve",  # latest=r04
@@ -8589,7 +8625,6 @@ _WINDOW_FIRST = [
     "minhash_estimate",  # latest=r05
     "bm25_topk",  # latest=r05
     "boilerplate_ngrams",  # latest=r05
-    "corpus_profile",  # latest=r05
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -425,3 +425,37 @@ def test_rrf_fuse_per_query_grouping(spark):
     assert out[("q1", 20)] == (round(1 / 62 + 1 / 61, 6), 2)
     assert out[("q1", 10)] == (round(1 / 61, 6), 1)
     assert ("q2", 10) not in out
+
+
+# ------------------------------------------------- time-decayed counters
+
+def test_time_decayed_agg_closed_form(spark):
+    import datetime as dt
+    import math
+
+    from restaurant_etl_code_spark.operators import behavior
+
+    base = dt.datetime(2024, 1, 8)
+    rows = [
+        (1, "click", base - dt.timedelta(days=7), 10.0),  # one half-life
+        (1, "click", base, 4.0),                          # age 0
+        (2, "view", base - dt.timedelta(days=14), 8.0),   # two half-lives
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp_ntz, value double"
+    )
+    out = {(r["user_id"], r["event_type"]):
+           (r["decayed_count"], r["decayed_value"], r["n_events"])
+           for r in behavior.time_decayed_agg(
+               ev, "ts", ["user_id", "event_type"], value_col="value",
+               half_life_days=7.0, as_of=base).collect()}
+    assert out[(1, "click")] == (round(0.5 + 1.0, 6), round(5.0 + 4.0, 6), 2)
+    assert out[(2, "view")] == (0.25, 2.0, 1)
+
+
+def test_time_decayed_agg_rejects_bad_half_life(spark):
+    from restaurant_etl_code_spark.operators import behavior
+
+    ev = spark.createDataFrame([], "user_id bigint, ts timestamp_ntz")
+    with pytest.raises(ValueError, match="half_life_days"):
+        behavior.time_decayed_agg(ev, "ts", ["user_id"], half_life_days=0)

@@ -704,6 +704,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["TakeOrderedAndProject", "HashAggregate"],
         "avoid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "decayed_engagement": {
+        # the weight is one codegen expression; the only shuffle is the
+        # per-group counter agg — no window, no join, no python
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas",
+                  "Window", "SortMergeJoin"],
+    },
     "dedup_rate_by_source": {
         # fingerprint groups and band pairs both reduce to per-source
         # counters; the only joins are the left-semi participation and
