@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "matryoshka_recall",
     "dedup_rate_by_source",
     "decayed_engagement",
+    "robust_outliers",
 ]
 
 

@@ -490,3 +490,61 @@ def grouped_ols(
         F.round(intercept, round_to).alias("intercept"),
         F.round(r2, round_to).alias("r2"),
     )
+
+
+def robust_outlier_stats(
+    df,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 3.5,
+):
+    """Median/MAD robust outlier audit per group: ``med`` is the exact
+    interpolated median, ``mad = median(|x - med|)``, and a row is an
+    outlier iff ``|x - med| > k * mad`` (Hampel's rule; k=3.5 is the
+    conventional cut). The mean/std z-score audit (anomaly_hours'
+    machinery) breaks under the very outliers it hunts — one wild value
+    drags both mean and std — while median/MAD has a 50% breakdown
+    point, which is why data-quality gates on untrusted feeds use it.
+
+    Physical shape: two grouped EXACT percentile aggregates (Spark's
+    ``percentile`` — sketch-free, so the audit is engine-exact and
+    oracle-checkable against DuckDB ``quantile_cont``) with the
+    group-sized med/mad tables broadcast back between passes; the
+    corpus is scanned twice and shuffled only by group key. MAD is
+    definitionally two-phase (the deviation needs the group's median
+    first) — no single-pass formulation exists without approximation.
+
+    Returns group_cols + (n_rows, med, mad, n_outliers, outlier_rate),
+    med/mad 6dp, rate 6dp.
+    """
+    from pyspark.sql import functions as F
+
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, 0.5).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).select(
+        *group_cols,
+        F.col("__med"),
+        F.abs(F.col(value_col) - F.col("__med")).alias("__d"),
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.first("__med").alias("__med"),
+        F.percentile("__d", 0.5).alias("__mad"),
+    )
+    return (
+        dev.drop("__med")
+        .join(F.broadcast(mad), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.first("__med"), 6).alias("med"),
+            F.round(F.first("__mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("__d") > F.lit(k) * F.col("__mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_rate",
+            F.round(F.col("n_outliers") / F.col("n_rows"), 6),
+        )
+    )

@@ -8061,6 +8061,37 @@ from w group by 1, 2
 """
 
 
+def _q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier audit per event_type
+    (stats.robust_outlier_stats, Hampel k=3.5): the data-quality gate
+    that survives the outliers it hunts — mean/std z-scores (the
+    anomaly_hours machinery) are dragged by one wild value, median/MAD
+    has a 50% breakdown point. Exact percentiles both engines, so the
+    audit is value-hash checkable."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return stats.robust_outlier_stats(ev, "value", ["event_type"], k=3.5)
+
+
+_ORACLE_ROBUST_OUTLIERS = """
+with med as (select event_type, quantile_cont(value, 0.5) as med
+             from events group by 1),
+dev as (select e.event_type, m.med, abs(e.value - m.med) as d
+        from events e join med m using (event_type)),
+mad as (select event_type, any_value(med) as med,
+               quantile_cont(d, 0.5) as mad
+        from dev group by 1)
+select d.event_type, count(*)::bigint as n_rows,
+       round(any_value(m.med), 6) as med,
+       round(any_value(m.mad), 6) as mad,
+       sum(case when d.d > 3.5 * m.mad then 1 else 0 end)::bigint
+           as n_outliers,
+       round(sum(case when d.d > 3.5 * m.mad then 1 else 0 end)
+             / (count(*) * 1.0), 6) as outlier_rate
+from dev d join mad m using (event_type)
+group by 1
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -8557,6 +8588,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_decayed_engagement, _ORACLE_DECAYED,
         "exponentially time-decayed per-user engagement counters "
         "(half-life 7d) — the closed-form trending primitive"),
+    "robust_outliers": QueryDef(
+        _q_robust_outliers, _ORACLE_ROBUST_OUTLIERS,
+        "median/MAD Hampel outlier audit per group — the robust gate "
+        "mean/std z-scores cannot be"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -8585,6 +8620,7 @@ _WINDOW_FIRST = [
     "matryoshka_recall",  # never-checked
     "dedup_rate_by_source",  # never-checked
     "decayed_engagement",  # never-checked
+    "robust_outliers",  # never-checked
     "positional_zip",  # latest=r04
     "url_parse",  # latest=r04
     "industry_resolve",  # latest=r04
@@ -8624,7 +8660,6 @@ _WINDOW_FIRST = [
     "unigram_logprob",  # latest=r05
     "minhash_estimate",  # latest=r05
     "bm25_topk",  # latest=r05
-    "boilerplate_ngrams",  # latest=r05
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -459,3 +459,28 @@ def test_time_decayed_agg_rejects_bad_half_life(spark):
     ev = spark.createDataFrame([], "user_id bigint, ts timestamp_ntz")
     with pytest.raises(ValueError, match="half_life_days"):
         behavior.time_decayed_agg(ev, "ts", ["user_id"], half_life_days=0)
+
+
+# --------------------------------------------------- robust outliers
+
+def test_robust_outlier_stats_hampel(spark):
+    from restaurant_etl_code_spark.operators import stats
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]  # one wild point
+    df = spark.createDataFrame([("a", v) for v in vals], "g string, value double")
+    (r,) = stats.robust_outlier_stats(df, "value", ["g"], k=3.5).collect()
+    assert r["med"] == 12.5 and r["mad"] == 1.5
+    # |1000-12.5| = 987.5 > 3.5*1.5: only the wild point flags — a
+    # mean/std z-score would have been dragged to miss it entirely
+    assert (r["n_outliers"], r["n_rows"]) == (1, 6)
+
+
+def test_robust_outlier_stats_zero_mad(spark):
+    from restaurant_etl_code_spark.operators import stats
+
+    # constant group: mad = 0, any deviation is an outlier
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 9 + [("a", 6.0)], "g string, value double"
+    )
+    (r,) = stats.robust_outlier_stats(df, "value", ["g"]).collect()
+    assert r["mad"] == 0.0 and r["n_outliers"] == 1

@@ -704,6 +704,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["TakeOrderedAndProject", "HashAggregate"],
         "avoid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "robust_outliers": {
+        # two exact grouped percentiles with the group-sized med/mad
+        # tables broadcast back — corpus shuffles only by group key
+        "want": ["ObjectHashAggregate", "BroadcastHashJoin"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas",
+                  "SortMergeJoin"],
+    },
     "decayed_engagement": {
         # the weight is one codegen expression; the only shuffle is the
         # per-group counter agg — no window, no join, no python
