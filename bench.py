@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "dedup_rate_by_source",
     "decayed_engagement",
     "robust_outliers",
+    "basket_triangles",
 ]
 
 

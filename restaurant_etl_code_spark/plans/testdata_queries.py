@@ -8092,6 +8092,39 @@ group by 1
 """
 
 
+def _q_basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase bundle detection: triangles in the frequent-pair
+    graph (graph.triangle_counts over basket.cooccurrence_pairs) — a
+    part in a triangle belongs to a 3-clique of pairwise co-purchased
+    items, a stronger bundle signal than any single pair. Degree-
+    ordered wedge join: the skew fix IS the algorithm (a hub's deg²
+    wedges land on its low-degree neighbors), so the plan holds on a
+    100 TB co-occurrence graph."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = basket.cooccurrence_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_support=2, max_basket_size=12,
+    ).select("item_a", "item_b")
+    return graph.triangle_counts(pairs, src="item_a", dst="item_b")
+
+
+def _basket_triangles_oracle() -> str:
+    head, _, _ = _ORACLE_BASKET.rpartition("\nselect ")
+    return head + """
+, e as (select item_a as u, item_b as v from p),
+tri as (select e1.u as a, e1.v as b, e2.v as c
+        from e e1 join e e2 on e2.u = e1.v
+        join e e3 on e3.u = e1.u and e3.v = e2.v),
+corners as (select a as node from tri
+            union all select b from tri
+            union all select c from tri)
+select node, count(*)::bigint as n_triangles from corners group by 1
+"""
+
+
+_ORACLE_BASKET_TRIANGLES = _basket_triangles_oracle()
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -8592,6 +8625,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_robust_outliers, _ORACLE_ROBUST_OUTLIERS,
         "median/MAD Hampel outlier audit per group — the robust gate "
         "mean/std z-scores cannot be"),
+    "basket_triangles": QueryDef(
+        _q_basket_triangles, _ORACLE_BASKET_TRIANGLES,
+        "degree-ordered triangle counts over the frequent co-purchase "
+        "graph — 3-clique bundle detection, skew-proof by construction"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -8621,6 +8658,7 @@ _WINDOW_FIRST = [
     "dedup_rate_by_source",  # never-checked
     "decayed_engagement",  # never-checked
     "robust_outliers",  # never-checked
+    "basket_triangles",  # never-checked
     "positional_zip",  # latest=r04
     "url_parse",  # latest=r04
     "industry_resolve",  # latest=r04
@@ -8659,7 +8697,6 @@ _WINDOW_FIRST = [
     "containment_pairs",  # latest=r05
     "unigram_logprob",  # latest=r05
     "minhash_estimate",  # latest=r05
-    "bm25_topk",  # latest=r05
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

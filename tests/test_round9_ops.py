@@ -484,3 +484,30 @@ def test_robust_outlier_stats_zero_mad(spark):
     )
     (r,) = stats.robust_outlier_stats(df, "value", ["g"]).collect()
     assert r["mad"] == 0.0 and r["n_outliers"] == 1
+
+
+# ---------------------------------------------------- triangle counting
+
+def test_triangle_counts_exact(spark):
+    from restaurant_etl_code_spark.operators import graph
+
+    # K4 on {1..4} (4 triangles, each node in 3) + a pendant edge + a
+    # triangle-free path; duplicate/reversed edges must not double-count
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(4, 5), (10, 11), (11, 12), (2, 1)]  # reversed dup of (1,2)
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["node"]: r["n_triangles"]
+           for r in graph.triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_star_is_triangle_free(spark):
+    from restaurant_etl_code_spark.operators import graph
+
+    # celebrity hub with no closing edges: zero triangles, and the
+    # degree orientation points every edge AWAY from the leaves, so the
+    # hub generates no wedges at all
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 40)], "id_a bigint, id_b bigint"
+    )
+    assert graph.triangle_counts(df).count() == 0

@@ -704,6 +704,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["TakeOrderedAndProject", "HashAggregate"],
         "avoid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "basket_triangles": {
+        # wedge join + closing-edge left-semi are equi-joins on node
+        # keys; counts are counter aggs. (The upstream pair miner's
+        # 1-row n_baskets scalar attach is an intended BNLJ, so only a
+        # true cartesian is banned.)
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
+    },
     "robust_outliers": {
         # two exact grouped percentiles with the group-sized med/mad
         # tables broadcast back — corpus shuffles only by group key
