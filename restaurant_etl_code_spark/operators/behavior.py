@@ -400,7 +400,8 @@ def time_decayed_agg(
     second-truncation or session-timezone drift can enter), and the
     only shuffle carries per-group partial sums. Weights are in (0, 1],
     so the 6dp-rounded sums are engine-stable at any group size that
-    fits a double.
+    fits a double. An event AFTER ``as_of`` fails loud (raise_error in
+    the scan) rather than silently weighing > 1.
 
     Returns group_cols + (decayed_count, decayed_value?, n_events).
     ``decayed_value`` appears only when ``value_col`` is given.
@@ -414,6 +415,21 @@ def time_decayed_agg(
         F.col(ts_col),
         F.lit(as_of).cast(df.schema[ts_col].dataType),
     )
+    # an event AFTER as_of would weigh > 1 and break the (0, 1]
+    # stability contract silently — fail loud in the scan (zero extra
+    # passes; the band-geometry raise_error style). Replaying a daily
+    # update? filter events <= as_of first.
+    age_us = F.when(
+        age_us < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("time_decayed_agg: event at "),
+                F.col(ts_col).cast("string"),
+                F.lit(f" is AFTER as_of={as_of} — weights would exceed 1; "
+                      "filter events <= as_of or pass a later as_of"),
+            )
+        ).cast("long"),
+    ).otherwise(age_us)
     w = F.pow(F.lit(0.5), age_us / F.lit(half_life_days * 86400.0 * 1e6))
     aggs = [
         F.round(F.sum(w), 6).alias("decayed_count"),

@@ -493,11 +493,11 @@ def grouped_ols(
 
 
 def robust_outlier_stats(
-    df,
+    df: DataFrame,
     value_col: str,
     group_cols: list[str],
     k: float = 3.5,
-):
+) -> DataFrame:
     """Median/MAD robust outlier audit per group: ``med`` is the exact
     interpolated median, ``mad = median(|x - med|)``, and a row is an
     outlier iff ``|x - med| > k * mad`` (Hampel's rule; k=3.5 is the
@@ -510,15 +510,18 @@ def robust_outlier_stats(
     ``percentile`` — sketch-free, so the audit is engine-exact and
     oracle-checkable against DuckDB ``quantile_cont``) with the
     group-sized med/mad tables broadcast back between passes; the
-    corpus is scanned twice and shuffled only by group key. MAD is
-    definitionally two-phase (the deviation needs the group's median
-    first) — no single-pass formulation exists without approximation.
+    corpus is scanned THREE times (median, MAD, outlier flag — MAD is
+    definitionally two-phase and the flag needs both statistics; no
+    single-pass formulation exists without approximation) and shuffled
+    only by group key. At 100 TB, persist the projected (group, value)
+    frame if the upstream scan is expensive — the re-derived column set
+    is two columns either way.
 
     Returns group_cols + (n_rows, med, mad, n_outliers, outlier_rate),
     med/mad 6dp, rate 6dp.
     """
-    from pyspark.sql import functions as F
-
+    if k <= 0:
+        raise ValueError(f"k={k} must be > 0 (Hampel cut multiplier)")
     med = df.groupBy(*group_cols).agg(
         F.percentile(value_col, 0.5).alias("__med")
     )

@@ -511,3 +511,24 @@ def test_triangle_counts_star_is_triangle_free(spark):
         [(0, i) for i in range(1, 40)], "id_a bigint, id_b bigint"
     )
     assert graph.triangle_counts(df).count() == 0
+
+
+def test_time_decayed_agg_rejects_future_events(spark):
+    import datetime as dt
+
+    from restaurant_etl_code_spark.operators import behavior
+
+    base = dt.datetime(2024, 1, 8)
+    ev = spark.createDataFrame(
+        [(1, base + dt.timedelta(days=1))], "user_id bigint, ts timestamp_ntz"
+    )
+    with pytest.raises(Exception, match="AFTER as_of"):
+        behavior.time_decayed_agg(ev, "ts", ["user_id"], as_of=base).collect()
+
+
+def test_robust_outlier_stats_rejects_bad_k(spark):
+    from restaurant_etl_code_spark.operators import stats
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, value double")
+    with pytest.raises(ValueError, match="Hampel"):
+        stats.robust_outlier_stats(df, "value", ["g"], k=0)
