@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "decayed_engagement",
     "robust_outliers",
     "basket_triangles",
+    "winnow_recall",
 ]
 
 

@@ -8125,6 +8125,82 @@ select node, count(*)::bigint as n_triangles from corners group by 1
 _ORACLE_BASKET_TRIANGLES = _basket_triangles_oracle()
 
 
+def _q_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing recall audit, bucketed by true similarity: the fraction
+    of exact 3-gram-Jaccard >= 0.5 pairs that winnow_pairs (k=3, w=5,
+    min_shared=1) recovers, per 0.1-wide Jaccard bucket — the
+    measure-don't-guess row that justifies a (k, w) choice, completing
+    the audit family (ann_recall / dedup_recall / ivfpq_recall /
+    matryoshka_recall). The bucket breakdown is the point: the
+    winnowing guarantee covers shared RUNS, so recall must approach 1
+    at high Jaccard and may decay below — this row shows where."""
+    docs = _augmented_docs(spark, sf_dir).select("doc_id", "text")
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    )
+    approx = dedup.winnow_pairs(
+        docs, "doc_id", "text", k=3, window=5, min_shared=1
+    ).select("id_a", "id_b")
+    marked = exact.join(
+        approx.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    return (
+        marked.withColumn(
+            "jacc_bucket", F.floor(F.col("jaccard") * 10).cast("long")
+        )
+        .groupBy("jacc_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hit") / F.col("n_exact"), 6)
+        )
+    )
+
+
+_ORACLE_WINNOW_RECALL = f"""
+with {_DUCK_CORPUS.strip()},
+{_DUCK_TOKS},
+{_DUCK_SHINGLES},
+distinct_sh as (
+  select doc_id, unnest(list_distinct(shingles)) as shingle from sh),
+sizes as (select doc_id, count(*) as set_size from distinct_sh group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter
+  from distinct_sh a join distinct_sh b
+    on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+ex as (
+  select id_a, id_b,
+         round(n_inter::double / (sa.set_size + sb.set_size - n_inter), 6)
+             as jaccard
+  from inter
+  join sizes sa on sa.doc_id = id_a
+  join sizes sb on sb.doc_id = id_b
+  where round(n_inter::double / (sa.set_size + sb.set_size - n_inter), 6)
+        >= 0.5),
+h as (select doc_id,
+             list_transform(shingles, g ->
+                 ('0x' || substring(md5(g), 1, 13))::bigint) as hs
+      from sh where len(shingles) > 0),
+fp as (select doc_id, case when len(hs) >= 5 then
+           list_distinct(list_transform(range(1, len(hs) - 3), i ->
+               list_min(list_slice(hs, i::int, i::int + 4))))
+           else [list_min(hs)] end as fps from h),
+inv as (select doc_id, unnest(fps) as f from fp),
+ap as (select distinct a.doc_id as id_a, b.doc_id as id_b
+       from inv a join inv b on a.f = b.f and a.doc_id < b.doc_id)
+select floor(e.jaccard * 10)::bigint as jacc_bucket,
+       count(*)::bigint as n_exact,
+       sum(case when ap.id_a is not null then 1 else 0 end)::bigint as n_hit,
+       round(sum(case when ap.id_a is not null then 1 else 0 end)
+             / (count(*) * 1.0), 6) as recall
+from ex e left join ap on ap.id_a = e.id_a and ap.id_b = e.id_b
+group by 1
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -8629,6 +8705,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_basket_triangles, _ORACLE_BASKET_TRIANGLES,
         "degree-ordered triangle counts over the frequent co-purchase "
         "graph — 3-clique bundle detection, skew-proof by construction"),
+    "winnow_recall": QueryDef(
+        _q_winnow_recall, _ORACLE_WINNOW_RECALL,
+        "winnowing recall vs exact 3-gram Jaccard, per 0.1 similarity "
+        "bucket — the (k, w) justification audit"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -8659,6 +8739,7 @@ _WINDOW_FIRST = [
     "decayed_engagement",  # never-checked
     "robust_outliers",  # never-checked
     "basket_triangles",  # never-checked
+    "winnow_recall",  # never-checked
     "positional_zip",  # latest=r04
     "url_parse",  # latest=r04
     "industry_resolve",  # latest=r04
@@ -8696,7 +8777,6 @@ _WINDOW_FIRST = [
     "contamination_score",  # latest=r05
     "containment_pairs",  # latest=r05
     "unigram_logprob",  # latest=r05
-    "minhash_estimate",  # latest=r05
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

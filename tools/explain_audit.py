@@ -704,6 +704,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["TakeOrderedAndProject", "HashAggregate"],
         "avoid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "winnow_recall": {
+        # exact-jaccard and winnow sides are both inverted-index
+        # equi-joins; the recall join is pair-table-sized
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
     "basket_triangles": {
         # wedge join + closing-edge left-semi are equi-joins on node
         # keys; counts are counter aggs. (The upstream pair miner's
