@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "robust_outliers",
     "basket_triangles",
     "winnow_recall",
+    "basket_kcore",
 ]
 
 

@@ -8201,6 +8201,58 @@ group by 1
 """
 
 
+def _q_basket_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the frequent co-purchase graph (graph.k_core): the
+    density filter that keeps only parts with >= 3 surviving co-purchase
+    partners AFTER cascade — a degree threshold alone keeps nodes whose
+    neighbors are themselves doomed (pinned by test). The classic
+    link-farm/bundle-community prune. Peeling is deterministic (the
+    k-core is unique), so the oracle is the same peel unrolled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = basket.cooccurrence_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_support=2, max_basket_size=12,
+    ).select("item_a", "item_b")
+    return graph.k_core(pairs, k=3, src="item_a", dst="item_b")
+
+
+def _basket_kcore_oracle(k: int, n_rounds: int) -> str:
+    """Unrolled synchronous peel: round i deletes every node whose
+    degree in e{i} is < k. ``n_rounds`` must be >= the fixture's peel
+    depth (11 at sf0.01, measured); extra rounds are no-ops once
+    stable, so the margin is free."""
+    head, _, _ = _ORACLE_BASKET.rpartition("\nselect ")
+    # every e{i} is referenced three times by round i (degree union x2 +
+    # the filter), so WITHOUT materialization DuckDB inlines the chain
+    # 3^n_rounds times (found as an fd-exhaustion blowup at 14 rounds) —
+    # MATERIALIZED pins each round to one evaluation
+    parts = [
+        ", e0 as materialized (select item_a as u, item_b as v from p)"
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"d{i} as materialized (select node, count(*) as c from "
+            f"(select u as node from e{i} union all "
+            f"select v from e{i}) group by 1)"
+        )
+        parts.append(f"r{i} as (select node from d{i} where c < {k})")
+        parts.append(
+            f"e{i + 1} as materialized (select * from e{i} "
+            f"where u not in (select node from r{i}) "
+            f"and v not in (select node from r{i}))"
+        )
+    last = f"e{n_rounds}"
+    return (
+        head + "\n" + ",\n".join(parts)
+        + f"\nselect node, count(*)::bigint as core_degree from "
+        f"(select u as node from {last} union all select v from {last}) "
+        "group by 1"
+    )
+
+
+_ORACLE_BASKET_KCORE = _basket_kcore_oracle(3, 14)
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -8709,6 +8761,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_winnow_recall, _ORACLE_WINNOW_RECALL,
         "winnowing recall vs exact 3-gram Jaccard, per 0.1 similarity "
         "bucket — the (k, w) justification audit"),
+    "basket_kcore": QueryDef(
+        _q_basket_kcore, _ORACLE_BASKET_KCORE,
+        "3-core of the co-purchase graph by cascade peeling — the "
+        "density prune a one-shot degree filter gets wrong"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -8740,6 +8796,7 @@ _WINDOW_FIRST = [
     "robust_outliers",  # never-checked
     "basket_triangles",  # never-checked
     "winnow_recall",  # never-checked
+    "basket_kcore",  # never-checked
     "positional_zip",  # latest=r04
     "url_parse",  # latest=r04
     "industry_resolve",  # latest=r04
@@ -8776,7 +8833,6 @@ _WINDOW_FIRST = [
     "mixture_sample",  # latest=r05
     "contamination_score",  # latest=r05
     "containment_pairs",  # latest=r05
-    "unigram_logprob",  # latest=r05
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

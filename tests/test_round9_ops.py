@@ -532,3 +532,35 @@ def test_robust_outlier_stats_rejects_bad_k(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, value double")
     with pytest.raises(ValueError, match="Hampel"):
         stats.robust_outlier_stats(df, "value", ["g"], k=0)
+
+
+# ------------------------------------------------------------- k-core
+
+def test_k_core_peels_cascade(spark):
+    from restaurant_etl_code_spark.operators import graph
+
+    # K4 {1..4} + a tail 4-5-6: 5 and 6 fall in CASCADE (5 has degree 2
+    # only while 6 survives — a one-shot degree filter keeps 5 wrongly)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["node"]: r["core_degree"]
+           for r in graph.k_core(df, k=2).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert graph.k_core(df, k=4).count() == 0  # K4 is only a 3-core
+
+
+def test_k_core_driver_and_distributed_agree(spark):
+    import random
+
+    from restaurant_etl_code_spark.operators import graph
+
+    rng = random.Random(99)
+    edges = list({(a, b) for _ in range(120)
+                  for a, b in [sorted(rng.sample(range(1, 30), 2))]})
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    want = {(r["node"], r["core_degree"])
+            for r in graph.k_core(df, k=3).collect()}
+    got = {(r["node"], r["core_degree"])
+           for r in graph.k_core(df, k=3, driver_max_edges=0).collect()}
+    assert want == got and want

@@ -704,6 +704,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["TakeOrderedAndProject", "HashAggregate"],
         "avoid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "basket_kcore": {
+        # the sf0.01 graph rides the driver peel shortcut, so the
+        # RETURNED plan is a local relation (the distributed peel's
+        # per-round agg + anti-joins run only above driver_max_edges)
+        "want": ["Scan ExistingRDD"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
+    },
     "winnow_recall": {
         # exact-jaccard and winnow sides are both inverted-index
         # equi-joins; the recall join is pair-table-sized
