@@ -8781,58 +8781,60 @@ _REGISTRY: dict[str, QueryDef] = {
 # applies the policy above; hand-maintained rotation notes failed in
 # r6/r7 and miscounted in r8, so the tool's output is authoritative.)
 #
-# r09 window provenance (freshness ledger at generation time): all 33
-# queries whose latest check is r04, then the oldest r05-cohort names in
-# registry order, new r09 additions at the front, and the two anchors.
+# r10 window provenance (ledger as of r09, tools/freshness.py --window 50):
+# the 45-query r05 cohort (activity_streaks ... basket_* family — four
+# rounds stale, the r9 verdict's freshness-tail order), the 3 oldest r07
+# names, and the two anchors.
+_WINDOW_ROUND = 9  # ledger state this window was generated from
 _WINDOW_FIRST = [
-    "winnow_dedup_pairs",  # never-checked
-    "split_leakage_guard",  # never-checked
-    "dup_cluster_sizes",  # never-checked
-    "tokenizer_fertility",  # never-checked
-    "hybrid_rrf_topk",  # never-checked
-    "matryoshka_recall",  # never-checked
-    "dedup_rate_by_source",  # never-checked
-    "decayed_engagement",  # never-checked
-    "robust_outliers",  # never-checked
-    "basket_triangles",  # never-checked
-    "winnow_recall",  # never-checked
-    "basket_kcore",  # never-checked
-    "positional_zip",  # latest=r04
-    "url_parse",  # latest=r04
-    "industry_resolve",  # latest=r04
-    "update_fields",  # latest=r04
-    "distinct_categories",  # latest=r04
-    "stratified_split",  # latest=r04
-    "tfidf_top_terms",  # latest=r04
-    "decontaminate",  # latest=r04
-    "stats_moments",  # latest=r04
-    "pii_scrub",  # latest=r04
-    "doc_chunks",  # latest=r04
-    "repetition_signals",  # latest=r04
-    "group_sample",  # latest=r04
-    "rolling_stats",  # latest=r04
-    "csv_scan_agg",  # latest=r04
-    "json_scan_agg",  # latest=r04
-    "scd2_history",  # latest=r04
-    "sliding_window",  # latest=r04
-    "stream_stream_join",  # latest=r04
-    "histogram",  # latest=r04
-    "weighted_sample",  # latest=r04
-    "heavy_hitters",  # latest=r04
-    "bloom_prune_join",  # latest=r04
-    "zorder_scan",  # latest=r04
-    "streaming_dedup_watermark",  # latest=r04
-    "sketch_overlap",  # latest=r04
-    "corpus_curation",  # latest=r04
-    "incremental_agg",  # latest=r04
-    "mdb_scan_agg",  # latest=r04
-    "simhash_pairs_banded",  # latest=r04
-    "pdf_menu_extract",  # latest=r04
-    "cdc_snapshot",  # latest=r04
-    "semantic_dedup",  # latest=r04
-    "mixture_sample",  # latest=r05
-    "contamination_score",  # latest=r05
-    "containment_pairs",  # latest=r05
+    "unigram_logprob",  # latest=r05
+    "minhash_estimate",  # latest=r05
+    "bm25_topk",  # latest=r05
+    "boilerplate_ngrams",  # latest=r05
+    "corpus_profile",  # latest=r05
+    "char_entropy",  # latest=r05
+    "streaming_quality_gate",  # latest=r05
+    "ann_recall",  # latest=r05
+    "orc_scan_agg",  # latest=r05
+    "quality_classifier",  # latest=r05
+    "stats_prune_scan",  # latest=r05
+    "embedding_covariance",  # latest=r05
+    "incremental_quantile",  # latest=r05
+    "kfold_split",  # latest=r05
+    "retrieval_eval",  # latest=r05
+    "funnel",  # latest=r05
+    "cohort_retention",  # latest=r05
+    "event_transitions",  # latest=r05
+    "concurrency_sweep",  # latest=r05
+    "dq_audit",  # latest=r05
+    "time_resample",  # latest=r05
+    "winsorize",  # latest=r05
+    "pagerank",  # latest=r05
+    "basket_pairs",  # latest=r05
+    "anomaly_hours",  # latest=r05
+    "funnel_windowed",  # latest=r05
+    "approx_distinct_audit",  # latest=r05
+    "asof_tolerance",  # latest=r05
+    "point_in_time",  # latest=r05
+    "trend_fit",  # latest=r05
+    "knn_graph",  # latest=r05
+    "streaming_funnel",  # latest=r05
+    "star_join",  # latest=r05
+    "schema_evolution_scan",  # latest=r05
+    "stream_stream_left_join",  # latest=r05
+    "incremental_join",  # latest=r05
+    "dedup_recall",  # latest=r05
+    "corrupt_quarantine",  # latest=r05
+    "funnel_timing",  # latest=r05
+    "numeric_corr",  # latest=r05
+    "session_paths",  # latest=r05
+    "basket_triples",  # latest=r05
+    "basket_rules",  # latest=r05
+    "activity_streaks",  # latest=r05
+    "basket_triple_rules",  # latest=r05
+    "staging_restaurant",  # latest=r07
+    "llm_parse",  # latest=r07
+    "precheck_antijoin",  # latest=r07
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

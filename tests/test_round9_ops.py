@@ -139,7 +139,12 @@ def test_freshness_window_policy():
 
 def test_freshness_window_matches_committed_rotation():
     # the committed _WINDOW_FIRST must BE the tool's output (the r6/r7
-    # failure was exactly a note that never became the list)
+    # failure was exactly a note that never became the list).  The ledger
+    # is replayed AS OF tq._WINDOW_ROUND: the driver writing the next
+    # round's CORRECTNESS artifact must not flip this test red (that
+    # environment coupling was the r9 suite's only failure) — the test
+    # goes red only when a query is ADDED without regenerating the
+    # window, which is exactly the forgotten-rotation bug it guards.
     import sys
     from pathlib import Path
 
@@ -149,7 +154,7 @@ def test_freshness_window_matches_committed_rotation():
 
     from restaurant_etl_code_spark.plans import testdata_queries as tq
 
-    latest = freshness.latest_rounds(str(repo))
+    latest = freshness.latest_rounds(str(repo), as_of=tq._WINDOW_ROUND)
     want = freshness.build_window(list(tq._REGISTRY), latest, 50)
     assert tq._WINDOW_FIRST == want
 

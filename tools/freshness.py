@@ -37,14 +37,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ANCHORS = ["staging_cleanse", "match_cascade"]
 
 
-def latest_rounds(repo: str = REPO) -> dict[str, int]:
-    """Map query name -> latest committed driver round that checked it."""
+def latest_rounds(repo: str = REPO, as_of: int | None = None) -> dict[str, int]:
+    """Map query name -> latest committed driver round that checked it.
+
+    ``as_of`` caps the ledger at that round (inclusive).  The committed
+    ``_WINDOW_FIRST`` is generated against a specific ledger state; the
+    rotation test replays the ledger *as of* ``_WINDOW_ROUND`` so the
+    driver writing the NEXT round's artifact cannot flip the test red
+    (the exact r9 failure mode — VERDICT r9 "What's wrong" item 1).
+    """
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if as_of is not None and rnd > as_of:
+            continue
         try:
             data = json.load(open(path))
         except Exception as exc:  # corrupt artifact: surface, don't skip silently
@@ -75,9 +84,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--window", nargs="?", const=50, type=int, default=None,
                     help="emit a rotation window of this size (default 50)")
+    ap.add_argument("--as-of", type=int, default=None,
+                    help="cap the ledger at this round (default: all rounds)")
     args = ap.parse_args()
 
-    latest = latest_rounds()
+    latest = latest_rounds(as_of=args.as_of)
     order = registry_order()
 
     if args.window is None:
@@ -95,6 +106,8 @@ def main() -> int:
         return 0
 
     window = build_window(order, latest, args.window)
+    ledger_round = max(latest.values()) if latest else 0
+    print(f"_WINDOW_ROUND = {ledger_round}  # ledger state this window was generated from")
     print("_WINDOW_FIRST = [")
     for q in window:
         tag = "never-checked" if q not in latest else f"latest=r{latest[q]:02d}"
