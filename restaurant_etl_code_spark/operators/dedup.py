@@ -893,7 +893,23 @@ def connected_components(
                 .count()
             )
             if changed == 0:
+                converged = True
                 break
+    else:  # pragma: no cover - requires diameter ~2**max_iter
+        converged = False
+    if not converged:
+        # fail loud, never silently: unconverged labels SPLIT components,
+        # and a split component feeding split_leakage_guard silently
+        # un-guards the exact train/test leakage it exists to prevent.
+        # Pointer jumping halves the label-tree height per round, so
+        # max_iter rounds cover diameter ~2**max_iter — hitting this
+        # means the graph is adversarial or max_iter was hand-lowered.
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"rounds ({n_edges} edges); labels would be WRONG (split "
+            "components). Raise max_iter — pointer jumping converges in "
+            "O(log diameter) rounds."
+        )
     return labels.select("node", F.col("label").alias("component_id"))
 
 def incremental_lsh_pairs(
@@ -1111,7 +1127,7 @@ def winnow_pairs(
     k: int = 4,
     window: int = 5,
     min_shared: int = 2,
-    max_df: int | None = None,
+    max_df: int | None = 64,
 ) -> DataFrame:
     """Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS: the
     inverted-index join of ``winnow_fingerprints`` — explode each
@@ -1120,6 +1136,13 @@ def winnow_pairs(
     index here carries: a header fingerprint shared by everything
     would otherwise emit a quadratic bucket), join on fingerprint, and
     keep pairs sharing >= ``min_shared`` values.
+
+    ``max_df`` defaults ON (64) because the valve is the operator's
+    scale guarantee, not an option — a corpus-wide boilerplate
+    fingerprint makes the join quadratic with the valve off (advisor
+    finding r9). Pass ``max_df=None`` ONLY for bounded corpora or
+    audits that must see the unvalved fingerprint space (e.g. the
+    ``winnow_recall`` query measures the raw winnowing guarantee).
 
     Physical shape at 100 TB: the join keys on a 52-bit hash with
     ~2/(window+1) of the corpus' k-grams as rows — orders of magnitude

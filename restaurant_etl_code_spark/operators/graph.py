@@ -363,11 +363,26 @@ def k_core(
         )
         bad = deg.filter(F.col("deg") < k).select("node")
         if bad.limit(1).count() == 0:
+            converged = True
             break
         surv = (
             surv.join(bad.select(F.col("node").alias("u")), "u", "left_anti")
             .join(bad.select(F.col("node").alias("v")), "v", "left_anti")
             .localCheckpoint(eager=False)
+        )
+    else:
+        converged = False
+    if not converged:
+        # fail loud: an unfinished peel still contains sub-k nodes, so
+        # the result would NOT be a k-core (it diverges from the exact
+        # driver path above on deep-peel graphs, e.g. long chains with
+        # k=2 whose cascade takes O(n) waves). Same convention as
+        # connected_components / the pagerank dangling-node guard.
+        raise RuntimeError(
+            f"k_core peel did not converge in max_iter={max_iter} rounds "
+            f"(k={k}, {n_edges} edges); survivors still include sub-k "
+            "nodes. Raise max_iter — rounds are bounded by the peel "
+            "depth (degeneracy cascade length)."
         )
     deg = (
         surv.select(F.col("u").alias("node"))

@@ -509,7 +509,11 @@ def robust_outlier_stats(
     Physical shape: two grouped EXACT percentile aggregates (Spark's
     ``percentile`` — sketch-free, so the audit is engine-exact and
     oracle-checkable against DuckDB ``quantile_cont``) with the
-    group-sized med/mad tables broadcast back between passes; the
+    group-sized med/mad tables joined back between passes — no forced
+    broadcast hint: with high-cardinality group keys those tables are
+    group-count-sized and a forced broadcast can OOM the driver where a
+    shuffle join succeeds (advisor finding r9); AQE auto-broadcasts
+    them when they are actually small, which is the common case; the
     corpus is scanned THREE times (median, MAD, outlier flag — MAD is
     definitionally two-phase and the flag needs both statistics; no
     single-pass formulation exists without approximation) and shuffled
@@ -525,7 +529,7 @@ def robust_outlier_stats(
     med = df.groupBy(*group_cols).agg(
         F.percentile(value_col, 0.5).alias("__med")
     )
-    dev = df.join(F.broadcast(med), group_cols).select(
+    dev = df.join(med, group_cols).select(
         *group_cols,
         F.col("__med"),
         F.abs(F.col(value_col) - F.col("__med")).alias("__d"),
@@ -536,7 +540,7 @@ def robust_outlier_stats(
     )
     return (
         dev.drop("__med")
-        .join(F.broadcast(mad), group_cols)
+        .join(mad, group_cols)
         .groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),

@@ -8139,7 +8139,9 @@ def _q_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", shingle_n=3, threshold=0.5
     )
     approx = dedup.winnow_pairs(
-        docs, "doc_id", "text", k=3, window=5, min_shared=1
+        # max_df=None deliberately: this audit measures the RAW winnowing
+        # guarantee, so the boilerplate valve must not delete fingerprints
+        docs, "doc_id", "text", k=3, window=5, min_shared=1, max_df=None
     ).select("id_a", "id_b")
     marked = exact.join(
         approx.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left"

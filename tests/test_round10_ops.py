@@ -1,0 +1,84 @@
+"""Round-10 unit tests: fail-loud iterative convergence, valve defaults,
+text normalization, URL canonicalization."""
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------- fail-loud non-convergence
+
+def test_cc_raises_on_max_iter_exhaustion(spark):
+    # chain graph, distributed path forced (driver_max_edges=0), one
+    # round only: min-propagation cannot traverse an 8-node chain in a
+    # single step+jump, so the loop must exhaust and RAISE — a silent
+    # return here splits components and un-guards split_leakage_guard
+    from restaurant_etl_code_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="connected_components did not converge"):
+        dedup.connected_components(edges, max_iter=1, driver_max_edges=0)
+
+
+def test_cc_distributed_still_converges_when_iters_suffice(spark):
+    from restaurant_etl_code_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in dedup.connected_components(
+            edges, max_iter=25, driver_max_edges=0
+        ).collect()
+    }
+    assert got == {n: 1 for n in range(1, 10)}
+
+
+def test_kcore_raises_on_max_iter_exhaustion(spark):
+    # chain with k=2 peels one wave per round (endpoints fall first) —
+    # max_iter=1 leaves sub-k survivors, which is NOT a k-core
+    from restaurant_etl_code_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="k_core peel did not converge"):
+        graph.k_core(edges, k=2, max_iter=1, driver_max_edges=0)
+
+
+def test_kcore_distributed_matches_driver_path(spark):
+    from restaurant_etl_code_spark.operators import graph
+
+    # triangle (a real 2-core) + a tail that peels away over two waves
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)],
+        "id_a bigint, id_b bigint",
+    )
+    want = {
+        (r["node"], r["core_degree"])
+        for r in graph.k_core(edges, k=2).collect()
+    }
+    got = {
+        (r["node"], r["core_degree"])
+        for r in graph.k_core(edges, k=2, driver_max_edges=0).collect()
+    }
+    assert want == got == {(1, 2), (2, 2), (3, 2)}
+
+
+# ------------------------------------------------- winnow valve default
+
+def test_winnow_pairs_max_df_defaults_on(spark):
+    # 70 copies of one boilerplate sentence: every fingerprint is
+    # corpus-wide (df=70 > the default valve 64), so the default drops
+    # them all and no quadratic C(70,2) bucket is emitted; max_df=None
+    # restores the raw pairing — the unsafe mode is opt-in (advisor r9)
+    from restaurant_etl_code_spark.operators import dedup
+
+    boiler = "all rights reserved subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(70)], "doc_id bigint, text string"
+    )
+    assert dedup.winnow_pairs(docs, min_shared=1).count() == 0
+    assert dedup.winnow_pairs(docs, min_shared=1, max_df=None).count() == 70 * 69 // 2

@@ -727,7 +727,9 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
     },
     "robust_outliers": {
         # two exact grouped percentiles with the group-sized med/mad
-        # tables broadcast back — corpus shuffles only by group key
+        # tables broadcast back — planner/AQE-chosen, no forced hint
+        # (a forced broadcast OOMs on high-cardinality groups, advisor
+        # r9); corpus shuffles only by group key
         "want": ["ObjectHashAggregate", "BroadcastHashJoin"],
         "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas",
                   "SortMergeJoin"],
