@@ -287,6 +287,65 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_component_edges(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Celebrity-cluster-proof edge set for COMPONENT consumers of LSH:
+    connected components over this edge set are PROVABLY identical to
+    components over ``lsh_candidate_pairs``, but a hot near-dup cluster
+    costs linear edges instead of a quadratic pair bucket.
+
+    Why it is exact: docs with identical signatures hash to identical
+    band buckets, so (a) all of them band-collide pairwise (the star
+    below spans them) and (b) any band collision of a member is also a
+    collision of its representative (edge (rep, x) stands in for every
+    (member, x)). Union of the star and rep-level pairs therefore has
+    the same transitive closure as the full pair set — no approximation,
+    the DuckDB all-pairs oracle stays hash-identical.
+
+    Why it matters at 100 TB: LSH's worst case is one boilerplate /
+    celebrity cluster of B near-identical docs — ``lsh_candidate_pairs``
+    MUST emit the O(B²) pair rows (pair semantics), but a consumer that
+    only resolves clusters (leakage-safe split, cluster audits,
+    curation canonicalization) never needed the pairs. Collapsing by
+    exact signature first bounds the blow-up at B·bands band rows and
+    B-1 star edges; only DISTINCT signatures reach the band self-join
+    (the r9 skew probe's 2.84× hot-cluster ratio is this wired in as
+    the default — VERDICT r9 task 3).
+
+    Use ``lsh_candidate_pairs`` when the pairs themselves are the
+    product; use this whenever the next step is
+    ``connected_components``.
+
+    Returns (id_a, id_b) with id_a < id_b (the star's rep is the group
+    min, so the invariant holds on both branches).
+    """
+    sigs = signatures.select(id_col, "signature")
+    # one shuffle on the signature key; grouping on the full array is
+    # EXACT (a hashed key could collide two distinct signatures and
+    # silently merge unrelated components)
+    rep_w = Window.partitionBy("signature")
+    # persisted: the star and rep branches below both read this frame,
+    # and without the cache each re-runs the upstream Arrow signature
+    # stage (the lsh_candidate_pairs banded-persist rationale)
+    tagged = sigs.withColumn("__rep", F.min(id_col).over(rep_w)).persist()
+    star = tagged.filter(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    rep_sigs = tagged.filter(F.col(id_col) == F.col("__rep")).select(
+        id_col, "signature"
+    )
+    pairs = lsh_candidate_pairs(
+        rep_sigs, id_col, bands=bands, rows_per_band=rows_per_band,
+        num_hashes=num_hashes,
+    )
+    return pairs.unionByName(star)
+
+
 def minhash_estimate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

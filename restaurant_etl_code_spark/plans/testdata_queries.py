@@ -7681,7 +7681,11 @@ def _q_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(
         docs, "doc_id", "text", num_hashes=16, shingle_n=3
     )
-    pairs = dedup.lsh_candidate_pairs(
+    # component consumer -> component edges, not pairs: a celebrity
+    # cluster costs linear star edges instead of a quadratic pair
+    # bucket, and the components (hence the split) are provably
+    # identical (r9 skew-probe mitigation, wired as the default)
+    pairs = dedup.lsh_component_edges(
         sigs, "doc_id", bands=4, rows_per_band=4, num_hashes=16
     )
     labeled = sampling.leakage_safe_split(
@@ -7738,7 +7742,9 @@ def _q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(
         docs, "doc_id", "text", num_hashes=16, shingle_n=3
     )
-    pairs = dedup.lsh_candidate_pairs(
+    # component consumer -> component edges (same components, linear
+    # hot-cluster cost — r9 skew-probe mitigation)
+    pairs = dedup.lsh_component_edges(
         sigs, "doc_id", bands=4, rows_per_band=4, num_hashes=16
     )
     return dedup.cluster_size_histogram(pairs)
@@ -7977,7 +7983,11 @@ def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(
         docs, "doc_id", "text", num_hashes=16, shingle_n=3
     )
-    pairs = dedup.lsh_candidate_pairs(
+    # membership consumer: a doc participates in >=1 full pair iff it
+    # appears in >=1 component edge (star spans same-signature groups;
+    # a member's band collisions are exactly its representative's), so
+    # the rate is identical with linear hot-cluster cost
+    pairs = dedup.lsh_component_edges(
         sigs, "doc_id", bands=4, rows_per_band=4, num_hashes=16
     )
     members = (

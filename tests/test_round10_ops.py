@@ -67,6 +67,45 @@ def test_kcore_distributed_matches_driver_path(spark):
     assert want == got == {(1, 2), (2, 2), (3, 2)}
 
 
+# ------------------------------------- lsh_component_edges equivalence
+
+def test_lsh_component_edges_same_components_linear_hot_cluster(spark):
+    # 40-copy celebrity cluster + 2 near-dups + singletons: components
+    # from lsh_component_edges must equal components from the full
+    # quadratic pair set, while the edge count collapses from O(B^2)
+    # pair rows to O(B) star rows
+    from restaurant_etl_code_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(40)]                       # exact dups
+    rows += [(100, base + " tail one"), (101, base + " tail one x")]
+    rows += [(200, "completely different text about spark catalyst plans"),
+             (201, "another unrelated document on adaptive query execution")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=16, shingle_n=3
+    ).localCheckpoint()
+
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+    edges = dedup.lsh_component_edges(sigs, "doc_id", bands=4, rows_per_band=4)
+
+    comp_full = {
+        r["node"]: r["component_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    comp_edges = {
+        r["node"]: r["component_id"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert comp_full == comp_edges
+    # the hot cluster contributes C(40,2)=780 pairs but only 39 star edges
+    n_pairs, n_edges = pairs.count(), edges.count()
+    assert n_pairs >= 780
+    assert n_edges < 100
+    # id_a < id_b invariant holds on both branches
+    assert edges.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
 # ------------------------------------------------- winnow valve default
 
 def test_winnow_pairs_max_df_defaults_on(spark):
