@@ -234,6 +234,103 @@ def _canary_sec() -> float:
     return time.perf_counter() - t0
 
 
+def _pick_io_probe_file(sf_dir: str) -> str | None:
+    """A fixed data file (>=1 MiB preferred) under sf_dir for the I/O
+    canary — the same file every sample, so after the first read it is
+    page-cache-hot and the timing probes syscall/memory-path latency,
+    which I/O-side interference (the r9 canary blind spot: a run
+    uniformly 1.29x slower with every CPU canary quiet) does inflate."""
+    best, best_sz = None, -1
+    for root, _dirs, files in sorted(os.walk(sf_dir)):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            try:
+                sz = os.path.getsize(p)
+            except OSError:
+                continue
+            if sz >= 1 << 20:
+                return p
+            if sz > best_sz:
+                best, best_sz = p, sz
+    return best
+
+
+def _io_canary_sec(path: str, total: int = 16 << 20) -> float:
+    """Timed sequential reads of ``path``, re-opened until ``total``
+    bytes have been read — a multi-millisecond sample even on a small
+    hot file, so the contamination ratio is not comparing sub-ms
+    flukes (measured 0.73-1.03 ms for one 2 MB pass on this box)."""
+    t0 = time.perf_counter()
+    n = 0
+    while n < total:
+        got = 0
+        with open(path, "rb") as fh:
+            while True:
+                chunk = fh.read(1 << 20)
+                if not chunk:
+                    break
+                got += len(chunk)
+        if got == 0:
+            break  # empty file: bail rather than spin forever
+        n += got
+    return time.perf_counter() - t0
+
+
+def _prev_committed_record(repo: str) -> tuple[str, dict] | None:
+    """Latest committed BENCH_full_r<N>.json (NOT _latest — that file is
+    a scratch artifact rewritten by every local run)."""
+    import glob
+    import re
+
+    best_rnd, best = -1, None
+    for path in glob.glob(os.path.join(repo, "BENCH_full_r*.json")):
+        m = re.search(r"BENCH_full_r(\d+)\.json$", path)
+        if not m:
+            continue
+        if int(m.group(1)) > best_rnd:
+            best_rnd, best = int(m.group(1)), path
+    if best is None:
+        return None
+    try:
+        return best, json.load(open(best))
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+# record-to-record drift gate (r9 canary blind spot, VERDICT r9 task 4):
+# intermittent NON-CPU interference once made a full run uniformly 1.29x
+# slower while every CPU canary sampled quiet instants. The canary can
+# never prove a negative, but the previous committed record can: a run
+# whose common-query GEOMEAN is > DRIFT_SUSPECT_RATIO of the last
+# committed quiet record — while claiming quiet itself — matches that
+# exact signature and is flagged contaminated-suspect. (A real uniform
+# regression would have a cause in the diff; the flag demands the human
+# attribute it either way.)
+DRIFT_SUSPECT_RATIO = 1.2
+DRIFT_MIN_SEC = 0.2  # ratios of sub-noise rows are meaningless
+
+
+def drift_vs_prev(timings: dict, prev_record: dict) -> dict:
+    """Common-query geomean of this-run/prev ratios. Pure function so
+    the synthetic-replay unit test exercises the flag without Spark."""
+    import math
+
+    prev_q = prev_record.get("queries", {})
+    ratios = []
+    for name, sec in timings.items():
+        p = prev_q.get(name)
+        if p and p >= DRIFT_MIN_SEC and sec >= DRIFT_MIN_SEC:
+            ratios.append(sec / p)
+    if not ratios:
+        return {"geomean_vs_prev": None, "n_common": 0, "drift_suspect": False}
+    geo = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+    return {
+        "geomean_vs_prev": round(geo, 3),
+        "n_common": len(ratios),
+        "drift_suspect": geo > DRIFT_SUSPECT_RATIO,
+    }
+
+
 # a query's bracketing canary > this multiple of the session's best
 # canary ⇒ the query's window was externally loaded (2.5x leaves
 # headroom for GC jitter; the r8 spike inflated rows 4-33x, far past it)
@@ -241,12 +338,14 @@ CANARY_CONTAMINATION_RATIO = 2.5
 
 # ABSOLUTE floor (review finding): a purely relative check misses load
 # that is uniform across the WHOLE run — every canary inflates together
-# and none exceeds 2.5x "best". The loop below measured 102-108 ms on
-# this box verifiably unloaded (loadavg 0.06, committed in
+# and none exceeds 2.5x "best". The default below measured 102-108 ms on
+# THIS box verifiably unloaded (loadavg 0.06, committed in
 # BENCH_full_r09.json); a best-canary beyond 1.6x that nominal means
 # the entire session ran loaded and the record must say quiet:false
-# even with an empty per-query list.
-CANARY_NOMINAL_MS = 105.0
+# even with an empty per-query list. The nominal is BOX-SPECIFIC
+# (advisor r9): on any other host set SPARK_GRAFT_CANARY_NOMINAL_MS to
+# a value calibrated unloaded there, or the floor misfires either way.
+CANARY_NOMINAL_MS = float(os.environ.get("SPARK_GRAFT_CANARY_NOMINAL_MS", "105.0"))
 CANARY_UNIFORM_LOAD_RATIO = 1.6
 
 
@@ -270,12 +369,19 @@ def main() -> int:
     # entirely unguarded): canaries[i] runs before query i, and one
     # final sample closes the last bracket — query i is flagged if
     # EITHER end of its bracket saw load.
+    io_probe = _pick_io_probe_file(sf_dir)
+    if io_probe:
+        _io_canary_sec(io_probe)  # prime the page cache: sample 0 is hot too
     canaries_ms: list[float] = []
+    io_canaries_ms: list[float] = []
     for name in BENCH_QUERIES:
         qd = QUERIES[name]
         load1 = _load1()
         canary = _canary_sec()
         canaries_ms.append(round(canary * 1000, 1))
+        io_canaries_ms.append(
+            round(_io_canary_sec(io_probe) * 1000, 2) if io_probe else -1.0
+        )
         t0 = time.time()
         df = qd.spark(spark, sf_dir)
         n = df.count()
@@ -285,26 +391,50 @@ def main() -> int:
             "rows": n,
             "load1": load1,
             "canary_ms": canaries_ms[-1],
+            "io_canary_ms": io_canaries_ms[-1],
         }
         print(
             f"# {name}: {timings[name]:.2f}s ({n} rows, load1={load1:.2f}, "
-            f"canary={canary * 1000:.0f}ms)",
+            f"canary={canary * 1000:.0f}ms, io={io_canaries_ms[-1]:.1f}ms)",
             file=sys.stderr,
         )
     canaries_ms.append(round(_canary_sec() * 1000, 1))  # close last bracket
+    io_canaries_ms.append(
+        round(_io_canary_sec(io_probe) * 1000, 2) if io_probe else -1.0
+    )
 
     best_canary = min(canaries_ms)
     cutoff = CANARY_CONTAMINATION_RATIO * best_canary
-    contaminated = sorted(
+    contaminated = set(
         name for i, name in enumerate(BENCH_QUERIES)
         if canaries_ms[i] > cutoff or canaries_ms[i + 1] > cutoff
     )
+    # I/O-side bracket (page-cache-hot fixed read): flags interference
+    # the CPU loop cannot see — storage/memory-path contention
+    if io_probe:
+        io_best = min(io_canaries_ms)
+        io_cutoff = CANARY_CONTAMINATION_RATIO * io_best
+        contaminated |= set(
+            name for i, name in enumerate(BENCH_QUERIES)
+            if io_canaries_ms[i] > io_cutoff or io_canaries_ms[i + 1] > io_cutoff
+        )
+    contaminated = sorted(contaminated)
     for i, name in enumerate(BENCH_QUERIES):
         detail[name]["canary_after_ms"] = canaries_ms[i + 1]
+        detail[name]["io_canary_after_ms"] = io_canaries_ms[i + 1]
     # uniform-load floor: if even the BEST canary is far above the
     # box's verified-unloaded nominal, the whole session ran loaded
     uniform_load = best_canary > CANARY_NOMINAL_MS * CANARY_UNIFORM_LOAD_RATIO
     total = round(sum(timings.values()), 3)
+    # record-to-record drift vs the last committed round record at the
+    # same sf: catches uniform slowdowns every instantaneous canary
+    # missed (the r9 blind spot, now machine-checked)
+    drift = {"geomean_vs_prev": None, "n_common": 0, "drift_suspect": False,
+             "prev_record": None}
+    prev = _prev_committed_record(os.path.dirname(os.path.abspath(__file__)))
+    if prev is not None and prev[1].get("sf") == sf:
+        drift = drift_vs_prev(timings, prev[1])
+        drift["prev_record"] = os.path.basename(prev[0])
     record = {
         "metric": "total_bench_sec",
         "value": total,
@@ -316,7 +446,20 @@ def main() -> int:
         "uniform_load": uniform_load,
         "best_canary_ms": best_canary,
         "canary_nominal_ms": CANARY_NOMINAL_MS,
+        "io_canary_best_ms": min(io_canaries_ms) if io_probe else None,
+        **drift,
     }
+    if drift["drift_suspect"] and record["quiet"]:
+        # the exact signature that fooled the r8 canary: uniformly
+        # slower, instruments quiet — do not let the record claim quiet
+        record["quiet"] = False
+        print(
+            f"# WARN: drift_suspect — common-query geomean "
+            f"{drift['geomean_vs_prev']}x vs {drift['prev_record']} with "
+            "quiet instruments; treat as contaminated or attribute the "
+            "regression in the diff",
+            file=sys.stderr,
+        )
     try:
         with open(out_path, "w") as fh:
             json.dump({**record, "detail": detail}, fh, indent=1, sort_keys=True)

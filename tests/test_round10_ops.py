@@ -106,6 +106,55 @@ def test_lsh_component_edges_same_components_linear_hot_cluster(spark):
     assert edges.filter(F.col("id_a") >= F.col("id_b")).count() == 0
 
 
+# ------------------------------------------------- bench drift gate
+
+def test_bench_drift_flags_synthetic_uniform_replay():
+    # the r9 blind spot as a synthetic replay: every common query 1.3x
+    # slower must trip drift_suspect; 1.1x must not; sub-noise rows are
+    # excluded from the geomean
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    prev = {"queries": {"q1": 1.0, "q2": 2.0, "q3": 4.0, "tiny": 0.05}}
+    slow = {q: s * 1.3 for q, s in prev["queries"].items()}
+    d = bench.drift_vs_prev(slow, prev)
+    assert d["drift_suspect"] is True
+    assert d["n_common"] == 3  # "tiny" is below DRIFT_MIN_SEC on both sides
+    assert abs(d["geomean_vs_prev"] - 1.3) < 0.01
+
+    ok = {q: s * 1.1 for q, s in prev["queries"].items()}
+    assert bench.drift_vs_prev(ok, prev)["drift_suspect"] is False
+
+    # no overlap -> no verdict, never a crash
+    assert bench.drift_vs_prev({"new_q": 1.0}, prev)["n_common"] == 0
+
+
+def test_bench_prev_record_and_io_canary(tmp_path):
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    # picks the HIGHEST round, ignores _latest
+    for name, val in [("BENCH_full_r03.json", 3), ("BENCH_full_r10.json", 10)]:
+        (tmp_path / name).write_text(json.dumps({"round": val}))
+    (tmp_path / "BENCH_full_latest.json").write_text(json.dumps({"round": 99}))
+    path, rec = bench._prev_committed_record(str(tmp_path))
+    assert path.endswith("BENCH_full_r10.json") and rec["round"] == 10
+
+    # io canary: reads the requested total and returns a sane wall time
+    probe = tmp_path / "blob.bin"
+    probe.write_bytes(b"x" * (1 << 20))
+    sec = bench._io_canary_sec(str(probe), total=4 << 20)
+    assert 0 < sec < 5
+    assert bench._pick_io_probe_file(str(tmp_path)) == str(probe)
+
+
 # ------------------------------------------------- winnow valve default
 
 def test_winnow_pairs_max_df_defaults_on(spark):
