@@ -211,6 +211,13 @@ BENCH_QUERIES = [
     "basket_triangles",
     "winnow_recall",
     "basket_kcore",
+    "text_normalize",
+    "nfkc_fold",
+    "unicode_scrub",
+    "mojibake_flag",
+    "dedup_normalized",
+    "url_canonical",
+    "domain_rollup",
 ]
 
 

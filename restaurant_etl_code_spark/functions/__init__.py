@@ -1,1 +1,7 @@
-from restaurant_etl_code_spark.functions import cleansing, text, vectors  # noqa: F401
+from restaurant_etl_code_spark.functions import (  # noqa: F401
+    cleansing,
+    normalize,
+    text,
+    urls,
+    vectors,
+)

@@ -1,0 +1,73 @@
+"""Unicode normalization for corpus text — the pre-pass every byte-keyed
+text operator needs.
+
+Every fingerprint/dedup/shingle operator in this engine keys on RAW text
+bytes (``functions.text.fingerprint`` is ``md5(lower/trim)``), so two
+renderings of the same logical string — composed ``é`` (U+00E9) vs
+decomposed ``e`` + U+0301, with or without zero-width joiners — land in
+different dedup groups and different LSH buckets. Web corpora mix these
+freely (different editors, CMSes, and OCR pipelines emit different forms),
+so a 100 TB curation run normalizes BEFORE fingerprinting or it undercounts
+duplicates. This module provides that pre-pass:
+
+- ``unicode_normalize(col, form)``: NFC/NFKC/NFD/NFKD via a **scalar
+  Arrow pandas UDF** (``pandas.Series.str.normalize`` — the loop runs in
+  CPython's ``unicodedata`` C module over Arrow batches, never row-at-a-time
+  Python). Spark has no JVM-side normalizer expression, so this is the one
+  sanctioned Python hop in the text stack; it is a row-local map — no
+  shuffle, pipelines inside the scan stage, and composes with the codegen
+  scrubbers in ``functions.text`` (``scrub_invisible`` runs JVM-side before
+  or after).
+- The scrub/mojibake *detectors* stay codegen (see ``functions.text``):
+  only the normalization table lookup itself genuinely needs Python.
+
+Generalizes the reference's byte-oblivious cleanse surface
+(``repository/included/utils/extraction.py:71-96`` lower/strip cleanses)
+to Unicode-correct canonical forms; DuckDB's ``nfc_normalize`` provides
+the oracle for the NFC path.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+__all__ = ["unicode_normalize", "NORM_FORMS"]
+
+NORM_FORMS = ("NFC", "NFKC", "NFD", "NFKD")
+
+_UDF_CACHE: dict[str, object] = {}
+
+
+def _make_udf(form: str):
+    @F.pandas_udf(StringType())
+    def _norm(batch: pd.Series) -> pd.Series:
+        # Series.str.normalize handles nulls; non-str objects in an object
+        # column would raise inside pandas, which is the correct loud path.
+        return batch.str.normalize(form)
+
+    return _norm
+
+
+def unicode_normalize(c: Column, form: str = "NFC") -> Column:
+    """Normalize a string column to a Unicode normal form (default NFC).
+
+    Arrow-batched scalar pandas UDF; row-local (no shuffle, no partition
+    sensitivity). NFKC additionally folds compatibility characters
+    (fullwidth forms, ligatures, circled digits) — the right form for
+    dedup keys; NFC is the right form for text that will be displayed.
+    """
+    if form not in NORM_FORMS:
+        raise ValueError(f"unknown normalization form {form!r}; expected one of {NORM_FORMS}")
+    if form not in _UDF_CACHE:
+        _UDF_CACHE[form] = _make_udf(form)
+    return _UDF_CACHE[form](c)
+
+
+def py_normalize(s: str | None, form: str = "NFC") -> str | None:
+    """Driver-side twin for tests/goldens (same unicodedata table)."""
+    return None if s is None else unicodedata.normalize(form, s)

@@ -27,6 +27,12 @@ __all__ = [
     "normalize_text",
     "fingerprint",
     "word_shingles",
+    "scrub_invisible",
+    "invisible_count",
+    "mojibake_hits",
+    "is_mojibake",
+    "INVISIBLE_PATTERN",
+    "MOJIBAKE_PATTERN",
     "LANG_PROFILES",
     "STOPWORDS_EN",
 ]
@@ -134,6 +140,62 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     )
     # sequence(1, k) with k < 1 DESCENDS instead of producing empty — guard
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# Unicode hygiene: invisible-character scrub + mojibake detection (codegen).
+# The normalization-table pass itself (NFC/NFKC) lives in functions.normalize
+# (the one genuinely-Python text op); everything here is a JVM regex.
+# Patterns use \x{...} escapes — the ONE codepoint-class syntax that
+# java.util.regex (Spark) and RE2 (DuckDB oracle) parse identically, so a
+# single constant serves both engines.
+# ---------------------------------------------------------------------------
+
+# Zero-width space/joiner/non-joiner, BOM/ZWNBSP, soft hyphen, word joiner,
+# plus C0 controls (except \t \n \r, which are legitimate whitespace) and
+# DEL + C1 controls (the classic smart-quote-mojibake residue range).
+INVISIBLE_PATTERN = (
+    r"[\x{200B}-\x{200D}\x{FEFF}\x{00AD}\x{2060}"
+    r"\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]"
+)
+
+# UTF-8-bytes-read-as-Latin-1 signatures: the lead bytes of 2-byte (Ã = 0xC3,
+# Â = 0xC2) and 3-byte (â = 0xE2, then a continuation) UTF-8 sequences
+# followed by continuation bytes (U+0080-U+00BF after the mis-decode).
+# Â is restricted to printable continuations (U+00A0-) to avoid flagging
+# legitimate 'Â' + C1 already caught by the first alternative's range twin.
+MOJIBAKE_PATTERN = (
+    "(Ã[\\x{0080}-\\x{00BF}]"
+    "|â\\x{0080}[\\x{0080}-\\x{00BF}]"
+    "|Â[\\x{00A0}-\\x{00BF}])"
+)
+
+
+def scrub_invisible(c: Column) -> Column:
+    """Remove zero-width/format characters and stray control bytes — the
+    codegen half of the normalize-before-fingerprint pre-pass (the NFC/NFKC
+    table pass is ``functions.normalize.unicode_normalize``). Dedup keyed on
+    raw text treats ``a[ZWSP]b`` and ``ab`` as distinct documents; this makes
+    them collide."""
+    return F.regexp_replace(c, INVISIBLE_PATTERN, "")
+
+
+def invisible_count(c: Column) -> Column:
+    """Number of invisible/control characters in the string (0 for null-safe
+    arithmetic use ``when(c.isNull(), None)`` at the call site)."""
+    return F.length(c) - F.length(scrub_invisible(c))
+
+
+def mojibake_hits(c: Column) -> Column:
+    """Count of UTF-8-as-Latin-1 mis-decode signatures (Ã©-style digraphs).
+    A per-document corruption score: >0 almost always means the document
+    went through a wrong-charset hop and needs re-decode or drop."""
+    return F.size(F.regexp_extract_all(c, F.lit(MOJIBAKE_PATTERN), 0))
+
+
+def is_mojibake(c: Column, min_hits: int = 1) -> Column:
+    """Boolean corruption flag: at least ``min_hits`` mojibake signatures."""
+    return mojibake_hits(c) >= F.lit(min_hits)
 
 
 # GPT-2-style pre-tokenizer pattern, restricted to constructs RE2 (DuckDB)

@@ -1,0 +1,144 @@
+"""URL canonicalization + registrable-domain extraction for web-corpus
+curation — all pure codegen Column expressions.
+
+Extends the reference's blob-URL parsing surface (P14/S4,
+``repository/included/utils/extraction.py:26-32`` container/blob split) to
+the operations a 100 TB web-crawl curation run needs: per-domain dedup-rate
+audits (``dedup_rate_by_source`` keyed on domain instead of source), URL-key
+exact dedup, and crawl-frontier joins all require that
+``HTTP://Example.COM:80/a/?b=2&a=1#frag`` and
+``http://example.com/a?a=1&b=2`` collide.
+
+Canonicalization steps (for well-formed absolute http(s) URLs):
+
+1. strip the fragment;
+2. lowercase scheme and host;
+3. drop the default port (``:80`` for http, ``:443`` for https);
+4. collapse trailing slashes on the path; empty path → ``/``;
+5. drop tracking query parameters (``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``, ``ref``) and empty fragments of the query string;
+6. sort the surviving query parameters bytewise.
+
+Deliberately NOT done (documented contract): percent-decoding (unsafe to
+normalize blindly — ``%2F`` in a path segment is not ``/``), userinfo
+stripping, IDN/punycode folding. Each would need a spec decision a real
+deployment makes per-corpus.
+
+``registrable_domain`` approximates the public-suffix list with the
+universal two-label rule plus a small table of common two-label suffixes
+(``co.uk``-style). The real PSL is a data file, not an algorithm — at
+deployment it drops in as a broadcast map over the same label split; the
+approximation keeps this module dependency-free and oracle-checkable.
+
+Every expression is a JVM regex/array op with an exact DuckDB twin (the
+regexes use only syntax java.util.regex and RE2 share), so the whole module
+is correctness-gated by the ``url_canonical`` / ``domain_rollup`` oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "url_scheme",
+    "url_host",
+    "url_path",
+    "url_query_canonical",
+    "canonicalize_url",
+    "registrable_domain",
+    "TRACKING_PARAMS",
+    "TWO_LABEL_SUFFIXES",
+]
+
+# Tracking parameters dropped during canonicalization. utm_* is matched as a
+# prefix; the rest are exact names.
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref")
+
+# Common second-level public suffixes (registrable domain = THREE labels when
+# the last two match one of these). Swap for the full PSL as a broadcast map
+# at deployment.
+TWO_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au",
+    "com.br", "com.cn", "com.mx", "com.tr", "com.ar",
+    "co.in", "co.kr", "co.za", "co.nz",
+)
+
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def _no_fragment(c: Column) -> Column:
+    return F.regexp_replace(c, r"#.*", "")
+
+
+def url_scheme(c: Column) -> Column:
+    """Lowercased scheme ('' for non-absolute input)."""
+    return F.lower(F.regexp_extract(c, _SCHEME_RE, 1))
+
+
+def url_host(c: Column) -> Column:
+    """Lowercased host with the scheme's default port stripped."""
+    hostport = F.lower(F.regexp_extract(c, _HOSTPORT_RE, 1))
+    scheme = url_scheme(c)
+    return (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+
+
+def url_path(c: Column) -> Column:
+    """Path with trailing slashes collapsed; empty → '/'."""
+    raw = F.regexp_replace(F.regexp_extract(_no_fragment(c), _PATH_RE, 1), r"/+$", "")
+    return F.when(raw == "", F.lit("/")).otherwise(raw)
+
+
+def _keep_param(p: Column) -> Column:
+    keep = (p != "") & ~p.startswith("utm_")
+    for name in TRACKING_PARAMS:
+        keep = keep & ~p.startswith(name + "=") & (p != name)
+    return keep
+
+
+def url_query_canonical(c: Column) -> Column:
+    """Query string with tracking/empty params dropped and the rest sorted
+    bytewise; '' when nothing survives."""
+    raw = F.regexp_extract(_no_fragment(c), _QUERY_RE, 1)
+    parts = F.array_sort(F.filter(F.split(raw, "&"), _keep_param))
+    return F.array_join(parts, "&")
+
+
+def canonicalize_url(c: Column) -> Column:
+    """Full canonical form: scheme://host/path[?sorted_query]."""
+    query = url_query_canonical(c)
+    return F.concat(
+        url_scheme(c),
+        F.lit("://"),
+        url_host(c),
+        url_path(c),
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 approximation over a lowercased host: last two labels, or last
+    three when the final two are a known two-label suffix (co.uk et al.).
+    Hosts with fewer labels (localhost, bare TLDs) pass through unchanged."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # greatest(…, 1): Spark's slice throws on start <= 0 and when() branches
+    # don't short-circuit expression evaluation — single-label hosts take the
+    # n <= 2 branch but must still evaluate these safely
+    last2 = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
+    last3 = F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), ".")
+    is_two_label_suffix = last2.isin(*TWO_LABEL_SUFFIXES)
+    return (
+        F.when(n <= 2, host)
+        .when(is_two_label_suffix & (n >= 3), last3)
+        .otherwise(last2)
+    )

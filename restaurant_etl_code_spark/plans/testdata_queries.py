@@ -30,7 +30,13 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from restaurant_etl_code_spark.functions import cleansing, text as Ftext, vectors
+from restaurant_etl_code_spark.functions import (
+    cleansing,
+    normalize as Fnorm,
+    text as Ftext,
+    urls as Furl,
+    vectors,
+)
 from restaurant_etl_code_spark.operators import (
     audit,
     basket,
@@ -8265,6 +8271,444 @@ def _basket_kcore_oracle(k: int, n_rounds: int) -> str:
 _ORACLE_BASKET_KCORE = _basket_kcore_oracle(3, 14)
 
 
+# --------------------------------------------------------------------------
+# Unicode hygiene family (round 10): NFC/NFKC normalization, invisible-char
+# scrub, mojibake detection, and the dedup-after-normalize composition.
+# Fixtures inject the Unicode forms via \uXXXX escapes on the Spark side and
+# chr(codepoint) on the DuckDB side — never literal non-ASCII in either
+# string, so source-encoding round-trips can't silently renormalize them.
+# --------------------------------------------------------------------------
+
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization audit per source: web corpora mix composed
+    U+00E9 and decomposed e+U+0301 renderings of the same text, and every
+    byte-keyed operator downstream (fingerprint, LSH, exact dedup) treats
+    them as distinct documents. Fixture: one third of docs get composed
+    accents, one third decomposed; NFC (Arrow pandas UDF — Spark has no
+    JVM normalizer) must change exactly the decomposed third. Row-local
+    projection + one partial agg — zero extra shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    dirty = docs.withColumn(
+        "dirty",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.replace(F.col("text"), F.lit("e"), F.lit("\u00e9")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")))
+        .otherwise(F.col("text")),
+    )
+    normed = dirty.withColumn("nfc", Fnorm.unicode_normalize(F.col("dirty"), "NFC"))
+    return normed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("nfc") != F.col("dirty")).cast("int")).cast("long").alias("n_changed"),
+        F.sum(F.length("dirty")).cast("long").alias("chars_dirty"),
+        F.sum(F.length("nfc")).cast("long").alias("chars_nfc"),
+    )
+
+
+_ORACLE_TEXT_NORMALIZE = """
+with dirty as (
+  select doc_id, source,
+         case when doc_id % 3 = 0 then replace(text, 'e', chr(233))
+              when doc_id % 3 = 1 then replace(text, 'e', 'e' || chr(769))
+              else text end as dirty
+  from documents)
+select source,
+       count(*)::bigint as n_docs,
+       sum(case when nfc_normalize(dirty) <> dirty then 1 else 0 end)::bigint
+           as n_changed,
+       sum(length(dirty))::bigint as chars_dirty,
+       sum(length(nfc_normalize(dirty)))::bigint as chars_nfc
+from dirty group by source
+"""
+
+
+def _q_nfkc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFKC compatibility folding audit: ligatures (U+FB01 fi), fullwidth
+    digits (U+FF12/U+FF14), and enclosed digits (U+2460) fold to their
+    ASCII equivalents — the right canonical form for DEDUP KEYS (display
+    text keeps NFC). The base corpus is ASCII, so the oracle can state the
+    expected fold as explicit replaces while Spark runs the real
+    unicodedata table; any table disagreement on these stable codepoints
+    would hash-mismatch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.withColumn(
+        "dirty",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" of\ufb01ce")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.col("text"), F.lit(" \uff12\uff14")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.col("text"), F.lit(" \u2460")))
+        .otherwise(F.col("text")),
+    )
+    normed = dirty.withColumn("nfkc", Fnorm.unicode_normalize(F.col("dirty"), "NFKC"))
+    return normed.groupBy((F.col("doc_id") % 4).alias("fold_group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("nfkc") != F.col("dirty")).cast("int")).cast("long").alias("n_folded"),
+        F.sum(F.length("dirty")).cast("long").alias("chars_dirty"),
+        F.sum(F.length("nfkc")).cast("long").alias("chars_nfkc"),
+    )
+
+
+_ORACLE_NFKC_FOLD = """
+with dirty as (
+  select doc_id,
+         case when doc_id % 4 = 0 then text || ' of' || chr(64257) || 'ce'
+              when doc_id % 4 = 1 then text || ' ' || chr(65298) || chr(65300)
+              when doc_id % 4 = 2 then text || ' ' || chr(9312)
+              else text end as dirty
+  from documents),
+folded as (
+  select doc_id, dirty,
+         replace(replace(replace(replace(dirty,
+             chr(64257), 'fi'), chr(65298), '2'), chr(65300), '4'),
+             chr(9312), '1') as nfkc
+  from dirty)
+select doc_id % 4 as fold_group,
+       count(*)::bigint as n_docs,
+       sum(case when nfkc <> dirty then 1 else 0 end)::bigint as n_folded,
+       sum(length(dirty))::bigint as chars_dirty,
+       sum(length(nfkc))::bigint as chars_nfkc
+from folded group by 1
+"""
+
+
+def _q_unicode_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invisible-character scrub (Ftext.scrub_invisible — pure codegen):
+    BOM/ZWSP heads and tails, soft hyphens after spaces, ZWJs after
+    letters. Per-doc counts let the curation gate threshold on invisible
+    density (a high ratio is a spam/obfuscation signal), and the scrubbed
+    length feeds token-budget accounting."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.withColumn(
+        "dirty",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("\ufeff"), F.col("text"), F.lit("\u200b")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.replace(F.col("text"), F.lit(" "), F.lit(" \u00ad")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.replace(F.col("text"), F.lit("a"), F.lit("a\u200d")))
+        .otherwise(F.col("text")),
+    )
+    return dirty.select(
+        "doc_id",
+        Ftext.invisible_count(F.col("dirty")).cast("long").alias("n_invisible"),
+        F.length("dirty").cast("long").alias("len_raw"),
+        F.length(Ftext.scrub_invisible(F.col("dirty"))).cast("long").alias("len_clean"),
+    )
+
+
+_ORACLE_UNICODE_SCRUB = f"""
+with dirty as (
+  select doc_id,
+         case when doc_id % 4 = 0 then chr(65279) || text || chr(8203)
+              when doc_id % 4 = 1 then replace(text, ' ', ' ' || chr(173))
+              when doc_id % 4 = 2 then replace(text, 'a', 'a' || chr(8205))
+              else text end as dirty
+  from documents)
+select doc_id,
+       (length(dirty) - length(regexp_replace(dirty,
+            '{Ftext.INVISIBLE_PATTERN}', '', 'g')))::bigint as n_invisible,
+       length(dirty)::bigint as len_raw,
+       length(regexp_replace(dirty,
+            '{Ftext.INVISIBLE_PATTERN}', '', 'g'))::bigint as len_clean
+from dirty
+"""
+
+
+def _q_mojibake_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake (UTF-8-bytes-as-Latin-1) detection per source: the three
+    classic signatures — 2-byte lead 0xC3 ('Ã©' for é), 3-byte smart
+    quote ('â'+C1+continuation), and 0xC2+NBSP — counted by a single
+    codegen regex (Ftext.mojibake_hits). A >0 score means the document
+    crossed a wrong-charset hop: re-decode or drop before training."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    dirty = docs.withColumn(
+        "dirty",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.replace(F.col("text"), F.lit("e"), F.lit("\u00c3\u00a9")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.col("text"), F.lit(" \u00e2\u0080\u0099s")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.replace(F.col("text"), F.lit(" "), F.lit("\u00c2\u00a0")))
+        .otherwise(F.col("text")),
+    )
+    return dirty.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(Ftext.is_mojibake(F.col("dirty")).cast("int")).cast("long")
+        .alias("n_flagged"),
+        F.sum(Ftext.mojibake_hits(F.col("dirty"))).cast("long").alias("total_hits"),
+    )
+
+
+_ORACLE_MOJIBAKE = f"""
+with dirty as (
+  select doc_id, source,
+         case when doc_id % 5 = 0 then replace(text, 'e', chr(195) || chr(169))
+              when doc_id % 5 = 1 then text || ' ' || chr(226) || chr(128) || chr(153) || 's'
+              when doc_id % 5 = 2 then replace(text, ' ', chr(194) || chr(160))
+              else text end as dirty
+  from documents),
+scored as (
+  select source, len(regexp_extract_all(dirty, '{Ftext.MOJIBAKE_PATTERN}')) as hits
+  from dirty)
+select source,
+       count(*)::bigint as n_docs,
+       sum(case when hits >= 1 then 1 else 0 end)::bigint as n_flagged,
+       sum(hits)::bigint as total_hits
+from scored group by source
+"""
+
+
+def _q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition row: exact dedup AFTER NFC+scrub catches duplicate
+    pairs that raw byte-keyed exact dedup misses. Fixture: each doc gets
+    a composed-accent rendering and a decomposed+ZWSP-injected clone —
+    logically identical, byte-distinct. Raw md5-fingerprint groups see
+    only the corpus's pre-existing exact dups; the normalized key also
+    collides every clone with its original. The gap (extra_pairs) is the
+    duplicate mass a 100 TB curation run silently KEEPS if it skips the
+    normalization pre-pass. Both paths are hash-groupBys — same shuffle
+    shape, the pre-pass adds only a row-local Arrow projection."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", F.replace(F.col("text"), F.lit("e"), F.lit("\u00e9")).alias("text")
+    )
+    clone = docs.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.replace(
+            F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")),
+            F.lit("t"), F.lit("t\u200b"),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(clone)
+    raw_key = Ftext.fingerprint(F.col("text"))
+    norm_key = Ftext.fingerprint(
+        Ftext.scrub_invisible(Fnorm.unicode_normalize(F.col("text"), "NFC"))
+    )
+    keyed = corpus.select(
+        raw_key.alias("raw_fp"), norm_key.alias("norm_fp")
+    )
+
+    def pair_mass(col: str) -> DataFrame:
+        return (
+            keyed.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("pairs"))
+        )
+
+    raw_pairs = pair_mass("raw_fp").withColumnRenamed("pairs", "n_pairs_raw")
+    norm_pairs = pair_mass("norm_fp").withColumnRenamed("pairs", "n_pairs_norm")
+    return raw_pairs.crossJoin(norm_pairs).select(
+        "n_pairs_raw",
+        "n_pairs_norm",
+        (F.col("n_pairs_norm") - F.col("n_pairs_raw")).alias("extra_pairs"),
+    )
+
+
+_ORACLE_DEDUP_NORMALIZED = f"""
+with corpus as (
+  select doc_id, replace(text, 'e', chr(233)) as text from documents
+  union all
+  select doc_id + 300000,
+         replace(replace(text, 'e', 'e' || chr(769)), 't', 't' || chr(8203))
+  from documents),
+keyed as (
+  select md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as raw_fp,
+         md5(trim(regexp_replace(lower(regexp_replace(nfc_normalize(text),
+             '{Ftext.INVISIBLE_PATTERN}', '', 'g')), '\\s+', ' ', 'g'))) as norm_fp
+  from corpus),
+r as (select sum(n * (n - 1) / 2)::bigint as n_pairs_raw
+      from (select count(*) as n from keyed group by raw_fp)),
+m as (select sum(n * (n - 1) / 2)::bigint as n_pairs_norm
+      from (select count(*) as n from keyed group by norm_fp))
+select n_pairs_raw, n_pairs_norm,
+       (n_pairs_norm - n_pairs_raw)::bigint as extra_pairs
+from r, m
+"""
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization family (round 10): canonical form + registrable
+# domain + per-domain rollup — the web-corpus curation surface.
+# --------------------------------------------------------------------------
+
+def _duck_keep_param(var: str) -> str:
+    """DuckDB twin of functions.urls._keep_param — generated from the same
+    TRACKING_PARAMS tuple so the two engines cannot drift."""
+    clauses = [f"{var} <> ''", f"not starts_with({var}, 'utm_')"]
+    for name in Furl.TRACKING_PARAMS:
+        clauses.append(f"not starts_with({var}, '{name}=')")
+        clauses.append(f"{var} <> '{name}'")
+    return " and ".join(clauses)
+
+
+def _url_fixture_spark(key: Column) -> Column:
+    scheme = F.when(key % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = (
+        F.when(key % 3 == 0, F.lit("Example.COM"))
+        .when(key % 3 == 1, F.lit("shop.example.co.uk"))
+        .otherwise(F.lit("cdn.media.Example.com"))
+    )
+    port = F.when(
+        key % 4 == 0,
+        F.when(key % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    k_str = key.cast("string")
+    path = (
+        F.when(key % 7 == 0, F.lit(""))
+        .when(key % 5 == 0, F.concat(F.lit("/Menu/Item-"), k_str, F.lit("/")))
+        .otherwise(F.concat(F.lit("/menu/item-"), k_str))
+    )
+    q_str = (key % 9).cast("string")
+    query = (
+        F.when(key % 3 == 0,
+               F.concat(F.lit("?utm_source=feed&b="), q_str, F.lit("&a=1&fbclid=abc")))
+        .when(key % 3 == 1, F.concat(F.lit("?a=1&b="), q_str))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(key % 6 == 0, F.lit("#section-2")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+_URL_FIXTURE_DUCK = """
+  select p_partkey as row_id,
+         (case when p_partkey % 2 = 0 then 'HTTP' else 'https' end)
+         || '://'
+         || (case when p_partkey % 3 = 0 then 'Example.COM'
+                  when p_partkey % 3 = 1 then 'shop.example.co.uk'
+                  else 'cdn.media.Example.com' end)
+         || (case when p_partkey % 4 = 0 then
+                  (case when p_partkey % 2 = 0 then ':80' else ':443' end)
+                  else '' end)
+         || (case when p_partkey % 7 = 0 then ''
+                  when p_partkey % 5 = 0 then '/Menu/Item-' || p_partkey::varchar || '/'
+                  else '/menu/item-' || p_partkey::varchar end)
+         || (case when p_partkey % 3 = 0 then
+                  '?utm_source=feed&b=' || (p_partkey % 9)::varchar || '&a=1&fbclid=abc'
+                  when p_partkey % 3 = 1 then '?a=1&b=' || (p_partkey % 9)::varchar
+                  else '' end)
+         || (case when p_partkey % 6 = 0 then '#section-2' else '' end) as url
+  from part
+"""
+
+
+def _duck_canonical_exprs() -> tuple[str, str]:
+    """(canonical_url_expr, domain_expr) over a column named ``url`` —
+    DuckDB twins of Furl.canonicalize_url / registrable_domain, built from
+    the module's own pattern constants."""
+    nofrag = "regexp_replace(url, '#.*', '')"
+    scheme = f"lower(regexp_extract(url, '{Furl._SCHEME_RE}', 1))"
+    hostport = f"lower(regexp_extract(url, '{Furl._HOSTPORT_RE}', 1))"
+    host = (
+        f"(case when {scheme} = 'http' then regexp_replace({hostport}, ':80$', '') "
+        f"when {scheme} = 'https' then regexp_replace({hostport}, ':443$', '') "
+        f"else {hostport} end)"
+    )
+    raw_path = (
+        f"regexp_replace(regexp_extract({nofrag}, '{Furl._PATH_RE}', 1), '/+$', '')"
+    )
+    path = f"(case when {raw_path} = '' then '/' else {raw_path} end)"
+    # DuckDB regexp_extract yields NULL on no-match (Spark yields '') — the
+    # NULL would poison the || concatenation for query-less URLs
+    raw_q = f"coalesce(regexp_extract({nofrag}, '\\?([^#]*)', 1), '')"
+    # coalesce: DuckDB array_to_string over an EMPTY list yields NULL (Spark's
+    # array_join yields ''), which would poison the || concatenation
+    query = (
+        f"coalesce(array_to_string(list_sort(list_filter(string_split({raw_q}, '&'), "
+        f"x -> {_duck_keep_param('x')})), '&'), '')"
+    )
+    canonical = (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"(case when {query} = '' then '' else '?' || {query} end)"
+    )
+    suffixes = ", ".join(f"'{s}'" for s in Furl.TWO_LABEL_SUFFIXES)
+    labels = f"string_split({host}, '.')"
+    last2 = f"array_to_string(list_slice({labels}, -2, len({labels})), '.')"
+    last3 = f"array_to_string(list_slice({labels}, -3, len({labels})), '.')"
+    domain = (
+        f"(case when len({labels}) <= 2 then {host} "
+        f"when {last2} in ({suffixes}) and len({labels}) >= 3 then {last3} "
+        f"else {last2} end)"
+    )
+    return canonical, domain
+
+
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions.urls, pure codegen): fragment
+    strip, scheme/host lowercase, default-port drop, trailing-slash
+    collapse, tracking-param drop, query-param sort, plus the eTLD+1
+    registrable domain. The fixture exercises every rule; variants of the
+    same logical URL collide on canonical_url (the dedup/frontier key a
+    crawl curation pipeline joins on). Row-local — zero shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    urls = part.select(
+        F.col("p_partkey").alias("row_id"),
+        _url_fixture_spark(F.col("p_partkey")).alias("url"),
+    )
+    return urls.select(
+        "row_id",
+        "url",
+        Furl.canonicalize_url(F.col("url")).alias("canonical_url"),
+        Furl.registrable_domain(Furl.url_host(F.col("url"))).alias("domain"),
+    )
+
+
+def _url_canonical_oracle() -> str:
+    canonical, domain = _duck_canonical_exprs()
+    return f"""
+with urls as ({_URL_FIXTURE_DUCK})
+select row_id, url, {canonical} as canonical_url, {domain} as domain
+from urls
+"""
+
+
+_ORACLE_URL_CANONICAL = _url_canonical_oracle()
+
+
+def _q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain corpus audit over canonicalized URLs: raw
+    URL count, distinct canonical URLs (the post-dedup frontier size),
+    and distinct paths — the domain-level view that drives per-source
+    crawl budgets and the domain analog of dedup_rate_by_source. One
+    hash-groupBy on the domain key; canonicalization is row-local, so
+    the plan is scan → project → partial agg → final agg at any scale."""
+    part = load_table(spark, sf_dir, "part")
+    urls = part.select(_url_fixture_spark(F.col("p_partkey")).alias("url"))
+    shaped = urls.select(
+        Furl.registrable_domain(Furl.url_host(F.col("url"))).alias("domain"),
+        Furl.canonicalize_url(F.col("url")).alias("canonical_url"),
+        Furl.url_path(F.col("url")).alias("path"),
+    )
+    return shaped.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("canonical_url").cast("long").alias("n_canonical"),
+        F.countDistinct("path").cast("long").alias("n_paths"),
+        F.round(
+            F.count(F.lit(1)) / F.countDistinct("canonical_url"), 6
+        ).alias("dup_factor"),
+    )
+
+
+def _domain_rollup_oracle() -> str:
+    canonical, domain = _duck_canonical_exprs()
+    return f"""
+with urls as ({_URL_FIXTURE_DUCK}),
+shaped as (
+  select {domain} as domain, {canonical} as canonical_url,
+         (case when regexp_replace(regexp_extract(regexp_replace(url, '#.*', ''),
+              '{Furl._PATH_RE}', 1), '/+$', '') = '' then '/'
+           else regexp_replace(regexp_extract(regexp_replace(url, '#.*', ''),
+              '{Furl._PATH_RE}', 1), '/+$', '') end) as path
+  from urls)
+select domain,
+       count(*)::bigint as n_urls,
+       count(distinct canonical_url)::bigint as n_canonical,
+       count(distinct path)::bigint as n_paths,
+       round(count(*) / (count(distinct canonical_url) * 1.0), 6) as dup_factor
+from shaped group by domain
+"""
+
+
+_ORACLE_DOMAIN_ROLLUP = _domain_rollup_oracle()
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -8777,6 +9221,31 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_basket_kcore, _ORACLE_BASKET_KCORE,
         "3-core of the co-purchase graph by cascade peeling — the "
         "density prune a one-shot degree filter gets wrong"),
+    "text_normalize": QueryDef(
+        _q_text_normalize, _ORACLE_TEXT_NORMALIZE,
+        "NFC normalization audit per source (Arrow pandas UDF; "
+        "DuckDB nfc_normalize oracle)"),
+    "nfkc_fold": QueryDef(
+        _q_nfkc_fold, _ORACLE_NFKC_FOLD,
+        "NFKC compatibility folding: ligature/fullwidth/enclosed-digit "
+        "fold for dedup keys"),
+    "unicode_scrub": QueryDef(
+        _q_unicode_scrub, _ORACLE_UNICODE_SCRUB,
+        "invisible/control-char scrub + per-doc counts (pure codegen)"),
+    "mojibake_flag": QueryDef(
+        _q_mojibake_flag, _ORACLE_MOJIBAKE,
+        "UTF-8-as-Latin-1 mojibake detection per source (codegen regex)"),
+    "dedup_normalized": QueryDef(
+        _q_dedup_normalized, _ORACLE_DEDUP_NORMALIZED,
+        "composition: exact dedup after NFC+scrub catches pairs raw "
+        "byte-keyed dedup misses"),
+    "url_canonical": QueryDef(
+        _q_url_canonical, _ORACLE_URL_CANONICAL,
+        "URL canonicalization + registrable domain (codegen; every rule "
+        "exercised by the fixture)"),
+    "domain_rollup": QueryDef(
+        _q_domain_rollup, _ORACLE_DOMAIN_ROLLUP,
+        "per-registrable-domain corpus audit over canonical URLs"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -8799,6 +9268,13 @@ _REGISTRY: dict[str, QueryDef] = {
 # names, and the two anchors.
 _WINDOW_ROUND = 9  # ledger state this window was generated from
 _WINDOW_FIRST = [
+    "text_normalize",  # never-checked
+    "nfkc_fold",  # never-checked
+    "unicode_scrub",  # never-checked
+    "mojibake_flag",  # never-checked
+    "dedup_normalized",  # never-checked
+    "url_canonical",  # never-checked
+    "domain_rollup",  # never-checked
     "unigram_logprob",  # latest=r05
     "minhash_estimate",  # latest=r05
     "bm25_topk",  # latest=r05
@@ -8840,13 +9316,6 @@ _WINDOW_FIRST = [
     "funnel_timing",  # latest=r05
     "numeric_corr",  # latest=r05
     "session_paths",  # latest=r05
-    "basket_triples",  # latest=r05
-    "basket_rules",  # latest=r05
-    "activity_streaks",  # latest=r05
-    "basket_triple_rules",  # latest=r05
-    "staging_restaurant",  # latest=r07
-    "llm_parse",  # latest=r07
-    "precheck_antijoin",  # latest=r07
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -1,0 +1,153 @@
+"""Round-10 unit tests: Unicode normalization / scrub / mojibake family and
+URL canonicalization. All non-ASCII fixture data is spelled with \\uXXXX
+escapes so source-encoding round-trips can't silently renormalize it."""
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------- unicode normalization family
+
+def test_unicode_normalize_nfc_and_nfkc(spark):
+    from restaurant_etl_code_spark.functions import normalize as Fnorm
+
+    composed = "caf\u00e9"
+    decomposed = "cafe\u0301"
+    compat = " of\ufb01ce \uff12\uff14 \u2460"
+    rows = [(1, composed), (2, decomposed), (3, compat), (4, None)]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = {
+        r["id"]: (r["nfc"], r["nfkc"])
+        for r in df.select(
+            "id",
+            Fnorm.unicode_normalize(F.col("text"), "NFC").alias("nfc"),
+            Fnorm.unicode_normalize(F.col("text"), "NFKC").alias("nfkc"),
+        ).collect()
+    }
+    assert got[1] == (composed, composed)
+    assert got[2] == (composed, composed)          # NFC composes e+U+0301
+    assert got[3][0] == compat                     # NFC keeps compat chars
+    assert got[3][1] == " office 24 1"             # NFKC folds them
+    assert got[4] == (None, None)
+    # matches the driver-side unicodedata twin on every row
+    for _id, text in rows:
+        for form, idx in (("NFC", 0), ("NFKC", 1)):
+            assert got[_id][idx] == Fnorm.py_normalize(text, form)
+
+
+def test_unicode_normalize_rejects_unknown_form():
+    from restaurant_etl_code_spark.functions import normalize as Fnorm
+
+    with pytest.raises(ValueError, match="unknown normalization form"):
+        Fnorm.unicode_normalize(F.col("x"), "NFX")
+
+
+def test_scrub_invisible_and_counts(spark):
+    from restaurant_etl_code_spark.functions import text as Ftext
+
+    # BOM, ZWSP, soft hyphen, ZWJ, word joiner, C1 control, DEL — all gone;
+    # \t \n \r survive
+    dirty = "\ufeffa\u200bb\u00adc\u200dd\u2060e\u0085\u007ffg\th\ni\rj"
+    df = spark.createDataFrame([(dirty,)], "text string")
+    row = df.select(
+        Ftext.scrub_invisible(F.col("text")).alias("clean"),
+        Ftext.invisible_count(F.col("text")).alias("n"),
+    ).first()
+    assert row["clean"] == "abcdefg\th\ni\rj"
+    assert row["n"] == 7
+
+
+def test_mojibake_detection(spark):
+    from restaurant_etl_code_spark.functions import text as Ftext
+
+    rows = [
+        (1, "caf\u00c3\u00a9 menu"),                     # Ã© digraph
+        (2, "it\u00e2\u0080\u0099s here"),               # 3-byte smart quote
+        (3, "price\u00c2\u00a0match"),                   # Â + NBSP
+        (4, "plain ascii text"),
+        (5, "\u00c3\u00a9\u00c3\u00a8"),                 # two hits
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = {
+        r["id"]: (r["hits"], r["flag"])
+        for r in df.select(
+            "id",
+            Ftext.mojibake_hits(F.col("text")).alias("hits"),
+            Ftext.is_mojibake(F.col("text"), min_hits=2).alias("flag"),
+        ).collect()
+    }
+    assert got[1] == (1, False)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)
+    assert got[4] == (0, False)
+    assert got[5] == (2, True)
+
+
+# ------------------------------------------------- URL canonicalization
+
+def test_canonicalize_url_rules(spark):
+    from restaurant_etl_code_spark.functions import urls as Furl
+
+    cases = [
+        ("HTTP://Example.COM:80/a/?b=2&a=1#frag", "http://example.com/a?a=1&b=2"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),  # non-default port kept
+        ("http://example.com", "http://example.com/"),
+        ("https://example.com/p?utm_source=x&gclid=1&ref=abc&q=1",
+         "https://example.com/p?q=1"),
+        ("https://example.com/p?utm_source=x", "https://example.com/p"),
+        ("http://example.com:443/x", "http://example.com:443/x"),  # :443 not http's default
+        ("https://example.com/a//", "https://example.com/a"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id bigint, url string"
+    )
+    got = {r["id"]: r["c"] for r in df.select(
+        "id", Furl.canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: got {got[i]!r}, want {want!r}"
+
+
+def test_registrable_domain(spark):
+    from restaurant_etl_code_spark.functions import urls as Furl
+
+    cases = [
+        ("shop.example.co.uk", "example.co.uk"),
+        ("a.b.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("co.uk", "co.uk"),            # bare suffix: passthrough (n <= 2)
+        ("deep.sub.tree.example.org", "example.org"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "id bigint, host string"
+    )
+    got = {r["id"]: r["d"] for r in df.select(
+        "id", Furl.registrable_domain(F.col("host")).alias("d")).collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, f"{h!r}: got {got[i]!r}, want {want!r}"
+
+
+def test_dedup_normalized_catches_byte_variant_pairs(spark):
+    # the composition query's core claim as a unit: the NFC+scrub key
+    # collides composed / decomposed / ZWSP-injected renderings that the
+    # raw byte key keeps apart
+    from restaurant_etl_code_spark.functions import normalize as Fnorm
+    from restaurant_etl_code_spark.functions import text as Ftext
+
+    df = spark.createDataFrame(
+        [
+            (1, "th\u00e9 menu"),
+            (2, "the\u0301 menu"),
+            (3, "th\u00e9 m\u200benu"),
+        ],
+        "id bigint, text string",
+    )
+    keyed = df.select(
+        Ftext.fingerprint(F.col("text")).alias("raw_fp"),
+        Ftext.fingerprint(
+            Ftext.scrub_invisible(Fnorm.unicode_normalize(F.col("text"), "NFC"))
+        ).alias("norm_fp"),
+    ).collect()
+    assert len({r["raw_fp"] for r in keyed}) == 3
+    assert len({r["norm_fp"] for r in keyed}) == 1

@@ -760,6 +760,49 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["HashAggregate"],
         "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
     },
+    "text_normalize": {
+        # NFC is the one sanctioned Python hop: a scalar ARROW pandas UDF
+        # (ArrowEvalPython), never row-at-a-time; one partial agg after
+        "want": ["ArrowEvalPython", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+    },
+    "nfkc_fold": {
+        "want": ["ArrowEvalPython", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+    },
+    "unicode_scrub": {
+        # pure codegen regex projection: no Python node of any kind, no
+        # shuffle at all (row-local output)
+        "want": ["Project"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "Exchange"],
+    },
+    "mojibake_flag": {
+        # codegen regex + one partial agg
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas"],
+    },
+    "dedup_normalized": {
+        # two hash-groupBys over one keyed projection; the final join is
+        # the 1-row x 1-row scalar attach (BroadcastNestedLoopJoin by
+        # design); NFC rides ArrowEvalPython
+        "want": ["ArrowEvalPython", "HashAggregate"],
+        "avoid": ["BatchEvalPython", "SortMergeJoin"],
+    },
+    "url_canonical": {
+        # canonicalization is pure codegen string/array ops: row-local
+        # projection, zero shuffle, zero Python
+        "want": ["Project"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "Exchange"],
+    },
+    "domain_rollup": {
+        # row-local canonicalize -> one hash-groupBy on the domain key
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin"],
+    },
 }
 
 
