@@ -3863,20 +3863,14 @@ def _q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Composed corpus curation: gates → exact dedup → near-dup CC → survivors
 # --------------------------------------------------------------------------
 
-def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full training-data curation flow as ONE lazy plan: quality +
-    length + language gates (codegen expressions on the scan) → exact
-    fingerprint dedup (one hash shuffle of 32-byte digests) → df-capped
-    3-gram Jaccard near-dup pairs over the survivors (inverted-index join,
-    Σdf² bounded) → connected components (iterative min-propagation) →
-    canonical survivor per cluster. Each stage shrinks its input before
-    the next pays for it — the cheapest-first cascade the reference builds
-    imperatively (SURVEY §4), restated over a corpus.
-
-    Deterministic aggregation choices (min/min_by) keep every engine
-    bit-identical; the oracle replays the same flow with a recursive-CTE
-    transitive closure."""
-    docs = load_table(spark, sf_dir, "documents")
+def _curation_flow(docs: DataFrame) -> DataFrame:
+    """Shared curation cascade over a (doc_id, text) frame: quality +
+    length + language gates (codegen on the scan) → exact fingerprint
+    dedup (one hash shuffle of 32-byte digests) → df-capped 3-gram
+    Jaccard near-dup pairs (inverted-index join, Σdf² bounded) →
+    connected components → canonical survivor per cluster. Each stage
+    shrinks its input before the next pays for it — the cheapest-first
+    cascade the reference builds imperatively (SURVEY §4)."""
     t = F.col("text")
     gated = docs.select(
         "doc_id",
@@ -3912,6 +3906,14 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(losers, "doc_id", "left_anti")
         .select("doc_id", "n_tokens", "quality", "n_exact_dups")
     )
+
+
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation flow as ONE lazy plan (see
+    _curation_flow). Deterministic aggregation choices (min/min_by) keep
+    every engine bit-identical; the oracle replays the same flow with a
+    recursive-CTE transitive closure."""
+    return _curation_flow(load_table(spark, sf_dir, "documents"))
 
 
 _ORACLE_CORPUS_CURATION = f"""
