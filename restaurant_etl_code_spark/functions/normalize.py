@@ -22,7 +22,7 @@ duplicates. This module provides that pre-pass:
   only the normalization table lookup itself genuinely needs Python.
 
 Generalizes the reference's byte-oblivious cleanse surface
-(``repository/included/utils/extraction.py:71-96`` lower/strip cleanses)
+(``repository/ops/extraction.py:71-96`` lower/strip cleanses)
 to Unicode-correct canonical forms; DuckDB's ``nfc_normalize`` provides
 the oracle for the NFC path.
 """

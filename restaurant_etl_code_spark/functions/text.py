@@ -162,12 +162,13 @@ INVISIBLE_PATTERN = (
 # UTF-8-bytes-read-as-Latin-1 signatures: the lead bytes of 2-byte (Ã = 0xC3,
 # Â = 0xC2) and 3-byte (â = 0xE2, then a continuation) UTF-8 sequences
 # followed by continuation bytes (U+0080-U+00BF after the mis-decode).
-# Â is restricted to printable continuations (U+00A0-) to avoid flagging
-# legitimate 'Â' + C1 already caught by the first alternative's range twin.
+# Â covers the full continuation range including C1 controls (Â + U+0080-9F
+# is the mis-decode of C2 80-C2 9F, i.e. real C1 codepoints — a valid
+# corruption signature even though scrub_invisible would strip the C1 half).
 MOJIBAKE_PATTERN = (
     "(Ã[\\x{0080}-\\x{00BF}]"
     "|â\\x{0080}[\\x{0080}-\\x{00BF}]"
-    "|Â[\\x{00A0}-\\x{00BF}])"
+    "|Â[\\x{0080}-\\x{00BF}])"
 )
 
 
@@ -181,20 +182,26 @@ def scrub_invisible(c: Column) -> Column:
 
 
 def invisible_count(c: Column) -> Column:
-    """Number of invisible/control characters in the string (0 for null-safe
-    arithmetic use ``when(c.isNull(), None)`` at the call site)."""
-    return F.length(c) - F.length(scrub_invisible(c))
+    """Number of invisible/control characters in the string. Null contract:
+    NULL text → 0 (a missing document contains no invisible characters), so
+    per-source sums cover every row instead of silently skipping null docs."""
+    return F.coalesce(F.length(c) - F.length(scrub_invisible(c)), F.lit(0))
 
 
 def mojibake_hits(c: Column) -> Column:
     """Count of UTF-8-as-Latin-1 mis-decode signatures (Ã©-style digraphs).
     A per-document corruption score: >0 almost always means the document
-    went through a wrong-charset hop and needs re-decode or drop."""
-    return F.size(F.regexp_extract_all(c, F.lit(MOJIBAKE_PATTERN), 0))
+    went through a wrong-charset hop and needs re-decode or drop. Null
+    contract: NULL text → 0, matching invisible_count."""
+    return F.coalesce(
+        F.size(F.regexp_extract_all(c, F.lit(MOJIBAKE_PATTERN), 0)), F.lit(0)
+    )
 
 
 def is_mojibake(c: Column, min_hits: int = 1) -> Column:
-    """Boolean corruption flag: at least ``min_hits`` mojibake signatures."""
+    """Boolean corruption flag: at least ``min_hits`` mojibake signatures.
+    Null contract: NULL text → FALSE (classified clean, not dropped), so a
+    filter on this flag never silently removes null-text rows."""
     return mojibake_hits(c) >= F.lit(min_hits)
 
 

@@ -2,7 +2,7 @@
 curation — all pure codegen Column expressions.
 
 Extends the reference's blob-URL parsing surface (P14/S4,
-``repository/included/utils/extraction.py:26-32`` container/blob split) to
+``repository/ops/extraction.py:26-32`` container/blob split) to
 the operations a 100 TB web-crawl curation run needs: per-domain dedup-rate
 audits (``dedup_rate_by_source`` keyed on domain instead of source), URL-key
 exact dedup, and crawl-frontier joins all require that
@@ -26,9 +26,22 @@ deployment makes per-corpus.
 
 ``registrable_domain`` approximates the public-suffix list with the
 universal two-label rule plus a small table of common two-label suffixes
-(``co.uk``-style). The real PSL is a data file, not an algorithm — at
-deployment it drops in as a broadcast map over the same label split; the
-approximation keeps this module dependency-free and oracle-checkable.
+(``co.uk``-style). ``registrable_domain_psl`` is the real thing: the full
+PSL longest-match algorithm (exact + ``*.`` wildcard + ``!`` exception
+rules) compiled into a codegen expression from a rule table —
+``load_psl`` parses the standard publicsuffix.org file format, and the
+bundled ``PSL_FIXTURE`` (an ICANN-section excerpt) stands in until a
+deployment drops in the full list. The rule sets compile to Catalyst
+``InSet`` hash lookups (the literal-broadcast analog of a broadcast map
+join), so the scale cost is O(1) per row regardless of table size.
+
+Non-absolute inputs (no ``scheme://``) canonicalize to NULL rather than
+sharing a degenerate ``':///'`` key — real crawls contain relative and
+garbage URLs, and a shared canonical key would silently collapse them to
+one row in URL-keyed exact dedup. Callers that want pass-through key on
+``coalesce(canonicalize_url(u), u)``. IP-literal hosts (dotted-quad IPv4,
+bracketed IPv6) have no registrable domain; both domain functions pass
+them through whole instead of mangling them label-wise.
 
 Every expression is a JVM regex/array op with an exact DuckDB twin (the
 regexes use only syntax java.util.regex and RE2 share), so the whole module
@@ -36,6 +49,8 @@ is correctness-gated by the ``url_canonical`` / ``domain_rollup`` oracles.
 """
 
 from __future__ import annotations
+
+from typing import Iterable, NamedTuple
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -47,6 +62,10 @@ __all__ = [
     "url_query_canonical",
     "canonicalize_url",
     "registrable_domain",
+    "registrable_domain_psl",
+    "load_psl",
+    "PslRules",
+    "PSL_FIXTURE",
     "TRACKING_PARAMS",
     "TWO_LABEL_SUFFIXES",
 ]
@@ -114,21 +133,38 @@ def url_query_canonical(c: Column) -> Column:
 
 
 def canonicalize_url(c: Column) -> Column:
-    """Full canonical form: scheme://host/path[?sorted_query]."""
+    """Full canonical form: scheme://host/path[?sorted_query]; NULL for
+    non-absolute input (no scheme) so malformed URLs never share one
+    degenerate ``':///'`` dedup key — key on ``coalesce(result, c)`` for
+    pass-through semantics."""
     query = url_query_canonical(c)
-    return F.concat(
-        url_scheme(c),
-        F.lit("://"),
-        url_host(c),
-        url_path(c),
-        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    return F.when(url_scheme(c) == "", F.lit(None).cast("string")).otherwise(
+        F.concat(
+            url_scheme(c),
+            F.lit("://"),
+            url_host(c),
+            url_path(c),
+            F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+        )
     )
+
+
+# Dotted-quad IPv4 (host, not a domain) and bracketed IPv6. Label-wise
+# suffix logic would mangle these ('192.168.0.1' → '0.1'), misattributing
+# IP-hosted URLs in per-domain crawl-budget rollups.
+_IPV4_RE = r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"
+
+
+def _is_ip_literal(host: Column) -> Column:
+    return host.rlike(_IPV4_RE) | host.startswith("[")
 
 
 def registrable_domain(host: Column) -> Column:
     """eTLD+1 approximation over a lowercased host: last two labels, or last
     three when the final two are a known two-label suffix (co.uk et al.).
-    Hosts with fewer labels (localhost, bare TLDs) pass through unchanged."""
+    Hosts with fewer labels (localhost, bare TLDs) and IP literals pass
+    through unchanged; empty/NULL host → NULL. For the full public-suffix
+    algorithm use :func:`registrable_domain_psl`."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     # greatest(…, 1): Spark's slice throws on start <= 0 and when() branches
@@ -138,7 +174,222 @@ def registrable_domain(host: Column) -> Column:
     last3 = F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), ".")
     is_two_label_suffix = last2.isin(*TWO_LABEL_SUFFIXES)
     return (
-        F.when(n <= 2, host)
+        F.when(host.isNull() | (host == ""), F.lit(None).cast("string"))
+        .when(_is_ip_literal(host), host)
+        .when(n <= 2, host)
         .when(is_two_label_suffix & (n >= 3), last3)
         .otherwise(last2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public-suffix-list registrable domain (the deployment-grade path the
+# module docstring designs): full PSL longest-match semantics — exact
+# rules, ``*.`` wildcard rules, ``!`` exception rules — compiled into one
+# codegen expression. Rule membership tests become Catalyst ``InSet``
+# (hash-set) lookups, the literal analog of a broadcast map join, so per-row
+# cost is O(label depth), independent of rule-table size: the full ~9k-entry
+# publicsuffix.org file loads the same way the fixture does.
+# ---------------------------------------------------------------------------
+
+class PslRules(NamedTuple):
+    """Parsed PSL rule sets. ``exact``: plain suffix rules. ``wildcard``:
+    the BASE of ``*.base`` rules (any single label + base is a public
+    suffix). ``exception``: the name of ``!name`` rules (name is NOT a
+    public suffix despite a covering wildcard)."""
+
+    exact: frozenset[str]
+    wildcard: frozenset[str]
+    exception: frozenset[str]
+
+
+def load_psl(source: Iterable[str] | str) -> PslRules:
+    """Parse the standard publicsuffix.org list format: one rule per line,
+    ``//`` comments and blank lines ignored, rules are
+    ``suffix`` / ``*.suffix`` / ``!exception``. Accepts an iterable of
+    lines or a whole-file string. At deployment, pass
+    ``open('public_suffix_list.dat').read()``."""
+    if isinstance(source, str):
+        source = source.splitlines()
+    exact, wildcard, exception = set(), set(), set()
+    for line in source:
+        rule = line.strip().lower()
+        if not rule or rule.startswith("//"):
+            continue
+        rule = rule.split()[0]  # the spec: anything after whitespace ignored
+        if rule.startswith("!"):
+            exception.add(rule[1:])
+        elif rule.startswith("*."):
+            wildcard.add(rule[2:])
+        else:
+            exact.add(rule)
+    return PslRules(frozenset(exact), frozenset(wildcard), frozenset(exception))
+
+
+# ICANN-section excerpt of the public suffix list (publicsuffix.org — public
+# data), bundled as a fixture so the module stays dependency-free and
+# oracle-checkable. Deliberately includes the ccTLD second-level
+# registrations the TWO_LABEL_SUFFIXES approximation misses (co.id, com.sg,
+# …) and the wildcard/exception machinery (*.ck / !www.ck,
+# *.kawasaki.jp / !city.kawasaki.jp). Replace with the full file at
+# deployment via load_psl().
+PSL_FIXTURE_TEXT = """\
+// ===BEGIN ICANN DOMAINS=== (fixture excerpt)
+com
+net
+org
+edu
+gov
+io
+co
+uk
+co.uk
+org.uk
+ac.uk
+gov.uk
+ltd.uk
+plc.uk
+jp
+co.jp
+ne.jp
+or.jp
+ac.jp
+*.kawasaki.jp
+!city.kawasaki.jp
+au
+com.au
+net.au
+org.au
+edu.au
+id
+co.id
+net.id
+or.id
+web.id
+ac.id
+sch.id
+sg
+com.sg
+net.sg
+org.sg
+edu.sg
+gov.sg
+my
+com.my
+net.my
+th
+co.th
+ac.th
+go.th
+in.th
+nz
+co.nz
+net.nz
+org.nz
+za
+co.za
+net.za
+org.za
+in
+co.in
+net.in
+org.in
+kr
+co.kr
+ne.kr
+or.kr
+re.kr
+br
+com.br
+net.br
+org.br
+cn
+com.cn
+net.cn
+org.cn
+mx
+com.mx
+gob.mx
+tr
+com.tr
+ar
+com.ar
+hk
+com.hk
+tw
+com.tw
+org.tw
+idv.tw
+vn
+com.vn
+ph
+com.ph
+ck
+*.ck
+!www.ck
+"""
+
+PSL_FIXTURE = load_psl(PSL_FIXTURE_TEXT)
+
+
+def _rules_by_label_count(names: frozenset[str]) -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {}
+    for name in names:
+        out.setdefault(name.count(".") + 1, []).append(name)
+    return {k: sorted(v) for k, v in sorted(out.items())}
+
+
+def registrable_domain_psl(host: Column, rules: PslRules = PSL_FIXTURE) -> Column:
+    """Registrable domain (eTLD+1) under full public-suffix-list semantics.
+
+    PSL algorithm (https://publicsuffix.org/list/ — public spec): among all
+    rules matching the host, an exception rule prevails; otherwise the rule
+    with the most labels; otherwise the implicit ``*`` rule (1 label). The
+    public suffix is the prevailing rule's match (exception: minus its first
+    label); the registrable domain is the public suffix plus one more label.
+
+    Returns NULL when the host IS a public suffix (nothing registrable),
+    is empty/NULL, or — pass-through exception — the host whole when it is
+    an IP literal. Compiles to nested CASE over ``InSet`` membership tests:
+    pure codegen, zero shuffle, O(max rule depth) comparisons per row.
+    """
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    def last_k(k: int) -> Column:
+        # greatest(…,1): slice throws on start <= 0; the n >= k guard on
+        # every use keeps the clamped value from ever being selected
+        return F.array_join(
+            F.slice(labels, F.greatest(n - (k - 1), F.lit(1)), k), "."
+        )
+
+    # implicit '*' rule: any unmatched TLD is a 1-label public suffix
+    suffix_len: Column = F.lit(1)
+    for k, names in _rules_by_label_count(rules.exact).items():
+        if k == 1:
+            continue  # 1-label exact rules add nothing over the implicit '*'
+        suffix_len = F.when(
+            (n >= k) & last_k(k).isin(*names),
+            F.greatest(suffix_len, F.lit(k)),
+        ).otherwise(suffix_len)
+    # '*.base' (b labels): one label + base → public suffix of b+1 labels
+    for b, bases in _rules_by_label_count(rules.wildcard).items():
+        suffix_len = F.when(
+            (n >= b + 1) & last_k(b).isin(*bases),
+            F.greatest(suffix_len, F.lit(b + 1)),
+        ).otherwise(suffix_len)
+    # '!name' (e labels): name is NOT a public suffix — suffix is e-1 labels
+    for e, names in _rules_by_label_count(rules.exception).items():
+        suffix_len = F.when(
+            (n >= e) & last_k(e).isin(*names), F.lit(e - 1)
+        ).otherwise(suffix_len)
+
+    registrable = F.array_join(
+        F.slice(labels, F.greatest(n - suffix_len, F.lit(1)), suffix_len + 1), "."
+    )
+    return (
+        F.when(host.isNull() | (host == ""), F.lit(None).cast("string"))
+        .when(_is_ip_literal(host), host)
+        .when(n > suffix_len, registrable)
+        .otherwise(F.lit(None).cast("string"))
     )

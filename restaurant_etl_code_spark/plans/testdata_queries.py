@@ -8406,8 +8406,8 @@ with dirty as (
               else text end as dirty
   from documents)
 select doc_id,
-       (length(dirty) - length(regexp_replace(dirty,
-            '{Ftext.INVISIBLE_PATTERN}', '', 'g')))::bigint as n_invisible,
+       coalesce(length(dirty) - length(regexp_replace(dirty,
+            '{Ftext.INVISIBLE_PATTERN}', '', 'g')), 0)::bigint as n_invisible,
        length(dirty)::bigint as len_raw,
        length(regexp_replace(dirty,
             '{Ftext.INVISIBLE_PATTERN}', '', 'g'))::bigint as len_clean
@@ -8430,6 +8430,8 @@ def _q_mojibake_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.concat(F.col("text"), F.lit(" \u00e2\u0080\u0099s")))
         .when(F.col("doc_id") % 5 == 2,
               F.replace(F.col("text"), F.lit(" "), F.lit("\u00c2\u00a0")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.replace(F.col("text"), F.lit("n"), F.lit("\u00c2\u0081")))
         .otherwise(F.col("text")),
     )
     return dirty.groupBy("source").agg(
@@ -8446,10 +8448,12 @@ with dirty as (
          case when doc_id % 5 = 0 then replace(text, 'e', chr(195) || chr(169))
               when doc_id % 5 = 1 then text || ' ' || chr(226) || chr(128) || chr(153) || 's'
               when doc_id % 5 = 2 then replace(text, ' ', chr(194) || chr(160))
+              when doc_id % 5 = 3 then replace(text, 'n', chr(194) || chr(129))
               else text end as dirty
   from documents),
 scored as (
-  select source, len(regexp_extract_all(dirty, '{Ftext.MOJIBAKE_PATTERN}')) as hits
+  select source,
+         coalesce(len(regexp_extract_all(dirty, '{Ftext.MOJIBAKE_PATTERN}')), 0) as hits
   from dirty)
 select source,
        count(*)::bigint as n_docs,
