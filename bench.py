@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "dedup_normalized",
     "url_canonical",
     "domain_rollup",
+    "domain_rollup_psl",
 ]
 
 

@@ -8570,11 +8570,21 @@ def _url_fixture_spark(key: Column) -> Column:
         .otherwise(F.lit(""))
     )
     frag = F.when(key % 6 == 0, F.lit("#section-2")).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    absolute = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    # real crawls contain non-absolute/garbage URLs and IP-hosted URLs —
+    # these rows exercise the NULL-canonical and IP-pass-through guards
+    return (
+        F.when(key % 11 == 3, F.concat(F.lit("relative/menu-"), k_str))
+        .when(key % 11 == 7, F.concat(F.lit("http://192.168.0.1/item-"), k_str))
+        .otherwise(absolute)
+    )
 
 
 _URL_FIXTURE_DUCK = """
   select p_partkey as row_id,
+         case when p_partkey % 11 = 3 then 'relative/menu-' || p_partkey::varchar
+              when p_partkey % 11 = 7 then 'http://192.168.0.1/item-' || p_partkey::varchar
+              else
          (case when p_partkey % 2 = 0 then 'HTTP' else 'https' end)
          || '://'
          || (case when p_partkey % 3 = 0 then 'Example.COM'
@@ -8590,7 +8600,8 @@ _URL_FIXTURE_DUCK = """
                   '?utm_source=feed&b=' || (p_partkey % 9)::varchar || '&a=1&fbclid=abc'
                   when p_partkey % 3 = 1 then '?a=1&b=' || (p_partkey % 9)::varchar
                   else '' end)
-         || (case when p_partkey % 6 = 0 then '#section-2' else '' end) as url
+         || (case when p_partkey % 6 = 0 then '#section-2' else '' end)
+         end as url
   from part
 """
 
@@ -8620,20 +8631,32 @@ def _duck_canonical_exprs() -> tuple[str, str]:
         f"coalesce(array_to_string(list_sort(list_filter(string_split({raw_q}, '&'), "
         f"x -> {_duck_keep_param('x')})), '&'), '')"
     )
+    # NULL-canonical guard twin: non-absolute input (no scheme) → NULL.
+    # DuckDB regexp_extract yields NULL on no-match (Spark yields '').
     canonical = (
+        f"(case when {scheme} is null or {scheme} = '' then null else "
         f"{scheme} || '://' || {host} || {path} || "
-        f"(case when {query} = '' then '' else '?' || {query} end)"
+        f"(case when {query} = '' then '' else '?' || {query} end) end)"
     )
+    return canonical, _duck_domain_approx(host)
+
+
+def _duck_domain_approx(host: str) -> str:
+    """DuckDB twin of Furl.registrable_domain over a host EXPRESSION —
+    two-label-suffix approximation with the same empty→NULL and
+    IP-literal pass-through guards."""
     suffixes = ", ".join(f"'{s}'" for s in Furl.TWO_LABEL_SUFFIXES)
     labels = f"string_split({host}, '.')"
     last2 = f"array_to_string(list_slice({labels}, -2, len({labels})), '.')"
     last3 = f"array_to_string(list_slice({labels}, -3, len({labels})), '.')"
-    domain = (
-        f"(case when len({labels}) <= 2 then {host} "
+    return (
+        f"(case when {host} is null or {host} = '' then null "
+        f"when regexp_matches({host}, '{Furl._IPV4_RE}') "
+        f"or starts_with({host}, '[') then {host} "
+        f"when len({labels}) <= 2 then {host} "
         f"when {last2} in ({suffixes}) and len({labels}) >= 3 then {last3} "
         f"else {last2} end)"
     )
-    return canonical, domain
 
 
 def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8679,7 +8702,10 @@ def _q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = part.select(_url_fixture_spark(F.col("p_partkey")).alias("url"))
     shaped = urls.select(
         Furl.registrable_domain(Furl.url_host(F.col("url"))).alias("domain"),
-        Furl.canonicalize_url(F.col("url")).alias("canonical_url"),
+        # malformed URLs canonicalize to NULL — key them on the raw string
+        # so they stay distinct rows instead of vanishing from the count
+        F.coalesce(Furl.canonicalize_url(F.col("url")), F.col("url"))
+        .alias("canonical_url"),
         Furl.url_path(F.col("url")).alias("path"),
     )
     return shaped.groupBy("domain").agg(
@@ -8697,9 +8723,9 @@ def _domain_rollup_oracle() -> str:
     return f"""
 with urls as ({_URL_FIXTURE_DUCK}),
 shaped as (
-  select {domain} as domain, {canonical} as canonical_url,
-         (case when regexp_replace(regexp_extract(regexp_replace(url, '#.*', ''),
-              '{Furl._PATH_RE}', 1), '/+$', '') = '' then '/'
+  select {domain} as domain, coalesce({canonical}, url) as canonical_url,
+         (case when coalesce(regexp_replace(regexp_extract(regexp_replace(url, '#.*', ''),
+              '{Furl._PATH_RE}', 1), '/+$', ''), '') = '' then '/'
            else regexp_replace(regexp_extract(regexp_replace(url, '#.*', ''),
               '{Furl._PATH_RE}', 1), '/+$', '') end) as path
   from urls)
@@ -8713,6 +8739,137 @@ from shaped group by domain
 
 
 _ORACLE_DOMAIN_ROLLUP = _domain_rollup_oracle()
+
+
+def _psl_host_fixture_spark(key: Column) -> Column:
+    """Host fixture exercising every PSL rule class: ccTLD second-level
+    registrations the TWO_LABEL_SUFFIXES approximation misses (co.id,
+    com.sg), wildcard (*.ck, *.kawasaki.jp), exception (!www.ck,
+    !city.kawasaki.jp), public-suffix-only hosts (com, other.kawasaki.jp
+    → NULL), an IP literal, and an unknown TLD (implicit '*' rule)."""
+    m = key % 13
+    return (
+        F.when(m == 0, F.lit("shop.example.co.id"))
+        .when(m == 1, F.lit("news.example.com.sg"))
+        .when(m == 2, F.lit("a.b.example.co.uk"))
+        .when(m == 3, F.lit("www.ck"))
+        .when(m == 4, F.lit("foo.bar.ck"))
+        .when(m == 5, F.lit("city.kawasaki.jp"))
+        .when(m == 6, F.lit("sub.city.kawasaki.jp"))
+        .when(m == 7, F.lit("other.kawasaki.jp"))
+        .when(m == 8, F.lit("x.other.kawasaki.jp"))
+        .when(m == 9, F.lit("192.168.0.1"))
+        .when(m == 10, F.lit("deep.sub.example.org"))
+        .when(m == 11, F.lit("example.unknowntld"))
+        .otherwise(F.lit("com"))
+    )
+
+
+_PSL_HOST_FIXTURE_DUCK = """
+  select case p_partkey % 13
+           when 0 then 'shop.example.co.id'
+           when 1 then 'news.example.com.sg'
+           when 2 then 'a.b.example.co.uk'
+           when 3 then 'www.ck'
+           when 4 then 'foo.bar.ck'
+           when 5 then 'city.kawasaki.jp'
+           when 6 then 'sub.city.kawasaki.jp'
+           when 7 then 'other.kawasaki.jp'
+           when 8 then 'x.other.kawasaki.jp'
+           when 9 then '192.168.0.1'
+           when 10 then 'deep.sub.example.org'
+           when 11 then 'example.unknowntld'
+           else 'com' end as host
+  from part
+"""
+
+
+def _duck_psl_suffix_len(labels: str, n: str) -> str:
+    """DuckDB twin of the registrable_domain_psl suffix-length fold,
+    generated from the SAME PslRules fixture so the engines cannot
+    drift: nested CASE over IN-list membership, longest match wins,
+    exceptions prevail."""
+    from restaurant_etl_code_spark.functions.urls import (
+        PSL_FIXTURE, _rules_by_label_count)
+
+    def last_k(k: int) -> str:
+        return f"array_to_string(list_slice({labels}, -{k}, {n}), '.')"
+
+    sl = "1"
+    for k, names in _rules_by_label_count(PSL_FIXTURE.exact).items():
+        if k == 1:
+            continue
+        inlist = ", ".join(f"'{x}'" for x in names)
+        sl = (f"(case when {n} >= {k} and {last_k(k)} in ({inlist}) "
+              f"then greatest({sl}, {k}) else {sl} end)")
+    for b, bases in _rules_by_label_count(PSL_FIXTURE.wildcard).items():
+        inlist = ", ".join(f"'{x}'" for x in bases)
+        sl = (f"(case when {n} >= {b + 1} and {last_k(b)} in ({inlist}) "
+              f"then greatest({sl}, {b + 1}) else {sl} end)")
+    for e, names in _rules_by_label_count(PSL_FIXTURE.exception).items():
+        inlist = ", ".join(f"'{x}'" for x in names)
+        sl = (f"(case when {n} >= {e} and {last_k(e)} in ({inlist}) "
+              f"then {e - 1} else {sl} end)")
+    return sl
+
+
+def _q_domain_rollup_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain rollup under FULL public-suffix-list semantics
+    (functions.urls.registrable_domain_psl — exact/wildcard/exception
+    longest-match compiled to codegen InSet lookups) side-by-side with
+    the two-label approximation, grouped so every divergence class is a
+    visible row: co.id/com.sg-style ccTLD second-level registrations the
+    approximation merges one label short, wildcard-covered hosts, and
+    public-suffix-only hosts the approximation wrongly reports as
+    registrable. Same plan shape as domain_rollup: scan → row-local
+    project → one hash-groupBy."""
+    part = load_table(spark, sf_dir, "part")
+    hosts = part.select(_psl_host_fixture_spark(F.col("p_partkey")).alias("host"))
+    shaped = hosts.select(
+        "host",
+        Furl.registrable_domain_psl(F.col("host")).alias("domain_psl"),
+        Furl.registrable_domain(F.col("host")).alias("domain_approx"),
+    )
+    return (
+        shaped.groupBy("domain_psl", "domain_approx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+        .withColumn(
+            "diverges", ~F.col("domain_psl").eqNullSafe(F.col("domain_approx"))
+        )
+    )
+
+
+def _domain_rollup_psl_oracle() -> str:
+    sl = _duck_psl_suffix_len("labels", "n")
+    approx = _duck_domain_approx("host")
+    return f"""
+with hosts as ({_PSL_HOST_FIXTURE_DUCK}),
+parts as (
+  select host, string_split(host, '.') as labels,
+         len(string_split(host, '.')) as n
+  from hosts),
+sl as (select host, labels, n, {sl} as s from parts),
+dom as (
+  select host,
+         (case when host is null or host = '' then null
+               when regexp_matches(host, '{Furl._IPV4_RE}')
+                    or starts_with(host, '[') then host
+               when n > s then array_to_string(list_slice(labels, -(s + 1), n), '.')
+               else null end) as domain_psl,
+         {approx} as domain_approx
+  from sl)
+select domain_psl, domain_approx,
+       count(*)::bigint as n_urls,
+       count(distinct host)::bigint as n_hosts,
+       (domain_psl is distinct from domain_approx) as diverges
+from dom group by domain_psl, domain_approx
+"""
+
+
+_ORACLE_DOMAIN_ROLLUP_PSL = _domain_rollup_psl_oracle()
 
 
 _REGISTRY: dict[str, QueryDef] = {
@@ -9252,6 +9409,10 @@ _REGISTRY: dict[str, QueryDef] = {
     "domain_rollup": QueryDef(
         _q_domain_rollup, _ORACLE_DOMAIN_ROLLUP,
         "per-registrable-domain corpus audit over canonical URLs"),
+    "domain_rollup_psl": QueryDef(
+        _q_domain_rollup_psl, _ORACLE_DOMAIN_ROLLUP_PSL,
+        "registrable domain under full PSL semantics vs the two-label "
+        "approximation (divergence audit)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -9268,60 +9429,59 @@ _REGISTRY: dict[str, QueryDef] = {
 # applies the policy above; hand-maintained rotation notes failed in
 # r6/r7 and miscounted in r8, so the tool's output is authoritative.)
 #
-# r10 window provenance (ledger as of r09, tools/freshness.py --window 50):
-# the 45-query r05 cohort (activity_streaks ... basket_* family — four
-# rounds stale, the r9 verdict's freshness-tail order), the 3 oldest r07
-# names, and the two anchors.
-_WINDOW_ROUND = 9  # ledger state this window was generated from
+# r11 window provenance (ledger as of r10, tools/freshness.py --window 50
+# --as-of 10): the 4 r05 stragglers the r10 window could not fit, the
+# 44-query r07 cohort (now the oldest latest-check), and the two anchors.
+_WINDOW_ROUND = 10  # ledger state this window was generated from
 _WINDOW_FIRST = [
-    "text_normalize",  # never-checked
-    "nfkc_fold",  # never-checked
-    "unicode_scrub",  # never-checked
-    "mojibake_flag",  # never-checked
-    "dedup_normalized",  # never-checked
-    "url_canonical",  # never-checked
-    "domain_rollup",  # never-checked
-    "unigram_logprob",  # latest=r05
-    "minhash_estimate",  # latest=r05
-    "bm25_topk",  # latest=r05
-    "boilerplate_ngrams",  # latest=r05
-    "corpus_profile",  # latest=r05
-    "char_entropy",  # latest=r05
-    "streaming_quality_gate",  # latest=r05
-    "ann_recall",  # latest=r05
-    "orc_scan_agg",  # latest=r05
-    "quality_classifier",  # latest=r05
-    "stats_prune_scan",  # latest=r05
-    "embedding_covariance",  # latest=r05
-    "incremental_quantile",  # latest=r05
-    "kfold_split",  # latest=r05
-    "retrieval_eval",  # latest=r05
-    "funnel",  # latest=r05
-    "cohort_retention",  # latest=r05
-    "event_transitions",  # latest=r05
-    "concurrency_sweep",  # latest=r05
-    "dq_audit",  # latest=r05
-    "time_resample",  # latest=r05
-    "winsorize",  # latest=r05
-    "pagerank",  # latest=r05
-    "basket_pairs",  # latest=r05
-    "anomaly_hours",  # latest=r05
-    "funnel_windowed",  # latest=r05
-    "approx_distinct_audit",  # latest=r05
-    "asof_tolerance",  # latest=r05
-    "point_in_time",  # latest=r05
-    "trend_fit",  # latest=r05
-    "knn_graph",  # latest=r05
-    "streaming_funnel",  # latest=r05
-    "star_join",  # latest=r05
-    "schema_evolution_scan",  # latest=r05
-    "stream_stream_left_join",  # latest=r05
-    "incremental_join",  # latest=r05
-    "dedup_recall",  # latest=r05
-    "corrupt_quarantine",  # latest=r05
-    "funnel_timing",  # latest=r05
-    "numeric_corr",  # latest=r05
-    "session_paths",  # latest=r05
+    "basket_triples",  # latest=r05
+    "basket_rules",  # latest=r05
+    "activity_streaks",  # latest=r05
+    "basket_triple_rules",  # latest=r05
+    "staging_restaurant",  # latest=r07
+    "llm_parse",  # latest=r07
+    "precheck_antijoin",  # latest=r07
+    "upc_validity",  # latest=r07
+    "change_detect",  # latest=r07
+    "template_chunks",  # latest=r07
+    "batch_stats",  # latest=r07
+    "match_breakdown",  # latest=r07
+    "status_partition",  # latest=r07
+    "topk_per_group",  # latest=r07
+    "rollup_pricing",  # latest=r07
+    "sessionize",  # latest=r07
+    "asof_join",  # latest=r07
+    "range_join",  # latest=r07
+    "window_analytics",  # latest=r07
+    "grouping_sets",  # latest=r07
+    "global_topn",  # latest=r07
+    "quantiles",  # latest=r07
+    "approx_aggs",  # latest=r07
+    "salted_join_agg",  # latest=r07
+    "tumbling_window",  # latest=r07
+    "streaming_dedup",  # latest=r07
+    "streaming_running_stats",  # latest=r07
+    "streaming_sessions",  # latest=r07
+    "streaming_enrich",  # latest=r07
+    "multires_rollup",  # latest=r07
+    "sketch_rollup",  # latest=r07
+    "reconcile",  # latest=r07
+    "unpivot",  # latest=r07
+    "semi_join",  # latest=r07
+    "scalar_subquery",  # latest=r07
+    "null_semantics",  # latest=r07
+    "fuzzy_match",  # latest=r07
+    "json_props",  # latest=r07
+    "text_quality",  # latest=r07
+    "lang_id",  # latest=r07
+    "exact_dedup",  # latest=r07
+    "training_prep",  # latest=r07
+    "minhash_lsh_pairs",  # latest=r07
+    "simhash_pairs",  # latest=r07
+    "ngram_jaccard_capped",  # latest=r07
+    "embedding_near_dup",  # latest=r07
+    "dedup_clusters",  # latest=r07
+    "merge_pruned",  # latest=r07
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -803,6 +803,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                   "MapInPandas", "SortMergeJoin"],
     },
+    "domain_rollup_psl": {
+        # full-PSL longest-match compiles to nested CASE over InSet hash
+        # lookups — still a row-local projection + one hash-groupBy,
+        # zero Python, zero joins (the "broadcast map" is a literal)
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
 }
 
 
