@@ -219,6 +219,8 @@ BENCH_QUERIES = [
     "url_canonical",
     "domain_rollup",
     "domain_rollup_psl",
+    "html_extract",
+    "html_curation",
 ]
 
 

@@ -1,5 +1,6 @@
 from restaurant_etl_code_spark.functions import (  # noqa: F401
     cleansing,
+    htmltext,
     normalize,
     text,
     urls,

@@ -1,0 +1,139 @@
+"""HTML → text extraction for web-corpus curation — pure codegen Column
+expressions (JVM regex + exact-string replaces), zero Python in the row path.
+
+The reference ingests PDFs/CSV/MDB/JSON blobs (SURVEY S1-S7;
+``repository/ops/extraction.py`` text cleanses); a 100 TB crawl corpus is
+HTML, so this module supplies the missing web SOURCE transform: strip
+markup to trainable text, pull the title, and harvest outbound links for
+the crawl frontier. Together with ``functions.normalize`` (NFC) +
+``functions.text`` (invisible scrub, fingerprint) it completes the
+web-curation pre-pass: html → text → normalize → scrub → fingerprint-dedup.
+
+Extraction contract (documented, deliberately simple):
+
+1. ``<script>``/``<style>`` elements are removed WITH their content
+   (non-greedy ``.*?`` spans, dotall) — script bodies are not text;
+2. HTML comments removed with content;
+3. block-level tags (``p div br li ul ol h1-h6 tr table blockquote
+   section article header footer pre``) become newlines — paragraph
+   structure survives as line structure;
+4. every remaining tag is deleted with NO replacement — inline tags
+   (``<b>``, ``<span>``, ``<a>``) must not split words;
+5. a BOUNDED entity table is decoded exactly (``&lt; &gt; &quot; &apos;
+   &#39; &#34; &nbsp; &amp;`` — ``&amp;`` last so ``&amp;lt;`` decodes to
+   the literal ``&lt;`` and not ``<``); ``&nbsp;`` decodes to a PLAIN
+   space (the curation-pragmatic choice: U+00A0 would survive
+   fingerprinting as a distinct byte and split otherwise-identical
+   documents). Numeric entities beyond the table pass through — full
+   charref decode needs a computed-char replace no codegen engine has,
+   and the bounded table covers the overwhelming majority mass;
+6. whitespace is normalized: runs of spaces/tabs collapse to one space,
+   newline runs (with surrounding spaces) collapse to one newline,
+   result is trimmed.
+
+Every regex avoids lookahead/lookbehind and backreferences, the syntax
+subset java.util.regex (Spark) and RE2 (DuckDB oracle) parse identically,
+so each step has an exact DuckDB twin and the whole module is
+correctness-gated by the ``html_extract`` / ``html_curation`` oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "strip_script_style",
+    "strip_comments",
+    "strip_tags",
+    "decode_entities",
+    "normalize_ws",
+    "html_to_text",
+    "html_title",
+    "html_links",
+    "SCRIPT_RE",
+    "STYLE_RE",
+    "COMMENT_RE",
+    "BLOCK_TAG_RE",
+    "ANY_TAG_RE",
+    "TITLE_RE",
+    "HREF_RE",
+    "ENTITY_TABLE",
+]
+
+SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+COMMENT_RE = r"(?s)<!--.*?-->"
+BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote"
+    r"|section|article|header|footer|pre)(?:\s[^>]*)?/?>"
+)
+ANY_TAG_RE = r"(?s)<[^>]*>"
+TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+HREF_RE = "(?i)href\\s*=\\s*\"([^\"]*)\""
+WS_SPACES_RE = r"[ \t\f\r]+"
+WS_NEWLINES_RE = r" ?\n[ \n]*"
+
+# Decode order matters: &amp; LAST, so '&amp;lt;' yields the literal
+# string '&lt;' (correct single decode) instead of '<' (double decode).
+ENTITY_TABLE = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&#34;", '"'),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_script_style(c: Column) -> Column:
+    """Remove <script>/<style> elements INCLUDING their content."""
+    return F.regexp_replace(F.regexp_replace(c, SCRIPT_RE, ""), STYLE_RE, "")
+
+
+def strip_comments(c: Column) -> Column:
+    """Remove <!-- ... --> comments including content."""
+    return F.regexp_replace(c, COMMENT_RE, "")
+
+
+def strip_tags(c: Column) -> Column:
+    """Block-level tags → newline (paragraph structure survives as line
+    structure), every other tag deleted without a space (inline tags
+    must not split words)."""
+    return F.regexp_replace(F.regexp_replace(c, BLOCK_TAG_RE, "\n"), ANY_TAG_RE, "")
+
+
+def decode_entities(c: Column) -> Column:
+    """Bounded entity-table decode (exact string replaces, &amp; last)."""
+    for entity, char in ENTITY_TABLE:
+        c = F.replace(c, F.lit(entity), F.lit(char))
+    return c
+
+
+def normalize_ws(c: Column) -> Column:
+    """Collapse space/tab runs to one space, newline runs (with adjacent
+    spaces) to one newline; trim."""
+    c = F.regexp_replace(c, WS_SPACES_RE, " ")
+    c = F.regexp_replace(c, WS_NEWLINES_RE, "\n")
+    return F.trim(c)
+
+
+def html_to_text(c: Column) -> Column:
+    """Full extraction pipeline: script/style → comments → tags →
+    entities → whitespace. Row-local, pure codegen — at 100 TB this is a
+    map-only stage with zero shuffle and zero Python."""
+    return normalize_ws(decode_entities(strip_tags(strip_comments(strip_script_style(c)))))
+
+
+def html_title(c: Column) -> Column:
+    """<title> content, whitespace-normalized; '' when absent."""
+    return normalize_ws(F.regexp_extract(c, TITLE_RE, 1))
+
+
+def html_links(c: Column) -> Column:
+    """All href attribute values (double-quoted form) → array<string> —
+    the crawl-frontier harvest, ready for functions.urls.canonicalize_url
+    + registrable_domain over an explode."""
+    return F.regexp_extract_all(c, F.lit(HREF_RE), 1)

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from restaurant_etl_code_spark.functions import (
     cleansing,
+    htmltext as Fhtml,
     normalize as Fnorm,
     text as Ftext,
     urls as Furl,
@@ -8872,6 +8873,193 @@ from dom group by domain_psl, domain_approx
 _ORACLE_DOMAIN_ROLLUP_PSL = _domain_rollup_psl_oracle()
 
 
+# --------------------------------------------------------------------------
+# HTML -> text extraction family (round 11): the missing web SOURCE — a
+# 100 TB crawl corpus is HTML; strip it to trainable text, pull titles,
+# harvest the crawl frontier, then run the full curation pre-pass.
+# --------------------------------------------------------------------------
+
+def _html_fixture_spark(doc_id: Column, text: Column) -> Column:
+    """Three markup classes per doc: full page (title/style/script/comment/
+    entities/links), minimal divs with inline tags, and br-separated body
+    with entity-encoded punctuation and no links."""
+    ds = doc_id.cast("string")
+    full = F.concat(
+        F.lit("<html><head><title>Doc "), ds,
+        F.lit("</title><style>p: red</style></head><body>"
+              "<script type=\"text/javascript\">var x = 1 < 2;</script>"
+              "<!-- hidden <p>not text</p> --><h1>Doc "), ds,
+        F.lit("</h1><p>"), text,
+        F.lit("</p><div>See <a href=\"http://example.com/d/"), ds,
+        F.lit("\">more</a> &amp; <a href=\"https://cdn.example.org/a?x=1\">"
+              "assets</a></div></body></html>"),
+    )
+    minimal = F.concat(
+        F.lit("<div>"), text,
+        F.lit("</div><div><b>bold</b>words with <a href=\"http://example.com/d/"),
+        ds, F.lit("\">link</a></div>"),
+    )
+    brs = F.concat(
+        F.lit("<p>Menu&nbsp;"), ds, F.lit("</p>"), text,
+        F.lit("<br>Tom &amp; Jerry &lt;3<br/>"),
+    )
+    return (
+        F.when(doc_id % 3 == 0, full)
+        .when(doc_id % 3 == 1, minimal)
+        .otherwise(brs)
+    )
+
+
+_HTML_FIXTURE_DUCK = """
+  select doc_id, source,
+         case when doc_id % 3 = 0 then
+           '<html><head><title>Doc ' || doc_id::varchar
+           || '</title><style>p: red</style></head><body>'
+           || '<script type="text/javascript">var x = 1 < 2;</script>'
+           || '<!-- hidden <p>not text</p> --><h1>Doc ' || doc_id::varchar
+           || '</h1><p>' || text
+           || '</p><div>See <a href="http://example.com/d/' || doc_id::varchar
+           || '">more</a> &amp; <a href="https://cdn.example.org/a?x=1">'
+           || 'assets</a></div></body></html>'
+         when doc_id % 3 = 1 then
+           '<div>' || text
+           || '</div><div><b>bold</b>words with <a href="http://example.com/d/'
+           || doc_id::varchar || '">link</a></div>'
+         else
+           '<p>Menu&nbsp;' || doc_id::varchar || '</p>' || text
+           || '<br>Tom &amp; Jerry &lt;3<br/>'
+         end as html
+  from documents
+"""
+
+
+def _duck_html_to_text(h: str) -> str:
+    """DuckDB twin of Fhtml.html_to_text, generated from the module's own
+    pattern/entity constants so the engines cannot drift."""
+    x = f"regexp_replace({h}, '{Fhtml.SCRIPT_RE}', '', 'g')"
+    x = f"regexp_replace({x}, '{Fhtml.STYLE_RE}', '', 'g')"
+    x = f"regexp_replace({x}, '{Fhtml.COMMENT_RE}', '', 'g')"
+    x = f"regexp_replace({x}, '{Fhtml.BLOCK_TAG_RE}', chr(10), 'g')"
+    x = f"regexp_replace({x}, '{Fhtml.ANY_TAG_RE}', '', 'g')"
+    for entity, char in Fhtml.ENTITY_TABLE:
+        x = f"replace({x}, '{entity}', '{char.replace(chr(39), chr(39) * 2)}')"
+    x = f"regexp_replace({x}, '{Fhtml.WS_SPACES_RE}', ' ', 'g')"
+    x = f"regexp_replace({x}, '{Fhtml.WS_NEWLINES_RE}', chr(10), 'g')"
+    return f"trim({x})"
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (functions.htmltext — pure codegen):
+    script/style/comment removal with content, block-tag -> newline,
+    inline-tag deletion, bounded entity decode, whitespace
+    normalization; plus <title> pull and href harvest (the crawl
+    frontier). Emits the FULL cleaned text so the oracle checks every
+    byte of the extraction, not a summary statistic. Row-local — at
+    100 TB this is a map-only stage, zero shuffle, zero Python."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.select(
+        "doc_id", _html_fixture_spark(F.col("doc_id"), F.col("text")).alias("html")
+    )
+    return pages.select(
+        "doc_id",
+        Fhtml.html_title(F.col("html")).alias("title"),
+        Fhtml.html_to_text(F.col("html")).alias("text_clean"),
+        F.size(Fhtml.html_links(F.col("html"))).cast("long").alias("n_links"),
+    )
+
+
+def _html_extract_oracle() -> str:
+    clean = _duck_html_to_text("html")
+    title = (f"trim(regexp_replace(coalesce("
+             f"regexp_extract(html, '{Fhtml.TITLE_RE}', 1), ''), "
+             f"'{Fhtml.WS_SPACES_RE}', ' ', 'g'))")
+    return f"""
+with pages as ({_HTML_FIXTURE_DUCK})
+select doc_id,
+       {title} as title,
+       {clean} as text_clean,
+       len(regexp_extract_all(html, '{Fhtml.HREF_RE}', 1))::bigint as n_links
+from pages
+"""
+
+
+_ORACLE_HTML_EXTRACT = _html_extract_oracle()
+
+
+def _q_html_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full web-curation pre-pass as ONE composition row: html ->
+    text (codegen) -> NFC normalize (Arrow) -> invisible scrub ->
+    fingerprint -> exact-dedup key count. Fixture: each document is
+    rendered twice with byte-distinct markup AND byte-distinct Unicode
+    (variant A: <p> wrapper + precomposed accents; variant B: <div>
+    wrapper + comment + decomposed accents + ZWSP injection). Raw
+    byte-keyed dedup sees 2N distinct pages; the curation chain must
+    collapse every pair — the gap is the duplicate mass a crawl keeps
+    if ANY stage (tag strip, NFC, scrub) is skipped. Plan: two row-local
+    projections + two hash-groupBys, same shuffle shape as exact_dedup."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    var_a = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>"),
+            F.replace(F.col("text"), F.lit("e"), F.lit("\u00e9")),
+            F.lit("</p>"),
+        ).alias("html"),
+    )
+    var_b = docs.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(
+            F.lit("<div ><!-- v2 -->"),
+            F.replace(
+                F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")),
+                F.lit("t"), F.lit("t\u200b"),
+            ),
+            F.lit("</div>"),
+        ).alias("html"),
+    )
+    corpus = var_a.unionByName(var_b)
+    clean_fp = Ftext.fingerprint(
+        Ftext.scrub_invisible(
+            Fnorm.unicode_normalize(Fhtml.html_to_text(F.col("html")), "NFC")
+        )
+    )
+    keyed = corpus.select(
+        F.md5(F.col("html")).alias("raw_fp"), clean_fp.alias("clean_fp")
+    )
+    return keyed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("raw_fp").cast("long").alias("n_raw_keys"),
+        F.countDistinct("clean_fp").cast("long").alias("n_clean_keys"),
+    )
+
+
+def _html_curation_oracle() -> str:
+    clean = _duck_html_to_text("html")
+    return f"""
+with corpus as (
+  select doc_id, '<p>' || replace(text, 'e', chr(233)) || '</p>' as html
+  from documents
+  union all
+  select doc_id + 500000,
+         '<div ><!-- v2 -->'
+         || replace(replace(text, 'e', 'e' || chr(769)), 't', 't' || chr(8203))
+         || '</div>'
+  from documents),
+keyed as (
+  select md5(html) as raw_fp,
+         md5(trim(regexp_replace(lower(regexp_replace(nfc_normalize({clean}),
+             '{Ftext.INVISIBLE_PATTERN}', '', 'g')), '\\s+', ' ', 'g'))) as clean_fp
+  from corpus)
+select count(*)::bigint as n_docs,
+       count(distinct raw_fp)::bigint as n_raw_keys,
+       count(distinct clean_fp)::bigint as n_clean_keys
+from keyed
+"""
+
+
+_ORACLE_HTML_CURATION = _html_curation_oracle()
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -9413,6 +9601,14 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_domain_rollup_psl, _ORACLE_DOMAIN_ROLLUP_PSL,
         "registrable domain under full PSL semantics vs the two-label "
         "approximation (divergence audit)"),
+    "html_extract": QueryDef(
+        _q_html_extract, _ORACLE_HTML_EXTRACT,
+        "HTML -> text extraction: tag/script/comment strip, entity "
+        "decode, title + href harvest (codegen, full-text oracle)"),
+    "html_curation": QueryDef(
+        _q_html_curation, _ORACLE_HTML_CURATION,
+        "web-curation pre-pass composition: html -> text -> NFC -> "
+        "scrub -> fingerprint dedup"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

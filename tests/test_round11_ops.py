@@ -107,3 +107,39 @@ def test_mojibake_detects_c1_continuations(spark):
     assert _one(spark, Ftext.is_mojibake(F.lit(corrupted))) is True
     # clean text with a legitimate standalone A-circumflex stays clean
     assert _one(spark, Ftext.mojibake_hits(F.lit("\u00c2 alone"))) == 0
+
+
+# ------------------------------------------------ html -> text extraction
+
+def test_html_to_text_full_contract(spark):
+    from restaurant_etl_code_spark.functions import htmltext as Fhtml
+
+    html = (
+        '<html><head><title>My  Page</title><style>p: red</style></head>'
+        '<body><script>var x = 1 < 2;</script><!-- <p>hidden</p> -->'
+        '<h1>Header</h1><p>para one</p><div>See <a href="http://a/1">x</a>'
+        ' &amp; <b>bo</b>ld&nbsp;words &lt;tag&gt;</div></body></html>'
+    )
+    got = _one(spark, Fhtml.html_to_text(F.lit(html)))
+    # script/style/comment content gone; block tags -> newlines; inline
+    # tags removed WITHOUT splitting words; entities decoded once
+    assert "var x" not in got and "red" not in got and "hidden" not in got
+    assert "Header\npara one" in got
+    assert "bold words" in got  # <b>bo</b>ld joins; &nbsp; -> plain space
+    assert "& " in got and "<tag>" in got
+    assert _one(spark, Fhtml.html_title(F.lit(html))) == "My Page"
+    assert _one(spark, Fhtml.html_links(F.lit(html))) == ["http://a/1"]
+
+
+def test_html_entity_decode_is_single_pass(spark):
+    from restaurant_etl_code_spark.functions import htmltext as Fhtml
+
+    # &amp;lt; must decode to the literal '&lt;', NOT '<' (no double decode)
+    assert _one(spark, Fhtml.decode_entities(F.lit("a &amp;lt; b"))) == "a &lt; b"
+
+
+def test_html_to_text_plain_text_passthrough(spark):
+    from restaurant_etl_code_spark.functions import htmltext as Fhtml
+
+    assert _one(spark, Fhtml.html_to_text(F.lit("no markup here"))) == "no markup here"
+    assert _one(spark, Fhtml.html_to_text(F.lit(""))) == ""

@@ -803,6 +803,21 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                   "MapInPandas", "SortMergeJoin"],
     },
+    "html_extract": {
+        # tag strip / entity decode / title / href harvest are all
+        # codegen regex+replace chains: row-local projection, zero
+        # shuffle, zero Python
+        "want": ["Project"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "Exchange"],
+    },
+    "html_curation": {
+        # html->text->scrub->fingerprint is codegen; the NFC table pass
+        # is the one sanctioned Arrow UDF; then one hash-agg
+        "want": ["ArrowEvalPython", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas",
+                  "SortMergeJoin"],
+    },
     "domain_rollup_psl": {
         # full-PSL longest-match compiles to nested CASE over InSet hash
         # lookups — still a row-local projection + one hash-groupBy,
