@@ -98,6 +98,29 @@ def _py_norm_tokens(text: str) -> list[str]:
     return re.sub(r"\s+", " ", text.lower()).strip().split(" ")
 
 
+# Python twin of functions.text.INVISIBLE_PATTERN, translated from the
+# shared \x{...} constant at import time so the two cannot drift.
+_INVISIBLE_PY_RE = re.compile(
+    re.sub(
+        r"\\x\{([0-9A-Fa-f]+)\}",
+        lambda m: "\\u%04x" % int(m.group(1), 16),
+        Ftext.INVISIBLE_PATTERN,
+    )
+)
+
+
+def _py_normalize_scrub(text: str) -> str:
+    """Python twin of scrub_invisible ∘ unicode_normalize(NFC) — the
+    dedup_normalized pre-pass, applied inside the Arrow signature stage
+    so NEAR-dup (not just exact dup) is normalization-robust: a
+    decomposed-accent or ZWSP-injected clone shingles to the same
+    k-grams as its original instead of missing every shingle that
+    straddles the injected byte."""
+    import unicodedata
+
+    return _INVISIBLE_PY_RE.sub("", unicodedata.normalize("NFC", text))
+
+
 def _py_hash52(s: str) -> int:
     """Python twin of the engines' md5-hex-prefix 52-bit hash: small enough
     that affine reshuffles ``a·h + b`` (a ≤ 63) stay inside int64."""
@@ -105,7 +128,8 @@ def _py_hash52(s: str) -> int:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16,
+    shingle_n: int = 3, normalize: bool = False,
 ) -> DataFrame:
     """(id, signature) for every shingle-able document. Zero shuffle.
 
@@ -113,6 +137,14 @@ def minhash_signatures(
     shingle — the classic affine-family MinHash
     ``h_i(s) = (2i+1)·md5_52(s) + i·salt`` — in an Arrow-batched Python
     stage (see module docstring for why this beats the array-lambda plan).
+
+    ``normalize=True`` applies the NFC + invisible-scrub pre-pass
+    (the ``dedup_normalized`` composition) before shingling, so near-dup
+    detection is robust to decomposed accents and zero-width injection —
+    without it, ONE injected ZWSP perturbs every shingle crossing it and
+    a byte-identical-after-normalization clone can miss every band.
+    Cost is row-local (one C-loop NFC + one regex sub per doc) inside
+    the same Arrow stage; the shuffle shape is unchanged.
     """
     id_field = df.schema[id_col]
 
@@ -128,6 +160,8 @@ def minhash_signatures(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
+                if normalize:
+                    text = _py_normalize_scrub(text)
                 toks = _py_norm_tokens(text)
                 if len(toks) < shingle_n:
                     continue
@@ -1099,6 +1133,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 4,
     window: int = 5,
+    normalize: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
@@ -1138,6 +1173,8 @@ def winnow_fingerprints(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
+                if normalize:
+                    text = _py_normalize_scrub(text)
                 toks = _py_norm_tokens(text)
                 n = len(toks) - k + 1
                 if n < 1:

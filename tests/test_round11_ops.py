@@ -143,3 +143,47 @@ def test_html_to_text_plain_text_passthrough(spark):
 
     assert _one(spark, Fhtml.html_to_text(F.lit("no markup here"))) == "no markup here"
     assert _one(spark, Fhtml.html_to_text(F.lit(""))) == ""
+
+
+# ------------------------------- normalization-robust near-dup signatures
+
+def _unicode_clone_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the riverbank"
+    composed = base.replace("e", "é")
+    decomposed = base.replace("e", "é").replace("t", "t​")
+    return spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, "completely different words here")],
+        "doc_id bigint, text string",
+    )
+
+
+def test_minhash_normalize_option_collides_unicode_clones(spark):
+    from restaurant_etl_code_spark.operators import dedup
+
+    docs = _unicode_clone_corpus(spark)
+    raw = {r["doc_id"]: tuple(r["signature"])
+           for r in dedup.minhash_signatures(docs, "doc_id", "text").collect()}
+    norm = {r["doc_id"]: tuple(r["signature"])
+            for r in dedup.minhash_signatures(
+                docs, "doc_id", "text", normalize=True).collect()}
+    # raw: the ZWSP/decomposition perturbs shingles -> signatures differ
+    assert raw[1] != raw[2]
+    # normalized: byte-identical after NFC+scrub -> identical signatures
+    assert norm[1] == norm[2]
+    assert norm[1] != norm[3]
+
+
+def test_winnow_normalize_option_collides_unicode_clones(spark):
+    from restaurant_etl_code_spark.operators import dedup
+
+    docs = _unicode_clone_corpus(spark)
+
+    def fp_sets(normalize):
+        rows = dedup.winnow_fingerprints(
+            docs, "doc_id", "text", normalize=normalize).collect()
+        return {r["doc_id"]: set(r["fingerprints"]) for r in rows}
+
+    raw, norm = fp_sets(False), fp_sets(True)
+    assert raw[1] != raw[2]
+    assert norm[1] == norm[2]
+    assert norm[1] != norm[3]
