@@ -221,6 +221,8 @@ BENCH_QUERIES = [
     "domain_rollup_psl",
     "html_extract",
     "html_curation",
+    "link_frontier",
+    "lsh_pairs_normalized",
 ]
 
 

@@ -9060,6 +9060,141 @@ from keyed
 _ORACLE_HTML_CURATION = _html_curation_oracle()
 
 
+def _q_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier extraction end-to-end: harvest hrefs from every
+    page (functions.htmltext.html_links), explode, canonicalize
+    (functions.urls), resolve the registrable domain under full PSL
+    semantics, and roll up per domain — the query a crawler runs to
+    decide where the next fetch budget goes. Plan: row-local extract +
+    explode (no shuffle; explode fan-out is bounded by links-per-page),
+    then ONE hash-groupBy on the domain key. At 100 TB the explode output
+    partitions inherit the scan's partitioning — no repartition needed
+    before the aggregation's own exchange."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.select(
+        "doc_id", _html_fixture_spark(F.col("doc_id"), F.col("text")).alias("html")
+    )
+    links = pages.select(
+        F.explode(Fhtml.html_links(F.col("html"))).alias("url")
+    )
+    shaped = links.select(
+        F.coalesce(Furl.canonicalize_url(F.col("url")), F.col("url"))
+        .alias("canonical_url"),
+        Furl.registrable_domain_psl(Furl.url_host(F.col("url"))).alias("domain"),
+    )
+    return shaped.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("canonical_url").cast("long").alias("n_frontier"),
+    )
+
+
+def _link_frontier_oracle() -> str:
+    canonical, _ = _duck_canonical_exprs()
+    sl = _duck_psl_suffix_len("labels", "n")
+    return f"""
+with pages as ({_HTML_FIXTURE_DUCK}),
+links as (
+  select unnest(regexp_extract_all(html, '{Fhtml.HREF_RE}', 1)) as url
+  from pages),
+hosts as (
+  select url, coalesce({canonical}, url) as canonical_url,
+         lower(regexp_extract(url, '{Furl._HOSTPORT_RE}', 1)) as hostport
+  from links),
+stripped as (
+  select canonical_url,
+         (case when lower(regexp_extract(url, '{Furl._SCHEME_RE}', 1)) = 'http'
+               then regexp_replace(hostport, ':80$', '')
+               when lower(regexp_extract(url, '{Furl._SCHEME_RE}', 1)) = 'https'
+               then regexp_replace(hostport, ':443$', '')
+               else hostport end) as host
+  from hosts),
+parts as (
+  select canonical_url, host, string_split(host, '.') as labels,
+         len(string_split(host, '.')) as n
+  from stripped),
+sl as (select canonical_url, host, labels, n, {sl} as s from parts),
+dom as (
+  select canonical_url,
+         (case when host is null or host = '' then null
+               when regexp_matches(host, '{Furl._IPV4_RE}')
+                    or starts_with(host, '[') then host
+               when n > s then array_to_string(list_slice(labels, -(s + 1), n), '.')
+               else null end) as domain
+  from sl)
+select domain,
+       count(*)::bigint as n_links,
+       count(distinct canonical_url)::bigint as n_frontier
+from dom group by domain
+"""
+
+
+_ORACLE_LINK_FRONTIER = _link_frontier_oracle()
+
+
+def _q_lsh_pairs_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the normalize=True pre-pass, oracle-checked: the
+    dedup_normalized fixture (composed-accent base + decomposed+ZWSP
+    clone per doc) is invisible to RAW near-dup signatures — the
+    injected bytes perturb every shingle they touch — but with the
+    NFC+scrub pre-pass inside the Arrow stage every (base, clone) pair
+    must collide in all bands. The DuckDB twin normalizes with
+    nfc_normalize + the shared invisible pattern before the SAME
+    shingle/affine-minhash/band SQL as the raw minhash oracle, so the
+    pre-pass semantics (not just the pair count) are value-checked."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", F.replace(F.col("text"), F.lit("e"), F.lit("\u00e9")).alias("text")
+    )
+    clone = docs.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.replace(
+            F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")),
+            F.lit("t"), F.lit("t\u200b"),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(clone)
+    sigs = dedup.minhash_signatures(
+        corpus, "doc_id", "text", num_hashes=16, shingle_n=3, normalize=True
+    )
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+
+
+_ORACLE_LSH_NORMALIZED = f"""
+with corpus as (
+  select doc_id, replace(text, 'e', chr(233)) as text from documents
+  union all
+  select doc_id + 300000,
+         replace(replace(text, 'e', 'e' || chr(769)), 't', 't' || chr(8203))
+  from documents),
+normed as (
+  select doc_id,
+         regexp_replace(nfc_normalize(text),
+             '{Ftext.INVISIBLE_PATTERN}', '', 'g') as text
+  from corpus),
+toks as (select doc_id,
+         string_split({_DUCK_NORM.format(c='text')}, ' ') as tk from normed),
+{_DUCK_SHINGLES},
+h0 as (
+  select doc_id,
+         list_transform(shingles, s ->
+             ('0x' || substring(md5(s), 1, 13))::bigint) as hs
+  from sh where len(shingles) > 0),
+sigs as (
+  select doc_id,
+         list_transform(range(0, 16), i -> list_min(list_transform(hs, h ->
+             (2 * i + 1) * h + i * 2654435761))) as sig
+  from h0),
+bands as (
+  select doc_id, t.b as band_idx,
+         md5(array_to_string(list_transform(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+             x -> x::varchar), ',')) as band_hash
+  from sigs cross join (select unnest(range(0, 4)) as b) t)
+select distinct x.doc_id as id_a, y.doc_id as id_b
+from bands x join bands y
+  on x.band_idx = y.band_idx and x.band_hash = y.band_hash and x.doc_id < y.doc_id
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -9609,6 +9744,14 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_html_curation, _ORACLE_HTML_CURATION,
         "web-curation pre-pass composition: html -> text -> NFC -> "
         "scrub -> fingerprint dedup"),
+    "link_frontier": QueryDef(
+        _q_link_frontier, _ORACLE_LINK_FRONTIER,
+        "crawl-frontier extraction: href harvest -> explode -> "
+        "canonicalize -> PSL domain -> per-domain budget rollup"),
+    "lsh_pairs_normalized": QueryDef(
+        _q_lsh_pairs_normalized, _ORACLE_LSH_NORMALIZED,
+        "MinHash+LSH with the NFC+scrub pre-pass: every composed/"
+        "decomposed+ZWSP clone pair must collide in all bands"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -9630,6 +9773,11 @@ _REGISTRY: dict[str, QueryDef] = {
 # 44-query r07 cohort (now the oldest latest-check), and the two anchors.
 _WINDOW_ROUND = 10  # ledger state this window was generated from
 _WINDOW_FIRST = [
+    "domain_rollup_psl",  # never-checked
+    "html_extract",  # never-checked
+    "html_curation",  # never-checked
+    "link_frontier",  # never-checked
+    "lsh_pairs_normalized",  # never-checked
     "basket_triples",  # latest=r05
     "basket_rules",  # latest=r05
     "activity_streaks",  # latest=r05
@@ -9673,11 +9821,6 @@ _WINDOW_FIRST = [
     "exact_dedup",  # latest=r07
     "training_prep",  # latest=r07
     "minhash_lsh_pairs",  # latest=r07
-    "simhash_pairs",  # latest=r07
-    "ngram_jaccard_capped",  # latest=r07
-    "embedding_near_dup",  # latest=r07
-    "dedup_clusters",  # latest=r07
-    "merge_pruned",  # latest=r07
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

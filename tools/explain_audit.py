@@ -818,6 +818,22 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas",
                   "SortMergeJoin"],
     },
+    "lsh_pairs_normalized": {
+        # Arrow signature stage (the sanctioned mapInPandas) + banding
+        # self-join on (band_idx, band_hash) — no cartesian, no
+        # row-at-a-time Python
+        "want": ["MapInPandas"],
+        "avoid": ["CartesianProduct", "BatchEvalPython",
+                  "BroadcastNestedLoopJoin"],
+    },
+    "link_frontier": {
+        # href harvest + explode are row-local (fan-out bounded by
+        # links-per-page); one hash-groupBy on the domain key; PSL
+        # resolution is InSet codegen, zero Python, zero joins
+        "want": ["Generate", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
     "domain_rollup_psl": {
         # full-PSL longest-match compiles to nested CASE over InSet hash
         # lookups — still a row-local projection + one hash-groupBy,
