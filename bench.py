@@ -288,16 +288,23 @@ def _io_canary_sec(path: str, total: int = 16 << 20) -> float:
     return time.perf_counter() - t0
 
 
-def _prev_committed_record(repo: str) -> tuple[str, dict] | None:
+def _prev_committed_record(repo: str, out_path: str = "") -> tuple[str, dict] | None:
     """Latest committed BENCH_full_r<N>.json (NOT _latest — that file is
-    a scratch artifact rewritten by every local run)."""
+    a scratch artifact rewritten by every local run — and NOT the run's
+    own output path: when SPARK_GRAFT_BENCH_OUT names the next round's
+    record, a retry would otherwise 'drift-compare' against the stale
+    first attempt it is about to overwrite instead of the last committed
+    round)."""
     import glob
     import re
 
+    out_real = os.path.realpath(out_path) if out_path else ""
     best_rnd, best = -1, None
     for path in glob.glob(os.path.join(repo, "BENCH_full_r*.json")):
         m = re.search(r"BENCH_full_r(\d+)\.json$", path)
         if not m:
+            continue
+        if os.path.realpath(path) == out_real:
             continue
         if int(m.group(1)) > best_rnd:
             best_rnd, best = int(m.group(1)), path
@@ -454,7 +461,9 @@ def main() -> int:
     # missed (the r9 blind spot, now machine-checked)
     drift = {"geomean_vs_prev": None, "n_common": 0, "drift_suspect": False,
              "prev_record": None}
-    prev = _prev_committed_record(os.path.dirname(os.path.abspath(__file__)))
+    prev = _prev_committed_record(
+        os.path.dirname(os.path.abspath(__file__)), out_path
+    )
     if prev is not None and prev[1].get("sf") == sf:
         drift = drift_vs_prev(timings, prev[1])
         drift["prev_record"] = os.path.basename(prev[0])
