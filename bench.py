@@ -223,6 +223,9 @@ BENCH_QUERIES = [
     "html_curation",
     "link_frontier",
     "lsh_pairs_normalized",
+    "anchor_text_corpus",
+    "canonical_dedup",
+    "sitemap_frontier",
 ]
 
 

@@ -51,6 +51,11 @@ __all__ = [
     "html_to_text",
     "html_title",
     "html_links",
+    "anchor_hrefs",
+    "anchor_texts",
+    "canonical_link",
+    "meta_content",
+    "sitemap_locs",
     "SCRIPT_RE",
     "STYLE_RE",
     "COMMENT_RE",
@@ -137,3 +142,76 @@ def html_links(c: Column) -> Column:
     the crawl-frontier harvest, ready for functions.urls.canonicalize_url
     + registrable_domain over an explode."""
     return F.regexp_extract_all(c, F.lit(HREF_RE), 1)
+
+
+# Anchor elements: href attribute + the inner text — extracted by ONE
+# pattern with two capture groups, called once per group index (both
+# engines' regexp_extract_all take a single group), so the two arrays
+# align positionally by construction.
+ANCHOR_RE = "(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+
+# rel=canonical link element, both attribute orders (the two dominant
+# real-world serializations; unquoted/single-quoted forms pass through —
+# documented bound, same class as the href contract above).
+CANONICAL_RE = (
+    "(?is)<link\\s[^>]*rel\\s*=\\s*\"canonical\"[^>]*"
+    "href\\s*=\\s*\"([^\"]*)\"[^>]*>"
+)
+CANONICAL_RE_REV = (
+    "(?is)<link\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*"
+    "rel\\s*=\\s*\"canonical\"[^>]*>"
+)
+
+# <loc> entries of a sitemap / sitemap-index XML document.
+SITEMAP_LOC_RE = "(?is)<loc>\\s*(.*?)\\s*</loc>"
+
+
+def anchor_hrefs(c: Column) -> Column:
+    """href of every <a> element (double-quoted form) → array<string>,
+    positionally aligned with :func:`anchor_texts`."""
+    return F.regexp_extract_all(c, F.lit(ANCHOR_RE), 1)
+
+
+def anchor_texts(c: Column) -> Column:
+    """Inner text of every <a> element → array<string> (markup inside the
+    anchor is preserved raw here; run each element through
+    :func:`html_to_text`-style cleanup after the explode so the
+    per-anchor transform stays row-local)."""
+    return F.regexp_extract_all(c, F.lit(ANCHOR_RE), 2)
+
+
+def canonical_link(c: Column) -> Column:
+    """href of the page's rel=canonical link element (either attribute
+    order); NULL when the page declares none. The EXPLICIT dedup key a
+    crawl should prefer over computed URL canonicalization — a site's
+    own canonical declaration collapses parameterized/mirrored variants
+    no syntactic rule can."""
+    a = F.regexp_extract(c, CANONICAL_RE, 1)
+    b = F.regexp_extract(c, CANONICAL_RE_REV, 1)
+    first = F.when(a != "", a).otherwise(b)
+    return F.when(first == "", F.lit(None).cast("string")).otherwise(first)
+
+
+def meta_content(c: Column, name: str) -> Column:
+    """content attribute of ``<meta name="...">`` (both attribute
+    orders); '' when absent. ``name`` is a literal (description,
+    keywords, robots, ...) compiled into the pattern."""
+    pat_fwd = (
+        "(?is)<meta\\s[^>]*name\\s*=\\s*\"" + name
+        + "\"[^>]*content\\s*=\\s*\"([^\"]*)\"[^>]*>"
+    )
+    pat_rev = (
+        "(?is)<meta\\s[^>]*content\\s*=\\s*\"([^\"]*)\"[^>]*"
+        "name\\s*=\\s*\"" + name + "\"[^>]*>"
+    )
+    a = F.regexp_extract(c, pat_fwd, 1)
+    b = F.regexp_extract(c, pat_rev, 1)
+    return F.when(a != "", a).otherwise(b)
+
+
+def sitemap_locs(c: Column) -> Column:
+    """<loc> URLs of a sitemap or sitemap-index XML → array<string> —
+    the crawl-seed harvest complementing :func:`html_links` (pages link
+    forward; sitemaps enumerate), feeding the same canonicalize →
+    registrable-domain frontier rollup."""
+    return F.regexp_extract_all(c, F.lit(SITEMAP_LOC_RE), 1)

@@ -9195,6 +9195,255 @@ from bands x join bands y
 """
 
 
+# --------------------------------------------------------------------------
+# Web-curation part 2 (round 11): anchor-text corpus, canonical-aware
+# dedup, sitemap frontier — the link-graph side of crawl curation.
+# --------------------------------------------------------------------------
+
+def _anchor_fixture_spark(key: Column) -> Column:
+    ks = key.cast("string")
+    two = F.concat(
+        F.lit("<p>intro</p><a href=\"https://shop.example.co.id/p/"), ks,
+        F.lit("\">Buy &amp; Save</a> mid <a href=\"http://news.example.com.sg/a?id="),
+        ks, F.lit("\">read <b>more</b></a>"),
+    )
+    one = F.concat(
+        F.lit("<a class=\"x\" href=\"https://deep.sub.example.org/"), ks,
+        F.lit("/\">Example <i>Site</i></a><a name=\"top\">not a link</a>"),
+    )
+    return F.when(key % 2 == 0, two).otherwise(one)
+
+
+_ANCHOR_FIXTURE_DUCK = """
+  select p_partkey as key,
+         case when p_partkey % 2 = 0 then
+           '<p>intro</p><a href="https://shop.example.co.id/p/'
+           || p_partkey::varchar || '">Buy &amp; Save</a> mid '
+           || '<a href="http://news.example.com.sg/a?id=' || p_partkey::varchar
+           || '">read <b>more</b></a>'
+         else
+           '<a class="x" href="https://deep.sub.example.org/'
+           || p_partkey::varchar
+           || '/">Example <i>Site</i></a><a name="top">not a link</a>'
+         end as html
+  from part
+"""
+
+
+def _q_anchor_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus build: every <a href>/inner-text pair (one
+    two-group regex, extracted per group so the arrays align
+    positionally), exploded, anchor text cleaned with the html_to_text
+    chain (inner markup stripped without word splits, entities decoded),
+    grouped by the TARGET's full-PSL registrable domain — the classic
+    link-text training corpus keyed the way ranking/retrieval pipelines
+    consume it. Row-local harvest + one hash-groupBy."""
+    part = load_table(spark, sf_dir, "part")
+    pages = part.select(
+        _anchor_fixture_spark(F.col("p_partkey")).alias("html")
+    )
+    zipped = pages.select(
+        F.explode(
+            F.arrays_zip(
+                Fhtml.anchor_hrefs(F.col("html")).alias("href"),
+                Fhtml.anchor_texts(F.col("html")).alias("anchor"),
+            )
+        ).alias("z")
+    )
+    shaped = zipped.select(
+        Furl.registrable_domain_psl(Furl.url_host(F.col("z.href")))
+        .alias("target_domain"),
+        Fhtml.html_to_text(F.col("z.anchor")).alias("anchor_text"),
+    )
+    return shaped.groupBy("target_domain", "anchor_text").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def _anchor_text_corpus_oracle() -> str:
+    sl = _duck_psl_suffix_len("labels", "n")
+    clean = _duck_html_to_text("anchor")
+    return f"""
+with pages as ({_ANCHOR_FIXTURE_DUCK}),
+zipped as (
+  select unnest(list_zip(
+      regexp_extract_all(html, '{Fhtml.ANCHOR_RE}', 1),
+      regexp_extract_all(html, '{Fhtml.ANCHOR_RE}', 2))) as z
+  from pages),
+pairs as (select z[1] as href, z[2] as anchor from zipped),
+hosts as (
+  select anchor,
+         (case when lower(regexp_extract(href, '{Furl._SCHEME_RE}', 1)) = 'http'
+               then regexp_replace(lower(regexp_extract(href, '{Furl._HOSTPORT_RE}', 1)), ':80$', '')
+               when lower(regexp_extract(href, '{Furl._SCHEME_RE}', 1)) = 'https'
+               then regexp_replace(lower(regexp_extract(href, '{Furl._HOSTPORT_RE}', 1)), ':443$', '')
+               else lower(regexp_extract(href, '{Furl._HOSTPORT_RE}', 1)) end) as host
+  from pairs),
+parts as (
+  select anchor, host, string_split(host, '.') as labels,
+         len(string_split(host, '.')) as n
+  from hosts),
+sl as (select anchor, host, labels, n, {sl} as s from parts),
+dom as (
+  select (case when host is null or host = '' then null
+               when regexp_matches(host, '{Furl._IPV4_RE}')
+                    or starts_with(host, '[') then host
+               when n > s then array_to_string(list_slice(labels, -(s + 1), n), '.')
+               else null end) as target_domain,
+         {clean} as anchor_text
+  from sl)
+select target_domain, anchor_text, count(*)::bigint as n
+from dom group by target_domain, anchor_text
+"""
+
+
+_ORACLE_ANCHOR_TEXT = _anchor_text_corpus_oracle()
+
+
+def _q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-aware dedup: pages that declare ``rel=canonical`` dedup
+    on the DECLARED canonical URL (a site's own collapse of
+    parameterized/mirrored variants — stronger than any syntactic
+    rule); the rest fall back to computed URL canonicalization, with
+    raw-URL pass-through for malformed self-URLs. The fixture gives
+    every 5th page a canonical declaration pointing at one of 100
+    shared canonical targets; the summary row measures how many dedup
+    keys the declaration removes vs syntactic canonicalization alone.
+    Same plan shape as exact dedup: row-local key computation + counter
+    aggregation."""
+    part = load_table(spark, sf_dir, "part")
+    pages = part.select(
+        F.col("p_partkey").alias("key"),
+        _url_fixture_spark(F.col("p_partkey")).alias("self_url"),
+    ).withColumn(
+        "html",
+        F.when(
+            F.col("key") % 5 == 0,
+            F.concat(
+                F.lit("<html><head><link rel=\"canonical\" href=\"https://example.com/canonical/"),
+                (F.col("key") % 100).cast("string"),
+                F.lit("\"></head><body>x</body></html>"),
+            ),
+        ).otherwise(F.lit("<html><head></head><body>x</body></html>")),
+    )
+    syntactic = F.coalesce(
+        Furl.canonicalize_url(F.col("self_url")), F.col("self_url")
+    )
+    aware = F.coalesce(Fhtml.canonical_link(F.col("html")), syntactic)
+    keyed = pages.select(
+        syntactic.alias("k_syntactic"), aware.alias("k_aware")
+    )
+    return keyed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.countDistinct("k_syntactic").cast("long").alias("n_keys_syntactic"),
+        F.countDistinct("k_aware").cast("long").alias("n_keys_aware"),
+    )
+
+
+def _canonical_dedup_oracle() -> str:
+    canonical, _ = _duck_canonical_exprs()
+    can_fwd = f"regexp_extract(html, '{Fhtml.CANONICAL_RE}', 1)"
+    can_rev = f"regexp_extract(html, '{Fhtml.CANONICAL_RE_REV}', 1)"
+    declared = (
+        f"nullif(coalesce(nullif(coalesce({can_fwd}, ''), ''), "
+        f"coalesce({can_rev}, '')), '')"
+    )
+    return f"""
+with pages as (
+  select u.row_id as key, u.url as self_url,
+         case when u.row_id % 5 = 0 then
+           '<html><head><link rel="canonical" href="https://example.com/canonical/'
+           || (u.row_id % 100)::varchar || '"></head><body>x</body></html>'
+         else '<html><head></head><body>x</body></html>' end as html
+  from ({_URL_FIXTURE_DUCK}) u),
+keyed as (
+  select coalesce({canonical.replace("url", "self_url")}, self_url) as k_syntactic,
+         coalesce({declared}, coalesce({canonical.replace("url", "self_url")}, self_url)) as k_aware
+  from pages)
+select count(*)::bigint as n_pages,
+       count(distinct k_syntactic)::bigint as n_keys_syntactic,
+       count(distinct k_aware)::bigint as n_keys_aware
+from keyed
+"""
+
+
+_ORACLE_CANONICAL_DEDUP = _canonical_dedup_oracle()
+
+
+def _q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-seed frontier: parse <loc> entries from urlset/sitemapindex
+    XML (whitespace-tolerant), canonicalize, resolve full-PSL domains,
+    roll up — the seed-side complement of link_frontier (pages link
+    forward; sitemaps enumerate). Same plan: row-local extract+explode,
+    one hash-groupBy."""
+    nation = load_table(spark, sf_dir, "nation")
+    ks = F.col("n_nationkey").cast("string")
+    xml = F.concat(
+        F.lit("<?xml version=\"1.0\"?><urlset><url><loc> https://shop.example.co.id/n/"),
+        ks,
+        F.lit(" </loc></url><url><loc>http://news.example.com.sg/n/"), ks,
+        F.lit("</loc></url><url><loc>\nhttps://example.com/n/"), ks,
+        F.lit("\n</loc></url></urlset>"),
+    )
+    sitemaps = nation.select(xml.alias("xml"))
+    locs = sitemaps.select(F.explode(Fhtml.sitemap_locs(F.col("xml"))).alias("url"))
+    shaped = locs.select(
+        F.coalesce(Furl.canonicalize_url(F.col("url")), F.col("url"))
+        .alias("canonical_url"),
+        Furl.registrable_domain_psl(Furl.url_host(F.col("url"))).alias("domain"),
+    )
+    return shaped.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_locs"),
+        F.countDistinct("canonical_url").cast("long").alias("n_frontier"),
+    )
+
+
+def _sitemap_frontier_oracle() -> str:
+    canonical, _ = _duck_canonical_exprs()
+    sl = _duck_psl_suffix_len("labels", "n")
+    return f"""
+with sitemaps as (
+  select '<?xml version="1.0"?><urlset><url><loc> https://shop.example.co.id/n/'
+         || n_nationkey::varchar
+         || ' </loc></url><url><loc>http://news.example.com.sg/n/'
+         || n_nationkey::varchar
+         || '</loc></url><url><loc>' || chr(10) || 'https://example.com/n/'
+         || n_nationkey::varchar || chr(10) || '</loc></url></urlset>' as xml
+  from nation),
+locs as (
+  select unnest(regexp_extract_all(xml, '{Fhtml.SITEMAP_LOC_RE}', 1)) as url
+  from sitemaps),
+hosts as (
+  select url, coalesce({canonical}, url) as canonical_url,
+         (case when lower(regexp_extract(url, '{Furl._SCHEME_RE}', 1)) = 'http'
+               then regexp_replace(lower(regexp_extract(url, '{Furl._HOSTPORT_RE}', 1)), ':80$', '')
+               when lower(regexp_extract(url, '{Furl._SCHEME_RE}', 1)) = 'https'
+               then regexp_replace(lower(regexp_extract(url, '{Furl._HOSTPORT_RE}', 1)), ':443$', '')
+               else lower(regexp_extract(url, '{Furl._HOSTPORT_RE}', 1)) end) as host
+  from locs),
+parts as (
+  select canonical_url, host, string_split(host, '.') as labels,
+         len(string_split(host, '.')) as n
+  from hosts),
+sl as (select canonical_url, host, labels, n, {sl} as s from parts),
+dom as (
+  select canonical_url,
+         (case when host is null or host = '' then null
+               when regexp_matches(host, '{Furl._IPV4_RE}')
+                    or starts_with(host, '[') then host
+               when n > s then array_to_string(list_slice(labels, -(s + 1), n), '.')
+               else null end) as domain
+  from sl)
+select domain,
+       count(*)::bigint as n_locs,
+       count(distinct canonical_url)::bigint as n_frontier
+from dom group by domain
+"""
+
+
+_ORACLE_SITEMAP_FRONTIER = _sitemap_frontier_oracle()
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -9752,6 +10001,18 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_lsh_pairs_normalized, _ORACLE_LSH_NORMALIZED,
         "MinHash+LSH with the NFC+scrub pre-pass: every composed/"
         "decomposed+ZWSP clone pair must collide in all bands"),
+    "anchor_text_corpus": QueryDef(
+        _q_anchor_text_corpus, _ORACLE_ANCHOR_TEXT,
+        "anchor-text corpus: (href, inner text) pairs cleaned and "
+        "grouped by target PSL domain"),
+    "canonical_dedup": QueryDef(
+        _q_canonical_dedup, _ORACLE_CANONICAL_DEDUP,
+        "canonical-aware dedup: rel=canonical declaration preferred "
+        "over syntactic URL canonicalization"),
+    "sitemap_frontier": QueryDef(
+        _q_sitemap_frontier, _ORACLE_SITEMAP_FRONTIER,
+        "sitemap <loc> harvest -> canonicalize -> PSL domain rollup "
+        "(the seed-side complement of link_frontier)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -9778,6 +10039,9 @@ _WINDOW_FIRST = [
     "html_curation",  # never-checked
     "link_frontier",  # never-checked
     "lsh_pairs_normalized",  # never-checked
+    "anchor_text_corpus",  # never-checked
+    "canonical_dedup",  # never-checked
+    "sitemap_frontier",  # never-checked
     "basket_triples",  # latest=r05
     "basket_rules",  # latest=r05
     "activity_streaks",  # latest=r05
@@ -9818,9 +10082,6 @@ _WINDOW_FIRST = [
     "json_props",  # latest=r07
     "text_quality",  # latest=r07
     "lang_id",  # latest=r07
-    "exact_dedup",  # latest=r07
-    "training_prep",  # latest=r07
-    "minhash_lsh_pairs",  # latest=r07
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

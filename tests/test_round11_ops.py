@@ -187,3 +187,37 @@ def test_winnow_normalize_option_collides_unicode_clones(spark):
     assert raw[1] != raw[2]
     assert norm[1] == norm[2]
     assert norm[1] != norm[3]
+
+
+# ----------------------------------- anchors / canonical link / sitemaps
+
+def test_anchor_extraction_alignment(spark):
+    from restaurant_etl_code_spark.functions import htmltext as Fhtml
+
+    html = ('<a href="http://a/1">first</a> noise '
+            '<a name="x">no href</a> <a class="c" href="http://b/2">se<b>co</b>nd</a>')
+    hrefs = _one(spark, Fhtml.anchor_hrefs(F.lit(html)))
+    texts = _one(spark, Fhtml.anchor_texts(F.lit(html)))
+    assert hrefs == ["http://a/1", "http://b/2"]
+    assert texts == ["first", "se<b>co</b>nd"]  # raw inner markup preserved
+
+
+def test_canonical_link_both_attribute_orders(spark):
+    from restaurant_etl_code_spark.functions import htmltext as Fhtml
+
+    fwd = '<link rel="canonical" href="https://e.com/x">'
+    rev = '<link href="https://e.com/y" rel="canonical">'
+    none = '<link rel="stylesheet" href="https://e.com/s.css">'
+    assert _one(spark, Fhtml.canonical_link(F.lit(fwd))) == "https://e.com/x"
+    assert _one(spark, Fhtml.canonical_link(F.lit(rev))) == "https://e.com/y"
+    assert _one(spark, Fhtml.canonical_link(F.lit(none))) is None
+
+
+def test_meta_content_and_sitemap_locs(spark):
+    from restaurant_etl_code_spark.functions import htmltext as Fhtml
+
+    html = '<meta name="description" content="hello world"><meta content="a,b" name="keywords">'
+    assert _one(spark, Fhtml.meta_content(F.lit(html), "description")) == "hello world"
+    assert _one(spark, Fhtml.meta_content(F.lit(html), "keywords")) == "a,b"
+    xml = "<urlset><url><loc> https://a/1 </loc></url><url><loc>\nhttps://b/2\n</loc></url></urlset>"
+    assert _one(spark, Fhtml.sitemap_locs(F.lit(xml))) == ["https://a/1", "https://b/2"]

@@ -818,6 +818,25 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas",
                   "SortMergeJoin"],
     },
+    "anchor_text_corpus": {
+        # two aligned regexp_extract_all arrays -> zip -> explode ->
+        # clean -> one hash-groupBy; PSL via InSet codegen, zero joins
+        "want": ["Generate", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
+    "canonical_dedup": {
+        # row-local key computation + one counter aggregation
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin"],
+    },
+    "sitemap_frontier": {
+        # row-local <loc> extract + explode, one hash-groupBy
+        "want": ["Generate", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
     "lsh_pairs_normalized": {
         # Arrow signature stage (the sanctioned mapInPandas) + banding
         # self-join on (band_idx, band_hash) — no cartesian, no
