@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "anchor_text_corpus",
     "canonical_dedup",
     "sitemap_frontier",
+    "robots_gate",
 ]
 
 

@@ -1,0 +1,170 @@
+"""Crawl-politeness operators: robots.txt parsing + URL gating.
+
+Completes the crawl-pipeline surface around the round-11 web-source
+family (``functions.htmltext`` harvest → ``functions.urls`` canonicalize/
+domain → frontier rollups): before a 100 TB crawl fetches a frontier, it
+must gate every URL against the target's robots.txt. Both halves are
+DataFrame-native and exactly SQL-mirrorable:
+
+- ``parse_robots``: the line-oriented, stateful robots.txt format
+  (consecutive ``User-agent`` lines open a group; the group's
+  ``Allow``/``Disallow`` lines apply to all of them) parsed with window
+  functions — a running count of group-opening lines assigns group ids,
+  a per-group agent list joins back onto the group's rules. Windows
+  partition by DOMAIN and order by line position: per-domain robots
+  files are small (the spec caps parseable size at 500 KiB), so the
+  window state is bounded regardless of corpus scale.
+- ``robots_gate``: RFC 9309 precedence — the most specific matching
+  group (exact agent name beats ``*``), then the longest matching rule
+  path, allow winning length ties; no matching rule → allowed. One
+  broadcast join (robots tables are dimension-sized next to a frontier)
+  + one max_by aggregation per URL.
+
+Documented simplifications (each a spec-sanctioned subset, noted where a
+deployment might extend): agent matching is case-insensitive EXACT name
+or ``*`` (RFC 9309 product-token prefix matching needs per-pair prefix
+logic the exact form covers for well-behaved agents); rule paths match
+as plain prefixes (``*`` / ``$`` wildcard rules are dropped at parse
+with a flag so callers can count them); empty-value ``Disallow:`` lines
+match nothing (per spec) and are dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.functions import urls as Furl
+
+__all__ = ["parse_robots", "robots_gate"]
+
+
+def parse_robots(robots: DataFrame, domain_col: str = "domain",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """(domain, agent, path_prefix, allow, rule_len) — one row per
+    (user-agent, rule) pair of every robots.txt.
+
+    Stateful line grouping, relationally: a ``User-agent`` line whose
+    previous non-blank directive line is NOT a user-agent line OPENS a
+    new group; the running sum of group-openers is the group id; rules
+    join every agent of their group. Wildcard-bearing rule paths are
+    excluded (see module docstring) — count them upstream if coverage
+    matters.
+    """
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    # strip comments + whitespace; split "Key: value"
+    cleaned = lines.select(
+        "domain", "pos",
+        F.trim(F.regexp_replace(F.col("line"), "#.*", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    fields = cleaned.select(
+        "domain", "pos",
+        F.lower(F.trim(F.regexp_extract(F.col("line"), r"^([^:]+):", 1))).alias("key"),
+        F.trim(F.regexp_extract(F.col("line"), r"^[^:]+:(.*)$", 1)).alias("value"),
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("domain").orderBy("pos")
+    grouped = fields.withColumn(
+        "prev_key", F.lag("key").over(w)
+    ).withColumn(
+        "opens_group",
+        ((F.col("key") == "user-agent")
+         & ((F.col("prev_key") != "user-agent") | F.col("prev_key").isNull()))
+        .cast("int"),
+    ).withColumn("group_id", F.sum("opens_group").over(w))
+    agents = (
+        grouped.filter(F.col("key") == "user-agent")
+        .select("domain", "group_id", F.lower(F.col("value")).alias("agent"))
+        .distinct()
+    )
+    rules = grouped.filter(
+        F.col("key").isin("allow", "disallow")
+        # empty Disallow: matches nothing (RFC 9309); wildcard rules are
+        # out of the exact-prefix contract — drop both
+        & (F.col("value") != "")
+        & ~F.col("value").contains("*")
+        & ~F.col("value").endswith("$")
+    ).select(
+        "domain", "group_id",
+        (F.col("key") == "allow").alias("allow"),
+        F.col("value").alias("path_prefix"),
+        F.length("value").alias("rule_len"),
+    )
+    # both sides are robots-file-sized (spec caps a file at 500 KiB);
+    # broadcast the agent list so the rule join never sorts
+    return rules.join(F.broadcast(agents), ["domain", "group_id"]).select(
+        "domain", "agent", "path_prefix", "allow", "rule_len"
+    )
+
+
+def robots_gate(urls: DataFrame, rules: DataFrame, agent: str,
+                url_col: str = "url", by: str = "host") -> DataFrame:
+    """Gate a URL frontier against parsed robots rules for ``agent``.
+
+    Adds ``domain``, ``path``, and ``allowed`` to ``urls``. Precedence
+    (RFC 9309): rules of the exact-agent group beat the ``*`` group;
+    within the winning scope the LONGEST matching path prefix decides;
+    allow wins a length tie; URLs with no matching rule (or no robots
+    entry for the domain) are allowed.
+
+    ``by``: what the rule table's ``domain`` column is keyed on —
+    ``"host"`` (RFC-correct: robots.txt is fetched and scoped per host)
+    or ``"domain"`` (registrable-domain aggregation, the coarse
+    curation-level view when only per-site policies were collected).
+
+    Physical shape: broadcast the rule table (a robots corpus is
+    dimension-sized next to a 100 TB frontier), left-join on domain,
+    prefix-filter, one max_by aggregation keyed on the URL — no window
+    over the frontier, no skew pivot (a hot domain's rule list is
+    small; the join fans out |rules(domain)| per URL, bounded by the
+    parse cap).
+    """
+    agent = agent.lower()
+    if by == "host":
+        key = Furl.url_host(F.col(url_col))
+    elif by == "domain":
+        key = Furl.registrable_domain_psl(Furl.url_host(F.col(url_col)))
+    else:
+        raise ValueError(f"by must be 'host' or 'domain', got {by!r}")
+    shaped = urls.withColumn("domain", key).withColumn(
+        "path", Furl.url_path(F.col(url_col))
+    )
+    # RFC 9309: when a domain HAS a group for this exact agent, the '*'
+    # group does not apply AT ALL — a path the specific group leaves
+    # unmatched is allowed, it does NOT fall back to '*' rules. So scope
+    # selection happens per-domain on the (small) rule side, before the
+    # frontier join ever sees a rule.
+    candidate = rules.filter(F.col("agent").isin(agent, "*")).withColumn(
+        "specific", (F.col("agent") == agent).cast("int")
+    )
+    scope = candidate.groupBy("domain").agg(
+        F.max("specific").alias("has_specific")
+    )
+    applicable = candidate.join(F.broadcast(scope), "domain").filter(
+        F.col("specific") == F.col("has_specific")
+    ).select(
+        F.col("domain").alias("r_domain"), "path_prefix", "allow", "rule_len"
+    )
+    joined = shaped.join(
+        F.broadcast(applicable),
+        (F.col("domain") == F.col("r_domain"))
+        & F.col("path").startswith(F.col("path_prefix")),
+        "left",
+    )
+    # verdict = the (rule_len, allow) max — longest rule decides, allow
+    # breaks length ties because 1 > 0 in the struct ordering
+    verdict = F.max(
+        F.when(
+            F.col("r_domain").isNotNull(),
+            F.struct(
+                F.col("rule_len"), F.col("allow").cast("int").alias("allow")
+            ),
+        )
+    ).alias("best")
+    out = joined.groupBy(url_col, "domain", "path").agg(verdict)
+    return out.select(
+        url_col, "domain", "path",
+        F.coalesce(F.col("best.allow") == 1, F.lit(True)).alias("allowed"),
+    )

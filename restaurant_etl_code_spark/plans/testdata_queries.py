@@ -9444,6 +9444,150 @@ from dom group by domain
 _ORACLE_SITEMAP_FRONTIER = _sitemap_frontier_oracle()
 
 
+_ROBOTS_FIXTURE = (
+    ("shop.example.co.id",
+     "# shop robots\nUser-agent: *\nDisallow: /private/\n"
+     "Allow: /private/press/\n"),
+    ("news.example.com.sg",
+     "User-agent: trainbot\nDisallow: /no-train/\n\n"
+     "User-agent: *\nDisallow: /\n"),
+    ("example.com", "User-agent: otherbot\nDisallow: /\n"),
+)
+
+
+def _robots_url_fixture_spark(key: Column) -> Column:
+    ks = key.cast("string")
+    m = key % 6
+    return (
+        F.when(m == 0, F.concat(F.lit("https://shop.example.co.id/private/doc-"), ks))
+        .when(m == 1, F.concat(F.lit("https://shop.example.co.id/private/press/"), ks))
+        .when(m == 2, F.concat(F.lit("https://shop.example.co.id/pub/"), ks))
+        .when(m == 3, F.concat(F.lit("https://news.example.com.sg/no-train/"), ks))
+        .when(m == 4, F.concat(F.lit("https://news.example.com.sg/article/"), ks))
+        .otherwise(F.concat(F.lit("https://example.com/"), ks))
+    )
+
+
+def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness gate (operators.crawl): robots.txt parsed
+    relationally (window-function group assignment over the line-
+    oriented stateful format) and the frontier gated with RFC 9309
+    precedence — exact-agent group overrides '*' ENTIRELY (the
+    news.example.com.sg fixture pins the spec trap: a catastrophic
+    '*: Disallow /' must NOT leak into an agent that has its own
+    group), longest matching prefix decides, allow wins ties, no rule
+    → allowed. Physical shape: robots parse windows over per-host
+    files (bounded by the 500 KiB spec cap), then ONE broadcast join
+    frontier×rules + one max_by aggregation — no window over the
+    frontier."""
+    from restaurant_etl_code_spark.operators import crawl
+
+    robots = spark.createDataFrame(
+        list(_ROBOTS_FIXTURE), "domain string, robots_txt string"
+    )
+    rules = crawl.parse_robots(robots)
+    part = load_table(spark, sf_dir, "part")
+    urls = part.select(_robots_url_fixture_spark(F.col("p_partkey")).alias("url"))
+    gated = crawl.robots_gate(urls, rules, "TrainBot", by="host")
+    return gated.groupBy("domain", "allowed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("path").cast("long").alias("n_paths"),
+    )
+
+
+def _robots_gate_oracle() -> str:
+    robots_rows = ",\n  ".join(
+        "('" + d + "', '" + t.replace("\n", "' || chr(10) || '") + "')"
+        for d, t in _ROBOTS_FIXTURE
+    )
+    host = f"lower(regexp_extract(url, '{Furl._HOSTPORT_RE}', 1))"
+    path = (
+        f"(case when coalesce(regexp_replace(regexp_extract(url, '{Furl._PATH_RE}', 1),"
+        f" '/+$', ''), '') = '' then '/'"
+        f" else regexp_replace(regexp_extract(url, '{Furl._PATH_RE}', 1), '/+$', '') end)"
+    )
+    return f"""
+with robots(domain, robots_txt) as (values
+  {robots_rows}),
+lns as (
+  select domain,
+         unnest(list_zip(string_split(robots_txt, chr(10)),
+                         range(1, len(string_split(robots_txt, chr(10))) + 1))) as z
+  from robots),
+cleaned as (
+  select domain, z[2] as pos,
+         trim(regexp_replace(z[1], '#.*', '')) as line
+  from lns where trim(regexp_replace(z[1], '#.*', '')) <> ''),
+fields as (
+  select domain, pos,
+         lower(trim(regexp_extract(line, '^([^:]+):', 1))) as key,
+         trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) as value
+  from cleaned
+  where lower(trim(regexp_extract(line, '^([^:]+):', 1)))
+        in ('user-agent', 'allow', 'disallow')),
+lagged as (
+  select domain, pos, key, value,
+         case when key = 'user-agent' and
+              coalesce(lag(key) over (partition by domain order by pos), '')
+              <> 'user-agent' then 1 else 0 end as opens
+  from fields),
+grouped as (
+  select domain, pos, key, value,
+         sum(opens) over (partition by domain order by pos
+                          rows unbounded preceding) as group_id
+  from lagged),
+agents as (
+  select distinct domain, group_id, lower(value) as agent
+  from grouped where key = 'user-agent'),
+rules as (
+  select domain, group_id, (key = 'allow') as allow,
+         value as path_prefix, length(value) as rule_len
+  from grouped
+  where key in ('allow', 'disallow') and value <> ''
+        and not contains(value, '*') and not ends_with(value, '$')),
+rule_rows as (
+  select a.domain, a.agent, r.path_prefix, r.allow, r.rule_len
+  from agents a join rules r using (domain, group_id)),
+candidate as (
+  select domain, (agent = 'trainbot')::int as specific,
+         path_prefix, allow, rule_len
+  from rule_rows where agent in ('trainbot', '*')),
+scope as (select domain, max(specific) as has_specific
+          from candidate group by domain),
+applicable as (
+  select c.domain as r_domain, c.path_prefix, c.allow, c.rule_len
+  from candidate c join scope s on c.domain = s.domain
+  where c.specific = s.has_specific),
+frontier as (
+  select case p_partkey % 6
+           when 0 then 'https://shop.example.co.id/private/doc-' || p_partkey::varchar
+           when 1 then 'https://shop.example.co.id/private/press/' || p_partkey::varchar
+           when 2 then 'https://shop.example.co.id/pub/' || p_partkey::varchar
+           when 3 then 'https://news.example.com.sg/no-train/' || p_partkey::varchar
+           when 4 then 'https://news.example.com.sg/article/' || p_partkey::varchar
+           else 'https://example.com/' || p_partkey::varchar end as url
+  from part),
+shaped as (
+  select url, {host} as domain, {path} as path from frontier),
+joined as (
+  select s.url, s.domain, s.path, a.allow, a.rule_len
+  from shaped s left join applicable a
+    on s.domain = a.r_domain and starts_with(s.path, a.path_prefix)),
+ranked as (
+  select *, row_number() over (partition by url
+      order by (rule_len is not null) desc, rule_len desc, allow desc) as rn
+  from joined)
+select domain, coalesce(allow, true) as allowed,
+       count(*)::bigint as n_urls,
+       count(distinct path)::bigint as n_paths
+from ranked where rn = 1
+group by domain, coalesce(allow, true)
+"""
+
+
+_ORACLE_ROBOTS_GATE = _robots_gate_oracle()
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -10013,6 +10157,11 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_sitemap_frontier, _ORACLE_SITEMAP_FRONTIER,
         "sitemap <loc> harvest -> canonicalize -> PSL domain rollup "
         "(the seed-side complement of link_frontier)"),
+    "robots_gate": QueryDef(
+        _q_robots_gate, _ORACLE_ROBOTS_GATE,
+        "robots.txt parse (window-function group assignment) + RFC 9309 "
+        "frontier gate: exact-agent group overrides '*', longest prefix "
+        "wins, allow breaks ties"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -10042,6 +10191,7 @@ _WINDOW_FIRST = [
     "anchor_text_corpus",  # never-checked
     "canonical_dedup",  # never-checked
     "sitemap_frontier",  # never-checked
+    "robots_gate",  # never-checked
     "basket_triples",  # latest=r05
     "basket_rules",  # latest=r05
     "activity_streaks",  # latest=r05
@@ -10081,7 +10231,6 @@ _WINDOW_FIRST = [
     "fuzzy_match",  # latest=r07
     "json_props",  # latest=r07
     "text_quality",  # latest=r07
-    "lang_id",  # latest=r07
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -221,3 +221,60 @@ def test_meta_content_and_sitemap_locs(spark):
     assert _one(spark, Fhtml.meta_content(F.lit(html), "keywords")) == "a,b"
     xml = "<urlset><url><loc> https://a/1 </loc></url><url><loc>\nhttps://b/2\n</loc></url></urlset>"
     assert _one(spark, Fhtml.sitemap_locs(F.lit(xml))) == ["https://a/1", "https://b/2"]
+
+
+# --------------------------------------------------- robots.txt politeness
+
+def _robots_rules(spark):
+    from restaurant_etl_code_spark.operators import crawl
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "# c\nUser-agent: *\nDisallow: /private/\nAllow: /private/press/\n"),
+            ("b.com",
+             "User-agent: trainbot\nUser-agent: otherbot\nDisallow: /no-train/\n"
+             "Disallow:\nDisallow: /wild/*/x\n\nUser-agent: *\nDisallow: /\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    return crawl.parse_robots(robots)
+
+
+def test_parse_robots_grouping_and_rule_filters(spark):
+    rules = {(r["domain"], r["agent"], r["path_prefix"], r["allow"])
+             for r in _robots_rules(spark).collect()}
+    # consecutive User-agent lines share one group's rules
+    assert ("b.com", "trainbot", "/no-train/", False) in rules
+    assert ("b.com", "otherbot", "/no-train/", False) in rules
+    # empty Disallow (matches nothing) and wildcard rules are dropped
+    assert not any(p == "" or "*" in p for _, _, p, _ in rules)
+
+
+def test_robots_gate_rfc9309_precedence(spark):
+    from restaurant_etl_code_spark.operators import crawl
+
+    rules = _robots_rules(spark)
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com/private/doc",),     # * disallow /private/
+            ("https://a.com/private/press/1",), # longest match: allow wins
+            ("https://b.com/anything",),        # trainbot group exists ->
+                                                # '*' Disallow / must NOT apply
+            ("https://b.com/no-train/x",),      # trainbot's own disallow
+            ("https://c.com/x",),               # no robots -> allowed
+        ],
+        "url string",
+    )
+    got = {r["url"]: r["allowed"]
+           for r in crawl.robots_gate(urls, rules, "TrainBot", by="host").collect()}
+    assert got["https://a.com/private/doc"] is False
+    assert got["https://a.com/private/press/1"] is True
+    assert got["https://b.com/anything"] is True   # the spec trap
+    assert got["https://b.com/no-train/x"] is False
+    assert got["https://c.com/x"] is True
+    # an agent WITHOUT its own group falls to '*': b.com blocks everything
+    generic = {r["url"]: r["allowed"]
+               for r in crawl.robots_gate(urls, rules, "randombot", by="host").collect()}
+    assert generic["https://b.com/anything"] is False
+    assert generic["https://b.com/no-train/x"] is False

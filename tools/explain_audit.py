@@ -818,6 +818,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas",
                   "SortMergeJoin"],
     },
+    "robots_gate": {
+        # robots parse windows over per-host files; the frontier side is
+        # ONE broadcast join + max_by agg — no window/sort over the
+        # frontier, no Python
+        "want": ["BroadcastHashJoin", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin"],
+    },
     "anchor_text_corpus": {
         # two aligned regexp_extract_all arrays -> zip -> explode ->
         # clean -> one hash-groupBy; PSL via InSet codegen, zero joins
