@@ -227,6 +227,8 @@ BENCH_QUERIES = [
     "canonical_dedup",
     "sitemap_frontier",
     "robots_gate",
+    "gopher_rules",
+    "c4_filters",
 ]
 
 

@@ -9588,6 +9588,310 @@ group by domain, coalesce(allow, true)
 _ORACLE_ROBOTS_GATE = _robots_gate_oracle()
 
 
+# --------------------------------------------------------------------------
+# Published curation filter sets (round 11): the Gopher quality rules
+# (Rae et al. 2021, arXiv:2112.11446 Appendix A) and the C4 cleaning
+# rules (Raffel et al. 2020, arXiv:1910.10683 §2.2) — the two standard
+# public heuristic batteries a training-data pipeline is expected to
+# ship, as pure codegen over the documents table.
+# --------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_fixture_spark(doc_id: Column, text: Column) -> Column:
+    """Perturb the corpus so every rule has BOTH passing and failing
+    mass (the synthetic corpus is stopword-free and single-line, so an
+    unperturbed battery would fail r_stopwords 100% and pass r_bullets
+    100% — degenerate evidence either way): a bullet-dominated cohort
+    (10 bullet lines ≥ the 90% threshold against one text line), an
+    ellipsis cohort, a symbol-spam cohort, a stopword-rich cohort (the
+    only cohort that can pass ALL rules), and a 3-word truncation
+    cohort failing the word-count floor."""
+    bullets = F.concat(
+        F.concat_ws("\n", *[F.lit(f"- item {i}") for i in range(10)]),
+        F.lit("\n"), text,
+    )
+    ellipses = F.concat(
+        F.lit("first thought...\nsecond thought...\nthird thought...\n"), text
+    )
+    symbols = F.concat(F.lit("### ## # ## ### # ## # "), text)
+    stopful = F.concat(
+        F.lit("the menu and that we have to be sure of with care "), text
+    )
+    tiny = F.concat_ws(" ", F.slice(F.split(text, " "), 1, 3))
+    return (
+        F.when(doc_id % 7 == 0, bullets)
+        .when(doc_id % 7 == 1, ellipses)
+        .when(doc_id % 7 == 2, symbols)
+        .when(doc_id % 7 == 3, stopful)
+        .when(doc_id % 7 == 4, tiny)
+        .otherwise(text)
+    )
+
+
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter battery (Rae et al. 2021, Appendix A)
+    as per-rule codegen booleans with per-source pass rates: word count
+    in [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    (# and ellipsis) < 0.1, < 90% of lines bullet-started, < 30% of
+    lines ellipsis-ended, >= 80% of words containing an alphabetic
+    character, and >= 2 distinct members of the 8-stopword probe set.
+    One scan, one projection, one hash-groupBy — each rule is an array
+    fold over the token/line splits, zero Python. The thresholds are
+    the published constants; word-count bounds are scaled to the
+    fixture corpus (min 10 instead of 50 — synthetic docs are short;
+    the constant is a named arg in the expression, not a semantic
+    change)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    dirty = docs.select(
+        "doc_id", "source",
+        _gopher_fixture_spark(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0).cast("long"),
+                          lambda a, w: a + F.length(w))
+    mean_len = sum_len / n_words
+    n_hash = F.size(F.regexp_extract_all(F.col("text"), F.lit("#"), 0))
+    n_ellipsis = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"(\.\.\.|\u2026)"), 0)
+    )
+    lines = F.filter(F.split(F.col("text"), "\n"),
+                     lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(
+        lines, lambda l: F.trim(l).startswith("-") | F.trim(l).startswith("*")
+        | F.trim(l).startswith("\u2022")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("\u2026")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    lower_words = F.transform(words, F.lower)
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(sw) for sw in _GOPHER_STOPWORDS]),
+        lambda sw: F.array_contains(lower_words, sw)))
+    rules = dirty.select(
+        "source",
+        ((n_words >= 10) & (n_words <= 100000)).alias("r_wordcount"),
+        ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("r_meanlen"),
+        (((n_hash + n_ellipsis) / n_words) < 0.1).alias("r_symbols"),
+        ((bullet_lines / n_lines) < 0.9).alias("r_bullets"),
+        ((ellipsis_lines / n_lines) < 0.3).alias("r_ellipsis"),
+        ((alpha_words / n_words) >= 0.8).alias("r_alpha"),
+        (stop_hits >= 2).alias("r_stopwords"),
+    )
+    all_pass = (F.col("r_wordcount") & F.col("r_meanlen") & F.col("r_symbols")
+                & F.col("r_bullets") & F.col("r_ellipsis") & F.col("r_alpha")
+                & F.col("r_stopwords"))
+    return rules.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[F.sum(F.col(c).cast("int")).cast("long").alias("n_" + c)
+          for c in ("r_wordcount", "r_meanlen", "r_symbols", "r_bullets",
+                    "r_ellipsis", "r_alpha", "r_stopwords")],
+        F.sum(all_pass.cast("int")).cast("long").alias("n_pass_all"),
+    )
+
+
+def _gopher_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+    return f"""
+with dirty as (
+  select doc_id, source,
+         case when doc_id % 7 = 0 then
+                array_to_string(list_transform(range(0, 10),
+                    i -> '- item ' || i::varchar), chr(10)) || chr(10) || text
+              when doc_id % 7 = 1 then
+                'first thought...' || chr(10) || 'second thought...' || chr(10)
+                || 'third thought...' || chr(10) || text
+              when doc_id % 7 = 2 then '### ## # ## ### # ## # ' || text
+              when doc_id % 7 = 3 then
+                'the menu and that we have to be sure of with care ' || text
+              when doc_id % 7 = 4 then
+                array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+              else text end as text
+  from documents),
+feats as (
+  select source,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') as words,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') as lines,
+         len(regexp_extract_all(text, '#')) as n_hash,
+         len(regexp_extract_all(text, '(\\.\\.\\.|\u2026)')) as n_ellipsis,
+         text
+  from dirty),
+scored as (
+  select source,
+         len(words) as n_words,
+         list_sum(list_transform(words, w -> length(w)))::double / len(words) as mean_len,
+         (n_hash + n_ellipsis)::double / len(words) as sym_ratio,
+         len(list_filter(lines, l -> starts_with(trim(l), '-')
+             or starts_with(trim(l), '*')
+             or starts_with(trim(l), chr(8226))))::double / len(lines) as bullet_ratio,
+         len(list_filter(lines, l -> ends_with(trim(l), '...')
+             or ends_with(trim(l), chr(8230))))::double / len(lines) as ellipsis_ratio,
+         len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::double
+             / len(words) as alpha_ratio,
+         len(list_filter([{stop_list}],
+             sw -> list_contains(list_transform(words, w -> lower(w)), sw))) as stop_hits
+  from feats),
+rules as (
+  select source,
+         (n_words >= 10 and n_words <= 100000) as r_wordcount,
+         (mean_len >= 3.0 and mean_len <= 10.0) as r_meanlen,
+         (sym_ratio < 0.1) as r_symbols,
+         (bullet_ratio < 0.9) as r_bullets,
+         (ellipsis_ratio < 0.3) as r_ellipsis,
+         (alpha_ratio >= 0.8) as r_alpha,
+         (stop_hits >= 2) as r_stopwords
+  from scored)
+select source,
+       count(*)::bigint as n_docs,
+       sum(r_wordcount::int)::bigint as n_r_wordcount,
+       sum(r_meanlen::int)::bigint as n_r_meanlen,
+       sum(r_symbols::int)::bigint as n_r_symbols,
+       sum(r_bullets::int)::bigint as n_r_bullets,
+       sum(r_ellipsis::int)::bigint as n_r_ellipsis,
+       sum(r_alpha::int)::bigint as n_r_alpha,
+       sum(r_stopwords::int)::bigint as n_r_stopwords,
+       sum((r_wordcount and r_meanlen and r_symbols and r_bullets
+            and r_ellipsis and r_alpha and r_stopwords)::int)::bigint as n_pass_all
+from rules group by source
+"""
+
+
+_ORACLE_GOPHER = _gopher_oracle()
+
+
+def _c4_fixture_spark(doc_id: Column, text: Column) -> Column:
+    """Perturbations giving every C4 drop reason mass: lorem-ipsum
+    pages, curly-brace (code) pages, javascript boilerplate lines,
+    punctuation-rich multi-sentence pages (the passing cohort), and
+    unterminated-line pages (every line filtered → too few sentences)."""
+    sentences = F.concat(
+        F.lit("This is a sentence. Here is another one. A third follows! "
+              "Does a fourth? Yes, a fifth.\n"),
+        text, F.lit(" and more."),
+    )
+    return (
+        F.when(doc_id % 9 == 0,
+               F.concat(F.lit("Lorem ipsum dolor sit amet.\n"), sentences))
+        .when(doc_id % 9 == 1,
+              F.concat(F.lit("function f() { return 1; }\n"), sentences))
+        .when(doc_id % 9 == 2,
+              F.concat(F.lit("Please enable JavaScript to view this page.\n"),
+                       sentences))
+        .when(doc_id % 9 == 3, sentences)
+        .otherwise(text)
+    )
+
+
+def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, §2.2) as codegen: keep
+    only lines ending in terminal punctuation (. ! ? ") with >= 3 words
+    and no 'javascript'; drop pages containing 'lorem ipsum' or a curly
+    brace or with < 5 sentences after line filtering (sentence proxy:
+    terminal-punctuation marks in the kept lines, documented). Emits
+    per-source drop accounting — the audit view a curation run needs to
+    see WHERE its corpus went. One scan, array folds, one hash-groupBy."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pages = docs.select(
+        "doc_id", "source",
+        _c4_fixture_spark(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+
+    def n_words_of(l):
+        return F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != ""))
+
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (F.trim(l).endswith(".") | F.trim(l).endswith("!")
+                   | F.trim(l).endswith("?") | F.trim(l).endswith("\""))
+        & (n_words_of(l) >= 3)
+        & ~F.lower(l).contains("javascript"),
+    )
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.size(F.regexp_extract_all(kept_text, F.lit("[.!?]"), 0))
+    shaped = pages.select(
+        "source",
+        F.lower(F.col("text")).contains("lorem ipsum").alias("drop_lorem"),
+        (F.col("text").contains("{") | F.col("text").contains("}"))
+        .alias("drop_brace"),
+        (n_sentences < 5).alias("drop_few_sentences"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+    )
+    keep = ~F.col("drop_lorem") & ~F.col("drop_brace") & ~F.col("drop_few_sentences")
+    return shaped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum(F.col("drop_lorem").cast("int")).cast("long").alias("n_drop_lorem"),
+        F.sum(F.col("drop_brace").cast("int")).cast("long").alias("n_drop_brace"),
+        F.sum(F.col("drop_few_sentences").cast("int")).cast("long")
+        .alias("n_drop_few_sentences"),
+        F.sum(keep.cast("int")).cast("long").alias("n_kept_pages"),
+        F.sum("n_lines").cast("long").alias("n_lines_total"),
+        F.sum("n_kept_lines").cast("long").alias("n_lines_kept"),
+    )
+
+
+def _c4_oracle() -> str:
+    return """
+with pages as (
+  select doc_id, source,
+         case when doc_id % 9 = 0 then
+                'Lorem ipsum dolor sit amet.' || chr(10)
+                || 'This is a sentence. Here is another one. A third follows! '
+                || 'Does a fourth? Yes, a fifth.' || chr(10) || text || ' and more.'
+              when doc_id % 9 = 1 then
+                'function f() { return 1; }' || chr(10)
+                || 'This is a sentence. Here is another one. A third follows! '
+                || 'Does a fourth? Yes, a fifth.' || chr(10) || text || ' and more.'
+              when doc_id % 9 = 2 then
+                'Please enable JavaScript to view this page.' || chr(10)
+                || 'This is a sentence. Here is another one. A third follows! '
+                || 'Does a fourth? Yes, a fifth.' || chr(10) || text || ' and more.'
+              when doc_id % 9 = 3 then
+                'This is a sentence. Here is another one. A third follows! '
+                || 'Does a fourth? Yes, a fifth.' || chr(10) || text || ' and more.'
+              else text end as text
+  from documents),
+shaped as (
+  select source,
+         contains(lower(text), 'lorem ipsum') as drop_lorem,
+         (contains(text, '{') or contains(text, '}')) as drop_brace,
+         string_split(text, chr(10)) as lines,
+         list_filter(string_split(text, chr(10)), l ->
+             (ends_with(trim(l), '.') or ends_with(trim(l), '!')
+              or ends_with(trim(l), '?') or ends_with(trim(l), '"'))
+             and len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                 w -> w <> '')) >= 3
+             and not contains(lower(l), 'javascript')) as kept
+  from pages),
+scored as (
+  select source, drop_lorem, drop_brace,
+         -- coalesce: DuckDB array_to_string over an EMPTY list yields
+         -- NULL (Spark's array_join yields ''), which would NULL the
+         -- verdict for pages with zero kept lines
+         (len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''),
+              '[.!?]')) < 5) as drop_few_sentences,
+         len(lines)::bigint as n_lines,
+         len(kept)::bigint as n_kept_lines
+  from shaped)
+select source,
+       count(*)::bigint as n_pages,
+       sum(drop_lorem::int)::bigint as n_drop_lorem,
+       sum(drop_brace::int)::bigint as n_drop_brace,
+       sum(drop_few_sentences::int)::bigint as n_drop_few_sentences,
+       sum((not drop_lorem and not drop_brace
+            and not drop_few_sentences)::int)::bigint as n_kept_pages,
+       sum(n_lines)::bigint as n_lines_total,
+       sum(n_kept_lines)::bigint as n_lines_kept
+from scored group by source
+"""
+
+
+_ORACLE_C4 = _c4_oracle()
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -10162,6 +10466,15 @@ _REGISTRY: dict[str, QueryDef] = {
         "robots.txt parse (window-function group assignment) + RFC 9309 "
         "frontier gate: exact-agent group overrides '*', longest prefix "
         "wins, allow breaks ties"),
+    "gopher_rules": QueryDef(
+        _q_gopher_rules, _ORACLE_GOPHER,
+        "Gopher quality-filter battery (Rae et al. 2021): per-rule "
+        "booleans + per-source pass rates, pure codegen"),
+    "c4_filters": QueryDef(
+        _q_c4_filters, _ORACLE_C4,
+        "C4 cleaning rules (Raffel et al. 2020): terminal-punct line "
+        "keep, lorem-ipsum/brace/few-sentence page drops, per-source "
+        "drop accounting"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -10192,6 +10505,8 @@ _WINDOW_FIRST = [
     "canonical_dedup",  # never-checked
     "sitemap_frontier",  # never-checked
     "robots_gate",  # never-checked
+    "gopher_rules",  # never-checked
+    "c4_filters",  # never-checked
     "basket_triples",  # latest=r05
     "basket_rules",  # latest=r05
     "activity_streaks",  # latest=r05
@@ -10229,8 +10544,6 @@ _WINDOW_FIRST = [
     "scalar_subquery",  # latest=r07
     "null_semantics",  # latest=r07
     "fuzzy_match",  # latest=r07
-    "json_props",  # latest=r07
-    "text_quality",  # latest=r07
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

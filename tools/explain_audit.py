@@ -818,6 +818,18 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas",
                   "SortMergeJoin"],
     },
+    "gopher_rules": {
+        # array folds over token/line splits + one hash-groupBy;
+        # every rule is codegen, zero Python, zero joins
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
+    "c4_filters": {
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
     "robots_gate": {
         # robots parse windows over per-host files; the frontier side is
         # ONE broadcast join + max_by agg — no window/sort over the
