@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "robots_gate",
     "gopher_rules",
     "c4_filters",
+    "secret_scan",
 ]
 
 

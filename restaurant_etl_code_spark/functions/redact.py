@@ -59,3 +59,84 @@ def pii_counts(c: Column) -> dict[str, Column]:
         "n_ssns": F.size(F.regexp_extract_all(after_email, F.lit(SSN_PATTERN), 0)),
         "n_phones": F.size(F.regexp_extract_all(after_ssn, F.lit(PHONE_PATTERN), 0)),
     }
+
+
+# ---------------------------------------------------------------------------
+# Secret scanning (round 11): published models regurgitate credentials that
+# leaked into training corpora, so corpus prep scans for secret-shaped spans
+# alongside contact PII. All codegen; the interesting part is Luhn — a bare
+# 13-16-digit regex over-matches order ids and timestamps, so candidates are
+# validated with the checksum as an array fold (both engines agree digit by
+# digit), and the candidate-vs-valid delta is itself the audit signal.
+# ---------------------------------------------------------------------------
+
+# 13-16 digit runs: CANDIDATE card numbers, Luhn-validated before counting
+CC_CANDIDATE_PATTERN = r"\b[0-9]{13,16}\b"
+# dotted-quad IPv4 inside text
+IPV4_TEXT_PATTERN = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+# AWS-style access key id — the canonical publicly-documented key shape
+AWS_KEY_PATTERN = r"\bAKIA[0-9A-Z]{16}\b"
+# generic high-entropy token: >= 32 chars of key-alphabet, mixed case+digit
+# required at count time (pure length over-matches hex hashes we WANT kept
+# for dedup audits — the filter lives in token_like_secret)
+TOKEN_CANDIDATE_PATTERN = r"\b[A-Za-z0-9+/=_-]{32,}\b"
+
+
+def luhn_valid(s: Column) -> Column:
+    """Luhn checksum over a digit string, as a codegen array fold: from
+    the RIGHT, double every second digit, subtract 9 when the double
+    exceeds 9, sum % 10 == 0."""
+    chars = F.split(s, "")
+    n = F.length(s)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc + F.when(
+            ((n - i) % 2) == 1,
+            F.when(F.element_at(chars, i).cast("int") * 2 > 9,
+                   F.element_at(chars, i).cast("int") * 2 - 9)
+            .otherwise(F.element_at(chars, i).cast("int") * 2),
+        ).otherwise(F.element_at(chars, i).cast("int")),
+    )
+    return (total % 10) == 0
+
+
+def cc_candidates(c: Column) -> Column:
+    """All 13-16-digit runs (pre-validation) → array<string>."""
+    return F.regexp_extract_all(c, F.lit(CC_CANDIDATE_PATTERN), 0)
+
+
+def cc_numbers(c: Column) -> Column:
+    """Luhn-VALID card-shaped numbers → array<string>. The candidate set
+    minus this set is the false-positive mass a regex-only scrubber
+    would have destroyed (order ids, timestamps)."""
+    return F.filter(cc_candidates(c), luhn_valid)
+
+
+def token_like_secret(t: Column) -> Column:
+    """Secret heuristic for a key-alphabet token: mixed letter+digit
+    (pure digits are ids; pure letters are words)."""
+    return t.rlike("[0-9]") & t.rlike("[A-Za-z]")
+
+
+def secret_counts(c: Column) -> dict[str, Column]:
+    """Per-document secret-shaped span counts (the audit projection)."""
+    tokens = F.regexp_extract_all(c, F.lit(TOKEN_CANDIDATE_PATTERN), 0)
+    return {
+        "n_cc_candidates": F.size(cc_candidates(c)),
+        "n_cc_valid": F.size(cc_numbers(c)),
+        "n_ipv4": F.size(F.regexp_extract_all(c, F.lit(IPV4_TEXT_PATTERN), 0)),
+        "n_aws_keys": F.size(F.regexp_extract_all(c, F.lit(AWS_KEY_PATTERN), 0)),
+        "n_tokens": F.size(F.filter(tokens, token_like_secret)),
+    }
+
+
+def scrub_secrets(c: Column) -> Column:
+    """Redact secrets: AWS keys and secret-like tokens by pattern,
+    Luhn-valid card numbers by a per-row fold (replace each found valid
+    number — regexp_replace alone cannot apply the checksum condition,
+    so the validated array drives exact-string replaces)."""
+    out = F.regexp_replace(c, AWS_KEY_PATTERN, "<AWSKEY>")
+    return F.aggregate(
+        cc_numbers(out), out, lambda acc, cc: F.replace(acc, cc, F.lit("<CC>"))
+    )

@@ -818,6 +818,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas",
                   "SortMergeJoin"],
     },
+    "secret_scan": {
+        # Luhn validation is an array fold inside the projection; one
+        # counter aggregation, zero Python, zero joins
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
     "gopher_rules": {
         # array folds over token/line splits + one hash-groupBy;
         # every rule is codegen, zero Python, zero joins
