@@ -132,11 +132,23 @@ def secret_counts(c: Column) -> dict[str, Column]:
 
 
 def scrub_secrets(c: Column) -> Column:
-    """Redact secrets: AWS keys and secret-like tokens by pattern,
-    Luhn-valid card numbers by a per-row fold (replace each found valid
-    number — regexp_replace alone cannot apply the checksum condition,
-    so the validated array drives exact-string replaces)."""
+    """Redact every class :func:`secret_counts` reports: AWS key ids by
+    pattern, Luhn-valid card numbers and high-entropy mixed-alphabet
+    tokens by per-row folds (a bare regexp_replace cannot apply the
+    checksum / mixed-alphabet conditions, so the validated arrays drive
+    exact-string replaces). Candidates that FAIL validation (order ids,
+    timestamps, hex hashes wanted for dedup audits) survive untouched.
+    IPv4 literals are counted but NOT scrubbed — they are rarely
+    secrets and destroy log/corpus structure; scrub separately if a
+    deployment's policy says otherwise."""
     out = F.regexp_replace(c, AWS_KEY_PATTERN, "<AWSKEY>")
-    return F.aggregate(
+    out = F.aggregate(
         cc_numbers(out), out, lambda acc, cc: F.replace(acc, cc, F.lit("<CC>"))
+    )
+    secret_tokens = F.filter(
+        F.regexp_extract_all(out, F.lit(TOKEN_CANDIDATE_PATTERN), 0),
+        token_like_secret,
+    )
+    return F.aggregate(
+        secret_tokens, out, lambda acc, t: F.replace(acc, t, F.lit("<TOKEN>"))
     )

@@ -59,6 +59,7 @@ __all__ = [
     "url_scheme",
     "url_host",
     "url_path",
+    "url_path_raw",
     "url_query_canonical",
     "canonicalize_url",
     "registrable_domain",
@@ -117,6 +118,15 @@ def url_path(c: Column) -> Column:
     return F.when(raw == "", F.lit("/")).otherwise(raw)
 
 
+def url_path_raw(c: Column) -> Column:
+    """Path EXACTLY as written (no trailing-slash collapse); empty → '/'.
+    The robots-gate form: RFC 9309 rule prefixes distinguish
+    ``/private/press`` from ``/private/press/``, so the canonicalized
+    path would flip directory-URL verdicts."""
+    raw = F.regexp_extract(_no_fragment(c), _PATH_RE, 1)
+    return F.when(raw == "", F.lit("/")).otherwise(raw)
+
+
 def _keep_param(p: Column) -> Column:
     keep = (p != "") & ~p.startswith("utm_")
     for name in TRACKING_PARAMS:
@@ -163,8 +173,12 @@ def registrable_domain(host: Column) -> Column:
     """eTLD+1 approximation over a lowercased host: last two labels, or last
     three when the final two are a known two-label suffix (co.uk et al.).
     Hosts with fewer labels (localhost, bare TLDs) and IP literals pass
-    through unchanged; empty/NULL host → NULL. For the full public-suffix
-    algorithm use :func:`registrable_domain_psl`."""
+    through unchanged; empty/NULL host → NULL. A trailing FQDN dot
+    (``example.com.`` — real crawl hosts include the form) is stripped
+    before label splitting so the empty last label cannot mis-key the
+    suffix match. For the full public-suffix algorithm use
+    :func:`registrable_domain_psl`."""
+    host = F.regexp_replace(host, r"\.$", "")
     labels = F.split(host, r"\.")
     n = F.size(labels)
     # greatest(…, 1): Spark's slice throws on start <= 0 and when() branches
@@ -350,9 +364,13 @@ def registrable_domain_psl(host: Column, rules: PslRules = PSL_FIXTURE) -> Colum
 
     Returns NULL when the host IS a public suffix (nothing registrable),
     is empty/NULL, or — pass-through exception — the host whole when it is
-    an IP literal. Compiles to nested CASE over ``InSet`` membership tests:
-    pure codegen, zero shuffle, O(max rule depth) comparisons per row.
+    an IP literal. A trailing FQDN dot is stripped before label splitting
+    (``example.com.`` would otherwise split to an empty last label, match
+    no rule, and return ``com.``). Compiles to nested CASE over ``InSet``
+    membership tests: pure codegen, zero shuffle, O(max rule depth)
+    comparisons per row.
     """
+    host = F.regexp_replace(host, r"\.$", "")
     labels = F.split(host, r"\.")
     n = F.size(labels)
 

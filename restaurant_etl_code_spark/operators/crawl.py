@@ -14,43 +14,49 @@ DataFrame-native and exactly SQL-mirrorable:
   partition by DOMAIN and order by line position: per-domain robots
   files are small (the spec caps parseable size at 500 KiB), so the
   window state is bounded regardless of corpus scale.
+- ``parse_crawl_delays``: the per-group ``Crawl-delay`` extension
+  directive (not in RFC 9309 but the most widely published extension),
+  same group machinery, one row per (domain, agent).
 - ``robots_gate``: RFC 9309 precedence — the most specific matching
   group (exact agent name beats ``*``), then the longest matching rule
   path, allow winning length ties; no matching rule → allowed. One
   broadcast join (robots tables are dimension-sized next to a frontier)
-  + one max_by aggregation per URL.
+  + one per-input-row max aggregation.
 
 Documented simplifications (each a spec-sanctioned subset, noted where a
 deployment might extend): agent matching is case-insensitive EXACT name
 or ``*`` (RFC 9309 product-token prefix matching needs per-pair prefix
 logic the exact form covers for well-behaved agents); rule paths match
-as plain prefixes (``*`` / ``$`` wildcard rules are dropped at parse
-with a flag so callers can count them); empty-value ``Disallow:`` lines
-match nothing (per spec) and are dropped.
+as plain prefixes — ``*`` / ``$`` wildcard-bearing rules are kept as
+rows flagged ``has_wildcard`` so callers can COUNT the coverage they
+lose, but ``robots_gate`` excludes them from matching (a wildcard-free
+gate is strictly more permissive than the site's declared policy;
+the flag makes that visible instead of silent); empty-value
+``Disallow:`` lines match nothing (per spec) and are dropped.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from restaurant_etl_code_spark.functions import urls as Furl
 
-__all__ = ["parse_robots", "robots_gate"]
+__all__ = ["parse_robots", "parse_crawl_delays", "robots_gate"]
+
+# directive keys the parser recognizes; everything else (sitemap,
+# host, request-rate, ...) is ignored at the line filter
+_RULE_KEYS = ("user-agent", "allow", "disallow", "crawl-delay")
 
 
-def parse_robots(robots: DataFrame, domain_col: str = "domain",
-                 text_col: str = "robots_txt") -> DataFrame:
-    """(domain, agent, path_prefix, allow, rule_len) — one row per
-    (user-agent, rule) pair of every robots.txt.
-
-    Stateful line grouping, relationally: a ``User-agent`` line whose
-    previous non-blank directive line is NOT a user-agent line OPENS a
-    new group; the running sum of group-openers is the group id; rules
-    join every agent of their group. Wildcard-bearing rule paths are
-    excluded (see module docstring) — count them upstream if coverage
-    matters.
-    """
+def _directive_groups(robots: DataFrame, domain_col: str,
+                      text_col: str) -> DataFrame:
+    """(domain, pos, key, value, group_id) — the shared stateful-format
+    front half: line split, comment strip, directive filter, and the
+    window-function group assignment (a ``User-agent`` line whose
+    previous directive is NOT a user-agent line opens a new group)."""
     lines = robots.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -64,9 +70,9 @@ def parse_robots(robots: DataFrame, domain_col: str = "domain",
         "domain", "pos",
         F.lower(F.trim(F.regexp_extract(F.col("line"), r"^([^:]+):", 1))).alias("key"),
         F.trim(F.regexp_extract(F.col("line"), r"^[^:]+:(.*)$", 1)).alias("value"),
-    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    ).filter(F.col("key").isin(*_RULE_KEYS))
     w = Window.partitionBy("domain").orderBy("pos")
-    grouped = fields.withColumn(
+    return fields.withColumn(
         "prev_key", F.lag("key").over(w)
     ).withColumn(
         "opens_group",
@@ -74,40 +80,97 @@ def parse_robots(robots: DataFrame, domain_col: str = "domain",
          & ((F.col("prev_key") != "user-agent") | F.col("prev_key").isNull()))
         .cast("int"),
     ).withColumn("group_id", F.sum("opens_group").over(w))
-    agents = (
+
+
+def _group_agents(grouped: DataFrame) -> DataFrame:
+    return (
         grouped.filter(F.col("key") == "user-agent")
         .select("domain", "group_id", F.lower(F.col("value")).alias("agent"))
         .distinct()
     )
+
+
+def parse_robots(robots: DataFrame, domain_col: str = "domain",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """(domain, agent, path_prefix, allow, rule_len, has_wildcard) — one
+    row per (user-agent, rule) pair of every robots.txt.
+
+    Stateful line grouping, relationally: a ``User-agent`` line whose
+    previous non-blank directive line is NOT a user-agent line OPENS a
+    new group; the running sum of group-openers is the group id; rules
+    join every agent of their group. ``*``/``$`` wildcard-bearing rule
+    paths are KEPT, flagged ``has_wildcard = true``, so callers can
+    count the policy mass a prefix-only gate ignores;
+    :func:`robots_gate` filters them out of matching. Empty-value rules
+    (match nothing per RFC 9309) are dropped.
+    """
+    grouped = _directive_groups(robots, domain_col, text_col)
+    agents = _group_agents(grouped)
     rules = grouped.filter(
-        F.col("key").isin("allow", "disallow")
-        # empty Disallow: matches nothing (RFC 9309); wildcard rules are
-        # out of the exact-prefix contract — drop both
-        & (F.col("value") != "")
-        & ~F.col("value").contains("*")
-        & ~F.col("value").endswith("$")
+        F.col("key").isin("allow", "disallow") & (F.col("value") != "")
     ).select(
         "domain", "group_id",
         (F.col("key") == "allow").alias("allow"),
         F.col("value").alias("path_prefix"),
         F.length("value").alias("rule_len"),
+        (F.col("value").contains("*") | F.col("value").endswith("$"))
+        .alias("has_wildcard"),
     )
     # both sides are robots-file-sized (spec caps a file at 500 KiB);
     # broadcast the agent list so the rule join never sorts
     return rules.join(F.broadcast(agents), ["domain", "group_id"]).select(
-        "domain", "agent", "path_prefix", "allow", "rule_len"
+        "domain", "agent", "path_prefix", "allow", "rule_len", "has_wildcard"
+    )
+
+
+def parse_crawl_delays(robots: DataFrame, domain_col: str = "domain",
+                       text_col: str = "robots_txt") -> DataFrame:
+    """(domain, agent, crawl_delay) — the per-group ``Crawl-delay``
+    directive, one row per (domain, agent) (max of duplicates: the
+    polite reading). Non-numeric values are dropped."""
+    grouped = _directive_groups(robots, domain_col, text_col)
+    agents = _group_agents(grouped)
+    delays = grouped.filter(
+        (F.col("key") == "crawl-delay")
+        & F.col("value").rlike(r"^[0-9]+(\.[0-9]+)?$")
+    ).select("domain", "group_id", F.col("value").cast("double").alias("crawl_delay"))
+    return (
+        delays.join(F.broadcast(agents), ["domain", "group_id"])
+        .groupBy("domain", "agent")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
+    )
+
+
+def _scope_applicable(candidate: DataFrame) -> DataFrame:
+    """RFC 9309 group selection on the (small) rule side: when a domain
+    HAS a group for the exact agent, the ``*`` group does not apply AT
+    ALL — rows of the losing scope are filtered before the frontier
+    join ever sees them."""
+    scope = candidate.groupBy("domain").agg(
+        F.max("specific").alias("has_specific")
+    )
+    return candidate.join(F.broadcast(scope), "domain").filter(
+        F.col("specific") == F.col("has_specific")
     )
 
 
 def robots_gate(urls: DataFrame, rules: DataFrame, agent: str,
-                url_col: str = "url", by: str = "host") -> DataFrame:
+                url_col: str = "url", by: str = "host",
+                delays: Optional[DataFrame] = None) -> DataFrame:
     """Gate a URL frontier against parsed robots rules for ``agent``.
 
-    Adds ``domain``, ``path``, and ``allowed`` to ``urls``. Precedence
-    (RFC 9309): rules of the exact-agent group beat the ``*`` group;
-    within the winning scope the LONGEST matching path prefix decides;
-    allow wins a length tie; URLs with no matching rule (or no robots
-    entry for the domain) are allowed.
+    Returns EVERY input row (duplicates preserved, all frontier columns
+    carried through) with ``domain``, ``path``, and ``allowed`` added —
+    plus ``crawl_delay`` when ``delays`` (from
+    :func:`parse_crawl_delays`) is given, NULL where no delay applies.
+    Precedence (RFC 9309): rules of the exact-agent group beat the ``*``
+    group; within the winning scope the LONGEST matching path prefix
+    decides; allow wins a length tie; URLs with no matching rule (or no
+    robots entry for the domain) are allowed. Rule paths match against
+    the RAW URL path (only empty → ``/``): canonical trailing-slash
+    collapse would flip directory-URL verdicts (``/private/press/``
+    must still prefix-match ``Allow: /private/press/``). Wildcard-
+    flagged rules are excluded from matching (module docstring).
 
     ``by``: what the rule table's ``domain`` column is keyed on —
     ``"host"`` (RFC-correct: robots.txt is fetched and scoped per host)
@@ -116,10 +179,11 @@ def robots_gate(urls: DataFrame, rules: DataFrame, agent: str,
 
     Physical shape: broadcast the rule table (a robots corpus is
     dimension-sized next to a 100 TB frontier), left-join on domain,
-    prefix-filter, one max_by aggregation keyed on the URL — no window
-    over the frontier, no skew pivot (a hot domain's rule list is
-    small; the join fans out |rules(domain)| per URL, bounded by the
-    parse cap).
+    prefix-filter, one per-row max aggregation keyed on a generated row
+    id — no window over the frontier, no skew pivot (a hot domain's
+    rule list is small; the join fans out |rules(domain)| per URL,
+    bounded by the parse cap). The optional delay join is a second
+    broadcast against a per-domain table.
     """
     agent = agent.lower()
     if by == "host":
@@ -128,23 +192,17 @@ def robots_gate(urls: DataFrame, rules: DataFrame, agent: str,
         key = Furl.registrable_domain_psl(Furl.url_host(F.col(url_col)))
     else:
         raise ValueError(f"by must be 'host' or 'domain', got {by!r}")
-    shaped = urls.withColumn("domain", key).withColumn(
-        "path", Furl.url_path(F.col(url_col))
+    out_cols = list(urls.columns)
+    shaped = (
+        urls.withColumn("_rid", F.monotonically_increasing_id())
+        .withColumn("domain", key)
+        .withColumn("path", Furl.url_path_raw(F.col(url_col)))
     )
-    # RFC 9309: when a domain HAS a group for this exact agent, the '*'
-    # group does not apply AT ALL — a path the specific group leaves
-    # unmatched is allowed, it does NOT fall back to '*' rules. So scope
-    # selection happens per-domain on the (small) rule side, before the
-    # frontier join ever sees a rule.
-    candidate = rules.filter(F.col("agent").isin(agent, "*")).withColumn(
-        "specific", (F.col("agent") == agent).cast("int")
-    )
-    scope = candidate.groupBy("domain").agg(
-        F.max("specific").alias("has_specific")
-    )
-    applicable = candidate.join(F.broadcast(scope), "domain").filter(
-        F.col("specific") == F.col("has_specific")
-    ).select(
+    candidate = rules.filter(
+        F.col("agent").isin(agent, "*")
+        & (~F.col("has_wildcard") if "has_wildcard" in rules.columns else F.lit(True))
+    ).withColumn("specific", (F.col("agent") == agent).cast("int"))
+    applicable = _scope_applicable(candidate).select(
         F.col("domain").alias("r_domain"), "path_prefix", "allow", "rule_len"
     )
     joined = shaped.join(
@@ -154,7 +212,8 @@ def robots_gate(urls: DataFrame, rules: DataFrame, agent: str,
         "left",
     )
     # verdict = the (rule_len, allow) max — longest rule decides, allow
-    # breaks length ties because 1 > 0 in the struct ordering
+    # breaks length ties because 1 > 0 in the struct ordering; keyed on
+    # the generated row id so duplicate frontier URLs stay distinct rows
     verdict = F.max(
         F.when(
             F.col("r_domain").isNotNull(),
@@ -163,8 +222,19 @@ def robots_gate(urls: DataFrame, rules: DataFrame, agent: str,
             ),
         )
     ).alias("best")
-    out = joined.groupBy(url_col, "domain", "path").agg(verdict)
-    return out.select(
-        url_col, "domain", "path",
+    out = joined.groupBy("_rid", *out_cols, "domain", "path").agg(verdict)
+    result = out.select(
+        *out_cols, "domain", "path",
         F.coalesce(F.col("best.allow") == 1, F.lit(True)).alias("allowed"),
     )
+    if delays is not None:
+        cand_d = delays.filter(F.col("agent").isin(agent, "*")).withColumn(
+            "specific", (F.col("agent") == agent).cast("int")
+        )
+        appl_d = _scope_applicable(cand_d).groupBy("domain").agg(
+            F.max("crawl_delay").alias("crawl_delay")
+        )
+        result = result.join(F.broadcast(appl_d), "domain", "left").select(
+            *out_cols, "domain", "path", "allowed", "crawl_delay"
+        )
+    return result

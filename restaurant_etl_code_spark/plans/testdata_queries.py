@@ -8645,8 +8645,10 @@ def _duck_canonical_exprs() -> tuple[str, str]:
 def _duck_domain_approx(host: str) -> str:
     """DuckDB twin of Furl.registrable_domain over a host EXPRESSION —
     two-label-suffix approximation with the same empty→NULL and
-    IP-literal pass-through guards."""
+    IP-literal pass-through guards and the same trailing-FQDN-dot
+    strip before label splitting."""
     suffixes = ", ".join(f"'{s}'" for s in Furl.TWO_LABEL_SUFFIXES)
+    host = f"regexp_replace({host}, '\\.$', '')"
     labels = f"string_split({host}, '.')"
     last2 = f"array_to_string(list_slice({labels}, -2, len({labels})), '.')"
     last3 = f"array_to_string(list_slice({labels}, -3, len({labels})), '.')"
@@ -8747,8 +8749,9 @@ def _psl_host_fixture_spark(key: Column) -> Column:
     registrations the TWO_LABEL_SUFFIXES approximation misses (co.id,
     com.sg), wildcard (*.ck, *.kawasaki.jp), exception (!www.ck,
     !city.kawasaki.jp), public-suffix-only hosts (com, other.kawasaki.jp
-    → NULL), an IP literal, and an unknown TLD (implicit '*' rule)."""
-    m = key % 13
+    → NULL), an IP literal, an unknown TLD (implicit '*' rule), and a
+    trailing-dot FQDN (the crawl-host form both variants must strip)."""
+    m = key % 14
     return (
         F.when(m == 0, F.lit("shop.example.co.id"))
         .when(m == 1, F.lit("news.example.com.sg"))
@@ -8762,12 +8765,13 @@ def _psl_host_fixture_spark(key: Column) -> Column:
         .when(m == 9, F.lit("192.168.0.1"))
         .when(m == 10, F.lit("deep.sub.example.org"))
         .when(m == 11, F.lit("example.unknowntld"))
+        .when(m == 12, F.lit("www.example.co.uk."))
         .otherwise(F.lit("com"))
     )
 
 
 _PSL_HOST_FIXTURE_DUCK = """
-  select case p_partkey % 13
+  select case p_partkey % 14
            when 0 then 'shop.example.co.id'
            when 1 then 'news.example.com.sg'
            when 2 then 'a.b.example.co.uk'
@@ -8780,6 +8784,7 @@ _PSL_HOST_FIXTURE_DUCK = """
            when 9 then '192.168.0.1'
            when 10 then 'deep.sub.example.org'
            when 11 then 'example.unknowntld'
+           when 12 then 'www.example.co.uk.'
            else 'com' end as host
   from part
 """
@@ -8849,15 +8854,15 @@ def _domain_rollup_psl_oracle() -> str:
     return f"""
 with hosts as ({_PSL_HOST_FIXTURE_DUCK}),
 parts as (
-  select host, string_split(host, '.') as labels,
-         len(string_split(host, '.')) as n
+  select host, string_split(regexp_replace(host, '\\.$', ''), '.') as labels,
+         len(string_split(regexp_replace(host, '\\.$', ''), '.')) as n
   from hosts),
 sl as (select host, labels, n, {sl} as s from parts),
 dom as (
   select host,
          (case when host is null or host = '' then null
-               when regexp_matches(host, '{Furl._IPV4_RE}')
-                    or starts_with(host, '[') then host
+               when regexp_matches(regexp_replace(host, '\\.$', ''), '{Furl._IPV4_RE}')
+                    or starts_with(host, '[') then regexp_replace(host, '\\.$', '')
                when n > s then array_to_string(list_slice(labels, -(s + 1), n), '.')
                else null end) as domain_psl,
          {approx} as domain_approx
@@ -9109,15 +9114,15 @@ stripped as (
                else hostport end) as host
   from hosts),
 parts as (
-  select canonical_url, host, string_split(host, '.') as labels,
-         len(string_split(host, '.')) as n
+  select canonical_url, host, string_split(regexp_replace(host, '\\.$', ''), '.') as labels,
+         len(string_split(regexp_replace(host, '\\.$', ''), '.')) as n
   from stripped),
 sl as (select canonical_url, host, labels, n, {sl} as s from parts),
 dom as (
   select canonical_url,
          (case when host is null or host = '' then null
-               when regexp_matches(host, '{Furl._IPV4_RE}')
-                    or starts_with(host, '[') then host
+               when regexp_matches(regexp_replace(host, '\\.$', ''), '{Furl._IPV4_RE}')
+                    or starts_with(host, '[') then regexp_replace(host, '\\.$', '')
                when n > s then array_to_string(list_slice(labels, -(s + 1), n), '.')
                else null end) as domain
   from sl)
@@ -9280,14 +9285,14 @@ hosts as (
                else lower(regexp_extract(href, '{Furl._HOSTPORT_RE}', 1)) end) as host
   from pairs),
 parts as (
-  select anchor, host, string_split(host, '.') as labels,
-         len(string_split(host, '.')) as n
+  select anchor, host, string_split(regexp_replace(host, '\\.$', ''), '.') as labels,
+         len(string_split(regexp_replace(host, '\\.$', ''), '.')) as n
   from hosts),
 sl as (select anchor, host, labels, n, {sl} as s from parts),
 dom as (
   select (case when host is null or host = '' then null
-               when regexp_matches(host, '{Furl._IPV4_RE}')
-                    or starts_with(host, '[') then host
+               when regexp_matches(regexp_replace(host, '\\.$', ''), '{Furl._IPV4_RE}')
+                    or starts_with(host, '[') then regexp_replace(host, '\\.$', '')
                when n > s then array_to_string(list_slice(labels, -(s + 1), n), '.')
                else null end) as target_domain,
          {clean} as anchor_text
@@ -9422,15 +9427,15 @@ hosts as (
                else lower(regexp_extract(url, '{Furl._HOSTPORT_RE}', 1)) end) as host
   from locs),
 parts as (
-  select canonical_url, host, string_split(host, '.') as labels,
-         len(string_split(host, '.')) as n
+  select canonical_url, host, string_split(regexp_replace(host, '\\.$', ''), '.') as labels,
+         len(string_split(regexp_replace(host, '\\.$', ''), '.')) as n
   from hosts),
 sl as (select canonical_url, host, labels, n, {sl} as s from parts),
 dom as (
   select canonical_url,
          (case when host is null or host = '' then null
-               when regexp_matches(host, '{Furl._IPV4_RE}')
-                    or starts_with(host, '[') then host
+               when regexp_matches(regexp_replace(host, '\\.$', ''), '{Furl._IPV4_RE}')
+                    or starts_with(host, '[') then regexp_replace(host, '\\.$', '')
                when n > s then array_to_string(list_slice(labels, -(s + 1), n), '.')
                else null end) as domain
   from sl)
@@ -9457,13 +9462,19 @@ _ROBOTS_FIXTURE = (
 
 def _robots_url_fixture_spark(key: Column) -> Column:
     ks = key.cast("string")
-    m = key % 6
+    m = key % 8
     return (
         F.when(m == 0, F.concat(F.lit("https://shop.example.co.id/private/doc-"), ks))
         .when(m == 1, F.concat(F.lit("https://shop.example.co.id/private/press/"), ks))
         .when(m == 2, F.concat(F.lit("https://shop.example.co.id/pub/"), ks))
         .when(m == 3, F.concat(F.lit("https://news.example.com.sg/no-train/"), ks))
         .when(m == 4, F.concat(F.lit("https://news.example.com.sg/article/"), ks))
+        # directory URLs (trailing slash preserved): the press INDEX must
+        # hit 'Allow: /private/press/' (a collapsed path would miss it and
+        # fall to the shorter Disallow), and '/private/' itself must still
+        # hit 'Disallow: /private/'
+        .when(m == 5, F.lit("https://shop.example.co.id/private/press/"))
+        .when(m == 6, F.lit("https://shop.example.co.id/private/"))
         .otherwise(F.concat(F.lit("https://example.com/"), ks))
     )
 
@@ -9476,10 +9487,13 @@ def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     news.example.com.sg fixture pins the spec trap: a catastrophic
     '*: Disallow /' must NOT leak into an agent that has its own
     group), longest matching prefix decides, allow wins ties, no rule
-    → allowed. Physical shape: robots parse windows over per-host
-    files (bounded by the 500 KiB spec cap), then ONE broadcast join
-    frontier×rules + one max_by aggregation — no window over the
-    frontier."""
+    → allowed. Rule prefixes match the RAW path — the directory-URL
+    cohorts (m=5/6) pin that '/private/press/' hits its Allow and
+    '/private/' hits its Disallow, both of which trailing-slash
+    collapse would flip. Physical shape: robots parse windows over
+    per-host files (bounded by the 500 KiB spec cap), then ONE
+    broadcast join frontier×rules + one max_by aggregation — no
+    window over the frontier."""
     from restaurant_etl_code_spark.operators import crawl
 
     robots = spark.createDataFrame(
@@ -9501,10 +9515,11 @@ def _robots_gate_oracle() -> str:
         for d, t in _ROBOTS_FIXTURE
     )
     host = f"lower(regexp_extract(url, '{Furl._HOSTPORT_RE}', 1))"
+    # RAW path (twin of Furl.url_path_raw): robots rule prefixes
+    # distinguish '/x' from '/x/', so no trailing-slash collapse here
     path = (
-        f"(case when coalesce(regexp_replace(regexp_extract(url, '{Furl._PATH_RE}', 1),"
-        f" '/+$', ''), '') = '' then '/'"
-        f" else regexp_replace(regexp_extract(url, '{Furl._PATH_RE}', 1), '/+$', '') end)"
+        f"(case when coalesce(regexp_extract(url, '{Furl._PATH_RE}', 1), '') = ''"
+        f" then '/' else regexp_extract(url, '{Furl._PATH_RE}', 1) end)"
     )
     return f"""
 with robots(domain, robots_txt) as (values
@@ -9559,22 +9574,26 @@ applicable as (
   from candidate c join scope s on c.domain = s.domain
   where c.specific = s.has_specific),
 frontier as (
-  select case p_partkey % 6
+  select p_partkey as rid, case p_partkey % 8
            when 0 then 'https://shop.example.co.id/private/doc-' || p_partkey::varchar
            when 1 then 'https://shop.example.co.id/private/press/' || p_partkey::varchar
            when 2 then 'https://shop.example.co.id/pub/' || p_partkey::varchar
            when 3 then 'https://news.example.com.sg/no-train/' || p_partkey::varchar
            when 4 then 'https://news.example.com.sg/article/' || p_partkey::varchar
+           when 5 then 'https://shop.example.co.id/private/press/'
+           when 6 then 'https://shop.example.co.id/private/'
            else 'https://example.com/' || p_partkey::varchar end as url
   from part),
 shaped as (
-  select url, {host} as domain, {path} as path from frontier),
+  select rid, url, {host} as domain, {path} as path from frontier),
 joined as (
-  select s.url, s.domain, s.path, a.allow, a.rule_len
+  select s.rid, s.url, s.domain, s.path, a.allow, a.rule_len
   from shaped s left join applicable a
     on s.domain = a.r_domain and starts_with(s.path, a.path_prefix)),
 ranked as (
-  select *, row_number() over (partition by url
+  -- keyed on the row id, not the url: duplicate frontier URLs are
+  -- distinct rows (mirrors robots_gate's per-input-row contract)
+  select *, row_number() over (partition by rid
       order by (rule_len is not null) desc, rule_len desc, allow desc) as rn
   from joined)
 select domain, coalesce(allow, true) as allowed,

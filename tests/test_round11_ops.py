@@ -242,13 +242,21 @@ def _robots_rules(spark):
 
 
 def test_parse_robots_grouping_and_rule_filters(spark):
+    rows = _robots_rules(spark).collect()
     rules = {(r["domain"], r["agent"], r["path_prefix"], r["allow"])
-             for r in _robots_rules(spark).collect()}
+             for r in rows}
     # consecutive User-agent lines share one group's rules
     assert ("b.com", "trainbot", "/no-train/", False) in rules
     assert ("b.com", "otherbot", "/no-train/", False) in rules
-    # empty Disallow (matches nothing) and wildcard rules are dropped
-    assert not any(p == "" or "*" in p for _, _, p, _ in rules)
+    # empty Disallow (matches nothing) is dropped; wildcard rules are
+    # KEPT flagged so callers can count the coverage a prefix-only
+    # gate loses (r12: previously silently filtered)
+    assert not any(r["path_prefix"] == "" for r in rows)
+    wild = {(r["domain"], r["agent"], r["path_prefix"])
+            for r in rows if r["has_wildcard"]}
+    assert ("b.com", "trainbot", "/wild/*/x") in wild
+    assert all("*" not in r["path_prefix"] and not r["path_prefix"].endswith("$")
+               for r in rows if not r["has_wildcard"])
 
 
 def test_robots_gate_rfc9309_precedence(spark):
