@@ -335,6 +335,19 @@ def _prev_committed_record(repo: str, out_path: str = "") -> tuple[str, dict] | 
 DRIFT_SUSPECT_RATIO = 1.2
 DRIFT_MIN_SEC = 0.2  # ratios of sub-noise rows are meaningless
 
+# Cumulative drift anchor (r12, VERDICT r11 item 1): the per-round gate
+# compares only to the PREVIOUS record, so a slow-creep sequence of ≤1.2
+# records compounds invisibly — two more 1.16 records in a row would pass
+# every per-round gate while quietly costing 35%. A second geomean against
+# a FIXED old clean record (r09: the last fully quiet-floor record) alarms
+# on the CUMULATIVE factor regardless of the record-to-record number. The
+# anchor is a committed artifact, never rewritten; bump the env var only
+# when a later record is deliberately promoted to anchor (document why).
+DRIFT_ANCHOR_RECORD = os.environ.get(
+    "SPARK_GRAFT_DRIFT_ANCHOR", "BENCH_full_r09.json"
+)
+DRIFT_ANCHOR_RATIO = 1.35
+
 
 def drift_vs_prev(timings: dict, prev_record: dict) -> dict:
     """Common-query geomean of this-run/prev ratios. Pure function so
@@ -354,6 +367,22 @@ def drift_vs_prev(timings: dict, prev_record: dict) -> dict:
         "geomean_vs_prev": round(geo, 3),
         "n_common": len(ratios),
         "drift_suspect": geo > DRIFT_SUSPECT_RATIO,
+    }
+
+
+def drift_vs_anchor(timings: dict, anchor_record: dict) -> dict:
+    """Common-query geomean vs the FIXED anchor record — the cumulative
+    gate the per-round comparison cannot be. Same ratio arithmetic as
+    :func:`drift_vs_prev`; the alarm threshold is higher (1.35) because
+    the anchor ages across rounds of legitimate jitter, but it is a hard
+    backstop: a record above it must not claim quiet, whatever the
+    record-to-record number says."""
+    d = drift_vs_prev(timings, anchor_record)
+    geo = d["geomean_vs_prev"]
+    return {
+        "geomean_vs_anchor": geo,
+        "n_common_anchor": d["n_common"],
+        "anchor_suspect": geo is not None and geo > DRIFT_ANCHOR_RATIO,
     }
 
 
@@ -474,6 +503,21 @@ def main() -> int:
     if prev is not None and prev[1].get("sf") == sf:
         drift = drift_vs_prev(timings, prev[1])
         drift["prev_record"] = os.path.basename(prev[0])
+    # fixed-anchor cumulative gate (r12): immune to slow creep across
+    # successive ≤1.2 per-round records
+    anchor = {"geomean_vs_anchor": None, "n_common_anchor": 0,
+              "anchor_suspect": False, "anchor_record": None}
+    anchor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), DRIFT_ANCHOR_RECORD
+    )
+    if os.path.realpath(anchor_path) != os.path.realpath(out_path):
+        try:
+            anchor_rec = json.load(open(anchor_path))
+        except (OSError, json.JSONDecodeError):
+            anchor_rec = None
+        if anchor_rec is not None and anchor_rec.get("sf") == sf:
+            anchor = drift_vs_anchor(timings, anchor_rec)
+            anchor["anchor_record"] = os.path.basename(anchor_path)
     record = {
         "metric": "total_bench_sec",
         "value": total,
@@ -487,7 +531,21 @@ def main() -> int:
         "canary_nominal_ms": CANARY_NOMINAL_MS,
         "io_canary_best_ms": min(io_canaries_ms) if io_probe else None,
         **drift,
+        **anchor,
     }
+    if anchor["anchor_suspect"]:
+        # cumulative creep past the fixed anchor: hard alarm, independent
+        # of the record-to-record gate
+        record["drift_suspect"] = True
+        record["quiet"] = False
+        print(
+            f"# WARN: anchor_suspect — common-query geomean "
+            f"{anchor['geomean_vs_anchor']}x vs fixed anchor "
+            f"{anchor['anchor_record']} exceeds {DRIFT_ANCHOR_RATIO}; "
+            "cumulative slowdown must be attributed before this record "
+            "is committed",
+            file=sys.stderr,
+        )
     if drift["drift_suspect"] and record["quiet"]:
         # the exact signature that fooled the r8 canary: uniformly
         # slower, instruments quiet — do not let the record claim quiet

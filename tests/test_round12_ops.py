@@ -142,6 +142,35 @@ def test_robots_gate_wildcard_rules_excluded_but_countable(spark):
     assert got["https://w.com/plain/x"] is False
 
 
+# ---------------------------------------------- anchored drift gate
+
+def test_bench_anchor_gate_catches_slow_creep():
+    # three successive 1.15x records each pass the <=1.2 per-round gate;
+    # the FIXED anchor sees the cumulative 1.52x and alarms
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    anchor = {"queries": {"q1": 1.0, "q2": 2.0, "q3": 4.0}}
+    creep = {q: s * 1.15 ** 3 for q, s in anchor["queries"].items()}
+    prev = {"queries": {q: s * 1.15 ** 2 for q, s in anchor["queries"].items()}}
+    per_round = bench.drift_vs_prev(creep, prev)
+    assert per_round["drift_suspect"] is False  # the blind spot
+    d = bench.drift_vs_anchor(creep, anchor)
+    assert d["anchor_suspect"] is True
+    assert abs(d["geomean_vs_anchor"] - 1.15 ** 3) < 0.01
+    assert d["n_common_anchor"] == 3
+
+    # within the band -> no alarm; no overlap -> no verdict, no crash
+    ok = {q: s * 1.2 for q, s in anchor["queries"].items()}
+    assert bench.drift_vs_anchor(ok, anchor)["anchor_suspect"] is False
+    empty = bench.drift_vs_anchor({"new_q": 1.0}, anchor)
+    assert empty["anchor_suspect"] is False
+    assert empty["geomean_vs_anchor"] is None
+
+
 # -------------------------------------------- scrub_secrets token class
 
 def test_scrub_secrets_redacts_high_entropy_tokens(spark):
