@@ -230,6 +230,8 @@ BENCH_QUERIES = [
     "gopher_rules",
     "c4_filters",
     "secret_scan",
+    # round-12 additions: RFC 3986 percent normalization
+    "url_percent_canonical",
 ]
 
 

@@ -19,10 +19,15 @@ Canonicalization steps (for well-formed absolute http(s) URLs):
    ``msclkid``, ``ref``) and empty fragments of the query string;
 6. sort the surviving query parameters bytewise.
 
-Deliberately NOT done (documented contract): percent-decoding (unsafe to
-normalize blindly — ``%2F`` in a path segment is not ``/``), userinfo
-stripping, IDN/punycode folding. Each would need a spec decision a real
-deployment makes per-corpus.
+Deliberately NOT done by default (documented contract): percent-decoding
+(unsafe to normalize blindly — ``%2F`` in a path segment is not ``/``),
+userinfo stripping, IDN/punycode folding. Each would need a spec decision
+a real deployment makes per-corpus. The one RFC-sanctioned safe subset is
+available opt-in: ``canonicalize_url(percent=True)`` /
+:func:`percent_normalize` applies exactly RFC 3986 §6.2.2 — uppercase
+escape hex digits, decode escapes of UNRESERVED characters only — so
+``%7Euser`` / ``~user`` / ``%7euser`` share a dedup key while ``%2F``
+stays encoded.
 
 ``registrable_domain`` approximates the public-suffix list with the
 universal two-label rule plus a small table of common two-label suffixes
@@ -61,6 +66,7 @@ __all__ = [
     "url_path",
     "url_path_raw",
     "url_query_canonical",
+    "percent_normalize",
     "canonicalize_url",
     "registrable_domain",
     "registrable_domain_psl",
@@ -142,11 +148,53 @@ def url_query_canonical(c: Column) -> Column:
     return F.array_join(parts, "&")
 
 
-def canonicalize_url(c: Column) -> Column:
+# Tokenizer for percent-escape normalization: a valid escape, a stray '%',
+# or a run of non-'%' text. Alternation only — shared by java.util.regex
+# and RE2 (the DuckDB twin).
+_PCT_TOKEN_RE = r"(%[0-9A-Fa-f]{2}|%|[^%]+)"
+# Hex codes (uppercased) of RFC 3986 §2.3 unreserved characters — the ONLY
+# escapes §6.2.2 sanctions decoding: ALPHA (41-5A, 61-7A), DIGIT (30-39),
+# '-' 2D, '.' 2E, '_' 5F, '~' 7E. Everything else stays encoded (decoding
+# %2F in a path segment is NOT '/'), merely hex-uppercased.
+_UNRESERVED_HEX_RE = r"^(4[1-9A-F]|5[0-9A]|6[1-9A-F]|7[0-9A]|3[0-9]|2D|2E|5F|7E)$"
+
+
+def percent_normalize(c: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization — exactly the safe
+    subset: uppercase the hex digits of every escape, decode ONLY escapes
+    of unreserved characters. ``%7Euser`` / ``~user`` / ``%7euser``
+    become one string; ``%2F`` stays ``%2F`` (uppercased), stray ``%``
+    and invalid escapes pass through untouched. Safe to apply to a WHOLE
+    URL before structural parsing: unreserved characters are never
+    delimiters, so decoding cannot create a new ``/ ? # & =`` and
+    uppercasing hex changes no structure. Pure codegen: tokenize with one
+    alternation regex, per-token fold, re-join."""
+    tokens = F.regexp_extract_all(c, F.lit(_PCT_TOKEN_RE), 1)
+
+    def fix(t: Column) -> Column:
+        hexu = F.upper(F.substring(t, 2, 2))
+        decoded = F.char(F.conv(hexu, 16, 10).cast("int"))
+        return F.when(
+            t.rlike(r"^%[0-9A-Fa-f]{2}$"),
+            F.when(hexu.rlike(_UNRESERVED_HEX_RE), decoded)
+            .otherwise(F.concat(F.lit("%"), hexu)),
+        ).otherwise(t)
+
+    return F.array_join(F.transform(tokens, fix), "")
+
+
+def canonicalize_url(c: Column, percent: bool = False) -> Column:
     """Full canonical form: scheme://host/path[?sorted_query]; NULL for
     non-absolute input (no scheme) so malformed URLs never share one
     degenerate ``':///'`` dedup key — key on ``coalesce(result, c)`` for
-    pass-through semantics."""
+    pass-through semantics. ``percent=True`` additionally applies
+    :func:`percent_normalize` (RFC 3986 §6.2.2 — uppercase hex, decode
+    unreserved only) before structural parsing, collapsing
+    ``%7Euser``/``~user``/``%7euser`` dedup keys; the default stays
+    byte-exact because blanket percent handling is a per-corpus spec
+    decision (module docstring)."""
+    if percent:
+        c = percent_normalize(c)
     query = url_query_canonical(c)
     return F.when(url_scheme(c) == "", F.lit(None).cast("string")).otherwise(
         F.concat(

@@ -9994,6 +9994,111 @@ from scored group by source
 _ORACLE_SECRET_SCAN = _secret_scan_oracle()
 
 
+# --------------------------------------------------------------------------
+# RFC 3986 §6.2.2 percent-encoding normalization (round 12): the documented
+# canonicalization non-goal, now available as the spec-safe opt-in subset —
+# uppercase escape hex, decode UNRESERVED-character escapes only. Without
+# it '%7Euser' vs '~user' vs '%7euser' are three dedup keys.
+# --------------------------------------------------------------------------
+
+def _pct_url_fixture_spark(key: Column) -> Column:
+    ks = key.cast("string")
+    m = key % 8
+    return (
+        # three spellings of one logical URL — must share a canonical key
+        F.when(m == 0, F.lit("https://a.example.com/%7euser/profile"))
+        .when(m == 1, F.lit("https://a.example.com/%7Euser/profile"))
+        .when(m == 2, F.lit("https://a.example.com/~user/profile"))
+        # over-encoded ALPHA decodes; reserved %2f only uppercases
+        .when(m == 3, F.lit("https://a.example.com/%41lpha?x=%2fv"))
+        .when(m == 4, F.lit("https://a.example.com/Alpha?x=%2Fv"))
+        .when(m == 5, F.lit("https://a.example.com/data%2fslash"))
+        # stray '%' and invalid escapes pass through untouched
+        .when(m == 6, F.lit("https://a.example.com/100%valid/%zz"))
+        # decoded escape inside a varying suffix: %2D -> '-'
+        .otherwise(F.concat(F.lit("https://b.example.com/doc%2D"), ks))
+    )
+
+
+_PCT_URL_FIXTURE_DUCK = """
+  select p_partkey as rid, case p_partkey % 8
+           when 0 then 'https://a.example.com/%7euser/profile'
+           when 1 then 'https://a.example.com/%7Euser/profile'
+           when 2 then 'https://a.example.com/~user/profile'
+           when 3 then 'https://a.example.com/%41lpha?x=%2fv'
+           when 4 then 'https://a.example.com/Alpha?x=%2Fv'
+           when 5 then 'https://a.example.com/data%2fslash'
+           when 6 then 'https://a.example.com/100%valid/%zz'
+           else 'https://b.example.com/doc%2D' || p_partkey::varchar
+           end as url
+  from part
+"""
+
+
+def _duck_percent_normalize(url: str) -> str:
+    """DuckDB twin of Furl.percent_normalize, generated from the module's
+    own pattern constants (engines cannot drift): tokenize on the shared
+    alternation, uppercase escape hex, decode unreserved-only."""
+    return (
+        f"coalesce(array_to_string(list_transform("
+        f"regexp_extract_all({url}, '{Furl._PCT_TOKEN_RE}', 1), "
+        f"t -> case when regexp_matches(t, '^%[0-9A-Fa-f]{{2}}$') "
+        f"then (case when regexp_matches(upper(substr(t, 2, 2)), "
+        f"'{Furl._UNRESERVED_HEX_RE}') "
+        f"then decode(from_hex(upper(substr(t, 2, 2)))) "
+        f"else '%' || upper(substr(t, 2, 2)) end) "
+        f"else t end), ''), '')"
+    )
+
+
+def _q_url_percent_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """canonicalize_url(percent=True): RFC 3986 §6.2.2 percent-encoding
+    normalization composed with the full canonicalization chain. The
+    fixture pins every rule: three spellings of '~user' collapse to ONE
+    canonical key (the default keeps three), over-encoded %41 decodes to
+    'A', reserved %2f is only hex-uppercased (never decoded — a path
+    '%2F' is NOT '/'), stray '%' and invalid escapes pass through.
+    n_plain_keys counts the default-canonicalization keys each percent
+    key merges — the measured dedup win. Row-local projection + one
+    hash-groupBy; the normalization is a per-token array fold, pure
+    codegen, zero shuffle before the aggregate."""
+    part = load_table(spark, sf_dir, "part")
+    urls = part.select(
+        F.col("p_partkey").alias("rid"),
+        _pct_url_fixture_spark(F.col("p_partkey")).alias("url"),
+    )
+    shaped = urls.select(
+        "url",
+        Furl.canonicalize_url(F.col("url"), percent=True).alias("canonical_url"),
+        Furl.canonicalize_url(F.col("url")).alias("plain_canonical"),
+    )
+    return shaped.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("url").cast("long").alias("n_variants"),
+        F.countDistinct("plain_canonical").cast("long").alias("n_plain_keys"),
+    )
+
+
+def _url_percent_canonical_oracle() -> str:
+    canonical, _ = _duck_canonical_exprs()
+    pct = _duck_percent_normalize("url")
+    return f"""
+with raw as ({_PCT_URL_FIXTURE_DUCK}),
+pn as (select rid, {pct} as url from raw),
+c1 as (select rid, {canonical} as canonical_url from pn),
+c2 as (select rid, {canonical} as plain_canonical from raw)
+select canonical_url,
+       count(*)::bigint as n_urls,
+       count(distinct raw.url)::bigint as n_variants,
+       count(distinct plain_canonical)::bigint as n_plain_keys
+from c1 join c2 using (rid) join raw using (rid)
+group by canonical_url
+"""
+
+
+_ORACLE_URL_PERCENT = _url_percent_canonical_oracle()
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -10582,6 +10687,11 @@ _REGISTRY: dict[str, QueryDef] = {
         "secret scanning: Luhn-validated cards (candidate-vs-valid "
         "delta = regex false-positive mass), IPs, cloud key ids, "
         "high-entropy tokens"),
+    "url_percent_canonical": QueryDef(
+        _q_url_percent_canonical, _ORACLE_URL_PERCENT,
+        "RFC 3986 6.2.2 percent-encoding normalization (uppercase hex, "
+        "decode unreserved only) composed with canonicalization — "
+        "'%7Euser'/'~user'/'%7euser' share one dedup key"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

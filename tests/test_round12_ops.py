@@ -142,6 +142,39 @@ def test_robots_gate_wildcard_rules_excluded_but_countable(spark):
     assert got["https://w.com/plain/x"] is False
 
 
+# -------------------------------- RFC 3986 percent-encoding normalization
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("https://a.com/%7euser", "https://a.com/~user"),   # decode unreserved
+        ("https://a.com/%7Euser", "https://a.com/~user"),
+        ("https://a.com/%41%6c%70", "https://a.com/Alp"),   # ALPHA decodes
+        ("https://a.com/a%2fb", "https://a.com/a%2Fb"),     # reserved: hex up only
+        ("https://a.com/a%2Fb", "https://a.com/a%2Fb"),
+        ("https://a.com/100%x", "https://a.com/100%x"),     # invalid escape kept
+        ("https://a.com/50%", "https://a.com/50%"),         # stray % kept
+        ("%30%39%2d%2e%5f%7e", "09-._~"),                   # all non-alpha unreserved
+        ("", ""),
+    ],
+)
+def test_percent_normalize(spark, raw, expected):
+    assert _one(spark, Furl.percent_normalize(F.lit(raw))) == expected
+
+
+def test_canonicalize_url_percent_collapses_keys(spark):
+    variants = ["https://a.com/%7Eu?x=1", "https://a.com/~u?x=1",
+                "https://a.com/%7eu?x=1"]
+    df = spark.createDataFrame([(v,) for v in variants], "url string")
+    keys = df.select(
+        Furl.canonicalize_url(F.col("url"), percent=True).alias("k")
+    ).distinct().collect()
+    assert len(keys) == 1 and keys[0]["k"] == "https://a.com/~u?x=1"
+    # default behavior unchanged: three distinct keys
+    plain = df.select(Furl.canonicalize_url(F.col("url")).alias("k")).distinct()
+    assert plain.count() == 3
+
+
 # ---------------------------------------------- anchored drift gate
 
 def test_bench_anchor_gate_catches_slow_creep():
