@@ -59,6 +59,8 @@ __all__ = [
     "bpe_apply",
     "bigram_logprob",
     "logreg_train_hashed",
+    "gopher_flags",
+    "GOPHER_STOPWORD_PROBE",
 ]
 
 
@@ -1622,3 +1624,75 @@ def logreg_train_hashed(
             .localCheckpoint(eager=False)
         )
     return w
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-filter battery (Rae et al. 2021, arXiv:2112.11446 App. A)
+# as a reusable operator at the PUBLISHED defaults. The fixture-scaled
+# word-count floor lives in the bench query's explicit call, never here —
+# a deployment that imports the operator gets the paper's constants.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORD_PROBE = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(
+    text: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORD_PROBE,
+) -> dict[str, Column]:
+    """Per-document Gopher quality-rule booleans (Rae et al. 2021,
+    Appendix A), keyword-only thresholds defaulting to the PUBLISHED
+    constants: word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio ('#' + ellipsis) < 0.1, < 90% of lines
+    bullet-started, < 30% of lines ellipsis-ended, >= 80% of words
+    containing an alphabetic character, >= 2 distinct stopword-probe
+    hits. Returns ``{rule_name: Column}`` plus ``pass_all`` — every rule
+    a codegen array fold over token/line splits, zero Python, zero
+    shuffle: compose into any projection. Scale defaults down (e.g.
+    ``min_words=10`` for short synthetic fixtures) ONLY at the call
+    site, where the deviation is visible."""
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0).cast("long"),
+                          lambda a, w: a + F.length(w))
+    mean_len = sum_len / n_words
+    n_hash = F.size(F.regexp_extract_all(text, F.lit("#"), 0))
+    n_ellipsis = F.size(
+        F.regexp_extract_all(text, F.lit(r"(\.\.\.|…)"), 0)
+    )
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(
+        lines, lambda l: F.trim(l).startswith("-") | F.trim(l).startswith("*")
+        | F.trim(l).startswith("•")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    lower_words = F.transform(words, F.lower)
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(sw) for sw in stopwords]),
+        lambda sw: F.array_contains(lower_words, sw)))
+    flags = {
+        "r_wordcount": (n_words >= min_words) & (n_words <= max_words),
+        "r_meanlen": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "r_symbols": ((n_hash + n_ellipsis) / n_words) < max_symbol_ratio,
+        "r_bullets": (bullet_lines / n_lines) < max_bullet_line_ratio,
+        "r_ellipsis": (ellipsis_lines / n_lines) < max_ellipsis_line_ratio,
+        "r_alpha": (alpha_words / n_words) >= min_alpha_word_ratio,
+        "r_stopwords": stop_hits >= min_stopword_hits,
+    }
+    pass_all = F.lit(True)
+    for c in flags.values():
+        pass_all = pass_all & c
+    return {**flags, "pass_all": pass_all}

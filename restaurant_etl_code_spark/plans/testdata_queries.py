@@ -9615,7 +9615,9 @@ _ORACLE_ROBOTS_GATE = _robots_gate_oracle()
 # ship, as pure codegen over the documents table.
 # --------------------------------------------------------------------------
 
-_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# the oracle is generated from the OPERATOR's probe set (engines+operator
+# cannot drift on the stopword list)
+_GOPHER_STOPWORDS = corpus.GOPHER_STOPWORD_PROBE
 
 
 def _gopher_fixture_spark(doc_id: Column, text: Column) -> Column:
@@ -9667,47 +9669,23 @@ def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         _gopher_fixture_spark(F.col("doc_id"), F.col("text")).alias("text"),
     )
-    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
-    n_words = F.size(words)
-    sum_len = F.aggregate(words, F.lit(0).cast("long"),
-                          lambda a, w: a + F.length(w))
-    mean_len = sum_len / n_words
-    n_hash = F.size(F.regexp_extract_all(F.col("text"), F.lit("#"), 0))
-    n_ellipsis = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(r"(\.\.\.|\u2026)"), 0)
-    )
-    lines = F.filter(F.split(F.col("text"), "\n"),
-                     lambda l: F.trim(l) != "")
-    n_lines = F.size(lines)
-    bullet_lines = F.size(F.filter(
-        lines, lambda l: F.trim(l).startswith("-") | F.trim(l).startswith("*")
-        | F.trim(l).startswith("\u2022")))
-    ellipsis_lines = F.size(F.filter(
-        lines, lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("\u2026")))
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
-    lower_words = F.transform(words, F.lower)
-    stop_hits = F.size(F.filter(
-        F.array(*[F.lit(sw) for sw in _GOPHER_STOPWORDS]),
-        lambda sw: F.array_contains(lower_words, sw)))
+    # the operator defaults to the PUBLISHED constants; the fixture-scale
+    # word-count floor (10 instead of 50 \u2014 synthetic docs are short) is an
+    # EXPLICIT call-site override so a deployment can't inherit it
+    flags = corpus.gopher_flags(F.col("text"), min_words=10)
     rules = dirty.select(
         "source",
-        ((n_words >= 10) & (n_words <= 100000)).alias("r_wordcount"),
-        ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("r_meanlen"),
-        (((n_hash + n_ellipsis) / n_words) < 0.1).alias("r_symbols"),
-        ((bullet_lines / n_lines) < 0.9).alias("r_bullets"),
-        ((ellipsis_lines / n_lines) < 0.3).alias("r_ellipsis"),
-        ((alpha_words / n_words) >= 0.8).alias("r_alpha"),
-        (stop_hits >= 2).alias("r_stopwords"),
+        *[flags[c].alias(c)
+          for c in ("r_wordcount", "r_meanlen", "r_symbols", "r_bullets",
+                    "r_ellipsis", "r_alpha", "r_stopwords")],
+        flags["pass_all"].alias("pass_all"),
     )
-    all_pass = (F.col("r_wordcount") & F.col("r_meanlen") & F.col("r_symbols")
-                & F.col("r_bullets") & F.col("r_ellipsis") & F.col("r_alpha")
-                & F.col("r_stopwords"))
     return rules.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         *[F.sum(F.col(c).cast("int")).cast("long").alias("n_" + c)
           for c in ("r_wordcount", "r_meanlen", "r_symbols", "r_bullets",
                     "r_ellipsis", "r_alpha", "r_stopwords")],
-        F.sum(all_pass.cast("int")).cast("long").alias("n_pass_all"),
+        F.sum(F.col("pass_all").cast("int")).cast("long").alias("n_pass_all"),
     )
 
 

@@ -204,6 +204,36 @@ def test_bench_anchor_gate_catches_slow_creep():
     assert empty["geomean_vs_anchor"] is None
 
 
+# ------------------------------------ Gopher battery at published defaults
+
+def test_gopher_flags_published_defaults(spark):
+    from restaurant_etl_code_spark.operators import corpus
+
+    # 60 words of clean stopword-bearing prose: passes ALL rules at the
+    # PUBLISHED constants (min_words=50 — no call-site override)
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog to be sure of it "
+         "and we have gone with them again because they keep running"] * 5
+    )
+    short = "the quick brown fox and that dog have to be of use with care"
+    flags = corpus.gopher_flags(F.lit(good))
+    row = spark.range(1).select(
+        *[v.alias(k) for k, v in flags.items()]).collect()[0]
+    assert all(row[k] for k in row.asDict())
+    # 13 words: fails ONLY the published 50-word floor
+    row2 = spark.range(1).select(
+        *[v.alias(k) for k, v in corpus.gopher_flags(F.lit(short)).items()]
+    ).collect()[0]
+    assert row2["r_wordcount"] is False and row2["pass_all"] is False
+    assert row2["r_stopwords"] is True and row2["r_meanlen"] is True
+    # the same doc passes when the floor is scaled EXPLICITLY at the call
+    row3 = spark.range(1).select(
+        *[v.alias(k)
+          for k, v in corpus.gopher_flags(F.lit(short), min_words=10).items()]
+    ).collect()[0]
+    assert row3["pass_all"] is True
+
+
 # -------------------------------------------- scrub_secrets token class
 
 def test_scrub_secrets_redacts_high_entropy_tokens(spark):
