@@ -230,8 +230,9 @@ BENCH_QUERIES = [
     "gopher_rules",
     "c4_filters",
     "secret_scan",
-    # round-12 additions: RFC 3986 percent normalization
+    # round-12 additions: RFC 3986 percent normalization + full-scale PSL
     "url_percent_canonical",
+    "domain_rollup_psl_full",
 ]
 
 

@@ -250,8 +250,12 @@ def registrable_domain(host: Column) -> Column:
 # rules, ``*.`` wildcard rules, ``!`` exception rules — compiled into one
 # codegen expression. Rule membership tests become Catalyst ``InSet``
 # (hash-set) lookups, the literal analog of a broadcast map join, so per-row
-# cost is O(label depth), independent of rule-table size: the full ~9k-entry
-# publicsuffix.org file loads the same way the fixture does.
+# cost is O(label depth), independent of rule-table size. MEASURED at the
+# full ~9k-rule scale (r12, synthetic table matching the real file's
+# label-depth distribution, sf0.1): whole-stage codegen survives and hot
+# runs cost ~2x the 90-rule fixture — see the ``domain_rollup_psl_full``
+# oracle query. The flat greatest/coalesce expression shape below is what
+# makes that true; see the in-function comment.
 # ---------------------------------------------------------------------------
 
 class PslRules(NamedTuple):
@@ -429,26 +433,49 @@ def registrable_domain_psl(host: Column, rules: PslRules = PSL_FIXTURE) -> Colum
             F.slice(labels, F.greatest(n - (k - 1), F.lit(1)), k), "."
         )
 
+    # Expression SHAPE matters at real rule-table size (round-12 probe):
+    # a when(...).otherwise(acc) fold nests the accumulator TWICE per
+    # rule class, so the tree grows 2^(#classes) — at the full ~9k-rule
+    # file (8 label-count classes) the generated method blows past the
+    # JVM's 64 KB limit and whole-stage codegen silently falls back to
+    # interpreted evaluation (measured 3.5x slower at sf0.1). Instead,
+    # each class contributes ONE independent candidate and the
+    # precedence is a flat greatest/coalesce: linear tree, one InSet
+    # hash-probe per class, codegen survives at any table size.
     # implicit '*' rule: any unmatched TLD is a 1-label public suffix
-    suffix_len: Column = F.lit(1)
+    candidates: list[Column] = [F.lit(1)]
     for k, names in _rules_by_label_count(rules.exact).items():
         if k == 1:
             continue  # 1-label exact rules add nothing over the implicit '*'
-        suffix_len = F.when(
-            (n >= k) & last_k(k).isin(*names),
-            F.greatest(suffix_len, F.lit(k)),
-        ).otherwise(suffix_len)
+        candidates.append(
+            F.when((n >= k) & last_k(k).isin(*names), F.lit(k))
+            .otherwise(F.lit(1))
+        )
     # '*.base' (b labels): one label + base → public suffix of b+1 labels
     for b, bases in _rules_by_label_count(rules.wildcard).items():
-        suffix_len = F.when(
-            (n >= b + 1) & last_k(b).isin(*bases),
-            F.greatest(suffix_len, F.lit(b + 1)),
-        ).otherwise(suffix_len)
-    # '!name' (e labels): name is NOT a public suffix — suffix is e-1 labels
-    for e, names in _rules_by_label_count(rules.exception).items():
-        suffix_len = F.when(
-            (n >= e) & last_k(e).isin(*names), F.lit(e - 1)
-        ).otherwise(suffix_len)
+        candidates.append(
+            F.when((n >= b + 1) & last_k(b).isin(*bases), F.lit(b + 1))
+            .otherwise(F.lit(1))
+        )
+    base_len = (
+        F.greatest(*candidates) if len(candidates) > 1 else candidates[0]
+    )
+    # '!name' (e labels): name is NOT a public suffix — suffix is e-1
+    # labels, prevailing over every exact/wildcard match; greatest skips
+    # the NULL of non-matching classes (deepest exception wins, matching
+    # the longest-match reading when several ever overlap)
+    exception_cands = [
+        F.when((n >= e) & last_k(e).isin(*names), F.lit(e - 1))
+        for e, names in _rules_by_label_count(rules.exception).items()
+    ]
+    if not exception_cands:
+        suffix_len = base_len
+    else:
+        exc_len = (
+            F.greatest(*exception_cands)
+            if len(exception_cands) > 1 else exception_cands[0]
+        )
+        suffix_len = F.coalesce(exc_len, base_len)
 
     registrable = F.array_join(
         F.slice(labels, F.greatest(n - suffix_len, F.lit(1)), suffix_len + 1), "."

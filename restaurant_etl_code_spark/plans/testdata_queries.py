@@ -8879,6 +8879,170 @@ _ORACLE_DOMAIN_ROLLUP_PSL = _domain_rollup_psl_oracle()
 
 
 # --------------------------------------------------------------------------
+# Full-scale PSL probe (round 12): the real publicsuffix.org file is ~9k
+# rules; the fixture is ~90. The InSet compile cost and codegen survival at
+# real size were UNMEASURED (r11 verdict item 2) — this query runs the same
+# plan shape against a synthetic rule table matching the real file's
+# label-depth distribution (~1.5k TLDs, 6.5k second-level, 900 third-level,
+# 50 wildcards, 12 exceptions = 8,962 rules; the build environment has no
+# network, so the distribution stands in for the file itself — load_psl
+# ingests the real file unchanged at deployment). Measured at sf0.1:
+# whole-stage codegen SURVIVES (the r12 flat greatest/coalesce expression
+# shape — the old when/otherwise fold nested the accumulator 2^#classes
+# deep and cost 5x per row), hot runs ~2x the fixture-size query.
+# --------------------------------------------------------------------------
+
+_PSL_FULL_COUNTS = {"tld": 1500, "sld": 6500, "third": 900,
+                    "wild": 50, "exc": 12}
+
+
+def _psl_full_scale_rules() -> Furl.PslRules:
+    """Synthetic full-scale rule table; formulas shared with the DuckDB
+    oracle's range()-generated rule CTE so the sides cannot drift."""
+    c = _PSL_FULL_COUNTS
+    exact = {f"tld{i}" for i in range(c["tld"])}
+    exact |= {f"s{i}.tld{i % 1500}" for i in range(c["sld"])}
+    exact |= {f"t{i}.s{i % 500}.tld{i % 1500}" for i in range(c["third"])}
+    wildcard = {f"w{i}.tld{i % 1500}" for i in range(c["wild"])}
+    exception = {f"ex{i}.w{i}.tld{i % 1500}" for i in range(c["exc"])}
+    return Furl.PslRules(
+        frozenset(exact), frozenset(wildcard), frozenset(exception)
+    )
+
+
+def _psl_full_host_fixture_spark(key: Column) -> Column:
+    """Six cohorts, one per rule-resolution class: second-level exact,
+    third-level exact beating the second-level match (longest wins),
+    wildcard-consumed host (→ NULL), wildcard+1 registrable, exception
+    beating a covering wildcard, and unknown TLD (implicit '*')."""
+    ks = key.cast("string")
+    j = (key % 500).cast("string")
+    k9 = key % 900
+    k5 = (key % 50).cast("string")
+    k12 = (key % 12).cast("string")
+    m = key % 6
+    return (
+        F.when(m == 0, F.concat(F.lit("deep.h"), ks, F.lit(".s"), j,
+                                F.lit(".tld"), j))
+        .when(m == 1, F.concat(F.lit("h"), ks, F.lit(".t"), k9.cast("string"),
+                               F.lit(".s"), (k9 % 500).cast("string"),
+                               F.lit(".tld"), k9.cast("string")))
+        .when(m == 2, F.concat(F.lit("x.w"), k5, F.lit(".tld"), k5))
+        .when(m == 3, F.concat(F.lit("y.x.w"), k5, F.lit(".tld"), k5))
+        .when(m == 4, F.concat(F.lit("h"), ks, F.lit(".ex"), k12,
+                               F.lit(".w"), k12, F.lit(".tld"), k12))
+        .otherwise(F.concat(F.lit("h"), ks, F.lit(".unknown"),
+                            (key % 20).cast("string")))
+    )
+
+
+def _q_domain_rollup_psl_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """registrable_domain_psl at REAL rule-table size (~9k rules): same
+    codegen InSet plan shape as domain_rollup_psl, 100x the rules. The
+    cohorts pin longest-match (third-level rule beats its own
+    second-level tail), wildcard consumption, exception-beats-wildcard,
+    and the implicit '*' floor — at full scale, where the expression
+    SHAPE is what's under test. Plan: scan → row-local project → one
+    hash-groupBy; rule membership is one InSet hash-probe per
+    label-count class (9 probes/row), independent of table size."""
+    part = load_table(spark, sf_dir, "part")
+    rules = _psl_full_scale_rules()
+    hosts = part.select(
+        (F.col("p_partkey") % 6).cast("int").alias("cohort"),
+        _psl_full_host_fixture_spark(F.col("p_partkey")).alias("host"),
+    )
+    shaped = hosts.select(
+        "cohort",
+        Furl.registrable_domain_psl(F.col("host"), rules).alias("domain"),
+    )
+    return shaped.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.countDistinct("domain").cast("long").alias("n_domains"),
+        F.sum(F.col("domain").isNull().cast("int")).cast("long")
+        .alias("n_null_domains"),
+    )
+
+
+def _domain_rollup_psl_full_oracle() -> str:
+    """Relational PSL twin: rule table from the same range() formulas,
+    host suffixes exploded, longest-match via grouped max with exception
+    precedence — the join formulation of the same algorithm (also the
+    documented fallback plan had codegen NOT survived at size)."""
+    c = _PSL_FULL_COUNTS
+    return f"""
+with rules as (
+  -- 1-label TLD rules add nothing over the implicit '*' floor and are
+  -- skipped by the Spark expression builder too
+  select 's' || i::varchar || '.tld' || (i % 1500)::varchar as name,
+         2 as nl, 0 as wild, 0 as exc from range({c["sld"]}) t(i)
+  union all
+  select 't' || i::varchar || '.s' || (i % 500)::varchar
+         || '.tld' || (i % 1500)::varchar, 3, 0, 0 from range({c["third"]}) t(i)
+  union all
+  select 'w' || i::varchar || '.tld' || (i % 1500)::varchar, 2, 1, 0
+  from range({c["wild"]}) t(i)
+  union all
+  select 'ex' || i::varchar || '.w' || i::varchar
+         || '.tld' || (i % 1500)::varchar, 3, 0, 1 from range({c["exc"]}) t(i)
+),
+hosts as (
+  select (p_partkey % 6)::int as cohort,
+         case p_partkey % 6
+           when 0 then 'deep.h' || p_partkey::varchar || '.s'
+                || (p_partkey % 500)::varchar || '.tld' || (p_partkey % 500)::varchar
+           when 1 then 'h' || p_partkey::varchar || '.t' || (p_partkey % 900)::varchar
+                || '.s' || ((p_partkey % 900) % 500)::varchar
+                || '.tld' || (p_partkey % 900)::varchar
+           when 2 then 'x.w' || (p_partkey % 50)::varchar
+                || '.tld' || (p_partkey % 50)::varchar
+           when 3 then 'y.x.w' || (p_partkey % 50)::varchar
+                || '.tld' || (p_partkey % 50)::varchar
+           when 4 then 'h' || p_partkey::varchar || '.ex' || (p_partkey % 12)::varchar
+                || '.w' || (p_partkey % 12)::varchar
+                || '.tld' || (p_partkey % 12)::varchar
+           else 'h' || p_partkey::varchar || '.unknown' || (p_partkey % 20)::varchar
+         end as host
+  from part),
+parts as (
+  select cohort, host, string_split(host, '.') as labels,
+         len(string_split(host, '.')) as n
+  from hosts),
+suffixes as (
+  select cohort, host, n, unnest(range(1, n + 1)) as k, labels
+  from parts),
+matched as (
+  select s.cohort, s.host,
+         max(case when r.wild = 0 and r.exc = 0 then r.nl end) as sl_exact,
+         max(case when r.wild = 1 and s.n >= r.nl + 1 then r.nl + 1 end) as sl_wild,
+         max(case when r.exc = 1 then r.nl - 1 end) as sl_exc
+  from suffixes s
+  join rules r
+    on array_to_string(list_slice(s.labels, s.n - s.k + 1, s.n), '.') = r.name
+   and s.k = r.nl
+  group by s.cohort, s.host),
+verdict as (
+  select p.cohort, p.host, p.n, p.labels,
+         coalesce(m.sl_exc,
+                  greatest(coalesce(m.sl_exact, 1), coalesce(m.sl_wild, 1))) as sl
+  from parts p left join matched m using (cohort, host)),
+dom as (
+  select cohort,
+         case when n > sl
+              then array_to_string(list_slice(labels, -(sl + 1), n), '.')
+              else null end as domain
+  from verdict)
+select cohort,
+       count(*)::bigint as n_hosts,
+       count(distinct domain)::bigint as n_domains,
+       sum((domain is null)::int)::bigint as n_null_domains
+from dom group by cohort
+"""
+
+
+_ORACLE_DOMAIN_ROLLUP_PSL_FULL = _domain_rollup_psl_full_oracle()
+
+
+# --------------------------------------------------------------------------
 # HTML -> text extraction family (round 11): the missing web SOURCE — a
 # 100 TB crawl corpus is HTML; strip it to trainable text, pull titles,
 # harvest the crawl frontier, then run the full curation pre-pass.
@@ -10618,6 +10782,12 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_domain_rollup_psl, _ORACLE_DOMAIN_ROLLUP_PSL,
         "registrable domain under full PSL semantics vs the two-label "
         "approximation (divergence audit)"),
+    "domain_rollup_psl_full": QueryDef(
+        _q_domain_rollup_psl_full, _ORACLE_DOMAIN_ROLLUP_PSL_FULL,
+        "registrable_domain_psl at real publicsuffix.org size (~9k "
+        "synthetic rules, real label-depth distribution): codegen "
+        "survival + longest-match/wildcard/exception at scale; "
+        "relational join-formulation oracle"),
     "html_extract": QueryDef(
         _q_html_extract, _ORACLE_HTML_EXTRACT,
         "HTML -> text extraction: tag/script/comment strip, entity "

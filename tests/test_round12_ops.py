@@ -42,6 +42,46 @@ def test_registrable_domain_ip_with_trailing_dot(spark):
     ) == "192.168.0.1"
 
 
+# ----------------------------------- PSL at full scale: codegen survival
+
+def test_psl_full_scale_codegen_survives(spark):
+    from restaurant_etl_code_spark.plans.testdata_queries import (
+        _psl_full_scale_rules)
+
+    rules = _psl_full_scale_rules()
+    n_rules = len(rules.exact) + len(rules.wildcard) + len(rules.exception)
+    assert n_rules > 8900  # real-file scale
+    host = F.concat(F.lit("h"), (F.col("id") % 7).cast("string"),
+                    F.lit(".s3.tld3"))
+    df = spark.range(64).select(
+        Furl.registrable_domain_psl(host, rules).alias("d"))
+    rows = df.collect()  # executes THIS plan (count() would build another)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the r12 flat greatest/coalesce shape keeps the generated method under
+    # the JVM 64 KB limit at 9k rules; a fallback would show a bare Project
+    assert "WholeStageCodegen" in plan or "*(" in plan
+    assert all(r["d"].endswith(".s3.tld3") for r in rows)
+
+
+def test_psl_full_scale_rule_classes(spark):
+    from restaurant_etl_code_spark.plans.testdata_queries import (
+        _psl_full_scale_rules)
+
+    rules = _psl_full_scale_rules()
+    cases = {
+        "a.b.s3.tld3": "b.s3.tld3",          # 2-label exact
+        "h.t7.s7.tld7": "h.t7.s7.tld7",      # 3-label beats its 2-label tail
+        "x.w7.tld7": None,                   # wildcard consumes the host
+        "y.x.w7.tld7": "y.x.w7.tld7",        # wildcard + 1
+        "ex7.w7.tld7": "ex7.w7.tld7",        # exception beats wildcard
+        "sub.ex7.w7.tld7": "ex7.w7.tld7",
+        "h.unknowntld9": "h.unknowntld9",    # implicit '*'
+    }
+    for host, expected in cases.items():
+        got = _one(spark, Furl.registrable_domain_psl(F.lit(host), rules))
+        assert got == expected, (host, got, expected)
+
+
 # ------------------------------------------- robots gate: raw-path RFC
 
 _ROBOTS = [

@@ -888,6 +888,21 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                   "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
     },
+    "domain_rollup_psl_full": {
+        # SAME plan shape at ~9k rules: the InSet literals live in the
+        # expression, never in a join — r12 measured whole-stage codegen
+        # surviving at this size with the flat greatest/coalesce shape
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
+    "url_percent_canonical": {
+        # percent normalization is a per-token array fold inside the
+        # projection: row-local, zero Python, one hash-groupBy
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
 }
 
 
