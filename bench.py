@@ -230,9 +230,12 @@ BENCH_QUERIES = [
     "gopher_rules",
     "c4_filters",
     "secret_scan",
-    # round-12 additions: RFC 3986 percent normalization + full-scale PSL
+    # round-12 additions: RFC 3986 percent normalization, full-scale PSL,
+    # WARC container scans
     "url_percent_canonical",
     "domain_rollup_psl_full",
+    "warc_scan_agg",
+    "warc_curation",
 ]
 
 

@@ -13,3 +13,8 @@ from restaurant_etl_code_spark.sources.mdb import (  # noqa: F401
     read_mdb_catalog_distributed,
     write_fake_mdb,
 )
+from restaurant_etl_code_spark.sources.warc import (  # noqa: F401
+    WARC_SCHEMA,
+    parse_warc_bytes,
+    read_warc,
+)

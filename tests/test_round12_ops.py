@@ -182,6 +182,79 @@ def test_robots_gate_wildcard_rules_excluded_but_countable(spark):
     assert got["https://w.com/plain/x"] is False
 
 
+# ----------------------------------------------- WARC container parsing
+
+def _mk_record(wtype, body, uri=None, extra=""):
+    hdr = (f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+           f"WARC-Record-ID: <urn:uuid:t>\r\n"
+           + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+           + extra
+           + f"Content-Length: {len(body)}\r\n\r\n").encode()
+    return hdr + body + b"\r\n\r\n"
+
+
+def test_parse_warc_bytes_response_and_wet():
+    from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
+
+    html = b"<p>hi</p>"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"X-Other: 1\r\n\r\n" + html)
+    blob = (_mk_record("warcinfo", b"robots: classic")
+            + _mk_record("response", http, uri="https://a.com/x")
+            + _mk_record("conversion", b"plain WET text", uri="https://a.com/x"))
+    rows = list(parse_warc_bytes(blob, "f.warc"))
+    assert [r["warc_type"] for r in rows] == ["warcinfo", "response", "conversion"]
+    resp = rows[1]
+    assert resp["http_status"] == 200
+    assert resp["http_content_type"] == "text/html"
+    assert resp["payload"] == "<p>hi</p>"
+    assert resp["payload_len"] == len(http)  # full HTTP message bytes
+    # WET conversion record: payload verbatim, NULL http fields
+    assert rows[2]["payload"] == "plain WET text"
+    assert rows[2]["http_status"] is None
+
+
+def test_parse_warc_bytes_payload_may_contain_blank_lines():
+    from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
+
+    # Content-Length drives the read: a payload containing \r\n\r\n must
+    # not terminate the record early
+    body = b"line1\r\n\r\nline2"
+    blob = _mk_record("metadata", body) + _mk_record("metadata", b"tail")
+    rows = list(parse_warc_bytes(blob, "f"))
+    assert len(rows) == 2
+    assert rows[0]["payload"] == "line1\r\n\r\nline2"
+    assert rows[1]["payload"] == "tail"
+
+
+def test_parse_warc_bytes_damaged_tail_is_countable():
+    from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
+
+    blob = _mk_record("metadata", b"good") + b"GARBAGE-NOT-A-RECORD"
+    rows = list(parse_warc_bytes(blob, "f"))
+    assert rows[0]["warc_type"] == "metadata"
+    assert rows[1]["warc_type"] == "_parse-error"
+    assert rows[1]["payload_len"] == len(b"GARBAGE-NOT-A-RECORD")
+
+
+def test_read_warc_gzip_and_plain_shards(spark, tmp_path):
+    import gzip
+
+    from restaurant_etl_code_spark.sources.warc import read_warc
+
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<i>x</i>"
+    recs = [_mk_record("response", http, uri=f"https://h{i}.com/") for i in range(3)]
+    (tmp_path / "a.warc").write_bytes(b"".join(recs))
+    with open(tmp_path / "b.warc.gz", "wb") as fh:
+        for r in recs:  # one gzip member per record (standard layout)
+            fh.write(gzip.compress(r))
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 6
+    assert {r["target_uri"] for r in rows} == {f"https://h{i}.com/" for i in range(3)}
+    assert all(r["payload"] == "<i>x</i>" and r["http_status"] == 200 for r in rows)
+
+
 # -------------------------------- RFC 3986 percent-encoding normalization
 
 @pytest.mark.parametrize(

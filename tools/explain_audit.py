@@ -903,6 +903,21 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                   "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
     },
+    "warc_scan_agg": {
+        # container framing IS a (deliberate, Arrow-batched) Python
+        # stage — the per-record HTML/URL work and the rollup stay
+        # codegen; never row-at-a-time Python
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
+                  "BroadcastHashJoin"],
+    },
+    "warc_curation": {
+        # scan -> unwrap (MapInPandas) -> codegen html/text chain + NFC
+        # Arrow stage -> one aggregation
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
+                  "BroadcastHashJoin"],
+    },
 }
 
 
