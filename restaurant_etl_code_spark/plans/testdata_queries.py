@@ -11152,59 +11152,59 @@ _REGISTRY: dict[str, QueryDef] = {
 # applies the policy above; hand-maintained rotation notes failed in
 # r6/r7 and miscounted in r8, so the tool's output is authoritative.)
 #
-# r11 window provenance (ledger as of r10, tools/freshness.py --window 50
-# --as-of 10): the 4 r05 stragglers the r10 window could not fit, the
-# 44-query r07 cohort (now the oldest latest-check), and the two anchors.
-_WINDOW_ROUND = 10  # ledger state this window was generated from
+# r12 window provenance (ledger as of r11, tools/freshness.py --window 50
+# --as-of 11): the 4 never-checked round-12 queries, the remaining r07
+# cohort, the oldest r08 cohort, and the two anchors.
+_WINDOW_ROUND = 11  # ledger state this window was generated from
 _WINDOW_FIRST = [
-    "domain_rollup_psl",  # never-checked
-    "html_extract",  # never-checked
-    "html_curation",  # never-checked
-    "link_frontier",  # never-checked
-    "lsh_pairs_normalized",  # never-checked
-    "anchor_text_corpus",  # never-checked
-    "canonical_dedup",  # never-checked
-    "sitemap_frontier",  # never-checked
-    "robots_gate",  # never-checked
-    "gopher_rules",  # never-checked
-    "c4_filters",  # never-checked
-    "secret_scan",  # never-checked
-    "basket_triples",  # latest=r05
-    "basket_rules",  # latest=r05
-    "activity_streaks",  # latest=r05
-    "basket_triple_rules",  # latest=r05
-    "staging_restaurant",  # latest=r07
-    "llm_parse",  # latest=r07
-    "precheck_antijoin",  # latest=r07
-    "upc_validity",  # latest=r07
-    "change_detect",  # latest=r07
-    "template_chunks",  # latest=r07
-    "batch_stats",  # latest=r07
-    "match_breakdown",  # latest=r07
-    "status_partition",  # latest=r07
-    "topk_per_group",  # latest=r07
-    "rollup_pricing",  # latest=r07
-    "sessionize",  # latest=r07
-    "asof_join",  # latest=r07
-    "range_join",  # latest=r07
-    "window_analytics",  # latest=r07
-    "grouping_sets",  # latest=r07
-    "global_topn",  # latest=r07
-    "quantiles",  # latest=r07
-    "approx_aggs",  # latest=r07
-    "salted_join_agg",  # latest=r07
-    "tumbling_window",  # latest=r07
-    "streaming_dedup",  # latest=r07
-    "streaming_running_stats",  # latest=r07
-    "streaming_sessions",  # latest=r07
-    "streaming_enrich",  # latest=r07
-    "multires_rollup",  # latest=r07
-    "sketch_rollup",  # latest=r07
-    "reconcile",  # latest=r07
-    "unpivot",  # latest=r07
-    "semi_join",  # latest=r07
-    "scalar_subquery",  # latest=r07
-    "null_semantics",  # latest=r07
+    "domain_rollup_psl_full",  # never-checked
+    "url_percent_canonical",  # never-checked
+    "warc_scan_agg",  # never-checked
+    "warc_curation",  # never-checked
+    "fuzzy_match",  # latest=r07
+    "json_props",  # latest=r07
+    "text_quality",  # latest=r07
+    "lang_id",  # latest=r07
+    "exact_dedup",  # latest=r07
+    "training_prep",  # latest=r07
+    "minhash_lsh_pairs",  # latest=r07
+    "simhash_pairs",  # latest=r07
+    "ngram_jaccard_capped",  # latest=r07
+    "embedding_near_dup",  # latest=r07
+    "dedup_clusters",  # latest=r07
+    "merge_pruned",  # latest=r07
+    "pdf_real_extract",  # latest=r07
+    "importance_resample",  # latest=r07
+    "fuzzy_join",  # latest=r07
+    "span_dedup",  # latest=r07
+    "dedup_keep_first",  # latest=r08
+    "streaming_window",  # latest=r08
+    "ngram_jaccard",  # latest=r08
+    "ann_cosine_topk",  # latest=r08
+    "ann_bucketed_topk",  # latest=r08
+    "ann_ivf_topk",  # latest=r08
+    "similarity_match",  # latest=r08
+    "embedding_near_dup_lsh",  # latest=r08
+    "quantize_fidelity",  # latest=r08
+    "ann_multiprobe_topk",  # latest=r08
+    "sequence_pack",  # latest=r08
+    "multimodal_features",  # latest=r08
+    "contentgen_fallback",  # latest=r08
+    "pipeline_products",  # latest=r08
+    "pipeline_updates",  # latest=r08
+    "merge_upsert",  # latest=r08
+    "set_ops",  # latest=r08
+    "pivot_counts",  # latest=r08
+    "cube_pricing",  # latest=r08
+    "running_total",  # latest=r08
+    "pdf15_extract",  # latest=r08
+    "bpe_pair_stats",  # latest=r08
+    "global_offsets",  # latest=r08
+    "pmi_collocations",  # latest=r08
+    "label_propagation",  # latest=r08
+    "kmeans_clusters",  # latest=r08
+    "phrase_merge",  # latest=r08
+    "distribution_drift",  # latest=r08
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]
