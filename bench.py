@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "domain_rollup_psl_full",
     "warc_scan_agg",
     "warc_curation",
+    "domain_rollup_psl_join",
 ]
 
 

@@ -70,6 +70,8 @@ __all__ = [
     "canonicalize_url",
     "registrable_domain",
     "registrable_domain_psl",
+    "registrable_domain_psl_join",
+    "psl_rules_df",
     "load_psl",
     "PslRules",
     "PSL_FIXTURE",
@@ -486,3 +488,93 @@ def registrable_domain_psl(host: Column, rules: PslRules = PSL_FIXTURE) -> Colum
         .when(n > suffix_len, registrable)
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Join formulation of the same algorithm, for rule tables that arrive as
+# DATA rather than driver literals (a PSL refreshed daily by a pipeline,
+# or rule sets too churned to bake into the plan). The literal InSet path
+# above is zero-shuffle and preferred when the rules are known at plan
+# time; this path costs ONE map-side-combined shuffle keyed on a synthetic
+# per-row id (unique ⇒ skew-proof by construction).
+# ---------------------------------------------------------------------------
+
+def psl_rules_df(spark, rules: PslRules):
+    """Materialize :class:`PslRules` as the rule table
+    ``(name string, n_labels int, kind string)`` that
+    :func:`registrable_domain_psl_join` broadcasts."""
+    rows = (
+        [(r, r.count(".") + 1, "exact") for r in sorted(rules.exact)]
+        + [(b, b.count(".") + 1, "wildcard") for b in sorted(rules.wildcard)]
+        + [(x, x.count(".") + 1, "exception") for x in sorted(rules.exception)]
+    )
+    return spark.createDataFrame(rows, "name string, n_labels int, kind string")
+
+
+def registrable_domain_psl_join(df, rules_df, host_col: str = "host",
+                                out_col: str = "registrable_domain",
+                                max_rule_labels: int = 6):
+    """Registrable domain under full PSL semantics via a broadcast rule
+    join — same answers as :func:`registrable_domain_psl` (property-
+    pinned in tests), different physical shape for rules-as-data.
+
+    Plan: per host, explode the last-k suffixes for k ≤
+    ``max_rule_labels`` (the real PSL's deepest rule is 5 labels; the
+    fan-out is a row-local constant, NOT the label count of hostile
+    99-label hosts), LEFT broadcast-join the rule table on
+    (suffix, label-count), then ONE hash-aggregate keyed on a generated
+    row id collapses each host's matches with exception-beats-all /
+    longest-wins precedence. Map-side partial aggregation means the
+    shuffle carries ~one row per input row; the key is unique, so no
+    skew is possible. All input columns are preserved; duplicates stay
+    distinct rows."""
+    out_cols = list(df.columns)
+    hostc = F.regexp_replace(F.col(host_col), r"\.$", "")
+    shaped = (
+        df.withColumn("_rid", F.monotonically_increasing_id())
+        .withColumn("_hostc", hostc)
+        .withColumn("_n", F.size(F.split(hostc, r"\.")))
+    )
+    ks = F.sequence(F.lit(1), F.least(F.col("_n"), F.lit(max_rule_labels)))
+    suffixes = F.transform(
+        ks,
+        lambda k: F.array_join(
+            F.slice(F.split(F.col("_hostc"), r"\."), F.col("_n") - k + 1, k), "."
+        ),
+    )
+    cands = shaped.select(
+        "_rid", *out_cols, "_hostc", "_n",
+        F.posexplode(suffixes).alias("_pos", "_suffix"),
+    )
+    joined = cands.join(
+        F.broadcast(rules_df),
+        (F.col("_suffix") == F.col("name"))
+        & ((F.col("_pos") + 1) == F.col("n_labels")),
+        "left",
+    )
+    agg = joined.groupBy("_rid", *out_cols, "_hostc", "_n").agg(
+        F.max(F.when(F.col("kind") == "exact", F.col("n_labels")))
+        .alias("_sl_exact"),
+        F.max(F.when((F.col("kind") == "wildcard")
+                     & (F.col("_n") >= F.col("n_labels") + 1),
+                     F.col("n_labels") + 1)).alias("_sl_wild"),
+        F.max(F.when(F.col("kind") == "exception", F.col("n_labels") - 1))
+        .alias("_sl_exc"),
+    )
+    sl = F.coalesce(
+        F.col("_sl_exc"),
+        F.greatest(F.coalesce(F.col("_sl_exact"), F.lit(1)),
+                   F.coalesce(F.col("_sl_wild"), F.lit(1))),
+    )
+    labels = F.split(F.col("_hostc"), r"\.")
+    registrable = F.array_join(
+        F.slice(labels, F.greatest(F.col("_n") - sl, F.lit(1)), sl + 1), "."
+    )
+    domain = (
+        F.when(F.col("_hostc").isNull() | (F.col("_hostc") == ""),
+               F.lit(None).cast("string"))
+        .when(_is_ip_literal(F.col("_hostc")), F.col("_hostc"))
+        .when(F.col("_n") > sl, registrable)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return agg.select(*out_cols, domain.alias(out_col))

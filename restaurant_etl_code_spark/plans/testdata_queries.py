@@ -9042,6 +9042,34 @@ from dom group by cohort
 _ORACLE_DOMAIN_ROLLUP_PSL_FULL = _domain_rollup_psl_full_oracle()
 
 
+def _q_domain_rollup_psl_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BROADCAST-JOIN formulation of full-PSL domain resolution
+    (functions.urls.registrable_domain_psl_join) over the same
+    full-scale rule table and host cohorts as domain_rollup_psl_full —
+    and the same oracle: two physical plans, one expected answer. This
+    is the rules-as-DATA path (a PSL refreshed by a pipeline instead of
+    baked into the plan): suffix explode (≤6 per host, row-local) →
+    LEFT broadcast join on (suffix, label-count) → one map-side-combined
+    hash-aggregate on a unique row id (skew-proof). Costs one shuffle
+    the InSet path doesn't have; exists for when the rule table can't
+    be a literal."""
+    part = load_table(spark, sf_dir, "part")
+    rules_df = Furl.psl_rules_df(spark, _psl_full_scale_rules())
+    hosts = part.select(
+        (F.col("p_partkey") % 6).cast("int").alias("cohort"),
+        _psl_full_host_fixture_spark(F.col("p_partkey")).alias("host"),
+    )
+    resolved = Furl.registrable_domain_psl_join(
+        hosts, rules_df, host_col="host", out_col="domain"
+    )
+    return resolved.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.countDistinct("domain").cast("long").alias("n_domains"),
+        F.sum(F.col("domain").isNull().cast("int")).cast("long")
+        .alias("n_null_domains"),
+    )
+
+
 # --------------------------------------------------------------------------
 # HTML -> text extraction family (round 11): the missing web SOURCE — a
 # 100 TB crawl corpus is HTML; strip it to trainable text, pull titles,
@@ -11072,6 +11100,11 @@ _REGISTRY: dict[str, QueryDef] = {
         "synthetic rules, real label-depth distribution): codegen "
         "survival + longest-match/wildcard/exception at scale; "
         "relational join-formulation oracle"),
+    "domain_rollup_psl_join": QueryDef(
+        _q_domain_rollup_psl_join, _ORACLE_DOMAIN_ROLLUP_PSL_FULL,
+        "the broadcast-join formulation (rules-as-data path) of "
+        "full-PSL domain resolution over the same ~9k rules and "
+        "cohorts — two physical plans, one oracle"),
     "html_extract": QueryDef(
         _q_html_extract, _ORACLE_HTML_EXTRACT,
         "HTML -> text extraction: tag/script/comment strip, entity "
@@ -11158,6 +11191,7 @@ _REGISTRY: dict[str, QueryDef] = {
 _WINDOW_ROUND = 11  # ledger state this window was generated from
 _WINDOW_FIRST = [
     "domain_rollup_psl_full",  # never-checked
+    "domain_rollup_psl_join",  # never-checked
     "url_percent_canonical",  # never-checked
     "warc_scan_agg",  # never-checked
     "warc_curation",  # never-checked
@@ -11204,7 +11238,6 @@ _WINDOW_FIRST = [
     "label_propagation",  # latest=r08
     "kmeans_clusters",  # latest=r08
     "phrase_merge",  # latest=r08
-    "distribution_drift",  # latest=r08
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

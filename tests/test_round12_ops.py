@@ -82,6 +82,31 @@ def test_psl_full_scale_rule_classes(spark):
         assert got == expected, (host, got, expected)
 
 
+def test_psl_join_formulation_matches_inset(spark):
+    # the rules-as-data path must agree with the literal InSet path on
+    # every rule class, guards included
+    from restaurant_etl_code_spark.plans.testdata_queries import (
+        _psl_full_scale_rules)
+
+    rules = _psl_full_scale_rules()
+    rules_df = Furl.psl_rules_df(spark, rules)
+    hosts = ["a.b.s3.tld3", "h.t7.s7.tld7", "x.w7.tld7", "y.x.w7.tld7",
+             "ex7.w7.tld7", "sub.ex7.w7.tld7", "h.unknowntld9",
+             "s3.tld3", "tld3", "192.168.0.1", "a.b.s3.tld3.", ""]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r["host"]: r["d"] for r in Furl.registrable_domain_psl_join(
+        df, rules_df, out_col="d").collect()}
+    want = {r["host"]: r["d"] for r in df.select(
+        "host", Furl.registrable_domain_psl(F.col("host"), rules).alias("d")
+    ).collect()}
+    assert got == want
+    # and columns/duplicates are preserved
+    dup = spark.createDataFrame(
+        [("a.b.s3.tld3", 1), ("a.b.s3.tld3", 2)], "host string, k int")
+    rows = Furl.registrable_domain_psl_join(dup, rules_df).collect()
+    assert sorted(r["k"] for r in rows) == [1, 2]
+
+
 # ------------------------------------------- robots gate: raw-path RFC
 
 _ROBOTS = [

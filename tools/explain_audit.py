@@ -918,6 +918,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
                   "BroadcastHashJoin"],
     },
+    "domain_rollup_psl_join": {
+        # rules-as-data path: the 9k-rule table must BROADCAST (never
+        # sort-merge against the frontier) and the per-host collapse is
+        # one hash-aggregate on a unique row id
+        "want": ["BroadcastHashJoin", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin"],
+    },
 }
 
 
