@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "warc_scan_agg",
     "warc_curation",
     "domain_rollup_psl_join",
+    "robots_sitemap_discovery",
+    "crawl_delay_policy",
 ]
 
 

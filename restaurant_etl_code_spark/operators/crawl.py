@@ -44,19 +44,18 @@ from pyspark.sql import functions as F
 
 from restaurant_etl_code_spark.functions import urls as Furl
 
-__all__ = ["parse_robots", "parse_crawl_delays", "robots_gate"]
+__all__ = ["parse_robots", "parse_crawl_delays", "robots_sitemaps",
+           "robots_gate"]
 
 # directive keys the parser recognizes; everything else (sitemap,
 # host, request-rate, ...) is ignored at the line filter
 _RULE_KEYS = ("user-agent", "allow", "disallow", "crawl-delay")
 
 
-def _directive_groups(robots: DataFrame, domain_col: str,
+def _directive_fields(robots: DataFrame, domain_col: str,
                       text_col: str) -> DataFrame:
-    """(domain, pos, key, value, group_id) — the shared stateful-format
-    front half: line split, comment strip, directive filter, and the
-    window-function group assignment (a ``User-agent`` line whose
-    previous directive is NOT a user-agent line opens a new group)."""
+    """(domain, pos, key, value) — line split, comment strip, and the
+    ``Key: value`` parse, before any key filtering."""
     lines = robots.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -66,11 +65,22 @@ def _directive_groups(robots: DataFrame, domain_col: str,
         "domain", "pos",
         F.trim(F.regexp_replace(F.col("line"), "#.*", "")).alias("line"),
     ).filter(F.col("line") != "")
-    fields = cleaned.select(
+    return cleaned.select(
         "domain", "pos",
         F.lower(F.trim(F.regexp_extract(F.col("line"), r"^([^:]+):", 1))).alias("key"),
         F.trim(F.regexp_extract(F.col("line"), r"^[^:]+:(.*)$", 1)).alias("value"),
-    ).filter(F.col("key").isin(*_RULE_KEYS))
+    )
+
+
+def _directive_groups(robots: DataFrame, domain_col: str,
+                      text_col: str) -> DataFrame:
+    """(domain, pos, key, value, group_id) — the shared stateful-format
+    front half: line split, comment strip, directive filter, and the
+    window-function group assignment (a ``User-agent`` line whose
+    previous directive is NOT a user-agent line opens a new group)."""
+    fields = _directive_fields(robots, domain_col, text_col).filter(
+        F.col("key").isin(*_RULE_KEYS)
+    )
     w = Window.partitionBy("domain").orderBy("pos")
     return fields.withColumn(
         "prev_key", F.lag("key").over(w)
@@ -138,6 +148,22 @@ def parse_crawl_delays(robots: DataFrame, domain_col: str = "domain",
         delays.join(F.broadcast(agents), ["domain", "group_id"])
         .groupBy("domain", "agent")
         .agg(F.max("crawl_delay").alias("crawl_delay"))
+    )
+
+
+def robots_sitemaps(robots: DataFrame, domain_col: str = "domain",
+                    text_col: str = "robots_txt") -> DataFrame:
+    """(domain, sitemap_url) — ``Sitemap:`` directives (the sitemaps.org
+    extension every major crawler honors). Per the protocol these are
+    GLOBAL to the file, not group-scoped, so no window machinery: one
+    row per declaration, value case preserved (sitemap URLs are case-
+    sensitive paths), empty values dropped. Feeds ``sitemap_frontier``:
+    robots discovery → fetch → <loc> harvest closes the crawl's seed
+    loop."""
+    return (
+        _directive_fields(robots, domain_col, text_col)
+        .filter((F.col("key") == "sitemap") & (F.col("value") != ""))
+        .select("domain", F.col("value").alias("sitemap_url"))
     )
 
 

@@ -9800,6 +9800,274 @@ _ORACLE_ROBOTS_GATE = _robots_gate_oracle()
 
 
 # --------------------------------------------------------------------------
+# Crawl-politeness policy surface (round 12): Sitemap: discovery (the
+# sitemaps.org extension that closes the crawl's seed loop) and the
+# Crawl-delay directive as a gate output. Separate fixture from
+# _ROBOTS_FIXTURE so the r11 gate oracle stays byte-stable.
+# --------------------------------------------------------------------------
+
+_ROBOTS_POLICY_FIXTURE = (
+    ("shop.example.co.id",
+     "User-agent: trainbot\nDisallow: /no\nCrawl-delay: 5\n\n"
+     "User-agent: *\nDisallow: /private/\nCrawl-delay: 1\n"
+     "Sitemap: https://shop.example.co.id/sitemap.xml\n"
+     "Sitemap: https://cdn.example.org/shop/Sitemap-2.xml\n"),
+    ("news.example.com.sg",
+     "User-agent: *\nDisallow:\nCrawl-delay: 2.5\n"
+     "Sitemap: https://news.example.com.sg/sm/index.xml\n"),
+    ("example.com",
+     "User-agent: otherbot\nDisallow: /\nCrawl-delay: 9\n"),
+)
+
+
+def _policy_robots_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(_ROBOTS_POLICY_FIXTURE), "domain string, robots_txt string"
+    )
+
+
+_POLICY_ROBOTS_DUCK_ROWS = ",\n  ".join(
+    "('" + d + "', '" + t.replace("\n", "' || chr(10) || '") + "')"
+    for d, t in _ROBOTS_POLICY_FIXTURE
+)
+
+
+def _q_robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap: discovery from robots.txt (operators.crawl.
+    robots_sitemaps — global scope per the sitemaps.org protocol, value
+    case preserved) composed with the URL family: canonicalize each
+    declared sitemap URL, resolve its PSL domain, and flag CROSS-DOMAIN
+    declarations (a sitemap hosted off the robots host — the audit a
+    crawler runs before trusting a seed list, since cross-host sitemaps
+    need the target's authorization per the protocol). Row-local +
+    one hash-groupBy. The part scan keeps the query data-parallel at
+    scale (robots corpora join a frontier-sized table in production);
+    here each part row carries the fixture's corpus once — counts scale
+    with the table, ratios pin semantics."""
+    from restaurant_etl_code_spark.operators import crawl
+
+    robots = _policy_robots_df(spark)
+    sm = crawl.robots_sitemaps(robots)
+    shaped = sm.select(
+        "domain",
+        F.coalesce(Furl.canonicalize_url(F.col("sitemap_url")),
+                   F.col("sitemap_url")).alias("canonical_url"),
+        Furl.registrable_domain_psl(F.col("domain")).alias("robots_dom"),
+        Furl.registrable_domain_psl(
+            Furl.url_host(F.col("sitemap_url"))).alias("sitemap_dom"),
+    )
+    return shaped.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sitemaps"),
+        F.countDistinct("canonical_url").cast("long").alias("n_distinct"),
+        F.sum((~F.col("robots_dom").eqNullSafe(F.col("sitemap_dom")))
+              .cast("int")).cast("long").alias("n_cross_domain"),
+    )
+
+
+def _robots_sitemap_discovery_oracle() -> str:
+    canonical, _ = _duck_canonical_exprs()
+    sl = _duck_psl_suffix_len("labels", "n")
+
+    def psl_of(host_expr: str) -> str:
+        stripped = f"regexp_replace({host_expr}, '\\.$', '')"
+        labels = f"string_split({stripped}, '.')"
+        n = f"len({labels})"
+        sl_x = _duck_psl_suffix_len(labels, n)
+        return (
+            f"(case when {host_expr} is null or {host_expr} = '' then null"
+            f" when regexp_matches({stripped}, '{Furl._IPV4_RE}')"
+            f" or starts_with({host_expr}, '[') then {stripped}"
+            f" when {n} > {sl_x}"
+            f" then array_to_string(list_slice({labels}, -({sl_x} + 1), {n}), '.')"
+            f" else null end)"
+        )
+
+    host = (
+        f"(case when lower(regexp_extract(url, '{Furl._SCHEME_RE}', 1)) = 'http'"
+        f" then regexp_replace(lower(regexp_extract(url, '{Furl._HOSTPORT_RE}', 1)), ':80$', '')"
+        f" when lower(regexp_extract(url, '{Furl._SCHEME_RE}', 1)) = 'https'"
+        f" then regexp_replace(lower(regexp_extract(url, '{Furl._HOSTPORT_RE}', 1)), ':443$', '')"
+        f" else lower(regexp_extract(url, '{Furl._HOSTPORT_RE}', 1)) end)"
+    )
+    _ = sl  # suffix-len helper is applied through psl_of
+    return f"""
+with robots(domain, robots_txt) as (values
+  {_POLICY_ROBOTS_DUCK_ROWS}),
+lns as (
+  select domain,
+         unnest(string_split(robots_txt, chr(10))) as line
+  from robots),
+fields as (
+  select domain,
+         lower(trim(regexp_extract(trim(regexp_replace(line, '#.*', '')),
+                                   '^([^:]+):', 1))) as key,
+         trim(regexp_extract(trim(regexp_replace(line, '#.*', '')),
+                             '^[^:]+:(.*)$', 1)) as value
+  from lns where trim(regexp_replace(line, '#.*', '')) <> ''),
+sitemaps as (
+  select domain, value as url from fields
+  where key = 'sitemap' and value <> ''),
+shaped as (
+  select domain,
+         coalesce({canonical}, url) as canonical_url,
+         {psl_of('domain')} as robots_dom,
+         {psl_of(host)} as sitemap_dom
+  from sitemaps)
+select domain,
+       count(*)::bigint as n_sitemaps,
+       count(distinct canonical_url)::bigint as n_distinct,
+       sum((robots_dom is distinct from sitemap_dom)::int)::bigint
+         as n_cross_domain
+from shaped group by domain
+"""
+
+
+_ORACLE_ROBOTS_SITEMAPS = _robots_sitemap_discovery_oracle()
+
+
+def _q_crawl_delay_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay as a first-class gate output (operators.crawl.
+    parse_crawl_delays + robots_gate(delays=...)): the per-domain delay
+    a polite frontier scheduler needs NEXT TO the allow verdict, scoped
+    with the same RFC 9309 precedence (exact-agent group's delay beats
+    '*'s; no group → NULL). The fixture pins all three cases: a domain
+    where TrainBot's own group (delay 5) must shadow '*' (delay 1), a
+    '*-only' domain (2.5 applies), and an other-agent-only domain
+    (NULL — otherbot's 9 must not leak). Frontier-scale shape: the gate
+    is the r11 broadcast join + per-row max; the delay attach is one
+    more broadcast against a per-domain table."""
+    from restaurant_etl_code_spark.operators import crawl
+
+    robots = _policy_robots_df(spark)
+    rules = crawl.parse_robots(robots)
+    delays = crawl.parse_crawl_delays(robots)
+    part = load_table(spark, sf_dir, "part")
+    m = (F.col("p_partkey") % 3)
+    urls = part.select(
+        F.concat(
+            F.lit("https://"),
+            F.when(m == 0, F.lit("shop.example.co.id"))
+            .when(m == 1, F.lit("news.example.com.sg"))
+            .otherwise(F.lit("example.com")),
+            F.lit("/p/"), F.col("p_partkey").cast("string"),
+        ).alias("url")
+    )
+    gated = crawl.robots_gate(urls, rules, "TrainBot", by="host",
+                              delays=delays)
+    return gated.groupBy("domain", "allowed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.max("crawl_delay").alias("crawl_delay"),
+    )
+
+
+def _crawl_delay_policy_oracle() -> str:
+    host = f"lower(regexp_extract(url, '{Furl._HOSTPORT_RE}', 1))"
+    path = (
+        f"(case when coalesce(regexp_extract(url, '{Furl._PATH_RE}', 1), '') = ''"
+        f" then '/' else regexp_extract(url, '{Furl._PATH_RE}', 1) end)"
+    )
+    return f"""
+with robots(domain, robots_txt) as (values
+  {_POLICY_ROBOTS_DUCK_ROWS}),
+lns as (
+  select domain,
+         unnest(list_zip(string_split(robots_txt, chr(10)),
+                         range(1, len(string_split(robots_txt, chr(10))) + 1))) as z
+  from robots),
+cleaned as (
+  select domain, z[2] as pos,
+         trim(regexp_replace(z[1], '#.*', '')) as line
+  from lns where trim(regexp_replace(z[1], '#.*', '')) <> ''),
+fields as (
+  select domain, pos,
+         lower(trim(regexp_extract(line, '^([^:]+):', 1))) as key,
+         trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) as value
+  from cleaned
+  where lower(trim(regexp_extract(line, '^([^:]+):', 1)))
+        in ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+lagged as (
+  select domain, pos, key, value,
+         case when key = 'user-agent' and
+              coalesce(lag(key) over (partition by domain order by pos), '')
+              <> 'user-agent' then 1 else 0 end as opens
+  from fields),
+grouped as (
+  select domain, pos, key, value,
+         sum(opens) over (partition by domain order by pos
+                          rows unbounded preceding) as group_id
+  from lagged),
+agents as (
+  select distinct domain, group_id, lower(value) as agent
+  from grouped where key = 'user-agent'),
+rules as (
+  select domain, group_id, (key = 'allow') as allow,
+         value as path_prefix, length(value) as rule_len
+  from grouped
+  where key in ('allow', 'disallow') and value <> ''
+        and not contains(value, '*') and not ends_with(value, '$')),
+rule_rows as (
+  select a.domain, a.agent, r.path_prefix, r.allow, r.rule_len
+  from agents a join rules r using (domain, group_id)),
+candidate as (
+  select domain, (agent = 'trainbot')::int as specific,
+         path_prefix, allow, rule_len
+  from rule_rows where agent in ('trainbot', '*')),
+scope as (select domain, max(specific) as has_specific
+          from candidate group by domain),
+applicable as (
+  select c.domain as r_domain, c.path_prefix, c.allow, c.rule_len
+  from candidate c join scope s on c.domain = s.domain
+  where c.specific = s.has_specific),
+delay_rows as (
+  select a.domain, a.agent, max(d.value::double) as crawl_delay
+  from agents a
+  join (select domain, group_id, value from grouped
+        where key = 'crawl-delay'
+          and regexp_matches(value, '^[0-9]+(\\.[0-9]+)?$')) d
+    using (domain, group_id)
+  group by a.domain, a.agent),
+delay_cand as (
+  select domain, (agent = 'trainbot')::int as specific, crawl_delay
+  from delay_rows where agent in ('trainbot', '*')),
+delay_scope as (select domain, max(specific) as has_specific
+                from delay_cand group by domain),
+delay_appl as (
+  select c.domain as d_domain, max(c.crawl_delay) as crawl_delay
+  from delay_cand c join delay_scope s on c.domain = s.domain
+  where c.specific = s.has_specific
+  group by c.domain),
+frontier as (
+  select p_partkey as rid,
+         'https://' || (case p_partkey % 3
+            when 0 then 'shop.example.co.id'
+            when 1 then 'news.example.com.sg'
+            else 'example.com' end) || '/p/' || p_partkey::varchar as url
+  from part),
+shaped as (
+  select rid, url, {host} as domain, {path} as path from frontier),
+joined as (
+  select s.rid, s.url, s.domain, s.path, a.allow, a.rule_len
+  from shaped s left join applicable a
+    on s.domain = a.r_domain and starts_with(s.path, a.path_prefix)),
+ranked as (
+  select *, row_number() over (partition by rid
+      order by (rule_len is not null) desc, rule_len desc, allow desc) as rn
+  from joined),
+verdicts as (
+  select r.domain, coalesce(r.allow, true) as allowed, d.crawl_delay
+  from ranked r left join delay_appl d on r.domain = d.d_domain
+  where rn = 1)
+select domain, allowed,
+       count(*)::bigint as n_urls,
+       max(crawl_delay) as crawl_delay
+from verdicts group by domain, allowed
+"""
+
+
+_ORACLE_CRAWL_DELAY = _crawl_delay_policy_oracle()
+
+
+# --------------------------------------------------------------------------
 # Published curation filter sets (round 11): the Gopher quality rules
 # (Rae et al. 2021, arXiv:2112.11446 Appendix A) and the C4 cleaning
 # rules (Raffel et al. 2020, arXiv:1910.10683 §2.2) — the two standard
@@ -11169,6 +11437,16 @@ _REGISTRY: dict[str, QueryDef] = {
         "unwrap -> html_to_text -> NFC -> scrub -> fingerprint; every "
         "markup+Unicode variant pair (one member plain, one gzip) "
         "collapses 2:1"),
+    "robots_sitemap_discovery": QueryDef(
+        _q_robots_sitemap_discovery, _ORACLE_ROBOTS_SITEMAPS,
+        "Sitemap: directive harvest from robots.txt (global scope, "
+        "case-preserving) -> canonicalize -> PSL domain -> "
+        "cross-domain-declaration audit"),
+    "crawl_delay_policy": QueryDef(
+        _q_crawl_delay_policy, _ORACLE_CRAWL_DELAY,
+        "Crawl-delay as a gate output: RFC 9309 agent scoping (exact "
+        "group's delay shadows '*', no group -> NULL) attached to the "
+        "allow verdict per domain"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -11195,6 +11473,8 @@ _WINDOW_FIRST = [
     "url_percent_canonical",  # never-checked
     "warc_scan_agg",  # never-checked
     "warc_curation",  # never-checked
+    "robots_sitemap_discovery",  # never-checked
+    "crawl_delay_policy",  # never-checked
     "fuzzy_match",  # latest=r07
     "json_props",  # latest=r07
     "text_quality",  # latest=r07
@@ -11236,8 +11516,6 @@ _WINDOW_FIRST = [
     "global_offsets",  # latest=r08
     "pmi_collocations",  # latest=r08
     "label_propagation",  # latest=r08
-    "kmeans_clusters",  # latest=r08
-    "phrase_merge",  # latest=r08
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

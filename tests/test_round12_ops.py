@@ -178,6 +178,21 @@ def test_robots_gate_crawl_delay_scope(spark):
     assert got["https://c.com/x"] == (True, None)
 
 
+def test_robots_sitemaps_global_scope_case_preserved(spark):
+    robots = spark.createDataFrame(
+        [("x.com",
+          "User-agent: a\nDisallow: /x\n"
+          "Sitemap: https://x.com/SiteMap.xml\n"
+          "# comment\nSitemap:\nsitemap: https://cdn.y.org/x/sm.xml\n")],
+        "domain string, robots_txt string",
+    )
+    rows = crawl.robots_sitemaps(robots).collect()
+    got = {(r["domain"], r["sitemap_url"]) for r in rows}
+    # case of the URL preserved; key case-insensitive; empty value dropped
+    assert got == {("x.com", "https://x.com/SiteMap.xml"),
+                   ("x.com", "https://cdn.y.org/x/sm.xml")}
+
+
 def test_parse_crawl_delays_rejects_non_numeric(spark):
     robots = spark.createDataFrame(
         [("x.com", "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 1.5\n")],

@@ -918,6 +918,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
                   "BroadcastHashJoin"],
     },
+    "crawl_delay_policy": {
+        # the r11 robots gate plus ONE more broadcast (per-domain delay
+        # table); still no window over the frontier, no sort-merge
+        "want": ["BroadcastHashJoin", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin"],
+    },
     "domain_rollup_psl_join": {
         # rules-as-data path: the 9k-rule table must BROADCAST (never
         # sort-merge against the frontier) and the per-host collapse is
