@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "domain_rollup_psl_join",
     "robots_sitemap_discovery",
     "crawl_delay_policy",
+    "frontier_schedule",
 ]
 
 

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from restaurant_etl_code_spark.functions import urls as Furl
 
 __all__ = ["parse_robots", "parse_crawl_delays", "robots_sitemaps",
-           "robots_gate"]
+           "robots_gate", "schedule_frontier"]
 
 # directive keys the parser recognizes; everything else (sitemap,
 # host, request-rate, ...) is ignored at the line filter
@@ -264,3 +264,36 @@ def robots_gate(urls: DataFrame, rules: DataFrame, agent: str,
             *out_cols, "domain", "path", "allowed", "crawl_delay"
         )
     return result
+
+
+def schedule_frontier(frontier: DataFrame, url_col: str = "url",
+                      domain_col: str = "domain",
+                      delay_col: str = "crawl_delay",
+                      default_delay: float = 1.0,
+                      order_col: Optional[str] = None) -> DataFrame:
+    """Politeness schedule for a gated frontier: per ``domain_col``
+    (host), assign each URL a fetch ``slot`` (0-based) and
+    ``fetch_offset_s = slot * coalesce(crawl_delay, default_delay)`` —
+    the earliest second, relative to the host's first fetch, at which a
+    crawler honoring the delay may issue the request.
+
+    Ordering within a host is ``order_col`` if given (e.g. a priority
+    score, descending would be the caller's expression) else the URL
+    string — deterministic either way, so the schedule is reproducible
+    across runs and the oracle.
+
+    Scale shape: ONE window (row_number) partitioned by host. A hot
+    host with millions of URLs serializes into one task — which is the
+    point: a polite schedule for a single host IS a sequential chain,
+    so the computation's skew mirrors the real-world constraint (the
+    wall-clock bottleneck at fetch time, not at planning time). The
+    window state is O(1) (a running count), so memory is flat no matter
+    the host's size; planning cost = one sort of that host's URLs.
+    """
+    order = F.col(order_col) if order_col else F.col(url_col)
+    w = Window.partitionBy(domain_col).orderBy(order)
+    slot = F.row_number().over(w) - 1
+    delay = F.coalesce(F.col(delay_col), F.lit(float(default_delay)))
+    return frontier.withColumn("slot", slot.cast("long")).withColumn(
+        "fetch_offset_s", (F.col("slot") * delay).cast("double")
+    )

@@ -9960,7 +9960,11 @@ def _q_crawl_delay_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _crawl_delay_policy_oracle() -> str:
+def _policy_gate_ctes() -> str:
+    """Shared WITH-block (through per-row ``verdicts``) for the
+    policy-fixture gate oracles: robots parse, RFC 9309 scoping, delay
+    scoping, frontier join — twin of robots_gate(delays=...) over the
+    %3-domain frontier."""
     host = f"lower(regexp_extract(url, '{Furl._HOSTPORT_RE}', 1))"
     path = (
         f"(case when coalesce(regexp_extract(url, '{Furl._PATH_RE}', 1), '') = ''"
@@ -10054,9 +10058,14 @@ ranked as (
       order by (rule_len is not null) desc, rule_len desc, allow desc) as rn
   from joined),
 verdicts as (
-  select r.domain, coalesce(r.allow, true) as allowed, d.crawl_delay
+  select r.rid, r.url, r.domain, r.path,
+         coalesce(r.allow, true) as allowed, d.crawl_delay
   from ranked r left join delay_appl d on r.domain = d.d_domain
-  where rn = 1)
+  where rn = 1)"""
+
+
+def _crawl_delay_policy_oracle() -> str:
+    return _policy_gate_ctes() + """
 select domain, allowed,
        count(*)::bigint as n_urls,
        max(crawl_delay) as crawl_delay
@@ -10065,6 +10074,64 @@ from verdicts group by domain, allowed
 
 
 _ORACLE_CRAWL_DELAY = _crawl_delay_policy_oracle()
+
+
+def _q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling end-to-end (operators.crawl.
+    schedule_frontier): gate the frontier (RFC 9309 + Crawl-delay),
+    keep allowed URLs, assign each a per-host fetch slot and
+    ``fetch_offset_s = slot * delay`` — the planning output a polite
+    distributed fetcher consumes. makespan_s per domain is the
+    politeness-bound wall clock of the whole host: the number the
+    crawl-capacity planner actually needs (a 1M-URL host at 5 s/fetch
+    is a 58-day host no matter how many executors exist — the schedule
+    makes that a queryable fact). One window (row_number, O(1) state)
+    per host + one groupBy; host skew in the window mirrors the
+    real-world sequential constraint, not a plan defect."""
+    from restaurant_etl_code_spark.operators import crawl
+
+    robots = _policy_robots_df(spark)
+    rules = crawl.parse_robots(robots)
+    delays = crawl.parse_crawl_delays(robots)
+    part = load_table(spark, sf_dir, "part")
+    m = (F.col("p_partkey") % 3)
+    urls = part.select(
+        F.concat(
+            F.lit("https://"),
+            F.when(m == 0, F.lit("shop.example.co.id"))
+            .when(m == 1, F.lit("news.example.com.sg"))
+            .otherwise(F.lit("example.com")),
+            F.lit("/p/"), F.col("p_partkey").cast("string"),
+        ).alias("url")
+    )
+    gated = crawl.robots_gate(urls, rules, "TrainBot", by="host",
+                              delays=delays)
+    sched = crawl.schedule_frontier(
+        gated.filter(F.col("allowed")), default_delay=1.0
+    )
+    return sched.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.max("slot").cast("long").alias("last_slot"),
+        F.max("fetch_offset_s").alias("makespan_s"),
+    )
+
+
+def _frontier_schedule_oracle() -> str:
+    return _policy_gate_ctes() + """,
+sched as (
+  select domain,
+         row_number() over (partition by domain order by url) - 1 as slot,
+         coalesce(crawl_delay, 1.0) as delay
+  from verdicts where allowed)
+select domain,
+       count(*)::bigint as n_urls,
+       max(slot)::bigint as last_slot,
+       (max(slot * delay))::double as makespan_s
+from sched group by domain
+"""
+
+
+_ORACLE_FRONTIER_SCHEDULE = _frontier_schedule_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -11447,6 +11514,11 @@ _REGISTRY: dict[str, QueryDef] = {
         "Crawl-delay as a gate output: RFC 9309 agent scoping (exact "
         "group's delay shadows '*', no group -> NULL) attached to the "
         "allow verdict per domain"),
+    "frontier_schedule": QueryDef(
+        _q_frontier_schedule, _ORACLE_FRONTIER_SCHEDULE,
+        "politeness scheduling: gate -> per-host fetch slots -> "
+        "fetch_offset_s = slot * delay; per-domain makespan (the "
+        "politeness-bound wall clock a capacity planner needs)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -11475,6 +11547,7 @@ _WINDOW_FIRST = [
     "warc_curation",  # never-checked
     "robots_sitemap_discovery",  # never-checked
     "crawl_delay_policy",  # never-checked
+    "frontier_schedule",  # never-checked
     "fuzzy_match",  # latest=r07
     "json_props",  # latest=r07
     "text_quality",  # latest=r07
@@ -11515,7 +11588,6 @@ _WINDOW_FIRST = [
     "bpe_pair_stats",  # latest=r08
     "global_offsets",  # latest=r08
     "pmi_collocations",  # latest=r08
-    "label_propagation",  # latest=r08
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

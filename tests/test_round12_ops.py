@@ -387,6 +387,37 @@ def test_gopher_flags_published_defaults(spark):
     assert row3["pass_all"] is True
 
 
+# ------------------------------------------------ politeness scheduling
+
+def test_schedule_frontier_slots_and_offsets(spark):
+    frontier = spark.createDataFrame(
+        [("https://a.com/1", "a.com", 2.0, True),
+         ("https://a.com/2", "a.com", 2.0, True),
+         ("https://a.com/3", "a.com", 2.0, True),
+         ("https://b.com/1", "b.com", None, True)],
+        "url string, domain string, crawl_delay double, allowed boolean",
+    )
+    rows = crawl.schedule_frontier(frontier, default_delay=1.5).collect()
+    got = {r["url"]: (r["slot"], r["fetch_offset_s"]) for r in rows}
+    assert got["https://a.com/1"] == (0, 0.0)
+    assert got["https://a.com/2"] == (1, 2.0)
+    assert got["https://a.com/3"] == (2, 4.0)
+    # NULL delay -> default
+    assert got["https://b.com/1"] == (0, 0.0)
+    # original columns survive
+    assert all(r["allowed"] for r in rows)
+
+
+def test_schedule_frontier_order_col(spark):
+    frontier = spark.createDataFrame(
+        [("u1", "a.com", 1.0, 9), ("u2", "a.com", 1.0, 3)],
+        "url string, domain string, crawl_delay double, pri int",
+    )
+    rows = crawl.schedule_frontier(frontier, order_col="pri").collect()
+    got = {r["url"]: r["slot"] for r in rows}
+    assert got == {"u2": 0, "u1": 1}  # ordered by pri, not url
+
+
 # -------------------------------------------- scrub_secrets token class
 
 def test_scrub_secrets_redacts_high_entropy_tokens(spark):
