@@ -10790,7 +10790,11 @@ def _write_warc_curation_fixture(sf_dir: str) -> str:
     byte-distinct markup AND Unicode variants of one logical text
     (variant A: <p> + precomposed é; variant B: <div> + comment +
     decomposed e+U+0301 + ZWSP after 't') — the WARC twin of the
-    html_curation fixture. Shard 0 plain, shard 1 gzip-per-record."""
+    html_curation fixture. Variant A lands in 4 plain shards, variant B
+    in 4 gzip-per-record shards: parallelism in a WARC scan IS the file
+    count (real crawl dumps ship thousands of ~1 GiB shards), so the
+    fixture models that instead of serializing the chain into 2
+    tasks."""
     import gzip as _gzip
 
     import pyarrow.parquet as pq
@@ -10802,29 +10806,32 @@ def _write_warc_curation_fixture(sf_dir: str) -> str:
                       columns=["p_partkey"])
         .column("p_partkey").to_pylist()
     )
-    marker = os.path.join(out, f".complete-{len(keys)}")
+    marker = os.path.join(out, f".complete8-{len(keys)}")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
-    plain: list[bytes] = [_warc_aux_record(0, "warcinfo")]
-    gz: list[bytes] = [_warc_aux_record(1, "warcinfo")]
+    plain: list[list[bytes]] = [[_warc_aux_record(s, "warcinfo")]
+                                for s in range(4)]
+    gz: list[list[bytes]] = [[_warc_aux_record(s + 4, "warcinfo")]
+                             for s in range(4)]
     for i in keys:
         core = _warc_curation_core(i)
         va = "<p>" + core.replace("e", "\u00e9") + "</p>"
         vb = ("<div ><!-- v2 -->"
               + core.replace("e", "e\u0301").replace("t", "t\u200b")
               + "</div>")
-        plain.append(_frame_response(
+        plain[i % 4].append(_frame_response(
             f"https://dup{i % 3}.example.com/a/{i}", f"cur-a-{i}", va))
-        gz.append(_frame_response(
+        gz[i % 4].append(_frame_response(
             f"https://dup{i % 3}.example.com/b/{i}", f"cur-b-{i}", vb))
         if i % 10 == 0:  # WET-style conversion records: filtered downstream
-            plain.append(_warc_aux_record(i, "conversion"))
-    with open(os.path.join(out, "shard-0.warc"), "wb") as fh:
-        fh.write(b"".join(plain))
-    with open(os.path.join(out, "shard-1.warc.gz"), "wb") as fh:
-        for rec in gz:
-            fh.write(_gzip.compress(rec))
+            plain[i % 4].append(_warc_aux_record(i, "conversion"))
+    for s in range(4):
+        with open(os.path.join(out, f"shard-{s}.warc"), "wb") as fh:
+            fh.write(b"".join(plain[s]))
+        with open(os.path.join(out, f"shard-{s + 4}.warc.gz"), "wb") as fh:
+            for rec in gz[s]:
+                fh.write(_gzip.compress(rec))
     with open(marker, "w") as fh:
         fh.write(str(len(keys)))
     return out

@@ -131,6 +131,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     file (the container's own granularity); everything runs in
     executors via Arrow-batched ``mapInPandas`` — the driver never sees
     a byte of container data."""
+    import io
+
     import pandas as pd
 
     def split(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -139,9 +141,12 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             for fname, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
                 if data[:2] == b"\x1f\x8b":
-                    # standard .warc.gz: one gzip member per record;
-                    # gzip handles the concatenated members natively
-                    data = gzip.decompress(data)
+                    # standard .warc.gz: one gzip member per record. The
+                    # streaming GzipFile reader walks concatenated members
+                    # in O(n); gzip.decompress() re-slices the remaining
+                    # buffer per member — QUADRATIC in member count
+                    # (measured 14.5 s vs 0.27 s on a 21k-member shard)
+                    data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
                 rows.extend(parse_warc_bytes(data, fname))
             yield pd.DataFrame(rows, columns=_COLS)
 
