@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "robots_sitemap_discovery",
     "crawl_delay_policy",
     "frontier_schedule",
+    "streaming_warc_curation",
 ]
 
 

@@ -10895,6 +10895,71 @@ from keyed
 _ORACLE_WARC_CURATION = _warc_curation_oracle()
 
 
+def _q_streaming_warc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl intake: WARC shards arriving as a FILE STREAM
+    (sources.warc.read_warc_stream) are split, unwrapped, and cleaned
+    in-flight; the stateful aggregation keys on the curation
+    fingerprint, so the stream maintains the live dedup ledger
+    (clean_fp → arrival count). The finishing reduction (distinct keys,
+    total docs, max duplicate multiplicity) runs BATCH-side over the
+    ledger — streaming allows one stateful aggregation per query, and
+    the ledger IS the useful intermediate a real intake keeps. Counters
+    are integers: the streamed ledger is bit-equal to the batch twin,
+    so the oracle is exact. max_dup must read 2: every variant pair —
+    one member arriving through plain shards, one through gzip members
+    — collides in-flight."""
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_curation_fixture(sf_dir)
+
+    def build(s: SparkSession) -> DataFrame:
+        recs = Fwarc.read_warc_stream(s, fixture_dir)
+        pages = recs.filter(F.col("warc_type") == "response")
+        clean_fp = Ftext.fingerprint(
+            Ftext.scrub_invisible(
+                Fnorm.unicode_normalize(
+                    Fhtml.html_to_text(F.col("payload")), "NFC")
+            )
+        )
+        return pages.select(clean_fp.alias("clean_fp")).groupBy(
+            "clean_fp"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    ledger = _run_stream(spark, build, "complete")
+    return ledger.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clean_keys"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.max("n").cast("long").alias("max_dup"),
+    )
+
+
+def _streaming_warc_curation_oracle() -> str:
+    clean = _duck_html_to_text("html")
+    core = "'warc payload ' || p_partkey::varchar || ' sample text'"
+    return f"""
+with corpus as (
+  select '<p>' || replace({core}, 'e', chr(233)) || '</p>' as html
+  from part
+  union all
+  select '<div ><!-- v2 -->'
+         || replace(replace({core}, 'e', 'e' || chr(769)), 't', 't' || chr(8203))
+         || '</div>'
+  from part),
+keyed as (
+  select md5(trim(regexp_replace(lower(regexp_replace(nfc_normalize({clean}),
+             '{Ftext.INVISIBLE_PATTERN}', '', 'g')), '\\s+', ' ', 'g'))) as clean_fp
+  from corpus),
+ledger as (select clean_fp, count(*) as n from keyed group by clean_fp)
+select count(*)::bigint as n_clean_keys,
+       sum(n)::bigint as n_docs,
+       max(n)::bigint as max_dup
+from ledger
+"""
+
+
+_ORACLE_STREAMING_WARC = _streaming_warc_curation_oracle()
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -11526,6 +11591,12 @@ _REGISTRY: dict[str, QueryDef] = {
         "politeness scheduling: gate -> per-host fetch slots -> "
         "fetch_offset_s = slot * delay; per-domain makespan (the "
         "politeness-bound wall clock a capacity planner needs)"),
+    "streaming_warc_curation": QueryDef(
+        _q_streaming_warc_curation, _ORACLE_STREAMING_WARC,
+        "continuous-crawl intake: WARC shard file stream -> in-flight "
+        "unwrap + clean + fingerprint -> stateful dedup ledger; "
+        "variant pairs split across plain/gzip shards collide "
+        "in-flight (max_dup = 2)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -11555,6 +11626,7 @@ _WINDOW_FIRST = [
     "robots_sitemap_discovery",  # never-checked
     "crawl_delay_policy",  # never-checked
     "frontier_schedule",  # never-checked
+    "streaming_warc_curation",  # never-checked
     "fuzzy_match",  # latest=r07
     "json_props",  # latest=r07
     "text_quality",  # latest=r07
@@ -11594,7 +11666,6 @@ _WINDOW_FIRST = [
     "pdf15_extract",  # latest=r08
     "bpe_pair_stats",  # latest=r08
     "global_offsets",  # latest=r08
-    "pmi_collocations",  # latest=r08
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -14,7 +14,9 @@ from restaurant_etl_code_spark.sources.mdb import (  # noqa: F401
     write_fake_mdb,
 )
 from restaurant_etl_code_spark.sources.warc import (  # noqa: F401
+    BINARYFILE_SCHEMA,
     WARC_SCHEMA,
     parse_warc_bytes,
     read_warc,
+    read_warc_stream,
 )

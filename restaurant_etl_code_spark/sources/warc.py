@@ -42,7 +42,8 @@ from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["WARC_SCHEMA", "read_warc", "parse_warc_bytes"]
+__all__ = ["WARC_SCHEMA", "BINARYFILE_SCHEMA", "read_warc",
+           "read_warc_stream", "parse_warc_bytes"]
 
 WARC_SCHEMA = (
     "warc_file string, warc_type string, record_id string, "
@@ -125,30 +126,53 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
         }
 
 
+# binaryFile's fixed schema, needed explicitly for the STREAMING source
+# (file-stream sources refuse to infer)
+BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length bigint, content binary"
+)
+
+
+def _split_batches(batches: Iterable) -> Iterator:
+    """Arrow-batch splitter shared by the batch and streaming readers."""
+    import io
+
+    import pandas as pd
+
+    for pdf in batches:
+        rows: list[dict] = []
+        for fname, content in zip(pdf["path"], pdf["content"]):
+            data = bytes(content)
+            if data[:2] == b"\x1f\x8b":
+                # standard .warc.gz: one gzip member per record. The
+                # streaming GzipFile reader walks concatenated members
+                # in O(n); gzip.decompress() re-slices the remaining
+                # buffer per member — QUADRATIC in member count
+                # (measured 14.5 s vs 0.27 s on a 21k-member shard)
+                data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+            rows.extend(parse_warc_bytes(data, fname))
+        yield pd.DataFrame(rows, columns=_COLS)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Scan ``.warc`` / ``.warc.gz`` containers under ``path`` into one
     row per record (schema: :data:`WARC_SCHEMA`). Parallelism is per
     file (the container's own granularity); everything runs in
     executors via Arrow-batched ``mapInPandas`` — the driver never sees
     a byte of container data."""
-    import io
-
-    import pandas as pd
-
-    def split(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            rows: list[dict] = []
-            for fname, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                if data[:2] == b"\x1f\x8b":
-                    # standard .warc.gz: one gzip member per record. The
-                    # streaming GzipFile reader walks concatenated members
-                    # in O(n); gzip.decompress() re-slices the remaining
-                    # buffer per member — QUADRATIC in member count
-                    # (measured 14.5 s vs 0.27 s on a 21k-member shard)
-                    data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
-                rows.extend(parse_warc_bytes(data, fname))
-            yield pd.DataFrame(rows, columns=_COLS)
-
     raw = spark.read.format("binaryFile").load(path)
-    return raw.select("path", "content").mapInPandas(split, WARC_SCHEMA)
+    return raw.select("path", "content").mapInPandas(_split_batches, WARC_SCHEMA)
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: a file-arrival stream of
+    WARC shards (the continuous-crawl intake shape — dumps land as
+    shard files, each shard is one source unit). Same executor-side
+    splitter; downstream watermarks/aggregations see one row per
+    record. The ``binaryFile`` streaming source requires its schema
+    spelled out — it is fixed, so it is spelled here."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARYFILE_SCHEMA).load(path)
+    )
+    return raw.select("path", "content").mapInPandas(_split_batches, WARC_SCHEMA)

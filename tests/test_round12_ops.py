@@ -295,6 +295,32 @@ def test_read_warc_gzip_and_plain_shards(spark, tmp_path):
     assert all(r["payload"] == "<i>x</i>" and r["http_status"] == 200 for r in rows)
 
 
+def test_read_warc_stream_matches_batch(spark, tmp_path):
+    import gzip
+
+    from restaurant_etl_code_spark.sources.warc import (read_warc,
+                                                        read_warc_stream)
+    from restaurant_etl_code_spark.streaming import run_available_now
+
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<b>s</b>"
+    recs = [_mk_record("response", http, uri=f"https://h{i}.com/") for i in range(4)]
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "a.warc").write_bytes(b"".join(recs[:2]))
+    with open(tmp_path / "in" / "b.warc.gz", "wb") as fh:
+        for r in recs[2:]:
+            fh.write(gzip.compress(r))
+    stream = read_warc_stream(spark, str(tmp_path / "in")).groupBy(
+        "warc_type").count()
+    run_available_now(stream, str(tmp_path / "ckpt"),
+                      query_name="warc_stream_t", output_mode="complete")
+    got = {r["warc_type"]: r["count"]
+           for r in spark.table("warc_stream_t").collect()}
+    batch = {r["warc_type"]: r["count"]
+             for r in read_warc(spark, str(tmp_path / "in"))
+             .groupBy("warc_type").count().collect()}
+    assert got == batch == {"response": 4}
+
+
 # -------------------------------- RFC 3986 percent-encoding normalization
 
 @pytest.mark.parametrize(
