@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "crawl_delay_policy",
     "frontier_schedule",
     "streaming_warc_curation",
+    "wet_export_roundtrip",
 ]
 
 

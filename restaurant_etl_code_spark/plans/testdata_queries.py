@@ -10960,6 +10960,56 @@ from ledger
 _ORACLE_STREAMING_WARC = _streaming_warc_curation_oracle()
 
 
+def _q_wet_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-snapshot EXPORT closing the container loop (sources.warc.
+    write_warc ∘ read_warc = identity on records): the documents table
+    is framed as WET-style conversion records, written executor-side as
+    one-gzip-member-per-record shards (one shard per partition, atomic
+    rename publish), read back through the engine's own scanner, and
+    aggregated per source. The oracle computes the same aggregate from
+    the ORIGINAL table, so any framing, Content-Length, gzip, or UTF-8
+    fault anywhere in the write→read loop changes a count or a
+    character sum and hash-mismatches."""
+    import shutil
+
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    staged = docs.select(
+        F.concat(F.lit("https://corpus.example.com/"), F.col("source"),
+                 F.lit("/"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text").alias("payload"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_SCRATCH_DIR, f"wet_export_{tag}")
+    shutil.rmtree(out, ignore_errors=True)  # stale shards would pollute
+    Fwarc.write_warc(staged.repartition(8), out, gzip_members=True)
+    back = Fwarc.read_warc(spark, out)
+    shaped = back.filter(F.col("warc_type") == "conversion").select(
+        F.regexp_extract(F.col("target_uri"),
+                         r"https://corpus\.example\.com/([^/]+)/", 1)
+        .alias("source"),
+        "payload",
+    )
+    return shaped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("payload").cast("long").alias("n_distinct"),
+        F.sum(F.length("payload")).cast("long").alias("sum_chars"),
+    )
+
+
+_ORACLE_WET_EXPORT = """
+select source,
+       count(*)::bigint as n_docs,
+       count(distinct text)::bigint as n_distinct,
+       sum(length(text))::bigint as sum_chars
+from documents where text is not null
+group by source
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -11597,6 +11647,12 @@ _REGISTRY: dict[str, QueryDef] = {
         "unwrap + clean + fingerprint -> stateful dedup ledger; "
         "variant pairs split across plain/gzip shards collide "
         "in-flight (max_dup = 2)"),
+    "wet_export_roundtrip": QueryDef(
+        _q_wet_export_roundtrip, _ORACLE_WET_EXPORT,
+        "corpus-snapshot export closing the container loop: documents "
+        "framed as WET conversion records, written executor-side as "
+        "gzip-member shards, read back through the engine's own "
+        "scanner; oracle aggregates the original table"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -11627,6 +11683,7 @@ _WINDOW_FIRST = [
     "crawl_delay_policy",  # never-checked
     "frontier_schedule",  # never-checked
     "streaming_warc_curation",  # never-checked
+    "wet_export_roundtrip",  # never-checked
     "fuzzy_match",  # latest=r07
     "json_props",  # latest=r07
     "text_quality",  # latest=r07
@@ -11665,7 +11722,6 @@ _WINDOW_FIRST = [
     "running_total",  # latest=r08
     "pdf15_extract",  # latest=r08
     "bpe_pair_stats",  # latest=r08
-    "global_offsets",  # latest=r08
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

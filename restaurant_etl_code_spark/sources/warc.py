@@ -43,7 +43,8 @@ from typing import Iterable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["WARC_SCHEMA", "BINARYFILE_SCHEMA", "read_warc",
-           "read_warc_stream", "parse_warc_bytes"]
+           "read_warc_stream", "write_warc", "parse_warc_bytes",
+           "frame_record"]
 
 WARC_SCHEMA = (
     "warc_file string, warc_type string, record_id string, "
@@ -176,3 +177,75 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
         .schema(BINARYFILE_SCHEMA).load(path)
     )
     return raw.select("path", "content").mapInPandas(_split_batches, WARC_SCHEMA)
+
+
+def frame_record(url: str, payload: bytes, warc_type: str = "conversion",
+                 warc_date: str = "2026-01-01T00:00:00Z",
+                 content_type: str = "text/plain") -> bytes:
+    """Frame one WARC record (ISO 28500 envelope; Content-Length in
+    payload BYTES). Record id is a deterministic digest of
+    (url, payload) so exports are byte-reproducible across runs —
+    corpus snapshots should diff empty when the data didn't change."""
+    import hashlib
+
+    rec_id = hashlib.sha1(url.encode() + b"\x00" + payload).hexdigest()
+    hdr = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: <urn:sha1:{rec_id}>\r\n"
+        f"WARC-Date: {warc_date}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return hdr + payload + b"\r\n\r\n"
+
+
+def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
+               payload_col: str = "payload",
+               warc_type: str = "conversion",
+               warc_date: str = "2026-01-01T00:00:00Z",
+               content_type: str = "text/plain",
+               gzip_members: bool = False) -> None:
+    """Export (url, payload) rows as WARC shard files — the WET-style
+    corpus-snapshot sink closing the container loop (read_warc ∘
+    write_warc = identity on records). One shard per partition, written
+    EXECUTOR-side via foreachPartition; ``gzip_members=True`` writes
+    the standard one-gzip-member-per-record ``.warc.gz`` layout.
+    Parallelism and shard count = the DataFrame's partitioning — call
+    ``repartition(n)`` first to pick shard sizing (real corpus dumps
+    target ~1 GiB/shard).
+
+    Storage contract: ``out_dir`` must be POSIX-visible from executors
+    (local[*], NFS, fused object store). A multi-node deployment on
+    raw HDFS/S3 would route the same framing through the Hadoop
+    FileSystem API; the record framing (`frame_record`) is the
+    portable part."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        ext = ".warc.gz" if gzip_members else ".warc"
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        tmp = path + ".inprogress"
+        wrote = False
+        with open(tmp, "wb") as fh:
+            for row in rows:
+                rec = frame_record(
+                    row[url_col],
+                    (row[payload_col] or "").encode(),
+                    warc_type=warc_type, warc_date=warc_date,
+                    content_type=content_type,
+                )
+                fh.write(gzip.compress(rec) if gzip_members else rec)
+                wrote = True
+        if wrote:
+            os.replace(tmp, path)  # atomic publish; readers never see partials
+        else:
+            os.remove(tmp)  # empty partitions leave no empty shard
+
+    df.select(url_col, payload_col).foreachPartition(write_partition)

@@ -321,6 +321,30 @@ def test_read_warc_stream_matches_batch(spark, tmp_path):
     assert got == batch == {"response": 4}
 
 
+def test_write_warc_roundtrip_identity(spark, tmp_path):
+    from restaurant_etl_code_spark.sources.warc import read_warc, write_warc
+
+    rows = [("https://x.com/a", "plain text"),
+            ("https://x.com/b", "multi\nline\r\n\r\ntext"),
+            ("https://x.com/c", "unicode é ✓"),
+            ("https://x.com/d", None)]  # NULL payload -> empty record body
+    df = spark.createDataFrame(rows, "url string, payload string")
+    for gz in (False, True):
+        out = str(tmp_path / f"out_{gz}")
+        write_warc(df.repartition(2), out, gzip_members=gz)
+        back = read_warc(spark, out)
+        got = {r["target_uri"]: r["payload"] for r in back.collect()}
+        assert got == {u: (p or "") for u, p in rows}
+        types = back.select("warc_type").distinct().collect()
+        assert [t["warc_type"] for t in types] == ["conversion"]
+        # deterministic record ids: same (url, payload) -> same id
+        ids1 = {r["target_uri"]: r["record_id"] for r in back.collect()}
+        write_warc(df.repartition(2), out + "2", gzip_members=gz)
+        ids2 = {r["target_uri"]: r["record_id"]
+                for r in read_warc(spark, out + "2").collect()}
+        assert ids1 == ids2
+
+
 # -------------------------------- RFC 3986 percent-encoding normalization
 
 @pytest.mark.parametrize(
