@@ -933,6 +933,35 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                   "MapInPandas", "SortMergeJoin"],
     },
+    "robots_sitemap_discovery": {
+        # directive harvest + PSL resolution are row-local codegen;
+        # one hash-groupBy, zero joins
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
+    "frontier_schedule": {
+        # gate joins broadcast; the schedule is ONE per-host window
+        # (row_number, O(1) state) — never a global (unpartitioned) sort
+        "want": ["BroadcastHashJoin", "Window", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin"],
+    },
+    "streaming_warc_curation": {
+        # the returned frame is the batch reduction over the streamed
+        # ledger (memory sink) — the streaming plan itself ran under
+        # AvailableNow; nothing Python-row-at-a-time anywhere
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+    },
+    "wet_export_roundtrip": {
+        # container framing is the deliberate Arrow Python stage on the
+        # READ side; write side is foreachPartition (not in this plan);
+        # per-source rollup is one hash-aggregate
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
+                  "BroadcastHashJoin"],
+    },
 }
 
 
