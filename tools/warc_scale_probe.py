@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Scale probe for the WARC container family: generate a K× record
+blow-up across K× the shard count and time the read→unwrap→html→rollup
+path at 1× and K×.
+
+What scales, by construction: records per shard stay ~constant (5k)
+while SHARD COUNT grows K× — the axis real crawl dumps grow along
+(thousands of ~1 GiB files), and the axis the reader parallelizes on.
+A super-linear ratio would mean per-file overhead or a driver-side
+bottleneck; ~linear (or sub-linear while cores are idle) is the pass.
+
+Usage: python tools/warc_scale_probe.py [K]   (default 30)
+Writes shards under <repo>/.scratch/warc_scale_x{K}/ (reused if the
+record-count marker matches) and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark import get_spark
+from restaurant_etl_code_spark.functions import htmltext as Fhtml
+from restaurant_etl_code_spark.functions import urls as Furl
+from restaurant_etl_code_spark.plans.testdata_queries import (
+    _frame_response, _warc_aux_record, _warc_body)
+from restaurant_etl_code_spark.sources import warc as Fwarc
+
+RECORDS_PER_SHARD = 5000
+
+
+def build_fixture(out: str, n_records: int) -> None:
+    marker = os.path.join(out, f".complete-{n_records}")
+    if os.path.exists(marker):
+        return
+    os.makedirs(out, exist_ok=True)
+    shard, buf = 0, [_warc_aux_record(0, "warcinfo")]
+    gz = False
+    for i in range(n_records):
+        buf.append(_frame_response(
+            f"https://site{i % 50}.example.com/d/{i}", f"rec-{i}",
+            _warc_body(i), status=404 if i % 17 == 0 else 200))
+        if len(buf) > RECORDS_PER_SHARD:
+            _flush(out, shard, buf, gz)
+            shard, buf, gz = shard + 1, [], not gz
+    if buf:
+        _flush(out, shard, buf, gz)
+    with open(marker, "w") as fh:
+        fh.write(str(n_records))
+
+
+def _flush(out: str, shard: int, recs: list, gz: bool) -> None:
+    if gz:
+        with open(os.path.join(out, f"shard-{shard:05d}.warc.gz"), "wb") as fh:
+            for rec in recs:
+                fh.write(gzip.compress(rec))
+    else:
+        with open(os.path.join(out, f"shard-{shard:05d}.warc"), "wb") as fh:
+            fh.write(b"".join(recs))
+
+
+def run(spark, path: str) -> tuple[float, int]:
+    recs = Fwarc.read_warc(spark, path)
+    pages = recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        Furl.url_host(F.col("target_uri")).alias("host"),
+        Fhtml.html_to_text(F.col("payload")).alias("text_clean"),
+        F.size(Fhtml.html_links(F.col("payload"))).cast("long").alias("n_links"),
+    )
+    agg = pages.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"), F.sum("n_links").alias("n_links")
+    )
+    t0 = time.time()
+    n = agg.count()
+    return time.time() - t0, n
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_n = 20000  # = the sf0.1 fixture's record count
+    spark = get_spark("warc-scale",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    out1 = os.path.join(repo, ".scratch", "warc_scale_x1")
+    outk = os.path.join(repo, ".scratch", f"warc_scale_x{k}")
+    build_fixture(out1, base_n)
+    build_fixture(outk, base_n * k)
+    warm, _ = run(spark, out1)          # warm the session
+    t1, rows1 = run(spark, out1)
+    tk, rowsk = run(spark, outk)
+    size_k = sum(
+        os.path.getsize(os.path.join(outk, f)) for f in os.listdir(outk)
+    )
+    print(json.dumps({
+        "k": k, "sec_x1": round(t1, 2), "sec_xk": round(tk, 2),
+        "ratio": round(tk / t1, 2), "rows_x1": rows1, "rows_xk": rowsk,
+        "bytes_xk": size_k, "warm_x1": round(warm, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
