@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "frontier_schedule",
     "streaming_warc_curation",
     "wet_export_roundtrip",
+    "web_pipeline_funnel",
 ]
 
 

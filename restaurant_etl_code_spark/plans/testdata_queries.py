@@ -11010,6 +11010,100 @@ group by source
 """
 
 
+def _q_web_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11/12 web families composed END-TO-END as one funnel —
+    the query a crawl-curation team actually runs: WARC containers
+    (both fixtures: the scan shards with 404s AND the curation shards
+    with variant-pair duplicates) → robots gate (site1 publishes
+    ``Disallow: /`` — its responses must die at the gate) → HTTP-200
+    filter → html_to_text → word-count quality floor (6: site pages
+    clean to 6 tokens and pass, curation pages to 5 and fail — both
+    host classes carry mass on both sides) → NFC+scrub fingerprint
+    uniqueness among fetched pages (every curation variant pair
+    collapses). Five funnel stages as conditional counters, one row per
+    host, ONE hash-groupBy after row-local stages — the funnel costs no
+    more than its most expensive stage."""
+    from restaurant_etl_code_spark.operators import crawl
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    scan_dir = _write_warc_fixture(sf_dir)
+    cur_dir = _write_warc_curation_fixture(sf_dir)
+    recs = Fwarc.read_warc(spark, scan_dir).unionByName(
+        Fwarc.read_warc(spark, cur_dir)
+    )
+    responses = recs.filter(F.col("warc_type") == "response")
+    robots = spark.createDataFrame(
+        [("site1.example.com", "User-agent: *\nDisallow: /\n")],
+        "domain string, robots_txt string",
+    )
+    rules = crawl.parse_robots(robots)
+    gated = crawl.robots_gate(responses, rules, "TrainBot",
+                              url_col="target_uri", by="host")
+    text_clean = Fhtml.html_to_text(F.col("payload"))
+    words = F.filter(F.split(text_clean, r"\s+"), lambda w: w != "")
+    clean_fp = Ftext.fingerprint(
+        Ftext.scrub_invisible(Fnorm.unicode_normalize(text_clean, "NFC"))
+    )
+    shaped = gated.select(
+        F.col("domain").alias("host"),
+        F.col("allowed"),
+        (F.col("allowed") & (F.col("http_status") == 200)).alias("fetch_ok"),
+        F.size(words).alias("n_words"),
+        clean_fp.alias("clean_fp"),
+    )
+    return shaped.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_responses"),
+        F.sum(F.col("allowed").cast("int")).cast("long").alias("n_allowed"),
+        F.sum(F.col("fetch_ok").cast("int")).cast("long").alias("n_fetch_ok"),
+        F.sum((F.col("fetch_ok") & (F.col("n_words") >= 6)).cast("int"))
+        .cast("long").alias("n_quality"),
+        F.countDistinct(F.when(F.col("fetch_ok"), F.col("clean_fp")))
+        .cast("long").alias("n_unique"),
+    )
+
+
+def _web_pipeline_funnel_oracle() -> str:
+    clean = _duck_html_to_text("html")
+    core = "'warc payload ' || p_partkey::varchar || ' sample text'"
+    fp = (f"md5(trim(regexp_replace(lower(regexp_replace(nfc_normalize({clean}),"
+          f" '{Ftext.INVISIBLE_PATTERN}', '', 'g')), '\\s+', ' ', 'g')))")
+    return f"""
+with pages as (
+  select 'site' || (p_partkey % 5)::varchar || '.example.com' as host,
+         {_WARC_BODY_DUCK} as html,
+         (p_partkey % 17 = 0) as is404
+  from part
+  union all
+  select 'dup' || (p_partkey % 3)::varchar || '.example.com',
+         '<p>' || replace({core}, 'e', chr(233)) || '</p>', false
+  from part
+  union all
+  select 'dup' || (p_partkey % 3)::varchar || '.example.com',
+         '<div ><!-- v2 -->'
+         || replace(replace({core}, 'e', 'e' || chr(769)), 't', 't' || chr(8203))
+         || '</div>', false
+  from part),
+shaped as (
+  select host,
+         (host <> 'site1.example.com') as allowed,
+         ((host <> 'site1.example.com') and not is404) as fetch_ok,
+         len(list_filter(string_split_regex({clean}, '\\s+'),
+                         w -> w <> '')) as n_words,
+         {fp} as clean_fp
+  from pages)
+select host,
+       count(*)::bigint as n_responses,
+       sum(allowed::int)::bigint as n_allowed,
+       sum(fetch_ok::int)::bigint as n_fetch_ok,
+       sum((fetch_ok and n_words >= 6)::int)::bigint as n_quality,
+       count(distinct case when fetch_ok then clean_fp end)::bigint as n_unique
+from shaped group by host
+"""
+
+
+_ORACLE_WEB_PIPELINE = _web_pipeline_funnel_oracle()
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -11653,6 +11747,12 @@ _REGISTRY: dict[str, QueryDef] = {
         "framed as WET conversion records, written executor-side as "
         "gzip-member shards, read back through the engine's own "
         "scanner; oracle aggregates the original table"),
+    "web_pipeline_funnel": QueryDef(
+        _q_web_pipeline_funnel, _ORACLE_WEB_PIPELINE,
+        "the web families composed end-to-end: WARC containers -> "
+        "robots gate -> HTTP-200 -> html_to_text -> quality floor -> "
+        "NFC+scrub uniqueness, five funnel stages per host in one "
+        "groupBy"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -11684,6 +11784,7 @@ _WINDOW_FIRST = [
     "frontier_schedule",  # never-checked
     "streaming_warc_curation",  # never-checked
     "wet_export_roundtrip",  # never-checked
+    "web_pipeline_funnel",  # never-checked
     "fuzzy_match",  # latest=r07
     "json_props",  # latest=r07
     "text_quality",  # latest=r07
@@ -11721,7 +11822,6 @@ _WINDOW_FIRST = [
     "cube_pricing",  # latest=r08
     "running_total",  # latest=r08
     "pdf15_extract",  # latest=r08
-    "bpe_pair_stats",  # latest=r08
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -962,6 +962,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
                   "BroadcastHashJoin"],
     },
+    "web_pipeline_funnel": {
+        # containers (MapInPandas) -> broadcast robots gate -> row-local
+        # text/quality/fingerprint stages -> ONE hash-groupBy; the funnel
+        # must not sort-merge or cross-join anywhere
+        "want": ["MapInPandas", "BroadcastHashJoin", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+    },
 }
 
 
