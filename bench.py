@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "streaming_warc_curation",
     "wet_export_roundtrip",
     "web_pipeline_funnel",
+    "warc_digest_audit",
 ]
 
 

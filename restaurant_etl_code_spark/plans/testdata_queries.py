@@ -10635,8 +10635,12 @@ _WARC_BODY_DUCK = (
 
 def _frame_response(url: str, rec_id: str, body_str: str,
                     status: int = 200) -> bytes:
-    """Frame one WARC response record (HTTP envelope + WARC headers),
-    Content-Lengths in BYTES of the UTF-8 encoding."""
+    """Frame one WARC response record (HTTP envelope + WARC headers,
+    including the WARC-Payload-Digest over the HTTP BODY — the
+    crawl-time dedup/integrity seal), Content-Lengths in BYTES of the
+    UTF-8 encoding."""
+    import hashlib
+
     body = body_str.encode()
     http = (
         f"HTTP/1.1 {status} {'Not Found' if status == 404 else 'OK'}\r\n"
@@ -10649,6 +10653,7 @@ def _frame_response(url: str, rec_id: str, body_str: str,
         f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
         f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
         f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Payload-Digest: sha1:{hashlib.sha1(body).hexdigest()}\r\n"
         f"Content-Type: application/http;msgtype=response\r\n"
         f"Content-Length: {len(http)}\r\n\r\n"
     ).encode()
@@ -10659,6 +10664,15 @@ def _warc_record(i: int) -> bytes:
     return _frame_response(
         f"https://site{i % 5}.example.com/d/{i}", f"rec-{i}",
         _warc_body(i), status=404 if i % 17 == 0 else 200,
+    )
+
+
+def _warc_revisit_record(i: int) -> bytes:
+    """A re-fetch of page ``i``'s CONTENT at a different URL (status
+    200): same payload bytes ⇒ same WARC-Payload-Digest — the CDX-style
+    revisit the digest audit must cluster."""
+    return _frame_response(
+        f"https://site{i % 5}.example.com/r/{i}", f"rev-{i}", _warc_body(i)
     )
 
 
@@ -10692,7 +10706,7 @@ def _write_warc_fixture(sf_dir: str) -> str:
                       columns=["p_partkey"])
         .column("p_partkey").to_pylist()
     )
-    marker = os.path.join(out, f".complete-{len(keys)}")
+    marker = os.path.join(out, f".complete-v2-{len(keys)}")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -10702,6 +10716,8 @@ def _write_warc_fixture(sf_dir: str) -> str:
     for i in keys:
         shard = shards[i % 4]
         shard.append(_warc_record(i))
+        if i % 13 == 5:  # content re-fetched at another URL (revisit)
+            shards[(i + 1) % 4].append(_warc_revisit_record(i))
         if i % 10 == 0:  # request records must be filtered downstream
             shard.append(_warc_aux_record(i, "request"))
     for idx, recs in enumerate(shards):
@@ -10762,7 +10778,13 @@ with pages as (
   select 'site' || (p_partkey % 5)::varchar || '.example.com' as host,
          {_WARC_BODY_DUCK} as html
   from part
-  where p_partkey % 17 <> 0),
+  where p_partkey % 17 <> 0
+  union all
+  -- revisit re-fetches: same content at another URL, always HTTP 200
+  select 'site' || (p_partkey % 5)::varchar || '.example.com',
+         {_WARC_BODY_DUCK}
+  from part
+  where p_partkey % 13 = 5),
 shaped as (
   select host, {title} as title, {clean} as text_clean,
          len(regexp_extract_all(html, '{Fhtml.HREF_RE}', 1))::bigint as n_links
@@ -10806,7 +10828,7 @@ def _write_warc_curation_fixture(sf_dir: str) -> str:
                       columns=["p_partkey"])
         .column("p_partkey").to_pylist()
     )
-    marker = os.path.join(out, f".complete8-{len(keys)}")
+    marker = os.path.join(out, f".complete8-v2-{len(keys)}")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -11074,6 +11096,11 @@ with pages as (
          (p_partkey % 17 = 0) as is404
   from part
   union all
+  -- revisit re-fetches (same content, another URL, HTTP 200)
+  select 'site' || (p_partkey % 5)::varchar || '.example.com',
+         {_WARC_BODY_DUCK}, false
+  from part where p_partkey % 13 = 5
+  union all
   select 'dup' || (p_partkey % 3)::varchar || '.example.com',
          '<p>' || replace({core}, 'e', chr(233)) || '</p>', false
   from part
@@ -11102,6 +11129,67 @@ from shaped group by host
 
 
 _ORACLE_WEB_PIPELINE = _web_pipeline_funnel_oracle()
+
+
+def _q_warc_digest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-Payload-Digest audit + CDX-style revisit detection: verify
+    every response's declared digest against a recomputation over the
+    unwrapped payload (sha1 in codegen — the integrity seal that
+    catches any byte fault between fetch and curation), and count
+    revisit rows (responses sharing a digest = the same content
+    re-fetched at another URL; the fixture plants one re-fetch per
+    i%13==5, landed in a DIFFERENT shard than its original). n_digest_ok
+    must equal n_responses — the Spark side computes the comparison;
+    a reader that corrupts even one payload byte breaks the count and
+    hash-mismatches the oracle. Revisit mass = count - distinct
+    digests: the crawl-time dedup a CDX index performs before the
+    corpus ever reaches text dedup."""
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_fixture(sf_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir).filter(
+        F.col("warc_type") == "response"
+    )
+    shaped = recs.select(
+        Furl.url_host(F.col("target_uri")).alias("host"),
+        F.col("payload_digest"),
+        (F.col("payload_digest")
+         == F.concat(F.lit("sha1:"),
+                     F.sha1(F.encode(F.col("payload"), "utf-8"))))
+        .alias("digest_ok"),
+    )
+    return shaped.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_responses"),
+        F.sum(F.col("digest_ok").cast("int")).cast("long")
+        .alias("n_digest_ok"),
+        F.countDistinct("payload_digest").cast("long")
+        .alias("n_distinct_digests"),
+        (F.count(F.lit(1)) - F.countDistinct("payload_digest"))
+        .cast("long").alias("n_revisit_rows"),
+    )
+
+
+# The oracle asserts the counts the fixture guarantees by construction:
+# every declared digest verifies (bodies are a pure function of the key),
+# distinct digests = distinct keys, revisit mass = the planted re-fetches.
+# The SPARK side recomputes sha1 over the payload that actually came
+# through the container path, so any byte fault breaks n_digest_ok.
+_ORACLE_WARC_DIGEST = """
+with rows_ as (
+  select p_partkey as i,
+         'site' || (p_partkey % 5)::varchar || '.example.com' as host
+  from part
+  union all
+  select p_partkey,
+         'site' || (p_partkey % 5)::varchar || '.example.com'
+  from part where p_partkey % 13 = 5)
+select host,
+       count(*)::bigint as n_responses,
+       count(*)::bigint as n_digest_ok,
+       count(distinct i)::bigint as n_distinct_digests,
+       (count(*) - count(distinct i))::bigint as n_revisit_rows
+from rows_ group by host
+"""
 
 
 _REGISTRY: dict[str, QueryDef] = {
@@ -11753,6 +11841,11 @@ _REGISTRY: dict[str, QueryDef] = {
         "robots gate -> HTTP-200 -> html_to_text -> quality floor -> "
         "NFC+scrub uniqueness, five funnel stages per host in one "
         "groupBy"),
+    "warc_digest_audit": QueryDef(
+        _q_warc_digest_audit, _ORACLE_WARC_DIGEST,
+        "WARC-Payload-Digest integrity audit (declared vs codegen-sha1 "
+        "recomputation over the unwrapped payload) + CDX-style revisit "
+        "clustering (same digest, another URL, different shard)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -11785,6 +11878,7 @@ _WINDOW_FIRST = [
     "streaming_warc_curation",  # never-checked
     "wet_export_roundtrip",  # never-checked
     "web_pipeline_funnel",  # never-checked
+    "warc_digest_audit",  # never-checked
     "fuzzy_match",  # latest=r07
     "json_props",  # latest=r07
     "text_quality",  # latest=r07
@@ -11821,7 +11915,6 @@ _WINDOW_FIRST = [
     "pivot_counts",  # latest=r08
     "cube_pricing",  # latest=r08
     "running_total",  # latest=r08
-    "pdf15_extract",  # latest=r08
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -50,7 +50,7 @@ WARC_SCHEMA = (
     "warc_file string, warc_type string, record_id string, "
     "target_uri string, warc_date string, content_type string, "
     "http_status int, http_content_type string, payload string, "
-    "payload_len bigint"
+    "payload_len bigint, payload_digest string"
 )
 
 _COLS = [f.split()[0] for f in WARC_SCHEMA.split(", ")]
@@ -72,7 +72,7 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
                 "record_id": None, "target_uri": None, "warc_date": None,
                 "content_type": None, "http_status": None,
                 "http_content_type": None, "payload": None,
-                "payload_len": n - pos,
+                "payload_len": n - pos, "payload_digest": None,
             }
             return
         hdr_end = data.find(b"\r\n\r\n", pos)
@@ -82,7 +82,7 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
                 "record_id": None, "target_uri": None, "warc_date": None,
                 "content_type": None, "http_status": None,
                 "http_content_type": None, "payload": None,
-                "payload_len": n - pos,
+                "payload_len": n - pos, "payload_digest": None,
             }
             return
         headers: dict[str, str] = {}
@@ -124,6 +124,9 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
             "http_content_type": http_ct,
             "payload": payload.decode("utf-8", "replace"),
             "payload_len": len(body),
+            # WARC-Payload-Digest: the crawl-time dedup key (CDX revisit
+            # detection) and the integrity seal downstream audits verify
+            "payload_digest": headers.get("warc-payload-digest"),
         }
 
 
@@ -189,12 +192,16 @@ def frame_record(url: str, payload: bytes, warc_type: str = "conversion",
     import hashlib
 
     rec_id = hashlib.sha1(url.encode() + b"\x00" + payload).hexdigest()
+    # digest value in hex (the spec's labelled-digest form; Common Crawl
+    # ships base32 — readers treat the value as opaque, audits recompute)
+    digest = hashlib.sha1(payload).hexdigest()
     hdr = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {warc_type}\r\n"
         f"WARC-Record-ID: <urn:sha1:{rec_id}>\r\n"
         f"WARC-Date: {warc_date}\r\n"
         f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Payload-Digest: sha1:{digest}\r\n"
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(payload)}\r\n\r\n"
     ).encode()

@@ -321,6 +321,32 @@ def test_read_warc_stream_matches_batch(spark, tmp_path):
     assert got == batch == {"response": 4}
 
 
+def test_parse_warc_payload_digest_surfaced():
+    from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
+
+    blob = (_mk_record("response",
+                       b"HTTP/1.1 200 OK\r\n\r\nbody",
+                       uri="https://a.com/",
+                       extra="WARC-Payload-Digest: sha1:da39a3\r\n")
+            + _mk_record("metadata", b"no digest here"))
+    rows = list(parse_warc_bytes(blob, "f"))
+    assert rows[0]["payload_digest"] == "sha1:da39a3"
+    assert rows[1]["payload_digest"] is None
+
+
+def test_write_warc_digests_verify(spark, tmp_path):
+    import hashlib
+
+    from restaurant_etl_code_spark.sources.warc import read_warc, write_warc
+
+    df = spark.createDataFrame(
+        [("https://x.com/a", "payload é")], "url string, payload string")
+    write_warc(df, str(tmp_path / "o"))
+    row = read_warc(spark, str(tmp_path / "o")).collect()[0]
+    assert row["payload_digest"] == (
+        "sha1:" + hashlib.sha1("payload é".encode()).hexdigest())
+
+
 def test_write_warc_roundtrip_identity(spark, tmp_path):
     from restaurant_etl_code_spark.sources.warc import read_warc, write_warc
 

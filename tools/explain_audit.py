@@ -962,6 +962,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
                   "BroadcastHashJoin"],
     },
+    "warc_digest_audit": {
+        # digest recomputation is codegen sha1 over the unwrapped
+        # payload; one hash-groupBy, no joins
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
+                  "BroadcastHashJoin"],
+    },
     "web_pipeline_funnel": {
         # containers (MapInPandas) -> broadcast robots gate -> row-local
         # text/quality/fingerprint stages -> ONE hash-groupBy; the funnel
