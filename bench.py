@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "wet_export_roundtrip",
     "web_pipeline_funnel",
     "warc_digest_audit",
+    "robots_gate_wildcard",
 ]
 
 

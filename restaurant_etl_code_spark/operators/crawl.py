@@ -23,16 +23,18 @@ DataFrame-native and exactly SQL-mirrorable:
   broadcast join (robots tables are dimension-sized next to a frontier)
   + one per-input-row max aggregation.
 
-Documented simplifications (each a spec-sanctioned subset, noted where a
-deployment might extend): agent matching is case-insensitive EXACT name
-or ``*`` (RFC 9309 product-token prefix matching needs per-pair prefix
-logic the exact form covers for well-behaved agents); rule paths match
-as plain prefixes — ``*`` / ``$`` wildcard-bearing rules are kept as
-rows flagged ``has_wildcard`` so callers can COUNT the coverage they
-lose, but ``robots_gate`` excludes them from matching (a wildcard-free
-gate is strictly more permissive than the site's declared policy;
-the flag makes that visible instead of silent); empty-value
-``Disallow:`` lines match nothing (per spec) and are dropped.
+Rule-path matching is FULL RFC 9309 §2.2.3 (round 12): plain rules
+match as prefixes on the codegen fast path; ``*`` / ``$``
+wildcard-bearing rules (flagged ``has_wildcard`` at parse) are
+translated ONCE, on the broadcast-sized rule table, into regexes both
+engines parse identically (specials escaped, ``*`` → ``.*``, a trailing
+``$`` anchors end-of-path) and matched with per-row RLIKE — the regex
+cost is bounded by the rule table, never compiled per frontier row
+beyond matching. Documented simplification: agent matching is
+case-insensitive EXACT name or ``*`` (RFC 9309 product-token matching
+for well-behaved agents); empty-value ``Disallow:`` lines match nothing
+(per spec) and are dropped; matching is against the PATH (a deployment
+gating query strings appends ``'?' || query`` to both sides).
 """
 
 from __future__ import annotations
@@ -109,10 +111,10 @@ def parse_robots(robots: DataFrame, domain_col: str = "domain",
     previous non-blank directive line is NOT a user-agent line OPENS a
     new group; the running sum of group-openers is the group id; rules
     join every agent of their group. ``*``/``$`` wildcard-bearing rule
-    paths are KEPT, flagged ``has_wildcard = true``, so callers can
-    count the policy mass a prefix-only gate ignores;
-    :func:`robots_gate` filters them out of matching. Empty-value rules
-    (match nothing per RFC 9309) are dropped.
+    paths are flagged ``has_wildcard = true`` — :func:`robots_gate`
+    matches them via their RFC 9309 regex translation (plain rules take
+    the prefix fast path). Empty-value rules (match nothing per RFC
+    9309) are dropped.
     """
     grouped = _directive_groups(robots, domain_col, text_col)
     agents = _group_agents(grouped)
@@ -167,6 +169,24 @@ def robots_sitemaps(robots: DataFrame, domain_col: str = "domain",
     )
 
 
+def _rule_match_regex(path_prefix) -> "F.Column":
+    """Translate an RFC 9309 §2.2.3 rule path into a regex both engines
+    (java.util.regex, RE2) parse identically: escape regex specials,
+    ``*`` → ``.*``, a TRAILING ``$`` anchors end-of-path (inner ``$`` is
+    literal and gets escaped with the rest). Built as a codegen
+    expression over the (broadcast-sized) rule table — never per
+    frontier row."""
+    trailing = path_prefix.endswith("$")
+    core = F.when(
+        trailing, F.substring(path_prefix, 1, F.length(path_prefix) - 1)
+    ).otherwise(path_prefix)
+    esc = F.regexp_replace(core, r"([.\[\]{}()+?^$|\\])", r"\\$1")
+    body = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), body, F.when(trailing, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
 def _scope_applicable(candidate: DataFrame) -> DataFrame:
     """RFC 9309 group selection on the (small) rule side: when a domain
     HAS a group for the exact agent, the ``*`` group does not apply AT
@@ -195,8 +215,10 @@ def robots_gate(urls: DataFrame, rules: DataFrame, agent: str,
     robots entry for the domain) are allowed. Rule paths match against
     the RAW URL path (only empty → ``/``): canonical trailing-slash
     collapse would flip directory-URL verdicts (``/private/press/``
-    must still prefix-match ``Allow: /private/press/``). Wildcard-
-    flagged rules are excluded from matching (module docstring).
+    must still prefix-match ``Allow: /private/press/``). Wildcard
+    rules match in full RFC 9309 §2.2.3 semantics (module docstring);
+    longest-rule precedence uses the rule's ORIGINAL octet length,
+    wildcards included, per the spec.
 
     ``by``: what the rule table's ``domain`` column is keyed on —
     ``"host"`` (RFC-correct: robots.txt is fetched and scoped per host)
@@ -224,17 +246,25 @@ def robots_gate(urls: DataFrame, rules: DataFrame, agent: str,
         .withColumn("domain", key)
         .withColumn("path", Furl.url_path_raw(F.col(url_col)))
     )
-    candidate = rules.filter(
+    has_wild = (F.col("has_wildcard") if "has_wildcard" in rules.columns
+                else F.lit(False))
+    candidate = rules.withColumn("has_wildcard", has_wild).filter(
         F.col("agent").isin(agent, "*")
-        & (~F.col("has_wildcard") if "has_wildcard" in rules.columns else F.lit(True))
     ).withColumn("specific", (F.col("agent") == agent).cast("int"))
     applicable = _scope_applicable(candidate).select(
-        F.col("domain").alias("r_domain"), "path_prefix", "allow", "rule_len"
+        F.col("domain").alias("r_domain"), "path_prefix", "allow", "rule_len",
+        "has_wildcard",
+        # regex form materialized once on the broadcast-sized rule table;
+        # NULL for plain rules so the fast startswith path carries them
+        F.when(F.col("has_wildcard"),
+               _rule_match_regex(F.col("path_prefix"))).alias("match_re"),
     )
     joined = shaped.join(
         F.broadcast(applicable),
         (F.col("domain") == F.col("r_domain"))
-        & F.col("path").startswith(F.col("path_prefix")),
+        & F.when(F.col("has_wildcard"),
+                 F.expr("path rlike match_re"))
+        .otherwise(F.col("path").startswith(F.col("path_prefix"))),
         "left",
     )
     # verdict = the (rule_len, allow) max — longest rule decides, allow

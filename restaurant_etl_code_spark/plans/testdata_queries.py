@@ -10135,6 +10135,166 @@ _ORACLE_FRONTIER_SCHEDULE = _frontier_schedule_oracle()
 
 
 # --------------------------------------------------------------------------
+# RFC 9309 wildcard rule matching (round 12): '*' and trailing-'$' rule
+# paths matched in full spec semantics — the documented prefix-only gap,
+# closed. The rule regex is built ONCE on the broadcast-sized rule table.
+# --------------------------------------------------------------------------
+
+_ROBOTS_WILDCARD_FIXTURE = (
+    ("media.example.com",
+     "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp/*/draft\n"
+     "Allow: /tmp/public/draft\nDisallow: /raw/\n"),
+)
+
+
+def _q_robots_gate_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots_gate with wildcard-bearing rules in FULL RFC 9309 §2.2.3
+    semantics: '*' spans any octets, a trailing '$' anchors end-of-path,
+    regex specials in rule paths stay literal; plain rules keep the
+    prefix fast path; longest-rule precedence uses the rule's original
+    octet length wildcards included ('Allow: /tmp/public/draft', 17
+    octets, beats 'Disallow: /tmp/*/draft', 12). Cohorts pin each
+    behavior: '*.pdf$' blocks .pdf but NOT .pdfx (the anchor), the
+    mid-path '*' blocks every /tmp/<x>/draft except the allowed public
+    one, a plain rule still gates, and an untouched cohort passes.
+    Physical shape unchanged from the r11 gate: the regex translation
+    is materialized once on the broadcast rule table; the frontier side
+    evaluates one RLIKE per wildcard-rule candidate."""
+    from restaurant_etl_code_spark.operators import crawl
+
+    robots = spark.createDataFrame(
+        list(_ROBOTS_WILDCARD_FIXTURE), "domain string, robots_txt string"
+    )
+    rules = crawl.parse_robots(robots)
+    part = load_table(spark, sf_dir, "part")
+    ks = F.col("p_partkey").cast("string")
+    m = F.col("p_partkey") % 6
+    urls = part.select(
+        F.concat(
+            F.lit("https://media.example.com"),
+            F.when(m == 0, F.concat(F.lit("/doc/"), ks, F.lit(".pdf")))
+            .when(m == 1, F.concat(F.lit("/doc/"), ks, F.lit(".pdfx")))
+            .when(m == 2, F.concat(F.lit("/tmp/x"), ks, F.lit("/draft")))
+            .when(m == 3, F.lit("/tmp/public/draft"))
+            .when(m == 4, F.concat(F.lit("/raw/"), ks))
+            .otherwise(F.concat(F.lit("/ok/"), ks)),
+        ).alias("url")
+    )
+    gated = crawl.robots_gate(urls, rules, "TrainBot", by="host")
+    return gated.groupBy("allowed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("path").cast("long").alias("n_paths"),
+    )
+
+
+def _robots_gate_wildcard_oracle() -> str:
+    robots_rows = ",\n  ".join(
+        "('" + d + "', '" + t.replace("\n", "' || chr(10) || '") + "')"
+        for d, t in _ROBOTS_WILDCARD_FIXTURE
+    )
+    path = (
+        f"(case when coalesce(regexp_extract(url, '{Furl._PATH_RE}', 1), '') = ''"
+        f" then '/' else regexp_extract(url, '{Furl._PATH_RE}', 1) end)"
+    )
+    return f"""
+with robots(domain, robots_txt) as (values
+  {robots_rows}),
+lns as (
+  select domain,
+         unnest(list_zip(string_split(robots_txt, chr(10)),
+                         range(1, len(string_split(robots_txt, chr(10))) + 1))) as z
+  from robots),
+cleaned as (
+  select domain, z[2] as pos,
+         trim(regexp_replace(z[1], '#.*', '')) as line
+  from lns where trim(regexp_replace(z[1], '#.*', '')) <> ''),
+fields as (
+  select domain, pos,
+         lower(trim(regexp_extract(line, '^([^:]+):', 1))) as key,
+         trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) as value
+  from cleaned
+  where lower(trim(regexp_extract(line, '^([^:]+):', 1)))
+        in ('user-agent', 'allow', 'disallow')),
+lagged as (
+  select domain, pos, key, value,
+         case when key = 'user-agent' and
+              coalesce(lag(key) over (partition by domain order by pos), '')
+              <> 'user-agent' then 1 else 0 end as opens
+  from fields),
+grouped as (
+  select domain, pos, key, value,
+         sum(opens) over (partition by domain order by pos
+                          rows unbounded preceding) as group_id
+  from lagged),
+agents as (
+  select distinct domain, group_id, lower(value) as agent
+  from grouped where key = 'user-agent'),
+rules as (
+  select domain, group_id, (key = 'allow') as allow,
+         value as path_prefix, length(value) as rule_len,
+         (contains(value, '*') or ends_with(value, '$')) as has_wildcard
+  from grouped
+  where key in ('allow', 'disallow') and value <> ''),
+translated as (
+  select *,
+         case when has_wildcard then
+           '^' || regexp_replace(regexp_replace(
+               case when ends_with(path_prefix, '$')
+                    then substring(path_prefix, 1, length(path_prefix) - 1)
+                    else path_prefix end,
+               '([.\\[\\]{{}}()+?^$|\\\\])', '\\\\\\1', 'g'),
+               '\\*', '.*', 'g')
+             || (case when ends_with(path_prefix, '$') then '$' else '' end)
+         end as match_re
+  from rules),
+rule_rows as (
+  select a.domain, a.agent, r.path_prefix, r.allow, r.rule_len,
+         r.has_wildcard, r.match_re
+  from agents a join translated r using (domain, group_id)),
+candidate as (
+  select domain, (agent = 'trainbot')::int as specific,
+         path_prefix, allow, rule_len, has_wildcard, match_re
+  from rule_rows where agent in ('trainbot', '*')),
+scope as (select domain, max(specific) as has_specific
+          from candidate group by domain),
+applicable as (
+  select c.domain as r_domain, c.path_prefix, c.allow, c.rule_len,
+         c.has_wildcard, c.match_re
+  from candidate c join scope s on c.domain = s.domain
+  where c.specific = s.has_specific),
+frontier as (
+  select p_partkey as rid,
+         'https://media.example.com' || (case p_partkey % 6
+           when 0 then '/doc/' || p_partkey::varchar || '.pdf'
+           when 1 then '/doc/' || p_partkey::varchar || '.pdfx'
+           when 2 then '/tmp/x' || p_partkey::varchar || '/draft'
+           when 3 then '/tmp/public/draft'
+           when 4 then '/raw/' || p_partkey::varchar
+           else '/ok/' || p_partkey::varchar end) as url
+  from part),
+shaped as (
+  select rid, url, {path} as path from frontier),
+joined as (
+  select s.rid, s.path, a.allow, a.rule_len
+  from shaped s left join applicable a
+    on (case when a.has_wildcard then regexp_matches(s.path, a.match_re)
+             else starts_with(s.path, a.path_prefix) end)),
+ranked as (
+  select *, row_number() over (partition by rid
+      order by (rule_len is not null) desc, rule_len desc, allow desc) as rn
+  from joined)
+select coalesce(allow, true) as allowed,
+       count(*)::bigint as n_urls,
+       count(distinct path)::bigint as n_paths
+from ranked where rn = 1
+group by coalesce(allow, true)
+"""
+
+
+_ORACLE_ROBOTS_WILDCARD = _robots_gate_wildcard_oracle()
+
+
+# --------------------------------------------------------------------------
 # Published curation filter sets (round 11): the Gopher quality rules
 # (Rae et al. 2021, arXiv:2112.11446 Appendix A) and the C4 cleaning
 # rules (Raffel et al. 2020, arXiv:1910.10683 §2.2) — the two standard
@@ -11846,6 +12006,12 @@ _REGISTRY: dict[str, QueryDef] = {
         "WARC-Payload-Digest integrity audit (declared vs codegen-sha1 "
         "recomputation over the unwrapped payload) + CDX-style revisit "
         "clustering (same digest, another URL, different shard)"),
+    "robots_gate_wildcard": QueryDef(
+        _q_robots_gate_wildcard, _ORACLE_ROBOTS_WILDCARD,
+        "full RFC 9309 2.2.3 rule matching: '*' spans octets, trailing "
+        "'$' anchors end-of-path, specials literal, longest-octet "
+        "precedence wildcards included; regex built once on the "
+        "broadcast rule table"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -11879,6 +12045,7 @@ _WINDOW_FIRST = [
     "wet_export_roundtrip",  # never-checked
     "web_pipeline_funnel",  # never-checked
     "warc_digest_audit",  # never-checked
+    "robots_gate_wildcard",  # never-checked
     "fuzzy_match",  # latest=r07
     "json_props",  # latest=r07
     "text_quality",  # latest=r07
@@ -11914,7 +12081,6 @@ _WINDOW_FIRST = [
     "set_ops",  # latest=r08
     "pivot_counts",  # latest=r08
     "cube_pricing",  # latest=r08
-    "running_total",  # latest=r08
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

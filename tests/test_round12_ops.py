@@ -204,22 +204,51 @@ def test_parse_crawl_delays_rejects_non_numeric(spark):
     ]
 
 
-def test_robots_gate_wildcard_rules_excluded_but_countable(spark):
+def test_robots_gate_wildcard_rules_match_rfc9309(spark):
     robots = spark.createDataFrame(
-        [("w.com", "User-agent: *\nDisallow: /a/*/b\nDisallow: /plain/\n")],
+        [("w.com",
+          "User-agent: *\nDisallow: /a/*/b\nDisallow: /plain/\n"
+          "Disallow: /*.pdf$\nAllow: /docs/free*.pdf$\n")],
         "domain string, robots_txt string",
     )
     rules = crawl.parse_robots(robots)
-    assert rules.filter(F.col("has_wildcard")).count() == 1  # countable
+    assert rules.filter(F.col("has_wildcard")).count() == 3  # still countable
     urls = spark.createDataFrame(
-        [("https://w.com/a/x/b",), ("https://w.com/plain/x",)], "url string"
+        [("https://w.com/a/x/b",),        # '*' spans a segment
+         ("https://w.com/a/x/c",),        # ...but only to the rule's shape
+         ("https://w.com/plain/x",),      # plain prefix fast path
+         ("https://w.com/d/r.pdf",),      # trailing $ anchors
+         ("https://w.com/d/r.pdfx",),     # ...so a suffix escapes it
+         ("https://w.com/docs/free1.pdf",),  # longer Allow beats the block
+         ("https://w.com/a/x.(b)/b",)],   # regex specials in PATH are literal
+        "url string",
     )
     got = {r["url"]: r["allowed"]
            for r in crawl.robots_gate(urls, rules, "anybot").collect()}
-    # the wildcard rule does not gate (documented prefix-only contract)…
-    assert got["https://w.com/a/x/b"] is True
-    # …but plain rules of the same group still do
+    assert got["https://w.com/a/x/b"] is False
+    assert got["https://w.com/a/x/c"] is True
     assert got["https://w.com/plain/x"] is False
+    assert got["https://w.com/d/r.pdf"] is False
+    assert got["https://w.com/d/r.pdfx"] is True
+    assert got["https://w.com/docs/free1.pdf"] is True
+    assert got["https://w.com/a/x.(b)/b"] is False  # '*' matches '(', '.' literal
+
+
+def test_robots_gate_wildcard_rule_specials_escaped(spark):
+    # a rule path containing regex metacharacters must match literally
+    robots = spark.createDataFrame(
+        [("w.com", "User-agent: *\nDisallow: /v(1)/*.x\n")],
+        "domain string, robots_txt string",
+    )
+    rules = crawl.parse_robots(robots)
+    urls = spark.createDataFrame(
+        [("https://w.com/v(1)/a.x",), ("https://w.com/v1/a.x",)],
+        "url string",
+    )
+    got = {r["url"]: r["allowed"]
+           for r in crawl.robots_gate(urls, rules, "anybot").collect()}
+    assert got["https://w.com/v(1)/a.x"] is False
+    assert got["https://w.com/v1/a.x"] is True
 
 
 # ----------------------------------------------- WARC container parsing

@@ -962,6 +962,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
                   "BroadcastHashJoin"],
     },
+    "robots_gate_wildcard": {
+        # same gate shape as robots_gate: broadcast rule join (now with
+        # per-rule regexes materialized on the broadcast side) + one
+        # hash-aggregate per row id — RLIKE never touches a join order
+        "want": ["BroadcastHashJoin", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin"],
+    },
     "warc_digest_audit": {
         # digest recomputation is codegen sha1 over the unwrapped
         # payload; one hash-groupBy, no joins
