@@ -56,9 +56,37 @@ WARC_SCHEMA = (
 _COLS = [f.split()[0] for f in WARC_SCHEMA.split(", ")]
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer-encoding (hex size line + CRLF +
+    chunk + CRLF, terminated by a 0 chunk). Crawlers commonly store the
+    response as received, so archived bodies keep the chunk framing.
+    Malformed framing returns what decoded so far (or the raw body if
+    nothing did) — parity with the reader's tolerant-tail contract."""
+    out: list[bytes] = []
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            break
+        size_token = body[pos:nl].split(b";")[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return b"".join(out) if out else body
+        if size == 0:
+            break
+        out.append(body[nl + 2: nl + 2 + size])
+        pos = nl + 2 + size + 2  # past chunk + its trailing CRLF
+    return b"".join(out)
+
+
 def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
     """Yield one dict per WARC record in ``data`` (already decompressed).
-    Pure function of the bytes — unit-testable without Spark."""
+    Pure function of the bytes — unit-testable without Spark. HTTP
+    response payloads are fully unwrapped: chunked transfer-encoding is
+    de-chunked and ``Content-Encoding: gzip`` bodies are decompressed
+    (in that order — chunking frames the wire bytes, the entity coding
+    sits inside), because crawlers archive responses as received."""
     pos, n = 0, len(data)
     while pos < n:
         # skip inter-record CRLF padding
@@ -109,10 +137,27 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
                 parts = status_line.split()
                 if len(parts) >= 2 and parts[1].isdigit():
                     http_status = int(parts[1])
+                chunked = False
+                gzipped = False
                 for line in hlines:
-                    if line.lower().startswith("content-type:"):
+                    low = line.lower()
+                    if low.startswith("content-type:"):
                         http_ct = line.split(":", 1)[1].strip()
+                    elif low.startswith("transfer-encoding:"):
+                        chunked = "chunked" in low
+                    elif low.startswith("content-encoding:"):
+                        gzipped = "gzip" in low
                 payload = body[he + 4:]
+                if chunked:
+                    payload = _dechunk(payload)
+                if gzipped and payload[:2] == b"\x1f\x8b":
+                    import io
+                    try:
+                        payload = gzip.GzipFile(
+                            fileobj=io.BytesIO(payload)).read()
+                    except OSError:
+                        pass  # corrupt entity: keep raw bytes, countable
+                             # downstream via the digest audit
         yield {
             "warc_file": warc_file,
             "warc_type": wtype,

@@ -350,6 +350,44 @@ def test_read_warc_stream_matches_batch(spark, tmp_path):
     assert got == batch == {"response": 4}
 
 
+def test_parse_warc_http_chunked_and_gzip_bodies():
+    import gzip
+
+    from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
+
+    # chunked framing as archived from the wire
+    chunked_body = b"4\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n"
+    http1 = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+             b"Content-Type: text/html\r\n\r\n" + chunked_body)
+    # gzip entity coding
+    gz_body = gzip.compress("compressed é body".encode())
+    http2 = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz_body)
+    # chunked AND gzipped (framing outside, entity coding inside)
+    inner = gzip.compress(b"both layers")
+    chunked_gz = (format(len(inner), "x").encode() + b"\r\n" + inner
+                  + b"\r\n0\r\n\r\n")
+    http3 = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+             b"Content-Encoding: gzip\r\n\r\n" + chunked_gz)
+    blob = (_mk_record("response", http1, uri="https://a.com/1")
+            + _mk_record("response", http2, uri="https://a.com/2")
+            + _mk_record("response", http3, uri="https://a.com/3"))
+    rows = {r["target_uri"]: r for r in parse_warc_bytes(blob, "f")}
+    assert rows["https://a.com/1"]["payload"] == "Wikipedia"
+    assert rows["https://a.com/2"]["payload"] == "compressed é body"
+    assert rows["https://a.com/3"]["payload"] == "both layers"
+
+
+def test_parse_warc_malformed_chunking_degrades_gracefully():
+    from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
+
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"NOT-HEX\r\nbody")
+    blob = _mk_record("response", http, uri="https://a.com/x")
+    row = next(parse_warc_bytes(blob, "f"))
+    # malformed framing: raw bytes kept, record not lost
+    assert row["payload"] == "NOT-HEX\r\nbody"
+
+
 def test_parse_warc_payload_digest_surfaced():
     from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
 
