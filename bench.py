@@ -245,6 +245,12 @@ BENCH_QUERIES = [
     "web_pipeline_funnel",
     "warc_digest_audit",
     "robots_gate_wildcard",
+    # round-13 additions: fetch pairing, entity-coding residuals, the
+    # one-API PSL dispatcher, product-token agent matching
+    "warc_concurrent_pairs",
+    "warc_content_coding",
+    "domain_rollup_psl_auto",
+    "robots_agent_tokens",
 ]
 
 

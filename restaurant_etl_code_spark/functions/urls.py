@@ -71,6 +71,8 @@ __all__ = [
     "registrable_domain",
     "registrable_domain_psl",
     "registrable_domain_psl_join",
+    "with_registrable_domain",
+    "PSL_JOIN_THRESHOLD",
     "psl_rules_df",
     "load_psl",
     "PslRules",
@@ -522,12 +524,18 @@ def registrable_domain_psl_join(df, rules_df, host_col: str = "host",
     ``max_rule_labels`` (the real PSL's deepest rule is 5 labels; the
     fan-out is a row-local constant, NOT the label count of hostile
     99-label hosts), LEFT broadcast-join the rule table on
-    (suffix, label-count), then ONE hash-aggregate keyed on a generated
-    row id collapses each host's matches with exception-beats-all /
-    longest-wins precedence. Map-side partial aggregation means the
+    (suffix, label-count), then ONE hash-aggregate keyed ONLY on a
+    generated row id collapses each host's matches with
+    exception-beats-all / longest-wins precedence (the other columns
+    ride through as ``first()`` buffers — never as grouping keys, so a
+    map-typed frontier column or multi-KB payload string cannot break
+    or bloat the shuffle key). Map-side partial aggregation means the
     shuffle carries ~one row per input row; the key is unique, so no
-    skew is possible. All input columns are preserved; duplicates stay
-    distinct rows."""
+    skew is possible. All input columns are preserved (NULL hosts
+    included — ``posexplode_outer`` keeps their row, the PSL answer is
+    NULL); duplicates stay distinct rows. Rule columns are joined under
+    ``_psl_``-prefixed names so a frontier column named ``name`` /
+    ``kind`` / ``n_labels`` survives untouched."""
     out_cols = list(df.columns)
     hostc = F.regexp_replace(F.col(host_col), r"\.$", "")
     shaped = (
@@ -544,21 +552,33 @@ def registrable_domain_psl_join(df, rules_df, host_col: str = "host",
     )
     cands = shaped.select(
         "_rid", *out_cols, "_hostc", "_n",
-        F.posexplode(suffixes).alias("_pos", "_suffix"),
+        # _outer: a NULL host yields a NULL suffix array — the plain
+        # posexplode would DROP the row, violating the all-rows contract
+        F.posexplode_outer(suffixes).alias("_pos", "_suffix"),
+    )
+    rules_safe = rules_df.select(
+        F.col("name").alias("_psl_name"),
+        F.col("n_labels").alias("_psl_labels"),
+        F.col("kind").alias("_psl_kind"),
     )
     joined = cands.join(
-        F.broadcast(rules_df),
-        (F.col("_suffix") == F.col("name"))
-        & ((F.col("_pos") + 1) == F.col("n_labels")),
+        F.broadcast(rules_safe),
+        (F.col("_suffix") == F.col("_psl_name"))
+        & ((F.col("_pos") + 1) == F.col("_psl_labels")),
         "left",
     )
-    agg = joined.groupBy("_rid", *out_cols, "_hostc", "_n").agg(
-        F.max(F.when(F.col("kind") == "exact", F.col("n_labels")))
+    carried = [F.first(c).alias(c) for c in out_cols]
+    agg = joined.groupBy("_rid").agg(
+        *carried,
+        F.first("_hostc").alias("_hostc"),
+        F.first("_n").alias("_n"),
+        F.max(F.when(F.col("_psl_kind") == "exact", F.col("_psl_labels")))
         .alias("_sl_exact"),
-        F.max(F.when((F.col("kind") == "wildcard")
-                     & (F.col("_n") >= F.col("n_labels") + 1),
-                     F.col("n_labels") + 1)).alias("_sl_wild"),
-        F.max(F.when(F.col("kind") == "exception", F.col("n_labels") - 1))
+        F.max(F.when((F.col("_psl_kind") == "wildcard")
+                     & (F.col("_n") >= F.col("_psl_labels") + 1),
+                     F.col("_psl_labels") + 1)).alias("_sl_wild"),
+        F.max(F.when(F.col("_psl_kind") == "exception",
+                     F.col("_psl_labels") - 1))
         .alias("_sl_exc"),
     )
     sl = F.coalesce(
@@ -578,3 +598,43 @@ def registrable_domain_psl_join(df, rules_df, host_col: str = "host",
         .otherwise(F.lit(None).cast("string"))
     )
     return agg.select(*out_cols, domain.alias(out_col))
+
+
+# Rule count above which with_registrable_domain routes to the broadcast
+# join formulation. Measured (BASELINE.md, round 13): the InSet shape's
+# driver-side expression build grows linearly with rule count and is paid
+# per plan construction (~1.5 s at ~9k rules), while the join path's cost
+# is one createDataFrame + broadcast regardless of rule count; at bench
+# scale the crossover sits well under 2k rules. Reused plans (the built
+# Column captured once and applied to many frames) amortize the InSet
+# build and may prefer it — pass prefer="inset" to force.
+PSL_JOIN_THRESHOLD = 2000
+
+
+def with_registrable_domain(df, host_col: str = "host",
+                            rules: PslRules = PSL_FIXTURE,
+                            out_col: str = "registrable_domain",
+                            prefer: str = "auto"):
+    """One PSL API, two physical plans (round-12 verdict order): append
+    ``out_col`` (registrable domain under full PSL semantics) to ``df``,
+    auto-dispatching between the zero-shuffle InSet expression
+    (:func:`registrable_domain_psl`) and the broadcast-join formulation
+    (:func:`registrable_domain_psl_join`) — property-pinned equal.
+
+    Dispatch: total rule count ≤ :data:`PSL_JOIN_THRESHOLD` → the InSet
+    expression (pure codegen, no shuffle, cheap build at dimension-sized
+    rule sets); above it → the join path, whose per-session cost does
+    not grow with the rule table (the full ~9k-rule publicsuffix.org
+    file pays ~1.5 s of driver-side expression build per plan on the
+    InSet path — measured round 12). ``prefer`` ∈ {"auto", "inset",
+    "join"} overrides for callers that know better (e.g. a long-lived
+    session reusing one built plan)."""
+    n_rules = len(rules.exact) + len(rules.wildcard) + len(rules.exception)
+    use_join = (prefer == "join"
+                or (prefer == "auto" and n_rules > PSL_JOIN_THRESHOLD))
+    if not use_join:
+        return df.withColumn(
+            out_col, registrable_domain_psl(F.col(host_col), rules)
+        )
+    rules_df = psl_rules_df(df.sparkSession, rules)
+    return registrable_domain_psl_join(df, rules_df, host_col, out_col)

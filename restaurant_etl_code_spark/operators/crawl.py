@@ -30,11 +30,15 @@ translated ONCE, on the broadcast-sized rule table, into regexes both
 engines parse identically (specials escaped, ``*`` → ``.*``, a trailing
 ``$`` anchors end-of-path) and matched with per-row RLIKE — the regex
 cost is bounded by the rule table, never compiled per frontier row
-beyond matching. Documented simplification: agent matching is
-case-insensitive EXACT name or ``*`` (RFC 9309 product-token matching
-for well-behaved agents); empty-value ``Disallow:`` lines match nothing
-(per spec) and are dropped; matching is against the PATH (a deployment
-gating query strings appends ``'?' || query`` to both sides).
+beyond matching. Agent matching is FULL RFC 9309 §2.2.1 product-token
+matching (round 13): a group applies when its token is ``*`` or the
+crawler's user-agent string starts with the token case-insensitively
+(robots files write ``User-agent: TrainBot``, crawlers send
+``TrainBot/1.2``), and the longest matching token's group is selected —
+exact names remain a special case of the same rule. Empty-value
+``Disallow:`` lines match nothing (per spec) and are dropped; matching
+is against the PATH (a deployment gating query strings appends
+``'?' || query`` to both sides).
 """
 
 from __future__ import annotations
@@ -187,11 +191,35 @@ def _rule_match_regex(path_prefix) -> "F.Column":
     )
 
 
+def _agent_token_matches(agent: str):
+    """RFC 9309 §2.2.1 product-token group matching, as a predicate over
+    the parsed rule table's ``agent`` column (already lowercased at
+    parse): a group applies when its token is ``*`` OR the crawler's
+    user-agent string starts with the token, case-insensitively — real
+    robots files write ``User-agent: TrainBot`` while the crawler sends
+    ``TrainBot/1.2``. ``agent`` must arrive pre-lowercased."""
+    return (F.col("agent") == "*") | F.lit(agent).startswith(F.col("agent"))
+
+
+def _agent_specificity():
+    """Group-selection rank: the LONGEST matching product token wins
+    (``trainbot`` beats ``train`` beats ``*``); ``*`` ranks 0 so any
+    named match shadows it. Applied after :func:`_agent_token_matches`
+    has filtered to matching groups only."""
+    return F.when(F.col("agent") == "*", F.lit(0)).otherwise(
+        F.length("agent")
+    )
+
+
 def _scope_applicable(candidate: DataFrame) -> DataFrame:
-    """RFC 9309 group selection on the (small) rule side: when a domain
-    HAS a group for the exact agent, the ``*`` group does not apply AT
-    ALL — rows of the losing scope are filtered before the frontier
-    join ever sees them."""
+    """RFC 9309 group selection on the (small) rule side: only the MOST
+    SPECIFIC matching group applies per domain — when a domain has any
+    named-token match, the ``*`` group does not apply AT ALL, and among
+    named matches the longest token's group wins (``specific`` carries
+    the rank from :func:`_agent_specificity`; merged groups sharing the
+    winning token all survive, per the spec's group-merge rule). Rows of
+    losing scopes are filtered before the frontier join ever sees
+    them."""
     scope = candidate.groupBy("domain").agg(
         F.max("specific").alias("has_specific")
     )
@@ -209,10 +237,14 @@ def robots_gate(urls: DataFrame, rules: DataFrame, agent: str,
     carried through) with ``domain``, ``path``, and ``allowed`` added —
     plus ``crawl_delay`` when ``delays`` (from
     :func:`parse_crawl_delays`) is given, NULL where no delay applies.
-    Precedence (RFC 9309): rules of the exact-agent group beat the ``*``
-    group; within the winning scope the LONGEST matching path prefix
-    decides; allow wins a length tie; URLs with no matching rule (or no
-    robots entry for the domain) are allowed. Rule paths match against
+    Precedence (RFC 9309): groups match by product token (``agent`` is
+    the crawler's user-agent string; a group applies when its token is
+    ``*`` or the agent string starts with it, case-insensitively) and
+    the LONGEST matching token's group wins — so ``trainbot`` beats
+    ``train`` beats ``*`` for agent ``TrainBot/1.2``; within the winning
+    scope the LONGEST matching path prefix decides; allow wins a length
+    tie; URLs with no matching rule (or no robots entry for the domain)
+    are allowed. Rule paths match against
     the RAW URL path (only empty → ``/``): canonical trailing-slash
     collapse would flip directory-URL verdicts (``/private/press/``
     must still prefix-match ``Allow: /private/press/``). Wildcard
@@ -240,52 +272,68 @@ def robots_gate(urls: DataFrame, rules: DataFrame, agent: str,
         key = Furl.registrable_domain_psl(Furl.url_host(F.col(url_col)))
     else:
         raise ValueError(f"by must be 'host' or 'domain', got {by!r}")
-    out_cols = list(urls.columns)
+    # the gate's computed domain/path REPLACE same-named frontier columns
+    # (withColumn semantics of earlier rounds, kept for compatibility);
+    # everything else is carried through untouched
+    out_cols = [c for c in urls.columns if c not in ("domain", "path")]
     shaped = (
         urls.withColumn("_rid", F.monotonically_increasing_id())
-        .withColumn("domain", key)
-        .withColumn("path", Furl.url_path_raw(F.col(url_col)))
+        .withColumn("_gdomain", key)
+        .withColumn("_gpath", Furl.url_path_raw(F.col(url_col)))
     )
     has_wild = (F.col("has_wildcard") if "has_wildcard" in rules.columns
                 else F.lit(False))
     candidate = rules.withColumn("has_wildcard", has_wild).filter(
-        F.col("agent").isin(agent, "*")
-    ).withColumn("specific", (F.col("agent") == agent).cast("int"))
+        _agent_token_matches(agent)
+    ).withColumn("specific", _agent_specificity())
     applicable = _scope_applicable(candidate).select(
-        F.col("domain").alias("r_domain"), "path_prefix", "allow", "rule_len",
-        "has_wildcard",
+        F.col("domain").alias("_r_domain"),
+        F.col("path_prefix").alias("_r_prefix"),
+        F.col("allow").alias("_r_allow"),
+        F.col("rule_len").alias("_r_len"),
+        F.col("has_wildcard").alias("_r_wild"),
         # regex form materialized once on the broadcast-sized rule table;
         # NULL for plain rules so the fast startswith path carries them
         F.when(F.col("has_wildcard"),
-               _rule_match_regex(F.col("path_prefix"))).alias("match_re"),
+               _rule_match_regex(F.col("path_prefix"))).alias("_r_re"),
     )
     joined = shaped.join(
         F.broadcast(applicable),
-        (F.col("domain") == F.col("r_domain"))
-        & F.when(F.col("has_wildcard"),
-                 F.expr("path rlike match_re"))
-        .otherwise(F.col("path").startswith(F.col("path_prefix"))),
+        (F.col("_gdomain") == F.col("_r_domain"))
+        & F.when(F.col("_r_wild"),
+                 F.expr("_gpath rlike _r_re"))
+        .otherwise(F.col("_gpath").startswith(F.col("_r_prefix"))),
         "left",
     )
     # verdict = the (rule_len, allow) max — longest rule decides, allow
-    # breaks length ties because 1 > 0 in the struct ordering; keyed on
-    # the generated row id so duplicate frontier URLs stay distinct rows
+    # breaks length ties because 1 > 0 in the struct ordering. The
+    # aggregate is keyed ONLY on the generated row id (unique ⇒ duplicate
+    # frontier URLs stay distinct rows AND the shuffle key is 8 bytes);
+    # frontier columns ride through as first() buffers, never as grouping
+    # keys — a map-typed column or a multi-KB payload string in the
+    # frontier would make them ungroupable/hostile as keys
     verdict = F.max(
         F.when(
-            F.col("r_domain").isNotNull(),
+            F.col("_r_domain").isNotNull(),
             F.struct(
-                F.col("rule_len"), F.col("allow").cast("int").alias("allow")
+                F.col("_r_len").alias("rule_len"),
+                F.col("_r_allow").cast("int").alias("allow"),
             ),
         )
     ).alias("best")
-    out = joined.groupBy("_rid", *out_cols, "domain", "path").agg(verdict)
+    out = joined.groupBy("_rid").agg(
+        *[F.first(c).alias(c) for c in out_cols],
+        F.first("_gdomain").alias("domain"),
+        F.first("_gpath").alias("path"),
+        verdict,
+    )
     result = out.select(
         *out_cols, "domain", "path",
         F.coalesce(F.col("best.allow") == 1, F.lit(True)).alias("allowed"),
     )
     if delays is not None:
-        cand_d = delays.filter(F.col("agent").isin(agent, "*")).withColumn(
-            "specific", (F.col("agent") == agent).cast("int")
+        cand_d = delays.filter(_agent_token_matches(agent)).withColumn(
+            "specific", _agent_specificity()
         )
         appl_d = _scope_applicable(cand_d).groupBy("domain").agg(
             F.max("crawl_delay").alias("crawl_delay")

@@ -10836,14 +10836,17 @@ def _warc_revisit_record(i: int) -> bytes:
     )
 
 
-def _warc_aux_record(i: int, wtype: str) -> bytes:
+def _warc_aux_record(i: int, wtype: str, uri: str | None = None,
+                     concurrent_to: str | None = None) -> bytes:
     body = f"aux {wtype} for {i}".encode()
     hdr = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {wtype}\r\n"
         f"WARC-Record-ID: <urn:uuid:{wtype}-{i}>\r\n"
         f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
-        f"Content-Length: {len(body)}\r\n\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + (f"WARC-Concurrent-To: {concurrent_to}\r\n" if concurrent_to else "")
+        + f"Content-Length: {len(body)}\r\n\r\n"
     ).encode()
     return hdr + body + b"\r\n\r\n"
 
@@ -10866,7 +10869,7 @@ def _write_warc_fixture(sf_dir: str) -> str:
                       columns=["p_partkey"])
         .column("p_partkey").to_pylist()
     )
-    marker = os.path.join(out, f".complete-v2-{len(keys)}")
+    marker = os.path.join(out, f".complete-v3-{len(keys)}")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -10878,8 +10881,16 @@ def _write_warc_fixture(sf_dir: str) -> str:
         shard.append(_warc_record(i))
         if i % 13 == 5:  # content re-fetched at another URL (revisit)
             shards[(i + 1) % 4].append(_warc_revisit_record(i))
-        if i % 10 == 0:  # request records must be filtered downstream
-            shard.append(_warc_aux_record(i, "request"))
+        if i % 10 == 0:  # request records must be filtered downstream;
+            # they carry WARC-Concurrent-To pointing at their response
+            # (the standard fetch-pairing link) — except the %20 cohort,
+            # whose link dangles (orphans the pairing audit must count)
+            shard.append(_warc_aux_record(
+                i, "request",
+                uri=f"https://site{i % 5}.example.com/d/{i}",
+                concurrent_to=(f"<urn:uuid:missing-{i}>" if i % 20 == 0
+                               else f"<urn:uuid:rec-{i}>"),
+            ))
     for idx, recs in enumerate(shards):
         blob = b"".join(recs)
         if idx < 2:
@@ -11350,6 +11361,340 @@ select host,
        (count(*) - count(distinct i))::bigint as n_revisit_rows
 from rows_ group by host
 """
+
+
+# --------------------------------------------------------------------------
+# Round 13: WARC fetch-side completeness (request↔response pairing via
+# WARC-Concurrent-To; entity-coding residual accounting for codec-less
+# images), RFC 9309 product-token agent matching, and the one-API PSL
+# dispatcher (third physical plan, same oracle).
+# --------------------------------------------------------------------------
+
+def _q_warc_concurrent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Request→response fetch pairing over the WARC container
+    (sources.warc ``concurrent_to`` column): every request record links
+    to its response via ``WARC-Concurrent-To`` — the join that makes
+    fetch-latency / header analyses possible — except the %20 cohort,
+    whose link dangles (a real-crawl fact: responses can be lost to
+    truncation or dedup). LEFT join requests to responses on
+    (concurrent_to = record_id), then count paired / orphaned / 404-
+    landing requests per shard. The oracle rebuilds the expectation from
+    `part` arithmetic (requests exist for %10 keys, orphans for %20,
+    404s for %17) without reading a container byte. Plan: one container
+    scan feeding both join sides, shuffle hash join on a UNIQUE key
+    (record ids) — skew-impossible, no driver collection."""
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_fixture(sf_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir)
+    reqs = recs.filter(F.col("warc_type") == "request").select(
+        F.regexp_extract(F.col("warc_file"), r"shard-(\d)", 1).alias("shard"),
+        F.col("concurrent_to"),
+    )
+    resps = recs.filter(F.col("warc_type") == "response").select(
+        F.col("record_id").alias("resp_id"),
+        F.col("http_status").alias("resp_status"),
+    )
+    paired = reqs.join(
+        resps, F.col("concurrent_to") == F.col("resp_id"), "left"
+    )
+    return paired.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_requests"),
+        F.count(F.when(F.col("resp_id").isNotNull(), 1)).cast("long")
+        .alias("n_paired"),
+        F.count(F.when(F.col("resp_id").isNull(), 1)).cast("long")
+        .alias("n_orphans"),
+        F.count(F.when(F.col("resp_status") == 404, 1)).cast("long")
+        .alias("n_paired_404"),
+    )
+
+
+# requests exist for %10 == 0 keys; their shard is i % 4 (2 when i ≡ 10
+# mod 20, 0 when i ≡ 0 mod 20); the %20 cohort's Concurrent-To dangles
+_ORACLE_WARC_CONCURRENT = """
+with reqs as (
+  select p_partkey as i,
+         (case when p_partkey % 20 = 0 then '0' else '2' end) as shard,
+         (p_partkey % 20 <> 0) as paired,
+         (p_partkey % 20 <> 0 and p_partkey % 17 = 0) as hit_404
+  from part where p_partkey % 10 = 0)
+select shard,
+       count(*)::bigint as n_requests,
+       sum(paired::int)::bigint as n_paired,
+       sum((not paired)::int)::bigint as n_orphans,
+       sum(hit_404::int)::bigint as n_paired_404
+from reqs group by shard
+"""
+
+
+def _warc_coding_body(i: int) -> str:
+    return f"coding body {i} of site{i % 5}"
+
+
+def _write_warc_coding_fixture(sf_dir: str) -> str:
+    """Entity-coding cohorts (idempotent, marker-guarded): %3==0 plain
+    bodies, %3==1 ``Content-Encoding: gzip`` (really compressed — the
+    reader must decode), %3==2 ``Content-Encoding: br`` with the bytes
+    stored RAW — in a codec-less image the reader's contract is
+    byte-intact passthrough plus a countable residual, and in a
+    codec-bearing image the (invalid-stream) decode attempt fails onto
+    the same passthrough, so the fixture is deterministic either way."""
+    import gzip as _gzip
+
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_SCRATCH_DIR, f"warc_coding_{tag}")
+    keys = sorted(
+        pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey"])
+        .column("p_partkey").to_pylist()
+    )
+    marker = os.path.join(out, f".complete-v1-{len(keys)}")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    shards: list[list[bytes]] = [[], []]
+    for i in keys:
+        text = _warc_coding_body(i).encode()
+        m = i % 3
+        if m == 1:
+            body, coding = _gzip.compress(text), "gzip"
+        elif m == 2:
+            body, coding = text, "br"  # raw bytes labeled br: passthrough
+        else:
+            body, coding = text, None
+        http = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            + (f"Content-Encoding: {coding}\r\n" if coding else "")
+            + f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:cod-{i}>\r\n"
+            f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"WARC-Target-URI: https://site{i % 5}.example.com/c/{i}\r\n"
+            f"Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        shards[i % 2].append(hdr + http + b"\r\n\r\n")
+    for idx, recs in enumerate(shards):
+        with open(os.path.join(out, f"shard-{idx}.warc"), "wb") as fh:
+            fh.write(b"".join(recs))
+    with open(marker, "w") as fh:
+        fh.write(str(len(keys)))
+    return out
+
+
+def _q_warc_content_coding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-coding audit over the container scan: gzip bodies must
+    arrive DECODED (residual NULL), ``br`` bodies in a codec-less image
+    must arrive byte-INTACT with ``http_content_encoding = 'br'`` — the
+    countable-residual contract that keeps brotli crawl content from
+    becoming silent mojibake. Per-residual rollup of count / distinct
+    hosts / total payload characters: a wrong gzip decode, a dropped
+    byte in the br passthrough, or a silent decode attempt all shift
+    ``payload_chars`` and hash-mismatch against the oracle's arithmetic
+    reconstruction from `part`."""
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_coding_fixture(sf_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir)
+    resp = recs.filter(F.col("warc_type") == "response").select(
+        F.coalesce(F.col("http_content_encoding"), F.lit("decoded"))
+        .alias("residual"),
+        Furl.url_host(F.col("target_uri")).alias("host"),
+        F.length("payload").alias("plen"),
+    )
+    return resp.groupBy("residual").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum("plen").cast("long").alias("payload_chars"),
+    )
+
+
+_ORACLE_WARC_CODING = """
+with recs as (
+  select (case when p_partkey % 3 = 2 then 'br' else 'decoded' end)
+           as residual,
+         'site' || (p_partkey % 5)::varchar || '.example.com' as host,
+         length('coding body ' || p_partkey::varchar || ' of site'
+                || (p_partkey % 5)::varchar) as plen
+  from part)
+select residual,
+       count(*)::bigint as n,
+       count(distinct host)::bigint as n_hosts,
+       sum(plen)::bigint as payload_chars
+from recs group by residual
+"""
+
+
+def _q_domain_rollup_psl_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE-API PSL dispatcher (functions.urls.with_registrable_domain)
+    over the full-scale rule table and the same host cohorts as
+    domain_rollup_psl_full/_join — third physical entry point, same
+    oracle. At ~9k rules (> PSL_JOIN_THRESHOLD) the dispatcher must
+    route to the broadcast-join formulation (the measured-cheaper path:
+    no ~1.5 s per-plan InSet expression build), so this row pins BOTH
+    the routing decision and the answer."""
+    part = load_table(spark, sf_dir, "part")
+    hosts = part.select(
+        (F.col("p_partkey") % 6).cast("int").alias("cohort"),
+        _psl_full_host_fixture_spark(F.col("p_partkey")).alias("host"),
+    )
+    resolved = Furl.with_registrable_domain(
+        hosts, host_col="host", rules=_psl_full_scale_rules(),
+        out_col="domain",
+    )
+    return resolved.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.countDistinct("domain").cast("long").alias("n_domains"),
+        F.sum(F.col("domain").isNull().cast("int")).cast("long")
+        .alias("n_null_domains"),
+    )
+
+
+_ROBOTS_TOKEN_FIXTURE = (
+    ("www.example.co.uk",
+     "User-agent: TrainBot\nDisallow: /t/\n\n"
+     "User-agent: Train\nDisallow: /s/\n\n"
+     "User-agent: TrainBot-News\nDisallow: /n/\n\n"
+     "User-agent: *\nDisallow: /\n"),
+    ("blog.example.com",
+     "User-agent: Trainer\nDisallow: /x/\n\nUser-agent: *\nDisallow: /y/\n"),
+)
+
+_ROBOTS_TOKEN_DUCK_ROWS = ",\n  ".join(
+    "('" + d + "', '" + t.replace("\n", "' || chr(10) || '") + "')"
+    for d, t in _ROBOTS_TOKEN_FIXTURE
+)
+
+
+def _q_robots_agent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.1 product-token group selection (round 13): the
+    crawler sends ``TrainBot/1.2``; robots files write ``User-agent:
+    TrainBot``. A group applies when the agent string starts with its
+    token case-insensitively, and the LONGEST matching token's group is
+    selected. Cohorts pin every branch: /t/ blocked (the ``TrainBot``
+    group wins), /s/ allowed (the shorter ``Train`` group is shadowed),
+    /n/ allowed (``TrainBot-News`` does NOT match ``TrainBot/1.2`` —
+    token matching is agent-startswith-token, not the reverse), /free/
+    allowed (``*``'s Disallow-all is shadowed by the named match — the
+    single behavior exact-name matching got WRONG), /x/ allowed
+    (``Trainer`` doesn't match, and ``*`` only blocks /y/), /y/
+    blocked. Same broadcast-gate physical shape as robots_gate."""
+    from restaurant_etl_code_spark.operators import crawl
+
+    robots = spark.createDataFrame(
+        list(_ROBOTS_TOKEN_FIXTURE), "domain string, robots_txt string"
+    )
+    rules = crawl.parse_robots(robots)
+    part = load_table(spark, sf_dir, "part")
+    m = F.col("p_partkey") % 6
+    url = F.concat(
+        F.lit("https://"),
+        F.when(m <= 3, F.lit("www.example.co.uk"))
+        .otherwise(F.lit("blog.example.com")),
+        F.when(m == 0, F.lit("/t/")).when(m == 1, F.lit("/s/"))
+        .when(m == 2, F.lit("/n/")).when(m == 3, F.lit("/free/"))
+        .when(m == 4, F.lit("/x/")).otherwise(F.lit("/y/")),
+        F.col("p_partkey").cast("string"),
+    )
+    urls = part.select(m.cast("int").alias("cohort"), url.alias("url"))
+    gated = crawl.robots_gate(urls, rules, "TrainBot/1.2", by="host")
+    return gated.groupBy("cohort", "domain", "allowed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls")
+    )
+
+
+def _robots_agent_tokens_oracle() -> str:
+    """Relational twin of the token gate: same robots parse CTEs as the
+    policy oracles, but the candidate scope ranks groups by
+    starts_with(crawler_agent, token) with longest-token precedence."""
+    host = f"lower(regexp_extract(url, '{Furl._HOSTPORT_RE}', 1))"
+    path = (
+        f"(case when coalesce(regexp_extract(url, '{Furl._PATH_RE}', 1), '') = ''"
+        f" then '/' else regexp_extract(url, '{Furl._PATH_RE}', 1) end)"
+    )
+    return f"""
+with robots(domain, robots_txt) as (values
+  {_ROBOTS_TOKEN_DUCK_ROWS}),
+lns as (
+  select domain,
+         unnest(list_zip(string_split(robots_txt, chr(10)),
+                         range(1, len(string_split(robots_txt, chr(10))) + 1))) as z
+  from robots),
+cleaned as (
+  select domain, z[2] as pos,
+         trim(regexp_replace(z[1], '#.*', '')) as line
+  from lns where trim(regexp_replace(z[1], '#.*', '')) <> ''),
+fields as (
+  select domain, pos,
+         lower(trim(regexp_extract(line, '^([^:]+):', 1))) as key,
+         trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) as value
+  from cleaned
+  where lower(trim(regexp_extract(line, '^([^:]+):', 1)))
+        in ('user-agent', 'allow', 'disallow')),
+lagged as (
+  select domain, pos, key, value,
+         case when key = 'user-agent' and
+              coalesce(lag(key) over (partition by domain order by pos), '')
+              <> 'user-agent' then 1 else 0 end as opens
+  from fields),
+grouped as (
+  select domain, pos, key, value,
+         sum(opens) over (partition by domain order by pos
+                          rows unbounded preceding) as group_id
+  from lagged),
+agents as (
+  select distinct domain, group_id, lower(value) as agent
+  from grouped where key = 'user-agent'),
+rules as (
+  select domain, group_id, (key = 'allow') as allow,
+         value as path_prefix, length(value) as rule_len
+  from grouped where key in ('allow', 'disallow') and value <> ''),
+rule_rows as (
+  select a.domain, a.agent, r.path_prefix, r.allow, r.rule_len
+  from agents a join rules r using (domain, group_id)),
+candidate as (
+  select domain,
+         (case when agent = '*' then 0 else length(agent) end) as specific,
+         path_prefix, allow, rule_len
+  from rule_rows
+  where agent = '*' or starts_with('trainbot/1.2', agent)),
+scope as (select domain, max(specific) as has_specific
+          from candidate group by domain),
+applicable as (
+  select c.domain as r_domain, c.path_prefix, c.allow, c.rule_len
+  from candidate c join scope s on c.domain = s.domain
+  where c.specific = s.has_specific),
+frontier as (
+  select p_partkey as rid, (p_partkey % 6)::int as cohort,
+         'https://' || (case when p_partkey % 6 <= 3
+             then 'www.example.co.uk' else 'blog.example.com' end)
+         || (case p_partkey % 6
+             when 0 then '/t/' when 1 then '/s/' when 2 then '/n/'
+             when 3 then '/free/' when 4 then '/x/' else '/y/' end)
+         || p_partkey::varchar as url
+  from part),
+shaped as (
+  select rid, cohort, url, {host} as domain, {path} as path from frontier),
+joined as (
+  select s.rid, s.cohort, s.domain, s.path, a.allow, a.rule_len
+  from shaped s left join applicable a
+    on s.domain = a.r_domain and starts_with(s.path, a.path_prefix)),
+ranked as (
+  select *, row_number() over (partition by rid
+      order by (rule_len is not null) desc, rule_len desc, allow desc) as rn
+  from joined)
+select cohort, domain, coalesce(allow, true) as allowed,
+       count(*)::bigint as n_urls
+from ranked where rn = 1
+group by cohort, domain, coalesce(allow, true)
+"""
+
+
+_ORACLE_ROBOTS_TOKENS = _robots_agent_tokens_oracle()
 
 
 _REGISTRY: dict[str, QueryDef] = {
@@ -12012,6 +12357,30 @@ _REGISTRY: dict[str, QueryDef] = {
         "'$' anchors end-of-path, specials literal, longest-octet "
         "precedence wildcards included; regex built once on the "
         "broadcast rule table"),
+    "warc_concurrent_pairs": QueryDef(
+        _q_warc_concurrent_pairs, _ORACLE_WARC_CONCURRENT,
+        "request->response fetch pairing via WARC-Concurrent-To: LEFT "
+        "join on record id (unique key, skew-impossible), paired / "
+        "orphaned / 404-landing counts per shard; oracle rebuilds the "
+        "link structure from part arithmetic"),
+    "warc_content_coding": QueryDef(
+        _q_warc_content_coding, _ORACLE_WARC_CODING,
+        "entity-coding audit: gzip bodies decoded, br bodies byte-"
+        "intact with countable http_content_encoding residual (the "
+        "codec-less-image contract) — per-residual count/hosts/"
+        "payload-chars rollup"),
+    "domain_rollup_psl_auto": QueryDef(
+        _q_domain_rollup_psl_auto, _ORACLE_DOMAIN_ROLLUP_PSL_FULL,
+        "one-API PSL dispatcher at full rule scale: "
+        "with_registrable_domain routes ~9k rules to the broadcast-join "
+        "formulation; third physical plan, same oracle as "
+        "domain_rollup_psl_full/_join"),
+    "robots_agent_tokens": QueryDef(
+        _q_robots_agent_tokens, _ORACLE_ROBOTS_TOKENS,
+        "RFC 9309 2.2.1 product-token group selection: TrainBot/1.2 "
+        "matches token TrainBot case-insensitively, longest token wins, "
+        "named match shadows '*'; cohorts pin every branch including "
+        "the one exact-name matching got wrong"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

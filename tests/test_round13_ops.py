@@ -1,0 +1,256 @@
+"""Round-13 unit tests: NULL-host preservation in the PSL join
+formulation, _rid-keyed aggregates (map-typed / clobber-named frontier
+columns), the one-API PSL dispatcher, RFC 9309 product-token agent
+matching, and the WARC fetch-side completeness fixes (mid-payload
+truncation, _dechunk degrade, brotli residual coding, Concurrent-To
+pairing, per-file splitter frames)."""
+import gzip
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.functions import urls as Furl
+from restaurant_etl_code_spark.operators import crawl
+
+
+# ------------------------------------------------ PSL join: row contract
+
+def _small_rules():
+    return Furl.load_psl("com\nco.uk\n*.ck\n!www.ck\n")
+
+
+def test_psl_join_keeps_null_and_empty_hosts(spark):
+    # ADVICE r12: size(split(NULL)) is NULL -> plain posexplode emitted
+    # ZERO rows for a NULL host, silently dropping it from the output
+    rules_df = Furl.psl_rules_df(spark, _small_rules())
+    df = spark.createDataFrame(
+        [("a.example.com", 1), (None, 2), ("", 3), ("b.co.uk", 4)],
+        "host string, k int",
+    )
+    rows = Furl.registrable_domain_psl_join(df, rules_df, out_col="d").collect()
+    assert sorted(r["k"] for r in rows) == [1, 2, 3, 4]
+    by_k = {r["k"]: r["d"] for r in rows}
+    assert by_k[1] == "example.com"
+    assert by_k[2] is None and by_k[3] is None
+    assert by_k[4] == "b.co.uk"
+    # and the expression path agrees on the same inputs
+    want = {r["k"]: r["d"] for r in df.select(
+        "k", Furl.registrable_domain_psl(F.col("host"), _small_rules())
+        .alias("d")).collect()}
+    assert by_k == want
+
+
+def test_psl_join_survives_map_and_clobber_named_columns(spark):
+    # ADVICE r12: grouping by every frontier column broke on map-typed
+    # columns (not groupable) and on columns named name/kind/n_labels
+    # (clobbered by the rule join). The aggregate is now keyed on _rid.
+    rules_df = Furl.psl_rules_df(spark, _small_rules())
+    df = spark.createDataFrame(
+        [("a.example.com", {"a": 1}, "row-name", "row-kind"),
+         ("b.co.uk", {"b": 2}, "row-name-2", "row-kind-2")],
+        "host string, meta map<string,int>, name string, kind string",
+    )
+    rows = Furl.registrable_domain_psl_join(df, rules_df, out_col="d").collect()
+    by_host = {r["host"]: r for r in rows}
+    assert by_host["a.example.com"]["d"] == "example.com"
+    assert by_host["a.example.com"]["meta"] == {"a": 1}
+    assert by_host["a.example.com"]["name"] == "row-name"  # not clobbered
+    assert by_host["b.co.uk"]["kind"] == "row-kind-2"
+
+
+def test_with_registrable_domain_dispatch(spark):
+    # one API, two plans: below the threshold -> InSet expression (no
+    # shuffle in the plan); forced join -> same answers
+    rules = _small_rules()
+    df = spark.createDataFrame(
+        [("x.a.example.com",), ("y.co.uk",), ("z.anything.ck",), (None,)],
+        "host string",
+    )
+    inset = Furl.with_registrable_domain(df, rules=rules, out_col="d")
+    assert "Exchange" not in inset._jdf.queryExecution().executedPlan().toString()
+    joined = Furl.with_registrable_domain(df, rules=rules, out_col="d",
+                                          prefer="join")
+    a = {r["host"]: r["d"] for r in inset.collect()}
+    b = {r["host"]: r["d"] for r in joined.collect()}
+    assert a == b
+    # auto mode routes big rule sets to the join path
+    big = Furl.PslRules(
+        exact=frozenset(f"tld{i}" for i in range(Furl.PSL_JOIN_THRESHOLD + 1)),
+        wildcard=frozenset(), exception=frozenset(),
+    )
+    routed = Furl.with_registrable_domain(df, rules=big, out_col="d")
+    assert "Exchange" in routed._jdf.queryExecution().executedPlan().toString()
+
+
+# --------------------------------------- robots gate: product tokens
+
+_TOKEN_ROBOTS = [
+    ("a.com",
+     "User-agent: trainbot\nDisallow: /t/\n\n"
+     "User-agent: train\nDisallow: /shorter/\n\n"
+     "User-agent: *\nDisallow: /\n"),
+    ("b.com", "User-agent: train\nDisallow: /b/\n\nUser-agent: *\nAllow: /\n"),
+    ("c.com", "User-agent: OtherBot\nDisallow: /\n\nUser-agent: *\nDisallow: /star/\n"),
+]
+
+
+def test_robots_gate_product_token_precedence(spark):
+    # RFC 9309 2.2.1: 'User-agent: trainbot' matches crawler
+    # 'TrainBot/1.2' case-insensitively; the LONGEST matching token's
+    # group is selected (trainbot beats train beats *), and a named
+    # match shadows '*' entirely
+    robots = spark.createDataFrame(_TOKEN_ROBOTS,
+                                   "domain string, robots_txt string")
+    rules = crawl.parse_robots(robots)
+    urls = spark.createDataFrame(
+        [("https://a.com/t/x",), ("https://a.com/shorter/x",),
+         ("https://a.com/free",),
+         ("https://b.com/b/x",), ("https://c.com/anything",),
+         ("https://c.com/star/x",)],
+        "url string",
+    )
+    got = {r["url"]: r["allowed"]
+           for r in crawl.robots_gate(urls, rules, "TrainBot/1.2").collect()}
+    assert got["https://a.com/t/x"] is False        # trainbot group applies
+    assert got["https://a.com/shorter/x"] is True   # train group shadowed
+    assert got["https://a.com/free"] is True        # '*' shadowed too
+    assert got["https://b.com/b/x"] is False        # train matches by prefix
+    assert got["https://c.com/anything"] is True    # OtherBot doesn't match
+    assert got["https://c.com/star/x"] is False     # falls to '*' group
+
+
+def test_robots_gate_map_column_and_domain_clobber(spark):
+    # ADVICE r12: the gate grouped by every frontier column -> map-typed
+    # columns raised AnalysisException and payload strings became
+    # grouping keys; now the aggregate keys on _rid only
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /no/\n")],
+        "domain string, robots_txt string",
+    )
+    rules = crawl.parse_robots(robots)
+    urls = spark.createDataFrame(
+        [("https://a.com/no/x", {"k": 1}, "stale-domain"),
+         ("https://a.com/ok", {"k": 2}, "stale-domain-2")],
+        "url string, meta map<string,int>, domain string",
+    )
+    rows = crawl.robots_gate(urls, rules, "anybot").collect()
+    by_url = {r["url"]: r for r in rows}
+    assert by_url["https://a.com/no/x"]["allowed"] is False
+    assert by_url["https://a.com/no/x"]["meta"] == {"k": 1}
+    # computed domain replaces the stale frontier column (withColumn
+    # semantics of earlier rounds)
+    assert by_url["https://a.com/no/x"]["domain"] == "a.com"
+
+
+# ------------------------------------------------ WARC fetch-side fixes
+
+def _mk_record(wtype, body, uri=None, extra=""):
+    hdr = (f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+           f"WARC-Record-ID: <urn:uuid:t-{wtype}-{len(body)}>\r\n"
+           + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+           + extra
+           + f"Content-Length: {len(body)}\r\n\r\n").encode()
+    return hdr + body + b"\r\n\r\n"
+
+
+def test_parse_warc_truncated_mid_payload_is_countable():
+    from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
+
+    # ADVICE r12: a container cut mid-payload used to emit a silently
+    # SHORT record as a normal row
+    good = _mk_record("metadata", b"good")
+    cut = _mk_record("metadata", b"this-payload-gets-truncated")[:-20]
+    rows = list(parse_warc_bytes(good + cut, "f"))
+    assert [r["warc_type"] for r in rows] == ["metadata", "_parse-error"]
+    assert rows[1]["payload"] is None
+
+
+def test_dechunk_body_without_crlf_passes_through():
+    from restaurant_etl_code_spark.sources.warc import _dechunk
+
+    # ADVICE r12: a body with no CRLF at all returned b'' (payload
+    # dropped); the degrade contract is raw-body passthrough
+    assert _dechunk(b"no chunk framing here") == b"no chunk framing here"
+    # and partial decode still returns what decoded
+    partial = b"5\r\nhello\r\nZZZ-not-hex"
+    assert _dechunk(partial) == b"hello"
+
+
+def test_parse_warc_brotli_residual_coding():
+    from restaurant_etl_code_spark.sources import warc as W
+
+    body = b"pretend-brotli-bytes \xff\x00"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: br\r\n\r\n" + body)
+    rows = list(W.parse_warc_bytes(
+        _mk_record("response", http, uri="https://a.com/x"), "f"))
+    assert rows[0]["http_status"] == 200
+    if W._brotli is None:
+        # no codec in the image: bytes pass through INTACT and the
+        # residual coding is countable — never silent mojibake
+        assert rows[0]["http_content_encoding"] == "br"
+        assert rows[0]["payload"] == body.decode("utf-8", "replace")
+    else:  # pragma: no cover - codec-bearing images
+        assert rows[0]["http_content_encoding"] == "br"  # invalid stream
+
+
+def test_parse_warc_gzip_entity_still_decodes_residual_null():
+    from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
+
+    body = gzip.compress(b"<p>decoded</p>")
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + body)
+    rows = list(parse_warc_bytes(
+        _mk_record("response", http, uri="https://a.com/x"), "f"))
+    assert rows[0]["payload"] == "<p>decoded</p>"
+    assert rows[0]["http_content_encoding"] is None
+    # unknown coding: passthrough + countable token
+    http2 = (b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\nraw")
+    rows2 = list(parse_warc_bytes(
+        _mk_record("response", http2, uri="https://a.com/y"), "f"))
+    assert rows2[0]["http_content_encoding"] == "zstd"
+    assert rows2[0]["payload"] == "raw"
+
+
+def test_parse_warc_concurrent_to_surfaced_and_joinable(spark):
+    from restaurant_etl_code_spark.sources.warc import (WARC_SCHEMA,
+                                                        parse_warc_bytes)
+
+    http = b"HTTP/1.1 200 OK\r\n\r\nhello"
+    resp = _mk_record("response", http, uri="https://a.com/x",
+                      extra="WARC-Record-ID: <urn:uuid:resp-1>\r\n")
+    req = _mk_record("request", b"GET /x HTTP/1.1",
+                     uri="https://a.com/x",
+                     extra="WARC-Concurrent-To: <urn:uuid:resp-1>\r\n")
+    rows = list(parse_warc_bytes(resp + req, "f"))
+    by_type = {r["warc_type"]: r for r in rows}
+    assert by_type["request"]["concurrent_to"] == "<urn:uuid:resp-1>"
+    assert by_type["response"]["concurrent_to"] is None
+    # the pairing join: request.concurrent_to == response.record_id
+    df = spark.createDataFrame(
+        [tuple(r[c] for c in
+               [f.split()[0] for f in WARC_SCHEMA.split(", ")])
+         for r in rows], WARC_SCHEMA)
+    reqs = df.filter(F.col("warc_type") == "request").alias("q")
+    resps = df.filter(F.col("warc_type") == "response").alias("p")
+    paired = reqs.join(resps,
+                       F.col("q.concurrent_to") == F.col("p.record_id"))
+    assert paired.count() == 1
+
+
+def test_split_batches_yields_one_frame_per_file():
+    import pandas as pd
+
+    from restaurant_etl_code_spark.sources.warc import _split_batches
+
+    # ADVICE r12: one output frame per FILE (peak memory = one file's
+    # records), not one frame per Arrow batch of files
+    blob = _mk_record("metadata", b"a") + _mk_record("metadata", b"b")
+    batch = pd.DataFrame({"path": ["f1", "f2"],
+                          "content": [blob, blob]})
+    frames = list(_split_batches([batch]))
+    assert len(frames) == 2
+    assert [len(f) for f in frames] == [2, 2]
+    assert set(frames[0]["warc_file"]) == {"f1"}
+    assert set(frames[1]["warc_file"]) == {"f2"}

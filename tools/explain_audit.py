@@ -984,6 +984,37 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "want": ["MapInPandas", "BroadcastHashJoin", "HashAggregate"],
         "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
     },
+    "warc_concurrent_pairs": {
+        # both join sides come off the container scan; the pairing join
+        # keys on UNIQUE record ids (a shuffle join is fine and
+        # skew-impossible; the response side is corpus-sized so a
+        # broadcast would be wrong at 100 TB) + one hash-groupBy
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython",
+                  "BroadcastNestedLoopJoin"],
+    },
+    "warc_content_coding": {
+        # entity decode lives inside the container splitter (the one
+        # deliberate Arrow stage); the residual rollup is codegen
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
+                  "BroadcastHashJoin"],
+    },
+    "domain_rollup_psl_auto": {
+        # the dispatcher must ROUTE to the join formulation at ~9k
+        # rules: broadcast rule join + rid-keyed hash-aggregate (an
+        # InSet-shaped plan here would mean the routing broke)
+        "want": ["BroadcastHashJoin", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin"],
+    },
+    "robots_agent_tokens": {
+        # same broadcast-gate shape as robots_gate: token selection
+        # happens on the broadcast-sized rule side, never per frontier row
+        "want": ["BroadcastHashJoin", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin"],
+    },
 }
 
 
