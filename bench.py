@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "warc_content_coding",
     "domain_rollup_psl_auto",
     "robots_agent_tokens",
+    "domain_rollup_psl_snapshot",
 ]
 
 

@@ -8790,29 +8790,33 @@ _PSL_HOST_FIXTURE_DUCK = """
 """
 
 
-def _duck_psl_suffix_len(labels: str, n: str) -> str:
+def _duck_psl_suffix_len(labels: str, n: str, rules=None) -> str:
     """DuckDB twin of the registrable_domain_psl suffix-length fold,
     generated from the SAME PslRules fixture so the engines cannot
     drift: nested CASE over IN-list membership, longest match wins,
-    exceptions prevail."""
+    exceptions prevail. ``rules`` defaults to the bundled
+    ``PSL_FIXTURE`` excerpt."""
     from restaurant_etl_code_spark.functions.urls import (
         PSL_FIXTURE, _rules_by_label_count)
+
+    if rules is None:
+        rules = PSL_FIXTURE
 
     def last_k(k: int) -> str:
         return f"array_to_string(list_slice({labels}, -{k}, {n}), '.')"
 
     sl = "1"
-    for k, names in _rules_by_label_count(PSL_FIXTURE.exact).items():
+    for k, names in _rules_by_label_count(rules.exact).items():
         if k == 1:
             continue
         inlist = ", ".join(f"'{x}'" for x in names)
         sl = (f"(case when {n} >= {k} and {last_k(k)} in ({inlist}) "
               f"then greatest({sl}, {k}) else {sl} end)")
-    for b, bases in _rules_by_label_count(PSL_FIXTURE.wildcard).items():
+    for b, bases in _rules_by_label_count(rules.wildcard).items():
         inlist = ", ".join(f"'{x}'" for x in bases)
         sl = (f"(case when {n} >= {b + 1} and {last_k(b)} in ({inlist}) "
               f"then greatest({sl}, {b + 1}) else {sl} end)")
-    for e, names in _rules_by_label_count(PSL_FIXTURE.exception).items():
+    for e, names in _rules_by_label_count(rules.exception).items():
         inlist = ", ".join(f"'{x}'" for x in names)
         sl = (f"(case when {n} >= {e} and {last_k(e)} in ({inlist}) "
               f"then {e - 1} else {sl} end)")
@@ -11697,6 +11701,106 @@ group by cohort, domain, coalesce(allow, true)
 _ORACLE_ROBOTS_TOKENS = _robots_agent_tokens_oracle()
 
 
+# --------------------------------------------------------------------------
+# Vendored-PSL realism probe (round 13): the ~370-rule curated excerpt of
+# the REAL publicsuffix.org list (functions/psl_snapshot.py — the build
+# environment is network-blocked, so the full dated file cannot be
+# vendored; the excerpt carries every rule family the real file uses,
+# PRIVATE hosting suffixes included). The synthetic ~9k-rule probe above
+# stays the SIZE test; this is the REALISM test.
+# --------------------------------------------------------------------------
+
+def _psl_snapshot_host_fixture_spark(key: Column) -> Column:
+    m = key % 14
+    return (
+        F.when(m == 0, F.lit("www.bbc.co.uk"))
+        .when(m == 1, F.lit("a.b.example.com.au"))
+        .when(m == 2, F.lit("proj.user.github.io"))
+        .when(m == 3, F.lit("x.me.blogspot.com"))
+        .when(m == 4, F.lit("city.kawasaki.jp"))
+        .when(m == 5, F.lit("other.kawasaki.jp"))
+        .when(m == 6, F.lit("shop.other.kawasaki.jp"))
+        .when(m == 7, F.lit("foo.bar.bd"))
+        .when(m == 8, F.lit("x.s3.amazonaws.com"))
+        .when(m == 9, F.lit("github.io"))
+        .when(m == 10, F.lit("sub.example.tokyo.jp"))
+        .when(m == 11, F.lit("app.onrender.com"))
+        .when(m == 12, F.lit("example.com."))
+        .otherwise(F.lit("10.0.0.7"))
+    )
+
+
+_PSL_SNAPSHOT_HOST_DUCK = """
+  select case p_partkey % 14
+           when 0 then 'www.bbc.co.uk'
+           when 1 then 'a.b.example.com.au'
+           when 2 then 'proj.user.github.io'
+           when 3 then 'x.me.blogspot.com'
+           when 4 then 'city.kawasaki.jp'
+           when 5 then 'other.kawasaki.jp'
+           when 6 then 'shop.other.kawasaki.jp'
+           when 7 then 'foo.bar.bd'
+           when 8 then 'x.s3.amazonaws.com'
+           when 9 then 'github.io'
+           when 10 then 'sub.example.tokyo.jp'
+           when 11 then 'app.onrender.com'
+           when 12 then 'example.com.'
+           else '10.0.0.7' end as host
+  from part
+"""
+
+
+def _q_domain_rollup_psl_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain rollup under the vendored REAL-rule excerpt
+    (functions/psl_snapshot.PSL_SNAPSHOT) through the one-API
+    dispatcher: ~370 rules sit under PSL_JOIN_THRESHOLD, so the route
+    must be the zero-shuffle InSet expression. Cohorts exercise rule
+    families only the real list has: PRIVATE hosting suffixes
+    (github.io — both a registrable-under host and the bare-suffix NULL
+    case — blogspot.com, s3.amazonaws.com, onrender.com), the Japanese
+    city wildcard+exception family, a wildcard-only ccTLD (*.bd),
+    geographic tokyo.jp, an FQDN trailing dot, and an IP literal."""
+    from restaurant_etl_code_spark.functions.psl_snapshot import PSL_SNAPSHOT
+
+    part = load_table(spark, sf_dir, "part")
+    hosts = part.select(
+        _psl_snapshot_host_fixture_spark(F.col("p_partkey")).alias("host")
+    )
+    resolved = Furl.with_registrable_domain(
+        hosts, host_col="host", rules=PSL_SNAPSHOT, out_col="domain"
+    )
+    return resolved.groupBy("host", "domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def _domain_rollup_psl_snapshot_oracle() -> str:
+    from restaurant_etl_code_spark.functions.psl_snapshot import PSL_SNAPSHOT
+
+    sl = _duck_psl_suffix_len("labels", "n", rules=PSL_SNAPSHOT)
+    return f"""
+with hosts as ({_PSL_SNAPSHOT_HOST_DUCK}),
+parts as (
+  select host, string_split(regexp_replace(host, '\\.$', ''), '.') as labels,
+         len(string_split(regexp_replace(host, '\\.$', ''), '.')) as n
+  from hosts),
+sl as (select host, labels, n, {sl} as s from parts),
+dom as (
+  select host,
+         (case when host is null or host = '' then null
+               when regexp_matches(regexp_replace(host, '\\.$', ''), '{Furl._IPV4_RE}')
+                    or starts_with(host, '[') then regexp_replace(host, '\\.$', '')
+               when n > s then array_to_string(list_slice(labels, -(s + 1), n), '.')
+               else null end) as domain
+  from sl)
+select host, domain, count(*)::bigint as n
+from dom group by host, domain
+"""
+
+
+_ORACLE_DOMAIN_ROLLUP_PSL_SNAPSHOT = _domain_rollup_psl_snapshot_oracle()
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -12381,6 +12485,12 @@ _REGISTRY: dict[str, QueryDef] = {
         "matches token TrainBot case-insensitively, longest token wins, "
         "named match shadows '*'; cohorts pin every branch including "
         "the one exact-name matching got wrong"),
+    "domain_rollup_psl_snapshot": QueryDef(
+        _q_domain_rollup_psl_snapshot, _ORACLE_DOMAIN_ROLLUP_PSL_SNAPSHOT,
+        "vendored REAL-rule PSL excerpt (~370 publicsuffix.org rules, "
+        "PRIVATE section included) through the dispatcher's InSet "
+        "route: github.io/blogspot/city-wildcard/exception/*.bd "
+        "cohorts, FQDN dot, IP literal"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -254,3 +254,31 @@ def test_split_batches_yields_one_frame_per_file():
     assert [len(f) for f in frames] == [2, 2]
     assert set(frames[0]["warc_file"]) == {"f1"}
     assert set(frames[1]["warc_file"]) == {"f2"}
+
+
+# ------------------------------------------------ vendored PSL excerpt
+
+def test_psl_snapshot_loads_and_resolves(spark):
+    from restaurant_etl_code_spark.functions.psl_snapshot import (
+        PSL_SNAPSHOT, PSL_SNAPSHOT_TEXT)
+
+    n_rules = (len(PSL_SNAPSHOT.exact) + len(PSL_SNAPSHOT.wildcard)
+               + len(PSL_SNAPSHOT.exception))
+    assert n_rules > 300  # a real excerpt, not a toy
+    assert n_rules < Furl.PSL_JOIN_THRESHOLD  # dispatcher: InSet route
+    # the real file's structure is intact through load_psl
+    assert "co.uk" in PSL_SNAPSHOT.exact
+    assert "github.io" in PSL_SNAPSHOT.exact          # PRIVATE section
+    assert "kawasaki.jp" in PSL_SNAPSHOT.wildcard
+    assert "city.kawasaki.jp" in PSL_SNAPSHOT.exception
+    assert "bd" in PSL_SNAPSHOT.wildcard
+    assert "MPL" in PSL_SNAPSHOT_TEXT or "Mozilla Public License" in PSL_SNAPSHOT_TEXT
+    got = {r["host"]: r["d"] for r in spark.createDataFrame(
+        [("proj.user.github.io",), ("other.kawasaki.jp",),
+         ("city.kawasaki.jp",), ("foo.bar.bd",)], "host string"
+    ).select("host", Furl.registrable_domain_psl(
+        F.col("host"), PSL_SNAPSHOT).alias("d")).collect()}
+    assert got["proj.user.github.io"] == "user.github.io"
+    assert got["other.kawasaki.jp"] is None   # wildcard-consumed suffix
+    assert got["city.kawasaki.jp"] == "city.kawasaki.jp"  # exception
+    assert got["foo.bar.bd"] == "foo.bar.bd"  # wildcard-only ccTLD

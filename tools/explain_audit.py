@@ -1015,6 +1015,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                   "MapInPandas", "SortMergeJoin"],
     },
+    "domain_rollup_psl_snapshot": {
+        # ~370 rules < PSL_JOIN_THRESHOLD: the dispatcher must route to
+        # the zero-shuffle InSet expression — a join here means the
+        # routing broke; one hash-groupBy only
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
 }
 
 
