@@ -12507,59 +12507,59 @@ _REGISTRY: dict[str, QueryDef] = {
 # applies the policy above; hand-maintained rotation notes failed in
 # r6/r7 and miscounted in r8, so the tool's output is authoritative.)
 #
-# r12 window provenance (ledger as of r11, tools/freshness.py --window 50
-# --as-of 11): the 4 never-checked round-12 queries, the remaining r07
-# cohort, the oldest r08 cohort, and the two anchors.
-_WINDOW_ROUND = 11  # ledger state this window was generated from
+# r13 window provenance (ledger as of r12, tools/freshness.py --window 50
+# --as-of 12): the 5 never-checked round-13 queries, the oldest (r08)
+# cohort, the r09 cohort, and the two anchors.
+_WINDOW_ROUND = 12  # ledger state this window was generated from
 _WINDOW_FIRST = [
-    "domain_rollup_psl_full",  # never-checked
-    "domain_rollup_psl_join",  # never-checked
-    "url_percent_canonical",  # never-checked
-    "warc_scan_agg",  # never-checked
-    "warc_curation",  # never-checked
-    "robots_sitemap_discovery",  # never-checked
-    "crawl_delay_policy",  # never-checked
-    "frontier_schedule",  # never-checked
-    "streaming_warc_curation",  # never-checked
-    "wet_export_roundtrip",  # never-checked
-    "web_pipeline_funnel",  # never-checked
-    "warc_digest_audit",  # never-checked
-    "robots_gate_wildcard",  # never-checked
-    "fuzzy_match",  # latest=r07
-    "json_props",  # latest=r07
-    "text_quality",  # latest=r07
-    "lang_id",  # latest=r07
-    "exact_dedup",  # latest=r07
-    "training_prep",  # latest=r07
-    "minhash_lsh_pairs",  # latest=r07
-    "simhash_pairs",  # latest=r07
-    "ngram_jaccard_capped",  # latest=r07
-    "embedding_near_dup",  # latest=r07
-    "dedup_clusters",  # latest=r07
-    "merge_pruned",  # latest=r07
-    "pdf_real_extract",  # latest=r07
-    "importance_resample",  # latest=r07
-    "fuzzy_join",  # latest=r07
-    "span_dedup",  # latest=r07
-    "dedup_keep_first",  # latest=r08
-    "streaming_window",  # latest=r08
-    "ngram_jaccard",  # latest=r08
-    "ann_cosine_topk",  # latest=r08
-    "ann_bucketed_topk",  # latest=r08
-    "ann_ivf_topk",  # latest=r08
-    "similarity_match",  # latest=r08
-    "embedding_near_dup_lsh",  # latest=r08
-    "quantize_fidelity",  # latest=r08
-    "ann_multiprobe_topk",  # latest=r08
-    "sequence_pack",  # latest=r08
-    "multimodal_features",  # latest=r08
-    "contentgen_fallback",  # latest=r08
-    "pipeline_products",  # latest=r08
-    "pipeline_updates",  # latest=r08
-    "merge_upsert",  # latest=r08
-    "set_ops",  # latest=r08
-    "pivot_counts",  # latest=r08
-    "cube_pricing",  # latest=r08
+    "warc_concurrent_pairs",  # never-checked
+    "warc_content_coding",  # never-checked
+    "domain_rollup_psl_auto",  # never-checked
+    "robots_agent_tokens",  # never-checked
+    "domain_rollup_psl_snapshot",  # never-checked
+    "running_total",  # latest=r08
+    "pdf15_extract",  # latest=r08
+    "bpe_pair_stats",  # latest=r08
+    "global_offsets",  # latest=r08
+    "pmi_collocations",  # latest=r08
+    "label_propagation",  # latest=r08
+    "kmeans_clusters",  # latest=r08
+    "phrase_merge",  # latest=r08
+    "distribution_drift",  # latest=r08
+    "streaming_curation",  # latest=r08
+    "pq_codes",  # latest=r08
+    "pq_adc_topk",  # latest=r08
+    "ivfpq_topk",  # latest=r08
+    "ivfpq_recall",  # latest=r08
+    "bpe_trainer",  # latest=r08
+    "ivfpq_residual_topk",  # latest=r08
+    "bpe_encode",  # latest=r08
+    "bigram_logprob",  # latest=r08
+    "token_budget_select",  # latest=r08
+    "incremental_dedup",  # latest=r08
+    "classifier_train",  # latest=r08
+    "streaming_neardup",  # latest=r08
+    "packing_efficiency",  # latest=r08
+    "curation_best_quality",  # latest=r08
+    "hard_negatives",  # latest=r08
+    "jl_distortion",  # latest=r08
+    "cdc_chunk_dedup",  # latest=r08
+    "cdc_containment",  # latest=r08
+    "bpe_compression",  # latest=r08
+    "positional_zip",  # latest=r09
+    "url_parse",  # latest=r09
+    "industry_resolve",  # latest=r09
+    "update_fields",  # latest=r09
+    "distinct_categories",  # latest=r09
+    "stratified_split",  # latest=r09
+    "tfidf_top_terms",  # latest=r09
+    "decontaminate",  # latest=r09
+    "stats_moments",  # latest=r09
+    "pii_scrub",  # latest=r09
+    "doc_chunks",  # latest=r09
+    "repetition_signals",  # latest=r09
+    "group_sample",  # latest=r09
+    "rolling_stats",  # latest=r09
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]
