@@ -257,13 +257,17 @@ def robots_gate(urls: DataFrame, rules: DataFrame, agent: str,
     or ``"domain"`` (registrable-domain aggregation, the coarse
     curation-level view when only per-site policies were collected).
 
-    Physical shape: broadcast the rule table (a robots corpus is
-    dimension-sized next to a 100 TB frontier), left-join on domain,
-    prefix-filter, one per-row max aggregation keyed on a generated row
-    id — no window over the frontier, no skew pivot (a hot domain's
-    rule list is small; the join fans out |rules(domain)| per URL,
-    bounded by the parse cap). The optional delay join is a second
-    broadcast against a per-domain table.
+    Physical shape (round 13 — ZERO frontier shuffle): the winning
+    scope's rules collapse into one struct array per domain on the
+    dimension-sized rule side; the frontier takes ONE broadcast
+    left-join on domain (1:1, no fanout) and the verdict is a ROW-LOCAL
+    array fold (filter matching rules, array_max over (rule_len, allow)
+    structs). No window, no aggregation, no shuffle of frontier bytes —
+    the earlier shape fanned each URL out per matching rule and
+    collapsed the fanout with a row-id-keyed aggregate, which shuffled
+    the whole frontier (payload columns included) once. A hot domain's
+    rule array is bounded by the spec's 500 KiB parse cap. The optional
+    delay join is a second broadcast against a per-domain table.
     """
     agent = agent.lower()
     if by == "host":
@@ -277,8 +281,7 @@ def robots_gate(urls: DataFrame, rules: DataFrame, agent: str,
     # everything else is carried through untouched
     out_cols = [c for c in urls.columns if c not in ("domain", "path")]
     shaped = (
-        urls.withColumn("_rid", F.monotonically_increasing_id())
-        .withColumn("_gdomain", key)
+        urls.withColumn("_gdomain", key)
         .withColumn("_gpath", Furl.url_path_raw(F.col(url_col)))
     )
     has_wild = (F.col("has_wildcard") if "has_wildcard" in rules.columns
@@ -286,50 +289,50 @@ def robots_gate(urls: DataFrame, rules: DataFrame, agent: str,
     candidate = rules.withColumn("has_wildcard", has_wild).filter(
         _agent_token_matches(agent)
     ).withColumn("specific", _agent_specificity())
-    applicable = _scope_applicable(candidate).select(
-        F.col("domain").alias("_r_domain"),
-        F.col("path_prefix").alias("_r_prefix"),
-        F.col("allow").alias("_r_allow"),
-        F.col("rule_len").alias("_r_len"),
-        F.col("has_wildcard").alias("_r_wild"),
-        # regex form materialized once on the broadcast-sized rule table;
-        # NULL for plain rules so the fast startswith path carries them
-        F.when(F.col("has_wildcard"),
-               _rule_match_regex(F.col("path_prefix"))).alias("_r_re"),
-    )
+    # collapse the winning scope's rules into ONE struct array per domain
+    # (rule-side aggregation is dimension-sized: the spec caps a robots
+    # file at 500 KiB, so the array is bounded per domain); the regex
+    # form is materialized here, once per rule, NULL for plain rules
+    rule_arrays = _scope_applicable(candidate).groupBy("domain").agg(
+        F.collect_list(F.struct(
+            F.col("path_prefix").alias("prefix"),
+            F.col("allow").cast("int").alias("allow"),
+            F.col("rule_len").alias("rule_len"),
+            F.col("has_wildcard").alias("wild"),
+            F.when(F.col("has_wildcard"),
+                   _rule_match_regex(F.col("path_prefix"))).alias("re"),
+        )).alias("_rules")
+    ).select(F.col("domain").alias("_r_domain"), "_rules")
+    # ONE broadcast join (1:1 on domain — no fanout), then a ROW-LOCAL
+    # array fold picks the verdict: filter to matching rules (plain
+    # prefixes on the fast path, wildcard regexes via regexp_like),
+    # array_max over (rule_len, allow) structs — longest rule decides,
+    # allow breaks length ties because 1 > 0 in the struct ordering.
+    # The frontier is NEVER shuffled: the r12 shape fanned each URL out
+    # per matching rule and collapsed it with a row-id-keyed aggregate,
+    # shuffling the whole frontier (multi-KB payloads included) once;
+    # this shape does the same longest-match inside the row.
     joined = shaped.join(
-        F.broadcast(applicable),
-        (F.col("_gdomain") == F.col("_r_domain"))
-        & F.when(F.col("_r_wild"),
-                 F.expr("_gpath rlike _r_re"))
-        .otherwise(F.col("_gpath").startswith(F.col("_r_prefix"))),
+        F.broadcast(rule_arrays),
+        F.col("_gdomain") == F.col("_r_domain"),
         "left",
     )
-    # verdict = the (rule_len, allow) max — longest rule decides, allow
-    # breaks length ties because 1 > 0 in the struct ordering. The
-    # aggregate is keyed ONLY on the generated row id (unique ⇒ duplicate
-    # frontier URLs stay distinct rows AND the shuffle key is 8 bytes);
-    # frontier columns ride through as first() buffers, never as grouping
-    # keys — a map-typed column or a multi-KB payload string in the
-    # frontier would make them ungroupable/hostile as keys
-    verdict = F.max(
-        F.when(
-            F.col("_r_domain").isNotNull(),
-            F.struct(
-                F.col("_r_len").alias("rule_len"),
-                F.col("_r_allow").cast("int").alias("allow"),
-            ),
-        )
-    ).alias("best")
-    out = joined.groupBy("_rid").agg(
-        *[F.first(c).alias(c) for c in out_cols],
-        F.first("_gdomain").alias("domain"),
-        F.first("_gpath").alias("path"),
-        verdict,
+    path = F.col("_gpath")
+    matching = F.filter(
+        F.col("_rules"),
+        lambda r: F.when(r["wild"], F.regexp_like(path, r["re"]))
+        .otherwise(path.startswith(r["prefix"])),
     )
-    result = out.select(
-        *out_cols, "domain", "path",
-        F.coalesce(F.col("best.allow") == 1, F.lit(True)).alias("allowed"),
+    best = F.array_max(F.transform(
+        matching,
+        lambda r: F.struct(r["rule_len"].alias("rule_len"),
+                           r["allow"].alias("allow")),
+    ))
+    result = joined.select(
+        *out_cols,
+        F.col("_gdomain").alias("domain"),
+        F.col("_gpath").alias("path"),
+        F.coalesce(best["allow"] == 1, F.lit(True)).alias("allowed"),
     )
     if delays is not None:
         cand_d = delays.filter(_agent_token_matches(agent)).withColumn(

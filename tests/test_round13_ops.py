@@ -282,3 +282,25 @@ def test_psl_snapshot_loads_and_resolves(spark):
     assert got["other.kawasaki.jp"] is None   # wildcard-consumed suffix
     assert got["city.kawasaki.jp"] == "city.kawasaki.jp"  # exception
     assert got["foo.bar.bd"] == "foo.bar.bd"  # wildcard-only ccTLD
+
+
+def test_robots_gate_frontier_side_is_shuffle_free(spark):
+    # round-13 shape: rules collapse to a per-domain struct array on the
+    # broadcast side; the frontier takes one 1:1 broadcast join and a
+    # row-local array fold — NO exchange may touch frontier bytes
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /no/\nAllow: /no/pub*\n")],
+        "domain string, robots_txt string",
+    )
+    rules = crawl.parse_robots(robots)
+    urls = spark.createDataFrame(
+        [("https://a.com/no/x", "P" * 500), ("https://a.com/no/pub1", "Q")],
+        "url string, payload string",
+    )
+    g = crawl.robots_gate(urls, rules, "anybot")
+    got = {r["url"]: r["allowed"] for r in g.collect()}
+    assert got["https://a.com/no/x"] is False
+    assert got["https://a.com/no/pub1"] is True  # wildcard allow wins
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    frontier_side = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange" not in frontier_side
