@@ -520,84 +520,80 @@ def registrable_domain_psl_join(df, rules_df, host_col: str = "host",
     join — same answers as :func:`registrable_domain_psl` (property-
     pinned in tests), different physical shape for rules-as-data.
 
-    Plan: per host, explode the last-k suffixes for k ≤
-    ``max_rule_labels`` (the real PSL's deepest rule is 5 labels; the
-    fan-out is a row-local constant, NOT the label count of hostile
-    99-label hosts), LEFT broadcast-join the rule table on
-    (suffix, label-count), then ONE hash-aggregate keyed ONLY on a
-    generated row id collapses each host's matches with
-    exception-beats-all / longest-wins precedence (the other columns
-    ride through as ``first()`` buffers — never as grouping keys, so a
-    map-typed frontier column or multi-KB payload string cannot break
-    or bloat the shuffle key). Map-side partial aggregation means the
-    shuffle carries ~one row per input row; the key is unique, so no
-    skew is possible. All input columns are preserved (NULL hosts
-    included — ``posexplode_outer`` keeps their row, the PSL answer is
-    NULL); duplicates stay distinct rows. Rule columns are joined under
-    ``_psl_``-prefixed names so a frontier column named ``name`` /
-    ``kind`` / ``n_labels`` survives untouched."""
+    Plan (round 13 — ZERO frontier shuffle): the rule table is
+    pre-pivoted per (name, depth) into one row carrying
+    (is_exact, is_wildcard, is_exception) flags — the key is then
+    UNIQUE, so each of the ≤``max_rule_labels`` per-depth broadcast
+    left-joins on the host's last-k-labels suffix is strictly 1:1 (no
+    fanout, nothing to collapse); the exception-beats-all /
+    longest-wins precedence is a row-local greatest/coalesce over the
+    ≤6 match flags. The earlier shape exploded the suffixes and
+    collapsed the fanout with a row-id-keyed hash-aggregate, which
+    shuffled every frontier row once; this shape never shuffles
+    frontier bytes at all — k broadcast hash probes per row replace
+    (explode + probe + shuffle + aggregate). All input columns are
+    preserved (NULL hosts included, answer NULL); duplicates stay
+    distinct rows; map-typed or ``name``/``kind``-named frontier
+    columns survive (internal columns are ``_psl``-prefixed)."""
     out_cols = list(df.columns)
     hostc = F.regexp_replace(F.col(host_col), r"\.$", "")
-    shaped = (
-        df.withColumn("_rid", F.monotonically_increasing_id())
-        .withColumn("_hostc", hostc)
-        .withColumn("_n", F.size(F.split(hostc, r"\.")))
+    # unique (name, depth) key: a name can be an exact rule AND a
+    # wildcard base AND an exception at the same depth — pivot the kinds
+    # into flags so the per-depth joins are provably 1:1
+    pivoted = rules_df.groupBy("name", "n_labels").agg(
+        F.max((F.col("kind") == "exact").cast("int")).alias("_ex"),
+        F.max((F.col("kind") == "wildcard").cast("int")).alias("_wi"),
+        F.max((F.col("kind") == "exception").cast("int")).alias("_xc"),
     )
-    ks = F.sequence(F.lit(1), F.least(F.col("_n"), F.lit(max_rule_labels)))
-    suffixes = F.transform(
-        ks,
-        lambda k: F.array_join(
-            F.slice(F.split(F.col("_hostc"), r"\."), F.col("_n") - k + 1, k), "."
-        ),
+    shaped = df.select(
+        "*", hostc.alias("_hostc"),
+        F.size(F.split(hostc, r"\.")).alias("_n"),
     )
-    cands = shaped.select(
-        "_rid", *out_cols, "_hostc", "_n",
-        # _outer: a NULL host yields a NULL suffix array — the plain
-        # posexplode would DROP the row, violating the all-rows contract
-        F.posexplode_outer(suffixes).alias("_pos", "_suffix"),
-    )
-    rules_safe = rules_df.select(
-        F.col("name").alias("_psl_name"),
-        F.col("n_labels").alias("_psl_labels"),
-        F.col("kind").alias("_psl_kind"),
-    )
-    joined = cands.join(
-        F.broadcast(rules_safe),
-        (F.col("_suffix") == F.col("_psl_name"))
-        & ((F.col("_pos") + 1) == F.col("_psl_labels")),
-        "left",
-    )
-    carried = [F.first(c).alias(c) for c in out_cols]
-    agg = joined.groupBy("_rid").agg(
-        *carried,
-        F.first("_hostc").alias("_hostc"),
-        F.first("_n").alias("_n"),
-        F.max(F.when(F.col("_psl_kind") == "exact", F.col("_psl_labels")))
-        .alias("_sl_exact"),
-        F.max(F.when((F.col("_psl_kind") == "wildcard")
-                     & (F.col("_n") >= F.col("_psl_labels") + 1),
-                     F.col("_psl_labels") + 1)).alias("_sl_wild"),
-        F.max(F.when(F.col("_psl_kind") == "exception",
-                     F.col("_psl_labels") - 1))
-        .alias("_sl_exc"),
-    )
-    sl = F.coalesce(
-        F.col("_sl_exc"),
-        F.greatest(F.coalesce(F.col("_sl_exact"), F.lit(1)),
-                   F.coalesce(F.col("_sl_wild"), F.lit(1))),
-    )
-    labels = F.split(F.col("_hostc"), r"\.")
+    labels0 = F.split(F.col("_hostc"), r"\.")
+    joined = shaped
+    for k in range(1, max_rule_labels + 1):
+        suffix_k = F.when(
+            F.col("_n") >= k,
+            F.array_join(F.slice(labels0, F.col("_n") - k + 1, k), "."),
+        )
+        rules_k = pivoted.filter(F.col("n_labels") == k).select(
+            F.col("name").alias(f"_psl_name{k}"),
+            F.col("_ex").alias(f"_psl_ex{k}"),
+            F.col("_wi").alias(f"_psl_wi{k}"),
+            F.col("_xc").alias(f"_psl_xc{k}"),
+        )
+        joined = joined.withColumn(f"_sfx{k}", suffix_k).join(
+            F.broadcast(rules_k),
+            F.col(f"_sfx{k}") == F.col(f"_psl_name{k}"),
+            "left",
+        )
+    n = F.col("_n")
+    exact_cands = [F.lit(1)] + [
+        F.when(F.col(f"_psl_ex{k}") == 1, F.lit(k))
+        for k in range(2, max_rule_labels + 1)  # 1-label exacts add
+    ]                                           # nothing over the floor
+    wild_cands = [F.lit(1)] + [
+        F.when((F.col(f"_psl_wi{k}") == 1) & (n >= k + 1), F.lit(k + 1))
+        for k in range(1, max_rule_labels + 1)
+    ]
+    exc_cands = [
+        F.when(F.col(f"_psl_xc{k}") == 1, F.lit(k - 1))
+        for k in range(1, max_rule_labels + 1)
+    ]
+    base_len = F.greatest(F.greatest(*exact_cands), F.greatest(*wild_cands))
+    exc_len = F.greatest(*exc_cands)
+    sl = F.coalesce(exc_len, base_len)
     registrable = F.array_join(
-        F.slice(labels, F.greatest(F.col("_n") - sl, F.lit(1)), sl + 1), "."
+        F.slice(labels0, F.greatest(n - sl, F.lit(1)), sl + 1), "."
     )
     domain = (
         F.when(F.col("_hostc").isNull() | (F.col("_hostc") == ""),
                F.lit(None).cast("string"))
         .when(_is_ip_literal(F.col("_hostc")), F.col("_hostc"))
-        .when(F.col("_n") > sl, registrable)
+        .when(n > sl, registrable)
         .otherwise(F.lit(None).cast("string"))
     )
-    return agg.select(*out_cols, domain.alias(out_col))
+    return joined.select(*out_cols, domain.alias(out_col))
 
 
 # Rule count above which with_registrable_domain routes to the broadcast

@@ -304,3 +304,50 @@ def test_robots_gate_frontier_side_is_shuffle_free(spark):
     plan = g._jdf.queryExecution().executedPlan().toString()
     frontier_side = plan.split("BroadcastHashJoin")[0]
     assert "Exchange" not in frontier_side
+
+
+def test_psl_join_frontier_side_is_shuffle_free(spark):
+    # round-13 shape: per-depth 1:1 broadcast joins on a pivoted unique
+    # (name, depth) key + row-local precedence — no hashpartitioning
+    # exchange may touch frontier bytes (BroadcastExchange is expected)
+    rules_df = Furl.psl_rules_df(spark, _small_rules())
+    df = spark.createDataFrame(
+        [("a.example.com", "P" * 500), ("b.co.uk", "Q")],
+        "host string, payload string",
+    )
+    out = Furl.registrable_domain_psl_join(df, rules_df, out_col="d")
+    got = {r["host"]: r["d"] for r in out.collect()}
+    assert got == {"a.example.com": "example.com", "b.co.uk": "b.co.uk"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every hashpartitioning exchange must key on the RULE table's
+    # pivot (name, n_labels) — never on a frontier column
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        assert seg.split(")", 1)[0].startswith("name#"), seg[:80]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_psl_join_name_both_exact_and_wildcard(spark):
+    # the pivot exists because a name can be an exact rule AND a
+    # wildcard base at the same depth — the join must stay 1:1 and the
+    # precedence must still pick the deeper wildcard match
+    rules = Furl.load_psl("com\nfoo.com\n*.foo.com\n")
+    rules_df = Furl.psl_rules_df(spark, rules)
+    df = spark.createDataFrame(
+        [("x.foo.com",),      # consumed by *.foo.com -> NULL (is suffix)
+         ("y.x.foo.com",),    # registrable under the wildcard
+         ("foo.com",)],       # exact suffix -> NULL
+        "host string",
+    )
+    out = {r["host"]: r["d"] for r in Furl.registrable_domain_psl_join(
+        df, rules_df, out_col="d").collect()}
+    assert out["x.foo.com"] is None
+    assert out["y.x.foo.com"] == "y.x.foo.com"
+    assert out["foo.com"] is None
+    # row count unchanged: 1:1 joins, no fanout survived
+    assert Furl.registrable_domain_psl_join(
+        df, rules_df, out_col="d").count() == 3
+    # and the InSet path agrees
+    want = {r["host"]: r["d"] for r in df.select(
+        "host", Furl.registrable_domain_psl(F.col("host"), rules)
+        .alias("d")).collect()}
+    assert out == want
