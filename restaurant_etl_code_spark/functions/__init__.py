@@ -2,6 +2,7 @@ from restaurant_etl_code_spark.functions import (  # noqa: F401
     cleansing,
     htmltext,
     normalize,
+    psl_snapshot,
     text,
     urls,
     vectors,

@@ -11384,32 +11384,44 @@ def _q_warc_concurrent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (concurrent_to = record_id), then count paired / orphaned / 404-
     landing requests per shard. The oracle rebuilds the expectation from
     `part` arithmetic (requests exist for %10 keys, orphans for %20,
-    404s for %17) without reading a container byte. Plan: one container
-    scan feeding both join sides, shuffle hash join on a UNIQUE key
-    (record ids) — skew-impossible, no driver collection."""
+    404s for %17) without reading a container byte.
+
+    Plan — ONE container pass: a self-join of two filtered views of the
+    scan would parse the (100 TB) containers TWICE, since neither side
+    has a reusable exchange; instead both record kinds project a shared
+    pairing key (requests: ``concurrent_to``, responses: ``record_id``)
+    and ONE hash-aggregate per key zips the pair — the shuffle carries
+    a few tiny columns, keys are unique record ids (skew-impossible),
+    and the expensive byte-parsing stage runs once."""
     from restaurant_etl_code_spark.sources import warc as Fwarc
 
     fixture_dir = _write_warc_fixture(sf_dir)
     recs = Fwarc.read_warc(spark, fixture_dir)
-    reqs = recs.filter(F.col("warc_type") == "request").select(
-        F.regexp_extract(F.col("warc_file"), r"shard-(\d)", 1).alias("shard"),
-        F.col("concurrent_to"),
+    sel = recs.filter(F.col("warc_type").isin("request", "response")).select(
+        F.when(F.col("warc_type") == "request", F.col("concurrent_to"))
+        .otherwise(F.col("record_id")).alias("pair_key"),
+        (F.col("warc_type") == "request").cast("int").alias("is_req"),
+        F.when(F.col("warc_type") == "request",
+               F.regexp_extract(F.col("warc_file"), r"shard-(\d)", 1))
+        .alias("req_shard"),
+        F.when(F.col("warc_type") == "response", F.col("http_status"))
+        .alias("resp_status"),
     )
-    resps = recs.filter(F.col("warc_type") == "response").select(
-        F.col("record_id").alias("resp_id"),
-        F.col("http_status").alias("resp_status"),
+    pairs = sel.groupBy("pair_key").agg(
+        F.sum("is_req").alias("n_req"),
+        F.max("req_shard").alias("shard"),
+        F.max("resp_status").alias("resp_status"),
+        F.max((F.col("is_req") == 0).cast("int")).alias("has_resp"),
     )
-    paired = reqs.join(
-        resps, F.col("concurrent_to") == F.col("resp_id"), "left"
-    )
-    return paired.groupBy("shard").agg(
-        F.count(F.lit(1)).cast("long").alias("n_requests"),
-        F.count(F.when(F.col("resp_id").isNotNull(), 1)).cast("long")
-        .alias("n_paired"),
-        F.count(F.when(F.col("resp_id").isNull(), 1)).cast("long")
-        .alias("n_orphans"),
-        F.count(F.when(F.col("resp_status") == 404, 1)).cast("long")
-        .alias("n_paired_404"),
+    reqs = pairs.filter(F.col("n_req") > 0)
+    return reqs.groupBy("shard").agg(
+        F.sum("n_req").cast("long").alias("n_requests"),
+        F.sum(F.when(F.col("has_resp") == 1, F.col("n_req"))
+              .otherwise(F.lit(0))).cast("long").alias("n_paired"),
+        F.sum(F.when(F.col("has_resp") == 0, F.col("n_req"))
+              .otherwise(F.lit(0))).cast("long").alias("n_orphans"),
+        F.sum(F.when(F.col("resp_status") == 404, F.col("n_req"))
+              .otherwise(F.lit(0))).cast("long").alias("n_paired_404"),
     )
 
 

@@ -985,13 +985,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
     },
     "warc_concurrent_pairs": {
-        # both join sides come off the container scan; the pairing join
-        # keys on UNIQUE record ids (a shuffle join is fine and
-        # skew-impossible; the response side is corpus-sized so a
-        # broadcast would be wrong at 100 TB) + one hash-groupBy
+        # ONE container pass: both record kinds project a shared pairing
+        # key and one hash-aggregate zips the pair — a self-join of two
+        # filtered scan views would parse the containers twice, so NO
+        # join of any kind may appear
         "want": ["MapInPandas", "HashAggregate"],
         "avoid": ["CartesianProduct", "BatchEvalPython",
-                  "BroadcastNestedLoopJoin"],
+                  "BroadcastNestedLoopJoin", "SortMergeJoin",
+                  "BroadcastHashJoin", "ShuffledHashJoin"],
     },
     "warc_content_coding": {
         # entity decode lives inside the container splitter (the one
