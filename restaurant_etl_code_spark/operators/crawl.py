@@ -18,10 +18,11 @@ DataFrame-native and exactly SQL-mirrorable:
   directive (not in RFC 9309 but the most widely published extension),
   same group machinery, one row per (domain, agent).
 - ``robots_gate``: RFC 9309 precedence — the most specific matching
-  group (exact agent name beats ``*``), then the longest matching rule
-  path, allow winning length ties; no matching rule → allowed. One
-  broadcast join (robots tables are dimension-sized next to a frontier)
-  + one per-input-row max aggregation.
+  group (longest matching product token beats ``*``), then the longest
+  matching rule path, allow winning length ties; no matching rule →
+  allowed. ONE 1:1 broadcast join against per-domain rule arrays
+  (robots tables are dimension-sized next to a frontier) + a row-local
+  array fold — zero frontier shuffle.
 
 Rule-path matching is FULL RFC 9309 §2.2.3 (round 12): plain rules
 match as prefixes on the codegen fast path; ``*`` / ``$``
