@@ -41,7 +41,10 @@ the entity coding STILL APPLIED to the payload (NULL = fully decoded;
 gzip always decodes, ``br`` decodes iff a brotli codec is importable,
 else the bytes pass through intact and count); ``concurrent_to``
 carries ``WARC-Concurrent-To`` so request/metadata records join to
-their response record for fetch-latency / header analyses.
+their response record for fetch-latency / header analyses;
+``truncated`` carries ``WARC-Truncated`` (ISO 28500 §5.13 — the
+crawler cut the payload at fetch time: length/time/disconnect), the
+drop/flag signal curation applies to incomplete pages.
 """
 
 from __future__ import annotations
@@ -60,7 +63,8 @@ WARC_SCHEMA = (
     "target_uri string, warc_date string, content_type string, "
     "http_status int, http_content_type string, payload string, "
     "payload_len bigint, payload_digest string, "
-    "http_content_encoding string, concurrent_to string"
+    "http_content_encoding string, concurrent_to string, "
+    "truncated string"
 )
 
 _COLS = [f.split()[0] for f in WARC_SCHEMA.split(", ")]
@@ -151,6 +155,7 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
             "http_content_type": None, "payload": None,
             "payload_len": remaining, "payload_digest": None,
             "http_content_encoding": None, "concurrent_to": None,
+            "truncated": None,
         }
 
     pos, n = 0, len(data)
@@ -234,6 +239,10 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
             # WARC-Concurrent-To: links request/metadata records to their
             # response — the join key for fetch-latency/header analyses
             "concurrent_to": headers.get("warc-concurrent-to"),
+            # WARC-Truncated (ISO 28500 §5.13): the crawler cut this
+            # payload at FETCH time (length/time/disconnect) — the
+            # curation-side drop/flag signal for incomplete pages
+            "truncated": headers.get("warc-truncated"),
         }
 
 

@@ -351,3 +351,18 @@ def test_psl_join_name_both_exact_and_wildcard(spark):
         "host", Furl.registrable_domain_psl(F.col("host"), rules)
         .alias("d")).collect()}
     assert out == want
+
+
+def test_parse_warc_truncated_header_surfaced():
+    from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
+
+    # WARC-Truncated (ISO 28500 5.13): fetch-time truncation marker —
+    # curation drops/flags these pages; absent header -> NULL
+    full = _mk_record("response", b"HTTP/1.1 200 OK\r\n\r\nok",
+                      uri="https://a.com/x")
+    cut = _mk_record("response", b"HTTP/1.1 200 OK\r\n\r\npartial",
+                     uri="https://a.com/y",
+                     extra="WARC-Truncated: length\r\n")
+    rows = list(parse_warc_bytes(full + cut, "f"))
+    assert rows[0]["truncated"] is None
+    assert rows[1]["truncated"] == "length"
