@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "domain_rollup_psl_auto",
     "robots_agent_tokens",
     "domain_rollup_psl_snapshot",
+    "warc_charset_decode",
 ]
 
 

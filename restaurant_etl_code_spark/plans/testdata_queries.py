@@ -11545,6 +11545,139 @@ from recs group by residual
 """
 
 
+def _write_warc_charset_fixture(sf_dir: str) -> str:
+    """Charset cohorts (idempotent, marker-guarded), one per ``i % 6``:
+    (0) header-declared UTF-8; (1) header ISO-8859-1 with real latin-1
+    bytes (invalid as UTF-8); (2) header windows-1252 with curly-quote/
+    em-dash bytes in the 0x80-0x9F range latin-1 maps to control chars;
+    (3) NO header parameter — the WHATWG meta prescan must find
+    ``<meta charset="windows-1252">`` inside the first 1024 payload
+    bytes; (4) no declaration anywhere + invalid-UTF-8 cp1252 bytes —
+    the fallback chain's cp1252 hop; (5) a LYING ``us-ascii``
+    declaration over UTF-8 bytes — strict decode under the declaration
+    fails and the chain recovers, ``charset_used ≠ charset``."""
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_SCRATCH_DIR, f"warc_charset_{tag}")
+    keys = sorted(
+        pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey"])
+        .column("p_partkey").to_pylist()
+    )
+    marker = os.path.join(out, f".complete-v1-{len(keys)}")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    shards: list[list[bytes]] = [[], []]
+    for i in keys:
+        m = i % 6
+        if m == 0:
+            body = f"charset page {i} café — ü№".encode()
+            ct = "text/plain; charset=utf-8"
+        elif m == 1:
+            body = f"charset page {i} café és".encode("latin-1")
+            ct = "text/plain; charset=iso-8859-1"
+        elif m == 2:
+            body = (f"“page {i}” — café"
+                    .encode("cp1252"))
+            ct = "text/plain; charset=windows-1252"
+        elif m == 3:
+            body = (f'<html><head><meta charset="windows-1252"></head>'
+                    f"<body>page {i} café</body></html>"
+                    .encode("cp1252"))
+            ct = "text/html"
+        elif m == 4:
+            body = f"page {i} café naïve".encode("cp1252")
+            ct = "text/plain"
+        else:
+            body = f"page {i} café".encode()
+            ct = "text/plain; charset=us-ascii"
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:cs-{i}>\r\n"
+            f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"WARC-Target-URI: https://site{i % 5}.example.com/cs{m}/{i}\r\n"
+            f"Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        shards[i % 2].append(hdr + http + b"\r\n\r\n")
+    for idx, recs in enumerate(shards):
+        with open(os.path.join(out, f"shard-{idx}.warc"), "wb") as fh:
+            fh.write(b"".join(recs))
+    with open(marker, "w") as fh:
+        fh.write(str(len(keys)))
+    return out
+
+
+def _q_warc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware payload decode audit (sources.warc round 13): real
+    crawls are ~1/3 non-UTF-8, and a blind ``utf-8, replace`` decode
+    turns every latin-1/cp1252 page into U+FFFD soup that poisons
+    dedup fingerprints and quality scores downstream. The reader now
+    decodes the way a browser does (BOM > header charset > meta
+    prescan > UTF-8 > cp1252 > latin-1) and surfaces ``charset``
+    (declared) vs ``charset_used`` (what actually decoded). The oracle
+    rebuilds every cohort's expected DECODED text as UTF-8 literals in
+    DuckDB — one wrong codec pick, one mojibake byte, one U+FFFD
+    anywhere shifts ``chars`` or ``min_payload`` and hash-mismatches.
+    Plan: the usual per-file executor scan, one codegen projection +
+    hash-groupBy."""
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_charset_fixture(sf_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir)
+    resp = recs.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract(F.col("target_uri"), r"/cs(\d)/", 1)
+        .cast("int").alias("cohort"),
+        F.coalesce(F.col("charset"), F.lit("(none)")).alias("declared"),
+        F.col("charset_used").alias("used"),
+        F.col("payload"),
+    )
+    return resp.groupBy("cohort", "declared", "used").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.length("payload")).cast("long").alias("chars"),
+        F.min("payload").alias("min_payload"),
+    )
+
+
+_ORACLE_WARC_CHARSET = """
+with recs as (
+  select (p_partkey % 6)::int as cohort,
+         case p_partkey % 6
+           when 0 then 'utf-8' when 1 then 'iso-8859-1'
+           when 2 then 'windows-1252' when 3 then 'windows-1252'
+           when 4 then '(none)' else 'us-ascii' end as declared,
+         case p_partkey % 6
+           when 0 then 'utf-8' when 1 then 'latin-1'
+           when 2 then 'cp1252' when 3 then 'cp1252'
+           when 4 then 'cp1252' else 'utf-8' end as used,
+         case p_partkey % 6
+           when 0 then 'charset page ' || p_partkey::varchar
+                       || ' café — ü№'
+           when 1 then 'charset page ' || p_partkey::varchar
+                       || ' café és'
+           when 2 then '“page ' || p_partkey::varchar
+                       || '” — café'
+           when 3 then '<html><head><meta charset="windows-1252">'
+                       || '</head><body>page ' || p_partkey::varchar
+                       || ' café</body></html>'
+           when 4 then 'page ' || p_partkey::varchar
+                       || ' café naïve'
+           else 'page ' || p_partkey::varchar || ' café'
+         end as payload
+  from part)
+select cohort, declared, used, count(*)::bigint as n,
+       sum(length(payload))::bigint as chars,
+       min(payload) as min_payload
+from recs group by cohort, declared, used
+"""
+
+
 def _q_domain_rollup_psl_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ONE-API PSL dispatcher (functions.urls.with_registrable_domain)
     over the full-scale rule table and the same host cohorts as
@@ -12503,6 +12636,13 @@ _REGISTRY: dict[str, QueryDef] = {
         "PRIVATE section included) through the dispatcher's InSet "
         "route: github.io/blogspot/city-wildcard/exception/*.bd "
         "cohorts, FQDN dot, IP literal"),
+    "warc_charset_decode": QueryDef(
+        _q_warc_charset_decode, _ORACLE_WARC_CHARSET,
+        "charset-aware payload decode (BOM > header charset > meta "
+        "prescan > utf-8 > cp1252 > latin-1): latin-1/cp1252/lying-"
+        "ascii cohorts must arrive as correct text, not U+FFFD soup; "
+        "declared-vs-used surfaced; oracle rebuilds the decoded text "
+        "as UTF-8 literals"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

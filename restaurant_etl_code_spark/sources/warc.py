@@ -50,6 +50,7 @@ drop/flag signal curation applies to incomplete pages.
 from __future__ import annotations
 
 import gzip
+import re
 from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,7 +65,7 @@ WARC_SCHEMA = (
     "http_status int, http_content_type string, payload string, "
     "payload_len bigint, payload_digest string, "
     "http_content_encoding string, concurrent_to string, "
-    "truncated string"
+    "truncated string, charset string, charset_used string"
 )
 
 _COLS = [f.split()[0] for f in WARC_SCHEMA.split(", ")]
@@ -140,6 +141,93 @@ def _decode_entity(payload: bytes, coding: "str | None") -> tuple[bytes, "str | 
     return payload, coding
 
 
+# Charset normalization table (round 13): the token crawled pages
+# actually declare → the CPython codec that decodes it. Only codecs that
+# ship with EVERY CPython are listed, so the decode is deterministic
+# across images — an unlisted declaration keeps its token in the
+# ``charset`` column (countable) and routes through the fallback chain.
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8", "utf_8": "utf-8",
+    "iso-8859-1": "latin-1", "iso8859-1": "latin-1", "latin-1": "latin-1",
+    "latin1": "latin-1", "l1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252", "cp-1252": "cp1252",
+    "x-cp1252": "cp1252",
+    "us-ascii": "ascii", "ascii": "ascii",
+    "utf-16": "utf-16", "utf16": "utf-16",
+    "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis", "sjis": "shift_jis",
+    "x-sjis": "shift_jis",
+    "euc-jp": "euc_jp", "euc_jp": "euc_jp",
+    "gbk": "gbk", "gb2312": "gbk", "gb18030": "gb18030", "big5": "big5",
+    "koi8-r": "koi8_r",
+    "iso-8859-2": "iso8859-2", "iso-8859-15": "iso8859-15",
+    "windows-1250": "cp1250", "cp1250": "cp1250",
+    "windows-1251": "cp1251", "cp1251": "cp1251",
+    "windows-1254": "cp1254", "cp1254": "cp1254",
+    "windows-1256": "cp1256", "cp1256": "cp1256",
+}
+
+# Content-Type parameter (RFC 9110 §8.3.1): charset=token or
+# charset="quoted"; HTML meta prescan (WHATWG §13.2.3.2, simplified):
+# <meta charset=...> or the charset= inside an http-equiv content
+# attribute — one byte-level regex over the first 1024 bytes catches
+# both forms, and plain-text payloads simply never match.
+_CT_CHARSET_RE = re.compile(r"charset\s*=\s*\"?'?\s*([a-zA-Z0-9._:\-]+)",
+                            re.IGNORECASE)
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,200}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:\-]+)",
+    re.IGNORECASE)
+
+
+def _declared_charset(http_ct: "str | None", payload: bytes) -> "str | None":
+    """The charset the page DECLARES: the Content-Type header parameter
+    wins (it is the transport-level authority), else the WHATWG meta
+    prescan over the first 1024 payload bytes, else NULL."""
+    if http_ct:
+        m = _CT_CHARSET_RE.search(http_ct)
+        if m:
+            return m.group(1).lower()
+    m = _META_CHARSET_RE.search(payload[:1024])
+    if m:
+        return m.group(1).decode("ascii", "replace").lower()
+    return None
+
+
+def _decode_text(payload: bytes,
+                 declared: "str | None") -> "tuple[str, str]":
+    """Decode payload bytes to text the way a browser would (WHATWG
+    order, deterministic subset). Returns ``(text, codec_used)``.
+
+    Precedence: a byte-order mark is AUTHORITATIVE (overrides any
+    declaration — the WHATWG rule); then the declared charset if its
+    codec is known and the bytes actually decode under it; then the
+    fallback chain UTF-8 strict → cp1252 strict → latin-1 (infallible).
+    cp1252 before latin-1 because it is the web's de-facto latin-1
+    superset default (WHATWG maps `latin-1` labels to windows-1252);
+    latin-1 last because it cannot fail, so the chain always lands.
+    A WRONG declaration (says ascii, bytes are UTF-8) falls through to
+    the chain instead of mojibake — ``charset_used`` ≠ ``charset`` is
+    the countable signal."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return payload[3:].decode("utf-8", "replace"), "utf-8"
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return payload.decode("utf-16", "replace"), "utf-16"
+    codec = _CHARSET_ALIASES.get(declared) if declared else None
+    if codec:
+        try:
+            return payload.decode(codec), codec
+        except (UnicodeDecodeError, ValueError):
+            pass
+    try:
+        return payload.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        pass
+    try:
+        return payload.decode("cp1252"), "cp1252"
+    except UnicodeDecodeError:
+        return payload.decode("latin-1"), "latin-1"
+
+
 def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
     """Yield one dict per WARC record in ``data`` (already decompressed).
     Pure function of the bytes — unit-testable without Spark. HTTP
@@ -155,7 +243,7 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
             "http_content_type": None, "payload": None,
             "payload_len": remaining, "payload_digest": None,
             "http_content_encoding": None, "concurrent_to": None,
-            "truncated": None,
+            "truncated": None, "charset": None, "charset_used": None,
         }
 
     pos, n = 0, len(data)
@@ -218,6 +306,8 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
                 if chunked:
                     payload = _dechunk(payload)
                 payload, residual = _decode_entity(payload, coding)
+        declared = _declared_charset(http_ct, payload)
+        text, used = _decode_text(payload, declared)
         yield {
             "warc_file": warc_file,
             "warc_type": wtype,
@@ -227,7 +317,7 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
             "content_type": headers.get("content-type"),
             "http_status": http_status,
             "http_content_type": http_ct,
-            "payload": payload.decode("utf-8", "replace"),
+            "payload": text,
             "payload_len": len(body),
             # WARC-Payload-Digest: the crawl-time dedup key (CDX revisit
             # detection) and the integrity seal downstream audits verify
@@ -243,6 +333,11 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
             # payload at FETCH time (length/time/disconnect) — the
             # curation-side drop/flag signal for incomplete pages
             "truncated": headers.get("warc-truncated"),
+            # what the page DECLARES (header param, else meta prescan)
+            # vs the codec that ACTUALLY decoded the bytes — unequal =
+            # a lying declaration, NULL declared = the fallback chain
+            "charset": declared,
+            "charset_used": used,
         }
 
 

@@ -190,7 +190,11 @@ def test_parse_warc_brotli_residual_coding():
         # no codec in the image: bytes pass through INTACT and the
         # residual coding is countable — never silent mojibake
         assert rows[0]["http_content_encoding"] == "br"
-        assert rows[0]["payload"] == body.decode("utf-8", "replace")
+        # the charset chain (round 13) decodes the passthrough bytes
+        # via its cp1252 hop — a 1:1 single-byte decode, not U+FFFD
+        # soup, so the original bytes stay recoverable
+        assert rows[0]["payload"] == body.decode("cp1252")
+        assert rows[0]["charset_used"] == "cp1252"
     else:  # pragma: no cover - codec-bearing images
         assert rows[0]["http_content_encoding"] == "br"  # invalid stream
 
@@ -366,3 +370,69 @@ def test_parse_warc_truncated_header_surfaced():
     rows = list(parse_warc_bytes(full + cut, "f"))
     assert rows[0]["truncated"] is None
     assert rows[1]["truncated"] == "length"
+
+
+def _mk_http_response(body: bytes, ct: str) -> bytes:
+    http = (f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+    return _mk_record("response", http, uri="https://a.com/p")
+
+
+def test_parse_warc_charset_decode_paths():
+    from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
+
+    # round 13: browser-order charset decode — BOM > header charset >
+    # meta prescan > utf-8 > cp1252 > latin-1; declared vs used surfaced
+    cases = [
+        # (body bytes, content-type, want declared, want used, want text)
+        ("café — ü".encode(), "text/plain; charset=utf-8",
+         "utf-8", "utf-8", "café — ü"),
+        ("café és".encode("latin-1"), "text/plain; charset=iso-8859-1",
+         "iso-8859-1", "latin-1", "café és"),
+        (b"\x93q\x94 \x97 d", "text/plain; charset=windows-1252",
+         "windows-1252", "cp1252", "“q” — d"),
+        # no header param: the WHATWG meta prescan finds the declaration
+        ('<meta charset="windows-1252">café'.encode("cp1252"),
+         "text/html", "windows-1252", "cp1252",
+         '<meta charset="windows-1252">café'),
+        # no declaration + invalid UTF-8: fallback chain's cp1252 hop
+        ("café".encode("cp1252"), "text/plain", None, "cp1252", "café"),
+        # a LYING declaration: strict decode fails, the chain recovers
+        ("café".encode(), "text/plain; charset=us-ascii",
+         "us-ascii", "utf-8", "café"),
+        # multibyte CJK codec via its declared alias
+        ("こんにちは".encode("shift_jis"), "text/plain; charset=Shift_JIS",
+         "shift_jis", "shift_jis", "こんにちは"),
+    ]
+    blob = b"".join(_mk_http_response(b, ct) for b, ct, *_ in cases)
+    rows = list(parse_warc_bytes(blob, "f"))
+    assert len(rows) == len(cases)
+    for (body, ct, declared, used, text), r in zip(cases, rows):
+        assert r["charset"] == declared, (ct, r["charset"])
+        assert r["charset_used"] == used, (ct, r["charset_used"])
+        assert r["payload"] == text
+
+
+def test_parse_warc_bom_overrides_declaration():
+    from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
+
+    # WHATWG: the byte-order mark is authoritative over any header; the
+    # BOM itself is stripped from the text
+    body = "﻿hello é".encode()
+    blob = _mk_http_response(body, "text/plain; charset=iso-8859-1")
+    (r,) = parse_warc_bytes(blob, "f")
+    assert r["charset_used"] == "utf-8"
+    assert r["payload"] == "hello é"
+
+
+def test_parse_warc_unknown_charset_counts_not_crashes():
+    from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
+
+    # an unlisted declaration keeps its token (countable) and routes
+    # through the fallback chain deterministically
+    blob = _mk_http_response("plain ascii".encode(),
+                             "text/plain; charset=x-mystery-charset")
+    (r,) = parse_warc_bytes(blob, "f")
+    assert r["charset"] == "x-mystery-charset"
+    assert r["charset_used"] == "utf-8"
+    assert r["payload"] == "plain ascii"
