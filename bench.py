@@ -253,6 +253,8 @@ BENCH_QUERIES = [
     "robots_agent_tokens",
     "domain_rollup_psl_snapshot",
     "warc_charset_decode",
+    "warc_cdx_index",
+    "warc_redirect_resolve",
 ]
 
 

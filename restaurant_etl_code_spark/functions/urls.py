@@ -68,6 +68,7 @@ __all__ = [
     "url_query_canonical",
     "percent_normalize",
     "canonicalize_url",
+    "surt_key",
     "registrable_domain",
     "registrable_domain_psl",
     "registrable_domain_psl_join",
@@ -207,6 +208,44 @@ def canonicalize_url(c: Column, percent: bool = False) -> Column:
             url_host(c),
             url_path(c),
             F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+        )
+    )
+
+
+def surt_key(c: Column, percent: bool = False) -> Column:
+    """SURT urlkey (Sort-friendly URI Reordering Transform — the key a
+    CDX index sorts by; OpenWayback/pywb/Common Crawl's ``urlkey``
+    column): host labels reversed and comma-joined so one domain's
+    captures are one contiguous index range, then ``)`` + lowercased
+    canonical path + sorted query::
+
+        https://WWW.Example.COM:443/Menu?b=2&a=1 → com,example)/menu?a=1&b=2
+
+    Pinned subset of the published massaging rules: scheme and default
+    port dropped, a leading ``www`` / ``www<digit>`` label stripped
+    (mirror hosts collapse), non-default port kept after the reversed
+    labels, path/query lowercased, tracking params dropped and the rest
+    bytewise-sorted (the :func:`url_query_canonical` contract), fragment
+    dropped. IP-literal hosts are never reversed (``192.168.0.1`` stays
+    itself — pywb's rule); a trailing FQDN dot is stripped before the
+    label split; non-absolute input → NULL (the
+    :func:`canonicalize_url` guard). Pure codegen — zero shuffle,
+    row-local."""
+    if percent:
+        c = percent_normalize(c)
+    host = url_host(c)
+    port = F.regexp_extract(host, r"(:[0-9]+)$", 1)
+    bare = F.regexp_replace(F.regexp_replace(host, r":[0-9]+$", ""),
+                            r"\.$", "")
+    stripped = F.regexp_replace(bare, r"^www[0-9]*\.", "")
+    reversed_labels = F.array_join(F.reverse(F.split(stripped, r"\.")), ",")
+    hostkey = F.when(_is_ip_literal(bare), bare).otherwise(reversed_labels)
+    query = F.lower(url_query_canonical(c))
+    return F.when(url_scheme(c) == "", F.lit(None).cast("string")).otherwise(
+        F.concat(
+            hostkey, port, F.lit(")"), F.lower(url_path(c)),
+            F.when(query == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), query)),
         )
     )
 

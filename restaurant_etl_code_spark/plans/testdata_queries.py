@@ -10798,18 +10798,23 @@ _WARC_BODY_DUCK = (
 
 
 def _frame_response(url: str, rec_id: str, body_str: str,
-                    status: int = 200) -> bytes:
+                    status: int = 200,
+                    location: "str | None" = None) -> bytes:
     """Frame one WARC response record (HTTP envelope + WARC headers,
     including the WARC-Payload-Digest over the HTTP BODY — the
     crawl-time dedup/integrity seal), Content-Lengths in BYTES of the
-    UTF-8 encoding."""
+    UTF-8 encoding. ``location`` adds the HTTP Location header (the
+    3xx redirect target)."""
     import hashlib
 
     body = body_str.encode()
+    reason = {404: "Not Found", 301: "Moved Permanently",
+              302: "Found"}.get(status, "OK")
     http = (
-        f"HTTP/1.1 {status} {'Not Found' if status == 404 else 'OK'}\r\n"
+        f"HTTP/1.1 {status} {reason}\r\n"
         f"Content-Type: text/html; charset=utf-8\r\n"
-        f"Content-Length: {len(body)}\r\n\r\n"
+        + (f"Location: {location}\r\n" if location else "")
+        + f"Content-Length: {len(body)}\r\n\r\n"
     ).encode() + body
     hdr = (
         f"WARC/1.0\r\n"
@@ -11946,6 +11951,281 @@ from dom group by host, domain
 _ORACLE_DOMAIN_ROLLUP_PSL_SNAPSHOT = _domain_rollup_psl_snapshot_oracle()
 
 
+def _q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index over the container scan — the standard
+    access index for WARC corpora (OpenWayback/pywb/Common Crawl publish
+    one per crawl): per capture, the SURT urlkey (``Furl.surt_key`` —
+    host labels reversed so a domain's captures sort contiguously), the
+    14-digit timestamp, status, digest well-formedness, and the record's
+    CDX ADDRESS — ``record_offset``/``record_length`` are the byte
+    position/framed size in plain containers and the COMPRESSED gzip
+    member's position/size in ``.warc.gz`` (what a replay tool seeks
+    to). The oracle rebuilds plain-shard record lengths byte-for-byte
+    from `part` by re-deriving the framing arithmetic (WARC header +
+    HTTP envelope + body), so one byte of drift anywhere in the reader's
+    framing hash-mismatches; gzip addresses are pinned by the reopen
+    unit test (decompress at [offset, offset+length) → same record).
+    Row-local projection + one hash-groupBy on the urlkey."""
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_fixture(sf_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir)
+    resp = recs.filter(F.col("warc_type") == "response").select(
+        Furl.surt_key(F.col("target_uri")).alias("urlkey"),
+        # cast to LONG: a string min() would force the aggregate off the
+        # fixed-width HashAggregate path onto SortAggregate (sort per
+        # partition) — CDX timestamps are 14 digits by construction
+        F.regexp_replace(F.col("warc_date"), "[^0-9]", "")
+        .cast("long").alias("ts14"),
+        F.col("http_status").alias("status"),
+        F.col("payload_digest").rlike(r"^sha1:[0-9a-f]{40}$")
+        .alias("digest_ok"),
+        F.when(~F.col("warc_file").endswith(".gz"), F.col("record_length"))
+        .alias("plain_len"),
+    )
+    return resp.groupBy("urlkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+        F.min("ts14").alias("ts14"),
+        F.min("status").cast("int").alias("status"),
+        F.min("digest_ok").alias("digest_ok"),
+        F.max("plain_len").cast("long").alias("plain_len"),
+    )
+
+
+def _warc_cdx_oracle() -> str:
+    """Reconstructs, from `part`, the urlkey of every response capture in
+    the shared WARC fixture AND the exact framed byte length of the
+    plain-shard captures — the same string template
+    ``_frame_response`` framed, with a 40-char placeholder where the
+    (length-constant) sha1 hex sits."""
+    crlf = "(chr(13) || chr(10))"
+
+    def _resp_len(url: str, rec_id: str, body: str, status: str) -> str:
+        reason = (f"(case when {status} = 404 then '404 Not Found' "
+                  f"else '200 OK' end)")
+        http = (
+            f"('HTTP/1.1 ' || {reason} || {crlf} || "
+            f"'Content-Type: text/html; charset=utf-8' || {crlf} || "
+            f"'Content-Length: ' || length({body})::varchar || {crlf} || "
+            f"{crlf} || {body})"
+        )
+        hdr = (
+            f"('WARC/1.0' || {crlf} || 'WARC-Type: response' || {crlf} || "
+            f"'WARC-Record-ID: <urn:uuid:' || {rec_id} || '>' || {crlf} || "
+            f"'WARC-Date: 2026-01-01T00:00:00Z' || {crlf} || "
+            f"'WARC-Target-URI: ' || {url} || {crlf} || "
+            f"'WARC-Payload-Digest: sha1:' || repeat('x', 40) || {crlf} || "
+            f"'Content-Type: application/http;msgtype=response' || {crlf} || "
+            f"'Content-Length: ' || length({http})::varchar || {crlf} || "
+            f"{crlf})"
+        )
+        return f"(length({hdr}) + length({http}))"
+
+    site = "'site' || (p_partkey % 5)::varchar || '.example.com'"
+    d_url = f"('https://' || {site} || '/d/' || p_partkey::varchar)"
+    r_url = f"('https://' || {site} || '/r/' || p_partkey::varchar)"
+    d_key = ("('com,example,site' || (p_partkey % 5)::varchar || ')/d/' "
+             "|| p_partkey::varchar)")
+    r_key = ("('com,example,site' || (p_partkey % 5)::varchar || ')/r/' "
+             "|| p_partkey::varchar)")
+    d_status = "(case when p_partkey % 17 = 0 then 404 else 200 end)"
+    d_len = _resp_len(d_url, "('rec-' || p_partkey::varchar)",
+                      _WARC_BODY_DUCK, d_status)
+    r_len = _resp_len(r_url, "('rev-' || p_partkey::varchar)",
+                      _WARC_BODY_DUCK, "200")
+    return f"""
+with captures as (
+  select {d_key} as urlkey, {d_status} as status,
+         (p_partkey % 4) in (0, 1) as plain, {d_len} as rec_len
+  from part
+  union all
+  select {r_key} as urlkey, 200 as status,
+         ((p_partkey + 1) % 4) in (0, 1) as plain, {r_len} as rec_len
+  from part where p_partkey % 13 = 5)
+select urlkey,
+       count(*)::bigint as n_captures,
+       min(20260101000000)::bigint as ts14,
+       min(status)::int as status,
+       min(true) as digest_ok,
+       max(case when plain then rec_len end)::bigint as plain_len
+from captures group by urlkey
+"""
+
+
+_ORACLE_WARC_CDX = _warc_cdx_oracle()
+
+
+def _write_warc_redirect_fixture(sf_dir: str) -> str:
+    """Redirect-graph fixture (idempotent, marker-guarded), separate
+    from the shared scan fixture so its record population stays pinned.
+    Per part key ``i`` on host ``site{i%5}.example.com``:
+
+    - ``/f/{i}``: the final page, 200 — every chain's landing;
+    - ``i%3==0``: ``/a/{i}`` 301 → ``/b/{i}``; ``/b/{i}`` 302 →
+      RELATIVE ``/f/{i}`` (the absolutization cohort — real servers
+      send relative Location despite RFC 9110's absolute-URI advice);
+    - ``i%3==1``: ``/a/{i}`` 301 → absolute ``/f/{i}`` (one hop);
+    - ``i%3==2``: ``/a/{i}`` 301 → ``/x/{i}``, never fetched (dangling);
+    - ``i%12==0``: ``/la/{i}`` ↔ ``/lb/{i}`` mutual 301s (a loop).
+    """
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_SCRATCH_DIR, f"warc_redirect_{tag}")
+    keys = sorted(
+        pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey"])
+        .column("p_partkey").to_pylist()
+    )
+    marker = os.path.join(out, f".complete-v1-{len(keys)}")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    shards: list[list[bytes]] = [[], []]
+    for i in keys:
+        base = f"https://site{i % 5}.example.com"
+        shard = shards[i % 2]
+        shard.append(_frame_response(
+            f"{base}/f/{i}", f"fin-{i}", f"<html>final {i}</html>"))
+        if i % 3 == 0:
+            shard.append(_frame_response(
+                f"{base}/a/{i}", f"ra-{i}", f"moved {i}", status=301,
+                location=f"{base}/b/{i}"))
+            shard.append(_frame_response(
+                f"{base}/b/{i}", f"rb-{i}", f"moved {i}", status=302,
+                location=f"/f/{i}"))
+        elif i % 3 == 1:
+            shard.append(_frame_response(
+                f"{base}/a/{i}", f"ra-{i}", f"moved {i}", status=301,
+                location=f"{base}/f/{i}"))
+        else:
+            shard.append(_frame_response(
+                f"{base}/a/{i}", f"ra-{i}", f"moved {i}", status=301,
+                location=f"{base}/x/{i}"))
+        if i % 12 == 0:
+            shard.append(_frame_response(
+                f"{base}/la/{i}", f"rla-{i}", f"loop {i}", status=301,
+                location=f"{base}/lb/{i}"))
+            shard.append(_frame_response(
+                f"{base}/lb/{i}", f"rlb-{i}", f"loop {i}", status=301,
+                location=f"{base}/la/{i}"))
+    for idx, recs in enumerate(shards):
+        with open(os.path.join(out, f"shard-{idx}.warc"), "wb") as fh:
+            fh.write(b"".join(recs))
+    with open(marker, "w") as fh:
+        fh.write(str(len(keys)))
+    return out
+
+
+def _q_warc_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution over the container scan
+    (operators.crawl.resolve_redirects): every fetched URL walks the
+    3xx graph to its terminal target — the step that must run before
+    URL-keyed dedup (``/old`` and ``/new`` are one page when ``/old``
+    301s there), with relative Location headers absolutized against the
+    record's own host first. One row per fetched URL: where it lands,
+    how many hops, and the chain class (``ok``/``dangling``/``loop``).
+    Plan shape: non-redirects bypass the walk entirely; each round is
+    one equi-join on the unique fetched-URL key over the shrinking
+    redirect subset — no skew surface, lineage truncated per round."""
+    from restaurant_etl_code_spark.operators import crawl
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_redirect_fixture(sf_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir)
+    resp = recs.filter(F.col("warc_type") == "response")
+    loc = F.col("http_location")
+    loc_abs = F.when(
+        loc.startswith("/"),
+        F.concat(F.lit("https://"), Furl.url_host(F.col("target_uri")), loc),
+    ).otherwise(loc)
+    fetched = resp.select(
+        F.col("target_uri").alias("url"),
+        F.col("http_status").alias("http_status"),
+        loc_abs.alias("location"),
+    )
+    return crawl.resolve_redirects(fetched).select(
+        "url", "http_status", "final_url", "n_hops", "outcome"
+    )
+
+
+_ORACLE_WARC_REDIRECTS = """
+with recursive fetched as (
+  select 'https://site' || (p_partkey % 5)::varchar || '.example.com/f/'
+           || p_partkey::varchar as url,
+         200 as http_status, null::varchar as location
+  from part
+  union all
+  select 'https://site' || (p_partkey % 5)::varchar || '.example.com/a/'
+           || p_partkey::varchar,
+         301,
+         'https://site' || (p_partkey % 5)::varchar || '.example.com/'
+           || (case when p_partkey % 3 = 0 then 'b'
+                    when p_partkey % 3 = 1 then 'f' else 'x' end)
+           || '/' || p_partkey::varchar
+  from part
+  union all
+  select 'https://site' || (p_partkey % 5)::varchar || '.example.com/b/'
+           || p_partkey::varchar,
+         302,
+         'https://site' || (p_partkey % 5)::varchar || '.example.com/f/'
+           || p_partkey::varchar
+  from part where p_partkey % 3 = 0
+  union all
+  select 'https://site' || (p_partkey % 5)::varchar || '.example.com/la/'
+           || p_partkey::varchar,
+         301,
+         'https://site' || (p_partkey % 5)::varchar || '.example.com/lb/'
+           || p_partkey::varchar
+  from part where p_partkey % 12 = 0
+  union all
+  select 'https://site' || (p_partkey % 5)::varchar || '.example.com/lb/'
+           || p_partkey::varchar,
+         301,
+         'https://site' || (p_partkey % 5)::varchar || '.example.com/la/'
+           || p_partkey::varchar
+  from part where p_partkey % 12 = 0),
+redirs as (
+  select url, http_status, location,
+         http_status between 300 and 399 and location is not null as is_redir
+  from fetched),
+chains as (
+  select url as start_url, location as cur, 1::bigint as hops,
+         [url] as seen
+  from redirs where is_redir
+  union all
+  select c.start_url, f.location, c.hops + 1, list_append(c.seen, c.cur)
+  from chains c join redirs f on f.url = c.cur
+  where f.is_redir and not list_contains(c.seen, f.location)
+        and c.hops <= 8),
+landings as (
+  select c.start_url, c.cur, c.hops, c.seen,
+         f.url is null as dangling,
+         coalesce(f.is_redir, false) as redirecting,
+         f.location as nxt
+  from chains c left join redirs f on f.url = c.cur),
+resolved as (
+  select start_url,
+         (case when hops > 8 then cur
+               when dangling then cur
+               when not redirecting then cur
+               else nxt end) as final_url,
+         hops as n_hops,
+         (case when hops > 8 then 'too_deep'
+               when dangling then 'dangling'
+               when not redirecting then 'ok'
+               when list_contains(seen, nxt) then 'loop' end) as outcome
+  from landings
+  where hops > 8 or dangling or not redirecting
+        or list_contains(seen, nxt))
+select r.url, r.http_status,
+       coalesce(v.final_url, r.url) as final_url,
+       coalesce(v.n_hops, 0)::bigint as n_hops,
+       coalesce(v.outcome, 'ok') as outcome
+from redirs r left join resolved v on v.start_url = r.url
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -12643,6 +12923,17 @@ _REGISTRY: dict[str, QueryDef] = {
         "ascii cohorts must arrive as correct text, not U+FFFD soup; "
         "declared-vs-used surfaced; oracle rebuilds the decoded text "
         "as UTF-8 literals"),
+    "warc_cdx_index": QueryDef(
+        _q_warc_cdx_index, _ORACLE_WARC_CDX,
+        "CDX capture index: SURT urlkey + 14-digit ts + digest check + "
+        "record offset/length (plain = file bytes, gz = compressed "
+        "member); oracle re-derives plain-shard framed lengths "
+        "byte-for-byte from part"),
+    "warc_redirect_resolve": QueryDef(
+        _q_warc_redirect_resolve, _ORACLE_WARC_REDIRECTS,
+        "redirect-chain resolution from container Location headers: "
+        "relative-Location absolutization, multi-hop walk, dangling/"
+        "loop classification; recursive-CTE oracle"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

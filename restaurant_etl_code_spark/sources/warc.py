@@ -65,7 +65,8 @@ WARC_SCHEMA = (
     "http_status int, http_content_type string, payload string, "
     "payload_len bigint, payload_digest string, "
     "http_content_encoding string, concurrent_to string, "
-    "truncated string, charset string, charset_used string"
+    "truncated string, charset string, charset_used string, "
+    "http_location string, record_offset bigint, record_length bigint"
 )
 
 _COLS = [f.split()[0] for f in WARC_SCHEMA.split(", ")]
@@ -228,14 +229,25 @@ def _decode_text(payload: bytes,
         return payload.decode("latin-1"), "latin-1"
 
 
-def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
+def parse_warc_bytes(data: bytes, warc_file: str, *,
+                     frame_offset: "int | None" = None,
+                     frame_length: "int | None" = None) -> Iterator[dict]:
     """Yield one dict per WARC record in ``data`` (already decompressed).
     Pure function of the bytes — unit-testable without Spark. HTTP
     response payloads are fully unwrapped: chunked transfer-encoding is
     de-chunked and ``Content-Encoding: gzip`` bodies are decompressed
     (in that order — chunking frames the wire bytes, the entity coding
-    sits inside), because crawlers archive responses as received."""
-    def _parse_error(remaining: int) -> dict:
+    sits inside), because crawlers archive responses as received.
+
+    ``record_offset`` / ``record_length`` carry the CDX addressing of
+    each record: for a PLAIN container these are the record's byte
+    position and framed length inside ``data`` (trailing inter-record
+    CRLF padding excluded — ``data[off:off+len]`` re-parses to the same
+    record); a gzip-member caller passes ``frame_offset`` /
+    ``frame_length`` (the COMPRESSED member's position/size — the
+    address a CDX line publishes for ``.warc.gz``), which then stamp
+    every record the member holds."""
+    def _parse_error(remaining: int, at: int) -> dict:
         return {
             "warc_file": warc_file, "warc_type": "_parse-error",
             "record_id": None, "target_uri": None, "warc_date": None,
@@ -244,6 +256,11 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
             "payload_len": remaining, "payload_digest": None,
             "http_content_encoding": None, "concurrent_to": None,
             "truncated": None, "charset": None, "charset_used": None,
+            "http_location": None,
+            # the resync point where damage began; length unknowable
+            "record_offset": frame_offset if frame_offset is not None
+            else at,
+            "record_length": frame_length,
         }
 
     pos, n = 0, len(data)
@@ -253,12 +270,13 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
             pos += 1
         if pos >= n:
             return
+        start = pos
         if not data.startswith(b"WARC/", pos):
-            yield _parse_error(n - pos)
+            yield _parse_error(n - pos, start)
             return
         hdr_end = data.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
-            yield _parse_error(n - pos)
+            yield _parse_error(n - pos, start)
             return
         headers: dict[str, str] = {}
         for line in data[pos:hdr_end].decode("utf-8", "replace").split("\r\n")[1:]:
@@ -276,11 +294,12 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
             # would read as a normal row and hide data loss — emit the
             # countable _parse-error row instead (same contract as
             # header-level damage)
-            yield _parse_error(n - (hdr_end + 4))
+            yield _parse_error(n - (hdr_end + 4), start)
             return
         wtype = headers.get("warc-type", "")
         http_status: int | None = None
         http_ct: str | None = None
+        http_loc: str | None = None
         residual: str | None = None
         payload = body
         if body.startswith(b"HTTP/"):
@@ -302,6 +321,10 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
                         chunked = "chunked" in low
                     elif low.startswith("content-encoding:"):
                         coding = low.split(":", 1)[1].strip()
+                    elif low.startswith("location:"):
+                        # 3xx redirect target — the edge the redirect-
+                        # chain resolver walks
+                        http_loc = line.split(":", 1)[1].strip()
                 payload = body[he + 4:]
                 if chunked:
                     payload = _dechunk(payload)
@@ -338,6 +361,15 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
             # a lying declaration, NULL declared = the fallback chain
             "charset": declared,
             "charset_used": used,
+            # HTTP Location header (redirect target on 3xx)
+            "http_location": http_loc,
+            # CDX addressing: plain container → byte position/framed
+            # length in the file; gzip container → the compressed
+            # member's position/size stamped by the caller
+            "record_offset": frame_offset if frame_offset is not None
+            else start,
+            "record_length": frame_length if frame_length is not None
+            else pos - start,
         }
 
 
@@ -346,6 +378,56 @@ def parse_warc_bytes(data: bytes, warc_file: str) -> Iterator[dict]:
 BINARYFILE_SCHEMA = (
     "path string, modificationTime timestamp, length bigint, content binary"
 )
+
+
+def _iter_gzip_members(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Walk the concatenated gzip members of a ``.warc.gz`` container,
+    yielding ``(compressed_offset, compressed_length, decompressed)``
+    per member — the member address IS the CDX offset/length for gzip
+    containers, so the walk has to track positions in the COMPRESSED
+    stream.
+
+    O(n) by construction: input is fed to each member's decompressobj
+    in geometrically-growing memoryview slices (4 KiB → 4 MiB), so the
+    per-member copy overhead is bounded by the final slice, not the
+    remaining buffer — re-slicing ``blob[pos:]`` per member is the
+    quadratic trap the round-12 fix removed, and ``d.unused_data``
+    (a bytes copy) stays ≤ one slice for the same reason. A member that
+    fails to decode (corrupt tail, garbage between members) yields what
+    decoded so far spanning to end-of-file, mirroring the parser's
+    tolerant-tail contract: the damage becomes a countable
+    ``_parse-error`` row, not a task failure."""
+    import zlib
+
+    mv = memoryview(blob)
+    n = len(blob)
+    fed = 0          # absolute offset of the next unread byte
+    carry = b""      # bytes already sliced off mv but not yet consumed
+    while fed - len(carry) < n:
+        start = fed - len(carry)
+        d = zlib.decompressobj(31)  # wbits=31: gzip framing
+        out: list[bytes] = []
+        step = 4096
+        try:
+            if carry:
+                out.append(d.decompress(carry))
+            while not d.eof and fed < n:
+                piece = mv[fed:fed + step]
+                fed += len(piece)
+                out.append(d.decompress(piece))
+                step = min(step * 2, 1 << 22)
+        except zlib.error:
+            yield start, n - start, b"".join(out)
+            return
+        if not d.eof:  # truncated final member
+            yield start, n - start, b"".join(out)
+            return
+        carry = d.unused_data
+        end = fed - len(carry)
+        if end <= start:  # zero-byte progress cannot happen in valid
+            yield start, n - start, b"".join(out)  # gzip; bail countable
+            return
+        yield start, end - start, b"".join(out)
 
 
 def _split_batches(batches: Iterable) -> Iterator:
@@ -366,13 +448,19 @@ def _split_batches(batches: Iterable) -> Iterator:
         for fname, content in zip(pdf["path"], pdf["content"]):
             data = bytes(content)
             if data[:2] == b"\x1f\x8b":
-                # standard .warc.gz: one gzip member per record. The
-                # streaming GzipFile reader walks concatenated members
-                # in O(n); gzip.decompress() re-slices the remaining
-                # buffer per member — QUADRATIC in member count
-                # (measured 14.5 s vs 0.27 s on a 21k-member shard)
-                data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
-            rows = list(parse_warc_bytes(data, fname))
+                # standard .warc.gz: one gzip member per record, walked
+                # with COMPRESSED offsets so each record carries its CDX
+                # address (the member's position/size). The geometric-
+                # slice walk stays O(n) in member count — re-slicing the
+                # remaining buffer per member is quadratic (measured
+                # 14.5 s vs 0.27 s on a 21k-member shard in round 12)
+                rows = []
+                for m_off, m_len, m_data in _iter_gzip_members(data):
+                    rows.extend(parse_warc_bytes(
+                        m_data, fname,
+                        frame_offset=m_off, frame_length=m_len))
+            else:
+                rows = list(parse_warc_bytes(data, fname))
             del data  # blob dropped before the frame materializes
             yield pd.DataFrame(rows, columns=_COLS)
 

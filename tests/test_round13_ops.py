@@ -436,3 +436,144 @@ def test_parse_warc_unknown_charset_counts_not_crashes():
     assert r["charset"] == "x-mystery-charset"
     assert r["charset_used"] == "utf-8"
     assert r["payload"] == "plain ascii"
+
+
+# ------------------------------------------ CDX addressing + SURT keys
+
+def _mk_response(url, rec_id, body=b"hello", status=200, location=None):
+    reason = {301: "Moved Permanently", 302: "Found"}.get(status, "OK")
+    http = (f"HTTP/1.1 {status} {reason}\r\n"
+            f"Content-Type: text/html\r\n"
+            + (f"Location: {location}\r\n" if location else "")
+            + f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+    hdr = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+           f"WARC-Record-ID: <{rec_id}>\r\n"
+           f"WARC-Target-URI: {url}\r\n"
+           f"Content-Length: {len(http)}\r\n\r\n").encode()
+    return hdr + http + b"\r\n\r\n"
+
+
+def test_plain_container_offsets_reopen_to_same_record():
+    from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
+
+    blob = b"".join(_mk_response(f"https://a.com/{i}", f"r-{i}")
+                    for i in range(5))
+    rows = list(parse_warc_bytes(blob, "f"))
+    assert len(rows) == 5
+    prev_end = 0
+    for r in rows:
+        off, ln = r["record_offset"], r["record_length"]
+        # offsets tile the container (up to inter-record CRLF padding)
+        assert off >= prev_end
+        assert blob[prev_end:off].strip(b"\r\n") == b""
+        prev_end = off + ln
+        # the CDX contract: the addressed slice re-parses to the record
+        sub = list(parse_warc_bytes(blob[off:off + ln], "f"))
+        assert len(sub) == 1 and sub[0]["record_id"] == r["record_id"]
+    assert blob[prev_end:].strip(b"\r\n") == b""
+
+
+def test_gzip_member_offsets_are_compressed_addresses():
+    from restaurant_etl_code_spark.sources.warc import (_iter_gzip_members,
+                                                        parse_warc_bytes)
+
+    recs = [_mk_response(f"https://a.com/{i}", f"r-{i}") for i in range(4)]
+    blob = b"".join(gzip.compress(r) for r in recs)
+    members = list(_iter_gzip_members(blob))
+    assert len(members) == 4
+    assert members[0][0] == 0
+    assert sum(ln for _, ln, _ in members) == len(blob)  # exact tiling
+    for (off, ln, data), rec in zip(members, recs):
+        # the CDX contract for .gz: decompressing the addressed member
+        # yields the record
+        assert gzip.decompress(blob[off:off + ln]) == rec
+        row = next(parse_warc_bytes(data, "f",
+                                    frame_offset=off, frame_length=ln))
+        assert (row["record_offset"], row["record_length"]) == (off, ln)
+
+
+def test_gzip_member_walk_tolerates_truncation_and_garbage():
+    from restaurant_etl_code_spark.sources.warc import _iter_gzip_members
+
+    rec = _mk_response("https://a.com/1", "r-1")
+    # truncated final member: spans to EOF, partial decode returned
+    blob = gzip.compress(rec) + gzip.compress(rec)[:-9]
+    ms = list(_iter_gzip_members(blob))
+    assert len(ms) == 2
+    assert ms[1][0] + ms[1][1] == len(blob)
+    # garbage between members: countable damaged tail, not a crash
+    blob2 = gzip.compress(rec) + b"NOT-GZIP-AT-ALL"
+    ms2 = list(_iter_gzip_members(blob2))
+    assert ms2[0][2] == rec
+    assert ms2[-1][0] + ms2[-1][1] == len(blob2)
+
+
+def test_http_location_surfaced_only_from_header():
+    from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
+
+    blob = (_mk_response("https://a.com/old", "r-1", status=301,
+                         location="https://a.com/new")
+            + _mk_response("https://a.com/new", "r-2"))
+    rows = list(parse_warc_bytes(blob, "f"))
+    assert rows[0]["http_location"] == "https://a.com/new"
+    assert rows[1]["http_location"] is None
+
+
+def test_surt_key_pinned_cases(spark):
+    cases = {
+        "https://WWW.Example.COM:443/Menu?b=2&a=1":
+            "com,example)/menu?a=1&b=2",
+        "http://www2.shop.example.co.uk:8080/A/B/":
+            "uk,co,example,shop:8080)/a/b",
+        "http://192.168.0.1/Item": "192.168.0.1)/item",
+        "https://example.com./x": "com,example)/x",   # FQDN dot
+        "https://example.com": "com,example)/",
+        "relative/path": None,                        # non-absolute guard
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["k"]
+           for r in df.select("url",
+                              Furl.surt_key(F.col("url")).alias("k"))
+           .collect()}
+    assert got == cases
+
+
+# ------------------------------------------------ redirect resolution
+
+def _fetched_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, http_status int, location string")
+
+
+def test_resolve_redirects_chains_loops_dangling(spark):
+    fetched = _fetched_df(spark, [
+        ("u/f", 200, None),
+        ("u/a", 301, "u/b"),      # 2-hop chain
+        ("u/b", 302, "u/f"),
+        ("u/d", 301, "u/ghost"),  # dangling
+        ("u/la", 301, "u/lb"),    # mutual loop
+        ("u/lb", 301, "u/la"),
+    ])
+    got = {r["url"]: (r["final_url"], r["n_hops"], r["outcome"])
+           for r in crawl.resolve_redirects(fetched).collect()}
+    assert got["u/f"] == ("u/f", 0, "ok")
+    assert got["u/a"] == ("u/f", 2, "ok")
+    assert got["u/b"] == ("u/f", 1, "ok")
+    assert got["u/d"] == ("u/ghost", 1, "dangling")
+    assert got["u/la"] == ("u/la", 1, "loop")
+    assert got["u/lb"] == ("u/lb", 1, "loop")
+
+
+def test_resolve_redirects_hop_cap_and_extra_columns(spark):
+    # a 4-deep chain under max_hops=2 → too_deep, walked past the cap
+    fetched = _fetched_df(spark, [
+        ("c/0", 301, "c/1"), ("c/1", 301, "c/2"),
+        ("c/2", 301, "c/3"), ("c/3", 200, None),
+    ]).withColumn("tag", F.upper(F.col("url")))
+    got = {r["url"]: (r["final_url"], r["n_hops"], r["outcome"], r["tag"])
+           for r in crawl.resolve_redirects(fetched, max_hops=2).collect()}
+    assert got["c/3"] == ("c/3", 0, "ok", "C/3")
+    assert got["c/2"] == ("c/3", 1, "ok", "C/2")
+    assert got["c/1"] == ("c/3", 2, "ok", "C/1")
+    # c/0 at hop 3 exceeded the cap without being examined
+    assert got["c/0"][2] == "too_deep" and got["c/0"][3] == "C/0"

@@ -1024,6 +1024,23 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                   "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
     },
+    "warc_cdx_index": {
+        # SURT key + ts + digest check are row-local codegen over the
+        # container splitter's output; ONE hash-groupBy on the urlkey,
+        # zero joins
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
+                  "BroadcastHashJoin"],
+    },
+    "warc_redirect_resolve": {
+        # non-redirects bypass the walk (the no-join Union branch);
+        # each walk round's lineage is truncated by localCheckpoint, so
+        # the final plan unions ExistingRDD scans + per-round equi-joins
+        # — never a cross product, never row-at-a-time Python
+        "want": ["MapInPandas", "Union"],
+        "avoid": ["CartesianProduct", "BatchEvalPython",
+                  "BroadcastNestedLoopJoin"],
+    },
 }
 
 
