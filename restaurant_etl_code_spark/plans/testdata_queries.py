@@ -12960,6 +12960,9 @@ _WINDOW_FIRST = [
     "domain_rollup_psl_auto",  # never-checked
     "robots_agent_tokens",  # never-checked
     "domain_rollup_psl_snapshot",  # never-checked
+    "warc_charset_decode",  # never-checked
+    "warc_cdx_index",  # never-checked
+    "warc_redirect_resolve",  # never-checked
     "running_total",  # latest=r08
     "pdf15_extract",  # latest=r08
     "bpe_pair_stats",  # latest=r08
@@ -13000,9 +13003,6 @@ _WINDOW_FIRST = [
     "stats_moments",  # latest=r09
     "pii_scrub",  # latest=r09
     "doc_chunks",  # latest=r09
-    "repetition_signals",  # latest=r09
-    "group_sample",  # latest=r09
-    "rolling_stats",  # latest=r09
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]
