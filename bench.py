@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "warc_charset_decode",
     "warc_cdx_index",
     "warc_redirect_resolve",
+    "main_content_extract",
 ]
 
 

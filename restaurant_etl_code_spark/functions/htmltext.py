@@ -49,6 +49,8 @@ __all__ = [
     "decode_entities",
     "normalize_ws",
     "html_to_text",
+    "main_content",
+    "block_segments",
     "html_title",
     "html_links",
     "anchor_hrefs",
@@ -215,3 +217,76 @@ def sitemap_locs(c: Column) -> Column:
     forward; sitemaps enumerate), feeding the same canonicalize →
     registrable-domain frontier rollup."""
     return F.regexp_extract_all(c, F.lit(SITEMAP_LOC_RE), 1)
+
+
+# --------------------------------------------------------------------------
+# Main-content extraction (boilerpipe/trafilatura-lite, Kohlschütter et
+# al. 2010's core signal): segment the page into BLOCK-level units and
+# keep the ones that read like body text — enough text mass and low LINK
+# DENSITY (navigation/footer/related-links blocks are mostly anchor
+# text; article paragraphs are mostly plain text). This is the step
+# between html_to_text (which keeps ALL text, chrome included) and
+# dedup/quality gates: boilerplate chrome repeated across a site both
+# inflates near-dup signatures and pollutes training text.
+#
+# Everything stays a codegen Column expression: one regex split into
+# block segments, then per-segment array lambdas (filter + transform)
+# whose metric is plain string arithmetic — the link-text share of a
+# segment is measured as length(clean(seg)) - length(clean(seg minus
+# anchor ELEMENTS)), so no per-anchor alignment is needed and the DuckDB
+# twin is the same expressions under list_filter/list_transform.
+
+# an entire <a> element including its content (both <a href=...> and
+# bare <a>) — removed to measure how much of a block's text anchors
+# contribute
+ANCHOR_ELEMENT_RE = r"(?is)<a(?:\s[^>]*)?>.*?</a>"
+# inline whitespace normalization for a single block segment (raw
+# newlines inside one block are just whitespace)
+WS_INLINE_RE = r"[ \t\f\r\n]+"
+
+# published-shape defaults (boilerpipe's word-count floor ~ a short
+# sentence; link-density ceiling 1/3)
+MAIN_MIN_TEXT = 25
+MAIN_LINK_WEIGHT = 3
+
+
+def _segment_clean(s: Column) -> Column:
+    """Visible text of ONE block segment: inline tags deleted, entities
+    decoded, whitespace collapsed to single spaces, trimmed."""
+    s = F.regexp_replace(s, ANY_TAG_RE, "")
+    for entity, char in ENTITY_TABLE:
+        s = F.replace(s, F.lit(entity), F.lit(char))
+    return F.trim(F.regexp_replace(s, WS_INLINE_RE, " "))
+
+
+def block_segments(c: Column) -> Column:
+    """Raw block segments of a page (script/style/comments removed, then
+    split on block-level tags) → array<string>."""
+    return F.split(strip_comments(strip_script_style(c)), BLOCK_TAG_RE)
+
+
+def _keep_block(s: Column, min_text_len: int, link_weight: int) -> Column:
+    t = _segment_clean(s)
+    no_anchor = _segment_clean(F.regexp_replace(s, ANCHOR_ELEMENT_RE, ""))
+    link_len = F.length(t) - F.length(no_anchor)
+    return (F.length(t) >= min_text_len) & (
+        link_len * link_weight <= F.length(t)
+    )
+
+
+def main_content(c: Column, min_text_len: int = MAIN_MIN_TEXT,
+                 link_weight: int = MAIN_LINK_WEIGHT) -> Column:
+    """Body text of a page with boilerplate chrome dropped: block
+    segments whose visible text is at least ``min_text_len`` chars AND
+    whose anchor-contributed share is at most ``1/link_weight`` of it,
+    cleaned and newline-joined in document order. Integer arithmetic
+    only (the density rule is ``link_len * link_weight <= text_len``),
+    so both engines decide identically with no float division. An
+    anchor element spanning a block boundary loses its close tag to the
+    split and counts as plain text of its block — the documented bound,
+    deterministic in both engines. Row-local, zero shuffle, zero
+    Python."""
+    segs = block_segments(c)
+    kept = F.filter(
+        segs, lambda s: _keep_block(s, min_text_len, link_weight))
+    return F.array_join(F.transform(kept, _segment_clean), "\n")

@@ -12226,6 +12226,117 @@ from redirs r left join resolved v on v.start_url = r.url
 """
 
 
+def _main_page_spark(doc_id: Column, text: Column) -> Column:
+    """Boilerplate-rich page: nav bar (pure links — link-density drop),
+    headline (short — text-floor drop), two body paragraphs (kept), a
+    body paragraph WITH a minor link (kept — density below ceiling), a
+    link-heavy teaser block (dropped — anchor text dominates), and a
+    footer (short AND link-heavy). Twinned by ``_MAIN_PAGE_DUCK``."""
+    ds = doc_id.cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), ds,
+        F.lit("</title><style>nav a: red</style></head><body>"
+              "<div><a href=\"/\">Home</a> | <a href=\"/products\">"
+              "Products</a> | <a href=\"/about\">About</a> | "
+              "<a href=\"/contact\">Contact</a></div><h1>Article "), ds,
+        F.lit("</h1><p>"), text,
+        F.lit("</p><p>Details live in the <a href=\"/ref\">reference</a>"
+              " section; this paragraph still reads as body text "), ds,
+        F.lit(".</p><div>Read next: <a href=\"/d/"), ds,
+        F.lit("\">a rather long teaser anchor text for the next "
+              "article</a></div><div><a href=\"/privacy\">Privacy</a> "
+              "<a href=\"/terms\">Terms</a> &copy; Site</div>"
+              "</body></html>"),
+    )
+
+
+_MAIN_PAGE_DUCK = """
+  select doc_id,
+         '<html><head><title>Doc ' || doc_id::varchar
+         || '</title><style>nav a: red</style></head><body>'
+         || '<div><a href="/">Home</a> | <a href="/products">Products</a>'
+         || ' | <a href="/about">About</a> | '
+         || '<a href="/contact">Contact</a></div><h1>Article '
+         || doc_id::varchar || '</h1><p>' || text
+         || '</p><p>Details live in the <a href="/ref">reference</a>'
+         || ' section; this paragraph still reads as body text '
+         || doc_id::varchar
+         || '.</p><div>Read next: <a href="/d/' || doc_id::varchar
+         || '">a rather long teaser anchor text for the next '
+         || 'article</a></div><div><a href="/privacy">Privacy</a> '
+         || '<a href="/terms">Terms</a> &copy; Site</div>'
+         || '</body></html>' as html
+  from documents
+"""
+
+
+def _q_main_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (functions.htmltext.main_content —
+    boilerpipe/trafilatura-lite): block segmentation + text-mass floor
+    + link-density ceiling keep body paragraphs and drop nav/teaser/
+    footer chrome. Emits the FULL extracted text (every byte checked
+    against the oracle's list-lambda twin) plus the block accounting
+    and the full-text length for the kept-fraction comparison.
+    Row-local codegen — map-only at 100 TB, zero shuffle, zero
+    Python."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.select(
+        "doc_id",
+        _main_page_spark(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    segs = Fhtml.block_segments(F.col("html"))
+    return pages.select(
+        "doc_id",
+        Fhtml.main_content(F.col("html")).alias("main_text"),
+        F.size(F.filter(
+            segs, lambda s: Fhtml._segment_clean(s) != "")).cast("long")
+        .alias("n_blocks"),
+        F.size(F.filter(
+            segs,
+            lambda s: Fhtml._keep_block(s, Fhtml.MAIN_MIN_TEXT,
+                                        Fhtml.MAIN_LINK_WEIGHT)))
+        .cast("long").alias("n_kept"),
+        F.length(Fhtml.html_to_text(F.col("html"))).cast("long")
+        .alias("full_len"),
+    )
+
+
+def _duck_segment_clean(v: str) -> str:
+    x = f"regexp_replace({v}, '{Fhtml.ANY_TAG_RE}', '', 'g')"
+    for entity, char in Fhtml.ENTITY_TABLE:
+        x = f"replace({x}, '{entity}', '{char.replace(chr(39), chr(39) * 2)}')"
+    x = f"regexp_replace({x}, '{Fhtml.WS_INLINE_RE}', ' ', 'g')"
+    return f"trim({x})"
+
+
+def _main_content_oracle() -> str:
+    pre = f"regexp_replace(html, '{Fhtml.SCRIPT_RE}', '', 'g')"
+    pre = f"regexp_replace({pre}, '{Fhtml.STYLE_RE}', '', 'g')"
+    pre = f"regexp_replace({pre}, '{Fhtml.COMMENT_RE}', '', 'g')"
+    segs = f"regexp_split_to_array({pre}, '{Fhtml.BLOCK_TAG_RE}')"
+    t = _duck_segment_clean("s")
+    tna = _duck_segment_clean(
+        f"regexp_replace(s, '{Fhtml.ANCHOR_ELEMENT_RE}', '', 'g')")
+    keep = (f"length({t}) >= {Fhtml.MAIN_MIN_TEXT} and "
+            f"(length({t}) - length({tna})) * {Fhtml.MAIN_LINK_WEIGHT}"
+            f" <= length({t})")
+    main = (f"coalesce(array_to_string(list_transform("
+            f"list_filter({segs}, s -> {keep}), s -> {t}), chr(10)), '')")
+    full = _duck_html_to_text("html")
+    return f"""
+with pages as ({_MAIN_PAGE_DUCK})
+select doc_id,
+       {main} as main_text,
+       len(list_filter({segs}, s -> {t} <> ''))::bigint as n_blocks,
+       len(list_filter({segs}, s -> {keep}))::bigint as n_kept,
+       length({full})::bigint as full_len
+from pages
+"""
+
+
+_ORACLE_MAIN_CONTENT = _main_content_oracle()
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -12934,6 +13045,11 @@ _REGISTRY: dict[str, QueryDef] = {
         "redirect-chain resolution from container Location headers: "
         "relative-Location absolutization, multi-hop walk, dangling/"
         "loop classification; recursive-CTE oracle"),
+    "main_content_extract": QueryDef(
+        _q_main_content_extract, _ORACLE_MAIN_CONTENT,
+        "boilerpipe-lite main-content extraction: block segmentation + "
+        "text-mass floor + link-density ceiling drop nav/teaser/footer "
+        "chrome; full extracted text byte-checked via list-lambda twin"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -577,3 +577,43 @@ def test_resolve_redirects_hop_cap_and_extra_columns(spark):
     assert got["c/1"] == ("c/3", 2, "ok", "C/1")
     # c/0 at hop 3 exceeded the cap without being examined
     assert got["c/0"][2] == "too_deep" and got["c/0"][3] == "C/0"
+
+
+# ------------------------------------------------ main-content extraction
+
+def test_main_content_drops_chrome_keeps_body(spark):
+    from restaurant_etl_code_spark.functions import htmltext as Fhtml
+
+    html = (
+        '<html><body>'
+        '<div><a href="/">Home</a> | <a href="/shop">Shop</a> | '
+        '<a href="/faq">FAQ</a> | <a href="/more">More here</a></div>'
+        '<h1>Tiny head</h1>'
+        '<p>This body paragraph carries plenty of plain prose text '
+        'and must therefore survive the extraction.</p>'
+        '<p>See the <a href="/ref">reference</a> for details; the '
+        'anchor is a small share of this block.</p>'
+        '<div><a href="/d/2">a long teaser anchor that dominates this '
+        'entire related-links block completely</a> next</div>'
+        '<div><a href="/p">Privacy</a> <a href="/t">Terms</a></div>'
+        '</body></html>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    got = df.select(
+        Fhtml.main_content(F.col("html")).alias("m")).first()["m"]
+    lines = got.split("\n")
+    assert len(lines) == 2
+    assert lines[0].startswith("This body paragraph")
+    assert "reference" in lines[1]          # kept WITH its minor link
+    assert "Home" not in got and "Privacy" not in got
+    assert "teaser" not in got              # link-dominated block dropped
+    assert "Tiny head" not in got           # under the text floor
+
+
+def test_main_content_empty_and_all_chrome_pages(spark):
+    from restaurant_etl_code_spark.functions import htmltext as Fhtml
+
+    df = spark.createDataFrame(
+        [("",), ("<div><a href='/'>Home</a></div>",)], "html string")
+    rows = df.select(Fhtml.main_content(F.col("html")).alias("m")).collect()
+    assert [r["m"] for r in rows] == ["", ""]

@@ -1032,6 +1032,15 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
                   "BroadcastHashJoin"],
     },
+    "main_content_extract": {
+        # block segmentation + density rules are array lambdas inside ONE
+        # row-local projection over the parquet scan — a map-only plan:
+        # no shuffle of any kind, no joins, no Python
+        "want": ["Project"],
+        "avoid": ["Exchange", "CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas", "SortMergeJoin",
+                  "BroadcastHashJoin"],
+    },
     "warc_redirect_resolve": {
         # non-redirects bypass the walk (the no-join Union branch);
         # each walk round's lineage is truncated by localCheckpoint, so
