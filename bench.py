@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "warc_cdx_index",
     "warc_redirect_resolve",
     "main_content_extract",
+    "warc_fetch_latency",
 ]
 
 

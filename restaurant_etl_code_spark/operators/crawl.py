@@ -52,7 +52,8 @@ from pyspark.sql import functions as F
 from restaurant_etl_code_spark.functions import urls as Furl
 
 __all__ = ["parse_robots", "parse_crawl_delays", "robots_sitemaps",
-           "robots_gate", "schedule_frontier", "resolve_redirects"]
+           "robots_gate", "schedule_frontier", "resolve_redirects",
+           "politeness_audit"]
 
 # directive keys the parser recognizes; everything else (sitemap,
 # host, request-rate, ...) is ignored at the line filter
@@ -498,3 +499,39 @@ def resolve_redirects(
     for part in resolved_parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def politeness_audit(
+    fetches: DataFrame,
+    *,
+    domain_col: str = "domain",
+    time_col: str = "fetch_ts",
+    delay_col: str = "crawl_delay",
+    order_col: Optional[str] = None,
+) -> DataFrame:
+    """Compliance audit of OBSERVED fetch times against each host's
+    declared crawl delay — the post-hoc twin of
+    :func:`schedule_frontier` (which plans offsets before fetching):
+    given one row per completed fetch with its timestamp and the host's
+    required delay (seconds; NULL = no requirement), append::
+
+        gap_s        seconds since the host's PREVIOUS fetch
+                     (NULL for the host's first fetch)
+        violation    gap_s < required delay (false when no requirement
+                     or first fetch)
+
+    Ordering within a host is the fetch timestamp, tie-broken by
+    ``order_col`` (default: the row's own ``url`` column if present) so
+    the lag sequence is deterministic. Scale shape: ONE lag window per
+    host — the same O(1)-state per-host window as the scheduler; the
+    skew mirrors the real sequential politeness constraint.
+    """
+    tie = order_col or ("url" if "url" in fetches.columns else time_col)
+    w = Window.partitionBy(domain_col).orderBy(F.col(time_col), F.col(tie))
+    prev_ts = F.lag(time_col).over(w)
+    gap = (F.col(time_col).cast("double") - prev_ts.cast("double"))
+    violation = F.when(
+        prev_ts.isNull() | F.col(delay_col).isNull(), F.lit(False)
+    ).otherwise(gap < F.col(delay_col))
+    return fetches.withColumn("gap_s", gap).withColumn(
+        "violation", violation)

@@ -12337,6 +12337,155 @@ from pages
 _ORACLE_MAIN_CONTENT = _main_content_oracle()
 
 
+def _timing_ts(i: int) -> tuple[str, str]:
+    """(request_date, response_date) for key ``i`` — fetch slot
+    ``i // 5`` on host ``i % 5`` whose nominal inter-fetch gap is
+    ``(i % 5) + 1`` seconds; every ``i % 11 == 0`` fetch lands one
+    second EARLY (the politeness violation the audit must count), and
+    fetch latency is ``(i % 7) + 1`` seconds."""
+    import datetime as _dt
+
+    h = i % 5
+    resp = (i // 5) * (h + 1) - (1 if i % 11 == 0 and i // 5 > 0 else 0)
+    req = resp - ((i % 7) + 1)
+    base = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+    fmt = "%Y-%m-%dT%H:%M:%SZ"
+    return ((base + _dt.timedelta(seconds=req)).strftime(fmt),
+            (base + _dt.timedelta(seconds=resp)).strftime(fmt))
+
+
+def _write_warc_timing_fixture(sf_dir: str) -> str:
+    """Fetch-timing fixture (idempotent, marker-guarded): one request +
+    one response record per key, linked by ``WARC-Concurrent-To``, with
+    real WARC-Date spreads — request precedes its response by the fetch
+    latency, and per-host response times follow the host's nominal gap
+    with deterministic one-second-early violations."""
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_SCRATCH_DIR, f"warc_timing_{tag}")
+    keys = sorted(
+        pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey"])
+        .column("p_partkey").to_pylist()
+    )
+    marker = os.path.join(out, f".complete-v1-{len(keys)}")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    shards: list[list[bytes]] = [[], []]
+    for i in keys:
+        url = f"https://site{i % 5}.example.com/t/{i}"
+        req_date, resp_date = _timing_ts(i)
+        body = f"timing body {i}".encode()
+        http = (f"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+        resp_hdr = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:tr-{i}>\r\n"
+            f"WARC-Date: {resp_date}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        req_body = f"GET /t/{i} HTTP/1.1".encode()
+        req_hdr = (
+            f"WARC/1.0\r\nWARC-Type: request\r\n"
+            f"WARC-Record-ID: <urn:uuid:tq-{i}>\r\n"
+            f"WARC-Date: {req_date}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Concurrent-To: <urn:uuid:tr-{i}>\r\n"
+            f"Content-Length: {len(req_body)}\r\n\r\n"
+        ).encode()
+        shard = shards[i % 2]
+        shard.append(resp_hdr + http + b"\r\n\r\n")
+        shard.append(req_hdr + req_body + b"\r\n\r\n")
+    for idx, recs in enumerate(shards):
+        with open(os.path.join(out, f"shard-{idx}.warc"), "wb") as fh:
+            fh.write(b"".join(recs))
+    with open(marker, "w") as fh:
+        fh.write(str(len(keys)))
+    return out
+
+
+def _q_warc_fetch_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-latency + politeness-compliance audit from the container's
+    own timestamps: request records join their response via
+    ``WARC-Concurrent-To`` (latency = response WARC-Date − request
+    WARC-Date — the pairing round 13's ``concurrent_to`` column
+    exists for), then ``operators.crawl.politeness_audit`` lags
+    per-host response times against each host's required delay. Per
+    host: pair count, total/max latency, observed violations, and the
+    politeness-bound makespan. One equi-join on the unique record id +
+    one per-host lag window + one hash-groupBy."""
+    from restaurant_etl_code_spark.operators import crawl
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_timing_fixture(sf_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir)
+    ts = lambda c: F.to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")  # noqa: E731
+    resp = recs.filter(F.col("warc_type") == "response").select(
+        F.col("record_id").alias("resp_id"),
+        F.col("target_uri").alias("url"),
+        Furl.url_host(F.col("target_uri")).alias("domain"),
+        ts(F.col("warc_date")).alias("fetch_ts"),
+    )
+    req = recs.filter(F.col("warc_type") == "request").select(
+        F.col("concurrent_to").alias("resp_id"),
+        ts(F.col("warc_date")).alias("req_ts"),
+    )
+    paired = resp.join(req, "resp_id")
+    # required delay = the host's nominal gap (site{h} -> h+1 seconds);
+    # a deployment would broadcast parse_crawl_delays output instead
+    delay = (F.regexp_extract("domain", r"^site([0-9])", 1).cast("int")
+             + 1).cast("double")
+    audited = crawl.politeness_audit(
+        paired.withColumn("crawl_delay", delay))
+    lat = (F.col("fetch_ts").cast("double")
+           - F.col("req_ts").cast("double"))
+    return audited.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(lat).cast("long").alias("sum_latency_s"),
+        F.max(lat).cast("long").alias("max_latency_s"),
+        F.sum(F.col("violation").cast("long")).cast("long")
+        .alias("n_violations"),
+        (F.max(F.col("fetch_ts").cast("double"))
+         - F.min(F.col("fetch_ts").cast("double"))).cast("long")
+        .alias("makespan_s"),
+    )
+
+
+_ORACLE_WARC_FETCH_LATENCY = """
+with fetches as (
+  select 'site' || (p_partkey % 5)::varchar || '.example.com' as domain,
+         'https://site' || (p_partkey % 5)::varchar || '.example.com/t/'
+           || p_partkey::varchar as url,
+         ((p_partkey // 5) * ((p_partkey % 5) + 1)
+          - (case when p_partkey % 11 = 0 and p_partkey // 5 > 0
+                  then 1 else 0 end))::bigint as resp_s,
+         ((p_partkey % 7) + 1)::bigint as latency_s,
+         ((p_partkey % 5) + 1)::double as crawl_delay
+  from part),
+lagged as (
+  select *, resp_s - lag(resp_s) over
+           (partition by domain order by resp_s, url) as gap_s
+  from fetches),
+flagged as (
+  select domain, latency_s,
+         (case when gap_s is not null and gap_s < crawl_delay
+               then 1 else 0 end)::bigint as violation,
+         resp_s
+  from lagged)
+select domain,
+       count(*)::bigint as n_pairs,
+       sum(latency_s)::bigint as sum_latency_s,
+       max(latency_s)::bigint as max_latency_s,
+       sum(violation)::bigint as n_violations,
+       (max(resp_s) - min(resp_s))::bigint as makespan_s
+from flagged group by domain
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -13050,6 +13199,11 @@ _REGISTRY: dict[str, QueryDef] = {
         "boilerpipe-lite main-content extraction: block segmentation + "
         "text-mass floor + link-density ceiling drop nav/teaser/footer "
         "chrome; full extracted text byte-checked via list-lambda twin"),
+    "warc_fetch_latency": QueryDef(
+        _q_warc_fetch_latency, _ORACLE_WARC_FETCH_LATENCY,
+        "fetch latency via WARC-Concurrent-To pairing + politeness "
+        "compliance of observed per-host fetch gaps vs crawl delay; "
+        "per-host rollup with deterministic violation cohorts"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

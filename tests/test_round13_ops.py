@@ -617,3 +617,30 @@ def test_main_content_empty_and_all_chrome_pages(spark):
         [("",), ("<div><a href='/'>Home</a></div>",)], "html string")
     rows = df.select(Fhtml.main_content(F.col("html")).alias("m")).collect()
     assert [r["m"] for r in rows] == ["", ""]
+
+
+# ------------------------------------------------ politeness audit
+
+def test_politeness_audit_gaps_and_violations(spark):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        # host a: delay 2s — gaps 2 (ok), 1 (violation), first (none)
+        ("a", "u1", base, 2.0),
+        ("a", "u2", base + dt.timedelta(seconds=2), 2.0),
+        ("a", "u3", base + dt.timedelta(seconds=3), 2.0),
+        # host b: no declared delay — never a violation
+        ("b", "v1", base, None),
+        ("b", "v2", base + dt.timedelta(seconds=0), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "domain string, url string, fetch_ts timestamp, "
+              "crawl_delay double")
+    got = {r["url"]: (r["gap_s"], r["violation"])
+           for r in crawl.politeness_audit(df).collect()}
+    assert got["u1"] == (None, False)
+    assert got["u2"] == (2.0, False)
+    assert got["u3"] == (1.0, True)
+    assert got["v1"] == (None, False)
+    assert got["v2"] == (0.0, False)   # no requirement -> no violation

@@ -1041,6 +1041,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                   "ArrowEvalPython", "MapInPandas", "SortMergeJoin",
                   "BroadcastHashJoin"],
     },
+    "warc_fetch_latency": {
+        # pairing join keys on the UNIQUE record id; the audit is one
+        # per-host lag window; rollup is one hash-groupBy — the container
+        # splitter is the only (deliberate) Python stage
+        "want": ["MapInPandas", "Window", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython",
+                  "BroadcastNestedLoopJoin"],
+    },
     "warc_redirect_resolve": {
         # non-redirects bypass the walk (the no-join Union branch);
         # each walk round's lineage is truncated by localCheckpoint, so
