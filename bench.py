@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "warc_redirect_resolve",
     "main_content_extract",
     "warc_fetch_latency",
+    "web_graph_pagerank",
 ]
 
 

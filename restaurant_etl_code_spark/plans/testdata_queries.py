@@ -12486,6 +12486,120 @@ from flagged group by domain
 """
 
 
+def _web_graph_page_spark(doc_id: Column) -> Column:
+    """Page for the domain web graph: host ``site{h}`` (h = doc_id % 50)
+    links to ``site{(h+1)%50}`` always, ``site{(2h+1)%50}`` when h is
+    even, ``site{(h+7)%50}`` when h % 3 == 0, plus one INTRA-domain link
+    (a self-edge the graph build must drop). Irregular out-degrees ⇒
+    non-uniform ranks. Twinned by ``_WEB_GRAPH_EDGE_DUCK`` at the edge
+    level."""
+    h = doc_id % 50
+    ds = doc_id.cast("string")
+
+    def site(expr) -> Column:
+        return F.concat(F.lit("https://site"), expr.cast("string"),
+                        F.lit(".example.com/p/"), ds)
+
+    return F.concat(
+        F.lit("<html><body><p>page "), ds, F.lit("</p><a href=\""),
+        site((h + 1) % 50), F.lit("\">next</a><a href=\""),
+        site(h), F.lit("\">self</a>"),
+        F.when(h % 2 == 0, F.concat(
+            F.lit("<a href=\""), site((h * 2 + 1) % 50),
+            F.lit("\">even</a>"))).otherwise(F.lit("")),
+        F.when(h % 3 == 0, F.concat(
+            F.lit("<a href=\""), site((h + 7) % 50),
+            F.lit("\">third</a>"))).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+
+
+# the DISTINCT domain edge list the fixture encodes, derived in SQL from
+# the same arithmetic (h = doc_id % 50; self-edges dropped)
+_WEB_GRAPH_EDGE_DUCK = """
+  with hs as (select distinct doc_id % 50 as h from documents),
+  raw as (
+    select 'site' || h::varchar as src, 'site' || ((h + 1) % 50)::varchar as dst
+    from hs
+    union all
+    select 'site' || h::varchar, 'site' || ((h * 2 + 1) % 50)::varchar
+    from hs where h % 2 = 0
+    union all
+    select 'site' || h::varchar, 'site' || ((h + 7) % 50)::varchar
+    from hs where h % 3 = 0)
+  select distinct src, dst from raw where src <> dst
+"""
+
+
+def _q_web_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level web graph + PageRank — the artifact Common Crawl
+    publishes per crawl (host/domain-level graph + centrality ranks):
+    harvest every ``<a href>`` from the corpus, key both ends by
+    registrable host, DISTINCT the domain pairs, drop self-edges, and
+    rank with ``graph.pagerank`` (3 fixed iterations ⇒ deterministic,
+    unrolled-SQL oracle). The harvest is the corpus-sized stage (one
+    explode + hash-distinct that collapses 50k pages to ~100 domain
+    edges BEFORE any graph work); the rank loop then runs at graph
+    size, never corpus size — exactly the reduction that makes
+    domain-level centrality cheap at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pages = docs.select(
+        Furl.url_host(F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        )).alias("src_host"),
+        _web_graph_page_spark(F.col("doc_id")).alias("html"),
+    )
+    links = pages.select(
+        "src_host",
+        F.explode(Fhtml.html_links(F.col("html"))).alias("href"),
+    )
+    edges = (
+        links.select(
+            F.regexp_extract("src_host", r"^(site[0-9]+)", 1).alias("src"),
+            F.regexp_extract(Furl.url_host(F.col("href")),
+                             r"^(site[0-9]+)", 1).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pr = graph.pagerank(edges, iterations=3)
+    return pr.select(F.col("node").alias("domain"),
+                     F.round("pr", 9).alias("pr"))
+
+
+_ORACLE_WEB_GRAPH_PAGERANK = f"""
+with edges as ({_WEB_GRAPH_EDGE_DUCK}),
+nodes as (
+  select src as node from edges union select dst from edges),
+deg as (select src, count(*) as d from edges group by src),
+nn as (select count(*)::double as n from nodes),
+r0 as (select node, 1.0 / nn.n as pr from nodes cross join nn),
+c1 as (
+  select e.dst as node, sum(r0.pr / deg.d) as m
+  from edges e join r0 on r0.node = e.src join deg on deg.src = e.src
+  group by e.dst),
+r1 as (
+  select nd.node, (0.15 / nn.n) + 0.85 * coalesce(c1.m, 0.0) as pr
+  from nodes nd cross join nn left join c1 on c1.node = nd.node),
+c2 as (
+  select e.dst as node, sum(r1.pr / deg.d) as m
+  from edges e join r1 on r1.node = e.src join deg on deg.src = e.src
+  group by e.dst),
+r2 as (
+  select nd.node, (0.15 / nn.n) + 0.85 * coalesce(c2.m, 0.0) as pr
+  from nodes nd cross join nn left join c2 on c2.node = nd.node),
+c3 as (
+  select e.dst as node, sum(r2.pr / deg.d) as m
+  from edges e join r2 on r2.node = e.src join deg on deg.src = e.src
+  group by e.dst),
+r3 as (
+  select nd.node, (0.15 / nn.n) + 0.85 * coalesce(c3.m, 0.0) as pr
+  from nodes nd cross join nn left join c3 on c3.node = nd.node)
+select node as domain, round(pr, 9) as pr from r3
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -13204,6 +13318,12 @@ _REGISTRY: dict[str, QueryDef] = {
         "fetch latency via WARC-Concurrent-To pairing + politeness "
         "compliance of observed per-host fetch gaps vs crawl delay; "
         "per-host rollup with deterministic violation cohorts"),
+    "web_graph_pagerank": QueryDef(
+        _q_web_graph_pagerank, _ORACLE_WEB_GRAPH_PAGERANK,
+        "domain-level web graph + PageRank (the Common Crawl per-crawl "
+        "artifact): anchor harvest -> distinct domain edges (corpus "
+        "collapses before graph work) -> 3-iteration rank; unrolled-SQL "
+        "oracle"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

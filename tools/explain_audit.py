@@ -1041,6 +1041,15 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                   "ArrowEvalPython", "MapInPandas", "SortMergeJoin",
                   "BroadcastHashJoin"],
     },
+    "web_graph_pagerank": {
+        # the harvest collapses the corpus to ~100 domain edges BEFORE
+        # graph work (explode + hash-distinct); the returned frame is the
+        # final rank round's localCheckpoint — a projection over the
+        # materialized RDD, exactly the pagerank pin's shape
+        "want": ["Scan ExistingRDD"],
+        "avoid": ["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas"],
+    },
     "warc_fetch_latency": {
         # pairing join keys on the UNIQUE record id; the audit is one
         # per-host lag window; rollup is one hash-groupBy — the container
