@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "main_content_extract",
     "warc_fetch_latency",
     "web_graph_pagerank",
+    "cdx_incremental_merge",
 ]
 
 

@@ -12600,6 +12600,69 @@ select node as domain, round(pr, 9) as pr from r3
 """
 
 
+def _q_cdx_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-over-index CDX merge — the dedup decision a
+    recurring crawl makes per capture against the previous crawl's
+    index: ``new-url`` (urlkey never seen), ``revisit`` (urlkey seen
+    and payload digest unchanged → store a revisit record, not the
+    bytes — the crawl-time storage dedup), ``changed`` (urlkey seen,
+    digest moved → content update worth refetching/reprocessing).
+    The previous index is derived from the same container scan with
+    deterministic perturbations (every 3rd urlkey absent, every 5th
+    digest mangled), so the oracle can re-derive each capture's class
+    from the congruences while the Spark side does the REAL work: a
+    1:1 LEFT join on the unique urlkey + a digest equality. One
+    broadcast-or-shuffle equi-join + one hash-groupBy."""
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_fixture(sf_dir)
+    resp = (
+        Fwarc.read_warc(spark, fixture_dir)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            Furl.surt_key(F.col("target_uri")).alias("urlkey"),
+            F.col("payload_digest").alias("digest"),
+            Furl.url_host(F.col("target_uri")).alias("domain"),
+            F.regexp_extract(F.col("target_uri"), r"/d/([0-9]+)$", 1)
+            .alias("dkey"),
+        )
+    )
+    prev = (
+        resp.filter((F.col("dkey") != "")
+                    & (F.col("dkey").cast("long") % 3 != 2))
+        .select(
+            "urlkey",
+            F.when(F.col("dkey").cast("long") % 5 == 0,
+                   F.concat(F.lit("old-"), F.col("digest")))
+            .otherwise(F.col("digest")).alias("prev_digest"),
+        )
+    )
+    merged = resp.join(prev, "urlkey", "left").withColumn(
+        "capture_class",
+        F.when(F.col("prev_digest").isNull(), F.lit("new-url"))
+        .when(F.col("digest") == F.col("prev_digest"), F.lit("revisit"))
+        .otherwise(F.lit("changed")),
+    )
+    return merged.groupBy("domain", "capture_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+_ORACLE_CDX_MERGE = """
+with captures as (
+  select 'site' || (p_partkey % 5)::varchar || '.example.com' as domain,
+         (case when p_partkey % 3 = 2 then 'new-url'
+               when p_partkey % 5 = 0 then 'changed'
+               else 'revisit' end) as capture_class
+  from part
+  union all
+  select 'site' || (p_partkey % 5)::varchar || '.example.com', 'new-url'
+  from part where p_partkey % 13 = 5)
+select domain, capture_class, count(*)::bigint as n
+from captures group by domain, capture_class
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -13324,6 +13387,11 @@ _REGISTRY: dict[str, QueryDef] = {
         "artifact): anchor harvest -> distinct domain edges (corpus "
         "collapses before graph work) -> 3-iteration rank; unrolled-SQL "
         "oracle"),
+    "cdx_incremental_merge": QueryDef(
+        _q_cdx_incremental_merge, _ORACLE_CDX_MERGE,
+        "crawl-over-index CDX merge: new-url / revisit (digest "
+        "unchanged — crawl-time storage dedup) / changed per capture "
+        "via a 1:1 urlkey join + digest equality"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -1050,6 +1050,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython",
                   "ArrowEvalPython", "MapInPandas"],
     },
+    "cdx_incremental_merge": {
+        # 1:1 LEFT equi-join on the unique urlkey + one hash-groupBy;
+        # the container splitter is the only (deliberate) Python stage
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython",
+                  "BroadcastNestedLoopJoin"],
+    },
     "warc_fetch_latency": {
         # pairing join keys on the UNIQUE record id; the audit is one
         # per-host lag window; rollup is one hash-groupBy — the container
