@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "warc_fetch_latency",
     "web_graph_pagerank",
     "cdx_incremental_merge",
+    "wat_export_roundtrip",
 ]
 
 

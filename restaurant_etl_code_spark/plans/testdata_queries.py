@@ -12663,6 +12663,84 @@ from captures group by domain, capture_class
 """
 
 
+def _q_wat_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT-style metadata sidecar export — the third leg of the
+    WARC/WAT/WET trio (Common Crawl ships, per crawl: the raw
+    containers, a WET text extract, and a WAT metadata JSON per
+    record): each response capture is reduced to a JSON envelope
+    (url, status, title, outbound links, payload digest) via
+    ``to_json``, framed as ``metadata`` records with
+    ``application/json`` content type through the SAME ``write_warc``
+    sink, read back through the engine's own scanner, parsed with
+    ``from_json``, and aggregated per host. The oracle computes the
+    same per-host aggregate from `part` arithmetic, so a fault in JSON
+    serialization, record framing, the scan, or the parse shifts a
+    counter and hash-mismatches."""
+    import shutil
+
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_fixture(sf_dir)
+    resp = (
+        Fwarc.read_warc(spark, fixture_dir)
+        .filter(F.col("warc_type") == "response")
+    )
+    meta = resp.select(
+        F.col("target_uri").alias("url"),
+        F.to_json(F.struct(
+            F.col("target_uri").alias("url"),
+            F.col("http_status").alias("status"),
+            Fhtml.html_title(F.col("payload")).alias("title"),
+            Fhtml.html_links(F.col("payload")).alias("links"),
+            F.col("payload_digest").alias("digest"),
+        )).alias("payload"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_SCRATCH_DIR, f"wat_export_{tag}")
+    shutil.rmtree(out, ignore_errors=True)  # stale shards would pollute
+    Fwarc.write_warc(meta.repartition(4), out, warc_type="metadata",
+                     content_type="application/json", gzip_members=True)
+    back = Fwarc.read_warc(spark, out).filter(
+        F.col("warc_type") == "metadata")
+    parsed = back.select(F.from_json(
+        F.col("payload"),
+        "url string, status int, title string, links array<string>, "
+        "digest string").alias("m"))
+    return parsed.select(
+        Furl.url_host(F.col("m.url")).alias("host"),
+        F.col("m.status").alias("status"),
+        F.col("m.title").alias("title"),
+        F.size("m.links").alias("n_links"),
+        F.col("m.digest").rlike(r"^sha1:[0-9a-f]{40}$").alias("dig_ok"),
+    ).groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_meta"),
+        F.sum("n_links").cast("long").alias("sum_links"),
+        F.countDistinct("title").cast("long").alias("n_titles"),
+        F.sum("status").cast("long").alias("sum_status"),
+        F.min("dig_ok").alias("digests_ok"),
+    )
+
+
+_ORACLE_WAT_EXPORT = """
+with captures as (
+  select 'site' || (p_partkey % 5)::varchar || '.example.com' as host,
+         (case when p_partkey % 17 = 0 then 404 else 200 end) as status,
+         'W' || p_partkey::varchar as title
+  from part
+  union all
+  select 'site' || (p_partkey % 5)::varchar || '.example.com', 200,
+         'W' || p_partkey::varchar
+  from part where p_partkey % 13 = 5)
+select host,
+       count(*)::bigint as n_meta,
+       count(*)::bigint as sum_links,
+       count(distinct title)::bigint as n_titles,
+       sum(status)::bigint as sum_status,
+       min(true) as digests_ok
+from captures group by host
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -13392,6 +13470,11 @@ _REGISTRY: dict[str, QueryDef] = {
         "crawl-over-index CDX merge: new-url / revisit (digest "
         "unchanged — crawl-time storage dedup) / changed per capture "
         "via a 1:1 urlkey join + digest equality"),
+    "wat_export_roundtrip": QueryDef(
+        _q_wat_export_roundtrip, _ORACLE_WAT_EXPORT,
+        "WAT metadata sidecar: per-capture JSON envelope (url/status/"
+        "title/links/digest) framed as metadata records through "
+        "write_warc, read back, from_json-parsed, per-host rollup"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

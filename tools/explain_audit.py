@@ -1050,6 +1050,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython",
                   "ArrowEvalPython", "MapInPandas"],
     },
+    "wat_export_roundtrip": {
+        # read side of the WAT loop: container splitter (the deliberate
+        # Arrow stage) -> from_json projection -> one hash-groupBy
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
+                  "BroadcastHashJoin"],
+    },
     "cdx_incremental_merge": {
         # 1:1 LEFT equi-join on the unique urlkey + one hash-groupBy;
         # the container splitter is the only (deliberate) Python stage
