@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "web_graph_pagerank",
     "cdx_incremental_merge",
     "wat_export_roundtrip",
+    "warc_media_scan",
 ]
 
 

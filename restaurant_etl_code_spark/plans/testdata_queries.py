@@ -12741,6 +12741,129 @@ from captures group by host
 """
 
 
+_MEDIA_MAGIC = {
+    "image/png": b"\x89PNG\r\n\x1a\n",
+    "image/jpeg": b"\xff\xd8\xff",
+    "application/pdf": b"%PDF-",
+}
+# Spark-side hex prefixes for the sniff (F.hex of the first bytes)
+_MEDIA_MAGIC_HEX = {k: v.hex().upper() for k, v in _MEDIA_MAGIC.items()}
+
+
+def _write_warc_media_fixture(sf_dir: str) -> str:
+    """Media-capture fixture (idempotent, marker-guarded), one record
+    per key: ``i%4==0`` PNG bytes declared image/png; ``1`` JPEG bytes
+    declared image/jpeg; ``2`` JPEG bytes LYING as image/png (the
+    sniff-mismatch cohort a media pipeline must count before decode);
+    ``3`` PDF bytes declared application/pdf. Filler is deterministic
+    non-UTF-8 high bytes of length ``60 + i%50`` — any charset decode
+    of these payloads would mangle them irreversibly, which is exactly
+    what the binary-passthrough contract forbids."""
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_SCRATCH_DIR, f"warc_media_{tag}")
+    keys = sorted(
+        pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey"])
+        .column("p_partkey").to_pylist()
+    )
+    marker = os.path.join(out, f".complete-v1-{len(keys)}")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    shards: list[list[bytes]] = [[], []]
+    for i in keys:
+        m = i % 4
+        if m == 0:
+            declared, magic = "image/png", _MEDIA_MAGIC["image/png"]
+        elif m == 1:
+            declared, magic = "image/jpeg", _MEDIA_MAGIC["image/jpeg"]
+        elif m == 2:  # lying declaration: png header, jpeg bytes
+            declared, magic = "image/png", _MEDIA_MAGIC["image/jpeg"]
+        else:
+            declared, magic = "application/pdf", _MEDIA_MAGIC["application/pdf"]
+        filler = bytes((137 + i + j) % 256 for j in range(60 + i % 50))
+        body = magic + filler
+        http = (f"HTTP/1.1 200 OK\r\nContent-Type: {declared}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:med-{i}>\r\n"
+            f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"WARC-Target-URI: https://site{i % 5}.example.com/m/{i}\r\n"
+            f"Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        shards[i % 2].append(hdr + http + b"\r\n\r\n")
+    for idx, recs in enumerate(shards):
+        with open(os.path.join(out, f"shard-{idx}.warc"), "wb") as fh:
+            fh.write(b"".join(recs))
+    with open(marker, "w") as fh:
+        fh.write(str(len(keys)))
+    return out
+
+
+def _q_warc_media_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media captures as OPAQUE BINARY + typed metadata (the multimodal
+    intake contract): image/PDF payloads arrive byte-INTACT in
+    ``payload_binary`` (the text column stays NULL — a charset decode
+    would mangle them irreversibly), and the first bytes are sniffed
+    against the DECLARED type's magic so lying declarations are
+    countable BEFORE any decoder runs. Per declared type: capture
+    count, exact media byte volume, sniff matches, distinct hosts.
+    The oracle re-derives byte volumes from the fixture arithmetic —
+    one mangled or dropped byte anywhere in the binary path shifts
+    ``sum_bytes`` and hash-mismatches."""
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_media_fixture(sf_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir)
+    media = recs.filter(F.col("payload_binary").isNotNull()).select(
+        F.col("http_content_type").alias("declared"),
+        F.length("payload_binary").alias("n_bytes"),
+        F.hex(F.substring("payload_binary", 1, 8)).alias("head_hex"),
+        Furl.url_host(F.col("target_uri")).alias("host"),
+        F.col("payload").isNull().alias("text_null"),
+    )
+    sniff = F.lit(False)
+    for ct, hexpfx in _MEDIA_MAGIC_HEX.items():
+        sniff = F.when(
+            (F.col("declared") == ct)
+            & F.col("head_hex").startswith(hexpfx), F.lit(True)
+        ).otherwise(sniff)
+    return media.withColumn("sniff_ok", sniff).groupBy("declared").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_bytes").cast("long").alias("sum_bytes"),
+        F.sum(F.col("sniff_ok").cast("long")).cast("long")
+        .alias("n_sniff_ok"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.min("text_null").alias("text_always_null"),
+    )
+
+
+_ORACLE_WARC_MEDIA = """
+with caps as (
+  select (case when p_partkey % 4 in (0, 2) then 'image/png'
+               when p_partkey % 4 = 1 then 'image/jpeg'
+               else 'application/pdf' end) as declared,
+         (case when p_partkey % 4 = 0 then 8
+               when p_partkey % 4 = 1 then 3
+               when p_partkey % 4 = 2 then 3
+               else 5 end) + 60 + (p_partkey % 50) as n_bytes,
+         (case when p_partkey % 4 = 2 then 0 else 1 end)::bigint as ok,
+         'site' || (p_partkey % 5)::varchar || '.example.com' as host
+  from part)
+select declared,
+       count(*)::bigint as n,
+       sum(n_bytes)::bigint as sum_bytes,
+       sum(ok)::bigint as n_sniff_ok,
+       count(distinct host)::bigint as n_hosts,
+       min(true) as text_always_null
+from caps group by declared
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -13475,6 +13598,11 @@ _REGISTRY: dict[str, QueryDef] = {
         "WAT metadata sidecar: per-capture JSON envelope (url/status/"
         "title/links/digest) framed as metadata records through "
         "write_warc, read back, from_json-parsed, per-host rollup"),
+    "warc_media_scan": QueryDef(
+        _q_warc_media_scan, _ORACLE_WARC_MEDIA,
+        "media captures as opaque binary + typed metadata: byte-intact "
+        "payload_binary for non-text content types, magic-byte sniff "
+        "vs declared type (lying declarations countable pre-decode)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

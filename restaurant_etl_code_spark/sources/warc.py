@@ -66,7 +66,8 @@ WARC_SCHEMA = (
     "payload_len bigint, payload_digest string, "
     "http_content_encoding string, concurrent_to string, "
     "truncated string, charset string, charset_used string, "
-    "http_location string, record_offset bigint, record_length bigint"
+    "http_location string, record_offset bigint, record_length bigint, "
+    "payload_binary binary"
 )
 
 _COLS = [f.split()[0] for f in WARC_SCHEMA.split(", ")]
@@ -140,6 +141,29 @@ def _decode_entity(payload: bytes, coding: "str | None") -> tuple[bytes, "str | 
                 pass
         return payload, "br"
     return payload, coding
+
+
+# Content types whose payloads are TEXT (decoded through the charset
+# chain into the ``payload`` column). Everything else — image/*,
+# audio/*, video/*, application/pdf, octet-stream, fonts — is MEDIA:
+# the bytes pass through INTACT in ``payload_binary`` (a charset decode
+# would mangle them irreversibly) with typed metadata alongside, the
+# opaque-binary-column contract the multimodal lane consumes. Records
+# without an HTTP envelope (warcinfo, request, metadata, conversion/WET)
+# are textual by how this engine and the WAT/WET formats use them.
+_TEXT_CT_RE = re.compile(
+    r"^\s*(text/"
+    r"|application/(json|xml|[a-z0-9.+-]+\+(json|xml)|javascript"
+    r"|x-javascript|x-www-form-urlencoded|http)"
+    r"|message/)",
+    re.IGNORECASE,
+)
+
+
+def _is_text_content_type(http_ct: "str | None") -> bool:
+    if http_ct is None:
+        return True  # unlabeled payloads route through the charset chain
+    return bool(_TEXT_CT_RE.match(http_ct))
 
 
 # Charset normalization table (round 13): the token crawled pages
@@ -261,6 +285,7 @@ def parse_warc_bytes(data: bytes, warc_file: str, *,
             "record_offset": frame_offset if frame_offset is not None
             else at,
             "record_length": frame_length,
+            "payload_binary": None,
         }
 
     pos, n = 0, len(data)
@@ -329,8 +354,15 @@ def parse_warc_bytes(data: bytes, warc_file: str, *,
                 if chunked:
                     payload = _dechunk(payload)
                 payload, residual = _decode_entity(payload, coding)
-        declared = _declared_charset(http_ct, payload)
-        text, used = _decode_text(payload, declared)
+        if not _is_text_content_type(http_ct):
+            # MEDIA payload: intact bytes + typed metadata, never a
+            # charset-mangled string — the multimodal-lane contract
+            declared = _declared_charset(http_ct, b"")
+            text, used, binary = None, None, payload
+        else:
+            declared = _declared_charset(http_ct, payload)
+            text, used = _decode_text(payload, declared)
+            binary = None
         yield {
             "warc_file": warc_file,
             "warc_type": wtype,
@@ -370,6 +402,9 @@ def parse_warc_bytes(data: bytes, warc_file: str, *,
             else start,
             "record_length": frame_length if frame_length is not None
             else pos - start,
+            # intact media bytes (NULL for text payloads — exactly one
+            # of payload / payload_binary is populated per HTTP record)
+            "payload_binary": binary,
         }
 
 

@@ -644,3 +644,36 @@ def test_politeness_audit_gaps_and_violations(spark):
     assert got["u3"] == (1.0, True)
     assert got["v1"] == (None, False)
     assert got["v2"] == (0.0, False)   # no requirement -> no violation
+
+
+# ------------------------------------------------ binary media payloads
+
+def test_media_payloads_pass_through_binary_intact():
+    from restaurant_etl_code_spark.sources.warc import parse_warc_bytes
+
+    png = b"\x89PNG\r\n\x1a\n" + bytes(range(256))  # every byte value
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(png)) + png
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Record-ID: <m1>\r\n"
+           b"WARC-Target-URI: https://a.com/i.png\r\n"
+           b"Content-Length: %d\r\n\r\n" % len(http)) + http + b"\r\n\r\n"
+    row = next(parse_warc_bytes(rec, "f"))
+    # intact bytes, NULL text — a charset decode would mangle 0x80-0xFF
+    assert row["payload_binary"] == png
+    assert row["payload"] is None
+    assert row["charset_used"] is None
+
+
+def test_text_and_json_content_types_stay_text():
+    from restaurant_etl_code_spark.sources.warc import (
+        _is_text_content_type)
+
+    for ct in ("text/html; charset=utf-8", "application/json",
+               "application/xhtml+xml", "application/javascript",
+               None):
+        assert _is_text_content_type(ct), ct
+    for ct in ("image/png", "audio/mpeg", "video/mp4",
+               "application/pdf", "application/octet-stream",
+               "font/woff2"):
+        assert not _is_text_content_type(ct), ct

@@ -1050,6 +1050,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython",
                   "ArrowEvalPython", "MapInPandas"],
     },
+    "warc_media_scan": {
+        # container splitter (the deliberate Arrow stage) -> binary-
+        # column projection + magic sniff -> one hash-groupBy; no joins
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
+                  "BroadcastHashJoin"],
+    },
     "wat_export_roundtrip": {
         # read side of the WAT loop: container splitter (the deliberate
         # Arrow stage) -> from_json projection -> one hash-groupBy
