@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "cdx_incremental_merge",
     "wat_export_roundtrip",
     "warc_media_scan",
+    "warc_media_digest",
 ]
 
 

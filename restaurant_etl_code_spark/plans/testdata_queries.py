@@ -12864,6 +12864,48 @@ from caps group by declared
 """
 
 
+def _q_warc_media_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-BYTE integrity of the binary media path: md5 over the hex
+    encoding of every media payload (hex because DuckDB's md5 hashes
+    VARCHAR only — the lowercased hex string is a faithful byte
+    encoding both engines can build), one row per (declared type,
+    digest). The oracle RECONSTRUCTS each payload's hex arithmetically
+    from `part` (magic prefix + the deterministic filler bytes) and
+    md5s it — a single flipped, dropped, or charset-mangled byte
+    anywhere in container framing, entity handling, or the binary
+    passthrough yields a different digest row and hash-mismatches."""
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_media_fixture(sf_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir)
+    media = recs.filter(F.col("payload_binary").isNotNull()).select(
+        F.col("http_content_type").alias("declared"),
+        F.md5(F.lower(F.hex("payload_binary"))).alias("digest"),
+    )
+    return media.groupBy("declared", "digest").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+_ORACLE_WARC_MEDIA_DIGEST = """
+with caps as (
+  select (case when p_partkey % 4 in (0, 2) then 'image/png'
+               when p_partkey % 4 = 1 then 'image/jpeg'
+               else 'application/pdf' end) as declared,
+         md5(lower(
+           (case when p_partkey % 4 = 0 then '89504e470d0a1a0a'
+                 when p_partkey % 4 in (1, 2) then 'ffd8ff'
+                 else '255044462d' end)
+           || array_to_string(list_transform(
+                range(0, 60 + (p_partkey % 50)),
+                j -> lpad(to_hex((137 + p_partkey + j) % 256), 2, '0')),
+              ''))) as digest
+  from part)
+select declared, digest, count(*)::bigint as n
+from caps group by declared, digest
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -13603,6 +13645,11 @@ _REGISTRY: dict[str, QueryDef] = {
         "media captures as opaque binary + typed metadata: byte-intact "
         "payload_binary for non-text content types, magic-byte sniff "
         "vs declared type (lying declarations countable pre-decode)"),
+    "warc_media_digest": QueryDef(
+        _q_warc_media_digest, _ORACLE_WARC_MEDIA_DIGEST,
+        "per-BYTE media integrity: md5 over the hex encoding of every "
+        "binary payload vs the oracle's arithmetic reconstruction — "
+        "one flipped byte anywhere in the binary path mismatches"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

@@ -1057,6 +1057,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
                   "BroadcastHashJoin"],
     },
+    "warc_media_digest": {
+        # hex+md5 are codegen over the splitter's binary column; one
+        # hash-groupBy on (declared, digest)
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
+                  "BroadcastHashJoin"],
+    },
     "wat_export_roundtrip": {
         # read side of the WAT loop: container splitter (the deliberate
         # Arrow stage) -> from_json projection -> one hash-groupBy
