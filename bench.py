@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "wat_export_roundtrip",
     "warc_media_scan",
     "warc_media_digest",
+    "sitemap_recrawl",
 ]
 
 

@@ -58,6 +58,8 @@ __all__ = [
     "canonical_link",
     "meta_content",
     "sitemap_locs",
+    "sitemap_entry_locs",
+    "sitemap_entry_lastmods",
     "SCRIPT_RE",
     "STYLE_RE",
     "COMMENT_RE",
@@ -290,3 +292,25 @@ def main_content(c: Column, min_text_len: int = MAIN_MIN_TEXT,
     kept = F.filter(
         segs, lambda s: _keep_block(s, min_text_len, link_weight))
     return F.array_join(F.transform(kept, _segment_clean), "\n")
+
+
+# <url> entries that DECLARE a lastmod — one two-group pattern extracted
+# per group index so the (loc, lastmod) arrays align positionally, the
+# ANCHOR_RE technique. Entries without a lastmod are the plain
+# sitemap_locs harvest; this pair feeds recrawl scheduling, which only
+# has a signal when the site declares one.
+SITEMAP_ENTRY_RE = ("(?is)<url>\\s*<loc>\\s*(.*?)\\s*</loc>\\s*"
+                    "<lastmod>\\s*(.*?)\\s*</lastmod>")
+
+
+def sitemap_entry_locs(c: Column) -> Column:
+    """<loc> of every sitemap entry that declares a lastmod →
+    array<string>, positionally aligned with
+    :func:`sitemap_entry_lastmods`."""
+    return F.regexp_extract_all(c, F.lit(SITEMAP_ENTRY_RE), 1)
+
+
+def sitemap_entry_lastmods(c: Column) -> Column:
+    """lastmod value of the same entries → array<string> (W3C datetime;
+    date-only form in the common case)."""
+    return F.regexp_extract_all(c, F.lit(SITEMAP_ENTRY_RE), 2)

@@ -12906,6 +12906,77 @@ from caps group by declared, digest
 """
 
 
+def _q_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling from sitemap ``<lastmod>`` declarations
+    (sitemaps.org: the one freshness signal sites PUBLISH): harvest
+    (loc, lastmod) pairs positionally (the ANCHOR_RE two-group
+    technique), age each URL against a fixed as-of date, and roll up
+    per domain — entries due for refetch (age beyond the policy
+    window), the staleness distribution, and the frontier size. The
+    aligned-pair harvest, date parse, and age arithmetic are all
+    row-local codegen; one hash-groupBy."""
+    nation = load_table(spark, sf_dir, "nation")
+    ks = F.col("n_nationkey").cast("string")
+    day = (F.col("n_nationkey") % 28 + 1).cast("string")
+    xml = F.concat(
+        F.lit("<?xml version=\"1.0\"?><urlset>"
+              "<url><loc>https://shop.example.co.id/p/"), ks,
+        F.lit("</loc><lastmod>2025-12-"), F.lpad(day, 2, "0"),
+        F.lit("</lastmod></url>"
+              "<url><loc>https://news.example.com.sg/p/"), ks,
+        F.lit("</loc><lastmod>2026-01-0"), (F.col("n_nationkey") % 9 + 1).cast("string"),
+        F.lit("</lastmod></url>"
+              # no-lastmod entry: excluded from the aligned harvest
+              "<url><loc>https://example.com/p/"), ks,
+        F.lit("</loc></url></urlset>"),
+    )
+    sitemaps = nation.select(xml.alias("xml"))
+    pairs = sitemaps.select(
+        F.arrays_zip(
+            Fhtml.sitemap_entry_locs(F.col("xml")).alias("url"),
+            Fhtml.sitemap_entry_lastmods(F.col("xml")).alias("lastmod"),
+        ).alias("z")
+    ).select(F.explode("z").alias("e")).select(
+        F.col("e.url").alias("url"), F.col("e.lastmod").alias("lastmod"))
+    aged = pairs.select(
+        Furl.url_host(F.col("url")).alias("domain"),
+        F.datediff(F.lit("2026-01-15").cast("date"),
+                   F.to_date("lastmod")).alias("age_days"),
+    )
+    return aged.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entries"),
+        F.sum(F.when(F.col("age_days") > 14, 1).otherwise(0))
+        .cast("long").alias("n_due"),
+        F.max("age_days").cast("long").alias("max_age"),
+        F.min("age_days").cast("long").alias("min_age"),
+        F.sum("age_days").cast("long").alias("sum_age"),
+    )
+
+
+_ORACLE_SITEMAP_RECRAWL = """
+with entries as (
+  select 'shop.example.co.id' as domain,
+         date_diff('day',
+                   ('2025-12-' || lpad(((n_nationkey % 28) + 1)::varchar,
+                                       2, '0'))::date,
+                   date '2026-01-15') as age_days
+  from nation
+  union all
+  select 'news.example.com.sg',
+         date_diff('day',
+                   ('2026-01-0' || ((n_nationkey % 9) + 1)::varchar)::date,
+                   date '2026-01-15')
+  from nation)
+select domain,
+       count(*)::bigint as n_entries,
+       sum(case when age_days > 14 then 1 else 0 end)::bigint as n_due,
+       max(age_days)::bigint as max_age,
+       min(age_days)::bigint as min_age,
+       sum(age_days)::bigint as sum_age
+from entries group by domain
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -13650,6 +13721,11 @@ _REGISTRY: dict[str, QueryDef] = {
         "per-BYTE media integrity: md5 over the hex encoding of every "
         "binary payload vs the oracle's arithmetic reconstruction — "
         "one flipped byte anywhere in the binary path mismatches"),
+    "sitemap_recrawl": QueryDef(
+        _q_sitemap_recrawl, _ORACLE_SITEMAP_RECRAWL,
+        "recrawl scheduling from sitemap lastmod: aligned (loc, "
+        "lastmod) harvest, per-URL staleness vs an as-of date, per-"
+        "domain due/age rollup"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

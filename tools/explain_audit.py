@@ -1057,6 +1057,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
                   "BroadcastHashJoin"],
     },
+    "sitemap_recrawl": {
+        # aligned-pair harvest + date arithmetic are row-local codegen;
+        # one hash-groupBy, zero joins, zero Python
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
     "warc_media_digest": {
         # hex+md5 are codegen over the splitter's binary column; one
         # hash-groupBy on (declared, digest)
