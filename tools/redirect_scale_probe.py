@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Scale probe for resolve_redirects: synthetic fetched table where 30%
+of URLs are redirects forming 3-hop chains (u_i -> u_{i+1} -> u_{i+2} ->
+u_{i+3}=terminal when i%10<3), measured at N and K*N rows. The walk is
+max_hops equi-joins over the persisted redirect subset — the pass is a
+~linear wall-clock ratio (the chains' shape, depth, and mix stay fixed;
+only row count grows).
+
+Usage: python tools/redirect_scale_probe.py [N] [K]   (default 200k, 10)
+Prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark import get_spark
+from restaurant_etl_code_spark.operators import crawl
+
+
+def fetched(spark, n: int):
+    base = spark.range(n).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 997).cast("string"),
+                 F.lit(".example.com/u/"), F.col("id").cast("string"))
+        .alias("url"),
+        F.when(F.col("id") % 10 < 3, F.lit(301)).otherwise(F.lit(200))
+        .alias("http_status"),
+        F.when(
+            F.col("id") % 10 < 3,
+            F.concat(F.lit("https://h"),
+                     ((F.col("id") + 1) % 997).cast("string"),
+                     F.lit(".example.com/u/"),
+                     (F.col("id") + 1).cast("string")),
+        ).alias("location"),
+    )
+    return base
+
+
+def run(spark, n: int) -> tuple[float, int]:
+    t0 = time.time()
+    out = crawl.resolve_redirects(fetched(spark, n))
+    rows = out.groupBy("outcome").count().collect()
+    return time.time() - t0, sum(r["count"] for r in rows)
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("redirect-scale-probe")
+    run(spark, 10_000)  # warm
+    sec_x1, rows_x1 = run(spark, n)
+    sec_xk, rows_xk = run(spark, n * k)
+    print(json.dumps({
+        "n": n, "k": k,
+        "sec_x1": round(sec_x1, 2), "sec_xk": round(sec_xk, 2),
+        "ratio": round(sec_xk / sec_x1, 2),
+        "rows_x1": rows_x1, "rows_xk": rows_xk,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
