@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "warc_media_scan",
     "warc_media_digest",
     "sitemap_recrawl",
+    "warc_media_headers",
 ]
 
 

@@ -12977,6 +12977,114 @@ from entries group by domain
 """
 
 
+def _write_warc_imgmeta_fixture(sf_dir: str) -> str:
+    """Image-metadata fixture (idempotent, marker-guarded): REAL
+    container headers with deterministic dimensions — ``i%3==0`` a PNG
+    whose IHDR carries (100+i%37, 50+i%23); ``1`` a GIF89a logical
+    screen with the same arithmetic dims; ``2`` garbage bytes declared
+    octet-stream (the corrupt-file triage cohort — decode must absorb
+    it as a countable error, never an exception)."""
+    import struct
+
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_SCRATCH_DIR, f"warc_imgmeta_{tag}")
+    keys = sorted(
+        pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey"])
+        .column("p_partkey").to_pylist()
+    )
+    marker = os.path.join(out, f".complete-v1-{len(keys)}")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    shards: list[list[bytes]] = [[], []]
+    for i in keys:
+        w, h = 100 + i % 37, 50 + i % 23
+        m = i % 3
+        if m == 0:
+            declared = "image/png"
+            body = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+                    + struct.pack(">II", w, h) + b"\x08\x06" + b"\x00" * 10)
+        elif m == 1:
+            declared = "image/gif"
+            body = (b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6)
+        else:
+            declared = "application/octet-stream"
+            body = b"XXnotanimage" + bytes((i + j) % 256 for j in range(8))
+        http = (f"HTTP/1.1 200 OK\r\nContent-Type: {declared}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:img-{i}>\r\n"
+            f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"WARC-Target-URI: https://site{i % 5}.example.com/g/{i}\r\n"
+            f"Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        shards[i % 2].append(hdr + http + b"\r\n\r\n")
+    for idx, recs in enumerate(shards):
+        with open(os.path.join(out, f"shard-{idx}.warc"), "wb") as fh:
+            fh.write(b"".join(recs))
+    with open(marker, "w") as fh:
+        fh.write(str(len(keys)))
+    return out
+
+
+def _q_warc_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container → multimodal lane, closed end-to-end with a REAL
+    decode: media captures arrive as intact binary (round 13's
+    ``payload_binary`` contract), route through
+    ``multimodal.binary.decode_assets`` with the zero-dependency
+    ``HeaderDecoder``, and the PNG IHDR / GIF logical-screen dimensions
+    the fixture actually encodes come back out — the production first
+    stage (width/height for partitioning/resize planning/triage BEFORE
+    any pixel decode). The corrupt cohort must land as countable
+    ``decode_error`` rows, never exceptions. Oracle re-derives the
+    dimension sums arithmetically — a byte off anywhere in the binary
+    path or the header walk shifts ``sum_w``/``sum_h``."""
+    from restaurant_etl_code_spark.multimodal.binary import (HeaderDecoder,
+                                                             decode_assets)
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_imgmeta_fixture(sf_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir)
+    assets = recs.filter(F.col("payload_binary").isNotNull()).select(
+        F.col("record_id").alias("asset_id"),
+        F.col("http_content_type").alias("modality"),
+        F.col("payload_binary").alias("content"),
+    )
+    decoded = decode_assets(assets, HeaderDecoder)
+    return decoded.groupBy("modality").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(F.when(F.col("decode_error").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_errors"),
+        F.sum("width").cast("long").alias("sum_w"),
+        F.sum("height").cast("long").alias("sum_h"),
+    )
+
+
+_ORACLE_WARC_MEDIA_HEADERS = """
+with caps as (
+  select (case when p_partkey % 3 = 0 then 'image/png'
+               when p_partkey % 3 = 1 then 'image/gif'
+               else 'application/octet-stream' end) as modality,
+         (case when p_partkey % 3 in (0, 1)
+               then 100 + (p_partkey % 37) end) as w,
+         (case when p_partkey % 3 in (0, 1)
+               then 50 + (p_partkey % 23) end) as h,
+         (case when p_partkey % 3 = 2 then 1 else 0 end)::bigint as err
+  from part)
+select modality,
+       count(*)::bigint as n_units,
+       sum(err)::bigint as n_errors,
+       sum(w)::bigint as sum_w,
+       sum(h)::bigint as sum_h
+from caps group by modality
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -13726,6 +13834,11 @@ _REGISTRY: dict[str, QueryDef] = {
         "recrawl scheduling from sitemap lastmod: aligned (loc, "
         "lastmod) harvest, per-URL staleness vs an as-of date, per-"
         "domain due/age rollup"),
+    "warc_media_headers": QueryDef(
+        _q_warc_media_headers, _ORACLE_WARC_MEDIA_HEADERS,
+        "container -> multimodal lane closed with a REAL decode: "
+        "payload_binary through HeaderDecoder, PNG IHDR / GIF screen "
+        "dims back out, corrupt cohort as countable decode_error rows"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -13755,6 +13868,15 @@ _WINDOW_FIRST = [
     "warc_charset_decode",  # never-checked
     "warc_cdx_index",  # never-checked
     "warc_redirect_resolve",  # never-checked
+    "main_content_extract",  # never-checked
+    "warc_fetch_latency",  # never-checked
+    "web_graph_pagerank",  # never-checked
+    "cdx_incremental_merge",  # never-checked
+    "wat_export_roundtrip",  # never-checked
+    "warc_media_scan",  # never-checked
+    "warc_media_digest",  # never-checked
+    "sitemap_recrawl",  # never-checked
+    "warc_media_headers",  # never-checked
     "running_total",  # latest=r08
     "pdf15_extract",  # latest=r08
     "bpe_pair_stats",  # latest=r08
@@ -13786,15 +13908,6 @@ _WINDOW_FIRST = [
     "bpe_compression",  # latest=r08
     "positional_zip",  # latest=r09
     "url_parse",  # latest=r09
-    "industry_resolve",  # latest=r09
-    "update_fields",  # latest=r09
-    "distinct_categories",  # latest=r09
-    "stratified_split",  # latest=r09
-    "tfidf_top_terms",  # latest=r09
-    "decontaminate",  # latest=r09
-    "stats_moments",  # latest=r09
-    "pii_scrub",  # latest=r09
-    "doc_chunks",  # latest=r09
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

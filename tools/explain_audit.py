@@ -1057,6 +1057,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
                   "BroadcastHashJoin"],
     },
+    "warc_media_headers": {
+        # two deliberate Arrow stages (container splitter + the decoder
+        # mapInPandas) around a codegen projection; one hash-groupBy
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
+                  "BroadcastHashJoin"],
+    },
     "sitemap_recrawl": {
         # aligned-pair harvest + date arithmetic are row-local codegen;
         # one hash-groupBy, zero joins, zero Python
