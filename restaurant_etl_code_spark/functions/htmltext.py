@@ -299,8 +299,12 @@ def main_content(c: Column, min_text_len: int = MAIN_MIN_TEXT,
 # ANCHOR_RE technique. Entries without a lastmod are the plain
 # sitemap_locs harvest; this pair feeds recrawl scheduling, which only
 # has a signal when the site declares one.
-SITEMAP_ENTRY_RE = ("(?is)<url>\\s*<loc>\\s*(.*?)\\s*</loc>\\s*"
-                    "<lastmod>\\s*(.*?)\\s*</lastmod>")
+# loc/lastmod content is constrained to tag-free text ([^<]) so an
+# UNDATED entry between two dated ones cannot be spanned by a lazy
+# wildcard (the spill would mispair entry N's loc with entry N+1's
+# lastmod) — pinned by test_sitemap_entry_pairs_align_and_skip_undated
+SITEMAP_ENTRY_RE = ("(?is)<url>\\s*<loc>\\s*([^<]*?)\\s*</loc>\\s*"
+                    "<lastmod>\\s*([^<]*?)\\s*</lastmod>")
 
 
 def sitemap_entry_locs(c: Column) -> Column:

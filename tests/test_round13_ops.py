@@ -677,3 +677,24 @@ def test_text_and_json_content_types_stay_text():
                "application/pdf", "application/octet-stream",
                "font/woff2"):
         assert not _is_text_content_type(ct), ct
+
+
+# ------------------------------------------------ sitemap lastmod pairs
+
+def test_sitemap_entry_pairs_align_and_skip_undated(spark):
+    from restaurant_etl_code_spark.functions import htmltext as Fhtml
+
+    xml = ("<urlset>"
+           "<url><loc>https://a.com/1</loc>"
+           "<lastmod>2025-12-01</lastmod></url>"
+           "<url><loc>https://a.com/2</loc></url>"   # undated: excluded
+           "<url><loc> https://a.com/3 </loc>"
+           "<lastmod> 2026-01-02 </lastmod></url>"
+           "</urlset>")
+    df = spark.createDataFrame([(xml,)], "xml string")
+    row = df.select(
+        Fhtml.sitemap_entry_locs(F.col("xml")).alias("locs"),
+        Fhtml.sitemap_entry_lastmods(F.col("xml")).alias("mods"),
+    ).first()
+    assert row["locs"] == ["https://a.com/1", "https://a.com/3"]
+    assert row["mods"] == ["2025-12-01", "2026-01-02"]
