@@ -11051,7 +11051,11 @@ def _q_warc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from restaurant_etl_code_spark.sources import warc as Fwarc
 
     fixture_dir = _write_warc_curation_fixture(sf_dir)
-    recs = Fwarc.read_warc(spark, fixture_dir)
+    # column-pruned scan: the curation chain needs 2 of the 20 record
+    # columns, and a mapInPandas stage serializes its declared output
+    # width regardless of downstream projection
+    recs = Fwarc.read_warc(spark, fixture_dir,
+                           columns=["warc_type", "payload"])
     pages = recs.filter(F.col("warc_type") == "response").select(
         F.col("payload").alias("html")
     )
@@ -11115,7 +11119,8 @@ def _q_streaming_warc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture_dir = _write_warc_curation_fixture(sf_dir)
 
     def build(s: SparkSession) -> DataFrame:
-        recs = Fwarc.read_warc_stream(s, fixture_dir)
+        recs = Fwarc.read_warc_stream(
+            s, fixture_dir, columns=["warc_type", "payload"])
         pages = recs.filter(F.col("warc_type") == "response")
         clean_fp = Ftext.fingerprint(
             Ftext.scrub_invisible(
@@ -11230,8 +11235,12 @@ def _q_web_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scan_dir = _write_warc_fixture(sf_dir)
     cur_dir = _write_warc_curation_fixture(sf_dir)
-    recs = Fwarc.read_warc(spark, scan_dir).unionByName(
-        Fwarc.read_warc(spark, cur_dir)
+    # column-pruned scans: the funnel consumes 3 of the 20 record
+    # columns; mapInPandas serializes its declared width regardless of
+    # downstream projection
+    cols = ["warc_type", "target_uri", "http_status", "payload"]
+    recs = Fwarc.read_warc(spark, scan_dir, columns=cols).unionByName(
+        Fwarc.read_warc(spark, cur_dir, columns=cols)
     )
     responses = recs.filter(F.col("warc_type") == "response")
     robots = spark.createDataFrame(

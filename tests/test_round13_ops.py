@@ -698,3 +698,18 @@ def test_sitemap_entry_pairs_align_and_skip_undated(spark):
     ).first()
     assert row["locs"] == ["https://a.com/1", "https://a.com/3"]
     assert row["mods"] == ["2025-12-01", "2026-01-02"]
+
+
+# ------------------------------------------------ column-pruned scans
+
+def test_read_warc_column_pruning(spark, tmp_path):
+    from restaurant_etl_code_spark.sources import warc as W
+
+    blob = _mk_response("https://a.com/1", "r-1") + _mk_response(
+        "https://a.com/2", "r-2")
+    (tmp_path / "s.warc").write_bytes(blob)
+    df = W.read_warc(spark, str(tmp_path), columns=["warc_type", "payload"])
+    assert df.columns == ["warc_type", "payload"]
+    assert df.count() == 2
+    with pytest.raises(ValueError):
+        W.read_warc(spark, str(tmp_path), columns=["nope"])
