@@ -60,13 +60,26 @@ __all__ = ["parse_robots", "parse_crawl_delays", "robots_sitemaps",
 _RULE_KEYS = ("user-agent", "allow", "disallow", "crawl-delay")
 
 
+# RFC 9309 §2.5: a crawler MUST parse at least 500 KiB of a robots.txt
+# and MAY ignore the rest — the cap that keeps a hostile multi-GiB file
+# from inflating the per-domain window state. Enforced HERE (the shared
+# front half) so every directive consumer inherits it; 512,000 chars ≈
+# the spec's bytes for the ASCII files the format prescribes. A line cut
+# by the cap parses as a prefix (or drops at the Key: filter) — the
+# tolerant-tail behavior real parsers exhibit.
+ROBOTS_PARSE_CAP = 512_000
+
+
 def _directive_fields(robots: DataFrame, domain_col: str,
                       text_col: str) -> DataFrame:
     """(domain, pos, key, value) — line split, comment strip, and the
-    ``Key: value`` parse, before any key filtering."""
+    ``Key: value`` parse, before any key filtering. Input text is
+    capped at :data:`ROBOTS_PARSE_CAP` chars per the RFC."""
     lines = robots.select(
         F.col(domain_col).alias("domain"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(
+            F.substring(F.col(text_col), 1, ROBOTS_PARSE_CAP), "\n"))
+        .alias("pos", "line"),
     )
     # strip comments + whitespace; split "Key: value"
     cleaned = lines.select(

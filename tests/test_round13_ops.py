@@ -713,3 +713,18 @@ def test_read_warc_column_pruning(spark, tmp_path):
     assert df.count() == 2
     with pytest.raises(ValueError):
         W.read_warc(spark, str(tmp_path), columns=["nope"])
+
+
+# ------------------------------------------------ robots parse cap
+
+def test_robots_parse_cap_ignores_rules_past_500kib(spark):
+    # RFC 9309 2.5: parse at least 500 KiB, MAY ignore the rest — a
+    # hostile multi-MiB file must not carry rules past the cap
+    filler = "# padding comment line\n" * 30000   # ~690 KB of comments
+    txt = ("User-agent: *\nDisallow: /early/\n" + filler
+           + "User-agent: *\nDisallow: /late/\n")
+    df = spark.createDataFrame([("d.com", txt)],
+                               "domain string, robots_txt string")
+    rules = {r["path_prefix"] for r in crawl.parse_robots(df).collect()}
+    assert "/early/" in rules
+    assert "/late/" not in rules
