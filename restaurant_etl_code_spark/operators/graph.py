@@ -32,12 +32,19 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    dangling: str = "error",
 ) -> DataFrame:
-    """PageRank over a directed edge list with NO dangling nodes (every
-    node must have out-degree ≥ 1 — true by construction for symmetrized
-    graphs; otherwise add self-loops or symmetrize first). Raises if a
-    dangling node is found: silently leaking its mass would skew every
-    rank.
+    """PageRank over a directed edge list. ``dangling`` picks the
+    handling for nodes with no out-edges (every real web graph has
+    them — pages/domains that are only linked TO): ``"error"`` (the
+    default, and the right contract for symmetrized graphs where
+    dangling means a caller bug) raises rather than silently leaking
+    their mass; ``"self_loop"`` appends one (node, node) edge per
+    dangling node — the standard practical fix (a sink keeps its own
+    mass each round; deterministic, SQL-twin-able as
+    ``dst not in (select src)`` self-loops, and cheaper at scale than
+    the uniform-redistribution alternative, which needs a per-round
+    global scalar).
 
     Returns (node, pr) with the raw double rank (caller rounds).
 
@@ -87,11 +94,20 @@ def pagerank(
         )
         .collect()[0]
     )
-    n_nodes, dangling = row["n"], row["dangling"]
-    if dangling:
+    n_nodes, n_dangling = row["n"], row["dangling"]
+    if n_dangling and dangling == "self_loop":
+        loops = (
+            nodes.join(deg.select(F.col("u").alias("node")), "node",
+                       "left_anti")
+            .select(F.col("node").alias("u"), F.col("node").alias("v"))
+        )
+        e = e.unionByName(loops).localCheckpoint(eager=False)
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    elif n_dangling:
         raise ValueError(
-            f"pagerank: {dangling} dangling node(s) (no out-edges); "
-            "symmetrize the graph or add self-loops first"
+            f"pagerank: {n_dangling} dangling node(s) (no out-edges); "
+            "symmetrize the graph, add self-loops first, or pass "
+            "dangling='self_loop'"
         )
 
     # (src, dst, deg) checkpointed once — every round joins ranks to this

@@ -12519,6 +12519,12 @@ def _web_graph_page_spark(doc_id: Column) -> Column:
         F.when(h % 3 == 0, F.concat(
             F.lit("<a href=\""), site((h + 7) % 50),
             F.lit("\">third</a>"))).otherwise(F.lit("")),
+        # a pure SINK domain (linked to, never links out) — the dangling
+        # node every real web graph has; pagerank(dangling="self_loop")
+        # must absorb it instead of raising
+        F.when(h % 5 == 4, F.concat(
+            F.lit("<a href=\"https://sinkhub.example.com/p/"), ds,
+            F.lit("\">sink</a>"))).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
 
@@ -12527,7 +12533,7 @@ def _web_graph_page_spark(doc_id: Column) -> Column:
 # the same arithmetic (h = doc_id % 50; self-edges dropped)
 _WEB_GRAPH_EDGE_DUCK = """
   with hs as (select distinct doc_id % 50 as h from documents),
-  raw as (
+  raw0 as (
     select 'site' || h::varchar as src, 'site' || ((h + 1) % 50)::varchar as dst
     from hs
     union all
@@ -12535,8 +12541,16 @@ _WEB_GRAPH_EDGE_DUCK = """
     from hs where h % 2 = 0
     union all
     select 'site' || h::varchar, 'site' || ((h + 7) % 50)::varchar
-    from hs where h % 3 = 0)
-  select distinct src, dst from raw where src <> dst
+    from hs where h % 3 = 0
+    union all
+    select 'site' || h::varchar, 'sinkhub'
+    from hs where h % 5 = 4),
+  raw as (select distinct src, dst from raw0 where src <> dst)
+  select src, dst from raw
+  union all
+  -- dangling='self_loop' twin: sinks keep their own mass
+  select distinct dst, dst from raw
+  where dst not in (select src from raw)
 """
 
 
@@ -12567,12 +12581,12 @@ def _q_web_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         links.select(
             F.regexp_extract("src_host", r"^(site[0-9]+)", 1).alias("src"),
             F.regexp_extract(Furl.url_host(F.col("href")),
-                             r"^(site[0-9]+)", 1).alias("dst"),
+                             r"^(site[0-9]+|sinkhub)", 1).alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    pr = graph.pagerank(edges, iterations=3)
+    pr = graph.pagerank(edges, iterations=3, dangling="self_loop")
     return pr.select(F.col("node").alias("domain"),
                      F.round("pr", 9).alias("pr"))
 

@@ -728,3 +728,22 @@ def test_robots_parse_cap_ignores_rules_past_500kib(spark):
     rules = {r["path_prefix"] for r in crawl.parse_robots(df).collect()}
     assert "/early/" in rules
     assert "/late/" not in rules
+
+
+# ------------------------------------------------ pagerank dangling
+
+def test_pagerank_dangling_modes(spark):
+    from restaurant_etl_code_spark.operators import graph
+
+    # b is a pure sink (no out-edges)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("b2", "a"), ("a", "c"), ("c", "b2")],
+        "src string, dst string")
+    with pytest.raises(ValueError, match="dangling"):
+        graph.pagerank(edges, iterations=2).collect()
+    pr = {r["node"]: r["pr"]
+          for r in graph.pagerank(edges, iterations=2,
+                                  dangling="self_loop").collect()}
+    assert set(pr) == {"a", "b", "c", "b2"}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9  # no mass leaked
+    assert pr["b"] > pr["b2"]  # the sink accumulates, never drains
