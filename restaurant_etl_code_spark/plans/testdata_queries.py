@@ -11978,7 +11978,9 @@ def _q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from restaurant_etl_code_spark.sources import warc as Fwarc
 
     fixture_dir = _write_warc_fixture(sf_dir)
-    recs = Fwarc.read_warc(spark, fixture_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir, columns=[
+        "warc_type", "target_uri", "warc_date", "http_status",
+        "payload_digest", "warc_file", "record_length"])
     resp = recs.filter(F.col("warc_type") == "response").select(
         Furl.surt_key(F.col("target_uri")).alias("urlkey"),
         # cast to LONG: a string min() would force the aggregate off the
@@ -12141,7 +12143,8 @@ def _q_warc_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from restaurant_etl_code_spark.sources import warc as Fwarc
 
     fixture_dir = _write_warc_redirect_fixture(sf_dir)
-    recs = Fwarc.read_warc(spark, fixture_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir, columns=[
+        "warc_type", "target_uri", "http_status", "http_location"])
     resp = recs.filter(F.col("warc_type") == "response")
     loc = F.col("http_location")
     loc_abs = F.when(
@@ -12431,7 +12434,9 @@ def _q_warc_fetch_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from restaurant_etl_code_spark.sources import warc as Fwarc
 
     fixture_dir = _write_warc_timing_fixture(sf_dir)
-    recs = Fwarc.read_warc(spark, fixture_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir, columns=[
+        "warc_type", "record_id", "target_uri", "warc_date",
+        "concurrent_to"])
     ts = lambda c: F.to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")  # noqa: E731
     resp = recs.filter(F.col("warc_type") == "response").select(
         F.col("record_id").alias("resp_id"),
@@ -12640,7 +12645,8 @@ def _q_cdx_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fixture_dir = _write_warc_fixture(sf_dir)
     resp = (
-        Fwarc.read_warc(spark, fixture_dir)
+        Fwarc.read_warc(spark, fixture_dir, columns=[
+            "warc_type", "target_uri", "payload_digest"])
         .filter(F.col("warc_type") == "response")
         .select(
             Furl.surt_key(F.col("target_uri")).alias("urlkey"),
@@ -12841,7 +12847,8 @@ def _q_warc_media_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from restaurant_etl_code_spark.sources import warc as Fwarc
 
     fixture_dir = _write_warc_media_fixture(sf_dir)
-    recs = Fwarc.read_warc(spark, fixture_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir, columns=[
+        "http_content_type", "payload", "payload_binary", "target_uri"])
     media = recs.filter(F.col("payload_binary").isNotNull()).select(
         F.col("http_content_type").alias("declared"),
         F.length("payload_binary").alias("n_bytes"),
@@ -12900,7 +12907,8 @@ def _q_warc_media_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from restaurant_etl_code_spark.sources import warc as Fwarc
 
     fixture_dir = _write_warc_media_fixture(sf_dir)
-    recs = Fwarc.read_warc(spark, fixture_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir, columns=[
+        "http_content_type", "payload_binary"])
     media = recs.filter(F.col("payload_binary").isNotNull()).select(
         F.col("http_content_type").alias("declared"),
         F.md5(F.lower(F.hex("payload_binary"))).alias("digest"),
@@ -13072,7 +13080,8 @@ def _q_warc_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from restaurant_etl_code_spark.sources import warc as Fwarc
 
     fixture_dir = _write_warc_imgmeta_fixture(sf_dir)
-    recs = Fwarc.read_warc(spark, fixture_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir, columns=[
+        "record_id", "http_content_type", "payload_binary"])
     assets = recs.filter(F.col("payload_binary").isNotNull()).select(
         F.col("record_id").alias("asset_id"),
         F.col("http_content_type").alias("modality"),
