@@ -452,16 +452,21 @@ def resolve_redirects(
     # projection, so the cached footprint is three corpus columns, and
     # the alternative is max_hops full upstream scans.
     base = fetched.withColumn("_redir", is_redirect).persist()
-    # redirect edges: url -> location (unique key: one fetch per url)
+    # Join sides are deduplicated to ONE row per url — a real crawl
+    # refetches URLs (revisits), and duplicate keys would fan out every
+    # round's join. Deterministic rules: a url that EVER redirected
+    # counts as redirecting (max), and its edge is the smallest target
+    # (min) — ties cannot depend on row order. Output rows are NOT
+    # deduplicated: every input fetch row gets its resolution.
     edges = (
         base.filter(F.col("_redir"))
-        .select(F.col(url_col).alias("_e_url"),
-                F.col(location_col).alias("_e_next"))
+        .groupBy(F.col(url_col).alias("_e_url"))
+        .agg(F.min(location_col).alias("_e_next"))
     )
     # terminal statuses of fetched urls, for chain landings
-    terminals = base.select(
-        F.col(url_col).alias("_t_url"),
-        F.col("_redir").alias("_t_redir"),
+    terminals = (
+        base.groupBy(F.col(url_col).alias("_t_url"))
+        .agg(F.max("_redir").alias("_t_redir"))
     )
 
     done = base.filter(~F.col("_redir")).select(

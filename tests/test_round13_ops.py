@@ -747,3 +747,20 @@ def test_pagerank_dangling_modes(spark):
     assert set(pr) == {"a", "b", "c", "b2"}
     assert abs(sum(pr.values()) - 1.0) < 1e-9  # no mass leaked
     assert pr["b"] > pr["b2"]  # the sink accumulates, never drains
+
+
+def test_resolve_redirects_tolerates_refetched_urls(spark):
+    # a real crawl refetches URLs (revisits); duplicate keys must not
+    # fan out the walk's joins — every INPUT row still gets exactly one
+    # resolution
+    fetched = _fetched_df(spark, [
+        ("u/a", 301, "u/f"),
+        ("u/a", 301, "u/f"),     # refetch, same verdict
+        ("u/f", 200, None),
+        ("u/f", 200, None),      # refetch of the terminal
+    ])
+    rows = crawl.resolve_redirects(fetched).collect()
+    assert len(rows) == 4       # one output row per input row
+    got = {(r["url"], r["final_url"], r["n_hops"], r["outcome"])
+           for r in rows}
+    assert got == {("u/a", "u/f", 1, "ok"), ("u/f", "u/f", 0, "ok")}
