@@ -589,7 +589,8 @@ def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
                warc_type: str = "conversion",
                warc_date: str = "2026-01-01T00:00:00Z",
                content_type: str = "text/plain",
-               gzip_members: bool = False) -> None:
+               gzip_members: bool = False,
+               manifest: bool = False) -> None:
     """Export (url, payload) rows as WARC shard files — the WET-style
     corpus-snapshot sink closing the container loop (read_warc ∘
     write_warc = identity on records). One shard per partition, written
@@ -632,3 +633,22 @@ def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
             os.remove(tmp)  # empty partitions leave no empty shard
 
     df.select(url_col, payload_col).foreachPartition(write_partition)
+    if manifest:
+        # the dump's shard inventory (Common Crawl publishes the same
+        # thing as warc.paths): sorted relative shard names + sizes,
+        # written LAST so its presence marks a complete publish —
+        # consumers that read only manifest-listed shards never see a
+        # partial export. Atomic-rename publish like the shards. The
+        # leading underscore is the _SUCCESS convention: Spark's file
+        # index skips _/. names, so a reader pointed at the dump dir
+        # never parses the manifest as a (damaged) container.
+        names = sorted(
+            f for f in os.listdir(out_dir)
+            if f.endswith(".warc") or f.endswith(".warc.gz")
+        )
+        tmp = os.path.join(out_dir, "_manifest.paths.inprogress")
+        with open(tmp, "w") as fh:
+            for name in names:
+                size = os.path.getsize(os.path.join(out_dir, name))
+                fh.write(f"{name}\t{size}\n")
+        os.replace(tmp, os.path.join(out_dir, "_manifest.paths"))

@@ -764,3 +764,28 @@ def test_resolve_redirects_tolerates_refetched_urls(spark):
     got = {(r["url"], r["final_url"], r["n_hops"], r["outcome"])
            for r in rows}
     assert got == {("u/a", "u/f", 1, "ok"), ("u/f", "u/f", 0, "ok")}
+
+
+# ------------------------------------------------ export manifest
+
+def test_write_warc_manifest_inventories_all_shards(spark, tmp_path):
+    from restaurant_etl_code_spark.sources import warc as W
+
+    df = spark.createDataFrame(
+        [(f"https://a.com/{i}", f"text {i}") for i in range(40)],
+        "url string, payload string")
+    out = str(tmp_path / "dump")
+    W.write_warc(df.repartition(4), out, gzip_members=True, manifest=True)
+    lines = (tmp_path / "dump" / "_manifest.paths").read_text().splitlines()
+    names = [ln.split("\t")[0] for ln in lines]
+    sizes = [int(ln.split("\t")[1]) for ln in lines]
+    import os
+    shards = sorted(f for f in os.listdir(out) if f.endswith(".warc.gz"))
+    assert names == shards                      # complete inventory
+    assert all(os.path.getsize(os.path.join(out, n)) == s
+               for n, s in zip(names, sizes))
+    # manifest-listed shards reproduce the full corpus, and the
+    # manifest itself (underscore name) is invisible to the scanner
+    back = W.read_warc(spark, out)
+    assert back.count() == 40
+    assert back.filter(F.col("warc_type") == "_parse-error").count() == 0
