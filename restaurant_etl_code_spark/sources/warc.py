@@ -44,7 +44,25 @@ carries ``WARC-Concurrent-To`` so request/metadata records join to
 their response record for fetch-latency / header analyses;
 ``truncated`` carries ``WARC-Truncated`` (ISO 28500 §5.13 — the
 crawler cut the payload at fetch time: length/time/disconnect), the
-drop/flag signal curation applies to incomplete pages.
+drop/flag signal curation applies to incomplete pages;
+``http_location`` carries the redirect target the chain resolver
+walks.
+
+CDX addressing (round 13): every record carries ``record_offset`` /
+``record_length`` — byte position + framed length in plain containers,
+the COMPRESSED gzip member's position + size in ``.warc.gz`` (what a
+CDX line publishes and a replay tool seeks to); the member walk is an
+O(n) geometric-slice ``zlib`` loop that is also faster than the
+whole-blob ``GzipFile`` read it replaced.
+
+Media lane (round 13): payloads whose HTTP content type is NOT textual
+(image/*, audio/*, video/*, application/pdf, octet-stream, fonts)
+arrive byte-INTACT in ``payload_binary`` with the text column NULL —
+a charset decode would mangle them irreversibly; text/JSON/XML/JS
+payloads keep the charset chain. ``read_warc(columns=[...])`` prunes
+the Arrow-boundary width to the caller's subset (Catalyst cannot push
+a projection into a Python stage). ``write_warc(manifest=True)``
+publishes a ``_manifest.paths`` shard inventory with the dump.
 """
 
 from __future__ import annotations
