@@ -74,8 +74,8 @@ from typing import Iterable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["WARC_SCHEMA", "BINARYFILE_SCHEMA", "read_warc",
-           "read_warc_stream", "write_warc", "parse_warc_bytes",
-           "frame_record"]
+           "read_warc_stream", "write_warc", "write_cdx",
+           "parse_warc_bytes", "frame_record"]
 
 WARC_SCHEMA = (
     "warc_file string, warc_type string, record_id string, "
@@ -670,3 +670,65 @@ def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
                 size = os.path.getsize(os.path.join(out_dir, name))
                 fh.write(f"{name}\t{size}\n")
         os.replace(tmp, os.path.join(out_dir, "_manifest.paths"))
+
+
+def write_cdx(cdx: DataFrame, out_dir: str, *, n_shards: int = 4,
+              urlkey_col: str = "urlkey") -> None:
+    """Publish a CDX index the way it is actually served (Common
+    Crawl's ``cdx-XXXXX`` + ``cluster.idx`` layout): range-partition
+    the capture rows by SURT urlkey, sort within each shard, write one
+    text shard per partition executor-side (tab-separated: urlkey
+    first, remaining columns in frame order), then write a
+    ``cluster.idx`` secondary index — the FIRST urlkey of every shard +
+    the shard name — so a reader binary-searches the tiny idx and opens
+    exactly one shard per lookup. That two-level shape is the scale
+    story: the index of a 100 TB crawl is itself TBs, and range
+    partitioning + in-shard order is what makes point lookups
+    O(log shards) + one sequential scan instead of a full-index pass.
+
+    ``repartitionByRange`` samples the key distribution, so shard
+    BOUNDARIES adapt to skew (one hot domain cannot overflow a shard
+    silently); in-shard order is a partition-local sort (no global
+    sort-exchange). Same POSIX-path storage contract as
+    :func:`write_warc`; the ``_``-prefixed idx name follows the
+    ``_SUCCESS`` convention so container/text scanners skip it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [urlkey_col] + [c for c in cdx.columns if c != urlkey_col]
+    shaped = (
+        cdx.select(*cols)
+        .repartitionByRange(n_shards, F.col(urlkey_col))
+        .sortWithinPartitions(urlkey_col)
+    )
+
+    def write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"cdx-{pid:05d}")
+        tmp = path + ".inprogress"
+        wrote = False
+        with open(tmp, "w") as fh:
+            for row in rows:
+                fh.write("\t".join("" if v is None else str(v)
+                                   for v in row) + "\n")
+                wrote = True
+        if wrote:
+            os.replace(tmp, path)
+        else:
+            os.remove(tmp)
+
+    shaped.foreachPartition(write_partition)
+    # secondary index: first urlkey per shard, sorted — written LAST so
+    # its presence marks a complete publish
+    names = sorted(f for f in os.listdir(out_dir) if f.startswith("cdx-"))
+    tmp = os.path.join(out_dir, "_cluster.idx.inprogress")
+    with open(tmp, "w") as fh:
+        for name in names:
+            with open(os.path.join(out_dir, name)) as shard:
+                first = shard.readline().split("\t", 1)[0]
+            fh.write(f"{first}\t{name}\n")
+    os.replace(tmp, os.path.join(out_dir, "_cluster.idx"))

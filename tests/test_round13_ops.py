@@ -789,3 +789,34 @@ def test_write_warc_manifest_inventories_all_shards(spark, tmp_path):
     back = W.read_warc(spark, out)
     assert back.count() == 40
     assert back.filter(F.col("warc_type") == "_parse-error").count() == 0
+
+
+# ------------------------------------------------ CDX publishing
+
+def test_write_cdx_range_partitioned_sorted_shards(spark, tmp_path):
+    from restaurant_etl_code_spark.sources.warc import write_cdx
+
+    rows = [(f"com,site{i % 9})/p/{i:04d}", 200 + (i % 3), f"d{i}")
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "urlkey string, status int, digest string")
+    out = str(tmp_path / "idx")
+    write_cdx(df, out, n_shards=4)
+    import os
+    shards = sorted(f for f in os.listdir(out) if f.startswith("cdx-"))
+    assert len(shards) >= 2           # range partitioner actually split
+    all_keys, firsts = [], []
+    for name in shards:
+        keys = [ln.split("\t")[0]
+                for ln in open(os.path.join(out, name)).read().splitlines()]
+        assert keys == sorted(keys)   # in-shard order
+        firsts.append(keys[0])
+        all_keys.extend(keys)
+    # shards tile the keyspace in order: concatenation is globally sorted
+    assert all_keys == sorted(k for k, _, _ in rows)
+    assert len(all_keys) == 400
+    # the secondary index lists every shard's first key, in order
+    idx = [ln.split("\t") for ln in
+           open(os.path.join(out, "_cluster.idx")).read().splitlines()]
+    assert [name for _, name in idx] == shards
+    assert [k for k, _ in idx] == firsts == sorted(firsts)
