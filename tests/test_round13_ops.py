@@ -820,3 +820,16 @@ def test_write_cdx_range_partitioned_sorted_shards(spark, tmp_path):
            open(os.path.join(out, "_cluster.idx")).read().splitlines()]
     assert [name for _, name in idx] == shards
     assert [k for k, _ in idx] == firsts == sorted(firsts)
+
+
+def test_surt_key_percent_normalization_opt_in(spark):
+    df = spark.createDataFrame(
+        [("https://Example.com/%7Euser/%2fkeep",)], "url string")
+    row = df.select(
+        Furl.surt_key(F.col("url")).alias("plain"),
+        Furl.surt_key(F.col("url"), percent=True).alias("pct"),
+    ).first()
+    # default: byte-exact escapes (lowercased by the urlkey contract)
+    assert row["plain"] == "com,example)/%7euser/%2fkeep"
+    # percent=True decodes unreserved-only: %7E -> ~, %2F stays encoded
+    assert row["pct"] == "com,example)/~user/%2fkeep"
