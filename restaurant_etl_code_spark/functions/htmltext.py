@@ -294,27 +294,50 @@ def main_content(c: Column, min_text_len: int = MAIN_MIN_TEXT,
     return F.array_join(F.transform(kept, _segment_clean), "\n")
 
 
-# <url> entries that DECLARE a lastmod — one two-group pattern extracted
-# per group index so the (loc, lastmod) arrays align positionally, the
+# <url> entries that DECLARE a lastmod — one pattern extracted per
+# group index so the (loc, lastmod) arrays align positionally, the
 # ANCHOR_RE technique. Entries without a lastmod are the plain
 # sitemap_locs harvest; this pair feeds recrawl scheduling, which only
 # has a signal when the site declares one.
-# loc/lastmod content is constrained to tag-free text ([^<]) so an
-# UNDATED entry between two dated ones cannot be spanned by a lazy
-# wildcard (the spill would mispair entry N's loc with entry N+1's
-# lastmod) — pinned by test_sitemap_entry_pairs_align_and_skip_undated
-SITEMAP_ENTRY_RE = ("(?is)<url>\\s*<loc>\\s*([^<]*?)\\s*</loc>\\s*"
-                    "<lastmod>\\s*([^<]*?)\\s*</lastmod>")
+#
+# Real sitemaps interleave <changefreq>/<priority> between loc and
+# lastmod, and some emit lastmod FIRST — so the pattern (a) allows
+# intervening sibling elements via a tempered gap that refuses to
+# cross an entry boundary (</url> / <url>) or skip past a loc/lastmod
+# (skipping one would mispair entry N's loc with entry N+1's lastmod),
+# and (b) alternates both orders, loc in group 1 or 4, lastmod in
+# group 2 or 3 — the accessors coalesce per match (Spark returns ""
+# for a non-participating group). loc/lastmod content stays tag-free
+# ([^<]) so an undated entry between two dated ones is never spanned —
+# pinned by test_sitemap_entry_pairs_align_and_skip_undated.
+_SM_GAP = "(?:(?!</?url>|<loc|<lastmod).)*?"
+SITEMAP_ENTRY_RE = (
+    "(?is)<url>" + _SM_GAP + "(?:"
+    "<loc>\\s*([^<]*?)\\s*</loc>" + _SM_GAP +
+    "<lastmod>\\s*([^<]*?)\\s*</lastmod>"
+    "|<lastmod>\\s*([^<]*?)\\s*</lastmod>" + _SM_GAP +
+    "<loc>\\s*([^<]*?)\\s*</loc>)"
+)
+
+
+def _coalesce_groups(c: Column, g_a: int, g_b: int) -> Column:
+    a = F.regexp_extract_all(c, F.lit(SITEMAP_ENTRY_RE), g_a)
+    b = F.regexp_extract_all(c, F.lit(SITEMAP_ENTRY_RE), g_b)
+    return F.zip_with(
+        a, b, lambda x, y: F.when(x != F.lit(""), x).otherwise(y))
 
 
 def sitemap_entry_locs(c: Column) -> Column:
     """<loc> of every sitemap entry that declares a lastmod →
     array<string>, positionally aligned with
-    :func:`sitemap_entry_lastmods`."""
-    return F.regexp_extract_all(c, F.lit(SITEMAP_ENTRY_RE), 1)
+    :func:`sitemap_entry_lastmods`. Handles intervening sibling
+    elements and lastmod-before-loc ordering (groups 1/4 coalesced
+    per match)."""
+    return _coalesce_groups(c, 1, 4)
 
 
 def sitemap_entry_lastmods(c: Column) -> Column:
     """lastmod value of the same entries → array<string> (W3C datetime;
-    date-only form in the common case)."""
-    return F.regexp_extract_all(c, F.lit(SITEMAP_ENTRY_RE), 2)
+    date-only form in the common case). Groups 2/3 coalesced per
+    match."""
+    return _coalesce_groups(c, 2, 3)

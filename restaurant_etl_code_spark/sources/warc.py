@@ -271,6 +271,31 @@ def _decode_text(payload: bytes,
         return payload.decode("latin-1"), "latin-1"
 
 
+def _damage_row(warc_file: str, *, payload_len: "int | None",
+                record_offset: "int | None",
+                record_length: "int | None") -> dict:
+    """The countable ``_parse-error`` row: every span of a container
+    that cannot be accounted to a real record becomes exactly one of
+    these, so ``count(warc_type = '_parse-error')`` is the corpus
+    damage metric. Shared by the in-record parser (truncation,
+    header damage) and the gzip-member walk (a member whose
+    compressed span produced zero records — pure garbage between
+    members decompresses to nothing and would otherwise vanish)."""
+    return {
+        "warc_file": warc_file, "warc_type": "_parse-error",
+        "record_id": None, "target_uri": None, "warc_date": None,
+        "content_type": None, "http_status": None,
+        "http_content_type": None, "payload": None,
+        "payload_len": payload_len, "payload_digest": None,
+        "http_content_encoding": None, "concurrent_to": None,
+        "truncated": None, "charset": None, "charset_used": None,
+        "http_location": None,
+        "record_offset": record_offset,
+        "record_length": record_length,
+        "payload_binary": None,
+    }
+
+
 def parse_warc_bytes(data: bytes, warc_file: str, *,
                      frame_offset: "int | None" = None,
                      frame_length: "int | None" = None) -> Iterator[dict]:
@@ -290,21 +315,14 @@ def parse_warc_bytes(data: bytes, warc_file: str, *,
     address a CDX line publishes for ``.warc.gz``), which then stamp
     every record the member holds."""
     def _parse_error(remaining: int, at: int) -> dict:
-        return {
-            "warc_file": warc_file, "warc_type": "_parse-error",
-            "record_id": None, "target_uri": None, "warc_date": None,
-            "content_type": None, "http_status": None,
-            "http_content_type": None, "payload": None,
-            "payload_len": remaining, "payload_digest": None,
-            "http_content_encoding": None, "concurrent_to": None,
-            "truncated": None, "charset": None, "charset_used": None,
-            "http_location": None,
-            # the resync point where damage began; length unknowable
-            "record_offset": frame_offset if frame_offset is not None
+        # record_offset = the resync point where damage began (or the
+        # gzip member's compressed address); length unknowable for
+        # plain containers
+        return _damage_row(
+            warc_file, payload_len=remaining,
+            record_offset=frame_offset if frame_offset is not None
             else at,
-            "record_length": frame_length,
-            "payload_binary": None,
-        }
+            record_length=frame_length)
 
     pos, n = 0, len(data)
     while pos < n:
@@ -514,9 +532,22 @@ def _split_batches(batches: Iterable, cols: "list[str] | None" = None) -> Iterat
                 # 14.5 s vs 0.27 s on a 21k-member shard in round 12)
                 rows = []
                 for m_off, m_len, m_data in _iter_gzip_members(data):
-                    rows.extend(parse_warc_bytes(
+                    recs = list(parse_warc_bytes(
                         m_data, fname,
                         frame_offset=m_off, frame_length=m_len))
+                    if not recs and m_len > 0:
+                        # a member span that produced ZERO records:
+                        # pure garbage between/after members
+                        # decompresses to b'' (zlib raises before any
+                        # output), and parse_warc_bytes on empty input
+                        # yields nothing — without this row the
+                        # damaged span would silently vanish from the
+                        # damage accounting the plain-container path
+                        # guarantees
+                        recs = [_damage_row(
+                            fname, payload_len=len(m_data),
+                            record_offset=m_off, record_length=m_len)]
+                    rows.extend(recs)
             else:
                 rows = list(parse_warc_bytes(data, fname))
             del data  # blob dropped before the frame materializes
@@ -626,6 +657,12 @@ def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    # republish safety: a previous publish into the same dir (or a task
+    # killed mid-write) leaves part-* shards / .inprogress temps that a
+    # fresh export would NOT overwrite one-for-one (different partition
+    # count → different shard names), so the manifest would list stale
+    # shards and break its complete-publish guarantee. Clear them first.
+    _clear_stale(out_dir, "part-")
 
     def write_partition(rows) -> None:
         from pyspark import TaskContext
@@ -672,6 +709,22 @@ def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
         os.replace(tmp, os.path.join(out_dir, "_manifest.paths"))
 
 
+def _clear_stale(out_dir: str, prefix: str) -> None:
+    """Remove a previous publish's shards (and orphaned ``.inprogress``
+    temps) under ``out_dir`` so a re-publish can never leave the
+    manifest/idx pointing at shards from an older run — a fresh export
+    with a different partition count would not overwrite old shard
+    names one-for-one."""
+    import os
+
+    for name in os.listdir(out_dir):
+        if name.startswith(prefix):
+            try:
+                os.remove(os.path.join(out_dir, name))
+            except OSError:
+                pass
+
+
 def write_cdx(cdx: DataFrame, out_dir: str, *, n_shards: int = 4,
               urlkey_col: str = "urlkey") -> None:
     """Publish a CDX index the way it is actually served (Common
@@ -697,6 +750,7 @@ def write_cdx(cdx: DataFrame, out_dir: str, *, n_shards: int = 4,
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
+    _clear_stale(out_dir, "cdx-")  # republish safety (see _clear_stale)
     cols = [urlkey_col] + [c for c in cdx.columns if c != urlkey_col]
     shaped = (
         cdx.select(*cols)
@@ -704,31 +758,38 @@ def write_cdx(cdx: DataFrame, out_dir: str, *, n_shards: int = 4,
         .sortWithinPartitions(urlkey_col)
     )
 
-    def write_partition(rows) -> None:
+    def write_partition(rows):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"cdx-{pid:05d}")
+        name = f"cdx-{pid:05d}"
+        path = os.path.join(out_dir, name)
         tmp = path + ".inprogress"
-        wrote = False
+        first: "str | None" = None
         with open(tmp, "w") as fh:
             for row in rows:
+                if first is None:
+                    first = "" if row[0] is None else str(row[0])
                 fh.write("\t".join("" if v is None else str(v)
                                    for v in row) + "\n")
-                wrote = True
-        if wrote:
+        if first is not None:
             os.replace(tmp, path)
-        else:
-            os.remove(tmp)
+            return [(name, first)]
+        os.remove(tmp)  # empty range partitions leave no empty shard
+        return []
 
-    shaped.foreachPartition(write_partition)
-    # secondary index: first urlkey per shard, sorted — written LAST so
-    # its presence marks a complete publish
-    names = sorted(f for f in os.listdir(out_dir) if f.startswith("cdx-"))
+    # one pass: each partition writes its shard AND returns its first
+    # urlkey, so the driver composes cluster.idx from data it already
+    # holds — no driver-side shard reads (the first-line-per-shard read
+    # this replaced was file I/O linear in shard count on the driver)
+    entries = sorted(
+        shaped.rdd.mapPartitions(
+            lambda it: write_partition(it)).collect())
+    # secondary index: first urlkey per shard, shard-name order (==
+    # ascending urlkey under range partitioning) — written LAST so its
+    # presence marks a complete publish
     tmp = os.path.join(out_dir, "_cluster.idx.inprogress")
     with open(tmp, "w") as fh:
-        for name in names:
-            with open(os.path.join(out_dir, name)) as shard:
-                first = shard.readline().split("\t", 1)[0]
+        for name, first in entries:
             fh.write(f"{first}\t{name}\n")
     os.replace(tmp, os.path.join(out_dir, "_cluster.idx"))

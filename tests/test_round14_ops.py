@@ -1,0 +1,178 @@
+"""Round-14 unit tests: gzip garbage-span damage accounting, republish-
+safe CDX/WARC publishing with executor-computed cluster.idx, sitemap
+entry harvesting with interleaved siblings / reordered lastmod, and the
+bench contamination-rerun logic."""
+import gzip
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.sources import warc as W
+from restaurant_etl_code_spark.functions import htmltext as Fhtml
+
+
+def _member(url: str, body: bytes = b"hello") -> bytes:
+    rec = W.frame_record(url, body, warc_type="response",
+                         warc_date="2026-01-01T00:00:00Z",
+                         content_type="text/plain")
+    return gzip.compress(rec)
+
+
+# ---------------------------------------- gzip garbage-span accounting
+
+def test_gzip_garbage_tail_is_countable(spark, tmp_path):
+    # ADVICE r13: a non-gzip tail decompresses to b'' (zlib raises
+    # before any output), parse_warc_bytes on empty input yields zero
+    # rows, and the damaged span silently vanished. It must now be a
+    # countable _parse-error row carrying the span's address.
+    blob = _member("https://a.example/1") + b"this is not gzip data at all"
+    p = tmp_path / "d.warc.gz"
+    p.write_bytes(blob)
+    df = W.read_warc(spark, str(p))
+    rows = df.collect()
+    errs = [r for r in rows if r["warc_type"] == "_parse-error"]
+    assert len(errs) == 1
+    good = [r for r in rows if r["warc_type"] == "response"]
+    assert len(good) == 1
+    # the damage row addresses the garbage span, not the good member
+    m_len = len(_member("https://a.example/1"))
+    assert errs[0]["record_offset"] == m_len
+    assert errs[0]["record_length"] == len(blob) - m_len
+
+
+def test_gzip_garbage_between_members_is_countable(spark, tmp_path):
+    m1 = _member("https://a.example/1")
+    m2 = _member("https://a.example/2")
+    blob = m1 + b"\x00garbage\x00" + m2
+    p = tmp_path / "mid.warc.gz"
+    p.write_bytes(blob)
+    rows = W.read_warc(spark, str(p)).collect()
+    # the walk cannot resync past mid-stream garbage (gzip has no sync
+    # marker), so the span from the damage to EOF is ONE countable row;
+    # the record before the damage still parses
+    assert sum(r["warc_type"] == "response" for r in rows) == 1
+    errs = [r for r in rows if r["warc_type"] == "_parse-error"]
+    assert len(errs) == 1
+    assert errs[0]["record_offset"] == len(m1)
+
+
+def test_gzip_clean_container_has_no_damage_rows(spark, tmp_path):
+    blob = b"".join(_member(f"https://a.example/{i}") for i in range(5))
+    p = tmp_path / "ok.warc.gz"
+    p.write_bytes(blob)
+    rows = W.read_warc(spark, str(p)).collect()
+    assert len(rows) == 5
+    assert all(r["warc_type"] == "response" for r in rows)
+
+
+# ---------------------------------------- republish-safe publishing
+
+def _cdx_df(spark, n=60, tag="d"):
+    rows = [(f"com,site{i % 7})/p/{i:04d}", 200, f"{tag}{i}")
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "urlkey string, status int, digest string")
+
+
+def test_write_cdx_republish_drops_stale_shards(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    W.write_cdx(_cdx_df(spark, 60), out, n_shards=6)
+    first_shards = sorted(f for f in os.listdir(out)
+                          if f.startswith("cdx-"))
+    # simulate a task killed mid-write from an older run
+    orphan = os.path.join(out, "cdx-99999.inprogress")
+    open(orphan, "w").write("junk\tjunk\n")
+    # republish with FEWER shards: old shard names would survive an
+    # overwrite-only publish and poison the idx
+    W.write_cdx(_cdx_df(spark, 30, tag="e"), out, n_shards=2)
+    shards = sorted(f for f in os.listdir(out) if f.startswith("cdx-"))
+    assert not any(s.endswith(".inprogress") for s in shards)
+    assert len(shards) < len(first_shards)
+    idx = [ln.split("\t") for ln in
+           open(os.path.join(out, "_cluster.idx")).read().splitlines()]
+    assert [name for _, name in idx] == shards  # idx lists live shards only
+    total = sum(len(open(os.path.join(out, s)).read().splitlines())
+                for s in shards)
+    assert total == 30  # only the new publish's rows remain
+
+
+def test_write_cdx_idx_matches_shard_first_lines(spark, tmp_path):
+    # the idx is now composed executor-side (first key per partition
+    # returned from the write task) — it must still equal what reading
+    # each shard's first line would produce
+    out = str(tmp_path / "idx2")
+    W.write_cdx(_cdx_df(spark, 90), out, n_shards=5)
+    idx = [ln.split("\t") for ln in
+           open(os.path.join(out, "_cluster.idx")).read().splitlines()]
+    for first, name in idx:
+        with open(os.path.join(out, name)) as fh:
+            assert fh.readline().split("\t", 1)[0] == first
+
+
+def test_write_warc_republish_drops_stale_shards(spark, tmp_path):
+    out = str(tmp_path / "dump")
+    df1 = spark.createDataFrame(
+        [(f"https://a.example/{i}", f"body {i}") for i in range(8)],
+        "url string, payload string").repartition(4)
+    W.write_warc(df1, out, manifest=True)
+    df2 = spark.createDataFrame(
+        [(f"https://b.example/{i}", f"new {i}") for i in range(4)],
+        "url string, payload string").repartition(2)
+    W.write_warc(df2, out, manifest=True)
+    manifest = [ln.split("\t")[0] for ln in
+                open(os.path.join(out, "_manifest.paths"))
+                .read().splitlines()]
+    shards = sorted(f for f in os.listdir(out) if f.endswith(".warc"))
+    assert manifest == shards
+    back = W.read_warc(spark, out)
+    assert back.count() == 4  # only the second publish's records
+
+
+# ---------------------------------------- sitemap entry tolerance
+
+def _harvest(spark, xml: str):
+    df = spark.createDataFrame([(xml,)], "xml string")
+    row = df.select(
+        Fhtml.sitemap_entry_locs(F.col("xml")).alias("locs"),
+        Fhtml.sitemap_entry_lastmods(F.col("xml")).alias("mods"),
+    ).first()
+    return list(row["locs"]), list(row["mods"])
+
+
+def test_sitemap_interleaved_siblings(spark):
+    # ADVICE r13: real sitemaps put <changefreq>/<priority> between
+    # loc and lastmod — strict adjacency silently dropped those entries
+    xml = ("<urlset><url><loc>https://a.example/1</loc>"
+           "<changefreq>daily</changefreq><priority>0.8</priority>"
+           "<lastmod>2026-01-02</lastmod></url>"
+           "<url><loc>https://a.example/2</loc>"
+           "<lastmod>2026-01-03</lastmod></url></urlset>")
+    locs, mods = _harvest(spark, xml)
+    assert locs == ["https://a.example/1", "https://a.example/2"]
+    assert mods == ["2026-01-02", "2026-01-03"]
+
+
+def test_sitemap_lastmod_first_ordering(spark):
+    xml = ("<urlset><url><lastmod>2026-01-05</lastmod>"
+           "<loc>https://b.example/x</loc></url>"
+           "<url><loc>https://b.example/y</loc>"
+           "<lastmod>2026-01-06</lastmod></url></urlset>")
+    locs, mods = _harvest(spark, xml)
+    assert locs == ["https://b.example/x", "https://b.example/y"]
+    assert mods == ["2026-01-05", "2026-01-06"]
+
+
+def test_sitemap_undated_entry_still_skipped_not_mispaired(spark):
+    # the tempered gap must not let entry N's loc pair with entry
+    # N+1's lastmod across an undated entry
+    xml = ("<urlset><url><loc>https://c.example/dated1</loc>"
+           "<lastmod>2026-01-01</lastmod></url>"
+           "<url><loc>https://c.example/undated</loc></url>"
+           "<url><loc>https://c.example/dated2</loc>"
+           "<priority>0.5</priority>"
+           "<lastmod>2026-01-09</lastmod></url></urlset>")
+    locs, mods = _harvest(spark, xml)
+    assert locs == ["https://c.example/dated1", "https://c.example/dated2"]
+    assert mods == ["2026-01-01", "2026-01-09"]
