@@ -22,6 +22,15 @@ canary is flagged in `contaminated_queries`; the one-line JSON carries
 per-query record (sec, rows, load1, canary_ms) is also written to
 $SPARK_GRAFT_BENCH_OUT (default BENCH_full_latest.json at the repo
 root) because the driver captures only the stdout tail.
+
+Quiet-retake pass (r14): contaminated rows and movers (>1.3x their row
+in the previous committed record or the fixed anchor) are re-run once
+with fresh bracketing canaries; the recorded row is the MIN of the
+quiet takes (load only ever adds time), a quiet retake clears the
+row's contamination flag, and every retake is audited per-row in
+`retaken_queries`. This makes the committed record a min-of-takes
+artifact for exactly the rows where one instant's box state would
+otherwise become the round's reference number.
 """
 
 from __future__ import annotations
@@ -425,6 +434,72 @@ def drift_vs_anchor(timings: dict, anchor_record: dict) -> dict:
 # headroom for GC jitter; the r8 spike inflated rows 4-33x, far past it)
 CANARY_CONTAMINATION_RATIO = 2.5
 
+# ------------------------------------------------------------------
+# Quiet-retake pass (r13 verdict orders 1 + 7). The one-shot protocol
+# records whichever instant the box gave each query, so a noise spike
+# lands IN the committed record and the next round's gate compares
+# against it (the r13 driver record carried 8 contaminated rows at
+# 2-8x their quiet cost; the committed r13 anchor reading moved
+# 0.970 -> 1.079 between two takes of materially identical plans).
+# After the main pass, every row that was (a) bracket-contaminated or
+# (b) a mover vs the previous committed record or the fixed anchor is
+# re-run ONCE with fresh bracketing canaries, and the recorded row
+# becomes the MIN of the quiet takes — min because external load only
+# ever ADDS time, so the smaller sample is always the better estimate
+# of the plan's cost. A retake whose own bracket is loaded cannot
+# clear a contamination flag (both takes were dirty; the flag stands).
+RETAKE_MOVER_RATIO = 1.3   # take1 > 1.3x a committed reference row
+RETAKE_MAX = 40            # bound the second pass; worst movers first
+
+
+def retake_set(timings: dict, contaminated: list, prev_q: dict,
+               anchor_q: dict) -> list:
+    """Rows eligible for a quiet retake: every contaminated row plus
+    every mover vs either committed reference, worst movers first,
+    capped at RETAKE_MAX. Pure function (unit-tested without Spark)."""
+    score: dict[str, float] = {name: 0.0 for name in contaminated}
+    for name, sec in timings.items():
+        if sec < DRIFT_MIN_SEC:
+            continue
+        worst = 0.0
+        for ref in (prev_q, anchor_q):
+            p = ref.get(name)
+            if p and p >= DRIFT_MIN_SEC:
+                worst = max(worst, sec / p)
+        if worst > RETAKE_MOVER_RATIO:
+            score[name] = max(score.get(name, 0.0), worst)
+    ordered = sorted(score, key=lambda n: -score[n])
+    return ordered[:RETAKE_MAX]
+
+
+def merge_retakes(timings: dict, contaminated: list,
+                  retakes: dict) -> tuple[dict, list, dict]:
+    """Fold retake results into the record. ``retakes`` maps name ->
+    {"sec": float, "quiet": bool}. Returns (merged timings, remaining
+    contaminated list, per-row audit). A quiet retake replaces the row
+    iff faster (min-of-takes) and clears its contamination flag; a
+    loaded retake changes nothing. Pure function."""
+    merged = dict(timings)
+    still = set(contaminated)
+    audit: dict[str, dict] = {}
+    for name, rt in retakes.items():
+        first = timings.get(name)
+        if first is None:
+            continue
+        kept = "first"
+        if rt["quiet"]:
+            if rt["sec"] < first:
+                merged[name] = rt["sec"]
+                kept = "retake"
+            still.discard(name)
+        audit[name] = {
+            "first_sec": first,
+            "retake_sec": rt["sec"],
+            "retake_quiet": rt["quiet"],
+            "kept": kept,
+        }
+    return merged, sorted(still), audit
+
 # ABSOLUTE floor (review finding): a purely relative check misses load
 # that is uniform across the WHOLE run — every canary inflates together
 # and none exceeds 2.5x "best". The default below measured 102-108 ms on
@@ -525,33 +600,74 @@ def main() -> int:
     # uniform-load floor: if even the BEST canary is far above the
     # box's verified-unloaded nominal, the whole session ran loaded
     uniform_load = best_canary > CANARY_NOMINAL_MS * CANARY_UNIFORM_LOAD_RATIO
+
+    # committed references, loaded BEFORE the retake pass so movers vs
+    # either can be re-taken (r13 verdict orders 1 + 7)
+    prev = _prev_committed_record(
+        os.path.dirname(os.path.abspath(__file__)), out_path
+    )
+    prev_rec = prev[1] if prev is not None and prev[1].get("sf") == sf else None
+    anchor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), DRIFT_ANCHOR_RECORD
+    )
+    anchor_rec = None
+    if os.path.realpath(anchor_path) != os.path.realpath(out_path):
+        try:
+            cand = json.load(open(anchor_path))
+            if cand.get("sf") == sf:
+                anchor_rec = cand
+        except (OSError, json.JSONDecodeError):
+            pass
+
+    # quiet-retake pass: one bracketed re-run per contaminated/mover
+    # row; recorded row = min of the quiet takes (see retake_set)
+    retake_names = retake_set(
+        timings, contaminated,
+        (prev_rec or {}).get("queries", {}),
+        (anchor_rec or {}).get("queries", {}),
+    )
+    retakes: dict[str, dict] = {}
+    io_cutoff = (max(CANARY_CONTAMINATION_RATIO * min(io_canaries_ms),
+                     IO_CANARY_FLOOR_MS) if io_probe else None)
+    for name in retake_names:
+        pre_c = _canary_sec() * 1000
+        pre_io = _io_canary_sec(io_probe) * 1000 if io_probe else 0.0
+        t0 = time.time()
+        df = QUERIES[name].spark(spark, sf_dir)
+        df.count()
+        sec = round(time.time() - t0, 3)
+        post_c = _canary_sec() * 1000
+        post_io = _io_canary_sec(io_probe) * 1000 if io_probe else 0.0
+        quiet_take = max(pre_c, post_c) <= cutoff and (
+            io_cutoff is None or max(pre_io, post_io) <= io_cutoff)
+        retakes[name] = {"sec": sec, "quiet": quiet_take}
+        print(
+            f"# retake {name}: {sec:.2f}s (first {timings[name]:.2f}s, "
+            f"quiet={quiet_take}, canary={max(pre_c, post_c):.0f}ms)",
+            file=sys.stderr,
+        )
+    timings, contaminated, retake_audit = merge_retakes(
+        timings, contaminated, retakes)
+    for name, row in retake_audit.items():
+        detail[name].update(row)
+        detail[name]["sec"] = timings[name]
+
     total = round(sum(timings.values()), 3)
     # record-to-record drift vs the last committed round record at the
     # same sf: catches uniform slowdowns every instantaneous canary
     # missed (the r9 blind spot, now machine-checked)
     drift = {"geomean_vs_prev": None, "n_common": 0, "drift_suspect": False,
              "prev_record": None}
-    prev = _prev_committed_record(
-        os.path.dirname(os.path.abspath(__file__)), out_path
-    )
-    if prev is not None and prev[1].get("sf") == sf:
-        drift = drift_vs_prev(timings, prev[1])
+    if prev_rec is not None:
+        drift = drift_vs_prev(timings, prev_rec)
         drift["prev_record"] = os.path.basename(prev[0])
     # fixed-anchor cumulative gate (r12): immune to slow creep across
     # successive ≤1.2 per-round records
     anchor = {"geomean_vs_anchor": None, "n_common_anchor": 0,
               "anchor_suspect": False, "anchor_record": None}
-    anchor_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), DRIFT_ANCHOR_RECORD
-    )
-    if os.path.realpath(anchor_path) != os.path.realpath(out_path):
-        try:
-            anchor_rec = json.load(open(anchor_path))
-        except (OSError, json.JSONDecodeError):
-            anchor_rec = None
-        if anchor_rec is not None and anchor_rec.get("sf") == sf:
-            anchor = drift_vs_anchor(timings, anchor_rec)
-            anchor["anchor_record"] = os.path.basename(anchor_path)
+    if anchor_rec is not None:
+        anchor = drift_vs_anchor(timings, anchor_rec)
+        anchor["anchor_record"] = os.path.basename(anchor_path)
     record = {
         "metric": "total_bench_sec",
         "value": total,
@@ -564,6 +680,7 @@ def main() -> int:
         "best_canary_ms": best_canary,
         "canary_nominal_ms": CANARY_NOMINAL_MS,
         "io_canary_best_ms": min(io_canaries_ms) if io_probe else None,
+        "retaken_queries": retake_audit,
         **drift,
         **anchor,
     }

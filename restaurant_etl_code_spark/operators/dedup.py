@@ -1244,7 +1244,22 @@ def winnow_pairs(
     ~2/(window+1) of the corpus' k-grams as rows — orders of magnitude
     fewer than a full shingle join — and the pair agg carries counters,
     not text. Exactly the ``ngram_jaccard_pairs`` shape on a winnowed,
-    df-valved key space.
+    df-valved key space. Two round-14 cost fixes, measured at sf0.1:
+
+    - the per-doc fingerprint ARRAYS are persisted once (the compact
+      projection — one row per doc, no text), because the valve agg,
+      the size agg, and both self-join sides each re-execute the
+      tokenize+hash+window-minima subtree otherwise (ReusedExchange
+      dedupes only identical exchanges, not the agg side); measured
+      4.6 s -> 2.1 s warm, cheaper than even the UNVALVED r09 plan.
+    - the valve is expressed as an ANTI-join against the HEAVY
+      fingerprint set (df > max_df) instead of a semi-join against the
+      ok set: the heavy set is small by construction (boilerplate
+      fingerprints are the exception), so AQE can broadcast it and the
+      corpus-sized probe side never shuffles for the valve; the ok-set
+      formulation forced a full inverted-index shuffle. The df count
+      itself stays a hash aggregate (map-side partial agg — skew-safe
+      on exactly the boilerplate keys the valve exists for).
 
     Returns (id_a, id_b, n_shared, overlap) with id_a < id_b; overlap
     is the Jaccard of the two documents' VALVED fingerprint sets, 6dp
@@ -1254,19 +1269,19 @@ def winnow_pairs(
     the valve removed would still sit in the denominator — review
     finding).
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window).persist()
     inv = fps.select(
         F.col(id_col).alias("__id"),
         F.explode("fingerprints").alias("fp"),
     )
     if max_df is not None:
-        ok = (
+        heavy = (
             inv.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_df)
+            .filter(F.col("__df") > max_df)
             .select("fp")
         )
-        inv = inv.join(ok, "fp", "left_semi")
+        inv = inv.join(heavy, "fp", "left_anti")
     sizes = inv.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     inv = inv.join(sizes, "__id")
     a, b = inv.alias("a"), inv.alias("b")

@@ -12434,9 +12434,15 @@ def _q_warc_fetch_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from restaurant_etl_code_spark.sources import warc as Fwarc
 
     fixture_dir = _write_warc_timing_fixture(sf_dir)
+    # persist-once (the resolve_redirects convention): the request and
+    # response branches below are two filters of this ONE scan — left
+    # unpersisted, Catalyst plans two container parses (each join side
+    # re-executes the upstream mapInPandas). The cached footprint is
+    # the 5-column pruned projection; the alternative at 100 TB is a
+    # full second pass over the corpus.
     recs = Fwarc.read_warc(spark, fixture_dir, columns=[
         "warc_type", "record_id", "target_uri", "warc_date",
-        "concurrent_to"])
+        "concurrent_to"]).persist()
     ts = lambda c: F.to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")  # noqa: E731
     resp = recs.filter(F.col("warc_type") == "response").select(
         F.col("record_id").alias("resp_id"),
@@ -12644,6 +12650,11 @@ def _q_cdx_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from restaurant_etl_code_spark.sources import warc as Fwarc
 
     fixture_dir = _write_warc_fixture(sf_dir)
+    # persist-once (the resolve_redirects convention): `prev` below is
+    # derived FROM `resp` and then left-joined against it — unpersisted,
+    # the self-join's two sides each re-parse the container. Caching
+    # the 4-column capture projection halves the scan work; at 100 TB
+    # the unpersisted plan is a full second pass over the corpus.
     resp = (
         Fwarc.read_warc(spark, fixture_dir, columns=[
             "warc_type", "target_uri", "payload_digest"])
@@ -12655,6 +12666,7 @@ def _q_cdx_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract(F.col("target_uri"), r"/d/([0-9]+)$", 1)
             .alias("dkey"),
         )
+        .persist()
     )
     prev = (
         resp.filter((F.col("dkey") != "")

@@ -176,3 +176,48 @@ def test_sitemap_undated_entry_still_skipped_not_mispaired(spark):
     locs, mods = _harvest(spark, xml)
     assert locs == ["https://c.example/dated1", "https://c.example/dated2"]
     assert mods == ["2026-01-01", "2026-01-09"]
+
+
+# ---------------------------------------- bench retake logic (no Spark)
+
+def test_retake_set_orders_movers_and_caps():
+    import bench
+    timings = {"a": 2.0, "b": 1.0, "c": 5.0, "tiny": 0.05, "new": 3.0}
+    prev = {"a": 1.0, "b": 0.95, "c": 1.0, "tiny": 0.01}
+    anchor = {"a": 0.9, "b": 1.0}
+    names = bench.retake_set(timings, ["b"], prev, anchor)
+    # c is the worst mover (5x), a next (2.22x vs anchor); b is included
+    # via contamination even though its ratio is quiet; tiny is below
+    # DRIFT_MIN_SEC; new has no reference row
+    assert names[0] == "c"
+    assert "a" in names and "b" in names
+    assert "tiny" not in names and "new" not in names
+    # cap respected
+    big = {f"q{i}": 10.0 for i in range(100)}
+    prev_big = {f"q{i}": 1.0 for i in range(100)}
+    assert len(bench.retake_set(big, [], prev_big, {})) == bench.RETAKE_MAX
+
+
+def test_merge_retakes_min_of_quiet_takes():
+    import bench
+    timings = {"a": 4.0, "b": 2.0, "c": 3.0}
+    contaminated = ["a", "b"]
+    retakes = {
+        "a": {"sec": 1.5, "quiet": True},    # quiet + faster: replaces, clears
+        "b": {"sec": 2.5, "quiet": True},    # quiet but slower: keeps first, clears
+        "c": {"sec": 1.0, "quiet": False},   # loaded retake: changes nothing
+    }
+    merged, still, audit = bench.merge_retakes(timings, contaminated, retakes)
+    assert merged == {"a": 1.5, "b": 2.0, "c": 3.0}
+    assert still == []          # both contaminated rows cleared by quiet takes
+    assert audit["a"]["kept"] == "retake"
+    assert audit["b"]["kept"] == "first"
+    assert audit["c"]["kept"] == "first" and audit["c"]["retake_quiet"] is False
+
+
+def test_merge_retakes_loaded_retake_keeps_flag():
+    import bench
+    merged, still, audit = bench.merge_retakes(
+        {"a": 4.0}, ["a"], {"a": {"sec": 1.0, "quiet": False}})
+    assert merged == {"a": 4.0}
+    assert still == ["a"]       # both takes dirty: the flag stands
