@@ -538,3 +538,91 @@ glitch.me
 """
 
 PSL_SNAPSHOT = load_psl(PSL_SNAPSHOT_TEXT)
+
+
+def excerpt_coverage_report(full_counts: "dict | None" = None) -> dict:
+    """Quantified deployment delta of the vendored excerpt vs a
+    full-scale rule table (r13 verdict order 3): per rule class —
+    exact by label depth, wildcard, exception — the excerpt's count,
+    the full-scale count (default: the synthetic ~9k-rule distribution
+    in ``plans.testdata_queries._PSL_FULL_COUNTS``, built to mirror
+    the real file's depth mix), and the coverage fraction; plus the
+    DIVERGENCE CLASS a host hits when its rule exists in the full file
+    but not here. The point is that the excerpt's error is not random:
+    every miss falls in one of four enumerable behavioral classes, so
+    a consumer can reason about which analyses the excerpt distorts
+    (domain rollups under-split; wildcard hosts over-resolve;
+    exceptions over-truncate; private-suffix sites collapse).
+
+    Section/depth profiling parses ``PSL_SNAPSHOT_TEXT`` directly so
+    the report tracks the vendored file verbatim."""
+    if full_counts is None:
+        from restaurant_etl_code_spark.plans.testdata_queries import (
+            _PSL_FULL_COUNTS,
+        )
+        full_counts = {
+            "exact_d1": _PSL_FULL_COUNTS["tld"],
+            "exact_d2": _PSL_FULL_COUNTS["sld"],
+            "exact_d3": _PSL_FULL_COUNTS["third"],
+            "wildcard": _PSL_FULL_COUNTS["wild"],
+            "exception": _PSL_FULL_COUNTS["exc"],
+        }
+    counts: dict[str, int] = {}
+    sections = {"icann": 0, "private": 0}
+    section = "icann"
+    for ln in PSL_SNAPSHOT_TEXT.splitlines():
+        s = ln.strip()
+        if s.startswith("// ===BEGIN PRIVATE"):
+            section = "private"
+            continue
+        if not s or s.startswith("//"):
+            continue
+        sections[section] += 1
+        if s.startswith("!"):
+            kind = "exception"
+        elif s.startswith("*."):
+            kind = "wildcard"
+        else:
+            kind = f"exact_d{s.count('.') + 1}"
+        counts[kind] = counts.get(kind, 0) + 1
+    classes = {}
+    for kind, full in sorted(full_counts.items()):
+        have = counts.get(kind, 0)
+        classes[kind] = {
+            "excerpt": have,
+            "full_scale": full,
+            "coverage": round(have / full, 4) if full else None,
+        }
+    total_have = sum(counts.values())
+    total_full = sum(full_counts.values())
+    return {
+        "rules_excerpt": total_have,
+        "rules_full_scale": total_full,
+        "coverage_overall": round(total_have / total_full, 4),
+        "by_class": classes,
+        "sections": sections,
+        # what a host whose real rule is MISSING from the excerpt does:
+        "divergence_classes": {
+            "missing_exact_d2+": (
+                "registrable domain computed one label SHORT (implicit-* "
+                "floor matches the TLD instead of the registry suffix): "
+                "domain rollups merge distinct registrants"
+            ),
+            "missing_wildcard": (
+                "a host the full list CONSUMES (NULL registrable) "
+                "resolves to a registrable domain: phantom registrants "
+                "appear in rollups"
+            ),
+            "missing_exception": (
+                "registrable domain one label DEEP of truth (the "
+                "covering wildcard wins unopposed): one real registrant "
+                "splits into many"
+            ),
+            "missing_private_suffix": (
+                "all customer sites of a hosting provider collapse into "
+                "ONE registrable domain (e.g. username.github.io -> "
+                "github.io): per-site dedup/quality stats aggregate "
+                "across unrelated sites"
+            ),
+        },
+    }

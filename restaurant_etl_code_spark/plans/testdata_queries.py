@@ -13899,59 +13899,60 @@ _REGISTRY: dict[str, QueryDef] = {
 # applies the policy above; hand-maintained rotation notes failed in
 # r6/r7 and miscounted in r8, so the tool's output is authoritative.)
 #
-# r13 window provenance (ledger as of r12, tools/freshness.py --window 50
-# --as-of 12): the 5 never-checked round-13 queries, the oldest (r08)
-# cohort, the r09 cohort, and the two anchors.
-_WINDOW_ROUND = 12  # ledger state this window was generated from
+# r14 window provenance (ledger as of r13, tools/freshness.py --window 50
+# --as-of 13): the oldest (r09) cohort — 94 queries were last
+# driver-checked before r11, this window cycles the stalest 46 of them
+# in — plus the two r10 stragglers and the two anchors.
+_WINDOW_ROUND = 13  # ledger state this window was generated from
 _WINDOW_FIRST = [
-    "warc_concurrent_pairs",  # never-checked
-    "warc_content_coding",  # never-checked
-    "domain_rollup_psl_auto",  # never-checked
-    "robots_agent_tokens",  # never-checked
-    "domain_rollup_psl_snapshot",  # never-checked
-    "warc_charset_decode",  # never-checked
-    "warc_cdx_index",  # never-checked
-    "warc_redirect_resolve",  # never-checked
-    "main_content_extract",  # never-checked
-    "warc_fetch_latency",  # never-checked
-    "web_graph_pagerank",  # never-checked
-    "cdx_incremental_merge",  # never-checked
-    "wat_export_roundtrip",  # never-checked
-    "warc_media_scan",  # never-checked
-    "warc_media_digest",  # never-checked
-    "sitemap_recrawl",  # never-checked
-    "warc_media_headers",  # never-checked
-    "running_total",  # latest=r08
-    "pdf15_extract",  # latest=r08
-    "bpe_pair_stats",  # latest=r08
-    "global_offsets",  # latest=r08
-    "pmi_collocations",  # latest=r08
-    "label_propagation",  # latest=r08
-    "kmeans_clusters",  # latest=r08
-    "phrase_merge",  # latest=r08
-    "distribution_drift",  # latest=r08
-    "streaming_curation",  # latest=r08
-    "pq_codes",  # latest=r08
-    "pq_adc_topk",  # latest=r08
-    "ivfpq_topk",  # latest=r08
-    "ivfpq_recall",  # latest=r08
-    "bpe_trainer",  # latest=r08
-    "ivfpq_residual_topk",  # latest=r08
-    "bpe_encode",  # latest=r08
-    "bigram_logprob",  # latest=r08
-    "token_budget_select",  # latest=r08
-    "incremental_dedup",  # latest=r08
-    "classifier_train",  # latest=r08
-    "streaming_neardup",  # latest=r08
-    "packing_efficiency",  # latest=r08
-    "curation_best_quality",  # latest=r08
-    "hard_negatives",  # latest=r08
-    "jl_distortion",  # latest=r08
-    "cdc_chunk_dedup",  # latest=r08
-    "cdc_containment",  # latest=r08
-    "bpe_compression",  # latest=r08
-    "positional_zip",  # latest=r09
-    "url_parse",  # latest=r09
+    "industry_resolve",  # latest=r09
+    "update_fields",  # latest=r09
+    "distinct_categories",  # latest=r09
+    "stratified_split",  # latest=r09
+    "tfidf_top_terms",  # latest=r09
+    "decontaminate",  # latest=r09
+    "stats_moments",  # latest=r09
+    "pii_scrub",  # latest=r09
+    "doc_chunks",  # latest=r09
+    "repetition_signals",  # latest=r09
+    "group_sample",  # latest=r09
+    "rolling_stats",  # latest=r09
+    "csv_scan_agg",  # latest=r09
+    "json_scan_agg",  # latest=r09
+    "scd2_history",  # latest=r09
+    "sliding_window",  # latest=r09
+    "stream_stream_join",  # latest=r09
+    "histogram",  # latest=r09
+    "weighted_sample",  # latest=r09
+    "heavy_hitters",  # latest=r09
+    "bloom_prune_join",  # latest=r09
+    "zorder_scan",  # latest=r09
+    "streaming_dedup_watermark",  # latest=r09
+    "sketch_overlap",  # latest=r09
+    "corpus_curation",  # latest=r09
+    "incremental_agg",  # latest=r09
+    "mdb_scan_agg",  # latest=r09
+    "simhash_pairs_banded",  # latest=r09
+    "pdf_menu_extract",  # latest=r09
+    "mixture_sample",  # latest=r09
+    "contamination_score",  # latest=r09
+    "containment_pairs",  # latest=r09
+    "cdc_snapshot",  # latest=r09
+    "semantic_dedup",  # latest=r09
+    "winnow_dedup_pairs",  # latest=r09
+    "split_leakage_guard",  # latest=r09
+    "dup_cluster_sizes",  # latest=r09
+    "tokenizer_fertility",  # latest=r09
+    "hybrid_rrf_topk",  # latest=r09
+    "matryoshka_recall",  # latest=r09
+    "dedup_rate_by_source",  # latest=r09
+    "decayed_engagement",  # latest=r09
+    "robust_outliers",  # latest=r09
+    "basket_triangles",  # latest=r09
+    "winnow_recall",  # latest=r09
+    "basket_kcore",  # latest=r09
+    "unigram_logprob",  # latest=r10
+    "minhash_estimate",  # latest=r10
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -221,3 +221,26 @@ def test_merge_retakes_loaded_retake_keeps_flag():
         {"a": 4.0}, ["a"], {"a": {"sec": 1.0, "quiet": False}})
     assert merged == {"a": 4.0}
     assert still == ["a"]       # both takes dirty: the flag stands
+
+
+# ---------------------------------------- PSL excerpt coverage audit
+
+def test_psl_excerpt_coverage_report():
+    from restaurant_etl_code_spark.functions.psl_snapshot import (
+        excerpt_coverage_report,
+    )
+    r = excerpt_coverage_report()
+    # the report tracks the vendored file verbatim: every class
+    # populated, fractions in (0, 1], four enumerated divergence classes
+    assert r["rules_excerpt"] > 400
+    assert 0 < r["coverage_overall"] < 1
+    for cls, row in r["by_class"].items():
+        assert row["excerpt"] <= row["full_scale"], cls
+        assert 0 <= row["coverage"] <= 1
+    assert set(r["divergence_classes"]) == {
+        "missing_exact_d2+", "missing_wildcard",
+        "missing_exception", "missing_private_suffix"}
+    assert r["sections"]["private"] > 0  # private section present
+    # a custom full_counts is respected (unit isolation from plans)
+    r2 = excerpt_coverage_report({"exact_d1": 100})
+    assert r2["by_class"]["exact_d1"]["full_scale"] == 100

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Scale probe for the incremental crawl-over-index CDX merge — the
+recurring crawl's per-capture storage decision (new-url / revisit /
+changed). Synthetic capture table (urlkey, digest) with a previous
+index derived by the same congruences the registry query uses (every
+3rd urlkey absent, every 5th digest mangled), measured at N and K*N
+rows: the merge is ONE 1:1 left equi-join on urlkey + a digest
+equality + a hash-groupBy, so the expected ratio is ~linear.
+
+Also pins the broadcast-vs-shuffle crossover for the PREV-INDEX side:
+at a fixed capture count, the prev index is swept across sizes and the
+chosen physical join (BroadcastHashJoin vs SortMergeJoin under AQE) is
+read from the executed plan alongside the wall time — the number a
+deployment needs to size `spark.sql.autoBroadcastJoinThreshold` for
+recurring crawls whose index grows round over round.
+
+Usage: python tools/cdx_scale_probe.py [N] [K]   (default 200k, 10)
+Prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark import get_spark
+
+
+def captures(spark, n: int):
+    return spark.range(n).select(
+        F.concat(F.lit("com,site"), (F.col("id") % 997).cast("string"),
+                 F.lit(")/d/"), F.col("id").cast("string")).alias("urlkey"),
+        F.md5(F.col("id").cast("string")).alias("digest"),
+        F.col("id"),
+    )
+
+
+def prev_index(spark, n: int):
+    """Previous-crawl index over the same keyspace: every 3rd urlkey
+    absent (new-url), every 5th digest mangled (changed)."""
+    return (
+        captures(spark, n)
+        .filter(F.col("id") % 3 != 2)
+        .select(
+            "urlkey",
+            F.when(F.col("id") % 5 == 0,
+                   F.concat(F.lit("old-"), F.col("digest")))
+            .otherwise(F.col("digest")).alias("prev_digest"),
+        )
+    )
+
+
+def merge(cap, prev):
+    return (
+        cap.join(prev, "urlkey", "left")
+        .withColumn(
+            "capture_class",
+            F.when(F.col("prev_digest").isNull(), F.lit("new-url"))
+            .when(F.col("digest") == F.col("prev_digest"), F.lit("revisit"))
+            .otherwise(F.lit("changed")),
+        )
+        .groupBy("capture_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def run(spark, n: int) -> tuple[float, dict]:
+    t0 = time.time()
+    out = merge(captures(spark, n), prev_index(spark, n))
+    counts = {r["capture_class"]: r["n"] for r in out.collect()}
+    return time.time() - t0, counts
+
+
+def join_strategy(df) -> str:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "BroadcastHashJoin" in plan:
+        return "broadcast"
+    if "SortMergeJoin" in plan:
+        return "sort_merge"
+    if "ShuffledHashJoin" in plan:
+        return "shuffled_hash"
+    return "other"
+
+
+def crossover(spark, n_cap: int, prev_sizes: list[int]) -> list[dict]:
+    """Fixed capture count, swept prev-index size: wall time + the
+    physical join AQE actually executed."""
+    out = []
+    cap = captures(spark, n_cap)
+    for m in prev_sizes:
+        prev = prev_index(spark, m)
+        t0 = time.time()
+        df = merge(cap, prev)
+        df.collect()
+        out.append({
+            "prev_rows": m,
+            "sec": round(time.time() - t0, 2),
+            "join": join_strategy(df),
+        })
+    return out
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("cdx-scale-probe")
+    run(spark, 10_000)  # warm
+    sec_x1, counts_x1 = run(spark, n)
+    sec_xk, counts_xk = run(spark, n * k)
+    sweep = crossover(
+        spark, n * k, [10_000, 100_000, 500_000, n * k])
+    print(json.dumps({
+        "n": n, "k": k,
+        "sec_x1": round(sec_x1, 2), "sec_xk": round(sec_xk, 2),
+        "ratio": round(sec_xk / sec_x1, 2),
+        "counts_x1": counts_x1, "counts_xk": counts_xk,
+        "crossover": sweep,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
