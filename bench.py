@@ -273,6 +273,12 @@ BENCH_QUERIES = [
     "warc_media_digest",
     "sitemap_recrawl",
     "warc_media_headers",
+    # round-14 additions: revisit-record storage dedup, the columnar
+    # (cc-index-table) capture index, structured HTML metadata/tables
+    "warc_revisit_export",
+    "cdx_parquet_lookup",
+    "html_metadata_extract",
+    "html_table_extract",
 ]
 
 

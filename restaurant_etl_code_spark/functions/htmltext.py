@@ -60,6 +60,10 @@ __all__ = [
     "sitemap_locs",
     "sitemap_entry_locs",
     "sitemap_entry_lastmods",
+    "og_content",
+    "jsonld_blocks",
+    "table_rows",
+    "table_cells",
     "SCRIPT_RE",
     "STYLE_RE",
     "COMMENT_RE",
@@ -341,3 +345,65 @@ def sitemap_entry_lastmods(c: Column) -> Column:
     date-only form in the common case). Groups 2/3 coalesced per
     match."""
     return _coalesce_groups(c, 2, 3)
+
+
+def og_content(c: Column, prop: str) -> Column:
+    """content attribute of an OpenGraph ``<meta property="og:...">``
+    tag (the social/share metadata block most commercial pages carry —
+    title, type, image, url, description). Both attribute orders, both
+    quote styles; NULL when absent. ``prop`` is the literal property
+    name WITHOUT the ``og:`` prefix (title, type, image, ...), compiled
+    into the pattern — the ``meta_content`` convention."""
+    pat_fwd = (
+        "(?is)<meta\\s[^>]*property\\s*=\\s*[\"']og:" + prop
+        + "[\"'][^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>"
+    )
+    pat_rev = (
+        "(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*"
+        "property\\s*=\\s*[\"']og:" + prop + "[\"'][^>]*>"
+    )
+    a = F.regexp_extract(c, pat_fwd, 1)
+    b = F.regexp_extract(c, pat_rev, 1)
+    got = F.when(a != "", a).otherwise(b)
+    return F.when(got == "", F.lit(None).cast("string")).otherwise(got)
+
+
+JSONLD_RE = ("(?is)<script[^>]*type\\s*=\\s*[\"']application/ld\\+json"
+             "[\"'][^>]*>(.*?)</script>")
+
+
+def jsonld_blocks(c: Column) -> Column:
+    """Raw JSON-LD payloads of every
+    ``<script type="application/ld+json">`` block → array<string>, in
+    document order. The structured-data channel (schema.org Product /
+    Article / Organization) a training-data pipeline mines for typed
+    facts; parse each element with ``from_json`` downstream — the
+    extraction stays row-local codegen, the typing stays declarative."""
+    return F.regexp_extract_all(c, F.lit(JSONLD_RE), 1)
+
+
+_TR_RE = "(?is)<tr[^>]*>(.*?)</tr>"
+_CELL_RE = "(?is)<t[dh][^>]*>(.*?)</t[dh]>"
+
+
+def table_rows(c: Column) -> Column:
+    """Every ``<tr>...</tr>`` inner HTML across the document's tables →
+    array<string>, document order. Rows left unsplit so the caller
+    chooses cell handling; pair with :func:`table_cells`."""
+    return F.regexp_extract_all(c, F.lit(_TR_RE), 1)
+
+
+def table_cells(c: Column) -> Column:
+    """Cell TEXT matrix of the document's tables: array of rows, each
+    an array of the row's ``<td>``/``<th>`` contents with tags
+    stripped and entities decoded — the HTML-table → relational-rows
+    step (a pipeline schematizes these downstream by zipping a header
+    row against body rows). Nested ``regexp_extract_all`` inside a
+    ``transform`` lambda: row-local, zero shuffle, zero Python."""
+    return F.transform(
+        table_rows(c),
+        lambda row: F.transform(
+            F.regexp_extract_all(row, F.lit(_CELL_RE), 1),
+            _segment_clean,
+        ),
+    )

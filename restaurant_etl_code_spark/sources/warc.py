@@ -75,7 +75,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["WARC_SCHEMA", "BINARYFILE_SCHEMA", "read_warc",
            "read_warc_stream", "write_warc", "write_cdx",
-           "parse_warc_bytes", "frame_record"]
+           "write_cdx_parquet", "parse_warc_bytes", "frame_record",
+           "frame_revisit", "REVISIT_PROFILE"]
 
 WARC_SCHEMA = (
     "warc_file string, warc_type string, record_id string, "
@@ -83,6 +84,7 @@ WARC_SCHEMA = (
     "http_status int, http_content_type string, payload string, "
     "payload_len bigint, payload_digest string, "
     "http_content_encoding string, concurrent_to string, "
+    "refers_to string, "
     "truncated string, charset string, charset_used string, "
     "http_location string, record_offset bigint, record_length bigint, "
     "payload_binary binary"
@@ -288,7 +290,7 @@ def _damage_row(warc_file: str, *, payload_len: "int | None",
         "http_content_type": None, "payload": None,
         "payload_len": payload_len, "payload_digest": None,
         "http_content_encoding": None, "concurrent_to": None,
-        "truncated": None, "charset": None, "charset_used": None,
+        "refers_to": None, "truncated": None, "charset": None, "charset_used": None,
         "http_location": None,
         "record_offset": record_offset,
         "record_length": record_length,
@@ -420,6 +422,10 @@ def parse_warc_bytes(data: bytes, warc_file: str, *,
             # WARC-Concurrent-To: links request/metadata records to their
             # response — the join key for fetch-latency/header analyses
             "concurrent_to": headers.get("warc-concurrent-to"),
+            # WARC-Refers-To: a revisit record's pointer at the stored
+            # capture whose payload it duplicates — the storage-dedup
+            # link the CDX merge's `revisit` class materializes
+            "refers_to": headers.get("warc-refers-to"),
             # WARC-Truncated (ISO 28500 §5.13): the crawler cut this
             # payload at FETCH time (length/time/disconnect) — the
             # curation-side drop/flag signal for incomplete pages
@@ -633,13 +639,59 @@ def frame_record(url: str, payload: bytes, warc_type: str = "conversion",
     return hdr + payload + b"\r\n\r\n"
 
 
+# the WARC 1.0 revisit profile for "same payload as a stored capture"
+REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def frame_revisit(url: str, refers_to: str, payload_digest: str,
+                  warc_date: str = "2026-01-01T00:00:00Z",
+                  refers_to_uri: "str | None" = None) -> bytes:
+    """Frame one WARC ``revisit`` record (ISO 28500 §6.7.2,
+    identical-payload-digest profile) — the storage-dedup record a
+    recurring crawl writes INSTEAD of the payload when the CDX merge
+    classifies a capture as ``revisit``: zero payload bytes, a
+    ``WARC-Refers-To`` pointer at the stored capture's record id, and
+    the (identical) payload digest so audits can verify the claim
+    without dereferencing. At Common Crawl scale this is the record
+    type that keeps a monthly crawl's byte growth proportional to the
+    CHANGED web, not the whole web.
+
+    Record id is deterministic over (url, refers_to, digest) — same
+    reproducible-export contract as :func:`frame_record`."""
+    import hashlib
+
+    rec_id = hashlib.sha1(
+        url.encode() + b"\x00" + refers_to.encode()
+        + b"\x00" + payload_digest.encode()).hexdigest()
+    ref = refers_to if refers_to.startswith("<") else f"<{refers_to}>"
+    extra = (f"WARC-Refers-To-Target-URI: {refers_to_uri}\r\n"
+             if refers_to_uri else "")
+    hdr = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: revisit\r\n"
+        f"WARC-Record-ID: <urn:sha1:{rec_id}>\r\n"
+        f"WARC-Date: {warc_date}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Profile: {REVISIT_PROFILE}\r\n"
+        f"WARC-Refers-To: {ref}\r\n"
+        f"{extra}"
+        f"WARC-Payload-Digest: {payload_digest}\r\n"
+        f"Content-Type: application/http\r\n"
+        f"Content-Length: 0\r\n\r\n"
+    ).encode()
+    return hdr + b"\r\n\r\n"
+
+
 def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
                payload_col: str = "payload",
                warc_type: str = "conversion",
                warc_date: str = "2026-01-01T00:00:00Z",
                content_type: str = "text/plain",
                gzip_members: bool = False,
-               manifest: bool = False) -> None:
+               manifest: bool = False,
+               revisit_of_col: "str | None" = None) -> None:
     """Export (url, payload) rows as WARC shard files — the WET-style
     corpus-snapshot sink closing the container loop (read_warc ∘
     write_warc = identity on records). One shard per partition, written
@@ -653,7 +705,17 @@ def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
     (local[*], NFS, fused object store). A multi-node deployment on
     raw HDFS/S3 would route the same framing through the Hadoop
     FileSystem API; the record framing (`frame_record`) is the
-    portable part."""
+    portable part.
+
+    ``revisit_of_col`` names a nullable column holding the STORED
+    capture's record id for rows whose payload is unchanged since the
+    previous crawl (the CDX merge's ``revisit`` class): those rows are
+    framed as zero-payload WARC ``revisit`` records
+    (:func:`frame_revisit` — the digest is computed from the row's
+    payload, which the crawler fetched to make the comparison) and the
+    payload bytes are NOT stored. Dump growth then tracks the changed
+    web, not the whole web."""
+    import hashlib
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -674,12 +736,19 @@ def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
         wrote = False
         with open(tmp, "wb") as fh:
             for row in rows:
-                rec = frame_record(
-                    row[url_col],
-                    (row[payload_col] or "").encode(),
-                    warc_type=warc_type, warc_date=warc_date,
-                    content_type=content_type,
-                )
+                payload = (row[payload_col] or "").encode()
+                if revisit_of_col is not None and row[revisit_of_col]:
+                    rec = frame_revisit(
+                        row[url_col], row[revisit_of_col],
+                        "sha1:" + hashlib.sha1(payload).hexdigest(),
+                        warc_date=warc_date,
+                    )
+                else:
+                    rec = frame_record(
+                        row[url_col], payload,
+                        warc_type=warc_type, warc_date=warc_date,
+                        content_type=content_type,
+                    )
                 fh.write(gzip.compress(rec) if gzip_members else rec)
                 wrote = True
         if wrote:
@@ -687,7 +756,9 @@ def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
         else:
             os.remove(tmp)  # empty partitions leave no empty shard
 
-    df.select(url_col, payload_col).foreachPartition(write_partition)
+    cols = [url_col, payload_col] + (
+        [revisit_of_col] if revisit_of_col is not None else [])
+    df.select(*cols).foreachPartition(write_partition)
     if manifest:
         # the dump's shard inventory (Common Crawl publishes the same
         # thing as warc.paths): sorted relative shard names + sizes,
@@ -793,3 +864,32 @@ def write_cdx(cdx: DataFrame, out_dir: str, *, n_shards: int = 4,
         for name, first in entries:
             fh.write(f"{first}\t{name}\n")
     os.replace(tmp, os.path.join(out_dir, "_cluster.idx"))
+
+
+def write_cdx_parquet(cdx: DataFrame, out_dir: str, *,
+                      urlkey_col: str = "urlkey",
+                      n_shards: int = 4) -> None:
+    """Publish the capture index COLUMNAR (the cc-index-table shape
+    Common Crawl ships alongside the text CDX): range-partition by
+    SURT urlkey, sort within each shard, write parquet. Point and
+    domain-prefix lookups (``urlkey LIKE 'com,example)%'``) then prune
+    at three levels with zero index-side compute: Catalyst pushes the
+    predicate into the scan, parquet file/row-group min-max stats on
+    the SORTED urlkey skip everything out of range, and only the
+    matching shard's row groups are read. The text ``write_cdx`` form
+    serves replay tools (binary-search + sequential scan); this form
+    serves ANALYTICS over the index — at 100 TB the index itself is
+    TBs, and a columnar engine querying it must not pay a full pass
+    per domain question.
+
+    Same skew note as ``write_cdx``: ``repartitionByRange`` samples
+    the key distribution, so one hot domain cannot silently overflow
+    a shard."""
+    from pyspark.sql import functions as F
+
+    (
+        cdx.repartitionByRange(n_shards, F.col(urlkey_col))
+        .sortWithinPartitions(urlkey_col)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

@@ -244,3 +244,96 @@ def test_psl_excerpt_coverage_report():
     # a custom full_counts is respected (unit isolation from plans)
     r2 = excerpt_coverage_report({"exact_d1": 100})
     assert r2["by_class"]["exact_d1"]["full_scale"] == 100
+
+
+# ---------------------------------------- revisit records
+
+def test_frame_revisit_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("https://a.example/1", "body one", None),
+         ("https://a.example/2", "body two", "urn:sha1:feedbeef"),
+         ("https://a.example/3", "body two", "<urn:sha1:feedbeef>")],
+        "url string, payload string, revisit_of string")
+    out = str(tmp_path / "dump")
+    W.write_warc(df.repartition(2), out, revisit_of_col="revisit_of",
+                 gzip_members=True)
+    back = {r["target_uri"]: r for r in W.read_warc(spark, out).collect()}
+    assert back["https://a.example/1"]["warc_type"] == "conversion"
+    r2 = back["https://a.example/2"]
+    assert r2["warc_type"] == "revisit"
+    assert r2["payload_len"] == 0          # zero payload bytes stored
+    assert r2["refers_to"] == "<urn:sha1:feedbeef>"
+    # already-bracketed ids are not double-wrapped
+    assert back["https://a.example/3"]["refers_to"] == "<urn:sha1:feedbeef>"
+    # the revisit digest equals the identical payload's stored digest
+    assert r2["payload_digest"] == back["https://a.example/3"]["payload_digest"]
+
+
+def test_frame_revisit_profile_and_determinism():
+    rec1 = W.frame_revisit("https://a.example/x", "urn:sha1:ab",
+                           "sha1:" + "0" * 40)
+    rec2 = W.frame_revisit("https://a.example/x", "urn:sha1:ab",
+                           "sha1:" + "0" * 40)
+    assert rec1 == rec2                     # byte-reproducible exports
+    assert W.REVISIT_PROFILE.encode() in rec1
+    assert b"Content-Length: 0" in rec1
+    rows = list(W.parse_warc_bytes(rec1, "f"))
+    assert rows[0]["warc_type"] == "revisit"
+    assert rows[0]["payload_len"] == 0
+
+
+# ---------------------------------------- columnar CDX index
+
+def test_write_cdx_parquet_sorted_and_pruned(spark, tmp_path):
+    rows = [(f"com,s{i % 7})/p/{i:04d}", 200 + (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "urlkey string, status int")
+    out = str(tmp_path / "ccidx")
+    W.write_cdx_parquet(df, out, n_shards=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    # domain-prefix lookup: pushed predicate reaches the parquet reader
+    q = back.filter(back["urlkey"].startswith("com,s3)"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "StringStartsWith(urlkey,com,s3))" in plan
+    assert q.count() == sum(1 for k, _ in rows if k.startswith("com,s3)"))
+    # in-file order: each parquet file is sorted by urlkey (the min-max
+    # stat contract that makes row-group pruning effective)
+    import glob
+    for f in glob.glob(out + "/part-*.parquet"):
+        keys = [r["urlkey"] for r in
+                spark.read.parquet(f).select("urlkey").collect()]
+        assert keys == sorted(keys)
+
+
+# ---------------------------------------- HTML metadata / tables
+
+def test_og_content_orders_quotes_and_absence(spark):
+    html = ('<meta property="og:title" content="T1"/>'
+            "<meta content='article' property='og:type'/>")
+    row = spark.createDataFrame([(html,)], "h string").select(
+        Fhtml.og_content(F.col("h"), "title").alias("t"),
+        Fhtml.og_content(F.col("h"), "type").alias("ty"),
+        Fhtml.og_content(F.col("h"), "image").alias("img"),
+    ).first()
+    assert row["t"] == "T1" and row["ty"] == "article"
+    assert row["img"] is None               # absent -> NULL, not ''
+
+
+def test_jsonld_blocks_multiple_and_case(spark):
+    html = ('<script type="application/ld+json">{"a":1}</script>'
+            '<script>var x=1;</script>'
+            '<SCRIPT TYPE="APPLICATION/LD+JSON">{"b":2}</SCRIPT>')
+    row = spark.createDataFrame([(html,)], "h string").select(
+        Fhtml.jsonld_blocks(F.col("h")).alias("ld")).first()
+    assert list(row["ld"]) == ['{"a":1}', '{"b":2}']
+
+
+def test_table_cells_tags_entities_and_th(spark):
+    html = ("<table><tr><th>name</th><th>price</th></tr>"
+            "<tr><td><b>Widget</b> &amp; Co</td><td>9.99</td></tr>"
+            "</table><p>not a table</p>"
+            "<table><tr><td>second</td></tr></table>")
+    row = spark.createDataFrame([(html,)], "h string").select(
+        Fhtml.table_cells(F.col("h")).alias("c")).first()
+    cells = [list(r) for r in row["c"]]
+    assert cells == [["name", "price"], ["Widget & Co", "9.99"], ["second"]]

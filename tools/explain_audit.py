@@ -1092,6 +1092,40 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython",
                   "BroadcastNestedLoopJoin"],
     },
+    "cdx_parquet_lookup": {
+        # the whole point of the columnar index: the domain-prefix
+        # predicate reaches the parquet reader (StringStartsWith in
+        # PushedFilters) so file/row-group min-max stats on the SORTED
+        # urlkey prune the scan — never a full index pass, never Python
+        "want": ["PushedFilters: [IsNotNull(urlkey), "
+                 "StringStartsWith(urlkey,com,example,site3))"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
+    "warc_revisit_export": {
+        # read side of the revisit loop: container splitter (the
+        # deliberate Arrow stage) -> row-local classify -> one
+        # hash-groupBy; the staging join keys on the unique url
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython",
+                  "BroadcastNestedLoopJoin"],
+    },
+    "html_metadata_extract": {
+        # og/JSON-LD extraction + from_json typing are row-local
+        # codegen over the scan; one hash-groupBy on og:type — no
+        # joins, no Python, no window
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin",
+                  "Window"],
+    },
+    "html_table_extract": {
+        # nested cell extraction + header zip are array lambdas in one
+        # projection; explode (Generate) + one hash-groupBy
+        "want": ["Generate", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
     "warc_fetch_latency": {
         # pairing join keys on the UNIQUE record id; the audit is one
         # per-host lag window; rollup is one hash-groupBy — the container
