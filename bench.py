@@ -279,6 +279,8 @@ BENCH_QUERIES = [
     "cdx_parquet_lookup",
     "html_metadata_extract",
     "html_table_extract",
+    "warc_cache_validators",
+    "feed_recrawl",
 ]
 
 

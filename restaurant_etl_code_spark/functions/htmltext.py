@@ -61,6 +61,10 @@ __all__ = [
     "sitemap_entry_locs",
     "sitemap_entry_lastmods",
     "og_content",
+    "rss_entry_links",
+    "rss_entry_dates",
+    "atom_entry_links",
+    "atom_entry_dates",
     "jsonld_blocks",
     "table_rows",
     "table_cells",
@@ -407,3 +411,56 @@ def table_cells(c: Column) -> Column:
             _segment_clean,
         ),
     )
+
+
+# RSS 2.0 <item> entries that declare a pubDate, and Atom <entry>
+# elements that declare an <updated> stamp — the OTHER recrawl signal
+# next to sitemap lastmod (news/blog surfaces publish feeds, not
+# sitemaps). Same construction as SITEMAP_ENTRY_RE: a tempered gap
+# that cannot cross an entry boundary or skip a link/date element,
+# both orderings alternated, accessor coalesces the groups per match.
+_RSS_GAP = "(?:(?!</?item>|<link|<pubDate).)*?"
+RSS_ENTRY_RE = (
+    "(?is)<item>" + _RSS_GAP + "(?:"
+    "<link>\\s*([^<]*?)\\s*</link>" + _RSS_GAP
+    + "<pubDate>\\s*([^<]*?)\\s*</pubDate>"
+    "|<pubDate>\\s*([^<]*?)\\s*</pubDate>" + _RSS_GAP
+    + "<link>\\s*([^<]*?)\\s*</link>)"
+)
+_ATOM_GAP = "(?:(?!</?entry>|<link|<updated).)*?"
+ATOM_ENTRY_RE = (
+    "(?is)<entry>" + _ATOM_GAP + "(?:"
+    "<link[^>]*href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>" + _ATOM_GAP
+    + "<updated>\\s*([^<]*?)\\s*</updated>"
+    "|<updated>\\s*([^<]*?)\\s*</updated>" + _ATOM_GAP
+    + "<link[^>]*href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>)"
+)
+
+
+def _feed_coalesce(c: Column, pattern: str, g_a: int, g_b: int) -> Column:
+    a = F.regexp_extract_all(c, F.lit(pattern), g_a)
+    b = F.regexp_extract_all(c, F.lit(pattern), g_b)
+    return F.zip_with(
+        a, b, lambda x, y: F.when(x != F.lit(""), x).otherwise(y))
+
+
+def rss_entry_links(c: Column) -> Column:
+    """<link> of every RSS <item> that declares a pubDate →
+    array<string>, aligned with :func:`rss_entry_dates`."""
+    return _feed_coalesce(c, RSS_ENTRY_RE, 1, 4)
+
+
+def rss_entry_dates(c: Column) -> Column:
+    """pubDate (RFC 822 form in the wild) of the same items."""
+    return _feed_coalesce(c, RSS_ENTRY_RE, 2, 3)
+
+
+def atom_entry_links(c: Column) -> Column:
+    """href of every Atom <entry>'s link that declares an <updated>
+    stamp → array<string>, aligned with :func:`atom_entry_dates`."""
+    return _feed_coalesce(c, ATOM_ENTRY_RE, 1, 4)
+
+
+def atom_entry_dates(c: Column) -> Column:
+    """<updated> (W3C datetime) of the same entries."""
+    return _feed_coalesce(c, ATOM_ENTRY_RE, 2, 3)

@@ -13447,6 +13447,239 @@ from rows_
 """
 
 
+def _write_warc_cache_fixture(sf_dir: str) -> str:
+    """Cache-validator fixture (idempotent, marker-guarded): response
+    records carrying the HTTP revalidation surface a recurring crawl
+    plans conditional refetches from — deterministic cohorts: i%3==0
+    ETag only; i%3==1 Last-Modified only; i%3==2 both; i%4==0 adds
+    Cache-Control: max-age=<60+i%600>; i%7==0 adds no-store (which a
+    polite crawler treats as do-not-cache regardless of validators)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_SCRATCH_DIR, f"warc_cache_{tag}")
+    import pyarrow.parquet as pq
+    keys = sorted(
+        pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey"])
+        .column("p_partkey").to_pylist())
+    marker = os.path.join(out, f".complete-v1-{len(keys)}")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    import gzip as _gzip
+    shards: list[list[bytes]] = [[], []]
+    for i in keys:
+        body = f"<html><body>cache {i}</body></html>".encode()
+        extra = []
+        if i % 3 in (0, 2):
+            extra.append(f'ETag: "v{i % 97}"')
+        if i % 3 in (1, 2):
+            extra.append("Last-Modified: Thu, 01 Jan 2026 00:00:00 GMT")
+        cc = []
+        if i % 4 == 0:
+            cc.append(f"max-age={60 + i % 600}")
+        if i % 7 == 0:
+            cc.append("no-store")
+        if cc:
+            extra.append("Cache-Control: " + ", ".join(cc))
+        http = (
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n"
+            + "".join(h + "\r\n" for h in extra)
+            + f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        import hashlib
+        hdr = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:cache-{i}>\r\n"
+            f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"WARC-Target-URI: https://site{i % 5}.example.com/c/{i}\r\n"
+            f"WARC-Payload-Digest: sha1:{hashlib.sha1(body).hexdigest()}\r\n"
+            f"Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        shards[i % 2].append(hdr + http + b"\r\n\r\n")
+    for idx, recs in enumerate(shards):
+        blob = b"".join(_gzip.compress(r) for r in recs)
+        with open(os.path.join(out, f"shard-{idx}.warc.gz"), "wb") as fh:
+            fh.write(blob)
+    open(marker, "w").close()
+    return out
+
+
+def _q_warc_cache_validators(spark, sf_dir):
+    """Conditional-refetch planning from the archive's OWN HTTP
+    revalidation headers (the `http_headers` map column — lowercased
+    keys, last-wins): per domain, how many captures carry an ETag
+    (If-None-Match refetch), only Last-Modified (If-Modified-Since),
+    or no validator (full refetch); the max-age mass a scheduler can
+    trust; and the no-store count a polite crawler must not cache.
+    element_at on the map + regexp are row-local codegen; one
+    hash-groupBy."""
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+    fixture_dir = _write_warc_cache_fixture(sf_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir, columns=[
+        "warc_type", "target_uri", "http_headers"])
+    resp = recs.filter(F.col("warc_type") == "response").select(
+        Furl.url_host(F.col("target_uri")).alias("domain"),
+        F.element_at(F.col("http_headers"), "etag").alias("etag"),
+        F.element_at(F.col("http_headers"), "last-modified").alias("lm"),
+        F.element_at(F.col("http_headers"), "cache-control").alias("cc"),
+    )
+    shaped = resp.select(
+        "domain",
+        F.col("etag").isNotNull().cast("int").alias("has_etag"),
+        (F.col("etag").isNull() & F.col("lm").isNotNull()).cast("int")
+        .alias("lm_only"),
+        (F.col("etag").isNull() & F.col("lm").isNull()).cast("int")
+        .alias("no_validator"),
+        # regexp_extract yields '' on no match, and ANSI cast('')
+        # throws — try_cast degrades to NULL, coalesced to 0
+        F.coalesce(
+            F.regexp_extract(F.coalesce(F.col("cc"), F.lit("")),
+                             r"max-age=([0-9]+)", 1).try_cast("long"),
+            F.lit(0)).alias("max_age"),
+        F.coalesce(F.col("cc"), F.lit("")).contains("no-store")
+        .cast("int").alias("no_store"),
+    )
+    return shaped.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("has_etag").cast("long").alias("n_etag"),
+        F.sum("lm_only").cast("long").alias("n_lm_only"),
+        F.sum("no_validator").cast("long").alias("n_no_validator"),
+        F.sum("max_age").cast("long").alias("sum_max_age"),
+        F.sum("no_store").cast("long").alias("n_no_store"),
+    )
+
+
+_ORACLE_WARC_CACHE = """
+with caps as (
+  select 'site' || (p_partkey % 5)::varchar || '.example.com' as domain,
+         (case when p_partkey % 3 in (0, 2) then 1 else 0 end) as has_etag,
+         (case when p_partkey % 3 = 1 then 1 else 0 end) as lm_only,
+         0 as no_validator,
+         (case when p_partkey % 4 = 0 then 60 + p_partkey % 600
+               else 0 end)::bigint as max_age,
+         (case when p_partkey % 7 = 0 then 1 else 0 end) as no_store
+  from part)
+select domain, count(*)::bigint as n,
+       sum(has_etag)::bigint as n_etag,
+       sum(lm_only)::bigint as n_lm_only,
+       sum(no_validator)::bigint as n_no_validator,
+       sum(max_age)::bigint as sum_max_age,
+       sum(no_store)::bigint as n_no_store
+from caps group by domain
+"""
+
+
+def _q_feed_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling from syndication feeds — the OTHER published
+    freshness channel next to sitemap lastmod (news/blog surfaces ship
+    RSS/Atom, not sitemaps): RSS ``<item>`` (link, RFC 822 pubDate)
+    and Atom ``<entry>`` (link@href, W3C updated) harvested
+    positionally with the tempered-gap/both-orders technique, each
+    entry aged against a fixed as-of date, rolled up per (feed_kind,
+    domain). Cohorts pin interleaved siblings (<guid>/<description>
+    between link and date), date-first ordering, and an undated item
+    excluded by construction. Row-local extract + explode; one
+    hash-groupBy."""
+    nation = load_table(spark, sf_dir, "nation")
+    ks = F.col("n_nationkey").cast("string")
+    day = F.lpad((F.col("n_nationkey") % 28 + 1).cast("string"), 2, "0")
+    rss = F.concat(
+        F.lit('<rss><channel><item><title>a</title>'
+              '<link>https://news.example.com/p/'), ks,
+        F.lit("</link><guid>g-"), ks,
+        F.lit("</guid><pubDate>Mon, "), day,
+        F.lit(" Dec 2025 06:30:00 GMT</pubDate></item>"
+              # date-first ordering + interleaved description
+              "<item><pubDate>Fri, 0"),
+        (F.col("n_nationkey") % 9 + 1).cast("string"),
+        F.lit(" Jan 2026 12:00:00 GMT</pubDate>"
+              "<description>d</description>"
+              "<link>https://news.example.com/q/"), ks,
+        F.lit("</link></item>"
+              # undated item: excluded from the aligned harvest
+              "<item><link>https://news.example.com/u/"), ks,
+        F.lit("</link></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed><entry><link rel="alternate" '
+              'href="https://blog.example.org/e/'), ks,
+        F.lit('"/><updated>2026-01-'), day,
+        F.lit("T08:00:00Z</updated></entry></feed>"),
+    )
+    feeds = nation.select(rss.alias("rss"), atom.alias("atom"))
+    rss_pairs = feeds.select(
+        F.explode(F.arrays_zip(
+            Fhtml.rss_entry_links(F.col("rss")).alias("url"),
+            Fhtml.rss_entry_dates(F.col("rss")).alias("d"),
+        )).alias("e")
+    ).select(
+        F.lit("rss").alias("feed_kind"),
+        F.col("e.url").alias("url"),
+        # RFC 822 carries a redundant weekday Spark 3+ refuses to
+        # PARSE ('EEE' is format-only); consumers ignore it — strip at
+        # the comma and parse the unambiguous remainder
+        F.to_timestamp(F.substring_index(F.col("e.d"), ", ", -1),
+                       "dd MMM yyyy HH:mm:ss 'GMT'")
+        .cast("date").alias("pub_date"),
+    )
+    atom_pairs = feeds.select(
+        F.explode(F.arrays_zip(
+            Fhtml.atom_entry_links(F.col("atom")).alias("url"),
+            Fhtml.atom_entry_dates(F.col("atom")).alias("d"),
+        )).alias("e")
+    ).select(
+        F.lit("atom").alias("feed_kind"),
+        F.col("e.url").alias("url"),
+        F.to_date(F.substring(F.col("e.d"), 1, 10)).alias("pub_date"),
+    )
+    aged = rss_pairs.unionByName(atom_pairs).select(
+        "feed_kind",
+        Furl.url_host(F.col("url")).alias("domain"),
+        F.datediff(F.lit("2026-01-15").cast("date"), F.col("pub_date"))
+        .alias("age_days"),
+    )
+    return aged.groupBy("feed_kind", "domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entries"),
+        F.sum(F.when(F.col("age_days") > 14, 1).otherwise(0))
+        .cast("long").alias("n_stale"),
+        F.max("age_days").cast("long").alias("max_age"),
+        F.sum("age_days").cast("long").alias("sum_age"),
+    )
+
+
+_ORACLE_FEED_RECRAWL = """
+with entries as (
+  select 'rss' as feed_kind, 'news.example.com' as domain,
+         date_diff('day',
+                   ('2025-12-' || lpad(((n_nationkey % 28) + 1)::varchar,
+                                       2, '0'))::date,
+                   date '2026-01-15') as age_days
+  from nation
+  union all
+  select 'rss', 'news.example.com',
+         date_diff('day',
+                   ('2026-01-0' || ((n_nationkey % 9) + 1)::varchar)::date,
+                   date '2026-01-15')
+  from nation
+  union all
+  select 'atom', 'blog.example.org',
+         date_diff('day',
+                   ('2026-01-' || lpad(((n_nationkey % 28) + 1)::varchar,
+                                       2, '0'))::date,
+                   date '2026-01-15')
+  from nation)
+select feed_kind, domain,
+       count(*)::bigint as n_entries,
+       sum(case when age_days > 14 then 1 else 0 end)::bigint as n_stale,
+       max(age_days)::bigint as max_age,
+       sum(age_days)::bigint as sum_age
+from entries group by feed_kind, domain
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -14219,6 +14452,15 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_html_table_extract, _ORACLE_HTML_TABLE,
         "HTML table -> relational rows: nested cell extraction, header "
         "zip, type-cast, aggregate — pure Catalyst array algebra"),
+    "warc_cache_validators": QueryDef(
+        _q_warc_cache_validators, _ORACLE_WARC_CACHE,
+        "conditional-refetch planning from the archive's HTTP "
+        "revalidation headers (http_headers map): ETag / Last-Modified "
+        "/ max-age / no-store accounting per domain"),
+    "feed_recrawl": QueryDef(
+        _q_feed_recrawl, _ORACLE_FEED_RECRAWL,
+        "RSS/Atom feed entries (tempered-gap, both orders, RFC 822 + "
+        "W3C dates) aged per domain — the syndication recrawl signal"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -14236,15 +14478,17 @@ _REGISTRY: dict[str, QueryDef] = {
 # r6/r7 and miscounted in r8, so the tool's output is authoritative.)
 #
 # r14 window provenance (ledger as of r13, tools/freshness.py --window 50
-# --as-of 13): the four never-checked round-14 queries at the front,
+# --as-of 13): the six never-checked round-14 queries at the front,
 # then the stalest (r09) cohort — 94 queries were last driver-checked
-# before r11 — plus the two r10 stragglers and the two anchors.
+# before r11 — plus the two anchors.
 _WINDOW_ROUND = 13  # ledger state this window was generated from
 _WINDOW_FIRST = [
     "warc_revisit_export",  # never-checked
     "cdx_parquet_lookup",  # never-checked
     "html_metadata_extract",  # never-checked
     "html_table_extract",  # never-checked
+    "warc_cache_validators",  # never-checked
+    "feed_recrawl",  # never-checked
     "industry_resolve",  # latest=r09
     "update_fields",  # latest=r09
     "distinct_categories",  # latest=r09
@@ -14287,8 +14531,6 @@ _WINDOW_FIRST = [
     "matryoshka_recall",  # latest=r09
     "dedup_rate_by_source",  # latest=r09
     "decayed_engagement",  # latest=r09
-    "robust_outliers",  # latest=r09
-    "basket_triangles",  # latest=r09
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -86,7 +86,8 @@ WARC_SCHEMA = (
     "http_content_encoding string, concurrent_to string, "
     "refers_to string, "
     "truncated string, charset string, charset_used string, "
-    "http_location string, record_offset bigint, record_length bigint, "
+    "http_location string, http_headers map<string,string>, "
+    "record_offset bigint, record_length bigint, "
     "payload_binary binary"
 )
 
@@ -291,7 +292,7 @@ def _damage_row(warc_file: str, *, payload_len: "int | None",
         "payload_len": payload_len, "payload_digest": None,
         "http_content_encoding": None, "concurrent_to": None,
         "refers_to": None, "truncated": None, "charset": None, "charset_used": None,
-        "http_location": None,
+        "http_location": None, "http_headers": None,
         "record_offset": record_offset,
         "record_length": record_length,
         "payload_binary": None,
@@ -363,6 +364,7 @@ def parse_warc_bytes(data: bytes, warc_file: str, *,
         http_status: int | None = None
         http_ct: str | None = None
         http_loc: str | None = None
+        http_hdrs: "dict[str, str] | None" = None
         residual: str | None = None
         payload = body
         if body.startswith(b"HTTP/"):
@@ -376,7 +378,17 @@ def parse_warc_bytes(data: bytes, warc_file: str, *,
                     http_status = int(parts[1])
                 chunked = False
                 coding: str | None = None
+                # the FULL response-header surface (lowercased keys,
+                # last-wins — RFC 9110 field semantics for repeated
+                # names are list-merge, but crawl analytics key on
+                # presence/value, and last-wins is deterministic):
+                # cache validators (ETag/Last-Modified), Cache-Control,
+                # Vary, Server, ... — opt-in via read_warc(columns=)
+                http_hdrs = {}
                 for line in hlines:
+                    if ":" in line:
+                        hk, hv = line.split(":", 1)
+                        http_hdrs[hk.strip().lower()] = hv.strip()
                     low = line.lower()
                     if low.startswith("content-type:"):
                         http_ct = line.split(":", 1)[1].strip()
@@ -437,6 +449,8 @@ def parse_warc_bytes(data: bytes, warc_file: str, *,
             "charset_used": used,
             # HTTP Location header (redirect target on 3xx)
             "http_location": http_loc,
+            # full HTTP response-header map (NULL for non-HTTP records)
+            "http_headers": http_hdrs,
             # CDX addressing: plain container → byte position/framed
             # length in the file; gzip container → the compressed
             # member's position/size stamped by the caller

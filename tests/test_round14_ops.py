@@ -337,3 +337,68 @@ def test_table_cells_tags_entities_and_th(spark):
         Fhtml.table_cells(F.col("h")).alias("c")).first()
     cells = [list(r) for r in row["c"]]
     assert cells == [["name", "price"], ["Widget & Co", "9.99"], ["second"]]
+
+
+# ---------------------------------------- HTTP header surface
+
+def _response_record(url: str, body: bytes, extra_headers: str = "") -> bytes:
+    http = (("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+             + extra_headers
+             + f"Content-Length: {len(body)}\r\n\r\n").encode() + body)
+    return ((f"WARC/1.0\r\nWARC-Type: response\r\n"
+             f"WARC-Record-ID: <urn:uuid:h>\r\n"
+             f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+             f"WARC-Target-URI: {url}\r\n"
+             f"Content-Type: application/http;msgtype=response\r\n"
+             f"Content-Length: {len(http)}\r\n\r\n").encode()
+            + http + b"\r\n\r\n")
+
+
+def test_http_headers_map_surface(spark, tmp_path):
+    rec = _response_record(
+        "https://a.example/1", b"<html>x</html>",
+        'ETag: "v1"\r\nCache-Control: max-age=60, no-store\r\n'
+        "X-Custom: a\r\nX-Custom: b\r\n")
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"WARC-Record-ID: <urn:uuid:i>\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            b"Content-Length: 2\r\n\r\nok\r\n\r\n")
+    p = tmp_path / "h.warc"
+    p.write_bytes(rec + info)
+    rows = {r["warc_type"]: r for r in W.read_warc(spark, str(p)).collect()}
+    h = rows["response"]["http_headers"]
+    assert h["etag"] == '"v1"'                    # lowercased keys
+    assert h["cache-control"] == "max-age=60, no-store"
+    assert h["x-custom"] == "b"                   # last-wins, deterministic
+    assert rows["warcinfo"]["http_headers"] is None  # non-HTTP record
+
+
+# ---------------------------------------- feed entry harvest
+
+def test_rss_entries_interleaved_and_date_first(spark):
+    xml = ("<rss><channel>"
+           "<item><link>https://n.example/1</link><guid>g</guid>"
+           "<pubDate>Mon, 05 Jan 2026 00:00:00 GMT</pubDate></item>"
+           "<item><pubDate>Tue, 06 Jan 2026 00:00:00 GMT</pubDate>"
+           "<description>d</description>"
+           "<link>https://n.example/2</link></item>"
+           "<item><link>https://n.example/undated</link></item>"
+           "</channel></rss>")
+    row = spark.createDataFrame([(xml,)], "x string").select(
+        Fhtml.rss_entry_links(F.col("x")).alias("l"),
+        Fhtml.rss_entry_dates(F.col("x")).alias("d")).first()
+    assert list(row["l"]) == ["https://n.example/1", "https://n.example/2"]
+    assert list(row["d"]) == ["Mon, 05 Jan 2026 00:00:00 GMT",
+                              "Tue, 06 Jan 2026 00:00:00 GMT"]
+
+
+def test_atom_entries_href_and_updated(spark):
+    xml = ('<feed><entry><link rel="alternate" href="https://b.example/e1"/>'
+           "<updated>2026-01-07T08:00:00Z</updated></entry>"
+           "<entry><updated>2026-01-08T08:00:00Z</updated>"
+           '<link href="https://b.example/e2"/></entry></feed>')
+    row = spark.createDataFrame([(xml,)], "x string").select(
+        Fhtml.atom_entry_links(F.col("x")).alias("l"),
+        Fhtml.atom_entry_dates(F.col("x")).alias("d")).first()
+    assert list(row["l"]) == ["https://b.example/e1", "https://b.example/e2"]
+    assert list(row["d"]) == ["2026-01-07T08:00:00Z", "2026-01-08T08:00:00Z"]

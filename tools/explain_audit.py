@@ -1126,6 +1126,21 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                   "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
     },
+    "warc_cache_validators": {
+        # map element_at + regexp are row-local over the container
+        # splitter (the deliberate Arrow stage); one hash-groupBy
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
+                  "BroadcastHashJoin"],
+    },
+    "feed_recrawl": {
+        # RSS/Atom harvest + date arithmetic are row-local codegen;
+        # union of two explodes + one hash-groupBy, zero joins, zero
+        # Python
+        "want": ["Generate", "Union", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
     "warc_fetch_latency": {
         # pairing join keys on the UNIQUE record id; the audit is one
         # per-host lag window; rollup is one hash-groupBy — the container
