@@ -281,6 +281,9 @@ BENCH_QUERIES = [
     "html_table_extract",
     "warc_cache_validators",
     "feed_recrawl",
+    "web_graph_hits",
+    "url_template_mining",
+    "change_rate_schedule",
 ]
 
 

@@ -64,6 +64,7 @@ __all__ = [
     "url_scheme",
     "url_host",
     "url_path",
+    "url_path_template",
     "url_path_raw",
     "url_query_canonical",
     "percent_normalize",
@@ -127,6 +128,17 @@ def url_path(c: Column) -> Column:
     """Path with trailing slashes collapsed; empty → '/'."""
     raw = F.regexp_replace(F.regexp_extract(_no_fragment(c), _PATH_RE, 1), r"/+$", "")
     return F.when(raw == "", F.lit("/")).otherwise(raw)
+
+
+def url_path_template(c: Column) -> Column:
+    """URL-pattern template of the path: digit runs collapsed to
+    ``{n}`` (``/product/8123/view`` → ``/product/{n}/view``), query
+    string dropped. The crawler-trap / URL-space-mining key: grouping
+    a domain's fetches by template exposes parameterized page families
+    — a template with MANY distinct URLs but FEW distinct payload
+    digests is a trap (calendar pages, session ids, faceted search)
+    burning crawl budget on duplicate content. Row-local codegen."""
+    return F.regexp_replace(url_path(c), "[0-9]+", "{n}")
 
 
 def url_path_raw(c: Column) -> Column:

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["pagerank", "label_propagation", "triangle_counts", "k_core"]
+__all__ = ["pagerank", "hits", "label_propagation", "triangle_counts", "k_core"]
 
 
 def pagerank(
@@ -138,6 +138,73 @@ def pagerank(
             "node",
         ).localCheckpoint(eager=False)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over a directed
+    edge list — the complement of PageRank for link analysis: a good
+    HUB points at good authorities (directories, link lists — crawl
+    SEED candidates), a good AUTHORITY is pointed at by good hubs
+    (the pages worth ranking). Per iteration: auth(v) = Σ hub(u) over
+    in-edges, hub(u) = Σ auth(v) over out-edges, each L1-normalized.
+
+    Returns (node, hub, auth) doubles, each round's normalized scores
+    rounded to 12dp so the unrolled-SQL oracle twin agrees bit-for-bit
+    despite engine-specific float summation order (the compounding
+    ulp drift would otherwise surface at the final rounding).
+
+    Scale notes (the pagerank conventions): the edge list is
+    checkpointed once; each half-round is one equi-join + one
+    map-side-combined aggregate on a node key; the L1 total is a
+    one-row aggregate attached by crossJoin (scalar-attach, not a
+    data-sized product); per-round localCheckpoint keeps the plan
+    shallow. Everything is graph-sized — callers collapse the corpus
+    to domain edges first."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(eager=False)
+    if e.limit(1).count() == 0:
+        raise ValueError("hits: empty edge list (no graph to rank)")
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auth = nodes.withColumn("auth", F.lit(1.0))
+    for _ in range(iterations):
+        a_un = (
+            e.join(hubs.select(F.col("node").alias("u"), "hub"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("hub").alias("__a"))
+        )
+        a_tot = a_un.agg(F.sum("__a").alias("__t"))
+        auth = (
+            nodes.join(a_un, "node", "left").crossJoin(a_tot)
+            .select("node",
+                    F.round(F.coalesce(F.col("__a"), F.lit(0.0))
+                            / F.col("__t"), 12).alias("auth"))
+            .localCheckpoint(eager=False)
+        )
+        h_un = (
+            e.join(auth.select(F.col("node").alias("v"), "auth"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("auth").alias("__h"))
+        )
+        h_tot = h_un.agg(F.sum("__h").alias("__t"))
+        hubs = (
+            nodes.join(h_un, "node", "left").crossJoin(h_tot)
+            .select("node",
+                    F.round(F.coalesce(F.col("__h"), F.lit(0.0))
+                            / F.col("__t"), 12).alias("hub"))
+            .localCheckpoint(eager=False)
+        )
+    return hubs.join(auth, "node")
 
 
 def label_propagation(

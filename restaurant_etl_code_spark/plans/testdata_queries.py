@@ -13680,6 +13680,253 @@ from entries group by feed_kind, domain
 """
 
 
+def _q_web_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level HITS hubs & authorities (Kleinberg 1999) over the
+    SAME harvested web graph as `web_graph_pagerank` — the complement
+    centrality: hubs are the directory/link-list domains a crawler
+    seeds from, authorities the domains worth ranking. Corpus collapses
+    to ~100 domain edges before any graph work; 3 fixed iterations of
+    `graph.hits` (join + map-side-combined agg per half-round, L1
+    scalar attached by crossJoin, per-round 12dp rounding so the
+    unrolled-SQL twin agrees despite float summation order)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pages = docs.select(
+        Furl.url_host(F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        )).alias("src_host"),
+        _web_graph_page_spark(F.col("doc_id")).alias("html"),
+    )
+    links = pages.select(
+        "src_host",
+        F.explode(Fhtml.html_links(F.col("html"))).alias("href"),
+    )
+    edges = (
+        links.select(
+            F.regexp_extract("src_host", r"^(site[0-9]+)", 1).alias("src"),
+            F.regexp_extract(Furl.url_host(F.col("href")),
+                             r"^(site[0-9]+|sinkhub)", 1).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranked = graph.hits(edges, iterations=3)
+    return ranked.select(F.col("node").alias("domain"),
+                         F.round("hub", 9).alias("hub"),
+                         F.round("auth", 9).alias("auth"))
+
+
+def _hits_oracle() -> str:
+    """Unrolled 3-iteration HITS twin, generated so each round's CTE
+    pair mirrors the operator exactly (L1 normalize + round 12dp).
+    Two twin-side cares: the shared edge CTE bakes in the pagerank
+    twin's sinkhub SELF-LOOP (its dangling handling) — the Spark
+    harvest filters src != dst, so the twin must too; and every CTE is
+    MATERIALIZED — the rounds chain a1→h1→a2→…, and DuckDB's default
+    inlining re-expands the corpus-sized harvest exponentially
+    (measured: >120 s inlined, 0.1 s materialized)."""
+    parts = [
+        f"with edges0 as materialized ({_WEB_GRAPH_EDGE_DUCK}),",
+        "edges as materialized (select src, dst from edges0"
+        " where src != dst),",
+        "nodes as materialized (select src as node from edges"
+        " union select dst from edges),",
+        "h0 as materialized (select node, 1.0::double as hub"
+        " from nodes),",
+    ]
+    prev_h = "h0"
+    for i in (1, 2, 3):
+        parts += [
+            f"a{i}u as materialized (select e.dst as node,"
+            f" sum(h.hub) as s"
+            f" from edges e join {prev_h} h on h.node = e.src"
+            f" group by e.dst),",
+            f"a{i}t as materialized (select sum(s) as t from a{i}u),",
+            f"a{i} as materialized (select nd.node,"
+            f" round(coalesce(u.s, 0) / a{i}t.t, 12) as auth"
+            f" from nodes nd cross join a{i}t"
+            f" left join a{i}u u on u.node = nd.node),",
+            f"h{i}u as materialized (select e.src as node,"
+            f" sum(a.auth) as s"
+            f" from edges e join a{i} a on a.node = e.dst"
+            f" group by e.src),",
+            f"h{i}t as materialized (select sum(s) as t from h{i}u),",
+            f"h{i} as materialized (select nd.node,"
+            f" round(coalesce(u.s, 0) / h{i}t.t, 12) as hub"
+            f" from nodes nd cross join h{i}t"
+            f" left join h{i}u u on u.node = nd.node),",
+        ]
+        prev_h = f"h{i}"
+    parts += [
+        "fin as (select h3.node, h3.hub, a3.auth"
+        " from h3 join a3 on a3.node = h3.node)",
+        "select node as domain, round(hub, 9) as hub,"
+        " round(auth, 9) as auth from fin",
+    ]
+    return "\n".join(parts)
+
+
+_ORACLE_WEB_GRAPH_HITS = _hits_oracle()
+
+
+def _q_url_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection by URL-template mining
+    (``Furl.url_path_template``: digit runs → ``{n}``, query dropped):
+    group a domain's fetches by path template and compare DISTINCT
+    URLs against DISTINCT payload digests — a template with many URLs
+    but few contents is a trap (calendar pages, session ids, faceted
+    search) burning crawl budget on duplicates. Cohorts: product pages
+    (bounded URL space, content per product), a calendar trap (every
+    URL distinct, content IDENTICAL), healthy articles (distinct URLs,
+    distinct content). Integer-arithmetic trap rule (``n_urls >= 100
+    AND n_digests * 10 <= n_urls``) so both engines decide
+    identically. One hash-groupBy with two count-distincts."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = F.col("o_orderkey")
+    ck = F.col("o_custkey")
+    dom = F.concat(F.lit("shop"), (o % 3).cast("string"),
+                   F.lit(".example.com"))
+    url = F.when(
+        o % 5 < 3,
+        F.concat(F.lit("https://"), dom, F.lit("/product/"),
+                 (ck % 200).cast("string"), F.lit("/view?ref=home")),
+    ).when(
+        o % 5 == 3,
+        F.concat(F.lit("https://"), dom, F.lit("/cal/"),
+                 o.cast("string")),
+    ).otherwise(
+        F.concat(F.lit("https://"), dom, F.lit("/a/"), o.cast("string")),
+    )
+    content = F.when(o % 5 < 3, F.concat(F.lit("p"), (ck % 200).cast("string"))) \
+        .when(o % 5 == 3, F.lit("calendar")) \
+        .otherwise(F.concat(F.lit("a"), o.cast("string")))
+    fetches = orders.select(
+        Furl.url_host(url).alias("domain"),
+        Furl.url_path_template(url).alias("template"),
+        url.alias("url"),
+        F.md5(content).alias("digest"),
+    )
+    agg = fetches.groupBy("domain", "template").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.countDistinct("url").cast("long").alias("n_urls"),
+        F.countDistinct("digest").cast("long").alias("n_digests"),
+    )
+    return agg.select(
+        "domain", "template", "n_fetches", "n_urls", "n_digests",
+        ((F.col("n_urls") >= 100)
+         & (F.col("n_digests") * 10 <= F.col("n_urls"))).alias("is_trap"),
+    )
+
+
+_ORACLE_URL_TEMPLATES = """
+with fetches as (
+  select 'shop' || (o_orderkey % 3)::varchar || '.example.com' as domain,
+         (case when o_orderkey % 5 < 3 then '/product/{n}/view'
+               when o_orderkey % 5 = 3 then '/cal/{n}'
+               else '/a/{n}' end) as template,
+         (case when o_orderkey % 5 < 3
+               then '/product/' || (o_custkey % 200)::varchar || '/view'
+               when o_orderkey % 5 = 3
+               then '/cal/' || o_orderkey::varchar
+               else '/a/' || o_orderkey::varchar end) as url,
+         md5(case when o_orderkey % 5 < 3
+                  then 'p' || (o_custkey % 200)::varchar
+                  when o_orderkey % 5 = 3 then 'calendar'
+                  else 'a' || o_orderkey::varchar end) as digest
+  from orders)
+select domain, template,
+       count(*)::bigint as n_fetches,
+       count(distinct url)::bigint as n_urls,
+       count(distinct digest)::bigint as n_digests,
+       (count(distinct url) >= 100 and
+        count(distinct digest) * 10 <= count(distinct url)) as is_trap
+from fetches group by domain, template
+"""
+
+
+def _q_change_rate_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate-driven recrawl scheduling — the decision the CDX
+    merge's classes FEED: per domain, the fraction of matched captures
+    whose digest moved since the previous crawl maps to a refetch
+    cadence (high-churn domains daily, stable domains monthly — the
+    incremental-crawl literature's λ-estimation collapsed to a
+    deterministic bucket rule). The previous index derives from the
+    same container scan with a domain-DEPENDENT mangle congruence
+    (``floor(k/5) % (domain+1) == 0``), so the five domains land on
+    five distinct change rates (100%, 50%, 33%, 25%, 20%) and every
+    bucket boundary is exercised. Integer-arithmetic rule
+    (``rate_bp = changed*10000 div matched``; daily > 4500, weekly >
+    2200) so both engines agree. Persist-once on the pruned scan."""
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_fixture(sf_dir)
+    resp = (
+        Fwarc.read_warc(spark, fixture_dir, columns=[
+            "warc_type", "target_uri", "payload_digest"])
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.col("target_uri").alias("url"),
+            F.col("payload_digest").alias("digest"),
+            Furl.url_host(F.col("target_uri")).alias("domain"),
+            F.regexp_extract(F.col("target_uri"), r"/d/([0-9]+)$", 1)
+            .alias("dkey"),
+        )
+        .filter(F.col("dkey") != "")
+        .persist()
+    )
+    k = F.col("dkey").cast("long")
+    prev = (
+        resp.filter(k % 3 != 2)
+        .select(
+            "url",
+            F.when((k / F.lit(5)).cast("long") % (k % 5 + 1) == 0,
+                   F.concat(F.lit("old-"), F.col("digest")))
+            .otherwise(F.col("digest")).alias("prev_digest"),
+        )
+    )
+    merged = resp.join(prev, "url", "left")
+    rates = merged.groupBy("domain").agg(
+        F.sum(F.when(F.col("prev_digest").isNotNull()
+                     & (F.col("digest") != F.col("prev_digest")), 1)
+              .otherwise(0)).cast("long").alias("n_changed"),
+        F.sum(F.when(F.col("digest") == F.col("prev_digest"), 1)
+              .otherwise(0)).cast("long").alias("n_revisit"),
+        F.sum(F.when(F.col("prev_digest").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_new"),
+    )
+    rate_bp = F.expr("(n_changed * 10000) div (n_changed + n_revisit)")
+    return rates.select(
+        "domain", "n_changed", "n_revisit", "n_new",
+        rate_bp.cast("long").alias("rate_bp"),
+        F.when(rate_bp > 4500, F.lit("daily"))
+        .when(rate_bp > 2200, F.lit("weekly"))
+        .otherwise(F.lit("monthly")).alias("cadence"),
+    )
+
+
+_ORACLE_CHANGE_RATE = """
+with caps as (
+  select 'site' || (p_partkey % 5)::varchar || '.example.com' as domain,
+         (case when p_partkey % 3 = 2 then 'new'
+               when (p_partkey // 5) % ((p_partkey % 5) + 1) = 0
+               then 'changed' else 'revisit' end) as cls
+  from part),
+rates as (
+  select domain,
+         sum(case when cls = 'changed' then 1 else 0 end)::bigint as n_changed,
+         sum(case when cls = 'revisit' then 1 else 0 end)::bigint as n_revisit,
+         sum(case when cls = 'new' then 1 else 0 end)::bigint as n_new
+  from caps group by domain)
+select domain, n_changed, n_revisit, n_new,
+       (n_changed * 10000 // (n_changed + n_revisit))::bigint as rate_bp,
+       (case when n_changed * 10000 // (n_changed + n_revisit) > 4500
+             then 'daily'
+             when n_changed * 10000 // (n_changed + n_revisit) > 2200
+             then 'weekly' else 'monthly' end) as cadence
+from rates
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -14461,6 +14708,18 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_feed_recrawl, _ORACLE_FEED_RECRAWL,
         "RSS/Atom feed entries (tempered-gap, both orders, RFC 822 + "
         "W3C dates) aged per domain — the syndication recrawl signal"),
+    "web_graph_hits": QueryDef(
+        _q_web_graph_hits, _ORACLE_WEB_GRAPH_HITS,
+        "HITS hubs & authorities over the harvested domain graph: 3 "
+        "L1-normalized iterations, unrolled-SQL twin"),
+    "url_template_mining": QueryDef(
+        _q_url_template_mining, _ORACLE_URL_TEMPLATES,
+        "crawler-trap detection: path templates (digits -> {n}) with "
+        "distinct-URL vs distinct-digest comparison per domain"),
+    "change_rate_schedule": QueryDef(
+        _q_change_rate_schedule, _ORACLE_CHANGE_RATE,
+        "change-rate-driven recrawl cadence from the CDX merge "
+        "classes: per-domain changed fraction -> daily/weekly/monthly"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -14478,7 +14737,7 @@ _REGISTRY: dict[str, QueryDef] = {
 # r6/r7 and miscounted in r8, so the tool's output is authoritative.)
 #
 # r14 window provenance (ledger as of r13, tools/freshness.py --window 50
-# --as-of 13): the six never-checked round-14 queries at the front,
+# --as-of 13): the nine never-checked round-14 queries at the front,
 # then the stalest (r09) cohort — 94 queries were last driver-checked
 # before r11 — plus the two anchors.
 _WINDOW_ROUND = 13  # ledger state this window was generated from
@@ -14489,6 +14748,9 @@ _WINDOW_FIRST = [
     "html_table_extract",  # never-checked
     "warc_cache_validators",  # never-checked
     "feed_recrawl",  # never-checked
+    "web_graph_hits",  # never-checked
+    "url_template_mining",  # never-checked
+    "change_rate_schedule",  # never-checked
     "industry_resolve",  # latest=r09
     "update_fields",  # latest=r09
     "distinct_categories",  # latest=r09
@@ -14528,9 +14790,6 @@ _WINDOW_FIRST = [
     "dup_cluster_sizes",  # latest=r09
     "tokenizer_fertility",  # latest=r09
     "hybrid_rrf_topk",  # latest=r09
-    "matryoshka_recall",  # latest=r09
-    "dedup_rate_by_source",  # latest=r09
-    "decayed_engagement",  # latest=r09
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -402,3 +402,41 @@ def test_atom_entries_href_and_updated(spark):
         Fhtml.atom_entry_dates(F.col("x")).alias("d")).first()
     assert list(row["l"]) == ["https://b.example/e1", "https://b.example/e2"]
     assert list(row["d"]) == ["2026-01-07T08:00:00Z", "2026-01-08T08:00:00Z"]
+
+
+# ---------------------------------------- HITS + URL templates
+
+def test_hits_star_graph_and_mass(spark):
+    from restaurant_etl_code_spark.operators import graph
+    # hub h points at authorities a1..a3; plus one unrelated edge
+    edges = spark.createDataFrame(
+        [("h", "a1"), ("h", "a2"), ("h", "a3"), ("x", "a1")],
+        "src string, dst string")
+    out = {r["node"]: (r["hub"], r["auth"])
+           for r in graph.hits(edges, iterations=3).collect()}
+    # L1 mass conserved on each axis
+    assert abs(sum(h for h, _ in out.values()) - 1.0) < 1e-9
+    assert abs(sum(a for _, a in out.values()) - 1.0) < 1e-9
+    # h is the dominant hub; a1 (pointed at by both hubs) the top
+    # authority; pure authorities have zero hub score
+    assert out["h"][0] > out["x"][0] > 0
+    assert out["a1"][1] > out["a2"][1] == out["a3"][1]
+    assert out["a1"][0] == 0.0 and out["a1"][1] > 0
+
+
+def test_hits_empty_graph_raises(spark):
+    from restaurant_etl_code_spark.operators import graph
+    empty = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty edge list"):
+        graph.hits(empty)
+
+
+def test_url_path_template(spark):
+    from restaurant_etl_code_spark.functions import urls as Furl
+    df = spark.createDataFrame(
+        [("https://a.example/product/8123/view?sid=99",),
+         ("https://a.example/cal/2026/01/15",),
+         ("https://a.example/plain",)], "u string")
+    rows = [r[0] for r in df.select(
+        Furl.url_path_template(F.col("u"))).collect()]
+    assert rows == ["/product/{n}/view", "/cal/{n}/{n}/{n}", "/plain"]

@@ -1141,6 +1141,29 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                   "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
     },
+    "web_graph_hits": {
+        # final frame = last half-round's localCheckpoint join — two
+        # ExistingRDD scans joined on the node key; never a data-sized
+        # product (the crossJoins inside the loop are one-row scalar
+        # attaches, already materialized), never Python
+        "want": ["Scan ExistingRDD"],
+        "avoid": ["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas"],
+    },
+    "url_template_mining": {
+        # template + digest are row-local codegen; one hash-groupBy
+        # with two count-distincts (Expand), zero joins, zero Python
+        "want": ["HashAggregate", "Expand"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
+    "change_rate_schedule": {
+        # persist-once container scan; 1:1 left join on the unique url
+        # + one hash-groupBy; the splitter is the only Python stage
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython",
+                  "BroadcastNestedLoopJoin"],
+    },
     "warc_fetch_latency": {
         # pairing join keys on the UNIQUE record id; the audit is one
         # per-host lag window; rollup is one hash-groupBy — the container
