@@ -284,6 +284,7 @@ BENCH_QUERIES = [
     "web_graph_hits",
     "url_template_mining",
     "change_rate_schedule",
+    "blocklist_gate",
 ]
 
 

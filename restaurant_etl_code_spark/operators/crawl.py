@@ -53,7 +53,7 @@ from restaurant_etl_code_spark.functions import urls as Furl
 
 __all__ = ["parse_robots", "parse_crawl_delays", "robots_sitemaps",
            "robots_gate", "schedule_frontier", "resolve_redirects",
-           "politeness_audit"]
+           "politeness_audit", "blocklist_gate"]
 
 # directive keys the parser recognizes; everything else (sitemap,
 # host, request-rate, ...) is ignored at the line filter
@@ -563,3 +563,84 @@ def politeness_audit(
     ).otherwise(gap < F.col(delay_col))
     return fetches.withColumn("gap_s", gap).withColumn(
         "violation", violation)
+
+
+def blocklist_gate(frontier: DataFrame, rules: DataFrame,
+                   url_col: str = "url",
+                   kind_col: str = "kind",
+                   pattern_col: str = "pattern") -> DataFrame:
+    """URL blocklist filtering — the curation stage every public
+    web-corpus recipe runs before content ever downloads (C4 used a
+    badwords list, RefinedWeb/FineWeb the UT1 category blocklists):
+    gate each frontier URL against a rule table of three kinds,
+    most-specific verdict wins:
+
+    - ``host``: exact host match (``ads.example.com``) — blocks that
+      host only;
+    - ``domain``: registrable-domain match (``example.com``) — blocks
+      the domain and every subdomain;
+    - ``path``: ``host/prefix`` — blocks path subtrees of one host.
+
+    Appends ``blocked`` (bool) and ``block_reason`` (the matching
+    kind, NULL when clean). Physical shape (the robots_gate
+    convention — ZERO frontier-byte shuffle): each rule kind reduces
+    to a dimension-sized, deduplicated key table (path rules collapse
+    to ONE row per host carrying a prefix array), joined 1:1 with
+    broadcast hints; the path check is a row-local ``exists`` fold
+    over the broadcast array. The frontier is never shuffled, never
+    fanned out — real category lists are a few million domains, well
+    inside broadcast range, and a bigger list degrades to a shuffled
+    1:1 equi-join on the same unique keys."""
+    host = F.lower(Furl.url_host(F.col(url_col)))
+    shaped = frontier.withColumn("_bl_host", host).withColumn(
+        "_bl_dom", Furl.registrable_domain(F.col("_bl_host"))
+    ).withColumn("_bl_path", Furl.url_path(F.col(url_col)))
+
+    host_rules = (
+        rules.filter(F.col(kind_col) == "host")
+        .select(F.lower(F.col(pattern_col)).alias("_bl_host"))
+        .distinct()
+        .withColumn("_hit_host", F.lit(True))
+    )
+    dom_rules = (
+        rules.filter(F.col(kind_col) == "domain")
+        .select(F.lower(F.col(pattern_col)).alias("_bl_dom"))
+        .distinct()
+        .withColumn("_hit_dom", F.lit(True))
+    )
+    path_rules = (
+        rules.filter(F.col(kind_col) == "path")
+        .select(
+            F.lower(F.substring_index(F.col(pattern_col), "/", 1))
+            .alias("_bl_host"),
+            # everything from the FIRST slash on (multi-segment
+            # prefixes survive; substring_index -1 would keep only the
+            # last segment)
+            F.expr(f"substring({pattern_col}, instr({pattern_col}, '/'))")
+            .alias("_p"),
+        )
+        .groupBy("_bl_host")
+        .agg(F.collect_set("_p").alias("_bl_prefixes"))
+    )
+    out = (
+        shaped
+        .join(F.broadcast(host_rules), "_bl_host", "left")
+        .join(F.broadcast(dom_rules), "_bl_dom", "left")
+        .join(F.broadcast(path_rules.withColumnRenamed(
+            "_bl_prefixes", "_pp")), "_bl_host", "left")
+    )
+    path_hit = F.when(
+        F.col("_pp").isNotNull(),
+        F.exists("_pp", lambda p: F.col("_bl_path").startswith(p)),
+    ).otherwise(F.lit(False))
+    reason = (
+        F.when(F.col("_hit_host"), F.lit("host"))
+        .when(F.col("_hit_dom"), F.lit("domain"))
+        .when(path_hit, F.lit("path"))
+    )
+    return (
+        out.withColumn("block_reason", reason)
+        .withColumn("blocked", F.col("block_reason").isNotNull())
+        .drop("_bl_host", "_bl_dom", "_bl_path",
+              "_hit_host", "_hit_dom", "_pp")
+    )

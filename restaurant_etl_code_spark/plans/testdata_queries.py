@@ -13927,6 +13927,69 @@ from rates
 """
 
 
+def _q_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist filtering (`crawl.blocklist_gate`) — the
+    pre-download curation gate every public web-corpus recipe runs
+    (C4's badwords list, RefinedWeb/FineWeb's UT1 category lists):
+    host-exact, registrable-domain (blocks subdomains), and host+path-
+    prefix rules, most-specific reason wins. Frontier from `orders`
+    arithmetic exercises every branch: an exactly-blocked ad host, a
+    domain rule catching BOTH apex and subdomain URLs, a path-prefix
+    subtree on an otherwise-clean host, and clean traffic. Zero
+    frontier shuffle (three broadcast 1:1 joins + a row-local exists
+    fold); one hash-groupBy for the audit rollup."""
+    from restaurant_etl_code_spark.operators import crawl
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = F.col("o_orderkey")
+    url = F.when(
+        o % 7 == 0,
+        F.concat(F.lit("https://ads.example.com/banner/"), o.cast("string")),
+    ).when(
+        o % 7 == 1,
+        F.concat(F.lit("https://spamco.net/p/"), o.cast("string")),
+    ).when(
+        o % 7 == 2,
+        F.concat(F.lit("https://cdn.spamco.net/x/"), o.cast("string")),
+    ).when(
+        o % 7 == 3,
+        F.concat(F.lit("https://shop.example.org/casino/games/"),
+                 o.cast("string")),
+    ).otherwise(
+        F.concat(F.lit("https://shop.example.org/p/"), o.cast("string")),
+    )
+    frontier = orders.select(url.alias("url"))
+    rules = spark.createDataFrame(
+        [("host", "ads.example.com"),
+         ("domain", "spamco.net"),
+         ("path", "shop.example.org/casino")],
+        "kind string, pattern string",
+    )
+    gated = crawl.blocklist_gate(frontier, rules)
+    return gated.select(
+        Furl.url_host(F.col("url")).alias("domain"),
+        F.coalesce(F.col("block_reason"), F.lit("clean")).alias("verdict"),
+    ).groupBy("domain", "verdict").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+_ORACLE_BLOCKLIST_GATE = """
+with frontier as (
+  select (case when o_orderkey % 7 = 0 then 'ads.example.com'
+               when o_orderkey % 7 = 1 then 'spamco.net'
+               when o_orderkey % 7 = 2 then 'cdn.spamco.net'
+               else 'shop.example.org' end) as domain,
+         (case when o_orderkey % 7 = 0 then 'host'
+               when o_orderkey % 7 in (1, 2) then 'domain'
+               when o_orderkey % 7 = 3 then 'path'
+               else 'clean' end) as verdict
+  from orders)
+select domain, verdict, count(*)::bigint as n
+from frontier group by domain, verdict
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -14720,6 +14783,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_change_rate_schedule, _ORACLE_CHANGE_RATE,
         "change-rate-driven recrawl cadence from the CDX merge "
         "classes: per-domain changed fraction -> daily/weekly/monthly"),
+    "blocklist_gate": QueryDef(
+        _q_blocklist_gate, _ORACLE_BLOCKLIST_GATE,
+        "URL blocklist gate (host / domain+subdomains / path-prefix, "
+        "most-specific reason): zero frontier shuffle"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -14737,7 +14804,7 @@ _REGISTRY: dict[str, QueryDef] = {
 # r6/r7 and miscounted in r8, so the tool's output is authoritative.)
 #
 # r14 window provenance (ledger as of r13, tools/freshness.py --window 50
-# --as-of 13): the nine never-checked round-14 queries at the front,
+# --as-of 13): the ten never-checked round-14 queries at the front,
 # then the stalest (r09) cohort — 94 queries were last driver-checked
 # before r11 — plus the two anchors.
 _WINDOW_ROUND = 13  # ledger state this window was generated from
@@ -14751,6 +14818,7 @@ _WINDOW_FIRST = [
     "web_graph_hits",  # never-checked
     "url_template_mining",  # never-checked
     "change_rate_schedule",  # never-checked
+    "blocklist_gate",  # never-checked
     "industry_resolve",  # latest=r09
     "update_fields",  # latest=r09
     "distinct_categories",  # latest=r09
@@ -14789,7 +14857,6 @@ _WINDOW_FIRST = [
     "split_leakage_guard",  # latest=r09
     "dup_cluster_sizes",  # latest=r09
     "tokenizer_fertility",  # latest=r09
-    "hybrid_rrf_topk",  # latest=r09
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

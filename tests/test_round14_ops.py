@@ -440,3 +440,32 @@ def test_url_path_template(spark):
     rows = [r[0] for r in df.select(
         Furl.url_path_template(F.col("u"))).collect()]
     assert rows == ["/product/{n}/view", "/cal/{n}/{n}/{n}", "/plain"]
+
+
+def test_blocklist_gate_kinds_and_precedence(spark):
+    from restaurant_etl_code_spark.operators import crawl
+    frontier = spark.createDataFrame(
+        [("https://ads.example.com/x", 1),
+         ("https://spamco.net/p", 2),
+         ("https://cdn.spamco.net/y", 3),           # subdomain via domain rule
+         ("https://shop.example.org/casino/slots", 4),
+         ("https://shop.example.org/casino-news", 5),  # prefix is path-seg text
+         ("https://shop.example.org/p/1", 6),
+         ("https://ads.spamco.net/z", 7)],           # host AND domain: host wins
+        "url string, k int")
+    rules = spark.createDataFrame(
+        [("host", "ads.example.com"), ("host", "ads.spamco.net"),
+         ("domain", "spamco.net"),
+         ("path", "shop.example.org/casino")],
+        "kind string, pattern string")
+    out = {r["k"]: (r["blocked"], r["block_reason"])
+           for r in crawl.blocklist_gate(frontier, rules).collect()}
+    assert out[1] == (True, "host")
+    assert out[2] == (True, "domain")
+    assert out[3] == (True, "domain")
+    assert out[4] == (True, "path")
+    # startswith prefix: /casino-news matches /casino by prefix — the
+    # documented bound (string prefix, not path-segment aware)
+    assert out[5] == (True, "path")
+    assert out[6] == (False, None)
+    assert out[7] == (True, "host")   # most-specific reason wins

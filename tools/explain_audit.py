@@ -1164,6 +1164,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython",
                   "BroadcastNestedLoopJoin"],
     },
+    "blocklist_gate": {
+        # three broadcast 1:1 rule joins + a row-local exists fold;
+        # the frontier is never shuffled, never fanned out
+        "want": ["BroadcastHashJoin", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin"],
+    },
     "warc_fetch_latency": {
         # pairing join keys on the UNIQUE record id; the audit is one
         # per-host lag window; rollup is one hash-groupBy — the container
