@@ -285,6 +285,7 @@ BENCH_QUERIES = [
     "url_template_mining",
     "change_rate_schedule",
     "blocklist_gate",
+    "hreflang_clusters",
 ]
 
 

@@ -61,6 +61,8 @@ __all__ = [
     "sitemap_entry_locs",
     "sitemap_entry_lastmods",
     "og_content",
+    "hreflang_langs",
+    "hreflang_hrefs",
     "rss_entry_links",
     "rss_entry_dates",
     "atom_entry_links",
@@ -464,3 +466,34 @@ def atom_entry_links(c: Column) -> Column:
 def atom_entry_dates(c: Column) -> Column:
     """<updated> (W3C datetime) of the same entries."""
     return _feed_coalesce(c, ATOM_ENTRY_RE, 2, 3)
+
+
+# rel="alternate" hreflang links — the multilingual variant declaration
+# (Google's hreflang protocol): attribute ORDER is free in the wild
+# (rel/hreflang/href in any permutation), so the pattern anchors each
+# attribute with an independent lookahead instead of a fixed sequence.
+# Java-regex-only (lookaheads are not RE2-safe) — consumers pair it
+# with arithmetic oracles, the og_content convention.
+HREFLANG_RE = (
+    "(?is)<link\\s"
+    "(?=[^>]*rel\\s*=\\s*[\"']alternate[\"'])"
+    "(?=[^>]*hreflang\\s*=\\s*[\"']([^\"']*)[\"'])"
+    "(?=[^>]*href\\s*=\\s*[\"']([^\"']*)[\"'])"
+    "[^>]*>"
+)
+
+
+def hreflang_langs(c: Column) -> Column:
+    """hreflang code of every ``rel=alternate`` link (en, de-AT,
+    x-default, ...) → array<string>, positionally aligned with
+    :func:`hreflang_hrefs` (one two-group pattern extracted per group
+    index — the ANCHOR_RE technique)."""
+    return F.regexp_extract_all(c, F.lit(HREFLANG_RE), 1)
+
+
+def hreflang_hrefs(c: Column) -> Column:
+    """href of the same links → array<string>. The language-variant
+    CLUSTER of a page: all hrefs a page declares (usually including
+    itself) name one logical document in n languages — the dedup key
+    multilingual curation needs so translated families count once."""
+    return F.regexp_extract_all(c, F.lit(HREFLANG_RE), 2)

@@ -13990,6 +13990,81 @@ from frontier group by domain, verdict
 """
 
 
+def _q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual variant clusters from ``rel=alternate hreflang``
+    declarations (``Fhtml.hreflang_langs``/``hreflang_hrefs`` —
+    attribute-order-free lookahead anchoring): each page's declared
+    language set IS its translated-family cluster, and multilingual
+    curation counts the family ONCE (dedup by the x-default href, else
+    the en variant). Cohorts vary cluster size 2-4 and drop x-default
+    on every 4th page so the fallback representative path is
+    exercised. Row-local extraction; one hash-groupBy on cluster
+    size."""
+    part = load_table(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    ks = i.cast("string")
+    html = F.concat(
+        F.lit('<html><head>'
+              '<link rel="alternate" hreflang="en" href="https://ex.com/en/'),
+        ks, F.lit('"/>'),
+        F.when(i % 2 == 0, F.concat(
+            F.lit("<link hreflang='de' rel='alternate' "
+                  "href='https://ex.com/de/"), ks, F.lit("'/>")))
+        .otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.concat(
+            F.lit('<link rel="alternate" hreflang="fr" '
+                  'href="https://ex.com/fr/'), ks, F.lit('"/>')))
+        .otherwise(F.lit("")),
+        F.when(i % 4 != 3, F.concat(
+            F.lit('<link href="https://ex.com/p/'), ks,
+            F.lit('" hreflang="x-default" rel="alternate"/>')))
+        .otherwise(F.lit("")),
+        F.lit('<link rel="stylesheet" href="/x.css"/></head></html>'),
+    )
+    pages = part.select(i.alias("k"), html.alias("html"))
+    shaped = pages.select(
+        "k",
+        Fhtml.hreflang_langs(F.col("html")).alias("langs"),
+        Fhtml.hreflang_hrefs(F.col("html")).alias("hrefs"),
+    ).select(
+        "k",
+        F.size("langs").alias("n_variants"),
+        F.array_contains("langs", "x-default").alias("has_default"),
+        # family representative: the x-default href, else the en href
+        F.coalesce(
+            F.element_at(F.map_from_arrays("langs", "hrefs"),
+                         "x-default"),
+            F.element_at(F.map_from_arrays("langs", "hrefs"), "en"),
+        ).alias("family_key"),
+    )
+    return shaped.groupBy("n_variants").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum(F.col("has_default").cast("int")).cast("long")
+        .alias("n_with_default"),
+        F.countDistinct("family_key").cast("long").alias("n_families"),
+        F.min(F.col("family_key").isNotNull()).alias("keys_ok"),
+    )
+
+
+_ORACLE_HREFLANG = """
+with pages as (
+  select p_partkey as k,
+         (1 + (case when p_partkey % 2 = 0 then 1 else 0 end)
+            + (case when p_partkey % 3 = 0 then 1 else 0 end)
+            + (case when p_partkey % 4 != 3 then 1 else 0 end))
+           as n_variants,
+         (p_partkey % 4 != 3) as has_default
+  from part)
+select n_variants,
+       count(*)::bigint as n_pages,
+       sum(case when has_default then 1 else 0 end)::bigint
+         as n_with_default,
+       count(*)::bigint as n_families,
+       min(true) as keys_ok
+from pages group by n_variants
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -14787,6 +14862,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_blocklist_gate, _ORACLE_BLOCKLIST_GATE,
         "URL blocklist gate (host / domain+subdomains / path-prefix, "
         "most-specific reason): zero frontier shuffle"),
+    "hreflang_clusters": QueryDef(
+        _q_hreflang_clusters, _ORACLE_HREFLANG,
+        "multilingual variant clusters from rel=alternate hreflang: "
+        "family dedup by x-default-else-en representative"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -14804,7 +14883,7 @@ _REGISTRY: dict[str, QueryDef] = {
 # r6/r7 and miscounted in r8, so the tool's output is authoritative.)
 #
 # r14 window provenance (ledger as of r13, tools/freshness.py --window 50
-# --as-of 13): the ten never-checked round-14 queries at the front,
+# --as-of 13): the eleven never-checked round-14 queries at the front,
 # then the stalest (r09) cohort — 94 queries were last driver-checked
 # before r11 — plus the two anchors.
 _WINDOW_ROUND = 13  # ledger state this window was generated from
@@ -14819,6 +14898,7 @@ _WINDOW_FIRST = [
     "url_template_mining",  # never-checked
     "change_rate_schedule",  # never-checked
     "blocklist_gate",  # never-checked
+    "hreflang_clusters",  # never-checked
     "industry_resolve",  # latest=r09
     "update_fields",  # latest=r09
     "distinct_categories",  # latest=r09
@@ -14856,7 +14936,6 @@ _WINDOW_FIRST = [
     "winnow_dedup_pairs",  # latest=r09
     "split_leakage_guard",  # latest=r09
     "dup_cluster_sizes",  # latest=r09
-    "tokenizer_fertility",  # latest=r09
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -76,7 +76,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["WARC_SCHEMA", "BINARYFILE_SCHEMA", "read_warc",
            "read_warc_stream", "write_warc", "write_cdx",
            "write_cdx_parquet", "parse_warc_bytes", "frame_record",
-           "frame_revisit", "REVISIT_PROFILE"]
+           "frame_revisit", "REVISIT_PROFILE", "plan_shard_count"]
 
 WARC_SCHEMA = (
     "warc_file string, warc_type string, record_id string, "
@@ -705,7 +705,8 @@ def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
                content_type: str = "text/plain",
                gzip_members: bool = False,
                manifest: bool = False,
-               revisit_of_col: "str | None" = None) -> None:
+               revisit_of_col: "str | None" = None,
+               target_shard_bytes: "int | None" = None) -> None:
     """Export (url, payload) rows as WARC shard files — the WET-style
     corpus-snapshot sink closing the container loop (read_warc ∘
     write_warc = identity on records). One shard per partition, written
@@ -772,7 +773,15 @@ def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
 
     cols = [url_col, payload_col] + (
         [revisit_of_col] if revisit_of_col is not None else [])
-    df.select(*cols).foreachPartition(write_partition)
+    shaped = df.select(*cols)
+    if target_shard_bytes is not None:
+        # size-targeted sharding: one counter agg -> repartition; the
+        # estimate pass re-executes the upstream plan, so callers with
+        # expensive inputs should persist before asking for it
+        n = plan_shard_count(shaped, [payload_col],
+                             target_bytes=target_shard_bytes)
+        shaped = shaped.repartition(n)
+    shaped.foreachPartition(write_partition)
     if manifest:
         # the dump's shard inventory (Common Crawl publishes the same
         # thing as warc.paths): sorted relative shard names + sizes,
@@ -907,3 +916,29 @@ def write_cdx_parquet(cdx: DataFrame, out_dir: str, *,
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+def plan_shard_count(df: DataFrame, byte_cols: "list[str]",
+                     target_bytes: int = 1 << 30,
+                     overhead_per_row: int = 300) -> int:
+    """Shard count for a target shard SIZE (real corpus dumps target
+    ~1 GiB/shard — small shards multiply per-file overhead and object-
+    store requests, huge ones serialize restarts): one counter-sized
+    aggregate estimates the dump's bytes (``octet_length`` over the
+    payload columns + per-record framing overhead ≈ the WARC envelope)
+    and the count is ``ceil(total / target)``. The driver sees ONE
+    row — the estimate never collects data. Gzip'd dumps land under
+    target (compression only shrinks); that slack is the right side
+    to err on."""
+    from pyspark.sql import functions as F
+
+    size_expr = None
+    for c in byte_cols:
+        term = F.octet_length(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        size_expr = term if size_expr is None else size_expr + term
+    row = df.agg(
+        F.coalesce(F.sum(size_expr), F.lit(0)).alias("payload_bytes"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    total = int(row["payload_bytes"]) + int(row["n"]) * overhead_per_row
+    return max(1, -(-total // target_bytes))

@@ -469,3 +469,33 @@ def test_blocklist_gate_kinds_and_precedence(spark):
     assert out[5] == (True, "path")
     assert out[6] == (False, None)
     assert out[7] == (True, "host")   # most-specific reason wins
+
+
+# ---------------------------------------- shard-size planning
+
+def test_plan_shard_count_and_targeted_write(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(f"https://a.example/{i}", "x" * 1000) for i in range(100)],
+        "url string, payload string")
+    # ~100 KB payload + 30 KB overhead at 300 B/row
+    n = W.plan_shard_count(df, ["payload"], target_bytes=50_000)
+    assert n == 3   # ceil(130_000 / 50_000)
+    assert W.plan_shard_count(df, ["payload"], target_bytes=1 << 30) == 1
+    out = str(tmp_path / "dump")
+    W.write_warc(df, out, target_shard_bytes=50_000)
+    shards = [f for f in os.listdir(out) if f.endswith(".warc")]
+    assert len(shards) == 3
+    assert W.read_warc(spark, out).count() == 100
+
+
+def test_hreflang_attribute_orders(spark):
+    html = ('<link rel="alternate" hreflang="en" href="https://e/en"/>'
+            "<link hreflang='de' rel='alternate' href='https://e/de'/>"
+            '<link href="https://e/x" hreflang="x-default" rel="alternate"/>'
+            '<link rel="stylesheet" href="/c.css"/>'
+            '<link rel="alternate" type="application/rss+xml" href="/f"/>')
+    row = spark.createDataFrame([(html,)], "h string").select(
+        Fhtml.hreflang_langs(F.col("h")).alias("l"),
+        Fhtml.hreflang_hrefs(F.col("h")).alias("u")).first()
+    assert list(row["l"]) == ["en", "de", "x-default"]
+    assert list(row["u"]) == ["https://e/en", "https://e/de", "https://e/x"]

@@ -1171,6 +1171,15 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                   "MapInPandas", "SortMergeJoin"],
     },
+    "hreflang_clusters": {
+        # lookahead-anchored extraction + map_from_arrays lookup are
+        # row-local codegen; one hash-groupBy (single distinct agg
+        # plans as two-phase partial-distinct, no Expand needed), zero
+        # joins, zero Python
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
     "warc_fetch_latency": {
         # pairing join keys on the UNIQUE record id; the audit is one
         # per-host lag window; rollup is one hash-groupBy — the container
