@@ -286,6 +286,9 @@ BENCH_QUERIES = [
     "change_rate_schedule",
     "blocklist_gate",
     "hreflang_clusters",
+    "lang_agreement_audit",
+    "extraction_yield",
+    "web_graph_degrees",
 ]
 
 

@@ -14065,6 +14065,192 @@ from pages group by n_variants
 """
 
 
+def _q_lang_agreement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language audit per source — the check a
+    multilingual curation run makes BEFORE trusting per-language
+    quality thresholds: labels come from upstream metadata, detection
+    from the n-gram heuristic (`Ftext.lang_id`, oracle-twinned), and a
+    source whose agreement rate is low gets its labels re-derived
+    rather than trusted. Per source: doc count, the DOMINANT declared
+    language (deterministic mode — max over (count, lang) structs, so
+    ties break by language code, never partition order), agreements,
+    and an integer per-mille rate. Two hash-groupBys on the
+    low-cardinality source key."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        F.col("lang").alias("declared"),
+        Ftext.lang_id(F.col("text")).alias("pred"),
+    )
+    counts = scored.groupBy("source", "declared").agg(
+        F.count(F.lit(1)).alias("n"))
+    dominant = counts.groupBy("source").agg(
+        F.max(F.struct("n", "declared")).getField("declared")
+        .alias("dominant_lang"))
+    per_source = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("pred") == F.col("declared")).cast("int"))
+        .cast("long").alias("n_agree"),
+    )
+    return per_source.join(dominant, "source").select(
+        "source", "n_docs", "dominant_lang", "n_agree",
+        F.expr("(n_agree * 1000) div n_docs").cast("long")
+        .alias("agree_pm"),
+    )
+
+
+_ORACLE_LANG_AGREEMENT = f"""
+with scored as (
+  select source, lang as declared,
+         {_duck_lang_hits('de')} as c_de, {_duck_lang_hits('en')} as c_en,
+         {_duck_lang_hits('es')} as c_es, {_duck_lang_hits('fr')} as c_fr
+  from documents),
+pred as (
+  select source, declared,
+         case when greatest(c_de, c_en, c_es, c_fr) = 0 then 'und'
+              when c_de = greatest(c_de, c_en, c_es, c_fr) then 'de'
+              when c_en = greatest(c_de, c_en, c_es, c_fr) then 'en'
+              when c_es = greatest(c_de, c_en, c_es, c_fr) then 'es'
+              else 'fr' end as pred
+  from scored),
+counts as (
+  select source, declared, count(*) as n from pred group by 1, 2),
+dom as (
+  select source, declared as dominant_lang from (
+    select source, declared,
+           row_number() over (partition by source
+                              order by n desc, declared desc) as rk
+    from counts) where rk = 1),
+per_source as (
+  select source, count(*)::bigint as n_docs,
+         sum(case when pred = declared then 1 else 0 end)::bigint
+           as n_agree
+  from pred group by source)
+select p.source, p.n_docs, d.dominant_lang, p.n_agree,
+       (p.n_agree * 1000 // p.n_docs)::bigint as agree_pm
+from per_source p join dom d on d.source = p.source
+"""
+
+
+def _q_extraction_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-yield audit — the operations check a curation run
+    makes per domain AFTER HTML→text: extracted-text bytes over raw
+    HTML bytes. A domain whose yield collapses signals an extraction
+    failure mode (script-walled pages, markup-heavy templates) before
+    bad text poisons downstream dedup/quality stats. The Spark side
+    runs the REAL `html_to_text` chain; the oracle builds the same
+    HTML string and derives the extracted length ARITHMETICALLY
+    (2k+2 for k repeated tokens + title + block newlines), so one
+    character of extraction drift anywhere in the strip/entity/
+    whitespace chain shifts a sum and hash-mismatches. Integer
+    low-yield rule (text*5 < html). Row-local + one hash-groupBy."""
+    part = load_table(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    k = (i % 40 + 1)
+    boiler = F.repeat(F.lit("var x=1;"), (i % 7) * 5)
+    html = F.concat(
+        F.lit("<html><head><title>T</title><script>"), boiler,
+        F.lit("</script></head><body><p>"),
+        F.rtrim(F.repeat(F.lit("x "), k)),
+        F.lit("</p></body></html>"),
+    )
+    pages = part.select(
+        F.concat(F.lit("d"), (i % 6).cast("string")).alias("domain"),
+        html.alias("html"),
+    )
+    shaped = pages.select(
+        "domain",
+        F.length("html").alias("html_len"),
+        F.length(Fhtml.html_to_text(F.col("html"))).alias("text_len"),
+    )
+    return shaped.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum("html_len").cast("long").alias("sum_html"),
+        F.sum("text_len").cast("long").alias("sum_text"),
+        F.sum(F.when(F.col("text_len") * 5 < F.col("html_len"), 1)
+              .otherwise(0)).cast("long").alias("n_low_yield"),
+    )
+
+
+_ORACLE_EXTRACTION_YIELD = """
+with pages as (
+  select 'd' || (p_partkey % 6)::varchar as domain,
+         -- literal frame 79 chars + boilerplate 8*(5*(i%7)) chars +
+         -- body 2k-1 chars ('x ' * k, right-trimmed)
+         (79 + 40 * (p_partkey % 7)
+            + (2 * ((p_partkey % 40) + 1) - 1))::bigint as html_len,
+         -- extracted T + NL + body + NL = 1 + 1 + (2k-1) + 1 = 2k+2 (the
+         -- </p> block newline survives: Spark trim strips SPACES only,
+         -- the documented normalize_ws bound)
+         (2 * ((p_partkey % 40) + 1) + 2)::bigint as text_len
+  from part)
+select domain,
+       count(*)::bigint as n_pages,
+       sum(html_len)::bigint as sum_html,
+       sum(text_len)::bigint as sum_text,
+       sum(case when text_len * 5 < html_len then 1 else 0 end)::bigint
+         as n_low_yield
+from pages group by domain
+"""
+
+
+def _q_web_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the harvested domain graph — the first
+    question asked of any web graph (hub-ness, link spam, isolated
+    sinks) and the sanity check under PageRank/HITS: per domain, out-
+    degree and in-degree from the SAME distinct-edge harvest the
+    centrality queries rank. Full-outer merge of two counter-sized
+    aggs; sinkhub (in-only) and pure-source domains keep zero on the
+    missing side."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pages = docs.select(
+        Furl.url_host(F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        )).alias("src_host"),
+        _web_graph_page_spark(F.col("doc_id")).alias("html"),
+    )
+    links = pages.select(
+        "src_host",
+        F.explode(Fhtml.html_links(F.col("html"))).alias("href"),
+    )
+    edges = (
+        links.select(
+            F.regexp_extract("src_host", r"^(site[0-9]+)", 1).alias("src"),
+            F.regexp_extract(Furl.url_host(F.col("href")),
+                             r"^(site[0-9]+|sinkhub)", 1).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col("src").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg"))
+    in_deg = edges.groupBy(F.col("dst").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg"))
+    return (
+        out_deg.join(in_deg, "domain", "full_outer")
+        .select(
+            "domain",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+_ORACLE_WEB_GRAPH_DEGREES = f"""
+with edges0 as materialized ({_WEB_GRAPH_EDGE_DUCK}),
+edges as materialized (select src, dst from edges0 where src != dst),
+od as (select src as domain, count(*)::bigint as out_deg
+       from edges group by src),
+id_ as (select dst as domain, count(*)::bigint as in_deg
+        from edges group by dst)
+select coalesce(od.domain, id_.domain) as domain,
+       coalesce(od.out_deg, 0)::bigint as out_deg,
+       coalesce(id_.in_deg, 0)::bigint as in_deg
+from od full outer join id_ on id_.domain = od.domain
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -14866,6 +15052,18 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_hreflang_clusters, _ORACLE_HREFLANG,
         "multilingual variant clusters from rel=alternate hreflang: "
         "family dedup by x-default-else-en representative"),
+    "lang_agreement_audit": QueryDef(
+        _q_lang_agreement_audit, _ORACLE_LANG_AGREEMENT,
+        "declared-vs-detected language audit per source: deterministic "
+        "dominant-language mode + integer per-mille agreement"),
+    "extraction_yield": QueryDef(
+        _q_extraction_yield, _ORACLE_EXTRACTION_YIELD,
+        "HTML->text yield audit per domain: real extraction vs "
+        "arithmetic length truth; integer low-yield rule"),
+    "web_graph_degrees": QueryDef(
+        _q_web_graph_degrees, _ORACLE_WEB_GRAPH_DEGREES,
+        "in/out degree profile of the harvested domain graph: "
+        "full-outer merge of two counter aggs"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -14883,9 +15081,8 @@ _REGISTRY: dict[str, QueryDef] = {
 # r6/r7 and miscounted in r8, so the tool's output is authoritative.)
 #
 # r14 window provenance (ledger as of r13, tools/freshness.py --window 50
-# --as-of 13): the eleven never-checked round-14 queries at the front,
-# then the stalest (r09) cohort — 94 queries were last driver-checked
-# before r11 — plus the two anchors.
+# --as-of 13): the fourteen never-checked round-14 queries at the
+# front, then the stalest (r09) cohort, plus the two anchors.
 _WINDOW_ROUND = 13  # ledger state this window was generated from
 _WINDOW_FIRST = [
     "warc_revisit_export",  # never-checked
@@ -14899,6 +15096,9 @@ _WINDOW_FIRST = [
     "change_rate_schedule",  # never-checked
     "blocklist_gate",  # never-checked
     "hreflang_clusters",  # never-checked
+    "lang_agreement_audit",  # never-checked
+    "extraction_yield",  # never-checked
+    "web_graph_degrees",  # never-checked
     "industry_resolve",  # latest=r09
     "update_fields",  # latest=r09
     "distinct_categories",  # latest=r09
@@ -14933,9 +15133,6 @@ _WINDOW_FIRST = [
     "containment_pairs",  # latest=r09
     "cdc_snapshot",  # latest=r09
     "semantic_dedup",  # latest=r09
-    "winnow_dedup_pairs",  # latest=r09
-    "split_leakage_guard",  # latest=r09
-    "dup_cluster_sizes",  # latest=r09
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -1171,6 +1171,28 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                   "MapInPandas", "SortMergeJoin"],
     },
+    "lang_agreement_audit": {
+        # lang_id heuristic is row-local codegen; two counter-sized
+        # hash aggs on the low-cardinality source key + a counter join
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas"],
+    },
+    "extraction_yield": {
+        # the real html_to_text chain is one codegen projection; one
+        # hash-groupBy, zero joins, zero Python
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin",
+                  "Window"],
+    },
+    "web_graph_degrees": {
+        # two counter-sized degree aggs merged full-outer (full outer
+        # cannot broadcast — SMJ on the tiny counter tables is correct)
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas"],
+    },
     "hreflang_clusters": {
         # lookahead-anchored extraction + map_from_arrays lookup are
         # row-local codegen; one hash-groupBy (single distinct agg
