@@ -289,6 +289,7 @@ BENCH_QUERIES = [
     "lang_agreement_audit",
     "extraction_yield",
     "web_graph_degrees",
+    "robots_meta_gate",
 ]
 
 

@@ -14251,6 +14251,139 @@ from od full outer join id_ on id_.domain = od.domain
 """
 
 
+def _write_warc_robotsmeta_fixture(sf_dir: str) -> str:
+    """Indexability fixture (idempotent, marker-guarded): pages
+    declaring robots directives through BOTH channels a real crawl
+    must merge — the ``<meta name="robots">`` tag and the
+    ``X-Robots-Tag`` HTTP header. Cohorts: i%4==0 meta noindex;
+    i%4==1 header noindex (tag clean — header-only pages are the
+    cohort naive HTML-only pipelines index by mistake); i%4==2 meta
+    nofollow (indexable, links suppressed); i%4==3 clean. Every page
+    carries 2 outbound links."""
+    import gzip as _gzip
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_SCRATCH_DIR, f"warc_robotsmeta_{tag}")
+    keys = sorted(
+        pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey"])
+        .column("p_partkey").to_pylist())
+    marker = os.path.join(out, f".complete-v1-{len(keys)}")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    shards: list[list[bytes]] = [[], []]
+    for i in keys:
+        meta = ""
+        if i % 4 == 0:
+            meta = '<meta name="robots" content="noindex, follow"/>'
+        elif i % 4 == 2:
+            meta = '<meta name="robots" content="nofollow"/>'
+        body = (
+            f"<html><head>{meta}</head><body>"
+            f'<a href="https://site{i % 5}.example.com/d/{i + 1}">n</a>'
+            f'<a href="https://other.example.org/x/{i}">o</a>'
+            f"</body></html>"
+        ).encode()
+        hdrs = ""
+        if i % 4 == 1:
+            hdrs = "X-Robots-Tag: noindex\r\n"
+        http = (
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n"
+            + hdrs
+            + f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        hdr = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:rm-{i}>\r\n"
+            f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"WARC-Target-URI: https://site{i % 5}.example.com/m/{i}\r\n"
+            f"WARC-Payload-Digest: sha1:{hashlib.sha1(body).hexdigest()}\r\n"
+            f"Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        shards[i % 2].append(hdr + http + b"\r\n\r\n")
+    for idx, recs in enumerate(shards):
+        blob = b"".join(_gzip.compress(r) for r in recs)
+        with open(os.path.join(out, f"shard-{idx}.warc.gz"), "wb") as fh:
+            fh.write(blob)
+    open(marker, "w").close()
+    return out
+
+
+def _q_robots_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level indexability — the robots directives a crawl must
+    merge from TWO channels before curation: the ``<meta
+    name="robots">`` tag (``Fhtml.meta_content``) and the
+    ``X-Robots-Tag`` HTTP header (the round's ``http_headers`` map —
+    the channel HTML-only pipelines miss; it is how sites mark PDFs
+    and APIs noindex). A noindex on EITHER channel drops the page
+    from the index; nofollow suppresses its link harvest (the
+    frontier must not grow from suppressed pages). Per domain:
+    indexable/noindex-by-channel counts and harvested vs suppressed
+    link volume. Row-local merge + one hash-groupBy."""
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_robotsmeta_fixture(sf_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir, columns=[
+        "warc_type", "target_uri", "payload", "http_headers"])
+    resp = recs.filter(F.col("warc_type") == "response")
+    meta_robots = F.lower(F.coalesce(
+        Fhtml.meta_content(F.col("payload"), "robots"), F.lit("")))
+    hdr_robots = F.lower(F.coalesce(
+        F.element_at(F.col("http_headers"), "x-robots-tag"), F.lit("")))
+    shaped = resp.select(
+        Furl.url_host(F.col("target_uri")).alias("domain"),
+        meta_robots.contains("noindex").alias("meta_noindex"),
+        hdr_robots.contains("noindex").alias("hdr_noindex"),
+        (meta_robots.contains("nofollow")
+         | hdr_robots.contains("nofollow")).alias("nofollow"),
+        F.size(Fhtml.html_links(F.col("payload"))).alias("n_links"),
+    ).withColumn(
+        "indexable", ~F.col("meta_noindex") & ~F.col("hdr_noindex"))
+    return shaped.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum(F.col("indexable").cast("int")).cast("long")
+        .alias("n_indexable"),
+        F.sum(F.col("meta_noindex").cast("int")).cast("long")
+        .alias("n_meta_noindex"),
+        F.sum(F.col("hdr_noindex").cast("int")).cast("long")
+        .alias("n_hdr_noindex"),
+        F.sum(F.when(~F.col("nofollow"), F.col("n_links")).otherwise(0))
+        .cast("long").alias("n_links_harvested"),
+        F.sum(F.when(F.col("nofollow"), F.col("n_links")).otherwise(0))
+        .cast("long").alias("n_links_suppressed"),
+    )
+
+
+_ORACLE_ROBOTS_META = """
+with pages as (
+  select 'site' || (p_partkey % 5)::varchar || '.example.com' as domain,
+         (p_partkey % 4 = 0) as meta_noindex,
+         (p_partkey % 4 = 1) as hdr_noindex,
+         (p_partkey % 4 = 2) as nofollow
+  from part)
+select domain,
+       count(*)::bigint as n_pages,
+       sum(case when not meta_noindex and not hdr_noindex
+                then 1 else 0 end)::bigint as n_indexable,
+       sum(case when meta_noindex then 1 else 0 end)::bigint
+         as n_meta_noindex,
+       sum(case when hdr_noindex then 1 else 0 end)::bigint
+         as n_hdr_noindex,
+       sum(case when not nofollow then 2 else 0 end)::bigint
+         as n_links_harvested,
+       sum(case when nofollow then 2 else 0 end)::bigint
+         as n_links_suppressed
+from pages group by domain
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -15064,6 +15197,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_web_graph_degrees, _ORACLE_WEB_GRAPH_DEGREES,
         "in/out degree profile of the harvested domain graph: "
         "full-outer merge of two counter aggs"),
+    "robots_meta_gate": QueryDef(
+        _q_robots_meta_gate, _ORACLE_ROBOTS_META,
+        "page-level indexability merged from meta robots AND the "
+        "X-Robots-Tag header; nofollow suppresses link harvest"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -15081,7 +15218,7 @@ _REGISTRY: dict[str, QueryDef] = {
 # r6/r7 and miscounted in r8, so the tool's output is authoritative.)
 #
 # r14 window provenance (ledger as of r13, tools/freshness.py --window 50
-# --as-of 13): the fourteen never-checked round-14 queries at the
+# --as-of 13): the fifteen never-checked round-14 queries at the
 # front, then the stalest (r09) cohort, plus the two anchors.
 _WINDOW_ROUND = 13  # ledger state this window was generated from
 _WINDOW_FIRST = [
@@ -15099,6 +15236,7 @@ _WINDOW_FIRST = [
     "lang_agreement_audit",  # never-checked
     "extraction_yield",  # never-checked
     "web_graph_degrees",  # never-checked
+    "robots_meta_gate",  # never-checked
     "industry_resolve",  # latest=r09
     "update_fields",  # latest=r09
     "distinct_categories",  # latest=r09
@@ -15132,7 +15270,6 @@ _WINDOW_FIRST = [
     "contamination_score",  # latest=r09
     "containment_pairs",  # latest=r09
     "cdc_snapshot",  # latest=r09
-    "semantic_dedup",  # latest=r09
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -499,3 +499,29 @@ def test_hreflang_attribute_orders(spark):
         Fhtml.hreflang_hrefs(F.col("h")).alias("u")).first()
     assert list(row["l"]) == ["en", "de", "x-default"]
     assert list(row["u"]) == ["https://e/en", "https://e/de", "https://e/x"]
+
+
+def test_robots_directives_merge_both_channels(spark, tmp_path):
+    # X-Robots-Tag (header) and meta robots (tag) must BOTH gate
+    rec_hdr = _response_record(
+        "https://a.example/h", b"<html><a href=\"https://x/1\">l</a></html>",
+        "X-Robots-Tag: noindex, nofollow\r\n")
+    rec_meta = _response_record(
+        "https://a.example/m",
+        b'<html><head><meta name="robots" content="noindex"/></head></html>')
+    rec_clean = _response_record("https://a.example/c", b"<html>ok</html>")
+    p = tmp_path / "rm.warc"
+    p.write_bytes(rec_hdr + rec_meta + rec_clean)
+    rows = W.read_warc(spark, str(p)).select(
+        "target_uri",
+        F.lower(F.coalesce(F.element_at("http_headers", "x-robots-tag"),
+                           F.lit(""))).alias("hdr"),
+        F.lower(F.coalesce(Fhtml.meta_content(F.col("payload"), "robots"),
+                           F.lit(""))).alias("meta"),
+    ).collect()
+    by_uri = {r["target_uri"]: r for r in rows}
+    assert "noindex" in by_uri["https://a.example/h"]["hdr"]
+    assert by_uri["https://a.example/h"]["meta"] == ""
+    assert "noindex" in by_uri["https://a.example/m"]["meta"]
+    assert by_uri["https://a.example/c"]["hdr"] == ""
+    assert by_uri["https://a.example/c"]["meta"] == ""

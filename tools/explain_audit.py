@@ -1171,6 +1171,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                   "MapInPandas", "SortMergeJoin"],
     },
+    "robots_meta_gate": {
+        # both directive channels merge row-locally over the container
+        # splitter; one hash-groupBy, zero joins
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
+                  "BroadcastHashJoin"],
+    },
     "lang_agreement_audit": {
         # lang_id heuristic is row-local codegen; two counter-sized
         # hash aggs on the low-cardinality source key + a counter join
