@@ -76,7 +76,8 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["WARC_SCHEMA", "BINARYFILE_SCHEMA", "read_warc",
            "read_warc_stream", "write_warc", "write_cdx",
            "write_cdx_parquet", "parse_warc_bytes", "frame_record",
-           "frame_revisit", "REVISIT_PROFILE", "plan_shard_count"]
+           "frame_revisit", "REVISIT_PROFILE", "plan_shard_count",
+           "read_warc_manifest", "cdx_lookup"]
 
 WARC_SCHEMA = (
     "warc_file string, warc_type string, record_id string, "
@@ -589,7 +590,7 @@ def _subset_schema(columns: "list[str] | None") -> "tuple[str, list[str] | None]
     return ", ".join(fields[c] for c in columns), list(columns)
 
 
-def read_warc(spark: SparkSession, path: str,
+def read_warc(spark: SparkSession, path: "str | list[str]",
               columns: "list[str] | None" = None) -> DataFrame:
     """Scan ``.warc`` / ``.warc.gz`` containers under ``path`` into one
     row per record (schema: :data:`WARC_SCHEMA`). Parallelism is per
@@ -604,7 +605,8 @@ def read_warc(spark: SparkSession, path: str,
     the splitter builds and serializes only the subset (measured ~25%
     off the curation pipeline's scan stage)."""
     schema, cols = _subset_schema(columns)
-    raw = spark.read.format("binaryFile").load(path)
+    paths = path if isinstance(path, list) else [path]
+    raw = spark.read.format("binaryFile").load(paths)
     return raw.select("path", "content").mapInPandas(
         lambda b: _split_batches(b, cols), schema)
 
@@ -942,3 +944,60 @@ def plan_shard_count(df: DataFrame, byte_cols: "list[str]",
     ).first()
     total = int(row["payload_bytes"]) + int(row["n"]) * overhead_per_row
     return max(1, -(-total // target_bytes))
+
+
+def read_warc_manifest(spark: SparkSession, dump_dir: str,
+                       columns: "list[str] | None" = None) -> DataFrame:
+    """Scan a dump through its ``_manifest.paths`` inventory — the
+    read side of the complete-publish contract: only manifest-LISTED
+    shards are scanned, so a consumer never reads a shard from a
+    partial or superseded publish even if stray files share the
+    directory. The manifest is one tiny driver-side file (name + size
+    per shard); the shards themselves still stream through the
+    executor-side splitter. Raises if the manifest is missing — a
+    dump without one has not finished publishing."""
+    import os
+
+    manifest = os.path.join(dump_dir, "_manifest.paths")
+    if not os.path.exists(manifest):
+        raise FileNotFoundError(
+            f"read_warc_manifest: no _manifest.paths in {dump_dir} — "
+            "the dump has not completed publishing (or was written "
+            "with manifest=False; use read_warc for unmanifested dirs)")
+    with open(manifest) as fh:
+        names = [ln.split("\t", 1)[0] for ln in fh.read().splitlines() if ln]
+    return read_warc(spark, [os.path.join(dump_dir, n) for n in names],
+                     columns=columns)
+
+
+def cdx_lookup(out_dir: str, urlkey: str) -> "list[str]":
+    """Point lookup against a served-form CDX publish (``write_cdx``):
+    binary-search the tiny ``_cluster.idx`` for the ONE shard whose
+    key range can hold ``urlkey``, then scan that shard sequentially
+    (it is sorted; the scan stops past the key). Exactly the
+    O(log shards) + one-shard access pattern the two-level layout
+    exists for — a replay/lookup tool touches one shard of a TB-scale
+    index, never the index. Driver-side utility by design (a point
+    lookup is not a distributed job). Returns the matching CDX lines
+    (tab-joined, urlkey first)."""
+    import bisect
+    import os
+
+    with open(os.path.join(out_dir, "_cluster.idx")) as fh:
+        entries = [ln.split("\t") for ln in fh.read().splitlines() if ln]
+    if not entries:
+        return []
+    firsts = [e[0] for e in entries]
+    # rightmost shard whose first key <= urlkey
+    i = bisect.bisect_right(firsts, urlkey) - 1
+    if i < 0:
+        return []
+    out: list[str] = []
+    with open(os.path.join(out_dir, entries[i][1])) as fh:
+        for line in fh:
+            key = line.split("\t", 1)[0]
+            if key == urlkey:
+                out.append(line.rstrip("\n"))
+            elif key > urlkey:
+                break  # sorted shard: past the key, stop
+    return out

@@ -525,3 +525,41 @@ def test_robots_directives_merge_both_channels(spark, tmp_path):
     assert "noindex" in by_uri["https://a.example/m"]["meta"]
     assert by_uri["https://a.example/c"]["hdr"] == ""
     assert by_uri["https://a.example/c"]["meta"] == ""
+
+
+# ---------------------------------------- read-side closures
+
+def test_read_warc_manifest_scans_only_listed_shards(spark, tmp_path):
+    out = str(tmp_path / "dump")
+    df = spark.createDataFrame(
+        [(f"https://a.example/{i}", f"body {i}") for i in range(6)],
+        "url string, payload string").repartition(2)
+    W.write_warc(df, out, manifest=True)
+    # a stray container lands in the dir AFTER the publish (partial
+    # upload, superseded run): manifest consumers must not see it
+    stray = W.frame_record("https://stray.example/x", b"stray")
+    open(os.path.join(out, "part-99999.warc"), "wb").write(stray)
+    assert W.read_warc(spark, out).count() == 7          # raw scan sees it
+    via_manifest = W.read_warc_manifest(spark, out)
+    assert via_manifest.count() == 6                     # manifest does not
+    assert via_manifest.filter(
+        F.col("target_uri").contains("stray")).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="_manifest.paths"):
+        W.read_warc_manifest(spark, str(tmp_path / "nodir"))
+
+
+def test_cdx_lookup_touches_one_shard(spark, tmp_path):
+    rows = [(f"com,s{i % 7})/p/{i:04d}", 200 + (i % 3), f"d{i}")
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "urlkey string, status int, digest string")
+    out = str(tmp_path / "idx")
+    W.write_cdx(df, out, n_shards=5)
+    hits = W.cdx_lookup(out, "com,s3)/p/0003")
+    assert len(hits) == 1
+    assert hits[0].startswith("com,s3)/p/0003\t")
+    # absent keys: before the first shard, between keys, past the end
+    assert W.cdx_lookup(out, "aaa") == []
+    assert W.cdx_lookup(out, "com,s3)/p/0003x") == []
+    assert W.cdx_lookup(out, "zzz") == []
