@@ -472,9 +472,12 @@ RETAKE_MAX = 40            # bound the second pass; worst movers first
 def retake_set(timings: dict, contaminated: list, prev_q: dict,
                anchor_q: dict) -> list:
     """Rows eligible for a quiet retake: every contaminated row plus
-    every mover vs either committed reference, worst movers first,
-    capped at RETAKE_MAX. Pure function (unit-tested without Spark)."""
-    score: dict[str, float] = {name: 0.0 for name in contaminated}
+    every mover vs either committed reference. Contaminated rows rank
+    AHEAD of every mover (seeded inf — they are the rows the pass
+    exists to clean, so the RETAKE_MAX cap must never drop them in
+    favor of mild movers), then worst movers first. Pure function
+    (unit-tested without Spark)."""
+    score: dict[str, float] = {name: float("inf") for name in contaminated}
     for name, sec in timings.items():
         if sec < DRIFT_MIN_SEC:
             continue
@@ -485,7 +488,7 @@ def retake_set(timings: dict, contaminated: list, prev_q: dict,
                 worst = max(worst, sec / p)
         if worst > RETAKE_MOVER_RATIO:
             score[name] = max(score.get(name, 0.0), worst)
-    ordered = sorted(score, key=lambda n: -score[n])
+    ordered = sorted(score, key=lambda n: (-score[n], n))
     return ordered[:RETAKE_MAX]
 
 
@@ -541,6 +544,27 @@ CANARY_UNIFORM_LOAD_RATIO = 1.6
 IO_CANARY_FLOOR_MS = float(os.environ.get("SPARK_GRAFT_IO_CANARY_FLOOR_MS", "25.0"))
 
 
+# Warm-up protocol (r14 verdict order 5): a few rows are RAMP-dominated —
+# their one-shot cost samples a BLAS/JIT/page-cache warm-up curve, not the
+# plan (dedup_recall measured 14.0 -> 6.7 -> 3.5 -> 2.22 s across takes of
+# a git-verified byte-identical plan). For these rows one UNTIMED
+# execution runs before the timed take, so the committed series stops
+# being a random point on the ramp and measures the plan's steady state.
+# The applied set is audited in the record (`warmup_rows`); extend via
+# env for A/Bs on other hosts. The persist-once rows are here too: their
+# committed series is the WARM (cache-reusing) state by design, and the
+# per-row clearCache below would otherwise turn their single take cold —
+# the warm-up take rebuilds the row's cache before the timed take, and
+# the clear after the row keeps the cache from leaking across rows.
+WARMUP_ROWS = set(
+    os.environ.get(
+        "SPARK_GRAFT_WARMUP_ROWS",
+        "dedup_recall,warc_fetch_latency,cdx_incremental_merge,"
+        "winnow_dedup_pairs,change_rate_schedule",
+    ).split(",")
+)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -574,16 +598,25 @@ def main() -> int:
         io_canaries_ms.append(
             round(_io_canary_sec(io_probe) * 1000, 2) if io_probe else -1.0
         )
+        if name in WARMUP_ROWS:
+            qd.spark(spark, sf_dir).count()  # untimed ramp eater (audited)
         t0 = time.time()
         df = qd.spark(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
+        # release this row's persisted blocks (winnow/persist-once rows
+        # cache intra-query scans): across a 250-query session leftover
+        # blocks evict each other and pressure executor storage, skewing
+        # later rows — the persist-once benefit is WITHIN a row's
+        # execution (and its warm-up take), never across rows.
+        spark.catalog.clearCache()
         detail[name] = {
             "sec": timings[name],
             "rows": n,
             "load1": load1,
             "canary_ms": canaries_ms[-1],
             "io_canary_ms": io_canaries_ms[-1],
+            "warmed_up": name in WARMUP_ROWS,
         }
         print(
             f"# {name}: {timings[name]:.2f}s ({n} rows, load1={load1:.2f}, "
@@ -649,10 +682,13 @@ def main() -> int:
     for name in retake_names:
         pre_c = _canary_sec() * 1000
         pre_io = _io_canary_sec(io_probe) * 1000 if io_probe else 0.0
+        if name in WARMUP_ROWS:
+            QUERIES[name].spark(spark, sf_dir).count()  # same state as take 1
         t0 = time.time()
         df = QUERIES[name].spark(spark, sf_dir)
         df.count()
         sec = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # same per-row hygiene as the main pass
         post_c = _canary_sec() * 1000
         post_io = _io_canary_sec(io_probe) * 1000 if io_probe else 0.0
         quiet_take = max(pre_c, post_c) <= cutoff and (
@@ -698,6 +734,7 @@ def main() -> int:
         "canary_nominal_ms": CANARY_NOMINAL_MS,
         "io_canary_best_ms": min(io_canaries_ms) if io_probe else None,
         "retaken_queries": retake_audit,
+        "warmup_rows": sorted(WARMUP_ROWS & set(BENCH_QUERIES)),
         **drift,
         **anchor,
     }

@@ -359,18 +359,27 @@ def og_content(c: Column, prop: str) -> Column:
     title, type, image, url, description). Both attribute orders, both
     quote styles; NULL when absent. ``prop`` is the literal property
     name WITHOUT the ``og:`` prefix (title, type, image, ...), compiled
-    into the pattern — the ``meta_content`` convention."""
+    into the pattern — the ``meta_content`` convention.
+
+    The content capture matches PER quote style (``"([^"]*)"`` |
+    ``'([^']*)'``) so only the delimiting quote terminates the value —
+    ``content="Tom's Diner"`` (apostrophe inside double quotes, very
+    common in real og:title/description) extracts whole instead of
+    returning NULL."""
+    val = "(?:\"([^\"]*)\"|'([^']*)')"
     pat_fwd = (
         "(?is)<meta\\s[^>]*property\\s*=\\s*[\"']og:" + prop
-        + "[\"'][^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>"
+        + "[\"'][^>]*content\\s*=\\s*" + val + "[^>]*>"
     )
     pat_rev = (
-        "(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*"
+        "(?is)<meta\\s[^>]*content\\s*=\\s*" + val + "[^>]*"
         "property\\s*=\\s*[\"']og:" + prop + "[\"'][^>]*>"
     )
-    a = F.regexp_extract(c, pat_fwd, 1)
-    b = F.regexp_extract(c, pat_rev, 1)
-    got = F.when(a != "", a).otherwise(b)
+    got = None
+    for pat, grp in ((pat_fwd, 1), (pat_fwd, 2), (pat_rev, 1),
+                     (pat_rev, 2)):
+        e = F.regexp_extract(c, pat, grp)
+        got = e if got is None else F.when(got != "", got).otherwise(e)
     return F.when(got == "", F.lit(None).cast("string")).otherwise(got)
 
 
@@ -473,12 +482,15 @@ def atom_entry_dates(c: Column) -> Column:
 # (rel/hreflang/href in any permutation), so the pattern anchors each
 # attribute with an independent lookahead instead of a fixed sequence.
 # Java-regex-only (lookaheads are not RE2-safe) — consumers pair it
-# with arithmetic oracles, the og_content convention.
+# with arithmetic oracles, the og_content convention. Each value
+# captures PER quote style ("..." → one group, '...' → the next) so an
+# apostrophe inside a double-quoted href does not truncate the value;
+# groups 1/2 = hreflang, 3/4 = href, coalesced per match downstream.
 HREFLANG_RE = (
     "(?is)<link\\s"
     "(?=[^>]*rel\\s*=\\s*[\"']alternate[\"'])"
-    "(?=[^>]*hreflang\\s*=\\s*[\"']([^\"']*)[\"'])"
-    "(?=[^>]*href\\s*=\\s*[\"']([^\"']*)[\"'])"
+    "(?=[^>]*hreflang\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'))"
+    "(?=[^>]*href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'))"
     "[^>]*>"
 )
 
@@ -486,9 +498,9 @@ HREFLANG_RE = (
 def hreflang_langs(c: Column) -> Column:
     """hreflang code of every ``rel=alternate`` link (en, de-AT,
     x-default, ...) → array<string>, positionally aligned with
-    :func:`hreflang_hrefs` (one two-group pattern extracted per group
-    index — the ANCHOR_RE technique)."""
-    return F.regexp_extract_all(c, F.lit(HREFLANG_RE), 1)
+    :func:`hreflang_hrefs` (quote-style groups 1/2 coalesced per
+    match — the sitemap _coalesce_groups technique)."""
+    return _feed_coalesce(c, HREFLANG_RE, 1, 2)
 
 
 def hreflang_hrefs(c: Column) -> Column:
@@ -496,4 +508,4 @@ def hreflang_hrefs(c: Column) -> Column:
     CLUSTER of a page: all hrefs a page declares (usually including
     itself) name one logical document in n languages — the dedup key
     multilingual curation needs so translated families count once."""
-    return F.regexp_extract_all(c, F.lit(HREFLANG_RE), 2)
+    return _feed_coalesce(c, HREFLANG_RE, 3, 4)

@@ -35,6 +35,10 @@ __all__ = [
     "MOJIBAKE_PATTERN",
     "LANG_PROFILES",
     "STOPWORDS_EN",
+    "SCRIPT_CLASSES",
+    "script_counts",
+    "dominant_script",
+    "script_mix_ratio",
 ]
 
 # Tiny deterministic stopword profiles. Real deployments would ship larger
@@ -217,4 +221,62 @@ def bpe_token_count(c: Column) -> Column:
     table refines counts but the pre-tokenizer split dominates them."""
     return F.when(c.isNull(), None).otherwise(
         F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0))
+    )
+
+
+# Unicode script classes both engines' regex dialects support: Java
+# \p{IsXxx} (Spark codegen) and RE2 \p{Xxx} (oracle twin) agree on these
+# script properties character-for-character, so the counts are
+# bit-identical across engines. Han covers the CJK unified ideographs
+# (zh + much of ja); Hangul/Hiragana/Katakana would extend the map the
+# same way.
+SCRIPT_CLASSES = ("Latin", "Cyrillic", "Greek", "Han", "Arabic")
+
+
+def script_counts(c: Column) -> dict[str, Column]:
+    """Per-script character counts of a text column — one
+    ``length - length(regexp_replace(...))`` codegen expression per
+    script in :data:`SCRIPT_CLASSES`. The script-composition signal
+    multilingual curation and spam filtering both need: real documents
+    are script-coherent, while keyword-stuffed spam and homoglyph
+    attacks (Cyrillic 'а' inside Latin words) mix scripts
+    character-by-character. Row-local, zero Python."""
+    return {
+        name: (
+            F.length(c)
+            - F.length(F.regexp_replace(c, f"\\p{{Is{name}}}", ""))
+        ).cast("long")
+        for name in SCRIPT_CLASSES
+    }
+
+
+def dominant_script(c: Column) -> Column:
+    """The script contributing the most characters (``other`` when no
+    listed script appears — digits/punctuation-only text). Stable
+    tie-break: max over (count, name) structs, so equal counts resolve
+    by script name, never partition order — the lang_id convention."""
+    counts = script_counts(c)
+    pairs = F.array(*[
+        F.struct(v.alias("n"), F.lit(k).alias("s"))
+        for k, v in counts.items()
+    ])
+    best = F.array_max(pairs)
+    return F.when(best["n"] > 0, best["s"]).otherwise(F.lit("other"))
+
+
+def script_mix_ratio(c: Column) -> Column:
+    """Fraction of scripted characters OUTSIDE the dominant script,
+    in basis points (integer 0-10000, engine-exact — the homoglyph/
+    spam flag thresholds on this). 0 for script-coherent text; NULL
+    when the text has no scripted characters at all."""
+    counts = list(script_counts(c).values())
+    total = counts[0]
+    for v in counts[1:]:
+        total = total + v
+    dom = F.greatest(*counts)
+    # explicit floor on the quotient: double->int CASTS disagree across
+    # engines (truncate vs round), floor does not
+    return F.when(
+        total > 0,
+        F.floor((total - dom) * F.lit(10000) / total).cast("long"),
     )

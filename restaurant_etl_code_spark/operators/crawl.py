@@ -53,7 +53,7 @@ from restaurant_etl_code_spark.functions import urls as Furl
 
 __all__ = ["parse_robots", "parse_crawl_delays", "robots_sitemaps",
            "robots_gate", "schedule_frontier", "resolve_redirects",
-           "politeness_audit", "blocklist_gate"]
+           "politeness_audit", "blocklist_gate", "blocklist_rule_audit"]
 
 # directive keys the parser recognizes; everything else (sitemap,
 # host, request-rate, ...) is ignored at the line filter
@@ -590,26 +590,54 @@ def blocklist_gate(frontier: DataFrame, rules: DataFrame,
     over the broadcast array. The frontier is never shuffled, never
     fanned out — real category lists are a few million domains, well
     inside broadcast range, and a bigger list degrades to a shuffled
-    1:1 equi-join on the same unique keys."""
+    1:1 equi-join on the same unique keys.
+
+    Rule hygiene (real UT1 lists are messy — see
+    :func:`blocklist_rule_audit` for the counting form):
+
+    - a ``domain`` rule whose pattern is NOT its own registrable
+      domain (``ads.example.com``) can never match the frontier's
+      ``registrable_domain(host)`` key, so it is auto-DEMOTED to a
+      host rule — it blocks that exact host instead of silently
+      blocking nothing;
+    - a ``path`` rule with no ``/`` has no prefix to match and is
+      dropped (``instr()=0`` would otherwise store the whole pattern
+      as a prefix that can never match a ``/``-rooted path);
+    - path PREFIXES compare case-sensitively by design: URL paths are
+      case-sensitive (RFC 3986 §6.2.2.1 lowercases only scheme/host),
+      and ``url_path`` preserves case — lowercasing the rule side
+      would create matches the server namespace does not have. Hosts
+      and domains lowercase on both sides."""
     host = F.lower(Furl.url_host(F.col(url_col)))
     shaped = frontier.withColumn("_bl_host", host).withColumn(
         "_bl_dom", Furl.registrable_domain(F.col("_bl_host"))
     ).withColumn("_bl_path", Furl.url_path(F.col(url_col)))
 
+    dom_pat = F.lower(F.col(pattern_col))
+    dom_ok = Furl.registrable_domain(dom_pat) == dom_pat
     host_rules = (
-        rules.filter(F.col(kind_col) == "host")
+        rules.filter(
+            (F.col(kind_col) == "host")
+            # demoted lane: non-registrable domain patterns act as
+            # exact-host blocks (subdomain entries in real lists)
+            | ((F.col(kind_col) == "domain") & ~dom_ok)
+        )
         .select(F.lower(F.col(pattern_col)).alias("_bl_host"))
         .distinct()
         .withColumn("_hit_host", F.lit(True))
     )
     dom_rules = (
-        rules.filter(F.col(kind_col) == "domain")
-        .select(F.lower(F.col(pattern_col)).alias("_bl_dom"))
+        rules.filter((F.col(kind_col) == "domain") & dom_ok)
+        .select(dom_pat.alias("_bl_dom"))
         .distinct()
         .withColumn("_hit_dom", F.lit(True))
     )
     path_rules = (
-        rules.filter(F.col(kind_col) == "path")
+        rules.filter(
+            (F.col(kind_col) == "path")
+            # prefixless path rules are inert — drop, never mis-store
+            & (F.instr(F.col(pattern_col), "/") > 0)
+        )
         .select(
             F.lower(F.substring_index(F.col(pattern_col), "/", 1))
             .alias("_bl_host"),
@@ -643,4 +671,46 @@ def blocklist_gate(frontier: DataFrame, rules: DataFrame,
         .withColumn("blocked", F.col("block_reason").isNotNull())
         .drop("_bl_host", "_bl_dom", "_bl_path",
               "_hit_host", "_hit_dom", "_pp")
+    )
+
+
+def blocklist_rule_audit(rules: DataFrame,
+                         kind_col: str = "kind",
+                         pattern_col: str = "pattern") -> DataFrame:
+    """Load-time quality report for a blocklist rule table — run it
+    once per list ingest so silently-inert rules are COUNTED instead
+    of discovered by their absence from block statistics. Classifies
+    every rule into one ``issue`` per row:
+
+    - ``ok`` — well-formed for its declared kind;
+    - ``domain_not_registrable`` — a ``domain`` rule whose pattern is
+      not its own registrable domain (``ads.example.com``):
+      :func:`blocklist_gate` DEMOTES these to exact-host blocks (real
+      UT1 category lists carry many subdomain entries);
+    - ``path_no_slash`` — a ``path`` rule with no ``/``, dropped by
+      the gate (no prefix to match);
+    - ``empty_pattern`` / ``unknown_kind`` — unusable rows.
+
+    Returns ``(kind, issue, n_rules)``, one hash-groupBy over the
+    rule table (dimension-sized — never the frontier). Pure column
+    expressions, so the same audit runs unchanged on a 4M-row UT1
+    ingest."""
+    pat = F.lower(F.col(pattern_col))
+    issue = (
+        F.when(F.col(pattern_col).isNull() | (F.trim(pat) == ""),
+               F.lit("empty_pattern"))
+        .when(~F.col(kind_col).isin("host", "domain", "path"),
+              F.lit("unknown_kind"))
+        .when((F.col(kind_col) == "domain")
+              & (Furl.registrable_domain(pat) != pat),
+              F.lit("domain_not_registrable"))
+        .when((F.col(kind_col) == "path")
+              & (F.instr(F.col(pattern_col), "/") == 0),
+              F.lit("path_no_slash"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        rules.withColumn("issue", issue)
+        .groupBy(F.col(kind_col).alias("kind"), "issue")
+        .agg(F.count("*").alias("n_rules"))
     )

@@ -1268,6 +1268,16 @@ def winnow_pairs(
     systematically deflate boilerplate-heavy near-dups: the n_shared
     the valve removed would still sit in the denominator — review
     finding).
+
+    Cache lifetime contract: the persisted fingerprint projection is
+    deliberately NOT unpersisted here — the returned DataFrame is
+    lazy, and the cache must survive until the caller materializes it
+    (the persist-once benefit IS the reuse across the valve agg, the
+    size agg, and both self-join sides of that one materialization).
+    Sessions that run many queries (bench.py, long services) release
+    it with ``spark.catalog.clearCache()`` after materializing, or
+    cached blocks accumulate across queries and evict each other —
+    bench.py clears per row (r15 ADVICE closure).
     """
     fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window).persist()
     inv = fps.select(

@@ -13180,8 +13180,16 @@ def _q_warc_revisit_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = os.path.join(_SCRATCH_DIR, f"warc_revisit_{tag}")
-    Fwarc.write_warc(staged.repartition(4), out, gzip_members=True,
-                     revisit_of_col="revisit_of")
+    # size-targeted sharding (r14 verdict order 7): shard count comes
+    # from the dump's estimated bytes via plan_shard_count, not a
+    # hard-coded partition number — the knob a 100 TB export turns
+    # (~1 GiB/shard in production; 256 KiB here so the sf0.1 fixture
+    # exercises the multi-shard path). `staged` derives from the
+    # persisted `resp`, so the estimate pass re-reads cache, not the
+    # container scan. A/B vs the fixed repartition(4) in BASELINE.md.
+    Fwarc.write_warc(staged, out, gzip_members=True,
+                     revisit_of_col="revisit_of",
+                     target_shard_bytes=256 * 1024)
     back = Fwarc.read_warc(spark, out, columns=[
         "warc_type", "target_uri", "payload_len", "refers_to",
         "payload_digest"])
@@ -13990,6 +13998,21 @@ from frontier group by domain, verdict
 """
 
 
+def _first_zip_value(keys_col: str, vals_col: str, key: str):
+    """First-wins keyed lookup over two positionally aligned arrays:
+    the value paired with the FIRST occurrence of ``key`` in
+    ``keys_col``, NULL when absent. ``filter`` + ``F.get`` on the
+    zipped pairs — the duplicate-tolerant replacement for
+    ``element_at(map_from_arrays(...), key)``, which throws under
+    Spark's default ``mapKeyDedupPolicy=EXCEPTION`` when the key
+    column carries duplicates (real pages declare the same hreflang
+    twice). ``F.get`` is index-NULL-safe in every SQL mode, so an
+    absent key degrades to NULL for the enclosing coalesce."""
+    pairs = F.arrays_zip(F.col(keys_col), F.col(vals_col))
+    hit = F.filter(pairs, lambda p: p[keys_col] == F.lit(key))
+    return F.get(hit, 0)[vals_col]
+
+
 def _q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multilingual variant clusters from ``rel=alternate hreflang``
     declarations (``Fhtml.hreflang_langs``/``hreflang_hrefs`` —
@@ -14030,11 +14053,15 @@ def _q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.size("langs").alias("n_variants"),
         F.array_contains("langs", "x-default").alias("has_default"),
-        # family representative: the x-default href, else the en href
+        # family representative: the x-default href, else the en href.
+        # FIRST-WINS lookup over the zipped (lang, href) pairs — NOT
+        # map_from_arrays, whose default mapKeyDedupPolicy=EXCEPTION
+        # would make a page that declares the same hreflang twice
+        # (common in the wild) THROW instead of degrade (r14 verdict
+        # order 4); duplicate declarations now resolve to the first.
         F.coalesce(
-            F.element_at(F.map_from_arrays("langs", "hrefs"),
-                         "x-default"),
-            F.element_at(F.map_from_arrays("langs", "hrefs"), "en"),
+            _first_zip_value("langs", "hrefs", "x-default"),
+            _first_zip_value("langs", "hrefs", "en"),
         ).alias("family_key"),
     )
     return shaped.groupBy("n_variants").agg(
@@ -14381,6 +14408,182 @@ select domain,
        sum(case when nofollow then 2 else 0 end)::bigint
          as n_links_suppressed
 from pages group by domain
+"""
+
+
+
+# --------------------------------------------------------------------------
+# Round 15: script-composition profiling, corpus concentration audit,
+# blocklist rule hygiene (the load-time audit the r14 verdict ordered).
+# --------------------------------------------------------------------------
+
+def _q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-composition profile — the script-coherence signal
+    multilingual curation and spam filtering both need: real documents
+    are script-coherent, keyword-stuffed spam and homoglyph attacks
+    (Cyrillic characters inside Latin words) mix scripts character by
+    character. `Ftext.script_counts` / `dominant_script` /
+    `script_mix_ratio` are one codegen regex-length expression per
+    script class (Java \\p{IsXxx}); the oracle re-derives every count
+    ARITHMETICALLY from the fixture congruences (the snippets carry a
+    known number of single-script characters), so the regex path is
+    checked against exact integer truth, not another regex. Cohorts:
+    every 7th doc is Cyrillic-based, every 3rd carries a Cyrillic
+    suffix, every 4th a Han suffix, every 5th a Greek suffix. One
+    hash-groupBy on the derived script key; integer basis-point mix
+    ratios (floor — cast semantics differ across engines)."""
+    part = load_table(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    text = F.concat(
+        F.when(i % 7 == 0, F.lit("\u041e\u0431\u0437\u043e\u0440 \u043f\u0440\u043e\u0434\u0443\u043a\u0442\u0430 "))
+        .otherwise(F.lit("Product review ")),
+        i.cast("string"),
+        F.when(i % 3 == 0, F.lit(" \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440")).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.lit(" \u4e2d\u6587\u5185\u5bb9")).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit(" \u03b5\u03bb\u03bb\u03b7\u03bd\u03b9\u03ba\u03ac")).otherwise(F.lit("")),
+    )
+    docs = part.select(i.alias("k"), text.alias("text"))
+    shaped = docs.select(
+        Ftext.dominant_script(F.col("text")).alias("script"),
+        Ftext.script_mix_ratio(F.col("text")).alias("mix_bp"),
+    )
+    return shaped.groupBy("script").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("mix_bp") > 2000, 1).otherwise(0)).cast("long")
+        .alias("n_mixed"),
+        F.sum("mix_bp").cast("long").alias("sum_mix_bp"),
+    )
+
+
+_ORACLE_SCRIPT_MIX = """
+with counts as (
+  select p_partkey as k,
+         case when p_partkey % 7 = 0 then 0 else 13 end as lat,
+         (case when p_partkey % 7 = 0 then 13 else 0 end)
+           + (case when p_partkey % 3 = 0 then 9 else 0 end) as cyr,
+         case when p_partkey % 4 = 0 then 4 else 0 end as han,
+         case when p_partkey % 5 = 0 then 8 else 0 end as grk
+  from part),
+scored as (
+  select k, lat + cyr + han + grk as total,
+         greatest(lat, cyr, han, grk) as dom,
+         case when lat >= cyr and lat >= han and lat >= grk then 'Latin'
+              else 'Cyrillic' end as script
+  from counts),
+mixed as (
+  select script,
+         floor((total - dom) * 10000.0 / total)::bigint as mix_bp
+  from scored)
+select script, count(*)::bigint as n_docs,
+       sum(case when mix_bp > 2000 then 1 else 0 end)::bigint as n_mixed,
+       sum(mix_bp)::bigint as sum_mix_bp
+from mixed group by script
+"""
+
+
+def _q_domain_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration audit per source — the diversity gate a
+    curation run applies before training: a source whose documents
+    concentrate on a handful of domains (HHI high, top share high)
+    contributes less diversity than its row count suggests, and domain
+    caps (C4/RefinedWeb both cap per-domain share) are sized from
+    exactly these numbers. Domain key derived from doc_id by the
+    fixture congruence (97 synthetic domains). Two hash-groupBys
+    (domain counts, then per-source moments); HHI and top-share in
+    integer basis points via exact long arithmetic + floor, so both
+    engines hash identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    by_dom = (
+        docs.select(
+            "source",
+            # congruence domain key, NOT hash(): Spark's Murmur3 has no
+            # DuckDB twin; the quadratic residue spreads docs unevenly
+            # across 97 domains so HHI/top-share are non-degenerate
+            F.concat(F.lit("d"),
+                     ((F.col("doc_id") * F.col("doc_id")
+                       + F.col("doc_id")) % 97).cast("string"))
+            .alias("domain"),
+        )
+        .groupBy("source", "domain")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return by_dom.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_domains"),
+        F.floor(F.max("n") * F.lit(10000) / F.sum("n")).cast("long")
+        .alias("top_share_bp"),
+        F.floor(F.sum(F.col("n") * F.col("n")) * F.lit(10000)
+                / (F.sum("n") * F.sum("n"))).cast("long")
+        .alias("hhi_bp"),
+    )
+
+
+_ORACLE_DOMAIN_CONCENTRATION = """
+with by_dom as (
+  select source, 'd' || ((doc_id * doc_id + doc_id) % 97)::varchar as domain,
+         count(*)::bigint as n
+  from documents group by source, domain)
+select source,
+       sum(n)::bigint as n_docs,
+       count(*)::bigint as n_domains,
+       floor(max(n) * 10000.0 / sum(n))::bigint as top_share_bp,
+       floor(sum(n * n) * 10000.0 / (sum(n) * sum(n)))::bigint as hhi_bp
+from by_dom group by source
+"""
+
+
+def _q_blocklist_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-time blocklist rule hygiene (r14 verdict order 3): real
+    UT1 category lists carry subdomain entries under `domain` kind and
+    malformed path rows; the audit counts every silently-inert class
+    BEFORE the gate runs, so list quality is a measured number, not a
+    discovery made from missing block statistics. Rule table
+    synthesized from part by congruence (every other domain rule a
+    non-registrable subdomain pattern -> the gate's demoted lane;
+    every 3rd path rule prefixless -> dropped). One hash-groupBy over
+    the dimension-sized rule table; `blocklist_rule_audit` is the same
+    column expressions a 4M-row ingest would run."""
+    from restaurant_etl_code_spark.operators import crawl
+
+    part = load_table(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    ks = i.cast("string")
+    rules = part.select(
+        F.when(i % 4 < 2, F.lit("domain"))
+        .when(i % 4 == 2, F.lit("host")).otherwise(F.lit("path"))
+        .alias("kind"),
+        F.when(
+            (i % 4 < 2) & (i % 2 == 0),
+            F.concat(F.lit("brand"), ks, F.lit(".com")),
+        ).when(
+            i % 4 < 2,
+            F.concat(F.lit("ads.brand"), ks, F.lit(".com")),
+        ).when(
+            i % 4 == 2,
+            F.concat(F.lit("cdn.brand"), ks, F.lit(".com")),
+        ).when(
+            i % 3 == 0,
+            F.concat(F.lit("brand"), ks, F.lit(".com")),  # no slash
+        ).otherwise(
+            F.concat(F.lit("brand"), ks, F.lit(".com/casino")),
+        ).alias("pattern"),
+    )
+    return crawl.blocklist_rule_audit(rules).withColumn(
+        "n_rules", F.col("n_rules").cast("long"))
+
+
+_ORACLE_BLOCKLIST_AUDIT = """
+with rules as (
+  select case when p_partkey % 4 < 2 then 'domain'
+              when p_partkey % 4 = 2 then 'host' else 'path' end as kind,
+         case when p_partkey % 4 < 2 and p_partkey % 2 = 0 then 'ok'
+              when p_partkey % 4 < 2 then 'domain_not_registrable'
+              when p_partkey % 4 = 2 then 'ok'
+              when p_partkey % 3 = 0 then 'path_no_slash'
+              else 'ok' end as issue
+  from part)
+select kind, issue, count(*)::bigint as n_rules
+from rules group by kind, issue
 """
 
 
@@ -15201,6 +15404,19 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_robots_meta_gate, _ORACLE_ROBOTS_META,
         "page-level indexability merged from meta robots AND the "
         "X-Robots-Tag header; nofollow suppresses link harvest"),
+    "script_mix": QueryDef(
+        _q_script_mix, _ORACLE_SCRIPT_MIX,
+        "Unicode script-composition profile: dominant script + "
+        "basis-point mix ratio vs arithmetic truth (homoglyph/spam "
+        "signal)"),
+    "domain_concentration": QueryDef(
+        _q_domain_concentration, _ORACLE_DOMAIN_CONCENTRATION,
+        "per-source corpus concentration: domain HHI + top share in "
+        "integer basis points (the domain-cap sizing audit)"),
+    "blocklist_rule_audit": QueryDef(
+        _q_blocklist_rule_audit, _ORACLE_BLOCKLIST_AUDIT,
+        "load-time blocklist rule hygiene: counts silently-inert "
+        "classes (non-registrable domain rules, prefixless paths)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -15217,59 +15433,61 @@ _REGISTRY: dict[str, QueryDef] = {
 # applies the policy above; hand-maintained rotation notes failed in
 # r6/r7 and miscounted in r8, so the tool's output is authoritative.)
 #
-# r14 window provenance (ledger as of r13, tools/freshness.py --window 50
-# --as-of 13): the fifteen never-checked round-14 queries at the
-# front, then the stalest (r09) cohort, plus the two anchors.
-_WINDOW_ROUND = 13  # ledger state this window was generated from
+# r15 window provenance (ledger as of r14, tools/freshness.py --window 50
+# --as-of 14): the three never-checked round-15 queries at the front,
+# then the stalest cohort — thirteen r09 rows, then the r10 block (48
+# registry queries were last driver-checked at r10), plus the two
+# anchors.
+_WINDOW_ROUND = 14  # ledger state this window was generated from
 _WINDOW_FIRST = [
-    "warc_revisit_export",  # never-checked
-    "cdx_parquet_lookup",  # never-checked
-    "html_metadata_extract",  # never-checked
-    "html_table_extract",  # never-checked
-    "warc_cache_validators",  # never-checked
-    "feed_recrawl",  # never-checked
-    "web_graph_hits",  # never-checked
-    "url_template_mining",  # never-checked
-    "change_rate_schedule",  # never-checked
-    "blocklist_gate",  # never-checked
-    "hreflang_clusters",  # never-checked
-    "lang_agreement_audit",  # never-checked
-    "extraction_yield",  # never-checked
-    "web_graph_degrees",  # never-checked
-    "robots_meta_gate",  # never-checked
-    "industry_resolve",  # latest=r09
-    "update_fields",  # latest=r09
-    "distinct_categories",  # latest=r09
-    "stratified_split",  # latest=r09
-    "tfidf_top_terms",  # latest=r09
-    "decontaminate",  # latest=r09
-    "stats_moments",  # latest=r09
-    "pii_scrub",  # latest=r09
-    "doc_chunks",  # latest=r09
-    "repetition_signals",  # latest=r09
-    "group_sample",  # latest=r09
-    "rolling_stats",  # latest=r09
-    "csv_scan_agg",  # latest=r09
-    "json_scan_agg",  # latest=r09
-    "scd2_history",  # latest=r09
-    "sliding_window",  # latest=r09
-    "stream_stream_join",  # latest=r09
-    "histogram",  # latest=r09
-    "weighted_sample",  # latest=r09
-    "heavy_hitters",  # latest=r09
-    "bloom_prune_join",  # latest=r09
-    "zorder_scan",  # latest=r09
-    "streaming_dedup_watermark",  # latest=r09
-    "sketch_overlap",  # latest=r09
-    "corpus_curation",  # latest=r09
-    "incremental_agg",  # latest=r09
-    "mdb_scan_agg",  # latest=r09
-    "simhash_pairs_banded",  # latest=r09
-    "pdf_menu_extract",  # latest=r09
-    "mixture_sample",  # latest=r09
-    "contamination_score",  # latest=r09
-    "containment_pairs",  # latest=r09
-    "cdc_snapshot",  # latest=r09
+    "script_mix",  # never-checked
+    "domain_concentration",  # never-checked
+    "blocklist_rule_audit",  # never-checked
+    "semantic_dedup",  # latest=r09
+    "winnow_dedup_pairs",  # latest=r09
+    "split_leakage_guard",  # latest=r09
+    "dup_cluster_sizes",  # latest=r09
+    "tokenizer_fertility",  # latest=r09
+    "hybrid_rrf_topk",  # latest=r09
+    "matryoshka_recall",  # latest=r09
+    "dedup_rate_by_source",  # latest=r09
+    "decayed_engagement",  # latest=r09
+    "robust_outliers",  # latest=r09
+    "basket_triangles",  # latest=r09
+    "winnow_recall",  # latest=r09
+    "basket_kcore",  # latest=r09
+    "unigram_logprob",  # latest=r10
+    "minhash_estimate",  # latest=r10
+    "bm25_topk",  # latest=r10
+    "boilerplate_ngrams",  # latest=r10
+    "corpus_profile",  # latest=r10
+    "char_entropy",  # latest=r10
+    "streaming_quality_gate",  # latest=r10
+    "ann_recall",  # latest=r10
+    "orc_scan_agg",  # latest=r10
+    "quality_classifier",  # latest=r10
+    "stats_prune_scan",  # latest=r10
+    "embedding_covariance",  # latest=r10
+    "incremental_quantile",  # latest=r10
+    "kfold_split",  # latest=r10
+    "retrieval_eval",  # latest=r10
+    "funnel",  # latest=r10
+    "cohort_retention",  # latest=r10
+    "event_transitions",  # latest=r10
+    "concurrency_sweep",  # latest=r10
+    "dq_audit",  # latest=r10
+    "time_resample",  # latest=r10
+    "winsorize",  # latest=r10
+    "pagerank",  # latest=r10
+    "basket_pairs",  # latest=r10
+    "anomaly_hours",  # latest=r10
+    "funnel_windowed",  # latest=r10
+    "approx_distinct_audit",  # latest=r10
+    "asof_tolerance",  # latest=r10
+    "point_in_time",  # latest=r10
+    "trend_fit",  # latest=r10
+    "knn_graph",  # latest=r10
+    "streaming_funnel",  # latest=r10
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -741,7 +741,7 @@ def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
     # fresh export would NOT overwrite one-for-one (different partition
     # count → different shard names), so the manifest would list stale
     # shards and break its complete-publish guarantee. Clear them first.
-    _clear_stale(out_dir, "part-")
+    _clear_stale(out_dir, "part-", "_manifest.paths")
 
     def write_partition(rows) -> None:
         from pyspark import TaskContext
@@ -805,20 +805,28 @@ def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
         os.replace(tmp, os.path.join(out_dir, "_manifest.paths"))
 
 
-def _clear_stale(out_dir: str, prefix: str) -> None:
-    """Remove a previous publish's shards (and orphaned ``.inprogress``
-    temps) under ``out_dir`` so a re-publish can never leave the
-    manifest/idx pointing at shards from an older run — a fresh export
-    with a different partition count would not overwrite old shard
-    names one-for-one."""
+def _clear_stale(out_dir: str, prefix: str, marker: str) -> None:
+    """Remove a previous publish's COMPLETION MARKER first
+    (``_manifest.paths`` / ``_cluster.idx`` — whichever this publish
+    type owns), then its shards and orphaned ``.inprogress`` temps, so
+    a re-publish can never leave a marker pointing at shards from an
+    older run — a fresh export with a different partition count would
+    not overwrite old shard names one-for-one, and a republish that
+    crashes AFTER clearing shards but BEFORE the new marker write must
+    read as detectably incomplete (no marker), not as a 'complete'
+    publish with missing shards. The marker-deleted-first ordering is
+    what preserves the 'marker written LAST marks a complete publish'
+    contract across crashes. Only the OWN marker is cleared: a warc
+    dump republish must not invalidate a co-located CDX publish."""
     import os
 
-    for name in os.listdir(out_dir):
-        if name.startswith(prefix):
-            try:
-                os.remove(os.path.join(out_dir, name))
-            except OSError:
-                pass
+    names = os.listdir(out_dir)
+    for name in [n for n in names if n == marker] + \
+            [n for n in names if n.startswith(prefix)]:
+        try:
+            os.remove(os.path.join(out_dir, name))
+        except OSError:
+            pass
 
 
 def write_cdx(cdx: DataFrame, out_dir: str, *, n_shards: int = 4,
@@ -846,7 +854,7 @@ def write_cdx(cdx: DataFrame, out_dir: str, *, n_shards: int = 4,
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
-    _clear_stale(out_dir, "cdx-")  # republish safety (see _clear_stale)
+    _clear_stale(out_dir, "cdx-", "_cluster.idx")  # republish safety (see _clear_stale)
     cols = [urlkey_col] + [c for c in cdx.columns if c != urlkey_col]
     shaped = (
         cdx.select(*cols)

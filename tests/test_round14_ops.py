@@ -186,16 +186,18 @@ def test_retake_set_orders_movers_and_caps():
     prev = {"a": 1.0, "b": 0.95, "c": 1.0, "tiny": 0.01}
     anchor = {"a": 0.9, "b": 1.0}
     names = bench.retake_set(timings, ["b"], prev, anchor)
-    # c is the worst mover (5x), a next (2.22x vs anchor); b is included
-    # via contamination even though its ratio is quiet; tiny is below
-    # DRIFT_MIN_SEC; new has no reference row
-    assert names[0] == "c"
-    assert "a" in names and "b" in names
+    # contaminated rows rank FIRST (r15 ADVICE: the cap must never drop
+    # them), then worst movers: c (5x), then a (2.22x vs anchor); tiny
+    # is below DRIFT_MIN_SEC; new has no reference row
+    assert names[:3] == ["b", "c", "a"]
     assert "tiny" not in names and "new" not in names
     # cap respected
     big = {f"q{i}": 10.0 for i in range(100)}
     prev_big = {f"q{i}": 1.0 for i in range(100)}
     assert len(bench.retake_set(big, [], prev_big, {})) == bench.RETAKE_MAX
+    # contaminated rows survive the cap even with RETAKE_MAX+ movers
+    names = bench.retake_set(big, ["q99"], prev_big, {})
+    assert "q99" in names and names[0] == "q99"
 
 
 def test_merge_retakes_min_of_quiet_takes():

@@ -1,0 +1,199 @@
+"""Round-15 unit tests: ADVICE closures (marker-first republish
+clearing, blocklist rule hygiene + audit, per-quote-style og_content /
+hreflang value capture, hreflang duplicate-declaration tolerance) and
+the bench warm-up protocol surface."""
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.functions import htmltext as Fhtml
+from restaurant_etl_code_spark.operators import crawl
+from restaurant_etl_code_spark.sources import warc as W
+
+
+# ------------------------------- marker-first republish clearing
+
+def test_clear_stale_removes_marker_and_own_shards_only(tmp_path):
+    # r15 ADVICE (medium): a republish that crashes between clearing
+    # shards and the final marker write must read as INCOMPLETE (no
+    # marker), never as a 'complete' publish pointing at deleted
+    # shards — so _clear_stale deletes the marker FIRST, and only the
+    # publish type's OWN marker (a warc republish must not invalidate
+    # a co-located CDX publish).
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "part-00000.warc").write_text("old shard")
+    (d / "part-00001.warc.inprogress").write_text("orphan temp")
+    (d / "_manifest.paths").write_text("part-00000.warc\t9\n")
+    (d / "cdx-00000").write_text("co-located cdx shard")
+    (d / "_cluster.idx").write_text("com,example)/\tcdx-00000\n")
+    W._clear_stale(str(d), "part-", "_manifest.paths")
+    left = sorted(os.listdir(d))
+    assert "_manifest.paths" not in left          # own marker gone
+    assert not any(n.startswith("part-") for n in left)
+    assert "cdx-00000" in left and "_cluster.idx" in left  # untouched
+
+
+# ------------------------------- blocklist rule hygiene + audit
+
+def test_blocklist_demotes_non_registrable_domain_rules(spark):
+    # r14 verdict order 3: (domain, 'ads.example.com') used to join
+    # against registrable_domain(host) and silently never match; it
+    # now acts as an exact-host block.
+    frontier = spark.createDataFrame(
+        [("https://ads.example.com/x", 1),     # demoted rule hits host
+         ("https://sub.ads.example.com/y", 2),  # NOT its subdomains
+         ("https://example.com/z", 3)],         # registrable dom clean
+        "url string, k int")
+    rules = spark.createDataFrame(
+        [("domain", "ads.example.com")], "kind string, pattern string")
+    out = {r["k"]: (r["blocked"], r["block_reason"])
+           for r in crawl.blocklist_gate(frontier, rules).collect()}
+    assert out[1] == (True, "host")
+    assert out[2] == (False, None)
+    assert out[3] == (False, None)
+
+
+def test_blocklist_pathless_path_rules_are_inert_not_misstored(spark):
+    # r15 ADVICE (low): a path rule with no '/' used to store the
+    # whole pattern as a prefix that can never match — and with
+    # instr()=0 the host side was ALSO the whole pattern, so the rule
+    # was doubly malformed. It must now be dropped cleanly.
+    frontier = spark.createDataFrame(
+        [("https://example.com/anything", 1)], "url string, k int")
+    rules = spark.createDataFrame(
+        [("path", "example.com")], "kind string, pattern string")
+    out = crawl.blocklist_gate(frontier, rules).collect()[0]
+    assert out["blocked"] is False and out["block_reason"] is None
+
+
+def test_blocklist_path_prefix_case_sensitivity_documented(spark):
+    # URL paths are case-sensitive (RFC 3986): /Casino does not match
+    # a /casino rule — the documented contract, pinned here
+    frontier = spark.createDataFrame(
+        [("https://shop.example.org/Casino/slots", 1),
+         ("https://shop.example.org/casino/slots", 2)],
+        "url string, k int")
+    rules = spark.createDataFrame(
+        [("path", "shop.example.org/casino")], "kind string, pattern string")
+    out = {r["k"]: r["blocked"]
+           for r in crawl.blocklist_gate(frontier, rules).collect()}
+    assert out[1] is False and out[2] is True
+
+
+def test_blocklist_rule_audit_classes(spark):
+    rules = spark.createDataFrame(
+        [("host", "ads.example.com"),
+         ("domain", "example.com"),            # ok
+         ("domain", "ads.example.com"),        # not registrable: demoted
+         ("path", "example.com/casino"),       # ok
+         ("path", "example.com"),              # no slash: dropped
+         ("regex", ".*"),                      # unknown kind
+         ("host", "  ")],                      # empty pattern
+        "kind string, pattern string")
+    out = {(r["kind"], r["issue"]): r["n_rules"]
+           for r in crawl.blocklist_rule_audit(rules).collect()}
+    assert out[("host", "ok")] == 1
+    assert out[("domain", "ok")] == 1
+    assert out[("domain", "domain_not_registrable")] == 1
+    assert out[("path", "ok")] == 1
+    assert out[("path", "path_no_slash")] == 1
+    assert out[("regex", "unknown_kind")] == 1
+    assert out[("host", "empty_pattern")] == 1
+
+
+# ------------------------------- per-quote-style value capture
+
+def test_og_content_apostrophe_inside_double_quotes(spark):
+    # r15 ADVICE (low): [^"']* excluded BOTH quote chars regardless of
+    # delimiter, so content="Tom's Diner" returned NULL. Only the
+    # delimiting quote terminates the value now.
+    html = ('<meta property="og:title" content="Tom\'s Diner"/>'
+            "<meta property='og:description' content='He said \"hi\"'/>"
+            '<meta content="A \'quoted\' word" property="og:site_name"/>')
+    row = spark.createDataFrame([(html,)], "h string").select(
+        Fhtml.og_content(F.col("h"), "title").alias("t"),
+        Fhtml.og_content(F.col("h"), "description").alias("d"),
+        Fhtml.og_content(F.col("h"), "site_name").alias("s"),
+        Fhtml.og_content(F.col("h"), "image").alias("absent"),
+    ).first()
+    assert row["t"] == "Tom's Diner"
+    assert row["d"] == 'He said "hi"'
+    assert row["s"] == "A 'quoted' word"       # reversed attribute order
+    assert row["absent"] is None
+
+
+def test_hreflang_apostrophe_inside_double_quotes(spark):
+    html = ('<link rel="alternate" hreflang="en" '
+            'href="https://e/tom\'s-diner"/>'
+            "<link rel='alternate' hreflang='de' href='https://e/de'/>")
+    row = spark.createDataFrame([(html,)], "h string").select(
+        Fhtml.hreflang_langs(F.col("h")).alias("l"),
+        Fhtml.hreflang_hrefs(F.col("h")).alias("u")).first()
+    assert row["l"] == ["en", "de"]
+    assert row["u"] == ["https://e/tom's-diner", "https://e/de"]
+
+
+# ------------------------------- hreflang duplicate declarations
+
+def test_hreflang_duplicate_declaration_degrades_not_throws(spark):
+    # r14 verdict order 4: a page declaring the same hreflang twice
+    # (common in the wild) made map_from_arrays throw under the
+    # default mapKeyDedupPolicy=EXCEPTION; the family key now resolves
+    # first-wins.
+    from restaurant_etl_code_spark.plans.testdata_queries import (
+        _first_zip_value)
+    df = spark.createDataFrame(
+        [(["en", "en", "de"], ["https://e/en1", "https://e/en2",
+                               "https://e/de"])],
+        "langs array<string>, hrefs array<string>")
+    row = df.select(
+        _first_zip_value("langs", "hrefs", "en").alias("en"),
+        _first_zip_value("langs", "hrefs", "de").alias("de"),
+        _first_zip_value("langs", "hrefs", "fr").alias("fr")).first()
+    assert row["en"] == "https://e/en1"   # FIRST declaration wins
+    assert row["de"] == "https://e/de"
+    assert row["fr"] is None              # absent degrades to NULL
+
+
+# ------------------------------- bench warm-up protocol
+
+def test_warmup_rows_default_set():
+    import bench
+    # the ramp-dominated row the r14 verdict names, plus the
+    # persist-once rows whose committed series is the warm state
+    assert "dedup_recall" in bench.WARMUP_ROWS
+    assert "winnow_dedup_pairs" in bench.WARMUP_ROWS
+    assert "warc_fetch_latency" in bench.WARMUP_ROWS
+    assert "cdx_incremental_merge" in bench.WARMUP_ROWS
+
+
+# ------------------------------- Unicode script composition
+
+def test_script_counts_and_dominant(spark):
+    from restaurant_etl_code_spark.functions import text as Ftext
+    df = spark.createDataFrame(
+        [("Hello world",),            # pure Latin
+         ("Привет мир",),             # pure Cyrillic
+         ("Hello Привет 中文",),      # mixed
+         ("12345 !!!",),              # no scripted chars at all
+         ("pаypаl",)],                # homoglyph: Cyrillic 'а' in Latin word
+        "t string")
+    rows = df.select(
+        Ftext.dominant_script(F.col("t")).alias("dom"),
+        Ftext.script_mix_ratio(F.col("t")).alias("mix"),
+        *[v.alias(k.lower()) for k, v in
+          Ftext.script_counts(F.col("t")).items()],
+    ).collect()
+    assert rows[0]["dom"] == "Latin" and rows[0]["mix"] == 0
+    assert rows[1]["dom"] == "Cyrillic" and rows[1]["mix"] == 0
+    assert rows[2]["dom"] == "Cyrillic"   # 6 Cyrillic > 5 Latin > 2 Han
+    assert rows[2]["latin"] == 5 and rows[2]["cyrillic"] == 6 \
+        and rows[2]["han"] == 2
+    assert rows[2]["mix"] == (7 * 10000) // 13
+    # digits/punctuation are unscripted: no dominant script, NULL ratio
+    assert rows[3]["dom"] == "other" and rows[3]["mix"] is None
+    # the homoglyph spam case: mixed scripts INSIDE one word flag > 0
+    assert rows[4]["mix"] > 0 and rows[4]["dom"] == "Latin"

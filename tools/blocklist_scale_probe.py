@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Scale probe for the URL blocklist gate at realistic list size — the
+UT1 category lists real curation runs gate against are ~4M domains
+(r14 verdict order 3). Synthetic rule tables (host/domain/path mix in
+UT1's rough proportions: mostly domain rules) are swept across sizes
+against a fixed frontier, and for each size the probe records wall
+time plus the physical join AQE actually executed for the gate's
+domain-rule lane (BroadcastHashJoin while the deduplicated rule table
+fits `spark.sql.autoBroadcastJoinThreshold`, SortMergeJoin past it) —
+pinning the broadcast→shuffled-1:1 crossover the gate's docstring
+promises. Also times the frontier sweep at a fixed rule count (10× the
+frontier) to show gate cost tracks the FRONTIER, not rules × frontier:
+every lane is a 1:1 join on a deduplicated key, no fan-out surface.
+
+Includes the load-time rule audit (`blocklist_rule_audit`) over the
+largest rule table so the hygiene pass's cost is measured at the same
+scale (one hash-groupBy over the rule table — dimension-sized work).
+
+Usage: python tools/blocklist_scale_probe.py [N_FRONTIER] [RULE_SIZES...]
+       (default 200k frontier; rules 10k, 100k, 1M, 4M)
+Prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark import get_spark
+from restaurant_etl_code_spark.operators.crawl import (
+    blocklist_gate, blocklist_rule_audit)
+
+
+def frontier(spark, n: int):
+    """URLs over a 100k-host space: ~1/8 of hosts land in a 4M-rule
+    list, so the gate has real hit traffic at every swept size."""
+    return spark.range(n).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 100_000).cast("string"),
+            F.lit(".example"),
+            # deterministic TLD mix (suffix diversity for the domain key)
+            F.when(F.col("id") % 3 == 0, F.lit(".com"))
+            .when(F.col("id") % 3 == 1, F.lit(".net")).otherwise(F.lit(".org")),
+            F.lit("/p/"), F.col("id").cast("string"),
+        ).alias("url"),
+        F.col("id"),
+    )
+
+
+def rules(spark, n: int):
+    """UT1-shaped rule table: 90% domain rules (incl. every 10th a
+    non-registrable subdomain pattern — the demoted lane), 8% host,
+    2% path. Patterns hit the frontier's host space for ids < 100k/8."""
+    base = spark.range(n).select(F.col("id"))
+    host_part = F.concat(
+        F.lit("h"), (F.col("id") % 800_000).cast("string"), F.lit(".example"),
+        F.when(F.col("id") % 3 == 0, F.lit(".com"))
+        .when(F.col("id") % 3 == 1, F.lit(".net")).otherwise(F.lit(".org")))
+    return base.select(
+        F.when(F.col("id") % 50 < 45, F.lit("domain"))
+        .when(F.col("id") % 50 < 49, F.lit("host"))
+        .otherwise(F.lit("path")).alias("kind"),
+        F.when(
+            F.col("id") % 50 >= 49,  # path rules carry a prefix
+            F.concat(host_part, F.lit("/casino")),
+        ).when(
+            (F.col("id") % 50 < 45) & (F.col("id") % 10 == 0),
+            # non-registrable domain pattern -> demoted to host lane
+            F.concat(F.lit("ads."), host_part),
+        ).otherwise(host_part).alias("pattern"),
+    )
+
+
+def join_strategies(df) -> list[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out = []
+    for tok in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        c = plan.count(tok)
+        if c:
+            out.append(f"{tok}:{c}")
+    return out
+
+
+def gate_take(spark, n_frontier: int, n_rules: int) -> dict:
+    fr = frontier(spark, n_frontier)
+    rl = rules(spark, n_rules)
+    t0 = time.time()
+    df = blocklist_gate(fr, rl)
+    blocked = df.filter("blocked").count()
+    sec = time.time() - t0
+    return {
+        "rules": n_rules,
+        "sec": round(sec, 2),
+        "blocked": blocked,
+        "joins": join_strategies(df),
+    }
+
+
+def main() -> int:
+    n_frontier = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    sizes = ([int(a) for a in sys.argv[2:]]
+             or [10_000, 100_000, 1_000_000, 4_000_000])
+    spark = get_spark("blocklist-scale-probe")
+    gate_take(spark, 10_000, 10_000)  # warm
+    sweep = [gate_take(spark, n_frontier, m) for m in sizes]
+
+    # frontier sweep at fixed 1M rules: cost must track the frontier
+    fr_sweep = []
+    for nf in (n_frontier, n_frontier * 10):
+        take = gate_take(spark, nf, 1_000_000)
+        fr_sweep.append({"frontier": nf, "sec": take["sec"],
+                         "blocked": take["blocked"]})
+
+    # rule audit at the largest size: one hash-groupBy over the rules
+    t0 = time.time()
+    audit = {f'{r["kind"]}/{r["issue"]}': r["n_rules"]
+             for r in blocklist_rule_audit(rules(spark, sizes[-1])).collect()}
+    audit_sec = round(time.time() - t0, 2)
+
+    print(json.dumps({
+        "frontier": n_frontier,
+        "rule_sweep": sweep,
+        "frontier_sweep": fr_sweep,
+        "frontier_ratio": round(fr_sweep[1]["sec"] / fr_sweep[0]["sec"], 2),
+        "audit": audit,
+        "audit_sec": audit_sec,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1226,6 +1226,30 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython",
                   "BroadcastNestedLoopJoin"],
     },
+    "script_mix": {
+        # per-script regex-length counters are row-local codegen; one
+        # hash-groupBy on the derived script key, zero joins, zero Python
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin",
+                  "Window"],
+    },
+    "domain_concentration": {
+        # two-level counter agg (domain counts -> per-source moments);
+        # the documents scan reads only (source, doc_id), zero joins
+        "want": ["HashAggregate", "ReadSchema: struct<doc_id:bigint,source:string>"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin",
+                  "Window"],
+    },
+    "blocklist_rule_audit": {
+        # one hash-groupBy over the dimension-sized rule table; the
+        # issue classifier is a row-local codegen case chain
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin",
+                  "Window"],
+    },
 }
 
 

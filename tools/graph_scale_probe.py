@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Scale probe for the web-graph family (r14 verdict order 6):
+`web_graph_hits` / `web_graph_degrees` / `web_graph_pagerank` all share
+the corpus→domain-edge collapse, so the claim that needs pinning is
+that the ITERATIVE cost tracks GRAPH size (distinct domain edges), not
+corpus size, and that the per-round localCheckpoint keeps lineage —
+and therefore per-round wall time — flat instead of compounding.
+
+Two sweeps, one JSON line:
+
+- corpus sweep: a synthetic link corpus at N and K*N page-level links
+  over a FIXED domain space (the realistic shape — a bigger crawl of
+  the same web). After the collapse the edge list is identical, so
+  hits/pagerank cost should move only by the collapse's share.
+- graph sweep: domain space grown 10× at fixed corpus multiplicity —
+  the iterative cost itself, expected ~linear in edges.
+
+Per-round flatness: pagerank at 3 vs 9 iterations — with per-round
+localCheckpoint the marginal cost per extra round must stay ~constant
+(a compounding-lineage plan goes superlinear).
+
+Usage: python tools/graph_scale_probe.py [N] [K]   (default 300k, 10)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark import get_spark
+from restaurant_etl_code_spark.operators.graph import hits, pagerank
+
+
+def link_corpus(spark, n_links: int, n_domains: int):
+    """Page-level link rows (src_domain, dst_domain) with heavy
+    multiplicity — many page links collapse to one domain edge. The
+    congruence keeps ~8 distinct out-neighbors per domain and
+    guarantees every domain has an out-edge (no dangling)."""
+    return spark.range(n_links).select(
+        F.concat(F.lit("d"), (F.col("id") % n_domains).cast("string"))
+        .alias("src"),
+        F.concat(
+            F.lit("d"),
+            ((F.col("id") % n_domains + F.col("id") % 8 + 1) % n_domains)
+            .cast("string")).alias("dst"),
+    )
+
+
+def collapse(links):
+    return links.filter(F.col("src") != F.col("dst")) \
+        .select("src", "dst").distinct()
+
+
+def take(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 2)
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_domains = 2_000
+    spark = get_spark("graph-scale-probe")
+
+    # warm
+    hits(collapse(link_corpus(spark, 10_000, 200))).count()
+
+    def family(n_links, nd):
+        edges = collapse(link_corpus(spark, n_links, nd))
+        n_edges = edges.count()
+        sec_hits = take(lambda: hits(edges, iterations=3).count())
+        sec_pr = take(lambda: pagerank(
+            edges, iterations=3, dangling="self_loop").count())
+        sec_deg = take(lambda: (
+            edges.groupBy("src").count()
+            .join(edges.groupBy("dst").count(),
+                  F.col("src") == F.col("dst"), "full_outer").count()))
+        return {"links": n_links, "domains": nd, "edges": n_edges,
+                "hits_sec": sec_hits, "pagerank_sec": sec_pr,
+                "degrees_sec": sec_deg}
+
+    corpus_x1 = family(n, n_domains)
+    corpus_xk = family(n * k, n_domains)      # same graph, 10x corpus
+    graph_x10 = family(n * k, n_domains * 10)  # 10x graph
+
+    # per-round flatness: marginal cost per extra pagerank round
+    edges = collapse(link_corpus(spark, n, n_domains))
+    edges = edges.persist()
+    edges.count()
+    s3 = take(lambda: pagerank(edges, iterations=3,
+                               dangling="self_loop").count())
+    s9 = take(lambda: pagerank(edges, iterations=9,
+                               dangling="self_loop").count())
+    edges.unpersist()
+
+    print(json.dumps({
+        "n": n, "k": k,
+        "corpus_x1": corpus_x1, "corpus_xk": corpus_xk,
+        "graph_x10": graph_x10,
+        # same-graph corpus growth: iterative seconds should barely move
+        "hits_corpus_ratio": round(
+            corpus_xk["hits_sec"] / corpus_x1["hits_sec"], 2),
+        "pagerank_corpus_ratio": round(
+            corpus_xk["pagerank_sec"] / corpus_x1["pagerank_sec"], 2),
+        # 10x graph: expected ~linear in edges
+        "hits_graph_ratio": round(
+            graph_x10["hits_sec"] / corpus_xk["hits_sec"], 2),
+        "pagerank_rounds": {"sec_3": s3, "sec_9": s9,
+                            "marginal_per_round": round((s9 - s3) / 6, 2)},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
