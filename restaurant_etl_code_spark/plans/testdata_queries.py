@@ -14587,6 +14587,73 @@ from rules group by kind, issue
 """
 
 
+
+def _q_recrawl_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-refetch bandwidth savings — the crawl-economics
+    number the validator surface exists for: on a recrawl, every
+    UNCHANGED capture whose response carried a validator (ETag /
+    Last-Modified) and was cacheable (no ``no-store``) transfers ZERO
+    body bytes (HTTP 304), so per domain the scheduler can price the
+    recrawl as paid bytes vs saved bytes. Change classes reuse the CDX
+    merge congruence (every 5th capture changed); validators and
+    no-store come from the REAL ``http_headers`` map of the archived
+    responses, byte volumes from the scanner's ``payload_len`` — the
+    oracle re-derives all three arithmetically. Row-local header
+    lookups; one hash-groupBy; integer basis points."""
+    from restaurant_etl_code_spark.sources import warc as Fwarc
+
+    fixture_dir = _write_warc_cache_fixture(sf_dir)
+    recs = Fwarc.read_warc(spark, fixture_dir, columns=[
+        "warc_type", "target_uri", "payload", "http_headers"])
+    resp = recs.filter(F.col("warc_type") == "response").select(
+        Furl.url_host(F.col("target_uri")).alias("domain"),
+        # BODY bytes (the 304-savable mass), not payload_len: for
+        # enveloped response records payload_len counts the whole HTTP
+        # message, headers included — a 304 still transfers headers
+        F.octet_length("payload").cast("long").alias("payload_len"),
+        F.regexp_extract(F.col("target_uri"), r"/c/([0-9]+)$", 1)
+        .try_cast("long").alias("k"),
+        (F.element_at(F.col("http_headers"), "etag").isNotNull()
+         | F.element_at(F.col("http_headers"), "last-modified")
+         .isNotNull()).alias("has_validator"),
+        (~F.coalesce(F.element_at(F.col("http_headers"), "cache-control"),
+                     F.lit("")).contains("no-store")).alias("cacheable"),
+    )
+    saved = (F.col("k") % 5 != 0) & F.col("has_validator") \
+        & F.col("cacheable")
+    shaped = resp.select(
+        "domain", "payload_len",
+        saved.cast("int").alias("saved"),
+    )
+    return shaped.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("payload_len").cast("long").alias("total_bytes"),
+        F.sum(F.when(F.col("saved") == 1, F.col("payload_len"))
+              .otherwise(0)).cast("long").alias("saved_bytes"),
+        F.sum("saved").cast("long").alias("n_saved"),
+        F.floor(F.sum(F.when(F.col("saved") == 1, F.col("payload_len"))
+                      .otherwise(0)) * F.lit(10000)
+                / F.sum("payload_len")).cast("long").alias("savings_bp"),
+    )
+
+
+_ORACLE_RECRAWL_SAVINGS = """
+with caps as (
+  select 'site' || (p_partkey % 5)::varchar || '.example.com' as domain,
+         length('<html><body>cache ' || p_partkey::varchar ||
+                '</body></html>')::bigint as b,
+         (p_partkey % 5 != 0 and p_partkey % 7 != 0) as saved
+  from part)
+select domain, count(*)::bigint as n,
+       sum(b)::bigint as total_bytes,
+       sum(case when saved then b else 0 end)::bigint as saved_bytes,
+       sum(case when saved then 1 else 0 end)::bigint as n_saved,
+       floor(sum(case when saved then b else 0 end) * 10000.0
+             / sum(b))::bigint as savings_bp
+from caps group by domain
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -15417,6 +15484,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_blocklist_rule_audit, _ORACLE_BLOCKLIST_AUDIT,
         "load-time blocklist rule hygiene: counts silently-inert "
         "classes (non-registrable domain rules, prefixless paths)"),
+    "recrawl_savings": QueryDef(
+        _q_recrawl_savings, _ORACLE_RECRAWL_SAVINGS,
+        "conditional-refetch bandwidth savings per domain: unchanged "
+        "+ validator + cacheable = 304, zero body bytes; basis points"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -15443,6 +15514,7 @@ _WINDOW_FIRST = [
     "script_mix",  # never-checked
     "domain_concentration",  # never-checked
     "blocklist_rule_audit",  # never-checked
+    "recrawl_savings",  # never-checked
     "semantic_dedup",  # latest=r09
     "winnow_dedup_pairs",  # latest=r09
     "split_leakage_guard",  # latest=r09
@@ -15487,7 +15559,6 @@ _WINDOW_FIRST = [
     "point_in_time",  # latest=r10
     "trend_fit",  # latest=r10
     "knn_graph",  # latest=r10
-    "streaming_funnel",  # latest=r10
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -36,43 +36,49 @@ from restaurant_etl_code_spark.operators.crawl import (
     blocklist_gate, blocklist_rule_audit)
 
 
+def _tld(col):
+    return (F.when(col % 3 == 0, F.lit(".com"))
+            .when(col % 3 == 1, F.lit(".net")).otherwise(F.lit(".org")))
+
+
 def frontier(spark, n: int):
-    """URLs over a 100k-host space: ~1/8 of hosts land in a 4M-rule
-    list, so the gate has real hit traffic at every swept size."""
+    """URLs over a 100k-registrable-domain space (every 8th URL on an
+    ``ads.`` subdomain, so both the domain lane and the demoted
+    subdomain lane see real traffic): a meaningful share of hosts land
+    in the rule space at every swept size."""
+    dom = F.concat(F.lit("h"), (F.col("id") % 100_000).cast("string"),
+                   _tld(F.col("id") % 100_000))
     return spark.range(n).select(
         F.concat(
-            F.lit("https://h"), (F.col("id") % 100_000).cast("string"),
-            F.lit(".example"),
-            # deterministic TLD mix (suffix diversity for the domain key)
-            F.when(F.col("id") % 3 == 0, F.lit(".com"))
-            .when(F.col("id") % 3 == 1, F.lit(".net")).otherwise(F.lit(".org")),
-            F.lit("/p/"), F.col("id").cast("string"),
+            F.lit("https://"),
+            F.when(F.col("id") % 8 == 0, F.lit("ads.")).otherwise(F.lit("")),
+            dom, F.lit("/p/"), F.col("id").cast("string"),
         ).alias("url"),
         F.col("id"),
     )
 
 
 def rules(spark, n: int):
-    """UT1-shaped rule table: 90% domain rules (incl. every 10th a
-    non-registrable subdomain pattern — the demoted lane), 8% host,
-    2% path. Patterns hit the frontier's host space for ids < 100k/8."""
+    """UT1-shaped rule table over an 800k-domain space: 90% domain
+    rules (every 10th a non-registrable ``ads.`` subdomain pattern —
+    the demoted exact-host lane), 8% host, 2% path. Rule domains are
+    their own registrable domains (two labels), so the audit's
+    'domain_not_registrable' class counts exactly the ads.* cohort."""
     base = spark.range(n).select(F.col("id"))
-    host_part = F.concat(
-        F.lit("h"), (F.col("id") % 800_000).cast("string"), F.lit(".example"),
-        F.when(F.col("id") % 3 == 0, F.lit(".com"))
-        .when(F.col("id") % 3 == 1, F.lit(".net")).otherwise(F.lit(".org")))
+    dom = F.concat(F.lit("h"), (F.col("id") % 800_000).cast("string"),
+                   _tld(F.col("id") % 800_000))
     return base.select(
         F.when(F.col("id") % 50 < 45, F.lit("domain"))
         .when(F.col("id") % 50 < 49, F.lit("host"))
         .otherwise(F.lit("path")).alias("kind"),
         F.when(
             F.col("id") % 50 >= 49,  # path rules carry a prefix
-            F.concat(host_part, F.lit("/casino")),
+            F.concat(dom, F.lit("/casino")),
         ).when(
             (F.col("id") % 50 < 45) & (F.col("id") % 10 == 0),
             # non-registrable domain pattern -> demoted to host lane
-            F.concat(F.lit("ads."), host_part),
-        ).otherwise(host_part).alias("pattern"),
+            F.concat(F.lit("ads."), dom),
+        ).otherwise(dom).alias("pattern"),
     )
 
 
@@ -109,10 +115,11 @@ def main() -> int:
     gate_take(spark, 10_000, 10_000)  # warm
     sweep = [gate_take(spark, n_frontier, m) for m in sizes]
 
-    # frontier sweep at fixed 1M rules: cost must track the frontier
+    # frontier sweep at a fixed rule count: cost must track the frontier
+    fixed_rules = min(1_000_000, sizes[-1])
     fr_sweep = []
     for nf in (n_frontier, n_frontier * 10):
-        take = gate_take(spark, nf, 1_000_000)
+        take = gate_take(spark, nf, fixed_rules)
         fr_sweep.append({"frontier": nf, "sec": take["sec"],
                          "blocked": take["blocked"]})
 

@@ -121,6 +121,12 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"[ERR ] {name}: {type(exc).__name__}: {exc}")
+        finally:
+            # release per-query persisted blocks (winnow/persist-once
+            # queries cache intra-query scans): a 255-query session
+            # would otherwise accumulate cached blocks that evict each
+            # other — bench.py's per-row hygiene, applied here too
+            spark.catalog.clearCache()
 
     print(f"\n{len(names) - len(failures)}/{len(names)} hash-matched")
     return 1 if failures else 0

@@ -1242,6 +1242,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                   "MapInPandas", "SortMergeJoin", "BroadcastHashJoin",
                   "Window"],
     },
+    "recrawl_savings": {
+        # header lookups + change congruence are row-local over the
+        # container splitter (the one deliberate Python stage); one
+        # hash-groupBy, zero joins
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "SortMergeJoin", "BroadcastHashJoin", "Window"],
+    },
     "blocklist_rule_audit": {
         # one hash-groupBy over the dimension-sized rule table; the
         # issue classifier is a row-local codegen case chain

@@ -41,12 +41,15 @@ def link_corpus(spark, n_links: int, n_domains: int):
     multiplicity — many page links collapse to one domain edge. The
     congruence keeps ~8 distinct out-neighbors per domain and
     guarantees every domain has an out-edge (no dangling)."""
+    # offset keyed off a PRIME congruence: id % 8 would alias with
+    # id % n_domains whenever 8 | n_domains (one dst per src)
+    off = (F.col("id") % 7919) % 8
     return spark.range(n_links).select(
         F.concat(F.lit("d"), (F.col("id") % n_domains).cast("string"))
         .alias("src"),
         F.concat(
             F.lit("d"),
-            ((F.col("id") % n_domains + F.col("id") % 8 + 1) % n_domains)
+            ((F.col("id") % n_domains + off + 1) % n_domains)
             .cast("string")).alias("dst"),
     )
 

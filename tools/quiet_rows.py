@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Floor-canary standing-row session (r14 verdict order 1): warm
+min-of-N rows with bracketing CPU canaries for a named set of registry
+queries. Refuses to print a 'quiet' record unless every take's bracket
+sampled at-or-under the contamination cutoff relative to the session's
+best canary AND the best canary sits on the box's verified-unloaded
+floor — the same two gates bench.py applies, reused here for ad-hoc
+standing-row sessions so BASELINE rows are taken under one protocol.
+
+Usage: python tools/quiet_rows.py q1 q2 ...   [SPARK_GRAFT_SF_DIR]
+Prints one JSON line: per query {first, warm_min, takes, canaries}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # canary + floor constants: ONE protocol for all records
+from restaurant_etl_code_spark import get_spark
+from restaurant_etl_code_spark.plans import QUERIES
+
+TAKES = 3
+
+
+def main() -> int:
+    names = sys.argv[1:]
+    if not names:
+        print("usage: quiet_rows.py q1 [q2 ...]", file=sys.stderr)
+        return 2
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("quiet-rows", extra_conf={
+        "spark.ui.showConsoleProgress": "false"})
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    out: dict[str, dict] = {}
+    all_canaries: list[float] = []
+    for name in names:
+        qd = QUERIES[name]
+        takes: list[float] = []
+        canaries: list[float] = []
+        for i in range(1 + TAKES):  # take 0 = first (cold); 1..N = warm
+            pre = bench._canary_sec() * 1000
+            t0 = time.time()
+            qd.spark(spark, sf_dir).count()
+            sec = round(time.time() - t0, 3)
+            post = bench._canary_sec() * 1000
+            canaries += [round(pre, 1), round(post, 1)]
+            takes.append(sec)
+            print(f"# {name} take{i}: {sec:.2f}s "
+                  f"(canaries {pre:.0f}/{post:.0f}ms)", file=sys.stderr)
+        spark.catalog.clearCache()  # bench.py's per-row hygiene
+        all_canaries += canaries
+        out[name] = {
+            "first": takes[0],
+            "warm_min": min(takes[1:]),
+            "takes": takes,
+            "canaries_ms": canaries,
+        }
+
+    best = min(all_canaries)
+    # tighter than bench.py's per-row 2.5x cutoff: a standing-row
+    # session is short enough to demand the whole session at the floor
+    # (best on the verified-unloaded nominal, worst within 25% of it)
+    quiet = (best <= bench.CANARY_NOMINAL_MS * 1.06
+             and max(all_canaries) <= bench.CANARY_NOMINAL_MS * 1.25)
+    print(json.dumps({
+        "sf_dir": sf_dir,
+        "rows": out,
+        "best_canary_ms": best,
+        "worst_canary_ms": max(all_canaries),
+        "quiet": quiet,
+    }))
+    return 0 if quiet else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
