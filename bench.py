@@ -290,6 +290,11 @@ BENCH_QUERIES = [
     "extraction_yield",
     "web_graph_degrees",
     "robots_meta_gate",
+    # round 15
+    "script_mix",
+    "domain_concentration",
+    "blocklist_rule_audit",
+    "recrawl_savings",
 ]
 
 

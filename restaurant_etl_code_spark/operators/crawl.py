@@ -568,7 +568,8 @@ def politeness_audit(
 def blocklist_gate(frontier: DataFrame, rules: DataFrame,
                    url_col: str = "url",
                    kind_col: str = "kind",
-                   pattern_col: str = "pattern") -> DataFrame:
+                   pattern_col: str = "pattern",
+                   broadcast_rules: "bool | None" = None) -> DataFrame:
     """URL blocklist filtering — the curation stage every public
     web-corpus recipe runs before content ever downloads (C4 used a
     badwords list, RefinedWeb/FineWeb the UT1 category blocklists):
@@ -583,14 +584,22 @@ def blocklist_gate(frontier: DataFrame, rules: DataFrame,
 
     Appends ``blocked`` (bool) and ``block_reason`` (the matching
     kind, NULL when clean). Physical shape (the robots_gate
-    convention — ZERO frontier-byte shuffle): each rule kind reduces
-    to a dimension-sized, deduplicated key table (path rules collapse
-    to ONE row per host carrying a prefix array), joined 1:1 with
-    broadcast hints; the path check is a row-local ``exists`` fold
-    over the broadcast array. The frontier is never shuffled, never
-    fanned out — real category lists are a few million domains, well
-    inside broadcast range, and a bigger list degrades to a shuffled
-    1:1 equi-join on the same unique keys.
+    convention — ZERO frontier-byte fan-out): each rule kind reduces
+    to a dimension-sized, DEDUPLICATED key table (path rules collapse
+    to ONE row per host carrying a prefix array), joined 1:1; the
+    path check is a row-local ``exists`` fold over the prefix array.
+    Join strategy is AQE's runtime choice by default
+    (``broadcast_rules=None``): each rule lane's dedup agg already
+    shuffles it, so AQE broadcasts lanes under the threshold and
+    sort-merges past it — probed crossover (200k frontier): all lanes
+    broadcast at 100k rules, the domain lane crosses between 100k and
+    4M, all three lanes SMJ by 16M, verdicts identical throughout
+    (`tools/blocklist_scale_probe.py`). ``broadcast_rules=True`` pins
+    the broadcast statically for callers that KNOW the list is
+    dimension-sized; a hard hint is deliberately NOT the default
+    because it overrides the threshold and would force-broadcast an
+    arbitrarily large list (executor OOM instead of a slower join —
+    r15 probe finding).
 
     Rule hygiene (real UT1 lists are messy — see
     :func:`blocklist_rule_audit` for the counting form):
@@ -650,11 +659,26 @@ def blocklist_gate(frontier: DataFrame, rules: DataFrame,
         .groupBy("_bl_host")
         .agg(F.collect_set("_p").alias("_bl_prefixes"))
     )
+    # NO hard broadcast hints by default (r15 probe finding): a forced
+    # F.broadcast() overrides spark.sql.autoBroadcastJoinThreshold, so
+    # a 16M-domain list still force-broadcast and the documented
+    # degrade-to-shuffled-join path could never trigger — at real
+    # scale that's an executor OOM, not a slower join. The dedup aggs
+    # already shuffle each rule lane, so with `broadcast_rules=None`
+    # AQE sees the ACTUAL built sizes and picks broadcast under the
+    # threshold, sort-merge past it — the crossover measured in
+    # tools/blocklist_scale_probe.py (all-broadcast at 100k rules,
+    # domain lane crosses between 100k and 4M, all-SMJ by 16M).
+    # Callers that KNOW their list is small pass broadcast_rules=True
+    # to pin the broadcast statically (plan-audit-able without AQE).
+    def lane(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_rules else df
+
     out = (
         shaped
-        .join(F.broadcast(host_rules), "_bl_host", "left")
-        .join(F.broadcast(dom_rules), "_bl_dom", "left")
-        .join(F.broadcast(path_rules.withColumnRenamed(
+        .join(lane(host_rules), "_bl_host", "left")
+        .join(lane(dom_rules), "_bl_dom", "left")
+        .join(lane(path_rules.withColumnRenamed(
             "_bl_prefixes", "_pp")), "_bl_host", "left")
     )
     path_hit = F.when(

@@ -13973,7 +13973,10 @@ def _q_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("path", "shop.example.org/casino")],
         "kind string, pattern string",
     )
-    gated = crawl.blocklist_gate(frontier, rules)
+    # the fixture list is three literal rows — KNOWN dimension-sized,
+    # so pin the broadcast statically (the operator's default lets AQE
+    # decide from runtime sizes; see the r15 probe crossover)
+    gated = crawl.blocklist_gate(frontier, rules, broadcast_rules=True)
     return gated.select(
         Furl.url_host(F.col("url")).alias("domain"),
         F.coalesce(F.col("block_reason"), F.lit("clean")).alias("verdict"),

@@ -59,14 +59,18 @@ def frontier(spark, n: int):
 
 
 def rules(spark, n: int):
-    """UT1-shaped rule table over an 800k-domain space: 90% domain
-    rules (every 10th a non-registrable ``ads.`` subdomain pattern —
-    the demoted exact-host lane), 8% host, 2% path. Rule domains are
-    their own registrable domains (two labels), so the audit's
-    'domain_not_registrable' class counts exactly the ads.* cohort."""
+    """UT1-shaped rule table of n DISTINCT domains (real category
+    lists are deduplicated domain lists — the gate joins the
+    DEDUPLICATED key table, so a synthetic list that reuses domains
+    would collapse at the distinct() and never leave broadcast range):
+    90% domain rules (every 10th a non-registrable ``ads.`` subdomain
+    pattern — the demoted exact-host lane), 8% host, 2% path. Rule
+    domains are their own registrable domains (two labels), so the
+    audit's 'domain_not_registrable' class counts exactly the ads.*
+    cohort; ids below 100k overlap the frontier's domain space."""
     base = spark.range(n).select(F.col("id"))
-    dom = F.concat(F.lit("h"), (F.col("id") % 800_000).cast("string"),
-                   _tld(F.col("id") % 800_000))
+    dom = F.concat(F.lit("h"), F.col("id").cast("string"),
+                   _tld(F.col("id")))
     return base.select(
         F.when(F.col("id") % 50 < 45, F.lit("domain"))
         .when(F.col("id") % 50 < 49, F.lit("host"))
