@@ -14446,9 +14446,29 @@ def _q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(i % 5 == 0, F.lit(" \u03b5\u03bb\u03bb\u03b7\u03bd\u03b9\u03ba\u03ac")).otherwise(F.lit("")),
     )
     docs = part.select(i.alias("k"), text.alias("text"))
-    shaped = docs.select(
-        Ftext.dominant_script(F.col("text")).alias("script"),
-        Ftext.script_mix_ratio(F.col("text")).alias("mix_bp"),
+    # count each script ONCE as a column, then derive dominant + mix
+    # from the columns: calling dominant_script and script_mix_ratio
+    # directly would re-expand the five regex counters per consumer
+    # (up to 3x the regex passes; codegen CSE is not guaranteed across
+    # a when-chain). Same semantics as the functions, pinned by the
+    # unit tests.
+    counts = Ftext.script_counts(F.col("text"))
+    counted = docs.select(
+        *[v.alias(k.lower()) for k, v in counts.items()])
+    names = [k.lower() for k in counts]
+    total = None
+    for n in names:
+        total = F.col(n) if total is None else total + F.col(n)
+    best = F.array_max(F.array(*[
+        F.struct(F.col(n).alias("n"), F.lit(k).alias("s"))
+        for k, n in zip(counts, names)]))
+    shaped = counted.select(
+        F.when(best["n"] > 0, best["s"]).otherwise(F.lit("other"))
+        .alias("script"),
+        F.when(total > 0,
+               F.floor((total - F.greatest(*[F.col(n) for n in names]))
+                       * F.lit(10000) / total).cast("long"))
+        .alias("mix_bp"),
     )
     return shaped.groupBy("script").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
