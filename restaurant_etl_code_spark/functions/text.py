@@ -252,16 +252,24 @@ def script_counts(c: Column) -> dict[str, Column]:
 
 def dominant_script(c: Column) -> Column:
     """The script contributing the most characters (``other`` when no
-    listed script appears — digits/punctuation-only text). Stable
-    tie-break: max over (count, name) structs, so equal counts resolve
-    by script name, never partition order — the lang_id convention."""
+    listed script appears — digits/punctuation-only text; NULL text →
+    NULL, the :func:`bpe_token_count` convention — without the guard
+    the all-NULL counts make ``best['n'] > 0`` NULL and the when-chain
+    would fall through to ``other``, silently classifying NULL
+    documents as unscripted text). Stable tie-break: max over
+    (count, name) structs, so equal counts resolve by script name,
+    never partition order — the lang_id convention."""
     counts = script_counts(c)
     pairs = F.array(*[
         F.struct(v.alias("n"), F.lit(k).alias("s"))
         for k, v in counts.items()
     ])
     best = F.array_max(pairs)
-    return F.when(best["n"] > 0, best["s"]).otherwise(F.lit("other"))
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(best["n"] > 0, best["s"])
+        .otherwise(F.lit("other"))
+    )
 
 
 def script_mix_ratio(c: Column) -> Column:

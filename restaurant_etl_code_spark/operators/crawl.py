@@ -612,6 +612,14 @@ def blocklist_gate(frontier: DataFrame, rules: DataFrame,
     - a ``path`` rule with no ``/`` has no prefix to match and is
       dropped (``instr()=0`` would otherwise store the whole pattern
       as a prefix that can never match a ``/``-rooted path);
+    - a ``domain`` rule whose pattern IS a public suffix (``com``,
+      ``co.uk``) passes the registrable check unchanged, but the
+      frontier key is always eTLD+1, so it matches only a frontier
+      host literally equal to the pattern — it can never block the
+      subtree its author intended. The audit counts these as
+      ``domain_public_suffix``; the gate keeps them (exact-host
+      semantics either way — demoting to the host lane would produce
+      byte-identical verdicts);
     - path PREFIXES compare case-sensitively by design: URL paths are
       case-sensitive (RFC 3986 §6.2.2.1 lowercases only scheme/host),
       and ``url_path`` preserves case — lowercasing the rule side
@@ -711,6 +719,15 @@ def blocklist_rule_audit(rules: DataFrame,
       not its own registrable domain (``ads.example.com``):
       :func:`blocklist_gate` DEMOTES these to exact-host blocks (real
       UT1 category lists carry many subdomain entries);
+    - ``domain_public_suffix`` — a ``domain`` rule whose pattern IS a
+      public suffix under the gate's own suffix table (a bare dotless
+      label — ``com``, ``localhost`` — or a listed two-label suffix
+      like ``co.uk``): the frontier's domain key is always eTLD+1, so
+      such a rule never matches the SUBTREE its author intended ("block
+      all of .com") — in the gate it degenerates to an exact-host block
+      on the pattern itself (only a frontier host literally equal to
+      the pattern has it as a registrable domain). Effectively-inert
+      intent, counted so list owners see it at ingest;
     - ``path_no_slash`` — a ``path`` rule with no ``/``, dropped by
       the gate (no prefix to match);
     - ``empty_pattern`` / ``unknown_kind`` — unusable rows.
@@ -728,6 +745,10 @@ def blocklist_rule_audit(rules: DataFrame,
         .when((F.col(kind_col) == "domain")
               & (Furl.registrable_domain(pat) != pat),
               F.lit("domain_not_registrable"))
+        .when((F.col(kind_col) == "domain")
+              & ((F.instr(pat, ".") == 0)
+                 | pat.isin(*Furl.TWO_LABEL_SUFFIXES)),
+              F.lit("domain_public_suffix"))
         .when((F.col(kind_col) == "path")
               & (F.instr(F.col(pattern_col), "/") == 0),
               F.lit("path_no_slash"))

@@ -14565,7 +14565,11 @@ def _q_blocklist_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-registrable subdomain pattern -> the gate's demoted lane;
     every 3rd path rule prefixless -> dropped). One hash-groupBy over
     the dimension-sized rule table; `blocklist_rule_audit` is the same
-    column expressions a 4M-row ingest would run."""
+    column expressions a 4M-row ingest would run. Every 12th key's
+    domain rule is a bare public suffix (`com` / `co.uk` alternating)
+    — the effectively-inert "block all of .com" intent class the r16
+    `domain_public_suffix` bucket counts (the frontier key is always
+    eTLD+1, so such a rule degenerates to an exact-host block)."""
     from restaurant_etl_code_spark.operators import crawl
 
     part = load_table(spark, sf_dir, "part")
@@ -14576,6 +14580,9 @@ def _q_blocklist_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(i % 4 == 2, F.lit("host")).otherwise(F.lit("path"))
         .alias("kind"),
         F.when(
+            (i % 4 < 2) & (i % 12 == 0),
+            F.when(i % 24 == 0, F.lit("co.uk")).otherwise(F.lit("com")),
+        ).when(
             (i % 4 < 2) & (i % 2 == 0),
             F.concat(F.lit("brand"), ks, F.lit(".com")),
         ).when(
@@ -14599,7 +14606,9 @@ _ORACLE_BLOCKLIST_AUDIT = """
 with rules as (
   select case when p_partkey % 4 < 2 then 'domain'
               when p_partkey % 4 = 2 then 'host' else 'path' end as kind,
-         case when p_partkey % 4 < 2 and p_partkey % 2 = 0 then 'ok'
+         case when p_partkey % 4 < 2 and p_partkey % 12 = 0
+                then 'domain_public_suffix'
+              when p_partkey % 4 < 2 and p_partkey % 2 = 0 then 'ok'
               when p_partkey % 4 < 2 then 'domain_not_registrable'
               when p_partkey % 4 = 2 then 'ok'
               when p_partkey % 3 = 0 then 'path_no_slash'

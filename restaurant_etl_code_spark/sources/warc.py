@@ -780,7 +780,23 @@ def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
         # size-targeted sharding: one counter agg -> repartition; the
         # estimate pass re-executes the upstream plan, so callers with
         # expensive inputs should persist before asking for it
-        n = plan_shard_count(shaped, [payload_col],
+        est = shaped
+        if revisit_of_col is not None:
+            # revisit rows are framed with ZERO payload bytes (the
+            # digest replaces the body), so counting their full payload
+            # would overestimate revisit-heavy dumps — exactly the
+            # warc_revisit_export shape — and cut more, smaller shards
+            # than the target. Mask matches write_partition's truthy
+            # check: NULL or '' revisit id ⇒ full record, else revisit.
+            from pyspark.sql import functions as F
+
+            payload_if_stored = F.when(
+                F.col(revisit_of_col).isNull()
+                | (F.col(revisit_of_col).cast("string") == ""),
+                F.col(payload_col),
+            )
+            est = shaped.withColumn(payload_col, payload_if_stored)
+        n = plan_shard_count(est, [payload_col],
                              target_bytes=target_shard_bytes)
         shaped = shaped.repartition(n)
     shaped.foreachPartition(write_partition)

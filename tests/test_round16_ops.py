@@ -1,0 +1,190 @@
+"""Round-16 unit tests: ADVICE closures (dominant_script NULL contract,
+blocklist public-suffix rule class, revisit-aware shard estimates, the
+probe's executed-plan readout) and the r15 verdict orders (demoted-lane
+contract on BOTH sides of the broadcast/SMJ crossover, per-row quiet
+markers in the bench record)."""
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_code_spark.functions import text as Ftext
+from restaurant_etl_code_spark.operators import crawl
+from restaurant_etl_code_spark.sources import warc as W
+
+
+# ------------------------------- dominant_script NULL contract
+
+def test_dominant_script_null_text_is_null(spark):
+    # r16 ADVICE (low): NULL text used to classify as 'other' (all
+    # script counts NULL -> best['n'] > 0 NULL -> otherwise branch),
+    # inconsistent with script_mix_ratio's NULL. Both are NULL now.
+    df = spark.createDataFrame([(None,), ("12345",), ("Hello",)],
+                               "t string")
+    rows = df.select(
+        Ftext.dominant_script(F.col("t")).alias("dom"),
+        Ftext.script_mix_ratio(F.col("t")).alias("mix"),
+    ).collect()
+    assert rows[0]["dom"] is None and rows[0]["mix"] is None
+    assert rows[1]["dom"] == "other"      # unscripted text, NOT null
+    assert rows[2]["dom"] == "Latin"
+
+
+# ------------------------------- blocklist public-suffix rule class
+
+def test_blocklist_audit_counts_public_suffix_domain_rules(spark):
+    # r16 ADVICE (low): a bare public-suffix domain rule ('com',
+    # 'co.uk') passes the registrable check unchanged, yet the
+    # frontier key is always eTLD+1 — the intended "block the whole
+    # TLD" can never happen. The audit counts the class now.
+    rules = spark.createDataFrame(
+        [("domain", "com"),               # bare TLD
+         ("domain", "co.uk"),             # listed two-label suffix
+         ("domain", "localhost"),         # dotless: same degenerate shape
+         ("domain", "example.com"),       # genuinely registrable: ok
+         ("domain", "ads.example.com")],  # subdomain: demoted class
+        "kind string, pattern string")
+    out = {r["issue"]: r["n_rules"]
+           for r in crawl.blocklist_rule_audit(rules).collect()}
+    assert out["domain_public_suffix"] == 3
+    assert out["ok"] == 1
+    assert out["domain_not_registrable"] == 1
+
+
+def test_blocklist_gate_public_suffix_rule_is_exact_host_only(spark):
+    # the gate's effective behavior the audit mirrors: a 'com' domain
+    # rule matches only a frontier host literally equal to 'com' —
+    # never the .com subtree
+    frontier = spark.createDataFrame(
+        [("https://example.com/x", 1),
+         ("https://sub.example.com/y", 2),
+         ("https://com/z", 3)],           # degenerate host == pattern
+        "url string, k int")
+    rules = spark.createDataFrame(
+        [("domain", "com")], "kind string, pattern string")
+    out = {r["k"]: r["blocked"]
+           for r in crawl.blocklist_gate(frontier, rules).collect()}
+    assert out[1] is False and out[2] is False
+    assert out[3] is True
+
+
+# ------------------------------- demoted-lane crossover contract
+
+def _gate_verdicts_and_plan(spark, broadcast_threshold: str):
+    frontier = spark.createDataFrame(
+        [("https://ads.example.com/x", 1),   # demoted rule: exact host
+         ("https://example.com/x", 2),       # NOT the registrable dom
+         ("https://sub.ads.example.com/y", 3),  # NOT its subdomains
+         ("https://tracker.net/z", 4),       # registrable domain rule
+         ("https://cdn.tracker.net/z", 5)],  # ... and its subdomain
+        "url string, k int")
+    rules = spark.createDataFrame(
+        [("domain", "ads.example.com"),      # non-registrable: demoted
+         ("domain", "tracker.net")],         # registrable: domain lane
+        "kind string, pattern string")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                   broadcast_threshold)
+    try:
+        out = crawl.blocklist_gate(frontier, rules)  # broadcast_rules=None
+        verdicts = {r["k"]: (r["blocked"], r["block_reason"])
+                    for r in out.collect()}
+        # out.collect() executed THIS DataFrame, so its queryExecution
+        # holds the final adaptive plan (the r16 probe-fix convention)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return verdicts, plan
+
+
+def test_demoted_lane_contract_both_sides_of_crossover(spark):
+    # r15 verdict order 6: pin that a DEMOTED subdomain rule blocks
+    # exactly the host (not the registrable domain, not subdomains) on
+    # BOTH sides of the broadcast/SMJ crossover — the lanes must give
+    # byte-identical verdicts whichever physical join AQE picks.
+    expected = {
+        1: (True, "host"),      # demoted rule: exact host blocked
+        2: (False, None),       # registrable domain NOT blocked by it
+        3: (False, None),       # subdomains NOT blocked by it
+        4: (True, "domain"),    # registrable rule: domain blocked
+        5: (True, "domain"),    # ... and its subdomains
+    }
+    v_bcast, plan_bcast = _gate_verdicts_and_plan(spark, "10485760")
+    v_smj, plan_smj = _gate_verdicts_and_plan(spark, "-1")
+    assert v_bcast == expected
+    assert v_smj == expected
+    if "AdaptiveSparkPlan" in plan_smj:
+        assert "isFinalPlan=true" in plan_smj
+    # the -1 threshold must actually force the shuffled path: no
+    # broadcast joins anywhere in the executed plan
+    assert "BroadcastHashJoin" not in plan_smj
+    assert ("SortMergeJoin" in plan_smj) or ("ShuffledHashJoin" in plan_smj)
+    # and the default threshold broadcasts the dimension-sized lanes
+    assert "BroadcastHashJoin" in plan_bcast
+
+
+# ------------------------------- revisit-aware shard estimate
+
+def test_targeted_shards_ignore_revisit_payload_bytes(spark, tmp_path):
+    # r16 ADVICE (low): revisit rows are framed with ZERO payload
+    # bytes, so the shard estimate must not count their payloads —
+    # a revisit-heavy dump (the warc_revisit_export shape) would
+    # otherwise cut many near-empty shards.
+    rows = [(f"https://e/{i}", "x" * 10_000,
+             None if i == 0 else f"<urn:uuid:stored-{i}>")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "url string, payload string, rev string")
+    out = tmp_path / "dump"
+    # full-payload estimate would be ~206 KB -> 5 shards at 50 KB;
+    # masked estimate is ~16 KB (one stored payload + framing) -> 1
+    W.write_warc(df, str(out), revisit_of_col="rev",
+                 target_shard_bytes=50_000)
+    shards = [n for n in os.listdir(out) if n.endswith(".warc")]
+    assert len(shards) == 1
+    # the dump itself is small on disk: revisit bodies were not stored
+    total = sum(os.path.getsize(out / n) for n in shards)
+    assert total < 50_000
+
+
+def test_targeted_shards_still_count_stored_payloads(spark, tmp_path):
+    # non-revisit rows keep contributing their bytes: same 20 rows all
+    # STORED must split at the same 50 KB target
+    rows = [(f"https://e/{i}", "x" * 10_000, None) for i in range(20)]
+    df = spark.createDataFrame(rows, "url string, payload string, rev string")
+    out = tmp_path / "dump"
+    W.write_warc(df, str(out), revisit_of_col="rev",
+                 target_shard_bytes=50_000)
+    shards = [n for n in os.listdir(out) if n.endswith(".warc")]
+    assert len(shards) == 5
+
+
+# ------------------------------- probe executed-plan readout
+
+def _load_probe_module():
+    import importlib.util
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "blocklist_scale_probe.py")
+    spec = importlib.util.spec_from_file_location("blocklist_probe", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_probe_join_readout_requires_executed_plan(spark):
+    # r16 ADVICE (low): the probe used to read executedPlan() off a
+    # DataFrame that never ran — under AQE that renders the INITIAL
+    # static-estimate plan. join_strategies now refuses non-final
+    # adaptive plans and reports the runtime-chosen joins after an
+    # action on the same DataFrame.
+    probe = _load_probe_module()
+    fr = probe.frontier(spark, 200)
+    rl = probe.rules(spark, 50)
+    agg = crawl.blocklist_gate(fr, rl).select(
+        F.coalesce(F.sum(F.col("blocked").cast("long")), F.lit(0))
+        .alias("b"))
+    with pytest.raises(AssertionError):
+        probe.join_strategies(agg)       # not executed yet: refuse
+    agg.collect()
+    joins = probe.join_strategies(agg)   # executed: final plan parses
+    assert joins and all(":" in j for j in joins)

@@ -87,7 +87,19 @@ def rules(spark, n: int):
 
 
 def join_strategies(df) -> list[str]:
+    """Join nodes from ``df``'s OWN executed plan — call only AFTER an
+    action ran on this exact DataFrame. Under AQE the pre-execution
+    plan renders the initial static-estimate join choices; the
+    isFinalPlan guard makes the readout fail loudly instead of
+    reporting a join AQE never ran (r15 ADVICE: the old probe read the
+    plan of a DataFrame whose count() had executed a DIFFERENT
+    QueryExecution)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    if "AdaptiveSparkPlan" in plan:
+        assert "isFinalPlan=true" in plan, (
+            "adaptive plan not finalized — execute an action on THIS "
+            "DataFrame before reading its join strategies"
+        )
     out = []
     for tok in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
         c = plan.count(tok)
@@ -100,14 +112,20 @@ def gate_take(spark, n_frontier: int, n_rules: int) -> dict:
     fr = frontier(spark, n_frontier)
     rl = rules(spark, n_rules)
     t0 = time.time()
-    df = blocklist_gate(fr, rl)
-    blocked = df.filter("blocked").count()
+    # blocked count as an aggregate on the DataFrame we keep a handle
+    # to: collect() executes agg's OWN QueryExecution, so the join
+    # readout below reflects the runtime-chosen (final adaptive) plan
+    # of the execution that was actually timed
+    agg = blocklist_gate(fr, rl).select(
+        F.coalesce(F.sum(F.col("blocked").cast("long")), F.lit(0))
+        .alias("b"))
+    blocked = int(agg.collect()[0]["b"])
     sec = time.time() - t0
     return {
         "rules": n_rules,
         "sec": round(sec, 2),
         "blocked": blocked,
-        "joins": join_strategies(df),
+        "joins": join_strategies(agg),
     }
 
 
