@@ -295,6 +295,9 @@ BENCH_QUERIES = [
     "domain_concentration",
     "blocklist_rule_audit",
     "recrawl_savings",
+    # round 16: CJK/Indic script cohorts + the corpus-share domain cap
+    "cjk_script_mix",
+    "domain_cap_enforce",
 ]
 
 

@@ -227,10 +227,16 @@ def bpe_token_count(c: Column) -> Column:
 # Unicode script classes both engines' regex dialects support: Java
 # \p{IsXxx} (Spark codegen) and RE2 \p{Xxx} (oracle twin) agree on these
 # script properties character-for-character, so the counts are
-# bit-identical across engines. Han covers the CJK unified ideographs
-# (zh + much of ja); Hangul/Hiragana/Katakana would extend the map the
-# same way.
-SCRIPT_CLASSES = ("Latin", "Cyrillic", "Greek", "Han", "Arabic")
+# bit-identical across engines (all nine verified cross-engine, r16).
+# Han covers the CJK unified ideographs (zh + the kanji layer of ja);
+# Hangul/Hiragana/Katakana/Devanagari give ko/ja/hi corpora real
+# dominants instead of Han-skewed/'other' (r15 verdict order 4).
+# Devanagari counts include its combining matras — they carry the
+# script property, which is what a per-script character census wants.
+SCRIPT_CLASSES = (
+    "Latin", "Cyrillic", "Greek", "Han", "Arabic",
+    "Hangul", "Hiragana", "Katakana", "Devanagari",
+)
 
 
 def script_counts(c: Column) -> dict[str, Column]:

@@ -38,6 +38,7 @@ __all__ = [
     "assign_split",
     "leakage_safe_split",
     "SplitSpec",
+    "domain_share_cap",
     "sample_k_per_group",
     "weighted_sample",
     "mixture_sample",
@@ -135,6 +136,61 @@ def sample_k_per_group(
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
+    )
+
+
+def domain_share_cap(
+    df: DataFrame,
+    domain_col: str,
+    key: str,
+    cap_bp: int,
+    order_col: "str | None" = None,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-domain corpus-SHARE cap — the diversity guard C4 and
+    RefinedWeb both apply before training: no single domain may
+    contribute more than ``cap_bp`` basis points of the corpus, so a
+    handful of template-heavy mega-domains (patent mirrors, forum
+    archives) cannot dominate the mixture however many rows they bring.
+    The per-domain keep bound is ``k = max(1, ⌊n·cap_bp/10000⌋)`` where
+    ``n`` is the corpus row count — a SHARE cap, unlike
+    :func:`sample_k_per_group`'s fixed ``k``: the bound scales with the
+    corpus, so the same 25 bp policy holds at sf0.01 and at 100 TB.
+
+    ``n`` comes from ONE counter-sized aggregate (``df.count()`` — a
+    driver scalar, the audited guarded-collect pattern), deliberately:
+    the bound must be a LITERAL for Catalyst to push the rank filter
+    down as WindowGroupLimit, so each map task forwards only its local
+    top-k candidates per domain instead of whole domains — with a
+    column-valued bound (broadcast-joined scalar) every row of a hot
+    domain would cross the shuffle just to be discarded.
+
+    Within a domain, kept rows are the FIRST ``k`` under:
+
+    - ``order_col`` DESC first when given (quality-ranked capping —
+      keep the best documents of an over-represented domain, the
+      RefinedWeb recipe), then
+    - the deterministic hash bucket + key (uniform reproducible sample;
+      ties on ``order_col`` never resolve by partition order).
+
+    Appends ``cap_rank`` (1-based within-domain keep rank). One shuffle
+    on the domain key; re-running, or appending rows of OTHER domains,
+    never flips a kept row of an untouched domain (the corpus-level
+    ``k`` moves only with total ``n``, which is the policy's intent).
+    """
+    from pyspark.sql import Window
+
+    n = df.count()
+    k = max(1, (n * cap_bp) // _BUCKETS)
+    bucket = (portable_split_bucket if portable else split_bucket)(
+        F.col(key), seed)
+    order = ([F.col(order_col).desc()] if order_col else []) + [
+        bucket.asc(), F.col(key).asc()]
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= k)
     )
 
 

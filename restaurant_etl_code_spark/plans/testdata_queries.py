@@ -14686,6 +14686,164 @@ from caps group by domain
 """
 
 
+# --------------------------------------------------------------------------
+# Round 16: CJK/Indic script-composition cohorts (r15 verdict order 4)
+# and the per-domain corpus-share cap (the enforcement half of the r15
+# domain_concentration audit).
+# --------------------------------------------------------------------------
+
+def _q_cjk_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-composition profile over the r16 CJK/Indic extension of
+    ``SCRIPT_CLASSES`` (Hangul/Hiragana/Katakana/Devanagari — r15
+    verdict order 4): a ko/ja/hi curation run now gets real dominants
+    instead of Han-skewed/`other`. Same shape as `script_mix` (each of
+    the NINE regex counters computed ONCE as a column; dominant via
+    (count, name) struct-max; floored basis-point mix), with cohorts
+    that exercise the new classes: every 2nd doc Hangul-based, every
+    3rd carries a Hiragana suffix, every 4th Katakana, every 5th
+    Devanagari — so i%30==0 docs pin the cross-class TIE (Hiragana 6 vs
+    Devanagari 6 resolves to Hiragana by name, never partition order).
+    The oracle re-derives every count ARITHMETICALLY from the fixture
+    congruences; the regex path is checked against integer truth."""
+    part = load_table(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    text = F.concat(
+        F.when(i % 2 == 0,
+               F.lit("한국어 문서 "))       # 5 Hangul
+        .otherwise(F.lit("Document body ")),                    # 12 Latin
+        i.cast("string"),
+        F.when(i % 3 == 0,
+               F.lit(" ひらがなです"))  # 6 Hiragana
+        .otherwise(F.lit("")),
+        F.when(i % 4 == 0,
+               F.lit(" カタカナ"))              # 4 Katakana
+        .otherwise(F.lit("")),
+        F.when(i % 5 == 0,
+               F.lit(" हिन्दी"))  # 6 Devanagari
+        .otherwise(F.lit("")),
+    )
+    docs = part.select(i.alias("k"), text.alias("text"))
+    counts = Ftext.script_counts(F.col("text"))
+    counted = docs.select(
+        *[v.alias(k.lower()) for k, v in counts.items()])
+    names = [k.lower() for k in counts]
+    total = None
+    for n in names:
+        total = F.col(n) if total is None else total + F.col(n)
+    best = F.array_max(F.array(*[
+        F.struct(F.col(n).alias("n"), F.lit(k).alias("s"))
+        for k, n in zip(counts, names)]))
+    shaped = counted.select(
+        F.when(best["n"] > 0, best["s"]).otherwise(F.lit("other"))
+        .alias("script"),
+        F.when(total > 0,
+               F.floor((total - F.greatest(*[F.col(n) for n in names]))
+                       * F.lit(10000) / total).cast("long"))
+        .alias("mix_bp"),
+    )
+    return shaped.groupBy("script").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("mix_bp") > 2000, 1).otherwise(0)).cast("long")
+        .alias("n_mixed"),
+        F.sum("mix_bp").cast("long").alias("sum_mix_bp"),
+    )
+
+
+_ORACLE_CJK_SCRIPT_MIX = """
+with counts as (
+  select p_partkey as k,
+         case when p_partkey % 2 = 0 then 5 else 0 end as hangul,
+         case when p_partkey % 2 = 0 then 0 else 12 end as lat,
+         case when p_partkey % 3 = 0 then 6 else 0 end as hira,
+         case when p_partkey % 4 = 0 then 4 else 0 end as kata,
+         case when p_partkey % 5 = 0 then 6 else 0 end as deva
+  from part),
+scored as (
+  select k, hangul + lat + hira + kata + deva as total,
+         greatest(hangul, lat, hira, kata, deva) as dom,
+         case when lat >= 12 then 'Latin'
+              when hira = 6 then 'Hiragana'
+              when deva = 6 then 'Devanagari'
+              else 'Hangul' end as script
+  from counts),
+mixed as (
+  select script,
+         floor((total - dom) * 10000.0 / total)::bigint as mix_bp
+  from scored)
+select script, count(*)::bigint as n_docs,
+       sum(case when mix_bp > 2000 then 1 else 0 end)::bigint as n_mixed,
+       sum(mix_bp)::bigint as sum_mix_bp
+from mixed group by script
+"""
+
+
+def _q_domain_cap_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus-share cap ENFORCEMENT — the other half of the
+    r15 `domain_concentration` audit: that query measures HHI/top-share
+    per source, this one applies the 25 bp policy those numbers size
+    (`sampling.domain_share_cap`: no domain may exceed 25 bp of the
+    corpus; within an over-cap domain the LONGEST documents survive,
+    ties by portable hash — the RefinedWeb keep-the-best recipe).
+    Domain key by the same 97-domain congruence as the audit. Output:
+    per-source doc counts before/after the cap + removed mass in basis
+    points — the number that tells a curation run what the cap actually
+    cost each source. One window shuffle on the domain key (the bound
+    is a LITERAL, so the rank filter pushes down as WindowGroupLimit)
+    + two dimension-sized groupBys."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.concat(F.lit("d"),
+                 ((F.col("doc_id") * F.col("doc_id")
+                   + F.col("doc_id")) % 97).cast("string"))
+        .alias("domain"),
+        F.length("text").cast("long").alias("quality"),
+    )
+    capped = sampling.domain_share_cap(
+        docs, "domain", "doc_id", cap_bp=25,
+        order_col="quality", seed=11, portable=True)
+    before = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    after = capped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"))
+    return before.join(after, "source", "left").select(
+        "source", "n_docs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.floor((F.col("n_docs") - F.coalesce(F.col("n_kept"), F.lit(0)))
+                * F.lit(10000) / F.col("n_docs")).cast("long")
+        .alias("removed_bp"),
+    )
+
+
+_ORACLE_DOMAIN_CAP = """
+with shaped as (
+  select doc_id, source,
+         'd' || ((doc_id * doc_id + doc_id) % 97)::varchar as domain,
+         length(text)::bigint as quality,
+         ((doc_id % 2147483647 + 11) * 2654435761)
+           % 2147483647 % 10000 as bucket
+  from documents),
+ranked as (
+  select source, doc_id,
+         row_number() over (partition by domain
+                            order by quality desc, bucket, doc_id)
+           as cap_rank
+  from shaped),
+kept as (
+  select source, count(*)::bigint as n_kept
+  from ranked
+  where cap_rank <= greatest(
+      1, ((select count(*) from documents) * 25) // 10000)
+  group by source),
+before_cap as (
+  select source, count(*)::bigint as n_docs from documents group by source)
+select b.source, b.n_docs,
+       coalesce(k.n_kept, 0)::bigint as n_kept,
+       floor((b.n_docs - coalesce(k.n_kept, 0)) * 10000.0
+             / b.n_docs)::bigint as removed_bp
+from before_cap b left join kept k on b.source = k.source
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -15520,6 +15678,15 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_recrawl_savings, _ORACLE_RECRAWL_SAVINGS,
         "conditional-refetch bandwidth savings per domain: unchanged "
         "+ validator + cacheable = 304, zero body bytes; basis points"),
+    "cjk_script_mix": QueryDef(
+        _q_cjk_script_mix, _ORACLE_CJK_SCRIPT_MIX,
+        "script profile over the CJK/Indic classes (Hangul/Hiragana/"
+        "Katakana/Devanagari) incl. the cross-class tie-break, vs "
+        "arithmetic truth"),
+    "domain_cap_enforce": QueryDef(
+        _q_domain_cap_enforce, _ORACLE_DOMAIN_CAP,
+        "per-domain corpus-share cap enforcement (25 bp, keep-the-"
+        "best): per-source before/after counts + removed basis points"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries

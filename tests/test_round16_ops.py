@@ -171,6 +171,80 @@ def _load_probe_module():
     return mod
 
 
+# ------------------------------- CJK/Indic script classes (r15 order 4)
+
+def test_cjk_indic_script_counts(spark):
+    # r15 verdict order 4: Hangul/Hiragana/Katakana/Devanagari are
+    # first-class script classes now — a ko/ja/hi curation run gets
+    # real dominants instead of Han-skewed/'other'
+    df = spark.createDataFrame(
+        [("한국어 문서",),           # pure Hangul (5 chars)
+         ("ひらがなです",),          # pure Hiragana (6)
+         ("カタカナ",),              # pure Katakana (4)
+         ("हिन्दी में पाठ",),          # Devanagari incl. matras/virama
+         ("日本語のテキスト",)],     # real ja: Han + Hiragana + Katakana
+        "t string")
+    rows = df.select(
+        Ftext.dominant_script(F.col("t")).alias("dom"),
+        *[v.alias(k.lower()) for k, v in
+          Ftext.script_counts(F.col("t")).items()],
+    ).collect()
+    assert rows[0]["dom"] == "Hangul" and rows[0]["hangul"] == 5
+    assert rows[1]["dom"] == "Hiragana" and rows[1]["hiragana"] == 6
+    assert rows[2]["dom"] == "Katakana" and rows[2]["katakana"] == 4
+    # 12 = every letter PLUS the matras/virama/anusvara — combining
+    # marks carry the script property, which a character census wants
+    assert rows[3]["dom"] == "Devanagari" and rows[3]["devanagari"] == 12
+    # 日本語 = 3 Han, の = 1 Hiragana, テキスト = 4 Katakana
+    assert rows[4]["han"] == 3 and rows[4]["hiragana"] == 1 \
+        and rows[4]["katakana"] == 4
+    assert rows[4]["dom"] == "Katakana"
+
+
+def test_dominant_script_tiebreak_across_new_classes(spark):
+    # equal counts resolve by script NAME via the (count, name)
+    # struct-max — deterministic, never partition order
+    df = spark.createDataFrame(
+        [("ひらがな カタカナ",),     # Hiragana 4 == Katakana 4
+         ("한글 हिते",),             # Hangul 2 ... Devanagari 4
+         ("ひらがな हिन्दी",)],       # Hiragana 4 < Devanagari 6
+        "t string")
+    rows = df.select(Ftext.dominant_script(F.col("t")).alias("d")).collect()
+    assert rows[0]["d"] == "Katakana"     # 'Katakana' > 'Hiragana'
+    assert rows[1]["d"] == "Devanagari"   # higher count wins
+    assert rows[2]["d"] == "Devanagari"
+
+
+# ------------------------------- per-domain corpus-share cap
+
+def test_domain_share_cap_bound_and_quality_order(spark):
+    from restaurant_etl_code_spark.operators import sampling
+    # 40 rows, 30 of them domain 'a': at cap 1000 bp the bound is
+    # k = floor(40 * 1000 / 10000) = 4 per domain
+    rows = [(i, "a" if i < 30 else f"d{i}", i * 7 % 30) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, q long")
+    capped = sampling.domain_share_cap(
+        df, "domain", "doc_id", cap_bp=1000, order_col="q", portable=True)
+    out = capped.groupBy("domain").count().collect()
+    by_dom = {r["domain"]: r["count"] for r in out}
+    assert by_dom["a"] == 4                  # hot domain capped at k
+    assert all(v == 1 for d, v in by_dom.items() if d != "a")
+    # keep-the-best: the 4 survivors of 'a' are its 4 highest q values
+    kept_q = sorted(r["q"] for r in capped.filter("domain = 'a'")
+                    .select("q").collect())
+    top_q = sorted(i * 7 % 30 for i in range(30))[-4:]
+    assert kept_q == sorted(top_q)
+
+
+def test_domain_share_cap_floor_is_one(spark):
+    from restaurant_etl_code_spark.operators import sampling
+    # a tiny corpus must keep at least ONE row per domain, never zero
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, domain string")
+    capped = sampling.domain_share_cap(df, "domain", "doc_id", cap_bp=25)
+    assert capped.count() == 2
+
+
 def test_probe_join_readout_requires_executed_plan(spark):
     # r16 ADVICE (low): the probe used to read executedPlan() off a
     # DataFrame that never ran — under AQE that renders the INITIAL

@@ -1258,6 +1258,24 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                   "MapInPandas", "SortMergeJoin", "BroadcastHashJoin",
                   "Window"],
     },
+    "cjk_script_mix": {
+        # nine per-script regex-length counters, each computed ONCE as a
+        # row-local codegen column; one hash-groupBy, zero joins, zero
+        # Python — same designed shape as script_mix
+        "want": ["HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin",
+                  "Window"],
+    },
+    "domain_cap_enforce": {
+        # the cap bound is a LITERAL (counter-sized driver scalar), so
+        # the row_number filter pushes down as WindowGroupLimit — each
+        # map task forwards only its local top-k per domain; the
+        # before/after merge joins two dimension-sized aggregates
+        "want": ["WindowGroupLimit", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas"],
+    },
 }
 
 
