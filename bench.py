@@ -31,6 +31,16 @@ row's contamination flag, and every retake is audited per-row in
 `retaken_queries`. This makes the committed record a min-of-takes
 artifact for exactly the rows where one instant's box state would
 otherwise become the round's reference number.
+
+Per-row quiet markers (r16, verdict order 3): every detail row carries
+the KEPT take's bracket (`kept_bracket_ms` / `kept_io_bracket_ms`) and
+`quiet_row` (bracket ≤ the session cutoffs), with `n_quiet_rows` /
+`n_rows` in the summary. The session-level `quiet` flag cannot express
+a min-of-takes row that KEPT an episode-bracketed first take because
+its quiet retake was slower (r15 committed four such rows under
+`quiet: true`); with the kept-take bracket in-record, those rows are
+machine-separable and a reader can recompute the geomean over clean
+rows only — at the 2.5x cutoff or any stricter threshold they trust.
 """
 
 from __future__ import annotations
@@ -503,10 +513,12 @@ def retake_set(timings: dict, contaminated: list, prev_q: dict,
 def merge_retakes(timings: dict, contaminated: list,
                   retakes: dict) -> tuple[dict, list, dict]:
     """Fold retake results into the record. ``retakes`` maps name ->
-    {"sec": float, "quiet": bool}. Returns (merged timings, remaining
-    contaminated list, per-row audit). A quiet retake replaces the row
-    iff faster (min-of-takes) and clears its contamination flag; a
-    loaded retake changes nothing. Pure function."""
+    {"sec": float, "quiet": bool} (optionally carrying the retake's
+    bracket samples, passed through to the audit). Returns (merged
+    timings, remaining contaminated list, per-row audit). A quiet
+    retake replaces the row iff faster (min-of-takes) and clears its
+    contamination flag; a loaded retake changes nothing. Pure
+    function."""
     merged = dict(timings)
     still = set(contaminated)
     audit: dict[str, dict] = {}
@@ -526,7 +538,48 @@ def merge_retakes(timings: dict, contaminated: list,
             "retake_quiet": rt["quiet"],
             "kept": kept,
         }
+        for k in ("bracket_ms", "io_bracket_ms"):
+            if k in rt:
+                audit[name]["retake_" + k] = rt[k]
     return merged, sorted(still), audit
+
+
+def kept_bracket_and_quiet(names: list, canaries_ms: list,
+                           io_canaries_ms: list, cutoff: float,
+                           io_cutoff: "float | None",
+                           retake_audit: dict) -> dict:
+    """Per-row quiet marker (r15 verdict order 3): for each row, the
+    KEPT take's bracketing canary maxima and ``quiet_row`` = that
+    bracket ≤ the session cutoffs. The session-level ``quiet`` flag
+    cannot express this — r15 committed ``quiet: true`` while four
+    min-of-takes rows kept episode-bracketed FIRST takes (their quiet
+    retakes were slower), and a reader could not machine-separate
+    those rows from clean ones. With the kept-take bracket IN the
+    record, any consumer can recompute a geomean over clean rows only,
+    at any threshold it trusts. Pure function (unit-tested without
+    Spark).
+
+    Rows whose retake REPLACED the first take are quiet by
+    construction (only quiet retakes replace); rows that kept a first
+    take — retaken or not — carry the first take's bracket."""
+    out: dict[str, dict] = {}
+    for i, name in enumerate(names):
+        rt = retake_audit.get(name)
+        if rt is not None and rt.get("kept") == "retake":
+            bracket = rt.get("retake_bracket_ms", -1.0)
+            io_bracket = rt.get("retake_io_bracket_ms", -1.0)
+            quiet_row = True
+        else:
+            bracket = max(canaries_ms[i], canaries_ms[i + 1])
+            io_bracket = max(io_canaries_ms[i], io_canaries_ms[i + 1])
+            quiet_row = bracket <= cutoff and (
+                io_cutoff is None or io_bracket <= io_cutoff)
+        out[name] = {
+            "kept_bracket_ms": round(bracket, 1),
+            "kept_io_bracket_ms": round(io_bracket, 2),
+            "quiet_row": quiet_row,
+        }
+    return out
 
 # ABSOLUTE floor (review finding): a purely relative check misses load
 # that is uniform across the WHOLE run — every canary inflates together
@@ -701,7 +754,11 @@ def main() -> int:
         post_io = _io_canary_sec(io_probe) * 1000 if io_probe else 0.0
         quiet_take = max(pre_c, post_c) <= cutoff and (
             io_cutoff is None or max(pre_io, post_io) <= io_cutoff)
-        retakes[name] = {"sec": sec, "quiet": quiet_take}
+        retakes[name] = {
+            "sec": sec, "quiet": quiet_take,
+            "bracket_ms": round(max(pre_c, post_c), 1),
+            "io_bracket_ms": round(max(pre_io, post_io), 2),
+        }
         print(
             f"# retake {name}: {sec:.2f}s (first {timings[name]:.2f}s, "
             f"quiet={quiet_take}, canary={max(pre_c, post_c):.0f}ms)",
@@ -712,6 +769,16 @@ def main() -> int:
     for name, row in retake_audit.items():
         detail[name].update(row)
         detail[name]["sec"] = timings[name]
+    # per-row quiet marker (r15 verdict order 3): the KEPT take's
+    # bracket + its ≤-cutoff flag, so episode-admitted min-of-takes
+    # rows are machine-separable from clean rows and a reader can
+    # recompute the geomean over clean rows only
+    row_flags = kept_bracket_and_quiet(
+        BENCH_QUERIES, canaries_ms, io_canaries_ms, cutoff, io_cutoff,
+        retake_audit)
+    for name, flags in row_flags.items():
+        detail[name].update(flags)
+    n_quiet_rows = sum(1 for f in row_flags.values() if f["quiet_row"])
 
     total = round(sum(timings.values()), 3)
     # record-to-record drift vs the last committed round record at the
@@ -742,6 +809,8 @@ def main() -> int:
         "canary_nominal_ms": CANARY_NOMINAL_MS,
         "io_canary_best_ms": min(io_canaries_ms) if io_probe else None,
         "retaken_queries": retake_audit,
+        "n_quiet_rows": n_quiet_rows,
+        "n_rows": len(BENCH_QUERIES),
         "warmup_rows": sorted(WARMUP_ROWS & set(BENCH_QUERIES)),
         **drift,
         **anchor,

@@ -159,6 +159,55 @@ def test_targeted_shards_still_count_stored_payloads(spark, tmp_path):
     assert len(shards) == 5
 
 
+# ------------------------------- per-row quiet marker (r15 order 3)
+
+def test_kept_bracket_and_quiet_separates_episode_rows():
+    import bench
+    # replay of the r15 signature: session quiet, zero contaminated,
+    # yet a min-of-takes row KEPT its first take measured inside an
+    # elevated (episode) bracket because the quiet retake was slower —
+    # the per-row marker must carry the KEPT take's bracket
+    names = ["clean", "episode_kept_first", "retake_replaced"]
+    #            canary before each row, plus the closing sample
+    canaries = [105.0, 104.0, 290.0, 106.0]
+    ios = [-1.0, -1.0, -1.0, -1.0]
+    cutoff = 2.5 * 104.0
+    retake_audit = {
+        # retake was quiet but SLOWER: first take kept, its loaded
+        # bracket must surface as quiet_row: false
+        "episode_kept_first": {
+            "first_sec": 2.2, "retake_sec": 2.9, "retake_quiet": True,
+            "kept": "first", "retake_bracket_ms": 108.0,
+            "retake_io_bracket_ms": -1.0},
+        # retake was quiet and faster: row is the retake, whose
+        # bracket (not the first take's) is the kept one
+        "retake_replaced": {
+            "first_sec": 4.0, "retake_sec": 2.0, "retake_quiet": True,
+            "kept": "retake", "retake_bracket_ms": 107.0,
+            "retake_io_bracket_ms": -1.0},
+    }
+    flags = bench.kept_bracket_and_quiet(
+        names, canaries, ios, cutoff, None, retake_audit)
+    assert flags["clean"]["quiet_row"] is True
+    assert flags["clean"]["kept_bracket_ms"] == 105.0
+    assert flags["episode_kept_first"]["quiet_row"] is False
+    assert flags["episode_kept_first"]["kept_bracket_ms"] == 290.0
+    assert flags["retake_replaced"]["quiet_row"] is True
+    assert flags["retake_replaced"]["kept_bracket_ms"] == 107.0
+
+
+def test_merge_retakes_passes_bracket_through_to_audit():
+    import bench
+    timings = {"q": 3.0}
+    merged, still, audit = bench.merge_retakes(
+        timings, ["q"],
+        {"q": {"sec": 2.5, "quiet": True,
+               "bracket_ms": 110.0, "io_bracket_ms": 3.2}})
+    assert merged["q"] == 2.5 and still == []
+    assert audit["q"]["retake_bracket_ms"] == 110.0
+    assert audit["q"]["retake_io_bracket_ms"] == 3.2
+
+
 # ------------------------------- probe executed-plan readout
 
 def _load_probe_module():
