@@ -426,6 +426,31 @@ DRIFT_ANCHOR_RECORD = os.environ.get(
 )
 DRIFT_ANCHOR_RATIO = 1.35
 
+# Measurement-protocol versioning (r16, r15 verdict order 1). The r15
+# per-row clearCache hygiene change was CORRECT (each row measures its
+# own plan) but it re-defined what a row's number means for the rows
+# that used to ride a sibling's persisted blocks: Spark's CacheManager
+# matches cached relations by canonicalized logical plan, so pre-r15
+# `containment_pairs` reused the `shingled` index persisted by
+# `ngram_jaccard_capped` ~100 rows earlier, and `dup_cluster_sizes`
+# rode `minhash_lsh_pairs`' banded table (subsidy measured in
+# tools/cache_subsidy_probe.py; plans verified byte-identical across
+# rounds, so the moves are protocol, not regression). Ratios across
+# the protocol boundary are therefore apples-to-oranges for that
+# cohort, and the HARD cumulative gate must compare same-protocol
+# records only:
+#   v1 = pre-r15 (no per-row clearCache — cross-row subsidy possible)
+#   v2 = r15+   (per-row clearCache + WARMUP_ROWS + retake pass)
+# The gate anchor is the first committed quiet v2 record
+# (BENCH_full_r15.json); the r09 v1 anchor stays in the record as
+# `geomean_vs_anchor_legacy` — informational cross-protocol context,
+# never a quiet-flag input. Bump the v2 default only when a later
+# quiet record is deliberately promoted (document why in BASELINE.md).
+PROTOCOL_VERSION = 2
+DRIFT_ANCHOR_RECORD_V2 = os.environ.get(
+    "SPARK_GRAFT_DRIFT_ANCHOR_V2", "BENCH_full_r15.json"
+)
+
 
 def drift_vs_prev(timings: dict, prev_record: dict) -> dict:
     """Common-query geomean of this-run/prev ratios. Pure function so
@@ -515,10 +540,15 @@ def merge_retakes(timings: dict, contaminated: list,
     """Fold retake results into the record. ``retakes`` maps name ->
     {"sec": float, "quiet": bool} (optionally carrying the retake's
     bracket samples, passed through to the audit). Returns (merged
-    timings, remaining contaminated list, per-row audit). A quiet
-    retake replaces the row iff faster (min-of-takes) and clears its
-    contamination flag; a loaded retake changes nothing. Pure
-    function."""
+    timings, remaining contaminated list, per-row audit). The recorded
+    row is the MIN of the takes regardless of either take's bracket —
+    external load only ever ADDS time, so a faster sample is a valid
+    tighter upper bound of the plan's cost even when its own bracket
+    was loaded (r16: the old rule discarded a loaded-but-faster retake
+    entirely, once keeping a 7.1 s first take over a measured 2.2 s).
+    Contamination-flag CLEARING still requires a quiet retake bracket:
+    timing and cleanliness are separate claims, and `quiet_row` in the
+    detail reflects the kept take's actual bracket. Pure function."""
     merged = dict(timings)
     still = set(contaminated)
     audit: dict[str, dict] = {}
@@ -527,10 +557,10 @@ def merge_retakes(timings: dict, contaminated: list,
         if first is None:
             continue
         kept = "first"
+        if rt["sec"] < first:
+            merged[name] = rt["sec"]
+            kept = "retake"
         if rt["quiet"]:
-            if rt["sec"] < first:
-                merged[name] = rt["sec"]
-                kept = "retake"
             still.discard(name)
         audit[name] = {
             "first_sec": first,
@@ -559,16 +589,18 @@ def kept_bracket_and_quiet(names: list, canaries_ms: list,
     at any threshold it trusts. Pure function (unit-tested without
     Spark).
 
-    Rows whose retake REPLACED the first take are quiet by
-    construction (only quiet retakes replace); rows that kept a first
-    take — retaken or not — carry the first take's bracket."""
+    Rows whose retake REPLACED the first take carry the RETAKE's
+    bracket and its quiet flag (min-of-takes admits loaded-but-faster
+    retakes as timing upper bounds — their quiet_row stays False);
+    rows that kept a first take — retaken or not — carry the first
+    take's bracket."""
     out: dict[str, dict] = {}
     for i, name in enumerate(names):
         rt = retake_audit.get(name)
         if rt is not None and rt.get("kept") == "retake":
             bracket = rt.get("retake_bracket_ms", -1.0)
             io_bracket = rt.get("retake_io_bracket_ms", -1.0)
-            quiet_row = True
+            quiet_row = bool(rt.get("retake_quiet", False))
         else:
             bracket = max(canaries_ms[i], canaries_ms[i + 1])
             io_bracket = max(io_canaries_ms[i], io_canaries_ms[i + 1])
@@ -617,11 +649,18 @@ IO_CANARY_FLOOR_MS = float(os.environ.get("SPARK_GRAFT_IO_CANARY_FLOOR_MS", "25.
 # per-row clearCache below would otherwise turn their single take cold —
 # the warm-up take rebuilds the row's cache before the timed take, and
 # the clear after the row keeps the cache from leaking across rows.
+# containment_pairs joined r16 (verdict order 7): its ramp audit
+# (tools/cache_subsidy_probe.py, 6 takes with clearCache between)
+# measured 5.5 → 4.3 → 3.0 → 3.1 → 2.9 → 3.8 — plateau by take 3, so
+# the one-shot protocol was sampling a JIT/shuffle ramp, exactly the
+# dedup_recall pathology. dup_cluster_sizes showed NO ramp trend in the
+# same audit (5.5, 7.3, 4.7, 6.0, 6.6, 7.9 — jitter, no descent) and
+# stays un-warmed; its series is governed by the v2 anchor.
 WARMUP_ROWS = set(
     os.environ.get(
         "SPARK_GRAFT_WARMUP_ROWS",
         "dedup_recall,warc_fetch_latency,cdx_incremental_merge,"
-        "winnow_dedup_pairs,change_rate_schedule",
+        "winnow_dedup_pairs,change_rate_schedule,containment_pairs",
     ).split(",")
 )
 
@@ -718,17 +757,23 @@ def main() -> int:
         os.path.dirname(os.path.abspath(__file__)), out_path
     )
     prev_rec = prev[1] if prev is not None and prev[1].get("sf") == sf else None
-    anchor_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), DRIFT_ANCHOR_RECORD
-    )
-    anchor_rec = None
-    if os.path.realpath(anchor_path) != os.path.realpath(out_path):
+
+    def _load_ref(path: str) -> "dict | None":
+        if os.path.realpath(path) == os.path.realpath(out_path):
+            return None
         try:
-            cand = json.load(open(anchor_path))
-            if cand.get("sf") == sf:
-                anchor_rec = cand
+            cand = json.load(open(path))
+            return cand if cand.get("sf") == sf else None
         except (OSError, json.JSONDecodeError):
-            pass
+            return None
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # HARD cumulative gate: the same-protocol (v2) anchor. The v1/r09
+    # anchor is loaded for the informational cross-protocol number only.
+    anchor_path = os.path.join(repo_dir, DRIFT_ANCHOR_RECORD_V2)
+    anchor_rec = _load_ref(anchor_path)
+    legacy_path = os.path.join(repo_dir, DRIFT_ANCHOR_RECORD)
+    legacy_rec = _load_ref(legacy_path)
 
     # quiet-retake pass: one bracketed re-run per contaminated/mover
     # row; recorded row = min of the quiet takes (see retake_set)
@@ -790,12 +835,24 @@ def main() -> int:
         drift = drift_vs_prev(timings, prev_rec)
         drift["prev_record"] = os.path.basename(prev[0])
     # fixed-anchor cumulative gate (r12): immune to slow creep across
-    # successive ≤1.2 per-round records
+    # successive ≤1.2 per-round records. Same-protocol (v2) anchor only
+    # — cross-protocol ratios are apples-to-oranges for the cache-
+    # subsidy cohort (r16).
     anchor = {"geomean_vs_anchor": None, "n_common_anchor": 0,
               "anchor_suspect": False, "anchor_record": None}
     if anchor_rec is not None:
         anchor = drift_vs_anchor(timings, anchor_rec)
         anchor["anchor_record"] = os.path.basename(anchor_path)
+    # informational cross-protocol context vs the v1/r09 anchor: never
+    # a quiet-flag input, kept so the series' full history stays in
+    # every record
+    legacy = {"geomean_vs_anchor_legacy": None,
+              "n_common_anchor_legacy": 0, "legacy_anchor_record": None}
+    if legacy_rec is not None:
+        lg = drift_vs_prev(timings, legacy_rec)
+        legacy = {"geomean_vs_anchor_legacy": lg["geomean_vs_prev"],
+                  "n_common_anchor_legacy": lg["n_common"],
+                  "legacy_anchor_record": os.path.basename(legacy_path)}
     record = {
         "metric": "total_bench_sec",
         "value": total,
@@ -812,8 +869,10 @@ def main() -> int:
         "n_quiet_rows": n_quiet_rows,
         "n_rows": len(BENCH_QUERIES),
         "warmup_rows": sorted(WARMUP_ROWS & set(BENCH_QUERIES)),
+        "protocol_version": PROTOCOL_VERSION,
         **drift,
         **anchor,
+        **legacy,
     }
     if anchor["anchor_suspect"]:
         # cumulative creep past the fixed anchor: hard alarm, independent

@@ -15703,61 +15703,61 @@ _REGISTRY: dict[str, QueryDef] = {
 # applies the policy above; hand-maintained rotation notes failed in
 # r6/r7 and miscounted in r8, so the tool's output is authoritative.)
 #
-# r15 window provenance (ledger as of r14, tools/freshness.py --window 50
-# --as-of 14): the three never-checked round-15 queries at the front,
-# then the stalest cohort — thirteen r09 rows, then the r10 block (48
-# registry queries were last driver-checked at r10), plus the two
-# anchors.
-_WINDOW_ROUND = 14  # ledger state this window was generated from
+# r16 window provenance (ledger as of r15, tools/freshness.py --window 50
+# --as-of 15): the two never-checked round-16 queries at the front,
+# then the stalest cohort — the r10 block (the r09 rows were refreshed
+# in the r15 window), then the leading edge of the r11 block, plus the
+# two anchors.
+_WINDOW_ROUND = 15  # ledger state this window was generated from
 _WINDOW_FIRST = [
-    "script_mix",  # never-checked
-    "domain_concentration",  # never-checked
-    "blocklist_rule_audit",  # never-checked
-    "recrawl_savings",  # never-checked
-    "semantic_dedup",  # latest=r09
-    "winnow_dedup_pairs",  # latest=r09
-    "split_leakage_guard",  # latest=r09
-    "dup_cluster_sizes",  # latest=r09
-    "tokenizer_fertility",  # latest=r09
-    "hybrid_rrf_topk",  # latest=r09
-    "matryoshka_recall",  # latest=r09
-    "dedup_rate_by_source",  # latest=r09
-    "decayed_engagement",  # latest=r09
-    "robust_outliers",  # latest=r09
-    "basket_triangles",  # latest=r09
-    "winnow_recall",  # latest=r09
-    "basket_kcore",  # latest=r09
-    "unigram_logprob",  # latest=r10
-    "minhash_estimate",  # latest=r10
-    "bm25_topk",  # latest=r10
-    "boilerplate_ngrams",  # latest=r10
-    "corpus_profile",  # latest=r10
-    "char_entropy",  # latest=r10
-    "streaming_quality_gate",  # latest=r10
-    "ann_recall",  # latest=r10
-    "orc_scan_agg",  # latest=r10
-    "quality_classifier",  # latest=r10
-    "stats_prune_scan",  # latest=r10
-    "embedding_covariance",  # latest=r10
-    "incremental_quantile",  # latest=r10
-    "kfold_split",  # latest=r10
-    "retrieval_eval",  # latest=r10
-    "funnel",  # latest=r10
-    "cohort_retention",  # latest=r10
-    "event_transitions",  # latest=r10
-    "concurrency_sweep",  # latest=r10
-    "dq_audit",  # latest=r10
-    "time_resample",  # latest=r10
-    "winsorize",  # latest=r10
-    "pagerank",  # latest=r10
-    "basket_pairs",  # latest=r10
-    "anomaly_hours",  # latest=r10
-    "funnel_windowed",  # latest=r10
-    "approx_distinct_audit",  # latest=r10
-    "asof_tolerance",  # latest=r10
-    "point_in_time",  # latest=r10
-    "trend_fit",  # latest=r10
-    "knn_graph",  # latest=r10
+    "cjk_script_mix",  # never-checked
+    "domain_cap_enforce",  # never-checked
+    "streaming_funnel",  # latest=r10
+    "star_join",  # latest=r10
+    "schema_evolution_scan",  # latest=r10
+    "stream_stream_left_join",  # latest=r10
+    "incremental_join",  # latest=r10
+    "dedup_recall",  # latest=r10
+    "corrupt_quarantine",  # latest=r10
+    "funnel_timing",  # latest=r10
+    "numeric_corr",  # latest=r10
+    "session_paths",  # latest=r10
+    "text_normalize",  # latest=r10
+    "nfkc_fold",  # latest=r10
+    "unicode_scrub",  # latest=r10
+    "mojibake_flag",  # latest=r10
+    "dedup_normalized",  # latest=r10
+    "url_canonical",  # latest=r10
+    "domain_rollup",  # latest=r10
+    "staging_restaurant",  # latest=r11
+    "llm_parse",  # latest=r11
+    "precheck_antijoin",  # latest=r11
+    "upc_validity",  # latest=r11
+    "change_detect",  # latest=r11
+    "template_chunks",  # latest=r11
+    "batch_stats",  # latest=r11
+    "match_breakdown",  # latest=r11
+    "status_partition",  # latest=r11
+    "topk_per_group",  # latest=r11
+    "rollup_pricing",  # latest=r11
+    "sessionize",  # latest=r11
+    "asof_join",  # latest=r11
+    "range_join",  # latest=r11
+    "window_analytics",  # latest=r11
+    "grouping_sets",  # latest=r11
+    "global_topn",  # latest=r11
+    "quantiles",  # latest=r11
+    "approx_aggs",  # latest=r11
+    "salted_join_agg",  # latest=r11
+    "tumbling_window",  # latest=r11
+    "streaming_dedup",  # latest=r11
+    "streaming_running_stats",  # latest=r11
+    "streaming_sessions",  # latest=r11
+    "streaming_enrich",  # latest=r11
+    "multires_rollup",  # latest=r11
+    "sketch_rollup",  # latest=r11
+    "reconcile",  # latest=r11
+    "unpivot",  # latest=r11
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

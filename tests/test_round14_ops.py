@@ -207,22 +207,31 @@ def test_merge_retakes_min_of_quiet_takes():
     retakes = {
         "a": {"sec": 1.5, "quiet": True},    # quiet + faster: replaces, clears
         "b": {"sec": 2.5, "quiet": True},    # quiet but slower: keeps first, clears
-        "c": {"sec": 1.0, "quiet": False},   # loaded retake: changes nothing
+        # loaded retake, FASTER: replaces as a timing (load only adds
+        # time, so the smaller sample is a valid tighter upper bound —
+        # r16 rule) but cannot clear the contamination flag
+        "c": {"sec": 1.0, "quiet": False},
     }
     merged, still, audit = bench.merge_retakes(timings, contaminated, retakes)
-    assert merged == {"a": 1.5, "b": 2.0, "c": 3.0}
+    assert merged == {"a": 1.5, "b": 2.0, "c": 1.0}
     assert still == []          # both contaminated rows cleared by quiet takes
     assert audit["a"]["kept"] == "retake"
     assert audit["b"]["kept"] == "first"
-    assert audit["c"]["kept"] == "first" and audit["c"]["retake_quiet"] is False
+    assert audit["c"]["kept"] == "retake" and audit["c"]["retake_quiet"] is False
 
 
 def test_merge_retakes_loaded_retake_keeps_flag():
     import bench
+    # min-of-takes admits the faster loaded retake as the TIMING, but
+    # the contamination flag stands: both takes were dirty
     merged, still, audit = bench.merge_retakes(
         {"a": 4.0}, ["a"], {"a": {"sec": 1.0, "quiet": False}})
-    assert merged == {"a": 4.0}
+    assert merged == {"a": 1.0}
     assert still == ["a"]       # both takes dirty: the flag stands
+    # and a loaded retake that is SLOWER changes nothing at all
+    merged2, still2, _ = bench.merge_retakes(
+        {"a": 4.0}, ["a"], {"a": {"sec": 5.0, "quiet": False}})
+    assert merged2 == {"a": 4.0} and still2 == ["a"]
 
 
 # ---------------------------------------- PSL excerpt coverage audit

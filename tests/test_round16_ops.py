@@ -167,10 +167,11 @@ def test_kept_bracket_and_quiet_separates_episode_rows():
     # yet a min-of-takes row KEPT its first take measured inside an
     # elevated (episode) bracket because the quiet retake was slower —
     # the per-row marker must carry the KEPT take's bracket
-    names = ["clean", "episode_kept_first", "retake_replaced"]
+    names = ["clean", "episode_kept_first", "retake_replaced",
+             "loaded_retake_won"]
     #            canary before each row, plus the closing sample
-    canaries = [105.0, 104.0, 290.0, 106.0]
-    ios = [-1.0, -1.0, -1.0, -1.0]
+    canaries = [105.0, 104.0, 290.0, 350.0, 106.0]
+    ios = [-1.0, -1.0, -1.0, -1.0, -1.0]
     cutoff = 2.5 * 104.0
     retake_audit = {
         # retake was quiet but SLOWER: first take kept, its loaded
@@ -185,6 +186,12 @@ def test_kept_bracket_and_quiet_separates_episode_rows():
             "first_sec": 4.0, "retake_sec": 2.0, "retake_quiet": True,
             "kept": "retake", "retake_bracket_ms": 107.0,
             "retake_io_bracket_ms": -1.0},
+        # min-of-takes admitted a FASTER retake whose own bracket was
+        # loaded: it is the kept timing but NOT a quiet row
+        "loaded_retake_won": {
+            "first_sec": 6.0, "retake_sec": 2.1, "retake_quiet": False,
+            "kept": "retake", "retake_bracket_ms": 330.0,
+            "retake_io_bracket_ms": -1.0},
     }
     flags = bench.kept_bracket_and_quiet(
         names, canaries, ios, cutoff, None, retake_audit)
@@ -194,6 +201,8 @@ def test_kept_bracket_and_quiet_separates_episode_rows():
     assert flags["episode_kept_first"]["kept_bracket_ms"] == 290.0
     assert flags["retake_replaced"]["quiet_row"] is True
     assert flags["retake_replaced"]["kept_bracket_ms"] == 107.0
+    assert flags["loaded_retake_won"]["quiet_row"] is False
+    assert flags["loaded_retake_won"]["kept_bracket_ms"] == 330.0
 
 
 def test_merge_retakes_passes_bracket_through_to_audit():

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Cross-row cache-subsidy probe for the dedup-family bench rows
+(r15 verdict order 1 + 7).
+
+Background: `_shingle_intersections` persists its shingled inverted
+index and `lsh_candidate_pairs`/`lsh_component_edges` persist their
+banded tables; Spark's CacheManager matches cached relations by
+CANONICALIZED logical plan, so a LATER query that rebuilds the same
+relation (same input, same params) silently reuses a sibling row's
+blocks. Pre-r15 the bench never cleared cache between rows, so
+`containment_pairs` (bench position ~123) rode the `shingled` cache
+built by `ngram_jaccard_capped` (position ~21), and
+`dup_cluster_sizes` rode `minhash_lsh_pairs`' banded table. The r15
+per-row `clearCache` hygiene removed the subsidy — which is CORRECT
+(each row now measures its own plan) but makes pre-r15 records
+apples-to-oranges for exactly this cohort. This probe measures the
+subsidy directly so the r16 re-anchoring is attributed with data, and
+takes a 6-take ramp series (clearCache between takes — the per-row
+protocol state) to find each row's steady state for the WARMUP_ROWS
+decision.
+
+Usage: python tools/cache_subsidy_probe.py [RAMP_TAKES]
+Prints one JSON line:
+  {"pairs": [{row, warmer, cold_sec, subsidized_sec, subsidy_ratio}...],
+   "ramp": {row: [t1..tN]}, "canary_ms": [...]}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from restaurant_etl_code_spark import get_spark
+from restaurant_etl_code_spark.plans import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+PAIRS = [
+    # (subsidized row, the earlier bench row whose persist warms it)
+    ("containment_pairs", "ngram_jaccard_capped"),
+    ("dup_cluster_sizes", "minhash_lsh_pairs"),
+]
+RAMP_ROWS = ["containment_pairs", "dup_cluster_sizes"]
+
+
+def _canary_ms() -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    assert x > 0
+    return (time.perf_counter() - t0) * 1000
+
+
+def _run(spark, name: str) -> float:
+    t0 = time.time()
+    QUERIES[name].spark(spark, SF_DIR).count()
+    return round(time.time() - t0, 3)
+
+
+def main() -> int:
+    ramp_takes = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    spark = get_spark("cache-subsidy-probe",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    canaries = [round(_canary_ms(), 1)]
+
+    # JVM/BLAS warm-up so take-1 JIT ramp doesn't masquerade as subsidy:
+    # one untimed run of each measured row, then clear
+    for name, warmer in PAIRS:
+        QUERIES[name].spark(spark, SF_DIR).count()
+        spark.catalog.clearCache()
+    canaries.append(round(_canary_ms(), 1))
+
+    pairs_out = []
+    for name, warmer in PAIRS:
+        spark.catalog.clearCache()
+        cold = _run(spark, name)          # builds its own caches
+        spark.catalog.clearCache()
+        warm_cost = _run(spark, warmer)   # sibling leaves its persist
+        subsidized = _run(spark, name)    # rides the sibling's blocks
+        spark.catalog.clearCache()
+        canaries.append(round(_canary_ms(), 1))
+        pairs_out.append({
+            "row": name, "warmer": warmer,
+            "cold_sec": cold, "warmer_sec": warm_cost,
+            "subsidized_sec": subsidized,
+            "subsidy_ratio": round(cold / subsidized, 2) if subsidized else None,
+        })
+
+    ramp = {}
+    for name in RAMP_ROWS:
+        takes = []
+        for _ in range(ramp_takes):
+            spark.catalog.clearCache()
+            takes.append(_run(spark, name))
+        ramp[name] = takes
+        canaries.append(round(_canary_ms(), 1))
+
+    print(json.dumps({
+        "sf_dir": SF_DIR,
+        "pairs": pairs_out,
+        "ramp": ramp,
+        "canary_ms": canaries,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
