@@ -305,9 +305,12 @@ BENCH_QUERIES = [
     "domain_concentration",
     "blocklist_rule_audit",
     "recrawl_savings",
-    # round 16: CJK/Indic script cohorts + the corpus-share domain cap
+    # round 16: CJK/Indic script cohorts, the corpus-share domain cap,
+    # line-level boilerplate removal, the LSH geometry planner
     "cjk_script_mix",
     "domain_cap_enforce",
+    "line_boilerplate_strip",
+    "lsh_geometry_plan",
 ]
 
 

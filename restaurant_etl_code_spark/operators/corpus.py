@@ -61,6 +61,7 @@ __all__ = [
     "logreg_train_hashed",
     "gopher_flags",
     "GOPHER_STOPWORD_PROBE",
+    "line_boilerplate_strip",
 ]
 
 
@@ -1696,3 +1697,71 @@ def gopher_flags(
     for c in flags.values():
         pass_all = pass_all & c
     return {**flags, "pass_all": pass_all}
+
+
+def line_boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    min_df: int = 3,
+) -> DataFrame:
+    """Line-level cross-document boilerplate removal — the CCNet/
+    RefinedWeb dedup stage that per-document filters cannot express: a
+    NORMALIZED line (lowercased, trimmed) occurring in more than
+    ``min_df`` distinct documents of the same ``group_col`` cohort
+    (domain, source) is boilerplate — nav menus, cookie banners,
+    footers — and is dropped from EVERY document that carries it,
+    while each document's unique prose survives untouched. Blank lines
+    are structure, not content: never counted toward document
+    frequency, always preserved.
+
+    Returns one row per input document: ``(id, group, text)`` with the
+    cleaned text rebuilt in original line order, plus ``n_lines``
+    (original) and ``n_stripped``. Documents whose every non-blank
+    line was boilerplate come back with the blank skeleton (possibly
+    ``''``) — the downstream min-length gate drops them, which is the
+    correct pipeline division of labor. Rows with NULL text are
+    dropped (posexplode of a null array) — filter or coalesce upstream
+    if they must survive.
+
+    Physical shape at 100 TB: posexplode is a flat map on the scan;
+    document frequency is one hash-groupBy on ``(group, line-hash)``
+    over xxhash64 of the normalized line (8-byte key, never line
+    text); the verdict joins back on the same key (co-shuffled
+    equi-join — Zipf-heavy boilerplate keys are exactly AQE skew-join
+    territory); the rebuild is one groupBy on the document id with an
+    order-restoring ``array_sort`` over (pos, line) structs —
+    per-document payload, bounded by document size. collect_list drops
+    the NULLs the keep-predicate injects, so stripped lines never
+    cross the final shuffle."""
+    line_ = F.col("__line")
+    trimmed = F.trim(line_)
+    lines = df.select(
+        id_col, group_col,
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("__pos", "__line"),
+    ).withColumn("__lk", F.xxhash64(F.lower(trimmed)))
+    dfreq = (
+        lines.filter(trimmed != "")
+        .groupBy(group_col, "__lk")
+        .agg(F.countDistinct(id_col).alias("__df"))
+    )
+    joined = lines.join(dfreq, [group_col, "__lk"], "left")
+    drop = (trimmed != "") & (F.col("__df") > min_df)
+    kept_struct = F.when(~drop, F.struct("__pos", "__line"))
+    return (
+        joined.groupBy(id_col, group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(drop.cast("int")).cast("long").alias("n_stripped"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["__line"],
+                ),
+            ).alias(text_col),
+        )
+        .select(id_col, group_col, text_col, "n_lines", "n_stripped")
+    )

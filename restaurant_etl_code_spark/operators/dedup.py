@@ -57,6 +57,7 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_pairs",
     "cluster_size_histogram",
+    "lsh_geometry_plan",
 ]
 
 
@@ -1346,4 +1347,59 @@ def cluster_size_histogram(
             (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
         )
         .orderBy("cluster_size")
+    )
+
+
+def lsh_geometry_plan(
+    spark,
+    num_hashes: int = 16,
+    threshold: float = 0.8,
+    noise_sim: float = 0.3,
+    target_recall: float = 0.95,
+) -> DataFrame:
+    """Band-geometry planner for MinHash LSH — the sizing step that
+    runs BEFORE a 100 TB dedup, not after it disappoints: for every
+    ``(bands, rows_per_band)`` factorization of the signature width,
+    the closed-form S-curve collision probability
+    ``P(s) = 1 − (1 − s^rows)^bands`` gives
+
+    - ``recall_at_t``: probability a TRUE pair at the dedup threshold
+      lands in ≥1 shared bucket (missed pairs are silent corpus dupes);
+    - ``noise_at_s``: probability an UNRELATED pair at ``noise_sim``
+      becomes a candidate (candidate volume is the shuffle+verify
+      bill — at corpus scale the noise rate, times n², is the cost);
+    - ``s_mid``: the curve's midpoint ``(1/bands)^(1/rows)`` — where
+      collision probability crosses 1/2, the geometry's effective
+      operating threshold.
+
+    ``meets_target`` marks geometries whose recall clears
+    ``target_recall``; among those, the LOWEST noise_at_s is the right
+    choice (recall you cannot recover, noise you merely pay for). The
+    planner's first real finding is about the repo's own default
+    16-hash/4x4 geometry: at t=0.8 it reads recall 0.8785 / noise
+    0.0320 — its midpoint is (1/4)^(1/4) ≈ 0.707, so it is an
+    ~0.7-threshold geometry that UNDERSHOOTS a 95% recall target at
+    0.8 (8x2 clears it at 0.99972 recall for 12x the candidate
+    noise). Exactly the trade to inspect before committing a cluster
+    week. Driver-free arithmetic over a
+    num_hashes-row range: runs anywhere, costs nothing, and the same
+    closed form is oracle-checkable in SQL. Probabilities are rounded
+    to 6 dp (engine-exact under the repo's double conventions)."""
+    b = F.col("id").cast("int")
+    r = (F.lit(num_hashes) / b).cast("int")
+    recall = 1 - F.pow(1 - F.pow(F.lit(threshold), r), b)
+    noise = 1 - F.pow(1 - F.pow(F.lit(noise_sim), r), b)
+    s_mid = F.pow(1.0 / b, 1.0 / r)
+    return (
+        spark.range(1, num_hashes + 1)
+        .filter(F.lit(num_hashes) % b == 0)
+        .select(
+            b.alias("bands"),
+            r.alias("rows_per_band"),
+            F.round(recall, 6).alias("recall_at_t"),
+            F.round(noise, 6).alias("noise_at_s"),
+            F.round(s_mid, 4).alias("s_mid"),
+            (F.round(recall, 6) >= F.lit(target_recall))
+            .alias("meets_target"),
+        )
     )

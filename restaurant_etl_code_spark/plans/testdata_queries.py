@@ -14844,6 +14844,114 @@ from before_cap b left join kept k on b.source = k.source
 """
 
 
+def _q_line_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level cross-document boilerplate removal
+    (corpus.line_boilerplate_strip) — the CCNet/RefinedWeb dedup stage:
+    a normalized line occurring in more than min_df distinct documents
+    of one source is nav/banner/footer boilerplate and is dropped from
+    every document; unique prose and blank lines survive. Fixture:
+    each document becomes six lines — a corpus-wide cookie banner, the
+    doc's unique body, a blank line (structure: preserved, never
+    counted), a `ref k%5` line (≈n_src/5 docs per key — stripped when
+    the cohort clears min_df), a `tag k%97` line (df 0-1 — kept), and
+    a per-source footer. Output: per-source strip yield (lines in/out,
+    floored basis points, chars out) — the number that says what the
+    boilerplate pass actually bought. Two hash-shuffles (df count on
+    the 8-byte line key + order-restoring rebuild), one co-keyed
+    join — the exact 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text = F.concat_ws(
+        "\n",
+        F.lit("Cookie notice: this site uses cookies"),
+        F.col("text"),
+        F.lit(""),
+        F.concat(F.lit("ref "), (d % 5).cast("string")),
+        F.concat(F.lit("tag "), (d % 97).cast("string")),
+        F.concat(F.lit("(c) footer "), F.col("source")),
+    )
+    shaped = docs.select("doc_id", "source", text.alias("text"))
+    cleaned = corpus.line_boilerplate_strip(
+        shaped, "doc_id", "text", "source", min_df=3)
+    return cleaned.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.sum("n_stripped").cast("long").alias("n_stripped"),
+        F.floor(F.sum("n_stripped") * F.lit(10000) / F.sum("n_lines"))
+        .cast("long").alias("strip_bp"),
+        F.sum(F.length("text")).cast("long").alias("chars_out"),
+    )
+
+
+_ORACLE_LINE_STRIP = """
+with shaped as (
+  select doc_id, source,
+         'Cookie notice: this site uses cookies' || chr(10) || text
+           || chr(10) || '' || chr(10) || 'ref ' || (doc_id % 5)::varchar
+           || chr(10) || 'tag ' || (doc_id % 97)::varchar
+           || chr(10) || '(c) footer ' || source as text
+  from documents),
+lines as (
+  select doc_id, source,
+         generate_subscripts(string_split(text, chr(10)), 1) as pos,
+         unnest(string_split(text, chr(10))) as line
+  from shaped),
+keyed as (
+  select doc_id, source, pos, line, lower(trim(line)) as k from lines),
+dfreq as (
+  select source, k, count(distinct doc_id) as df
+  from keyed where trim(line) <> '' group by source, k),
+flagged as (
+  select keyed.*, (trim(line) <> '' and coalesce(df, 0) > 3) as drop_it
+  from keyed left join dfreq using (source, k)),
+perdoc as (
+  select doc_id, source,
+         count(*)::bigint as n_lines,
+         sum(case when drop_it then 1 else 0 end)::bigint as n_stripped,
+         sum(case when drop_it then 0 else length(line) end)::bigint
+           + greatest(count(*) - sum(case when drop_it then 1 else 0 end)
+                      - 1, 0) as chars_out
+  from flagged group by doc_id, source)
+select source, count(*)::bigint as n_docs,
+       sum(n_lines)::bigint as n_lines,
+       sum(n_stripped)::bigint as n_stripped,
+       floor(sum(n_stripped) * 10000.0 / sum(n_lines))::bigint as strip_bp,
+       sum(chars_out)::bigint as chars_out
+from perdoc group by source
+"""
+
+
+def _q_lsh_geometry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH band-geometry planner (dedup.lsh_geometry_plan):
+    the closed-form S-curve trade table — recall at the dedup
+    threshold, candidate noise at an unrelated similarity, curve
+    midpoint — for every factorization of the repo's 16-hash
+    signature. The sizing audit that runs BEFORE a 100 TB dedup;
+    pure driver-free arithmetic over a 16-row range, checked against
+    the same closed form in SQL."""
+    return dedup.lsh_geometry_plan(
+        spark, num_hashes=16, threshold=0.8,
+        noise_sim=0.3, target_recall=0.95)
+
+
+_ORACLE_LSH_PLAN = """
+with g as (
+  select b::int as bands, (16 // b)::int as rows_per_band
+  from range(1, 17) t(b) where 16 % b = 0),
+calc as (
+  select bands, rows_per_band,
+         round(1 - pow(1 - pow(0.8, rows_per_band), bands), 6)
+           as recall_at_t,
+         round(1 - pow(1 - pow(0.3, rows_per_band), bands), 6)
+           as noise_at_s,
+         round(pow(1.0 / bands, 1.0 / rows_per_band), 4) as s_mid
+  from g)
+select bands, rows_per_band, recall_at_t, noise_at_s, s_mid,
+       recall_at_t >= 0.95 as meets_target
+from calc
+"""
+
+
 _REGISTRY: dict[str, QueryDef] = {
     "staging_cleanse": QueryDef(_q_staging_cleanse, _ORACLE_STAGING_CLEANSE,
                                 "P1/P2/P5-P9: industry staging projection + cleanse"),
@@ -15687,6 +15795,14 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_domain_cap_enforce, _ORACLE_DOMAIN_CAP,
         "per-domain corpus-share cap enforcement (25 bp, keep-the-"
         "best): per-source before/after counts + removed basis points"),
+    "line_boilerplate_strip": QueryDef(
+        _q_line_boilerplate_strip, _ORACLE_LINE_STRIP,
+        "CCNet-style line-level cross-document boilerplate removal: "
+        "per-source strip yield (lines, basis points, chars out)"),
+    "lsh_geometry_plan": QueryDef(
+        _q_lsh_geometry_plan, _ORACLE_LSH_PLAN,
+        "MinHash-LSH band-geometry planner: S-curve recall/noise/"
+        "midpoint per factorization of the 16-hash signature"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -15712,6 +15828,8 @@ _WINDOW_ROUND = 15  # ledger state this window was generated from
 _WINDOW_FIRST = [
     "cjk_script_mix",  # never-checked
     "domain_cap_enforce",  # never-checked
+    "line_boilerplate_strip",  # never-checked
+    "lsh_geometry_plan",  # never-checked
     "streaming_funnel",  # latest=r10
     "star_join",  # latest=r10
     "schema_evolution_scan",  # latest=r10
@@ -15756,8 +15874,6 @@ _WINDOW_FIRST = [
     "streaming_enrich",  # latest=r11
     "multires_rollup",  # latest=r11
     "sketch_rollup",  # latest=r11
-    "reconcile",  # latest=r11
-    "unpivot",  # latest=r11
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

@@ -217,6 +217,74 @@ def test_merge_retakes_passes_bracket_through_to_audit():
     assert audit["q"]["retake_io_bracket_ms"] == 3.2
 
 
+# ------------------------------- line-level boilerplate removal
+
+def test_line_boilerplate_strip_semantics(spark):
+    from restaurant_etl_code_spark.operators import corpus
+    banner = "MENU | HOME | CONTACT"
+    rows = [
+        # five g1 docs share the banner (df 5 > 3): stripped everywhere;
+        # doc 3 carries it lowercased — normalization must match it
+        (1, "g1", banner + "\nunique one\n\nclosing one"),
+        (2, "g1", banner + "\nunique two"),
+        (3, "g1", banner.lower() + "\nunique three"),
+        (4, "g1", banner + "\nunique four"),
+        (5, "g1", banner + "\nunique five"),
+        # the SAME banner in g2 has df 1 there: group isolation keeps it
+        (6, "g2", banner + "\ng2 body"),
+        # a doc whose every non-blank line is boilerplate: skeleton out
+        (7, "g1", banner),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in corpus.line_boilerplate_strip(
+        df, "doc_id", "text", "source", min_df=3).collect()}
+    assert out[1]["text"] == "unique one\n\nclosing one"  # blank preserved
+    assert out[1]["n_lines"] == 4 and out[1]["n_stripped"] == 1
+    assert out[3]["text"] == "unique three"   # case-normalized match
+    assert out[6]["text"] == banner + "\ng2 body"   # group isolation
+    assert out[7]["text"] == "" and out[7]["n_stripped"] == 1
+
+
+def test_line_boilerplate_strip_keeps_below_min_df(spark):
+    from restaurant_etl_code_spark.operators import corpus
+    rows = [(i, "g", f"shared pair line\nbody {i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = corpus.line_boilerplate_strip(
+        df, "doc_id", "text", "source", min_df=3).collect()
+    # df == 3 is NOT > min_df: the shared line survives in all docs
+    assert all(r["text"].startswith("shared pair line\n") for r in out)
+    assert all(r["n_stripped"] == 0 for r in out)
+
+
+# ------------------------------- LSH geometry planner
+
+def test_lsh_geometry_plan_closed_form(spark):
+    from restaurant_etl_code_spark.operators import dedup
+    rows = {(r["bands"], r["rows_per_band"]): r
+            for r in dedup.lsh_geometry_plan(
+                spark, num_hashes=16, threshold=0.8, noise_sim=0.3,
+                target_recall=0.95).collect()}
+    # every factorization of 16, nothing else
+    assert set(rows) == {(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)}
+    # the repo's default 4x4 geometry, checked against the closed form
+    import math
+    expect = round(1 - (1 - 0.8 ** 4) ** 4, 6)
+    assert math.isclose(rows[(4, 4)]["recall_at_t"], expect, abs_tol=1e-9)
+    # the planner's real finding: the default 4x4 geometry is a
+    # ~0.707-midpoint design that UNDERSHOOTS 95% recall at t=0.8
+    # (0.8785); 8x2 clears it at 12x the candidate noise
+    assert rows[(4, 4)]["meets_target"] is False
+    assert rows[(8, 2)]["meets_target"] is True
+    # monotone trade: more bands -> higher recall AND higher noise
+    geoms = [(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)]
+    recalls = [rows[g]["recall_at_t"] for g in geoms]
+    noises = [rows[g]["noise_at_s"] for g in geoms]
+    assert recalls == sorted(recalls) and noises == sorted(noises)
+    # (1,16) keeps almost nothing at t=0.8: must fail the target
+    assert rows[(1, 16)]["meets_target"] is False
+    assert all(0 < rows[g]["s_mid"] <= 1 for g in geoms)
+
+
 # ------------------------------- probe executed-plan readout
 
 def _load_probe_module():

@@ -1276,6 +1276,22 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                   "MapInPandas"],
     },
+    "line_boilerplate_strip": {
+        # posexplode flat map on the scan; df count + rebuild are
+        # hash-groupBys on the 8-byte line key / doc id; the verdict
+        # join is a co-keyed equi-join — zero Python, zero windows
+        "want": ["HashAggregate", "Generate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "Window"],
+    },
+    "lsh_geometry_plan": {
+        # pure arithmetic over a 16-row Range: no scan, no shuffle, no
+        # join — the whole plan is Range -> Filter -> Project
+        "want": ["Range"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "Window", "HashAggregate", "Exchange",
+                  "SortMergeJoin", "BroadcastHashJoin"],
+    },
 }
 
 
