@@ -591,10 +591,15 @@ def blocklist_gate(frontier: DataFrame, rules: DataFrame,
     Join strategy is AQE's runtime choice by default
     (``broadcast_rules=None``): each rule lane's dedup agg already
     shuffles it, so AQE broadcasts lanes under the threshold and
-    sort-merges past it — probed crossover (200k frontier): all lanes
-    broadcast at 100k rules, the domain lane crosses between 100k and
-    4M, all three lanes SMJ by 16M, verdicts identical throughout
-    (`tools/blocklist_scale_probe.py`). ``broadcast_rules=True`` pins
+    sort-merges past it — probed crossover (200k frontier, 64 MB
+    session threshold, FINAL-adaptive-plan readout r16): all lanes
+    broadcast through 4M rules; at 16M the domain and host lanes
+    cross to SMJ while the small path lane (2% of rules) still
+    broadcasts — per-lane demotion from ACTUAL built sizes, verdicts
+    identical throughout (`tools/blocklist_scale_probe.py`; the r15
+    record's earlier "domain SMJ by 4M / all-SMJ by 16M" readout was
+    an initial-plan artifact — it counted the static choices in the
+    AQE tree's `== Initial Plan ==` section, not the joins that ran). ``broadcast_rules=True`` pins
     the broadcast statically for callers that KNOW the list is
     dimension-sized; a hard hint is deliberately NOT the default
     because it overrides the threshold and would force-broadcast an
@@ -675,8 +680,10 @@ def blocklist_gate(frontier: DataFrame, rules: DataFrame,
     # already shuffle each rule lane, so with `broadcast_rules=None`
     # AQE sees the ACTUAL built sizes and picks broadcast under the
     # threshold, sort-merge past it — the crossover measured in
-    # tools/blocklist_scale_probe.py (all-broadcast at 100k rules,
-    # domain lane crosses between 100k and 4M, all-SMJ by 16M).
+    # tools/blocklist_scale_probe.py (final-plan readout: all lanes
+    # broadcast through 4M rules at the 64 MB session threshold;
+    # domain + host lanes SMJ at 16M, the small path lane still
+    # broadcasts — per-lane demotion from actual built sizes).
     # Callers that KNOW their list is small pass broadcast_rules=True
     # to pin the broadcast statically (plan-audit-able without AQE).
     def lane(df: DataFrame) -> DataFrame:

@@ -100,6 +100,11 @@ def join_strategies(df) -> list[str]:
             "adaptive plan not finalized — execute an action on THIS "
             "DataFrame before reading its join strategies"
         )
+        # the adaptive toString renders the FINAL plan followed by an
+        # '== Initial Plan ==' section of the static choices — counting
+        # the whole string double-counts (and mixes in joins AQE never
+        # ran), the exact artifact this readout exists to avoid
+        plan = plan.split("== Initial Plan ==")[0]
     out = []
     for tok in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
         c = plan.count(tok)

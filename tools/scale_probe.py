@@ -72,6 +72,10 @@ PROBE = [
     # sub-linear in its 100x pair growth); ADC batches bound the query
     # side (max_query_rows fail-fast), and corpus-sized query sets belong
     # on ivf_topk / bucketed paths
+    # round-16 additions: line-level boilerplate strip (two hash
+    # shuffles on 8-byte keys), the share-capped domain sampler
+    # (WindowGroupLimit), the nine-class script census (row-local)
+    "line_boilerplate_strip", "domain_cap_enforce", "cjk_script_mix",
 ]
 
 
