@@ -217,6 +217,22 @@ def test_merge_retakes_passes_bracket_through_to_audit():
     assert audit["q"]["retake_io_bracket_ms"] == 3.2
 
 
+# ------------------------------- warm-up membership (r15 order 7)
+
+def test_containment_pairs_joined_warmup_rows():
+    import bench
+    # ramp audit (tools/cache_subsidy_probe.py): 5.5 -> 2.9 s plateau
+    # by take 3 — the dedup_recall pathology, so the committed series
+    # is the steady/warm state from r16 on
+    assert "containment_pairs" in bench.WARMUP_ROWS
+    # dup_cluster_sizes showed NO ramp (flat ~4.1 s quiet) and must
+    # stay un-warmed — its series is governed by the v2 anchor
+    assert "dup_cluster_sizes" not in bench.WARMUP_ROWS
+    # protocol versioning: the hard anchor gate compares same-protocol
+    assert bench.PROTOCOL_VERSION == 2
+    assert bench.DRIFT_ANCHOR_RECORD_V2.endswith("BENCH_full_r15.json")
+
+
 # ------------------------------- line-level boilerplate removal
 
 def test_line_boilerplate_strip_semantics(spark):
