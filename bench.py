@@ -311,6 +311,7 @@ BENCH_QUERIES = [
     "domain_cap_enforce",
     "line_boilerplate_strip",
     "lsh_geometry_plan",
+    "classifier_calibration",
 ]
 
 

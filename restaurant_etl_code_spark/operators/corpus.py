@@ -62,6 +62,7 @@ __all__ = [
     "gopher_flags",
     "GOPHER_STOPWORD_PROBE",
     "line_boilerplate_strip",
+    "score_bin_reliability",
 ]
 
 
@@ -1764,4 +1765,51 @@ def line_boilerplate_strip(
             ).alias(text_col),
         )
         .select(id_col, group_col, text_col, "n_lines", "n_stripped")
+    )
+
+
+def score_bin_reliability(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a quality-classifier score — the
+    calibration audit that must run before a score THRESHOLD becomes a
+    corpus filter (FineWeb-edu/DataComp-style classifier gates keep
+    the top-scoring mass; if observed quality is not monotone in the
+    score, the threshold keeps the wrong documents and no downstream
+    stage can tell). Buckets the integer-valued ``score_col`` into
+    ``n_bins`` fixed-width bins over the OBSERVED [min, max] range and
+    reports, per bin: document count, the score bounds actually seen,
+    and the observed positive-label rate in floored basis points —
+    read up the table and the rate should climb; plateaus locate
+    wasted threshold resolution, inversions locate mis-ranked mass.
+
+    ``score_col`` must be integer-valued (scale rationals first, e.g.
+    ``floor(w_sum * 1000 / n_tokens)``): binning is then exact integer
+    arithmetic + one IEEE divide-and-floor both engines agree on, so
+    the table is oracle-checkable bit-for-bit. NULL scores would bin
+    NULL — filter upstream.
+
+    Physical shape at 100 TB: ONE counter-sized min/max aggregate
+    attached as a broadcast scalar (the weighted_sample pattern — the
+    scan itself never shuffles for it), then one hash-groupBy on the
+    bin id with map-side partials. Two scans of the input; persist
+    upstream if it is expensive."""
+    s = F.col(score_col).cast("long")
+    mm = df.agg(F.min(s).alias("__mn"), F.max(s).alias("__mx"))
+    binned = df.crossJoin(F.broadcast(mm)).withColumn(
+        "bin",
+        F.floor((s - F.col("__mn")) * F.lit(n_bins)
+                / (F.col("__mx") - F.col("__mn") + 1)).cast("long"),
+    )
+    pos = F.sum(F.col(label_col).cast("int"))
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min(s).alias("lo_score"),
+        F.max(s).alias("hi_score"),
+        pos.cast("long").alias("n_pos"),
+        F.floor(pos * F.lit(10000) / F.count(F.lit(1))).cast("long")
+        .alias("pos_rate_bp"),
     )

@@ -14921,6 +14921,65 @@ from perdoc group by source
 """
 
 
+def _q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier reliability audit
+    (corpus.score_bin_reliability): the hashed linear scorer's
+    integer-scaled per-token score, binned fixed-width over the
+    observed range, against the rule-based fluency label the logreg
+    trainer targets (stopword_ratio >= 0.2) — per bin the observed
+    positive rate in floored basis points. The calibration check that
+    must precede a score-threshold corpus gate: monotone = the
+    threshold ranks correctly; inversions = mis-ranked mass. One
+    counter-sized min/max scalar + one hash-groupBy on the bin id;
+    score scaled to integers (floor(w_sum*1000/n_tokens)) so both
+    engines bin bit-identically."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    labels = docs.select(
+        "doc_id",
+        (Ftext.stopword_ratio(F.col("text")) >= 0.2).alias("label"),
+    )
+    scored = corpus.hashed_linear_score(docs).withColumn(
+        "score_int",
+        F.floor(F.col("w_sum") * F.lit(1000) / F.col("n_tokens"))
+        .cast("long"),
+    )
+    joined = scored.join(labels, "doc_id")
+    return corpus.score_bin_reliability(
+        joined, "score_int", "label", n_bins=8)
+
+
+_ORACLE_CALIBRATION = f"""
+with toks as (
+  select doc_id, unnest({_DUCK_TOKENS.format(c='text')}) as tok
+  from documents),
+feat as (
+  select doc_id,
+         ((((('0x' || substring(md5(tok), 1, 8))::bigint % 1048576)
+            * 2654435761) % 1000003) - 500001)::bigint as w
+  from toks where tok <> ''),
+scored as (
+  select doc_id, count(*)::bigint as n_tokens, sum(w)::bigint as w_sum
+  from feat group by 1),
+labels as (
+  select doc_id, ({_DUCK_SWR} >= 0.2) as label from documents),
+j as (
+  select s.doc_id,
+         floor(s.w_sum * 1000.0 / s.n_tokens)::bigint as si,
+         l.label
+  from scored s join labels l using (doc_id)),
+mm as (select min(si) as mn, max(si) as mx from j),
+binned as (
+  select floor((si - mn) * 8.0 / (mx - mn + 1))::bigint as bin, si, label
+  from j, mm)
+select bin, count(*)::bigint as n_docs,
+       min(si)::bigint as lo_score, max(si)::bigint as hi_score,
+       sum(case when label then 1 else 0 end)::bigint as n_pos,
+       floor(sum(case when label then 1 else 0 end) * 10000.0
+             / count(*))::bigint as pos_rate_bp
+from binned group by bin
+"""
+
+
 def _q_lsh_geometry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH band-geometry planner (dedup.lsh_geometry_plan):
     the closed-form S-curve trade table — recall at the dedup
@@ -15803,6 +15862,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_lsh_geometry_plan, _ORACLE_LSH_PLAN,
         "MinHash-LSH band-geometry planner: S-curve recall/noise/"
         "midpoint per factorization of the 16-hash signature"),
+    "classifier_calibration": QueryDef(
+        _q_classifier_calibration, _ORACLE_CALIBRATION,
+        "quality-score reliability table: fixed-width integer bins "
+        "vs observed fluency-label rate in basis points"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -15830,6 +15893,7 @@ _WINDOW_FIRST = [
     "domain_cap_enforce",  # never-checked
     "line_boilerplate_strip",  # never-checked
     "lsh_geometry_plan",  # never-checked
+    "classifier_calibration",  # never-checked
     "streaming_funnel",  # latest=r10
     "star_join",  # latest=r10
     "schema_evolution_scan",  # latest=r10
@@ -15873,7 +15937,6 @@ _WINDOW_FIRST = [
     "streaming_sessions",  # latest=r11
     "streaming_enrich",  # latest=r11
     "multires_rollup",  # latest=r11
-    "sketch_rollup",  # latest=r11
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

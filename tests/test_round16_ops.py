@@ -272,6 +272,39 @@ def test_line_boilerplate_strip_keeps_below_min_df(spark):
     assert all(r["n_stripped"] == 0 for r in out)
 
 
+# ------------------------------- score-bin reliability table
+
+def test_score_bin_reliability_bins_and_rates(spark):
+    from restaurant_etl_code_spark.operators import corpus
+    # scores 0..19 over 4 bins of width 5; labels positive iff
+    # score >= 10 — a perfectly-ranked classifier: rates must be
+    # 0, 0, 10000, 10000 up the table
+    rows = [(i, i, i >= 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, s long, label boolean")
+    out = {r["bin"]: r for r in corpus.score_bin_reliability(
+        df, "s", "label", n_bins=4).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert [out[b]["n_docs"] for b in range(4)] == [5, 5, 5, 5]
+    assert [out[b]["pos_rate_bp"] for b in range(4)] == [0, 0, 10000, 10000]
+    assert out[0]["lo_score"] == 0 and out[3]["hi_score"] == 19
+    # negative score ranges bin exactly the same way (floor semantics)
+    rows2 = [(i, i - 10, i >= 10) for i in range(20)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, s long, label boolean")
+    out2 = {r["bin"]: r["pos_rate_bp"] for r in corpus.score_bin_reliability(
+        df2, "s", "label", n_bins=4).collect()}
+    assert [out2[b] for b in range(4)] == [0, 0, 10000, 10000]
+
+
+def test_score_bin_reliability_degenerate_range(spark):
+    from restaurant_etl_code_spark.operators import corpus
+    # all scores equal: one bin, never a divide-by-zero
+    df = spark.createDataFrame(
+        [(1, 7, True), (2, 7, False)], "doc_id long, s long, label boolean")
+    out = corpus.score_bin_reliability(df, "s", "label", n_bins=8).collect()
+    assert len(out) == 1 and out[0]["bin"] == 0
+    assert out[0]["n_docs"] == 2 and out[0]["pos_rate_bp"] == 5000
+
+
 # ------------------------------- LSH geometry planner
 
 def test_lsh_geometry_plan_closed_form(spark):

@@ -1284,6 +1284,15 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                   "MapInPandas", "Window"],
     },
+    "classifier_calibration": {
+        # scan-side integer scoring (zero-shuffle aggregate over the
+        # token array), one co-keyed score/label join, the min/max
+        # scalar attached via BroadcastNestedLoopJoin (one-row scalar
+        # attach, not a data-sized product), one hash-groupBy on bin
+        "want": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "Window"],
+    },
     "lsh_geometry_plan": {
         # pure arithmetic over a 16-row Range: no scan, no shuffle, no
         # join — the whole plan is Range -> Filter -> Project
