@@ -619,6 +619,7 @@ def hashed_linear_score(
     text_col: str = "text",
     n_buckets: int = 1 << 20,
     modulus: int = 1_000_003,
+    carry: "dict[str, Column] | None" = None,
 ) -> DataFrame:
     """Fasttext-style hashed-feature linear quality scorer: each token maps
     to one of ``n_buckets`` weight slots via the hashing trick (Weinberger
@@ -648,6 +649,11 @@ def hashed_linear_score(
     Returns (id_col, n_tokens, w_sum, score, keep); documents with no
     tokens (null/empty text) are dropped, mirroring a GROUP BY over an
     exploded token stream.
+
+    ``carry`` maps extra output names to Column expressions evaluated
+    against the INPUT row in the same scan-side projection (e.g. a
+    rule label for calibration audits) — one corpus pass instead of a
+    score pass + a label pass + a join back on the id.
     """
     toks = F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "")
 
@@ -655,11 +661,13 @@ def hashed_linear_score(
         h = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
         return ((h % n_buckets) * F.lit(2654435761)) % modulus - (modulus // 2)
 
+    carry = carry or {}
     scored = docs.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.aggregate(toks, F.lit(0).cast("bigint"),
                     lambda acc, t: acc + weight(t)).alias("w_sum"),
+        *[expr.alias(name) for name, expr in carry.items()],
     ).filter(F.col("n_tokens") > 0)
     return scored.select(
         id_col,
@@ -668,6 +676,7 @@ def hashed_linear_score(
         F.round(F.col("w_sum") / (F.col("n_tokens") * F.lit(float(modulus))), 6)
             .alias("score"),
         (F.col("w_sum") >= 0).alias("keep"),
+        *carry,
     )
 
 

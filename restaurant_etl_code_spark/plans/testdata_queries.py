@@ -14929,23 +14929,24 @@ def _q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer targets (stopword_ratio >= 0.2) — per bin the observed
     positive rate in floored basis points. The calibration check that
     must precede a score-threshold corpus gate: monotone = the
-    threshold ranks correctly; inversions = mis-ranked mass. One
-    counter-sized min/max scalar + one hash-groupBy on the bin id;
-    score scaled to integers (floor(w_sum*1000/n_tokens)) so both
-    engines bin bit-identically."""
+    threshold ranks correctly; inversions = mis-ranked mass. ONE
+    corpus scan — the label rides the scorer's projection via
+    ``carry``, so there is no second tokenize pass and no join back
+    on the id — plus a counter-sized min/max scalar and one
+    hash-groupBy on the bin id; score scaled to integers
+    (floor(w_sum*1000/n_tokens)) so both engines bin
+    bit-identically."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    labels = docs.select(
-        "doc_id",
-        (Ftext.stopword_ratio(F.col("text")) >= 0.2).alias("label"),
-    )
-    scored = corpus.hashed_linear_score(docs).withColumn(
+    scored = corpus.hashed_linear_score(
+        docs,
+        carry={"label": Ftext.stopword_ratio(F.col("text")) >= 0.2},
+    ).withColumn(
         "score_int",
         F.floor(F.col("w_sum") * F.lit(1000) / F.col("n_tokens"))
         .cast("long"),
     )
-    joined = scored.join(labels, "doc_id")
     return corpus.score_bin_reliability(
-        joined, "score_int", "label", n_bins=8)
+        scored, "score_int", "label", n_bins=8)
 
 
 _ORACLE_CALIBRATION = f"""

@@ -1285,13 +1285,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                   "MapInPandas", "Window"],
     },
     "classifier_calibration": {
-        # scan-side integer scoring (zero-shuffle aggregate over the
-        # token array), one co-keyed score/label join, the min/max
-        # scalar attached via BroadcastNestedLoopJoin (one-row scalar
-        # attach, not a data-sized product), one hash-groupBy on bin
+        # ONE scan-side projection computes integer score AND the rule
+        # label (carry= — no second tokenize, no id join); the min/max
+        # scalar attaches via BroadcastNestedLoopJoin (one-row scalar
+        # attach, not a data-sized product); one hash-groupBy on bin
         "want": ["HashAggregate", "BroadcastNestedLoopJoin"],
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
-                  "MapInPandas", "Window"],
+                  "MapInPandas", "Window", "SortMergeJoin",
+                  "BroadcastHashJoin"],
     },
     "lsh_geometry_plan": {
         # pure arithmetic over a 16-row Range: no scan, no shuffle, no
