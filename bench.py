@@ -312,6 +312,7 @@ BENCH_QUERIES = [
     "line_boilerplate_strip",
     "lsh_geometry_plan",
     "classifier_calibration",
+    "vocab_coverage",
 ]
 
 

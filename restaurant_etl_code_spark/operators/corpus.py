@@ -63,6 +63,7 @@ __all__ = [
     "GOPHER_STOPWORD_PROBE",
     "line_boilerplate_strip",
     "score_bin_reliability",
+    "vocab_coverage",
 ]
 
 
@@ -1821,4 +1822,69 @@ def score_bin_reliability(
         pos.cast("long").alias("n_pos"),
         F.floor(pos * F.lit(10000) / F.count(F.lit(1))).cast("long")
         .alias("pos_rate_bp"),
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    ks: "tuple[int, ...]" = (100, 500, 1000, 2000),
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing tool: for each
+    candidate vocabulary size ``k``, the fraction of the corpus's token
+    MASS covered by its top-``k`` types (floored basis points). The
+    curve is what a BPE/vocab budget is read off (every token outside
+    the chosen vocab pays the OOV/byte-fallback tax at training time);
+    its knee says when growing the vocabulary stops buying coverage —
+    computed BEFORE committing a tokenizer run, the lsh_geometry_plan
+    convention.
+
+    Returns one row per ``k``: ``(k, n_types, covered_bp)`` —
+    ``n_types`` = min(k, |vocab|) actually available, coverage of a
+    k beyond the vocabulary saturates at the full mass.
+
+    Physical shape at 100 TB: type counts are one hash-groupBy with
+    map-side partials (the shuffle carries (term, count) partials,
+    never the token stream); the total is a counter-sized scalar; the
+    top-``max(ks)`` table comes off a global sort-limit — Catalyst
+    executes it as TakeOrderedAndProject, a distributed per-partition
+    top-k merge, never a full sort — and every later step (rank,
+    running mass, the per-k rollup) runs over that table, whose size
+    is bounded by the PARAMETER, not the vocabulary. Ranking ties
+    break by term text, so the curve is deterministic on any engine.
+    """
+    if not ks:
+        raise ValueError("ks must be non-empty")
+    max_k = max(ks)
+    toks = F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "")
+    counts = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    topn = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(max_k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = topn.select(
+        "cnt",
+        F.row_number().over(w).alias("__rn"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__cum"),
+    )
+    ks_arr = F.array(*[F.lit(int(k)) for k in sorted(set(ks))])
+    per_k = (
+        ranked.select(F.explode(ks_arr).alias("k"), "__rn", "__cum")
+        .filter(F.col("__rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.max("__cum").alias("__mass"),
+        )
+    )
+    return per_k.crossJoin(F.broadcast(total)).select(
+        "k",
+        "n_types",
+        F.floor(F.col("__mass") * F.lit(10000) / F.col("__total"))
+        .cast("long").alias("covered_bp"),
     )

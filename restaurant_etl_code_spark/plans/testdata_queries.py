@@ -14921,6 +14921,42 @@ from perdoc group by source
 """
 
 
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (corpus.vocab_coverage): token-mass
+    coverage of the top-k types for candidate vocab sizes — the
+    BPE/vocab budget is read off this curve's knee before a tokenizer
+    run commits. Type counts via one map-side-combined hash-groupBy;
+    the top-max(k) table comes off TakeOrderedAndProject (distributed
+    top-k merge, never a full sort), so every post-count step is
+    bounded by the PARAMETER, not the vocabulary; ties rank by term
+    text for cross-engine determinism."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return corpus.vocab_coverage(docs, "text", ks=(100, 500, 1000, 2000))
+
+
+_ORACLE_VOCAB_COVERAGE = f"""
+with tk as (
+  select unnest({_DUCK_TOKENS.format(c='text')}) as term from documents),
+counts as (
+  select term, count(*)::bigint as cnt
+  from tk where term <> '' group by term),
+tot as (select sum(cnt) as total from counts),
+ranked as (
+  select cnt, row_number() over (order by cnt desc, term) as rn,
+         sum(cnt) over (order by cnt desc, term
+                        rows between unbounded preceding and current row)
+           as cum
+  from counts),
+per_k as (
+  select k, count(*)::bigint as n_types, max(cum) as mass
+  from ranked, (values (100), (500), (1000), (2000)) ks(k)
+  where rn <= k group by k)
+select k::int as k, n_types,
+       floor(mass * 10000.0 / total)::bigint as covered_bp
+from per_k, tot
+"""
+
+
 def _q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier reliability audit
     (corpus.score_bin_reliability): the hashed linear scorer's
@@ -15867,6 +15903,10 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_classifier_calibration, _ORACLE_CALIBRATION,
         "quality-score reliability table: fixed-width integer bins "
         "vs observed fluency-label rate in basis points"),
+    "vocab_coverage": QueryDef(
+        _q_vocab_coverage, _ORACLE_VOCAB_COVERAGE,
+        "vocabulary coverage curve: token-mass coverage of the top-k "
+        "types per candidate vocab size (tokenizer budget sizing)"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -15895,6 +15935,7 @@ _WINDOW_FIRST = [
     "line_boilerplate_strip",  # never-checked
     "lsh_geometry_plan",  # never-checked
     "classifier_calibration",  # never-checked
+    "vocab_coverage",  # never-checked
     "streaming_funnel",  # latest=r10
     "star_join",  # latest=r10
     "schema_evolution_scan",  # latest=r10
@@ -15937,7 +15978,6 @@ _WINDOW_FIRST = [
     "streaming_running_stats",  # latest=r11
     "streaming_sessions",  # latest=r11
     "streaming_enrich",  # latest=r11
-    "multires_rollup",  # latest=r11
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

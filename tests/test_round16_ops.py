@@ -305,6 +305,36 @@ def test_score_bin_reliability_degenerate_range(spark):
     assert out[0]["n_docs"] == 2 and out[0]["pos_rate_bp"] == 5000
 
 
+# ------------------------------- vocabulary coverage curve
+
+def test_vocab_coverage_curve(spark):
+    from restaurant_etl_code_spark.operators import corpus
+    # 10 'a', 5 'b', 3 'c', 1 'd', 1 'e'  -> total mass 20
+    docs = spark.createDataFrame(
+        [("a a a a a a a a a a b b b b b",), ("c c c d e",)], "text string")
+    out = {r["k"]: r for r in corpus.vocab_coverage(
+        docs, "text", ks=(1, 2, 3, 100)).collect()}
+    assert out[1]["covered_bp"] == 5000            # 'a' = 10/20
+    assert out[2]["covered_bp"] == 7500            # +'b' = 15/20
+    assert out[3]["covered_bp"] == 9000            # +'c' = 18/20
+    # k beyond the vocabulary saturates at full mass over all 5 types
+    assert out[100]["covered_bp"] == 10000 and out[100]["n_types"] == 5
+    # monotone by construction
+    ks = sorted(out)
+    cov = [out[k]["covered_bp"] for k in ks]
+    assert cov == sorted(cov)
+
+
+def test_vocab_coverage_deterministic_ties(spark):
+    from restaurant_etl_code_spark.operators import corpus
+    # equal counts: rank resolves by term text, so k=1 must always
+    # pick 'x' (lexicographically first among ties), never partition
+    # order
+    docs = spark.createDataFrame([("x y",), ("y x",)], "text string")
+    rows = corpus.vocab_coverage(docs, "text", ks=(1,)).collect()
+    assert rows[0]["covered_bp"] == 5000 and rows[0]["n_types"] == 1
+
+
 # ------------------------------- LSH geometry planner
 
 def test_lsh_geometry_plan_closed_form(spark):

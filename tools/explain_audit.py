@@ -1294,6 +1294,18 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                   "MapInPandas", "Window", "SortMergeJoin",
                   "BroadcastHashJoin"],
     },
+    "vocab_coverage": {
+        # type counts: one map-side-combined hash-groupBy; the
+        # top-max(k) table MUST come off TakeOrderedAndProject
+        # (distributed top-k merge) — a full global Sort would be the
+        # vocabulary-sized straggler; the single-partition Window then
+        # runs over a parameter-bounded table; total attaches as a
+        # one-row broadcast scalar
+        "want": ["TakeOrderedAndProject", "HashAggregate",
+                 "BroadcastNestedLoopJoin"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
     "lsh_geometry_plan": {
         # pure arithmetic over a 16-row Range: no scan, no shuffle, no
         # join — the whole plan is Range -> Filter -> Project
