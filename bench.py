@@ -41,6 +41,20 @@ its quiet retake was slower (r15 committed four such rows under
 `quiet: true`); with the kept-take bracket in-record, those rows are
 machine-separable and a reader can recompute the geomean over clean
 rows only — at the 2.5x cutoff or any stricter threshold they trust.
+
+Stateful-streaming absolute gate (r17, r16 verdict order 1a): rows in
+`STREAMING_ROWS` additionally require their kept bracket AT the box's
+floor (`kept_bracket_ms <= STREAMING_BRACKET_RATIO x nominal`) to
+claim `quiet_row` — micro-batch scheduling amplifies moderate CPU load
+(canaries 1.2-2.5x nominal, inside the relative cutoff) into 2.5-3x
+wall for exactly these rows (r16: stream_stream_join 3.5 s at the
+105 ms floor vs 9.0-10.9 s at 121-192 ms canaries, the whole family
+moving 1.66-2.35x together on unchanged plans). Gate-failed streaming
+rows are retaken up to `STREAMING_RETAKE_ATTEMPTS` times and otherwise
+land `streaming_elevated: true` / `quiet_row: false`. Retake
+provenance is promoted to the summary (`retake_replaced_rows`,
+`retake_replaced_loaded_rows`) so anchor comparisons can exclude
+warmth-advantaged min-of-takes rows without walking the audit.
 """
 
 from __future__ import annotations
@@ -500,6 +514,43 @@ def drift_vs_anchor(timings: dict, anchor_record: dict) -> dict:
 CANARY_CONTAMINATION_RATIO = 2.5
 
 # ------------------------------------------------------------------
+# Stateful-streaming rows: ABSOLUTE bracket gate (r17, r16 verdict
+# order 1a). The relative 2.5x-of-best cutoff is calibrated for batch
+# rows, where external load adds roughly its CPU share to the row's
+# wall time. Micro-batch streaming rows are different in kind: each
+# micro-batch is a scheduling round-trip, so a moderate CPU plateau
+# (canaries at a mere 1.3-1.8x the box nominal — far inside the 2.5x
+# relative cutoff) AMPLIFIES into 2.5-3x wall through added per-batch
+# waits (measured r16: stream_stream_join 3.5 s at the 105 ms floor
+# vs 9.0-10.9 s at 121-192 ms canaries — the whole streaming family
+# moved together, 1.66-2.35x, on byte-identical plans). A streaming
+# row therefore only claims `quiet_row` when its kept bracket is AT
+# the box's floor: bracket <= STREAMING_BRACKET_RATIO x the nominal.
+# Rows failing the gate are retaken (several attempts — the gate is
+# strict, windows are short) and, if still elevated, land with
+# `quiet_row: false` + `streaming_elevated: true` so no reader can
+# mistake an amplified take for the plan's cost.
+STREAMING_BRACKET_RATIO = float(
+    os.environ.get("SPARK_GRAFT_STREAMING_BRACKET_RATIO", "1.2")
+)
+STREAMING_RETAKE_ATTEMPTS = int(
+    os.environ.get("SPARK_GRAFT_STREAMING_RETAKE_ATTEMPTS", "3")
+)
+# every bench row that drives Structured Streaming machinery
+# (micro-batch scheduling in the timed window) — the amplification
+# mechanism above applies to all of them, not just the r16 movers
+STREAMING_ROWS = set(
+    os.environ.get(
+        "SPARK_GRAFT_STREAMING_ROWS",
+        "streaming_window,streaming_dedup,streaming_enrich,"
+        "stream_stream_join,streaming_dedup_watermark,"
+        "streaming_quality_gate,streaming_funnel,"
+        "stream_stream_left_join,streaming_curation,"
+        "streaming_neardup,streaming_warc_curation",
+    ).split(",")
+)
+
+# ------------------------------------------------------------------
 # Quiet-retake pass (r13 verdict orders 1 + 7). The one-shot protocol
 # records whichever instant the box gave each query, so a noise spike
 # lands IN the committed record and the next round's gate compares
@@ -582,7 +633,9 @@ def merge_retakes(timings: dict, contaminated: list,
 def kept_bracket_and_quiet(names: list, canaries_ms: list,
                            io_canaries_ms: list, cutoff: float,
                            io_cutoff: "float | None",
-                           retake_audit: dict) -> dict:
+                           retake_audit: dict,
+                           streaming_rows: "set | None" = None,
+                           streaming_gate_ms: "float | None" = None) -> dict:
     """Per-row quiet marker (r15 verdict order 3): for each row, the
     KEPT take's bracketing canary maxima and ``quiet_row`` = that
     bracket ≤ the session cutoffs. The session-level ``quiet`` flag
@@ -598,8 +651,16 @@ def kept_bracket_and_quiet(names: list, canaries_ms: list,
     bracket and its quiet flag (min-of-takes admits loaded-but-faster
     retakes as timing upper bounds — their quiet_row stays False);
     rows that kept a first take — retaken or not — carry the first
-    take's bracket."""
+    take's bracket.
+
+    Stateful-streaming rows (r17, r16 verdict order 1a) additionally
+    require ``kept_bracket_ms <= streaming_gate_ms`` — an ABSOLUTE
+    floor gate, because micro-batch scheduling amplifies moderate CPU
+    load (inside the relative cutoff) into 2.5-3x wall for these rows
+    and ONLY these rows. A streaming row failing the gate carries
+    ``streaming_elevated: true`` and can never be ``quiet_row``."""
     out: dict[str, dict] = {}
+    streaming_rows = streaming_rows or set()
     for i, name in enumerate(names):
         rt = retake_audit.get(name)
         if rt is not None and rt.get("kept") == "retake":
@@ -611,11 +672,17 @@ def kept_bracket_and_quiet(names: list, canaries_ms: list,
             io_bracket = max(io_canaries_ms[i], io_canaries_ms[i + 1])
             quiet_row = bracket <= cutoff and (
                 io_cutoff is None or io_bracket <= io_cutoff)
-        out[name] = {
+        row = {
             "kept_bracket_ms": round(bracket, 1),
             "kept_io_bracket_ms": round(io_bracket, 2),
             "quiet_row": quiet_row,
         }
+        if name in streaming_rows and streaming_gate_ms is not None:
+            elevated = not (0 <= bracket <= streaming_gate_ms)
+            row["streaming_elevated"] = elevated
+            if elevated:
+                row["quiet_row"] = False
+        out[name] = row
     return out
 
 # ABSOLUTE floor (review finding): a purely relative check misses load
@@ -780,10 +847,23 @@ def main() -> int:
     legacy_path = os.path.join(repo_dir, DRIFT_ANCHOR_RECORD)
     legacy_rec = _load_ref(legacy_path)
 
+    # stateful-streaming absolute gate (r17, r16 verdict order 1a): a
+    # streaming row whose first-take bracket is above the FLOOR gate is
+    # retake-eligible even when inside the relative cutoff — micro-batch
+    # scheduling amplifies exactly that band (1.2-2.5x nominal) into
+    # 2.5-3x wall for these rows
+    streaming_gate_ms = round(STREAMING_BRACKET_RATIO * CANARY_NOMINAL_MS, 1)
+    streaming_gate_failed = set(
+        name for i, name in enumerate(BENCH_QUERIES)
+        if name in STREAMING_ROWS
+        and max(canaries_ms[i], canaries_ms[i + 1]) > streaming_gate_ms
+    )
+
     # quiet-retake pass: one bracketed re-run per contaminated/mover
-    # row; recorded row = min of the quiet takes (see retake_set)
+    # row (several attempts for gate-failed streaming rows); recorded
+    # row = min of the quiet takes (see retake_set)
     retake_names = retake_set(
-        timings, contaminated,
+        timings, sorted(set(contaminated) | streaming_gate_failed),
         (prev_rec or {}).get("queries", {}),
         (anchor_rec or {}).get("queries", {}),
     )
@@ -791,29 +871,52 @@ def main() -> int:
     io_cutoff = (max(CANARY_CONTAMINATION_RATIO * min(io_canaries_ms),
                      IO_CANARY_FLOOR_MS) if io_probe else None)
     for name in retake_names:
-        pre_c = _canary_sec() * 1000
-        pre_io = _io_canary_sec(io_probe) * 1000 if io_probe else 0.0
-        if name in WARMUP_ROWS:
-            QUERIES[name].spark(spark, sf_dir).count()  # same state as take 1
-        t0 = time.time()
-        df = QUERIES[name].spark(spark, sf_dir)
-        df.count()
-        sec = round(time.time() - t0, 3)
-        spark.catalog.clearCache()  # same per-row hygiene as the main pass
-        post_c = _canary_sec() * 1000
-        post_io = _io_canary_sec(io_probe) * 1000 if io_probe else 0.0
-        quiet_take = max(pre_c, post_c) <= cutoff and (
-            io_cutoff is None or max(pre_io, post_io) <= io_cutoff)
-        retakes[name] = {
-            "sec": sec, "quiet": quiet_take,
-            "bracket_ms": round(max(pre_c, post_c), 1),
-            "io_bracket_ms": round(max(pre_io, post_io), 2),
-        }
-        print(
-            f"# retake {name}: {sec:.2f}s (first {timings[name]:.2f}s, "
-            f"quiet={quiet_take}, canary={max(pre_c, post_c):.0f}ms)",
-            file=sys.stderr,
-        )
+        is_streaming = name in STREAMING_ROWS
+        attempts = STREAMING_RETAKE_ATTEMPTS if is_streaming else 1
+        best: dict | None = None
+        for attempt in range(attempts):
+            if attempt > 0:
+                time.sleep(2.0)  # let a transient load window pass
+            pre_c = _canary_sec() * 1000
+            pre_io = _io_canary_sec(io_probe) * 1000 if io_probe else 0.0
+            if name in WARMUP_ROWS:
+                QUERIES[name].spark(spark, sf_dir).count()  # same state as take 1
+            t0 = time.time()
+            df = QUERIES[name].spark(spark, sf_dir)
+            df.count()
+            sec = round(time.time() - t0, 3)
+            spark.catalog.clearCache()  # same per-row hygiene as the main pass
+            post_c = _canary_sec() * 1000
+            post_io = _io_canary_sec(io_probe) * 1000 if io_probe else 0.0
+            bracket = max(pre_c, post_c)
+            quiet_take = bracket <= cutoff and (
+                io_cutoff is None or max(pre_io, post_io) <= io_cutoff)
+            if is_streaming:
+                # streaming retakes must be at the FLOOR to claim quiet
+                quiet_take = quiet_take and bracket <= streaming_gate_ms
+            cand = {
+                "sec": sec, "quiet": quiet_take,
+                "bracket_ms": round(bracket, 1),
+                "io_bracket_ms": round(max(pre_io, post_io), 2),
+            }
+            # prefer quiet takes; among quiet, min sec; among loaded,
+            # min bracket (closest to a clean window)
+            if (best is None
+                    or (cand["quiet"] and not best["quiet"])
+                    or (cand["quiet"] == best["quiet"]
+                        and (cand["sec"] < best["sec"] if cand["quiet"]
+                             else cand["bracket_ms"] < best["bracket_ms"]))):
+                best = cand
+            print(
+                f"# retake {name}"
+                + (f" [{attempt + 1}/{attempts}]" if attempts > 1 else "")
+                + f": {sec:.2f}s (first {timings[name]:.2f}s, "
+                f"quiet={quiet_take}, canary={bracket:.0f}ms)",
+                file=sys.stderr,
+            )
+            if quiet_take:
+                break  # a floor-bracket take: no further attempts needed
+        retakes[name] = best
     timings, contaminated, retake_audit = merge_retakes(
         timings, contaminated, retakes)
     for name, row in retake_audit.items():
@@ -825,10 +928,25 @@ def main() -> int:
     # recompute the geomean over clean rows only
     row_flags = kept_bracket_and_quiet(
         BENCH_QUERIES, canaries_ms, io_canaries_ms, cutoff, io_cutoff,
-        retake_audit)
+        retake_audit, streaming_rows=STREAMING_ROWS,
+        streaming_gate_ms=streaming_gate_ms)
     for name, flags in row_flags.items():
         detail[name].update(flags)
     n_quiet_rows = sum(1 for f in row_flags.values() if f["quiet_row"])
+    streaming_elevated_rows = sorted(
+        n for n, f in row_flags.items() if f.get("streaming_elevated"))
+    # retake provenance, promoted to the summary (r17 ADVICE): a row
+    # whose RETAKE replaced the first take is a later execution in the
+    # same JVM — JIT/shuffle warmth can make it faster independent of
+    # load, so anchor comparisons that want single-take-comparable rows
+    # can exclude these without walking the per-row audit. The subset
+    # whose kept retake was itself loaded (quiet=false) is the weakest
+    # cohort — upper bounds only.
+    retake_replaced_rows = sorted(
+        n for n, a in retake_audit.items() if a.get("kept") == "retake")
+    retake_replaced_loaded_rows = sorted(
+        n for n, a in retake_audit.items()
+        if a.get("kept") == "retake" and not a.get("retake_quiet"))
 
     total = round(sum(timings.values()), 3)
     # record-to-record drift vs the last committed round record at the
@@ -871,9 +989,14 @@ def main() -> int:
         "canary_nominal_ms": CANARY_NOMINAL_MS,
         "io_canary_best_ms": min(io_canaries_ms) if io_probe else None,
         "retaken_queries": retake_audit,
+        "retake_replaced_rows": retake_replaced_rows,
+        "retake_replaced_loaded_rows": retake_replaced_loaded_rows,
         "n_quiet_rows": n_quiet_rows,
         "n_rows": len(BENCH_QUERIES),
         "warmup_rows": sorted(WARMUP_ROWS & set(BENCH_QUERIES)),
+        "streaming_rows": sorted(STREAMING_ROWS & set(BENCH_QUERIES)),
+        "streaming_bracket_gate_ms": streaming_gate_ms,
+        "streaming_elevated_rows": streaming_elevated_rows,
         "protocol_version": PROTOCOL_VERSION,
         **drift,
         **anchor,

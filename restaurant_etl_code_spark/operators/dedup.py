@@ -1379,7 +1379,7 @@ def lsh_geometry_plan(
     16-hash/4x4 geometry: at t=0.8 it reads recall 0.8785 / noise
     0.0320 — its midpoint is (1/4)^(1/4) ≈ 0.707, so it is an
     ~0.7-threshold geometry that UNDERSHOOTS a 95% recall target at
-    0.8 (8x2 clears it at 0.99972 recall for 12x the candidate
+    0.8 (8x2 clears it at 0.99972 recall for ~16.5x the candidate
     noise). Exactly the trade to inspect before committing a cluster
     week. Driver-free arithmetic over a
     num_hashes-row range: runs anywhere, costs nothing, and the same

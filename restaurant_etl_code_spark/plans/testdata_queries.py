@@ -14857,8 +14857,9 @@ def _q_line_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-source footer. Output: per-source strip yield (lines in/out,
     floored basis points, chars out) — the number that says what the
     boilerplate pass actually bought. Two hash-shuffles (df count on
-    the 8-byte line key + order-restoring rebuild), one co-keyed
-    join — the exact 100 TB shape."""
+    the 12-byte collision-guarded (hash, length) line key +
+    order-restoring rebuild), one co-keyed join — the exact 100 TB
+    shape."""
     docs = load_table(spark, sf_dir, "documents")
     d = F.col("doc_id")
     text = F.concat_ws(
@@ -15924,7 +15925,7 @@ _REGISTRY: dict[str, QueryDef] = {
 # r6/r7 and miscounted in r8, so the tool's output is authoritative.)
 #
 # r16 window provenance (ledger as of r15, tools/freshness.py --window 50
-# --as-of 15): the two never-checked round-16 queries at the front,
+# --as-of 15): the six never-checked round-16 queries at the front,
 # then the stalest cohort — the r10 block (the r09 rows were refreshed
 # in the r15 window), then the leading edge of the r11 block, plus the
 # two anchors.

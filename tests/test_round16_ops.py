@@ -351,7 +351,7 @@ def test_lsh_geometry_plan_closed_form(spark):
     assert math.isclose(rows[(4, 4)]["recall_at_t"], expect, abs_tol=1e-9)
     # the planner's real finding: the default 4x4 geometry is a
     # ~0.707-midpoint design that UNDERSHOOTS 95% recall at t=0.8
-    # (0.8785); 8x2 clears it at 12x the candidate noise
+    # (0.8785); 8x2 clears it at ~16.5x the candidate noise
     assert rows[(4, 4)]["meets_target"] is False
     assert rows[(8, 2)]["meets_target"] is True
     # monotone trade: more bands -> higher recall AND higher noise
