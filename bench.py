@@ -327,6 +327,12 @@ BENCH_QUERIES = [
     "lsh_geometry_plan",
     "classifier_calibration",
     "vocab_coverage",
+    # round 17: measured MinHash-geometry recall (the audit that caught
+    # the degenerate affine family), calibration gate scalars, coverage
+    # curve in BPE units
+    "minhash_recall",
+    "classifier_calibration_summary",
+    "vocab_coverage_bpe",
 ]
 
 

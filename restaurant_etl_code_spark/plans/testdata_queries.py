@@ -1534,7 +1534,14 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(
         _augmented_docs(spark, sf_dir), "doc_id", "text", num_hashes=16, shingle_n=3
     )
-    return dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+    # planner-backed geometry (r16 verdict order 2): 8x2 for a 16-hash
+    # signature at the t=0.8 dedup threshold — recall 0.99972 vs the
+    # legacy 4x4's 0.8785 (dedup.choose_band_geometry; candidate noise
+    # grows ~16.5x by design, and minhash_recall audits the measured
+    # recall of BOTH geometries against exact Jaccard ground truth)
+    bands, rows = dedup.choose_band_geometry(num_hashes=16, threshold=0.8)
+    return dedup.lsh_candidate_pairs(
+        sigs, "doc_id", bands=bands, rows_per_band=rows, num_hashes=16)
 
 
 _ORACLE_MINHASH = f"""
@@ -1549,13 +1556,13 @@ h0 as (
 sigs as (
   select doc_id,
          list_transform(range(0, 16), i -> list_min(list_transform(hs, h ->
-             (2 * i + 1) * h + i * 2654435761))) as sig
+             ((h % 2147483647) * ((i * 2654435761) % 2147483646 + 1) + (i * 2654435761) % 2147483647) % 2147483647))) as sig
   from h0),
 bands as (
   select doc_id, t.b as band_idx,
-         md5(array_to_string(list_transform(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+         md5(array_to_string(list_transform(list_slice(sig, t.b * 2 + 1, t.b * 2 + 2),
              x -> x::varchar), ',')) as band_hash
-  from sigs cross join (select unnest(range(0, 4)) as b) t)
+  from sigs cross join (select unnest(range(0, 8)) as b) t)
 select distinct x.doc_id as id_a, y.doc_id as id_b
 from bands x join bands y
   on x.band_idx = y.band_idx and x.band_hash = y.band_hash and x.doc_id < y.doc_id
@@ -4519,7 +4526,7 @@ h0 as (
 sigs as (
   select doc_id,
          list_transform(range(0, 16), i -> list_min(list_transform(hs, h ->
-             (2 * i + 1) * h + i * 2654435761))) as sig
+             ((h % 2147483647) * ((i * 2654435761) % 2147483646 + 1) + (i * 2654435761) % 2147483647) % 2147483647))) as sig
   from h0),
 bands as (
   select doc_id, t.b as band_idx,
@@ -4609,10 +4616,10 @@ qh as (select doc_id, list_transform(shingles, s ->
          ('0x' || substring(md5(s), 1, 13))::bigint) as hs
        from qs where len(shingles) > 0),
 csig as (select doc_id, list_transform(range(0, 16), i ->
-           list_min(list_transform(hs, h -> (2 * i + 1) * h + i * 2654435761))) as sig
+           list_min(list_transform(hs, h -> ((h % 2147483647) * ((i * 2654435761) % 2147483646 + 1) + (i * 2654435761) % 2147483647) % 2147483647))) as sig
          from ch),
 qsig as (select doc_id, list_transform(range(0, 16), i ->
-           list_min(list_transform(hs, h -> (2 * i + 1) * h + i * 2654435761))) as sig
+           list_min(list_transform(hs, h -> ((h % 2147483647) * ((i * 2654435761) % 2147483646 + 1) + (i * 2654435761) % 2147483647) % 2147483647))) as sig
          from qh),
 cb as (select doc_id, t.b as band_idx,
          md5(array_to_string(list_transform(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
@@ -6391,7 +6398,7 @@ h0 as (
 sigs as (
   select doc_id,
          list_transform(range(0, 16), i -> list_min(list_transform(hs, h ->
-             (2 * i + 1) * h + i * 2654435761))) as sig
+             ((h % 2147483647) * ((i * 2654435761) % 2147483646 + 1) + (i * 2654435761) % 2147483647) % 2147483647))) as sig
   from h0),
 bands as (
   select doc_id, t.b as band_idx,
@@ -6541,8 +6548,10 @@ h0 as (select doc_id,
        from sh where len(shingles) > 0),
 sigs as (select doc_id,
                 list_transform(range(0, 16), i -> list_min(
-                    list_transform(hs, h -> (2 * i + 1) * h
-                                   + i * 2654435761))) as sig
+                    list_transform(hs, h -> ((h % 2147483647)
+                                     * ((i * 2654435761) % 2147483646 + 1)
+                                   + (i * 2654435761) % 2147483647)
+                                  % 2147483647))) as sig
          from h0),
 bands as (select doc_id, t.b as band_idx,
                  md5(array_to_string(list_transform(
@@ -7657,8 +7666,10 @@ h0 as (select doc_id,
        from sh where len(shingles) > 0),
 sigs as (select doc_id,
                 list_transform(range(0, 16), i -> list_min(
-                    list_transform(hs, h -> (2 * i + 1) * h
-                                   + i * 2654435761))) as sig
+                    list_transform(hs, h -> ((h % 2147483647)
+                                     * ((i * 2654435761) % 2147483646 + 1)
+                                   + (i * 2654435761) % 2147483647)
+                                  % 2147483647))) as sig
          from h0),
 bands as (select doc_id, t.b as band_idx,
                  md5(array_to_string(list_transform(
@@ -9357,7 +9368,9 @@ def _q_lsh_pairs_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(
         corpus, "doc_id", "text", num_hashes=16, shingle_n=3, normalize=True
     )
-    return dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+    bands, rows = dedup.choose_band_geometry(num_hashes=16, threshold=0.8)
+    return dedup.lsh_candidate_pairs(
+        sigs, "doc_id", bands=bands, rows_per_band=rows, num_hashes=16)
 
 
 _ORACLE_LSH_NORMALIZED = f"""
@@ -9383,13 +9396,13 @@ h0 as (
 sigs as (
   select doc_id,
          list_transform(range(0, 16), i -> list_min(list_transform(hs, h ->
-             (2 * i + 1) * h + i * 2654435761))) as sig
+             ((h % 2147483647) * ((i * 2654435761) % 2147483646 + 1) + (i * 2654435761) % 2147483647) % 2147483647))) as sig
   from h0),
 bands as (
   select doc_id, t.b as band_idx,
-         md5(array_to_string(list_transform(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+         md5(array_to_string(list_transform(list_slice(sig, t.b * 2 + 1, t.b * 2 + 2),
              x -> x::varchar), ',')) as band_hash
-  from sigs cross join (select unnest(range(0, 4)) as b) t)
+  from sigs cross join (select unnest(range(0, 8)) as b) t)
 select distinct x.doc_id as id_a, y.doc_id as id_b
 from bands x join bands y
   on x.band_idx = y.band_idx and x.band_hash = y.band_hash and x.doc_id < y.doc_id
@@ -14973,6 +14986,13 @@ def _q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-groupBy on the bin id; score scaled to integers
     (floor(w_sum*1000/n_tokens)) so both engines bin
     bit-identically."""
+    return _calibration_rel(spark, sf_dir)
+
+
+def _calibration_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scorer → reliability-table pipeline for the calibration
+    pair: one corpus scan (label rides the scorer via ``carry``), one
+    counter-sized min/max scalar, one hash-groupBy on the bin id."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     scored = corpus.hashed_linear_score(
         docs,
@@ -14986,7 +15006,20 @@ def _q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "score_int", "label", n_bins=8)
 
 
-_ORACLE_CALIBRATION = f"""
+def _q_classifier_calibration_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-setting calibration scalars (corpus.calibration_summary,
+    r16 verdict order 6): the reliability TABLE says how each bin
+    behaves; the threshold-setting run consumes two NUMBERS —
+    adjacent-bin monotonicity violations (exact-integer cross-
+    multiplication, so bp-plateaus never count and sub-bp inversions
+    still do) and expected calibration error vs the corpus base rate
+    in floored basis points. Both fold over the same counter-sized
+    8-row bin table, so the summary costs nothing beyond
+    classifier_calibration's one corpus scan."""
+    return corpus.calibration_summary(_calibration_rel(spark, sf_dir))
+
+
+_DUCK_CALIBRATION_BINNED = f"""
 with toks as (
   select doc_id, unnest({_DUCK_TOKENS.format(c='text')}) as tok
   from documents),
@@ -15009,12 +15042,45 @@ mm as (select min(si) as mn, max(si) as mx from j),
 binned as (
   select floor((si - mn) * 8.0 / (mx - mn + 1))::bigint as bin, si, label
   from j, mm)
+"""
+
+_ORACLE_CALIBRATION = _DUCK_CALIBRATION_BINNED + """
 select bin, count(*)::bigint as n_docs,
        min(si)::bigint as lo_score, max(si)::bigint as hi_score,
        sum(case when label then 1 else 0 end)::bigint as n_pos,
        floor(sum(case when label then 1 else 0 end) * 10000.0
              / count(*))::bigint as pos_rate_bp
 from binned group by bin
+"""
+
+# gate-setting summary off the SAME binned CTE (r16 verdict order 6):
+# adjacent-bin monotonicity violations via exact-integer cross-
+# multiplication (never the floored-bp column: plateaus must not
+# count, sub-bp inversions must) + expected calibration error vs the
+# corpus base rate in floored basis points
+_ORACLE_CALIBRATION_SUMMARY = _DUCK_CALIBRATION_BINNED + """,
+rel as (
+  select bin, count(*)::bigint as n_docs,
+         sum(case when label then 1 else 0 end)::bigint as n_pos,
+         floor(sum(case when label then 1 else 0 end) * 10000.0
+               / count(*))::bigint as pos_rate_bp
+  from binned group by bin),
+lagged as (
+  select bin, n_docs, n_pos, pos_rate_bp,
+         lag(n_pos) over (order by bin) as prev_pos,
+         lag(n_docs) over (order by bin) as prev_docs
+  from rel),
+tot as (select sum(n_docs)::bigint as nd, sum(n_pos)::bigint as np from rel),
+base as (select floor(np * 10000.0 / nd)::bigint as brate, nd from tot)
+select count(*)::bigint as n_bins_used,
+       (select nd from base)::bigint as n_docs,
+       (select brate from base)::bigint as base_rate_bp,
+       sum(case when prev_pos is not null
+                 and n_pos * prev_docs < prev_pos * n_docs
+            then 1 else 0 end)::bigint as n_inversions,
+       floor(sum(n_docs * abs(pos_rate_bp - (select brate from base)))
+             * 1.0 / (select nd from base))::bigint as ece_bp
+from lagged
 """
 
 
@@ -15046,6 +15112,200 @@ calc as (
 select bands, rows_per_band, recall_at_t, noise_at_s, s_mid,
        recall_at_t >= 0.95 as meets_target
 from calc
+"""
+
+
+# --------------------------------------------------------------------------
+# Round 17: planner-wired MinHash geometry (measured recall audit),
+# calibration summary scalars, BPE-unit vocabulary coverage
+# --------------------------------------------------------------------------
+
+def _q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL recall audit for the MinHash band geometries the
+    planner trades off (r16 verdict order 2 — the measured twin of
+    lsh_geometry_plan's closed form): exact 3-gram-Jaccard >= 0.8
+    pairs are ground truth; the legacy 4x4 and the planner-chosen 8x2
+    geometries each generate LSH candidates off the SAME 16-hash
+    signatures, and the audit reports each geometry's recall of the
+    true pairs plus its candidate volume — the noise the extra recall
+    is bought with. The fixture plants mid-similarity pairs near the
+    threshold (every 3rd doc gets a clone truncated to the first 82%
+    of its tokens → jaccard ≈ 0.82, the S-curve's discriminating
+    region) alongside exact clones (every 10th doc, jaccard 1.0), so
+    the 4x4 geometry's miss rate is visible, not masked by easy
+    pairs. One Arrow signature pass (persisted) feeds both banding
+    branches; ground truth is the inverted-index Jaccard join —
+    at 100 TB this audit runs on a corpus sample, the dedup_recall
+    convention."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = Ftext.tokens(F.col("text"))
+    mid = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(
+            F.slice(tk, F.lit(1),
+                    F.ceil(F.size(tk) * F.lit(0.82)).cast("int")),
+            " ",
+        ).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    fixture = docs.unionByName(exact).unionByName(mid)
+    truth = dedup.ngram_jaccard_pairs(
+        fixture, "doc_id", "text", shingle_n=3, threshold=0.8
+    ).select("id_a", "id_b")
+    sigs = dedup.minhash_signatures(
+        fixture, "doc_id", "text", num_hashes=16, shingle_n=3
+    ).persist()
+    c44 = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", bands=4, rows_per_band=4, num_hashes=16)
+    c82 = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", bands=8, rows_per_band=2, num_hashes=16)
+    found = (
+        truth
+        .join(c44.withColumn("__h44", F.lit(1)), ["id_a", "id_b"], "left")
+        .join(c82.withColumn("__h82", F.lit(1)), ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.count("__h44").cast("long").alias("n_found_4x4"),
+            F.count("__h82").cast("long").alias("n_found_8x2"),
+        )
+    )
+    n44 = c44.agg(F.count(F.lit(1)).cast("long").alias("n_cand_4x4"))
+    n82 = c82.agg(F.count(F.lit(1)).cast("long").alias("n_cand_8x2"))
+    return (
+        found.crossJoin(n44).crossJoin(n82)
+        .select(
+            "n_true", "n_found_4x4", "n_found_8x2",
+            F.round(F.col("n_found_4x4") / F.col("n_true"), 6)
+            .alias("recall_4x4"),
+            F.round(F.col("n_found_8x2") / F.col("n_true"), 6)
+            .alias("recall_8x2"),
+            "n_cand_4x4", "n_cand_8x2",
+        )
+    )
+
+
+_ORACLE_MINHASH_RECALL = f"""
+with mid as (
+  select doc_id + 200000 as doc_id,
+         array_to_string(list_slice(tk, 1,
+             ceil(len(tk) * 0.82)::int), ' ') as text
+  from (select doc_id, {_DUCK_TOKENS.format(c='text')} as tk
+        from documents where doc_id % 3 = 0)),
+corpus as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 100000, text from documents where doc_id % 10 = 0
+  union all
+  select doc_id, text from mid),
+{_DUCK_TOKS},
+{_DUCK_SHINGLES},
+distinct_sh as (
+  select doc_id, unnest(list_distinct(shingles)) as shingle from sh),
+sizes as (select doc_id, count(*) as set_size from distinct_sh group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter
+  from distinct_sh a join distinct_sh b
+    on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+truth as (
+  select id_a, id_b
+  from inter
+  join sizes sa on sa.doc_id = id_a
+  join sizes sb on sb.doc_id = id_b
+  where round(n_inter::double / (sa.set_size + sb.set_size - n_inter), 6)
+        >= 0.8),
+h0 as (
+  select doc_id,
+         list_transform(shingles, s ->
+             ('0x' || substring(md5(s), 1, 13))::bigint) as hs
+  from sh where len(shingles) > 0),
+sigs as (
+  select doc_id,
+         list_transform(range(0, 16), i -> list_min(list_transform(hs, h ->
+             ((h % 2147483647) * ((i * 2654435761) % 2147483646 + 1) + (i * 2654435761) % 2147483647) % 2147483647))) as sig
+  from h0),
+b44 as (
+  select doc_id, t.b as band_idx,
+         md5(array_to_string(list_transform(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+             x -> x::varchar), ',')) as band_hash
+  from sigs cross join (select unnest(range(0, 4)) as b) t),
+b82 as (
+  select doc_id, t.b as band_idx,
+         md5(array_to_string(list_transform(list_slice(sig, t.b * 2 + 1, t.b * 2 + 2),
+             x -> x::varchar), ',')) as band_hash
+  from sigs cross join (select unnest(range(0, 8)) as b) t),
+c44 as (
+  select distinct x.doc_id as id_a, y.doc_id as id_b
+  from b44 x join b44 y
+    on x.band_idx = y.band_idx and x.band_hash = y.band_hash
+   and x.doc_id < y.doc_id),
+c82 as (
+  select distinct x.doc_id as id_a, y.doc_id as id_b
+  from b82 x join b82 y
+    on x.band_idx = y.band_idx and x.band_hash = y.band_hash
+   and x.doc_id < y.doc_id),
+agg as (
+  select count(*)::bigint as n_true,
+         sum(case when exists (select 1 from c44
+                               where c44.id_a = truth.id_a
+                                 and c44.id_b = truth.id_b)
+              then 1 else 0 end)::bigint as n_found_4x4,
+         sum(case when exists (select 1 from c82
+                               where c82.id_a = truth.id_a
+                                 and c82.id_b = truth.id_b)
+              then 1 else 0 end)::bigint as n_found_8x2
+  from truth)
+select n_true, n_found_4x4, n_found_8x2,
+       round(n_found_4x4 / n_true::double, 6) as recall_4x4,
+       round(n_found_8x2 / n_true::double, 6) as recall_8x2,
+       (select count(*)::bigint from c44) as n_cand_4x4,
+       (select count(*)::bigint from c82) as n_cand_8x2
+from agg
+"""
+
+
+def _q_vocab_coverage_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve in the TOKENIZER's unit (r16 verdict
+    order 7): train the 3-merge BPE table, encode the corpus with it
+    (bpe_apply — the bpe_encode chain), and read the coverage curve
+    over the ENCODED tokens via vocab_coverage(tokens_col='tk'). The
+    whitespace-token curve sizes a word vocabulary; the budget
+    decision it feeds is about the BPE vocab, so the knee must be
+    read in the unit the budget is spent in. Plan shape: the encode
+    chain is row-local codegen folds (zero shuffle), then the same
+    type-count groupBy + TakeOrderedAndProject top-k as
+    vocab_coverage."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r["a"], r["b"])
+        for r in corpus.bpe_train(docs, n_merges=3).sort("merge_round").collect()
+    ]
+    enc = corpus.bpe_apply(docs, merges)
+    return corpus.vocab_coverage(
+        enc, ks=(100, 500, 1000, 2000), tokens_col="tk")
+
+
+_ORACLE_VOCAB_BPE = _bpe_encode_oracle(3).rsplit("\nselect ", 1)[0] + """,
+tkx as (select unnest(tk) as term from t3),
+counts as (
+  select term, count(*)::bigint as cnt
+  from tkx where term <> '' group by term),
+tot as (select sum(cnt) as total from counts),
+ranked as (
+  select cnt, row_number() over (order by cnt desc, term) as rn,
+         sum(cnt) over (order by cnt desc, term
+                        rows between unbounded preceding and current row)
+           as cum
+  from counts),
+per_k as (
+  select k, count(*)::bigint as n_types, max(cum) as mass
+  from ranked, (values (100), (500), (1000), (2000)) ks(k)
+  where rn <= k group by k)
+select k::int as k, n_types,
+       floor(mass * 10000.0 / total)::bigint as covered_bp
+from per_k, tot
 """
 
 
@@ -15908,6 +16168,18 @@ _REGISTRY: dict[str, QueryDef] = {
         _q_vocab_coverage, _ORACLE_VOCAB_COVERAGE,
         "vocabulary coverage curve: token-mass coverage of the top-k "
         "types per candidate vocab size (tokenizer budget sizing)"),
+    "minhash_recall": QueryDef(
+        _q_minhash_recall, _ORACLE_MINHASH_RECALL,
+        "measured MinHash-LSH recall: 4x4 vs planner-chosen 8x2 "
+        "against exact Jaccard>=0.8 ground truth + candidate volumes"),
+    "classifier_calibration_summary": QueryDef(
+        _q_classifier_calibration_summary, _ORACLE_CALIBRATION_SUMMARY,
+        "calibration gate scalars: exact-integer monotonicity "
+        "violations + ECE vs base rate in floored bp"),
+    "vocab_coverage_bpe": QueryDef(
+        _q_vocab_coverage_bpe, _ORACLE_VOCAB_BPE,
+        "vocabulary coverage curve over BPE-encoded tokens: the knee "
+        "read in the unit the vocab budget is spent in"),
 }
 
 # The driver's correctness gate executes only the FIRST 50 registry entries
@@ -15924,61 +16196,61 @@ _REGISTRY: dict[str, QueryDef] = {
 # applies the policy above; hand-maintained rotation notes failed in
 # r6/r7 and miscounted in r8, so the tool's output is authoritative.)
 #
-# r16 window provenance (ledger as of r15, tools/freshness.py --window 50
-# --as-of 15): the six never-checked round-16 queries at the front,
-# then the stalest cohort — the r10 block (the r09 rows were refreshed
-# in the r15 window), then the leading edge of the r11 block, plus the
-# two anchors.
-_WINDOW_ROUND = 15  # ledger state this window was generated from
+# r17 window provenance (ledger as of r16, tools/freshness.py --window 50
+# --as-of 16): the three never-checked round-17 queries at the front
+# (minhash_recall, classifier_calibration_summary, vocab_coverage_bpe),
+# then the stalest cohort — the r11 block, then the leading edge of the
+# r12 block, plus the two anchors.
+_WINDOW_ROUND = 16  # ledger state this window was generated from
 _WINDOW_FIRST = [
-    "cjk_script_mix",  # never-checked
-    "domain_cap_enforce",  # never-checked
-    "line_boilerplate_strip",  # never-checked
-    "lsh_geometry_plan",  # never-checked
-    "classifier_calibration",  # never-checked
-    "vocab_coverage",  # never-checked
-    "streaming_funnel",  # latest=r10
-    "star_join",  # latest=r10
-    "schema_evolution_scan",  # latest=r10
-    "stream_stream_left_join",  # latest=r10
-    "incremental_join",  # latest=r10
-    "dedup_recall",  # latest=r10
-    "corrupt_quarantine",  # latest=r10
-    "funnel_timing",  # latest=r10
-    "numeric_corr",  # latest=r10
-    "session_paths",  # latest=r10
-    "text_normalize",  # latest=r10
-    "nfkc_fold",  # latest=r10
-    "unicode_scrub",  # latest=r10
-    "mojibake_flag",  # latest=r10
-    "dedup_normalized",  # latest=r10
-    "url_canonical",  # latest=r10
-    "domain_rollup",  # latest=r10
-    "staging_restaurant",  # latest=r11
-    "llm_parse",  # latest=r11
-    "precheck_antijoin",  # latest=r11
-    "upc_validity",  # latest=r11
-    "change_detect",  # latest=r11
-    "template_chunks",  # latest=r11
-    "batch_stats",  # latest=r11
-    "match_breakdown",  # latest=r11
-    "status_partition",  # latest=r11
-    "topk_per_group",  # latest=r11
-    "rollup_pricing",  # latest=r11
-    "sessionize",  # latest=r11
-    "asof_join",  # latest=r11
-    "range_join",  # latest=r11
-    "window_analytics",  # latest=r11
-    "grouping_sets",  # latest=r11
-    "global_topn",  # latest=r11
-    "quantiles",  # latest=r11
-    "approx_aggs",  # latest=r11
-    "salted_join_agg",  # latest=r11
-    "tumbling_window",  # latest=r11
-    "streaming_dedup",  # latest=r11
-    "streaming_running_stats",  # latest=r11
-    "streaming_sessions",  # latest=r11
-    "streaming_enrich",  # latest=r11
+    "minhash_recall",  # never-checked
+    "classifier_calibration_summary",  # never-checked
+    "vocab_coverage_bpe",  # never-checked
+    "multires_rollup",  # latest=r11
+    "sketch_rollup",  # latest=r11
+    "reconcile",  # latest=r11
+    "unpivot",  # latest=r11
+    "semi_join",  # latest=r11
+    "scalar_subquery",  # latest=r11
+    "null_semantics",  # latest=r11
+    "basket_triples",  # latest=r11
+    "basket_rules",  # latest=r11
+    "activity_streaks",  # latest=r11
+    "basket_triple_rules",  # latest=r11
+    "domain_rollup_psl",  # latest=r11
+    "html_extract",  # latest=r11
+    "html_curation",  # latest=r11
+    "link_frontier",  # latest=r11
+    "lsh_pairs_normalized",  # latest=r11
+    "anchor_text_corpus",  # latest=r11
+    "canonical_dedup",  # latest=r11
+    "sitemap_frontier",  # latest=r11
+    "robots_gate",  # latest=r11
+    "gopher_rules",  # latest=r11
+    "c4_filters",  # latest=r11
+    "secret_scan",  # latest=r11
+    "dedup_keep_first",  # latest=r12
+    "streaming_window",  # latest=r12
+    "fuzzy_match",  # latest=r12
+    "json_props",  # latest=r12
+    "text_quality",  # latest=r12
+    "lang_id",  # latest=r12
+    "exact_dedup",  # latest=r12
+    "training_prep",  # latest=r12
+    "minhash_lsh_pairs",  # latest=r12
+    "simhash_pairs",  # latest=r12
+    "ngram_jaccard_capped",  # latest=r12
+    "ngram_jaccard",  # latest=r12
+    "ann_cosine_topk",  # latest=r12
+    "ann_bucketed_topk",  # latest=r12
+    "ann_ivf_topk",  # latest=r12
+    "similarity_match",  # latest=r12
+    "embedding_near_dup",  # latest=r12
+    "embedding_near_dup_lsh",  # latest=r12
+    "quantize_fidelity",  # latest=r12
+    "dedup_clusters",  # latest=r12
+    "ann_multiprobe_topk",  # latest=r12
+    "sequence_pack",  # latest=r12
     "staging_cleanse",  # anchor
     "match_cascade",  # anchor
 ]

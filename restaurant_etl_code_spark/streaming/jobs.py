@@ -435,8 +435,8 @@ def curate_stream_near_dup(
     min_tokens: int = 30,
     num_hashes: int = 16,
     shingle_n: int = 3,
-    bands: int = 4,
-    rows_per_band: int = 4,
+    bands: int = 8,
+    rows_per_band: int = 2,
     n_buckets: int = 16,
 ) -> StreamingQuery:
     """The NEAR-DUP upgrade of ``curate_stream_to_merge_target``: each

@@ -127,3 +127,127 @@ def test_line_strip_same_length_distinct_lines_unmerged(spark):
         df, "doc_id", "text", "source", min_df=3).collect()}
     assert out[9]["text"] == b + "\nbody 9" and out[9]["n_stripped"] == 0
     assert out[0]["n_stripped"] == 1
+
+
+# ---------------- planner-wired band geometry (r16 verdict order 2)
+
+def test_choose_band_geometry_planner_choice():
+    from restaurant_etl_code_spark.operators import dedup
+    # the repo's headline case: 16 hashes, t=0.8, 95% target -> 8x2
+    assert dedup.choose_band_geometry(16, 0.8) == (8, 2)
+    # minimal-noise among meeting: 16x1 also clears 0.95 but at far
+    # higher noise (1-(0.7)^16 ≈ 0.9967 vs 8x2's 0.5297)
+    # unreachable target -> max-recall geometry (16x1 for 16 hashes)
+    assert dedup.choose_band_geometry(16, 0.8, target_recall=1.0) == (16, 1)
+    # an easy target is met by a low-noise geometry: t=0.9 at 50%
+    # target -> the lowest-noise geometry that clears it
+    b, r = dedup.choose_band_geometry(16, 0.9, target_recall=0.5)
+    recall = 1 - (1 - 0.9 ** r) ** b
+    assert recall >= 0.5
+    for b2 in (1, 2, 4, 8, 16):
+        r2 = 16 // b2
+        rec2 = round(1 - (1 - 0.9 ** r2) ** b2, 6)
+        noise2 = 1 - (1 - 0.3 ** r2) ** b2
+        if rec2 >= 0.5:
+            assert noise2 >= 1 - (1 - 0.3 ** r) ** b - 1e-12
+
+
+def test_choose_band_geometry_agrees_with_plan_table(spark):
+    from restaurant_etl_code_spark.operators import dedup
+    rows = {(r["bands"], r["rows_per_band"]): r
+            for r in dedup.lsh_geometry_plan(spark, 16, 0.8).collect()}
+    chosen = dedup.choose_band_geometry(16, 0.8)
+    assert rows[chosen]["meets_target"] is True
+    # chosen = minimal noise among meets_target rows
+    noise = {g: rows[g]["noise_at_s"] for g in rows
+             if rows[g]["meets_target"]}
+    assert chosen == min(noise, key=lambda g: (noise[g], g[0]))
+
+
+# ---------------- MinHash family non-degeneracy (r17 finding)
+
+def test_minhash_family_is_not_rank_degenerate(spark):
+    from restaurant_etl_code_spark.operators import dedup
+    # the pre-r17 monotone-affine family made ALL components select the
+    # same argmin shingle: component agreement between any two docs was
+    # 0/16 or 16/16, and banding collapsed to a Bernoulli(j) test for
+    # every geometry (minhash_recall measured 4x4 == 8x2 byte-identical).
+    # A real universal family must show FRACTIONAL agreement on near-dup
+    # pairs: two docs sharing most-but-not-all shingles agree on some
+    # components and differ on others.
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " with a different tail entirely here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near)], "doc_id long, text string")
+    sigs = {r["doc_id"]: r["signature"]
+            for r in dedup.minhash_signatures(
+                df, "doc_id", "text", num_hashes=16).collect()}
+    agree = sum(1 for a, b in zip(sigs[1], sigs[2]) if a == b)
+    assert 0 < agree < 16, (
+        f"agreement {agree}/16 is all-or-nothing: the family is "
+        "rank-degenerate (every component picks the same argmin)")
+    # and every signature component stays inside the field
+    for s in sigs.values():
+        assert all(0 <= x < dedup.MINHASH_PRIME for x in s)
+
+
+# ---------------- calibration summary scalars (r16 verdict order 6)
+
+def test_calibration_summary_perfect_ranking(spark):
+    from restaurant_etl_code_spark.operators import corpus
+    # scores 0..19, positive iff score >= 10: monotone table, zero
+    # inversions; ECE vs the 50% base rate is 5000 bp (every bin is
+    # all-0 or all-10000 against base 5000)
+    rows = [(i, i, i >= 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, s long, label boolean")
+    rel = corpus.score_bin_reliability(df, "s", "label", n_bins=4)
+    out = corpus.calibration_summary(rel).collect()[0]
+    assert out["n_bins_used"] == 4
+    assert out["n_docs"] == 20
+    assert out["base_rate_bp"] == 5000
+    assert out["n_inversions"] == 0
+    assert out["ece_bp"] == 5000
+
+
+def test_calibration_summary_inverted_bins(spark):
+    from restaurant_etl_code_spark.operators import corpus
+    # an ANTI-ranked classifier: positive iff score < 10 — every
+    # adjacent nonempty bin pair with differing rates inverts
+    rows = [(i, i, i < 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, s long, label boolean")
+    rel = corpus.score_bin_reliability(df, "s", "label", n_bins=4)
+    out = corpus.calibration_summary(rel).collect()[0]
+    # bins: [0-4]=100%, [5-9]=100%, [10-14]=0%, [15-19]=0% -> exactly
+    # one strict decrease (bin1 -> bin2)
+    assert out["n_inversions"] == 1
+    assert out["ece_bp"] == 5000
+    assert out["base_rate_bp"] == 5000
+
+
+def test_calibration_summary_plateau_not_inversion(spark):
+    from restaurant_etl_code_spark.operators import corpus
+    # equal exact rates across every bin: no inversion, zero ECE (a
+    # plateau is NOT mis-ranking; the cross-multiplication compares
+    # exact counts, so equal rates never count as a decrease)
+    rows = [(i, i // 5, (i % 5) % 2 == 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, s long, label boolean")
+    rel = corpus.score_bin_reliability(df, "s", "label", n_bins=4)
+    out = corpus.calibration_summary(rel).collect()[0]
+    assert out["base_rate_bp"] == 6000  # 3/5 positive in every bin
+    assert out["n_inversions"] == 0     # flat 60% everywhere
+    assert out["ece_bp"] == 0           # no deviation from base rate
+
+
+# ---------------- vocab coverage in BPE units (r16 verdict order 7)
+
+def test_vocab_coverage_tokens_col(spark):
+    from restaurant_etl_code_spark.operators import corpus
+    # pre-tokenized arrays: the curve must read the arrays verbatim,
+    # not re-tokenize text
+    rows = [(1, ["a_b", "a_b", "c"]), (2, ["a_b", "d", ""])]
+    df = spark.createDataFrame(rows, "doc_id long, tk array<string>")
+    out = {r["k"]: r for r in corpus.vocab_coverage(
+        df, ks=(1, 2), tokens_col="tk").collect()}
+    # mass: a_b x3, c x1, d x1 (empty token dropped) -> total 5
+    assert out[1]["n_types"] == 1 and out[1]["covered_bp"] == 6000
+    assert out[2]["n_types"] == 2 and out[2]["covered_bp"] == 8000

@@ -1278,7 +1278,8 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
     },
     "line_boilerplate_strip": {
         # posexplode flat map on the scan; df count + rebuild are
-        # hash-groupBys on the 8-byte line key / doc id; the verdict
+        # hash-groupBys on the 12-byte (hash, length) line key / doc
+        # id; the verdict
         # join is a co-keyed equi-join — zero Python, zero windows
         "want": ["HashAggregate", "Generate"],
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
@@ -1313,6 +1314,39 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                   "MapInPandas", "Window", "HashAggregate", "Exchange",
                   "SortMergeJoin", "BroadcastHashJoin"],
+    },
+    "minhash_recall": {
+        # ONE Arrow signature pass (MapInPandas, persisted — both
+        # banding branches read the cache: InMemoryTableScan), banded
+        # self-equi-joins + the inverted-index jaccard join, hit
+        # markers folded in one aggregate; the three one-row counters
+        # attach as scalar joins, never a data-sized product. (The
+        # ground-truth branch keeps ngram_jaccard_pairs' PARTITIONED
+        # set-size window — keyed by doc id, scale-safe by design.)
+        "want": ["HashAggregate", "InMemoryTableScan"],
+        "avoid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "classifier_calibration_summary": {
+        # the same one-scan scorer chain as classifier_calibration
+        # (carry= label, min/max scalar via BroadcastNestedLoopJoin,
+        # one bin hash-groupBy) + the lag Window and final fold over
+        # the counter-sized 8-row bin table — driver-trivial at any
+        # corpus scale
+        "want": ["HashAggregate", "BroadcastNestedLoopJoin", "Window"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
+    },
+    "vocab_coverage_bpe": {
+        # encode chain = row-local codegen folds over the scan (the
+        # bpe_encode contract; the trainer's counter collects run
+        # before this plan exists), then vocab_coverage's shape: type
+        # counts off one hash-groupBy, top-k off TakeOrderedAndProject
+        # (never a vocabulary-sized full Sort), total as a one-row
+        # scalar attach
+        "want": ["TakeOrderedAndProject", "HashAggregate",
+                 "BroadcastNestedLoopJoin"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"],
     },
 }
 
