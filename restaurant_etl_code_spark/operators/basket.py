@@ -6,20 +6,35 @@ team also asks the corpus-level question "which products co-occur in
 orders" — the first round of a-priori frequent-itemset mining, the part
 that matters at 100 TB because it is where the quadratic blow-up lives.
 
-Scale shape:
-- **A-priori prune first**: items below ``min_support`` cannot appear in
-  a frequent pair, so they are removed BEFORE pairing (left-semi join
-  against the frequent-item table; Spark broadcasts it when small). This
-  is the classic candidate-reduction step — on heavy-tailed catalogs it
-  removes most of the long tail before any pairing work.
+Scale shape (r17 rewrite — array enumeration instead of self-joins):
+- **One basket shuffle**: baskets are reduced to sorted distinct item
+  arrays with a single hash aggregation on the basket key (``collect_set``
+  partial-aggregates map-side, so duplicate line-items collapse before the
+  exchange). The former shape re-derived the (basket, item) projection per
+  consumer — ``distinct`` + a size-count shuffle + a basket-key self-join
+  per enumeration level — and the DataFrame DAG duplicated that subtree
+  combinatorially (the basket_triple_rules plan carried 652 Exchange
+  nodes; the array form carries ~20).
 - **Basket-size valve**: a basket of size k emits k(k−1)/2 pairs; a few
   pathological mega-baskets (a crawler, a bot account) can dominate the
   whole job quadratically. ``max_basket_size`` drops oversized baskets
-  deterministically (documented, oracle-expressible) — the same
-  bounded-blow-up valve as ngram-jaccard's ``max_df`` cap.
-- The pair join is a self-equi-join on the basket key (one shuffle; the
-  per-basket pair explosion happens inside the join, never a global
-  cross product), and pair counts reduce map-side into counters.
+  deterministically (an array-length filter on the aggregated form —
+  documented, oracle-expressible), the same bounded-blow-up valve as
+  ngram-jaccard's ``max_df`` cap.
+- **Map-side enumeration, bounded by the valve**: pair/triple candidates
+  are generated per basket with array higher-order functions (``transform``
+  over the sorted array, so ``item_a < item_b < item_c`` holds by
+  construction) — row-local JVM codegen, never a join, and never more
+  than C(max_basket_size, 2) (or 3) rows per basket.
+- **A-priori prune before the counting shuffle**: items below
+  ``min_support`` cannot appear in a frequent pair, so candidate pairs
+  carrying one are dropped by broadcast semi-joins against the
+  counter-sized frequent-item table BEFORE the pair-count exchange (and
+  candidate triples against the frequent-PAIR table likewise). This is
+  the classic candidate-reduction step — on heavy-tailed catalogs it
+  removes most of the long tail before any shuffle carries it.
+- Pair/triple counts reduce map-side into counters; every later join
+  (support attach, rule confidence) is counter-to-counter.
 """
 
 from __future__ import annotations
@@ -30,27 +45,59 @@ from pyspark.sql import functions as F
 __all__ = ["cooccurrence_pairs", "cooccurrence_triples", "association_rules", "triple_association_rules"]
 
 
-def _pruned_baskets(
+def _basket_arrays(
     df: DataFrame,
     basket_col: str,
     item_col: str,
-    min_support: int,
     max_basket_size: int | None,
 ) -> DataFrame:
-    """Shared basket prep for every miner: presence projection (distinct
-    (basket, item)), the basket-size quadratic valve, and the a-priori
-    item-frequency prune. One definition so pairs/triples/rules can never
-    drift semantically."""
-    baskets = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    """Baskets as sorted distinct item arrays — the ONE basket-key shuffle
+    every miner shares: ``collect_set`` dedupes (presence, not
+    multiplicity) with map-side partial aggregation, ``sort_array`` fixes
+    the enumeration order so generated tuples are ascending by
+    construction. The size valve counts exactly what the row form counted
+    (distinct (basket, item) rows — a NULL item is one row there, so it
+    contributes 1 to the basket size even though ``collect_set`` drops
+    it)."""
+    arr = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .groupBy("__b")
+        .agg(
+            F.sort_array(F.collect_set("__i")).alias("__items"),
+            F.max(F.col("__i").isNull()).alias("__has_null"),
+        )
+    )
     if max_basket_size is not None:
-        sizes = baskets.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
-        keep = sizes.filter(F.col("__sz") <= max_basket_size).select("__b")
-        baskets = baskets.join(keep, "__b", "left_semi")
-    item_counts = baskets.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
-    frequent_items = item_counts.filter(F.col("__n") >= min_support).select("__i")
-    return baskets.join(frequent_items, "__i", "left_semi")
+        arr = arr.filter(
+            F.size("__items") + F.col("__has_null").cast("int")
+            <= max_basket_size
+        )
+    return arr.select("__b", "__items")
+
+
+# Ordered k-subsets of the sorted distinct array, generated row-locally
+# (slice() is 1-based; x at 0-based i pairs with the elements after it).
+_PAIRS_EXPR = (
+    "flatten(transform(__items, (x, i) -> "
+    "transform(slice(__items, i + 2, size(__items) - i - 1), "
+    "y -> struct(x AS item_a, y AS item_b))))"
+)
+_TRIPLES_EXPR = (
+    "flatten(transform(__items, (x, i) -> "
+    "flatten(transform(slice(__items, i + 2, size(__items) - i - 1), (y, j) -> "
+    "transform(slice(__items, i + j + 3, size(__items) - i - j - 2), "
+    "z -> struct(x AS item_a, y AS item_b, z AS item_c))))))"
+)
+
+
+def _item_counts(arr: DataFrame) -> DataFrame:
+    """Per-item basket counts (support) over the valved baskets — a
+    counter-sized aggregate (one small shuffle of exploded keys)."""
+    return (
+        arr.select(F.explode("__items").alias("__i"))
+        .groupBy("__i")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
 
 
 def cooccurrence_pairs(
@@ -67,35 +114,27 @@ def cooccurrence_pairs(
     ``lift = n_pair · n_baskets / (support_a · support_b)`` > 1 means the
     pair co-occurs more than independence predicts.
     """
-    baskets = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()  # presence, not multiplicity
-
-    if max_basket_size is not None:
-        sizes = baskets.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
-        keep = sizes.filter(F.col("__sz") <= max_basket_size).select("__b")
-        baskets = baskets.join(keep, "__b", "left_semi")
+    arr = _basket_arrays(df, basket_col, item_col, max_basket_size)
 
     # basket total as a one-row frame cross-joined in at the end — a
     # driver-side .count() here would EXECUTE the whole upstream plan a
     # second time just to embed one literal (measured ~2× the job)
-    n_baskets = baskets.agg(
-        F.countDistinct("__b").cast("double").alias("__nb")
+    n_baskets = arr.agg(F.count(F.lit(1)).cast("double").alias("__nb"))
+
+    frequent = _item_counts(arr).filter(F.col("__n") >= min_support)
+
+    candidates = arr.select(F.explode(F.expr(_PAIRS_EXPR)).alias("__p")).select(
+        "__p.item_a", "__p.item_b"
     )
-
-    item_counts = baskets.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
-    frequent = item_counts.filter(F.col("__n") >= min_support)
-    # NOTE: equivalent to _pruned_baskets(...) — kept inline only because
-    # this function also needs the un-pruned `baskets` (n_baskets) and the
-    # `frequent` support counts for its output columns
-    pruned = baskets.join(frequent.select("__i"), "__i", "left_semi")
-
-    a = pruned.select(F.col("__b"), F.col("__i").alias("item_a"))
-    b = pruned.select(F.col("__b"), F.col("__i").alias("item_b"))
+    # a-priori prune: drop candidates carrying an infrequent item BEFORE
+    # the counting shuffle (broadcast semi against the counter table)
+    pruned = candidates.join(
+        frequent.select(F.col("__i").alias("item_a")), "item_a", "left_semi"
+    ).join(
+        frequent.select(F.col("__i").alias("item_b")), "item_b", "left_semi"
+    )
     pairs = (
-        a.join(b, "__b")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        pruned.groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= min_support)
     )
@@ -133,12 +172,11 @@ def cooccurrence_triples(
 
     The Apriori property (every sub-pair of a frequent triple is itself
     frequent at ≥ the triple's support) means pruning can never change
-    the RESULT — it exists to bound the enumeration. Shape: in-basket
-    pair instances left-semi-join the frequent-PAIR list before the
-    third-item extension, so the triple join's probe side holds only
-    frequent-pair instances; the (b,c) and (a,c) sub-pairs prune the
-    candidate stream the same way before the counting shuffle. All
-    pruning tables are aggregate outputs (counter-sized vs the corpus).
+    the RESULT — it exists to bound the enumeration. Shape: candidate
+    triples are generated row-locally from the sorted basket array
+    (bounded by the size valve), then all three sub-pairs semi-join the
+    frequent-PAIR counter table before the counting shuffle. All pruning
+    tables are aggregate outputs (counter-sized vs the corpus).
 
     The plain SQL equivalent is the unpruned 3-way self-join with
     HAVING — identical rows, quadratically more join work.
@@ -159,38 +197,47 @@ def _triples_with_pair_counts(
     """The level-3 miner, also exposing its INTERNAL frequent-pair counter
     table (item_a < item_b, n_pair ≥ min_support) so rule derivation can
     reuse it — re-deriving pair counts for (A,B)→C confidence was a second
-    data-sized basket self-join on top of the miner's own (round-4
-    advisory)."""
-    pruned = _pruned_baskets(
-        df, basket_col, item_col, min_support, max_basket_size
-    )
+    data-sized basket pass on top of the miner's own (round-4 advisory)."""
+    arr = _basket_arrays(df, basket_col, item_col, max_basket_size)
+    frequent = _item_counts(arr).filter(F.col("__n") >= min_support).select("__i")
 
-    a = pruned.select("__b", F.col("__i").alias("item_a"))
-    b = pruned.select("__b", F.col("__i").alias("item_b"))
-    c = pruned.select("__b", F.col("__i").alias("item_c"))
-    pair_inst = a.join(b, "__b").filter(F.col("item_a") < F.col("item_b"))
+    pair_cand = arr.select(F.explode(F.expr(_PAIRS_EXPR)).alias("__p")).select(
+        "__p.item_a", "__p.item_b"
+    )
+    pair_cand = pair_cand.join(
+        frequent.select(F.col("__i").alias("item_a")), "item_a", "left_semi"
+    ).join(
+        frequent.select(F.col("__i").alias("item_b")), "item_b", "left_semi"
+    )
     pair_counts = (
-        pair_inst.groupBy("item_a", "item_b")
+        pair_cand.groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= min_support)
     )
     pf = pair_counts.select("item_a", "item_b")
-    freq_pair_inst = pair_inst.join(pf, ["item_a", "item_b"], "left_semi")
-    tri = freq_pair_inst.join(c, "__b").filter(F.col("item_b") < F.col("item_c"))
-    # remaining sub-pair prunes: (b,c) and (a,c) must be frequent too
-    tri = tri.join(
-        pf.select(
-            F.col("item_a").alias("item_b"), F.col("item_b").alias("item_c")
-        ),
-        ["item_b", "item_c"],
-        "left_semi",
-    ).join(
-        pf.select("item_a", F.col("item_b").alias("item_c")),
-        ["item_a", "item_c"],
-        "left_semi",
+
+    tri_cand = arr.select(F.explode(F.expr(_TRIPLES_EXPR)).alias("__t")).select(
+        "__t.item_a", "__t.item_b", "__t.item_c"
+    )
+    # all three sub-pairs must be frequent (Apriori) — prune the candidate
+    # stream against the counter-sized pair table before the shuffle
+    tri_cand = (
+        tri_cand.join(pf, ["item_a", "item_b"], "left_semi")
+        .join(
+            pf.select(
+                F.col("item_a").alias("item_b"), F.col("item_b").alias("item_c")
+            ),
+            ["item_b", "item_c"],
+            "left_semi",
+        )
+        .join(
+            pf.select("item_a", F.col("item_b").alias("item_c")),
+            ["item_a", "item_c"],
+            "left_semi",
+        )
     )
     triples = (
-        tri.groupBy("item_a", "item_b", "item_c")
+        tri_cand.groupBy("item_a", "item_b", "item_c")
         .agg(F.count(F.lit(1)).alias("n_triple"))
         .filter(F.col("n_triple") >= min_support)
     )

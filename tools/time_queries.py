@@ -1,0 +1,43 @@
+#!/usr/bin/env python
+"""Time named queries with the bench methodology (warm shared session,
+count() action, clearCache between rows) — for targeted A/B measurement
+during optimization rounds. NOT the committed bench (bench.py is).
+
+Usage: [SPARK_GRAFT_SF_DIR=...] python tools/time_queries.py [-n N] q [q ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from restaurant_etl_code_spark import get_spark
+from restaurant_etl_code_spark.plans import QUERIES
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    takes = 1
+    if args and args[0] == "-n":
+        takes = int(args[1])
+        args = args[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("time-queries",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    for name in args:
+        for t in range(takes):
+            spark.sparkContext.setJobDescription(f"{name} take{t}")
+            t0 = time.time()
+            n = QUERIES[name].spark(spark, sf_dir).count()
+            sec = time.time() - t0
+            spark.catalog.clearCache()
+            print(f"{name}\ttake{t}\t{sec:.3f}s\t{n} rows", flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
