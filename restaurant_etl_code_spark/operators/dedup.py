@@ -619,15 +619,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     )
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3) -> DataFrame:
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3,
+    emit_set_size: bool = False,
+) -> DataFrame:
     """(id, shingle) rows, one per *distinct* shingle per document — the
     inverted-index input for Jaccard joins. Arrow-batched Python stage for
-    the same O(tokens²)-in-interpreted-lambdas reason as the signatures."""
+    the same O(tokens²)-in-interpreted-lambdas reason as the signatures.
+
+    ``emit_set_size=True`` adds the document's distinct-shingle count as a
+    ``set_size`` column — known row-locally inside the mapper for free,
+    where computing it downstream costs a full shuffle+sort (a window
+    partitioned on the id). Only valid when no shingle is dropped between
+    here and the consumer (the ``max_df`` cap recomputes sizes after
+    capping, so the capped path must NOT use this)."""
     id_field = df.schema[id_col]
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, shingles = [], []
+            ids, shingles, sizes = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
@@ -639,13 +649,22 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3) 
                 for s in distinct:
                     ids.append(doc_id)
                     shingles.append(s)
+                if emit_set_size:
+                    sizes.extend([len(distinct)] * len(distinct))
             if not ids:
                 continue
-            yield pd.DataFrame(
-                {id_col: pd.Series(ids, dtype=object), "shingle": pd.Series(shingles, dtype=object)}
-            )
+            data = {
+                id_col: pd.Series(ids, dtype=object),
+                "shingle": pd.Series(shingles, dtype=object),
+            }
+            if emit_set_size:
+                data["set_size"] = pd.Series(sizes, dtype="int64")
+            yield pd.DataFrame(data)
 
-    schema = T.StructType([id_field, T.StructField("shingle", T.StringType(), False)])
+    fields = [id_field, T.StructField("shingle", T.StringType(), False)]
+    if emit_set_size:
+        fields.append(T.StructField("set_size", T.LongType(), False))
+    schema = T.StructType(fields)
     return _widen(df.select(id_col, text_col), id_col, per_row="light").mapInPandas(
         mapper, schema=schema
     )
@@ -785,12 +804,23 @@ def _shingle_intersections(
 ) -> DataFrame:
     """Shared inverted-index intersection stage: (id_a < id_b, n_inter,
     size_a, size_b) per document pair sharing ≥1 (capped) shingle."""
-    rows = (
-        shingle_rows(df, id_col, text_col, shingle_n)
-        .withColumn("__sh", F.xxhash64("shingle"))
-        .drop("shingle")
-    )
-    if max_df is not None:
+    if max_df is None:
+        # uncapped: no shingle is ever dropped, so the per-document size is
+        # known row-locally inside the Arrow stage — emitting it there
+        # removes the id-partitioned window (a full shuffle+sort of the
+        # inverted index) from the plan outright
+        shingled = (
+            shingle_rows(df, id_col, text_col, shingle_n, emit_set_size=True)
+            .withColumn("__sh", F.xxhash64("shingle"))
+            .drop("shingle")
+            .persist()
+        )
+    else:
+        rows = (
+            shingle_rows(df, id_col, text_col, shingle_n)
+            .withColumn("__sh", F.xxhash64("shingle"))
+            .drop("shingle")
+        )
         # set_size is computed after the cap: overlap scores are then exact
         # over the capped shingle universe (boilerplate excluded from
         # numerator AND denominator), not a biased estimate of the uncapped
@@ -801,8 +831,8 @@ def _shingle_intersections(
             .filter(F.col("__df") <= max_df)
             .drop("__df")
         )
-    w = Window.partitionBy(id_col)
-    shingled = rows.withColumn("set_size", F.count(F.lit(1)).over(w)).persist()
+        w = Window.partitionBy(id_col)
+        shingled = rows.withColumn("set_size", F.count(F.lit(1)).over(w)).persist()
     a = shingled.alias("a")
     # merge hint: both sides of the inverted-index join are corpus-sized, so
     # it must never broadcast — the static size estimate of a persisted
