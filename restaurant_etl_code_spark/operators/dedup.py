@@ -820,19 +820,30 @@ def _shingle_intersections(
             shingle_rows(df, id_col, text_col, shingle_n)
             .withColumn("__sh", F.xxhash64("shingle"))
             .drop("shingle")
+            .persist()
         )
+        # df cap as an ANTI-join against the HEAVY shingle set (df >
+        # max_df) — the winnow_pairs valve shape: the heavy set is the
+        # boilerplate tail (far smaller than the index), the df count is
+        # a map-side-combined hash aggregate, and AQE broadcasts the
+        # anti side at runtime, so the corpus-sized index never shuffles
+        # for the valve. The former window (count over partition by
+        # shingle hash) shuffled AND sorted the whole index instead.
+        heavy = (
+            rows.groupBy("__sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("__sh")
+        )
+        capped = rows.join(heavy, "__sh", "left_anti")
         # set_size is computed after the cap: overlap scores are then exact
         # over the capped shingle universe (boilerplate excluded from
         # numerator AND denominator), not a biased estimate of the uncapped
-        # value
-        df_w = Window.partitionBy("__sh")
-        rows = (
-            rows.withColumn("__df", F.count(F.lit(1)).over(df_w))
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
-        )
-        w = Window.partitionBy(id_col)
-        shingled = rows.withColumn("set_size", F.count(F.lit(1)).over(w)).persist()
+        # value. Counter-sized aggregate + join-back (AQE broadcasts the
+        # per-doc counts when they fit) replaces the second full-index
+        # window shuffle+sort.
+        sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+        shingled = capped.join(sizes, id_col).persist()
     a = shingled.alias("a")
     # merge hint: both sides of the inverted-index join are corpus-sized, so
     # it must never broadcast — the static size estimate of a persisted

@@ -319,9 +319,11 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
     },
     "ngram_jaccard_capped": {
         # corpus-sized inverted index must never broadcast-build; the df
-        # cap rides the same (__sh) window partitioning
-        "want": ["SortMergeJoin", "Window"],
-        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        # cap is an anti-join against the counter-sized HEAVY shingle
+        # set and per-doc sizes join back from an aggregate — no
+        # full-index window shuffle+sort (r17)
+        "want": ["SortMergeJoin", "LeftAnti"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
     },
     "embedding_near_dup_lsh": {
         # sign-LSH blocking: equi-join on the bucket id, never the exact
@@ -430,9 +432,10 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "avoid": ["SortMergeJoin", "CartesianProduct"],
     },
     "containment_pairs": {
-        # shares the never-broadcast inverted-index join with the jaccard twin
-        "want": ["SortMergeJoin", "Window"],
-        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        # shares the never-broadcast inverted-index join AND the
+        # anti-join df valve with the jaccard twin (r17: no window)
+        "want": ["SortMergeJoin", "LeftAnti"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
     },
     "minhash_estimate": {
         # signatures ride the banded rows through ONE self-join over the
