@@ -55,6 +55,7 @@ is correctness-gated by the ``url_canonical`` / ``domain_rollup`` oracles.
 
 from __future__ import annotations
 
+import re
 from typing import Iterable, NamedTuple
 
 from pyspark.sql import Column
@@ -460,6 +461,83 @@ def _rules_by_label_count(names: frozenset[str]) -> dict[int, list[str]]:
     return {k: sorted(v) for k, v in sorted(out.items())}
 
 
+def _sql_str_lit(s: str) -> str:
+    """Escape a Python string as a Spark SQL single-quoted literal (the
+    default parser honors backslash escapes)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _psl_sql_text(host_sql: str, rules: PslRules) -> str:
+    """The :func:`registrable_domain_psl` expression as ONE SQL string.
+
+    Semantics are the Column builder's, token for token — same stripped
+    host, same label slices, same candidate/exception precedence (the
+    Column path below is the readable reference; a unit test pins the two
+    paths value-identical). The point of the text form is CONSTRUCTION
+    cost: ``Column.isin(*names)`` issues one py4j round-trip per literal,
+    so a real-size PSL (~9k rules) spent 3-4 s per query build in the
+    Python driver before a single task ran (measured: the
+    domain_rollup_psl_full row was 3.4 s build / 0.08 s plan / 0.2 s
+    execute). One ``F.expr`` hands the whole predicate to the SQL parser
+    in a single call. Sub-expression duplication in the text (labels /
+    suffix_len referenced several times) mirrors the Column tree's
+    semantic duplication exactly — codegen's subexpression elimination
+    collapses both the same way.
+    """
+    hs = f"regexp_replace({host_sql}, '\\\\.$', '')"
+    labels = f"split({hs}, '\\\\.')"
+    n = f"size({labels})"
+
+    def last_k(k: int) -> str:
+        return (
+            f"array_join(slice({labels}, greatest({n} - {k - 1}, 1), {k}), '.')"
+        )
+
+    candidates = ["1"]
+    for k, names in _rules_by_label_count(rules.exact).items():
+        if k == 1:
+            continue  # 1-label exact rules add nothing over the implicit '*'
+        inlist = ", ".join(_sql_str_lit(x) for x in names)
+        candidates.append(
+            f"(CASE WHEN ({n} >= {k}) AND ({last_k(k)} IN ({inlist})) "
+            f"THEN {k} ELSE 1 END)"
+        )
+    for b, bases in _rules_by_label_count(rules.wildcard).items():
+        inlist = ", ".join(_sql_str_lit(x) for x in bases)
+        candidates.append(
+            f"(CASE WHEN ({n} >= {b + 1}) AND ({last_k(b)} IN ({inlist})) "
+            f"THEN {b + 1} ELSE 1 END)"
+        )
+    base_len = (
+        f"greatest({', '.join(candidates)})"
+        if len(candidates) > 1 else candidates[0]
+    )
+    exception_cands = [
+        f"(CASE WHEN ({n} >= {e}) AND ({last_k(e)} IN "
+        f"({', '.join(_sql_str_lit(x) for x in names)})) THEN {e - 1} END)"
+        for e, names in _rules_by_label_count(rules.exception).items()
+    ]
+    if not exception_cands:
+        suffix_len = base_len
+    else:
+        exc_len = (
+            f"greatest({', '.join(exception_cands)})"
+            if len(exception_cands) > 1 else exception_cands[0]
+        )
+        suffix_len = f"coalesce({exc_len}, {base_len})"
+    registrable = (
+        f"array_join(slice({labels}, greatest({n} - ({suffix_len}), 1), "
+        f"({suffix_len}) + 1), '.')"
+    )
+    is_ip = f"({hs} RLIKE {_sql_str_lit(_IPV4_RE)}) OR startswith({hs}, '[')"
+    return (
+        f"CASE WHEN ({hs} IS NULL) OR ({hs} = '') THEN CAST(NULL AS STRING) "
+        f"WHEN {is_ip} THEN {hs} "
+        f"WHEN {n} > ({suffix_len}) THEN {registrable} "
+        f"ELSE CAST(NULL AS STRING) END"
+    )
+
+
 def registrable_domain_psl(host: Column, rules: PslRules = PSL_FIXTURE) -> Column:
     """Registrable domain (eTLD+1) under full public-suffix-list semantics.
 
@@ -476,7 +554,33 @@ def registrable_domain_psl(host: Column, rules: PslRules = PSL_FIXTURE) -> Colum
     no rule, and return ``com.``). Compiles to nested CASE over ``InSet``
     membership tests: pure codegen, zero shuffle, O(max rule depth)
     comparisons per row.
+
+    Construction rides the SQL parser (:func:`_psl_sql_text` — one py4j
+    call instead of one per rule literal; ~10x faster query build at real
+    PSL size) when the host Column is a PLAIN COLUMN REFERENCE, whose
+    name round-trips through ``ColumnNode.sql()`` exactly. Composed host
+    expressions keep the Column builder below — their display SQL is not
+    guaranteed parser-faithful, and a silently drifted predicate would be
+    worse than a slow build. Both paths produce the same analyzed
+    expression (unit-pinned value-identical).
     """
+    try:
+        host_sql = host._jc.node().sql()  # type: ignore[attr-defined]
+    except Exception:
+        host_sql = None
+    if host_sql is not None and re.fullmatch(
+        r"[A-Za-z_][A-Za-z0-9_]*|`[^`]+`", host_sql
+    ):
+        return F.expr(_psl_sql_text(host_sql, rules))
+    return _registrable_domain_psl_columns(host, rules)
+
+
+def _registrable_domain_psl_columns(
+    host: Column, rules: PslRules = PSL_FIXTURE
+) -> Column:
+    """Column-API reference implementation of
+    :func:`registrable_domain_psl` (and the fallback when the host
+    expression cannot be rendered to SQL text)."""
     host = F.regexp_replace(host, r"\.$", "")
     labels = F.split(host, r"\.")
     n = F.size(labels)

@@ -251,3 +251,40 @@ def test_vocab_coverage_tokens_col(spark):
     # mass: a_b x3, c x1, d x1 (empty token dropped) -> total 5
     assert out[1]["n_types"] == 1 and out[1]["covered_bp"] == 6000
     assert out[2]["n_types"] == 2 and out[2]["covered_bp"] == 8000
+
+
+# ---------------- PSL text-path construction (r17 optimization round)
+
+def test_psl_sql_text_path_matches_column_path(spark):
+    # registrable_domain_psl builds its predicate via the SQL parser when
+    # the host is a plain column reference (one py4j call instead of one
+    # per rule literal). The two construction paths must stay
+    # value-identical — including empty/NULL hosts, FQDN dots, IP
+    # literals, wildcard/exception rules, and a quote-containing host
+    # (the literal escaper's adversarial case).
+    from pyspark.sql import functions as F
+
+    from restaurant_etl_code_spark.functions import urls as U
+
+    hosts = [
+        "a.b.co.uk", "co.uk", "", None, "1.2.3.4", "[::1]x",
+        "example.com.", "plain", "a.b.c.d.e.f", "it's.odd'host.com",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    fast = [
+        r.d for r in df.select(
+            U.registrable_domain_psl(F.col("host")).alias("d")).collect()
+    ]
+    ref = [
+        r.d for r in df.select(
+            U._registrable_domain_psl_columns(F.col("host")).alias("d")
+        ).collect()
+    ]
+    assert fast == ref
+    # composed host expressions must take the Column fallback (display
+    # SQL of arbitrary expressions is not guaranteed parser-faithful)
+    comp = U.registrable_domain_psl(F.lower(F.col("host")))
+    ref2 = U._registrable_domain_psl_columns(F.lower(F.col("host")))
+    got = [r.d for r in df.select(comp.alias("d")).collect()]
+    want = [r.d for r in df.select(ref2.alias("d")).collect()]
+    assert got == want
