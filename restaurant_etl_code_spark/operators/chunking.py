@@ -21,10 +21,16 @@ final bounded ≤30-item array_agg.
 
 from __future__ import annotations
 
+import hashlib
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from restaurant_etl_code_spark.functions import cleansing
+from restaurant_etl_code_spark.operators._arrow import widen_for_codec as _widen
 
 __all__ = ["skipped_rows", "group_and_chunk_templates", "cdc_chunks", "cdc_containment_pairs"]
 
@@ -140,14 +146,16 @@ def cdc_chunks(
     shared parity idiom (the minhash oracle's).
 
     ``boundary_hash``: "md5" (default) is the engines' shared parity
-    idiom so the DuckDB oracle reproduces boundaries exactly, but
-    md5-in-a-lambda is INTERPRETED per position (~5 s for 700k positions
-    at sf0.1); "xxhash64" swaps the boundary decision to Spark's native
-    codegen hash (~4x faster scan) — equally deterministic, same
-    expected chunk length, just not replayable by a non-Spark engine.
-    Production wants xxhash64; the oracle gate pins md5. chunk_hash
-    stays md5 either way (one per CHUNK, and it is the cross-system
-    dedup key).
+    idiom so the DuckDB oracle reproduces boundaries exactly; it runs
+    in an Arrow-batched Python stage (hashlib's C md5 per position)
+    because md5-in-a-Catalyst-lambda is INTERPRETED per position
+    (~5 s for 700k positions at sf0.1; the Arrow stage is the same
+    trade ``shingle_rows``/``minhash_signatures`` already make — guide
+    §4.2, hand batches to native code). "xxhash64" swaps the boundary
+    decision to Spark's native codegen hash — equally deterministic,
+    same expected chunk length, stays a pure-JVM plan, just not
+    replayable by a non-Spark engine. chunk_hash stays md5 either way
+    (one per CHUNK, and it is the cross-system dedup key).
 
     Returns (id_col, chunk_idx, n_tokens_chunk, chunk_hash); documents
     with zero tokens emit no rows.
@@ -159,17 +167,14 @@ def cdc_chunks(
         raise ValueError(f"window and divisor must be >= 1 (got {w}, {d})")
     if boundary_hash not in ("md5", "xxhash64"):
         raise ValueError(f"unknown boundary_hash {boundary_hash!r}")
+    if boundary_hash == "md5":
+        return _cdc_chunks_arrow(docs, id_col, text_col, w, d)
     toks = docs.select(
         F.col(id_col),
         F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "").alias("tk"),
     ).filter(F.size("tk") >= 1)
     ctx = f"array_join(slice(tk, i - {w} + 1, {w}), ' ')"
-    if boundary_hash == "md5":
-        hash52 = (
-            f"cast(conv(substring(md5({ctx}), 1, 13), 16, 10) as bigint)"
-        )
-    else:
-        hash52 = f"abs(xxhash64({ctx}))"
+    hash52 = f"abs(xxhash64({ctx}))"
     # boundaries after positions w..n-1 whose context hash divides d,
     # plus n itself (the tail chunk); sequence(a, b) runs DESCENDING when
     # a > b, so the short-doc case must be guarded, not relied on
@@ -197,6 +202,69 @@ def cdc_chunks(
         F.md5(F.concat_ws(" ", "c.toks")).alias("chunk_hash"),
     )
 
+
+def _cdc_chunks_arrow(
+    docs: DataFrame, id_col: str, text_col: str, w: int, d: int
+) -> DataFrame:
+    """The md5 boundary path of ``cdc_chunks`` as an Arrow-batched Python
+    stage: one ``hashlib.md5`` per token position instead of one
+    interpreted Catalyst-lambda md5 per position. Value-identical to the
+    expression form (same ``_py_norm_tokens`` twin of
+    ``functions.text.tokens``, same 52-bit md5-hex-prefix boundary test,
+    same per-chunk md5) — the r17 A/B that motivated it: the boundary
+    lambda dominated the cdc scans' executor compute."""
+    from restaurant_etl_code_spark.operators.dedup import _py_norm_tokens
+
+    id_field = docs.schema[id_col]
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, idxs, lens, hashes = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = [t for t in _py_norm_tokens(text) if t != ""]
+                n = len(toks)
+                if n < 1:
+                    continue
+                # boundaries after 1-based positions w..n-1 whose trailing
+                # w-token context hash divides d, plus n (the tail chunk) —
+                # the exact twin of the expression form's filter(sequence)
+                bnd = [
+                    i for i in range(w, n)
+                    if int(md5(" ".join(toks[i - w:i]).encode())
+                           .hexdigest()[:13], 16) % d == 0
+                ] if n > w else []
+                bnd.append(n)
+                prev = 0
+                for j, b in enumerate(bnd):
+                    chunk = " ".join(toks[prev:b])
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    lens.append(b - prev)
+                    hashes.append(md5(chunk.encode()).hexdigest())
+                    prev = b
+            if not ids:
+                continue
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype=object),
+                "chunk_idx": pd.Series(idxs, dtype="int32"),
+                "n_tokens_chunk": pd.Series(lens, dtype="int64"),
+                "chunk_hash": pd.Series(hashes, dtype=object),
+            })
+
+    schema = T.StructType([
+        id_field,
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("n_tokens_chunk", T.LongType(), False),
+        T.StructField("chunk_hash", T.StringType(), False),
+    ])
+    return _widen(
+        docs.select(id_col, text_col), id_col, per_row="light"
+    ).mapInPandas(mapper, schema=schema)
+
+
 def cdc_containment_pairs(
     docs: DataFrame,
     *,
@@ -219,8 +287,13 @@ def cdc_containment_pairs(
     (doc, chunk_hash) rows self-join on the hash, pair counters reduce
     map-side, and ``max_df`` drops boilerplate chunks shared by more
     than ``max_df`` documents BEFORE the quadratic join (the Σdf² scale
-    valve). Returns (id_a, id_b, n_shared, containment) with id_a <
-    id_b; containment = shared / min(chunk counts).
+    valve). The index carries ``xxhash64(chunk_hash)`` (8 bytes), not
+    the 32-char md5 hex — the same narrow-shuffle-key trade
+    ``ngram_jaccard_pairs`` documents: a false intersection needs a
+    64-bit collision, far below any oracle's noticing at test scale and
+    irrelevant next to the ``threshold`` cut. Returns (id_a, id_b,
+    n_shared, containment) with id_a < id_b; containment =
+    shared / min(chunk counts).
     """
     # persist-and-let-LRU-evict: the chunk projection (one md5 per token
     # position) feeds four consumers (sizes, the df valve, both join
@@ -231,7 +304,7 @@ def cdc_containment_pairs(
             docs, id_col=id_col, text_col=text_col, window=window,
             divisor=divisor,
         )
-        .select(id_col, "chunk_hash")
+        .select(id_col, F.xxhash64("chunk_hash").alias("chunk_h"))
         .distinct()
         .persist()
     )
@@ -239,15 +312,15 @@ def cdc_containment_pairs(
     kept = ch
     if max_df is not None:
         hot = (
-            ch.groupBy("chunk_hash")
+            ch.groupBy("chunk_h")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > int(max_df))
-            .select("chunk_hash")
+            .select("chunk_h")
         )
-        kept = ch.join(hot, "chunk_hash", "left_anti")
+        kept = ch.join(hot, "chunk_h", "left_anti")
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
-        a.join(b, "chunk_hash")
+        a.join(b, "chunk_h")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),

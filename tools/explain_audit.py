@@ -667,17 +667,18 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                   "Window"],
     },
     "cdc_chunk_dedup": {
-        # boundary list + chunk slices are one codegen projection; the
-        # only shuffle is the chunk-hash counter agg
-        "want": ["Generate", "HashAggregate"],
-        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas",
-                  "Window"],
+        # r17: the md5 boundary path is an Arrow stage (hashlib C md5 per
+        # position beats the interpreted Catalyst-lambda md5 ~2x wall);
+        # the only shuffle is the chunk-hash counter agg
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "Window"],
     },
     "cdc_containment": {
-        # inverted-index equi-join on the chunk hash; pair counters
-        # reduce map-side; the df valve is an anti-join
-        "want": ["HashAggregate"],
-        "avoid": ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
+        # inverted-index equi-join on xxhash64(chunk_hash) (8-byte key);
+        # pair counters reduce map-side; the df valve is an anti-join;
+        # chunking rides the same Arrow stage as cdc_chunk_dedup
+        "want": ["MapInPandas", "HashAggregate"],
+        "avoid": ["CartesianProduct", "BatchEvalPython", "Window"],
     },
     "winnow_dedup_pairs": {
         # fingerprints are one Arrow pass; pairing is the inverted-index
