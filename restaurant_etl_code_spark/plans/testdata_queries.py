@@ -932,7 +932,8 @@ def _events_stream(spark: SparkSession, sf_dir: str):
 
 
 def _stream_state_partitions(
-    spark: SparkSession, sf_dir: str, table: str = "events"
+    spark: SparkSession, sf_dir: str, table: str = "events",
+    *, per_partition_rows: int | None = None,
 ) -> int:
     """State-partition count derived from the SOURCE volume, not a
     constant: one state-store instance exists per shuffle partition per
@@ -945,16 +946,34 @@ def _stream_state_partitions(
     and grows with the landing, reaching the session cap on any
     cluster-scale directory — scale-adaptive, never hard-coded to
     either environment (guide §2: partitioning must derive from input
-    size)."""
+    size).
+
+    ``per_partition_rows`` switches the proxy from bytes to ROWS (read
+    from the parquet footer — metadata only, no job): the right sizing
+    for ``applyInPandasWithState`` operators, whose per-batch cost is
+    Python work PER ROW, not state-store count — byte-sizing gave the
+    sf0.1 funnel 2 partitions and serialized its Python stage on 2 of
+    32 cores (measured 2.5 → 3.3 s in the r17 bench; rows/8k reads 13
+    partitions and restores 2.4 s warm). JVM-stateful operators keep
+    the bytes proxy: their per-partition cost IS the state-store
+    instance, so fewer, fuller partitions win."""
     path = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        src_bytes = os.path.getsize(path)
-    except OSError:
-        src_bytes = 0
     session_parts_raw = spark.conf.get("spark.sql.shuffle.partitions")
     session_parts = (
         int(session_parts_raw) if str(session_parts_raw).isdigit() else 200
     )
+    if per_partition_rows:
+        try:
+            import pyarrow.parquet as pq
+
+            n_rows = pq.read_metadata(path).num_rows
+        except Exception:
+            n_rows = 0
+        return max(2, min(session_parts, -(-n_rows // per_partition_rows)))
+    try:
+        src_bytes = os.path.getsize(path)
+    except OSError:
+        src_bytes = 0
     return max(2, min(session_parts, -(-src_bytes // (32 << 20))))
 
 
@@ -1038,7 +1057,10 @@ def _q_streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         lambda s: running_key_stats(_events_stream(s, sf_dir), "user_id", "value"),
         "update",
-        state_partitions=_stream_state_partitions(spark, sf_dir),
+        # Python-state operator: size by rows (see _stream_state_partitions)
+        state_partitions=_stream_state_partitions(
+            spark, sf_dir, per_partition_rows=8192
+        ),
     )
 
 
@@ -5464,7 +5486,10 @@ def _q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             tiebreak_col="event_id",
         ),
         "update",
-        state_partitions=_stream_state_partitions(spark, sf_dir),
+        # Python-state operator: size by rows (see _stream_state_partitions)
+        state_partitions=_stream_state_partitions(
+            spark, sf_dir, per_partition_rows=8192
+        ),
     )
     # per-user max FIRST: in update mode a user touched by several
     # micro-batches emits one flag row per batch — summing raw rows would
