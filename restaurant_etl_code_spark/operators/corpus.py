@@ -1266,6 +1266,8 @@ def bpe_apply(
     joiner: str = "_",
     inline_batch: int = 8,
     engine: str = "auto",
+    carry: tuple = (),
+    emit_n_words: bool = False,
 ) -> DataFrame:
     """ENCODE with a learned merge table: apply ``merges`` in training
     order to every document — the deploy half of ``bpe_train`` (Sennrich
@@ -1305,7 +1307,15 @@ def bpe_apply(
     worker) and arrow above. The merge table is driver-resident by
     definition (vocab-sized, not corpus-sized).
 
-    Returns (id_col, tk) with tk the encoded token array.
+    ``carry`` lists extra ``docs`` columns to ride along unchanged, and
+    ``emit_n_words=True`` adds the PRE-merge token count as ``n_words``
+    (long) — known row-locally before the folds, where recomputing it
+    downstream costs a second tokenize pass plus an id equi-join back
+    (the fertility/compression consumers measured ~25% of their wall in
+    that join shape; same carry= rationale as the calibration scorer).
+
+    Returns (id_col, *carry, [n_words,] tk) with tk the encoded token
+    array.
     """
     if engine not in ("auto", "fold", "arrow"):
         raise ValueError(f"unknown engine {engine!r}")
@@ -1313,8 +1323,13 @@ def bpe_apply(
         engine = "fold" if len(merges) <= 16 else "arrow"
     out = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "").alias("tk"),
     ).filter(F.size("tk") >= 1)
+    if emit_n_words:
+        out = out.select(
+            id_col, *carry, F.size("tk").cast("long").alias("n_words"), "tk"
+        )
     if engine == "fold":
         for i in range(0, len(merges), inline_batch):
             expr = F.col("tk")
@@ -1393,12 +1408,17 @@ def bpe_apply(
                                     pushed.add(j)
                                     heapq.heappush(heap, j)
                 enc.append(toks)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "tk": pd.Series(enc, dtype=object)}
-            )
+            data = {id_col: pdf[id_col]}
+            for c in passthrough:
+                data[c] = pdf[c]
+            data["tk"] = pd.Series(enc, dtype=object)
+            yield pd.DataFrame(data)
 
+    passthrough = list(carry) + (["n_words"] if emit_n_words else [])
     schema = T.StructType(
-        [id_field, T.StructField("tk", T.ArrayType(T.StringType()), False)]
+        [id_field]
+        + [out.schema[c] for c in passthrough]
+        + [T.StructField("tk", T.ArrayType(T.StringType()), False)]
     )
     return out.mapInPandas(mapper, schema=schema)
 

@@ -6321,21 +6321,15 @@ def _q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["a"], r["b"])
         for r in corpus.bpe_train(docs, n_merges=3).sort("merge_round").collect()
     ]
-    enc = corpus.bpe_apply(docs, merges).select(
-        "doc_id", F.size("tk").cast("long").alias("n_after")
-    )
-    before = docs.select(
+    # n_before rides out of the encode projection (emit_n_words) — the
+    # former shape tokenized the corpus a second time and joined it back
+    # by id (r17: one scan, zero joins, same rows/values)
+    enc = corpus.bpe_apply(docs, merges, emit_n_words=True)
+    return enc.select(
         "doc_id",
-        F.size(F.filter(Ftext.tokens(F.col("text")), lambda t: t != ""))
-        .cast("long")
-        .alias("n_before"),
-    ).filter(F.col("n_before") >= 1)
-    return (
-        before.join(enc, "doc_id")
-        .withColumn(
-            "ratio", F.round(F.col("n_after") / F.col("n_before"), 6)
-        )
-    )
+        F.col("n_words").alias("n_before"),
+        F.size("tk").cast("long").alias("n_after"),
+    ).withColumn("ratio", F.round(F.col("n_after") / F.col("n_before"), 6))
 
 
 def _bpe_compression_oracle(n_rounds: int) -> str:
@@ -7869,18 +7863,18 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in corpus.bpe_train(docs.select("text"), n_merges=3)
         .sort("merge_round").collect()
     ]
-    enc = corpus.bpe_apply(docs, merges).select(
-        "doc_id", F.size("tk").cast("long").alias("n_tokens")
-    )
-    words = docs.select(
-        "doc_id",
-        "lang",
-        F.size(F.filter(Ftext.tokens(F.col("text")), lambda t: t != ""))
-        .cast("long")
-        .alias("n_words"),
-    ).filter(F.col("n_words") >= 1)
-    per = words.join(enc, "doc_id").withColumn(
-        "fert", F.col("n_tokens") / F.col("n_words")
+    # lang and the word count ride out of the encode projection
+    # (carry= / emit_n_words) — the former shape tokenized the corpus a
+    # second time and joined it back by id (r17: one scan, zero joins,
+    # same rows/values)
+    per = (
+        corpus.bpe_apply(docs, merges, carry=("lang",), emit_n_words=True)
+        .select(
+            "lang",
+            "n_words",
+            F.size("tk").cast("long").alias("n_tokens"),
+        )
+        .withColumn("fert", F.col("n_tokens") / F.col("n_words"))
     )
     return per.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
