@@ -288,3 +288,148 @@ def test_psl_sql_text_path_matches_column_path(spark):
     got = [r.d for r in df.select(comp.alias("d")).collect()]
     want = [r.d for r in df.select(ref2.alias("d")).collect()]
     assert got == want
+
+
+# ---------------- CDC Arrow stage: parity with the Catalyst expression twin
+
+def test_cdc_chunks_arrow_matches_expression_twin(spark):
+    """The md5 boundary path now runs in an Arrow stage; pin it
+    byte-for-byte against the former Catalyst expression form (rebuilt
+    inline here), including short docs (n <= window), empty/null text,
+    and multi-chunk docs."""
+    from pyspark.sql import functions as F
+
+    from restaurant_etl_code_spark.operators.chunking import cdc_chunks
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+        (2, "one two three"),          # n <= window: single tail chunk
+        (3, ""),                       # no tokens: no rows
+        (4, None),                     # null text: no rows
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (6, "  Mixed   CASE    words\tand\nwhitespace   runs here ok "
+            "yes more tokens to cross the window boundary for sure"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w, d = 4, 8
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens_chunk, r.chunk_hash)
+        for r in cdc_chunks(docs, window=w, divisor=d).collect()
+    }
+    # the pre-r17 expression form, verbatim
+    from restaurant_etl_code_spark.functions import text as Ftext
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.filter(Ftext.tokens(F.col("text")), lambda t: t != "").alias("tk"),
+    ).filter(F.size("tk") >= 1)
+    ctx = f"array_join(slice(tk, i - {w} + 1, {w}), ' ')"
+    hash52 = f"cast(conv(substring(md5({ctx}), 1, 13), 16, 10) as bigint)"
+    bnd = (
+        f"concat(if(size(tk) > {w}, "
+        f"filter(sequence({w}, size(tk) - 1), i -> {hash52} % {d} = 0), "
+        "array()), array(size(tk)))"
+    )
+    chunks = toks.withColumn("bnd", F.expr(bnd)).select(
+        F.col("doc_id"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(bnd)), j -> named_struct("
+                "'chunk_idx', j - 1, "
+                "'toks', slice(tk, "
+                "if(j = 1, 0, element_at(bnd, j - 1)) + 1, "
+                "element_at(bnd, j) - if(j = 1, 0, element_at(bnd, j - 1)))))"
+            )
+        ).alias("c"),
+    )
+    want = {
+        (r.doc_id, r.chunk_idx): (r.n, r.h)
+        for r in chunks.select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.toks").cast("long").alias("n"),
+            F.md5(F.concat_ws(" ", "c.toks")).alias("h"),
+        ).collect()
+    }
+    assert got == want
+    assert any(k[0] == 1 for k in got)          # multi-token doc chunked
+    assert not any(k[0] in (3, 4) for k in got)  # empty/null emit nothing
+
+
+def test_cdc_chunks_xxhash_path_stays_jvm(spark):
+    """The xxhash64 fast path must keep the pure-JVM codegen plan (no
+    Python node) while md5 takes the Arrow stage."""
+    from restaurant_etl_code_spark.operators.chunking import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l")], "doc_id long, text string")
+    md5_plan = cdc_chunks(docs)._jdf.queryExecution().executedPlan().toString()
+    xx_plan = cdc_chunks(docs, boundary_hash="xxhash64")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "MapInPandas" in md5_plan
+    assert "MapInPandas" not in xx_plan and "BatchEvalPython" not in xx_plan
+
+
+# ---------------- bpe_apply carry= / emit_n_words= (fold and arrow engines)
+
+def test_bpe_apply_carry_and_n_words_parity(spark):
+    from pyspark.sql import functions as F
+
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b a b a b c"),
+            (2, "fr", "x y x y"),
+            (3, "en", "a"),
+            (4, "de", ""),           # dropped: zero tokens
+        ],
+        "doc_id long, lang string, text string",
+    )
+    merges = [("a", "b"), ("a_b", "c")]
+    for eng in ("fold", "arrow"):
+        out = corpus.bpe_apply(
+            docs, merges, engine=eng, carry=("lang",), emit_n_words=True
+        ).collect()
+        rows = {r.doc_id: r for r in out}
+        assert set(rows) == {1, 2, 3}
+        assert [f.name for f in corpus.bpe_apply(
+            docs, merges, engine=eng, carry=("lang",), emit_n_words=True
+        ).schema.fields] == ["doc_id", "lang", "n_words", "tk"]
+        # carry rides through unchanged; n_words is the PRE-merge count
+        assert rows[1].lang == "en" and rows[1].n_words == 7
+        assert rows[2].lang == "fr" and rows[2].n_words == 4
+        assert rows[3].lang == "en" and rows[3].n_words == 1
+        # tk identical to the no-params call
+        base = {
+            r.doc_id: list(r.tk)
+            for r in corpus.bpe_apply(docs, merges, engine=eng).collect()
+        }
+        for k, r in rows.items():
+            assert list(r.tk) == base[k]
+        # later merge fired on the earlier merge's output token
+        assert list(rows[1].tk) == ["a_b", "a_b", "a_b_c"]
+
+
+# ---------------- row-derived state partitions for Python-state streams
+
+def test_stream_state_partitions_rows_mode(spark):
+    from restaurant_etl_code_spark.plans.testdata_queries import (
+        _stream_state_partitions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(f"{sf}/events.parquet").num_rows
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    got = _stream_state_partitions(spark, sf, per_partition_rows=100)
+    want = max(2, min(session_parts, -(-n_rows // 100)))
+    assert got == want
+    # floor of 2 even for tiny sources / huge divisors
+    assert _stream_state_partitions(
+        spark, sf, per_partition_rows=10**9) == 2
+    # missing table falls back to the floor, never raises
+    assert _stream_state_partitions(
+        spark, sf, table="no_such_table", per_partition_rows=100) == 2
