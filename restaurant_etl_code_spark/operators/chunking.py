@@ -219,6 +219,7 @@ def _cdc_chunks_arrow(
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         md5 = hashlib.md5
+        from_bytes = int.from_bytes
         for pdf in batches:
             ids, idxs, lens, hashes = [], [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
@@ -230,11 +231,15 @@ def _cdc_chunks_arrow(
                     continue
                 # boundaries after 1-based positions w..n-1 whose trailing
                 # w-token context hash divides d, plus n (the tail chunk) —
-                # the exact twin of the expression form's filter(sequence)
+                # the exact twin of the expression form's filter(sequence).
+                # The 13-hex-char prefix IS the top 52 bits of the first 7
+                # digest bytes (same identity as dedup._py_hash52), so the
+                # divisibility test runs off the raw digest.
                 bnd = [
                     i for i in range(w, n)
-                    if int(md5(" ".join(toks[i - w:i]).encode())
-                           .hexdigest()[:13], 16) % d == 0
+                    if (from_bytes(
+                        md5(" ".join(toks[i - w:i]).encode()).digest()[:7],
+                        "big") >> 4) % d == 0
                 ] if n > w else []
                 bnd.append(n)
                 prev = 0

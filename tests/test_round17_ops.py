@@ -433,3 +433,52 @@ def test_stream_state_partitions_rows_mode(spark):
     # missing table falls back to the floor, never raises
     assert _stream_state_partitions(
         spark, sf, table="no_such_table", per_partition_rows=100) == 2
+
+
+# ---------------- digest-based hash52 + per-batch shingle memo (r17 opt)
+
+def test_py_hash52_digest_identity():
+    # the digest-slice form must be bit-identical to the 13-hex-char
+    # parse it replaced (the oracle CTEs pin the hex form)
+    import hashlib
+
+    from restaurant_etl_code_spark.operators.dedup import _py_hash52
+
+    for s in ["", "a", "the quick brown fox", "naïve café ​",
+              "0" * 200, "日本語 テスト 한글"]:
+        assert _py_hash52(s) == int(
+            hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+
+def test_minhash_signatures_memo_matches_direct(spark):
+    # duplicate-heavy frame exercises the per-batch shingle-hash memo:
+    # signatures must equal the unmemoized definition (min over
+    # per-shingle universal-family hashes), clones must agree, and a
+    # NULL doc must still be dropped
+    import hashlib
+
+    from restaurant_etl_code_spark.operators import dedup as D
+
+    rows = [(1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # exact clone: memo hits
+            (3, "alpha beta gamma delta zeta"),
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: list(r["signature"])
+           for r in D.minhash_signatures(
+               df, "doc_id", "text", num_hashes=4).collect()}
+    p = D.MINHASH_PRIME
+
+    def direct(text):
+        toks = text.split(" ")
+        hs = [int(hashlib.md5(
+            " ".join(toks[i:i + 3]).encode()).hexdigest()[:13], 16)
+            for i in range(len(toks) - 2)]
+        return [min(((h % p) * ((i * D.MINHASH_SALT) % (p - 1) + 1)
+                     + (i * D.MINHASH_SALT) % p) % p for h in hs)
+                for i in range(4)]
+
+    assert got[1] == direct("alpha beta gamma delta epsilon")
+    assert got[1] == got[2]
+    assert got[3] == direct("alpha beta gamma delta zeta")
+    assert 4 not in got
