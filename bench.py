@@ -738,7 +738,13 @@ WARMUP_ROWS = set(
     os.environ.get(
         "SPARK_GRAFT_WARMUP_ROWS",
         "dedup_recall,warc_fetch_latency,cdx_incremental_merge,"
-        "winnow_dedup_pairs,change_rate_schedule,containment_pairs",
+        "winnow_dedup_pairs,change_rate_schedule,containment_pairs,"
+        # r17 ramp audits (BASELINE.md "Round-17 ramp audits"): committed
+        # rows read >=1.7x their quiet warm steady state on unchanged
+        # plans — first-execution codegen/shuffle ramp, the
+        # containment_pairs precedent. basket_triple_rules audited too
+        # (1.5x) and deliberately NOT moved.
+        "pagerank,basket_triples,basket_rules",
     ).split(",")
 )
 

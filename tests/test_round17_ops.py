@@ -482,3 +482,17 @@ def test_minhash_signatures_memo_matches_direct(spark):
     assert got[1] == got[2]
     assert got[3] == direct("alpha beta gamma delta zeta")
     assert 4 not in got
+
+
+def test_r17_ramp_audited_warmup_rows():
+    # BASELINE.md "Round-17 ramp audits": committed rows >=1.7x their
+    # quiet steady state joined WARMUP_ROWS; basket_triple_rules was
+    # audited at 1.5x and deliberately left out
+    import bench
+
+    assert "pagerank" in bench.WARMUP_ROWS
+    assert "basket_triples" in bench.WARMUP_ROWS
+    assert "basket_rules" in bench.WARMUP_ROWS
+    assert "basket_triple_rules" not in bench.WARMUP_ROWS
+    # the r15/r16 members stay
+    assert "containment_pairs" in bench.WARMUP_ROWS
