@@ -334,6 +334,17 @@ def unigram_logprob(
     logprobs are rounded to 6dp before the per-doc mean (rounded 4dp) so
     engines agree despite libm differences.
 
+    The per-doc mean itself is EXACT-INTEGER arithmetic, not a float
+    ``avg``: the 6dp logprobs are microunit bigints, summed exactly, and
+    the 4dp half-up rounding is one integer div — ``(2·S + 100·n) div
+    (200·n) / 1e4``. A float sum leaves the tie behavior to each
+    engine's accumulation order and round() convention: found live at
+    sf0.001, where one 10-token document's 6dp values sum to exactly
+    48.8965 and the 4dp mean is a half-way tie — Spark's HALF_UP on the
+    shortest decimal repr said 4.8897 while DuckDB's rounding of the
+    slightly-below-tie binary double said 4.8896. Exact integer math
+    gives both engines the same tie and the same HALF_UP answer.
+
     ``vocab_size`` defaults to 100k BECAUSE the vocabulary broadcasts: an
     uncapped vocabulary (``vocab_size=None``) grows with the corpus and
     would OOM the broadcast at exactly the scale the operator targets —
@@ -356,13 +367,26 @@ def unigram_logprob(
         F.round(-F.log2(F.col("cnt") / F.col("__total")), 6).alias("__neg_logp"),
     )
     floor_neg_logp = F.round(-F.log2(F.lit(float(floor))), 6)
+    # 6dp logprob -> exact microunit integer (the double is the nearest
+    # representable to the 6dp decimal; *1e6 + round recovers the int)
+    nl_micro = F.round(
+        F.coalesce(F.col("__neg_logp"), floor_neg_logp) * F.lit(1000000.0), 0
+    ).cast("long")
     return (
         toks.join(F.broadcast(probs), "term", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.avg(F.coalesce(F.col("__neg_logp"), floor_neg_logp)), 4
+            F.sum(nl_micro).alias("__s_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            # round_half_up(S/(100 n)) / 1e4, all-integer: see docstring
+            (
+                F.expr("(2 * __s_micro + 100 * n_tokens) div (200 * n_tokens)")
+                .cast("double")
+                / F.lit(10000.0)
             ).alias("avg_neg_logp"),
         )
     )

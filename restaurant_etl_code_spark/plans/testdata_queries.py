@@ -4509,11 +4509,15 @@ tot as (select sum(cnt) as total from counts),
 vocab as (select term, cnt from counts order by cnt desc, term limit 2000),
 probs as (
   select term, round(-log2(cnt / total), 6) as neg_logp from vocab, tot)
-select t.doc_id, count(*) as n_tokens,
-       round(avg(coalesce(p.neg_logp, round(-log2(1e-9), 6))), 4)
+select doc_id, n_tokens,
+       ((2 * s_micro + 100 * n_tokens) // (200 * n_tokens)) / 10000.0
          as avg_neg_logp
-from toks t left join probs p using (term)
-group by 1
+from (
+  select t.doc_id, count(*) as n_tokens,
+         sum(cast(round(coalesce(p.neg_logp, round(-log2(1e-9), 6))
+                        * 1000000.0) as bigint)) as s_micro
+  from toks t left join probs p using (term)
+  group by 1)
 """
 
 

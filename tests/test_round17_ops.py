@@ -496,3 +496,24 @@ def test_r17_ramp_audited_warmup_rows():
     assert "basket_triple_rules" not in bench.WARMUP_ROWS
     # the r15/r16 members stay
     assert "containment_pairs" in bench.WARMUP_ROWS
+
+
+def test_unigram_logprob_half_tie_rounds_up(spark):
+    # sf0.001 doc 202: ten 6dp logprobs sum to EXACTLY 48.8965, so the
+    # 4dp mean is a half-way tie. The float-avg form let each engine
+    # pick its own side (Spark 4.8897 via shortest-repr HALF_UP, DuckDB
+    # 4.8896 off the below-tie binary double); the exact-integer mean
+    # makes both engines see the same tie and round HALF_UP.
+    from restaurant_etl_code_spark.operators import corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in corpus.unigram_logprob(docs, vocab_size=2000, floor=1e-9)
+        .filter("doc_id in (202, 3)")
+        .collect()
+    }
+    assert out[202]["n_tokens"] == 10
+    assert out[202]["avg_neg_logp"] == 4.8897  # half-up, both engines
+    # a non-tie row is untouched by the rewrite
+    assert out[3]["avg_neg_logp"] == 4.9105
