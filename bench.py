@@ -722,11 +722,17 @@ IO_CANARY_FLOOR_MS = float(os.environ.get("SPARK_GRAFT_IO_CANARY_FLOOR_MS", "25.
 # execution runs before the timed take, so the committed series stops
 # being a random point on the ramp and measures the plan's steady state.
 # The applied set is audited in the record (`warmup_rows`); extend via
-# env for A/Bs on other hosts. The persist-once rows are here too: their
-# committed series is the WARM (cache-reusing) state by design, and the
-# per-row clearCache below would otherwise turn their single take cold —
-# the warm-up take rebuilds the row's cache before the timed take, and
-# the clear after the row keeps the cache from leaking across rows.
+# env for A/Bs on other hosts. r18 (verdict r17 order 1): the warm-up
+# take is followed by clearCache() BEFORE the timed take — Spark's
+# CacheManager matches canonicalized plans, so for a row whose plan
+# contains .persist() the timed take would otherwise read the
+# InMemoryRelation blocks populated by the untimed warm-up (a cache
+# subsidy, not JIT warmth). The warm-up now buys codegen/JIT/page-cache
+# ramp ONLY; every timed take computes cache-cold from parquet.
+# Standing inclusion criterion (r17 ADVICE item 2, pre-registered for
+# future additions): a row joins WARMUP_ROWS only with a fresh-session
+# ramp audit showing its committed one-shot take >= 1.7x its quiet warm
+# steady state on a plan-identical tree (audit tables in BASELINE.md).
 # containment_pairs joined r16 (verdict order 7): its ramp audit
 # (tools/cache_subsidy_probe.py, 6 takes with clearCache between)
 # measured 5.5 → 4.3 → 3.0 → 3.1 → 2.9 → 3.8 — plateau by take 3, so
@@ -784,6 +790,9 @@ def main() -> int:
         )
         if name in WARMUP_ROWS:
             qd.spark(spark, sf_dir).count()  # untimed ramp eater (audited)
+            # kill the warm-up's persisted blocks so the timed take is
+            # cache-cold (keeps JIT warmth, removes the block subsidy)
+            spark.catalog.clearCache()
         t0 = time.time()
         df = qd.spark(spark, sf_dir)
         n = df.count()
@@ -893,6 +902,7 @@ def main() -> int:
             pre_io = _io_canary_sec(io_probe) * 1000 if io_probe else 0.0
             if name in WARMUP_ROWS:
                 QUERIES[name].spark(spark, sf_dir).count()  # same state as take 1
+                spark.catalog.clearCache()  # cache-cold timed take, as in main pass
             t0 = time.time()
             df = QUERIES[name].spark(spark, sf_dir)
             df.count()

@@ -1,0 +1,30 @@
+"""Round-18 optimization pins.
+
+Each test pins an internals contract introduced by a round-18
+optimization, per the round rule that an optimization changing an
+operator's internals gets a focused test.
+"""
+import inspect
+import re
+
+import pytest
+
+
+def test_bench_warmup_take_is_followed_by_clearcache():
+    # r17 verdict order 1: the untimed warm-up take must not leave
+    # persisted blocks for the timed take to read (CacheManager matches
+    # canonicalized plans, so a .persist()-bearing row's timed take
+    # would otherwise be cache-subsidized). Pin: in BOTH the main pass
+    # and the retake loop, the WARMUP_ROWS count() is followed by a
+    # clearCache() BEFORE the timed-take clock starts.
+    import bench
+
+    src = inspect.getsource(bench.main)
+    warm_blocks = re.findall(
+        r"if name in WARMUP_ROWS:\n(.*?)t0 = time\.time\(\)", src, re.S)
+    assert len(warm_blocks) == 2, "main pass + retake loop"
+    for block in warm_blocks:
+        assert ".count()" in block
+        assert "clearCache()" in block
+        # the clear comes after the warm-up action, before the clock
+        assert block.index(".count()") < block.index("clearCache()")

@@ -1,7 +1,9 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for named queries into plans/r17/<q>_<tag>.txt.
+"""Dump .explain("formatted") for named queries into plans/<round>/<q>_<tag>.txt.
 
-Usage: python tools/explain_dump.py <tag> <query> [query ...]
+The round directory defaults to r18; override with SPARK_GRAFT_PLANS_DIR.
+
+Usage: [SPARK_GRAFT_PLANS_DIR=plans/rNN] python tools/explain_dump.py <tag> <query> [query ...]
 """
 from __future__ import annotations
 
@@ -18,8 +20,10 @@ def main() -> int:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r17")
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_PLANS_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "plans", "r18"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain-dump",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
