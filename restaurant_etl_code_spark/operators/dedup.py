@@ -59,7 +59,53 @@ __all__ = [
     "cluster_size_histogram",
     "lsh_geometry_plan",
     "choose_band_geometry",
+    "release_persisted_intermediates",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Persisted-intermediate lifetime contract (r17 verdict order 7)
+#
+# Several operators below persist a corpus-sized intermediate (the banded
+# LSH rows, the shingle inverted index) because two or more branches of
+# the SAME query plan read it — without the cache each branch re-runs the
+# Arrow shingling/signature stage. The persist is intentionally NOT
+# unpersisted inside the operator: the returned DataFrame is lazy, so the
+# blocks must survive until the caller's action has run. The contract:
+#
+# - WITHIN one query execution the persist is load-bearing (one Arrow
+#   pass feeds all branches) and Spark's LRU eviction bounds it.
+# - ACROSS queries in a long-lived session the blocks accumulate
+#   (MEMORY_AND_DISK, corpus-sized): call
+#   ``release_persisted_intermediates()`` after consuming each dedup
+#   query's result, or ``spark.catalog.clearCache()`` for session-wide
+#   hygiene (what bench.py does per row).
+_PERSISTED_INTERMEDIATES: list[DataFrame] = []
+
+
+def _persist_intermediate(df: DataFrame) -> DataFrame:
+    """``persist()`` + registration, so sessions composing several dedup
+    queries can release the corpus-sized blocks between queries (see the
+    lifetime contract above)."""
+    out = df.persist()
+    _PERSISTED_INTERMEDIATES.append(out)
+    return out
+
+
+def release_persisted_intermediates() -> int:
+    """Unpersist every intermediate a dedup operator persisted in this
+    process. Safe at any time — an unpersisted plan recomputes; call it
+    once the query's result has been materialized. Returns the number of
+    frames released."""
+    released = 0
+    while _PERSISTED_INTERMEDIATES:
+        df = _PERSISTED_INTERMEDIATES.pop()
+        try:
+            df.unpersist()
+            released += 1
+        except Exception:
+            pass  # session already stopped — nothing left to hold blocks
+    return released
 
 
 def dedup_keep_first(df: DataFrame, subset: list[str], order_by: list[str]) -> DataFrame:
@@ -153,6 +199,18 @@ def _py_hash52(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:7], "big") >> 4
 
 
+# Per-Arrow-batch hash-memo entry cap (r17 ADVICE): the memo trades one
+# md5 per occurrence for one per *distinct* string, but a mostly-unique
+# batch (the opposite of the near-dup corpora measured at ~10% distinct)
+# would otherwise grow the dict to the batch's full text volume plus
+# ~100 B/entry dict overhead. Past the cap, misses simply recompute the
+# hash — correctness is unaffected, worst-case memory is bounded
+# independent of maxRecordsPerBatch. 1M entries ≈ tens of MB of keys for
+# typical shingle lengths, far above the distinct count any measured
+# batch reaches, so the hit rate at the measured workloads is unchanged.
+_MEMO_MAX_ENTRIES = 1 << 20
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16,
     shingle_n: int = 3, normalize: bool = False,
@@ -200,11 +258,13 @@ def minhash_signatures(
             # per-BATCH shingle-hash memo: near-dup corpora repeat most
             # shingles across documents (measured ~10% unique at sf0.1),
             # so one md5 per *distinct* shingle per batch replaces one per
-            # occurrence. Batch-scoped, not task-scoped, so memory stays
-            # bounded by one Arrow batch's text volume at any input scale.
+            # occurrence. Batch-scoped AND entry-capped
+            # (_MEMO_MAX_ENTRIES), so memory stays bounded even for a
+            # mostly-unique batch at a huge maxRecordsPerBatch.
             memo: dict[str, int] = {}
             memo_get = memo.get
             h52 = _py_hash52
+            memo_max = _MEMO_MAX_ENTRIES
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
@@ -218,7 +278,9 @@ def minhash_signatures(
                     s = " ".join(toks[i : i + shingle_n])
                     v = memo_get(s)
                     if v is None:
-                        v = memo[s] = h52(s)
+                        v = h52(s)
+                        if len(memo) < memo_max:
+                            memo[s] = v
                     hs_list.append(v)
                 hs = np.array(hs_list, dtype=np.int64)
                 ids.append(doc_id)
@@ -368,7 +430,8 @@ def lsh_candidate_pairs(
     if num_hashes is not None:
         _check_band_geometry(num_hashes, bands, rows_per_band)
     banded = _banded_rows(signatures, id_col, bands, rows_per_band)
-    banded = banded.repartition("band_idx", "band_hash").persist()
+    banded = _persist_intermediate(
+        banded.repartition("band_idx", "band_hash"))
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -427,7 +490,8 @@ def lsh_component_edges(
     # persisted: the star and rep branches below both read this frame,
     # and without the cache each re-runs the upstream Arrow signature
     # stage (the lsh_candidate_pairs banded-persist rationale)
-    tagged = sigs.withColumn("__rep", F.min(id_col).over(rep_w)).persist()
+    tagged = _persist_intermediate(
+        sigs.withColumn("__rep", F.min(id_col).over(rep_w)))
     star = tagged.filter(F.col(id_col) != F.col("__rep")).select(
         F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
     )
@@ -474,7 +538,8 @@ def minhash_estimate_pairs(
     banded = _banded_rows(
         signatures, id_col, bands, rows_per_band, keep_signature=True
     )
-    banded = banded.repartition("band_idx", "band_hash").persist()
+    banded = _persist_intermediate(
+        banded.repartition("band_idx", "band_hash"))
     left = banded.alias("a")
     # merge hint: both sides are corpus-sized banded rows carrying full
     # signatures; a broadcast build (AQE's pick at test scale) would OOM
@@ -615,10 +680,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         for pdf in batches:
             ids, fps = [], []
             # per-batch token-hash memo (tokens repeat far more than
-            # shingles — stopwords dominate); see minhash_signatures
+            # shingles — stopwords dominate), entry-capped; see
+            # minhash_signatures
             memo: dict[str, int] = {}
             memo_get = memo.get
             h52 = _py_hash52
+            memo_max = _MEMO_MAX_ENTRIES
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     ids.append(doc_id)
@@ -628,7 +695,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
                 for t in _py_norm_tokens(text):
                     v = memo_get(t)
                     if v is None:
-                        v = memo[t] = h52(t)
+                        v = h52(t)
+                        if len(memo) < memo_max:
+                            memo[t] = v
                     hs_list.append(v)
                 hs = np.array(hs_list, dtype=np.int64)
                 votes = (((hs[:, None] >> bit_idx) & 1) * 2 - 1).sum(axis=0)
@@ -836,18 +905,16 @@ def _shingle_intersections(
         # known row-locally inside the Arrow stage — emitting it there
         # removes the id-partitioned window (a full shuffle+sort of the
         # inverted index) from the plan outright
-        shingled = (
+        shingled = _persist_intermediate(
             shingle_rows(df, id_col, text_col, shingle_n, emit_set_size=True)
             .withColumn("__sh", F.xxhash64("shingle"))
             .drop("shingle")
-            .persist()
         )
     else:
-        rows = (
+        rows = _persist_intermediate(
             shingle_rows(df, id_col, text_col, shingle_n)
             .withColumn("__sh", F.xxhash64("shingle"))
             .drop("shingle")
-            .persist()
         )
         # df cap as an ANTI-join against the HEAVY shingle set (df >
         # max_df) — the winnow_pairs valve shape: the heavy set is the
@@ -870,7 +937,7 @@ def _shingle_intersections(
         # per-doc counts when they fit) replaces the second full-index
         # window shuffle+sort.
         sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-        shingled = capped.join(sizes, id_col).persist()
+        shingled = _persist_intermediate(capped.join(sizes, id_col))
     a = shingled.alias("a")
     # merge hint: both sides of the inverted-index join are corpus-sized, so
     # it must never broadcast — the static size estimate of a persisted
@@ -1155,7 +1222,8 @@ def incremental_lsh_pairs(
     if num_hashes is not None:
         _check_band_geometry(num_hashes, bands, rows_per_band)
     banded_d = _banded_rows(delta_signatures, id_col, bands, rows_per_band)
-    banded_d = banded_d.repartition("band_idx", "band_hash").persist()
+    banded_d = _persist_intermediate(
+        banded_d.repartition("band_idx", "band_hash"))
     banded_i = _banded_rows(index_signatures, id_col, bands, rows_per_band)
     d, i = banded_d.alias("d"), banded_i.alias("i")
     cross = (
@@ -1283,10 +1351,12 @@ def winnow_fingerprints(
 
         for pdf in batches:
             ids, fps, ngrams = [], [], []
-            # per-batch k-gram-hash memo; see minhash_signatures
+            # per-batch k-gram-hash memo, entry-capped; see
+            # minhash_signatures
             memo: dict[str, int] = {}
             memo_get = memo.get
             h52 = _py_hash52
+            memo_max = _MEMO_MAX_ENTRIES
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
@@ -1301,7 +1371,9 @@ def winnow_fingerprints(
                     s = " ".join(toks[i : i + k])
                     v = memo_get(s)
                     if v is None:
-                        v = memo[s] = h52(s)
+                        v = h52(s)
+                        if len(memo) < memo_max:
+                            memo[s] = v
                     hs_list.append(v)
                 hs = np.array(hs_list, dtype=np.int64)
                 if n >= window:
@@ -1397,7 +1469,8 @@ def winnow_pairs(
     cached blocks accumulate across queries and evict each other —
     bench.py clears per row (r15 ADVICE closure).
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window).persist()
+    fps = _persist_intermediate(
+        winnow_fingerprints(df, id_col, text_col, k=k, window=window))
     inv = fps.select(
         F.col(id_col).alias("__id"),
         F.explode("fingerprints").alias("fp"),

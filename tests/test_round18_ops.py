@@ -28,3 +28,59 @@ def test_bench_warmup_take_is_followed_by_clearcache():
         assert "clearCache()" in block
         # the clear comes after the warm-up action, before the clock
         assert block.index(".count()") < block.index("clearCache()")
+
+
+def test_shingle_hash_memo_cap_preserves_results(spark, monkeypatch):
+    # r17 ADVICE: the per-batch hash memo is entry-capped so a
+    # mostly-unique batch cannot grow it unboundedly. Correctness must
+    # not depend on the cap — a miss past the cap just recomputes.
+    from restaurant_etl_code_spark.operators import dedup as D
+
+    rows = [(i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+            for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sigs():
+        return {r["doc_id"]: list(r["signature"])
+                for r in D.minhash_signatures(
+                    df, "doc_id", "text", num_hashes=4).collect()}
+
+    def fps():
+        return {r["doc_id"]: list(r["fingerprints"])
+                for r in D.winnow_fingerprints(
+                    df, "doc_id", "text", k=3, window=2).collect()}
+
+    def sims():
+        return {r["doc_id"]: r["simhash"]
+                for r in D.simhash(df, "doc_id", "text").collect()}
+
+    base = (sigs(), fps(), sims())
+    monkeypatch.setattr(D, "_MEMO_MAX_ENTRIES", 0)  # every lookup misses
+    assert (sigs(), fps(), sims()) == base
+    monkeypatch.setattr(D, "_MEMO_MAX_ENTRIES", 3)  # cap mid-batch
+    assert (sigs(), fps(), sims()) == base
+
+
+def test_release_persisted_intermediates_frees_dedup_caches(spark):
+    # r17 verdict order 7: two dedup queries composed in one session must
+    # not permanently double-hold corpus-sized persisted blocks — the
+    # release hook unpersists every registered intermediate.
+    from restaurant_etl_code_spark.operators import dedup as D
+
+    D.release_persisted_intermediates()  # start clean
+    spark.catalog.clearCache()
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # two inverted-index queries in sequence: each persists intermediates
+    # (capped path: shingle rows + capped+sized index)
+    D.ngram_jaccard_pairs(df, "doc_id", "text", max_df=10).count()
+    D.containment_pairs(df, "doc_id", "text", max_df=10).count()
+    released = D.release_persisted_intermediates()
+    assert released >= 2
+    # nothing left holding blocks for these intermediates
+    jsc = spark.sparkContext._jsc.sc()
+    live = [i for i in jsc.getRDDStorageInfo() if i.isCached()]
+    assert live == []
+    # idempotent
+    assert D.release_persisted_intermediates() == 0

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Job-level profile of named queries: run each in the shared session,
+then read the Spark UI REST API for per-job wall, description and
+shuffle volumes — the guide §1 'where does the time go' view without
+screenshots.
+
+Usage: [SPARK_GRAFT_SF_DIR=...] python tools/profile_query.py [-n N] q [q ...]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from restaurant_etl_code_spark import get_spark
+from restaurant_etl_code_spark.plans import QUERIES
+
+
+def _api(base: str, path: str):
+    with urllib.request.urlopen(base + path) as r:
+        return json.load(r)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    takes = 1
+    if args and args[0] == "-n":
+        takes = int(args[1])
+        args = args[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("profile-query",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    base = f"{ui}/api/v1/applications/{app_id}"
+    for name in args:
+        for t in range(takes):
+            before_jobs = {j["jobId"] for j in _api(base, "/jobs")}
+            spark.sparkContext.setJobDescription(f"{name} take{t}")
+            t0 = time.time()
+            n = QUERIES[name].spark(spark, sf_dir).count()
+            wall = time.time() - t0
+            spark.catalog.clearCache()
+            jobs = [j for j in _api(base, "/jobs")
+                    if j["jobId"] not in before_jobs]
+            jobs.sort(key=lambda j: j["jobId"])
+            total_job_ms = 0.0
+            print(f"\n=== {name} take{t}: wall {wall:.3f}s, {n} rows, "
+                  f"{len(jobs)} jobs ===")
+            for j in jobs:
+                sub = time.strptime(j["submissionTime"][:19],
+                                    "%Y-%m-%dT%H:%M:%S")
+                comp = time.strptime(j["completionTime"][:19],
+                                     "%Y-%m-%dT%H:%M:%S")
+                # sub-second parts
+                sub_ms = float(j["submissionTime"][20:23] or 0)
+                comp_ms = float(j["completionTime"][20:23] or 0)
+                dur = (time.mktime(comp) + comp_ms / 1e3
+                       - time.mktime(sub) - sub_ms / 1e3)
+                total_job_ms += dur * 1000
+                desc = (j.get("description") or j["name"])[:90]
+                print(f"  job {j['jobId']:>4} {dur*1000:8.0f} ms "
+                      f"tasks={j['numCompletedTasks']:<4} {desc}")
+            print(f"  sum(job walls) {total_job_ms/1000:.3f}s; "
+                  f"driver gap {wall - total_job_ms/1000:.3f}s")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
