@@ -46,6 +46,21 @@ __all__ = [
 ]
 
 
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Width of the first non-null vector (one LIMIT-1 job, metadata-cheap
+    at any scale) — the plan-time constant the flat codegen vector math
+    needs. ``None`` (empty/all-null input) keeps callers on the fold
+    path. Rows whose width differs from the probed value are handled by
+    the per-row size guard inside every fast variant, so a ragged corpus
+    stays bit-identical to the fold."""
+    row = (
+        df.select(F.size(F.col(vec_col)).alias("__d"))
+        .where(F.col(vec_col).isNotNull())
+        .first()
+    )
+    return int(row["__d"]) if row is not None and row["__d"] is not None else None
+
+
 def _ranked(
     scored: DataFrame,
     k: int,
@@ -239,11 +254,23 @@ def bucketed_cosine_topk(
     if nbits == "auto":
         n = corpus.count()
         nbits = max(4, min(24, math.ceil(math.log2(max(n, 2) / target_bucket))))
+    dim = _probe_dim(corpus, corpus_vec)
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
         V.sign_lsh_bucket(F.col(query_vec), nbits).alias("__bkt"),
     )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        V.sign_lsh_bucket(F.col(corpus_vec), nbits).alias("__bkt"),
+    )
+    if dim:
+        # per-side norms + guarded flat dot: the scoring projection
+        # compiles instead of running the interpreted zip_with fold per
+        # pair — bit-identical scores (see vectors.cosine_fast_paired)
+        q = q.withColumn("__qn", V.l2_norm_fast("__qv", dim))
+        c = c.withColumn("__cn", V.l2_norm_fast("__cv", dim))
     if probes > 1:
         flips = F.array(
             F.col("__bkt"),
@@ -253,18 +280,18 @@ def bucketed_cosine_topk(
             ],
         )
         q = q.withColumn("__bkt", F.explode(flips))
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("__cv"),
-        V.sign_lsh_bucket(F.col(corpus_vec), nbits).alias("__bkt"),
-    )
     scored = q.join(c, on="__bkt")
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    score = (
+        V.cosine_fast_paired("__qv", "__cv", "__qn", "__cn", dim)
+        if dim
+        else V.cosine(F.col("__qv"), F.col("__cv"))
+    )
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        F.round(V.cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+        F.round(score, 6).alias("score"),
     )
     return _ranked(scored, k, min_score)
 
@@ -299,16 +326,25 @@ def embedding_near_dup_pairs(
         return _all_pairs_near_dup_blas(
             df, id_col, vec_col, threshold, max_rows=exact_max_rows
         )
+    dim = _probe_dim(df, vec_col)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     a = a.withColumn("__bkt", V.sign_lsh_bucket(F.col("__va"), nbits))
     b = b.withColumn("__bkt", V.sign_lsh_bucket(F.col("__vb"), nbits))
+    if dim:
+        a = a.withColumn("__na", V.l2_norm_fast("__va", dim))
+        b = b.withColumn("__nb", V.l2_norm_fast("__vb", dim))
     pairs = a.join(b, on="__bkt").filter(F.col("id_a") < F.col("id_b"))
+    score = (
+        V.cosine_fast_paired("__va", "__vb", "__na", "__nb", dim)
+        if dim
+        else V.cosine(F.col("__va"), F.col("__vb"))
+    )
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.round(V.cosine(F.col("__va"), F.col("__vb")), 6).alias("score"),
+            F.round(score, 6).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -421,15 +457,24 @@ def fit_centroids_kmeans(corpus: DataFrame, *, n: int, vec_col: str = "embedding
 
 
 def _assign_lists(df: DataFrame, centroids: DataFrame, *, id_alias: str,
-                  vec_alias: str, nprobe: int) -> DataFrame:
+                  vec_alias: str, nprobe: int, dim: int | None = None) -> DataFrame:
     """Nearest-``nprobe`` centroid ids per vector. Centroids are tiny and
     broadcast; ranking by (distance, centroid_id) keeps ties deterministic.
-    Distance is squared L2 (monotone with L2 — no sqrt needed)."""
-    d = F.aggregate(
+    Distance is squared L2 (monotone with L2 — no sqrt needed). With
+    ``dim`` the distance is the guarded flat codegen chain (bit-identical
+    to the fold; see vectors.d2_chain_sql)."""
+    fold = F.aggregate(
         F.zip_with(F.col(vec_alias), F.col("centroid"),
                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
         F.lit(0.0), lambda acc, x: acc + x,
     )
+    if dim:
+        d = F.when(
+            (F.size(vec_alias) == dim) & (F.size("centroid") == dim),
+            F.expr(V.d2_chain_sql(f"`{vec_alias}`", "`centroid`", dim)),
+        ).otherwise(fold)
+    else:
+        d = fold
     w = Window.partitionBy(id_alias).orderBy(F.round(d, 9).asc(), F.col("centroid_id"))
     return (
         df.join(F.broadcast(centroids), F.lit(True))
@@ -464,23 +509,34 @@ def ivf_topk(
     partitioned by ``list_id`` (a write-time index); queries then touch
     ``nprobe/n_centroids`` of the data. With ``nprobe >= n_centroids`` the
     result is EXACT brute-force top-k (the oracle-checked configuration)."""
+    dim = _probe_dim(corpus, corpus_vec)
     c = _assign_lists(
         corpus.select(F.col(corpus_id).alias("neighbor_id"),
                       F.col(corpus_vec).alias("__cv")),
         centroids, id_alias="neighbor_id", vec_alias="__cv", nprobe=1,
+        dim=dim,
     )
     q = _assign_lists(
         queries.select(F.col(query_id).alias("query_id"),
                        F.col(query_vec).alias("__qv")),
         centroids, id_alias="query_id", vec_alias="__qv", nprobe=nprobe,
+        dim=dim,
     )
+    if dim:
+        c = c.withColumn("__cn", V.l2_norm_fast("__cv", dim))
+        q = q.withColumn("__qn", V.l2_norm_fast("__qv", dim))
     scored = q.join(c, on="list_id")
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    score = (
+        V.cosine_fast_paired("__qv", "__cv", "__qn", "__cn", dim)
+        if dim
+        else V.cosine(F.col("__qv"), F.col("__cv"))
+    )
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        F.round(V.cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+        F.round(score, 6).alias("score"),
     )
     return _ranked(scored, k, min_score)
 
@@ -753,7 +809,16 @@ def _d2_sql(vec_sql: str, center) -> str:
     string parses JVM-side in one py4j call: the tree version spent ~2 s
     of DRIVER time per 16-center×32-dim argmin just constructing py4j
     objects (measured; the dominant cost of the whole IVF-PQ stack at
-    small SF)."""
+    small SF).
+
+    r18 note: this fold deliberately STAYS the interpreted
+    zip_with/aggregate form. The flat get()-chain rewrite that sped up
+    the cosine/l2 join projections 3-9x (vectors.dot_chain_sql) was
+    measured 3.6x SLOWER here: every _d2_sql call site sits under
+    array_min(array(named_struct(...))) — a CodegenFallback parent — so
+    the chain runs interpreted node-by-node (~6 evals/dim) while the
+    fold's aggregate loop is the faster interpreted shape
+    (~2 evals/dim + one zip allocation)."""
     arr = "array(" + ",".join(_lit_d(x) for x in center) + ")"
     return (
         f"round(aggregate(zip_with({vec_sql}, {arr}, "
@@ -1517,19 +1582,29 @@ def l2_topk(
         raise ValueError(
             f"l2_topk broadcasts the query side; it has > {max_query_rows} rows"
         )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col(corpus_vec),
-                F.col("__qv"),
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    dim = _probe_dim(corpus, corpus_vec)
+    fold = F.aggregate(
+        F.zip_with(
+            F.col(corpus_vec),
+            F.col("__qv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
         ),
-        9,
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
+    if dim:
+        # guarded flat codegen chain — same accumulation order as the
+        # fold, so the 9dp-rounded distance is bit-identical (the fold is
+        # CodegenFallback: it ran interpreted per pair, the dominant cost
+        # of the |Q|·|C| exact scan)
+        d2_raw = F.when(
+            (F.size(corpus_vec) == dim) & (F.size("__qv") == dim),
+            F.expr(V.d2_chain_sql(f"`{corpus_vec}`", "`__qv`", dim)),
+        ).otherwise(fold)
+    else:
+        d2_raw = fold
+    d2 = F.round(d2_raw, 9)
     scored = (
         corpus.select(
             F.col(corpus_id).alias("neighbor_id"),

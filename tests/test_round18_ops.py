@@ -61,6 +61,75 @@ def test_shingle_hash_memo_cap_preserves_results(spark, monkeypatch):
     assert (sigs(), fps(), sims()) == base
 
 
+def test_fast_vector_math_matches_fold_exactly(spark):
+    # r18: the flat codegen chains (dot_chain_sql / l2_norm_fast /
+    # cosine_fast_paired / d2_chain_sql) must be bit-identical to the
+    # interpreted zip_with/aggregate folds for EVERY input shape: the
+    # per-row size guard routes ragged/mismatched/null rows through the
+    # fold, and dim-wide rows evaluate the same doubles in the same
+    # left-to-right order.
+    from pyspark.sql import functions as F
+
+    from restaurant_etl_code_spark.functions import vectors as V
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (2, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),   # zero-norm -> null cosine
+        (3, None, [1.0, 2.0, 3.0]),              # null vector
+        (4, [1.0, 2.0], [3.0, 4.0, 5.0]),        # ragged: fold fallback
+        (5, [1.0, None, 3.0], [1.0, 2.0, 3.0]),  # null element
+        (6, [1.5, 2.5, 3.5], [1.5, 2.5, 3.5]),
+        (7, [0.1, -0.2, 0.3, 0.4], [0.1, -0.2, 0.3, 0.4]),  # wider than dim
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    dim = 3
+    got = (
+        df.withColumn("__na", V.l2_norm_fast("a", dim))
+        .withColumn("__nb", V.l2_norm_fast("b", dim))
+        .select(
+            "id",
+            V.cosine(F.col("a"), F.col("b")).alias("cos_fold"),
+            V.cosine_fast_paired("a", "b", "__na", "__nb", dim).alias("cos_fast"),
+            V.l2_norm(F.col("a")).alias("n_fold"),
+            F.col("__na").alias("n_fast"),
+            F.aggregate(
+                F.zip_with(F.col("a"), F.col("b"),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x).alias("d2_fold"),
+            F.when(
+                (F.size("a") == dim) & (F.size("b") == dim),
+                F.expr(V.d2_chain_sql("`a`", "`b`", dim)),
+            ).otherwise(
+                F.aggregate(
+                    F.zip_with(F.col("a"), F.col("b"),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x)
+            ).alias("d2_fast"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r["cos_fold"] == r["cos_fast"] or (
+            r["cos_fold"] is None and r["cos_fast"] is None), r
+        assert r["n_fold"] == r["n_fast"] or (
+            r["n_fold"] is None and r["n_fast"] is None), r
+        assert r["d2_fold"] == r["d2_fast"] or (
+            r["d2_fold"] is None and r["d2_fast"] is None), r
+
+
+def test_d2_sql_literal_path_keeps_the_fold():
+    # r18 measured finding: _d2_sql call sites sit under
+    # array_min(array(named_struct(...))) — a CodegenFallback parent —
+    # where the flat get()-chain runs interpreted and is ~3.6x SLOWER
+    # than the fold. Pin the fold shape so a future "optimization"
+    # doesn't reintroduce the regression without re-measuring.
+    from restaurant_etl_code_spark.operators.similarity import _d2_sql
+
+    sql = _d2_sql("`v`", [1.0, 2.0])
+    assert "aggregate(zip_with(" in sql
+    assert "get(" not in sql
+
+
 def test_release_persisted_intermediates_frees_dedup_caches(spark):
     # r17 verdict order 7: two dedup queries composed in one session must
     # not permanently double-hold corpus-sized persisted blocks — the

@@ -33,7 +33,8 @@ def main() -> int:
         args = args[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("profile-query",
-                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+                      extra_conf={"spark.ui.showConsoleProgress": "false",
+                                  "spark.ui.enabled": "true"})
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
