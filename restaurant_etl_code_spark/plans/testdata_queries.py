@@ -6563,16 +6563,19 @@ def _q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _augmented_docs(child, sf_dir).select("doc_id", "text")
     landing = _tempfile.mkdtemp(prefix="landing_neardup_")
-    for i, batch in enumerate(
-        [docs.filter(F.col("doc_id") < 100000),
-         docs.filter(F.col("doc_id") >= 100000)]
-    ):
-        stage = _tempfile.mkdtemp(prefix=f"stage_nd{i}_")
-        batch.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(f for f in sorted(_os.listdir(stage))
+    # both ordered batch files come out of ONE write job (partitionBy on
+    # the batch flag; coalesce(1) keeps one file per batch dir) instead
+    # of two sequential coalesce(1) writes — same two files, same order
+    stage = _tempfile.mkdtemp(prefix="stage_nd_")
+    (docs.withColumn("__b", (F.col("doc_id") >= 100000).cast("int"))
+        .coalesce(1).write.mode("overwrite").partitionBy("__b")
+        .parquet(stage))
+    for i in (0, 1):
+        bdir = _os.path.join(stage, f"__b={i}")
+        part = next(f for f in sorted(_os.listdir(bdir))
                     if f.endswith(".parquet"))
         dst = _os.path.join(landing, f"batch-{i:03d}.parquet")
-        _os.rename(_os.path.join(stage, part), dst)
+        _os.rename(_os.path.join(bdir, part), dst)
         _os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
     stream = (
         child.readStream.schema(docs.schema)

@@ -525,6 +525,14 @@ def curate_stream_near_dup(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        sc = spark.sparkContext
+        sc.setJobDescription(f"neardup batch {epoch_id}: sign+band")
+        # NOT widened (r18, measured): repartitioning the one-scan-
+        # partition batch before signing added an exchange + 32-task
+        # stages whose scheduling cost exceeded the serialized signing
+        # it parallelized (warm wall 5.9 -> 7.3 s) — the per-batch plans
+        # here are small enough that job/stage COUNT, not per-stage
+        # parallelism, is the wall.
         sigs_d = D.minhash_signatures(
             batch_df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
         ).persist()
@@ -534,6 +542,7 @@ def curate_stream_near_dup(
             .persist()
         )
         delta_ids = sigs_d.select(id_col)
+        sc.setJobDescription(f"neardup batch {epoch_id}: hit buckets")
         if os.path.isdir(bands_path):
             hit = {
                 r["__b"]
@@ -552,32 +561,41 @@ def curate_stream_near_dup(
             ]
         else:
             dirs = []
+        # ONE band-collision join instead of two (r18): the index rows and
+        # the batch's own banded rows union into a single probe side
+        # tagged __idx, and the drop rule becomes one filter — d leaves
+        # if it collides with ANY index row, or with a SMALLER-id
+        # batch-mate (o.id < d.id drops d, exactly within_drop's
+        # a.id < b.id dropping b). No .distinct(): dropped feeds a
+        # LEFT ANTI join, which ignores right-side duplicates — the
+        # former distinct was a pure extra exchange per micro-batch.
+        batch_bands = banded_d.select(
+            "band_idx", "band_hash", F.col(id_col).alias("__oid"),
+            F.lit(False).alias("__idx"),
+        )
         if dirs:
             index_bands = spark.read.parquet(*dirs).join(
                 delta_ids, id_col, "left_anti"  # crash-replay ghost guard
             )
+            others = index_bands.select(
+                "band_idx", "band_hash", F.col(id_col).alias("__oid"),
+                F.lit(True).alias("__idx"),
+            ).unionByName(batch_bands)
         else:
-            index_bands = spark.createDataFrame(
-                [], banded_d.select(id_col, "band_idx", "band_hash").schema
-            )
-        cross_drop = (
+            others = batch_bands  # first batch: nothing indexed yet
+        dropped = (
             banded_d.alias("d")
-            .join(
-                index_bands.alias("i"),
-                ["band_idx", "band_hash"],
-            )
+            .join(others, ["band_idx", "band_hash"])
+            .filter(F.col("__idx") | (F.col("__oid") < F.col(f"d.{id_col}")))
             .select(F.col(f"d.{id_col}").alias(id_col))
         )
-        within_drop = (
-            banded_d.alias("a")
-            .join(banded_d.alias("b"), ["band_idx", "band_hash"])
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"b.{id_col}").alias(id_col))
-        )
-        dropped = cross_drop.unionByName(within_drop).distinct()
         survivors = sigs_d.join(dropped, id_col, "left_anti").persist()
-        surv_bands = banded_d.join(
-            survivors.select(id_col), id_col, "left_semi"
+        # survivor band rows by RE-BANDING the survivor signatures — a
+        # row-local projection (the banding recipe is a deterministic
+        # function of the signature), replacing the former banded_d
+        # semi-join and its exchange (r18)
+        surv_bands = D._banded_rows(
+            survivors, id_col, bands, rows_per_band
         ).withColumn(
             "__bucket",
             F.pmod(F.xxhash64("band_hash"), F.lit(n_buckets)).cast("int"),
@@ -597,12 +615,15 @@ def curate_stream_near_dup(
                     },
                     fh,
                 )
+        sc.setJobDescription(f"neardup batch {epoch_id}: band append")
         surv_bands.select(
             id_col, "band_idx", "band_hash", "__bucket"
         ).write.mode("append").partitionBy("__bucket").parquet(bands_path)
+        sc.setJobDescription(f"neardup batch {epoch_id}: merge")
         merge_into_bucketed_parquet(
             spark, target_path, survivors, [id_col], n_buckets=n_buckets
         )
+        sc.setJobDescription(None)
         survivors.unpersist()
         banded_d.unpersist()
         sigs_d.unpersist()
