@@ -1207,6 +1207,9 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 4,
     joiner: str = "_",
+    carry: tuple = (),
+    emit_n_words: bool = False,
+    return_state: bool = False,
 ) -> DataFrame:
     """Greedy merge TRAINER: ``n_merges`` rounds of find-the-most-frequent
     adjacent token pair → merge every left-to-right occurrence — the loop
@@ -1229,10 +1232,41 @@ def bpe_train(
     \\x01-delimited token string — equivalent to the fold because both
     scan left-to-right non-overlapping and the delimiter makes token
     boundaries exact.
+
+    r18 additions, all for the train-then-encode consumers that used to
+    pay the ENCODE corpus scan on top of training:
+
+    - ``return_state=True`` returns ``(merge_table, toks)`` where
+      ``toks`` is the trainer's FINAL token frame — the corpus with all
+      ``n_merges`` merges applied, exactly what ``bpe_apply`` with the
+      learned table recomputes from scratch (same tokenize expression,
+      same ``_merge_fold`` sequence in the same order, same
+      ``size >= 1`` gate — the encode scan becomes free).
+    - ``carry`` / ``emit_n_words`` ride extra columns (and the PRE-merge
+      token count) through the folds, mirroring ``bpe_apply``'s params,
+      so id-keyed consumers can use the returned state directly. The
+      per-round pair count projects only the pair structs, so carried
+      columns cost the counting loop nothing (column pruning).
+    - The token frame is WIDENED round-robin to the session parallelism
+      when the scan arrives narrower: every trainer round re-executes
+      tokenize + folds + explode over the corpus, and a small parquet
+      landing otherwise serializes all rounds on one core (measured 3×
+      0.4-0.7 s single-task count jobs at sf0.1; at production scale
+      the scan is already wide and only the partition-count check runs).
     """
+    from restaurant_etl_code_spark.operators._arrow import (
+        widen_for_codec as _widen,
+    )
+
     toks = docs.select(
-        F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "").alias("tk")
+        *[F.col(c) for c in carry],
+        F.filter(Ftext.tokens(F.col(text_col)), lambda t: t != "").alias("tk"),
     ).filter(F.size("tk") >= 1)
+    if emit_n_words:
+        toks = toks.select(
+            *carry, F.size("tk").cast("long").alias("n_words"), "tk"
+        )
+    toks = _widen(toks, None, per_row="heavy")
     history: list = []
     for r in range(n_merges):
         top = (
@@ -1269,7 +1303,7 @@ def bpe_train(
         StructType,
     )
 
-    return docs.sparkSession.createDataFrame(
+    merge_table = docs.sparkSession.createDataFrame(
         pd.DataFrame(history, columns=["merge_round", "a", "b", "n"]),
         schema=StructType(
             [
@@ -1280,6 +1314,9 @@ def bpe_train(
             ]
         ),
     )
+    if return_state:
+        return merge_table, toks
+    return merge_table
 
 def bpe_apply(
     docs: DataFrame,

@@ -6261,11 +6261,12 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     production tables). Both engines learn AND apply the same table:
     training determinism is the bpe_trainer oracle's proven contract."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = [
-        (r["a"], r["b"])
-        for r in corpus.bpe_train(docs, n_merges=3).sort("merge_round").collect()
-    ]
-    enc = corpus.bpe_apply(docs, merges)
+    # the trainer's final token frame IS the encoded corpus (same
+    # tokenize + fold sequence bpe_apply would replay) — reuse it
+    # instead of paying the encode scan a second time (r18)
+    _, enc = corpus.bpe_train(
+        docs, n_merges=3, carry=("doc_id",), return_state=True
+    )
     return enc.select(
         "doc_id",
         F.size("tk").cast("long").alias("n_tokens"),
@@ -6321,14 +6322,14 @@ def _q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     of bpe_train. One extra codegen projection + an id equi-join over
     the bpe_encode chain."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = [
-        (r["a"], r["b"])
-        for r in corpus.bpe_train(docs, n_merges=3).sort("merge_round").collect()
-    ]
-    # n_before rides out of the encode projection (emit_n_words) — the
-    # former shape tokenized the corpus a second time and joined it back
-    # by id (r17: one scan, zero joins, same rows/values)
-    enc = corpus.bpe_apply(docs, merges, emit_n_words=True)
+    # n_before rides out of the TRAINER's token state (carry= /
+    # emit_n_words / return_state): r17 removed the second tokenize +
+    # id join-back; r18 removes the encode scan itself — the trainer's
+    # final token frame is the encoded corpus
+    _, enc = corpus.bpe_train(
+        docs, n_merges=3, carry=("doc_id",), emit_n_words=True,
+        return_state=True,
+    )
     return enc.select(
         "doc_id",
         F.col("n_words").alias("n_before"),
@@ -7865,17 +7866,16 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    merges = [
-        (r["a"], r["b"])
-        for r in corpus.bpe_train(docs.select("text"), n_merges=3)
-        .sort("merge_round").collect()
-    ]
-    # lang and the word count ride out of the encode projection
-    # (carry= / emit_n_words) — the former shape tokenized the corpus a
-    # second time and joined it back by id (r17: one scan, zero joins,
-    # same rows/values)
+    # lang and the word count ride through the TRAINER's token state
+    # (carry= / emit_n_words / return_state): r17 removed the second
+    # tokenize + id join-back; r18 removes the encode scan itself — the
+    # trainer's final token frame is the encoded corpus
+    _, enc = corpus.bpe_train(
+        docs, n_merges=3, carry=("lang",), emit_n_words=True,
+        return_state=True,
+    )
     per = (
-        corpus.bpe_apply(docs, merges, carry=("lang",), emit_n_words=True)
+        enc
         .select(
             "lang",
             "n_words",
@@ -15350,11 +15350,9 @@ def _q_vocab_coverage_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-count groupBy + TakeOrderedAndProject top-k as
     vocab_coverage."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = [
-        (r["a"], r["b"])
-        for r in corpus.bpe_train(docs, n_merges=3).sort("merge_round").collect()
-    ]
-    enc = corpus.bpe_apply(docs, merges)
+    # the trainer's final token frame IS the encoded corpus — the
+    # coverage curve reads it directly instead of re-encoding (r18)
+    _, enc = corpus.bpe_train(docs, n_merges=3, return_state=True)
     return corpus.vocab_coverage(
         enc, ks=(100, 500, 1000, 2000), tokens_col="tk")
 

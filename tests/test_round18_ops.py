@@ -130,6 +130,40 @@ def test_d2_sql_literal_path_keeps_the_fold():
     assert "get(" not in sql
 
 
+def test_bpe_train_return_state_matches_bpe_apply(spark):
+    # r18: bpe_train(return_state=True) hands back its final token frame
+    # so train-then-encode consumers skip the encode scan. The returned
+    # state must equal bpe_apply(docs, learned_merges) exactly —
+    # including carry columns and the pre-merge n_words.
+    from restaurant_etl_code_spark.operators import corpus
+
+    rows = [
+        (1, "en", "the cat sat on the mat the cat sat"),
+        (2, "fr", "the cat ran off the mat the cat ran"),
+        (3, "en", "a b"),
+        (4, "en", ""),  # gated out (no tokens)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    table, state = corpus.bpe_train(
+        docs, n_merges=3, carry=("doc_id", "lang"), emit_n_words=True,
+        return_state=True,
+    )
+    merges = [(r["a"], r["b"])
+              for r in table.sort("merge_round").collect()]
+    applied = corpus.bpe_apply(
+        docs, merges, carry=("lang",), emit_n_words=True, engine="fold")
+    got = {r["doc_id"]: (r["lang"], r["n_words"], list(r["tk"]))
+           for r in state.collect()}
+    want = {r["doc_id"]: (r["lang"], r["n_words"], list(r["tk"]))
+            for r in applied.collect()}
+    assert got == want
+    assert 4 not in got  # empty doc gated in both
+    # plain call shape unchanged
+    table2 = corpus.bpe_train(docs, n_merges=3)
+    assert [tuple(r) for r in table2.sort("merge_round").collect()] == [
+        tuple(r) for r in table.sort("merge_round").collect()]
+
+
 def test_release_persisted_intermediates_frees_dedup_caches(spark):
     # r17 verdict order 7: two dedup queries composed in one session must
     # not permanently double-hold corpus-sized persisted blocks — the
