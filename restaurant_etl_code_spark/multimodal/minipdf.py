@@ -235,12 +235,16 @@ class _Ref:
 
 
 def _skip_ws(data: bytes, i: int) -> int:
-    while i < len(data):
+    # the tight per-byte loop beats a compiled regex here (r18 measured
+    # both): typical skips are 0-2 bytes, where regex call overhead
+    # exceeds the scan
+    n = len(data)
+    while i < n:
         c = data[i]
         if c in _WS:
             i += 1
         elif c == 0x25:  # % comment
-            while i < len(data) and data[i] not in (0x0A, 0x0D):
+            while i < n and data[i] not in (0x0A, 0x0D):
                 i += 1
         else:
             break
@@ -252,25 +256,37 @@ _REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R(?![A-Za-z0-9])")
 _NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)")
 
 
+_STR_ESCAPES = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+# next byte a literal-string scanner must stop at; everything between
+# copies as one slice instead of byte-by-byte appends (r18 profile: the
+# per-byte loop was ~1 s per 20k-doc pass)
+_STR_SPECIAL = re.compile(rb"[\\()]")
+
+
 def _parse_string(data: bytes, i: int) -> tuple[bytes, int]:
     assert data[i] == 0x28
     i += 1
     depth, out = 1, bytearray()
-    while i < len(data):
-        c = data[i]
+    while True:
+        m = _STR_SPECIAL.search(data, i)
+        if m is None:
+            raise ValueError("unterminated literal string")
+        j = m.start()
+        if j > i:
+            out += data[i:j]
+        c = data[j]
+        i = j + 1
         if c == 0x5C:  # backslash escape
-            i += 1
             e = data[i]
-            simple = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
-            if e in simple:
-                out.append(simple[e])
+            if e in _STR_ESCAPES:
+                out.append(_STR_ESCAPES[e])
                 i += 1
             elif 0x30 <= e <= 0x37:  # up to 3 octal digits
-                oct_s, j = bytearray(), 0
-                while j < 3 and i < len(data) and 0x30 <= data[i] <= 0x37:
+                oct_s, j2 = bytearray(), 0
+                while j2 < 3 and i < len(data) and 0x30 <= data[i] <= 0x37:
                     oct_s.append(data[i])
                     i += 1
-                    j += 1
+                    j2 += 1
                 out.append(int(oct_s, 8) & 0xFF)
             elif e in (0x0A, 0x0D):  # line continuation: swallow the EOL
                 i += 1
@@ -282,17 +298,11 @@ def _parse_string(data: bytes, i: int) -> tuple[bytes, int]:
         elif c == 0x28:
             depth += 1
             out.append(c)
-            i += 1
-        elif c == 0x29:
+        else:  # c == 0x29
             depth -= 1
             if depth == 0:
-                return bytes(out), i + 1
+                return bytes(out), i
             out.append(c)
-            i += 1
-        else:
-            out.append(c)
-            i += 1
-    raise ValueError("unterminated literal string")
 
 
 def _parse_hex_string(data: bytes, i: int) -> tuple[bytes, int]:
@@ -303,24 +313,36 @@ def _parse_hex_string(data: bytes, i: int) -> tuple[bytes, int]:
     return bytes.fromhex(hex_digits.decode("ascii")), end + 1
 
 
+# continuation making an already-matched unsigned integer a reference
+_REF_TAIL_RE = re.compile(rb"\s+\d+\s+R(?![A-Za-z0-9])")
+
+
 def _parse_value(data: bytes, i: int):
-    """Parse one PDF object at ``i`` → (value, next_index)."""
+    """Parse one PDF object at ``i`` → (value, next_index). (r18: the
+    recursive descent dispatches on the first BYTE and numbers try the
+    reference continuation only after matching — the old shape sliced a
+    1-byte bytes object per token and ran two regexes per number; this
+    is the profiled innermost loop of the whole decode path.)"""
     i = _skip_ws(data, i)
-    if data.startswith(b"<<", i):
-        i += 2
-        d: dict[str, Any] = {}
-        while True:
-            i = _skip_ws(data, i)
-            if data.startswith(b">>", i):
-                return d, i + 2
-            m = _NAME_RE.match(data, i)
-            if not m:
-                raise ValueError(f"dict key expected at byte {i}")
-            key = m.group(1).decode("latin-1")
-            val, i = _parse_value(data, m.end())
-            d[key] = val
-    c = data[i : i + 1]
-    if c == b"[":
+    if i >= len(data):
+        raise ValueError(f"unparseable token at byte {i}: {data[i:i+20]!r}")
+    c = data[i]
+    if c == 0x3C:  # '<': dict or hex string
+        if data.startswith(b"<<", i):
+            i += 2
+            d: dict[str, Any] = {}
+            while True:
+                i = _skip_ws(data, i)
+                if data.startswith(b">>", i):
+                    return d, i + 2
+                m = _NAME_RE.match(data, i)
+                if not m:
+                    raise ValueError(f"dict key expected at byte {i}")
+                key = m.group(1).decode("latin-1")
+                val, i = _parse_value(data, m.end())
+                d[key] = val
+        return _parse_hex_string(data, i)
+    if c == 0x5B:  # '['
         i += 1
         arr = []
         while True:
@@ -329,19 +351,19 @@ def _parse_value(data: bytes, i: int):
                 return arr, i + 1
             v, i = _parse_value(data, i)
             arr.append(v)
-    if c == b"/":
+    if c == 0x2F:  # '/'
         m = _NAME_RE.match(data, i)
         return "/" + m.group(1).decode("latin-1"), m.end()
-    if c == b"(":
+    if c == 0x28:  # '('
         return _parse_string(data, i)
-    if c == b"<":
-        return _parse_hex_string(data, i)
-    m = _REF_RE.match(data, i)
-    if m:
-        return _Ref(int(m.group(1))), m.end()
     m = _NUM_RE.match(data, i)
     if m:
         s = m.group(0)
+        if s.isdigit():  # unsigned integer: maybe an indirect reference
+            m2 = _REF_TAIL_RE.match(data, m.end())
+            if m2:
+                return _Ref(int(s)), m2.end()
+            return int(s), m.end()
         return (float(s) if b"." in s else int(s)), m.end()
     for lit, v in ((b"true", True), (b"false", False), (b"null", None)):
         if data.startswith(lit, i):
@@ -666,6 +688,9 @@ def _scan_objects(data: bytes) -> dict[int, int]:
     }
 
 
+_OBJ_HEAD_RE = re.compile(rb"\s*(\d+)\s+\d+\s+obj")
+
+
 class _PdfDoc:
     def __init__(self, data: bytes):
         if not data.startswith(b"%PDF-"):
@@ -723,7 +748,7 @@ class _PdfDoc:
         if num not in self.offsets:
             raise ValueError(f"object {num} missing from xref/scan (truncated?)")
         off = self.offsets[num]
-        m = re.match(rb"\s*(\d+)\s+\d+\s+obj", self.data[off : off + 64])
+        m = _OBJ_HEAD_RE.match(self.data[off : off + 64])
         if not m or int(m.group(1)) != num:
             raise ValueError(f"object {num} not at xref offset {off}")
         val, i = _parse_value(self.data, off + m.end())
@@ -804,25 +829,25 @@ def _page_text(doc: _PdfDoc, page: dict) -> str:
         i = _skip_ws(content, i)
         if i >= len(content):
             break
-        c = content[i : i + 1]
-        if c == b"(":
+        c = content[i]
+        if c == 0x28:  # '('
             s, i = _parse_string(content, i)
             stack.append(s)
-        elif c == b"<" and not content.startswith(b"<<", i):
-            s, i = _parse_hex_string(content, i)
-            stack.append(s)
-        elif content.startswith(b"<<", i):
+        elif c == 0x3C:  # '<': hex string or dict
+            if content.startswith(b"<<", i):
+                v, i = _parse_value(content, i)
+                stack.append(v)
+            else:
+                s, i = _parse_hex_string(content, i)
+                stack.append(s)
+        elif c == 0x5B:  # '['
             v, i = _parse_value(content, i)
             stack.append(v)
-        elif c == b"[":
-            v, i = _parse_value(content, i)
-            stack.append(v)
-        elif c == b"/":
+        elif c == 0x2F:  # '/'
             m = _NAME_RE.match(content, i)
             stack.append("/" + m.group(1).decode("latin-1"))
             i = m.end()
-        elif _NUM_RE.match(content, i):
-            m = _NUM_RE.match(content, i)
+        elif (m := _NUM_RE.match(content, i)) is not None:
             stack.append(float(m.group(0)))
             i = m.end()
         else:

@@ -4313,17 +4313,30 @@ def _q_pdf_menu_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assets = mm.pack_paged_pdf(paged, id_col="asset_id", pages_col="pages")
     pages = mm.paged_pdf_text(assets)
-    parsed = pages.filter(F.col("decode_error").isNull()).select(
-        "asset_id",
-        "page_index",
-        F.get_json_object("page_text", "$.name").alias("item_name"),
-        F.get_json_object("page_text", "$.price").cast("double").alias("item_price"),
+    # ONE decode pass (r18): the former shape fed `pages` to two
+    # consumers (the keep-first branch and a groupBy count) joined at
+    # the end — the pack+decode Python chain executed TWICE per query
+    # (two full 32-task jobs in the profile). n_pages now rides a
+    # count window over the SAME partition key the keep-first window
+    # uses, so both share one shuffle and the join disappears. The
+    # count runs BEFORE the decode_error filter, preserving the old
+    # groupBy's count-all semantics; an asset whose every page failed
+    # decode has no parsed row, exactly as the former inner join
+    # dropped it.
+    w_asset = Window.partitionBy("asset_id")
+    parsed = (
+        pages.withColumn("n_pages", F.count(F.lit(1)).over(w_asset))
+        .filter(F.col("decode_error").isNull())
+        .select(
+            "asset_id",
+            "page_index",
+            F.get_json_object("page_text", "$.name").alias("item_name"),
+            F.get_json_object("page_text", "$.price").cast("double").alias("item_price"),
+            "n_pages",
+        )
     )
     first = dedup.dedup_keep_first(parsed, ["asset_id"], ["page_index"])
-    counts = pages.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_pages"))
-    return first.join(counts, "asset_id").select(
-        "asset_id", "item_name", "item_price", "n_pages"
-    )
+    return first.select("asset_id", "item_name", "item_price", "n_pages")
 
 
 _ORACLE_PDF_MENU = """
@@ -4357,17 +4370,30 @@ def _q_pdf_real_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assets = mm.pack_mini_pdf(paged, id_col="asset_id", pages_col="pages")
     pages = mm.mini_pdf_text(assets)
-    parsed = pages.filter(F.col("decode_error").isNull()).select(
-        "asset_id",
-        "page_index",
-        F.get_json_object("page_text", "$.name").alias("item_name"),
-        F.get_json_object("page_text", "$.price").cast("double").alias("item_price"),
+    # ONE decode pass (r18): the former shape fed `pages` to two
+    # consumers (the keep-first branch and a groupBy count) joined at
+    # the end — the pack+decode Python chain executed TWICE per query
+    # (two full 32-task jobs in the profile). n_pages now rides a
+    # count window over the SAME partition key the keep-first window
+    # uses, so both share one shuffle and the join disappears. The
+    # count runs BEFORE the decode_error filter, preserving the old
+    # groupBy's count-all semantics; an asset whose every page failed
+    # decode has no parsed row, exactly as the former inner join
+    # dropped it.
+    w_asset = Window.partitionBy("asset_id")
+    parsed = (
+        pages.withColumn("n_pages", F.count(F.lit(1)).over(w_asset))
+        .filter(F.col("decode_error").isNull())
+        .select(
+            "asset_id",
+            "page_index",
+            F.get_json_object("page_text", "$.name").alias("item_name"),
+            F.get_json_object("page_text", "$.price").cast("double").alias("item_price"),
+            "n_pages",
+        )
     )
     first = dedup.dedup_keep_first(parsed, ["asset_id"], ["page_index"])
-    counts = pages.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_pages"))
-    return first.join(counts, "asset_id").select(
-        "asset_id", "item_name", "item_price", "n_pages"
-    )
+    return first.select("asset_id", "item_name", "item_price", "n_pages")
 
 
 # --------------------------------------------------------------------------
@@ -6165,17 +6191,30 @@ def _q_pdf15_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assets = mm.pack_mini_pdf(paged, id_col="asset_id", pages_col="pages", pdf15=True)
     pages = mm.mini_pdf_text(assets)
-    parsed = pages.filter(F.col("decode_error").isNull()).select(
-        "asset_id",
-        "page_index",
-        F.get_json_object("page_text", "$.name").alias("item_name"),
-        F.get_json_object("page_text", "$.price").cast("double").alias("item_price"),
+    # ONE decode pass (r18): the former shape fed `pages` to two
+    # consumers (the keep-first branch and a groupBy count) joined at
+    # the end — the pack+decode Python chain executed TWICE per query
+    # (two full 32-task jobs in the profile). n_pages now rides a
+    # count window over the SAME partition key the keep-first window
+    # uses, so both share one shuffle and the join disappears. The
+    # count runs BEFORE the decode_error filter, preserving the old
+    # groupBy's count-all semantics; an asset whose every page failed
+    # decode has no parsed row, exactly as the former inner join
+    # dropped it.
+    w_asset = Window.partitionBy("asset_id")
+    parsed = (
+        pages.withColumn("n_pages", F.count(F.lit(1)).over(w_asset))
+        .filter(F.col("decode_error").isNull())
+        .select(
+            "asset_id",
+            "page_index",
+            F.get_json_object("page_text", "$.name").alias("item_name"),
+            F.get_json_object("page_text", "$.price").cast("double").alias("item_price"),
+            "n_pages",
+        )
     )
     first = dedup.dedup_keep_first(parsed, ["asset_id"], ["page_index"])
-    counts = pages.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_pages"))
-    return first.join(counts, "asset_id").select(
-        "asset_id", "item_name", "item_price", "n_pages"
-    )
+    return first.select("asset_id", "item_name", "item_price", "n_pages")
 
 
 def _q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
