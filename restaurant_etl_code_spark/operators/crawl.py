@@ -458,15 +458,26 @@ def resolve_redirects(
     # counts as redirecting (max), and its edge is the smallest target
     # (min) — ties cannot depend on row order. Output rows are NOT
     # deduplicated: every input fetch row gets its resolution.
-    edges = (
-        base.filter(F.col("_redir"))
-        .groupBy(F.col(url_col).alias("_e_url"))
-        .agg(F.min(location_col).alias("_e_next"))
-    )
-    # terminal statuses of fetched urls, for chain landings
-    terminals = (
+    # ONE url-keyed index holding both walk lookups (r18): the former
+    # separate `edges` (url → min redirect target) and `terminals`
+    # (url → ever-redirected) frames shared the SAME groupBy key, and
+    # each round's step joined both — two corpus aggregations re-run
+    # and two joins per round (measured ~0.5 s/round at sf0.1). One
+    # aggregation now builds both columns (min(when(_redir, location))
+    # ignores non-redirect rows exactly like the filtered min did), it
+    # is persisted like base (every round's build side; the repo's
+    # iterative-operator convention), and the walk joins it ONCE per
+    # round. _t_url NULL ⇔ never fetched (dangling), _t_redir false ⇔
+    # fetched non-redirect (landed), _e_next NULL for non-redirecting
+    # urls exactly as the former edges-join miss produced.
+    url_index = (
         base.groupBy(F.col(url_col).alias("_t_url"))
-        .agg(F.max("_redir").alias("_t_redir"))
+        .agg(
+            F.max("_redir").alias("_t_redir"),
+            F.min(F.when(F.col("_redir"), F.col(location_col)))
+            .alias("_e_next"),
+        )
+        .persist()
     )
 
     done = base.filter(~F.col("_redir")).select(
@@ -488,10 +499,8 @@ def resolve_redirects(
         if not chains.take(1):
             chains = None
             break
-        step = (
-            chains.join(terminals, chains["_cur"] == terminals["_t_url"],
-                        "left")
-            .join(edges, chains["_cur"] == edges["_e_url"], "left")
+        step = chains.join(
+            url_index, chains["_cur"] == url_index["_t_url"], "left"
         )
         landed = F.col("_t_url").isNull() | ~F.col("_t_redir")
         looped = F.array_contains(F.col("_seen"), F.col("_e_next"))

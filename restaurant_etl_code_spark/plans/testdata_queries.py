@@ -15268,6 +15268,11 @@ def _q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(
         fixture, "doc_id", "text", num_hashes=16, shingle_n=3
     ).persist()
+    # NOT persisted (r18, measured): caching the candidate frames to
+    # share them between the recall join and the volume count was a
+    # wash — the extra materialization barriers cost what the saved
+    # self-join re-execution bought (warm 2.9 s both ways); the banded
+    # rows inside lsh_candidate_pairs are already cached.
     c44 = dedup.lsh_candidate_pairs(
         sigs, "doc_id", bands=4, rows_per_band=4, num_hashes=16)
     c82 = dedup.lsh_candidate_pairs(

@@ -407,9 +407,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
     },
     "pdf_menu_extract": {
         # byte decode is Arrow-batched in executors; keep-first dedup rides
-        # the rank-limit pushdown; page counts join back broadcast
-        "want": ["MapInPandas", "WindowGroupLimit", "BroadcastHashJoin"],
-        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        # the rank-limit pushdown. r18: n_pages rides a count window over
+        # the SAME partition key as the keep-first window — ONE decode
+        # pass, no join at all (the former BroadcastHashJoin pin matched
+        # a shape that executed the pack+decode chain twice)
+        "want": ["MapInPandas", "WindowGroupLimit"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BroadcastHashJoin", "SortMergeJoin"],
     },
     "mixture_sample": {
         # per-source rates broadcast back; keep rule evaluates in the scan —
